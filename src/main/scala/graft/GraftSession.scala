@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the configuration this engine assumes.
+  *
+  * Scale notes (100 TB / 1000-executor design intent):
+  *  - AQE on: runtime coalescing + skew-join splitting replace hand-tuned
+  *    shuffle partition counts when the data is orders of magnitude larger
+  *    than the local test scale.
+  *  - UTC session time zone: the reference engine renders all timestamps in
+  *    UTC (chrono `Utc`, /root/reference/src/transforms.rs:243-281), and the
+  *    DuckDB oracle compares rendered values.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", master: Option[String] = None): SparkSession.Builder = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // Parquet scans: vectorized reader + pushdown are defaults, pinned here
+      // because the correctness/bench gates depend on them.
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      // harness events table carries TIMESTAMP(NANOS); Spark 4 reads it as
+      // long under this flag (Tables.events converts to µs timestamps)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    master.foreach(b.master)
+    b
+  }
+
+  /** Local session used by tests/bench; shuffle partitions sized to cores,
+    * not the 200 default (local[N] = one JVM, N threads). */
+  def local(appName: String = "graft", cores: Int = 4): SparkSession = {
+    val s = builder(appName, Some(s"local[$cores]"))
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,180 @@
+package graft.delta
+
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Delta table facade: transactional parquet append/read on top of
+  * [[DeltaLog]].
+  *
+  * Write path (mirrors reference §2.5 B4–B6 + §2.7 X1): the batch is written
+  * by executors into a staging dir with Hive-style `partitionBy` layout,
+  * files are moved into the table root (rename, no data copy on
+  * HDFS-compatible stores), per-file stats (numRecords, min/max/nullCount —
+  * reference ST1/ST2) come from the parquet footers, and one commit appends
+  * all `add`s plus the idempotence `txn{appId, version}`.
+  *
+  * Exactly-once: `append` with (txnAppId, txnVersion) is a no-op when the
+  * stored txn version is ≥ the given one — replayed micro-batches after
+  * failure don't double-write (reference §2.8 / Structured Streaming
+  * foreachBatch contract).
+  */
+object DeltaTable {
+
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  def forPath(spark: SparkSession, path: String): DeltaTable =
+    new DeltaTable(spark, path)
+}
+
+final class DeltaTable(spark: SparkSession, val path: String) {
+  import Actions._
+
+  val log = new DeltaLog(path, spark.sessionState.newHadoopConf())
+
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def exists: Boolean = log.exists()
+
+  /** Create the table (v0: protocol + metaData), like the reference's test
+    * fixtures seed a v0 _delta_log. No-op if it already exists. */
+  def create(schema: StructType, partitionColumns: Seq[String] = Nil,
+             name: Option[String] = None): this.type = {
+    if (!exists) {
+      log.commit(Seq(
+        Action(protocol = Some(Protocol())),
+        Action(metaData = Some(Metadata(
+          id = java.util.UUID.randomUUID().toString,
+          name = name,
+          schemaString = schema.json,
+          partitionColumns = partitionColumns,
+          createdTime = Some(System.currentTimeMillis())))),
+        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CREATE TABLE")))))
+    }
+    this
+  }
+
+  def snapshot: Snapshot = log.snapshot()
+
+  def schema: StructType = snapshot.metadata.map(m =>
+    org.apache.spark.sql.types.DataType.fromJson(m.schemaString).asInstanceOf[StructType])
+    .getOrElse(throw new IllegalStateException(s"no table at $path"))
+
+  def partitionColumns: Seq[String] =
+    snapshot.metadata.map(_.partitionColumns).getOrElse(Nil)
+
+  /** Stored txn version for an app id (None if never committed). */
+  def txnVersion(appId: String): Option[Long] = snapshot.txns.get(appId)
+
+  /** Transactional append. Returns the committed version, or -1 if skipped
+    * as an idempotent replay. */
+  def append(df: DataFrame, txnAppId: Option[String] = None,
+             txnVersion: Long = -1L, operation: String = "WRITE"): Long = {
+    txnAppId.foreach { app =>
+      val stored = this.txnVersion(app).getOrElse(-1L)
+      if (txnVersion >= 0 && stored >= txnVersion) return -1L
+    }
+    val parts = partitionColumns
+    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val aligned = df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val writer = aligned.write.mode("overwrite")
+      .option("compression", "snappy")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(staging.toString)
+
+    val adds = collectStagedFiles(staging, parts)
+    try {
+      val actions = adds.map(a => Action(add = Some(a))) ++
+        txnAppId.map(app => Action(txn = Some(Txn(app, txnVersion,
+          Some(System.currentTimeMillis()))))).toSeq ++
+        Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation,
+          Map("mode" -> "Append")))))
+      log.commit(actions)
+    } finally {
+      fs.delete(staging, true)
+    }
+  }
+
+  /** Move staged parquet files into the table root preserving the Hive
+    * partition layout; build `add` actions with footer-derived stats. */
+  private def collectStagedFiles(staging: Path, parts: Seq[String]): Seq[AddFile] = {
+    val results = mutable.ArrayBuffer.empty[AddFile]
+    val stagingPrefix = fs.makeQualified(staging).toString
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = fs.makeQualified(p).toString.stripPrefix(stagingPrefix).stripPrefix("/")
+        val partitionValues = rel.split('/').dropRight(1).iterator
+          .filter(_.contains('='))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> (if (v == DeltaTable.HiveDefaultPartition) null
+                  else URLDecoder.decode(v, StandardCharsets.UTF_8))
+          }.toMap
+        val dest = new Path(path, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(p, dest))
+          throw new RuntimeException(s"failed to move staged file $p -> $dest")
+        val stats = ParquetStats.forFile(fs, dest, parts.toSet)
+        results += AddFile(
+          path = rel,
+          partitionValues = partitionValues,
+          size = st.getLen,
+          modificationTime = st.getModificationTime,
+          dataChange = true,
+          stats = stats)
+      }
+    }
+    results.toSeq
+  }
+
+  /** Read the current snapshot as a DataFrame (partition columns restored
+    * from directory layout, cast to the declared schema types). */
+  def toDF: DataFrame = {
+    val snap = snapshot
+    val sch = schema
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    val paths = snap.files.map(f => new Path(path, f.path).toString)
+    val parts = partitionColumns
+    val df =
+      if (parts.isEmpty) spark.read.schema(sch).parquet(paths: _*)
+      else spark.read.option("basePath", path).parquet(paths: _*)
+    df.select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+  }
+
+  /** Small-file compaction (the reference's min_bytes_per_file lever, B3,
+    * re-expressed as OPTIMIZE): rewrite files below `minBytes` per partition
+    * into compacted ones; commits add+remove with dataChange=false. */
+  def compact(minBytes: Long = 128L * 1024 * 1024): Long = {
+    val snap = snapshot
+    val small = snap.files.filter(_.size < minBytes)
+    if (small.size < 2) return -1L
+    val parts = partitionColumns
+    val paths = small.map(f => new Path(path, f.path).toString)
+    val df =
+      if (parts.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+      else spark.read.option("basePath", path).parquet(paths: _*)
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val writer = df.coalesce(1).write.mode("overwrite").option("compression", "snappy")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
+    val adds = collectStagedFiles(staging, parts)
+    try {
+      log.commit(
+        adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
+          small.map(f => Action(remove = Some(RemoveFile(f.path,
+            Some(System.currentTimeMillis()), dataChange = false)))) ++
+          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))))
+    } finally fs.delete(staging, true)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+/** Per-file Delta `stats` JSON from parquet footers (reference ST1/ST2,
+  * /root/reference/src/writer.rs:657-991): numRecords + per-leaf min/max +
+  * nullCount, aggregated over row groups.
+  *
+  *  - array descendants (repetition level > 0) get nullCount only, no
+  *    min/max — the reference's explicit rule (src/writer.rs:1137-1147);
+  *  - timestamps render as `%Y-%m-%dT%H:%M:%S%.3fZ` (src/writer.rs:947-960);
+  *  - Int96/fixed-len binaries are skipped like the reference
+  *    (src/writer.rs:878-886).
+  */
+object ParquetStats {
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  def forFile(fs: FileSystem, file: Path, partitionCols: Set[String]): Option[String] = {
+    try {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(file, fs.getConf))
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        val mapper = Actions.mapper
+        val root = mapper.createObjectNode()
+        var numRecords = 0L
+
+        val mins = mapper.createObjectNode()
+        val maxs = mapper.createObjectNode()
+        val nulls = mapper.createObjectNode()
+
+        // accumulate across row groups per leaf path
+        case class Acc(var min: Option[Comparable[Any]], var max: Option[Comparable[Any]],
+                       var nullCount: Long, var hasMinMax: Boolean,
+                       tpe: PrimitiveType, repeated: Boolean)
+        val accs = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Acc]
+
+        import scala.jdk.CollectionConverters._
+        footer.getBlocks.asScala.foreach { block =>
+          numRecords += block.getRowCount
+          block.getColumns.asScala.foreach { chunk =>
+            val pathParts = chunk.getPath.toArray.toSeq
+            if (!partitionCols.contains(pathParts.head)) {
+              val colDesc = schema.getColumnDescription(pathParts.toArray)
+              val repeated = colDesc.getMaxRepetitionLevel > 0
+              val acc = accs.getOrElseUpdate(pathParts,
+                Acc(None, None, 0L, hasMinMax = true, chunk.getPrimitiveType, repeated))
+              val st = chunk.getStatistics
+              if (st != null && !st.isEmpty) {
+                acc.nullCount += st.getNumNulls
+                if (!repeated && st.hasNonNullValue) {
+                  val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                  val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                  acc.min = Some(acc.min.fold(mn)(m => if (mn.compareTo(m) < 0) mn else m))
+                  acc.max = Some(acc.max.fold(mx)(m => if (mx.compareTo(m) > 0) mx else m))
+                } else if (repeated) acc.hasMinMax = false
+              } else acc.hasMinMax = false
+            }
+          }
+        }
+
+        def put(node: ObjectNode, pathParts: Seq[String], f: (ObjectNode, String) => Unit): Unit = {
+          // struct leaves nest; array internals (list/element) collapse to
+          // the array column name like the reference's stats tree
+          val cleaned = pathParts.filterNot(p => p == "list" || p == "element" || p == "key_value")
+          val parents = cleaned.dropRight(1)
+          val leafNode = parents.foldLeft(node)((n, seg) =>
+            n.get(seg) match {
+              case o: ObjectNode => o
+              case _ => n.putObject(seg)
+            })
+          f(leafNode, cleaned.last)
+        }
+
+        accs.foreach { case (pathParts, acc) =>
+          val isArrayLeaf = acc.repeated
+          put(nulls, pathParts, (n, leaf) => n.put(leaf, acc.nullCount))
+          if (!isArrayLeaf) {
+            (acc.min, acc.max) match {
+              case (Some(mn), Some(mx)) if acc.hasMinMax =>
+                render(acc.tpe, mn).foreach(v => put(mins, pathParts, (n, leaf) => n.set(leaf, v): Unit))
+                render(acc.tpe, mx).foreach(v => put(maxs, pathParts, (n, leaf) => n.set(leaf, v): Unit))
+              case _ =>
+            }
+          }
+        }
+
+        root.put("numRecords", numRecords)
+        root.set("minValues", mins): Unit
+        root.set("maxValues", maxs): Unit
+        root.set("nullCount", nulls): Unit
+        Some(mapper.writeValueAsString(root))
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (sys.props.contains("graft.stats.debug")) e.printStackTrace()
+        None
+    }
+  }
+
+  private def render(tpe: PrimitiveType, v: Any): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val mapper = Actions.mapper
+    val nf = mapper.getNodeFactory
+    tpe.getPrimitiveTypeName match {
+      case BOOLEAN => Some(nf.booleanNode(v.asInstanceOf[Boolean]))
+      case INT32 => Some(nf.numberNode(v.asInstanceOf[Int]))
+      case INT64 =>
+        tpe.getLogicalTypeAnnotation match {
+          case ts: TimestampLogicalTypeAnnotation =>
+            val micros = ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => v.asInstanceOf[Long] * 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => v.asInstanceOf[Long]
+              case LogicalTypeAnnotation.TimeUnit.NANOS => v.asInstanceOf[Long] / 1000L
+            }
+            val inst = java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+            Some(nf.textNode(tsFmt.format(inst)))
+          case _ => Some(nf.numberNode(v.asInstanceOf[Long]))
+        }
+      case FLOAT => Some(nf.numberNode(v.asInstanceOf[Float]))
+      case DOUBLE => Some(nf.numberNode(v.asInstanceOf[Double]))
+      case BINARY =>
+        tpe.getLogicalTypeAnnotation match {
+          case _: StringLogicalTypeAnnotation =>
+            Some(nf.textNode(v.asInstanceOf[Binary].toStringUsingUTF8))
+          case _ => None
+        }
+      case _ => None // INT96 / FIXED_LEN_BYTE_ARRAY skipped (reference rule)
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All pure `Column` expressions (whole-stage codegen, no UDFs): at 100 TB
+  * these run inside the scan stage with zero shuffle; every function is
+  * deterministic so results are reproducible across retries/speculative
+  * tasks.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces split on non-alphanumeric runs (a
+    * cheap stand-in for a real tokenizer's token count, good enough for
+    * length filtering; RE2-compatible so the DuckDB oracle can mirror it). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9]+"), t => t =!= ""))
+
+  /** Ratio of punctuation chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") / n)
+  }
+
+  /** Fraction of tokens that are (English) stopwords. */
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "from", "that", "this", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    when(n === 0, lit(0.0))
+      .otherwise(size(filter(ts, t => t.isin(StopwordsEn: _*))).cast("double") / n)
+  }
+
+  /** Mean token length (chars, whitespace excluded). */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with some
+    * stopwords and low punctuation noise (C4/Gopher-style heuristics). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round((lenScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2), 6)
+  }
+
+  /** Language-ID by stopword-list hits (n-gram-free heuristic; determinstic
+    * tie-break by language code). */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"))
+
+  def langHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(LangStopwords(lang): _*)))
+
+  /** Best language by hit count; "und" (undetermined) when no hits. */
+  def langId(text: Column): Column = {
+    val langs = LangStopwords.keys.toSeq.sorted // deterministic priority
+    val scored = langs.map(l => struct(langHits(text, l).as("hits"), lit(l).as("lang")))
+    // array_max on struct orders by (hits, lang); lang desc would be nicer
+    // but ties on distinct langs with equal hits resolve to the *last* lang
+    // lexicographically — make priority explicit instead:
+    val best = langs.foldLeft((lit(0).as("h"), lit("und"))) { case ((bh, bl), l) =>
+      val h = langHits(text, l)
+      (when(h > bh, h).otherwise(bh), when(h > bh, lit(l)).otherwise(bl))
+    }
+    best._2
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct token set (exact
+    * bag-of-words identity; resilient to word order / duplication). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling polynomial hash over tokens (shingle-friendly 64-bit). */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}

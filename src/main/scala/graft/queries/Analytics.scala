@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Batch analytics surface over the ingested tables.
+  *
+  * The reference is ingestion-only (SURVEY.md §2.11: no joins/aggregations);
+  * these queries are the read-side a user of the ingested Delta tables runs,
+  * and the bench headliners. Design notes for 100 TB:
+  *  - money aggregates go through DECIMAL so results are order-independent
+  *    (fp64 sums are not associative; decimal sums are exact) — this also
+  *    makes the DuckDB oracle comparison deterministic;
+  *  - small dimensions (region/nation/supplier) are explicitly broadcast;
+  *  - every query returns a deterministic total order.
+  */
+object Analytics extends QueryModule {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,4)")
+
+  def defs: Map[String, QueryDef] = Map(
+    // TPC-H Q1 shape: scan-heavy agg; partial aggregation map-side, one shuffle.
+    "q1_agg" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+            avg(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS sum_base_price,
+             |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS sum_disc_price,
+             |  avg(l_quantity) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // Selective filter + global agg: exercises parquet predicate pushdown.
+    "q6_filter_agg" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+          .agg(sum(dec(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+               count(lit(1)).as("n"))
+      },
+      Some("""SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      headline = true),
+
+    // 3-way join + agg + top-k (TPC-H Q3 shape). Orders/customer filtered
+    // before the join; final top-k via sort+limit.
+    "q3_join_agg" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderpriority
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      headline = true),
+
+    // 6-way star join (TPC-H Q5 shape): dims broadcast, one fact shuffle.
+    "q5_multijoin" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val sup = Tables.supplier(s, d)
+        val nat = Tables.nation(s, d)
+        val reg = Tables.region(s, d)
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+            cust("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+          .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      headline = true),
+
+    // Sort + limit (top-k): Spark plans TakeOrderedAndProject (no full sort).
+    "q2_topk" -> QueryDef(
+      (s, d) =>
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+          .limit(20),
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+             |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin)),
+
+    // Window functions: rank within partition + running aggregate.
+    "q7_window" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("run_spend", sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("run_spend"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, run_spend FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER w AS rn,
+             |    sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+      headline = true),
+
+    // Distinct aggregation (exact) + approx sketch path exercised separately.
+    "q8_distinct" -> QueryDef(
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"),
+               count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Set operations: UNION / INTERSECT / EXCEPT keyspaces.
+    "q9_setops" -> QueryDef(
+      (s, d) => {
+        val ordCust = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        val cust = Tables.customer(s, d).select(col("c_custkey").as("k"))
+        val u = cust.union(ordCust).distinct().count()
+        val i = cust.intersect(ordCust).count()
+        val e = cust.except(ordCust).count()
+        import s.implicits._
+        Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders)) AS n_union,
+             |  (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+             |  (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_except""".stripMargin)),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    "q12_semi_anti" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d).select(col("o_custkey"))
+        val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi").count()
+        val without = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti").count()
+        import s.implicits._
+        Seq((withOrders, without)).toDF("n_with_orders", "n_without_orders")
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+             |  (SELECT count(*) FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin)),
+
+    // Rollup (grouping sets family).
+    "q11_rollup" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Event-time tumbling window aggregation (batch form; the streaming form
+    // with watermarks is covered in StreamingIngestSpec).
+    "q10_events_hourly" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total_value"))
+          .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n, sum(CAST(value AS DECIMAL(28,4))) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      headline = true),
+
+    // Correlated scalar subquery shape: per-order max line.
+    "q13_subquery" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val mx = li.groupBy(col("l_orderkey").as("k")).agg(max(col("l_quantity")).as("max_qty"))
+        li.join(mx, li("l_orderkey") === mx("k") && li("l_quantity") === mx("max_qty"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_max_lines"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_max_lines
+             |FROM lineitem l
+             |JOIN (SELECT l_orderkey AS k, max(l_quantity) AS max_qty FROM lineitem GROUP BY 1) m
+             |  ON l.l_orderkey = m.k AND l.l_quantity = m.max_qty
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+}

@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.transforms.Transformer
+import graft.coercions.Coercions
+import graft.serialization.Decoders
+
+/** The reference's operator inventory (SURVEY.md §2: deserialization D1–D7,
+  * transforms T1–T8, coercions C1–C3, DLQ E2, stats ST1, buffer dedup B1)
+  * exercised end-to-end through the graft library over the harness tables,
+  * with DuckDB oracles. Encode→decode roundtrips fabricate the wire formats
+  * (gzip, Confluent framing, Avro container/SOE) so each decoder's output is
+  * SQL-checkable as an identity.
+  */
+object ReferenceOps extends QueryModule {
+
+  private val AvroSchema =
+    """{"type":"record","name":"test","fields":[
+      |{"name":"id","type":"long"},{"name":"name","type":"string"},
+      |{"name":"date","type":"string"}]}""".stripMargin
+
+  /** events with simulated Kafka source columns (the shape the streaming
+    * pipeline sees from a real Kafka source). */
+  private def kafkaShaped(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      col("props").as("value"),
+      (col("event_id") % 4).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      lit("events").as("topic"),
+      unix_millis(col("ts")).as("timestamp"),
+      lit(0).as("timestampType"),
+      col("ts"))
+
+  /** Decode JSON text and coerce to `schema` via the production path
+    * (try_parse_json → Coercions.coerceMessage). Returns payload struct
+    * `msg` + `errs` array. */
+  private def decode(df: DataFrame, payload: Column, schema: StructType): DataFrame = {
+    val v = try_parse_json(payload)
+    val (msg, errs) = Coercions.coerceMessage(v, schema)
+    df.withColumn("_v", v)
+      .withColumn("msg", msg)
+      .withColumn("errs", errs)
+      .withColumn("decode_failed", payload.isNotNull && col("_v").isNull)
+      .drop("_v")
+  }
+
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  // DuckDB: epoch micros of a naive timestamp
+  private val EpochUs = "epoch_us(ts)"
+
+  /** DuckDB fragment rendering epoch-micros like chrono Debug (TimeFormat). */
+  private def isoSql(microsExpr: String): String =
+    s"""(strftime(make_timestamp($microsExpr), '%Y-%m-%dT%H:%M:%S') ||
+       | CASE WHEN ($microsExpr) % 1000000 = 0 THEN ''
+       |      WHEN ($microsExpr) % 1000 = 0 THEN '.' || lpad(CAST(($microsExpr) % 1000000 // 1000 AS VARCHAR), 3, '0')
+       |      ELSE '.' || lpad(CAST(($microsExpr) % 1000000 AS VARCHAR), 6, '0') END || 'Z')""".stripMargin.replace("\n", " ")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- D1: default JSON decode --------------------------------------
+    "ref_d1_json_decode" -> QueryDef(
+      (s, d) => {
+        val df = decode(kafkaShaped(s, d), col("value"), propsSchema)
+        df.select(col("event_id"), col("msg.k").as("k")).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin),
+      headline = true),
+
+    // ---- D2: gzip decompress then decode ------------------------------
+    "ref_d2_gzip" -> QueryDef(
+      (s, d) => {
+        val gz = kafkaShaped(s, d)
+          .withColumn("gz", Decoders.gzip(encode(col("value"), "utf-8")))
+        val unzipped = gz.withColumn("json", decode_(Decoders.gunzip(col("gz"))))
+        decode(unzipped, col("json"), propsSchema)
+          .select(col("event_id"), col("msg.k").as("k")).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- D3: Confluent-framed JSON (strip 5-byte header) ---------------
+    "ref_d3_registry_json" -> QueryDef(
+      (s, d) => {
+        val framed = kafkaShaped(s, d).withColumn("framed",
+          concat(lit(Array[Byte](0, 0, 0, 0, 1)), encode(col("value"), "utf-8")))
+        val stripped = framed.withColumn("json", Decoders.registryJson(col("framed")))
+        decode(stripped, col("json"), propsSchema)
+          .select(col("event_id"), col("msg.k").as("k")).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- D4: Confluent-framed Avro -------------------------------------
+    "ref_d4_avro_registry" -> QueryDef(
+      (s, d) => {
+        val src = Tables.customer(s, d).select(
+          to_json(struct(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_mktsegment").as("date"))).as("json"), col("c_custkey"))
+        val framed = src.withColumn("framed",
+          concat(lit(Array[Byte](0, 0, 0, 0, 42)), Decoders.avroEncode(col("json"), AvroSchema)))
+        val decoded = framed.withColumn("out",
+          Decoders.avroRegistry(col("framed"), Map(42 -> AvroSchema)))
+        decode(decoded, col("out"),
+          StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+            StructField("date", StringType))))
+          .select(col("msg.id").as("id"), col("msg.name").as("name"), col("msg.date").as("date"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name, c_mktsegment AS date
+             |FROM customer ORDER BY id""".stripMargin)),
+
+    // ---- D5: Avro object container (first record) ----------------------
+    "ref_d5_avro_container" -> QueryDef(
+      (s, d) => {
+        val src = Tables.customer(s, d).select(
+          to_json(struct(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_mktsegment").as("date"))).as("json"))
+        val enc = src.withColumn("container", Decoders.avroContainerEncode(col("json"), AvroSchema))
+        val dec = enc.withColumn("out", Decoders.avroContainer(col("container")))
+        decode(dec, col("out"),
+          StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+            StructField("date", StringType))))
+          .select(col("msg.id").as("id"), col("msg.name").as("name"), col("msg.date").as("date"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name, c_mktsegment AS date
+             |FROM customer ORDER BY id""".stripMargin)),
+
+    // ---- D6: Avro single-object encoding (Rabin fingerprint lookup) ----
+    "ref_d6_avro_soe" -> QueryDef(
+      (s, d) => {
+        val src = Tables.customer(s, d).select(
+          to_json(struct(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_mktsegment").as("date"))).as("json"))
+        val enc = src.withColumn("soe", Decoders.avroEncode(col("json"), AvroSchema, soe = true))
+        val dec = enc.withColumn("out", Decoders.avroSoe(col("soe"), Seq(AvroSchema)))
+        decode(dec, col("out"),
+          StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+            StructField("date", StringType))))
+          .select(col("msg.id").as("id"), col("msg.name").as("name"), col("msg.date").as("date"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name, c_mktsegment AS date
+             |FROM customer ORDER BY id""".stripMargin)),
+
+    // ---- D7: empty-payload skip ----------------------------------------
+    "ref_d7_empty_skip" -> QueryDef(
+      (s, d) => {
+        val withNulls = kafkaShaped(s, d).withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        withNulls.filter(col("value").isNotNull)
+          .agg(count(lit(1)).as("n_kept"))
+      },
+      Some("SELECT count(*) AS n_kept FROM events WHERE event_id % 7 <> 0")),
+
+    // ---- T1: JMESPath path expression over nested message --------------
+    "ref_t1_jmespath_path" -> QueryDef(
+      (s, d) => {
+        val nested = Tables.events(s, d).select(col("event_id"),
+          struct(struct(col("event_type").as("type"), col("value").as("v")).as("inner"))
+            .as("meta"))
+        Transformer(Seq("extracted" -> "meta.inner.type"))(nested)
+          .select(col("event_id"), col("extracted")).orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, event_type AS extracted FROM events ORDER BY event_id")),
+
+    // ---- T2: substr(s, skip, take) — char-based -------------------------
+    "ref_t2_substr" -> QueryDef(
+      (s, d) => {
+        val df = Tables.events(s, d).select(col("event_id"),
+          graft.transforms.TimeFormat.iso8601FromEpoch(unix_micros(col("ts")), "us").as("modified"))
+        Transformer(Seq("date" -> "substr(modified, `0`, `10`)"))(df)
+          .select(col("event_id"), col("date")).orderBy(col("event_id"))
+      },
+      Some("SELECT event_id, strftime(ts, '%Y-%m-%d') AS date FROM events ORDER BY event_id")),
+
+    // ---- T3/T4/T5: epoch → ISO-8601 (chrono Debug rendering) -----------
+    "ref_t3_epoch_seconds_iso" -> QueryDef(
+      (s, d) => {
+        val df = Tables.events(s, d).select(col("event_id"),
+          (unix_micros(col("ts")) / 1000000L).cast("long").as("secs"))
+        Transformer(Seq("iso" -> "epoch_seconds_to_iso8601(secs)"))(df)
+          .select(col("event_id"), col("iso")).orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id, ${isoSql(s"($EpochUs // 1000000) * 1000000")} AS iso
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    "ref_t4_epoch_millis_iso" -> QueryDef(
+      (s, d) => {
+        val df = Tables.events(s, d).select(col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+        Transformer(Seq("iso" -> "epoch_millis_to_iso8601(ms)"))(df)
+          .select(col("event_id"), col("iso")).orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id, ${isoSql(s"($EpochUs // 1000) * 1000")} AS iso
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    "ref_t5_epoch_micros_iso" -> QueryDef(
+      (s, d) => {
+        val df = Tables.events(s, d).select(col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        Transformer(Seq("iso" -> "epoch_micros_to_iso8601(us)"))(df)
+          .select(col("event_id"), col("iso")).orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id, ${isoSql(EpochUs)} AS iso
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- T6: epoch millis → micros --------------------------------------
+    "ref_t6_millis_to_micros" -> QueryDef(
+      (s, d) => {
+        val df = Tables.events(s, d).select(col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+        Transformer(Seq("us" -> "epoch_millis_to_micro(ms)"))(df)
+          .select(col("event_id"), col("us")).orderBy(col("event_id"))
+      },
+      Some(s"SELECT event_id, ($EpochUs // 1000) * 1000 AS us FROM events ORDER BY event_id")),
+
+    // ---- T7: Kafka metadata injection (ms→µs, timestamp_type) ----------
+    "ref_t7_kafka_meta" -> QueryDef(
+      (s, d) => {
+        Transformer(Seq(
+          "meta_partition" -> "kafka.partition",
+          "meta_offset" -> "kafka.offset",
+          "meta_topic" -> "kafka.topic",
+          "meta_timestamp" -> "kafka.timestamp",
+          "meta_timestamp_type" -> "kafka.timestamp_type"))(kafkaShaped(s, d))
+          .select(col("event_id"), col("meta_partition"), col("meta_offset"),
+            col("meta_topic"), col("meta_timestamp"), col("meta_timestamp_type"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id,
+              |  CAST(event_id % 4 AS INTEGER) AS meta_partition,
+              |  event_id AS meta_offset,
+              |  'events' AS meta_topic,
+              |  ($EpochUs // 1000) * 1000 AS meta_timestamp,
+              |  0 AS meta_timestamp_type
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- T8: nested target-path assignment ------------------------------
+    "ref_t8_nested_set" -> QueryDef(
+      (s, d) => {
+        val df = kafkaShaped(s, d).withColumn("meta",
+          struct(struct(graft.transforms.TimeFormat.iso8601FromEpoch(
+            unix_micros(col("ts")), "us").as("timestamp")).as("producer")))
+        Transformer(Seq(
+          "meta.kafka_offset" -> "kafka.offset",
+          "date" -> "substr(meta.producer.timestamp, `0`, `10`)"))(df)
+          .select(col("event_id"), col("date"),
+            col("meta.kafka_offset").as("kafka_offset"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%d') AS date, event_id AS kafka_offset
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- C1: ToString coercion (object/number → compact JSON text) -----
+    "ref_c1_tostring" -> QueryDef(
+      (s, d) => {
+        val json = when(col("event_id") % 3 === 0,
+            concat(lit("{\"v\":{\"k\":"), col("event_id"), lit("}}")))
+          .when(col("event_id") % 3 === 1, lit("{\"v\":\"plain\"}"))
+          .otherwise(concat(lit("{\"v\":"), col("event_id"), lit("}")))
+        val df = Tables.events(s, d).select(col("event_id"), json.as("payload"))
+        decode(df, col("payload"), StructType(Seq(StructField("v", StringType))))
+          .select(col("event_id"), col("msg.v").as("v")).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, CASE
+             |  WHEN event_id % 3 = 0 THEN '{"k":' || event_id || '}'
+             |  WHEN event_id % 3 = 1 THEN 'plain'
+             |  ELSE CAST(event_id AS VARCHAR) END AS v
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- C2: ToTimestamp coercion (RFC-3339 only; numbers pass through) -
+    "ref_c2_totimestamp" -> QueryDef(
+      (s, d) => {
+        val rfc = graft.transforms.TimeFormat.iso8601FromEpoch(
+          (unix_micros(col("ts")) / 1000000L).cast("long") * 1000000L, "us")
+        val tStr = when(col("event_id") % 4 === 0, concat(lit("\""), rfc, lit("\"")))
+          .when(col("event_id") % 4 === 1, lit("\"2021-11-11 22:11:58\""))
+          .when(col("event_id") % 4 === 2, lit("\"1636668718000000\""))
+          .otherwise(lit("1636668718000000"))
+        val df = Tables.events(s, d).select(col("event_id"), col("ts"),
+          concat(lit("{\"t\":"), tStr, lit("}")).as("payload"))
+        decode(df, col("payload"), StructType(Seq(StructField("t", TimestampType))))
+          .select(col("event_id"), col("msg.t").as("t"),
+            (size(col("errs")) > 0).as("has_error"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN event_id % 4 = 0 THEN make_timestamp((epoch_us(ts) // 1000000) * 1000000)
+             |       WHEN event_id % 4 = 3 THEN make_timestamp(1636668718000000)
+             |       ELSE NULL END AS t,
+             |  event_id % 4 IN (1, 2) AS has_error
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- C3: recursive coercion into arrays ------------------------------
+    "ref_c3_array_coerce" -> QueryDef(
+      (s, d) => {
+        val json = concat(lit("{\"a\":["), col("event_id"),
+          lit(",\""), col("event_id"), lit("\",{\"x\":1}]}"))
+        val df = Tables.events(s, d).select(col("event_id"), json.as("payload"))
+        decode(df, col("payload"),
+          StructType(Seq(StructField("a", ArrayType(StringType)))))
+          .select(col("event_id"), concat_ws("|", col("msg.a")).as("a_joined"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(event_id AS VARCHAR) || '|' || event_id || '|{"x":1}' AS a_joined
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- E2: dead-letter from failed deserialization --------------------
+    "ref_e2_dead_letter" -> QueryDef(
+      (s, d) => {
+        val withBad = kafkaShaped(s, d).withColumn("value",
+          when(col("event_id") % 10 === 0, lit("not json")).otherwise(col("value")))
+        val df = decode(withBad, col("value"), propsSchema)
+        df.select(col("event_id"), col("decode_failed").as("is_dead"),
+          when(col("decode_failed"), base64(encode(col("value"), "utf-8"))).as("base64_bytes"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_id % 10 = 0 AS is_dead,
+             |  CASE WHEN event_id % 10 = 0 THEN to_base64(encode('not json')) ELSE NULL END AS base64_bytes
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- ST1/ST2: per-group min/max/null-count stats ---------------------
+    "ref_st1_stats" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).withColumn("q_nullable",
+          when(col("l_quantity") < 5, lit(null)).otherwise(col("l_quantity")))
+        li.groupBy(col("l_returnflag"))
+          .agg(min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"),
+            min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"),
+            count(lit(1)).as("num_records"),
+            (count(lit(1)) - count(col("q_nullable"))).as("null_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+             |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+             |  count(*) AS num_records,
+             |  count(*) - count(CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END) AS null_count
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- B1: per-partition offset dedup (skip ≤ stored offset) ----------
+    "ref_b1_offset_dedup" -> QueryDef(
+      (s, d) => {
+        val df = kafkaShaped(s, d)
+        val stored = (col("partition") + 1) * 100L
+        df.filter(col("offset") > stored)
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n_processed"), min(col("offset")).as("first_offset"))
+          .orderBy(col("partition"))
+      },
+      Some("""SELECT CAST(event_id % 4 AS INTEGER) AS partition,
+             |  count(*) AS n_processed, min(event_id) AS first_offset
+             |FROM events WHERE event_id > (event_id % 4 + 1) * 100
+             |GROUP BY 1 ORDER BY partition""".stripMargin))
+  )
+
+  /** Spark's decode() collides with our helper name; tiny alias to cast
+    * binary → string (UTF-8). */
+  private def decode_(c: Column): Column = c.cast("string")
+}

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark build function over a scale-factor dir and
+  * (when SQL-expressible) the equivalent DuckDB oracle SQL over the same
+  * parquet tables. `headline = true` marks queries timed by `graft.Bench`.
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+trait QueryModule {
+  def defs: Map[String, QueryDef]
+}
+
+/** Central inventory: every operator claimed in SURVEY.md §2 (plus the
+  * beyond-reference pipeline ops) surfaces here so the driver's DuckDB gate
+  * exercises it.
+  */
+object Registry {
+  def modules: Seq[QueryModule] =
+    Seq(Analytics, ReferenceOps, DedupQueries, SimilarityQueries, TextQueries)
+
+  def all: Map[String, QueryDef] =
+    modules.flatMap(_.defs).toMap
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, d) => k -> d.build }
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
+
+  def headlines: Map[String, (SparkSession, String) => DataFrame] =
+    all.collect { case (k, d) if d.headline => k -> d.build }
+}

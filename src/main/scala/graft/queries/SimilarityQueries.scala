@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity
+
+/** ANN similarity search over the `embeddings` table. Brute-force top-k is
+  * exact and oracle-checked against DuckDB's list_cosine_similarity (rank
+  * output only — fp comparison stays integral). The LSH variant is
+  * recall-bounded, not exact → rows-only check + SimilaritySpec recall test.
+  */
+object SimilarityQueries extends QueryModule {
+
+  def defs: Map[String, QueryDef] = Map(
+    "sim_topk_brute" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.qv, e.embedding) AS cos
+             |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+             |), ranked AS (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored
+             |)
+             |SELECT query_id, neighbor_id, rank FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      headline = true),
+
+    "sim_topk_lsh" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.lshTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 5, planes = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None,
+      headline = true)
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextAnalysis._
+
+/** Text-analysis operators surfaced as verifiable queries over `documents`.
+  * Oracle SQL mirrors the Column expressions with DuckDB list/regex
+  * functions; token semantics pinned on both sides (lowercase, whitespace
+  * split, empties dropped).
+  */
+object TextQueries extends QueryModule {
+
+  // DuckDB fragment: the token list of `text` (same semantics as
+  // TextAnalysis.tokens).
+  private val T = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+
+  def defs: Map[String, QueryDef] = Map(
+    "text_token_count" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+            subwordCount(col("text")).as("n_subwords"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, len($T) AS n_tokens,
+              |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_subwords
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "text_quality" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            round(punctRatio(col("text")), 6).as("punct_ratio"),
+            round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+            round(meanTokenLen(col("text")), 6).as("mean_token_len"),
+            qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+              |  round(CASE WHEN len($T) = 0 THEN 0.0 ELSE CAST(len(list_filter($T, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this','be'], t))) AS DOUBLE) / len($T) END, 6) AS stopword_ratio,
+              |  round(CASE WHEN len($T) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($T) END, 6) AS mean_token_len,
+              |  round(
+              |    least(CAST(len($T) AS DOUBLE) / 100.0, 1.0) * 0.4
+              |    + least((CASE WHEN len($T) = 0 THEN 0.0 ELSE CAST(len(list_filter($T, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this','be'], t))) AS DOUBLE) / len($T) END) * 4.0, 1.0) * 0.4
+              |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0) * 0.2
+              |  , 6) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      headline = true),
+
+    "text_langid" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+          .orderBy(col("doc_id")),
+      Some {
+        def hits(words: Seq[String]) =
+          s"len(list_filter($T, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
+        val hDe = hits(graft.ops.TextAnalysis.LangStopwords("de"))
+        val hEn = hits(graft.ops.TextAnalysis.LangStopwords("en"))
+        val hEs = hits(graft.ops.TextAnalysis.LangStopwords("es"))
+        val hFr = hits(graft.ops.TextAnalysis.LangStopwords("fr"))
+        s"""SELECT doc_id, CASE
+           |  WHEN m = 0 THEN 'und'
+           |  WHEN h_de = m THEN 'de'
+           |  WHEN h_en = m THEN 'en'
+           |  WHEN h_es = m THEN 'es'
+           |  ELSE 'fr' END AS lang_guess
+           |FROM (
+           |  SELECT doc_id, h_de, h_en, h_es, h_fr,
+           |    greatest(h_de, h_en, h_es, h_fr) AS m
+           |  FROM (SELECT doc_id, $hDe AS h_de, $hEn AS h_en, $hEs AS h_es, $hFr AS h_fr FROM documents)
+           |) ORDER BY doc_id""".stripMargin
+      }),
+
+    "text_fingerprint" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($T)), ' ')) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
