@@ -20,6 +20,14 @@ object Analytics extends QueryModule {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,4)")
 
+  /** Exact-then-double aggregate: sum in DECIMAL (order-independent, exact —
+    * fp64 partial sums are not associative across partitions) and cast the
+    * final scalar to DOUBLE for output. The driver's oracle gate compares
+    * rendered values; a decimal unscaled value < 2^53 converts to the same
+    * correctly-rounded double in both Spark and DuckDB, so the comparison is
+    * deterministic at any parallelism. */
+  private def decSum(c: org.apache.spark.sql.Column) = sum(dec(c)).cast("double")
+
   def defs: Map[String, QueryDef] = Map(
     // TPC-H Q1 shape: scan-heavy agg; partial aggregation map-side, one shuffle.
     "q1_agg" -> QueryDef(
@@ -28,18 +36,18 @@ object Analytics extends QueryModule {
         li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity")).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-            avg(col("l_quantity")).as("avg_qty"),
+            decSum(col("l_quantity")).as("sum_qty"),
+            decSum(col("l_extendedprice")).as("sum_base_price"),
+            decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(l_quantity) AS sum_qty,
-             |  sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS sum_base_price,
-             |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS sum_disc_price,
-             |  avg(l_quantity) AS avg_qty,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_qty,
              |  count(*) AS count_order
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
              |GROUP BY l_returnflag, l_linestatus
@@ -51,10 +59,10 @@ object Analytics extends QueryModule {
       (s, d) => {
         val li = Tables.lineitem(s, d)
         li.filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
-          .agg(sum(dec(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
                count(lit(1)).as("n"))
       },
-      Some("""SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS revenue,
+      Some("""SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
              |  count(*) AS n
              |FROM lineitem
              |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
@@ -70,12 +78,12 @@ object Analytics extends QueryModule {
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
           .join(cust, ord("o_custkey") === cust("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderpriority"))
-          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
       Some("""SELECT o_orderkey, o_orderpriority,
-             |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS revenue
+             |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -93,18 +101,21 @@ object Analytics extends QueryModule {
         val sup = Tables.supplier(s, d)
         val nat = Tables.nation(s, d)
         val reg = Tables.region(s, d)
+        // customer scales with SF (GBs at sf100) — no broadcast hint on it;
+        // AQE picks the join strategy at runtime. The genuinely-small dims
+        // (nation/region/supplier) are broadcast explicitly.
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
           .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
             cust("c_nationkey") === sup("s_nationkey"))
           .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
           .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some("""SELECT n_name,
-             |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS revenue
+             |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -129,17 +140,18 @@ object Analytics extends QueryModule {
       (s, d) => {
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
         Tables.orders(s, d)
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast("long"))
           .withColumn("run_spend", sum(dec(col("o_totalprice")))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("run_spend"))
           .orderBy(col("o_custkey"), col("rn"))
       },
       Some("""SELECT o_custkey, rn, o_orderkey, run_spend FROM (
              |  SELECT o_custkey, o_orderkey,
-             |    row_number() OVER w AS rn,
-             |    sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+             |    CAST(row_number() OVER w AS BIGINT) AS rn,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
              |  FROM orders
              |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
@@ -159,13 +171,15 @@ object Analytics extends QueryModule {
     // Set operations: UNION / INTERSECT / EXCEPT keyspaces.
     "q9_setops" -> QueryDef(
       (s, d) => {
+        // One lazy DataFrame (no driver-side .count() jobs): the three set-op
+        // branches are scalar-aggregated and stitched with crossJoins, so the
+        // whole thing is a single Spark job.
         val ordCust = Tables.orders(s, d).select(col("o_custkey").as("k"))
         val cust = Tables.customer(s, d).select(col("c_custkey").as("k"))
-        val u = cust.union(ordCust).distinct().count()
-        val i = cust.intersect(ordCust).count()
-        val e = cust.except(ordCust).count()
-        import s.implicits._
-        Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+        val u = cust.union(ordCust).distinct().agg(count(lit(1)).as("n_union"))
+        val i = cust.intersect(ordCust).agg(count(lit(1)).as("n_intersect"))
+        val e = cust.except(ordCust).agg(count(lit(1)).as("n_except"))
+        u.crossJoin(i).crossJoin(e)
       },
       Some("""SELECT
              |  (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders)) AS n_union,
@@ -175,12 +189,15 @@ object Analytics extends QueryModule {
     // Semi/anti joins (EXISTS / NOT EXISTS).
     "q12_semi_anti" -> QueryDef(
       (s, d) => {
+        // Single lazy DataFrame: semi/anti branches scalar-aggregated and
+        // crossJoined (no driver-side .count()).
         val cust = Tables.customer(s, d)
         val ord = Tables.orders(s, d).select(col("o_custkey"))
-        val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi").count()
-        val without = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti").count()
-        import s.implicits._
-        Seq((withOrders, without)).toDF("n_with_orders", "n_without_orders")
+        val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n_with_orders"))
+        val without = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_without_orders"))
+        withOrders.crossJoin(without)
       },
       Some("""SELECT
              |  (SELECT count(*) FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
@@ -203,10 +220,10 @@ object Analytics extends QueryModule {
       (s, d) =>
         Tables.events(s, d)
           .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total_value"))
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
           .orderBy(col("hour"), col("event_type")),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
-             |  count(*) AS n, sum(CAST(value AS DECIMAL(28,4))) AS total_value
+             |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
       headline = true),
 
