@@ -6,16 +6,44 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor similarity search over embedding columns.
   *
   * Scale design: the baseline is brute-force top-k with the (small) query
-  * set broadcast — one pass over the corpus, no shuffle of the corpus side,
-  * per-partition top-k before the final merge. The scale path is IVF:
-  * k-means-free bucketing via random hyperplane LSH, probing only matching
-  * buckets. Dot products are `aggregate`/`zip_with` Column expressions
-  * (codegen, no UDF).
+  * set broadcast — one pass over the corpus, no shuffle of the corpus side.
+  * The scale path is LSH: random-hyperplane sign signatures bucket the
+  * corpus once; queries probe only their bucket plus 1-bit-flip neighbors.
+  * Dot products are `Column` expressions (codegen, no UDF).
+  *
+  * Determinism contract: the hyperplane matrix is derived from md5 at PLAN
+  * time (plain Scala, folded into literals), and every floating-point fold
+  * is left-associative — so the DuckDB oracle can reproduce signatures,
+  * probes, and cosine scores bit-for-bit.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (fp64 accumulation, sequential
-    * and therefore deterministic). */
+  /** Deterministic pseudo-random ±1 hyperplane matrix: sign of plane p,
+    * dimension i = low bit of the first hex digit of md5("p:i"). No stored
+    * model; identical on every executor and in the oracle (which inlines
+    * the same literals). */
+  def hyperplaneMatrix(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims) { (p, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ((Integer.parseInt(hex.substring(0, 1), 16) & 1) == 1) 1.0 else -1.0
+    }
+
+  /** Left-associative dot product of a float-array column with a literal
+    * weight row — deterministic, mirrored exactly by the oracle SQL. */
+  private def projection(vec: Column, w: Array[Double]): Column =
+    w.zipWithIndex.map { case (wi, i) =>
+      element_at(vec, i + 1).cast("double") * lit(wi)
+    }.reduceLeft(_ + _)
+
+  /** Sign-bit signature of `vec` under `m` (one bit per plane, packed). */
+  def signature(vec: Column, m: Array[Array[Double]]): Column =
+    m.zipWithIndex.map { case (w, p) =>
+      when(projection(vec, w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Dot product of two float-array columns (fp64, sequential left fold —
+    * deterministic and oracle-reproducible). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -51,43 +79,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Random-hyperplane signature: `planes` sign bits packed into a long.
-    * Hyperplane p's normal vector component for dimension i is a
-    * deterministic pseudo-random ±1 derived from xxhash64(p, i) — no stored
-    * model, identical on every executor. */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
-    val dims = size(vec)
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1), (x, i) =>
-          x.cast("double") *
-            when(xxhash64(lit(p), i).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
-  /** IVF-style ANN: probe only the query's bucket (and optionally its
-    * 1-bit-flip neighbors for recall). At 100 TB the corpus is bucketed
-    * once (write-time partitioning by signature); queries touch a handful
-    * of partitions instead of the full corpus. */
+  /** LSH ANN: corpus bucketed once by signature; each query probes its own
+    * bucket plus the `planes` buckets at Hamming distance 1. At 100 TB the
+    * corpus side is partitioned by signature at write time so a query
+    * touches a handful of partitions, never the full corpus. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
-    val sigC = hyperplaneSignature(col(corpusVec), planes)
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"), sigC.as("sig"))
-    val sigQ = hyperplaneSignature(col(queryVec), planes)
-    val qBase = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"), sigQ.as("qsig"))
-    // multi-probe: also search buckets at Hamming distance 1 from the query
-    val probes =
-      if (multiProbe)
-        array((lit(-1) +: (0 until planes).map(lit(_))): _*)
-      else array(lit(-1))
+              k: Int, m: Array[Array[Double]]): DataFrame = {
+    val planes = m.length
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"),
+      signature(col(corpusVec), m).as("sig"))
+    val qBase = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
+      signature(col(queryVec), m).as("qsig"))
+    // probe set: own bucket + every 1-bit flip (unrolled at plan time)
+    val probeCols = col("qsig") +: (0 until planes).map(p => col("qsig").bitwiseXOR(lit(1L << p)))
     val q = broadcast(qBase.select(col("query_id"), col("qv"),
-      explode(transform(probes, p =>
-        when(p === -1, col("qsig"))
-          .otherwise(col("qsig").bitwiseXOR(call_function("shiftleft", lit(1L), p))))).as("sig")))
+      explode(array(probeCols: _*)).as("sig")))
     val scored = c.join(q, Seq("sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
@@ -95,7 +102,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
