@@ -143,10 +143,14 @@ object Dedup {
   }
 
   /** Embedding near-dup: cosine ≥ threshold via LSH bucketing (random
-    * hyperplanes) + exact verify. See Similarity for the primitives. */
+    * hyperplanes) + exact verify. See Similarity for the primitives.
+    * The hyperplane matrix is md5-derived at plan time (deterministic),
+    * so the oracle can inline the identical ±1 literals. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, planes: Int = 16): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col(vecCol), planes)
+                        threshold: Double = 0.95, planes: Int = 16,
+                        dims: Int = 64): DataFrame = {
+    val m = Similarity.hyperplaneMatrix(planes, dims)
+    val sig = Similarity.signature(col(vecCol), m)
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
     val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))

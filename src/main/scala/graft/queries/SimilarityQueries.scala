@@ -39,7 +39,8 @@ object SimilarityQueries extends QueryModule {
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 8)
         Similarity.lshTopK(emb, "vec_id", "embedding",
-            queries, "vec_id", "embedding", k = 5, planes = 8)
+            queries, "vec_id", "embedding", k = 5,
+            m = Similarity.hyperplaneMatrix(8, 64))
           .orderBy(col("query_id"), col("rank"))
       },
       None,
