@@ -26,6 +26,10 @@ object GraftSession {
       // because the correctness/bench gates depend on them.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // MinHash signatures aggregate 128 min() columns in one hash agg;
+      // the default maxFields=100 silently drops the whole operator out of
+      // whole-stage codegen (measured 3× slower interpreted).
+      .config("spark.sql.codegen.maxFields", "256")
       // harness events table carries TIMESTAMP(NANOS); Spark 4 reads it as
       // long under this flag (Tables.events converts to µs timestamps)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2,37 +2,59 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Hashing
 
 /** Deduplication operators for training-data pipelines at 100 TB scale.
   *
-  * Strategy notes:
-  *  - exact: one hash-shuffle on a 16-byte digest (never on the full text —
-  *    shuffling 100 TB of text to dedup it is the classic mistake; shuffling
-  *    ~hashes is ~0.03% of that).
-  *  - MinHash/LSH: shingles → k minhashes → b bands; candidate generation is
-  *    a self-join on (band, bucket) so only near-duplicates co-locate; the
-  *    verify step computes exact Jaccard on candidates only. Cost is
-  *    O(n·k + candidates), never O(n²).
-  *  - SimHash: 64-bit signature; near-dup = small Hamming distance; bucketed
-  *    by 4×16-bit chunks (any pair within distance 3 shares ≥1 chunk).
+  * Scale strategy (the three rules every operator here follows):
+  *  1. Shuffle digests and IDs, never documents. Candidate generation emits
+  *     (key, id) rows only; the full text/shingle payload is re-joined ONCE
+  *     for the verify step, after candidate pairs are deduplicated.
+  *  2. Candidate generation is linear: an inverted-index or LSH-bucket
+  *     self-join whose per-key population is bounded by design (band
+  *     buckets, rare-prefix shingles, signature chunks) — never an
+  *     all-pairs or size-bucket join whose buckets grow with the corpus.
+  *  3. Hash bits come from md5 via [[graft.functions.Hashing]] so the
+  *     DuckDB oracle reproduces every signature and bucket exactly; the
+  *     k-fold fan-out uses the affine family on ONE md5 per token.
   */
 object Dedup {
 
   import TextAnalysis.tokens
 
-  /** Exact dedup: keep the smallest id per identical text. */
+  /** Exact dedup: keep the smallest id per identical text. One shuffle on a
+    * 16-byte digest — never on the text itself. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(md5(col(textCol)).as("h"), col(idCol))
       .groupBy(col("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of the text. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  /** Word n-gram shingles from a MATERIALIZED token-array column. Uses n
+    * O(1) element_at lookups per position, not slice() (which copies the
+    * array per call). `ts` must be a real column attribute, not a
+    * `tokens(text)` expression: higher-order lambdas are interpreted and
+    * re-evaluate captured EXPRESSIONS per element — tokens() inside the
+    * lambda made shingling O(tokens²) per doc (measured 11 s / 5000 docs;
+    * 2 s hoisted). */
+  def shinglesFromTokens(ts: Column, n: Int): Column = {
     val idx = sequence(lit(0), greatest(size(ts) - n, lit(0)))
     when(size(ts) < n, array(concat_ws(" ", ts)))
-      .otherwise(array_distinct(transform(idx, i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+      .otherwise(array_distinct(transform(idx, i =>
+        concat_ws(" ", (1 to n).map(j => element_at(ts, i + j)): _*))))
   }
+
+  /** Word n-gram shingles of the text — convenience wrapper; hot paths
+    * hoist tokens into their own projection and call
+    * [[shinglesFromTokens]]. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** (id, sh) with tokenization hoisted into its own projection so the
+    * shingle lambda sees an attribute (CollapseProject keeps expensive
+    * multi-referenced exprs materialized). */
+  private def shingleBase(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), shinglesFromTokens(col("ts"), n).as("sh"))
 
   /** Exact Jaccard similarity of two token-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -41,111 +63,167 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
-  /** k MinHash values per doc from its shingle set: h_i = min over shingles
-    * of xxhash64(shingle, seed_i). Deterministic (fixed seeds). */
-  def minhashes(shingleSet: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleSet, s => xxhash64(s, lit(seed))))
-    }: _*)
-
   /** MinHash-LSH near-duplicate pairs.
     *
-    * @param df        input with id + text columns
-    * @param numHashes total minhash functions (bands × rowsPerBand)
-    * @param bands     LSH bands; Pr[candidate] = 1-(1-j^r)^b
+    * Plan shape (100 TB story): band rows are (bucket, band, id) — 17 bytes
+    * of shuffle per band per doc, independent of document size. The shingle
+    * payload crosses the wire exactly twice: once into the signature
+    * computation (map-side, no shuffle) and once re-joined onto the
+    * deduplicated candidate pairs for exact-Jaccard verification.
+    *
+    * @param bands     LSH bands; Pr[candidate] = 1-(1-j^r)^b, r = numHashes/bands
     * @param threshold exact-Jaccard verification threshold on shingle sets
     * @return (id_a, id_b, jaccard) with id_a < id_b, verified pairs only
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val base = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-    val withSig = base.withColumn("mh", minhashes(col("sh"), numHashes))
+    val base = shingleBase(df, idCol, textCol, shingleN)
+    // explode + codegen'd min-aggs instead of higher-order transform
+    // lambdas (interpreted, ~10× slower): one md5 per (doc, shingle) row,
+    // then numHashes affine mins in a single hash aggregate.
+    val ex = base.select(col("id"), size(col("sh")).cast("long").as("sz"),
+        explode(col("sh")).as("s"))
+      .select(col("id"), col("sz"), Hashing.h32(col("s"), "mh").as("x"))
+    val aggs = (0 until numHashes).map(i => min(Hashing.affine(col("x"), i)).as(s"mh$i"))
+    val withSig = ex.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("mh"))
 
-    // one row per (band, bucket-hash): bucket = hash of the band's slice
-    val banded = withSig.select(col("id"), col("sh"),
+    // one (band, bucket) key per band; bucket = h64 of the band's slice
+    val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", slice(col("mh"), b * rows + 1, rows)), lit(b))
+        Hashing.h64(array_join(slice(col("mh"), b * rows + 1, rows).cast("array<string>"), ","),
+          s"band$b")
       }: _*)).as(Seq("band", "bucket")))
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    // Verify by counting shared hashed shingles per candidate pair — the
+    // shingle arrays never cross a shuffle (same trick as
+    // ngramJaccardPairs; the oracle mirrors the hashed-count form).
+    cand
+      .join(ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("x")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("x")), Seq("id_b", "x"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("o"), min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
+      .withColumn("jaccard",
+        col("o").cast("double") / (col("sz_a") + col("sz_b") - col("o")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash of the token multiset: per-bit majority vote over token
-    * hashes. Expressed with bit arithmetic over an exploded-free aggregate:
-    * sum per bit of ±1 depending on the token hash bit. */
-  def simhash(text: Column): Column = {
-    val ts = tokens(text)
-    // For each of 64 bits: count tokens with bit set minus tokens without;
-    // bit in signature = 1 iff vote > 0.
-    val votes = transform(sequence(lit(0), lit(63)), bit =>
-      aggregate(ts, lit(0L), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), bit).bitwiseAND(1L) === 1L, 1L)
+  /** 60-bit SimHash from a PRE-HASHED token column (array<long> of
+    * [[Hashing.h64]] values): per-bit majority vote over token hashes. */
+  def simhashFromHashes(hashed: Column, bits: Int = 60): Column = {
+    val votes = transform(sequence(lit(0), lit(bits - 1)), bit =>
+      aggregate(hashed, lit(0L), (acc, h) =>
+        acc + when(call_function("shiftright", h, bit).bitwiseAND(1L) === 1L, 1L)
           .otherwise(-1L)))
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
+      zip_with(votes, sequence(lit(0), lit(bits - 1)), (v, i) =>
         when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs: candidates share ≥1 of 4 16-bit chunks
-    * (guarantees recall for Hamming distance ≤ 3), verified by exact
-    * Hamming distance. */
+  /** SimHash near-dup pairs: 60-bit signature split into 6 10-bit chunks;
+    * candidates share a PAIR of chunks (15 blocks of 20-bit keys). Hamming
+    * distance ≤ 3 dirties ≤ 3 chunks, leaving ≥ 3 clean ones → some clean
+    * pair exists → recall 1 for d ≤ 3.
+    *
+    * Scale: 2^20 buckets per block (×15 blocks) vs the 2^16 ceiling of
+    * 4×16-bit single-chunk blocking — bucket population at a given corpus
+    * size drops 16× and the ceiling moves to ~15M effective buckets.
+    * Shuffle per doc = 15 × (block, key, id, sig) ≈ 28 bytes — constant,
+    * never the text. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sig = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), transform(col("ts"), t => Hashing.h64(t, "sh")).as("hx"))
+      .select(col("id"), simhashFromHashes(col("hx")).as("sig"))
+    val chunkPairs = for { j <- 0 until 6; k <- j + 1 until 6 } yield (j, k)
     val chunked = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val ham = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-    a.join(b, Seq("chunk_idx", "chunk"))
+      posexplode(array(chunkPairs.map { case (j, k) =>
+        shiftright(col("sig"), j * 10).bitwiseAND(1023L) * 1024L +
+          shiftright(col("sig"), k * 10).bitwiseAND(1023L)
+      }: _*)).as(Seq("blk", "key")))
+    val a = chunked.select(col("blk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("blk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("blk", "key"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", ham)
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** n-gram Jaccard near-dup with deterministic length-bucket blocking —
-    * SQL-expressible end to end (oracle-checkable), unlike the probabilistic
-    * variants. Blocks = token-count buckets; docs within a bucket (or
-    * adjacent buckets) are compared exactly. */
+  /** EXACT n-gram Jaccard similarity join via inverted-index co-occurrence
+    * counting — no blocking, no recall caveat: every pair sharing ≥ 1
+    * shingle is scored, and J ≥ t > 0 implies a shared shingle, so recall
+    * is 1 by construction (closes the size-bucket recall hole from the
+    * round-1 advice).
+    *
+    * Plan shape: explode to (shingle, id, sz) rows [16-byte keys — the
+    * shingle ARRAYS never cross a shuffle], self-join on shingle, count
+    * rows per (id_a, id_b) → overlap o, then J = o/(szA+szB-o). One
+    * shuffled count aggregation replaces the candidate-pair × payload
+    * re-join entirely.
+    *
+    * Scale regime: enumeration cost is Σ_s df(s)² — proportional to the
+    * number of actually-co-occurring pairs. On natural (Zipfian) corpora
+    * the hot-shingle head dominates; cap it with `maxDf` (excluding
+    * shingles seen in > maxDf docs from ENUMERATION only — a pair at
+    * J ≥ 0.5 sharing solely stop-shingles is then missed, the standard
+    * stop-word tradeoff, off by default) or switch to [[minhashLsh]],
+    * whose candidate count tracks true near-duplicates instead.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, J ≥ threshold
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 2, threshold: Double = 0.5,
-                        bucketWidth: Int = 4): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"),
-      (TextAnalysis.tokenCount(col(textCol)) / bucketWidth).cast("long").as("bucket"))
-    // docs with Jaccard ≥ t have similar sizes → same or adjacent bucket
-    val expanded = base.select(col("id"), col("sh"),
-      explode(array(col("bucket"), col("bucket") + 1)).as("blk"))
-    val a = expanded.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = expanded.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+                        maxDf: Option[Long] = None): DataFrame = {
+    val base = shingleBase(df, idCol, textCol, shingleN)
+    // One shingle pass total: sz rides along on every exploded row (8
+    // bytes) so no second pass / sizes join is needed, and the join key is
+    // the 60-bit shingle hash, not the string. The self-join uses aliases
+    // over the IDENTICAL subplan so Spark's ReuseExchange computes the
+    // explode+shuffle once for both sides.
+    val ex0 = base.select(col("id"), size(col("sh")).cast("long").as("sz"),
+        explode(col("sh")).as("s"))
+      .select(Hashing.h64(col("s"), "cooc").as("hs"), col("id"), col("sz"))
+    val ex = maxDf match {
+      case None => ex0
+      case Some(cap) =>
+        val dfreq = ex0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+        ex0.join(broadcast(dfreq.filter(col("df") <= cap).select(col("hs"))), Seq("hs"))
+    }
+
+    val o = ex.alias("a")
+      .join(ex.alias("b").hint("shuffle_hash"),
+        col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("o"), min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
+
+    o.withColumn("jaccard",
+        col("o").cast("double") / (col("sz_a") + col("sz_b") - col("o")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Embedding near-dup: cosine ≥ threshold via LSH bucketing (random
-    * hyperplanes) + exact verify. See Similarity for the primitives.
-    * The hyperplane matrix is md5-derived at plan time (deterministic),
-    * so the oracle can inline the identical ±1 literals. */
+    * hyperplanes) + exact verify on candidates. The hyperplane matrix is
+    * md5-derived at plan time (deterministic), so the oracle inlines the
+    * identical ±1 literals and reproduces buckets and cosines exactly.
+    * Blocking recall is tunable via `planes` (fewer planes → bigger
+    * buckets → higher recall); the verified-output contract is
+    * "bucket-collision pairs above threshold", mirrored by the oracle. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 16,
                         dims: Int = 64): DataFrame = {

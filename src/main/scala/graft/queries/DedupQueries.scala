@@ -3,23 +3,16 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Dedup
+import graft.queries.{OracleSql => O}
 
 /** Deduplication operators as verifiable queries over `documents` /
-  * `embeddings`. Exact and blocked-Jaccard variants have full DuckDB
-  * oracles; the probabilistic variants (MinHash-LSH, SimHash, embedding
-  * LSH) are declared without oracle SQL → driver records the weaker
-  * rows-only check (their cross-checks live in DedupSpec, which validates
-  * LSH candidates against exhaustive small-n ground truth).
+  * `embeddings`. ALL five variants — including the probabilistic ones —
+  * carry full DuckDB oracles: signatures and buckets are md5-derived
+  * (graft.functions.Hashing), so the oracle recomputes them exactly and
+  * the driver's hash gate compares complete outputs. Small-n ground-truth
+  * recall checks live in DedupSpec.
   */
 object DedupQueries extends QueryModule {
-
-  private val T = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
-
-  /** DuckDB fragment mirroring Dedup.shingles(text, n). */
-  private def shinglesSql(n: Int) =
-    s"""CASE WHEN len($T) < $n THEN [array_to_string($T, ' ')]
-       |ELSE list_distinct(list_transform(range(1, len($T) - $n + 2),
-       |  i -> array_to_string($T[i:i+${n - 1}], ' '))) END""".stripMargin.replace("\n", " ")
 
   def defs: Map[String, QueryDef] = Map(
     "dedup_exact" -> QueryDef(
@@ -33,49 +26,95 @@ object DedupQueries extends QueryModule {
     "dedup_ngram_jaccard" -> QueryDef(
       (s, d) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-            shingleN = 2, threshold = 0.5, bucketWidth = 4)
+            shingleN = 2, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH base AS (
-              |  SELECT doc_id AS id, ${shinglesSql(2)} AS sh,
-              |    CAST(len($T) // 4 AS BIGINT) AS bucket
-              |  FROM documents
-              |), expanded AS (
-              |  SELECT id, sh, unnest([bucket, bucket + 1]) AS blk FROM base
-              |), cand AS (
-              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              |  FROM expanded a JOIN expanded b ON a.blk = b.blk AND a.id < b.id
+      Some(s"""WITH base AS MATERIALIZED (
+              |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM documents
+              |), ex0 AS (
+              |  SELECT id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM base
+              |), ex AS MATERIALIZED (
+              |  SELECT ${graft.functions.Hashing.h64Sql("s", "cooc")} AS hs, id, sz FROM ex0
+              |), o AS (
+              |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS o,
+              |    min(a.sz) AS sz_a, min(b.sz) AS sz_b
+              |  FROM ex a JOIN ex b ON a.hs = b.hs AND a.id < b.id
+              |  GROUP BY a.id, b.id
               |), scored AS (
-              |  SELECT c.id_a, c.id_b,
-              |    CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
-              |      ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-              |           / len(list_distinct(list_concat(x.sh, y.sh))) END AS j
-              |  FROM cand c JOIN base x ON c.id_a = x.id JOIN base y ON c.id_b = y.id
+              |  SELECT id_a, id_b,
+              |    CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE) AS j
+              |  FROM o
               |)
               |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
               |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin),
       headline = true),
 
-    // Probabilistic — no SQL oracle (rows-only check); ground-truth
-    // validation in DedupSpec.
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) =>
         Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-            shingleN = 2, numHashes = 32, bands = 16, threshold = 0.5)
+            shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
-      None,
+      Some(s"""WITH base AS MATERIALIZED (
+              |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM documents
+              |), ex0 AS (
+              |  SELECT id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM base
+              |), ex AS MATERIALIZED (
+              |  SELECT id, sz, ${O.h32Sql("s", "mh")} AS x FROM ex0
+              |), sigs AS MATERIALIZED (
+              |  SELECT id, ${O.minhashAggArray("x", 128)} AS mh FROM ex GROUP BY id
+              |), banded AS (
+              |  ${O.bandedUnion(bands = 32, rows = 4)}
+              |), cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+              |), o AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS o, min(xa.sz) AS sz_a, min(xb.sz) AS sz_b
+              |  FROM cand c JOIN ex xa ON c.id_a = xa.id JOIN ex xb ON c.id_b = xb.id AND xa.x = xb.x
+              |  GROUP BY c.id_a, c.id_b
+              |), scored AS (
+              |  SELECT id_a, id_b,
+              |    CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE) AS j FROM o
+              |)
+              |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
+              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin),
       headline = true),
 
     "dedup_simhash" -> QueryDef(
       (s, d) =>
         Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
           .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some(s"""WITH hx AS (
+              |  SELECT doc_id AS id, list_transform(${O.T}, t -> ${graft.functions.Hashing.h64Sql("t", "sh")}) AS hs
+              |  FROM documents
+              |), sigs AS MATERIALIZED (
+              |  SELECT id, ${O.simhashExpr("hs")} AS sig FROM hx
+              |), chunked AS (
+              |  ${O.simhashBlocksUnion}
+              |), cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+              |  FROM chunked a JOIN chunked b ON a.blk = b.blk AND a.key = b.key AND a.id < b.id
+              |)
+              |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+              |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     "dedup_embedding" -> QueryDef(
       (s, d) =>
         Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-            threshold = 0.9, planes = 12)
+            threshold = 0.3, planes = 10, dims = 64)
           .orderBy(col("id_a"), col("id_b")),
-      None)
+      {
+        val m = O.hyperplanes(10, 64)
+        Some(s"""WITH sigs AS (
+                |  SELECT vec_id AS id, embedding AS v, ${O.signature("embedding", m)} AS sig
+                |  FROM embeddings
+                |), cand AS (
+                |  SELECT a.id AS id_a, b.id AS id_b, a.v AS v_a, b.v AS v_b
+                |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
+                |), scored AS (
+                |  SELECT id_a, id_b, ${O.cosine("v_a", "v_b", 64)} AS c FROM cand
+                |)
+                |SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
+                |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin)
+      })
   )
 }

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.functions.Hashing
+import graft.ops.Similarity
+
+/** DuckDB SQL fragments mirroring the probabilistic operators exactly.
+  *
+  * Every fragment is generated from the SAME plan-time constants (affine
+  * coefficients, hyperplane signs) the Spark operators fold into their
+  * plans, and every floating-point reduction is spelled out left-to-right
+  * in the operator's order — so signatures, buckets, and cosines are
+  * bit-identical across engines and the driver's hash gate can compare
+  * full outputs, not just row counts.
+  */
+object OracleSql {
+
+  /** Tokens of `text`: lowercase, whitespace-split, empties dropped —
+    * mirrors TextAnalysis.tokens. */
+  val T = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+
+  /** Mirrors Dedup.shingles(text, n). */
+  def shingles(n: Int): String =
+    s"""CASE WHEN len($T) < $n THEN [array_to_string($T, ' ')]
+       |ELSE list_distinct(list_transform(range(1, len($T) - $n + 2),
+       |  i -> array_to_string($T[i:i+${n - 1}], ' '))) END""".stripMargin.replace("\n", " ")
+
+  /** Mirrors Dedup.jaccard(a, b). */
+  def jaccard(a: String, b: String): String =
+    s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
+       |ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |  / len(list_distinct(list_concat($a, $b))) END""".stripMargin.replace("\n", " ")
+
+  /** Mirrors Hashing.h32 applied to a scalar expression. */
+  def h32Sql(expr: String, seed: String): String =
+    s"(${Hashing.h64Sql(expr, seed)} & 4294967295)"
+
+  /** The [mh_0, …, mh_{k-1}] minhash array as GROUP BY aggregates over a
+    * pre-hashed per-shingle column `x` — mirrors the min-agg form of
+    * Dedup.minhashLsh. */
+  def minhashAggArray(x: String, k: Int): String =
+    (0 until k).map { i =>
+      s"min((${Hashing.affineA(i)} * $x + ${Hashing.affineB(i)}) % ${Hashing.P32})"
+    }.mkString("[", ", ", "]")
+
+  /** Banded UNION ALL rows over a `sigs(id, mh)` CTE — mirrors the
+    * posexplode in Dedup.minhashLsh. */
+  def bandedUnion(bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      val slice = s"array_to_string(mh[${b * rows + 1}:${b * rows + rows}], ',')"
+      s"SELECT id, $b AS band, ${Hashing.h64Sql(slice, s"band$b")} AS bucket FROM sigs"
+    }.mkString(" UNION ALL ")
+
+  /** 60-bit simhash over a pre-hashed list column `hs` — mirrors
+    * Dedup.simhashFromHashes (per-bit majority vote). */
+  def simhashExpr(hs: String, bits: Int = 60): String =
+    (0 until bits).map { b =>
+      s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The 15 chunk-pair block rows over a `sigs(id, sig)` CTE — mirrors the
+    * posexplode in Dedup.simhashPairs. */
+  def simhashBlocksUnion: String = {
+    val pairs = for { j <- 0 until 6; k <- j + 1 until 6 } yield (j, k)
+    pairs.zipWithIndex.map { case ((j, k), blk) =>
+      s"SELECT id, sig, $blk AS blk, ((sig >> ${j * 10}) & 1023) * 1024 + ((sig >> ${k * 10}) & 1023) AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** Signed projection of vector expr `v` onto hyperplane row `w`,
+    * left-associative — mirrors Similarity.projection. */
+  private def projection(v: String, w: Array[Double]): String =
+    w.zipWithIndex.map { case (wi, i) =>
+      s"CAST($v[${i + 1}] AS DOUBLE) * ${if (wi >= 0) "1.0" else "-1.0"}"
+    }.mkString(" + ")
+
+  /** Packed sign-bit signature of `v` — mirrors Similarity.signature. */
+  def signature(v: String, m: Array[Array[Double]]): String =
+    m.zipWithIndex.map { case (w, p) =>
+      s"(CASE WHEN (${projection(v, w)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Left-associative dot product seeded with 0.0 — mirrors Similarity.dot. */
+  def dot(a: String, b: String, dims: Int): String =
+    (1 to dims).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("(0.0 + ", " + ", ")")
+
+  /** Mirrors Similarity.cosine (norm product tested against 0 first). */
+  def cosine(a: String, b: String, dims: Int): String = {
+    val d = s"(sqrt(${dot(a, a, dims)}) * sqrt(${dot(b, b, dims)}))"
+    s"CASE WHEN $d = 0 THEN 0.0 ELSE ${dot(a, b, dims)} / $d END"
+  }
+
+  /** Probe-set UNION source for LSH top-k: own signature + every 1-bit
+    * flip — mirrors the explode in Similarity.lshTopK. */
+  def probeList(planes: Int): String =
+    ("qsig" +: (0 until planes).map(p => s"xor(qsig, ${1L << p})")).mkString("[", ", ", "]")
+
+  def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] =
+    Similarity.hyperplaneMatrix(planes, dims)
+}

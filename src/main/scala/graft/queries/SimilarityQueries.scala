@@ -6,8 +6,10 @@ import graft.ops.Similarity
 
 /** ANN similarity search over the `embeddings` table. Brute-force top-k is
   * exact and oracle-checked against DuckDB's list_cosine_similarity (rank
-  * output only — fp comparison stays integral). The LSH variant is
-  * recall-bounded, not exact → rows-only check + SimilaritySpec recall test.
+  * output only — fp comparison stays integral). The LSH variant's
+  * signatures are md5-derived plan-time literals and its cosine fold is
+  * left-associative, so its oracle recomputes buckets, probes, and scores
+  * bit-identically (graft.queries.OracleSql).
   */
 object SimilarityQueries extends QueryModule {
 
@@ -43,7 +45,27 @@ object SimilarityQueries extends QueryModule {
             m = Similarity.hyperplaneMatrix(8, 64))
           .orderBy(col("query_id"), col("rank"))
       },
-      None,
+      {
+        val O = OracleSql
+        val m = O.hyperplanes(8, 64)
+        Some(s"""WITH sigs AS (
+                |  SELECT vec_id AS id, embedding AS v, ${O.signature("embedding", m)} AS sig
+                |  FROM embeddings
+                |), q AS (
+                |  SELECT id AS query_id, v AS qv, sig AS qsig FROM sigs WHERE id < 8
+                |), probes AS (
+                |  SELECT query_id, qv, unnest(${O.probeList(8)}) AS sig FROM q
+                |), scored AS (
+                |  SELECT DISTINCT p.query_id, s.id AS neighbor_id, ${O.cosine("p.qv", "s.v", 64)} AS cos
+                |  FROM probes p JOIN sigs s ON p.sig = s.sig WHERE s.id <> p.query_id
+                |), ranked AS (
+                |  SELECT query_id, neighbor_id,
+                |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+                |  FROM scored
+                |)
+                |SELECT query_id, neighbor_id, rank FROM ranked
+                |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+      },
       headline = true)
   )
 }
