@@ -49,12 +49,14 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** (id, sh) with tokenization hoisted into its own projection so the
-    * shingle lambda sees an attribute (CollapseProject keeps expensive
-    * multi-referenced exprs materialized). */
-  private def shingleBase(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** (id, hsh) — distinct 60-bit shingle hashes via the codegen'd
+    * [[graft.functions.ShingleHashes]] kernel (≈50× the interpreted
+    * higher-order-function path). Tokenization is hoisted into its own
+    * projection so it evaluates once per row. */
+  private def hashedShingleBase(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, seed: String): DataFrame =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
-      .select(col("id"), shinglesFromTokens(col("ts"), n).as("sh"))
+      .select(col("id"), graft.functions.ShingleHashes.of(col("ts"), n, seed).as("hsh"))
 
   /** Exact Jaccard similarity of two token-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -79,13 +81,13 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val base = shingleBase(df, idCol, textCol, shingleN)
+    val base = hashedShingleBase(df, idCol, textCol, shingleN, "mh")
     // explode + codegen'd min-aggs instead of higher-order transform
-    // lambdas (interpreted, ~10× slower): one md5 per (doc, shingle) row,
+    // lambdas (interpreted, ~10× slower): one md5 per (doc, shingle),
     // then numHashes affine mins in a single hash aggregate.
-    val ex = base.select(col("id"), size(col("sh")).cast("long").as("sz"),
-        explode(col("sh")).as("s"))
-      .select(col("id"), col("sz"), Hashing.h32(col("s"), "mh").as("x"))
+    val ex = base.select(col("id"), size(col("hsh")).cast("long").as("sz"),
+        explode(col("hsh")).as("h"))
+      .select(col("id"), col("sz"), col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("x"))
     val aggs = (0 until numHashes).map(i => min(Hashing.affine(col("x"), i)).as(s"mh$i"))
     val withSig = ex.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -189,15 +191,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 2, threshold: Double = 0.5,
                         maxDf: Option[Long] = None): DataFrame = {
-    val base = shingleBase(df, idCol, textCol, shingleN)
+    val base = hashedShingleBase(df, idCol, textCol, shingleN, "cooc")
     // One shingle pass total: sz rides along on every exploded row (8
     // bytes) so no second pass / sizes join is needed, and the join key is
     // the 60-bit shingle hash, not the string. The self-join uses aliases
     // over the IDENTICAL subplan so Spark's ReuseExchange computes the
     // explode+shuffle once for both sides.
-    val ex0 = base.select(col("id"), size(col("sh")).cast("long").as("sz"),
-        explode(col("sh")).as("s"))
-      .select(Hashing.h64(col("s"), "cooc").as("hs"), col("id"), col("sz"))
+    val ex0 = base.select(col("id"), size(col("hsh")).cast("long").as("sz"),
+        explode(col("hsh")).as("hs"))
+      .select(col("hs"), col("id"), col("sz"))
     val ex = maxDf match {
       case None => ex0
       case Some(cap) =>

@@ -28,12 +28,13 @@ object DedupQueries extends QueryModule {
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
             shingleN = 2, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH base AS MATERIALIZED (
+      Some(s"""WITH base AS (
               |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM documents
-              |), ex0 AS (
-              |  SELECT id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM base
+              |), hashed AS (
+              |  SELECT id, list_distinct(list_transform(sh, s -> ${graft.functions.Hashing.h64Sql("s", "cooc")})) AS hsh
+              |  FROM base
               |), ex AS MATERIALIZED (
-              |  SELECT ${graft.functions.Hashing.h64Sql("s", "cooc")} AS hs, id, sz FROM ex0
+              |  SELECT id, CAST(len(hsh) AS BIGINT) AS sz, unnest(hsh) AS hs FROM hashed
               |), o AS (
               |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS o,
               |    min(a.sz) AS sz_a, min(b.sz) AS sz_b
@@ -53,12 +54,15 @@ object DedupQueries extends QueryModule {
         Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
             shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH base AS MATERIALIZED (
+      Some(s"""WITH base AS (
               |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM documents
+              |), hashed AS (
+              |  SELECT id, list_distinct(list_transform(sh, s -> ${graft.functions.Hashing.h64Sql("s", "mh")})) AS hsh
+              |  FROM base
               |), ex0 AS (
-              |  SELECT id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS s FROM base
+              |  SELECT id, CAST(len(hsh) AS BIGINT) AS sz, unnest(hsh) AS h FROM hashed
               |), ex AS MATERIALIZED (
-              |  SELECT id, sz, ${O.h32Sql("s", "mh")} AS x FROM ex0
+              |  SELECT id, sz, (h & 4294967295) AS x FROM ex0
               |), sigs AS MATERIALIZED (
               |  SELECT id, ${O.minhashAggArray("x", 128)} AS mh FROM ex GROUP BY id
               |), banded AS (
