@@ -26,6 +26,10 @@ object GraftSession {
       // because the correctness/bench gates depend on them.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Write timestamps as INT64 µs like the reference's Arrow writer —
+      // Spark's INT96 legacy default has no footer stats (so add.stats
+      // would lack timestamp min/max) and foreign readers see ns.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // MinHash signatures aggregate 128 min() columns in one hash agg;
       // the default maxFields=100 silently drops the whole operator out of
       // whole-stage codegen (measured 3× slower interpreted).

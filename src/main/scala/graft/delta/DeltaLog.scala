@@ -9,6 +9,8 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import com.fasterxml.jackson.annotation.JsonInclude
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 
 /** Minimal Delta-protocol transaction log (reader+writer version 1 / 2).
   *
@@ -19,8 +21,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * JSON — `protocol`, `metaData`, `add`, `remove`, `txn`, `commitInfo` —
   * with optimistic concurrency via atomic create-if-absent, per-app `txn`
   * versions for idempotent writes (the reference's exactly-once core,
-  * /root/reference/src/delta_helpers.rs:15-40), and parquet checkpoints
-  * every `checkpointInterval` versions (src/delta_helpers.rs:42-68).
+  * /root/reference/src/delta_helpers.rs:15-40), and spec-schema PARQUET
+  * checkpoints every `checkpointInterval` versions plus `_last_checkpoint`
+  * (src/delta_helpers.rs:42-68) — readable by delta-spark/delta-rs.
   *
   * Scale notes: the log is driver-side metadata (KBs per commit); data files
   * are written by executors. Snapshot reconstruction reads the last
@@ -71,6 +74,42 @@ object Actions {
     m.setSerializationInclusion(JsonInclude.Include.NON_ABSENT)
     m
   }
+
+  /** Delta-spec checkpoint row schema (PROTOCOL.md "Checkpoint Schema"):
+    * one column per action type, one action per row. `commitInfo` is
+    * excluded from checkpoints per the spec. */
+  val CheckpointSchema: StructType = {
+    val format = StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", MapType(StringType, StringType))))
+    StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("format", format),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
+  }
 }
 
 final case class Snapshot(
@@ -88,14 +127,20 @@ final case class Snapshot(
 final class VersionAlreadyExists(val version: Long)
   extends RuntimeException(s"delta version $version already exists")
 
-final class DeltaLog(val tablePath: String, conf: Configuration) {
+/** @param spark when present, checkpoints are written/read as spec-schema
+  *              parquet; when absent (log-only tooling), checkpoint writing
+  *              is skipped and snapshots replay the JSON commits — equally
+  *              correct, just slower on long histories. */
+final class DeltaLog(val tablePath: String, conf: Configuration,
+                     spark: Option[SparkSession] = None) {
   import Actions._
 
   private val logPath = new Path(tablePath, "_delta_log")
   private def fs: FileSystem = logPath.getFileSystem(conf)
 
   def versionFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
-  private def checkpointFile(v: Long): Path = new Path(logPath, f"$v%020d.checkpoint.json")
+  private def checkpointFile(v: Long): Path =
+    new Path(logPath, f"$v%020d.checkpoint.parquet")
 
   def exists(): Boolean = fs.exists(logPath)
 
@@ -119,20 +164,24 @@ final class DeltaLog(val tablePath: String, conf: Configuration) {
     } finally in.close()
   }
 
-  /** Reconstruct table state. Reads the newest `.checkpoint.json` summary
-    * (if any) plus JSON commits after it. */
+  /** Version recorded in `_last_checkpoint`, if readable. */
+  private def lastCheckpointVersion(): Option[Long] = {
+    val p = new Path(logPath, "_last_checkpoint")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val text = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      Some(mapper.readTree(text).get("version").asLong())
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** Reconstruct table state: newest parquet checkpoint (located via
+    * `_last_checkpoint`) plus the JSON commits after it; full JSON replay
+    * when no SparkSession/checkpoint is available. */
   def snapshot(): Snapshot = {
     val latest = latestVersion()
     if (latest < 0) return Snapshot(-1L, None, Nil, Map.empty)
-
-    val ckVersions = fs.listStatus(logPath).iterator.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.endsWith(".checkpoint.json"))
-        try Some(n.stripSuffix(".checkpoint.json").toLong)
-        catch { case _: NumberFormatException => None }
-      else None
-    }.filter(_ <= latest).toSeq
-    val ckStart = if (ckVersions.isEmpty) -1L else ckVersions.max
 
     var metadata: Option[Metadata] = None
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
@@ -145,13 +194,15 @@ final class DeltaLog(val tablePath: String, conf: Configuration) {
       a.txn.foreach(t => txns(t.appId) = t.version)
     }
 
-    if (ckStart >= 0) {
-      val in = fs.open(checkpointFile(ckStart))
-      try {
-        val text = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-        applyActions(text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
-          .map(l => mapper.readValue(l, classOf[Action])).toSeq)
-      } finally in.close()
+    val ckStart = (spark, lastCheckpointVersion()) match {
+      case (Some(ss), Some(v)) if v <= latest && fs.exists(checkpointFile(v)) =>
+        // parquet rows → JSON lines → Action: same serde as the commits
+        val lines = ss.read.schema(CheckpointSchema)
+          .parquet(checkpointFile(v).toString)
+          .toJSON.collect()
+        applyActions(lines.toSeq.map(l => mapper.readValue(l, classOf[Action])))
+        v
+      case _ => -1L
     }
     ((ckStart + 1) to latest).foreach(v => applyActions(readVersion(v)))
     Snapshot(latest, metadata, adds.values.toSeq, txns.toMap)
@@ -161,67 +212,102 @@ final class DeltaLog(val tablePath: String, conf: Configuration) {
   def txnVersion(appId: String): Option[Long] = snapshot().txns.get(appId)
 
   /** Atomic single-version commit: create-if-absent on the version file.
-    * Throws VersionAlreadyExists on contention (caller retries with a fresh
+    * Local filesystems get true POSIX atomicity (content staged to a tmp
+    * file, published with an exclusive hard link — no TOCTOU, unlike
+    * exists-then-rename, which File#renameTo silently turns into replace);
+    * HDFS-likes use the namenode's atomic exclusive create. Throws
+    * [[VersionAlreadyExists]] on contention (caller retries with a fresh
     * snapshot, mirroring the reference's optimistic-concurrency loop,
-    * /root/reference/src/lib.rs:968-1024). */
+    * /root/reference/src/lib.rs:968-1024). On object stores a
+    * conditional-put LogStore would slot in here (the contract the
+    * reference's DynamoDB lock covered, SURVEY §2.7 X6). */
   def write(version: Long, actions: Seq[Action]): Unit = {
     fs.mkdirs(logPath)
     val file = versionFile(version)
     if (fs.exists(file)) throw new VersionAlreadyExists(version)
-    val tmp = new Path(logPath, s".${file.getName}.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try {
-      actions.foreach { a =>
-        out.write(mapper.writeValueAsBytes(a)); out.write('\n')
+    val bytes = {
+      val sb = new java.lang.StringBuilder()
+      actions.foreach { a => sb.append(mapper.writeValueAsString(a)).append('\n') }
+      sb.toString.getBytes(StandardCharsets.UTF_8)
+    }
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val tmp = new Path(logPath, s".${file.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      val localTmp = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val localDst = java.nio.file.Paths.get(fs.makeQualified(file).toUri.getPath)
+      try java.nio.file.Files.createLink(localDst, localTmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new VersionAlreadyExists(version)
       }
-    } finally out.close()
-    // rename-if-absent: atomic on HDFS/local; on object stores a conditional
-    // put LogStore would slot in here (same contract the reference's
-    // DynamoDB lock covered, SURVEY §2.7 X6).
-    if (!fs.rename(tmp, file)) {
       fs.delete(tmp, false)
-      throw new VersionAlreadyExists(version)
+    } else {
+      val out =
+        try fs.create(file, false)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new VersionAlreadyExists(version)
+        }
+      try out.write(bytes) finally out.close()
     }
   }
 
-  /** Commit with retry: re-reads the latest version until the write lands.
-    * `check` runs against the winning snapshot before each attempt so the
-    * caller can detect conflicts (e.g. another writer advanced my txn). */
-  def commit(actions: Seq[Action], maxAttempts: Int = 10000000): Long = {
+  /** Commit with optimistic-concurrency retry. Before EVERY attempt —
+    * including retries after losing a race — `check` runs against the
+    * then-current snapshot; returning false aborts with -1 (idempotent
+    * skip). This closes the zombie-writer double-commit window: a restarted
+    * query whose predecessor won the race sees its txn version already
+    * advanced and skips (reference conflict loop, src/lib.rs:1148-1171).
+    *
+    * @return the committed version, or -1 if `check` rejected. */
+  def commit(actions: Seq[Action], check: Snapshot => Boolean = _ => true,
+             maxAttempts: Int = 1000): Long = {
     var attempt = 0
-    while (true) {
-      val next = latestVersion() + 1
+    while (attempt < maxAttempts) {
+      val snap = snapshot()
+      if (!check(snap)) return -1L
+      val next = snap.version + 1
       try {
         write(next, actions)
         maybeCheckpoint(next)
         return next
       } catch {
-        case _: VersionAlreadyExists =>
-          attempt += 1
-          if (attempt >= maxAttempts) throw new RuntimeException("commit retry ceiling hit")
+        case _: VersionAlreadyExists => attempt += 1
       }
     }
-    -1L
+    throw new RuntimeException(s"commit retry ceiling ($maxAttempts) hit")
   }
 
   val checkpointInterval = 10
 
-  /** Every Nth version, write a full-state summary (newline-JSON — same
-    * action schema as commits) and advance `_last_checkpoint`. */
+  /** Every Nth version, write the spec-schema parquet checkpoint and
+    * advance `_last_checkpoint`. Requires a SparkSession (skipped, with the
+    * log staying pure-JSON, when constructed without one). */
   private def maybeCheckpoint(version: Long): Unit = {
     if (version <= 0 || version % checkpointInterval != 0) return
+    val ss = spark.getOrElse(return)
     val snap = snapshot()
-    val out = fs.create(checkpointFile(version), true)
-    try {
-      val actions =
-        Seq(Action(protocol = Some(Protocol()))) ++
-          snap.metadata.map(m => Action(metaData = Some(m))).toSeq ++
-          snap.txns.map { case (app, v) => Action(txn = Some(Txn(app, v))) } ++
-          snap.files.map(f => Action(add = Some(f)))
-      actions.foreach { a => out.write(mapper.writeValueAsBytes(a)); out.write('\n') }
-    } finally out.close()
+    val actions: Seq[Action] =
+      Seq(Action(protocol = Some(Protocol()))) ++
+        snap.metadata.map(m => Action(metaData = Some(m))).toSeq ++
+        snap.txns.toSeq.sortBy(_._1).map { case (app, v) => Action(txn = Some(Txn(app, v))) } ++
+        snap.files.map(f => Action(add = Some(f)))
+    val lines = actions.map(mapper.writeValueAsString)
+    import scala.jdk.CollectionConverters._
+    val df = ss.read.schema(CheckpointSchema)
+      .json(ss.createDataset(lines.asJava)(org.apache.spark.sql.Encoders.STRING))
+    val tmpDir = new Path(logPath, s".ck-${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir)
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+    fs.rename(part.getPath, checkpointFile(version))
+    fs.delete(tmpDir, true)
     val lc = fs.create(new Path(logPath, "_last_checkpoint"), true)
-    try lc.write(s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+    try lc.write(s"""{"version":$version,"size":${actions.size}}"""
+      .getBytes(StandardCharsets.UTF_8))
     finally lc.close()
   }
 }

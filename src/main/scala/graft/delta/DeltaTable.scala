@@ -36,7 +36,7 @@ object DeltaTable {
 final class DeltaTable(spark: SparkSession, val path: String) {
   import Actions._
 
-  val log = new DeltaLog(path, spark.sessionState.newHadoopConf())
+  val log = new DeltaLog(path, spark.sessionState.newHadoopConf(), Some(spark))
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -73,14 +73,30 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   /** Stored txn version for an app id (None if never committed). */
   def txnVersion(appId: String): Option[Long] = snapshot.txns.get(appId)
 
+  /** Commit a metaData update (schema evolution, reference X3). Additions
+    * must be nullable columns so existing files read back null-filled —
+    * the contract pinned by the reference's schema_update test. */
+  def updateSchema(newSchema: StructType): Long = {
+    val meta = snapshot.metadata
+      .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    log.commit(Seq(
+      Action(metaData = Some(meta.copy(schemaString = newSchema.json))),
+      Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CHANGE SCHEMA")))))
+  }
+
   /** Transactional append. Returns the committed version, or -1 if skipped
-    * as an idempotent replay. */
+    * as an idempotent replay.
+    *
+    * Exactly-once under races: besides the cheap pre-check below, the same
+    * txn predicate re-runs inside [[DeltaLog.commit]] against the winning
+    * snapshot on every retry — so a zombie query and its restart can't both
+    * land the same (appId, version) batch (round-1 advice #2). */
   def append(df: DataFrame, txnAppId: Option[String] = None,
              txnVersion: Long = -1L, operation: String = "WRITE"): Long = {
-    txnAppId.foreach { app =>
-      val stored = this.txnVersion(app).getOrElse(-1L)
-      if (txnVersion >= 0 && stored >= txnVersion) return -1L
+    def txnNotYetApplied(snap: Snapshot): Boolean = txnAppId.forall { app =>
+      txnVersion < 0 || snap.txns.getOrElse(app, -1L) < txnVersion
     }
+    if (!txnNotYetApplied(snapshot)) return -1L
     val parts = partitionColumns
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val aligned = df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
@@ -96,7 +112,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           Some(System.currentTimeMillis()))))).toSeq ++
         Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation,
           Map("mode" -> "Append")))))
-      log.commit(actions)
+      val committed = log.commit(actions, txnNotYetApplied)
+      if (committed < 0) {
+        // lost the race to a concurrent writer of the same batch: the moved
+        // files are unreferenced — clean them up
+        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+      }
+      committed
     } finally {
       fs.delete(staging, true)
     }

@@ -43,6 +43,7 @@ object ParquetStats {
         // accumulate across row groups per leaf path
         case class Acc(var min: Option[Comparable[Any]], var max: Option[Comparable[Any]],
                        var nullCount: Long, var hasMinMax: Boolean,
+                       var hasNullCount: Boolean,
                        tpe: PrimitiveType, repeated: Boolean)
         val accs = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Acc]
 
@@ -55,7 +56,8 @@ object ParquetStats {
               val colDesc = schema.getColumnDescription(pathParts.toArray)
               val repeated = colDesc.getMaxRepetitionLevel > 0
               val acc = accs.getOrElseUpdate(pathParts,
-                Acc(None, None, 0L, hasMinMax = true, chunk.getPrimitiveType, repeated))
+                Acc(None, None, 0L, hasMinMax = true, hasNullCount = true,
+                  chunk.getPrimitiveType, repeated))
               val st = chunk.getStatistics
               if (st != null && !st.isEmpty) {
                 acc.nullCount += st.getNumNulls
@@ -65,7 +67,13 @@ object ParquetStats {
                   acc.min = Some(acc.min.fold(mn)(m => if (mn.compareTo(m) < 0) mn else m))
                   acc.max = Some(acc.max.fold(mx)(m => if (mx.compareTo(m) > 0) mx else m))
                 } else if (repeated) acc.hasMinMax = false
-              } else acc.hasMinMax = false
+              } else {
+                // a statless row group: min/max unknown AND the accumulated
+                // nullCount is a lower bound — emitting it would let readers
+                // prune IS NULL queries incorrectly (round-1 advice #4)
+                acc.hasMinMax = false
+                acc.hasNullCount = false
+              }
             }
           }
         }
@@ -85,21 +93,27 @@ object ParquetStats {
 
         accs.foreach { case (pathParts, acc) =>
           val isArrayLeaf = acc.repeated
-          put(nulls, pathParts, (n, leaf) => n.put(leaf, acc.nullCount))
+          if (acc.hasNullCount)
+            put(nulls, pathParts, (n, leaf) => n.put(leaf, acc.nullCount))
           if (!isArrayLeaf) {
             (acc.min, acc.max) match {
               case (Some(mn), Some(mx)) if acc.hasMinMax =>
-                render(acc.tpe, mn).foreach(v => put(mins, pathParts, (n, leaf) => n.set(leaf, v): Unit))
-                render(acc.tpe, mx).foreach(v => put(maxs, pathParts, (n, leaf) => n.set(leaf, v): Unit))
+                // NB: ObjectNode.set is generic in its return type — an
+                // inferred Unit type parameter turns it into a runtime
+                // ClassCastException, so pin JsonNode explicitly.
+                render(acc.tpe, mn).foreach(v => put(mins, pathParts,
+                  (n, leaf) => { n.set[com.fasterxml.jackson.databind.JsonNode](leaf, v); () }))
+                render(acc.tpe, mx).foreach(v => put(maxs, pathParts,
+                  (n, leaf) => { n.set[com.fasterxml.jackson.databind.JsonNode](leaf, v); () }))
               case _ =>
             }
           }
         }
 
         root.put("numRecords", numRecords)
-        root.set("minValues", mins): Unit
-        root.set("maxValues", maxs): Unit
-        root.set("nullCount", nulls): Unit
+        root.set[com.fasterxml.jackson.databind.JsonNode]("minValues", mins)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("maxValues", maxs)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("nullCount", nulls)
         Some(mapper.writeValueAsString(root))
       } finally reader.close()
     } catch {

@@ -165,7 +165,6 @@ object IngestPipeline {
   def start(spark: SparkSession, source: DataFrame, tablePath: String,
             opts: IngestOptions): StreamingQuery = {
     val table = DeltaTable.forPath(spark, tablePath)
-    val schema = table.schema
     val dlq = opts.dlqTablePath.map { p =>
       val t = DeltaTable.forPath(spark, p)
       if (!t.exists) t.create(PipelineStages.DeadLetterSchema)
@@ -175,17 +174,25 @@ object IngestPipeline {
       .trigger(if (opts.endAtLastOffsets) Trigger.AvailableNow()
                else Trigger.ProcessingTime(opts.allowedLatency.toMillis))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, table, dlq, schema, opts)
+        processBatch(batch, batchId, table, dlq, opts)
       }
     opts.checkpointLocation.foreach(writer.option("checkpointLocation", _))
     writer.start()
   }
 
   /** One micro-batch: stage → split → transactional append (idempotent via
-    * txn appId/batchId, reference X1/§2.8). */
+    * txn appId/batchId, reference X1/§2.8).
+    *
+    * Schema drift (X3): the table schema is RE-RESOLVED from the Delta
+    * snapshot on every batch — a metaData commit made by another process
+    * mid-stream (the reference's schema_update_tests.rs:23-113 scenario)
+    * takes effect on the next batch: new nullable columns are null-filled
+    * for messages that lack them (the coercion does this naturally),
+    * matching the reference writer's schema-reload behavior
+    * (/root/reference/src/writer.rs:370-387). */
   def processBatch(batch: DataFrame, batchId: Long, table: DeltaTable,
-                   dlq: Option[DeltaTable], schema: StructType,
-                   opts: IngestOptions): Unit = {
+                   dlq: Option[DeltaTable], opts: IngestOptions): Unit = {
+    val schema = table.schema // current snapshot's schema, not start-time's
     val staged = PipelineStages(batch, schema, opts)
     val (ok, dead) = PipelineStages.split(staged)
     table.append(ok, Some(opts.appId), batchId, operation = "STREAMING UPDATE")
@@ -229,7 +236,7 @@ object IngestPipeline {
       transforms = Seq(
         "date" -> "substr(modified, `0`, `10`)",
         "_kafka_offset" -> "kafka.offset"))
-    processBatch(kafkaShaped, 0L, table, None, schema, opts)
+    processBatch(kafkaShaped, 0L, table, None, opts)
     table.toDF
   }
 }

@@ -1,0 +1,144 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Pins the Delta write path end to end: commit atomicity, txn
+  * exactly-once (including the lost-race zombie-writer case), footer
+  * stats, spec-schema parquet checkpoints, and schema evolution —
+  * the contracts the reference pins in writer.rs/delta_helpers.rs tests.
+  */
+class DeltaSpec extends SparkSpec {
+  import spark.implicits._
+  import Actions._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("ts", TimestampType),
+    StructField("date", StringType)))
+
+  private def newTable(partitioned: Boolean = false): DeltaTable = {
+    val t = DeltaTable.forPath(spark, tmpDir("delta-spec"))
+    t.create(schema, if (partitioned) Seq("date") else Nil)
+  }
+
+  private def sampleDf(ids: Range) = ids.map(i =>
+      (i.toLong, s"name$i", new java.sql.Timestamp(1636668718000L + i), f"2021-11-${i % 3 + 1}%02d"))
+    .toDF("id", "name", "ts", "date")
+
+  test("create + append + read back round-trips values and partitions") {
+    val t = newTable(partitioned = true)
+    assert(t.append(sampleDf(0 until 10)) === 1L)
+    val back = t.toDF.orderBy("id").collect()
+    assert(back.length === 10)
+    assert(back(3).getAs[String]("name") === "name3")
+    assert(back(3).getAs[String]("date") === "2021-11-01")
+    assert(t.snapshot.files.forall(_.partitionValues.keySet === Set("date")))
+  }
+
+  test("txn append is idempotent: same (appId, version) commits once") {
+    val t = newTable()
+    assert(t.append(sampleDf(0 until 5), Some("app"), 0L) === 1L)
+    assert(t.append(sampleDf(0 until 5), Some("app"), 0L) === -1L) // replay
+    assert(t.append(sampleDf(5 until 8), Some("app"), 1L) === 2L)
+    assert(t.toDF.count() === 8L)
+    assert(t.txnVersion("app") === Some(1L))
+  }
+
+  test("commit re-checks txn on retry: zombie writer loses the race cleanly") {
+    val t = newTable()
+    val log = t.log
+    def txnCommit(v: Long): Seq[Action] =
+      Seq(Action(txn = Some(Txn("app", v))),
+        Action(commitInfo = Some(CommitInfo(0L, "TEST"))))
+    // First attempt's check injects a competing commit of the same txn
+    // version (the zombie's restart landing first), then reports the stale
+    // snapshot as clean; the retry must see the new txn and skip.
+    var injected = false
+    val committed = log.commit(txnCommit(7L), check = snap => {
+      if (!injected) { injected = true; log.commit(txnCommit(7L)) }
+      snap.txns.getOrElse("app", -1L) < 7L
+    })
+    assert(committed === -1L)
+    assert(log.snapshot().txns("app") === 7L)
+  }
+
+  test("version files are create-if-absent: double write throws") {
+    val t = newTable()
+    val v = t.log.latestVersion() + 1
+    t.log.write(v, Seq(Action(commitInfo = Some(CommitInfo(0L, "A")))))
+    assertThrows[VersionAlreadyExists](
+      t.log.write(v, Seq(Action(commitInfo = Some(CommitInfo(0L, "B"))))))
+  }
+
+  test("add.stats carries numRecords, min/max, nullCount from footers") {
+    val t = newTable()
+    val df = Seq(
+      (1L, "alpha", new java.sql.Timestamp(1636668718123L), "d"),
+      (2L, null.asInstanceOf[String], new java.sql.Timestamp(1636668720456L), "d"),
+      (3L, "zulu", new java.sql.Timestamp(1636668719000L), "d")
+    ).toDF("id", "name", "ts", "date").coalesce(1)
+    t.append(df)
+    val stats = t.snapshot.files.flatMap(_.stats)
+    assert(stats.nonEmpty)
+    val node = Actions.mapper.readTree(stats.head)
+    assert(node.get("numRecords").asLong() === 3L)
+    assert(node.get("minValues").get("id").asLong() === 1L)
+    assert(node.get("maxValues").get("id").asLong() === 3L)
+    assert(node.get("minValues").get("name").asText() === "alpha")
+    assert(node.get("maxValues").get("name").asText() === "zulu")
+    assert(node.get("nullCount").get("name").asLong() === 1L)
+    assert(node.get("nullCount").get("id").asLong() === 0L)
+    // reference renders timestamps as %Y-%m-%dT%H:%M:%S%.3fZ
+    assert(node.get("minValues").get("ts").asText() === "2021-11-11T22:11:58.123Z")
+    assert(node.get("maxValues").get("ts").asText() === "2021-11-11T22:12:00.456Z")
+  }
+
+  test("parquet checkpoint at v10: spec file name, _last_checkpoint, and replay from it") {
+    val t = newTable()
+    (0 until 12).foreach(i => t.append(sampleDf(i to i), Some("app"), i.toLong))
+    val logDir = new Path(t.path, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val ck = new Path(logDir, f"${10L}%020d.checkpoint.parquet")
+    assert(fs.exists(ck), "checkpoint parquet missing")
+    assert(fs.exists(new Path(logDir, "_last_checkpoint")))
+
+    // the checkpoint parquet alone must reconstruct state: delete the JSON
+    // commits it covers and re-snapshot
+    (0L to 10L).foreach(v => fs.delete(t.log.versionFile(v), false))
+    val fresh = DeltaTable.forPath(spark, t.path)
+    val snap = fresh.snapshot
+    assert(snap.version === 12L)
+    assert(snap.txns("app") === 11L)
+    assert(snap.files.size === 12)
+    assert(fresh.toDF.count() === 12L)
+  }
+
+  test("schema evolution: new nullable column null-fills old files") {
+    val t = newTable()
+    t.append(sampleDf(0 until 3))
+    val evolved = StructType(schema.fields :+ StructField("color", StringType))
+    t.updateSchema(evolved)
+    val withColor = Seq((10L, "n", new java.sql.Timestamp(0L), "d", "red"))
+      .toDF("id", "name", "ts", "date", "color")
+    t.append(withColor)
+    val back = DeltaTable.forPath(spark, t.path).toDF.orderBy("id").collect()
+    assert(back.length === 4)
+    assert(back.take(3).forall(_.isNullAt(back.head.fieldIndex("color"))))
+    assert(back.last.getAs[String]("color") === "red")
+  }
+
+  test("compact rewrites small files without changing data") {
+    val t = newTable()
+    (0 until 3).foreach(i => t.append(sampleDf(i * 5 until (i + 1) * 5)))
+    val before = t.toDF.orderBy("id").collect().toSeq
+    val filesBefore = t.snapshot.files.size
+    assert(t.compact(minBytes = 10L * 1024 * 1024) > 0)
+    val after = DeltaTable.forPath(spark, t.path)
+    assert(after.snapshot.files.size < filesBefore)
+    assert(after.toDF.orderBy("id").collect().toSeq === before)
+  }
+}

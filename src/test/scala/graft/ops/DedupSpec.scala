@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Ground-truth checks for the dedup family on a hand-built corpus:
+  * the count-based operators must agree with exhaustive array-set math,
+  * and the LSH/blocked variants must find the constructed near-dup pairs.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text about spark engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog"),
+    (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length === 4) // 1&4 merge
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("count-based ngram Jaccard equals exhaustive array-set Jaccard") {
+    val counted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // exhaustive ground truth from the string-shingle/array path
+    val base = docs.select(col("doc_id").as("id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("id"), Dedup.shinglesFromTokens(col("ts"), 2).as("sh"))
+    val exhaustive = base.alias("a").crossJoin(base.alias("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("j"))
+      .filter(col("j") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(counted === exhaustive)
+    assert(counted.nonEmpty) // (1,2) and (1,4)/(2,4) qualify by construction
+  }
+
+  test("minhash LSH finds exact and near duplicates with exact Jaccard") {
+    val out = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 4L)) === 1.0) // identical docs
+    assert(out.contains((1L, 2L))) // 7-of-9 shared bigrams, J ≈ 0.778
+    assert(out((1L, 2L)) === out((2L, 4L)))
+  }
+
+  test("simhash finds identical docs at hamming 0") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.exists { case (a, b, h) => a == 1L && b == 4L && h == 0L })
+  }
+
+  test("embedding near-dup finds identical vectors via signature buckets") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.25f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.25f)),
+      (3L, Array(-1.0f, 2.0f, -0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.9, planes = 8, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("shingles handles short docs (single shingle) and empty text") {
+    val out = Seq((1L, "one"), (2L, "")).toDF("id", "text")
+      .select(col("id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("id"), Dedup.shinglesFromTokens(col("ts"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[String]]("sh")).toMap
+    assert(out(1L) === Seq("one"))
+    assert(out(2L) === Seq(""))
+  }
+}
