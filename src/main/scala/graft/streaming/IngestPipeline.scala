@@ -37,7 +37,9 @@ final case class IngestOptions(
     maxMessagesPerBatch: Long = 5000L,
     /** bounded run: consume to current end then stop (S5) */
     endAtLastOffsets: Boolean = false,
-    checkpointLocation: Option[String] = None)
+    checkpointLocation: Option[String] = None,
+    /** M1/M2: statsd-style sink fed per batch + per progress event */
+    metricsSink: Option[MetricsSink] = None)
 
 /** The reference's whole per-message path (SURVEY §3.2) as one declarative
   * column pipeline: decode (D1–D7) → transforms (T1–T8) → coercions
@@ -165,11 +167,8 @@ object IngestPipeline {
   def start(spark: SparkSession, source: DataFrame, tablePath: String,
             opts: IngestOptions): StreamingQuery = {
     val table = DeltaTable.forPath(spark, tablePath)
-    val dlq = opts.dlqTablePath.map { p =>
-      val t = DeltaTable.forPath(spark, p)
-      if (!t.exists) t.create(PipelineStages.DeadLetterSchema)
-      t
-    }
+    val dlq = DeadLetterSinks.fromOptions(spark, opts)
+    opts.metricsSink.foreach(s => spark.streams.addListener(new IngestMetricsListener(s)))
     val writer = source.writeStream
       .trigger(if (opts.endAtLastOffsets) Trigger.AvailableNow()
                else Trigger.ProcessingTime(opts.allowedLatency.toMillis))
@@ -178,6 +177,18 @@ object IngestPipeline {
       }
     opts.checkpointLocation.foreach(writer.option("checkpointLocation", _))
     writer.start()
+  }
+
+  /** Kafka → Delta, the reference's one entry point (src/lib.rs:358-362):
+    * assembles the source from [[KafkaSourceConfig]] (S1/S3/S4) honoring
+    * maxMessagesPerBatch (B2) and starts the ingest query. */
+  def startFromKafka(spark: SparkSession, kafka: KafkaSourceConfig,
+                     tablePath: String, opts: IngestOptions): StreamingQuery = {
+    val cfg =
+      if (kafka.maxMessagesPerBatch.isEmpty)
+        kafka.copy(maxMessagesPerBatch = Some(opts.maxMessagesPerBatch))
+      else kafka
+    start(spark, cfg.load(spark), tablePath, opts)
   }
 
   /** One micro-batch: stage → split → transactional append (idempotent via
@@ -191,16 +202,32 @@ object IngestPipeline {
     * matching the reference writer's schema-reload behavior
     * (/root/reference/src/writer.rs:370-387). */
   def processBatch(batch: DataFrame, batchId: Long, table: DeltaTable,
-                   dlq: Option[DeltaTable], opts: IngestOptions): Unit = {
+                   dlq: DeadLetterSink, opts: IngestOptions): Unit = {
     val schema = table.schema // current snapshot's schema, not start-time's
-    val staged = PipelineStages(batch, schema, opts)
+    val staged0 = PipelineStages(batch, schema, opts)
+    // M1 counters ride the write job as observed aggregates (zero extra
+    // jobs): the observation node sits above the staged frame, BEFORE the
+    // ok/dead split filters, so it sees every message once.
+    val obs = org.apache.spark.sql.Observation()
+    val staged = if (opts.metricsSink.isDefined)
+      staged0.observe(obs,
+        count(lit(1)).as("messages"),
+        count(when(col("decode_failed"), lit(1))).as("deser_failed"),
+        count(when(!col("decode_failed") && size(col("errs")) > 0, lit(1))).as("transform_failed"),
+        coalesce(sum(octet_length(col("value").cast(BinaryType))), lit(0L)).as("bytes"))
+    else staged0
     val (ok, dead) = PipelineStages.split(staged)
-    table.append(ok, Some(opts.appId), batchId, operation = "STREAMING UPDATE")
-    dlq.foreach { t =>
-      val deadOut = new Transformer(opts.dlqTransforms)(dead)
-      t.append(deadOut.select(t.schema.fieldNames.map(col).toSeq: _*),
-        Some(opts.appId + "-dlq"), batchId)
-    }
+    val t0 = System.nanoTime()
+    val committed =
+      try table.append(ok, Some(opts.appId), batchId, operation = "STREAMING UPDATE")
+      catch { case e: Throwable => opts.metricsSink.foreach(
+        _.counter(IngestMetrics.DeltaWriteFailed)); throw e }
+    val ms = (System.nanoTime() - t0) / 1000000L
+    // obs.get blocks until the write job fires it; safe only when the
+    // append actually committed (an idempotent skip may run no job)
+    if (committed >= 0)
+      opts.metricsSink.foreach(s => IngestMetrics.emitBatch(s, obs.get, ms, failed = false))
+    dlq.write(dead, batchId)
   }
 
   /** Flagship batch-mode run (SURVEY §7.3, the reference's canonical
@@ -236,7 +263,7 @@ object IngestPipeline {
       transforms = Seq(
         "date" -> "substr(modified, `0`, `10`)",
         "_kafka_offset" -> "kafka.offset"))
-    processBatch(kafkaShaped, 0L, table, None, opts)
+    processBatch(kafkaShaped, 0L, table, NoopDeadLetterSink, opts)
     table.toDF
   }
 }

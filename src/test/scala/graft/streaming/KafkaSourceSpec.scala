@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.delta.DeltaTable
+
+/** Kafka option assembly (S1/S4/B2, broker-free) and the metrics surface
+  * (M1): reference counter names fed from the observed batch aggregates.
+  */
+class KafkaSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("seek offsets parse the reference --seek_offsets format") {
+    assert(KafkaSourceConfig.parseSeekOffsets("0:10,1:12") === Map(0 -> 10L, 1 -> 12L))
+    assert(KafkaSourceConfig.parseSeekOffsets("5:9999999") === Map(5 -> 9999999L))
+  }
+
+  test("startingOffsets renders seek JSON per partition, sorted") {
+    val cfg = KafkaSourceConfig("web_requests", "localhost:9092",
+      seekOffsets = Some(Map(1 -> 12L, 0 -> 10L)))
+    assert(cfg.startingOffsets === """{"web_requests": {"0": 10, "1": 12}}""")
+  }
+
+  test("startingOffsets falls back to auto_offset_reset") {
+    assert(KafkaSourceConfig("t", "b").startingOffsets === "earliest")
+    assert(KafkaSourceConfig("t", "b", autoOffsetReset = "latest").startingOffsets === "latest")
+    assertThrows[IllegalArgumentException](
+      KafkaSourceConfig("t", "b", autoOffsetReset = "nonsense"))
+  }
+
+  test("options carry subscribe, group id, batch cap, and kafka.* passthroughs") {
+    val cfg = KafkaSourceConfig("t", "broker:9092", consumerGroupId = "g",
+      maxMessagesPerBatch = Some(5000),
+      additionalSettings = Map("security.protocol" -> "SASL_SSL", "kafka.x" -> "y"))
+    val o = cfg.options
+    assert(o("subscribe") === "t")
+    assert(o("kafka.bootstrap.servers") === "broker:9092")
+    assert(o("kafka.group.id") === "g")
+    assert(o("maxOffsetsPerTrigger") === "5000")
+    assert(o("kafka.security.protocol") === "SASL_SSL")
+    assert(o("kafka.x") === "y")
+  }
+
+  test("metrics: batch counters use reference names and observed values") {
+    val tablePath = tmpDir("metrics-table")
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val table = DeltaTable.forPath(spark, tablePath).create(schema)
+    val sink = new RecordingMetricsSink
+    val opts = IngestOptions(appId = "m", metricsSink = Some(sink))
+    val batch = Seq(
+      (1L, """{"id": 1}"""),
+      (2L, """{"id": 2}"""),
+      (3L, """not json""")
+    ).toDF("offset", "value")
+      .select(col("value"), lit(0).as("partition"), col("offset"),
+        lit("t").as("topic"), lit(0L).as("timestamp"), lit(0).as("timestampType"))
+    IngestPipeline.processBatch(batch, 0L, table, NoopDeadLetterSink, opts)
+
+    assert(sink.counters("messages.deserialization.completed") === 2L)
+    assert(sink.counters("messages.deserialization.failed") === 1L)
+    assert(sink.counters("messages.transform.completed") === 2L)
+    assert(sink.counters("recordbatch.completed") === 1L)
+    assert(sink.counters("delta.write.completed") === 1L)
+    assert(sink.counters("delta.write.failed") === 0L)
+    assert(sink.timers.exists(_._1 == "delta.write.duration"))
+  }
+}

@@ -72,7 +72,8 @@ class StreamingIngestSpec extends SparkSpec {
     ).toDF("offset", "value"))
     val table = DeltaTable.forPath(spark, tablePath)
     val dlq = DeltaTable.forPath(spark, dlqPath).create(PipelineStages.DeadLetterSchema)
-    IngestPipeline.processBatch(batch, 0L, table, Some(dlq), opts)
+    IngestPipeline.processBatch(batch, 0L, table,
+      new DeltaDeadLetterSink(dlq, opts.appId, Nil), opts)
 
     assert(table.toDF.select("id").as[Long].collect().toSet === Set(1L))
     val dead = dlq.toDF.collect()
@@ -91,7 +92,7 @@ class StreamingIngestSpec extends SparkSpec {
 
     IngestPipeline.processBatch(
       kafkaShape(Seq((1L, """{"id": 1, "date": "default"}""")).toDF("offset", "value")),
-      0L, table, None, opts)
+      0L, table, NoopDeadLetterSink, opts)
 
     // external writer evolves the schema (the reference's alter_schema)
     table.updateSchema(StructType(Seq(
@@ -103,7 +104,7 @@ class StreamingIngestSpec extends SparkSpec {
       kafkaShape(Seq(
         (2L, """{"id": 2, "color": "red", "date": "default"}"""),
         (3L, """{"id": 3, "color": "blue", "date": "default"}""")).toDF("offset", "value")),
-      1L, table, None, opts)
+      1L, table, NoopDeadLetterSink, opts)
 
     val back = DeltaTable.forPath(spark, tablePath).toDF.orderBy("id").collect()
     assert(back.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L, 3L))
@@ -126,7 +127,7 @@ class StreamingIngestSpec extends SparkSpec {
     IngestPipeline.processBatch(
       kafkaShape(Seq((7L, """{"id": 1, "modified": "2021-03-16T14:38:58Z"}"""))
         .toDF("offset", "value")),
-      0L, table, None, opts)
+      0L, table, NoopDeadLetterSink, opts)
     val r = table.toDF.head()
     assert(r.getAs[String]("date") === "2021-03-16")
     assert(r.getAs[Long]("_kafka_offset") === 7L)
