@@ -21,7 +21,8 @@ trait QueryModule {
   */
 object Registry {
   def modules: Seq[QueryModule] =
-    Seq(Analytics, ReferenceOps, DedupQueries, SimilarityQueries, TextQueries)
+    Seq(Analytics, ReferenceOps, DedupQueries, SimilarityQueries, TextQueries,
+      MultimodalQueries)
 
   def all: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap
