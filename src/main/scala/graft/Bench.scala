@@ -19,14 +19,20 @@ object Bench {
     // JIT/codegen warmup on the smallest SF so measured numbers reflect
     // steady-state execution, not first-query compilation.
     headlines.foreach { case (_, d) =>
-      try d.build(spark, "/root/testdata/sf0.001").count(): Unit
-      catch { case _: Throwable => }
+      d.build(spark, "/root/testdata/sf0.001").count(): Unit
     }
 
+    // measured run: a failing query must fail the bench loudly (a caught
+    // exception would be reported as a suspiciously fast success)
     val results = headlines.toSeq.sortBy(_._1).map { case (name, d) =>
       val t0 = System.nanoTime()
-      try { d.build(spark, sfDir).count(): Unit }
-      catch { case _: Throwable => }
+      try d.build(spark, sfDir).count(): Unit
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+          spark.stop()
+          sys.exit(1)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

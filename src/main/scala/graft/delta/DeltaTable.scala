@@ -125,38 +125,57 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   }
 
   /** Move staged parquet files into the table root preserving the Hive
-    * partition layout; build `add` actions with footer-derived stats. */
+    * partition layout; build `add` actions with footer-derived stats.
+    *
+    * Scale: renames are namenode metadata ops and footer reads are one
+    * small range-read each, but doing them serially on the driver
+    * serializes the commit at thousands of files per batch (round-1
+    * verdict #4) — both run on a bounded thread pool here. (The next step
+    * at 100 TB would be collecting stats inside the write job's tasks.) */
   private def collectStagedFiles(staging: Path, parts: Seq[String]): Seq[AddFile] = {
-    val results = mutable.ArrayBuffer.empty[AddFile]
+    import scala.jdk.CollectionConverters._
     val stagingPrefix = fs.makeQualified(staging).toString
-    val it = fs.listFiles(staging, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      if (p.getName.endsWith(".parquet")) {
-        val rel = fs.makeQualified(p).toString.stripPrefix(stagingPrefix).stripPrefix("/")
-        val partitionValues = rel.split('/').dropRight(1).iterator
-          .filter(_.contains('='))
-          .map { seg =>
-            val Array(k, v) = seg.split("=", 2)
-            k -> (if (v == DeltaTable.HiveDefaultPartition) null
-                  else URLDecoder.decode(v, StandardCharsets.UTF_8))
-          }.toMap
-        val dest = new Path(path, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(p, dest))
-          throw new RuntimeException(s"failed to move staged file $p -> $dest")
-        val stats = ParquetStats.forFile(fs, dest, parts.toSet)
-        results += AddFile(
-          path = rel,
-          partitionValues = partitionValues,
-          size = st.getLen,
-          modificationTime = st.getModificationTime,
-          dataChange = true,
-          stats = stats)
+    val files = {
+      val it = fs.listFiles(staging, true)
+      val buf = mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st
       }
+      buf.toSeq
     }
-    results.toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(1, files.size)))
+    try {
+      val tasks = files.map { st =>
+        pool.submit(new java.util.concurrent.Callable[AddFile] {
+          override def call(): AddFile = {
+            val p = st.getPath
+            val rel = fs.makeQualified(p).toString.stripPrefix(stagingPrefix).stripPrefix("/")
+            val partitionValues = rel.split('/').dropRight(1).iterator
+              .filter(_.contains('='))
+              .map { seg =>
+                val Array(k, v) = seg.split("=", 2)
+                k -> (if (v == DeltaTable.HiveDefaultPartition) null
+                      else URLDecoder.decode(v, StandardCharsets.UTF_8))
+              }.toMap
+            val dest = new Path(path, rel)
+            fs.mkdirs(dest.getParent)
+            if (!fs.rename(p, dest))
+              throw new RuntimeException(s"failed to move staged file $p -> $dest")
+            val stats = ParquetStats.forFile(fs, dest, parts.toSet)
+            AddFile(
+              path = rel,
+              partitionValues = partitionValues,
+              size = st.getLen,
+              modificationTime = st.getModificationTime,
+              dataChange = true,
+              stats = stats)
+          }
+        })
+      }
+      tasks.map(_.get()).toSeq
+    } finally pool.shutdown()
   }
 
   /** Read the current snapshot as a DataFrame (partition columns restored
