@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time operators verified through the batch gate: the watermarked
+  * window aggregation (watermark is a no-op on batch input, semantics
+  * otherwise identical) and gap-based sessionization in its deterministic
+  * relational form (lag → new-session flag → running session id). The
+  * stateful streaming twins live in graft.streaming.WindowedAggs and are
+  * exercised by StreamingWindowSpec.
+  */
+object StreamingQueries extends QueryModule {
+
+  def defs: Map[String, QueryDef] = Map(
+    "stream_windowed_counts" -> QueryDef(
+      (s, d) =>
+        graft.streaming.WindowedAggs.windowedCounts(
+            Tables.events(s, d), "15 minutes", lateness = "10 minutes")
+          .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    "q14_sessionize" -> QueryDef(
+      (s, d) => {
+        val gapUs = 30L * 60 * 1000000 // 30-minute inactivity gap
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val flagged = Tables.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("is_new",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("is_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        flagged.groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("total_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), sessions AS (
+             |  SELECT user_id, ts, value,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged
+             |)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM sessions GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
+  )
+}

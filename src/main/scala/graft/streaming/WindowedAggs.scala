@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over an events stream
+  * (event_id, ts timestamp, user_id, event_type, value) — the Structured
+  * Streaming surface a training-data pipeline needs beyond pure ingestion:
+  * watermarked windowed aggregation and custom session state.
+  *
+  * Scale notes: both operators shuffle once on their grouping key and keep
+  * state in the state store (RocksDB at production scale); the watermark
+  * bounds state size — without it, window state grows monotonically.
+  */
+object WindowedAggs {
+
+  /** Tumbling event-time window counts with a watermark: late events
+    * beyond `lateness` are dropped deterministically; state for closed
+    * windows is evicted. Works identically on a batch frame (watermark is
+    * a no-op there), which is how the driver gate verifies it. */
+  def windowedCounts(events: DataFrame, windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      // decimal-routed sum: partition-order-independent, so batch runs are
+      // bit-reproducible and oracle-comparable (sum(double) is not)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, events: Int, total: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState (the reference
+    * has no stateful ops — this is the Spark-native custom-state surface):
+    * a session closes when no event arrives within `gapMs` of the last
+    * one; the event-time timeout fires on watermark advance, so state
+    * never outlives the gap. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 lateness: String = "10 minutes"): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val longEnc = Encoders.scalaLong
+
+    def fn(userId: Long, it: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      def toSession(s: SessionState) = Session(userId,
+        new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastTs),
+        s.events, s.total)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastTs <= gapMs =>
+              cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                events = s.events + 1, total = s.total + e.value))
+            case Some(s) =>
+              closed ::= toSession(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTs + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

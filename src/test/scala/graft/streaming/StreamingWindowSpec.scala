@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.streaming.WindowedAggs._
+
+/** Stateful streaming semantics: watermark drops late events and closes
+  * windows; event-time timeouts close sessions across micro-batches. */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts with watermark: late events beyond lateness are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = WindowedAggs.windowedCounts(events, "15 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events in [10:00, 10:15) and [10:15, 10:30)
+      in.addData((1L, ts(1), "click", 1.0), (2L, ts(5), "click", 2.0), (3L, ts(16), "view", 3.0))
+      q.processAllAvailable()
+      // batch 2: advance watermark far past 10:15 → first window closes
+      in.addData((4L, ts(50), "view", 4.0))
+      q.processAllAvailable()
+      // batch 3: a late event for the closed [10:00,10:15) window → dropped
+      in.addData((5L, ts(2), "click", 100.0))
+      q.processAllAvailable()
+      // batch 4: push watermark to close [10:15,10:30) too
+      in.addData((6L, ts(59), "view", 5.0))
+      q.processAllAvailable()
+
+      val out = spark.table("wc")
+        .select("window_start", "event_type", "n", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val first = out.filter(_._1 == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(first.toSeq === Seq((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0)),
+        s"late event must not reopen the closed window; got ${out.toSeq}")
+      assert(out.exists(o => o._1 == Timestamp.valueOf("2024-01-01 10:15:00") && o._3 == 1L))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap timeout closes sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = WindowedAggs.sessionize(in.toDS(), gapMs = 5 * 60 * 1000, lateness = "1 minute")
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 2 min apart (one session), then silence
+      in.addData(SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(2), 2.0))
+      q.processAllAvailable()
+      // event far in the future advances the watermark → session times out
+      in.addData(SessionEvent(2L, ts(30), 9.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(2L, ts(59), 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sess").as[Session].collect()
+      val u1 = out.filter(_.user_id == 1L)
+      assert(u1.length === 1)
+      assert(u1.head.n_events === 2)
+      assert(u1.head.total_value === 3.0)
+      assert(u1.head.session_start === ts(0) && u1.head.session_end === ts(2))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on gap within one batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = WindowedAggs.sessionize(in.toDS(), gapMs = 5 * 60 * 1000, lateness = "1 minute")
+      .writeStream.format("memory").queryName("sess2").outputMode(OutputMode.Append()).start()
+    try {
+      // events 20 min apart → first session closes immediately (in-batch split)
+      in.addData(SessionEvent(7L, ts(0), 1.0), SessionEvent(7L, ts(20), 2.0))
+      q.processAllAvailable()
+      val out = spark.table("sess2").as[Session].collect()
+      assert(out.length === 1, "first of the two split sessions should be emitted")
+      assert(out.head.session_start === ts(0) && out.head.n_events === 1)
+    } finally q.stop()
+  }
+}
