@@ -39,6 +39,8 @@ object DedupQueries extends QueryModule {
               |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS o,
               |    min(a.sz) AS sz_a, min(b.sz) AS sz_b
               |  FROM ex a JOIN ex b ON a.hs = b.hs AND a.id < b.id
+              |    AND CAST(a.sz AS DOUBLE) >= 0.5 * b.sz
+              |    AND CAST(b.sz AS DOUBLE) >= 0.5 * a.sz
               |  GROUP BY a.id, b.id
               |), scored AS (
               |  SELECT id_a, id_b,

@@ -39,7 +39,13 @@ final case class IngestOptions(
     endAtLastOffsets: Boolean = false,
     checkpointLocation: Option[String] = None,
     /** M1/M2: statsd-style sink fed per batch + per progress event */
-    metricsSink: Option[MetricsSink] = None)
+    metricsSink: Option[MetricsSink] = None,
+    /** B3 (`--min_bytes_per_file`, reference default 128 MiB): when set,
+      * files smaller than this are auto-compacted after each batch — the
+      * Spark analog of the reference's accumulate-until-min-bytes file
+      * flush (a micro-batch sink can't hold one file open across
+      * triggers, SURVEY §7.7). */
+    minBytesPerFile: Option[Long] = None)
 
 /** The reference's whole per-message path (SURVEY §3.2) as one declarative
   * column pipeline: decode (D1–D7) → transforms (T1–T8) → coercions
@@ -228,6 +234,7 @@ object IngestPipeline {
     if (committed >= 0)
       opts.metricsSink.foreach(s => IngestMetrics.emitBatch(s, obs.get, ms, failed = false))
     dlq.write(dead, batchId)
+    if (committed >= 0) opts.minBytesPerFile.foreach(table.compact(_): Unit)
   }
 
   /** Flagship batch-mode run (SURVEY §7.3, the reference's canonical

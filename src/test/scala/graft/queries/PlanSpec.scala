@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the properties that make these queries hold
+  * at 100× data are pinned here, not just eyeballed — filter/column
+  * pushdown reaching the parquet scan, broadcasts only on genuinely-small
+  * dims, exchange reuse on self-joins, and codegen coverage.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Registry.all(name).build(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan (broadcast/reuse decisions)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6 filter+agg: predicates are pushed into the parquet scan") {
+    val p = plan("q6_filter_agg")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "expected non-empty pushed filters:\n" + p)
+  }
+
+  test("q1 agg: scan reads only the projected columns") {
+    val p = plan("q1_agg")
+    // lineitem has 16 columns; the aggregation needs far fewer
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.nonEmpty, p)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"scan is not column-pruned: $readSchema")
+  }
+
+  test("q5 multijoin: broadcast HINTS only on the three fixed-size dims") {
+    // At test scale AQE may broadcast everything (correct, size-based);
+    // the scale invariant is that only supplier/nation/region carry
+    // EXPLICIT hints — customer/orders/lineitem grow with SF and must be
+    // left to AQE (round-1 verdict: broadcast(customer) was the bug).
+    val df = Registry.all("q5_multijoin").build(spark, sf)
+    val lp = df.queryExecution.optimizedPlan.toString
+    val hinted = "strategy=broadcast".r.findAllIn(lp).size
+    assert(hinted === 3, s"expected exactly 3 broadcast hints, got $hinted:\n$lp")
+    val p = plan("q5_multijoin")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ngram jaccard: the exploded self-join reuses one exchange") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("ReusedExchange"),
+      "self-join should compute the explode+shuffle once:\n" + p)
+  }
+
+  test("dedup_exact shuffles digests, not text") {
+    val p = plan("dedup_exact")
+    val exchanges = "Exchange hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(m => !m.group(1).contains("text")),
+      "dedup must never shuffle the text column:\n" + p)
+  }
+
+  test("text_quality: single-stage scan, no shuffle at all") {
+    val p = plan("text_quality")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "text scoring must stay inside the scan stage:\n" + p)
+  }
+
+  test("top-k queries plan TakeOrderedAndProject or partial top-k, not global sort") {
+    val p = plan("q2_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
