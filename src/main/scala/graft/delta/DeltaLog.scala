@@ -176,16 +176,28 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     finally in.close()
   }
 
-  /** Reconstruct table state: newest parquet checkpoint (located via
-    * `_last_checkpoint`) plus the JSON commits after it; full JSON replay
-    * when no SparkSession/checkpoint is available. */
-  def snapshot(): Snapshot = {
+  /** Incremental snapshot cache: a streaming writer calls snapshot()
+    * before every commit attempt; replaying the whole log each time is
+    * O(history²) over a query's life. The cache applies only the versions
+    * committed since the last call. Cross-process writers are still seen:
+    * the version listing is re-read every call. */
+  private var cached: Option[(Long, Option[Metadata],
+    mutable.LinkedHashMap[String, AddFile], mutable.HashMap[String, Long])] = None
+
+  /** Reconstruct table state: cached state + new JSON commits; on a cold
+    * cache, the newest parquet checkpoint (via `_last_checkpoint`) plus
+    * the JSON tail; full JSON replay when no SparkSession/checkpoint is
+    * available. */
+  def snapshot(): Snapshot = synchronized {
     val latest = latestVersion()
     if (latest < 0) return Snapshot(-1L, None, Nil, Map.empty)
 
-    var metadata: Option[Metadata] = None
-    val adds = mutable.LinkedHashMap.empty[String, AddFile]
-    val txns = mutable.HashMap.empty[String, Long]
+    var (fromVersion, metadata, adds, txns) = cached match {
+      case Some((v, m, a, t)) if v <= latest => (v, m, a, t)
+      case _ => (-1L, Option.empty[Metadata],
+        mutable.LinkedHashMap.empty[String, AddFile],
+        mutable.HashMap.empty[String, Long])
+    }
 
     def applyActions(actions: Seq[Action]): Unit = actions.foreach { a =>
       a.metaData.foreach(m => metadata = Some(m))
@@ -194,17 +206,20 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       a.txn.foreach(t => txns(t.appId) = t.version)
     }
 
-    val ckStart = (spark, lastCheckpointVersion()) match {
-      case (Some(ss), Some(v)) if v <= latest && fs.exists(checkpointFile(v)) =>
-        // parquet rows → JSON lines → Action: same serde as the commits
-        val lines = ss.read.schema(CheckpointSchema)
-          .parquet(checkpointFile(v).toString)
-          .toJSON.collect()
-        applyActions(lines.toSeq.map(l => mapper.readValue(l, classOf[Action])))
-        v
-      case _ => -1L
+    if (fromVersion < 0) {
+      (spark, lastCheckpointVersion()) match {
+        case (Some(ss), Some(v)) if v <= latest && fs.exists(checkpointFile(v)) =>
+          // parquet rows → JSON lines → Action: same serde as the commits
+          val lines = ss.read.schema(CheckpointSchema)
+            .parquet(checkpointFile(v).toString)
+            .toJSON.collect()
+          applyActions(lines.toSeq.map(l => mapper.readValue(l, classOf[Action])))
+          fromVersion = v
+        case _ =>
+      }
     }
-    ((ckStart + 1) to latest).foreach(v => applyActions(readVersion(v)))
+    ((fromVersion + 1) to latest).foreach(v => applyActions(readVersion(v)))
+    cached = Some((latest, metadata, adds, txns))
     Snapshot(latest, metadata, adds.values.toSeq, txns.toMap)
   }
 
