@@ -328,22 +328,43 @@ object ReferenceOps extends QueryModule {
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---- ST1/ST2: per-group min/max/null-count stats ---------------------
+    // Runs the REAL write path (not a shaped proxy — round-1 verdict #2):
+    // commits lineitem columns through DeltaTable.append, then reads the
+    // min/max/nullCount back OUT OF THE COMMITTED add.stats JSON; the
+    // oracle recomputes ground truth from the raw table, so a stats bug
+    // (e.g. the round-3 ObjectNode.set regression) fails the gate.
     "ref_st1_stats" -> QueryDef(
       (s, d) => {
-        val li = Tables.lineitem(s, d).withColumn("q_nullable",
-          when(col("l_quantity") < 5, lit(null)).otherwise(col("l_quantity")))
-        li.groupBy(col("l_returnflag"))
-          .agg(min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"),
-            min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"),
-            count(lit(1)).as("num_records"),
-            (count(lit(1)) - count(col("q_nullable"))).as("null_count"))
-          .orderBy(col("l_returnflag"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-st1").toString
+        val src = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            when(col("l_quantity") < 5, lit(null).cast("double"))
+              .otherwise(col("l_quantity")).as("q_nullable"))
+        val table = graft.delta.DeltaTable.forPath(s, dir).create(src.schema)
+        table.append(src.coalesce(1))
+        val stats = table.snapshot.files.flatMap(_.stats)
+        val node = graft.delta.Actions.mapper.readTree(stats.head)
+        import s.implicits._
+        Seq((
+          node.get("numRecords").asLong(),
+          node.get("minValues").get("l_orderkey").asLong(),
+          node.get("maxValues").get("l_orderkey").asLong(),
+          node.get("minValues").get("l_quantity").asDouble(),
+          node.get("maxValues").get("l_quantity").asDouble(),
+          node.get("minValues").get("l_extendedprice").asDouble(),
+          node.get("maxValues").get("l_extendedprice").asDouble(),
+          node.get("nullCount").get("q_nullable").asLong(),
+          node.get("nullCount").get("l_orderkey").asLong()
+        )).toDF("num_records", "min_key", "max_key", "min_qty", "max_qty",
+          "min_price", "max_price", "null_q", "null_key")
       },
-      Some("""SELECT l_returnflag, min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      Some("""SELECT count(*) AS num_records,
+             |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+             |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
              |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-             |  count(*) AS num_records,
-             |  count(*) - count(CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END) AS null_count
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+             |  count(*) - count(CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END) AS null_q,
+             |  CAST(0 AS BIGINT) AS null_key
+             |FROM lineitem""".stripMargin)),
 
     // ---- B1: per-partition offset dedup (skip ≤ stored offset) ----------
     "ref_b1_offset_dedup" -> QueryDef(
