@@ -62,6 +62,27 @@ object StreamingQueries extends QueryModule {
              |  count(*) AS n_events,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM sessions GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    "q15_asof_join" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("err_value"))
+        graft.ops.AsofJoin.asof(clicks, errors, "user_id", "ts", "ts", "err_value")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+             |), errors AS (
+             |  SELECT user_id, ts, max(value) AS err_value FROM events
+             |  WHERE event_type = 'error' GROUP BY user_id, ts
+             |)
+             |SELECT c.event_id, c.user_id, c.ts, e.err_value AS asof_err_value
+             |FROM clicks c ASOF LEFT JOIN errors e
+             |  ON c.user_id = e.user_id AND c.ts >= e.ts
+             |ORDER BY event_id""".stripMargin))
   )
 }

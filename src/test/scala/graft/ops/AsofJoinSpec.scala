@@ -1,0 +1,46 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** As-of join semantics on hand-built frames: latest-at-or-before match,
+  * boundary equality, no-match null, per-key isolation. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("asof picks the latest right row at or before each left time") {
+    val quotes = Seq(
+      (1L, ts(0), 100.0), (1L, ts(10), 110.0), (1L, ts(20), 120.0),
+      (2L, ts(5), 50.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts(5), "a"),   // after 10:00 quote -> 100.0
+      (1L, ts(10), "b"),  // boundary: exactly at 10:10 -> 110.0 (inclusive)
+      (1L, ts(25), "c"),  // -> 120.0
+      (2L, ts(4), "d"),   // before any key-2 quote -> null
+      (3L, ts(9), "e")    // key with no quotes -> null
+    ).toDF("key", "tts", "tag")
+
+    val out = AsofJoin.asof(trades, quotes, "key", "tts", "qts", "price")
+      .collect().map(r => r.getAs[String]("tag") ->
+        (if (r.isNullAt(r.fieldIndex("asof_price"))) None else Some(r.getAs[Double]("asof_price"))))
+      .toMap
+    assert(out("a") === Some(100.0))
+    assert(out("b") === Some(110.0))
+    assert(out("c") === Some(120.0))
+    assert(out("d") === None)
+    assert(out("e") === None)
+  }
+
+  test("left columns pass through unchanged") {
+    val right = Seq((1L, ts(0), 1.0)).toDF("key", "rts", "v")
+    val left = Seq((1L, ts(1), "x", 42)).toDF("key", "lts", "name", "extra")
+    val out = AsofJoin.asof(left, right, "key", "lts", "rts", "v").head()
+    assert(out.getAs[String]("name") === "x")
+    assert(out.getAs[Int]("extra") === 42)
+    assert(out.getAs[Double]("asof_v") === 1.0)
+  }
+}
