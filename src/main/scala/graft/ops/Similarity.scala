@@ -88,6 +88,52 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN: the corpus is coarsely quantized to its
+    * nearest centroid (one linear pass, centroids broadcast), queries
+    * probe only the `nprobe` nearest cells — the classic
+    * assign→invert→probe structure. Centroids here are a deterministic
+    * stand-in (the first `numCentroids` corpus vectors) for a trained
+    * k-means codebook — the plumbing, cell pruning, and ranking are the
+    * real thing and fully oracle-checked; swapping in trained centroids
+    * changes one line. At 100 TB the corpus is written partitioned by
+    * cell id, so a query reads nprobe/numCentroids of the data. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+    val cents = broadcast(corpus.filter(col(corpusId) < numCentroids)
+      .select(col(corpusId).as("centroid_id"), col(corpusVec).as("centv")))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("neighbor_id"))
+      .orderBy(col("c").desc, col("centroid_id"))
+    val assigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .crossJoin(cents)
+      .withColumn("c", cosine(col("cv"), col("centv")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("centroid_id").as("cell"))
+
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("centroid_id"))
+    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .crossJoin(cents)
+      .withColumn("c", cosine(col("qv"), col("centv")))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH ANN: corpus bucketed once by signature; each query probes its own
     * bucket plus the `planes` buckets at Hamming distance 1. At 100 TB the
     * corpus side is partitioned by signature at write time so a query

@@ -66,6 +66,46 @@ object SimilarityQueries extends QueryModule {
                 |SELECT query_id, neighbor_id, rank FROM ranked
                 |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
       },
-      headline = true)
+      headline = true),
+
+    "sim_topk_ivf" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 5, numCentroids = 16, nprobe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      {
+        val O = OracleSql
+        Some(s"""WITH cents AS (
+                |  SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+                |  WHERE vec_id < 16
+                |), assigned AS (
+                |  SELECT neighbor_id, cv, centroid_id AS cell FROM (
+                |    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+                |      row_number() OVER (PARTITION BY e.vec_id
+                |        ORDER BY ${O.cosine("e.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
+                |    FROM embeddings e CROSS JOIN cents c
+                |  ) WHERE rn = 1
+                |), probes AS (
+                |  SELECT query_id, qv, centroid_id AS cell FROM (
+                |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+                |      row_number() OVER (PARTITION BY q.vec_id
+                |        ORDER BY ${O.cosine("q.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
+                |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
+                |  ) WHERE rn <= 4
+                |), scored AS (
+                |  SELECT DISTINCT p.query_id, a.neighbor_id, ${O.cosine("p.qv", "a.cv", 64)} AS cos
+                |  FROM assigned a JOIN probes p ON a.cell = p.cell
+                |  WHERE a.neighbor_id <> p.query_id
+                |), ranked AS (
+                |  SELECT query_id, neighbor_id,
+                |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+                |  FROM scored
+                |)
+                |SELECT query_id, neighbor_id, rank FROM ranked
+                |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+      })
   )
 }
