@@ -366,20 +366,24 @@ object ReferenceOps extends QueryModule {
              |  CAST(0 AS BIGINT) AS null_key
              |FROM lineitem""".stripMargin)),
 
-    // ---- B1: per-partition offset dedup (skip ≤ stored offset) ----------
+    // ---- B1/X1/§2.8: exactly-once through the REAL write path (not a
+    // shaped proxy): the same (appId, version) batch is appended twice;
+    // the replay must be skipped, so the read-back row count equals the
+    // source count. A double-write fails the oracle compare. -------------
     "ref_b1_offset_dedup" -> QueryDef(
       (s, d) => {
-        val df = kafkaShaped(s, d)
-        val stored = (col("partition") + 1) * 100L
-        df.filter(col("offset") > stored)
-          .groupBy(col("partition"))
-          .agg(count(lit(1)).as("n_processed"), min(col("offset")).as("first_offset"))
-          .orderBy(col("partition"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-b1").toString
+        val src = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val table = graft.delta.DeltaTable.forPath(s, dir).create(src.schema)
+        table.append(src, Some("b1"), txnVersion = 0L)
+        table.append(src, Some("b1"), txnVersion = 0L) // replayed batch → skipped
+        table.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("event_id")).as("n_distinct"),
+          sum(col("event_id")).as("id_sum"))
       },
-      Some("""SELECT CAST(event_id % 4 AS INTEGER) AS partition,
-             |  count(*) AS n_processed, min(event_id) AS first_offset
-             |FROM events WHERE event_id > (event_id % 4 + 1) * 100
-             |GROUP BY 1 ORDER BY partition""".stripMargin))
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct,
+             |  sum(event_id) AS id_sum FROM events""".stripMargin))
   )
 
   /** Spark's decode() collides with our helper name; tiny alias to cast
