@@ -89,8 +89,16 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** Rolling polynomial hash over tokens (shingle-friendly 64-bit). */
-  def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+  /** Rolling polynomial hash over a PRE-HASHED token column (array<long>
+    * of md5-derived values): acc' = (acc·B + (h mod M)) mod M with
+    * M = 2^31, B = 1000003 — products stay under 2^62, so the arithmetic
+    * is exact in BOTH engines (Java wraparound vs DuckDB overflow-error
+    * made the previous xxhash64 form un-oracle-able). Order-sensitive,
+    * unlike [[fingerprint]]'s sorted-set digest. */
+  val RollingMod: Long = 1L << 31
+  val RollingBase: Long = 1000003L
+
+  def rollingHashFromHashes(hashed: Column): Column =
+    aggregate(hashed, lit(0L), (acc, h) =>
+      pmod(acc * lit(RollingBase) + h.bitwiseAND(lit(RollingMod - 1)), lit(RollingMod)))
 }

@@ -75,9 +75,17 @@ object TextQueries extends QueryModule {
     "text_fingerprint" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
-          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
+          .select(col("doc_id"),
+            fingerprint(col("text")).as("fp"),
+            rollingHashFromHashes(
+              transform(col("ts"), t => graft.functions.Hashing.h64(t, "rh"))).as("rh"))
           .orderBy(col("doc_id")),
-      Some(s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($T)), ' ')) AS fp
+      Some(s"""SELECT doc_id,
+              |  md5(array_to_string(list_sort(list_distinct($T)), ' ')) AS fp,
+              |  list_reduce(
+              |    list_transform($T, t -> (${graft.functions.Hashing.h64Sql("t", "rh")} & 2147483647)),
+              |    (acc, h) -> (CAST(acc AS BIGINT) * 1000003 + h) % 2147483648) AS rh
               |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
