@@ -226,22 +226,30 @@ object Dedup {
   }
 
   /** Embedding near-dup: cosine ≥ threshold via LSH bucketing (random
-    * hyperplanes) + exact verify on candidates. The hyperplane matrix is
-    * md5-derived at plan time (deterministic), so the oracle inlines the
-    * identical ±1 literals and reproduces buckets and cosines exactly.
-    * Blocking recall is tunable via `planes` (fewer planes → bigger
-    * buckets → higher recall); the verified-output contract is
-    * "bucket-collision pairs above threshold", mirrored by the oracle. */
+    * hyperplanes) with 1-bit MULTIPROBE + exact verify on candidates —
+    * every vector also probes the `planes` buckets at Hamming distance 1,
+    * so pairs disagreeing on a single plane are still candidates
+    * (closes the unmeasured-recall note from round 1). The hyperplane
+    * matrix is md5-derived at plan time (deterministic), so the oracle
+    * inlines the identical ±1 literals and reproduces buckets, probes,
+    * and cosines exactly; the verified-output contract is
+    * "probe-collision pairs above threshold", mirrored by the oracle. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 16,
                         dims: Int = 64): DataFrame = {
     val m = Similarity.hyperplaneMatrix(planes, dims)
     val sig = Similarity.signature(col(vecCol), m)
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
-    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
+    val probeCols = col("sig") +: (0 until planes).map(p =>
+      col("sig").bitwiseXOR(lit(1L << p)))
+    val probed = withSig.select(col("id"), col("v"),
+      explode(array(probeCols: _*)).as("psig"))
+    probed.alias("a")
+      .join(withSig.alias("b"),
+        col("a.psig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("v_a"), col("b.v").as("v_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

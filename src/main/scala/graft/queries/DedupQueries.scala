@@ -110,12 +110,16 @@ object DedupQueries extends QueryModule {
           .orderBy(col("id_a"), col("id_b")),
       {
         val m = O.hyperplanes(10, 64)
-        Some(s"""WITH sigs AS (
+        val probeList = ("sig" +: (0 until 10).map(p => s"xor(sig, ${1L << p})"))
+          .mkString("[", ", ", "]")
+        Some(s"""WITH sigs AS MATERIALIZED (
                 |  SELECT vec_id AS id, embedding AS v, ${O.signature("embedding", m)} AS sig
                 |  FROM embeddings
+                |), probed AS (
+                |  SELECT id, v, unnest($probeList) AS psig FROM sigs
                 |), cand AS (
-                |  SELECT a.id AS id_a, b.id AS id_b, a.v AS v_a, b.v AS v_b
-                |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
+                |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS v_a, b.v AS v_b
+                |  FROM probed a JOIN sigs b ON a.psig = b.sig AND a.id < b.id
                 |), scored AS (
                 |  SELECT id_a, id_b, ${O.cosine("v_a", "v_b", 64)} AS c FROM cand
                 |)
