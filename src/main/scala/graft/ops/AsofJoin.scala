@@ -34,6 +34,10 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, keyCol: String,
            leftTime: String, rightTime: String, payloadCol: String): DataFrame = {
     val leftCols = left.columns
+    require(!leftCols.contains("_t") && !leftCols.contains("_side"),
+      "asof join reserves the column names _t and _side")
+    require(!leftCols.contains(s"asof_$payloadCol"),
+      s"left side already has a column named asof_$payloadCol")
     val payload = s"asof_$payloadCol"
     val l = left
       .withColumn("_t", col(leftTime))
