@@ -8,12 +8,13 @@ import graft.functions.Hashing
   *
   * Scale strategy (the three rules every operator here follows):
   *  1. Shuffle digests and IDs, never documents. Candidate generation emits
-  *     (key, id) rows only; the full text/shingle payload is re-joined ONCE
-  *     for the verify step, after candidate pairs are deduplicated.
-  *  2. Candidate generation is linear: an inverted-index or LSH-bucket
-  *     self-join whose per-key population is bounded by design (band
-  *     buckets, rare-prefix shingles, signature chunks) — never an
-  *     all-pairs or size-bucket join whose buckets grow with the corpus.
+  *     (key, id) rows only, and verification COUNTS shared hashed shingles
+  *     per pair (o/(|A|+|B|−o)) instead of re-joining shingle arrays — no
+  *     text or array payload ever crosses a shuffle.
+  *  2. Candidate generation keys are bounded by design (LSH band buckets,
+  *     signature chunk pairs, multiprobe cells) — never an all-pairs or
+  *     size-bucket join whose buckets grow with the corpus; the one exact
+  *     operator (ngramJaccardPairs) documents its Σdf² regime explicitly.
   *  3. Hash bits come from md5 via [[graft.functions.Hashing]] so the
   *     DuckDB oracle reproduces every signature and bucket exactly; the
   *     k-fold fan-out uses the affine family on ONE md5 per token.
@@ -68,10 +69,9 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs.
     *
     * Plan shape (100 TB story): band rows are (bucket, band, id) — 17 bytes
-    * of shuffle per band per doc, independent of document size. The shingle
-    * payload crosses the wire exactly twice: once into the signature
-    * computation (map-side, no shuffle) and once re-joined onto the
-    * deduplicated candidate pairs for exact-Jaccard verification.
+    * of shuffle per band per doc, independent of document size; the
+    * exact-Jaccard verify counts shared hashed shingles per candidate
+    * pair, so shingle content never crosses a shuffle at all.
     *
     * @param bands     LSH bands; Pr[candidate] = 1-(1-j^r)^b, r = numHashes/bands
     * @param threshold exact-Jaccard verification threshold on shingle sets
