@@ -85,9 +85,9 @@ object Dedup {
     // explode + codegen'd min-aggs instead of higher-order transform
     // lambdas (interpreted, ~10× slower): one md5 per (doc, shingle),
     // then numHashes affine mins in a single hash aggregate.
-    val ex = base.select(col("id"), size(col("hsh")).cast("long").as("sz"),
-        explode(col("hsh")).as("h"))
-      .select(col("id"), col("sz"), col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("x"))
+    val exH = base.select(col("id"), size(col("hsh")).cast("long").as("sz"),
+      explode(col("hsh")).as("h"))
+    val ex = exH.select(col("id"), col("sz"), col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("x"))
     val aggs = (0 until numHashes).map(i => min(Hashing.affine(col("x"), i)).as(s"mh$i"))
     val withSig = ex.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -109,10 +109,13 @@ object Dedup {
 
     // Verify by counting shared hashed shingles per candidate pair — the
     // shingle arrays never cross a shuffle (same trick as
-    // ngramJaccardPairs; the oracle mirrors the hashed-count form).
+    // ngramJaccardPairs; the oracle mirrors the hashed-count form). The
+    // count joins on the FULL 60-bit hash: two distinct shingle hashes in
+    // one doc can collide in the low 32 bits used by the signature path,
+    // which would double-count overlap and let jaccard exceed 1.
     cand
-      .join(ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("x")), Seq("id_a"))
-      .join(ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("x")), Seq("id_b", "x"))
+      .join(exH.select(col("id").as("id_a"), col("sz").as("sz_a"), col("h")), Seq("id_a"))
+      .join(exH.select(col("id").as("id_b"), col("sz").as("sz_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("o"), min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
       .withColumn("jaccard",

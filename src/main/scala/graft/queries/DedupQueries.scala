@@ -61,9 +61,9 @@ object DedupQueries extends QueryModule {
               |), hashed AS (
               |  SELECT id, list_distinct(list_transform(sh, s -> ${graft.functions.Hashing.h64Sql("s", "mh")})) AS hsh
               |  FROM base
-              |), ex0 AS (
+              |), ex0 AS MATERIALIZED (
               |  SELECT id, CAST(len(hsh) AS BIGINT) AS sz, unnest(hsh) AS h FROM hashed
-              |), ex AS MATERIALIZED (
+              |), ex AS (
               |  SELECT id, sz, (h & 4294967295) AS x FROM ex0
               |), sigs AS MATERIALIZED (
               |  SELECT id, ${O.minhashAggArray("x", 128)} AS mh FROM ex GROUP BY id
@@ -74,7 +74,7 @@ object DedupQueries extends QueryModule {
               |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
               |), o AS (
               |  SELECT c.id_a, c.id_b, count(*) AS o, min(xa.sz) AS sz_a, min(xb.sz) AS sz_b
-              |  FROM cand c JOIN ex xa ON c.id_a = xa.id JOIN ex xb ON c.id_b = xb.id AND xa.x = xb.x
+              |  FROM cand c JOIN ex0 xa ON c.id_a = xa.id JOIN ex0 xb ON c.id_b = xb.id AND xa.h = xb.h
               |  GROUP BY c.id_a, c.id_b
               |), scored AS (
               |  SELECT id_a, id_b,

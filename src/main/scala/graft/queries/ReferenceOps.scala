@@ -383,7 +383,7 @@ object ReferenceOps extends QueryModule {
           sum(col("event_id")).as("id_sum"))
       },
       Some("""SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct,
-             |  sum(event_id) AS id_sum FROM events""".stripMargin))
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum FROM events""".stripMargin))
   )
 
   /** Spark's decode() collides with our helper name; tiny alias to cast

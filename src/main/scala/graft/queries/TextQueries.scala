@@ -19,8 +19,10 @@ object TextQueries extends QueryModule {
     "text_token_count" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
-          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
-            subwordCount(col("text")).as("n_subwords"))
+          .select(col("doc_id"),
+            // BIGINT on both sides: DuckDB len() is int64, Spark size() int32
+            tokenCount(col("text")).cast("long").as("n_tokens"),
+            subwordCount(col("text")).cast("long").as("n_subwords"))
           .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id, len($T) AS n_tokens,
               |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_subwords

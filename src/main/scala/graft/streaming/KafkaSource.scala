@@ -30,6 +30,11 @@ final case class KafkaSourceConfig(
     autoOffsetReset: String = "earliest",
     /** partition → first offset to read (reference --seek_offsets). */
     seekOffsets: Option[Map[Int, Long]] = None,
+    /** Total partition count of the topic. Spark's Kafka source requires an
+      * offset for EVERY partition when JSON `startingOffsets` is used;
+      * partitions not listed in [[seekOffsets]] are filled with -2
+      * (= earliest). Required whenever seekOffsets is set. */
+    numPartitions: Option[Int] = None,
     maxMessagesPerBatch: Option[Long] = None,
     /** reference --kafka_setting key=value passthroughs (kafka.* prefixed). */
     additionalSettings: Map[String, String] = Map.empty) {
@@ -38,12 +43,20 @@ final case class KafkaSourceConfig(
     s"unknown auto_offset_reset $autoOffsetReset") // mirrors main.rs:103-106
 
   /** The `startingOffsets` option: explicit seek JSON when given, else the
-    * auto.offset.reset policy. Kafka-source JSON shape:
-    * {"topic":{"0":23,"1":-2}} (-2 = earliest for unlisted behavior). */
+    * auto.offset.reset policy. Spark's Kafka source rejects JSON offsets
+    * that omit any partition of the subscribed topic, so every partition in
+    * [0, numPartitions) is listed — seeked ones at their offset, the rest
+    * at -2 (= earliest), matching the reference where unseeked partitions
+    * fall back to auto.offset.reset (src/lib.rs:1088-1100). */
   def startingOffsets: String = seekOffsets match {
     case Some(m) =>
-      val parts = m.toSeq.sortBy(_._1)
-        .map { case (p, o) => s""""$p": $o""" }.mkString(", ")
+      val n = numPartitions.getOrElse(throw new IllegalArgumentException(
+        "numPartitions is required with seekOffsets: Spark's Kafka source " +
+          "needs an offset for every partition of the topic"))
+      require(m.keys.forall(p => p >= 0 && p < n),
+        s"seekOffsets partition out of range [0, $n)")
+      val parts = (0 until n)
+        .map(p => s""""$p": ${m.getOrElse(p, -2L)}""").mkString(", ")
       s"""{"$topic": {$parts}}"""
     case None => autoOffsetReset
   }

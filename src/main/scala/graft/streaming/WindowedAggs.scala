@@ -74,7 +74,13 @@ object WindowedAggs {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastTs + gapMs)
+          // EventTimeTimeout requires a timeout strictly after the current
+          // watermark; a group whose lastTs + gap already trails the
+          // watermark (late-but-admitted events) would otherwise crash the
+          // query with IllegalArgumentException. Clamping to watermark + 1
+          // closes such sessions on the next watermark advance.
+          state.setTimeoutTimestamp(
+            math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.reverseIterator
       }

@@ -16,10 +16,22 @@ class KafkaSourceSpec extends SparkSpec {
     assert(KafkaSourceConfig.parseSeekOffsets("5:9999999") === Map(5 -> 9999999L))
   }
 
-  test("startingOffsets renders seek JSON per partition, sorted") {
+  test("startingOffsets renders seek JSON covering every partition") {
     val cfg = KafkaSourceConfig("web_requests", "localhost:9092",
-      seekOffsets = Some(Map(1 -> 12L, 0 -> 10L)))
+      seekOffsets = Some(Map(1 -> 12L, 0 -> 10L)), numPartitions = Some(2))
     assert(cfg.startingOffsets === """{"web_requests": {"0": 10, "1": 12}}""")
+    // Spark's Kafka source rejects JSON offsets that omit a partition:
+    // unlisted partitions are filled with -2 (earliest).
+    val sparse = KafkaSourceConfig("t", "b",
+      seekOffsets = Some(Map(2 -> 7L)), numPartitions = Some(4))
+    assert(sparse.startingOffsets === """{"t": {"0": -2, "1": -2, "2": 7, "3": -2}}""")
+    // seekOffsets without the topic's partition count is an error, as is
+    // a seek for a partition the topic doesn't have.
+    assertThrows[IllegalArgumentException](
+      KafkaSourceConfig("t", "b", seekOffsets = Some(Map(0 -> 1L))).startingOffsets)
+    assertThrows[IllegalArgumentException](
+      KafkaSourceConfig("t", "b", seekOffsets = Some(Map(9 -> 1L)),
+        numPartitions = Some(2)).startingOffsets)
   }
 
   test("startingOffsets falls back to auto_offset_reset") {
