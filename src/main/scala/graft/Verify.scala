@@ -4,6 +4,18 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Timestamp outputs go to parquet as TIMESTAMP_NTZ: Spark's TimestampType
+    * (LTZ) writes isAdjustedToUTC=true → arrow timestamp[us, tz=UTC], while
+    * the DuckDB oracle returns naive timestamp[us]; the driver's exact gate
+    * compares arrow schemas, so the tz annotation alone turned 5 queries red
+    * in round 3. Session tz is UTC, so the LTZ→NTZ cast is value-preserving. */
+  private[graft] def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    df.schema.fields.collect { case f if f.dataType == TimestampType => f.name }
+      .foldLeft(df)((d, c) => d.withColumn(c, d.col(c).cast("timestamp_ntz")))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,16 +27,6 @@ object Verify {
     // queries are independent; run a few concurrently (Spark schedules
     // concurrent jobs fine) to cut the driver's verify wall-clock
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    // Timestamp outputs go to parquet as TIMESTAMP_NTZ: Spark's TimestampType
-    // (LTZ) writes isAdjustedToUTC=true → arrow timestamp[us, tz=UTC], while
-    // the DuckDB oracle returns naive timestamp[us]; the driver's exact gate
-    // compares arrow schemas, so the tz annotation alone turned 5 queries red
-    // in round 3. Session tz is UTC, so the LTZ→NTZ cast is value-preserving.
-    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      import org.apache.spark.sql.types.TimestampType
-      df.schema.fields.collect { case f if f.dataType == TimestampType => f.name }
-        .foldLeft(df)((d, c) => d.withColumn(c, d.col(c).cast("timestamp_ntz")))
-    }
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =

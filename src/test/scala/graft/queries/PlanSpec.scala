@@ -51,6 +51,12 @@ class PlanSpec extends SparkSpec {
       "self-join should compute the explode+shuffle once:\n" + p)
   }
 
+  test("minhash LSH: the banded candidate self-join reuses one exchange") {
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("ReusedExchange"),
+      "band self-join should compute the signature+explode+shuffle once:\n" + p)
+  }
+
   test("dedup_exact shuffles digests, not text") {
     val p = plan("dedup_exact")
     val exchanges = "Exchange hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).toSeq
