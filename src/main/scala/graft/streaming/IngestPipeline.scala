@@ -243,7 +243,17 @@ object IngestPipeline {
     * the Delta table back. */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {
     val events = graft.Tables.events(spark, sfDir)
-    val kafkaShaped = events.select(
+    // A real Kafka topic spreads messages across partitions, and Spark's
+    // Kafka source maps partitions → tasks; the single small parquet file
+    // behind this simulation collapses to ONE input split. Worse, the
+    // ok/dead split filter (which embeds the whole decode+coerce tree)
+    // pushes below any repartition right onto that scan, serializing the
+    // message path on one core (measured 5.4 s vs 1.2 s at sf0.1). The
+    // localCheckpoint below is the "this is a source" lineage barrier: it
+    // materializes the messages across one partition per core, exactly the
+    // shape a Kafka micro-batch arrives in.
+    val kafkaParallelism = spark.sparkContext.defaultParallelism
+    val kafkaShaped0 = events.select(
       to_json(struct(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k"),
@@ -254,6 +264,7 @@ object IngestPipeline {
       lit("events").as("topic"),
       unix_millis(col("ts")).as("timestamp"),
       lit(0).as("timestampType"))
+    val kafkaShaped = kafkaShaped0.repartition(kafkaParallelism).localCheckpoint()
 
     val schema = StructType(Seq(
       StructField("event_id", LongType),
