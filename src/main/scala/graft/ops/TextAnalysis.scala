@@ -101,4 +101,22 @@ object TextAnalysis {
   def rollingHashFromHashes(hashed: Column): Column =
     aggregate(hashed, lit(0L), (acc, h) =>
       pmod(acc * lit(RollingBase) + h.bitwiseAND(lit(RollingMod - 1)), lit(RollingMod)))
+
+  /** PII scrub patterns: every regex is RE2-compatible (no lookaround, no
+    * backreferences) AND means the same thing to Java's engine, so the
+    * DuckDB oracle reproduces the masking byte-for-byte. Order matters:
+    * emails before phones (a phone pattern could otherwise eat the digits
+    * of user123@…), IPs before phones (dotted quads are digit runs). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d()\\- ]{6,}\\d" -> "<PHONE>")
+
+  /** Mask emails, IPv4s, and phone-shaped digit runs — the minimum scrub a
+    * training corpus gets before release. Pure codegen'd regexp_replace
+    * chain: runs in the scan stage, no shuffle. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
 }

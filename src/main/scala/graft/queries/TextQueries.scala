@@ -74,6 +74,33 @@ object TextQueries extends QueryModule {
            |) ORDER BY doc_id""".stripMargin
       }),
 
+    // PII is synthesized deterministically per doc (the corpus itself is
+    // clean), so the gate proves each pattern actually masks: the oracle
+    // recomputes the same injection and the same RE2-safe replacements.
+    "text_pii_scrub" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 40),
+              lit(" contact user"), col("doc_id"), lit("@example.com or "),
+              lit("10.0."), col("doc_id") % 256, lit(".7 tel +1 (555) 010-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("dirty"))
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.scrubPii(col("dirty")).as("clean"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH dirty AS (
+              |  SELECT doc_id, substring(text, 1, 40)
+              |    || ' contact user' || doc_id || '@example.com or '
+              |    || '10.0.' || (doc_id % 256) || '.7 tel +1 (555) 010-'
+              |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+              |  FROM documents
+              |)
+              |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(dirty,
+              |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              |  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+              |  '\\+?\\d[\\d()\\- ]{6,}\\d', '<PHONE>', 'g') AS clean
+              |FROM dirty ORDER BY doc_id""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

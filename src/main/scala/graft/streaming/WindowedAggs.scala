@@ -30,6 +30,18 @@ object WindowedAggs {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact deduplication with BOUNDED state: keeps one row per
+    * key, dropping replays that arrive within the watermark delay; key
+    * state older than the watermark is evicted (plain dropDuplicates
+    * would hold every key forever — unusable at 100 TB). The contract a
+    * training-data ingest needs for at-least-once upstreams: duplicates
+    * land within the delay window or not at all. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, events: Int, total: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

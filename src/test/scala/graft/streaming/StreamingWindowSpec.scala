@@ -45,6 +45,24 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops replays, keeps state bounded by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF.toDF("event_id", "ts", "value")
+    val q = WindowedAggs.dedupWithinWatermark(events, Seq("event_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts(0), 1.0), (1L, ts(1), 99.0), (2L, ts(2), 2.0))
+      q.processAllAvailable()
+      // replay of key 1 in a later batch, still within the watermark delay
+      in.addData((1L, ts(3), 77.0))
+      q.processAllAvailable()
+      val out = spark.table("dd").collect().map(r => (r.getLong(0), r.getDouble(2))).sorted
+      assert(out.toSeq === Seq((1L, 1.0), (2L, 2.0)),
+        s"each key must survive exactly once with its first values; got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize: gap timeout closes sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
