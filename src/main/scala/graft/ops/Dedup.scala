@@ -228,6 +228,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark-contamination check: corpus documents sharing ≥ `minShared`
+    * word n-grams with any probe document (the test-set-leakage scan every
+    * training corpus needs before release).
+    *
+    * Plan shape (100 TB story): the probe side (benchmark suites — MBs,
+    * not TBs) is exploded to distinct shingle hashes and BROADCAST; the
+    * corpus streams through a broadcast hash join inside its scan stage —
+    * zero shuffle of corpus data, output only (doc_id, probe_id, counts).
+    *
+    * @return (doc_id, probe_id, shared, doc_ngrams) — one row per
+    *         contaminated (corpus doc, probe doc) pair */
+  def contaminationPairs(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, minShared: Long = 1L): DataFrame = {
+    val c = hashedShingleBase(corpus, idCol, textCol, shingleN, "contam")
+      .select(col("id").as("doc_id"), size(col("hsh")).cast("long").as("doc_ngrams"),
+        explode(col("hsh")).as("h"))
+    val p = hashedShingleBase(probes, idCol, textCol, shingleN, "contam")
+      .select(col("id").as("probe_id"), explode(col("hsh")).as("h"))
+    c.join(broadcast(p), Seq("h"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared"), min(col("doc_ngrams")).as("doc_ngrams"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Embedding near-dup: cosine ≥ threshold via LSH bucketing (random
     * hyperplanes) with 1-bit MULTIPROBE + exact verify on candidates —
     * every vector also probes the `planes` buckets at Hamming distance 1,

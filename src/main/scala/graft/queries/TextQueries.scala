@@ -101,6 +101,37 @@ object TextQueries extends QueryModule {
               |  '\\+?\\d[\\d()\\- ]{6,}\\d', '<PHONE>', 'g') AS clean
               |FROM dirty ORDER BY doc_id""".stripMargin)),
 
+    // Test-set-leakage scan: corpus docs sharing ≥2 3-grams with a probe
+    // ("benchmark") subset. Probe side is broadcast — the corpus never
+    // shuffles (PlanSpec pins the BroadcastHashJoin). Parameters chosen
+    // against ground truth so the gate row is non-vacuous: 12 true pairs
+    // at sf0.01 (5-grams yield zero — the round-1 dedup_embedding lesson).
+    "text_contamination" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.Dedup.contaminationPairs(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", shingleN = 3, minShared = 2L)
+          .orderBy(col("doc_id"), col("probe_id"))
+      },
+      Some(s"""WITH hashed AS (
+              |  SELECT doc_id, list_distinct(list_transform(${graft.queries.OracleSql.shingles(3)},
+              |    s -> ${graft.functions.Hashing.h64Sql("s", "contam")})) AS hsh
+              |  FROM documents
+              |), cex AS (
+              |  SELECT doc_id, CAST(len(hsh) AS BIGINT) AS doc_ngrams, unnest(hsh) AS h
+              |  FROM hashed WHERE doc_id % 97 <> 0
+              |), pex AS (
+              |  SELECT doc_id AS probe_id, unnest(hsh) AS h
+              |  FROM hashed WHERE doc_id % 97 = 0
+              |)
+              |SELECT c.doc_id, p.probe_id, count(*) AS shared, min(c.doc_ngrams) AS doc_ngrams
+              |FROM cex c JOIN pex p USING (h)
+              |GROUP BY c.doc_id, p.probe_id
+              |HAVING count(*) >= 2
+              |ORDER BY doc_id, probe_id""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

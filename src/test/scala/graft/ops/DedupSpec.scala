@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("contamination finds planted n-gram leaks, counts distinct shared shingles") {
+    val probes = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    // doc 1/2/4 share trigrams with the probe; doc 3/5 share none
+    val out = Dedup.contaminationPairs(docs, probes, "doc_id", "text",
+        shingleN = 3, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set((1L, 100L), (2L, 100L), (4L, 100L)))
+    // probe has 3 distinct trigrams, all inside docs 1/2/4
+    assert(out((1L, 100L)) === 3L)
+    // minShared prunes weak overlaps
+    val strict = Dedup.contaminationPairs(docs, probes, "doc_id", "text",
+        shingleN = 3, minShared = 4L).count()
+    assert(strict === 0L)
+  }
+
   test("shingles handles short docs (single shingle) and empty text") {
     val out = Seq((1L, "one"), (2L, "")).toDF("id", "text")
       .select(col("id"), TextAnalysis.tokens(col("text")).as("ts"))

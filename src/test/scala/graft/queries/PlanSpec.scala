@@ -57,6 +57,14 @@ class PlanSpec extends SparkSpec {
       "band self-join should compute the signature+explode+shuffle once:\n" + p)
   }
 
+  test("contamination scan broadcasts the probe side, never shuffles the corpus") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe shingles must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus side must not shuffle into the join:\n" + p)
+  }
+
   test("dedup_exact shuffles digests, not text") {
     val p = plan("dedup_exact")
     val exchanges = "Exchange hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).toSeq
