@@ -170,6 +170,24 @@ object ReferenceOps extends QueryModule {
       },
       Some("SELECT event_id, event_type AS extracted FROM events ORDER BY event_id")),
 
+    // ---- T1b: JMESPath array indexes + pipes over the raw variant ------
+    "ref_t1b_jmespath_index" -> QueryDef(
+      (s, d) => {
+        import graft.transforms.JmesPath
+        val json = concat(lit("{\"a\":[{\"x\":"), col("event_id"),
+          lit("},{\"x\":"), col("event_id") + 1, lit("}]}"))
+        Tables.events(s, d)
+          .select(col("event_id"), parse_json(json).as("v"))
+          .select(col("event_id"),
+            JmesPath.toColumnOverVariant(JmesPath.parse("a[1].x"), col("v"))
+              .cast("long").as("x1"),
+            JmesPath.toColumnOverVariant(JmesPath.parse("a[0] | x"), col("v"))
+              .cast("long").as("x0"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_id + 1 AS x1, event_id AS x0
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- T2: substr(s, skip, take) — char-based -------------------------
     "ref_t2_substr" -> QueryDef(
       (s, d) => {

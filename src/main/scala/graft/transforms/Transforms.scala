@@ -14,16 +14,23 @@ final case class TransformCompileError(message: String) extends RuntimeException
   * /root/reference/src/main.rs:399-425):
   *   - SOURCE = a JMESPath expression over the message, or a Kafka meta
   *     property (`kafka.partition|offset|topic|timestamp|timestamp_type`).
-  *   - Supported JMESPath subset: identifier paths `a.b.c`, backtick JSON
+  *   - Supported JMESPath subset: identifier paths `a.b.c` with
+  *     non-negative array indexes `a[0].b`, pipes `a.b | c`, backtick JSON
   *     literals, and the reference's custom functions (substr,
   *     epoch_*_to_iso8601, epoch_millis_to_micro) plus built-in `to_number`.
   *     This covers every expression in the reference's docs and tests;
-  *     anything else fails fast at compile time.
+  *     anything else (projections `[*]`, filters `[?…]`, slices, negative
+  *     indexes) fails fast at compile time.
   */
 object JmesPath {
 
+  sealed trait Seg
+  final case class Field(name: String) extends Seg
+  final case class Idx(i: Int) extends Seg
+
   sealed trait Ast
-  final case class Path(parts: Seq[String]) extends Ast
+  final case class Path(segs: Seq[Seg]) extends Ast
+  final case class Pipe(left: Ast, right: Ast) extends Ast
   final case class NumLit(v: Double) extends Ast
   final case class StrLit(v: String) extends Ast
   final case class Func(name: String, args: Seq[Ast]) extends Ast
@@ -45,16 +52,31 @@ object JmesPath {
     def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
 
     def parseExpr(): Ast = {
+      var left = parseSimple()
+      skipWs()
+      // pipe: RHS evaluates with the LHS result as its current value
+      while (!eof && peek == '|') {
+        pos += 1
+        left = Pipe(left, parseSimple())
+        skipWs()
+      }
+      left
+    }
+
+    private def parseSimple(): Ast = {
       skipWs()
       if (eof) throw TransformCompileError("empty expression")
       peek match {
         case '`' => parseBacktickLiteral()
         case '\'' => parseRawString()
+        case '@' => // current node (the piped-in value)
+          pos += 1
+          parsePathRest(parseIndexes())
         case c if c.isLetter || c == '_' =>
           val id = parseIdent()
           skipWs()
           if (!eof && peek == '(') parseFunc(id)
-          else parsePathRest(Seq(id))
+          else parsePathRest(Seq(Field(id)) ++ parseIndexes())
         case c => throw TransformCompileError(s"unexpected '$c' at $pos in: $s")
       }
     }
@@ -66,12 +88,33 @@ object JmesPath {
       s.substring(start, pos)
     }
 
-    private def parsePathRest(acc: Seq[String]): Ast = {
+    private def parsePathRest(acc: Seq[Seg]): Ast = {
       skipWs()
       if (!eof && peek == '.') {
         pos += 1; skipWs()
-        parsePathRest(acc :+ parseIdent())
+        parsePathRest((acc :+ Field(parseIdent())) ++ parseIndexes())
       } else Path(acc)
+    }
+
+    /** Zero or more `[N]` suffixes (non-negative literal indexes only —
+      * projections `[*]`, filters `[?…]`, slices `[a:b]` are out of the
+      * supported subset and fail here with a clear message). */
+    private def parseIndexes(): Seq[Seg] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seg]
+      skipWs()
+      while (!eof && peek == '[') {
+        pos += 1; skipWs()
+        val start = pos
+        while (!eof && peek.isDigit) pos += 1
+        if (pos == start || eof || { skipWs(); eof || peek != ']' })
+          throw TransformCompileError(
+            s"only non-negative literal indexes are supported in brackets at $start in: $s")
+        out += Idx(s.substring(start, pos).trim.toInt)
+        skipWs() // at ']'
+        pos += 1
+        skipWs()
+      }
+      out.toSeq
     }
 
     private def parseFunc(name: String): Ast = {
@@ -127,17 +170,47 @@ object JmesPath {
   /** Lower an AST to a Column over the decoded message DataFrame (payload
     * fields as top-level / nested struct columns). */
   def toColumn(ast: Ast): Column = ast match {
-    case Path(parts) => parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
+    case Path(segs) =>
+      segs match {
+        case Field(head) +: rest => rest.foldLeft(col(head)) {
+          case (c, Field(f)) => c.getField(f)
+          case (c, Idx(i)) => c.getItem(i)
+        }
+        case _ => throw TransformCompileError(
+          "path must start with an identifier (`@` is only meaningful after a pipe)")
+      }
+    case Pipe(l, r) => overColumn(r, toColumn(l))
     case NumLit(v) => if (v == v.floor && !v.isInfinite) lit(v.toLong) else lit(v)
     case StrLit(v) => lit(v)
     case Func(name, args) => function(name, args.map(toColumn), args)
   }
 
+  /** Lower the RHS of a pipe relative to an already-lowered base column. */
+  private def overColumn(ast: Ast, base: Column): Column = ast match {
+    case Path(segs) => segs.foldLeft(base) {
+      case (c, Field(f)) => c.getField(f)
+      case (c, Idx(i)) => c.getItem(i)
+    }
+    case Pipe(l, r) => overColumn(r, overColumn(l, base))
+    case NumLit(v) => if (v == v.floor && !v.isInfinite) lit(v.toLong) else lit(v)
+    case StrLit(v) => lit(v)
+    case Func(name, args) => function(name, args.map(overColumn(_, base)), args)
+  }
+
+  /** A path's variant-get string: `$.a[0].b` (Spark variant paths use the
+    * same bracket syntax as JMESPath for literal indexes). */
+  private def variantPath(segs: Seq[Seg]): String =
+    "$" + segs.map {
+      case Field(f) => "." + f
+      case Idx(i) => s"[$i]"
+    }.mkString
+
   /** Lower an AST over the *raw* message VARIANT (pre-coercion values, the
     * reference evaluates JMESPath against the undecoded JSON tree). Path
     * results stay VARIANT; function arguments cast as each function needs. */
   def toColumnOverVariant(ast: Ast, v: Column): Column = ast match {
-    case Path(parts) => try_variant_get(v, "$." + parts.mkString("."), "variant")
+    case Path(segs) => try_variant_get(v, variantPath(segs), "variant")
+    case Pipe(l, r) => toColumnOverVariant(r, toColumnOverVariant(l, v))
     case NumLit(value) => if (value == value.floor && !value.isInfinite) lit(value.toLong) else lit(value)
     case StrLit(value) => lit(value)
     case Func(name, args) => function(name, args.map(toColumnOverVariant(_, v)), args)

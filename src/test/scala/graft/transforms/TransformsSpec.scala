@@ -96,9 +96,41 @@ class TransformsSpec extends SparkSpec {
     assert(out.getAs[String]("topic") === "t")
   }
 
+  test("array indexes navigate into lists (struct frame and raw variant)") {
+    val df = Seq(("x", Seq(Seq(10L, 20L), Seq(30L)))).toDF("name", "m")
+    val out = df.select(
+      JmesPath.toColumn(JmesPath.parse("m[0][1]")).as("a"),
+      JmesPath.toColumn(JmesPath.parse("m[1][0]")).as("b")).head()
+    assert(out.getAs[Long]("a") === 20L && out.getAs[Long]("b") === 30L)
+
+    val v = Seq("""{"items": [{"id": 7}, {"id": 9}]}""").toDF("j")
+      .select(parse_json(col("j")).as("v"))
+    val got = v.select(
+      JmesPath.toColumnOverVariant(JmesPath.parse("items[1].id"), col("v"))
+        .cast("long").as("x")).head()
+    assert(got.getAs[Long]("x") === 9L)
+  }
+
+  test("pipes re-root the right-hand expression on the left result") {
+    // path | func(@): the piped value feeds the function's current node
+    val df = Seq(("2024-05-06T07:08:09Z", "n")).toDF("modified", "name")
+    val d = df.select(
+      JmesPath.toColumn(JmesPath.parse("modified | substr(@, `0`, `10`)")).as("d")).head()
+    assert(d.getAs[String]("d") === "2024-05-06")
+    // path | path over the raw variant
+    val v = Seq("""{"meta": {"mod": "2024-05-06T07:08:09Z"}}""").toDF("j")
+      .select(parse_json(col("j")).as("v"))
+    val got = v.select(
+      JmesPath.toColumnOverVariant(JmesPath.parse("meta | mod"), col("v"))
+        .cast("string").as("m")).head()
+    assert(got.getAs[String]("m") === "2024-05-06T07:08:09Z")
+  }
+
   test("unsupported JMESPath specs fail fast at compile time") {
-    assertThrows[TransformCompileError](JmesPath.parse("a[0].b"))
-    assertThrows[TransformCompileError](JmesPath.parse("a | b"))
+    assertThrows[TransformCompileError](JmesPath.parse("a[*].b"))   // projection
+    assertThrows[TransformCompileError](JmesPath.parse("a[?x].b"))  // filter
+    assertThrows[TransformCompileError](JmesPath.parse("a[-1]"))    // negative idx
+    assertThrows[TransformCompileError](JmesPath.parse("a[1:3]"))   // slice
     assertThrows[TransformCompileError](
       JmesPath.toColumn(JmesPath.parse("unknown_fn(a)")))
   }
