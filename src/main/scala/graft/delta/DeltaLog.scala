@@ -176,13 +176,40 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     finally in.close()
   }
 
+  /** Mutable log-replay accumulator shared by the cached latest-snapshot
+    * path and time travel. */
+  private final class ReplayState(
+      var metadata: Option[Metadata] = None,
+      val adds: mutable.LinkedHashMap[String, AddFile] = mutable.LinkedHashMap.empty,
+      val txns: mutable.HashMap[String, Long] = mutable.HashMap.empty) {
+    def apply(actions: Seq[Action]): Unit = actions.foreach { a =>
+      a.metaData.foreach(m => metadata = Some(m))
+      a.add.foreach(f => adds(f.path) = f)
+      a.remove.foreach(r => adds.remove(r.path))
+      a.txn.foreach(t => txns(t.appId) = t.version)
+    }
+  }
+
+  /** Seed a replay from the newest parquet checkpoint at version ≤ cap.
+    * Returns the checkpoint version applied, or -1. */
+  private def seedFromCheckpoint(state: ReplayState, cap: Long): Long =
+    (spark, lastCheckpointVersion()) match {
+      case (Some(ss), Some(v)) if v <= cap && fs.exists(checkpointFile(v)) =>
+        // parquet rows → JSON lines → Action: same serde as the commits
+        val lines = ss.read.schema(CheckpointSchema)
+          .parquet(checkpointFile(v).toString)
+          .toJSON.collect()
+        state.apply(lines.toSeq.map(l => mapper.readValue(l, classOf[Action])))
+        v
+      case _ => -1L
+    }
+
   /** Incremental snapshot cache: a streaming writer calls snapshot()
     * before every commit attempt; replaying the whole log each time is
     * O(history²) over a query's life. The cache applies only the versions
     * committed since the last call. Cross-process writers are still seen:
     * the version listing is re-read every call. */
-  private var cached: Option[(Long, Option[Metadata],
-    mutable.LinkedHashMap[String, AddFile], mutable.HashMap[String, Long])] = None
+  private var cached: Option[(Long, ReplayState)] = None
 
   /** Reconstruct table state: cached state + new JSON commits; on a cold
     * cache, the newest parquet checkpoint (via `_last_checkpoint`) plus
@@ -192,35 +219,28 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     val latest = latestVersion()
     if (latest < 0) return Snapshot(-1L, None, Nil, Map.empty)
 
-    var (fromVersion, metadata, adds, txns) = cached match {
-      case Some((v, m, a, t)) if v <= latest => (v, m, a, t)
-      case _ => (-1L, Option.empty[Metadata],
-        mutable.LinkedHashMap.empty[String, AddFile],
-        mutable.HashMap.empty[String, Long])
+    var (fromVersion, state) = cached match {
+      case Some((v, st)) if v <= latest => (v, st)
+      case _ => (-1L, new ReplayState())
     }
+    if (fromVersion < 0) fromVersion = seedFromCheckpoint(state, latest)
+    ((fromVersion + 1) to latest).foreach(v => state.apply(readVersion(v)))
+    cached = Some((latest, state))
+    Snapshot(latest, state.metadata, state.adds.values.toSeq, state.txns.toMap)
+  }
 
-    def applyActions(actions: Seq[Action]): Unit = actions.foreach { a =>
-      a.metaData.foreach(m => metadata = Some(m))
-      a.add.foreach(f => adds(f.path) = f)
-      a.remove.foreach(r => adds.remove(r.path))
-      a.txn.foreach(t => txns(t.appId) = t.version)
-    }
-
-    if (fromVersion < 0) {
-      (spark, lastCheckpointVersion()) match {
-        case (Some(ss), Some(v)) if v <= latest && fs.exists(checkpointFile(v)) =>
-          // parquet rows → JSON lines → Action: same serde as the commits
-          val lines = ss.read.schema(CheckpointSchema)
-            .parquet(checkpointFile(v).toString)
-            .toJSON.collect()
-          applyActions(lines.toSeq.map(l => mapper.readValue(l, classOf[Action])))
-          fromVersion = v
-        case _ =>
-      }
-    }
-    ((fromVersion + 1) to latest).foreach(v => applyActions(readVersion(v)))
-    cached = Some((latest, metadata, adds, txns))
-    Snapshot(latest, metadata, adds.values.toSeq, txns.toMap)
+  /** Reconstruct table state AS OF `version` (time travel — what delta-rs
+    * calls load_version). Uncached: history reads are occasional, and the
+    * checkpoint seed still bounds the replay when one exists at ≤ version. */
+  def snapshotAt(version: Long): Snapshot = synchronized {
+    val latest = latestVersion()
+    if (version < 0 || version > latest)
+      throw new IllegalArgumentException(
+        s"version $version out of range [0, $latest] for $tablePath")
+    val state = new ReplayState()
+    val from = seedFromCheckpoint(state, version)
+    ((from + 1) to version).foreach(v => state.apply(readVersion(v)))
+    Snapshot(version, state.metadata, state.adds.values.toSeq, state.txns.toMap)
   }
 
   /** Last committed `txn` version for an app id (idempotence check). */

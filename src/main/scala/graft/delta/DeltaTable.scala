@@ -187,13 +187,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
 
   /** Read the current snapshot as a DataFrame (partition columns restored
     * from directory layout, cast to the declared schema types). */
-  def toDF: DataFrame = {
-    val snap = snapshot
-    val sch = schema
+  def toDF: DataFrame = dfFor(snapshot)
+
+  /** Time travel: the table as of `version` — that version's file set AND
+    * that version's schema (a later schema evolution must not leak into a
+    * historical read). */
+  def toDF(version: Long): DataFrame = dfFor(log.snapshotAt(version))
+
+  private def dfFor(snap: Snapshot): DataFrame = {
+    val sch = snap.schema.getOrElse(
+      throw new IllegalStateException(s"no table metadata at $path"))
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     val paths = snap.files.map(f => new Path(path, f.path).toString)
-    val parts = partitionColumns
+    val parts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
     val df =
       if (parts.isEmpty) spark.read.schema(sch).parquet(paths: _*)
       else spark.read.option("basePath", path).parquet(paths: _*)

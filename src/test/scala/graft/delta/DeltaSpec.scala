@@ -39,6 +39,27 @@ class DeltaSpec extends SparkSpec {
     assert(t.snapshot.files.forall(_.partitionValues.keySet === Set("date")))
   }
 
+  test("time travel: toDF(version) replays that version's files and schema") {
+    val t = newTable()
+    t.append(sampleDf(0 until 5))   // v1
+    t.append(sampleDf(5 until 12))  // v2
+    assert(t.toDF(1).count() === 5L)
+    assert(t.toDF(2).count() === 12L)
+    assert(t.toDF.count() === 12L)
+    // schema evolution after v2 must not leak into historical reads
+    t.updateSchema(schema.add(StructField("extra", LongType))) // v3
+    assert(t.toDF.columns.contains("extra"))
+    assert(!t.toDF(2).columns.contains("extra"))
+    assert(t.toDF(2).orderBy("id").collect()(7).getAs[String]("name") === "name7")
+    // out-of-range versions fail fast
+    assertThrows[IllegalArgumentException](t.toDF(99))
+    // snapshotAt replays txns as of the version too
+    t.append(sampleDf(12 until 13).withColumn("extra", lit(null).cast("long")),
+      Some("tt"), 5L) // v4
+    assert(t.log.snapshotAt(2).txns.get("tt") === None)
+    assert(t.log.snapshotAt(4).txns.get("tt") === Some(5L))
+  }
+
   test("txn append is idempotent: same (appId, version) commits once") {
     val t = newTable()
     assert(t.append(sampleDf(0 until 5), Some("app"), 0L) === 1L)
