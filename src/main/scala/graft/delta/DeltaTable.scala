@@ -207,6 +207,40 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     df.select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
   }
 
+  /** Garbage-collect data files no longer referenced by the CURRENT
+    * snapshot and older than `retentionMs` (delta VACUUM analog; pairs
+    * with [[toDF(version:Long)*]] — vacuumed history is no longer
+    * time-travelable, like Delta proper). Staging dirs and the log are
+    * never touched. Returns the number of files deleted.
+    *
+    * Scale: the referenced-set is path strings only (no footers), and
+    * deletion is metadata-rate; for object stores this would batch
+    * delete calls. */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val referenced = snapshot.files.map(_.path).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val root = new Path(path)
+    val rootQ = fs.makeQualified(root).toString
+    var deleted = 0
+    def walk(dir: Path): Unit = {
+      val name = dir.getName
+      if (name == "_delta_log" || name.startsWith("_staging-")) return
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else {
+          val rel = fs.makeQualified(st.getPath).toString
+            .stripPrefix(rootQ).stripPrefix("/")
+          val isData = st.getPath.getName.endsWith(".parquet")
+          if (isData && !referenced.contains(rel) && st.getModificationTime < cutoff) {
+            if (fs.delete(st.getPath, false)) deleted += 1
+          }
+        }
+      }
+    }
+    walk(root)
+    deleted
+  }
+
   /** Small-file compaction (the reference's min_bytes_per_file lever, B3,
     * re-expressed as OPTIMIZE): rewrite files below `minBytes` per partition
     * into compacted ones; commits add+remove with dataChange=false. */

@@ -24,6 +24,27 @@ object StreamingQueries extends QueryModule {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    // Sliding event-time windows: each event lands in windowLen/slide
+    // overlapping windows (Spark aligns starts to epoch multiples of the
+    // slide; the oracle expands k ∈ {0,1,2} buckets per event).
+    "q16_sliding_window" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "15 minutes", "5 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n"), col("total_value"))
+          .orderBy(col("window_start"), col("event_type")),
+      Some("""WITH expanded AS (
+             |  SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS window_start,
+             |    event_type, value
+             |  FROM events, unnest([0, 1, 2]) AS t(k)
+             |)
+             |SELECT window_start, event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM expanded GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
     "q14_sessionize" -> QueryDef(
       (s, d) => {
         val gapUs = 30L * 60 * 1000000 // 30-minute inactivity gap

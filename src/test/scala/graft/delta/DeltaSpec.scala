@@ -60,6 +60,22 @@ class DeltaSpec extends SparkSpec {
     assert(t.log.snapshotAt(4).txns.get("tt") === Some(5L))
   }
 
+  test("vacuum deletes only unreferenced data files past retention") {
+    val t = newTable()
+    t.append(sampleDf(0 until 4).coalesce(1))  // v1: file A
+    t.append(sampleDf(4 until 8).coalesce(1))  // v2: file B
+    t.compact(minBytes = Long.MaxValue)        // v3: A+B removed, C added
+    val live = t.snapshot.files.map(_.path).toSet
+    assert(live.size === 1)
+    // within retention: nothing deleted, history still readable
+    assert(t.vacuum() === 0)
+    assert(t.toDF(2).count() === 8L)
+    // zero retention: the two compacted-away files go; the live one stays
+    assert(t.vacuum(retentionMs = -1000) === 2)
+    assert(t.toDF.count() === 8L)
+    assert(t.snapshot.files.map(_.path).toSet === live)
+  }
+
   test("txn append is idempotent: same (appId, version) commits once") {
     val t = newTable()
     assert(t.append(sampleDf(0 until 5), Some("app"), 0L) === 1L)
