@@ -227,6 +227,39 @@ object Analytics extends QueryModule {
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
       headline = true),
 
+    // Full grouping-sets lattice (rollup's sibling; §2.11 coverage).
+    "q17_cube" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Running-total window frame (ROWS UNBOUNDED PRECEDING; decimal-routed
+    // so prefix sums are partition-order independent).
+    "q18_running_sum" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            sum(col("o_totalprice").cast("decimal(28,4)")).over(w)
+              .cast("double").as("running_total"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderdate, o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+             |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
     // Correlated scalar subquery shape: per-order max line.
     "q13_subquery" -> QueryDef(
       (s, d) => {
