@@ -102,6 +102,18 @@ object TextAnalysis {
     aggregate(hashed, lit(0L), (acc, h) =>
       pmod(acc * lit(RollingBase) + h.bitwiseAND(lit(RollingMod - 1)), lit(RollingMod)))
 
+  /** Duplicate n-gram ratio (Gopher-style repetition filter): 1 −
+    * distinct/total word n-grams; 0 for docs shorter than n tokens.
+    * High values flag boilerplate/looping text that length and
+    * punctuation heuristics miss. Expects a MATERIALIZED token column
+    * (same hot-path rule as [[graft.ops.Dedup.shinglesFromTokens]]). */
+  def repetitionRatio(ts: Column, n: Int): Column = {
+    val total = size(ts) - (n - 1)
+    val distinctN = size(graft.ops.Dedup.shinglesFromTokens(ts, n))
+    when(total <= 1, lit(0.0))
+      .otherwise(round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 6))
+  }
+
   /** PII scrub patterns: every regex is RE2-compatible (no lookaround, no
     * backreferences) AND means the same thing to Java's engine, so the
     * DuckDB oracle reproduces the masking byte-for-byte. Order matters:

@@ -101,6 +101,20 @@ object TextQueries extends QueryModule {
               |  '\\+?\\d[\\d()\\- ]{6,}\\d', '<PHONE>', 'g') AS clean
               |FROM dirty ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style repetition filter: share of duplicate word 3-grams.
+    "text_repetition" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.repetitionRatio(col("ts"), 3).as("dup3_ratio"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN len($T) - 2 <= 1 THEN 0.0
+              |       ELSE round(1.0 - CAST(len(${graft.queries.OracleSql.shingles(3)}) AS DOUBLE)
+              |                      / (len($T) - 2), 6) END AS dup3_ratio
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Test-set-leakage scan: corpus docs sharing ≥2 3-grams with a probe
     // ("benchmark") subset. Probe side is broadcast — the corpus never
     // shuffles (PlanSpec pins the BroadcastHashJoin). Parameters chosen
