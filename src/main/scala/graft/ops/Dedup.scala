@@ -228,6 +228,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    * by min-label propagation (each node repeatedly adopts the smallest
+    * label among itself and its neighbors; fixpoint = per-component min
+    * id). The step every dedup pipeline runs after candidate pairs, to
+    * keep one canonical doc per cluster.
+    *
+    * Scale: converges in O(component diameter) rounds — near-dup clusters
+    * are shallow (dup families, not social graphs), so a handful of
+    * joins on (id, label) pairs; lineage is truncated every round so the
+    * plan doesn't grow with iterations. For adversarially deep chains,
+    * switch to large-star/small-star (O(log n) rounds) — same join shape.
+    *
+    * @param pairs (id_a, id_b) near-dup edges
+    * @return (id, cluster_id) for every id appearing in pairs */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), labels("label"))
+      val next = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"components did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Benchmark-contamination check: corpus documents sharing ≥ `minShared`
     * word n-grams with any probe document (the test-set-leakage scan every
     * training corpus needs before release).

@@ -14,6 +14,35 @@ import graft.queries.{OracleSql => O}
   */
 object DedupQueries extends QueryModule {
 
+  /** The minhash-LSH pipeline as a reusable CTE chain ending in
+    * `scored(id_a, id_b, j)` — shared by the pair query and the cluster
+    * query so both oracles stay in lockstep with Dedup.minhashLsh. */
+  private val minhashCtes: String =
+    s"""base AS (
+       |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM documents
+       |), hashed AS (
+       |  SELECT id, list_distinct(list_transform(sh, s -> ${graft.functions.Hashing.h64Sql("s", "mh")})) AS hsh
+       |  FROM base
+       |), ex0 AS MATERIALIZED (
+       |  SELECT id, CAST(len(hsh) AS BIGINT) AS sz, unnest(hsh) AS h FROM hashed
+       |), ex AS (
+       |  SELECT id, sz, (h & 4294967295) AS x FROM ex0
+       |), sigs AS MATERIALIZED (
+       |  SELECT id, ${O.minhashAggArray("x", 128)} AS mh FROM ex GROUP BY id
+       |), banded AS (
+       |  ${O.bandedUnion(bands = 32, rows = 4)}
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |), o AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS o, min(xa.sz) AS sz_a, min(xb.sz) AS sz_b
+       |  FROM cand c JOIN ex0 xa ON c.id_a = xa.id JOIN ex0 xb ON c.id_b = xb.id AND xa.h = xb.h
+       |  GROUP BY c.id_a, c.id_b
+       |), scored AS (
+       |  SELECT id_a, id_b,
+       |    CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE) AS j FROM o
+       |)""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "dedup_exact" -> QueryDef(
       (s, d) =>
@@ -56,33 +85,32 @@ object DedupQueries extends QueryModule {
         Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
             shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH base AS (
-              |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM documents
-              |), hashed AS (
-              |  SELECT id, list_distinct(list_transform(sh, s -> ${graft.functions.Hashing.h64Sql("s", "mh")})) AS hsh
-              |  FROM base
-              |), ex0 AS MATERIALIZED (
-              |  SELECT id, CAST(len(hsh) AS BIGINT) AS sz, unnest(hsh) AS h FROM hashed
-              |), ex AS (
-              |  SELECT id, sz, (h & 4294967295) AS x FROM ex0
-              |), sigs AS MATERIALIZED (
-              |  SELECT id, ${O.minhashAggArray("x", 128)} AS mh FROM ex GROUP BY id
-              |), banded AS (
-              |  ${O.bandedUnion(bands = 32, rows = 4)}
-              |), cand AS (
-              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-              |), o AS (
-              |  SELECT c.id_a, c.id_b, count(*) AS o, min(xa.sz) AS sz_a, min(xb.sz) AS sz_b
-              |  FROM cand c JOIN ex0 xa ON c.id_a = xa.id JOIN ex0 xb ON c.id_b = xb.id AND xa.h = xb.h
-              |  GROUP BY c.id_a, c.id_b
-              |), scored AS (
-              |  SELECT id_a, id_b,
-              |    CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE) AS j FROM o
-              |)
+      Some(s"""WITH $minhashCtes
               |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
               |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin),
       headline = true),
+
+    // Pair→cluster resolution: connected components of the minhash pairs
+    // (cluster_id = min doc id per component). Oracle computes the same
+    // transitive closure with a recursive CTE.
+    "dedup_clusters" -> QueryDef(
+      (s, d) =>
+        Dedup.duplicateClusters(
+            Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+              shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5))
+          .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS a, id_b AS b FROM pairs
+              |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+              |), reach AS (
+              |  SELECT a AS node, a AS r FROM edges
+              |  UNION
+              |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node
+              |)
+              |SELECT node AS id, min(r) AS cluster_id FROM reach
+              |GROUP BY node ORDER BY id""".stripMargin)),
 
     "dedup_simhash" -> QueryDef(
       (s, d) =>

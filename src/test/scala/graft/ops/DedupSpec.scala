@@ -71,6 +71,19 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("duplicateClusters resolves pairs into min-id components") {
+    // two components: {1,2,4} (chained 1-2, 2-4) and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer chain still converges (diameter 4)
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
+    val c = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.values.toSet === Set(10L) && c.size === 5)
+  }
+
   test("contamination finds planted n-gram leaks, counts distinct shared shingles") {
     val probes = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     // doc 1/2/4 share trigrams with the probe; doc 3/5 share none
