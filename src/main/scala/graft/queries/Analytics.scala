@@ -260,6 +260,21 @@ object Analytics extends QueryModule {
              |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
              |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
 
+    // Exact percentiles (continuous interpolation — Spark percentile and
+    // DuckDB quantile_cont share the definition, so values are exact).
+    "q19_percentiles" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+             |  quantile_cont(value, 0.95) AS p95, count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Correlated scalar subquery shape: per-order max line.
     "q13_subquery" -> QueryDef(
       (s, d) => {
