@@ -60,6 +60,28 @@ class DeltaSpec extends SparkSpec {
     assert(t.log.snapshotAt(4).txns.get("tt") === Some(5L))
   }
 
+  test("concurrent writers: optimistic commit loop lands every batch exactly once") {
+    val t = newTable()
+    val writers = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          // separate DeltaTable per task = separate snapshot caches, like
+          // distinct worker processes racing on one table
+          override def call(): Long =
+            DeltaTable.forPath(spark, t.path)
+              .append(sampleDf(i * 10 until i * 10 + 10), Some(s"w$i"), 0L)
+        })
+      }
+      val versions = tasks.map(_.get())
+      assert(versions.forall(_ > 0L), s"every writer must commit, got $versions")
+      assert(versions.toSet.size === writers, "each commit takes a distinct version")
+    } finally pool.shutdown()
+    assert(t.toDF.count() === writers * 10L)
+    assert((0 until writers).forall(i => t.txnVersion(s"w$i") === Some(0L)))
+  }
+
   test("vacuum deletes only unreferenced data files past retention") {
     val t = newTable()
     t.append(sampleDf(0 until 4).coalesce(1))  // v1: file A
