@@ -54,6 +54,28 @@ class KafkaSourceSpec extends SparkSpec {
     assert(o("kafka.x") === "y")
   }
 
+  test("metrics listener gauges stream progress (M2 lag surface)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = new RecordingMetricsSink
+    val listener = new IngestMetricsListener(sink)
+    spark.streams.addListener(listener)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = in.toDF.writeStream.format("noop").start()
+    try {
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      // listener delivery is asynchronous
+      val deadline = System.currentTimeMillis() + 10000
+      while (!sink.gauges.contains("stream.numInputRows") &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(sink.gauges.get("stream.numInputRows").exists(_ >= 3L),
+        s"expected numInputRows gauge, got ${sink.gauges}")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("metrics: batch counters use reference names and observed values") {
     val tablePath = tmpDir("metrics-table")
     val schema = StructType(Seq(StructField("id", LongType)))
