@@ -194,6 +194,21 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * historical read). */
   def toDF(version: Long): DataFrame = dfFor(log.snapshotAt(version))
 
+  /** Stats-pruned read: skip files whose add.stats / partitionValues prove
+    * no row can satisfy the predicate conjunction, then apply the exact
+    * predicate to the survivors (pruning is a pure optimization — results
+    * never depend on it). See [[DataSkipping]]. */
+  def scan(preds: Seq[DataSkipping.ColPred]): DataFrame = {
+    val snap = snapshot
+    val surviving = DataSkipping.prune(snap, preds)
+    dfFor(snap.copy(files = surviving)).filter(DataSkipping.exprFor(preds))
+  }
+
+  /** Files the predicate conjunction cannot rule out (exposed for tests
+    * and for observability of skipping effectiveness). */
+  def scanFiles(preds: Seq[DataSkipping.ColPred]): Seq[Actions.AddFile] =
+    DataSkipping.prune(snapshot, preds)
+
   private def dfFor(snap: Snapshot): DataFrame = {
     val sch = snap.schema.getOrElse(
       throw new IllegalStateException(s"no table metadata at $path"))

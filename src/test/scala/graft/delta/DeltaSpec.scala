@@ -60,6 +60,36 @@ class DeltaSpec extends SparkSpec {
     assert(t.log.snapshotAt(4).txns.get("tt") === Some(5L))
   }
 
+  test("scan prunes files by add.stats min/max and partition values") {
+    import DataSkipping.ColPred
+    val t = newTable()
+    t.append(sampleDf(0 until 10).coalesce(1))   // id in [0, 9]
+    t.append(sampleDf(10 until 20).coalesce(1))  // id in [10, 19]
+    t.append(sampleDf(20 until 30).coalesce(1))  // id in [20, 29]
+    assert(t.snapshot.files.size === 3)
+    // range predicate: only the matching file survives pruning
+    assert(t.scanFiles(Seq(ColPred("id", ">=", 20L))).size === 1)
+    assert(t.scanFiles(Seq(ColPred("id", "=", 5L))).size === 1)
+    assert(t.scanFiles(Seq(ColPred("id", "<", 0L))).isEmpty)
+    // string stats prune lexicographically: "name15" < "name9", so the
+    // [name0, name9] file survives alongside [name10, name19]
+    assert(t.scanFiles(Seq(ColPred("name", "=", "name15"))).size === 2)
+    // ">= name3" keeps only [name0, name9]: name19/name29 sort below name3
+    assert(t.scanFiles(Seq(ColPred("name", ">=", "name3"))).size === 1)
+    // results are exact regardless of pruning
+    assert(t.scan(Seq(ColPred("id", ">=", 20L))).count() === 10L)
+    assert(t.scan(Seq(ColPred("id", ">=", 8L), ColPred("id", "<", 12L))).count() === 4L)
+
+    // partition-value pruning on a partitioned table
+    val p = newTable(partitioned = true)
+    p.append(sampleDf(0 until 30))
+    val dates = p.snapshot.files.flatMap(_.partitionValues.get("date")).distinct
+    assert(dates.size === 3)
+    val one = p.scanFiles(Seq(ColPred("date", "=", "2021-11-02")))
+    assert(one.nonEmpty && one.forall(_.partitionValues("date") === "2021-11-02"))
+    assert(p.scan(Seq(ColPred("date", "=", "2021-11-02"))).count() === 10L)
+  }
+
   test("concurrent writers: optimistic commit loop lands every batch exactly once") {
     val t = newTable()
     val writers = 8
