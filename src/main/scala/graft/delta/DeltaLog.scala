@@ -345,4 +345,30 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       .getBytes(StandardCharsets.UTF_8))
     finally lc.close()
   }
+
+  /** Delete JSON commits (and older checkpoints) superseded by a
+    * checkpoint at or below `beforeVersion` — the Delta metadata-cleanup
+    * analog. Only versions covered by a surviving checkpoint are removed,
+    * so snapshot() and snapshotAt(v ≥ cutoff) keep working; time travel
+    * BELOW the cutoff stops, like Delta's logRetentionDuration cleanup.
+    * Returns the number of files deleted. */
+  def cleanupMetadata(beforeVersion: Long): Int = synchronized {
+    val ck = lastCheckpointVersion().getOrElse(return 0)
+    val cutoff = math.min(ck, beforeVersion)
+    if (cutoff <= 0) return 0
+    var deleted = 0
+    fs.listStatus(logPath).foreach { st =>
+      val n = st.getPath.getName
+      val json = n.endsWith(".json") && !n.contains("checkpoint")
+      val oldCk = n.endsWith(".checkpoint.parquet")
+      val v = try {
+        if (json) Some(n.stripSuffix(".json").toLong)
+        else if (oldCk) Some(n.stripSuffix(".checkpoint.parquet").toLong)
+        else None
+      } catch { case _: NumberFormatException => None }
+      val drop = v.exists(x => (json && x < cutoff) || (oldCk && x < cutoff && x != ck))
+      if (drop && fs.delete(st.getPath, false)) deleted += 1
+    }
+    deleted
+  }
 }

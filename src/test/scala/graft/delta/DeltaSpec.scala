@@ -90,6 +90,22 @@ class DeltaSpec extends SparkSpec {
     assert(p.scan(Seq(ColPred("date", "=", "2021-11-02"))).count() === 10L)
   }
 
+  test("metadata cleanup drops checkpointed-away JSON, snapshots keep working") {
+    val t = newTable()                       // v0
+    (0 until 11).foreach(i => t.append(sampleDf(i * 5 until i * 5 + 5)))  // v1..v11, ckpt at 10
+    val logDir = new Path(t.path, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(logDir, f"${10L}%020d.checkpoint.parquet")))
+    val deleted = t.log.cleanupMetadata(beforeVersion = 10L)
+    assert(deleted === 10, s"v0..v9 JSON should go, got $deleted")
+    // a FRESH reader (cold cache) reconstructs from checkpoint + tail
+    val fresh = DeltaTable.forPath(spark, t.path)
+    assert(fresh.toDF.count() === 55L)
+    assert(fresh.log.snapshotAt(11).files.nonEmpty)
+    // history below the cutoff is gone, like Delta's log retention
+    assertThrows[Exception](fresh.log.snapshotAt(5).files.map(_.path))
+  }
+
   test("concurrent writers: optimistic commit loop lands every batch exactly once") {
     val t = newTable()
     val writers = 8
