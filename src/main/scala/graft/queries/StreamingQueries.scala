@@ -85,6 +85,30 @@ object StreamingQueries extends QueryModule {
              |FROM sessions GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Stream-stream interval join in its batch-verifiable form: each click
+    // attributed to the views of the same user in the preceding 30 minutes.
+    "q20_interval_join" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.streaming.WindowedAggs.intervalJoin(
+            clicks, views, "user_id", "ts", "ts", "30 minutes", "10 minutes")
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_views"),
+            sum(col("right_value").cast("decimal(18,2)")).cast("double").as("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT c.event_id, count(*) AS n_views,
+             |  CAST(sum(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS view_value
+             |FROM events c JOIN events v
+             |  ON c.event_type = 'click' AND v.event_type = 'view'
+             |  AND c.user_id = v.user_id
+             |  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '30 minutes'
+             |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin)),
+
     "q15_asof_join" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)

@@ -30,6 +30,29 @@ object WindowedAggs {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream event-time interval join (attribution shape): each left
+    * row matches right rows with the same key whose timestamp falls in
+    * [leftTs − window, leftTs]. Both sides carry watermarks and the join
+    * condition bounds event time on both, so Spark evicts join state once
+    * the watermark passes the interval — state stays proportional to the
+    * window, not the stream. Right columns are exposed with `right_`
+    * prefixes; left rows without a match are kept when `joinType` is
+    * "leftOuter" (emitted on state eviction).
+    *
+    * Works identically on batch frames (watermarks are no-ops there),
+    * which is how the oracle gate verifies the semantics. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, window: String,
+                   lateness: String, joinType: String = "inner"): DataFrame = {
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"right_$c"))
+    left.withWatermark(leftTs, lateness)
+      .join(r.withWatermark(s"right_$rightTs", lateness),
+        expr(s"""$keyCol = right_$keyCol AND
+                |right_$rightTs <= $leftTs AND
+                |right_$rightTs >= $leftTs - INTERVAL $window""".stripMargin),
+        joinType)
+  }
+
   /** Streaming exact deduplication with BOUNDED state: keeps one row per
     * key, dropping replays that arrive within the watermark delay; key
     * state older than the watermark is evicted (plain dropDuplicates

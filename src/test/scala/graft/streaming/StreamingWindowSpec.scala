@@ -63,6 +63,29 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin attributes within the window on live streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp, Double)]
+    val joined = WindowedAggs.intervalJoin(
+      clicks.toDF.toDF("event_id", "user_id", "ts"),
+      views.toDF.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "ts", "20 minutes", "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((1L, ts(10), 7.0), (1L, ts(39), 9.0)) // in / out of window
+      clicks.addData((100L, 1L, ts(30)), (101L, 2L, ts(30)))
+      q.processAllAvailable()
+      val out = spark.table("ij")
+        .select("event_id", "right_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      // click 100 attributes only the view 20 min before it; click 101's
+      // user has no views; the 10:39 view is after the click
+      assert(out.toSeq === Seq((100L, 7.0)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap timeout closes sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
