@@ -58,7 +58,7 @@ final case class IngestCliConfig(
     autoOffsetReset = autoOffsetReset,
     seekOffsets = seekOffsets.map(_.map { case (p, o) => p -> (o + 1L) }),
     numPartitions = topicPartitions.orElse(
-      seekOffsets.map(m => m.keys.max + 1)),
+      seekOffsets.flatMap(m => m.keys.maxOption.map(_ + 1))),
     maxMessagesPerBatch = Some(maxMessagesPerBatch),
     additionalSettings = kafkaSettings)
 
@@ -190,6 +190,16 @@ object IngestCli {
     if (reset != "earliest" && reset != "latest")
       throw CliError(s"--auto_offset_reset must be 'earliest' or 'latest', got '$reset'")
 
+    val statsd = opt("statsd_endpoint", "STATSD_ENDPOINT")
+    statsd.foreach { ep =>
+      val port = ep.lastIndexOf(':') match {
+        case -1 => "8125"
+        case i => ep.substring(i + 1)
+      }
+      try { port.toInt; () } catch { case _: NumberFormatException =>
+        throw CliError(s"--statsd_endpoint expects HOST:PORT, got '$ep'") }
+    }
+
     val gzip = switch("decompress_gzip", "DECOMPRESS_GZIP")
     val format = resolveFormat(
       json = opt("json", "JSON_REGISTRY"),
@@ -204,7 +214,10 @@ object IngestCli {
       consumerGroup = get("consumer_group", "KAFKA_CONSUMER_GROUP", "kafka_delta_ingest"),
       appId = get("app_id", "APP_ID", "kafka_delta_ingest"),
       seekOffsets = opt("seek_offsets", "KAFKA_SEEK_OFFSETS").map(parseSeekOffsets),
-      topicPartitions = flags.get("topic_partitions").map(_.toInt),
+      topicPartitions = flags.get("topic_partitions").map { v =>
+        try v.toInt catch { case _: NumberFormatException =>
+          throw CliError(s"--topic_partitions expects an integer, got '$v'") }
+      },
       autoOffsetReset = reset,
       allowedLatencySec = long("allowed_latency", "ALLOWED_LATENCY", 300L),
       maxMessagesPerBatch = long("max_messages_per_batch", "MAX_MESSAGES_PER_BATCH", 5000L),
@@ -215,27 +228,37 @@ object IngestCli {
       writeCheckpoints = switch("checkpoints", "WRITE_CHECKPOINTS"),
       kafkaSettings = repeated("kafka_setting", "KAFKA_SETTINGS")
         .map(parseKafkaSetting).toMap,
-      statsdEndpoint = opt("statsd_endpoint", "STATSD_ENDPOINT"),
+      statsdEndpoint = statsd,
       format = format,
       endAtLastOffsets = switch("ends_at_latest_offsets", "ENDS_AT_LATEST_OFFSETS"),
       checkpointLocation = flags.get("checkpoint_location"))
   }
 
   /** `{"0":123, "1":321}` (reference parse_seek_offsets JSON form) or the
-    * `0:123,1:321` shorthand accepted by --seek_offsets env configs. */
+    * `0:123,1:321` shorthand accepted by --seek_offsets env configs.
+    * Non-integral offsets and an empty map are errors — Jackson's
+    * asLong() would otherwise coerce garbage to 0 and silently re-ingest
+    * the topic from the beginning. */
   def parseSeekOffsets(s: String): Map[Int, Long] = {
     val t = s.trim
-    try {
+    val parsed = try {
       if (t.startsWith("{")) {
         val node = graft.delta.Actions.mapper.readTree(t)
-        node.properties().asScala
-          .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+        node.properties().asScala.map { e =>
+          if (!e.getValue.isIntegralNumber)
+            throw CliError(s"--seek_offsets offset for partition ${e.getKey} " +
+              s"must be an integer, got ${e.getValue}")
+          e.getKey.toInt -> e.getValue.asLong()
+        }.toMap
       } else KafkaSourceConfig.parseSeekOffsets(t)
     } catch {
       case e: CliError => throw e
       case _: Exception => throw CliError(
         s"""--seek_offsets expects {"partition":offset,...}, got '$s'""")
     }
+    if (parsed.isEmpty)
+      throw CliError("--seek_offsets must list at least one partition")
+    parsed
   }
 
   /** "PROPERTY: SOURCE", split at the FIRST colon (sources like

@@ -3,6 +3,7 @@ package graft.delta
 import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
 
 /** File-level data skipping from `add.stats` — the read-path payoff of
   * writing per-file min/max/nullCount (reference ST1/ST2): a conjunction
@@ -10,10 +11,12 @@ import org.apache.spark.sql.functions.{col, lit}
   * (and `partitionValues` for partition columns), and files whose stats
   * PROVE no row can match are skipped before any parquet is opened.
   *
-  * Soundness: pruning only ever drops a file on proof; files without
-  * stats, with an un-stats'd column, or with a non-comparable type are
-  * kept, and [[graft.delta.DeltaTable.scan]] re-applies the exact
-  * predicate to surviving rows — so results never depend on pruning.
+  * Soundness: the comparison semantics FOLLOW THE TABLE SCHEMA — numeric
+  * columns compare numerically, string columns lexicographically (exactly
+  * what Spark's filter will do); any other type, a missing stat, or a
+  * type mismatch keeps the file. [[graft.delta.DeltaTable.scan]]
+  * re-applies the exact predicate to surviving rows, so results never
+  * depend on pruning.
   *
   * Scale: this is the difference between "read 100 TB and filter" and
   * "open the 3 files whose range overlaps" on time-ordered ingest.
@@ -33,28 +36,35 @@ object DataSkipping {
   }
 
   def exprFor(preds: Seq[ColPred]): Column =
-    preds.map(_.toColumn).reduce(_ && _)
+    preds.map(_.toColumn).foldLeft(lit(true))(_ && _)
 
   /** Files of `snap` that MAY contain a matching row. */
   def prune(snap: Snapshot, preds: Seq[ColPred]): Seq[Actions.AddFile] = {
     val partCols = snap.metadata.map(_.partitionColumns.toSet).getOrElse(Set.empty)
-    snap.files.filter(f => preds.forall(p => mayMatch(f, p, partCols)))
+    val colTypes: Map[String, DataType] =
+      snap.schema.map(_.fields.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+    snap.files.filter { f =>
+      // parse each file's stats once, not once per predicate
+      val stats = f.stats.map(Actions.mapper.readTree)
+      preds.forall(p => mayMatch(f, stats, p, partCols, colTypes.get(p.column)))
+    }
   }
 
-  private def mayMatch(f: Actions.AddFile, p: ColPred, partCols: Set[String]): Boolean = {
+  private def mayMatch(f: Actions.AddFile, stats: Option[JsonNode], p: ColPred,
+                       partCols: Set[String], colType: Option[DataType]): Boolean = {
     if (partCols.contains(p.column)) {
       f.partitionValues.get(p.column) match {
-        case Some(pv) if pv != null => satisfiable(pv, pv, p) // point interval
+        case Some(pv) if pv != null => satisfiable(pv, pv, p, colType) // point interval
         case _ => true // null / unknown partition value: keep
       }
     } else {
-      f.stats.map(Actions.mapper.readTree) match {
+      stats match {
         case Some(node) =>
           val min = Option(node.get("minValues")).flatMap(m => Option(m.get(p.column)))
           val max = Option(node.get("maxValues")).flatMap(m => Option(m.get(p.column)))
           (min, max) match {
             case (Some(lo), Some(hi)) if lo.isValueNode && hi.isValueNode =>
-              satisfiable(lo, hi, p)
+              satisfiable(lo, hi, p, colType)
             case _ => true // column not stats'd (or nested): keep
           }
         case None => true // no stats: keep
@@ -62,9 +72,9 @@ object DataSkipping {
     }
   }
 
-  // interval [lo, hi] vs predicate; cmp(a,b) < 0 iff a < b, None = incomparable
-  private def satisfiable(lo: Any, hi: Any, p: ColPred): Boolean = {
-    (cmp(lo, p.value), cmp(hi, p.value)) match {
+  // interval [lo, hi] vs predicate under the column's schema type
+  private def satisfiable(lo: Any, hi: Any, p: ColPred, colType: Option[DataType]): Boolean = {
+    (cmp(lo, p.value, colType), cmp(hi, p.value, colType)) match {
       case (Some(l), Some(h)) =>
         p.op match {
           case "=" => l <= 0 && h >= 0 // value inside [lo, hi]
@@ -73,33 +83,43 @@ object DataSkipping {
           case ">" => h > 0            // some element above value
           case ">=" => h >= 0
         }
-      case _ => true // incomparable types: never prune
+      case _ => true // unknown type / mismatch: never prune
     }
   }
 
-  /** Three-way compare of a stats bound against the predicate value.
-    * Numerics compare as BigDecimal; strings lexicographically (correct
-    * for ISO dates, the common ingest partition key). */
-  private def cmp(bound: Any, value: Any): Option[Int] = {
+  /** Three-way compare of a stats bound against the predicate value, with
+    * the semantics THE SCHEMA dictates: numeric columns numerically,
+    * string columns lexicographically (Spark compares a StringType column
+    * lexicographically even when its values look like numbers — a
+    * parse-what-you-can comparison would prune files Spark's own filter
+    * matches). Other types: incomparable → keep. */
+  private def cmp(bound: Any, value: Any, colType: Option[DataType]): Option[Int] = {
     def num(a: Any): Option[BigDecimal] = a match {
       case n: JsonNode if n.isNumber => Some(BigDecimal(n.decimalValue()))
-      case n: JsonNode => None
+      case _: JsonNode => None
       case n: Number => Some(BigDecimal(n.toString))
       case s: String => try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
       case _ => None
     }
     def str(a: Any): Option[String] = a match {
       case n: JsonNode if n.isTextual => Some(n.asText())
-      case n: JsonNode => None
+      case _: JsonNode => None
       case s: String => Some(s)
       case _ => None
     }
-    (num(bound), num(value)) match {
-      case (Some(b), Some(v)) => Some(b.compare(v))
-      case _ => (str(bound), str(value)) match {
-        case (Some(b), Some(v)) => Some(b.compareTo(v))
-        case _ => None
-      }
+    colType match {
+      case Some(_: ByteType | _: ShortType | _: IntegerType | _: LongType |
+                _: FloatType | _: DoubleType | _: DecimalType) =>
+        (num(bound), num(value)) match {
+          case (Some(b), Some(v)) => Some(b.compare(v))
+          case _ => None
+        }
+      case Some(StringType) =>
+        (str(bound), str(value)) match {
+          case (Some(b), Some(v)) => Some(b.compareTo(v))
+          case _ => None
+        }
+      case _ => None // unknown or non-orderable-by-us type: keep the file
     }
   }
 }

@@ -190,11 +190,24 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     }
   }
 
+  /** All checkpoint versions present on disk (not just `_last_checkpoint`
+    * — time travel and metadata cleanup need the older ones too). */
+  private def checkpointVersions(): Seq[Long] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".checkpoint.parquet"))
+        try Some(n.stripSuffix(".checkpoint.parquet").toLong)
+        catch { case _: NumberFormatException => None }
+      else None
+    }.toSeq.sorted
+  }
+
   /** Seed a replay from the newest parquet checkpoint at version ≤ cap.
     * Returns the checkpoint version applied, or -1. */
   private def seedFromCheckpoint(state: ReplayState, cap: Long): Long =
-    (spark, lastCheckpointVersion()) match {
-      case (Some(ss), Some(v)) if v <= cap && fs.exists(checkpointFile(v)) =>
+    (spark, checkpointVersions().filter(_ <= cap).lastOption) match {
+      case (Some(ss), Some(v)) =>
         // parquet rows → JSON lines → Action: same serde as the commits
         val lines = ss.read.schema(CheckpointSchema)
           .parquet(checkpointFile(v).toString)
@@ -346,15 +359,16 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     finally lc.close()
   }
 
-  /** Delete JSON commits (and older checkpoints) superseded by a
+  /** Delete JSON commits and checkpoints strictly below the newest
     * checkpoint at or below `beforeVersion` — the Delta metadata-cleanup
-    * analog. Only versions covered by a surviving checkpoint are removed,
-    * so snapshot() and snapshotAt(v ≥ cutoff) keep working; time travel
-    * BELOW the cutoff stops, like Delta's logRetentionDuration cleanup.
-    * Returns the number of files deleted. */
+    * analog. The cutoff SNAPS DOWN to an existing checkpoint version, and
+    * that checkpoint survives as the seed, so snapshot() and
+    * snapshotAt(v ≥ cutoff) keep working (including versions between the
+    * cutoff checkpoint and a newer one); time travel BELOW the cutoff
+    * stops, like Delta's logRetentionDuration cleanup. Returns the number
+    * of files deleted. */
   def cleanupMetadata(beforeVersion: Long): Int = synchronized {
-    val ck = lastCheckpointVersion().getOrElse(return 0)
-    val cutoff = math.min(ck, beforeVersion)
+    val cutoff = checkpointVersions().filter(_ <= beforeVersion).lastOption.getOrElse(return 0)
     if (cutoff <= 0) return 0
     var deleted = 0
     fs.listStatus(logPath).foreach { st =>
@@ -366,7 +380,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         else if (oldCk) Some(n.stripSuffix(".checkpoint.parquet").toLong)
         else None
       } catch { case _: NumberFormatException => None }
-      val drop = v.exists(x => (json && x < cutoff) || (oldCk && x < cutoff && x != ck))
+      val drop = v.exists(x => x < cutoff && (json || oldCk))
       if (drop && fs.delete(st.getPath, false)) deleted += 1
     }
     deleted

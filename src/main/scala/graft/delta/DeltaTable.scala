@@ -216,9 +216,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     val paths = snap.files.map(f => new Path(path, f.path).toString)
     val parts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
+    // the declared schema is passed EXPLICITLY on both branches: files
+    // written before a schema evolution lack the new columns, and an
+    // inferred schema would make the select below fail instead of
+    // null-filling them (partition columns resolve from the dir layout)
+    val reader = spark.read.schema(sch)
     val df =
-      if (parts.isEmpty) spark.read.schema(sch).parquet(paths: _*)
-      else spark.read.option("basePath", path).parquet(paths: _*)
+      if (parts.isEmpty) reader.parquet(paths: _*)
+      else reader.option("basePath", path).parquet(paths: _*)
     df.select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
   }
 

@@ -118,11 +118,26 @@ object TextAnalysis {
     * backreferences) AND means the same thing to Java's engine, so the
     * DuckDB oracle reproduces the masking byte-for-byte. Order matters:
     * emails before phones (a phone pattern could otherwise eat the digits
-    * of user123@…), IPs before phones (dotted quads are digit runs). */
+    * of user123@…), IPs before phones (dotted quads are digit runs).
+    *
+    * The phone patterns trade recall for precision: only '+'-led
+    * international forms and US parenthesized forms are masked. A bare
+    * digit-run pattern also matches ISO dates/timestamps and long ids
+    * (RE2 has no lookaround to exclude them) and would corrupt clean
+    * corpus text — a date is exactly what a training document is allowed
+    * to contain. */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
-    "\\+?\\d[\\d()\\- ]{6,}\\d" -> "<PHONE>")
+    "\\+\\d[\\d()\\- ]{5,}\\d" -> "<PHONE>",
+    "\\(\\d{3}\\)[ -]?\\d{3}[ -]\\d{4}" -> "<PHONE>")
+
+  /** The identical masking chain as DuckDB SQL over `expr` — generated
+    * from [[PiiPatterns]] so the oracle can never drift from the code. */
+  def scrubPiiSql(expr: String): String =
+    PiiPatterns.foldLeft(expr) { case (acc, (pat, repl)) =>
+      s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
 
   /** Mask emails, IPv4s, and phone-shaped digit runs — the minimum scrub a
     * training corpus gets before release. Pure codegen'd regexp_replace

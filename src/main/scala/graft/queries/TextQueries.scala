@@ -95,10 +95,7 @@ object TextQueries extends QueryModule {
               |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
               |  FROM documents
               |)
-              |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(dirty,
-              |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-              |  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-              |  '\\+?\\d[\\d()\\- ]{6,}\\d', '<PHONE>', 'g') AS clean
+              |SELECT doc_id, ${graft.ops.TextAnalysis.scrubPiiSql("dirty")} AS clean
               |FROM dirty ORDER BY doc_id""".stripMargin)),
 
     // Gopher-style repetition filter: share of duplicate word 3-grams.

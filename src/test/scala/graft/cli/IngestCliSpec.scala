@@ -87,6 +87,21 @@ class IngestCliSpec extends AnyFunSuite {
     assert(k.startingOffsets === """{"t": {"0": 11, "1": 14, "2": 13}}""")
     assertThrows[IngestCli.CliError](
       parse("ingest", "t", "l", "--seek_offsets", "not json"))
+    // Jackson's asLong() coerces garbage to 0 — that must be an error,
+    // not a silent re-ingest from the beginning of the topic
+    assertThrows[IngestCli.CliError](
+      parse("ingest", "t", "l", "--seek_offsets", """{"0":"123a"}"""))
+    assertThrows[IngestCli.CliError](
+      parse("ingest", "t", "l", "--seek_offsets", """{"0":1.5}"""))
+    assertThrows[IngestCli.CliError](
+      parse("ingest", "t", "l", "--seek_offsets", "{}"))
+    assertThrows[IngestCli.CliError](
+      parse("ingest", "t", "l", "--seek_offsets", """{"0":5}""",
+        "--topic_partitions", "foo"))
+    assertThrows[IngestCli.CliError](
+      parse("ingest", "t", "l", "-s", "host:notaport"))
+    assert(parse("ingest", "t", "l", "-s", "statsd.local:8125")
+      .statsdEndpoint === Some("statsd.local:8125"))
   }
 
   test("--topic_partitions widens the seek JSON with earliest fills") {

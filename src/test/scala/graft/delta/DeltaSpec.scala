@@ -53,6 +53,12 @@ class DeltaSpec extends SparkSpec {
     assert(t.toDF(2).orderBy("id").collect()(7).getAs[String]("name") === "name7")
     // out-of-range versions fail fast
     assertThrows[IllegalArgumentException](t.toDF(99))
+    // partitioned tables null-fill evolved columns too (the read passes
+    // the declared schema explicitly; inference from old files would fail)
+    val pt = newTable(partitioned = true)
+    pt.append(sampleDf(0 until 6))
+    pt.updateSchema(schema.add(StructField("extra", LongType)))
+    assert(pt.toDF.filter(col("extra").isNull).count() === 6L)
     // snapshotAt replays txns as of the version too
     t.append(sampleDf(12 until 13).withColumn("extra", lit(null).cast("long")),
       Some("tt"), 5L) // v4
@@ -80,6 +86,18 @@ class DeltaSpec extends SparkSpec {
     assert(t.scan(Seq(ColPred("id", ">=", 20L))).count() === 10L)
     assert(t.scan(Seq(ColPred("id", ">=", 8L), ColPred("id", "<", 12L))).count() === 4L)
 
+    // SOUNDNESS: a StringType column compares lexicographically even when
+    // its values look numeric — numeric pruning would drop the "9" file
+    // although Spark's own filter ("9" >= "10") matches it
+    val s = DeltaTable.forPath(spark, tmpDir("delta-skip-str")).create(
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+    s.append(Seq((1L, "10")).toDF("id", "s").coalesce(1))
+    s.append(Seq((2L, "9")).toDF("id", "s").coalesce(1))
+    assert(s.scanFiles(Seq(ColPred("s", ">=", "10"))).size === 2)
+    assert(s.scan(Seq(ColPred("s", ">=", "10"))).count() === 2L)
+    // empty predicate list behaves like toDF
+    assert(s.scan(Nil).count() === 2L)
+
     // partition-value pruning on a partitioned table
     val p = newTable(partitioned = true)
     p.append(sampleDf(0 until 30))
@@ -104,6 +122,18 @@ class DeltaSpec extends SparkSpec {
     assert(fresh.log.snapshotAt(11).files.nonEmpty)
     // history below the cutoff is gone, like Delta's log retention
     assertThrows[Exception](fresh.log.snapshotAt(5).files.map(_.path))
+
+    // with TWO checkpoints (10, 20), a cutoff between them snaps DOWN to
+    // 10 — versions in [10, 20) stay time-travelable from that seed
+    (11 until 21).foreach(i => t.append(sampleDf(i * 5 until i * 5 + 5))) // v12..v21
+    assert(t.log.cleanupMetadata(beforeVersion = 15L) === 0) // snaps to ck 10: nothing new below it
+    assert(DeltaTable.forPath(spark, t.path).log.snapshotAt(16).files.nonEmpty)
+    // cleanup past the newest checkpoint removes [10, 20) and the old seed
+    assert(t.log.cleanupMetadata(beforeVersion = 99L) === 11) // json 10..19 + ckpt 10
+    val fresh2 = DeltaTable.forPath(spark, t.path)
+    assert(fresh2.toDF.count() === 105L)
+    assert(fresh2.log.snapshotAt(20).files.nonEmpty)
+    assertThrows[Exception](fresh2.log.snapshotAt(16).files.map(_.path))
   }
 
   test("concurrent writers: optimistic commit loop lands every batch exactly once") {
