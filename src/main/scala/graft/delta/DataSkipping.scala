@@ -72,15 +72,19 @@ object DataSkipping {
     }
   }
 
-  // interval [lo, hi] vs predicate under the column's schema type
+  // interval [lo, hi] vs predicate under the column's schema type. Exact
+  // comparisons (numeric, string) use strict interval logic; INEXACT ones
+  // (timestamps — stats are truncated to milliseconds) relax the strict
+  // ops so a bound equal at ms precision never prunes a file whose true
+  // sub-ms value would match.
   private def satisfiable(lo: Any, hi: Any, p: ColPred, colType: Option[DataType]): Boolean = {
     (cmp(lo, p.value, colType), cmp(hi, p.value, colType)) match {
-      case (Some(l), Some(h)) =>
+      case (Some((l, lExact)), Some((h, hExact))) =>
         p.op match {
           case "=" => l <= 0 && h >= 0 // value inside [lo, hi]
-          case "<" => l < 0            // some element below value
+          case "<" => if (lExact) l < 0 else l <= 0
           case "<=" => l <= 0
-          case ">" => h > 0            // some element above value
+          case ">" => if (hExact) h > 0 else h >= 0
           case ">=" => h >= 0
         }
       case _ => true // unknown type / mismatch: never prune
@@ -92,8 +96,11 @@ object DataSkipping {
     * string columns lexicographically (Spark compares a StringType column
     * lexicographically even when its values look like numbers — a
     * parse-what-you-can comparison would prune files Spark's own filter
-    * matches). Other types: incomparable → keep. */
-  private def cmp(bound: Any, value: Any, colType: Option[DataType]): Option[Int] = {
+    * matches), timestamps chronologically at the stats' millisecond
+    * precision. Returns (ordering, exact?): timestamps report exact=false
+    * because the bound is floor-truncated to ms. Other types: incomparable
+    * → keep. */
+  private def cmp(bound: Any, value: Any, colType: Option[DataType]): Option[(Int, Boolean)] = {
     def num(a: Any): Option[BigDecimal] = a match {
       case n: JsonNode if n.isNumber => Some(BigDecimal(n.decimalValue()))
       case _: JsonNode => None
@@ -107,16 +114,35 @@ object DataSkipping {
       case s: String => Some(s)
       case _ => None
     }
+    def instMs(a: Any): Option[Long] = {
+      def parse(s: String): Option[Long] =
+        try Some(java.time.Instant.from(ParquetStats.tsFmt.parse(s)).toEpochMilli)
+        catch { case _: RuntimeException => None }
+      a match {
+        case n: JsonNode if n.isTextual => parse(n.asText())
+        case s: String => parse(s)
+        case t: java.sql.Timestamp => Some(t.getTime) // ms, sub-ms floor
+        case i: java.time.Instant => Some(i.toEpochMilli)
+        case _ => None
+      }
+    }
     colType match {
       case Some(_: ByteType | _: ShortType | _: IntegerType | _: LongType |
                 _: FloatType | _: DoubleType | _: DecimalType) =>
         (num(bound), num(value)) match {
-          case (Some(b), Some(v)) => Some(b.compare(v))
+          case (Some(b), Some(v)) => Some((b.compare(v), true))
           case _ => None
         }
       case Some(StringType) =>
         (str(bound), str(value)) match {
-          case (Some(b), Some(v)) => Some(b.compareTo(v))
+          case (Some(b), Some(v)) => Some((b.compareTo(v), true))
+          case _ => None
+        }
+      case Some(TimestampType | TimestampNTZType) =>
+        // stats bounds render via ParquetStats.tsFmt (ms floor); partition
+        // values use a different format, fail to parse, and keep the file
+        (instMs(bound), instMs(value)) match {
+          case (Some(b), Some(v)) => Some((java.lang.Long.compare(b, v), false))
           case _ => None
         }
       case _ => None // unknown or non-orderable-by-us type: keep the file

@@ -236,11 +236,24 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       case Some((v, st)) if v <= latest => (v, st)
       case _ => (-1L, new ReplayState())
     }
-    if (fromVersion < 0) fromVersion = seedFromCheckpoint(state, latest)
+    if (fromVersion < 0) {
+      fromVersion = seedFromCheckpoint(state, latest)
+      requireReplayStart(fromVersion)
+    }
     ((fromVersion + 1) to latest).foreach(v => state.apply(readVersion(v)))
     cached = Some((latest, state))
     Snapshot(latest, state.metadata, state.adds.values.toSeq, state.txns.toMap)
   }
+
+  /** After cleanupMetadata, JSON below the surviving checkpoint is gone; a
+    * replay that could not seed (no SparkSession, or target below every
+    * checkpoint) must fail with a diagnosis, not FileNotFoundException. */
+  private def requireReplayStart(fromVersion: Long): Unit =
+    if (fromVersion < 0 && !fs.exists(versionFile(0L)))
+      throw new IllegalStateException(
+        s"log at $tablePath starts at a checkpoint (metadata was cleaned up); " +
+          (if (spark.isEmpty) "reading it requires a SparkSession to load the parquet checkpoint"
+           else "the requested version predates the oldest surviving checkpoint"))
 
   /** Reconstruct table state AS OF `version` (time travel — what delta-rs
     * calls load_version). Uncached: history reads are occasional, and the
@@ -252,6 +265,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         s"version $version out of range [0, $latest] for $tablePath")
     val state = new ReplayState()
     val from = seedFromCheckpoint(state, version)
+    requireReplayStart(from)
     ((from + 1) to version).foreach(v => state.apply(readVersion(v)))
     Snapshot(version, state.metadata, state.adds.values.toSeq, state.txns.toMap)
   }
@@ -336,7 +350,10 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   private def maybeCheckpoint(version: Long): Unit = {
     if (version <= 0 || version % checkpointInterval != 0) return
     val ss = spark.getOrElse(return)
-    val snap = snapshot()
+    // the checkpoint must contain exactly version's state: snapshot()
+    // would capture any commit a concurrent writer lands between our
+    // commit and this call, poisoning later snapshotAt(version) reads
+    val snap = snapshotAt(version)
     val actions: Seq[Action] =
       Seq(Action(protocol = Some(Protocol()))) ++
         snap.metadata.map(m => Action(metaData = Some(m))).toSeq ++

@@ -1,8 +1,5 @@
 package graft.delta
 
-import java.net.URLDecoder
-import java.nio.charset.StandardCharsets
-
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -31,6 +28,28 @@ object DeltaTable {
 
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
+
+  /** Invert Spark/Hive escapePathName: ONLY %XX sequences decode.
+    * URLDecoder is wrong here — it also turns literal '+' into a space,
+    * and '+' is not in Hive's escape set, so a partition value "a+b"
+    * would corrupt to "a b" and break partition pruning. */
+  private[delta] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch {
+          case _: NumberFormatException => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }
 
 final class DeltaTable(spark: SparkSession, val path: String) {
@@ -119,7 +138,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           Some(System.currentTimeMillis()))))).toSeq ++
         Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation,
           Map("mode" -> "Append")))))
-      val committed = log.commit(actions, txnNotYetApplied)
+      val committed =
+        try log.commit(actions, txnNotYetApplied)
+        catch { case e: Throwable =>
+          // commit failed outright (retry ceiling, IO error): the files
+          // already moved into the table root are unreferenced — remove
+          // them instead of leaving orphans for vacuum to find days later
+          adds.foreach(a => fs.delete(new Path(path, a.path), false))
+          throw e
+        }
       if (committed < 0) {
         // lost the race to a concurrent writer of the same batch: the moved
         // files are unreferenced — clean them up
@@ -164,7 +191,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
               .map { seg =>
                 val Array(k, v) = seg.split("=", 2)
                 k -> (if (v == DeltaTable.HiveDefaultPartition) null
-                      else URLDecoder.decode(v, StandardCharsets.UTF_8))
+                      else DeltaTable.unescapePathName(v))
               }.toMap
             val dest = new Path(path, rel)
             fs.mkdirs(dest.getParent)
@@ -269,21 +296,28 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val small = snap.files.filter(_.size < minBytes)
     if (small.size < 2) return -1L
     val parts = partitionColumns
-    val paths = small.map(f => new Path(path, f.path).toString)
-    val df =
-      if (parts.isEmpty) spark.read.schema(schema).parquet(paths: _*)
-      else spark.read.option("basePath", path).parquet(paths: _*)
-        .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    // dfFor handles the declared-schema read (old files null-fill evolved
+    // columns) — an inferred read crashes after schema evolution
+    val df = dfFor(snap.copy(files = small))
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val writer = df.coalesce(1).write.mode("overwrite").option("compression", "snappy")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
     val adds = collectStagedFiles(staging, parts)
     try {
-      log.commit(
+      val removedPaths = small.map(_.path).toSet
+      val committed = log.commit(
         adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
           small.map(f => Action(remove = Some(RemoveFile(f.path,
             Some(System.currentTimeMillis()), dataChange = false)))) ++
-          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))))
+          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))),
+        // concurrency guard: if ANY of the files this rewrite is based on
+        // is no longer live (a concurrent compaction/vacuum got there
+        // first), committing our adds would duplicate every shared row —
+        // abort instead (the retry re-runs this check on the new snapshot)
+        check = s => removedPaths.subsetOf(s.files.map(_.path).toSet))
+      if (committed < 0)
+        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+      committed
     } finally fs.delete(staging, true)
   }
 }

@@ -21,7 +21,10 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   */
 object ParquetStats {
 
-  private val tsFmt = java.time.format.DateTimeFormatter
+  /** Delta stats timestamp rendering: ISO-8601 truncated to milliseconds
+    * (also consumed by [[DataSkipping]] — fixed width, so lexicographic
+    * order = chronological order). */
+  val tsFmt: java.time.format.DateTimeFormatter = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     .withZone(java.time.ZoneOffset.UTC)
 
@@ -60,7 +63,11 @@ object ParquetStats {
                   chunk.getPrimitiveType, repeated))
               val st = chunk.getStatistics
               if (st != null && !st.isEmpty) {
-                acc.nullCount += st.getNumNulls
+                // getNumNulls returns -1 when the writer omitted the null
+                // count; adding it would emit a negative/undercounted
+                // nullCount and let readers prune IS NULL incorrectly
+                if (st.isNumNullsSet) acc.nullCount += st.getNumNulls
+                else acc.hasNullCount = false
                 if (!repeated && st.hasNonNullValue) {
                   val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
                   val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]

@@ -98,15 +98,29 @@ object IngestMetrics {
 
 /** Streaming listener → consumer-lag gauges (reference buffer_lag /
   * delta_lag, metrics.rs:104-136). The Kafka source reports
-  * {min,max,avg}OffsetsBehindLatest in its progress metrics. */
-final class IngestMetricsListener(sink: MetricsSink) extends StreamingQueryListener {
+  * {min,max,avg}OffsetsBehindLatest in its progress metrics.
+  *
+  * Listeners are SESSION-global: without the `queryId` scope two ingest
+  * queries would overwrite each other's gauges, and a restarted query
+  * would emit every metric once per registration. Set `scopeTo` after
+  * `start()` to bind the listener to one query; it deregisters itself
+  * when that query terminates. */
+final class IngestMetricsListener(sink: MetricsSink,
+                                  sessionForRemoval: Option[org.apache.spark.sql.SparkSession] = None)
+    extends StreamingQueryListener {
   import StreamingQueryListener._
 
+  @volatile private var queryId: Option[java.util.UUID] = None
+  def scopeTo(id: java.util.UUID): Unit = queryId = Some(id)
+
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    if (queryId.contains(event.id))
+      sessionForRemoval.foreach(_.streams.removeListener(this))
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    if (queryId.exists(_ != p.id)) return
     sink.gauge("stream.inputRowsPerSecond", p.inputRowsPerSecond.toLong)
     sink.gauge("stream.numInputRows", p.numInputRows)
     p.sources.foreach { s =>

@@ -174,7 +174,11 @@ object IngestPipeline {
             opts: IngestOptions): StreamingQuery = {
     val table = DeltaTable.forPath(spark, tablePath)
     val dlq = DeadLetterSinks.fromOptions(spark, opts)
-    opts.metricsSink.foreach(s => spark.streams.addListener(new IngestMetricsListener(s)))
+    val listener = opts.metricsSink.map { s =>
+      val l = new IngestMetricsListener(s, Some(spark))
+      spark.streams.addListener(l)
+      l
+    }
     val writer = source.writeStream
       .trigger(if (opts.endAtLastOffsets) Trigger.AvailableNow()
                else Trigger.ProcessingTime(opts.allowedLatency.toMillis))
@@ -182,7 +186,11 @@ object IngestPipeline {
         processBatch(batch, batchId, table, dlq, opts)
       }
     opts.checkpointLocation.foreach(writer.option("checkpointLocation", _))
-    writer.start()
+    val query = writer.start()
+    // scope the listener to THIS query: listeners are session-global, and
+    // unscoped gauges from concurrent/restarted queries would interleave
+    listener.foreach(_.scopeTo(query.id))
+    query
   }
 
   /** Kafka → Delta, the reference's one entry point (src/lib.rs:358-362):

@@ -98,7 +98,10 @@ object WindowedAggs {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.lastTs <= gapMs =>
-              cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+              // a late-but-admitted event can PREDATE the session start —
+              // extend the start too or the emitted duration understates
+              cur = Some(s.copy(start = math.min(s.start, t),
+                lastTs = math.max(s.lastTs, t),
                 events = s.events + 1, total = s.total + e.value))
             case Some(s) =>
               closed ::= toSession(s)

@@ -98,6 +98,38 @@ class DeltaSpec extends SparkSpec {
     // empty predicate list behaves like toDF
     assert(s.scan(Nil).count() === 2L)
 
+    // timestamp skipping: the module's headline use case (time-ordered
+    // ingest) — stats bounds are ms-truncated ISO strings
+    val tt = DeltaTable.forPath(spark, tmpDir("delta-skip-ts")).create(
+      StructType(Seq(StructField("id", LongType), StructField("ts", TimestampType))))
+    def tsAt(h: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    tt.append(Seq((1L, tsAt(1)), (2L, tsAt(2))).toDF("id", "ts").coalesce(1))
+    tt.append(Seq((3L, tsAt(10)), (4L, tsAt(11))).toDF("id", "ts").coalesce(1))
+    assert(tt.scanFiles(Seq(ColPred("ts", ">=", tsAt(9)))).size === 1)
+    assert(tt.scan(Seq(ColPred("ts", ">=", tsAt(9)))).count() === 2L)
+    assert(tt.scanFiles(Seq(ColPred("ts", "<", tsAt(0)))).isEmpty)
+
+    // Hive partition escaping: '+' is literal (URLDecoder would have
+    // turned it into a space and broken partition-value pruning)
+    val pe = DeltaTable.forPath(spark, tmpDir("delta-part-esc")).create(
+      StructType(Seq(StructField("id", LongType), StructField("tag", StringType))),
+      partitionColumns = Seq("tag"))
+    pe.append(Seq((1L, "a+b"), (2L, "c d")).toDF("id", "tag"))
+    assert(pe.snapshot.files.flatMap(_.partitionValues.get("tag")).toSet === Set("a+b", "c d"))
+    assert(pe.scan(Seq(ColPred("tag", "=", "a+b"))).count() === 1L)
+
+    // compact after schema evolution must read with the declared schema
+    val ce = DeltaTable.forPath(spark, tmpDir("delta-compact-evo")).create(
+      StructType(Seq(StructField("id", LongType), StructField("d", StringType))),
+      partitionColumns = Seq("d"))
+    ce.append(Seq((1L, "x")).toDF("id", "d"))
+    ce.append(Seq((2L, "x")).toDF("id", "d"))
+    ce.updateSchema(StructType(Seq(StructField("id", LongType),
+      StructField("d", StringType), StructField("extra", LongType))))
+    assert(ce.compact(minBytes = Long.MaxValue) > 0)
+    assert(ce.toDF.count() === 2L)
+    assert(ce.toDF.filter(col("extra").isNull).count() === 2L)
+
     // partition-value pruning on a partitioned table
     val p = newTable(partitioned = true)
     p.append(sampleDf(0 until 30))

@@ -110,6 +110,27 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize extends session_start for late-but-admitted earlier events") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = WindowedAggs.sessionize(in.toDS(), gapMs = 5 * 60 * 1000, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sess3").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(SessionEvent(5L, ts(10), 1.0))
+      q.processAllAvailable()
+      // a late event 2 min EARLIER, still within the lateness window
+      in.addData(SessionEvent(5L, ts(8), 2.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(6L, ts(59), 0.0)) // advance watermark → close
+      q.processAllAvailable()
+      val out = spark.table("sess3").as[Session].collect().filter(_.user_id == 5L)
+      assert(out.length === 1)
+      assert(out.head.session_start === ts(8),
+        s"late earlier event must extend the start; got ${out.head}")
+      assert(out.head.n_events === 2)
+    } finally q.stop()
+  }
+
   test("sessionize splits on gap within one batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
