@@ -71,10 +71,17 @@ object Coercions {
         val child = try_variant_get(v, "$." + f.name, "variant")
         f.name -> coerceField(child, f.dataType, s"$path.${f.name}")
       }
-      val value = when(v.isNull || is_variant_null(v), lit(null).cast(st))
+      val present = v.isNotNull && !is_variant_null(v)
+      // a scalar/array where the schema wants a struct must DEAD-LETTER:
+      // every child get would be null, silently passing a struct of nulls
+      // (the array branch below already errors symmetrically)
+      val isObject = schema_of_variant(v).startsWith("OBJECT")
+      val value = when(!present, lit(null).cast(st))
         .otherwise(struct(fields.map { case (n, c) => c.value.as(n) }.toSeq: _*))
       val errors = fields.map(_._2.error)
-      val error = when(v.isNotNull && !is_variant_null(v), coalesce(errors.toSeq: _*))
+      val error = when(present && !isObject,
+          err(path, concat(lit("cannot coerce to struct: "), to_json(v))))
+        .otherwise(when(present, coalesce(errors.toSeq: _*)))
       Coerced(value, error)
 
     case ArrayType(et, _) =>

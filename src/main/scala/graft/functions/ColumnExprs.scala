@@ -12,3 +12,15 @@ object ColumnBridge {
   def wrap(e: Expression): Column = ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Every input must be array<float> (with implicit casts — array<double>
+  * inputs are CAST, not reinterpreted): the vector kernels read FLOAT
+  * slots, so an unchecked array<double> would silently produce garbage.
+  * Lives here because AbstractDataType is private[sql]. */
+trait FloatArrayInputs
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    children.map(_ =>
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+}

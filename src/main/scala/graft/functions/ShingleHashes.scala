@@ -34,10 +34,18 @@ object ShingleHash {
     * [[graft.ops.Dedup.shingles]]). */
   def hashes(tokens: ArrayData, n: Int, seedBytes: Array[Byte]): ArrayData = {
     val md = mdPool.get()
-    val sz = tokens.numElements()
-    val toks = new Array[Array[Byte]](sz)
+    val raw = tokens.numElements()
+    // null elements are SKIPPED (array<string> permits them even though
+    // TextAnalysis.tokens never produces one) — dereferencing would NPE
+    // the whole task
+    val toks = new Array[Array[Byte]](raw)
+    var sz = 0
     var i = 0
-    while (i < sz) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    while (i < raw) {
+      val s = tokens.getUTF8String(i)
+      if (s != null) { toks(sz) = s.getBytes; sz += 1 }
+      i += 1
+    }
 
     def digestOf(from: Int, len: Int): Long = {
       md.reset()

@@ -51,7 +51,7 @@ object VecKernel {
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.graft.FloatArrayInputs {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -64,7 +64,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 case class HyperplaneSignature(child: Expression, m: Array[Array[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graft.FloatArrayInputs {
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_signature"
   override protected def nullSafeEval(v: Any): Any =

@@ -39,15 +39,21 @@ object AsofJoin {
     require(!leftCols.contains(s"asof_$payloadCol"),
       s"left side already has a column named asof_$payloadCol")
     val payload = s"asof_$payloadCol"
+    // the payload rides in a one-field struct: `last(ignoreNulls)` must
+    // skip only the LEFT sentinel rows, not right rows whose payload is
+    // legitimately null — a bare column would carry a stale older value
+    // over a newer null
+    val pType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", right.schema(payloadCol).dataType)))
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
-      .withColumn(payload, lit(null).cast(right.schema(payloadCol).dataType))
+      .withColumn(payload, lit(null).cast(pType))
     val r = right.select(
       col(keyCol),
       col(rightTime).as("_t"),
       lit(0).as("_side"),
-      col(payloadCol).as(payload))
+      struct(col(payloadCol).as("v")).as(payload))
     val unioned = l.select((col(keyCol) +: col("_t") +: col("_side") +: col(payload) +:
         leftCols.filterNot(c => c == keyCol).map(col)).toSeq: _*)
       .unionByName(r, allowMissingColumns = true)
@@ -59,6 +65,6 @@ object AsofJoin {
     unioned
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select((leftCols.map(col) :+ col(payload)).toSeq: _*)
+      .select((leftCols.map(col) :+ col(payload).getField("v").as(payload)).toSeq: _*)
   }
 }

@@ -80,6 +80,10 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands): " +
+        "a remainder silently drops hashes from banding, and rows-per-band 0 " +
+        "would hash empty slices — collapsing every doc into one bucket")
     val rows = numHashes / bands
     val base = hashedShingleBase(df, idCol, textCol, shingleN, "mh")
     // explode + codegen'd min-aggs instead of higher-order transform
@@ -206,8 +210,13 @@ object Dedup {
     val ex = maxDf match {
       case None => ex0
       case Some(cap) =>
-        val dfreq = ex0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
-        ex0.join(broadcast(dfreq.filter(col("df") <= cap).select(col("hs"))), Seq("hs"))
+        // broadcast the HOT set (df > cap — a handful of stop-shingles by
+        // construction) and anti-join; broadcasting the kept set would
+        // collect nearly every distinct shingle in the corpus to the
+        // driver and OOM at exactly the scale this cap exists for
+        val hot = ex0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("hs"))
+        ex0.join(broadcast(hot), Seq("hs"), "left_anti")
     }
 
     // size-ratio prune (lossless): J ≥ t implies o ≥ t(|A|+|B|)/(1+t) and

@@ -53,8 +53,15 @@ object Similarity {
     private def best(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortBy { case (c, id) => (-c, id) }.take(k)
     override def zero: Seq[(Double, Long)] = Nil
-    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      best(b :+ a)
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+      // hot path: b is sorted (invariant of best); most corpus rows lose
+      // to the current k-th and must not pay a full re-sort
+      if (b.length < k) best(b :+ a)
+      else {
+        val (wc, wid) = b.last
+        if (a._1 > wc || (a._1 == wc && a._2 < wid)) best(b :+ a) else b
+      }
+    }
     override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
       best(b1 ++ b2)
     override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = best(r)
@@ -100,27 +107,31 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
-    val cents = broadcast(corpus.filter(col(corpusId) < numCentroids)
-      .select(col(corpusId).as("centroid_id"), col(corpusVec).as("centv")))
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("neighbor_id"))
-      .orderBy(col("c").desc, col("centroid_id"))
-    val assigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
-      .crossJoin(cents)
-      .withColumn("c", cosine(col("cv"), col("centv")))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("neighbor_id"), col("cv"), col("centroid_id").as("cell"))
+    // The codebook is tiny by construction — collect it and fold the
+    // centroid vectors into the plan as literals, so assignment is a pure
+    // scan-stage expression. The previous cross-join + row_number form
+    // shuffled |corpus| × numCentroids rows through a window sort just to
+    // pick each row's best centroid (review finding).
+    val cents: Seq[(Long, Seq[Float])] = corpus.filter(col(corpusId) < numCentroids)
+      .select(col(corpusId).cast("long"), col(corpusVec))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    require(cents.nonEmpty, "no centroid rows found (corpusId < numCentroids)")
 
-    val byQuery = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("c").desc, col("centroid_id"))
+    // struct(c, -cid): max picks best cosine, ties resolve to the SMALLEST
+    // centroid id (matching the previous (c desc, centroid_id asc) order)
+    def cellStructs(vec: Column): Seq[Column] = cents.map { case (cid, cv) =>
+      struct(cosine(vec, typedlit(cv)).as("c"), lit(-cid).as("nid"))
+    }
+    val assigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("cell", -array_max(array(cellStructs(col("cv")): _*)).getField("nid"))
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
-      .crossJoin(cents)
-      .withColumn("c", cosine(col("qv"), col("centv")))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+      // sort asc by (c, nid), reverse → desc by c with ties on cid asc
+      .withColumn("cand",
+        slice(reverse(array_sort(array(cellStructs(col("qv")): _*))), 1, nprobe))
+      .select(col("query_id"), col("qv"), explode(col("cand")).as("cc"))
+      .select(col("query_id"), col("qv"), (-col("cc.nid")).as("cell"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

@@ -292,15 +292,26 @@ object KafkaMeta {
   val TimestampCol = "timestamp"
   val TimestampTypeCol = "timestampType"
 
-  def column(prop: String): Column = prop match {
-    case "kafka.partition" => col(PartitionCol).cast("int")
-    case "kafka.offset" => col(OffsetCol).cast("long")
-    case "kafka.topic" => col(TopicCol)
-    // reference stores epoch-ms * 1000 = µs (src/transforms.rs:467-476)
-    case "kafka.timestamp" => (col(TimestampCol).cast("long") * 1000L)
-    case "kafka.timestamp_type" => col(TimestampTypeCol).cast("int")
-    case other => throw TransformCompileError(s"unknown kafka meta property: $other")
-  }
+  /** @param timestampColType actual type of the `timestamp` column when
+    *        known: Spark's REAL Kafka source exposes it as TimestampType,
+    *        where `cast(long)` yields SECONDS — the µs contract
+    *        (reference epoch-ms × 1000, src/transforms.rs:467-476) needs
+    *        unix_millis there; harnesses that pre-shape it as an epoch-ms
+    *        long take the numeric path. */
+  def column(prop: String,
+             timestampColType: Option[org.apache.spark.sql.types.DataType] = None): Column =
+    prop match {
+      case "kafka.partition" => col(PartitionCol).cast("int")
+      case "kafka.offset" => col(OffsetCol).cast("long")
+      case "kafka.topic" => col(TopicCol)
+      case "kafka.timestamp" => timestampColType match {
+        case Some(org.apache.spark.sql.types.TimestampType) =>
+          unix_millis(col(TimestampCol)) * 1000L
+        case _ => col(TimestampCol).cast("long") * 1000L
+      }
+      case "kafka.timestamp_type" => col(TimestampTypeCol).cast("int")
+      case other => throw TransformCompileError(s"unknown kafka meta property: $other")
+    }
 
   val all: Set[String] = Set(
     "kafka.partition", "kafka.offset", "kafka.topic",
@@ -318,17 +329,23 @@ object KafkaMeta {
   */
 final class Transformer(specs: Seq[(String, String)]) extends Serializable {
 
-  /** (targetPath, compiled source column) in spec order. */
-  val compiled: Seq[(String, Column)] = specs.map { case (target, source) =>
+  /** (targetPath, kafka-meta property | compiled source column) in spec
+    * order. Kafka meta resolves at apply-time: the right expression for
+    * `kafka.timestamp` depends on the frame's timestamp column type. */
+  val compiled: Seq[(String, Either[String, Column])] = specs.map { case (target, source) =>
     val src = source.trim
-    val c =
-      if (KafkaMeta.all.contains(src)) KafkaMeta.column(src)
-      else JmesPath.toColumn(JmesPath.parse(src))
-    (target, c)
+    if (KafkaMeta.all.contains(src)) (target, Left(src))
+    else (target, Right(JmesPath.toColumn(JmesPath.parse(src))))
   }
 
   def apply(df: DataFrame): DataFrame =
-    compiled.foldLeft(df) { case (acc, (target, expr)) => assign(acc, target, expr) }
+    compiled.foldLeft(df) { case (acc, (target, e)) =>
+      val expr = e.fold(
+        prop => KafkaMeta.column(prop,
+          acc.schema.fields.find(_.name == KafkaMeta.TimestampCol).map(_.dataType)),
+        identity)
+      assign(acc, target, expr)
+    }
 
   private def assign(df: DataFrame, target: String, expr: Column): DataFrame = {
     val parts = target.split('.')
@@ -340,15 +357,59 @@ final class Transformer(specs: Seq[(String, String)]) extends Serializable {
       if (!topExists)
         throw TransformCompileError(
           s"nested transform target '$target' requires existing struct column '${parts.head}'")
-      val fieldPath = parts.tail.mkString(".")
-      // withField creates intermediate structs as needed; preserve-on-null
-      // needs the old leaf when present.
-      val old = parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
       val hasLeaf = hasNestedField(df, parts)
-      val newVal = if (hasLeaf) coalesce(expr, old) else expr
-      df.withColumn(parts.head, col(parts.head).withField(fieldPath, newVal))
+      val newVal = if (hasLeaf) {
+        // preserve-on-null needs the old leaf when present
+        val old = parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
+        coalesce(expr, old)
+      } else expr
+      val topType = df.schema.fields.find(_.name == parts.head).get.dataType
+      df.withColumn(parts.head,
+        setNested(col(parts.head), topType, parts.tail.toList, newVal, target))
     }
   }
+
+  /** Set `rest` under `base`, CREATING missing intermediate structs (the
+    * reference's set_value builds intermediate objects on the way down,
+    * transforms.rs:323-371 — withField alone throws on a missing
+    * intermediate). An existing non-struct intermediate is a spec error. */
+  private def setNested(base: Column, dt: org.apache.spark.sql.types.DataType,
+                        rest: List[String], value: Column, target: String): Column =
+    rest match {
+      case leaf :: Nil =>
+        if (!dt.isInstanceOf[org.apache.spark.sql.types.StructType])
+          throw TransformCompileError(
+            s"transform target '$target': parent of '$leaf' is not a struct")
+        base.withField(leaf, value)
+      case head :: tail =>
+        dt match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.find(_.name == head) match {
+              case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+                base.withField(head,
+                  setNested(base.getField(head), f.dataType, tail, value, target))
+              case Some(_) =>
+                throw TransformCompileError(
+                  s"transform target '$target': '$head' exists but is not a struct")
+              case None =>
+                // build the missing intermediate chain as fresh structs
+                val fresh = tail.foldRight(value) { (seg, inner) =>
+                  org.apache.spark.sql.functions.struct(inner.as(seg))
+                }
+                // fresh is the struct FOR head's value when tail nonEmpty…
+                // foldRight wraps once per tail segment; the value for
+                // `head` is a struct containing the chain
+                base.withField(head, tail match {
+                  case Nil => value
+                  case _ => fresh
+                })
+            }
+          case _ =>
+            throw TransformCompileError(
+              s"transform target '$target': intermediate '$head' is not a struct")
+        }
+      case Nil => value
+    }
 
   private def hasNestedField(df: DataFrame, parts: Array[String]): Boolean = {
     import org.apache.spark.sql.types._

@@ -131,6 +131,18 @@ class CoercionsSpec extends SparkSpec {
     assert(errsOf(r).isEmpty)
   }
 
+  test("a scalar where the schema wants a struct dead-letters, not nulls") {
+    // every child get of a non-object is null; without the explicit type
+    // check the row passed as clean with a struct of nulls (review finding)
+    val r = coerce("""{"level2": 42}""")
+    assert(errsOf(r).exists(_.contains("cannot coerce to struct")),
+      s"scalar-at-struct must raise a field error; got ${errsOf(r)}")
+    val arr = coerce("""{"level2": [1, 2]}""")
+    assert(errsOf(arr).exists(_.contains("cannot coerce to struct")))
+    // a real (empty) object is still fine
+    assert(errsOf(coerce("""{"level2": {}}""")).isEmpty)
+  }
+
   test("rfc3339 regex rejects lax Spark casts, accepts lowercase t/z") {
     val df = Seq("2021-11-11t22:11:58z", "2021-11-11", "2021-11-11T22:11:58").toDF("s")
       .select(Coercions.rfc3339ToTimestamp(col("s")).as("ts"))

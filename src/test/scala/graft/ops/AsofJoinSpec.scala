@@ -35,6 +35,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("e") === None)
   }
 
+  test("a newer right row with a NULL payload wins over an older value") {
+    // last(ignoreNulls) on a bare column would carry the stale "x";
+    // the struct-wrapped payload distinguishes "no right row" from
+    // "right row whose payload is null"
+    val right = Seq(
+      (1L, ts(1), Some("x")),
+      (1L, ts(2), None: Option[String])
+    ).toDF("key", "rts", "payload")
+    val left = Seq((1L, ts(3), "probe")).toDF("key", "lts", "tag")
+    val out = AsofJoin.asof(left, right, "key", "lts", "rts", "payload").head()
+    assert(out.isNullAt(out.fieldIndex("asof_payload")),
+      s"the as-of match at ts(2) has a null payload; got $out")
+  }
+
   test("left columns pass through unchanged") {
     val right = Seq((1L, ts(0), 1.0)).toDF("key", "rts", "v")
     val left = Seq((1L, ts(1), "x", 42)).toDF("key", "lts", "name", "extra")

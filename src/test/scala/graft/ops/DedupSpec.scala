@@ -99,6 +99,33 @@ class DedupSpec extends SparkSpec {
     assert(strict === 0L)
   }
 
+  test("minhash rejects non-divisible banding; maxDf prune preserves results") {
+    // remainder hashes silently dropped / rows-per-band 0 collapses all
+    // docs into one bucket — both are config errors, fail fast
+    assertThrows[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 100, bands = 32))
+    assertThrows[IllegalArgumentException](
+      Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 128, bands = 200))
+    // a cap above every df must not change results (and the hot set it
+    // broadcasts is the SMALL side — review finding)
+    val without = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withCap = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.3,
+        maxDf = Some(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(without === withCap && without.nonEmpty)
+  }
+
+  test("shingle hashes skip null tokens instead of NPEing the task") {
+    val withNulls = Seq((1L, Seq("a", null, "b", "c"))).toDF("id", "toks")
+      .select(col("id"),
+        graft.functions.ShingleHashes.of(col("toks"), 2, "t").as("h"))
+    val clean = Seq((1L, Seq("a", "b", "c"))).toDF("id", "toks")
+      .select(col("id"),
+        graft.functions.ShingleHashes.of(col("toks"), 2, "t").as("h"))
+    assert(withNulls.head().getSeq[Long](1) === clean.head().getSeq[Long](1))
+  }
+
   test("shingles handles short docs (single shingle) and empty text") {
     val out = Seq((1L, "one"), (2L, "")).toDF("id", "text")
       .select(col("id"), TextAnalysis.tokens(col("text")).as("ts"))

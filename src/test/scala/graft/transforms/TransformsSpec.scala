@@ -126,6 +126,40 @@ class TransformsSpec extends SparkSpec {
     assert(got.getAs[String]("m") === "2024-05-06T07:08:09Z")
   }
 
+  test("kafka.timestamp yields microseconds for BOTH source column shapes") {
+    // a real Kafka source exposes `timestamp` as TimestampType — cast(long)
+    // there is SECONDS and loses sub-second precision (review finding)
+    val realShaped = Seq(Tuple1(new java.sql.Timestamp(1732279537028L)))
+      .toDF("timestamp")
+    val us1 = realShaped.select(
+      KafkaMeta.column("kafka.timestamp",
+        Some(org.apache.spark.sql.types.TimestampType)).as("us")).head().getLong(0)
+    assert(us1 === 1732279537028000L)
+    // harness shape: epoch-ms long
+    val msShaped = Seq(Tuple1(1732279537028L)).toDF("timestamp")
+    val us2 = msShaped.select(
+      KafkaMeta.column("kafka.timestamp",
+        Some(org.apache.spark.sql.types.LongType)).as("us")).head().getLong(0)
+    assert(us2 === 1732279537028000L)
+    // Transformer resolves the shape from the frame it's applied to
+    val viaTransformer = realShaped.withColumn("out", lit(0L))
+    val t = Transformer(Seq("out" -> "kafka.timestamp"))(viaTransformer)
+    assert(t.select("out").head().getLong(0) === 1732279537028000L)
+  }
+
+  test("nested transform targets create missing intermediate structs") {
+    val df = Seq((1L, "v")).toDF("id", "src")
+      .withColumn("meta", struct(col("id").as("inner_id")))
+    // meta.geo does not exist: the reference's set_value creates the
+    // intermediate object on the way down
+    val out = Transformer(Seq("meta.geo.lat" -> "src"))(df)
+    assert(out.select("meta.geo.lat").head().getString(0) === "v")
+    assert(out.select("meta.inner_id").head().getLong(0) === 1L)
+    // an existing NON-struct intermediate is a clear spec error
+    assertThrows[TransformCompileError](
+      Transformer(Seq("meta.inner_id.x" -> "src"))(df))
+  }
+
   test("unsupported JMESPath specs fail fast at compile time") {
     assertThrows[TransformCompileError](JmesPath.parse("a[*].b"))   // projection
     assertThrows[TransformCompileError](JmesPath.parse("a[?x].b"))  // filter
