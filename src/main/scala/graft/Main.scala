@@ -30,10 +30,7 @@ object Main {
     * for tests and embedding). */
   def start(spark: SparkSession, cfg: IngestCliConfig) = {
     val sink = cfg.statsdEndpoint.map { ep =>
-      val (host, port) = ep.lastIndexOf(':') match {
-        case -1 => (ep, 8125)
-        case i => (ep.substring(0, i), ep.substring(i + 1).toInt)
-      }
+      val (host, port) = IngestCli.parseStatsdEndpoint(ep)
       new StatsdMetricsSink(host, port)
     }
     val opts = cfg.toIngestOptions.copy(metricsSink = sink)

@@ -191,14 +191,7 @@ object IngestCli {
       throw CliError(s"--auto_offset_reset must be 'earliest' or 'latest', got '$reset'")
 
     val statsd = opt("statsd_endpoint", "STATSD_ENDPOINT")
-    statsd.foreach { ep =>
-      val port = ep.lastIndexOf(':') match {
-        case -1 => "8125"
-        case i => ep.substring(i + 1)
-      }
-      try { port.toInt; () } catch { case _: NumberFormatException =>
-        throw CliError(s"--statsd_endpoint expects HOST:PORT, got '$ep'") }
-    }
+    statsd.foreach(parseStatsdEndpoint) // validate at parse time
 
     val gzip = switch("decompress_gzip", "DECOMPRESS_GZIP")
     val format = resolveFormat(
@@ -269,6 +262,18 @@ object IngestCli {
       throw CliError(s"'$s' - Each transform argument must be colon delimited " +
         "and match the pattern 'PROPERTY: SOURCE'")
     (s.substring(0, idx).trim, s.substring(idx + 1).trim)
+  }
+
+  /** "HOST:PORT" (port defaults to 8125) — the ONE parser, used for both
+    * parse-time validation and Main's sink construction. */
+  def parseStatsdEndpoint(ep: String): (String, Int) = {
+    val (host, port) = ep.lastIndexOf(':') match {
+      case -1 => (ep, "8125")
+      case i => (ep.substring(0, i), ep.substring(i + 1))
+    }
+    try (host, port.toInt)
+    catch { case _: NumberFormatException =>
+      throw CliError(s"--statsd_endpoint expects HOST:PORT, got '$ep'") }
   }
 
   /** "PROPERTY_NAME=PROPERTY_VALUE" */

@@ -208,9 +208,13 @@ object Analytics extends QueryModule {
       (s, d) =>
         Tables.lineitem(s, d)
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+          // decimal-routed like every other quantity sum: raw sum(double)
+          // is partition-order dependent and only passed by luck on
+          // integral quantities (review finding)
+          .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
-      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 

@@ -138,8 +138,7 @@ object DedupQueries extends QueryModule {
           .orderBy(col("id_a"), col("id_b")),
       {
         val m = O.hyperplanes(10, 64)
-        val probeList = ("sig" +: (0 until 10).map(p => s"xor(sig, ${1L << p})"))
-          .mkString("[", ", ", "]")
+        val probeList = O.probeList(10, "sig")
         Some(s"""WITH sigs AS MATERIALIZED (
                 |  SELECT vec_id AS id, embedding AS v, ${O.signature("embedding", m)} AS sig
                 |  FROM embeddings

@@ -90,10 +90,10 @@ object OracleSql {
     s"CASE WHEN $d = 0 THEN 0.0 ELSE ${dot(a, b, dims)} / $d END"
   }
 
-  /** Probe-set UNION source for LSH top-k: own signature + every 1-bit
-    * flip — mirrors the explode in Similarity.lshTopK. */
-  def probeList(planes: Int): String =
-    ("qsig" +: (0 until planes).map(p => s"xor(qsig, ${1L << p})")).mkString("[", ", ", "]")
+  /** Probe-set list for LSH: own signature + every 1-bit flip — mirrors
+    * the explodes in Similarity.lshTopK and Dedup.embeddingNearDups. */
+  def probeList(planes: Int, sigCol: String = "qsig"): String =
+    (sigCol +: (0 until planes).map(p => s"xor($sigCol, ${1L << p})")).mkString("[", ", ", "]")
 
   def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] =
     Similarity.hyperplaneMatrix(planes, dims)

@@ -353,7 +353,7 @@ object ReferenceOps extends QueryModule {
     // (e.g. the round-3 ObjectNode.set regression) fails the gate.
     "ref_st1_stats" -> QueryDef(
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-st1").toString
+        val dir = graft.Scratch.dir("graft-st1")
         val src = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
             when(col("l_quantity") < 5, lit(null).cast("double"))
@@ -390,7 +390,7 @@ object ReferenceOps extends QueryModule {
     // source count. A double-write fails the oracle compare. -------------
     "ref_b1_offset_dedup" -> QueryDef(
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-b1").toString
+        val dir = graft.Scratch.dir("graft-b1")
         val src = Tables.events(s, d).select(col("event_id"), col("user_id"))
         val table = graft.delta.DeltaTable.forPath(s, dir).create(src.schema)
         table.append(src, Some("b1"), txnVersion = 0L)

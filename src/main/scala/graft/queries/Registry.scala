@@ -32,7 +32,4 @@ object Registry {
 
   def oracleSql: Map[String, String] =
     all.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
-
-  def headlines: Map[String, (SparkSession, String) => DataFrame] =
-    all.collect { case (k, d) if d.headline => k -> d.build }
 }

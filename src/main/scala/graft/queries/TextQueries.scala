@@ -11,9 +11,9 @@ import graft.ops.TextAnalysis._
   */
 object TextQueries extends QueryModule {
 
-  // DuckDB fragment: the token list of `text` (same semantics as
-  // TextAnalysis.tokens).
-  private val T = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+  // DuckDB fragment: the token list of `text` — the ONE shared definition
+  // (duplicating it here desynchronizes text_* from dedup_* oracles).
+  private val T = OracleSql.T
 
   def defs: Map[String, QueryDef] = Map(
     "text_token_count" -> QueryDef(
@@ -154,9 +154,9 @@ object TextQueries extends QueryModule {
           .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
               |  md5(array_to_string(list_sort(list_distinct($T)), ' ')) AS fp,
-              |  list_reduce(
+              |  CASE WHEN len($T) = 0 THEN 0 ELSE list_reduce(
               |    list_transform($T, t -> (${graft.functions.Hashing.h64Sql("t", "rh")} & 2147483647)),
-              |    (acc, h) -> (CAST(acc AS BIGINT) * 1000003 + h) % 2147483648) AS rh
+              |    (acc, h) -> (CAST(acc AS BIGINT) * 1000003 + h) % 2147483648) END AS rh
               |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -95,7 +95,11 @@ object PipelineStages {
     val transformed = opts.transforms.foldLeft(coerced) { case (acc, (target, source)) =>
       val src = source.trim
       val raw: Column =
-        if (KafkaMeta.all.contains(src)) KafkaMeta.column(src)
+        if (KafkaMeta.all.contains(src))
+          // a real Kafka source's `timestamp` is TimestampType; the ms-long
+          // harness shape takes the numeric path — resolve from the frame
+          KafkaMeta.column(src, acc.schema.fields
+            .find(_.name == KafkaMeta.TimestampCol).map(_.dataType))
         else JmesPath.toColumnOverVariant(JmesPath.parse(src), col("_v"))
       val targetType = typeAt(schema, target)
       val coercedOut = coerceScalar(acc, raw, targetType)
@@ -281,7 +285,7 @@ object IngestPipeline {
       StructField("date", StringType),
       StructField("_kafka_offset", LongType)))
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-flagship").toString
+    val dir = graft.Scratch.dir("graft-flagship")
     val table = DeltaTable.forPath(spark, dir)
       .create(schema, partitionColumns = Seq("date"))
     val opts = IngestOptions(
