@@ -36,28 +36,38 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "on", "for", "with", "as", "at", "by", "from", "that", "this", "be")
 
-  def stopwordRatio(text: Column): Column = {
-    val ts = tokens(text)
+  /** Stopword fraction over a MATERIALIZED token column (higher-order
+    * lambdas re-evaluate captured expressions per element — callers on a
+    * hot path hoist `tokens(text)` into its own projection once). */
+  def stopwordRatioFromTokens(ts: Column): Column = {
     val n = size(ts)
     when(n === 0, lit(0.0))
       .otherwise(size(filter(ts, t => t.isin(StopwordsEn: _*))).cast("double") / n)
   }
 
+  def stopwordRatio(text: Column): Column = stopwordRatioFromTokens(tokens(text))
+
   /** Mean token length (chars, whitespace excluded). */
-  def meanTokenLen(text: Column): Column = {
-    val n = tokenCount(text)
+  def meanTokenLenFromTokens(text: Column, ts: Column): Column = {
+    val n = size(ts)
     when(n === 0, lit(0.0))
       .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / n)
   }
 
+  def meanTokenLen(text: Column): Column =
+    meanTokenLenFromTokens(text, tokens(text))
+
   /** Composite quality score in [0,1]: favors mid-length docs with some
     * stopwords and low punctuation noise (C4/Gopher-style heuristics). */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+  def qualityScoreFromTokens(text: Column, ts: Column): Column = {
+    val lenScore = least(size(ts).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatioFromTokens(ts) * 4.0, lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
     round((lenScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2), 6)
   }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
 
   /** Language-ID by stopword-list hits (n-gram-free heuristic; determinstic
     * tie-break by language code). */

@@ -31,11 +31,17 @@ object TextQueries extends QueryModule {
     "text_quality" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
+          // tokens materialized ONCE (hot-path hygiene, same rule as the
+          // dedup operators). Measured neutral at sf0.1 — the per-row cost
+          // is dominated by the regex scans and the interpreted stopword
+          // filter itself, not by re-tokenization — but it keeps the
+          // plan's token list single-sourced for the *FromTokens scores.
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
           .select(col("doc_id"),
             round(punctRatio(col("text")), 6).as("punct_ratio"),
-            round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-            round(meanTokenLen(col("text")), 6).as("mean_token_len"),
-            qualityScore(col("text")).as("quality"))
+            round(stopwordRatioFromTokens(col("ts")), 6).as("stopword_ratio"),
+            round(meanTokenLenFromTokens(col("text"), col("ts")), 6).as("mean_token_len"),
+            qualityScoreFromTokens(col("text"), col("ts")).as("quality"))
           .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
               |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
