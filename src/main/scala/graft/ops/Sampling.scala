@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deterministic sampling / splitting / packing operators for
+  * training-data pipelines.
+  *
+  * Every decision is a pure function of md5-derived hash bits
+  * ([[graft.functions.Hashing]]), never of Spark's RNG or row order, so:
+  *  - results are reproducible across retries, speculative tasks, AQE
+  *    re-plans, and cluster sizes (a `df.sample` draw is none of these);
+  *  - the DuckDB oracle recomputes every keep/assign decision exactly;
+  *  - re-running a grown corpus keeps prior decisions stable (a doc's
+  *    split never flips because new docs arrived).
+  *
+  * Scale: keep/assign decisions are codegen'd per-row predicates inside
+  * the scan stage — zero shuffle. The two operators that need more
+  * ([[domainBudget]]: one tiny per-domain aggregate broadcast back;
+  * [[packChunks]]: one window per shard) document their shuffle shape.
+  */
+object Sampling {
+
+  private val U32 = 4294967296.0 // 2^32
+
+  /** Plan-time keep threshold: floor(fraction · 2^32), clamped to [0, 2^32].
+    * h32 is uniform on [0, 2^32), so P[h32 < threshold32(f)] = f exactly
+    * (to 1/2^32 resolution). */
+  def threshold32(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    (fraction * U32).toLong
+  }
+
+  /** Deterministic per-key uniform in [0, 2^32): the sampling coin. Keys
+    * are stringified so Spark's long→string and DuckDB's int→varchar
+    * renderings agree. */
+  def coin(key: Column, salt: String): Column =
+    Hashing.h32(key.cast("string"), salt)
+
+  /** Bernoulli(fraction) sample, deterministic per key. */
+  def bernoulli(df: DataFrame, keyCol: String, fraction: Double,
+                salt: String): DataFrame =
+    df.filter(coin(col(keyCol), salt) < lit(threshold32(fraction)))
+
+  /** Stratified Bernoulli sample: per-stratum fraction, else default.
+    * Thresholds fold to plan-time literals — one codegen'd CASE, no join. */
+  def stratified(df: DataFrame, strataCol: String, keyCol: String,
+                 fractions: Map[String, Double], defaultFraction: Double,
+                 salt: String): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(threshold32(defaultFraction))) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(threshold32(f))).otherwise(acc)
+    }
+    df.filter(coin(col(keyCol), salt) < thr)
+  }
+
+  /** Disjoint, exhaustive train/val/… split by cumulative hash ranges:
+    * every row gets exactly one label; fractions must sum to 1. A row's
+    * label depends only on (key, salt) — growing the corpus never moves
+    * existing rows between splits. */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)], salt: String,
+                  outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val label = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), c), acc) =>
+      when(coin(col(keyCol), salt) < lit(threshold32(c)), lit(name)).otherwise(acc)
+    }
+    // single-branch form: CASE coin < t1 → s1 WHEN coin < t2 → s2 … ELSE last
+    df.withColumn(outCol, label)
+  }
+
+  /** Exactly min(k, |group|) rows per group — uniform without replacement
+    * (rank by hash; ties broken by key, which is unique per row in any
+    * sane pipeline). One shuffle on the group column; partial top-k
+    * (TakeOrdered-style rank pruning) happens map-side via the window's
+    * rank filter at k ≪ group size. */
+  def uniformK(df: DataFrame, groupCol: String, keyCol: String, k: Int,
+               salt: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(coin(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Per-domain expected-budget downsampling: each domain is kept with
+    * probability f_d = min(1, budget / Σ_d weight), so the EXPECTED kept
+    * weight per domain is min(budget, total) — the standard way to flatten
+    * a domain mix to a target token budget. Bernoulli, so the realized sum
+    * concentrates around (not exactly at) the budget.
+    *
+    * Plan shape: one tiny (domain, total) aggregate — rows = |domains| —
+    * broadcast-joined back onto the scan; the keep decision stays a
+    * per-row predicate. Both engines evaluate f_d · 2^32 in IEEE doubles
+    * from identical integer inputs, so the oracle reproduces every
+    * decision. */
+  def domainBudget(df: DataFrame, domainCol: String, keyCol: String,
+                   weightCol: Column, budget: Long, salt: String): DataFrame = {
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(weightCol).as("__total"))
+    df.join(broadcast(totals), Seq(domainCol))
+      .filter(coin(col(keyCol), salt).cast("double") <
+        least(lit(1.0), lit(budget.toDouble) / col("__total").cast("double")) * lit(U32))
+      .drop("__total")
+  }
+
+  /** Concat-and-chunk sequence packing (the GPT-pretraining scheme):
+    * within each shard, documents are concatenated in a deterministic
+    * hash order and cut into fixed `contextLen`-token windows; each doc
+    * reports the window range it lands in. `chunk_first`/`chunk_last`
+    * straddle a boundary when a doc crosses it — downstream chooses
+    * truncate/continue semantics.
+    *
+    * Scale: ONE window per shard (running sum of token counts) — the
+    * shard column must bound per-partition data (source, date, or an
+    * explicit hash-shard column); a global pack would serialize on a
+    * single partition, which is exactly what this signature forbids.
+    *
+    * @return shard, id, n_tokens, start_tok, chunk_first, chunk_last */
+  def packChunks(df: DataFrame, shardCol: String, keyCol: String,
+                 tokenCount: Column, contextLen: Int, salt: String): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive: $contextLen")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(coin(col("id"), salt), col("id"))
+    df.select(col(shardCol).as("shard"), col(keyCol).as("id"),
+        tokenCount.cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("chunk_first", expr(s"start_tok DIV $contextLen"))
+      .withColumn("chunk_last",
+        expr(s"(start_tok + greatest(n_tokens - 1, 0L)) DIV $contextLen"))
+  }
+
+  /** Cross-corpus exact decontamination: drop corpus docs whose
+    * bag-of-words fingerprint ([[TextAnalysis.fingerprint]] — sorted
+    * distinct token set) appears in the probe corpus (benchmark/eval
+    * suites). Complements [[Dedup.contaminationPairs]] (partial n-gram
+    * overlap): this is the strict exact-match gate, that is the fuzzy
+    * leak scan.
+    *
+    * Plan shape: probes (MBs) reduce to distinct 16-byte digests,
+    * BROADCAST into a left-anti hash join inside the corpus scan stage —
+    * zero shuffle of corpus data. */
+  def decontaminate(corpus: DataFrame, probes: DataFrame,
+                    textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val probeFps = probes.select(fp.as("__fp")).distinct()
+    corpus.withColumn("__fp", fp)
+      .join(broadcast(probeFps), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+}

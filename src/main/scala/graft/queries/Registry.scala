@@ -22,7 +22,7 @@ trait QueryModule {
 object Registry {
   def modules: Seq[QueryModule] =
     Seq(Analytics, ReferenceOps, DedupQueries, SimilarityQueries, TextQueries,
-      MultimodalQueries, StreamingQueries)
+      MultimodalQueries, StreamingQueries, SamplingQueries)
 
   def all: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Sampling, TextAnalysis}
+import graft.queries.{OracleSql => O}
+
+/** Deterministic sampling / split / packing operators as verifiable
+  * queries over `documents`. Every keep/assign decision is md5-derived
+  * (graft.ops.Sampling), so the DuckDB oracle reproduces each decision
+  * exactly and the driver's hash gate checks full memberships — not just
+  * counts. Parameters are chosen against sf0.01 ground truth so no query
+  * is vacuous (every sample is a strict, non-empty subset; the budget
+  * fraction is < 1; the probe set removes fingerprint-dup docs).
+  */
+object SamplingQueries extends QueryModule {
+
+  /** DuckDB mirror of Sampling.coin over `expr` (stringified key). */
+  private def coinSql(expr: String, salt: String): String =
+    O.h32Sql(expr, salt)
+
+  private val tc = s"CAST(len(${O.T}) AS BIGINT)"
+
+  def defs: Map[String, QueryDef] = Map(
+    "sample_bernoulli" -> QueryDef(
+      (s, d) =>
+        Sampling.bernoulli(Tables.documents(s, d), "doc_id", 0.2, "bern")
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, source FROM documents
+              |WHERE ${coinSql("doc_id", "bern")} < ${Sampling.threshold32(0.2)}
+              |ORDER BY doc_id""".stripMargin)),
+
+    "sample_stratified" -> QueryDef(
+      (s, d) =>
+        Sampling.stratified(Tables.documents(s, d), "lang", "doc_id",
+            Map("en" -> 0.5, "zh" -> 0.1), defaultFraction = 0.25, salt = "strat")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${coinSql("doc_id", "strat")} <
+              |  CASE lang WHEN 'en' THEN ${Sampling.threshold32(0.5)}
+              |            WHEN 'zh' THEN ${Sampling.threshold32(0.1)}
+              |            ELSE ${Sampling.threshold32(0.25)} END
+              |ORDER BY doc_id""".stripMargin)),
+
+    "sample_split" -> QueryDef(
+      (s, d) =>
+        Sampling.assignSplit(Tables.documents(s, d), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split")
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN ${coinSql("doc_id", "split")} < ${Sampling.threshold32(0.8)} THEN 'train'
+              |       WHEN ${coinSql("doc_id", "split")} < ${Sampling.threshold32(0.9)} THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "sample_uniform_k" -> QueryDef(
+      (s, d) =>
+        Sampling.uniformK(Tables.documents(s, d), "source", "doc_id", k = 5,
+            salt = "uk")
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, source FROM documents
+              |QUALIFY row_number() OVER (
+              |  PARTITION BY source ORDER BY ${coinSql("doc_id", "uk")}, doc_id) <= 5
+              |ORDER BY doc_id""".stripMargin)),
+
+    "sample_domain_budget" -> QueryDef(
+      (s, d) =>
+        Sampling.domainBudget(Tables.documents(s, d), "source", "doc_id",
+            TextAnalysis.tokenCount(col("text")), budget = 800L, salt = "bud")
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, ${coinSql("doc_id", "bud")} AS coin,
+              |    SUM($tc) OVER (PARTITION BY source) AS total
+              |  FROM documents)
+              |SELECT doc_id, source FROM t
+              |WHERE CAST(coin AS DOUBLE) <
+              |  least(1.0, 800.0 / CAST(total AS DOUBLE)) * 4294967296.0
+              |ORDER BY doc_id""".stripMargin)),
+
+    "pack_chunks" -> QueryDef(
+      (s, d) =>
+        Sampling.packChunks(Tables.documents(s, d), "source", "doc_id",
+            TextAnalysis.tokenCount(col("text")), contextLen = 512, salt = "pack")
+          .orderBy(col("shard"), col("id")),
+      Some(s"""WITH t AS (
+              |  SELECT source AS shard, doc_id AS id, $tc AS n_tokens,
+              |    ${coinSql("doc_id", "pack")} AS coin
+              |  FROM documents
+              |), s AS (
+              |  SELECT shard, id, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (
+              |      PARTITION BY shard ORDER BY coin, id
+              |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+              |  FROM t)
+              |SELECT shard, id, n_tokens, start_tok,
+              |  CAST(start_tok // 512 AS BIGINT) AS chunk_first,
+              |  CAST((start_tok + greatest(n_tokens - 1, 0)) // 512 AS BIGINT) AS chunk_last
+              |FROM s ORDER BY shard, id""".stripMargin)),
+
+    "text_decontaminate" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Sampling.decontaminate(
+            docs.filter(col("doc_id") % 11 =!= 0),
+            docs.filter(col("doc_id") % 11 === 0), "text")
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fp AS (
+              |  SELECT doc_id, source,
+              |    md5(array_to_string(list_sort(list_distinct(${O.T})), ' ')) AS f
+              |  FROM documents)
+              |SELECT c.doc_id, c.source FROM fp c
+              |WHERE c.doc_id % 11 <> 0
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM fp p WHERE p.doc_id % 11 = 0 AND p.f = c.f)
+              |ORDER BY doc_id""".stripMargin))
+  )
+}

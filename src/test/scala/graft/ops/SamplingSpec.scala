@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariant checks for the deterministic sampling/split/packing family:
+  * decisions are pure functions of (key, salt), splits partition the
+  * corpus, uniformK is exact, packing preserves token accounting, and
+  * decontamination removes exactly the fingerprint matches.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 400L)
+    .map(i => (i, s"doc number $i with some shared words", if (i % 4 == 0) "a" else "b"))
+    .toDF("doc_id", "text", "grp")
+
+  test("bernoulli: deterministic, stable across runs, near the target rate") {
+    val s1 = Sampling.bernoulli(docs, "doc_id", 0.25, "s").select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.bernoulli(docs, "doc_id", 0.25, "s").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    assert(s1.nonEmpty && s1.size < 400)
+    assert(math.abs(s1.size / 400.0 - 0.25) < 0.1) // 4σ ≈ 0.087
+    // a different salt draws a different (deterministic) sample
+    val s3 = Sampling.bernoulli(docs, "doc_id", 0.25, "t").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3 !== s1)
+  }
+
+  test("bernoulli: growing the corpus never flips an existing decision") {
+    val small = Sampling.bernoulli(docs.filter(col("doc_id") <= 200), "doc_id", 0.25, "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Sampling.bernoulli(docs, "doc_id", 0.25, "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(full.filter(_ <= 200L) === small)
+  }
+
+  test("stratified: per-stratum fractions apply; fraction 0 and 1 are exact") {
+    val out = Sampling.stratified(docs, "grp", "doc_id",
+      Map("a" -> 1.0, "b" -> 0.0), defaultFraction = 0.5, salt = "s")
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === (1L to 400L).filter(_ % 4 == 0).toSet) // all of a, none of b
+  }
+
+  test("assignSplit: every row gets exactly one label, ratios are sane") {
+    val out = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s")
+    assert(out.count() === 400)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 400)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // membership is disjoint by construction (single label column); check
+    // determinism of the assignment
+    val again = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s")
+    assert(out.select("doc_id", "split").collect().toSet ===
+      again.select("doc_id", "split").collect().toSet)
+  }
+
+  test("uniformK: exactly min(k, group size) per group, deterministic") {
+    val out = Sampling.uniformK(docs, "grp", "doc_id", k = 7, salt = "s")
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 7L, "b" -> 7L))
+    val tiny = Sampling.uniformK(docs.filter(col("doc_id") <= 3), "grp", "doc_id", 7, "s")
+    assert(tiny.count() === 3) // groups smaller than k keep everything
+  }
+
+  test("domainBudget: fraction-1 domains keep everything; undersampling hits the rate") {
+    // weight 1 per row: budget 100 on group a (|a|=100) keeps all of a;
+    // group b (|b|=300) is sampled at ~1/3
+    val out = Sampling.domainBudget(docs, "grp", "doc_id", lit(1L), budget = 100L, salt = "s")
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") === 100L)
+    assert(math.abs(counts("b") - 100L) < 30) // Bernoulli at f=1/3, 4σ ≈ 33
+  }
+
+  test("packChunks: token accounting is exact and chunks are contiguous") {
+    val out = Sampling.packChunks(docs, "grp", "doc_id",
+      TextAnalysis.tokenCount(col("text")), contextLen = 64, salt = "s").cache()
+    // per shard: start_tok of the hash-order concatenation covers
+    // [0, total) with no gaps or overlaps
+    out.select("shard", "n_tokens", "start_tok").collect()
+      .groupBy(_.getString(0)).foreach { case (_, rows) =>
+        val sorted = rows.map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1)
+        assert(sorted.head._1 === 0L)
+        sorted.sliding(2).foreach {
+          case Array((s1, n1), (s2, _)) => assert(s1 + n1 === s2)
+          case _ =>
+        }
+      }
+    // chunk ids follow from start_tok by integer division
+    out.collect().foreach { r =>
+      val (n, start) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_tok"))
+      assert(r.getAs[Long]("chunk_first") === start / 64)
+      assert(r.getAs[Long]("chunk_last") === (start + math.max(n - 1, 0)) / 64)
+    }
+    out.unpersist(): Unit
+  }
+
+  test("decontaminate: removes exactly the probe fingerprint matches") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "beta alpha gamma gamma"), // same token SET as probe 11 → removed
+      (4L, "unique text here")).toDF("doc_id", "text")
+    val probes = Seq((11L, "gamma beta alpha"), (12L, "other probe words"))
+      .toDF("doc_id", "text")
+    val kept = Sampling.decontaminate(corpus, probes, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L))
+  }
+}
