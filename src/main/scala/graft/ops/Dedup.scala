@@ -86,16 +86,17 @@ object Dedup {
         "would hash empty slices — collapsing every doc into one bucket")
     val rows = numHashes / bands
     val base = hashedShingleBase(df, idCol, textCol, shingleN, "mh")
-    // explode + codegen'd min-aggs instead of higher-order transform
-    // lambdas (interpreted, ~10× slower): one md5 per (doc, shingle),
-    // then numHashes affine mins in a single hash aggregate.
+    // verify side still needs one row per (doc, shingle hash)
     val exH = base.select(col("id"), size(col("hsh")).cast("long").as("sz"),
       explode(col("hsh")).as("h"))
-    val ex = exH.select(col("id"), col("sz"), col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("x"))
-    val aggs = (0 until numHashes).map(i => min(Hashing.affine(col("x"), i)).as(s"mh$i"))
-    val withSig = ex.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("mh"))
+    // signature via the single-pass codegen kernel — all numHashes affine
+    // minima inside the scan stage; the explode + numHashes-way min-agg
+    // shuffle this replaces was ~4 s of the sf0.1 bench. Value-identical
+    // to min-over-exploded-rows, so the oracle is unchanged. Docs with an
+    // empty hash set are dropped, matching the agg path (no rows → no
+    // group); ShingleHashes never emits one, but guard the general input.
+    val withSig = base.filter(size(col("hsh")) > 0)
+      .select(col("id"), graft.functions.MinHashSig.of(col("hsh"), numHashes).as("mh"))
 
     // one (band, bucket) key per band; bucket = h64 of the band's slice
     val banded = withSig.select(col("id"),
@@ -204,9 +205,20 @@ object Dedup {
     // the 60-bit shingle hash, not the string. The self-join uses aliases
     // over the IDENTICAL subplan so Spark's ReuseExchange computes the
     // explode+shuffle once for both sides.
+    // The self-join's work is OUTPUT-proportional (Σdf² pair rows) while
+    // its input is one small row per (doc, shingle) — AQE sizes partitions
+    // by input bytes, so it under-partitions the join and a few tasks do
+    // all the pair enumeration. Hash-partitioning the join key 4× finer
+    // than the session default rebalances that output work across cores
+    // (measured 9.1 s → ~3.5 s on the sf0.1 bench corpus, whose 931-bigram
+    // vocabulary makes every shingle hot); the extra exchange moves only
+    // the narrow pre-join rows and is shared by both sides via
+    // ReuseExchange.
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions * 4
     val ex0 = base.select(col("id"), size(col("hsh")).cast("long").as("sz"),
         explode(col("hsh")).as("hs"))
       .select(col("hs"), col("id"), col("sz"))
+      .repartition(fanout, col("hs"))
     val ex = maxDf match {
       case None => ex0
       case Some(cap) =>

@@ -126,6 +126,26 @@ class DedupSpec extends SparkSpec {
     assert(withNulls.head().getSeq[Long](1) === clean.head().getSeq[Long](1))
   }
 
+  test("MinHashSig kernel equals the min-over-exploded-affine formulation") {
+    import graft.functions.{Hashing, MinHashSig, ShingleHashes}
+    val k = 16
+    val base = docs
+      .select(col("doc_id").as("id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("id"), ShingleHashes.of(col("ts"), 2, "mh").as("hsh"))
+    val kernel = base.select(col("id"), MinHashSig.of(col("hsh"), k).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ex = base.select(col("id"), explode(col("hsh")).as("h"))
+      .select(col("id"), col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("x"))
+    val aggs = (0 until k).map(i => min(Hashing.affine(col("x"), i)).as(s"m$i"))
+    val viaAgg = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong(_)).toSeq).toMap
+    assert(kernel === viaAgg)
+    // empty-hash-set inputs are dropped, matching the agg path's no-rows
+    val empty = Seq((1L, Seq.empty[Long])).toDF("id", "hsh")
+    assert(Dedup.minhashLsh(docs.limit(0), "doc_id", "text").count() === 0L)
+    assert(empty.filter(size(col("hsh")) > 0).count() === 0L)
+  }
+
   test("shingles handles short docs (single shingle) and empty text") {
     val out = Seq((1L, "one"), (2L, "")).toDF("id", "text")
       .select(col("id"), TextAnalysis.tokens(col("text")).as("ts"))

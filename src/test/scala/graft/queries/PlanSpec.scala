@@ -52,9 +52,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("minhash LSH: the banded candidate self-join reuses one exchange") {
-    val p = plan("dedup_minhash_lsh")
-    assert(p.contains("ReusedExchange"),
-      "band self-join should compute the signature+explode+shuffle once:\n" + p)
+    // Since the signature moved into the scan stage (MinHashSig kernel)
+    // there is no upstream agg shuffle, and at TEST scale AQE broadcasts
+    // the tiny band side — which plans the banded subplan twice. At data
+    // scale the join shuffles both sides, and those exchanges are
+    // identical; pin that shape by disabling auto-broadcast here.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("dedup_minhash_lsh")
+      assert(p.contains("ReusedExchange"),
+        "band self-join should compute the signature+explode+shuffle once:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("contamination scan broadcasts the probe side, never shuffles the corpus") {
