@@ -14,7 +14,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Iterations per measured query: report the MIN. On a contended host the
+    // min of N runs converges to the query's true cost while mean/single-shot
+    // absorb scheduler noise (round-5 lesson: a contended driver run recorded
+    // 84 s for a 20.7 s bench; per-query min makes that impossible to fake).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // Dev-only: comma-separated query-name filter for profiling one query.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
     val headlines = queries.Registry.all.filter(_._2.headline)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Execute the FULL physical plan: DataFrame.count() rewrites to a
     // count(1) aggregate whose column pruning deletes the very projections
@@ -38,18 +48,23 @@ object Bench {
       }
     }
 
-    // measured run: a failing query must fail the bench loudly (a caught
+    // measured runs: a failing query must fail the bench loudly (a caught
     // exception would be reported as a suspiciously fast success)
     val results = headlines.toSeq.sortBy(_._1).map { case (name, d) =>
-      val t0 = System.nanoTime()
-      try run(d.build(spark, sfDir))
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
-          spark.stop()
-          sys.exit(1)
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try run(d.build(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+            spark.stop()
+            sys.exit(1)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s min=${times.min}%.3f max=${times.max}%.3f " +
+        times.map(t => f"$t%.3f").mkString("[", " ", "]"))
+      name -> times
     }
     // Reference-identity throughput: the full message path (JSON decode →
     // JMESPath transforms → coercions → DLQ split → Delta append with
@@ -62,9 +77,11 @@ object Bench {
     val ingestSec = (System.nanoTime() - t0) / 1e9
     val ingestRate = (ingested / ingestSec).round
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }.mkString("{", ",", "}")
+    val qsMax = results.map { case (k, ts) => "\"" + k + "\":" + ts.max }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""iters":$iters,"queries_max":$qsMax,""" +
       s""""ingest_rows":$ingested,"ingest_sec":$ingestSec,""" +
       s""""ingest_rows_per_sec":$ingestRate,"sf":"$sfDir"}""")
     spark.stop()

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -45,23 +45,36 @@ object MinHashKernel {
   * emits a single static call — the whole signature computation rides the
   * scan stage.
   */
-case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 
   private val as: Array[Long] = Array.tabulate(numHashes)(Hashing.affineA)
   private val bs: Array[Long] = Array.tabulate(numHashes)(Hashing.affineB)
 
+  // misuse (e.g. array<string> child) is an analysis error, not a kernel
+  // ClassCastException; array<int> upcasts for free
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty-array inputs yield null (not a [MaxValue x k] sentinel that would
+  // band every empty doc into one bucket at any unguarded call site)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any =
-    MinHashKernel.sig(input.asInstanceOf[ArrayData], as, bs)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else MinHashKernel.sig(arr, as, bs)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("as", as, "long[]")
     val bRef = ctx.addReferenceObj("bs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashKernel.sig($c, $aRef, $bRef);")
+      s"""if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.MinHashKernel.sig($c, $aRef, $bRef);
+         |}""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

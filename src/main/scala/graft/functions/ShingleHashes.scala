@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -82,11 +82,13 @@ object ShingleHash {
   * reproducible.
   */
 case class ShingleHashes(child: Expression, n: Int, seed: String)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
   private val seedBytes: Array[Byte] = (seed + ":").getBytes("UTF-8")
 
+  // misuse (non-array<string> child) fails at analysis, not inside the kernel
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 

@@ -130,7 +130,13 @@ object Dedup {
   }
 
   /** 60-bit SimHash from a PRE-HASHED token column (array<long> of
-    * [[Hashing.h64]] values): per-bit majority vote over token hashes. */
+    * [[Hashing.h64]] values): per-bit majority vote over token hashes.
+    *
+    * Interpreted reference formulation — kept as the executable spec that
+    * DedupSpec pins bit-for-bit against the codegen'd
+    * [[graft.functions.SimHashSig]] kernel the hot path uses (the
+    * higher-order aggregate walks the hash array once per bit, 60 ×
+    * tokens interpreted evals per row; the kernel is one pass). */
   def simhashFromHashes(hashed: Column, bits: Int = 60): Column = {
     val votes = transform(sequence(lit(0), lit(bits - 1)), bit =>
       aggregate(hashed, lit(0L), (acc, h) =>
@@ -157,7 +163,7 @@ object Dedup {
     val sig = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
       .select(col("id"), transform(col("ts"), t => Hashing.h64(t, "sh")).as("hx"))
-      .select(col("id"), simhashFromHashes(col("hx")).as("sig"))
+      .select(col("id"), graft.functions.SimHashSig.of(col("hx")).as("sig"))
     val chunkPairs = for { j <- 0 until 6; k <- j + 1 until 6 } yield (j, k)
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(array(chunkPairs.map { case (j, k) =>
@@ -322,23 +328,32 @@ object Dedup {
     * matrix is md5-derived at plan time (deterministic), so the oracle
     * inlines the identical ±1 literals and reproduces buckets, probes,
     * and cosines exactly; the verified-output contract is
-    * "probe-collision pairs above threshold", mirrored by the oracle. */
+    * "probe-collision pairs above threshold", mirrored by the oracle.
+    *
+    * Plan shape (module rule 1): candidate generation joins (id, sig/psig)
+    * rows ONLY — 16 bytes/row through the multiprobe exchange, not the
+    * `dims`-float vectors (which made each probe row `planes+1` × payload).
+    * The vectors are re-joined ONCE per side after `dropDuplicates`, so a
+    * vector crosses a shuffle once per candidate pair it verifies, never
+    * per probe bucket. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 16,
                         dims: Int = 64): DataFrame = {
     val m = Similarity.hyperplaneMatrix(planes, dims)
     val sig = Similarity.signature(col(vecCol), m)
-    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val idSig = df.select(col(idCol).as("id"), sig.as("sig"))
     val probeCols = col("sig") +: (0 until planes).map(p =>
       col("sig").bitwiseXOR(lit(1L << p)))
-    val probed = withSig.select(col("id"), col("v"),
-      explode(array(probeCols: _*)).as("psig"))
-    probed.alias("a")
-      .join(withSig.alias("b"),
+    val probed = idSig.select(col("id"), explode(array(probeCols: _*)).as("psig"))
+    val cand = probed.alias("a")
+      .join(idSig.alias("b"),
         col("a.psig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("v_a"), col("b.v").as("v_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

@@ -146,6 +146,41 @@ class DedupSpec extends SparkSpec {
     assert(empty.filter(size(col("hsh")) > 0).count() === 0L)
   }
 
+  test("SimHashSig kernel equals the interpreted per-bit-majority formulation") {
+    import graft.functions.{Hashing, SimHashSig}
+    val base = docs
+      .select(col("doc_id").as("id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("id"), transform(col("ts"), t => Hashing.h64(t, "sh")).as("hx"))
+    val kernel = base.select(col("id"), SimHashSig.of(col("hx")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val interp = base.select(col("id"), Dedup.simhashFromHashes(col("hx")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === interp)
+    assert(kernel.values.toSet.size > 1) // signatures actually vary
+    // edge cases pinned: empty array → 0 (no votes win), null element → a
+    // −1 vote per bit (the interpreted otherwise(-1) branch)
+    val edge = Seq((1L, Seq.empty[java.lang.Long]), (2L, Seq[java.lang.Long](null, 3L)))
+      .toDF("id", "hx")
+    val ek = edge.select(col("id"), SimHashSig.of(col("hx")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ei = edge.select(col("id"), Dedup.simhashFromHashes(col("hx")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ek === ei)
+    assert(ek(1L) === 0L)
+  }
+
+  test("MinHashSig rejects wrong input types at analysis; empty array yields null") {
+    import graft.functions.MinHashSig
+    val strs = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      strs.select(MinHashSig.of(col("toks"), 4)).collect())
+    val empty = Seq((1L, Seq.empty[Long]), (2L, Seq(7L))).toDF("id", "hsh")
+      .select(col("id"), MinHashSig.of(col("hsh"), 4).as("mh"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(empty(1L).isEmpty) // not a [MaxValue x k] sentinel bucket magnet
+    assert(empty(2L).isDefined)
+  }
+
   test("shingles handles short docs (single shingle) and empty text") {
     val out = Seq((1L, "one"), (2L, "")).toDF("id", "text")
       .select(col("id"), TextAnalysis.tokens(col("text")).as("ts"))

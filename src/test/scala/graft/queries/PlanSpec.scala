@@ -57,17 +57,46 @@ class PlanSpec extends SparkSpec {
     // the tiny band side — which plans the banded subplan twice. At data
     // scale the join shuffles both sides, and those exchanges are
     // identical; pin that shape by disabling auto-broadcast here.
-    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try {
-      val p = plan("dedup_minhash_lsh")
-      assert(p.contains("ReusedExchange"),
-        "band self-join should compute the signature+explode+shuffle once:\n" + p)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val p = withoutAutoBroadcast(plan("dedup_minhash_lsh"))
+    assert(p.contains("ReusedExchange"),
+      "band self-join should compute the signature+explode+shuffle once:\n" + p)
+  }
+
+  /** Run `body` with auto-broadcast off, restoring BOTH conf keys to their
+    * prior value (set-or-unset) — the shared JVM-wide test session must not
+    * leak conf mutations into later suites. */
+  private def withoutAutoBroadcast[A](body: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("embedding near-dup: candidate exchanges carry ids and signatures, never vectors") {
+    // module rule 1 for the vector case: the multiprobe candidate join
+    // must move (id, sig/psig) rows only; the 64-float payload joins back
+    // AFTER dropDuplicates, once per side. With auto-broadcast off (data
+    // scale), every signature-keyed exchange must be vector-free (the
+    // vector twin of the "digests not text" test above).
+    val p = withoutAutoBroadcast {
+      val df = Registry.all("dedup_embedding").build(spark, sf)
+      df.collect()
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // formatted mode lists each Exchange with its full Input column list
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    val sigExchanges = exchangeInputs.filter(in => in.contains("sig#") || in.contains("psig#"))
+    assert(sigExchanges.nonEmpty, "expected candidate-side exchanges:\n" + p)
+    assert(sigExchanges.forall(in => !in.contains("v#") && !in.contains("v_a#") && !in.contains("v_b#")),
+      "candidate generation must not shuffle vector payloads:\n" + p)
   }
 
   test("contamination scan broadcasts the probe side, never shuffles the corpus") {
