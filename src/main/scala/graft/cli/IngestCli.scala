@@ -302,20 +302,14 @@ object IngestCli {
       case (_, Some(v), _) =>
         if (v.isEmpty) MessageFormat.AvroContainer(None)
         else if (v.startsWith("http"))
-          // a live Confluent registry client needs network; schemas must be
-          // preloaded programmatically (MessageFormat.AvroRegistry)
-          throw CliError("Avro schema-registry endpoints are not supported " +
-            "by the CLI; preload schemas via IngestPipeline with " +
-            "MessageFormat.AvroRegistry(schemaById)")
+          // live Confluent registry (main.rs to_schema_source): ids resolve
+          // lazily per executor; SCHEMA_REGISTRY_USERNAME/PASSWORD/PROXY
+          // env vars are captured here, at process startup, like the
+          // reference's SrSettings build
+          MessageFormat.AvroRegistry(graft.serialization.HttpSchemaSource(v))
         else MessageFormat.AvroContainer(Some(readFile(v)))
       case (_, _, Some(v)) =>
-        val p = existingPath(v)
-        val schemas =
-          if (Files.isDirectory(p))
-            Files.list(p).iterator().asScala.toSeq
-              .filter(f => f.toString.endsWith(".avsc"))
-              .sortBy(_.toString).map(f => Files.readString(f))
-          else Seq(Files.readString(p))
+        val schemas = graft.serialization.Decoders.avscSchemas(existingPath(v))
         if (schemas.isEmpty) throw CliError(s"no .avsc schemas found in '$v'")
         MessageFormat.AvroSoe(schemas)
       case (Some(v), _, _) =>

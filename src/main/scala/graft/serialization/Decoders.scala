@@ -40,8 +40,30 @@ object Decoders {
     wrap(AvroContainerDecode(toExpr(c), readerSchema))
   def avroSoe(c: Column, schemas: Seq[String]): Column =
     wrap(AvroSoeDecode(toExpr(c), schemas))
+  /** D6 from a path: a directory is walked for `.avsc` files, a single file
+    * is read directly — the reference's SoeAvroDeserializer::try_from_path
+    * (src/serialization.rs:368-439); every schema is Rabin-fingerprinted by
+    * [[AvroSoeDecode]]. */
+  def avroSoe(c: Column, path: java.nio.file.Path): Column =
+    avroSoe(c, avscSchemas(path))
+
+  /** Schema JSONs at `path`: `.avsc` files of a directory (name-sorted for
+    * deterministic plans) or the single file itself. */
+  def avscSchemas(path: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val files =
+      if (java.nio.file.Files.isDirectory(path)) {
+        val s = java.nio.file.Files.list(path)
+        try s.iterator().asScala.toSeq.filter(_.toString.endsWith(".avsc")).sortBy(_.toString)
+        finally s.close()
+      } else Seq(path)
+    files.map(java.nio.file.Files.readString)
+  }
   def avroRegistry(c: Column, schemaById: Map[Int, String]): Column =
-    wrap(AvroRegistryDecode(toExpr(c), schemaById))
+    wrap(AvroRegistryDecode(toExpr(c), MapSchemaSource(schemaById)))
+  /** D4 against a live registry (or any [[SchemaSource]]). */
+  def avroRegistry(c: Column, source: SchemaSource): Column =
+    wrap(AvroRegistryDecode(toExpr(c), source))
   def registryJson(c: Column): Column = wrap(RegistryJsonStrip(toExpr(c)))
   def avroEncode(jsonCol: Column, schemaJson: String, soe: Boolean = false): Column =
     wrap(AvroBinaryEncode(toExpr(jsonCol), schemaJson, soe))
@@ -150,9 +172,11 @@ case class AvroSoeDecode(child: Expression, schemaJsons: Seq[String])
 }
 
 /** D4: Confluent-framed Avro: [0x00][4B BE schema id][binary body]; schemas
-  * resolved from a pre-fetched id→schema map (no-egress stand-in for the
-  * registry client). */
-case class AvroRegistryDecode(child: Expression, schemaById: Map[Int, String])
+  * resolved through a [[SchemaSource]] — a pre-fetched id→schema map for
+  * the oracle-gated path, or [[HttpSchemaSource]] against a live registry
+  * (id→schema fetches are cached per executor; unresolvable ids null out
+  * and the frame dead-letters). */
+case class AvroRegistryDecode(child: Expression, schemas: SchemaSource)
     extends UnaryExpression with CodegenFallback with AvroDecodeSupport {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -161,7 +185,7 @@ case class AvroRegistryDecode(child: Expression, schemaById: Map[Int, String])
     try {
       if (bytes.length < 5 || bytes(0) != 0x00.toByte) return null
       val id = ByteBuffer.wrap(bytes, 1, 4).order(ByteOrder.BIG_ENDIAN).getInt
-      schemaById.get(id) match {
+      schemas.schemaFor(id) match {
         case Some(js) => recordToJson(decodeBinary(parseSchema(js), bytes, 5))
         case None => null
       }

@@ -19,7 +19,12 @@ object MessageFormat {
   case object JsonRegistry extends MessageFormat
   final case class AvroContainer(readerSchema: Option[String] = None) extends MessageFormat
   final case class AvroSoe(schemas: Seq[String]) extends MessageFormat
-  final case class AvroRegistry(schemaById: Map[Int, String]) extends MessageFormat
+  final case class AvroRegistry(schemas: graft.serialization.SchemaSource) extends MessageFormat
+  object AvroRegistry {
+    /** Pre-resolved id→schema map (the no-egress form). */
+    def apply(schemaById: Map[Int, String]): AvroRegistry =
+      AvroRegistry(graft.serialization.MapSchemaSource(schemaById))
+  }
 }
 
 /** Reference IngestOptions (/root/reference/src/lib.rs:258-329), Spark-shaped:
@@ -69,7 +74,7 @@ object PipelineStages {
     case MessageFormat.JsonRegistry => Decoders.registryJson(value.cast(BinaryType))
     case MessageFormat.AvroContainer(rs) => Decoders.avroContainer(value.cast(BinaryType), rs)
     case MessageFormat.AvroSoe(schemas) => Decoders.avroSoe(value.cast(BinaryType), schemas)
-    case MessageFormat.AvroRegistry(byId) => Decoders.avroRegistry(value.cast(BinaryType), byId)
+    case MessageFormat.AvroRegistry(src) => Decoders.avroRegistry(value.cast(BinaryType), src)
   }
 
   /** Apply the full message path. Input df must carry `value` plus (when

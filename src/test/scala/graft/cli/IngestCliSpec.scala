@@ -126,9 +126,12 @@ class IngestCliSpec extends AnyFunSuite {
     val nf = intercept[IngestCli.CliError](
       parse("ingest", "t", "l", "--avro", "/no/such.avsc"))
     assert(nf.message.contains("File not found"))
-    // registry URL for avro needs a schema preload — CLI refuses
-    assertThrows[IngestCli.CliError](
-      parse("ingest", "t", "l", "--avro", "http://localhost:8081"))
+    // registry URL for avro → live schema-registry source at that URL
+    parse("ingest", "t", "l", "--avro", "http://localhost:8081").format match {
+      case MessageFormat.AvroRegistry(src: graft.serialization.HttpSchemaSource) =>
+        assert(src.registryUrl === "http://localhost:8081")
+      case other => fail(s"expected a live AvroRegistry format, got $other")
+    }
     // --soe-avro: directory of schemas
     val dir = Files.createTempDirectory("ingestcli-soe")
     Files.writeString(dir.resolve("a.avsc"), "{}")

@@ -35,6 +35,30 @@ class DecodersSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("avro SOE from a schema directory: each .avsc is fingerprinted and resolvable") {
+    val schema2 =
+      """{"type":"record","name":"N","fields":[
+        |{"name":"k","type":"string"}]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("avsc")
+    java.nio.file.Files.writeString(dir.resolve("m.avsc"), schema)
+    java.nio.file.Files.writeString(dir.resolve("n.avsc"), schema2)
+    java.nio.file.Files.writeString(dir.resolve("ignored.txt"), "not a schema")
+    try {
+      assert(Decoders.avscSchemas(dir) === Seq(schema, schema2)) // name-sorted, .avsc only
+      assert(Decoders.avscSchemas(dir.resolve("m.avsc")) === Seq(schema)) // single file
+      // frames written under EITHER schema decode through the directory
+      val r = Seq(("""{"id":7,"name":"x"}""", """{"k":"v"}""")).toDF("a", "b").select(
+        Decoders.avroSoe(Decoders.avroEncode(col("a"), schema, soe = true), dir).as("m"),
+        Decoders.avroSoe(Decoders.avroEncode(col("b"), schema2, soe = true), dir).as("n")).head()
+      assert(graft.delta.Actions.mapper.readTree(r.getString(0)).get("id").asLong() === 7L)
+      assert(graft.delta.Actions.mapper.readTree(r.getString(1)).get("k").asText() === "v")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala.foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("registry JSON framing: header stripped; missing magic yields null") {
     val payload = Array[Byte](0, 0, 0, 0, 42) ++ """{"a":1}""".getBytes("UTF-8")
     val r = Seq(1).toDF("x").select(
