@@ -273,47 +273,26 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   /** Last committed `txn` version for an app id (idempotence check). */
   def txnVersion(appId: String): Option[Long] = snapshot().txns.get(appId)
 
-  /** Atomic single-version commit: create-if-absent on the version file.
-    * Local filesystems get true POSIX atomicity (content staged to a tmp
-    * file, published with an exclusive hard link — no TOCTOU, unlike
-    * exists-then-rename, which File#renameTo silently turns into replace);
-    * HDFS-likes use the namenode's atomic exclusive create. Throws
+  /** Atomic single-version commit: put-if-absent of the version file
+    * through the scheme's [[LogStore]] — hard-link publish on `file://`,
+    * namenode exclusive-create on HDFS-likes, a registered conditional-put
+    * impl on object stores (see [[LogStore]]; the contract the reference's
+    * DynamoDB lock covered, SURVEY §2.7 X6). Throws
     * [[VersionAlreadyExists]] on contention (caller retries with a fresh
     * snapshot, mirroring the reference's optimistic-concurrency loop,
-    * /root/reference/src/lib.rs:968-1024). On object stores a
-    * conditional-put LogStore would slot in here (the contract the
-    * reference's DynamoDB lock covered, SURVEY §2.7 X6). */
+    * /root/reference/src/lib.rs:968-1024). */
   def write(version: Long, actions: Seq[Action]): Unit = {
     fs.mkdirs(logPath)
     val file = versionFile(version)
+    // cheap fast-path only — the LogStore enforces the real guarantee
     if (fs.exists(file)) throw new VersionAlreadyExists(version)
     val bytes = {
       val sb = new java.lang.StringBuilder()
       actions.foreach { a => sb.append(mapper.writeValueAsString(a)).append('\n') }
       sb.toString.getBytes(StandardCharsets.UTF_8)
     }
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
-      val tmp = new Path(logPath, s".${file.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(bytes) finally out.close()
-      val localTmp = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
-      val localDst = java.nio.file.Paths.get(fs.makeQualified(file).toUri.getPath)
-      try java.nio.file.Files.createLink(localDst, localTmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          fs.delete(tmp, false)
-          throw new VersionAlreadyExists(version)
-      }
-      fs.delete(tmp, false)
-    } else {
-      val out =
-        try fs.create(file, false)
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          throw new VersionAlreadyExists(version)
-        }
-      try out.write(bytes) finally out.close()
-    }
+    LogStore.forScheme(Option(fs.getUri.getScheme).getOrElse("file"))
+      .writeAtomic(fs, file, bytes, version)
   }
 
   /** Commit with optimistic-concurrency retry. Before EVERY attempt —

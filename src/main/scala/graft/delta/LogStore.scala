@@ -1,0 +1,81 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The single storage primitive a Delta writer needs: PUT-IF-ABSENT of a
+  * fully-assembled commit file. Every concurrency property of the log
+  * (optimistic retry, exactly-once txn skips, conflict re-check) reduces to
+  * "two writers cannot both create version N" — this trait is that seam.
+  *
+  * The reference ships a DynamoDB mutex for exactly this hole on S3
+  * (X6, /root/reference/README.adoc:224-237: S3 then had no atomic
+  * create-if-absent). Spark deployments pick a store per URI scheme
+  * instead, delta-io LogStore-style:
+  *   - `file://` → [[HardLinkLogStore]] (POSIX link(2) is atomic-exclusive);
+  *   - HDFS-likes → [[ExclusiveCreateLogStore]] (namenode atomic create);
+  *   - object stores → register a conditional-put impl via
+  *     [[LogStore.register]]: S3 `If-None-Match: *`, GCS
+  *     `ifGenerationMatch=0`, ABFS `If-None-Match: *` — each is one HTTP
+  *     header on the upload, and each must map the precondition-failed
+  *     response to [[VersionAlreadyExists]]. No lock table needed on any
+  *     current major object store.
+  */
+trait LogStore {
+  /** Atomically publish `bytes` at `dest`; throws [[VersionAlreadyExists]]
+    * (version parsed by the caller's naming scheme) when `dest` already
+    * exists — including when a concurrent writer creates it mid-call. MUST
+    * NOT leave a partial `dest` visible under any failure. */
+  def writeAtomic(fs: FileSystem, dest: Path, bytes: Array[Byte], version: Long): Unit
+}
+
+/** Local filesystems: stage to a hidden tmp file, publish with an exclusive
+  * hard link. True POSIX atomicity with no TOCTOU — unlike
+  * exists-then-rename, which `File#renameTo` silently turns into replace. */
+object HardLinkLogStore extends LogStore {
+  override def writeAtomic(fs: FileSystem, dest: Path, bytes: Array[Byte], version: Long): Unit = {
+    val dir = dest.getParent
+    val tmp = new Path(dir, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    val localTmp = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+    val localDst = java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath)
+    try java.nio.file.Files.createLink(localDst, localTmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new VersionAlreadyExists(version)
+    }
+    fs.delete(tmp, false)
+  }
+}
+
+/** Filesystems whose `create(path, overwrite = false)` is atomic at the
+  * metadata service (HDFS namenode and compatibles). */
+object ExclusiveCreateLogStore extends LogStore {
+  override def writeAtomic(fs: FileSystem, dest: Path, bytes: Array[Byte], version: Long): Unit = {
+    val out =
+      try fs.create(dest, false)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new VersionAlreadyExists(version)
+      }
+    try out.write(bytes) finally out.close()
+  }
+}
+
+object LogStore {
+  @volatile private var registry: Map[String, LogStore] =
+    Map("file" -> HardLinkLogStore)
+
+  /** Plug a store for a URI scheme (e.g. "s3a" → a conditional-put impl).
+    * Process-wide, like Hadoop's own FileSystem registry. */
+  def register(scheme: String, store: LogStore): Unit = synchronized {
+    registry += scheme.toLowerCase -> store
+  }
+
+  /** Store for a scheme; HDFS-style exclusive-create is the default for
+    * anything unregistered, which is correct for every filesystem whose
+    * create(overwrite=false) is atomic and conservative (first writer may
+    * win spuriously, never two winners) elsewhere. */
+  def forScheme(scheme: String): LogStore =
+    registry.getOrElse(Option(scheme).getOrElse("file").toLowerCase, ExclusiveCreateLogStore)
+}

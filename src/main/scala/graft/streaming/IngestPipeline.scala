@@ -211,6 +211,9 @@ object IngestPipeline {
       if (kafka.maxMessagesPerBatch.isEmpty)
         kafka.copy(maxMessagesPerBatch = Some(opts.maxMessagesPerBatch))
       else kafka
+    // S4 guard: refuse a seek that regresses behind checkpointed offsets
+    // BEFORE any stream state is created (reference offsets.rs:36-102)
+    OffsetGuard.validate(cfg, opts.checkpointLocation)
     start(spark, cfg.load(spark), tablePath, opts)
   }
 

@@ -94,3 +94,69 @@ object KafkaSourceConfig {
       p.trim.toInt -> o.trim.toLong
     }.toMap
 }
+
+/** S4 consistency guard — the reference's `write_offsets_to_delta`
+  * (/root/reference/src/offsets.rs:36-102): seeking is only honored on a
+  * fresh consumer state. If state already stores offsets, a seek AT OR
+  * BELOW them is silently ignored ("already applied" — stored offsets win,
+  * exactly our checkpoint-wins precedence), but stored offsets LOWER than
+  * the seek are refused: continuing from the stored position would ignore
+  * the requested skip, and jumping forward would break exactly-once. The
+  * reference's advice applies verbatim: re-seek under a fresh app id —
+  * here, a fresh checkpoint dir.
+  *
+  * The stored state in this engine is the Structured Streaming checkpoint
+  * (offsets/<batchId> HDFSMetadataLog files: "v1" line, metadata JSON,
+  * then one offset JSON per source — the Kafka source's is
+  * `{"topic":{"partition":nextOffset}}`).
+  */
+object OffsetGuard {
+  final case class InconsistentStoredOffsets(details: String)
+      extends RuntimeException(
+        s"Stored offsets are lower than seek offsets: $details — " +
+          "seek with a fresh checkpoint location (reference: fresh app_id) " +
+          "if skipping records is intended")
+
+  /** Per-partition next-to-read offsets for `topic` from the NEWEST
+    * checkpoint offsets file; None when no checkpoint state exists. */
+  def storedOffsets(checkpointDir: String, topic: String): Option[Map[Int, Long]] = {
+    val dir = new java.io.File(checkpointDir, "offsets")
+    val batches = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+    if (batches.isEmpty) return None
+    val latest = batches.maxBy(_.getName.toLong)
+    val lines = java.nio.file.Files.readAllLines(latest.toPath)
+    // skip the "v1" version line and the batch-metadata JSON line; each
+    // remaining line is one source's offsets — find the Kafka-shaped one
+    // carrying our topic
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.asScala.drop(2).flatMap { line =>
+      scala.util.Try {
+        val node = mapper.readTree(line)
+        Option(node.get(topic)).map { parts =>
+          parts.properties().asScala
+            .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+        }
+      }.toOption.flatten
+    }.headOption
+  }
+
+  /** Fail fast (before the stream starts) when the checkpoint's stored
+    * offsets conflict with a requested seek. No-ops without a seek, without
+    * a checkpoint, or when every stored offset is already at/past its seek
+    * (reference: "The provided offsets are already applied."). */
+  def validate(cfg: KafkaSourceConfig, checkpointDir: Option[String]): Unit = {
+    for {
+      seeks <- cfg.seekOffsets
+      dir <- checkpointDir
+      stored <- storedOffsets(dir, cfg.topic)
+    } {
+      val conflicts = seeks.toSeq.sorted.flatMap { case (p, seek) =>
+        stored.get(p).filter(_ < seek).map(s => s"$p:stored=$s/seek=$seek")
+      }
+      if (conflicts.nonEmpty)
+        throw InconsistentStoredOffsets(conflicts.mkString("[", ", ", "]"))
+    }
+  }
+}

@@ -34,6 +34,40 @@ class KafkaSourceSpec extends SparkSpec {
         numPartitions = Some(2)).startingOffsets)
   }
 
+  test("seek guard mirrors InconsistentStoredOffsets: regression refused, applied seek ignored") {
+    // fabricate a Structured Streaming checkpoint offsets log: batch 3 is
+    // the newest state, with next-to-read offsets {0: 20, 1: 5}
+    val ckpt = java.nio.file.Files.createTempDirectory("seek-guard").toString
+    val offsetsDir = new java.io.File(ckpt, "offsets")
+    assert(offsetsDir.mkdirs())
+    java.nio.file.Files.writeString(new java.io.File(offsetsDir, "1").toPath,
+      "v1\n{\"batchWatermarkMs\":0}\n{\"t\":{\"0\":1,\"1\":1}}\n")
+    java.nio.file.Files.writeString(new java.io.File(offsetsDir, "3").toPath,
+      "v1\n{\"batchWatermarkMs\":0}\n{\"t\":{\"0\":20,\"1\":5}}\n")
+
+    assert(OffsetGuard.storedOffsets(ckpt, "t") === Some(Map(0 -> 20L, 1 -> 5L)))
+    assert(OffsetGuard.storedOffsets(ckpt, "other_topic") === None)
+
+    def cfg(seeks: Map[Int, Long]) = KafkaSourceConfig("t", "b",
+      seekOffsets = Some(seeks), numPartitions = Some(2))
+
+    // stored ≥ seek on every partition → "already applied", no error
+    OffsetGuard.validate(cfg(Map(0 -> 20L, 1 -> 4L)), Some(ckpt))
+    // unknown partition in state → safe (reference: missing is no conflict)
+    OffsetGuard.validate(KafkaSourceConfig("t", "b",
+      seekOffsets = Some(Map(3 -> 100L)), numPartitions = Some(4)), Some(ckpt))
+    // no checkpoint / no seek → no-op
+    OffsetGuard.validate(cfg(Map(0 -> 999L)), None)
+    OffsetGuard.validate(KafkaSourceConfig("t", "b"), Some(ckpt))
+    val fresh = java.nio.file.Files.createTempDirectory("seek-guard-fresh").toString
+    OffsetGuard.validate(cfg(Map(0 -> 999L)), Some(fresh))
+
+    // stored behind the requested seek → refused, with per-partition detail
+    val e = intercept[OffsetGuard.InconsistentStoredOffsets](
+      OffsetGuard.validate(cfg(Map(0 -> 21L, 1 -> 5L)), Some(ckpt)))
+    assert(e.getMessage.contains("[0:stored=20/seek=21]"))
+  }
+
   test("startingOffsets falls back to auto_offset_reset") {
     assert(KafkaSourceConfig("t", "b").startingOffsets === "earliest")
     assert(KafkaSourceConfig("t", "b", autoOffsetReset = "latest").startingOffsets === "latest")
