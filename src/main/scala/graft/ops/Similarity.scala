@@ -116,7 +116,71 @@ object Similarity {
       .select(col(corpusId).cast("long"), col(corpusVec))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
     require(cents.nonEmpty, "no centroid rows found (corpusId < numCentroids)")
+    ivfTopKWith(corpus, corpusId, corpusVec, queries, queryId, queryVec, k, cents, nprobe)
+  }
 
+  /** [[ivfTopK]] with an explicit codebook — e.g. one trained by
+    * [[trainIvfCentroids]]. Centroid ids are the codebook indexes. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, centroids: Seq[Seq[Float]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "empty codebook")
+    val cents = centroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    ivfTopKWith(corpus, corpusId, corpusVec, queries, queryId, queryVec, k, cents, nprobe)
+  }
+
+  /** Deterministic Lloyd-iteration k-means codebook for [[ivfTopK]],
+    * trained on the corpus under the SEARCH metric (cosine — scale
+    * invariance makes the raw per-cell mean a valid spherical-k-means
+    * centroid).
+    *
+    * Scale shape: each iteration is two distributed scan-stage jobs —
+    * assignment folds the current centroids into plan literals (identical
+    * expression to search-time assignment), and the per-cell per-dimension
+    * mean reduces through a (cell, dim) partial aggregation, shuffling
+    * k × dims aggregate rows, never vectors. Only the k × dims codebook
+    * ever reaches the driver (the same tiny-codebook exemption the
+    * plan-literal fold relies on). Seeding is md5-ordered (the k corpus
+    * rows with the smallest md5("ivf:" + id)) — deterministic across
+    * cluster sizes, retries, and AQE, like every sampling decision in
+    * [[Sampling]].
+    *
+    * Empty cells keep their previous centroid (the standard Lloyd
+    * degeneracy guard), so the codebook never shrinks. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        numCentroids: Int, iters: Int = 5): Seq[Seq[Float]] = {
+    require(numCentroids >= 1 && iters >= 0, s"bad k=$numCentroids / iters=$iters")
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var cents: IndexedSeq[Seq[Float]] = base
+      .withColumn("h", md5(concat(lit("ivf:"), col("id").cast("string"))))
+      .orderBy(col("h"), col("id"))
+      .limit(numCentroids)
+      .select(col("v"))
+      .collect().map(_.getSeq[Float](0)).toIndexedSeq
+    require(cents.nonEmpty, "no seed rows: corpus is empty")
+
+    for (_ <- 0 until iters) {
+      def cellStructs(vec: Column): Seq[Column] = cents.zipWithIndex.map { case (cv, i) =>
+        struct(cosine(vec, typedlit(cv)).as("c"), lit(-i.toLong).as("nid"))
+      }
+      val means = base
+        .select((-array_max(array(cellStructs(col("v")): _*)).getField("nid")).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  private def ivfTopKWith(corpus: DataFrame, corpusId: String, corpusVec: String,
+                          queries: DataFrame, queryId: String, queryVec: String,
+                          k: Int, cents: Seq[(Long, Seq[Float])], nprobe: Int): DataFrame = {
     // struct(c, -cid): max picks best cosine, ties resolve to the SMALLEST
     // centroid id (matching the previous (c desc, centroid_id asc) order)
     def cellStructs(vec: Column): Seq[Column] = cents.map { case (cid, cv) =>
