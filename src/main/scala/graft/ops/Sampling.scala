@@ -154,4 +154,49 @@ object Sampling {
       .join(broadcast(probeFps), Seq("__fp"), "left_anti")
       .drop("__fp")
   }
+
+  /** [[decontaminate]] for probe sets past broadcast scale, with IDENTICAL
+    * output: the probe fingerprints fold into a Bloom sketch (built by a
+    * distributed aggregation; only the fixed-size sketch bytes reach the
+    * driver — the same bounded-sketch exemption as the IVF codebook), which
+    * is inlined as a literal so `might_contain` screens rows INSIDE the
+    * corpus scan stage. A Bloom filter has no false negatives, so rows it
+    * clears are definitively clean and never shuffle; only suspected rows
+    * (true hits + ~fpp of the corpus) cross a digest-keyed exchange into
+    * the exact anti-join that removes the false positives. Corpus scanned
+    * twice, shuffled ~never — the right trade at 100 TB, where one shuffle
+    * of the corpus costs far more than a second columnar scan.
+    *
+    * @param expectedProbes sizes the sketch (fpp ≈ 3% at the estimate;
+    *   an underestimate only raises fpp, i.e. verify-join traffic — never
+    *   correctness) */
+  def decontaminateBloom(corpus: DataFrame, probes: DataFrame, textCol: String,
+                         expectedProbes: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{toExpr, wrap}
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedProbes > 0, s"expectedProbes must be positive: $expectedProbes")
+
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val probeFps = probes.select(fp.as("__fp")).distinct()
+    val sketch: Array[Byte] = probeFps
+      .agg(wrap(new BloomFilterAggregate(XxHash64(Seq(toExpr(col("__fp"))), 42L), expectedProbes)
+        .toAggregateExpression()).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    // an empty probe set aggregates to a null sketch — nothing to remove
+    if (sketch == null) return corpus
+
+    def mightContain(c: org.apache.spark.sql.Column) =
+      wrap(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        toExpr(lit(sketch)), XxHash64(Seq(toExpr(c)), 42L)))
+
+    val marked = corpus.withColumn("__fp", fp)
+      // null fingerprints hash to a null probe — they can't match any
+      // probe digest, so they are clean (the anti-join keeps them too)
+      .withColumn("__sus", coalesce(mightContain(col("__fp")), lit(false)))
+    val clean = marked.filter(!col("__sus"))
+    val verified = marked.filter(col("__sus"))
+      .join(probeFps, Seq("__fp"), "left_anti")
+    clean.unionByName(verified).drop("__fp", "__sus")
+  }
 }

@@ -129,7 +129,8 @@ object DedupQueries extends QueryModule {
               |)
               |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
               |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
-              |ORDER BY id_a, id_b""".stripMargin)),
+              |ORDER BY id_a, id_b""".stripMargin),
+      headline = true),
 
     "dedup_embedding" -> QueryDef(
       (s, d) =>
@@ -152,6 +153,7 @@ object DedupQueries extends QueryModule {
                 |)
                 |SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
                 |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin)
-      })
+      },
+      headline = true)
   )
 }

@@ -119,6 +119,31 @@ object SamplingQueries extends QueryModule {
               |WHERE c.doc_id % 11 <> 0
               |  AND NOT EXISTS (
               |    SELECT 1 FROM fp p WHERE p.doc_id % 11 = 0 AND p.f = c.f)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // the bloom prefilter is invisible in the output by construction (no
+    // false negatives; false positives exact-verified) — the oracle is the
+    // plain anti-join, here on a different split than text_decontaminate
+    // and with a deliberately tiny sketch so false positives actually
+    // exercise the verify join at sf scale
+    "text_decontaminate_bloom" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Sampling.decontaminateBloom(
+            docs.filter(col("doc_id") % 7 =!= 0),
+            docs.filter(col("doc_id") % 7 === 0), "text",
+            expectedProbes = 64L)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fp AS (
+              |  SELECT doc_id, source,
+              |    md5(array_to_string(list_sort(list_distinct(${O.T})), ' ')) AS f
+              |  FROM documents)
+              |SELECT c.doc_id, c.source FROM fp c
+              |WHERE c.doc_id % 7 <> 0
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM fp p WHERE p.doc_id % 7 = 0 AND p.f = c.f)
               |ORDER BY doc_id""".stripMargin))
   )
 }

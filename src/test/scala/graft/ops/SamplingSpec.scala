@@ -111,4 +111,25 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(2L, 4L))
   }
+
+  test("decontaminateBloom: output identical to exact decontaminate at any sketch size") {
+    val corpus = (1L to 200L).map(i => (i, s"document body number ${i % 37}"))
+      .toDF("doc_id", "text")
+    val probes = (0L to 36L by 3).map(i => (1000L + i, s"document body number $i"))
+      .toDF("doc_id", "text")
+    val exact = Sampling.decontaminate(corpus, probes, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty && exact.size < 200)
+    // a deliberately tiny sketch maximizes false positives — the exact
+    // verify join must erase them all
+    for (expected <- Seq(1L, 64L, 1L << 20)) {
+      val bloom = Sampling.decontaminateBloom(corpus, probes, "text", expected)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom === exact, s"expectedProbes=$expected")
+    }
+    // empty probe set: everything is clean
+    assert(Sampling.decontaminateBloom(corpus, probes.limit(0), "text").count() === 200L)
+    // (the scan-stage plan shape is pinned in PlanSpec over parquet input —
+    // a local-relation fixture constant-folds the might_contain filter away)
+  }
 }

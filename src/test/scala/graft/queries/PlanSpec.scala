@@ -115,6 +115,14 @@ class PlanSpec extends SparkSpec {
       "dedup must never shuffle the text column:\n" + p)
   }
 
+  test("bloom decontamination: sketch screens inside the scan, corpus never broadcast-joins whole") {
+    val p = plan("text_decontaminate_bloom")
+    // the clean branch is a scan + might_contain filter; only the
+    // suspected slice reaches the exact anti-join
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("text_quality: single-stage scan, no shuffle at all") {
     val p = plan("text_quality")
     assert(!p.contains("Exchange hashpartitioning"),
