@@ -295,6 +295,66 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** [[duplicateClusters]] in O(log n) rounds: alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) for ADVERSARIALLY deep pair graphs — million-hop
+    * chains converge in ~log rounds where min-label propagation needs one
+    * round per hop. Same output contract as [[duplicateClusters]]:
+    * (id, cluster_id = component min).
+    *
+    * Each round is two local-ish steps over (u, v) edge pairs only:
+    *  - large-star: every node's strictly-larger neighbors link to its
+    *    current minimum (star edges toward small ids);
+    *  - small-star: every node's smaller-or-equal neighbors link to the
+    *    minimum — after which chains have halved in height.
+    * Convergence = the edge multiset is a fixpoint of large-star (every
+    * node already points at its component min). Shuffles carry 16-byte
+    * id pairs; lineage is truncated per round like the propagation
+    * variant. */
+  def duplicateClustersLogRounds(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    // star steps need each node's min over its neighborhood INCLUDING
+    // itself; self-loops at the root (u, u) are harmless and filtered by
+    // canon, so track edges canonically as u > v
+    def neighborMin(sym: DataFrame): DataFrame = sym
+      .groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint()
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = neighborMin(sym)
+      // large-star: (v, m(u)) for every neighbor v > u
+      val large = canon(sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star over the large-star output: (v, m(u)) for v ≤ u
+      val lsym = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      val lmins = neighborMin(lsym)
+      val next = canon(lsym.join(lmins, Seq("u"))
+        .filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(lmins.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      // fixpoint: another large-star changes nothing ⇔ edge sets equal
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged, s"components did not converge in $maxIter rounds")
+    // stars point every non-root at the component min; roots label themselves
+    nodes.join(edges.select(col("u").as("id"), col("v").as("cluster_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Benchmark-contamination check: corpus documents sharing ≥ `minShared`
     * word n-grams with any probe document (the test-set-leakage scan every
     * training corpus needs before release).

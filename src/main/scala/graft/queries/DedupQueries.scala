@@ -112,6 +112,28 @@ object DedupQueries extends QueryModule {
               |SELECT node AS id, min(r) AS cluster_id FROM reach
               |GROUP BY node ORDER BY id""".stripMargin)),
 
+    // same contract via the O(log n)-round large-star/small-star algorithm
+    // (deep-chain-safe); output — and therefore oracle — identical to
+    // dedup_clusters
+    "dedup_clusters_logstar" -> QueryDef(
+      (s, d) =>
+        Dedup.duplicateClustersLogRounds(
+            Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+              shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5))
+          .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS a, id_b AS b FROM pairs
+              |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+              |), reach AS (
+              |  SELECT a AS node, a AS r FROM edges
+              |  UNION
+              |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node
+              |)
+              |SELECT node AS id, min(r) AS cluster_id FROM reach
+              |GROUP BY node ORDER BY id""".stripMargin)),
+
     "dedup_simhash" -> QueryDef(
       (s, d) =>
         Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)

@@ -84,6 +84,30 @@ class DedupSpec extends SparkSpec {
     assert(c.values.toSet === Set(10L) && c.size === 5)
   }
 
+  test("large-star/small-star clusters match propagation and converge in log rounds") {
+    // the propagation test's fixtures, same expected output
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClustersLogRounds(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+
+    // a 200-hop chain: min-label propagation needs ~200 rounds (its
+    // default cap rightly refuses); the star algorithm finishes in ≤ 12
+    val n = 200
+    val chain = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val c = Dedup.duplicateClustersLogRounds(chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.size === n + 1 && c.values.toSet === Set(0L))
+    assertThrows[IllegalArgumentException](
+      Dedup.duplicateClusters(chain, maxIter = 12))
+
+    // unordered/duplicate/self edges normalize away
+    val messy = Seq((5L, 3L), (3L, 5L), (5L, 5L), (3L, 3L)).toDF("id_a", "id_b")
+    val m = Dedup.duplicateClustersLogRounds(messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(3L -> 3L, 5L -> 3L))
+  }
+
   test("contamination finds planted n-gram leaks, counts distinct shared shingles") {
     val probes = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     // doc 1/2/4 share trigrams with the probe; doc 3/5 share none
