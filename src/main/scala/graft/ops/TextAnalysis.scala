@@ -156,4 +156,44 @@ object TextAnalysis {
     PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
+
+  /** Line-level boilerplate filter (CCNet/C4-style): a line survives when
+    * it has ≥ `minWords` whitespace words AND its digit share of non-space
+    * chars is ≤ `maxDigitRatio` (navigation stubs, timestamps, page
+    * numbers, and blank lines — the all-whitespace ratio is defined as 1 —
+    * all fail one of the two). Every regex is RE2-safe and mirrored by
+    * [[keepLineSql]] so the oracle can never drift. */
+  def keepLine(line: Column, minWords: Int, maxDigitRatio: Double): Column = {
+    val words = size(filter(split(trim(line), "\\s+"), t => t =!= ""))
+    val nonSpace = length(regexp_replace(line, "\\s", ""))
+    val digits = length(regexp_replace(line, "[^0-9]", ""))
+    val digitRatio = when(nonSpace === 0, lit(1.0))
+      .otherwise(digits.cast("double") / nonSpace.cast("double"))
+    words >= minWords && digitRatio <= maxDigitRatio
+  }
+
+  /** Rejoin of the surviving lines (the document-level cleaning pass every
+    * web corpus gets before quality scoring). Stays a scan-stage expression;
+    * the per-line predicates are interpreted inside the lambda, which is
+    * fine at lines-per-doc scale (the per-TOKEN hot-path rule doesn't
+    * apply). */
+  def cleanLines(text: Column, minWords: Int = 3,
+                 maxDigitRatio: Double = 0.5): Column =
+    concat_ws("\n", filter(split(text, "\n"),
+      l => keepLine(l, minWords, maxDigitRatio)))
+
+  /** [[keepLine]] as DuckDB SQL over line expression `l` — generated so the
+    * oracle tracks the code. */
+  def keepLineSql(l: String, minWords: Int, maxDigitRatio: Double): String =
+    s"""(len(list_filter(regexp_split_to_array(trim($l), '\\s+'), t -> t <> '')) >= $minWords
+       | AND (CASE WHEN length(regexp_replace($l, '\\s', '', 'g')) = 0 THEN 1.0
+       |       ELSE CAST(length(regexp_replace($l, '[^0-9]', '', 'g')) AS DOUBLE)
+       |            / length(regexp_replace($l, '\\s', '', 'g')) END) <= $maxDigitRatio)"""
+      .stripMargin.replace("\n", " ")
+
+  /** [[cleanLines]] as DuckDB SQL over document expression `expr`. */
+  def cleanLinesSql(expr: String, minWords: Int = 3,
+                    maxDigitRatio: Double = 0.5): String =
+    s"array_to_string(list_filter(string_split($expr, chr(10)), " +
+      s"l -> ${keepLineSql("l", minWords, maxDigitRatio)}), chr(10))"
 }

@@ -163,6 +163,39 @@ object TextQueries extends QueryModule {
               |  CASE WHEN len($T) = 0 THEN 0 ELSE list_reduce(
               |    list_transform($T, t -> (${graft.functions.Hashing.h64Sql("t", "rh")} & 2147483647)),
               |    (acc, h) -> (CAST(acc AS BIGINT) * 1000003 + h) % 2147483648) END AS rh
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Line-level boilerplate filtering. The synthetic docs are single-line,
+    // so multi-line pages are FABRICATED deterministically (same pattern as
+    // the wire-format roundtrips): newlines planted at ' merge ' word
+    // boundaries plus three appended boilerplate lines — an all-digit line
+    // (dropped: digit ratio), a 'page N of 999' line (dropped at the 0.3
+    // ratio), and a clean 4-word line (kept).
+    "text_clean_lines" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(
+              regexp_replace(col("text"), " merge ", "\n"),
+              lit("\n12 345 6789\npage "), col("doc_id").cast("string"),
+              lit(" of 999\nkeep these three words")).as("t"))
+          .select(col("doc_id"),
+            cleanLines(col("t"), minWords = 3, maxDigitRatio = 0.3).as("clean_text"),
+            size(split(col("t"), "\n")).cast("long").as("n_lines"),
+            size(filter(split(col("t"), "\n"),
+              l => keepLine(l, 3, 0.3))).cast("long").as("n_kept"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH fab AS (
+              |  SELECT doc_id, replace(text, ' merge ', chr(10))
+              |    || chr(10) || '12 345 6789' || chr(10) || 'page '
+              |    || CAST(doc_id AS VARCHAR) || ' of 999' || chr(10)
+              |    || 'keep these three words' AS t
+              |  FROM documents)
+              |SELECT doc_id,
+              |  ${graft.ops.TextAnalysis.cleanLinesSql("t", 3, 0.3)} AS clean_text,
+              |  len(string_split(t, chr(10))) AS n_lines,
+              |  len(list_filter(string_split(t, chr(10)),
+              |    l -> ${graft.ops.TextAnalysis.keepLineSql("l", 3, 0.3)})) AS n_kept
+              |FROM fab ORDER BY doc_id""".stripMargin))
   )
 }

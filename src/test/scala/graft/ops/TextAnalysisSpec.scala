@@ -28,4 +28,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrub("invoice 1234567890 total 12-34") === "invoice 1234567890 total 12-34")
     assert(scrub("range 1990-2020 grew 10 000 units") === "range 1990-2020 grew 10 000 units")
   }
+
+  private def clean(s: String, minWords: Int = 3, maxDigit: Double = 0.5): String =
+    Seq(s).toDF("t")
+      .select(TextAnalysis.cleanLines(col("t"), minWords, maxDigit))
+      .head().getString(0)
+
+  test("cleanLines drops short, numeric, and blank lines; keeps prose") {
+    val page = Seq(
+      "Home | Products | About",   // 5 words incl separators → kept? '|' are words
+      "a good clean sentence here",
+      "42",                        // short + all digits
+      "12 345 6789",               // 3 words, digit ratio 1
+      "",                          // blank
+      "page 3 of 17",              // 4 words, digits 3/9 = 0.33
+      "   ",                       // whitespace only
+      "two words").mkString("\n")
+    assert(clean(page) ===
+      Seq("Home | Products | About", "a good clean sentence here", "page 3 of 17")
+        .mkString("\n"))
+    // tighter digit ratio also drops the pagination line
+    assert(clean(page, maxDigit = 0.3) ===
+      Seq("Home | Products | About", "a good clean sentence here").mkString("\n"))
+    // all lines dropped → empty document (caller filters on length)
+    assert(clean("1 2 3\nx y") === "")
+    // no newlines: the whole doc is one line, kept iff it passes
+    assert(clean("three clean words") === "three clean words")
+  }
 }
