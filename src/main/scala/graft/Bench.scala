@@ -25,6 +25,10 @@ object Bench {
 
     val headlines = queries.Registry.all.filter(_._2.headline)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // a typo'd filter must fail loudly, not report a record-best 0-second
+    // total to the driver
+    require(headlines.nonEmpty,
+      s"no headline queries match SPARK_GRAFT_BENCH_ONLY=${only.getOrElse(Set())}")
 
     // Execute the FULL physical plan: DataFrame.count() rewrites to a
     // count(1) aggregate whose column pruning deletes the very projections
@@ -72,10 +76,16 @@ object Bench {
     // — the only workload the reference actually runs. Reported as extra
     // fields, NOT in the headline total, so cross-round totals compare.
     streaming.IngestPipeline.flagship(spark, warmDir).count(): Unit
-    val t0 = System.nanoTime()
-    val ingested = streaming.IngestPipeline.flagship(spark, sfDir).count()
-    val ingestSec = (System.nanoTime() - t0) / 1e9
+    val ingestRuns = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      val n = streaming.IngestPipeline.flagship(spark, sfDir).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val ingested = ingestRuns.head._1
+    val ingestSec = ingestRuns.map(_._2).min // same min-of-N rationale
     val ingestRate = (ingested / ingestSec).round
+    System.err.println(f"[bench] ingest min=${ingestSec}%.3f " +
+      ingestRuns.map(r => f"${r._2}%.3f").mkString("[", " ", "]"))
 
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, ts) => "\"" + k + "\":" + ts.max }.mkString("{", ",", "}")

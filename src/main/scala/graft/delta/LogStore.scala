@@ -66,16 +66,35 @@ object LogStore {
   @volatile private var registry: Map[String, LogStore] =
     Map("file" -> HardLinkLogStore)
 
+  /** Object-store schemes whose Hadoop `create(overwrite = false)` is NOT
+    * atomic (existence checked at create(), blind PUT at close() — two
+    * writers can both publish one version and silently lose a commit).
+    * These refuse to write until a conditional-put store is registered:
+    * failing loudly beats corrupting a log. */
+  private val NonAtomicSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
   /** Plug a store for a URI scheme (e.g. "s3a" → a conditional-put impl).
     * Process-wide, like Hadoop's own FileSystem registry. */
   def register(scheme: String, store: LogStore): Unit = synchronized {
     registry += scheme.toLowerCase -> store
   }
 
-  /** Store for a scheme; HDFS-style exclusive-create is the default for
-    * anything unregistered, which is correct for every filesystem whose
-    * create(overwrite=false) is atomic and conservative (first writer may
-    * win spuriously, never two winners) elsewhere. */
-  def forScheme(scheme: String): LogStore =
-    registry.getOrElse(Option(scheme).getOrElse("file").toLowerCase, ExclusiveCreateLogStore)
+  /** Store for a scheme. HDFS-style exclusive-create is the default for
+    * unregistered filesystem schemes (correct wherever
+    * create(overwrite=false) is atomic at a metadata service); known
+    * object-store schemes THROW until a conditional-put impl is
+    * registered. */
+  def forScheme(scheme: String): LogStore = {
+    val s = Option(scheme).getOrElse("file").toLowerCase
+    registry.getOrElse(s,
+      if (NonAtomicSchemes.contains(s))
+        throw new IllegalStateException(
+          s"no LogStore registered for object-store scheme '$s': its " +
+            "create(overwrite=false) is not atomic and concurrent writers " +
+            "could both publish one Delta version. Register a " +
+            "conditional-put LogStore (S3 If-None-Match, GCS " +
+            "ifGenerationMatch=0, ABFS If-None-Match) via LogStore.register")
+      else ExclusiveCreateLogStore)
+  }
 }

@@ -63,21 +63,43 @@ final case class HttpSchemaSource(
     "Basic " + Base64.getEncoder.encodeToString(token.getBytes(StandardCharsets.UTF_8))
   }
 
+  // Misconfiguration must fail at CONSTRUCTION (the reference's SrSettings
+  // build fails at startup), not as silent per-message dead-letters: a
+  // schemeless proxy like "proxy.corp:3128" URI-parses with a null host.
+  private val proxyHostPort: Option[(String, Int)] = proxyUrl.map { p =>
+    val u = URI.create(p)
+    require(u.getHost != null,
+      s"SCHEMA_REGISTRY_PROXY '$p' has no parseable host — use an explicit " +
+        "scheme, e.g. http://proxy.corp:3128")
+    (u.getHost, if (u.getPort >= 0) u.getPort else 80)
+  }
+
+  /** Only SUCCESSFUL lookups and definitive not-founds (404) are cached; a
+    * transient registry failure (timeout, 5xx, connection refused) is
+    * retried on the next message for that id, so an outage degrades to DLQ
+    * traffic while it lasts instead of poisoning the id for the life of
+    * the executor. */
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[Int, Option[String]]()
 
-  @transient private lazy val proxy: Proxy = proxyUrl match {
-    case Some(p) =>
-      val u = URI.create(p)
-      val port = if (u.getPort >= 0) u.getPort else 80
-      new Proxy(Proxy.Type.HTTP, new InetSocketAddress(u.getHost, port))
+  @transient private lazy val proxy: Proxy = proxyHostPort match {
+    case Some((h, p)) => new Proxy(Proxy.Type.HTTP, new InetSocketAddress(h, p))
     case None => Proxy.NO_PROXY
   }
 
-  override def schemaFor(id: Int): Option[String] =
-    cache.computeIfAbsent(id, fetch(_))
+  override def schemaFor(id: Int): Option[String] = {
+    val hit = cache.get(id)
+    if (hit != null) hit
+    else fetch(id) match {
+      case Right(resolved) =>
+        cache.putIfAbsent(id, resolved)
+        resolved
+      case Left(_) => None // transient — do NOT cache
+    }
+  }
 
-  private def fetch(id: Int): Option[String] = {
+  /** Right(Some) = resolved, Right(None) = definitive 404, Left = transient. */
+  private def fetch(id: Int): Either[Throwable, Option[String]] = {
     try {
       val conn = URI.create(s"$base/schemas/ids/$id").toURL
         .openConnection(proxy).asInstanceOf[HttpURLConnection]
@@ -86,14 +108,16 @@ final case class HttpSchemaSource(
       conn.setRequestProperty("Accept", "application/vnd.schemaregistry.v1+json")
       authHeader.foreach(conn.setRequestProperty("Authorization", _))
       try {
-        if (conn.getResponseCode != 200) None
-        else {
-          val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-          // response envelope: {"schema": "<escaped schema json>"}
-          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-          Option(node.get("schema")).map(_.asText())
+        conn.getResponseCode match {
+          case 200 =>
+            val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+            // response envelope: {"schema": "<escaped schema json>"}
+            val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+            Right(Option(node.get("schema")).map(_.asText()))
+          case 404 => Right(None)
+          case _ => Left(new java.io.IOException(s"registry returned ${conn.getResponseCode}"))
         }
       } finally conn.disconnect()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(e) => Left(e) }
   }
 }

@@ -213,7 +213,8 @@ object IngestPipeline {
       else kafka
     // S4 guard: refuse a seek that regresses behind checkpointed offsets
     // BEFORE any stream state is created (reference offsets.rs:36-102)
-    OffsetGuard.validate(cfg, opts.checkpointLocation)
+    OffsetGuard.validate(cfg, opts.checkpointLocation,
+      spark.sessionState.newHadoopConf())
     start(spark, cfg.load(spark), tablePath, opts)
   }
 

@@ -118,20 +118,33 @@ object OffsetGuard {
           "if skipping records is intended")
 
   /** Per-partition next-to-read offsets for `topic` from the NEWEST
-    * checkpoint offsets file; None when no checkpoint state exists. */
-  def storedOffsets(checkpointDir: String, topic: String): Option[Map[Int, Long]] = {
-    val dir = new java.io.File(checkpointDir, "offsets")
-    val batches = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+    * checkpoint offsets file; None when no checkpoint state exists.
+    * Checkpoint locations are Hadoop-FS URIs (file:/, hdfs://, s3a:// —
+    * whatever Spark's checkpoint manager writes to), so the read goes
+    * through the Hadoop FileSystem for the location's scheme, not
+    * java.io.File (which would silently see nothing for any URI form and
+    * let an inconsistent seek through unvalidated). */
+  def storedOffsets(checkpointDir: String, topic: String,
+                    conf: org.apache.hadoop.conf.Configuration =
+                      new org.apache.hadoop.conf.Configuration()): Option[Map[Int, Long]] = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return None
+    val batches = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
     if (batches.isEmpty) return None
-    val latest = batches.maxBy(_.getName.toLong)
-    val lines = java.nio.file.Files.readAllLines(latest.toPath)
+    val latest = batches.maxBy(_.getPath.getName.toLong).getPath
+    val in = fs.open(latest)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
     // skip the "v1" version line and the batch-metadata JSON line; each
     // remaining line is one source's offsets — find the Kafka-shaped one
     // carrying our topic
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    lines.asScala.drop(2).flatMap { line =>
+    text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).drop(2).flatMap { line =>
       scala.util.Try {
         val node = mapper.readTree(line)
         Option(node.get(topic)).map { parts =>
@@ -139,18 +152,20 @@ object OffsetGuard {
             .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
         }
       }.toOption.flatten
-    }.headOption
+    }.nextOption()
   }
 
   /** Fail fast (before the stream starts) when the checkpoint's stored
     * offsets conflict with a requested seek. No-ops without a seek, without
     * a checkpoint, or when every stored offset is already at/past its seek
     * (reference: "The provided offsets are already applied."). */
-  def validate(cfg: KafkaSourceConfig, checkpointDir: Option[String]): Unit = {
+  def validate(cfg: KafkaSourceConfig, checkpointDir: Option[String],
+               conf: org.apache.hadoop.conf.Configuration =
+                 new org.apache.hadoop.conf.Configuration()): Unit = {
     for {
       seeks <- cfg.seekOffsets
       dir <- checkpointDir
-      stored <- storedOffsets(dir, cfg.topic)
+      stored <- storedOffsets(dir, cfg.topic, conf)
     } {
       val conflicts = seeks.toSeq.sorted.flatMap { case (p, seek) =>
         stored.get(p).filter(_ < seek).map(s => s"$p:stored=$s/seek=$seek")

@@ -48,16 +48,20 @@ class LogStoreSpec extends AnyFunSuite {
     roundtrip(ExclusiveCreateLogStore)
   }
 
-  test("scheme registry: file→hard-link, unknown→exclusive-create, registered wins") {
+  test("scheme registry: file→hard-link, hdfs→exclusive-create, object stores refuse unregistered") {
     assert(LogStore.forScheme("file") === HardLinkLogStore)
     assert(LogStore.forScheme(null) === HardLinkLogStore)
     assert(LogStore.forScheme("hdfs") === ExclusiveCreateLogStore)
-    assert(LogStore.forScheme("s3a") === ExclusiveCreateLogStore)
+    // object-store create(overwrite=false) is not atomic: writing without
+    // a registered conditional-put impl must fail loudly, not lose commits
+    Seq("s3a", "gs", "abfss").foreach { s =>
+      val e = intercept[IllegalStateException](LogStore.forScheme(s))
+      assert(e.getMessage.contains("conditional-put"), s)
+    }
     object CondPut extends LogStore {
       override def writeAtomic(fs: FileSystem, dest: Path, bytes: Array[Byte], v: Long): Unit = ()
     }
-    LogStore.register("S3A", CondPut) // case-insensitive
-    try assert(LogStore.forScheme("s3a") === CondPut)
-    finally LogStore.register("s3a", ExclusiveCreateLogStore)
+    LogStore.register("OSS", CondPut) // case-insensitive; once registered, it wins
+    assert(LogStore.forScheme("oss") === CondPut)
   }
 }

@@ -91,6 +91,48 @@ class SchemaSourceSpec extends SparkSpec {
     assert(src.schemaFor(1) === None)
   }
 
+  test("transient failures are retried (not cached); 404s are cached as definitive") {
+    @volatile var failFirst = true
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/", { (ex: HttpExchange) =>
+      hits.incrementAndGet()
+      val id = ex.getRequestURI.getPath.stripPrefix("/schemas/ids/")
+      if (failFirst) { failFirst = false; ex.sendResponseHeaders(503, -1) }
+      else if (id == "42") {
+        val env = new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+        env.put("schema", schemaJson)
+        val body = env.toString.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      } else ex.sendResponseHeaders(404, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val src = HttpSchemaSource(url, username = None, password = None, proxyUrl = None)
+      // 503 → None but NOT cached: the registry blip heals on the next call
+      assert(src.schemaFor(42) === None)
+      assert(src.schemaFor(42) === Some(schemaJson))
+      assert(hits.get() === 2)
+      // definitive 404 IS cached: one request total for an unknown id
+      assert(src.schemaFor(99) === None)
+      assert(src.schemaFor(99) === None)
+      assert(hits.get() === 3)
+    } finally server.stop(0)
+  }
+
+  test("a schemeless proxy URL fails at construction, not as silent dead-letters") {
+    val e = intercept[IllegalArgumentException](
+      HttpSchemaSource("http://r", username = None, password = None,
+        proxyUrl = Some("proxy.corp:3128")))
+    assert(e.getMessage.contains("SCHEMA_REGISTRY_PROXY"))
+    // a well-formed proxy URL constructs fine
+    HttpSchemaSource("http://r", username = None, password = None,
+      proxyUrl = Some("http://proxy.corp:3128")): Unit
+  }
+
   test("end-to-end: AvroRegistryDecode resolves schemas through the live source") {
     withStubRegistry { (url, _, _) =>
       val src = HttpSchemaSource(url, username = None, password = None, proxyUrl = None)

@@ -47,6 +47,9 @@ class KafkaSourceSpec extends SparkSpec {
 
     assert(OffsetGuard.storedOffsets(ckpt, "t") === Some(Map(0 -> 20L, 1 -> 5L)))
     assert(OffsetGuard.storedOffsets(ckpt, "other_topic") === None)
+    // checkpoint locations are Hadoop-FS URIs — the URI form must see the
+    // same state (java.io.File would silently return None for it)
+    assert(OffsetGuard.storedOffsets("file:" + ckpt, "t") === Some(Map(0 -> 20L, 1 -> 5L)))
 
     def cfg(seeks: Map[Int, Long]) = KafkaSourceConfig("t", "b",
       seekOffsets = Some(seeks), numPartitions = Some(2))
