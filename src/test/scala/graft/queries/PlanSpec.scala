@@ -115,6 +115,15 @@ class PlanSpec extends SparkSpec {
       "dedup must never shuffle the text column:\n" + p)
   }
 
+  test("hash kernels ride the scan stage: codegen'd exprs present, interpreted HOFs absent") {
+    // the ~50× kernels must not silently regress to interpreted
+    // transform/aggregate formulations
+    val simhash = plan("dedup_simhash")
+    assert(simhash.contains("simhash_sig"), simhash)
+    val minhash = plan("dedup_minhash_lsh")
+    assert(minhash.contains("minhash_sig") && minhash.contains("shingle_hashes"), minhash)
+  }
+
   test("bloom decontamination: sketch screens inside the scan, corpus never broadcast-joins whole") {
     val p = plan("text_decontaminate_bloom")
     // the clean branch is a scan + might_contain filter; only the
