@@ -14,9 +14,13 @@ import graft.ops.Similarity
   */
 object OracleSql {
 
-  /** Tokens of `text`: lowercase, whitespace-split, empties dropped —
-    * mirrors TextAnalysis.tokens. */
-  val T = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+  /** Tokens of an arbitrary expression: lowercase, whitespace-split,
+    * empties dropped — mirrors TextAnalysis.tokens. */
+  def tokensSql(expr: String): String =
+    s"list_filter(regexp_split_to_array(lower(trim($expr)), '\\s+'), t -> t <> '')"
+
+  /** Tokens of the `text` column (the shared shorthand). */
+  val T = tokensSql("text")
 
   /** Mirrors Dedup.shingles(text, n). */
   def shingles(n: Int): String =

@@ -22,7 +22,7 @@ trait QueryModule {
 object Registry {
   def modules: Seq[QueryModule] =
     Seq(Analytics, ReferenceOps, DedupQueries, SimilarityQueries, TextQueries,
-      MultimodalQueries, StreamingQueries, SamplingQueries)
+      MultimodalQueries, StreamingQueries, SamplingQueries, PipelineRecipe)
 
   def all: Map[String, QueryDef] =
     modules.flatMap(_.defs).toMap
