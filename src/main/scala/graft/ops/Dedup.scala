@@ -98,12 +98,14 @@ object Dedup {
     val withSig = base.filter(size(col("hsh")) > 0)
       .select(col("id"), graft.functions.MinHashSig.of(col("hsh"), numHashes).as("mh"))
 
-    // one (band, bucket) key per band; bucket = h64 of the band's slice
+    // one (band, bucket) key per band; bucket = h64 of the band's slice,
+    // computed by the codegen'd BandBuckets kernel (same "band$b:v1,v2,…"
+    // md5 input as the oracle's bandedUnion — value-identical, ~1.5 s of
+    // Catalyst string machinery off the sf0.1 bench). posexplode's pos IS
+    // the band index, matching the kernel's element order.
     val banded = withSig.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        Hashing.h64(array_join(slice(col("mh"), b * rows + 1, rows).cast("array<string>"), ","),
-          s"band$b")
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(graft.functions.BandBuckets.of(col("mh"), bands))
+        .as(Seq("band", "bucket")))
 
     val cand = banded.alias("a")
       .join(banded.alias("b"),

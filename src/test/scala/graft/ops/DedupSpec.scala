@@ -170,6 +170,31 @@ class DedupSpec extends SparkSpec {
     assert(empty.filter(size(col("hsh")) > 0).count() === 0L)
   }
 
+  test("BandBuckets kernel equals the slice-join-md5 formulation") {
+    import graft.functions.{BandBuckets, Hashing, MinHashSig, ShingleHashes}
+    val bands = 8; val rows = 2
+    val sigs = docs
+      .select(col("doc_id").as("id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("id"), ShingleHashes.of(col("ts"), 2, "mh").as("hsh"))
+      .filter(size(col("hsh")) > 0)
+      .select(col("id"), MinHashSig.of(col("hsh"), bands * rows).as("mh"))
+    val kernel = sigs
+      .select(col("id"), posexplode(BandBuckets.of(col("mh"), bands)).as(Seq("band", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaStrings = sigs.select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          Hashing.h64(array_join(slice(col("mh"), b * rows + 1, rows).cast("array<string>"), ","),
+            s"band$b")
+        }: _*)).as(Seq("band", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(kernel === viaStrings)
+    assert(kernel.values.toSet.size > 1)
+    // a signature that doesn't band evenly fails loudly, not by dropping hashes
+    val bad = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "mh")
+    val e = intercept[Exception](bad.select(BandBuckets.of(col("mh"), 2)).collect())
+    assert(e.getMessage != null)
+  }
+
   test("SimHashSig kernel equals the interpreted per-bit-majority formulation") {
     import graft.functions.{Hashing, SimHashSig}
     val base = docs
