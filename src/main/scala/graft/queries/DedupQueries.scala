@@ -80,6 +80,37 @@ object DedupQueries extends QueryModule {
               |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin),
       headline = true),
 
+    // Same exact-Jaccard contract via prefix filtering (rarity-ordered
+    // prefixes, lossless) — output bit-identical to dedup_ngram_jaccard,
+    // so the brute-force SQL above is reused verbatim: the driver's hash
+    // gate doubles as the losslessness proof.
+    "dedup_ngram_prefix" -> QueryDef(
+      (s, d) =>
+        Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text",
+            shingleN = 2, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM documents
+              |), hashed AS (
+              |  SELECT id, list_distinct(list_transform(sh, s -> ${graft.functions.Hashing.h64Sql("s", "cooc")})) AS hsh
+              |  FROM base
+              |), ex AS MATERIALIZED (
+              |  SELECT id, CAST(len(hsh) AS BIGINT) AS sz, unnest(hsh) AS hs FROM hashed
+              |), o AS (
+              |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS o,
+              |    min(a.sz) AS sz_a, min(b.sz) AS sz_b
+              |  FROM ex a JOIN ex b ON a.hs = b.hs AND a.id < b.id
+              |    AND CAST(a.sz AS DOUBLE) >= 0.5 * b.sz
+              |    AND CAST(b.sz AS DOUBLE) >= 0.5 * a.sz
+              |  GROUP BY a.id, b.id
+              |), scored AS (
+              |  SELECT id_a, id_b,
+              |    CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE) AS j
+              |  FROM o
+              |)
+              |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
+              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) =>
         Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",

@@ -170,6 +170,19 @@ class DedupSpec extends SparkSpec {
     assert(empty.filter(size(col("hsh")) > 0).count() === 0L)
   }
 
+  test("prefix-filtered ngram Jaccard join equals the brute inverted-index join") {
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = normalize(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5))
+    val viaPrefix = normalize(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 0.5))
+    assert(brute.nonEmpty) // fixture actually contains near-dup pairs
+    assert(viaPrefix === brute) // prefix filtering is lossless at J >= t
+    // a tighter threshold shrinks prefixes AND results, still in lockstep
+    val brute8 = normalize(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.8))
+    val prefix8 = normalize(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 2, 0.8))
+    assert(prefix8 === brute8)
+  }
+
   test("BandBuckets kernel equals the slice-join-md5 formulation") {
     import graft.functions.{BandBuckets, Hashing, MinHashSig, ShingleHashes}
     val bands = 8; val rows = 2
