@@ -184,6 +184,72 @@ object TextAnalysis {
 
   /** [[keepLine]] as DuckDB SQL over line expression `l` — generated so the
     * oracle tracks the code. */
+  /** BM25 relevance of every document against a bounded query-term set
+    * (Robertson/Sparck-Jones; the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
+    * always-positive idf).
+    *
+    * Plan shape (100 TB story): corpus statistics — N, Σdl, and one df
+    * counter per query term — reduce in a single tiny aggregation (partial
+    * agg map-side, one row total), broadcast back via a cross join, and
+    * the per-doc scoring runs entirely in the second scan's codegen span:
+    * tf(t,d) = |ts| − |array_remove(ts, t)| keeps the hot loop in native
+    * array ops, no explode, no shuffle of tokens. Query terms are a
+    * bounded literal list by contract (a search query, not a vocabulary).
+    *
+    * Determinism: stats are exact integers (LONG counts; avgdl divides two
+    * exact longs), so scores are bit-stable across partitioning/retries —
+    * no float summation order in sight.
+    */
+  def bm25Scores(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val withTs = df.select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("ts"), size(col("ts")).cast("long").as("dl"))
+    val statAggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("ts"), t), 1L).otherwise(0L)).as(s"df_$i")
+        }
+    val stats = withTs.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      val tf = (col("dl") - size(array_remove(col("ts"), t)).cast("long")).cast("double")
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    withTs.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("bm25"))
+  }
+
+  /** DuckDB twin of the [[bm25Scores]] score for the oracle: same exact-
+    * integer stats CTE + per-term arithmetic in the same association
+    * order. */
+  def bm25Sql(terms: Seq[String], tokensSql: String,
+              k1: Double = 1.2, b: Double = 0.75): String = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(", ")
+    val avgdl = "(CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))"
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val idf = s"ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(s.df_$i AS DOUBLE) + 0.5) / (CAST(s.df_$i AS DOUBLE) + 0.5))"
+      val tf = s"CAST(d.dl - len(list_filter(d.ts, x -> x <> '$t')) AS DOUBLE)"
+      s"($idf * ($tf * ${k1 + 1.0}) / ($tf + $k1 * (${1.0 - b} + $b * CAST(d.dl AS DOUBLE) / $avgdl)))"
+    }.mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents
+       |), docs AS (
+       |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM toks
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfCols FROM docs
+       |), scored AS (
+       |  SELECT d.doc_id, round($score, 6) AS bm25 FROM docs d CROSS JOIN stats s
+       |)""".stripMargin
+  }
+
   def keepLineSql(l: String, minWords: Int, maxDigitRatio: Double): String =
     s"""(len(list_filter(regexp_split_to_array(trim($l), '\\s+'), t -> t <> '')) >= $minWords
        | AND (CASE WHEN length(regexp_replace($l, '\\s', '', 'g')) = 0 THEN 1.0

@@ -196,6 +196,22 @@ object TextQueries extends QueryModule {
               |  len(string_split(t, chr(10))) AS n_lines,
               |  len(list_filter(string_split(t, chr(10)),
               |    l -> ${graft.ops.TextAnalysis.keepLineSql("l", 3, 0.3)})) AS n_kept
-              |FROM fab ORDER BY doc_id""".stripMargin))
+              |FROM fab ORDER BY doc_id""".stripMargin)),
+
+    // BM25 keyword relevance against a fixed query-term set; exact-integer
+    // corpus stats make the scores parallelism-independent, and the oracle
+    // CTE (TextAnalysis.bm25Sql) repeats the identical per-term arithmetic
+    // in the identical association order.
+    "text_bm25" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.bm25Scores(
+            Tables.documents(s, d), "doc_id", "text", Bm25Terms)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH ${graft.ops.TextAnalysis.bm25Sql(Bm25Terms, T)}
+              |SELECT doc_id, bm25 FROM scored ORDER BY doc_id""".stripMargin))
   )
+
+  /** The fixed "search query" for text_bm25 — terms present in the
+    * synthetic corpus at varied frequencies. */
+  private val Bm25Terms = Seq("hash", "spark", "window", "vector", "merge")
 }

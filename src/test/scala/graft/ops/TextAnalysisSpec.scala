@@ -55,4 +55,25 @@ class TextAnalysisSpec extends SparkSpec {
     // no newlines: the whole doc is one line, kept iff it passes
     assert(clean("three clean words") === "three clean words")
   }
+
+  test("bm25 ranks term-dense docs higher, zero for no hits, tf saturates") {
+    val docs = Seq(
+      (1L, "spark spark spark spark row row"), // high tf for 'spark'
+      (2L, "spark row table join merge line"), // one hit
+      (3L, "row table join line key value"),   // no query terms
+      (4L, "spark spark row table join line")  // two hits
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(3L) === 0.0)
+    assert(scores(1L) > scores(4L) && scores(4L) > scores(2L) && scores(2L) > 0.0)
+    // k1 saturation: 4 occurrences score less than 4x one occurrence
+    assert(scores(1L) < 4.0 * scores(2L))
+    // multi-term query sums per-term contributions
+    val multi = TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq("spark", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(multi(2L) > scores(2L)) // doc 2 also matches 'merge'
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq.empty))
+  }
 }
