@@ -109,6 +109,42 @@ object Sampling {
       .drop("__total")
   }
 
+  /** Domain-mixture resampling (data mixing): each domain gets a sampling
+    * WEIGHT w ≥ 0 interpreted as epochs — every doc is emitted ⌊w⌋ times
+    * plus once more with probability frac(w), so the expected copy count
+    * is exactly w (upsampling w > 1 repeats docs; downsampling w < 1
+    * keeps a deterministic Bernoulli slice; w = 0 drops the domain). The
+    * standard knob for retuning a source mix (books × 3, low-quality web
+    * × 0.2) without materializing per-domain datasets.
+    *
+    * Each copy carries an `epoch` index (0-based) so downstream shuffles
+    * or packing can distinguish repeats. Deterministic per (key, salt):
+    * the fractional-epoch coin is the same md5 coin as [[bernoulli]], so
+    * a doc's copy count never changes across runs or cluster sizes.
+    *
+    * Plan shape: weights fold to a plan-time CASE; the repeat explode is
+    * a generated sequence inside the scan stage — zero shuffle, output
+    * rows ≈ Σ_d w_d·|d| by construction. */
+  def mixtureResample(df: DataFrame, domainCol: String, keyCol: String,
+                      weights: Map[String, Double], defaultWeight: Double,
+                      salt: String, epochCol: String = "epoch"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w.isFinite),
+      s"mixture weights must be finite and >= 0: $weights default=$defaultWeight")
+    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight): Column) {
+      case (acc, (dom, w)) => when(col(domainCol) === dom, lit(w)).otherwise(acc)
+    }
+    val whole = floor(wExpr) // bigint in both engines' semantics
+    val frac = wExpr - whole.cast("double")
+    val extra = when(coin(col(keyCol), salt).cast("double") < frac * lit(U32), 1L)
+      .otherwise(0L)
+    // sequence() with start > stop counts DOWN — guard reps > 0 first so
+    // a zero-copy doc emits nothing instead of a phantom [0, -1] pair
+    df.withColumn("__reps", whole + extra)
+      .filter(col("__reps") > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("__reps") - 1)))
+      .drop("__reps")
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-pretraining scheme):
     * within each shard, documents are concatenated in a deterministic
     * hash order and cut into fixed `contextLen`-token windows; each doc

@@ -82,6 +82,33 @@ object SamplingQueries extends QueryModule {
               |  least(1.0, 800.0 / CAST(total AS DOUBLE)) * 4294967296.0
               |ORDER BY doc_id""".stripMargin)),
 
+    // Mixture resampling: src0 upsampled 2.5 epochs, src1 thinned to 0.25,
+    // src2 dropped, everything else kept at 1 — exercises the whole-copy,
+    // fractional-coin, zero, and default paths. The oracle repeats each
+    // doc with range(reps) from the identical weight CASE + coin.
+    "sample_mixture" -> QueryDef(
+      (s, d) =>
+        Sampling.mixtureResample(Tables.documents(s, d), "source", "doc_id",
+            Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0),
+            defaultWeight = 1.0, salt = "mix")
+          .select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy(col("doc_id"), col("epoch")),
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, source,
+              |    CASE WHEN source = 'src2' THEN 0.0
+              |         WHEN source = 'src1' THEN 0.25
+              |         WHEN source = 'src0' THEN 2.5 ELSE 1.0 END AS wt,
+              |    CAST(${coinSql("doc_id", "mix")} AS DOUBLE) AS coin
+              |  FROM documents
+              |), r AS (
+              |  SELECT doc_id, source,
+              |    CAST(floor(wt) AS BIGINT) +
+              |      (CASE WHEN coin < (wt - floor(wt)) * 4294967296.0 THEN 1 ELSE 0 END) AS reps
+              |  FROM w
+              |)
+              |SELECT doc_id, source, unnest(range(0, reps)) AS epoch
+              |FROM r WHERE reps > 0 ORDER BY doc_id, epoch""".stripMargin)),
+
     "pack_chunks" -> QueryDef(
       (s, d) =>
         Sampling.packChunks(Tables.documents(s, d), "source", "doc_id",

@@ -132,4 +132,34 @@ class SamplingSpec extends SparkSpec {
     // (the scan-stage plan shape is pinned in PlanSpec over parquet input —
     // a local-relation fixture constant-folds the might_contain filter away)
   }
+
+  test("mixtureResample: copy counts follow weights, deterministic, zero drops") {
+    val docs = (1L to 400L).map { i =>
+      (i, if (i <= 100) "up" else if (i <= 200) "down" else if (i <= 300) "gone" else "rest")
+    }.toDF("doc_id", "source")
+    val out = Sampling.mixtureResample(docs, "source", "doc_id",
+      Map("up" -> 2.5, "down" -> 0.25, "gone" -> 0.0), defaultWeight = 1.0, salt = "t")
+    val byDoc = out.groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val upCounts = (1L to 100L).map(i => byDoc.getOrElse((i, "up"), 0L))
+    assert(upCounts.forall(c => c == 2L || c == 3L)) // floor(2.5) + coin
+    assert(upCounts.sum > 200 && upCounts.sum < 300) // ~250 expected
+    val downCounts = (101L to 200L).map(i => byDoc.getOrElse((i, "down"), 0L))
+    assert(downCounts.forall(c => c == 0L || c == 1L))
+    assert(downCounts.sum > 5 && downCounts.sum < 60) // ~25 expected
+    assert((201L to 300L).forall(i => !byDoc.contains((i, "gone"))))
+    assert((301L to 400L).forall(i => byDoc((i, "rest")) == 1L))
+    // epoch indexes are 0..reps-1 per doc
+    val epochs = out.filter(col("doc_id") === 1L).select("epoch")
+      .collect().map(_.getLong(0)).sorted
+    assert(epochs === (0L until epochs.length.toLong).toArray)
+    // deterministic: rerun is identical
+    val again = Sampling.mixtureResample(docs, "source", "doc_id",
+      Map("up" -> 2.5, "down" -> 0.25, "gone" -> 0.0), defaultWeight = 1.0, salt = "t")
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again === byDoc)
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureResample(docs, "source", "doc_id", Map("up" -> -1.0), 1.0, "t"))
+  }
 }
