@@ -288,6 +288,53 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     deleted
   }
 
+  /** Multi-dimensional clustering rewrite (OPTIMIZE ZORDER BY a, b):
+    * rewrites every live data file with rows ordered by the Morton
+    * interleave of two columns ([[graft.functions.ZValue]]), so per-file
+    * min/max stats tighten on BOTH columns and [[DataSkipping]] prunes
+    * files for predicates on either one — single-column sort clustering
+    * can only ever serve one predicate column.
+    *
+    * Scale: repartitionByRange samples the z-keys (one extra pass) and
+    * range-partitions the shuffle — each output file covers a compact
+    * z-interval, which is exactly the property stats pruning feeds on.
+    * Hive-partitioned tables range-cluster by (partition cols, z) so each
+    * task writes contiguous partition values. Commits add+remove with
+    * dataChange=false under the same live-files concurrency guard as
+    * [[compact]].
+    *
+    * @param numFiles target file count (0 = keep the current count)
+    * @return committed version, or -1 if nothing to do / lost the race */
+  def optimizeZOrder(colA: String, colB: String, numFiles: Int = 0): Long = {
+    val snap = snapshot
+    if (snap.files.size < 2 && numFiles <= 0) return -1L
+    val parts = partitionColumns
+    val n = if (numFiles > 0) numFiles else snap.files.size
+    val zv = graft.functions.ZValue.of(
+      col(colA).cast("long"), col(colB).cast("long"))
+    val rangeCols = parts.map(col) :+ org.apache.spark.sql.functions.col("__zv")
+    val sorted = dfFor(snap).withColumn("__zv", zv)
+      .repartitionByRange(n, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .drop("__zv")
+    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val writer = sorted.write.mode("overwrite").option("compression", "snappy")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
+    val adds = collectStagedFiles(staging, parts)
+    try {
+      val removedPaths = snap.files.map(_.path).toSet
+      val committed = log.commit(
+        adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
+          snap.files.map(f => Action(remove = Some(RemoveFile(f.path,
+            Some(System.currentTimeMillis()), dataChange = false)))) ++
+          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))),
+        check = s => removedPaths.subsetOf(s.files.map(_.path).toSet))
+      if (committed < 0)
+        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+      committed
+    } finally fs.delete(staging, true)
+  }
+
   /** Small-file compaction (the reference's min_bytes_per_file lever, B3,
     * re-expressed as OPTIMIZE): rewrite files below `minBytes` per partition
     * into compacted ones; commits add+remove with dataChange=false. */

@@ -299,6 +299,18 @@ object Analytics extends QueryModule {
              |  quantile_cont(value, 0.95) AS p95, count(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Z-order (Morton) clustering key — the expression behind
+    // DeltaTable.optimizeZOrder, oracle-checked bit-for-bit (the rewrite
+    // itself is spec-gated in DeltaSpec; this pins the cross-engine key).
+    "q21_zorder_key" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_id"),
+            graft.functions.ZValue.of(col("user_id"), col("event_id")).as("zv"))
+          .orderBy(col("event_id")),
+      Some(s"""SELECT event_id, ${graft.functions.ZValue.sql("user_id", "event_id")} AS zv
+              |FROM events ORDER BY event_id""".stripMargin)),
+
     // Correlated scalar subquery shape: per-order max line.
     "q13_subquery" -> QueryDef(
       (s, d) => {

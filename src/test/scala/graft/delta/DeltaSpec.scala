@@ -308,4 +308,33 @@ class DeltaSpec extends SparkSpec {
     assert(after.snapshot.files.size < filesBefore)
     assert(after.toDF.orderBy("id").collect().toSeq === before)
   }
+
+  test("optimizeZOrder clusters two dimensions so stats prune both") {
+    import DataSkipping.ColPred
+    val t = DeltaTable.forPath(spark, tmpDir("delta-zorder")).create(
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    // a 32x32 grid appended in row-major slices: every file spans the FULL
+    // b range, so b-predicates prune nothing before the rewrite
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    grid.grouped(128).foreach(chunk => t.append(chunk.toDF("a", "b").coalesce(1)))
+    val before = DeltaTable.forPath(spark, t.path)
+    val nFiles = before.snapshot.files.size
+    assert(nFiles === 8)
+    assert(before.scanFiles(Seq(ColPred("b", "=", 7L))).size === nFiles)
+    val data = before.toDF.orderBy("a", "b").collect().toSeq
+
+    assert(before.optimizeZOrder("a", "b") > 0)
+    val after = DeltaTable.forPath(spark, t.path)
+    assert(after.snapshot.files.size === nFiles)
+    // z-clustering bounds each file in BOTH dims. 8 files x 128 cells fix
+    // the top 3 z-bits (a4, b4, a3) — every file is an 8x16 tile, so a
+    // point predicate on a hits <= 2 files and on b <= 4 (vs 8 before)
+    assert(after.scanFiles(Seq(ColPred("b", "=", 7L))).size <= nFiles / 2)
+    assert(after.scanFiles(Seq(ColPred("a", "=", 7L))).size <= nFiles / 4)
+    // rewrite is metadata-only data motion: same rows, dataChange=false
+    assert(after.toDF.orderBy("a", "b").collect().toSeq === data)
+    // results stay exact through pruned scans
+    assert(after.scan(Seq(ColPred("a", "=", 7L))).count() === 32L)
+    assert(after.scan(Seq(ColPred("b", "=", 7L), ColPred("a", "<", 4L))).count() === 4L)
+  }
 }
