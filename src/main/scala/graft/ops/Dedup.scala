@@ -318,6 +318,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-document duplicate-PASSAGE profile (the window-granular
+    * approximation of suffix-array substring dedup, Lee et al. 2022):
+    * hash every `windowN`-token window, find windows appearing in ≥ 2
+    * docs, and report per doc how much of it is duplicated elsewhere —
+    * the RefinedWeb-style signal for cutting boilerplate and templated
+    * spam that document-level dedup can't see (two docs 30% identical
+    * pass every whole-doc gate).
+    *
+    * Plan shape: (digest, id) rows only — one count aggregation on the
+    * 60-bit window hash, one digest-keyed join back; window text never
+    * leaves the scan stage. Output has one row per doc that CONTAINS a
+    * shared window (inner join by construction).
+    *
+    * @return (id, n_windows, n_dup_windows, dup_ratio) */
+  def dupPassages(df: DataFrame, idCol: String, textCol: String,
+                  windowN: Int = 6): DataFrame = {
+    val base = hashedShingleBase(df, idCol, textCol, windowN, "span")
+    val ex = base.select(col("id"), size(col("hsh")).cast("long").as("n_windows"),
+      explode(col("hsh")).as("h"))
+    // hsh is per-doc distinct, so a plain row count is the doc frequency
+    val shared = ex.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    ex.join(shared, Seq("h"))
+      .groupBy(col("id"))
+      .agg(min(col("n_windows")).as("n_windows"), count(lit(1)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows").cast("double") / col("n_windows").cast("double"), 6))
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
     * by min-label propagation (each node repeatedly adopts the smallest
     * label among itself and its neighbors; fixpoint = per-component min

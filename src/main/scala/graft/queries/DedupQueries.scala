@@ -111,6 +111,28 @@ object DedupQueries extends QueryModule {
               |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
               |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Passage-level duplication profile: which docs share 6-token windows
+    // with any other doc, and how much of each such doc is duplicated.
+    "text_dup_passages" -> QueryDef(
+      (s, d) =>
+        Dedup.dupPassages(Tables.documents(s, d), "doc_id", "text", windowN = 6)
+          .orderBy(col("id")),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id AS id, ${O.shingles(6)} AS sh FROM documents
+              |), hashed AS (
+              |  SELECT id, list_distinct(list_transform(sh, s -> ${graft.functions.Hashing.h64Sql("s", "span")})) AS hsh
+              |  FROM base
+              |), ex AS MATERIALIZED (
+              |  SELECT id, CAST(len(hsh) AS BIGINT) AS n_windows, unnest(hsh) AS h FROM hashed
+              |), shared AS (
+              |  SELECT h FROM ex GROUP BY h HAVING count(*) >= 2
+              |)
+              |SELECT id, min(n_windows) AS n_windows,
+              |  CAST(count(*) AS BIGINT) AS n_dup_windows,
+              |  round(CAST(count(*) AS DOUBLE) / CAST(min(n_windows) AS DOUBLE), 6) AS dup_ratio
+              |FROM ex JOIN shared USING (h)
+              |GROUP BY id ORDER BY id""".stripMargin)),
+
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) =>
         Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",

@@ -170,6 +170,29 @@ class DedupSpec extends SparkSpec {
     assert(empty.filter(size(col("hsh")) > 0).count() === 0L)
   }
 
+  test("dupPassages finds cross-doc shared windows, skips unique docs") {
+    val shared = "alpha beta gamma delta epsilon zeta" // one 6-token window
+    val fix = Seq(
+      (1L, s"$shared and then unique tail one two three"),
+      (2L, s"different head words here $shared"),
+      (3L, "entirely unrelated document with its own words only")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupPassages(fix, "doc_id", "text", windowN = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    // both docs contain the shared window exactly once
+    assert(out(1L)._2 === 1L && out(2L)._2 === 1L)
+    // doc 1 has 13 tokens -> 8 windows; doc 2 has 10 tokens -> 5 windows
+    assert(out(1L) === ((8L, 1L, 0.125)))
+    assert(out(2L) === ((5L, 1L, 0.2)))
+    // identical docs are 100% duplicated passages
+    val twins = Seq((1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val t = Dedup.dupPassages(twins, "doc_id", "text", windowN = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(t === Map(1L -> 1.0, 2L -> 1.0))
+  }
+
   test("prefix-filtered ngram Jaccard join equals the brute inverted-index join") {
     def normalize(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
