@@ -109,6 +109,45 @@ object Sampling {
       .drop("__total")
   }
 
+  /** Importance sampling: keep each row with its OWN probability — a score
+    * column in [0, 1] (quality score, model-based filter output, inverse
+    * propensity weight) instead of a plan-time constant. The coin is the
+    * same md5 hash as [[bernoulli]], so decisions stay deterministic per
+    * (key, salt) even as the score model is retrained: only rows whose
+    * score crossed their coin flip membership.
+    *
+    * Scale: a codegen'd per-row predicate in the scan stage — zero
+    * shuffle. Scores outside [0, 1] clamp (a <0/NaN score keeps nothing,
+    * >1 keeps always) rather than corrupting the comparison. */
+  def weightedBernoulli(df: DataFrame, keyCol: String, probCol: Column,
+                        salt: String): DataFrame = {
+    // NaN sorts ABOVE every double in Spark's ordering, so least() would
+    // pass it through as p = 1 — zero it first
+    val p = least(greatest(nanvl(probCol.cast("double"), lit(0.0)), lit(0.0)), lit(1.0))
+    df.filter(coin(col(keyCol), salt).cast("double") < p * lit(U32))
+  }
+
+  /** Per-domain percentile gate: keep the top `keepFrac` of each domain by
+    * `scoreCol` (ties broken by key so the cut is deterministic) — "keep
+    * the best 30% of every source" curation, which a global threshold
+    * can't express when score scales differ by domain.
+    *
+    * Plan shape: one window per domain (rank / count over the domain
+    * partition); the gate compares the rank to keepFrac · |domain| — a
+    * single shuffle on the domain column, no second pass for counts. */
+  def percentileGate(df: DataFrame, domainCol: String, keyCol: String,
+                     scoreCol: Column, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac out of (0,1]: $keepFrac")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(scoreCol.desc, col(keyCol))
+    val wAll = Window.partitionBy(col(domainCol))
+    df.withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // ceil, so every non-empty domain keeps at least its best row
+      .filter(col("__rk") <= ceil(lit(keepFrac) * col("__n").cast("double")).cast("long"))
+      .drop("__rk", "__n")
+  }
+
   /** Domain-mixture resampling (data mixing): each domain gets a sampling
     * WEIGHT w ≥ 0 interpreted as epochs — every doc is emitted ⌊w⌋ times
     * plus once more with probability frac(w), so the expected copy count

@@ -82,6 +82,37 @@ object SamplingQueries extends QueryModule {
               |  least(1.0, 800.0 / CAST(total AS DOUBLE)) * 4294967296.0
               |ORDER BY doc_id""".stripMargin)),
 
+    // Importance sampling: keep probability is a PER-ROW score (here a
+    // length ramp over n_chars) instead of a plan-time constant.
+    "sample_weighted" -> QueryDef(
+      (s, d) =>
+        Sampling.weightedBernoulli(Tables.documents(s, d), "doc_id",
+            least(col("n_chars").cast("double") / 400.0, lit(1.0)) * lit(0.8), "wb")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, n_chars FROM documents
+              |WHERE CAST(${coinSql("doc_id", "wb")} AS DOUBLE) <
+              |  least(greatest(least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 0.8, 0.0), 1.0)
+              |    * 4294967296.0
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Per-domain percentile gate: top 30% of each source by n_chars
+    // (ties by doc_id) — per-source curation a global cut can't express.
+    "sample_percentile" -> QueryDef(
+      (s, d) =>
+        Sampling.percentileGate(Tables.documents(s, d), "source", "doc_id",
+            col("n_chars"), keepFrac = 0.3)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars FROM r
+             |WHERE rk <= CAST(ceil(0.3 * CAST(n AS DOUBLE)) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Mixture resampling: src0 upsampled 2.5 epochs, src1 thinned to 0.25,
     // src2 dropped, everything else kept at 1 — exercises the whole-copy,
     // fractional-coin, zero, and default paths. The oracle repeats each

@@ -133,6 +133,48 @@ class SamplingSpec extends SparkSpec {
     // a local-relation fixture constant-folds the might_contain filter away)
   }
 
+  test("weightedBernoulli keeps by per-row probability; clamps bad scores") {
+    val docs = (1L to 300L).map(i => (i, i.toDouble / 300.0)).toDF("doc_id", "p")
+    val kept = Sampling.weightedBernoulli(docs, "doc_id", col("p"), "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < 300)
+    // high-p rows survive far more often than low-p rows
+    val lowKept = kept.count(_ <= 100)
+    val highKept = kept.count(_ > 200)
+    assert(highKept > lowKept)
+    // p = 0 never keeps, p = 1 (and clamped > 1 / < 0) behave as constants
+    val edge = Seq((1L, 0.0), (2L, 1.0), (3L, 7.0), (4L, -2.0), (5L, Double.NaN))
+      .toDF("doc_id", "p")
+    val ek = Sampling.weightedBernoulli(edge, "doc_id", col("p"), "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ek.contains(1L) && ek.contains(2L) && ek.contains(3L))
+    assert(!ek.contains(4L) && !ek.contains(5L))
+    // deterministic
+    val again = Sampling.weightedBernoulli(docs, "doc_id", col("p"), "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
+  test("percentileGate keeps the per-domain top fraction with deterministic ties") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 50) "a" else "b", (i % 10).toDouble))
+      .toDF("doc_id", "dom", "score")
+    val kept = Sampling.percentileGate(docs, "dom", "doc_id", col("score"), 0.2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // ceil(0.2 * 50) = 10 per domain
+    assert(kept.count(_._2 == "a") === 10)
+    assert(kept.count(_._2 == "b") === 10)
+    // kept scores dominate: nothing below score 8 survives (10 rows of 9s
+    // and 8s per domain fill the quota exactly)
+    assert(kept.forall(_._3 >= 8.0))
+    // tiny domain always keeps its best row
+    val tiny = Seq((1L, "t", 5.0), (2L, "t", 3.0)).toDF("doc_id", "dom", "score")
+    val tk = Sampling.percentileGate(tiny, "dom", "doc_id", col("score"), 0.3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tk === Seq(1L))
+    assertThrows[IllegalArgumentException](
+      Sampling.percentileGate(docs, "dom", "doc_id", col("score"), 0.0))
+  }
+
   test("mixtureResample: copy counts follow weights, deterministic, zero drops") {
     val docs = (1L to 400L).map { i =>
       (i, if (i <= 100) "up" else if (i <= 200) "down" else if (i <= 300) "gone" else "rest")
