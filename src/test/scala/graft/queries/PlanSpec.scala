@@ -142,4 +142,32 @@ class PlanSpec extends SparkSpec {
     val p = plan("q2_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("bm25: one-row stats broadcast back, corpus never shuffles") {
+    val p = plan("text_bm25")
+    // the stats side joins via a broadcast nested-loop cross join (one
+    // row); the corpus side must reach scoring without any repartitioning
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bm25 scoring must not shuffle the corpus:\n" + p)
+  }
+
+  test("dup passages: exchanges carry window digests and ids, never text") {
+    val df = Registry.all("text_dup_passages").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    assert(exchangeInputs.forall(cols => !cols.contains("text")),
+      "window text must never cross an exchange:\n" + p)
+  }
+
+  test("zorder key is a codegen'd scan-stage expression") {
+    val p = plan("q21_zorder_key")
+    assert(p.contains("zvalue"), p)
+    // ordering for the oracle is the only sort; no hash shuffle needed
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
