@@ -184,6 +184,30 @@ object TextAnalysis {
 
   /** [[keepLine]] as DuckDB SQL over line expression `l` — generated so the
     * oracle tracks the code. */
+  /** Top-`k` token vocabulary with stable integer ids — the tokenizer-
+    * training primitive (and the input to any id-encoded corpus pass).
+    * Ids are assigned by (count desc, token asc), so the mapping is a pure
+    * function of the corpus: re-running yields identical ids.
+    *
+    * Plan shape: one word-count aggregation (map-side partial) on token
+    * digests' worth of data, then a DISTRIBUTED partial top-k
+    * (TakeOrdered) — never a global sort of the vocabulary; the final
+    * row_number window ranks only the k survivors (bounded by contract),
+    * so its single-partition window is a k-row driver-side triviality,
+    * not a scale hazard.
+    *
+    * @return (token, n, id) — id in [0, k) */
+  def buildVocab(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"vocab size must be >= 1, got $k")
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    counts.orderBy(col("n").desc, col("token")).limit(k)
+      .withColumn("id", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** BM25 relevance of every document against a bounded query-term set
     * (Robertson/Sparck-Jones; the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
     * always-positive idf).

@@ -198,6 +198,20 @@ object TextQueries extends QueryModule {
               |    l -> ${graft.ops.TextAnalysis.keepLineSql("l", 3, 0.3)})) AS n_kept
               |FROM fab ORDER BY doc_id""".stripMargin)),
 
+    // Top-20 vocabulary with deterministic ids (count desc, token asc).
+    "text_vocab" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.buildVocab(Tables.documents(s, d), "text", 20)
+          .orderBy(col("id")),
+      Some(s"""WITH c AS (
+              |  SELECT unnest($T) AS token FROM documents
+              |), n AS (
+              |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY token
+              |)
+              |SELECT token, n,
+              |  CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS id
+              |FROM n ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
     // BM25 keyword relevance against a fixed query-term set; exact-integer
     // corpus stats make the scores parallelism-independent, and the oracle
     // CTE (TextAnalysis.bm25Sql) repeats the identical per-term arithmetic

@@ -63,6 +63,33 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: cleans boilerplate, gates quality, dedups cleaned text") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    val good = "this is a perfectly reasonable document with the usual words in it"
+    val q = StreamingCuration.curate(docs, "text", "ts", watermark = "10 minutes")
+      .select("doc_id", "clean_text")
+      .writeStream.format("memory").queryName("cur").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts(0), s"$good\n42\n12 345 6789"), // boilerplate lines cleaned off
+        (2L, ts(1), "short junk"),              // fails the token gate
+        (3L, ts(2), good))                      // same cleaned text as doc 1
+      q.processAllAvailable()
+      // a replayed near-identical doc in a later batch, inside the watermark
+      in.addData((4L, ts(5), s"$good\n99"))
+      q.processAllAvailable()
+      val out = spark.table("cur").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // docs 1/3/4 all clean to the same text → exactly one survives;
+      // doc 2 is gated out entirely
+      assert(out.size === 1, s"got $out")
+      assert(out.values.head === good)
+      assert(!out.contains(2L))
+    } finally q.stop()
+  }
+
   test("intervalJoin attributes within the window on live streams") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
