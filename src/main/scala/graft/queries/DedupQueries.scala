@@ -131,7 +131,8 @@ object DedupQueries extends QueryModule {
               |  CAST(count(*) AS BIGINT) AS n_dup_windows,
               |  round(CAST(count(*) AS DOUBLE) / CAST(min(n_windows) AS DOUBLE), 6) AS dup_ratio
               |FROM ex JOIN shared USING (h)
-              |GROUP BY id ORDER BY id""".stripMargin)),
+              |GROUP BY id ORDER BY id""".stripMargin),
+      headline = true),
 
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) =>

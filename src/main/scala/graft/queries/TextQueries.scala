@@ -210,7 +210,8 @@ object TextQueries extends QueryModule {
               |)
               |SELECT token, n,
               |  CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS id
-              |FROM n ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+              |FROM n ORDER BY n DESC, token LIMIT 20""".stripMargin),
+      headline = true),
 
     // BM25 keyword relevance against a fixed query-term set; exact-integer
     // corpus stats make the scores parallelism-independent, and the oracle
@@ -222,7 +223,8 @@ object TextQueries extends QueryModule {
             Tables.documents(s, d), "doc_id", "text", Bm25Terms)
           .orderBy(col("doc_id")),
       Some(s"""WITH ${graft.ops.TextAnalysis.bm25Sql(Bm25Terms, T)}
-              |SELECT doc_id, bm25 FROM scored ORDER BY doc_id""".stripMargin))
+              |SELECT doc_id, bm25 FROM scored ORDER BY doc_id""".stripMargin),
+      headline = true)
   )
 
   /** The fixed "search query" for text_bm25 — terms present in the
