@@ -299,6 +299,22 @@ object Analytics extends QueryModule {
              |  quantile_cont(value, 0.95) AS p95, count(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Salted skew join — must be row-identical to the plain join, which
+    // is exactly what the oracle states (the salt is invisible in SQL).
+    "q22_salted_join" -> QueryDef(
+      (s, d) =>
+        graft.ops.SkewJoin.saltedJoin(
+            Tables.orders(s, d), Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+              col("c_mktsegment")), "o_custkey", "o_orderkey", salts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            decSum(col("o_totalprice")).as("total"))
+          .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+             |  ${decSumSql("o_totalprice")} AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Z-order (Morton) clustering key — the expression behind
     // DeltaTable.optimizeZOrder, oracle-checked bit-for-bit (the rewrite
     // itself is spec-gated in DeltaSpec; this pins the cross-engine key).
