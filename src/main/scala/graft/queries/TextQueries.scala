@@ -15,6 +15,22 @@ object TextQueries extends QueryModule {
   // (duplicating it here desynchronizes text_* from dedup_* oracles).
   private val T = OracleSql.T
 
+  /** Scalar DuckDB twin of TextAnalysis.langId(text): priority de < en <
+    * es < fr on ties, 'und' on zero hits — shared by text_langid and
+    * report_corpus so the two stay in lockstep. */
+  private def langIdSql: String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter($T, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
+    val h = Seq("de", "en", "es", "fr")
+      .map(l => l -> hits(graft.ops.TextAnalysis.LangStopwords(l))).toMap
+    val m = s"greatest(${h("de")}, ${h("en")}, ${h("es")}, ${h("fr")})"
+    s"""CASE WHEN $m = 0 THEN 'und'
+       |  WHEN ${h("de")} = $m THEN 'de'
+       |  WHEN ${h("en")} = $m THEN 'en'
+       |  WHEN ${h("es")} = $m THEN 'es'
+       |  ELSE 'fr' END""".stripMargin.replace("\n", " ")
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "text_token_count" -> QueryDef(
       (s, d) =>
@@ -197,6 +213,48 @@ object TextQueries extends QueryModule {
               |  len(list_filter(string_split(t, chr(10)),
               |    l -> ${graft.ops.TextAnalysis.keepLineSql("l", 3, 0.3)})) AS n_kept
               |FROM fab ORDER BY doc_id""".stripMargin)),
+
+    // Per-source curation report — the dashboard an operator reads before
+    // touching mixture weights: volume, token mass, mean quality, English
+    // share, and exact-duplicate share per source. Exactness discipline:
+    // quality is already rounded to 6dp, so summing quality·10⁶ as a LONG
+    // makes the mean independent of partition order (no fp64 summation).
+    "report_corpus" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            tokenCount(col("text")).cast("long").as("nt"),
+            (qualityScore(col("text")) * 1e6).cast("long").as("q6"),
+            when(langId(col("text")) === "en", 1L).otherwise(0L).as("is_en"),
+            md5(col("text")).as("h"))
+          .withColumn("dup",
+            when(count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("h"))) > 1, 1L).otherwise(0L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("n_tokens"),
+            round(sum(col("q6")).cast("double") / (count(lit(1)) * 1e6), 6).as("mean_quality"),
+            sum(col("is_en")).as("n_en"),
+            sum(col("dup")).as("n_dup_docs"))
+          .orderBy(col("source")),
+      Some(s"""WITH per_doc AS (
+              |  SELECT doc_id, source,
+              |    CAST(len($T) AS BIGINT) AS nt,
+              |    CAST(round(
+              |      least(CAST(len($T) AS DOUBLE) / 100.0, 1.0) * 0.4
+              |      + least((CASE WHEN len($T) = 0 THEN 0.0 ELSE CAST(len(list_filter($T, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this','be'], t))) AS DOUBLE) / len($T) END) * 4.0, 1.0) * 0.4
+              |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0) * 0.2
+              |    , 6) * 1e6 AS BIGINT) AS q6,
+              |    CASE WHEN (${langIdSql}) = 'en' THEN 1 ELSE 0 END AS is_en,
+              |    CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1 THEN 1 ELSE 0 END AS dup
+              |  FROM documents
+              |)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+              |  round(CAST(sum(q6) AS DOUBLE) / (count(*) * 1e6), 6) AS mean_quality,
+              |  CAST(sum(is_en) AS BIGINT) AS n_en,
+              |  CAST(sum(dup) AS BIGINT) AS n_dup_docs
+              |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)),
 
     // Top-20 vocabulary with deterministic ids (count desc, token asc).
     "text_vocab" -> QueryDef(
