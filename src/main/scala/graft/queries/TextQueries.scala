@@ -222,7 +222,10 @@ object TextQueries extends QueryModule {
     "report_corpus" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), col("text"),
+          // text is consumed HERE and not carried: the dup window below
+          // shuffles by digest, and the module rule is digests/ids only
+          // across exchanges (PlanSpec pins it)
+          .select(col("doc_id"), col("source"),
             tokenCount(col("text")).cast("long").as("nt"),
             (qualityScore(col("text")) * 1e6).cast("long").as("q6"),
             when(langId(col("text")) === "en", 1L).otherwise(0L).as("is_en"),

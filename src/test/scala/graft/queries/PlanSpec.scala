@@ -164,6 +164,18 @@ class PlanSpec extends SparkSpec {
       "window text must never cross an exchange:\n" + p)
   }
 
+  test("report_corpus: the dup window shuffles digests, never text") {
+    val df = Registry.all("report_corpus").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    assert(exchangeInputs.forall(cols => !cols.contains("text")),
+      "document text must never cross an exchange:\n" + p)
+  }
+
   test("zorder key is a codegen'd scan-stage expression") {
     val p = plan("q21_zorder_key")
     assert(p.contains("zvalue"), p)
