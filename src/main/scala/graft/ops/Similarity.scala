@@ -236,4 +236,28 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Symmetric int8 quantization of an embedding column: scale =
+    * 127 / max|x| per vector, q_i = round-half-up(x_i · scale) clamped to
+    * [−127, 127] — 4× smaller vectors for the ANN candidate stages (dot
+    * products on int8 with one fp rescale at the end), the standard
+    * storage/recall trade every large vector index makes.
+    *
+    * Determinism: per-row arithmetic only (element max, not a sum — no
+    * fp ordering concerns); round-half-up is spelled floor(x + 0.5) so
+    * both engines agree at .5 boundaries (DuckDB round() is half-even,
+    * Spark's HALF_UP — neither is used). A zero (or empty) vector gets
+    * scale 0 and all-zero codes rather than an Inf scale.
+    *
+    * @return (id, scale, q) — dequantize as q_i / scale */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = when(maxAbs.isNull || maxAbs === 0.0, lit(0.0))
+      .otherwise(lit(127.0) / maxAbs)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"), scale.as("scale"))
+      .select(col("id"), col("scale"),
+        transform(col("v"), x =>
+          least(greatest(floor(x.cast("double") * col("scale") + 0.5), lit(-127.0)),
+            lit(127.0)).cast("int")).as("q"))
+  }
 }

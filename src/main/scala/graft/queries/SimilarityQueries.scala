@@ -14,6 +14,31 @@ import graft.ops.Similarity
 object SimilarityQueries extends QueryModule {
 
   def defs: Map[String, QueryDef] = Map(
+    // Symmetric int8 quantization — per-row arithmetic, no fp summation,
+    // round-half-up spelled floor(x+0.5) so both engines agree exactly.
+    "sim_quantize" -> QueryDef(
+      (s, d) =>
+        graft.ops.Similarity.quantizeInt8(
+            graft.Tables.embeddings(s, d), "vec_id", "embedding")
+          // codes joined to one string: a list output trips the arrow
+          // schema gate on the element FIELD NAME (Spark `element` vs
+          // DuckDB `l`) even with identical values — same dodge as ref_c3
+          .select(col("id"), col("scale"), concat_ws(",", col("q")).as("q_joined"))
+          .orderBy(col("id")),
+      Some("""WITH m AS (
+             |  SELECT vec_id AS id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+             |  FROM embeddings
+             |), s AS (
+             |  SELECT id, embedding,
+             |    CASE WHEN ma IS NULL OR ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale
+             |  FROM m
+             |)
+             |SELECT id, scale,
+             |  array_to_string(list_transform(embedding, x ->
+             |    CAST(least(greatest(floor(CAST(x AS DOUBLE) * scale + 0.5), -127.0), 127.0) AS INT)), ',') AS q_joined
+             |FROM s ORDER BY id""".stripMargin)),
+
     "sim_topk_brute" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)

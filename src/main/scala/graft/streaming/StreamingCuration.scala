@@ -37,4 +37,21 @@ object StreamingCuration {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
   }
+
+  /** Streaming exact decontamination: drop stream docs whose bag-of-words
+    * fingerprint appears in a STATIC probe corpus (eval/benchmark suites)
+    * — the stream-static form of [[graft.ops.Sampling.decontaminate]].
+    * The probe side reduces to distinct 16-byte digests once and
+    * broadcasts into every micro-batch's scan: no stream-side state, no
+    * shuffle, and the probe set can be swapped only by restarting the
+    * query (static side is planned once — the same contract as any
+    * stream-static join). */
+  def decontaminate(stream: DataFrame, probes: DataFrame,
+                    textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val probeFps = broadcast(probes.select(fp.as("__fp")).distinct())
+    stream.withColumn("__fp", fp)
+      .join(probeFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
 }

@@ -72,4 +72,26 @@ class SimilaritySpec extends SparkSpec {
     val wide = Similarity.trainIvfCentroids(corpus, "id", "v", numCentroids = 10, iters = 2)
     assert(wide.length === 10)
   }
+
+  test("int8 quantization bounds dequantization error; zero vector is safe") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Seq(100.0f, -50.0f, 0.0f, 1.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "v")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    // codes clamp to [-127, 127] and the max-|x| element hits ±127 exactly
+    assert(out(1L)._2.max === 63 || out(1L)._2.contains(-127))
+    assert(out(2L)._2.contains(127) && out(2L)._2.forall(q => q >= -127 && q <= 127))
+    // zero vector: scale 0, all-zero codes, no Inf/NaN
+    assert(out(3L) === ((0.0, Seq(0, 0, 0, 0))))
+    // dequantization error is at most half a step (1 / (2·scale))
+    for ((id, (scale, qs)) <- out if scale > 0) {
+      val orig = vecs.filter(org.apache.spark.sql.functions.col("vec_id") === id)
+        .head().getSeq[Float](1)
+      qs.zip(orig).foreach { case (q, x) =>
+        assert(math.abs(q / scale - x) <= 0.5 / scale + 1e-9, s"id=$id q=$q x=$x")
+      }
+    }
+  }
 }

@@ -90,6 +90,27 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops probe-matching docs from every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    val probes = Seq((100L, "leaked benchmark question text"))
+      .toDF("probe_id", "text")
+    val q = StreamingCuration.decontaminate(docs, probes, "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("decon").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts(0), "an ordinary clean training document"),
+        (2L, ts(1), "text question benchmark leaked"))  // same token SET as the probe
+      q.processAllAvailable()
+      in.addData((3L, ts(2), "leaked benchmark question text"), // exact match, later batch
+        (4L, ts(3), "another clean one"))
+      q.processAllAvailable()
+      val out = spark.table("decon").collect().map(_.getLong(0)).toSet
+      assert(out === Set(1L, 4L), s"probe matches must be dropped in every batch; got $out")
+    } finally q.stop()
+  }
+
   test("intervalJoin attributes within the window on live streams") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
