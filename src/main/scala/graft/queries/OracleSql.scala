@@ -22,6 +22,19 @@ object OracleSql {
   /** Tokens of the `text` column (the shared shorthand). */
   val T = tokensSql("text")
 
+  /** Mirrors TextAnalysis.qualityScore over a text expression (6dp
+    * rounded composite — length ramp, stopword ramp, punctuation
+    * penalty). */
+  def qualitySql(e: String): String = {
+    val t = tokensSql(e)
+    val stop = graft.ops.TextAnalysis.StopwordsEn.map("'" + _ + "'").mkString(",")
+    val stopRatio = s"(CASE WHEN len($t) = 0 THEN 0.0 ELSE CAST(len(list_filter($t, t -> list_contains([$stop], t))) AS DOUBLE) / len($t) END)"
+    val punct = s"(CASE WHEN length($e) = 0 THEN 0.0 ELSE CAST(length(regexp_replace($e, '[^.,;:!?''\"()-]', '', 'g')) AS DOUBLE) / length($e) END)"
+    s"""round(least(CAST(len($t) AS DOUBLE) / 100.0, 1.0) * 0.4
+       | + least($stopRatio * 4.0, 1.0) * 0.4
+       | + greatest(0.0, 1.0 - $punct * 5.0) * 0.2, 6)""".stripMargin.replace("\n", " ")
+  }
+
   /** Mirrors Dedup.shingles(text, n). */
   def shingles(n: Int): String =
     s"""CASE WHEN len($T) < $n THEN [array_to_string($T, ' ')]

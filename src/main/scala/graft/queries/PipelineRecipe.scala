@@ -82,6 +82,57 @@ object PipelineRecipe extends QueryModule {
            |       THEN 'train' ELSE 'val' END AS split,
            |  n_tokens
            |FROM decon ORDER BY doc_id""".stripMargin
+      }),
+
+    // The CURATION side of the pipeline, composed from this round's ops:
+    // quality scoring → per-source percentile gate (top 50% by quality)
+    // → domain-mixture resampling (fractional epochs). Every stage is the
+    // same ops code the individual gates check; the oracle chains the
+    // same SQL fragments.
+    //
+    // Plan shape at 100 TB: scoring is scan-stage; the gate is one window
+    // per source; the resample explode is scan-stage — one shuffle total
+    // (the source window).
+    "pipeline_curate" -> QueryDef(
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+        val gated = Sampling.percentileGate(scored, "source", "doc_id",
+          col("quality"), keepFrac = 0.5)
+        Sampling.mixtureResample(gated, "source", "doc_id",
+            Map("src3" -> 2.0, "src7" -> 0.5, "src1" -> 0.0),
+            defaultWeight = 1.0, salt = "cur")
+          .select(col("doc_id"), col("source"), col("quality"), col("epoch"))
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      Some {
+        val q = O.qualitySql("text")
+        s"""WITH scored AS (
+           |  SELECT doc_id, source, $q AS quality FROM documents
+           |), ranked AS (
+           |  SELECT doc_id, source, quality,
+           |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+           |    count(*) OVER (PARTITION BY source) AS n
+           |  FROM scored
+           |), gated AS (
+           |  SELECT doc_id, source, quality FROM ranked
+           |  WHERE rk <= CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)
+           |), w AS (
+           |  SELECT doc_id, source, quality,
+           |    CASE WHEN source = 'src7' THEN 0.5
+           |         WHEN source = 'src3' THEN 2.0
+           |         WHEN source = 'src1' THEN 0.0 ELSE 1.0 END AS wt,
+           |    CAST(${O.h32Sql("CAST(doc_id AS VARCHAR)", "cur")} AS DOUBLE) AS coin
+           |  FROM gated
+           |), r AS (
+           |  SELECT doc_id, source, quality,
+           |    CAST(floor(wt) AS BIGINT) +
+           |      (CASE WHEN coin < (wt - floor(wt)) * 4294967296.0 THEN 1 ELSE 0 END) AS reps
+           |  FROM w
+           |)
+           |SELECT doc_id, source, quality, unnest(range(0, reps)) AS epoch
+           |FROM r WHERE reps > 0 ORDER BY doc_id, epoch""".stripMargin
       })
   )
 }
