@@ -237,6 +237,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Per-group mean embedding (centroid) with EXACT arithmetic: each
+    * float scales to a long at 2^20 resolution (round-half-up), the longs
+    * sum exactly (integer adds commute — no fp summation-order
+    * nondeterminism across partitions/retries), and the mean divides two
+    * exact integers. The result is the exact mean of the QUANTIZED
+    * vectors — a deterministic, engine-portable contract (|error| ≤
+    * 2^-21 per element vs the fp mean) rather than a partition-order
+    * lottery. Per-position explode keeps the shuffle rows (group, pos,
+    * long) — never whole vectors.
+    *
+    * Overflow headroom: |x|·2^20 ≤ 2^27 per element for |x| ≤ 128, so
+    * 2^36 rows per group fit in a long.
+    *
+    * @return (group, n, mean_q6_joined) — mean elements in integer
+    *   MICRO-units (·10⁶, round-half-up), comma-joined: integers render
+    *   identically in every engine, where double→string formatting does
+    *   not (and list outputs trip the arrow element-name gate) */
+  def groupMeanEmbedding(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame = {
+    val Scale = 1L << 20
+    val m6 = floor(col("sq").cast("double") /
+        (col("n").cast("double") * lit(Scale.toDouble)) * lit(1e6) + lit(0.5))
+      .cast("long")
+    df.select(col(groupCol).as("group"),
+        posexplode(transform(col(vecCol), x =>
+          floor(x.cast("double") * Scale + 0.5).cast("long"))).as(Seq("pos", "qx")))
+      .groupBy(col("group"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("sq"))
+      .withColumn("m6", m6)
+      .groupBy(col("group"))
+      .agg(min(col("n")).as("n"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("m6")))),
+            s => s.getField("m6").cast("string"))).as("mean_q6_joined"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: scale =
     * 127 / max|x| per vector, q_i = round-half-up(x_i · scale) clamped to
     * [−127, 127] — 4× smaller vectors for the ANN candidate stages (dot

@@ -14,6 +14,32 @@ import graft.ops.Similarity
 object SimilarityQueries extends QueryModule {
 
   def defs: Map[String, QueryDef] = Map(
+    // Per-label centroids via exact integer-scaled sums: deterministic
+    // across partitionings where a naive fp mean is a summation-order
+    // lottery. Means exported as micro-unit integers.
+    "sim_group_mean" -> QueryDef(
+      (s, d) =>
+        graft.ops.Similarity.groupMeanEmbedding(
+            graft.Tables.embeddings(s, d), "label", "embedding")
+          .orderBy(col("group")),
+      Some("""WITH ex AS (
+             |  SELECT label AS grp,
+             |    unnest(range(len(embedding))) AS pos,
+             |    unnest(list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))) AS qx
+             |  FROM embeddings
+             |), agg AS (
+             |  SELECT grp, pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(qx) AS BIGINT) AS sq
+             |  FROM ex GROUP BY grp, pos
+             |), m AS (
+             |  SELECT grp, pos, n,
+             |    CAST(floor(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) * 1000000.0 + 0.5) AS BIGINT) AS m6
+             |  FROM agg
+             |)
+             |SELECT grp AS "group", min(n) AS n,
+             |  array_to_string(list(CAST(m6 AS VARCHAR) ORDER BY pos), ',') AS mean_q6_joined
+             |FROM m GROUP BY grp ORDER BY "group"""".stripMargin)),
+
     // Symmetric int8 quantization — per-row arithmetic, no fp summation,
     // round-half-up spelled floor(x+0.5) so both engines agree exactly.
     "sim_quantize" -> QueryDef(
