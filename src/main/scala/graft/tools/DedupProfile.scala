@@ -13,7 +13,12 @@ object DedupProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(name: String)(df: => DataFrame): Unit = {
-      // warm once, then min of 3
+      // NOTE: passing a pre-built val evaluates the SAME DataFrame each
+      // iteration, so iterations 2+ of shuffle-bearing plans reuse the
+      // first run's shuffle files (skipped stages) — for those, the FIRST
+      // iteration is the honest cost; min is honest only for shuffle-free
+      // plans. graft.Bench rebuilds the plan per iteration and has no
+      // such artifact.
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count(): Unit
