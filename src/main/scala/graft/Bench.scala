@@ -105,11 +105,21 @@ object Bench {
     val calibAfter = calibrate()
     System.err.println(f"[bench] calib before=$calibBefore%.3f after=$calibAfter%.3f")
 
+    // median alongside min/max: on a host with 2–4× scheduler swings even a
+    // min-of-3 is occasionally inflated; the median shows whether the min is
+    // an outlier or the steady state. `total` stays min-based so totals
+    // compare across rounds.
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, ts) => "\"" + k + "\":" + ts.max }.mkString("{", ",", "}")
+    val qsMed = results.map { case (k, ts) => "\"" + k + "\":" + median(ts) }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""iters":$iters,"queries_max":$qsMax,""" +
+      s""""iters":$iters,"queries_max":$qsMax,"queries_median":$qsMed,""" +
       s""""calib_sec_before":$calibBefore,"calib_sec_after":$calibAfter,""" +
       s""""ingest_rows":$ingested,"ingest_sec":$ingestSec,""" +
       s""""ingest_rows_per_sec":$ingestRate,"sf":"$sfDir"}""")

@@ -61,10 +61,15 @@ object ZValue {
     ColumnBridge.wrap(ZValue(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
 
   /** DuckDB twin of [[of]] for the oracle: the 64-term bit-gather sum —
-    * ugly but exact, same trick as OracleSql.simhashExpr. */
+    * ugly but exact, same trick as OracleSql.simhashExpr. The a-bit-31
+    * term lands on the SIGN bit: DuckDB raises an overflow error for
+    * `BIGINT << 63`, so that one term is spelled as a CASE to the
+    * precomputed Long.MinValue literal instead of a shift (Java's `<< 63`
+    * wraps to the same value, so the engines agree bit-for-bit). */
   def sql(a: String, b: String): String = {
     val terms =
-      (0 until 32).map(i => s"((((($a) >> $i) & 1)) << ${2 * i + 1})") ++
+      (0 until 31).map(i => s"((((($a) >> $i) & 1)) << ${2 * i + 1})") ++
+        Seq(s"(CASE WHEN ((($a) >> 31) & 1) = 1 THEN ${Long.MinValue} ELSE 0 END)") ++
         (0 until 32).map(i => s"((((($b) >> $i) & 1)) << ${2 * i})")
     terms.mkString("(", " | ", ")")
   }

@@ -130,22 +130,90 @@ object Sampling {
   /** Per-domain percentile gate: keep the top `keepFrac` of each domain by
     * `scoreCol` (ties broken by key so the cut is deterministic) — "keep
     * the best 30% of every source" curation, which a global threshold
-    * can't express when score scales differ by domain.
+    * can't express when score scales differ by domain. Keeps
+    * ceil(keepFrac · |domain|) rows, so every non-empty domain keeps at
+    * least its best row. Contract: `keyCol` is unique per row (the
+    * tie-break must be a total order) and scores are non-null.
     *
-    * Plan shape: one window per domain (rank / count over the domain
-    * partition); the gate compares the rank to keepFrac · |domain| — a
-    * single shuffle on the domain column, no second pass for counts. */
+    * Scale design (round-6 fix): the obvious rank-over-domain-window
+    * serializes EVERY domain into one task — at 100 TB one big source is
+    * a single-partition funnel. Instead the per-domain CUTOFF (the k-th
+    * best (score, key) pair) is found by distributed selection, eagerly
+    * at call time, and the returned plan applies it as a scan-stage
+    * predicate:
+    *
+    *   1. (domain, score, key) triplets — never full rows — are
+    *      range-partitioned by (domain, score desc, key), so a big domain
+    *      spans MANY partitions in rank order, and persisted (partition
+    *      ids must agree between the two jobs below; range boundaries are
+    *      sampled per plan instantiation, so an uncached re-scan could
+    *      legally re-bucket rows);
+    *   2. per-(partition, domain) row counts — ≤ partitions + |domains|
+    *      rows on the driver — locate, per domain, the partition holding
+    *      its k_d = ceil(keepFrac·n_d)-th row and the local offset within
+    *      that (partition, domain) group;
+    *   3. one window partitioned by (physical partition × domain) ranks
+    *      ONLY the targeted groups (broadcast semi-filter first) — every
+    *      window group is bounded by one range-partition's rows, never a
+    *      whole domain — and extracts each domain's cutoff (score, key);
+    *   4. the returned plan is `df ⋈ broadcast(cutoffs)` + a codegen'd
+    *      comparison — zero shuffle of the corpus, no window at all.
+    *
+    * Driver state is (partition, domain) counts plus |domains| cutoff
+    * rows — the same bounded-|domains| contract as [[domainBudget]]. */
   def percentileGate(df: DataFrame, domainCol: String, keyCol: String,
                      scoreCol: Column, keepFrac: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac out of (0,1]: $keepFrac")
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(scoreCol.desc, col(keyCol))
-    val wAll = Window.partitionBy(col(domainCol))
-    df.withColumn("__rk", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      // ceil, so every non-empty domain keeps at least its best row
-      .filter(col("__rk") <= ceil(lit(keepFrac) * col("__n").cast("double")).cast("long"))
-      .drop("__rk", "__n")
+    Seq("__cs", "__ck").foreach(c => require(!df.columns.contains(c),
+      s"percentileGate reserves column name '$c' but the input already has it"))
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions.max(1)
+    val trip = df.select(col(domainCol).as("__d"), scoreCol.as("__s"), col(keyCol).as("__k"))
+      .repartitionByRange(parts, col("__d"), col("__s").desc, col("__k"))
+      .persist()
+    val cutRows =
+      try {
+        val pidCounts = trip.select(spark_partition_id().as("__pid"), col("__d"))
+          .groupBy(col("__pid"), col("__d")).agg(count(lit(1)).as("__c"))
+          .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+        // per domain, walk its partitions in rank order to the k_d-th row
+        val targets = pidCounts.groupBy(_._2).toSeq.map { case (dom, ps) =>
+          val ordered = ps.sortBy(_._1)
+          val n = ordered.map(_._3).sum
+          // same double arithmetic as the previous window form / the oracle
+          val k = math.ceil(keepFrac * n.toDouble).toLong.max(1L).min(n)
+          var remaining = k
+          val hit = ordered.find { case (_, _, c) =>
+            remaining <= c || { remaining -= c; false } }.get
+          Row(hit._1, dom, remaining) // 1-based local index in (pid, dom)
+        }
+        val domType = trip.schema("__d").dataType
+        val tgtDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(targets, 1),
+          StructType(Seq(StructField("__pid", IntegerType), StructField("__d", domType),
+            StructField("__t", LongType))))
+        val wLocal = Window.partitionBy(col("__pid"), col("__d"))
+          .orderBy(col("__s").desc, col("__k"))
+        trip.select(spark_partition_id().as("__pid"), col("__d"), col("__s"), col("__k"))
+          .join(broadcast(tgtDf), Seq("__pid", "__d"))
+          .withColumn("__lr", row_number().over(wLocal).cast("long"))
+          .filter(col("__lr") === col("__t"))
+          .select(col("__d"), col("__s").as("__cs"), col("__k").as("__ck"))
+          .collect()
+      } finally trip.unpersist()
+    val cutSchema = StructType(Seq(
+      StructField("__d", trip.schema("__d").dataType),
+      StructField("__cs", trip.schema("__s").dataType),
+      StructField("__ck", trip.schema("__k").dataType)))
+    val cutDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cutRows.toSeq, 1), cutSchema)
+    // null-safe domain match preserves the window form's null-as-a-group
+    df.join(broadcast(cutDf), df(domainCol) <=> cutDf("__d"))
+      .filter(scoreCol > col("__cs") ||
+        (scoreCol === col("__cs") && col(keyCol) <= col("__ck")))
+      .drop("__d", "__cs", "__ck")
   }
 
   /** Domain-mixture resampling (data mixing): each domain gets a sampling
@@ -169,6 +237,8 @@ object Sampling {
                       salt: String, epochCol: String = "epoch"): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w.isFinite),
       s"mixture weights must be finite and >= 0: $weights default=$defaultWeight")
+    Seq("__reps", epochCol).foreach(c => require(!df.columns.contains(c),
+      s"mixtureResample reserves column name '$c' but the input already has it"))
     val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight): Column) {
       case (acc, (dom, w)) => when(col(domainCol) === dom, lit(w)).otherwise(acc)
     }

@@ -143,7 +143,14 @@ object Similarity {
     * plan-literal fold relies on). Seeding is md5-ordered (the k corpus
     * rows with the smallest md5("ivf:" + id)) — deterministic across
     * cluster sizes, retries, and AQE, like every sampling decision in
-    * [[Sampling]].
+    * [[Sampling]]. The Lloyd mean uses [[groupMeanEmbedding]]'s exact
+    * integer arithmetic — each element quantizes to a long at 2^20
+    * resolution and the longs SUM exactly (integer adds commute) — so the
+    * codebook is bit-identical across partitionings/retries, not merely
+    * close: an fp `avg()` partial aggregation would make the final ulps a
+    * partition-order lottery (round-6 verdict), and a codebook that isn't
+    * reproducible breaks cell-partitioned layouts written by a previous
+    * run ([[writeIvfAssigned]]).
     *
     * Empty cells keep their previous centroid (the standard Lloyd
     * degeneracy guard), so the codebook never shrinks. */
@@ -163,15 +170,22 @@ object Similarity {
       def cellStructs(vec: Column): Seq[Column] = cents.zipWithIndex.map { case (cv, i) =>
         struct(cosine(vec, typedlit(cv)).as("c"), lit(-i.toLong).as("nid"))
       }
+      // exact integer mean: quantize each element to 2^20 units, sum longs
+      // (commutative — no fp summation-order dependence), divide once.
+      // Same headroom math as groupMeanEmbedding: |x|·2^20 ≤ 2^27 for
+      // |x| ≤ 128, so 2^36 rows per cell fit in a long.
+      val Scale = (1L << 20).toDouble
       val means = base
         .select((-array_max(array(cellStructs(col("v")): _*)).getField("nid")).as("cell"),
-          posexplode(col("v")).as(Seq("pos", "x")))
+          posexplode(transform(col("v"), x =>
+            floor(x.cast("double") * Scale + 0.5).cast("long"))).as(Seq("pos", "qx")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("qx")).as("sq"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>
-          cell.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          cell.toInt -> rows.sortBy(_.getInt(1))
+            .map(r => (r.getLong(3).toDouble / (r.getLong(2) * Scale)).toFloat).toSeq
         }
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }

@@ -227,7 +227,11 @@ object TextQueries extends QueryModule {
           // across exchanges (PlanSpec pins it)
           .select(col("doc_id"), col("source"),
             tokenCount(col("text")).cast("long").as("nt"),
-            (qualityScore(col("text")) * 1e6).cast("long").as("q6"),
+            // round-half-up, not a bare cast: double→long cast TRUNCATES in
+            // Spark while DuckDB's CAST rounds, and ~1% of 6-decimal quality
+            // values sit just under their integer (0.000249·1e6 =
+            // 248.99999…) — the same floor(x+0.5) idiom as groupMeanEmbedding
+            floor(qualityScore(col("text")) * 1e6 + 0.5).cast("long").as("q6"),
             when(langId(col("text")) === "en", 1L).otherwise(0L).as("is_en"),
             md5(col("text")).as("h"))
           .withColumn("dup",
@@ -243,11 +247,11 @@ object TextQueries extends QueryModule {
       Some(s"""WITH per_doc AS (
               |  SELECT doc_id, source,
               |    CAST(len($T) AS BIGINT) AS nt,
-              |    CAST(round(
+              |    CAST(floor(round(
               |      least(CAST(len($T) AS DOUBLE) / 100.0, 1.0) * 0.4
               |      + least((CASE WHEN len($T) = 0 THEN 0.0 ELSE CAST(len(list_filter($T, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this','be'], t))) AS DOUBLE) / len($T) END) * 4.0, 1.0) * 0.4
               |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0) * 0.2
-              |    , 6) * 1e6 AS BIGINT) AS q6,
+              |    , 6) * 1e6 + 0.5) AS BIGINT) AS q6,
               |    CASE WHEN (${langIdSql}) = 'en' THEN 1 ELSE 0 END AS is_en,
               |    CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1 THEN 1 ELSE 0 END AS dup
               |  FROM documents

@@ -47,6 +47,27 @@ class HashingSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSig: null on empty input, never a MaxValue sentinel; values match affine minima") {
+    // an all-MaxValue sentinel would band every empty doc into ONE bucket
+    // at any call site that forgets minhashLsh's guard — null is inert in
+    // banding and joins instead
+    val rows = Seq(
+      (1L, Seq(7L, 9L, 11L)),
+      (2L, Seq.empty[Long])).toDF("id", "hsh")
+      .select(col("id"), MinHashSig.of(col("hsh"), 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(2L).isEmpty, "empty shingle array must yield a NULL signature")
+    val sig = rows(1L).get.asInstanceOf[scala.collection.Seq[Long]]
+    assert(sig.length === 4)
+    // value-identical to the exploded min(affine) formulation the oracle uses
+    val expected = (0 until 4).map { j =>
+      Seq(7L, 9L, 11L).map { x =>
+        (Hashing.affineA(j) * (x & 0xFFFFFFFFL) + Hashing.affineB(j)) % Hashing.P32
+      }.min
+    }
+    assert(sig.toSeq === expected)
+  }
+
   test("ShingleHashes equals h64 over the string-shingle path") {
     val docs = Seq(
       "the quick brown fox jumps over the lazy dog",

@@ -173,6 +173,38 @@ class SamplingSpec extends SparkSpec {
     assert(tk === Seq(1L))
     assertThrows[IllegalArgumentException](
       Sampling.percentileGate(docs, "dom", "doc_id", col("score"), 0.0))
+    // reserved internal names must be refused, not clobbered
+    assertThrows[IllegalArgumentException](
+      Sampling.percentileGate(docs.withColumn("__cs", lit(1)),
+        "dom", "doc_id", col("score"), 0.5))
+  }
+
+  test("percentileGate: skewed domains match the rank definition; no window in the plan") {
+    // one domain ≫ the others and ≫ shuffle partitions (4 in tests), with
+    // heavy score ties so the key tie-break decides the cut — the fixture
+    // that exercises the multi-partition distributed-selection path
+    val docs = (1L to 5000L).map { i =>
+      val dom = if (i <= 4500) "big" else if (i <= 4900) "mid" else "small"
+      (i, dom, (i % 97).toDouble)
+    }.toDF("doc_id", "dom", "score")
+    val got = Sampling.percentileGate(docs, "dom", "doc_id", col("score"), 0.3)
+    // the returned plan must be join+filter only: the whole point of the
+    // distributed selection is that NO window (bounded or not) remains
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    val gotSet = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dom").orderBy(col("score").desc, col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+    val expected = docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rk") <= ceil(lit(0.3) * col("n").cast("double")).cast("long"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotSet === expected)
+    // per-domain quota is exact
+    val perDom = Sampling.percentileGate(docs, "dom", "doc_id", col("score"), 0.3)
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDom === Map("big" -> 1350L, "mid" -> 120L, "small" -> 30L))
   }
 
   test("mixtureResample: copy counts follow weights, deterministic, zero drops") {
@@ -203,5 +235,9 @@ class SamplingSpec extends SparkSpec {
     assert(again === byDoc)
     assertThrows[IllegalArgumentException](
       Sampling.mixtureResample(docs, "source", "doc_id", Map("up" -> -1.0), 1.0, "t"))
+    // reserved/output names must be refused, not clobbered
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureResample(docs.withColumn("epoch", lit(1)),
+        "source", "doc_id", Map.empty, 1.0, "t"))
   }
 }

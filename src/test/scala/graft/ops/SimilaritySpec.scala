@@ -58,15 +58,15 @@ class SimilaritySpec extends SparkSpec {
     assert(domDims === Set(0, 1, 2), s"centroids $trained")
   }
 
-  test("training is deterministic across runs and repartitionings") {
+  test("training is BIT-identical across runs and repartitionings") {
     val a = Similarity.trainIvfCentroids(corpus, "id", "v", numCentroids = 3, iters = 3)
-    val b = Similarity.trainIvfCentroids(corpus.repartition(7), "id", "v",
-      numCentroids = 3, iters = 3)
-    // seeding is md5-ordered (partitioning-independent); means are fp
-    // aggregations whose partial order may vary, so compare to a tolerance
-    assert(a.length === 3 && b.length === 3)
-    a.zip(b).foreach { case (ca, cb) =>
-      ca.zip(cb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-4f) }
+    // seeding is md5-ordered AND the Lloyd mean is exact integer-scaled
+    // sums (round-6 fix): the codebook must be bit-identical however the
+    // corpus is partitioned, not merely within fp tolerance
+    for (parts <- Seq(1, 7, 32)) {
+      val b = Similarity.trainIvfCentroids(corpus.repartition(parts), "id", "v",
+        numCentroids = 3, iters = 3)
+      assert(a === b, s"codebook differs under repartition($parts)")
     }
     // empty-cell guard: k larger than distinct directions still yields k
     val wide = Similarity.trainIvfCentroids(corpus, "id", "v", numCentroids = 10, iters = 2)

@@ -176,6 +176,19 @@ class PlanSpec extends SparkSpec {
       "document text must never cross an exchange:\n" + p)
   }
 
+  test("sample_percentile: returned plan is broadcast-join + filter, no domain window") {
+    // the round-6 scale fix: the per-domain rank window (one task per
+    // domain at 100 TB) must be gone from the RETURNED plan — the cutoff
+    // is found eagerly by distributed selection and applied as a
+    // broadcast-joined scan predicate
+    val p = plan("sample_percentile")
+    assert(!p.contains("Window"),
+      "no rank window may remain in the gate's plan:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must not shuffle into the cutoff join:\n" + p)
+  }
+
   test("zorder key is a codegen'd scan-stage expression") {
     val p = plan("q21_zorder_key")
     assert(p.contains("zvalue"), p)
