@@ -29,6 +29,24 @@ object DeltaTable {
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
 
+  /** Relax container nullability recursively (fields stay as declared).
+    * Parquet round-trips array/map elements as nullable regardless of the
+    * writer's containsNull, and Spark refuses the true→false element
+    * cast — a table schema declaring containsNull=false would make its
+    * OWN files unreadable. Callers building a table schema from a
+    * DataFrame (e.g. Similarity.writeIvfAssigned) pass through this. */
+  def relaxContainers(schema: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case ArrayType(et, _) => ArrayType(relax(et), containsNull = true)
+      case MapType(k, v, _) => MapType(relax(k), relax(v), valueContainsNull = true)
+      case StructType(fs) =>
+        StructType(fs.map(f => f.copy(dataType = relax(f.dataType))))
+      case other => other
+    }
+    relax(schema).asInstanceOf[StructType]
+  }
+
   /** Invert Spark/Hive escapePathName: ONLY %XX sequences decode.
     * URLDecoder is wrong here — it also turns literal '+' into a space,
     * and '+' is not in Hive's escape set, so a partition value "a+b"
@@ -235,6 +253,29 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * and for observability of skipping effectiveness). */
   def scanFiles(preds: Seq[DataSkipping.ColPred]): Seq[Actions.AddFile] =
     DataSkipping.prune(snapshot, preds)
+
+  /** Disjunctive pruned read: `column IN (values)` — the union of each
+    * value's [[DataSkipping]] survivors ([[scan]] can only express
+    * conjunctions). On a table partitioned by `column` this reads exactly
+    * the matching partitions' files — the IVF probe path
+    * ([[graft.ops.Similarity.ivfTopKDelta]]) and any multi-tenant /
+    * multi-day read reduce to this. The exact IN filter re-applies to
+    * survivors, so results never depend on pruning. */
+  def scanIn(column: String, values: Seq[Any]): DataFrame = {
+    val snap = snapshot
+    val surviving = values
+      .flatMap(v => DataSkipping.prune(snap, Seq(DataSkipping.ColPred(column, "=", v))))
+      .groupBy(_.path).map(_._2.head).toSeq
+    dfFor(snap.copy(files = surviving)).filter(col(column).isin(values: _*))
+  }
+
+  /** [[scanIn]]'s surviving file set (for tests / observability). */
+  def scanInFiles(column: String, values: Seq[Any]): Seq[Actions.AddFile] = {
+    val snap = snapshot
+    values
+      .flatMap(v => DataSkipping.prune(snap, Seq(DataSkipping.ColPred(column, "=", v))))
+      .groupBy(_.path).map(_._2.head).toSeq
+  }
 
   private def dfFor(snap: Snapshot): DataFrame = {
     val sch = snap.schema.getOrElse(

@@ -62,6 +62,39 @@ object ExclusiveCreateLogStore extends LogStore {
   }
 }
 
+/** Conditional-put semantics without a cloud SDK: a process-local
+  * concurrent key set plays the role of S3's `If-None-Match: *`
+  * precondition — exactly one writer per destination wins the reservation
+  * atomically; the winner then uploads with a BLIND overwrite, which is
+  * safe because the reservation (like the server-side precondition on a
+  * real object store) is the atomicity, not the create flag. A production
+  * S3/GCS/ABFS store replaces the set membership with the HTTP
+  * precondition header and maps 412 Precondition Failed to
+  * [[VersionAlreadyExists]] — nothing else about the seam changes, which
+  * is what registering THIS class via [[LogStore.register]] proves
+  * end-to-end (LogStoreSpec's two-writer race).
+  *
+  * One instance models one bucket: reservations never expire, and
+  * destinations published outside the instance are invisible to it
+  * (callers start from an empty prefix, as a fresh Delta table does —
+  * DeltaLog.write's exists() fast-path additionally screens pre-existing
+  * version files). */
+final class InMemoryConditionalPutLogStore extends LogStore {
+  private val published = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  override def writeAtomic(fs: FileSystem, dest: Path, bytes: Array[Byte], version: Long): Unit = {
+    val key = fs.makeQualified(dest).toString
+    if (!published.add(key)) throw new VersionAlreadyExists(version)
+    try {
+      val out = fs.create(dest, true)
+      try out.write(bytes) finally out.close()
+    } catch {
+      // a failed upload releases the reservation — the writer holds no
+      // partial object (S3 uploads are all-or-nothing the same way)
+      case e: Throwable => published.remove(key); throw e
+    }
+  }
+}
+
 object LogStore {
   @volatile private var registry: Map[String, LogStore] =
     Map("file" -> HardLinkLogStore)

@@ -103,7 +103,9 @@ object Similarity {
     * k-means codebook — the plumbing, cell pruning, and ranking are the
     * real thing and fully oracle-checked; swapping in trained centroids
     * changes one line. At 100 TB the corpus is written partitioned by
-    * cell id, so a query reads nprobe/numCentroids of the data. */
+    * cell id ([[writeIvfAssigned]]) and probed through partition pruning
+    * ([[ivfTopKDelta]]), so a query READS nprobe/numCentroids of the
+    * data — not just filters it. */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
@@ -192,25 +194,46 @@ object Similarity {
     cents
   }
 
-  private def ivfTopKWith(corpus: DataFrame, corpusId: String, corpusVec: String,
-                          queries: DataFrame, queryId: String, queryVec: String,
-                          k: Int, cents: Seq[(Long, Seq[Float])], nprobe: Int): DataFrame = {
-    // struct(c, -cid): max picks best cosine, ties resolve to the SMALLEST
-    // centroid id (matching the previous (c desc, centroid_id asc) order)
-    def cellStructs(vec: Column): Seq[Column] = cents.map { case (cid, cv) =>
+  /** Per-centroid (cosine, -cid) structs: array_max picks the best cosine,
+    * ties resolve to the SMALLEST centroid id (the (c desc, cid asc)
+    * order every assignment/probe in this module shares). */
+  private def cellStructs(cents: Seq[(Long, Seq[Float])])(vec: Column): Seq[Column] =
+    cents.map { case (cid, cv) =>
       struct(cosine(vec, typedlit(cv)).as("c"), lit(-cid).as("nid"))
     }
-    val assigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
-      .withColumn("cell", -array_max(array(cellStructs(col("cv")): _*)).getField("nid"))
-      .select(col("neighbor_id"), col("cv"), col("cell"))
 
-    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+  /** Nearest-centroid cell id of `vec` — the assignment expression shared
+    * by search, training, and the partitioned writer (one definition, or
+    * the layouts drift from the probes that read them). */
+  private def cellOf(cents: Seq[(Long, Seq[Float])])(vec: Column): Column =
+    -array_max(array(cellStructs(cents)(vec): _*)).getField("nid")
+
+  /** Each query's `nprobe` best cells, exploded to (query_id, qv, cell). */
+  private def probeCells(queries: DataFrame, queryId: String, queryVec: String,
+                         cents: Seq[(Long, Seq[Float])], nprobe: Int): DataFrame =
+    queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
       // sort asc by (c, nid), reverse → desc by c with ties on cid asc
       .withColumn("cand",
-        slice(reverse(array_sort(array(cellStructs(col("qv")): _*))), 1, nprobe))
+        slice(reverse(array_sort(array(cellStructs(cents)(col("qv")): _*))), 1, nprobe))
       .select(col("query_id"), col("qv"), explode(col("cand")).as("cc"))
       .select(col("query_id"), col("qv"), (-col("cc.nid")).as("cell"))
 
+  private def ivfTopKWith(corpus: DataFrame, corpusId: String, corpusVec: String,
+                          queries: DataFrame, queryId: String, queryVec: String,
+                          k: Int, cents: Seq[(Long, Seq[Float])], nprobe: Int): DataFrame = {
+    val assigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("cell", cellOf(cents)(col("cv")))
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    rankAssigned(assigned, queries, queryId, queryVec, k, cents, nprobe)
+  }
+
+  /** Probe + rank over a corpus that already carries its cell id
+    * (neighbor_id, cv, cell) — the shared back half of [[ivfTopK]] and
+    * the cell-partitioned [[ivfTopKDelta]] path. */
+  private def rankAssigned(assigned: DataFrame,
+                           queries: DataFrame, queryId: String, queryVec: String,
+                           k: Int, cents: Seq[(Long, Seq[Float])], nprobe: Int): DataFrame = {
+    val probes = probeCells(queries, queryId, queryVec, cents, nprobe)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -221,6 +244,50 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Write the corpus to a Delta table Hive-partitioned by its IVF cell
+    * id — the 100 TB layout [[ivfTopK]]'s scaladoc promises: each
+    * (id, vec) row lands in `cell=<nearest centroid>/`, so a probe reads
+    * ~nprobe/numCentroids of the table's files instead of scanning the
+    * corpus. Pair with [[ivfTopKDelta]], which prunes to exactly the
+    * probed cells through [[graft.delta.DataSkipping]]. The codebook must
+    * be the one later probes use — [[trainIvfCentroids]] is bit-stable
+    * across partitionings precisely so this layout stays valid.
+    *
+    * @return the Delta table (schema: idCol, vecCol, cell) */
+  def writeIvfAssigned(corpus: DataFrame, corpusId: String, corpusVec: String,
+                       centroids: Seq[Seq[Float]], path: String): graft.delta.DeltaTable = {
+    require(centroids.nonEmpty, "empty codebook")
+    val cents = centroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    val assigned = corpus
+      .select(col(corpusId), col(corpusVec))
+      .withColumn("cell", cellOf(cents)(col(corpusVec)))
+    val table = graft.delta.DeltaTable.forPath(corpus.sparkSession, path)
+      .create(graft.delta.DeltaTable.relaxContainers(assigned.schema),
+        partitionColumns = Seq("cell"))
+    table.append(assigned)
+    table
+  }
+
+  /** [[ivfTopK]] over a [[writeIvfAssigned]] layout: collects each query's
+    * nprobe cells (queries are bounded by contract — they broadcast), then
+    * reads ONLY the files of those cells via partition pruning; assignment
+    * is not recomputed. This is the read path where IVF actually pays at
+    * 100 TB — the scan is nprobe/numCentroids of the data before any
+    * filtering runs. */
+  def ivfTopKDelta(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                   corpusId: String, corpusVec: String,
+                   queries: DataFrame, queryId: String, queryVec: String,
+                   k: Int, centroids: Seq[Seq[Float]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "empty codebook")
+    val cents = centroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    val cells = probeCells(queries, queryId, queryVec, cents, nprobe)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+    val table = graft.delta.DeltaTable.forPath(spark, tablePath)
+    val assigned = table.scanIn("cell", cells)
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"), col("cell"))
+    rankAssigned(assigned, queries, queryId, queryVec, k, cents, nprobe)
   }
 
   /** LSH ANN: corpus bucketed once by signature; each query probes its own

@@ -208,6 +208,39 @@ object TextAnalysis {
       .withColumn("id", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** Apply a [[buildVocab]] codebook to the corpus: each document's token
+    * sequence becomes a same-length id sequence — the corpus→ids encode
+    * pass every pretraining pipeline runs after tokenizer training.
+    * Out-of-vocabulary tokens map to -1 (length is preserved so token
+    * accounting still holds; downstream drops or counts them — an
+    * OOV-drop variant is one `array_remove` away).
+    *
+    * Plan shape (100 TB story): the vocabulary is BOUNDED by contract
+    * (a tokenizer codebook — top-k rows, k ≤ a few hundred thousand), so
+    * it collects once and folds into the plan as a map literal — the same
+    * tiny-codebook exemption as the IVF centroids. Encoding is then a pure
+    * scan-stage expression: zero shuffle, no join, no per-token explode
+    * (the explode+join+regroup alternative would shuffle EVERY token
+    * occurrence in the corpus — the one shape this op exists to avoid).
+    *
+    * @param vocab (token, id) mapping, e.g. [[buildVocab]]'s output; ids
+    *   need not be dense but (token → id) must be a function
+    * @return (idCol, ids: array<long>, n_oov: long) */
+  def encodeIds(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pairs = vocab.select(col("token").cast("string"), col("id").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(pairs.map(_._1).distinct.length == pairs.length,
+      s"vocab maps a token to multiple ids (${pairs.length} rows, " +
+        s"${pairs.map(_._1).distinct.length} distinct tokens)")
+    val m = typedlit[Map[String, Long]](pairs.toMap)
+    df.select(col(idCol),
+      transform(tokens(col(textCol)), t =>
+        coalesce(element_at(m, t), lit(-1L))).as("ids"))
+      .withColumn("n_oov",
+        size(filter(col("ids"), x => x === -1L)).cast("long"))
+  }
+
   /** BM25 relevance of every document against a bounded query-term set
     * (Robertson/Sparck-Jones; the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
     * always-positive idf).

@@ -278,6 +278,44 @@ object TextQueries extends QueryModule {
               |FROM n ORDER BY n DESC, token LIMIT 20""".stripMargin),
       headline = true),
 
+    // Corpus→ids encode pass: the top-30 vocabulary (count desc, token asc
+    // ids — same definition as text_vocab) applied back to every document.
+    // Ids render as a comma-joined string (integer arrays would trip the
+    // arrow element-name gate; integers render identically in both
+    // engines). OOV → -1, so len(ids) always equals the token count.
+    "text_encode_ids" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.TextAnalysis.encodeIds(docs, "doc_id", "text",
+            graft.ops.TextAnalysis.buildVocab(docs, "text", 30))
+          .select(col("doc_id"),
+            concat_ws(",", transform(col("ids"), _.cast("string"))).as("ids_joined"),
+            col("n_oov"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH c AS (
+              |  SELECT unnest($T) AS token FROM documents
+              |), n AS (
+              |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY token
+              |), v AS (
+              |  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS id
+              |  FROM n ORDER BY n DESC, token LIMIT 30
+              |), u AS (
+              |  SELECT doc_id, unnest($T) AS t, unnest(range(len($T))) AS ord
+              |  FROM documents
+              |), e AS (
+              |  SELECT u.doc_id,
+              |    array_to_string(list(coalesce(v.id, -1) ORDER BY u.ord), ',') AS ids_joined,
+              |    CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+              |  FROM u LEFT JOIN v ON v.token = u.t
+              |  GROUP BY u.doc_id
+              |)
+              |SELECT d.doc_id,
+              |  coalesce(e.ids_joined, '') AS ids_joined,
+              |  coalesce(e.n_oov, 0) AS n_oov
+              |FROM documents d LEFT JOIN e USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // BM25 keyword relevance against a fixed query-term set; exact-integer
     // corpus stats make the scores parallelism-independent, and the oracle
     // CTE (TextAnalysis.bm25Sql) repeats the identical per-term arithmetic

@@ -38,6 +38,65 @@ object StreamingCuration {
       .drop("__fp")
   }
 
+  /** Streaming NEAR-duplicate dedup: the fuzzy counterpart of [[curate]]'s
+    * exact-fingerprint gate. Each doc's MinHash signature is banded into
+    * LSH buckets (the same codegen kernels as the batch
+    * [[graft.ops.Dedup.minhashLsh]] — one shared definition or the
+    * stream and batch passes would disagree on what "near" means), the
+    * band rows dedup through `dropDuplicatesWithinWatermark`, and a doc
+    * survives only when ALL of its bands were unseen — i.e. sharing ANY
+    * band bucket with a doc seen inside the watermark drops it.
+    *
+    * The honest bounded-state contract (same spirit as [[curate]]):
+    *  - State is one entry per band bucket plus one open group per doc,
+    *    both evicted at the watermark — memory is arrival rate ×
+    *    watermark × bands, never corpus size. A near-dup arriving AFTER
+    *    its original's bands evicted is emitted again; history beyond
+    *    the watermark is the batch pass's job.
+    *  - CANDIDATE-level dedup: no exact-Jaccard verify (that would need
+    *    both docs' shingle sets in state). With the default 128/32
+    *    banding a collision implies likely-high similarity, and a
+    *    false-positive drop is the conservative failure for a corpus
+    *    feed. The batch clusterers remain the precise tool.
+    *  - Fresh bands of a DROPPED doc still enter state, so a doc
+    *    near-duplicating only dropped docs is dropped too — the same
+    *    keep-one-per-cluster outcome as batch clustering.
+    *  - Emission defers to watermark close: two chained stateful stages
+    *    (band dedup → all-bands-fresh count grouped on the watermarked
+    *    event-time column) only emit in append mode once the group is
+    *    final.
+    *  - Docs with an empty token set carry no signature and are dropped
+    *    (matching the batch base); length-gate with [[curate]] first.
+    */
+  def dedupNearWithinWatermark(docs: DataFrame, textCol: String, tsCol: String,
+                               watermark: String, shingleN: Int = 3,
+                               numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val cols = docs.columns.toSeq
+    Seq("__band", "__bucket", "__fresh").foreach(c => require(!cols.contains(c),
+      s"dedupNearWithinWatermark reserves column name '$c'"))
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("__hsh", graft.functions.ShingleHashes.of(
+        TextAnalysis.tokens(col(textCol)), shingleN, "mh"))
+      .filter(size(col("__hsh")) > 0)
+      .select(cols.map(col) :+
+        posexplode(graft.functions.BandBuckets.of(
+          graft.functions.MinHashSig.of(col("__hsh"), numHashes), bands))
+          .as(Seq("__band", "__bucket")): _*)
+    banded
+      .dropDuplicatesWithinWatermark("__band", "__bucket")
+      // all rows of one doc share every original column value, so the
+      // original row IS the group key (text rides a bounded micro-batch
+      // shuffle — the batch digests-only rule trades against state size
+      // here, and the watermark bounds both)
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__fresh"))
+      .filter(col("__fresh") === bands)
+      .drop("__fresh")
+  }
+
   /** Streaming exact decontamination: drop stream docs whose bag-of-words
     * fingerprint appears in a STATIC probe corpus (eval/benchmark suites)
     * — the stream-static form of [[graft.ops.Sampling.decontaminate]].

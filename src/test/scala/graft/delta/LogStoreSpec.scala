@@ -64,4 +64,52 @@ class LogStoreSpec extends AnyFunSuite {
     LogStore.register("OSS", CondPut) // case-insensitive; once registered, it wins
     assert(LogStore.forScheme("oss") === CondPut)
   }
+
+  test("in-memory conditional-put store passes the shared exclusive-publish contract") {
+    roundtrip(new InMemoryConditionalPutLogStore)
+  }
+
+  test("registered conditional-put store end-to-end: two writers race a version, loser retries to the next") {
+    withTmpDir { dir =>
+      // register for file:// so DeltaLog.commit's real write path routes
+      // through the conditional-put seam (exactly what an S3 deployment
+      // does for s3a://); restored in finally — the in-memory store is
+      // itself a correct LogStore, so a concurrently-running suite that
+      // commits during this window still commits safely
+      LogStore.register("file", new InMemoryConditionalPutLogStore)
+      try {
+        import Actions._
+        val conf = new Configuration()
+        val schema = new org.apache.spark.sql.types.StructType().add("x", "long").json
+        new DeltaLog(dir.toString, conf, None).commit(Seq(
+          Action(protocol = Some(Protocol())),
+          Action(metaData = Some(Metadata(id = "race-table", schemaString = schema)))))
+
+        // two independent writers, barrier-released: both target version 1;
+        // the conditional put lets exactly one win and DeltaLog's optimistic
+        // loop retries the loser onto version 2 — the reference needed a
+        // DynamoDB mutex for precisely this guarantee on S3
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val futures = (1 to 2).map { i =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              override def call(): Long = {
+                val writer = new DeltaLog(dir.toString, conf, None)
+                barrier.await()
+                writer.commit(Seq(Action(commitInfo =
+                  Some(CommitInfo(i.toLong, s"WRITER-$i")))))
+              }
+            })
+          }
+          val versions = futures.map(_.get()).toSet
+          assert(versions === Set(1L, 2L),
+            s"both writers must land, on consecutive versions: $versions")
+        } finally pool.shutdown()
+
+        // the log is intact: both commits readable, no version skipped
+        assert(new DeltaLog(dir.toString, conf, None).snapshot().version === 2L)
+      } finally LogStore.register("file", HardLinkLogStore)
+    }
+  }
 }

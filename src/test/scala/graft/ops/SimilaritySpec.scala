@@ -73,6 +73,38 @@ class SimilaritySpec extends SparkSpec {
     assert(wide.length === 10)
   }
 
+  test("IVF cell-partitioned layout: probes read only nprobe cells' files, same results") {
+    val trained = Similarity.trainIvfCentroids(corpus, "id", "v", numCentroids = 3, iters = 3)
+    val path = tmpDir("ivf-layout")
+    val table = Similarity.writeIvfAssigned(corpus, "id", "v", trained, path)
+
+    // every live file belongs to exactly one cell=<id> partition
+    val files = table.snapshot.files
+    assert(files.nonEmpty)
+    assert(files.forall(_.partitionValues.contains("cell")))
+    val cellsOnDisk = files.flatMap(_.partitionValues.get("cell")).toSet
+    assert(cellsOnDisk.size === 3, s"expected 3 cell partitions, got $cellsOnDisk")
+
+    // a 1-cell probe must read only that cell's files: ≤ nprobe/numCentroids
+    // of the table (the claim ivfTopK's scaladoc makes)
+    val prunedAll = table.scanInFiles("cell", Seq(0L, 1L, 2L))
+    assert(prunedAll.map(_.path).toSet === files.map(_.path).toSet)
+    for (cell <- Seq(0L, 1L, 2L)) {
+      val pruned = table.scanInFiles("cell", Seq(cell))
+      assert(pruned.nonEmpty && pruned.size <= files.size / 3,
+        s"cell $cell read ${pruned.size} of ${files.size} files")
+      assert(pruned.forall(_.partitionValues.get("cell").contains(cell.toString)))
+    }
+
+    // and the pruned probe returns exactly what the unpartitioned path does
+    val viaDelta = Similarity.ivfTopKDelta(spark, path, "id", "v",
+      queries, "id", "v", k = 5, trained, nprobe = 2)
+    val viaDirect = Similarity.ivfTopK(corpus, "id", "v",
+      queries, "id", "v", k = 5, trained, nprobe = 2)
+    assert(resultPairs(viaDelta) === resultPairs(viaDirect))
+    assert(resultPairs(viaDelta).nonEmpty)
+  }
+
   test("int8 quantization bounds dequantization error; zero vector is safe") {
     val vecs = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f, 0.125f)),

@@ -76,4 +76,18 @@ class TextAnalysisSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq.empty))
   }
+
+  test("encodeIds maps tokens through the vocab, OOV to -1, length-preserving") {
+    val docs = Seq((1L, "The cat sat"), (2L, "dog the DOG"), (3L, ""))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("the", 5L, 0L), ("dog", 2L, 1L)).toDF("token", "n", "id")
+    val out = TextAnalysis.encodeIds(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSeq, r.getLong(2)))).toMap
+    assert(out(1L) === ((Seq(0L, -1L, -1L), 2L))) // lowercased 'the' hits
+    assert(out(2L) === ((Seq(1L, 0L, 1L), 0L)))
+    assert(out(3L) === ((Seq.empty[Long], 0L)))   // empty doc: [] and 0 OOV
+    // a vocab that maps one token to two ids is a bug, not a coin flip
+    assertThrows[IllegalArgumentException](TextAnalysis.encodeIds(docs, "doc_id", "text",
+      Seq(("the", 1L, 0L), ("the", 1L, 9L)).toDF("token", "n", "id")))
+  }
 }

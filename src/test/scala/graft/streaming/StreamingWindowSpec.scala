@@ -90,6 +90,41 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: band collisions inside the watermark drop; evicted state readmits") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    val base = "the quick brown fox jumps over the lazy dog again and again in the open field today"
+    val near = base.replace("field", "meadow") // shares almost every shingle
+    val far = "completely different content about structured streaming state stores and watermark eviction"
+    val q = StreamingCuration.dedupNearWithinWatermark(docs, "text", "ts", "10 minutes")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("nd").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts(0), base), (2L, ts(1), far))
+      q.processAllAvailable()
+      // near-dup within the watermark: shares band buckets with doc 1 → dropped
+      in.addData((3L, ts(3), near))
+      q.processAllAvailable()
+      // advance the watermark past every earlier doc: closes their groups
+      // (emitting 1 and 2, finalizing 3's drop) and EVICTS their band state
+      in.addData((9L, ts(59), "an unrelated advancer document moving the event time clock forward"))
+      q.processAllAvailable()
+      // the same near-dup text again, now past the original's evicted
+      // bands: the bounded-state contract says it is readmitted
+      in.addData((6L, ts(58), near))
+      q.processAllAvailable()
+      in.addData((7L, Timestamp.valueOf("2024-01-01 11:20:00"),
+        "final advancer closing the remaining groups for the assertion below"))
+      q.processAllAvailable()
+      val out = spark.table("nd").collect().map(_.getLong(0)).toSet
+      assert(out.contains(1L) && out.contains(2L), s"originals must survive; got $out")
+      assert(!out.contains(3L), s"in-watermark near-dup must be dropped; got $out")
+      assert(out.contains(6L), s"post-eviction near-dup must be readmitted; got $out")
+      assert(out.contains(9L), s"unique doc must survive; got $out")
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops probe-matching docs from every micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
