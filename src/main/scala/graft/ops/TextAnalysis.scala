@@ -208,6 +208,114 @@ object TextAnalysis {
       .withColumn("id", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** Learn a byte-pair-encoding merge list from the corpus — the REAL
+    * subword tokenizer ([[subwordCount]] is a regex stand-in for length
+    * filtering; this is the trainable Sennrich-style BPE whose pieces a
+    * pretraining pipeline actually feeds the model). Apply with
+    * [[graft.functions.BpeEncode]] (`BpeEncode.of(tokens(text), merges)`)
+    * — a scan-stage kernel, zero shuffle.
+    *
+    * Scale shape (and why this is the standard practice, not a shortcut):
+    * BPE training needs only the WORD-FREQUENCY table, not the corpus —
+    * every major tokenizer trainer aggregates words first. Here that is
+    * one distributed token-count aggregation (map-side partial) reduced
+    * to the top `maxWords` distinct words by (count desc, word asc) — a
+    * distributed TakeOrdered, no global sort — and Zipf's law makes the
+    * top ~100k words carry almost the whole frequency mass, so the cap
+    * bounds driver memory the same way every codebook here does. The
+    * merge loop then runs driver-side over ≤ maxWords rows: O(numMerges ×
+    * Σ|word|) plain-Scala work on counts, not corpus passes.
+    *
+    * Determinism: ties in pair frequency break by (pair lexicographic) —
+    * the merge list is a pure function of the word-frequency table, which
+    * is itself exact integer counts: bit-identical across partitionings,
+    * retries, and cluster sizes.
+    *
+    * @return merges in rank order (earlier = applied first) */
+  def trainBpe(df: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int, maxWords: Int = 100000): Seq[(String, String)] = {
+    require(numMerges >= 0 && maxWords >= 1, s"bad numMerges=$numMerges / maxWords=$maxWords")
+    trainBpeFromCounts(df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq,
+      numMerges)
+  }
+
+  /** The driver-side merge loop of [[trainBpe]] over an explicit
+    * word-frequency table — pure and data-source-free, so a FIXED fixture
+    * table yields a constant merge list usable in oracle SQL
+    * ([[bpeEncodeSql]]) and in tests. */
+  def trainBpeFromCounts(wordCounts: Seq[(String, Long)],
+                         numMerges: Int): Seq[(String, String)] = {
+    val words: Array[(Array[String], Long)] = wordCounts.toArray.map { case (w, n) =>
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) { // code points, matching BpeKernel.encodeWord
+        val cc = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + cc); i += cc
+      }
+      syms += graft.functions.BpeKernel.EndOfWord
+      (syms.toArray, n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var vocab = words
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += syms(i) + syms(i + 1); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** DuckDB twin of [[graft.functions.BpeKernel.encodeWord]] over word
+    * expression `w`, for a FIXED merge list: each symbol is wrapped
+    * chr(31)·sym·chr(30) (both markers absent from any text corpus this
+    * oracle runs on — boundary-safe: a pattern can neither match across a
+    * symbol boundary nor match a symbol prefix), and each merge in rank
+    * order becomes one `replace` of the wrapped pair with the wrapped
+    * concatenation. Sequential-by-rank application equals the kernel's
+    * greedy lowest-rank loop for TRAINED merge lists (a merge's operands
+    * predate it, so applying rank r can never create a lower-rank pair —
+    * the standard BPE equivalence), and SQL `replace`'s left-to-right
+    * non-overlapping scan is exactly the kernel's merge pass.
+    *
+    * @return SQL producing the wrapped piece string of one word */
+  def bpeEncodeSql(w: String, merges: Seq[(String, String)]): String = {
+    def wrapped(s: String) = s"chr(31) || '${s.replace("'", "''")}' || chr(30)"
+    val base = s"array_to_string(list_transform(string_split($w, ''), " +
+      "c -> chr(31) || c || chr(30)), '') || chr(31) || '</w>' || chr(30)"
+    merges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, ${wrapped(a)} || ${wrapped(b)}, ${wrapped(a + b)})"
+    }
+  }
+
   /** Apply a [[buildVocab]] codebook to the corpus: each document's token
     * sequence becomes a same-length id sequence — the corpus→ids encode
     * pass every pretraining pipeline runs after tokenizer training.

@@ -31,6 +31,17 @@ object TextQueries extends QueryModule {
        |  ELSE 'fr' END""".stripMargin.replace("\n", " ")
   }
 
+  /** Fixed word-frequency fixture for the BPE gate: vocabulary drawn from
+    * the synthetic documents corpus so the trained merges actually fire
+    * on real rows (every word below appears throughout the corpus). The
+    * counts are arbitrary but FROZEN — the merge list must be a constant
+    * so the oracle SQL (static by contract) can apply identical merges. */
+  private val BpeFixtureCounts: Seq[(String, Long)] = Seq(
+    "table" -> 50L, "value" -> 40L, "spark" -> 35L, "window" -> 30L,
+    "batch" -> 28L, "merge" -> 25L, "scan" -> 22L, "hash" -> 20L,
+    "sort" -> 18L, "fast" -> 15L, "slow" -> 12L, "line" -> 10L,
+    "row" -> 9L, "key" -> 8L, "agg" -> 7L, "part" -> 6L)
+
   def defs: Map[String, QueryDef] = Map(
     "text_token_count" -> QueryDef(
       (s, d) =>
@@ -277,6 +288,41 @@ object TextQueries extends QueryModule {
               |  CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS id
               |FROM n ORDER BY n DESC, token LIMIT 20""".stripMargin),
       headline = true),
+
+    // Real BPE subword tokenization over the corpus, oracle-gated: the
+    // merge list is trained at DEFINITION time from a fixed word-frequency
+    // fixture (trainBpeFromCounts is pure — no data access), so the same
+    // constant merges drive the scan-stage BpeEncode kernel on the Spark
+    // side and the generated replace-chain (TextAnalysis.bpeEncodeSql) on
+    // the DuckDB side. Pieces render as a chr(31)/chr(30)-wrapped string:
+    // both markers are absent from the corpus, so the rendering is
+    // unambiguous and engine-identical. (Corpus-trained merges stay
+    // spec-gated — oracle SQL is static and cannot retrain; the KERNEL
+    // under test here is the same one trainBpe feeds.)
+    "text_bpe_encode" -> QueryDef(
+      (s, d) => {
+        val merges = graft.ops.TextAnalysis.trainBpeFromCounts(BpeFixtureCounts, 24)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.BpeEncode.of(tokens(col("text")), merges).as("p"))
+          .select(col("doc_id"),
+            concat_ws("", transform(col("p"),
+              x => concat(lit("\u001F"), x, lit("\u001E")))).as("pieces_wrapped"),
+            size(col("p")).cast("long").as("n_pieces"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val merges = graft.ops.TextAnalysis.trainBpeFromCounts(BpeFixtureCounts, 24)
+        val enc = graft.ops.TextAnalysis.bpeEncodeSql("w", merges)
+        s"""WITH enc AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_transform($T, w -> $enc), '') AS pieces_wrapped
+           |  FROM documents)
+           |SELECT doc_id, pieces_wrapped,
+           |  CAST(length(pieces_wrapped) -
+           |       length(replace(pieces_wrapped, chr(31), '')) AS BIGINT) AS n_pieces
+           |FROM enc ORDER BY doc_id""".stripMargin
+      }),
 
     // Corpus→ids encode pass: the top-30 vocabulary (count desc, token asc
     // ids — same definition as text_vocab) applied back to every document.

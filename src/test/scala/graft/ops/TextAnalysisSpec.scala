@@ -77,6 +77,42 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq.empty))
   }
 
+  test("trainBpe learns deterministic merges; BpeEncode applies them greedily and losslessly") {
+    import graft.functions.BpeEncode
+    // exact pin: words aa×2 ab×1 → pair counts (a,a)=2 (a,</w>)=2 (a,b)=1
+    // (b,</w>)=1; the count-2 tie breaks lexicographically and '<' < 'a'
+    val tiny = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.trainBpe(tiny, "text", numMerges = 1) === Seq(("a", "</w>")))
+    val enc1 = Seq(Tuple1(Seq("aa", "ab"))).toDF("ts")
+      .select(BpeEncode.of(col("ts"), Seq(("a", "</w>"))).as("p"))
+      .head().getSeq[String](0)
+    assert(enc1 === Seq("a", "a</w>", "a", "b", "</w>"))
+
+    // Sennrich-style corpus: merges are a pure function of word counts
+    val docs = Seq((1L, ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).trim))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpe(docs, "text", 10)
+    assert(merges.size === 10)
+    assert(TextAnalysis.trainBpe(docs.repartition(7), "text", 10) === merges,
+      "merge list must be partitioning-independent")
+
+    // lossless: pieces concatenate back to each word + the EOW marker,
+    // including for a word never seen in training
+    val pieces = Seq(Tuple1(Seq("newest", "low", "zzz"))).toDF("ts")
+      .select(BpeEncode.of(col("ts"), merges).as("p")).head().getSeq[String](0)
+    assert(pieces.mkString("") === "newest</w>low</w>zzz</w>")
+    def nPieces(ms: Seq[(String, String)]): Int =
+      docs.select(size(BpeEncode.of(TextAnalysis.tokens(col("text")), ms)).as("n"))
+        .head().getInt(0)
+    // more merges → monotonically fewer pieces on the training corpus
+    assert(nPieces(Nil) > nPieces(merges.take(3)))
+    assert(nPieces(merges.take(3)) > nPieces(merges))
+    // zero merges = characters + EOW per word
+    val raw = Seq(Tuple1(Seq("ab"))).toDF("ts")
+      .select(BpeEncode.of(col("ts"), Nil).as("p")).head().getSeq[String](0)
+    assert(raw === Seq("a", "b", "</w>"))
+  }
+
   test("encodeIds maps tokens through the vocab, OOV to -1, length-preserving") {
     val docs = Seq((1L, "The cat sat"), (2L, "dog the DOG"), (3L, ""))
       .toDF("doc_id", "text")
