@@ -294,6 +294,28 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Piece vocabulary implied by a merge list — the standard BPE layout:
+    * the training ALPHABET (distinct code points of the training words,
+    * sorted) plus the end-of-word marker, followed by merged symbols in
+    * rank order. Ids are list positions, so the vocab is a pure function
+    * of (wordCounts, merges) — reproducible everywhere. Pieces outside
+    * the vocab (characters never seen in training) are the encoder's OOV
+    * cases. */
+  def bpeVocab(wordCounts: Seq[(String, Long)],
+               merges: Seq[(String, String)]): Seq[String] = {
+    val alphabet = wordCounts.flatMap { case (w, _) =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cc); i += cc
+      }
+      b
+    }.distinct.sorted
+    ((alphabet :+ graft.functions.BpeKernel.EndOfWord) ++
+      merges.map { case (a, b) => a + b }).distinct
+  }
+
   /** DuckDB twin of [[graft.functions.BpeKernel.encodeWord]] over word
     * expression `w`, for a FIXED merge list: each symbol is wrapped
     * chr(31)·sym·chr(30) (both markers absent from any text corpus this

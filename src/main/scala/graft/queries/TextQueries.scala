@@ -324,6 +324,49 @@ object TextQueries extends QueryModule {
            |FROM enc ORDER BY doc_id""".stripMargin
       }),
 
+    // The COMPLETE tokenizer path: tokens → BPE pieces → integer ids —
+    // what a pretraining pipeline actually materializes. Vocab ids are the
+    // standard BPE layout (sorted training alphabet + EOW, then merges in
+    // rank order — TextAnalysis.bpeVocab); pieces outside the vocab
+    // (corpus characters unseen in the training fixture) map to -1, so the
+    // OOV path is exercised on real rows. Oracle: the same wrapped-string
+    // encode as text_bpe_encode, split back to pieces, mapped through a
+    // generated CASE over the identical vocab.
+    "text_bpe_ids" -> QueryDef(
+      (s, d) => {
+        val merges = graft.ops.TextAnalysis.trainBpeFromCounts(BpeFixtureCounts, 24)
+        val vocab = graft.ops.TextAnalysis.bpeVocab(BpeFixtureCounts, merges)
+        val idMap = typedlit[Map[String, Long]](
+          vocab.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.BpeEncode.of(tokens(col("text")), merges).as("p"))
+          .select(col("doc_id"),
+            concat_ws(",", transform(col("p"),
+              x => coalesce(element_at(idMap, x), lit(-1L)).cast("string"))).as("ids_joined"),
+            size(filter(col("p"),
+              x => element_at(idMap, x).isNull)).cast("long").as("n_oov"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val merges = graft.ops.TextAnalysis.trainBpeFromCounts(BpeFixtureCounts, 24)
+        val vocab = graft.ops.TextAnalysis.bpeVocab(BpeFixtureCounts, merges)
+        val enc = graft.ops.TextAnalysis.bpeEncodeSql("w", merges)
+        val caseExpr = vocab.zipWithIndex
+          .map { case (p, i) => s"WHEN '${p.replace("'", "''")}' THEN $i" }
+          .mkString("CASE p ", " ", " ELSE -1 END")
+        s"""WITH enc AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(replace(
+           |      array_to_string(list_transform($T, w -> $enc), ''),
+           |      chr(30), ''), chr(31)), p -> p <> '') AS pieces
+           |  FROM documents)
+           |SELECT doc_id,
+           |  array_to_string(list_transform(pieces, p -> CAST($caseExpr AS VARCHAR)), ',') AS ids_joined,
+           |  CAST(len(list_filter(pieces, p -> ($caseExpr) = -1)) AS BIGINT) AS n_oov
+           |FROM enc ORDER BY doc_id""".stripMargin
+      }),
+
     // Corpus→ids encode pass: the top-30 vocabulary (count desc, token asc
     // ids — same definition as text_vocab) applied back to every document.
     // Ids render as a comma-joined string (integer arrays would trip the

@@ -111,6 +111,9 @@ class TextAnalysisSpec extends SparkSpec {
     val raw = Seq(Tuple1(Seq("ab"))).toDF("ts")
       .select(BpeEncode.of(col("ts"), Nil).as("p")).head().getSeq[String](0)
     assert(raw === Seq("a", "b", "</w>"))
+    // vocab layout: sorted training alphabet, EOW, then merges in rank order
+    assert(TextAnalysis.bpeVocab(Seq("aa" -> 2L, "ab" -> 1L), Seq(("a", "</w>")))
+      === Seq("a", "b", "</w>", "a</w>"))
   }
 
   test("encodeIds maps tokens through the vocab, OOV to -1, length-preserving") {
