@@ -22,9 +22,12 @@ import graft.functions.Hashing
   *     real image/audio codec — typed `Dataset.mapPartitions` (the Scala
   *     analog of `mapInPandas`) with explicit micro-batching so a
   *     vectorized decoder gets arrays of payloads, not one call per row.
-  *     The codec itself is injectable: [[FakeCodec]] is a deterministic
-  *     stand-in (this container ships no image/audio libraries — STUB);
-  *     swapping in a JNI/JavaCV decoder changes no plumbing.
+  *     The codec is injectable. [[RealCodecs]] decode PCM WAV and
+  *     uncompressed 24-bit BMP FOR REAL (byte-layout specs, pure JVM);
+  *     [[FakeCodec]] remains the deterministic stand-in only for
+  *     compressed formats (JPEG/PNG/H.264), whose decompression needs
+  *     native libraries this container doesn't ship — swapping in a
+  *     JNI/JavaCV decoder changes no plumbing.
   */
 object Multimodal {
 
@@ -56,6 +59,150 @@ object Multimodal {
           DecodedFrame(a.asset_id, i, w, ht, px)
         }
       }
+  }
+
+  /** REAL pure-JVM codecs for the uncompressed container formats whose
+    * specs are byte-layout-only — no native library needed, so "no codec
+    * libs in this container" stops being a reason to stub THESE:
+    *  - [[RealCodecs.PcmWav]]: RIFF/WAVE PCM — audio decodes to
+    *    fixed-size sample windows (frame = one window; `width` = sample
+    *    frames in the window, `height` = channels, `pixels` = the raw
+    *    little-endian PCM bytes of the window).
+    *  - [[RealCodecs.Bmp24]]: uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    *    BI_RGB) — one frame per image, `pixels` = top-down BGR with row
+    *    padding stripped.
+    *  - [[RealCodecs.ByMagic]]: routes each asset on its magic bytes and
+    *    hands everything else (JPEG/PNG/H.264 — real decompression needs
+    *    native libs this container doesn't ship) to a fallback, by
+    *    default [[FakeCodec]], preserving the documented-stub boundary
+    *    for compressed formats ONLY.
+    * Malformed payloads throw `IllegalArgumentException` with the asset
+    * id — the caller quarantines (DLQ pattern), a silent skip would
+    * corrupt token accounting. */
+  object RealCodecs {
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Parsed WAV essentials. `dataOffset`/`dataLen` bound the PCM bytes. */
+    final case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                             dataOffset: Int, dataLen: Int) {
+      def bytesPerSampleFrame: Int = channels * (bitsPerSample / 8)
+      def sampleFrames: Int =
+        if (bytesPerSampleFrame == 0) 0 else dataLen / bytesPerSampleFrame
+      def durationMs: Long =
+        if (sampleRate == 0) 0L else sampleFrames.toLong * 1000L / sampleRate
+    }
+
+    /** Strict RIFF/WAVE chunk walk (PCM format 1 only). */
+    def parseWav(bytes: Array[Byte]): WavInfo = {
+      require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+        s"not a RIFF/WAVE payload (${bytes.length} bytes)")
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      var data: Option[(Int, Int)] = None // offset, len
+      var o = 12
+      while (o + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(bytes, o)
+        val size = u32(bytes, o + 4).toInt
+        require(size >= 0 && o + 8 + size <= bytes.length,
+          s"chunk '$id' overruns payload (size=$size at offset $o)")
+        if (id == "fmt ") {
+          require(size >= 16, s"fmt chunk too small ($size)")
+          val audioFormat = u16(bytes, o + 8)
+          require(audioFormat == 1, s"only PCM (format 1) supported, got $audioFormat")
+          fmt = Some((u16(bytes, o + 10), u32(bytes, o + 12).toInt, u16(bytes, o + 22)))
+        } else if (id == "data") data = Some((o + 8, size))
+        o += 8 + size + (size & 1) // chunks pad to even
+      }
+      (fmt, data) match {
+        case (Some((ch, rate, bits)), Some((off, len))) =>
+          require(ch > 0 && rate > 0 && (bits == 8 || bits == 16 || bits == 24 || bits == 32),
+            s"unsupported PCM shape: channels=$ch rate=$rate bits=$bits")
+          WavInfo(ch, rate, bits, off, len)
+        case _ => throw new IllegalArgumentException(
+          s"WAV missing ${if (fmt.isEmpty) "fmt " else "data"} chunk")
+      }
+    }
+
+    /** PCM WAV → fixed windows of `samplesPerWindow` sample frames. */
+    final case class PcmWav(samplesPerWindow: Int = 1024) extends MediaCodec {
+      require(samplesPerWindow > 0, s"samplesPerWindow must be positive")
+      override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] =
+        assets.flatMap { a =>
+          val info =
+            try parseWav(a.bytes)
+            catch { case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(s"asset ${a.asset_id}: ${e.getMessage}")
+            }
+          val bpf = info.bytesPerSampleFrame
+          val total = info.sampleFrames
+          val nWin = math.max(1, (total + samplesPerWindow - 1) / samplesPerWindow)
+          (0 until nWin).map { w =>
+            val startFrame = w * samplesPerWindow
+            val frames = math.max(0, math.min(samplesPerWindow, total - startFrame))
+            val from = info.dataOffset + startFrame * bpf
+            DecodedFrame(a.asset_id, w, frames, info.channels,
+              java.util.Arrays.copyOfRange(a.bytes, from, from + frames * bpf))
+          }
+        }
+    }
+
+    /** Uncompressed 24-bit BMP → one frame, top-down BGR, padding
+      * stripped. */
+    object Bmp24 extends MediaCodec {
+      override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] =
+        assets.map { a =>
+          val b = a.bytes
+          def fail(msg: String) =
+            throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
+          if (b.length < 54 || b(0) != 'B' || b(1) != 'M') fail("not a BMP payload")
+          val dataOffset = u32(b, 10).toInt
+          val dibSize = u32(b, 14).toInt
+          if (dibSize < 40) fail(s"DIB header too small ($dibSize)")
+          val width = u32(b, 18).toInt
+          val heightRaw = u32(b, 22).toInt
+          val bottomUp = heightRaw >= 0 // negative height = top-down rows
+          val height = math.abs(heightRaw)
+          val bpp = u16(b, 28)
+          val compression = u32(b, 30)
+          if (bpp != 24 || compression != 0)
+            fail(s"only uncompressed 24-bit BMP supported (bpp=$bpp compression=$compression)")
+          if (width <= 0 || height <= 0) fail(s"bad dimensions ${width}x$heightRaw")
+          val rowSize = ((24 * width + 31) / 32) * 4
+          if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * height > b.length)
+            fail(s"pixel data overruns payload")
+          val out = new Array[Byte](width * height * 3)
+          var y = 0
+          while (y < height) {
+            val srcRow = if (bottomUp) height - 1 - y else y
+            System.arraycopy(b, dataOffset + srcRow * rowSize, out, y * width * 3, width * 3)
+            y += 1
+          }
+          DecodedFrame(a.asset_id, 0, width, height, out)
+        }
+    }
+
+    /** Magic-byte dispatch: WAV and BMP decode for real; everything else
+      * goes to `fallback` (compressed formats need native libs). */
+    final case class ByMagic(fallback: MediaCodec = FakeCodec,
+                             samplesPerWindow: Int = 1024) extends MediaCodec {
+      private val wav = PcmWav(samplesPerWindow)
+      override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] = {
+        def isWav(b: Array[Byte]) =
+          b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
+        def isBmp(b: Array[Byte]) = b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+        assets.flatMap {
+          case a if isWav(a.bytes) => wav.decodeBatch(Seq(a))
+          case a if isBmp(a.bytes) => Bmp24.decodeBatch(Seq(a))
+          case a => fallback.decodeBatch(Seq(a))
+        }
+      }
+    }
   }
 
   /** Decode pass: typed mapPartitions with explicit batching (the

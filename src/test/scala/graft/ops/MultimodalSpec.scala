@@ -57,4 +57,90 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).toSet === Set((1L, 0L), (2L, 0L)))
     assert(out.forall(_._3.length === 32))
   }
+
+  private def wavBytes(channels: Int, rate: Int, samples: Int): Array[Byte] = {
+    // 16-bit PCM with a deterministic ramp so byte slices are checkable
+    val bpf = channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + samples * bpf)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples * bpf)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * bpf).putShort(bpf.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(samples * bpf)
+    for (i <- 0 until samples; c <- 0 until channels)
+      buf.putShort(((i * 7 + c * 3) % 32767).toShort)
+    buf.array()
+  }
+
+  private def bmpBytes(width: Int, height: Int): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowSize * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * height)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * height).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up rows; pixel (x, y-from-top) = BGR (x, y, x+y) for checking
+    for (yUp <- 0 until height) {
+      val y = height - 1 - yUp
+      for (x <- 0 until width)
+        buf.put(x.toByte).put(y.toByte).put((x + y).toByte)
+      for (_ <- width * 3 until rowSize) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  test("RealCodecs.PcmWav decodes real RIFF/WAVE into exact sample windows") {
+    val media = Seq(
+      (1L, "audio", wavBytes(channels = 2, rate = 8000, samples = 1500)),
+      (2L, "audio", wavBytes(channels = 1, rate = 16000, samples = 100)))
+      .toDF("asset_id", "kind", "bytes")
+    val frames = decodePartitions(media, RealCodecs.PcmWav(1024)).collect()
+      .groupBy(_.asset_id)
+    // asset 1: 1500 stereo sample frames -> windows of 1024 + 476
+    val a1 = frames(1L).sortBy(_.frame_idx)
+    assert(a1.map(f => (f.frame_idx, f.width, f.height)).toSeq ===
+      Seq((0, 1024, 2), (1, 476, 2)))
+    assert(a1(0).pixels.length === 1024 * 4 && a1(1).pixels.length === 476 * 4)
+    // first stereo sample frame is (0, 3) as little-endian shorts
+    assert(a1(0).pixels.take(4).toSeq === Seq[Byte](0, 0, 3, 0))
+    // window 1 starts at sample 1024: left channel = (1024*7) % 32767 = 7168
+    val s = java.nio.ByteBuffer.wrap(a1(1).pixels.take(2).toArray)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort
+    assert(s === ((1024 * 7) % 32767).toShort)
+    assert(frames(2L).map(f => (f.width, f.height)).toSeq === Seq((100, 1)))
+    // malformed payloads are refused with the asset id, not skipped
+    val bad = Seq((9L, "audio", "not a wav at all".getBytes("US-ASCII")))
+      .toDF("asset_id", "kind", "bytes")
+    val e = intercept[org.apache.spark.SparkException](
+      decodePartitions(bad, RealCodecs.PcmWav(1024)).collect())
+    assert(e.getMessage.contains("asset 9") || e.getCause.getMessage.contains("asset 9"))
+  }
+
+  test("RealCodecs.Bmp24 decodes dimensions and strips row padding, top-down") {
+    val media = Seq((5L, "image", bmpBytes(3, 2))).toDF("asset_id", "kind", "bytes")
+    val f = decodePartitions(media, RealCodecs.Bmp24).collect().head
+    assert((f.asset_id, f.frame_idx, f.width, f.height) === ((5L, 0, 3, 2)))
+    // top-down BGR rows, padding gone: row y=0 = (x, 0, x); row y=1 = (x, 1, x+1)
+    assert(f.pixels.length === 3 * 2 * 3)
+    assert(f.pixels.toSeq === Seq[Byte](
+      0, 0, 0, 1, 0, 1, 2, 0, 2,
+      0, 1, 1, 1, 1, 2, 2, 1, 3))
+  }
+
+  test("RealCodecs.ByMagic routes real formats and falls back for compressed ones") {
+    val media = Seq(
+      (1L, "audio", wavBytes(1, 8000, 10)),
+      (2L, "image", bmpBytes(2, 2)),
+      (3L, "image", ("payload-" * 600).getBytes("UTF-8"))) // unknown → FakeCodec
+      .toDF("asset_id", "kind", "bytes")
+    val frames = decodePartitions(media, RealCodecs.ByMagic()).collect()
+      .groupBy(_.asset_id)
+    assert(frames(1L).head.height === 1 && frames(1L).head.width === 10)
+    assert(frames(2L).head.width === 2 && frames(2L).head.height === 2)
+    assert(frames(3L).nonEmpty) // fake frames, deterministic
+    assert(frames(3L).forall(f => f.width >= 64 && f.width < 640))
+  }
 }
