@@ -189,6 +189,20 @@ class PlanSpec extends SparkSpec {
       "the corpus must not shuffle into the cutoff join:\n" + p)
   }
 
+  test("tokenizer queries ride the scan stage: bpe kernel present, no hash exchange") {
+    // the whole point of the map-literal / kernel design: encoding shuffles
+    // nothing — the only exchange is the oracle-ordering range sort
+    val p = plan("text_bpe_encode")
+    assert(p.contains("bpe_encode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val ids = plan("text_bpe_ids")
+    assert(ids.contains("bpe_encode"), ids)
+    assert(!ids.contains("Exchange hashpartitioning"), ids)
+    val enc = plan("text_encode_ids")
+    assert(!enc.contains("Exchange hashpartitioning"),
+      "vocab application must be a scan-stage map literal, not a join:\n" + enc)
+  }
+
   test("zorder key is a codegen'd scan-stage expression") {
     val p = plan("q21_zorder_key")
     assert(p.contains("zvalue"), p)
