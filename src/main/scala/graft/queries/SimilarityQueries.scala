@@ -157,6 +157,58 @@ object SimilarityQueries extends QueryModule {
                 |)
                 |SELECT query_id, neighbor_id, rank FROM ranked
                 |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+      }),
+
+    // The SAME search through the cell-partitioned Delta layout: the
+    // corpus is written Hive-partitioned by cell (writeIvfAssigned) and
+    // the probe reads only the probed cells' files via partition pruning
+    // (ivfTopKDelta / DeltaTable.scanIn). Shares sim_topk_ivf's oracle —
+    // the hash gate doubles as the proof that pruning loses nothing
+    // (the dedup_ngram_prefix precedent).
+    "sim_topk_ivf_delta" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // identical codebook to sim_topk_ivf: the first 16 corpus vectors
+        val cents: Seq[Seq[Float]] = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toSeq).toSeq
+        val path = java.nio.file.Files.createTempDirectory("ivf-delta").toString
+        Similarity.writeIvfAssigned(emb, "vec_id", "embedding", cents, path)
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.ivfTopKDelta(s, path, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 5, cents, nprobe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      {
+        val O = OracleSql
+        Some(s"""WITH cents AS (
+                |  SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+                |  WHERE vec_id < 16
+                |), assigned AS (
+                |  SELECT neighbor_id, cv, centroid_id AS cell FROM (
+                |    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+                |      row_number() OVER (PARTITION BY e.vec_id
+                |        ORDER BY ${O.cosine("e.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
+                |    FROM embeddings e CROSS JOIN cents c
+                |  ) WHERE rn = 1
+                |), probes AS (
+                |  SELECT query_id, qv, centroid_id AS cell FROM (
+                |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+                |      row_number() OVER (PARTITION BY q.vec_id
+                |        ORDER BY ${O.cosine("q.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
+                |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
+                |  ) WHERE rn <= 4
+                |), scored AS (
+                |  SELECT DISTINCT p.query_id, a.neighbor_id, ${O.cosine("p.qv", "a.cv", 64)} AS cos
+                |  FROM assigned a JOIN probes p ON a.cell = p.cell
+                |  WHERE a.neighbor_id <> p.query_id
+                |), ranked AS (
+                |  SELECT query_id, neighbor_id,
+                |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+                |  FROM scored
+                |)
+                |SELECT query_id, neighbor_id, rank FROM ranked
+                |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
       })
   )
 }
