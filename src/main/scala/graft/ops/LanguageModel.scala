@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model quality filtering: train a pruned
+  * add-one-smoothed bigram LM on a (reference or in-domain) corpus, score
+  * every document by its negative log-likelihood, gate on the score — the
+  * classic "perplexity filter" every web-scale pretraining pipeline runs
+  * (CCNet uses a KenLM 5-gram; the bigram here is the same shape with a
+  * smaller context, and the train/score/gate plumbing is identical).
+  *
+  * Scale design:
+  *  - Training is two bounded aggregations: top-`maxVocab` unigrams and
+  *    top-`maxBigrams` (unk-mapped) bigrams, each a map-side-partial
+  *    count + distributed TakeOrdered — never a global sort; only the
+  *    pruned tables reach the driver (the bounded-codebook contract every
+  *    trained artifact here follows). Zipf makes the pruned tables carry
+  *    almost the whole probability mass — exactly why KenLM models are
+  *    prunable.
+  *  - Scoring folds the pruned LM into the plan as map literals and runs
+  *    entirely in the scan stage: per-token lookups + one sequential fold
+  *    per document, zero shuffle.
+  *
+  * Determinism/oracle story: counts are exact integers with (count desc,
+  * key asc) tie-breaks, and each document's score is a sum of per-token
+  * INTEGER-scaled NLLs (floor(-ln(p)·10⁶ + 0.5) — the groupMeanEmbedding
+  * idiom), so aggregation is order-free exact integer arithmetic; the
+  * only fp step is the per-token ln, evaluated in identical expression
+  * shape on both engines (the text_bm25 precedent).
+  *
+  * Model: P(w | p) = (C2(p,w) + 1) / (C1(p) + V), where C1 is the
+  * context's corpus frequency (docs count for BOS), V = |vocab| + 1
+  * (the unk class; BOS is never a predicted outcome), tokens outside the
+  * vocab map to [[Unk]], and bigrams pruned out of the top-`maxBigrams`
+  * count as 0 (standard pruned-LM behavior).
+  */
+object LanguageModel {
+
+  val Unk = "<unk>"
+  val Bos = "<s>"
+
+  /** Pruned bigram LM. `contexts` = C1 per context token (vocab + Unk +
+    * Bos); `bigrams` keys are "p w" (tokens never contain spaces). */
+  final case class BigramLm(vocab: Map[String, Long], contexts: Map[String, Long],
+                            bigrams: Map[String, Long], vocabSize: Int)
+
+  private def mapUnk(vocabLit: Column, t: Column): Column =
+    when(element_at(vocabLit, t).isNotNull, t).otherwise(lit(Unk))
+
+  /** Train on `df(textCol)`. Two passes: unigram top-k, then unk-mapped
+    * bigram top-k (the unk mapping must happen BEFORE bigram counting, or
+    * rare-word pairs would fragment instead of pooling into `<unk>`). */
+  def train(df: DataFrame, textCol: String, maxVocab: Int,
+            maxBigrams: Int): BigramLm = {
+    require(maxVocab >= 1 && maxBigrams >= 1,
+      s"bad maxVocab=$maxVocab / maxBigrams=$maxBigrams")
+    val toks = df.select(TextAnalysis.tokens(col(textCol)).as("ts"))
+    val vocab = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val statRow = toks.agg(
+      coalesce(sum(size(col("ts")).cast("long")), lit(0L)).as("total"),
+      coalesce(sum(when(size(col("ts")) > 0, 1L).otherwise(0L)), lit(0L)).as("ndocs")).head()
+    val (total, ndocs) = (statRow.getLong(0), statRow.getLong(1))
+    val vocabLit = typedlit[Map[String, Long]](vocab)
+    // pair strings "p w" per position (1-based element_at; i=1 pairs BOS)
+    val pairCol = transform(sequence(lit(1), size(col("ts"))), i =>
+      concat(
+        when(i === 1, lit(Bos)).otherwise(mapUnk(vocabLit, element_at(col("ts"), i - 1))),
+        lit(" "),
+        mapUnk(vocabLit, element_at(col("ts"), i))))
+    val bigrams = toks.filter(size(col("ts")) > 0)
+      .select(explode(pairCol).as("pw"))
+      .groupBy(col("pw")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pw")).limit(maxBigrams)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val contexts = vocab ++ Map(Unk -> (total - vocab.values.sum), Bos -> ndocs)
+    BigramLm(vocab, contexts, bigrams, vocab.size + 1)
+  }
+
+  /** Per-document NLL under `lm`, integer-scaled: `nll_q6` =
+    * Σ_positions floor(−ln P(w_i | w_{i−1}) · 10⁶ + 0.5) (0 for empty
+    * docs). Exact integer output → partition-order independent; gate with
+    * `nll_q6 <= threshold · n_tokens` downstream. Scan-stage only. */
+  def scoreNll(df: DataFrame, idCol: String, textCol: String,
+               lm: BigramLm): DataFrame = {
+    val vocabLit = typedlit[Map[String, Long]](lm.vocab)
+    val ctxLit = typedlit[Map[String, Long]](lm.contexts)
+    val bigLit = typedlit[Map[String, Long]](lm.bigrams)
+    val v = lit(lm.vocabSize.toDouble) // = |vocab| + 1, set by train()
+    val ts = col("ts")
+    val q6 = aggregate(sequence(lit(1), size(ts)), lit(0L), (acc, i) => {
+      val p = when(i === 1, lit(Bos)).otherwise(mapUnk(vocabLit, element_at(ts, i - 1)))
+      val w = mapUnk(vocabLit, element_at(ts, i))
+      val c2 = coalesce(element_at(bigLit, concat(p, lit(" "), w)), lit(0L))
+      val c1 = coalesce(element_at(ctxLit, p), lit(0L))
+      val pr = (c2.cast("double") + lit(1.0)) / (c1.cast("double") + v)
+      acc + floor(-log(pr) * lit(1e6) + lit(0.5)).cast("long")
+    })
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ts"))
+      .select(col(idCol), size(col("ts")).cast("long").as("n_tokens"),
+        when(size(col("ts")) === 0, 0L).otherwise(q6).as("nll_q6"))
+  }
+}

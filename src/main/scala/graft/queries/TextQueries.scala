@@ -324,6 +324,63 @@ object TextQueries extends QueryModule {
            |FROM enc ORDER BY doc_id""".stripMargin
       }),
 
+    // CCNet-style LM quality filter: a pruned add-one bigram LM trained on
+    // the corpus itself (top-50 vocab, top-300 bigrams — small enough that
+    // the unk and pruned-bigram paths fire on real rows), scoring every
+    // doc by integer-scaled NLL. The oracle retrains the identical LM in
+    // SQL (same counts, same tie-breaks) and re-derives every per-token
+    // probability — train AND score both hash-gated.
+    "text_lm_score" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lm = graft.ops.LanguageModel.train(docs, "text", maxVocab = 50, maxBigrams = 300)
+        graft.ops.LanguageModel.scoreNll(docs, "doc_id", "text", lm)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $T AS ts FROM documents),
+              |u AS (
+              |  SELECT doc_id, unnest(ts) AS t, unnest(range(1, len(ts) + 1)) AS i
+              |  FROM toks),
+              |vocab AS (
+              |  SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY t
+              |  ORDER BY n DESC, w LIMIT 50),
+              |stats AS (SELECT
+              |  (SELECT CAST(coalesce(sum(len(ts)), 0) AS BIGINT) FROM toks) AS total,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE len(ts) > 0) AS ndocs,
+              |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM vocab) AS vsum,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS vsize),
+              |m AS (
+              |  SELECT u.doc_id, u.i,
+              |    CASE WHEN v.w IS NOT NULL THEN u.t ELSE '<unk>' END AS w
+              |  FROM u LEFT JOIN vocab v ON v.w = u.t),
+              |pairs AS (
+              |  SELECT m.doc_id, m.i,
+              |    CASE WHEN m.i = 1 THEN '<s>' ELSE prev.w END AS p, m.w
+              |  FROM m LEFT JOIN m prev
+              |    ON prev.doc_id = m.doc_id AND prev.i = m.i - 1),
+              |bigtop AS (
+              |  SELECT p, w, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY p, w
+              |  ORDER BY n DESC, p || ' ' || w LIMIT 300),
+              |ctx AS (
+              |  SELECT w, n FROM vocab
+              |  UNION ALL SELECT '<unk>', total - vsum FROM stats
+              |  UNION ALL SELECT '<s>', ndocs FROM stats),
+              |scored AS (
+              |  SELECT pr.doc_id,
+              |    CAST(floor(-ln((CAST(coalesce(bt.n, 0) AS DOUBLE) + 1.0)
+              |      / (CAST(coalesce(c.n, 0) AS DOUBLE) + (CAST(s.vsize AS DOUBLE) + 1.0)))
+              |      * 1e6 + 0.5) AS BIGINT) AS q6
+              |  FROM pairs pr
+              |  LEFT JOIN bigtop bt ON bt.p = pr.p AND bt.w = pr.w
+              |  LEFT JOIN ctx c ON c.w = pr.p
+              |  CROSS JOIN stats s),
+              |agg AS (SELECT doc_id, CAST(sum(q6) AS BIGINT) AS nll_q6
+              |        FROM scored GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(len($T) AS BIGINT) AS n_tokens,
+              |  coalesce(a.nll_q6, 0) AS nll_q6
+              |FROM documents d LEFT JOIN agg a USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // The COMPLETE tokenizer path: tokens → BPE pieces → integer ids —
     // what a pretraining pipeline actually materializes. Vocab ids are the
     // standard BPE layout (sorted training alphabet + EOW, then merges in
