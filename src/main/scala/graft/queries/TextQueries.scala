@@ -322,7 +322,8 @@ object TextQueries extends QueryModule {
            |  CAST(length(pieces_wrapped) -
            |       length(replace(pieces_wrapped, chr(31), '')) AS BIGINT) AS n_pieces
            |FROM enc ORDER BY doc_id""".stripMargin
-      }),
+      },
+      headline = true),
 
     // CCNet-style LM quality filter: a pruned add-one bigram LM trained on
     // the corpus itself (top-50 vocab, top-300 bigrams — small enough that
@@ -379,7 +380,8 @@ object TextQueries extends QueryModule {
               |SELECT d.doc_id, CAST(len($T) AS BIGINT) AS n_tokens,
               |  coalesce(a.nll_q6, 0) AS nll_q6
               |FROM documents d LEFT JOIN agg a USING (doc_id)
-              |ORDER BY doc_id""".stripMargin)),
+              |ORDER BY doc_id""".stripMargin),
+      headline = true),
 
     // The COMPLETE tokenizer path: tokens → BPE pieces → integer ids —
     // what a pretraining pipeline actually materializes. Vocab ids are the
