@@ -91,9 +91,15 @@ object LanguageModel {
                lm: BigramLm): DataFrame =
     df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ts"))
       .select(col(idCol), size(col("ts")).cast("long").as("n_tokens"),
-        graft.functions.LmNllQ6.of(col("ts"),
-          lm.vocab.keys.toSeq.sorted,
-          lm.contexts.toSeq.sortBy(_._1),
-          lm.bigrams.toSeq.sortBy(_._1),
-          lm.vocabSize.toDouble).as("nll_q6"))
+        nllQ6Col(col("ts"), lm).as("nll_q6"))
+
+  /** The integer-scaled NLL of a token-array column under `lm`, as a
+    * composable Column (the kernel behind [[scoreNll]]) — for recipes
+    * that carry other columns alongside the score. */
+  def nllQ6Col(tokensCol: Column, lm: BigramLm): Column =
+    graft.functions.LmNllQ6.of(tokensCol,
+      lm.vocab.keys.toSeq.sorted,
+      lm.contexts.toSeq.sortBy(_._1),
+      lm.bigrams.toSeq.sortBy(_._1),
+      lm.vocabSize.toDouble)
 }

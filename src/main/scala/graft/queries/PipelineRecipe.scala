@@ -23,6 +23,9 @@ object PipelineRecipe extends QueryModule {
   private val MinTokens = 20
   private val Salt = "e2e"
   private val TrainFrac = 0.9
+  // per-token mean NLL cutoff (q6 units): keeps ~half the sf0.01 corpus —
+  // strict and non-empty, so the gate row can't go vacuous
+  private val LmThresholdQ6 = 5400000L
 
   def defs: Map[String, QueryDef] = Map(
     "pipeline_e2e" -> QueryDef(
@@ -133,6 +136,68 @@ object PipelineRecipe extends QueryModule {
            |)
            |SELECT doc_id, source, quality, unnest(range(0, reps)) AS epoch
            |FROM r WHERE reps > 0 ORDER BY doc_id, epoch""".stripMargin
+      }),
+
+    // The TOKENIZER-READY side of the pipeline, composed from the round-7
+    // ops: corpus-trained LM perplexity gate (keep per-token mean NLL
+    // under a cutoff) → BPE piece counts under the frozen fixture merges
+    // → per-shard sequence packing over piece counts. The oracle chains
+    // the shared LM CTEs (TextQueries.lmNllCtes), the generated BPE
+    // replace-SQL, and the pack window — a drift in any stage breaks this
+    // row AND the stage's own gate.
+    //
+    // Plan shape at 100 TB: LM scoring and BPE counting are one scan
+    // stage (two kernel calls per row over one materialized token array);
+    // the gate is a scan predicate; packing is one window per shard — the
+    // whole recipe shuffles the corpus once.
+    "pipeline_pretrain" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lm = graft.ops.LanguageModel.train(docs, "text", maxVocab = 50, maxBigrams = 300)
+        val merges = TextAnalysis.trainBpeFromCounts(TextQueries.BpeFixtureCounts, 24)
+        val staged = docs
+          .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("ts"))
+          .select(col("doc_id"), col("source"),
+            size(col("ts")).cast("long").as("n_tokens"),
+            graft.ops.LanguageModel.nllQ6Col(col("ts"), lm).as("nll_q6"),
+            size(graft.functions.BpeEncode.of(col("ts"), merges)).cast("long").as("n_pieces"))
+        val kept = staged.filter(col("nll_q6") <= lit(LmThresholdQ6) * col("n_tokens"))
+        Sampling.packChunks(kept, "source", "doc_id", col("n_pieces"),
+            contextLen = 256, salt = "pp")
+          .orderBy(col("shard"), col("id"))
+      },
+      Some {
+        val merges = TextAnalysis.trainBpeFromCounts(TextQueries.BpeFixtureCounts, 24)
+        val enc = TextAnalysis.bpeEncodeSql("w", merges)
+        val tokensOfText = O.tokensSql("text")
+        s"""WITH ${TextQueries.lmNllCtes(50, 300)},
+           |lmdocs AS (
+           |  SELECT d.doc_id, d.source, d.text,
+           |    CAST(len($tokensOfText) AS BIGINT) AS n_tokens,
+           |    coalesce(a.nll_q6, 0) AS nll_q6
+           |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+           |kept AS (
+           |  SELECT * FROM lmdocs WHERE nll_q6 <= $LmThresholdQ6 * n_tokens),
+           |enc AS (
+           |  SELECT doc_id, source,
+           |    CAST(length(pw) - length(replace(pw, chr(31), '')) AS BIGINT) AS n_pieces
+           |  FROM (SELECT doc_id, source,
+           |          array_to_string(list_transform($tokensOfText, w -> $enc), '') AS pw
+           |        FROM kept)),
+           |t AS (
+           |  SELECT source AS shard, doc_id AS id, n_pieces AS n_tokens,
+           |    ${O.h32Sql("CAST(doc_id AS VARCHAR)", "pp")} AS coin
+           |  FROM enc),
+           |packed AS (
+           |  SELECT shard, id, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (
+           |      PARTITION BY shard ORDER BY coin, id
+           |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+           |  FROM t)
+           |SELECT shard, id, n_tokens, start_tok,
+           |  CAST(start_tok // 256 AS BIGINT) AS chunk_first,
+           |  CAST((start_tok + greatest(n_tokens - 1, 0)) // 256 AS BIGINT) AS chunk_last
+           |FROM packed ORDER BY shard, id""".stripMargin
       })
   )
 }

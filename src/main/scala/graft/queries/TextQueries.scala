@@ -36,11 +36,57 @@ object TextQueries extends QueryModule {
     * on real rows (every word below appears throughout the corpus). The
     * counts are arbitrary but FROZEN — the merge list must be a constant
     * so the oracle SQL (static by contract) can apply identical merges. */
-  private val BpeFixtureCounts: Seq[(String, Long)] = Seq(
+  private[queries] val BpeFixtureCounts: Seq[(String, Long)] = Seq(
     "table" -> 50L, "value" -> 40L, "spark" -> 35L, "window" -> 30L,
     "batch" -> 28L, "merge" -> 25L, "scan" -> 22L, "hash" -> 20L,
     "sort" -> 18L, "fast" -> 15L, "slow" -> 12L, "line" -> 10L,
     "row" -> 9L, "key" -> 8L, "agg" -> 7L, "part" -> 6L)
+
+  /** Pruned-bigram-LM oracle CTE chain (toks → … → `agg(doc_id, nll_q6)`):
+    * the DuckDB retraining + rescoring of graft.ops.LanguageModel with
+    * identical counts, tie-breaks, and integer-scaled NLL arithmetic.
+    * Shared by text_lm_score and pipeline_pretrain so the two gates can
+    * never drift apart. */
+  private[queries] def lmNllCtes(maxVocab: Int, maxBigrams: Int): String =
+    s"""toks AS (SELECT doc_id, $T AS ts FROM documents),
+       |u AS (
+       |  SELECT doc_id, unnest(ts) AS t, unnest(range(1, len(ts) + 1)) AS i
+       |  FROM toks),
+       |vocab AS (
+       |  SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY t
+       |  ORDER BY n DESC, w LIMIT $maxVocab),
+       |stats AS (SELECT
+       |  (SELECT CAST(coalesce(sum(len(ts)), 0) AS BIGINT) FROM toks) AS total,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE len(ts) > 0) AS ndocs,
+       |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM vocab) AS vsum,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS vsize),
+       |m AS (
+       |  SELECT u.doc_id, u.i,
+       |    CASE WHEN v.w IS NOT NULL THEN u.t ELSE '<unk>' END AS w
+       |  FROM u LEFT JOIN vocab v ON v.w = u.t),
+       |pairs AS (
+       |  SELECT m.doc_id, m.i,
+       |    CASE WHEN m.i = 1 THEN '<s>' ELSE prev.w END AS p, m.w
+       |  FROM m LEFT JOIN m prev
+       |    ON prev.doc_id = m.doc_id AND prev.i = m.i - 1),
+       |bigtop AS (
+       |  SELECT p, w, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY p, w
+       |  ORDER BY n DESC, p || ' ' || w LIMIT $maxBigrams),
+       |ctx AS (
+       |  SELECT w, n FROM vocab
+       |  UNION ALL SELECT '<unk>', total - vsum FROM stats
+       |  UNION ALL SELECT '<s>', ndocs FROM stats),
+       |scored AS (
+       |  SELECT pr.doc_id,
+       |    CAST(floor(-ln((CAST(coalesce(bt.n, 0) AS DOUBLE) + 1.0)
+       |      / (CAST(coalesce(c.n, 0) AS DOUBLE) + (CAST(s.vsize AS DOUBLE) + 1.0)))
+       |      * 1e6 + 0.5) AS BIGINT) AS q6
+       |  FROM pairs pr
+       |  LEFT JOIN bigtop bt ON bt.p = pr.p AND bt.w = pr.w
+       |  LEFT JOIN ctx c ON c.w = pr.p
+       |  CROSS JOIN stats s),
+       |agg AS (SELECT doc_id, CAST(sum(q6) AS BIGINT) AS nll_q6
+       |        FROM scored GROUP BY doc_id)""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
     "text_token_count" -> QueryDef(
@@ -338,45 +384,7 @@ object TextQueries extends QueryModule {
         graft.ops.LanguageModel.scoreNll(docs, "doc_id", "text", lm)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH toks AS (SELECT doc_id, $T AS ts FROM documents),
-              |u AS (
-              |  SELECT doc_id, unnest(ts) AS t, unnest(range(1, len(ts) + 1)) AS i
-              |  FROM toks),
-              |vocab AS (
-              |  SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY t
-              |  ORDER BY n DESC, w LIMIT 50),
-              |stats AS (SELECT
-              |  (SELECT CAST(coalesce(sum(len(ts)), 0) AS BIGINT) FROM toks) AS total,
-              |  (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE len(ts) > 0) AS ndocs,
-              |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM vocab) AS vsum,
-              |  (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS vsize),
-              |m AS (
-              |  SELECT u.doc_id, u.i,
-              |    CASE WHEN v.w IS NOT NULL THEN u.t ELSE '<unk>' END AS w
-              |  FROM u LEFT JOIN vocab v ON v.w = u.t),
-              |pairs AS (
-              |  SELECT m.doc_id, m.i,
-              |    CASE WHEN m.i = 1 THEN '<s>' ELSE prev.w END AS p, m.w
-              |  FROM m LEFT JOIN m prev
-              |    ON prev.doc_id = m.doc_id AND prev.i = m.i - 1),
-              |bigtop AS (
-              |  SELECT p, w, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY p, w
-              |  ORDER BY n DESC, p || ' ' || w LIMIT 300),
-              |ctx AS (
-              |  SELECT w, n FROM vocab
-              |  UNION ALL SELECT '<unk>', total - vsum FROM stats
-              |  UNION ALL SELECT '<s>', ndocs FROM stats),
-              |scored AS (
-              |  SELECT pr.doc_id,
-              |    CAST(floor(-ln((CAST(coalesce(bt.n, 0) AS DOUBLE) + 1.0)
-              |      / (CAST(coalesce(c.n, 0) AS DOUBLE) + (CAST(s.vsize AS DOUBLE) + 1.0)))
-              |      * 1e6 + 0.5) AS BIGINT) AS q6
-              |  FROM pairs pr
-              |  LEFT JOIN bigtop bt ON bt.p = pr.p AND bt.w = pr.w
-              |  LEFT JOIN ctx c ON c.w = pr.p
-              |  CROSS JOIN stats s),
-              |agg AS (SELECT doc_id, CAST(sum(q6) AS BIGINT) AS nll_q6
-              |        FROM scored GROUP BY doc_id)
+      Some(s"""WITH ${lmNllCtes(50, 300)}
               |SELECT d.doc_id, CAST(len($T) AS BIGINT) AS n_tokens,
               |  coalesce(a.nll_q6, 0) AS nll_q6
               |FROM documents d LEFT JOIN agg a USING (doc_id)
