@@ -263,19 +263,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * survivors, so results never depend on pruning. */
   def scanIn(column: String, values: Seq[Any]): DataFrame = {
     val snap = snapshot
-    val surviving = values
-      .flatMap(v => DataSkipping.prune(snap, Seq(DataSkipping.ColPred(column, "=", v))))
-      .groupBy(_.path).map(_._2.head).toSeq
-    dfFor(snap.copy(files = surviving)).filter(col(column).isin(values: _*))
+    dfFor(snap.copy(files = pruneIn(snap, column, values)))
+      .filter(col(column).isin(values: _*))
   }
 
-  /** [[scanIn]]'s surviving file set (for tests / observability). */
-  def scanInFiles(column: String, values: Seq[Any]): Seq[Actions.AddFile] = {
-    val snap = snapshot
+  /** [[scanIn]]'s surviving file set (for tests / observability) — the
+    * SAME pruning code path, so the observed set can't drift. */
+  def scanInFiles(column: String, values: Seq[Any]): Seq[Actions.AddFile] =
+    pruneIn(snapshot, column, values)
+
+  private def pruneIn(snap: Snapshot, column: String,
+                      values: Seq[Any]): Seq[Actions.AddFile] =
     values
       .flatMap(v => DataSkipping.prune(snap, Seq(DataSkipping.ColPred(column, "=", v))))
       .groupBy(_.path).map(_._2.head).toSeq
-  }
 
   private def dfFor(snap: Snapshot): DataFrame = {
     val sch = snap.schema.getOrElse(

@@ -84,13 +84,23 @@ final class InMemoryConditionalPutLogStore extends LogStore {
   override def writeAtomic(fs: FileSystem, dest: Path, bytes: Array[Byte], version: Long): Unit = {
     val key = fs.makeQualified(dest).toString
     if (!published.add(key)) throw new VersionAlreadyExists(version)
+    // stage-then-rename, NOT a direct create: on S3 the upload itself is
+    // all-or-nothing, but this class runs over real FileSystems where a
+    // failed create+write would leave a PARTIAL dest visible — and a
+    // released reservation would then let the next committer mistake the
+    // truncated file for a committed version. Publishing only a fully
+    // written file keeps the release-on-failure path sound.
+    val tmp = new Path(dest.getParent, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
     try {
-      val out = fs.create(dest, true)
+      val out = fs.create(tmp, false)
       try out.write(bytes) finally out.close()
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"rename $tmp -> $dest failed")
     } catch {
-      // a failed upload releases the reservation — the writer holds no
-      // partial object (S3 uploads are all-or-nothing the same way)
-      case e: Throwable => published.remove(key); throw e
+      case e: Throwable =>
+        fs.delete(tmp, false)
+        published.remove(key)
+        throw e
     }
   }
 }

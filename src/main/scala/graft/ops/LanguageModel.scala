@@ -56,7 +56,12 @@ object LanguageModel {
     require(maxVocab >= 1 && maxBigrams >= 1,
       s"bad maxVocab=$maxVocab / maxBigrams=$maxBigrams")
     val toks = df.select(TextAnalysis.tokens(col(textCol)).as("ts"))
+    // the literal tokens "<unk>"/"<s>" are excluded from the vocab (they
+    // pool into the unk class like any OOV token): letting them in would
+    // collide with the special entries in `contexts` — the Spark map
+    // would silently overwrite while a SQL twin would fan out the join
     val vocab = toks.select(explode(col("ts")).as("w"))
+      .filter(!col("w").isin(Unk, Bos))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -173,10 +173,16 @@ object Multimodal {
           if (bpp != 24 || compression != 0)
             fail(s"only uncompressed 24-bit BMP supported (bpp=$bpp compression=$compression)")
           if (width <= 0 || height <= 0) fail(s"bad dimensions ${width}x$heightRaw")
-          val rowSize = ((24 * width + 31) / 32) * 4
-          if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * height > b.length)
+          // all size math in Long: a crafted width like 178956971 overflows
+          // 24*width in Int, sails past the overrun check, and breaks the
+          // fail-with-asset-id contract with a raw runtime exception
+          val rowSizeL = ((24L * width + 31L) / 32L) * 4L
+          if (dataOffset < 54 || dataOffset.toLong + rowSizeL * height > b.length)
             fail(s"pixel data overruns payload")
-          val out = new Array[Byte](width * height * 3)
+          val pixelsL = width.toLong * height.toLong * 3L
+          if (pixelsL > Int.MaxValue) fail(s"pixel buffer too large (${width}x$height)")
+          val rowSize = rowSizeL.toInt
+          val out = new Array[Byte](pixelsL.toInt)
           var y = 0
           while (y < height) {
             val srcRow = if (bottomUp) height - 1 - y else y

@@ -166,7 +166,7 @@ object Sampling {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac out of (0,1]: $keepFrac")
-    Seq("__cs", "__ck").foreach(c => require(!df.columns.contains(c),
+    Seq("__cs", "__ck", "__d").foreach(c => require(!df.columns.contains(c),
       s"percentileGate reserves column name '$c' but the input already has it"))
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions.max(1)
@@ -194,13 +194,18 @@ object Sampling {
           spark.sparkContext.parallelize(targets, 1),
           StructType(Seq(StructField("__pid", IntegerType), StructField("__d", domType),
             StructField("__t", LongType))))
-        val wLocal = Window.partitionBy(col("__pid"), col("__d"))
-          .orderBy(col("__s").desc, col("__k"))
+        val wLocal = Window.partitionBy(col("x.__pid"), col("x.__d"))
+          .orderBy(col("x.__s").desc, col("x.__k"))
+        // null-SAFE domain match: a USING join would silently drop the
+        // null domain's cutoff (null == null is never true), losing every
+        // null-domain row from the output
         trip.select(spark_partition_id().as("__pid"), col("__d"), col("__s"), col("__k"))
-          .join(broadcast(tgtDf), Seq("__pid", "__d"))
+          .as("x")
+          .join(broadcast(tgtDf.as("t")),
+            col("x.__pid") === col("t.__pid") && col("x.__d") <=> col("t.__d"))
           .withColumn("__lr", row_number().over(wLocal).cast("long"))
-          .filter(col("__lr") === col("__t"))
-          .select(col("__d"), col("__s").as("__cs"), col("__k").as("__ck"))
+          .filter(col("__lr") === col("t.__t"))
+          .select(col("x.__d"), col("x.__s").as("__cs"), col("x.__k").as("__ck"))
           .collect()
       } finally trip.unpersist()
     val cutSchema = StructType(Seq(

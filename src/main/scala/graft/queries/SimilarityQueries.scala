@@ -172,7 +172,9 @@ object SimilarityQueries extends QueryModule {
         val cents: Seq[Seq[Float]] = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").cast("long"), col("embedding"))
           .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toSeq).toSeq
-        val path = java.nio.file.Files.createTempDirectory("ivf-delta").toString
+        // Scratch registers a shutdown-hook delete: each build writes a
+        // fresh layout, but nothing accumulates across JVM runs
+        val path = graft.Scratch.dir("ivf-delta")
         Similarity.writeIvfAssigned(emb, "vec_id", "embedding", cents, path)
         val queries = emb.filter(col("vec_id") < 8)
         Similarity.ivfTopKDelta(s, path, "vec_id", "embedding",

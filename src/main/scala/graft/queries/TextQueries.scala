@@ -53,8 +53,9 @@ object TextQueries extends QueryModule {
        |  SELECT doc_id, unnest(ts) AS t, unnest(range(1, len(ts) + 1)) AS i
        |  FROM toks),
        |vocab AS (
-       |  SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY t
-       |  ORDER BY n DESC, w LIMIT $maxVocab),
+       |  SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM u
+       |  WHERE t NOT IN ('<unk>', '<s>')
+       |  GROUP BY t ORDER BY n DESC, w LIMIT $maxVocab),
        |stats AS (SELECT
        |  (SELECT CAST(coalesce(sum(len(ts)), 0) AS BIGINT) FROM toks) AS total,
        |  (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE len(ts) > 0) AS ndocs,

@@ -59,8 +59,15 @@ object StreamingCuration {
     *    false-positive drop is the conservative failure for a corpus
     *    feed. The batch clusterers remain the precise tool.
     *  - Fresh bands of a DROPPED doc still enter state, so a doc
-    *    near-duplicating only dropped docs is dropped too — the same
-    *    keep-one-per-cluster outcome as batch clustering.
+    *    near-duplicating only dropped docs is dropped too — usually the
+    *    keep-one-per-cluster outcome of batch clustering. One honest
+    *    deviation: IDENTICAL docs landing in one micro-batch collapse
+    *    deterministically (an exact-fingerprint dedup stage runs before
+    *    banding — one key per doc, one winner), but NEAR-identical docs
+    *    in the SAME batch can split band wins between themselves and all
+    *    be dropped (band winners are chosen per key, not per doc). At a
+    *    crawler's batch cadence that window is seconds wide; the batch
+    *    clusterers remain the tool for exact representative selection.
     *  - Emission defers to watermark close: two chained stateful stages
     *    (band dedup → all-bands-fresh count grouped on the watermarked
     *    event-time column) only emit in append mode once the group is
@@ -74,10 +81,15 @@ object StreamingCuration {
     require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val cols = docs.columns.toSeq
-    Seq("__band", "__bucket", "__fresh").foreach(c => require(!cols.contains(c),
+    Seq("__band", "__bucket", "__fresh", "__hsh", "__fp").foreach(c => require(!cols.contains(c),
       s"dedupNearWithinWatermark reserves column name '$c'"))
     val banded = docs
       .withWatermark(tsCol, watermark)
+      // exact duplicates first: one fingerprint key per doc → one winner,
+      // so identical same-batch copies can't split band wins and all drop
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
       .withColumn("__hsh", graft.functions.ShingleHashes.of(
         TextAnalysis.tokens(col(textCol)), shingleN, "mh"))
       .filter(size(col("__hsh")) > 0)

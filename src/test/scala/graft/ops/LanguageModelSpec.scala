@@ -38,4 +38,17 @@ class LanguageModelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(p1(1L) === q6(0, 2) + q6(3, 3) + q6(0, 3) + q6(3, 3))
   }
+
+  test("literal <unk>/<s> corpus tokens pool into unk instead of colliding") {
+    val docs = Seq((1L, "<unk> <unk> a"), (2L, "a <s> a")).toDF("doc_id", "text")
+    val lm = LanguageModel.train(docs, "text", maxVocab = 5, maxBigrams = 10)
+    // neither special literal may enter the vocab even with room to spare —
+    // a vocab entry would collide with the special context rows (Spark's
+    // map would overwrite; a SQL twin would fan out its context join)
+    assert(lm.vocab === Map("a" -> 3L))
+    assert(lm.contexts(LanguageModel.Unk) === 3L) // the 3 literal specials
+    val out = LanguageModel.scoreNll(docs, "doc_id", "text", lm).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.forall(_ > 0L))
+  }
 }

@@ -179,6 +179,18 @@ class SamplingSpec extends SparkSpec {
         "dom", "doc_id", col("score"), 0.5))
   }
 
+  test("percentileGate keeps the null domain as its own group") {
+    val docs = Seq(
+      (1L, Some("a"), 9.0), (2L, Some("a"), 5.0), (3L, Some("a"), 1.0),
+      (4L, None, 8.0), (5L, None, 4.0), (6L, None, 2.0))
+      .toDF("doc_id", "dom", "score")
+    val kept = Sampling.percentileGate(docs, "dom", "doc_id", col("score"), 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ceil(0.4 * 3) = 2 per group — the null domain included, matching the
+    // window form's null-as-a-group semantics
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
+
   test("percentileGate: skewed domains match the rank definition; no window in the plan") {
     // one domain ≫ the others and ≫ shuffle partitions (4 in tests), with
     // heavy score ties so the key tie-break decides the cut — the fixture

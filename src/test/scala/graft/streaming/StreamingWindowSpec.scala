@@ -101,7 +101,10 @@ class StreamingWindowSpec extends SparkSpec {
       .select("doc_id")
       .writeStream.format("memory").queryName("nd").outputMode(OutputMode.Append()).start()
     try {
-      in.addData((1L, ts(0), base), (2L, ts(1), far))
+      // doc 8 is byte-identical to doc 1 IN THE SAME BATCH: the exact
+      // fingerprint pre-dedup must keep exactly one of them (band winners
+      // alone could split between the two copies and drop both)
+      in.addData((1L, ts(0), base), (8L, ts(0), base), (2L, ts(1), far))
       q.processAllAvailable()
       // near-dup within the watermark: shares band buckets with doc 1 → dropped
       in.addData((3L, ts(3), near))
@@ -118,7 +121,9 @@ class StreamingWindowSpec extends SparkSpec {
         "final advancer closing the remaining groups for the assertion below"))
       q.processAllAvailable()
       val out = spark.table("nd").collect().map(_.getLong(0)).toSet
-      assert(out.contains(1L) && out.contains(2L), s"originals must survive; got $out")
+      assert((out & Set(1L, 8L)).size === 1,
+        s"exactly ONE of the same-batch identical copies must survive; got $out")
+      assert(out.contains(2L), s"unique doc must survive; got $out")
       assert(!out.contains(3L), s"in-watermark near-dup must be dropped; got $out")
       assert(out.contains(6L), s"post-eviction near-dup must be readmitted; got $out")
       assert(out.contains(9L), s"unique doc must survive; got $out")
