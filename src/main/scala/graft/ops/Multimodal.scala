@@ -224,6 +224,64 @@ object Multimodal {
       .mapPartitions(it => it.grouped(batchSize).flatMap(b => codec.decodeBatch(b.toSeq)))
   }
 
+  /** Per-window PCM statistics over [[RealCodecs.PcmWav]] output
+    * (16-bit LE samples): exact integer sum-of-squares and peak per
+    * channel, RMS reported as an integer-scaled q3 value
+    * (floor(rms·10³ + 0.5)) so results are bit-stable however the frames
+    * are partitioned — the real audio-feature step (silence/clipping
+    * gates, loudness normalization) that runs after decode.
+    *
+    * @return (asset_id, frame_idx, channel, n_samples, peak_abs, rms_q3) */
+  final case class PcmWindowStats(asset_id: Long, frame_idx: Int, channel: Int,
+                                  n_samples: Long, peak_abs: Int, rms_q3: Long)
+
+  def pcmWindowStats16(frames: Dataset[DecodedFrame]): Dataset[PcmWindowStats] = {
+    implicit val enc = Encoders.product[PcmWindowStats]
+    frames.flatMap { f =>
+      val channels = f.height
+      val n = f.width // sample frames in this window
+      (0 until channels).map { c =>
+        var ssq = 0L
+        var peak = 0
+        var i = 0
+        while (i < n) {
+          val o = (i * channels + c) * 2
+          val s = ((f.pixels(o) & 0xFF) | (f.pixels(o + 1) << 8)).toShort.toInt
+          ssq += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(ssq.toDouble / n)
+        PcmWindowStats(f.asset_id, f.frame_idx, c, n.toLong, peak,
+          math.floor(rms * 1e3 + 0.5).toLong)
+      }
+    }
+  }
+
+  /** Per-image color statistics over [[RealCodecs.Bmp24]] output: exact
+    * integer channel sums → integer-scaled q3 means (BGR order, matching
+    * the decoded layout) — the brightness/tint feature step after image
+    * decode. @return (asset_id, mean_b_q3, mean_g_q3, mean_r_q3) */
+  final case class BmpColorStats(asset_id: Long, mean_b_q3: Long,
+                                 mean_g_q3: Long, mean_r_q3: Long)
+
+  def bmpColorStats(frames: Dataset[DecodedFrame]): Dataset[BmpColorStats] = {
+    implicit val enc = Encoders.product[BmpColorStats]
+    frames.map { f =>
+      val n = f.width.toLong * f.height
+      val sums = new Array[Long](3)
+      var i = 0
+      while (i < f.pixels.length) {
+        sums(i % 3) += f.pixels(i) & 0xFF
+        i += 1
+      }
+      def q3(s: Long): Long =
+        if (n == 0) 0L else math.floor(s.toDouble / n * 1e3 + 0.5).toLong
+      BmpColorStats(f.asset_id, q3(sums(0)), q3(sums(1)), q3(sums(2)))
+    }
+  }
+
   /** Deterministic fake "decode header" as pure columns (oracle-able):
     * md5-derived width/height/channels — the stand-in for reading a real
     * image header, exercised end-to-end by the driver gate. */

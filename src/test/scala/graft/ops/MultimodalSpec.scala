@@ -130,6 +130,31 @@ class MultimodalSpec extends SparkSpec {
       0, 1, 1, 1, 1, 2, 2, 1, 3))
   }
 
+  test("pcmWindowStats16 and bmpColorStats compute exact per-channel statistics") {
+    // constant-amplitude mono square wave: rms == peak == amplitude
+    val amp = 1000
+    val bpf = 2
+    val buf = java.nio.ByteBuffer.allocate(44 + 8 * bpf)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8 * bpf).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000 * bpf).putShort(bpf.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(8 * bpf)
+    for (i <- 0 until 8) buf.putShort((if (i % 2 == 0) amp else -amp).toShort)
+    val media = Seq((1L, "audio", buf.array())).toDF("asset_id", "kind", "bytes")
+    val stats = Multimodal.pcmWindowStats16(
+      decodePartitions(media, RealCodecs.PcmWav(1024))).collect()
+    assert(stats.length === 1)
+    assert(stats.head === PcmWindowStats(1L, 0, 0, 8L, amp, amp * 1000L))
+
+    // 2x1 image with known BGR values → exact q3 channel means
+    val img = bmpBytes(2, 1) // row y=0: (0,0,0) and (1,0,1)
+    val cmedia = Seq((7L, "image", img)).toDF("asset_id", "kind", "bytes")
+    val cs = Multimodal.bmpColorStats(
+      decodePartitions(cmedia, RealCodecs.Bmp24)).collect()
+    assert(cs.toSeq === Seq(BmpColorStats(7L, 500L, 0L, 500L)))
+  }
+
   test("RealCodecs.ByMagic routes real formats and falls back for compressed ones") {
     val media = Seq(
       (1L, "audio", wavBytes(1, 8000, 10)),
