@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded randomized property checks over the pure JVM kernels — no
+  * Spark session needed, hundreds of cases per property, deterministic
+  * seed so a failure reproduces exactly.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def rng = new scala.util.Random(42)
+
+  test("BPE: pieces always concatenate back to word + EOW, under any trained merges") {
+    val r = rng
+    for (_ <- 1 to 200) {
+      // random corpus over a small alphabet (forces heavy merge overlap)
+      val words = Seq.fill(1 + r.nextInt(8))(
+        (1 to (1 + r.nextInt(7))).map(_ => ('a' + r.nextInt(4)).toChar).mkString)
+      val counts = words.groupBy(identity).map { case (w, g) => w -> (g.size * (1L + r.nextInt(5))) }.toSeq
+      val merges = graft.ops.TextAnalysis.trainBpeFromCounts(counts, r.nextInt(12))
+      val ranks = BpeKernel.ranksOf(merges)
+      // encode both trained words and unseen words
+      val probes = words ++ Seq.fill(3)(
+        (1 to (1 + r.nextInt(9))).map(_ => ('a' + r.nextInt(6)).toChar).mkString)
+      probes.foreach { w =>
+        val pieces = BpeKernel.encodeWord(w, ranks)
+        val joined = (0 until pieces.size).map(pieces.get).mkString
+        assert(joined === w + BpeKernel.EndOfWord, s"w=$w merges=$merges")
+        assert(pieces.size <= w.length + 1)
+        assert(pieces.size >= 1)
+      }
+    }
+  }
+
+  test("BPE: merge list is idempotent — re-encoding a single merged piece is stable") {
+    val r = rng
+    for (_ <- 1 to 100) {
+      val counts = Seq.fill(5)(
+        (1 to (2 + r.nextInt(5))).map(_ => ('a' + r.nextInt(3)).toChar).mkString)
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }.toSeq
+      val merges = graft.ops.TextAnalysis.trainBpeFromCounts(counts, 8)
+      val ranks = BpeKernel.ranksOf(merges)
+      counts.map(_._1).foreach { w =>
+        val once = BpeKernel.encodeWord(w, ranks)
+        // pieces are maximal: no adjacent pair of the output is mergeable
+        for (j <- 0 until once.size - 1)
+          assert(!ranks.containsKey(once.get(j) + BpeKernel.Sep + once.get(j + 1)),
+            s"non-maximal encoding of $w: $once under $merges")
+      }
+    }
+  }
+
+  test("ZValue: interleave is exactly invertible for 32-bit inputs") {
+    def gather(z: Long, start: Int): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 32) {
+        out |= ((z >>> (2 * i + start)) & 1L) << i
+        i += 1
+      }
+      out
+    }
+    val r = rng
+    for (_ <- 1 to 500) {
+      val a = r.nextLong() & 0xFFFFFFFFL
+      val b = r.nextLong() & 0xFFFFFFFFL
+      val z = ZValue.interleave(a, b)
+      assert(gather(z, 1) === a && gather(z, 0) === b, s"a=$a b=$b z=$z")
+    }
+    // edge values incl. the sign-bit case the oracle special-cases
+    for (a <- Seq(0L, 1L, 1L << 31, 0xFFFFFFFFL); b <- Seq(0L, 1L, 1L << 31, 0xFFFFFFFFL)) {
+      val z = ZValue.interleave(a, b)
+      assert(gather(z, 1) === a && gather(z, 0) === b)
+    }
+  }
+
+  test("MinHashKernel: signature equals the direct affine minima, within [0, P32)") {
+    val r = rng
+    for (_ <- 1 to 100) {
+      val hs = Array.fill(1 + r.nextInt(40))(r.nextLong() & 0xFFFFFFFFFFFFFFFL) // 60-bit
+      val k = 1 + r.nextInt(16)
+      val as = Array.tabulate(k)(Hashing.affineA)
+      val bs = Array.tabulate(k)(Hashing.affineB)
+      val sig = MinHashKernel.sig(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs), as, bs)
+      for (j <- 0 until k) {
+        val expected = hs.map(h => (as(j) * (h & 0xFFFFFFFFL) + bs(j)) % Hashing.P32).min
+        assert(sig.getLong(j) === expected)
+        assert(sig.getLong(j) >= 0 && sig.getLong(j) < Hashing.P32)
+      }
+    }
+  }
+
+  test("WAV parse: header round-trips for random PCM shapes; windows cover the data") {
+    val r = rng
+    for (_ <- 1 to 100) {
+      val channels = 1 + r.nextInt(4)
+      val rate = 4000 + r.nextInt(48000)
+      val samples = r.nextInt(3000)
+      val bpf = channels * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + samples * bpf)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples * bpf)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+        .putShort(channels.toShort).putInt(rate).putInt(rate * bpf)
+        .putShort(bpf.toShort).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(samples * bpf)
+      for (_ <- 0 until samples * channels) buf.putShort(r.nextInt().toShort)
+      val info = graft.ops.Multimodal.RealCodecs.parseWav(buf.array())
+      assert(info.channels === channels && info.sampleRate === rate)
+      assert(info.bitsPerSample === 16 && info.sampleFrames === samples)
+      // window decomposition covers every sample frame exactly once
+      val win = 1 + r.nextInt(600)
+      val frames = graft.ops.Multimodal.RealCodecs.PcmWav(win).decodeBatch(Seq(
+        graft.ops.Multimodal.MediaAsset(1L, "audio", buf.array())))
+      assert(frames.map(_.width).sum === samples) // samples == 0 → one empty window
+      assert(frames.map(_.pixels.length).sum === samples * bpf)
+      assert(frames.zipWithIndex.forall { case (f, i) => f.frame_idx == i && f.height == channels })
+    }
+  }
+}
