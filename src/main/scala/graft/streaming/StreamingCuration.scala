@@ -38,6 +38,26 @@ object StreamingCuration {
       .drop("__fp")
   }
 
+  /** The full streaming curation recipe with NEAR-duplicate dedup:
+    * [[curate]]'s cleaning and quality gates composed with
+    * [[dedupNearWithinWatermark]] over the CLEANED text — so a reworded
+    * boilerplate wrapper can't sneak a near-copy past the exact
+    * fingerprint stage. Inherits the near-dedup's contracts: bounded
+    * state, candidate-level dedup, emission at watermark close. */
+  def curateNear(docs: DataFrame, textCol: String, tsCol: String,
+                 watermark: String, minTokens: Int = 5, minQuality: Double = 0.3,
+                 minWords: Int = 3, maxDigitRatio: Double = 0.5,
+                 shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val cleaned = docs
+      .withColumn("clean_text",
+        TextAnalysis.cleanLines(col(textCol), minWords, maxDigitRatio))
+      .withColumn("quality", TextAnalysis.qualityScore(col("clean_text")))
+      .filter(size(TextAnalysis.tokens(col("clean_text"))) >= minTokens &&
+        col("quality") >= minQuality)
+    dedupNearWithinWatermark(cleaned, "clean_text", tsCol, watermark,
+      shingleN, numHashes, bands)
+  }
+
   /** Streaming NEAR-duplicate dedup: the fuzzy counterpart of [[curate]]'s
     * exact-fingerprint gate. Each doc's MinHash signature is banded into
     * LSH buckets (the same codegen kernels as the batch

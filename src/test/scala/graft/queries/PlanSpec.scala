@@ -203,6 +203,17 @@ class PlanSpec extends SparkSpec {
       "vocab application must be a scan-stage map literal, not a join:\n" + enc)
   }
 
+  test("uniformK: constant-k rank filter gets WindowGroupLimit pushdown") {
+    // rk <= k with LITERAL k lets Spark drop all but k rows per group in
+    // the partial (map-side) phase — the property that keeps per-group
+    // sampling safe when one group dominates a partition. (This is
+    // exactly what percentileGate's per-domain FRACTION bound cannot
+    // get, which is why it uses distributed cutoff selection instead.)
+    val p = plan("sample_uniform_k")
+    assert(p.contains("WindowGroupLimit"),
+      "constant-k rank must push down as a group limit:\n" + p)
+  }
+
   test("zorder key is a codegen'd scan-stage expression") {
     val p = plan("q21_zorder_key")
     assert(p.contains("zvalue"), p)

@@ -130,6 +130,40 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateNear: cleaning + quality + near-dedup compose on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    val good = "the quick brown fox jumps over the lazy dog again and again in the open field today"
+    val near = good.replace("field", "meadow")
+    val q = StreamingCuration.curateNear(docs, "text", "ts", "10 minutes")
+      .select("doc_id", "clean_text", "quality")
+      .writeStream.format("memory").queryName("cn").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, ts(0), s"$good\n42\n12 345 6789"), // boilerplate lines cleaned off
+        (2L, ts(1), "short junk"))              // fails the token gate
+      q.processAllAvailable()
+      // a NEAR-dup of doc 1's CLEANED text wrapped in fresh boilerplate:
+      // the exact fingerprint differs, the band buckets collide
+      in.addData((3L, ts(3), s"$near\n99 88 77"))
+      q.processAllAvailable()
+      in.addData((9L, ts(59),
+        "a totally different advancer document closing the earlier groups now"))
+      q.processAllAvailable()
+      in.addData((10L, Timestamp.valueOf("2024-01-01 11:20:00"),
+        "final advancer for the last group emission in this scenario"))
+      q.processAllAvailable()
+      val out = spark.table("cn").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.contains(1L) && out(1L) === good,
+        s"cleaned original must survive; got $out")
+      assert(!out.contains(2L), s"quality-gated doc must drop; got $out")
+      assert(!out.contains(3L), s"near-dup of cleaned text must drop; got $out")
+      assert(out.contains(9L))
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops probe-matching docs from every micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
