@@ -155,6 +155,32 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     if (versions.isEmpty) -1L else versions.max
   }
 
+  /** Latest version committed at or before `timestampMs` — time travel by
+    * datetime, mirroring delta-rs `load_with_datetime` (and Delta's
+    * `timestampAsOf`). A version's timestamp is its commitInfo timestamp
+    * when present, else the version file's modification time (the same
+    * fallback order delta-rs uses). Throws if the table's FIRST commit is
+    * already after the cut — there is no table to read at that time. */
+  def versionAt(timestampMs: Long): Long = {
+    if (!fs.exists(logPath))
+      throw new IllegalStateException(s"no _delta_log at $tablePath")
+    val stamped = fs.listStatus(logPath).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".json") && !n.contains("checkpoint"))
+        try Some(n.stripSuffix(".json").toLong -> st.getModificationTime)
+        catch { case _: NumberFormatException => None }
+      else None
+    }.toSeq.sortBy(_._1)
+    require(stamped.nonEmpty, s"empty _delta_log at $tablePath")
+    def tsOf(v: Long, mtime: Long): Long =
+      readVersion(v).flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(mtime)
+    val eligible = stamped.takeWhile { case (v, m) => tsOf(v, m) <= timestampMs }
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"no commit at or before timestamp $timestampMs (first commit is later)")
+    eligible.last._1
+  }
+
   def readVersion(v: Long): Seq[Action] = {
     val in = fs.open(versionFile(v))
     try {

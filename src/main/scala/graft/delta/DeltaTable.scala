@@ -239,6 +239,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * historical read). */
   def toDF(version: Long): DataFrame = dfFor(log.snapshotAt(version))
 
+  /** Time travel by datetime (delta-rs `load_with_datetime` /
+    * `timestampAsOf`): the table as of the last commit at or before
+    * `timestampMs`. */
+  def toDFAsOf(timestampMs: Long): DataFrame =
+    dfFor(log.snapshotAt(log.versionAt(timestampMs)))
+
   /** Stats-pruned read: skip files whose add.stats / partitionValues prove
     * no row can satisfy the predicate conjunction, then apply the exact
     * predicate to the survivors (pruning is a pure optimization — results

@@ -66,6 +66,23 @@ class DeltaSpec extends SparkSpec {
     assert(t.log.snapshotAt(4).txns.get("tt") === Some(5L))
   }
 
+  test("time travel by timestamp resolves the last commit at or before the cut") {
+    val t = newTable()
+    t.append(sampleDf(0 until 5))   // v1
+    Thread.sleep(10)                // commitInfo timestamps are wall-clock ms
+    t.append(sampleDf(5 until 12))  // v2
+    def tsOf(v: Long): Long =
+      t.log.readVersion(v).flatMap(_.commitInfo).head.timestamp
+    val (ts0, ts1, ts2) = (tsOf(0), tsOf(1), tsOf(2))
+    assert(t.toDFAsOf(ts1).count() === 5L,  "cut at v1's own timestamp reads v1")
+    assert(t.toDFAsOf(ts2).count() === 12L, "cut at v2 reads v2")
+    assert(t.toDFAsOf(ts2 + 60000L).count() === 12L, "future cut reads latest")
+    if (ts1 > ts0) // same-ms commits are legal; only assert when distinct
+      assert(t.toDFAsOf(ts1 - 1).count() === 0L, "cut before v1 reads the empty v0")
+    // a cut before the table existed has nothing to read
+    assertThrows[IllegalArgumentException](t.toDFAsOf(ts0 - 1))
+  }
+
   test("scan prunes files by add.stats min/max and partition values") {
     import DataSkipping.ColPred
     val t = newTable()
