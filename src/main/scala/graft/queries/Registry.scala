@@ -24,8 +24,14 @@ object Registry {
     Seq(Analytics, ReferenceOps, DedupQueries, SimilarityQueries, TextQueries,
       MultimodalQueries, StreamingQueries, SamplingQueries, PipelineRecipe)
 
-  def all: Map[String, QueryDef] =
-    modules.flatMap(_.defs).toMap
+  def all: Map[String, QueryDef] = {
+    val entries = modules.flatMap(_.defs)
+    val dups = entries.groupBy(_._1).collect { case (n, es) if es.size > 1 => n }
+    // a cross-module name collision would silently keep one definition and
+    // drop the other's gate — fail loudly instead
+    require(dups.isEmpty, s"duplicate query names across modules: $dups")
+    entries.toMap
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, d) => k -> d.build }

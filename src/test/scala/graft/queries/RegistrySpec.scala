@@ -24,5 +24,8 @@ class RegistrySpec extends AnyFunSuite {
     assert(headlines.nonEmpty && headlines.subsetOf(all.keySet))
     // oracle SQL must be single statements (the driver runs them verbatim)
     assert(Registry.oracleSql.values.forall(sql => !sql.trim.endsWith(";")))
+    // no cross-module name collisions (all would throw, but pin the count
+    // identity so a future refactor of the guard can't regress silently)
+    assert(Registry.modules.flatMap(_.defs.keys).size === Registry.all.size)
   }
 }
