@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputT
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernel for [[BpeEncode]]: greedy byte-pair-encoding of a word under
@@ -92,6 +92,32 @@ object BpeKernel {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Encode straight to vocabulary ids (one pass, OOV → -1) — the fused
+    * form of encode + per-piece map lookup. */
+  def encodeIds(tokens: ArrayData, ranks: java.util.HashMap[String, Integer],
+                ids: java.util.HashMap[String, java.lang.Long]): ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = tokens.getUTF8String(i)
+      if (w != null) {
+        val pieces = encodeWord(w.toString, ranks)
+        var j = 0
+        while (j < pieces.size) {
+          val id = ids.get(pieces.get(j))
+          out.add(if (id == null) -1L else id)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 /** `array<string>` BPE pieces of an `array<string>` token column under a
@@ -126,4 +152,42 @@ object BpeEncode {
   /** Column API: BPE pieces of a token-array column under `merges`. */
   def of(tokens: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.wrap(BpeEncode(ColumnBridge.toExpr(tokens), merges))
+}
+
+/** `array<long>` BPE piece IDS of an `array<string>` token column: encode
+  * and vocabulary lookup fused into one kernel pass (OOV pieces → -1).
+  * `vocab` is the piece list in id order (ids = positions), e.g.
+  * `graft.ops.TextAnalysis.bpeVocab`. */
+case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
+                        vocab: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  @transient private lazy val ranks = BpeKernel.ranksOf(merges)
+  @transient private lazy val ids = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.zipWithIndex.foreach { case (p, i) => m.putIfAbsent(p, i.toLong) }
+    m
+  }
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.encodeIds(input.asInstanceOf[ArrayData], ranks, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+    val idsRef = ctx.addReferenceObj("ids", ids, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeKernel.encodeIds($c, $ranksRef, $idsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+}
+
+object BpeEncodeIds {
+  def of(tokens: Column, merges: Seq[(String, String)], vocab: Seq[String]): Column =
+    ColumnBridge.wrap(BpeEncodeIds(ColumnBridge.toExpr(tokens), merges, vocab))
 }
