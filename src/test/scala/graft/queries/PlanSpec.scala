@@ -203,6 +203,18 @@ class PlanSpec extends SparkSpec {
       "vocab application must be a scan-stage map literal, not a join:\n" + enc)
   }
 
+  test("pipeline_pretrain: LM + BPE kernels in the scan, exactly one corpus hash shuffle") {
+    val p = plan("pipeline_pretrain")
+    assert(p.contains("lm_nll_q6") && p.contains("bpe_encode"),
+      "scoring/encoding must ride the scan stage as kernels:\n" + p)
+    // count only the FINAL adaptive plan — toString appends an
+    // "== Initial Plan ==" section that repeats the same exchange
+    val finalPlan = p.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashExchanges === 1,
+      s"the recipe promises ONE corpus shuffle (the per-shard pack window), found $hashExchanges:\n" + finalPlan)
+  }
+
   test("uniformK: constant-k rank filter gets WindowGroupLimit pushdown") {
     // rk <= k with LITERAL k lets Spark drop all but k rows per group in
     // the partial (map-side) phase — the property that keeps per-group
