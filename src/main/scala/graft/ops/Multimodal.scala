@@ -23,11 +23,12 @@ import graft.functions.Hashing
   *     analog of `mapInPandas`) with explicit micro-batching so a
   *     vectorized decoder gets arrays of payloads, not one call per row.
   *     The codec is injectable. [[RealCodecs]] decode PCM WAV and
-  *     uncompressed 24-bit BMP FOR REAL (byte-layout specs, pure JVM);
-  *     [[FakeCodec]] remains the deterministic stand-in only for
-  *     compressed formats (JPEG/PNG/H.264), whose decompression needs
-  *     native libraries this container doesn't ship — swapping in a
-  *     JNI/JavaCV decoder changes no plumbing.
+  *     uncompressed 24-bit BMP FOR REAL (byte-layout specs, pure JVM),
+  *     and JPEG/PNG/GIF/TIFF FOR REAL through the JDK's own
+  *     `javax.imageio` readers (pure JVM, ship with the stock JDK);
+  *     [[FakeCodec]] remains the deterministic stand-in only for video
+  *     (H.264 etc.), whose decode genuinely needs native libraries —
+  *     swapping in a JNI/JavaCV decoder changes no plumbing.
   */
 object Multimodal {
 
@@ -43,8 +44,10 @@ object Multimodal {
     def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame]
   }
 
-  /** STUB codec — deterministic fake standing in for a real image/audio
-    * decoder (not available in this environment). Emits one "frame" per
+  /** STUB codec — deterministic fake standing in for a real VIDEO
+    * decoder (H.264/VP9 need native libraries this container doesn't
+    * ship; still images and PCM audio decode for real via
+    * [[RealCodecs]]). Emits one "frame" per
     * 4 KiB of payload with md5-derived dimensions and a pixel buffer
     * sampled from the payload bytes; fully reproducible for tests. */
   object FakeCodec extends MediaCodec {
@@ -61,9 +64,7 @@ object Multimodal {
       }
   }
 
-  /** REAL pure-JVM codecs for the uncompressed container formats whose
-    * specs are byte-layout-only — no native library needed, so "no codec
-    * libs in this container" stops being a reason to stub THESE:
+  /** REAL pure-JVM codecs — no native library needed for any of these:
     *  - [[RealCodecs.PcmWav]]: RIFF/WAVE PCM — audio decodes to
     *    fixed-size sample windows (frame = one window; `width` = sample
     *    frames in the window, `height` = channels, `pixels` = the raw
@@ -71,11 +72,14 @@ object Multimodal {
     *  - [[RealCodecs.Bmp24]]: uncompressed 24-bit BMP (BITMAPINFOHEADER,
     *    BI_RGB) — one frame per image, `pixels` = top-down BGR with row
     *    padding stripped.
+    *  - [[RealCodecs.ImageIo]]: JPEG/PNG/GIF/TIFF via the JDK's
+    *    `javax.imageio` readers (pure JVM, present in the stock JDK) —
+    *    one frame per image, `pixels` = top-down BGR matching [[Bmp24]]'s
+    *    layout so every still-image feature step shares one contract.
     *  - [[RealCodecs.ByMagic]]: routes each asset on its magic bytes and
-    *    hands everything else (JPEG/PNG/H.264 — real decompression needs
-    *    native libs this container doesn't ship) to a fallback, by
-    *    default [[FakeCodec]], preserving the documented-stub boundary
-    *    for compressed formats ONLY.
+    *    hands everything else (video — H.264/VP9 decode genuinely needs
+    *    native libs) to a fallback, by default [[FakeCodec]], confining
+    *    the documented-stub boundary to video ONLY.
     * Malformed payloads throw `IllegalArgumentException` with the asset
     * id — the caller quarantines (DLQ pattern), a silent skip would
     * corrupt token accounting. */
@@ -193,8 +197,52 @@ object Multimodal {
         }
     }
 
-    /** Magic-byte dispatch: WAV and BMP decode for real; everything else
-      * goes to `fallback` (compressed formats need native libs). */
+    /** Compressed still images (JPEG/PNG/GIF/TIFF) through the JDK's
+      * `javax.imageio` readers — REAL decompression, pure JVM, no native
+      * libraries (the readers ship with the stock JDK). One frame per
+      * image; `pixels` = top-down BGR (3 bytes/pixel, alpha dropped),
+      * the same layout [[Bmp24]] emits, so [[bmpColorStats]] and any
+      * other still-image feature step run unchanged on either source. */
+    object ImageIo extends MediaCodec {
+      override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] =
+        assets.map { a =>
+          def fail(msg: String) =
+            throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+            catch {
+              case e: java.io.IOException => fail(s"image decode failed: ${e.getMessage}")
+              case e: RuntimeException => fail(s"image decode failed: ${e.getMessage}")
+            }
+          if (img == null) fail("no ImageIO reader recognizes this payload")
+          val w = img.getWidth
+          val h = img.getHeight
+          if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+          if (w.toLong * h * 3L > Int.MaxValue) fail(s"pixel buffer too large (${w}x$h)")
+          val out = new Array[Byte](w * h * 3)
+          val row = new Array[Int](w) // getRGB row-wise bounds temp memory
+          var y = 0
+          var o = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x) // packed ARGB
+              out(o) = (p & 0xFF).toByte
+              out(o + 1) = ((p >> 8) & 0xFF).toByte
+              out(o + 2) = ((p >> 16) & 0xFF).toByte
+              x += 1
+              o += 3
+            }
+            y += 1
+          }
+          DecodedFrame(a.asset_id, 0, w, h, out)
+        }
+    }
+
+    /** Magic-byte dispatch: WAV, BMP, JPEG, PNG, GIF and TIFF decode for
+      * real; only unrecognized payloads (video — H.264/VP9 need native
+      * libs) go to `fallback`. */
     final case class ByMagic(fallback: MediaCodec = FakeCodec,
                              samplesPerWindow: Int = 1024) extends MediaCodec {
       private val wav = PcmWav(samplesPerWindow)
@@ -202,9 +250,20 @@ object Multimodal {
         def isWav(b: Array[Byte]) =
           b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
         def isBmp(b: Array[Byte]) = b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+        def isJpeg(b: Array[Byte]) =
+          b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+        def isPng(b: Array[Byte]) =
+          b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+        def isGif(b: Array[Byte]) =
+          b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+        def isTiff(b: Array[Byte]) =
+          b.length >= 4 && ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+            (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
         assets.flatMap {
           case a if isWav(a.bytes) => wav.decodeBatch(Seq(a))
           case a if isBmp(a.bytes) => Bmp24.decodeBatch(Seq(a))
+          case a if isJpeg(a.bytes) || isPng(a.bytes) || isGif(a.bytes) || isTiff(a.bytes) =>
+            ImageIo.decodeBatch(Seq(a))
           case a => fallback.decodeBatch(Seq(a))
         }
       }
@@ -240,6 +299,11 @@ object Multimodal {
     frames.flatMap { f =>
       val channels = f.height
       val n = f.width // sample frames in this window
+      // PcmWav permits 8/24/32-bit PCM too; reading those 2 bytes at a
+      // time would yield in-bounds but wrong stats — fail loudly instead
+      require(f.pixels.length == n * channels * 2,
+        s"asset ${f.asset_id} frame ${f.frame_idx}: expected 16-bit PCM " +
+          s"(${n * channels * 2} bytes for $n frames x $channels ch), got ${f.pixels.length}")
       (0 until channels).map { c =>
         var ssq = 0L
         var peak = 0

@@ -155,11 +155,13 @@ class MultimodalSpec extends SparkSpec {
     assert(cs.toSeq === Seq(BmpColorStats(7L, 500L, 0L, 500L)))
   }
 
-  test("RealCodecs.ByMagic routes real formats and falls back for compressed ones") {
+  test("RealCodecs.ByMagic routes real formats and falls back only for video") {
     val media = Seq(
       (1L, "audio", wavBytes(1, 8000, 10)),
       (2L, "image", bmpBytes(2, 2)),
-      (3L, "image", ("payload-" * 600).getBytes("UTF-8"))) // unknown → FakeCodec
+      (3L, "video", ("payload-" * 600).getBytes("UTF-8")), // unknown → FakeCodec
+      (4L, "image", pngBytes(3, 2)),
+      (5L, "image", jpegBytes(8, 8, 90, 120, 200)))
       .toDF("asset_id", "kind", "bytes")
     val frames = decodePartitions(media, RealCodecs.ByMagic()).collect()
       .groupBy(_.asset_id)
@@ -167,5 +169,93 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2L).head.width === 2 && frames(2L).head.height === 2)
     assert(frames(3L).nonEmpty) // fake frames, deterministic
     assert(frames(3L).forall(f => f.width >= 64 && f.width < 640))
+    assert(frames(4L).head.width === 3 && frames(4L).head.height === 2) // real PNG decode
+    assert(frames(5L).head.width === 8 && frames(5L).head.height === 8) // real JPEG decode
+  }
+
+  /** PNG payload via the JDK encoder: pixel (x, y) has RGB
+    * (x*40, y*40, x+y) so decode can assert exact values (PNG is
+    * lossless). */
+  private def pngBytes(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 40) << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Solid-color JPEG via the JDK encoder — a flat field survives DCT
+    * compression almost exactly, so decode can assert tight bounds. */
+  private def jpegBytes(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("RealCodecs.ImageIo decodes real PNG with exact pixels, JPEG within codec tolerance") {
+    val media = Seq(
+      (11L, "image", pngBytes(3, 2)),
+      (12L, "image", jpegBytes(4, 4, 90, 120, 200)))
+      .toDF("asset_id", "kind", "bytes")
+    val frames = decodePartitions(media, RealCodecs.ImageIo).collect()
+      .groupBy(_.asset_id)
+
+    // PNG is lossless: every BGR byte matches the encoded pattern exactly
+    val png = frames(11L).head
+    assert((png.frame_idx, png.width, png.height) === ((0, 3, 2)))
+    val expected = for (y <- 0 until 2; x <- 0 until 3; v <- Seq(x + y, y * 40, x * 40))
+      yield v.toByte
+    assert(png.pixels.toSeq === expected)
+
+    // JPEG is lossy, but a solid field decodes within a few counts
+    val jpg = frames(12L).head
+    assert((jpg.width, jpg.height) === ((4, 4)))
+    assert(jpg.pixels.length === 4 * 4 * 3)
+    val (eb, eg, er) = (200, 120, 90)
+    jpg.pixels.grouped(3).foreach { p =>
+      assert(math.abs((p(0) & 0xFF) - eb) <= 8, s"B ${p(0) & 0xFF} vs $eb")
+      assert(math.abs((p(1) & 0xFF) - eg) <= 8, s"G ${p(1) & 0xFF} vs $eg")
+      assert(math.abs((p(2) & 0xFF) - er) <= 8, s"R ${p(2) & 0xFF} vs $er")
+    }
+
+    // feature extraction runs unchanged on ImageIo frames (shared BGR
+    // layout): exact q3 means for the PNG pattern
+    val cs = Multimodal.bmpColorStats(
+      decodePartitions(Seq((11L, "image", pngBytes(3, 2)))
+        .toDF("asset_id", "kind", "bytes"), RealCodecs.ImageIo)).collect()
+    // B = x+y over {0,1,2}x{0,1}: mean = (0+1+2+1+2+3)/6 = 1.5 → 1500
+    // G = y*40: mean = 20 → 20000; R = x*40: mean = 40 → 40000
+    assert(cs.toSeq === Seq(BmpColorStats(11L, 1500L, 20000L, 40000L)))
+
+    // malformed image payloads are refused with the asset id
+    val bad = Seq((13L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0)))
+      .toDF("asset_id", "kind", "bytes")
+    val e = intercept[org.apache.spark.SparkException](
+      decodePartitions(bad, RealCodecs.ImageIo).collect())
+    assert(e.getMessage.contains("asset 13") || e.getCause.getMessage.contains("asset 13"))
+  }
+
+  test("pcmWindowStats16 refuses non-16-bit PCM frames loudly") {
+    // 8-bit mono WAV: parseWav accepts it, stats16 must not silently misread
+    val samples = 16
+    val buf = java.nio.ByteBuffer.allocate(44 + samples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    buf.put("data".getBytes("US-ASCII")).putInt(samples)
+    for (i <- 0 until samples) buf.put((i * 3).toByte)
+    val media = Seq((21L, "audio", buf.array())).toDF("asset_id", "kind", "bytes")
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.pcmWindowStats16(
+        decodePartitions(media, RealCodecs.PcmWav(1024))).collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("asset 21") && msg.contains("16-bit"))
   }
 }
