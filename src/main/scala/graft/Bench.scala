@@ -68,9 +68,18 @@ object Bench {
     }
 
     // measured runs: a failing query must fail the bench loudly (a caught
-    // exception would be reported as a suspiciously fast success)
-    val results = headlines.toSeq.sortBy(_._1).map { case (name, d) =>
-      val times = (1 to iters).map { _ =>
+    // exception would be reported as a suspiciously fast success).
+    // Iterations are INTERLEAVED round-robin (q1..qN, q1..qN, ...) rather
+    // than N consecutive runs per query: a minutes-long host-contention
+    // window then pollutes at most one sample of each query instead of
+    // all N samples of whichever query it lands on (round 7's driver run
+    // recorded an 11x phantom regression exactly that way).
+    val ordered = headlines.toSeq.sortBy(_._1)
+    val samples = ordered.map { case (name, _) =>
+      name -> scala.collection.mutable.ArrayBuffer.empty[Double]
+    }.toMap
+    (1 to iters).foreach { _ =>
+      ordered.foreach { case (name, d) =>
         val t0 = System.nanoTime()
         try run(d.build(spark, sfDir))
         catch {
@@ -79,8 +88,11 @@ object Bench {
             spark.stop()
             sys.exit(1)
         }
-        (System.nanoTime() - t0) / 1e9
+        samples(name) += (System.nanoTime() - t0) / 1e9
       }
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = samples(name).toSeq
       System.err.println(f"[bench] $name%-28s min=${times.min}%.3f max=${times.max}%.3f " +
         times.map(t => f"$t%.3f").mkString("[", " ", "]"))
       name -> times
@@ -118,11 +130,22 @@ object Bench {
     val qsMax = results.map { case (k, ts) => "\"" + k + "\":" + ts.max }.mkString("{", ",", "}")
     val qsMed = results.map { case (k, ts) => "\"" + k + "\":" + median(ts) }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""iters":$iters,"queries_max":$qsMax,"queries_median":$qsMed,""" +
       s""""calib_sec_before":$calibBefore,"calib_sec_after":$calibAfter,""" +
       s""""ingest_rows":$ingested,"ingest_sec":$ingestSec,""" +
-      s""""ingest_rows_per_sec":$ingestRate,"sf":"$sfDir"}""")
+      s""""ingest_rows_per_sec":$ingestRate,"sf":"$sfDir"}"""
+    // Stdout for humans and the legacy driver parse — but stdout through
+    // sbt can truncate under load (round 7's BENCH json recorded a cut
+    // tail and "parsed": null), so ALSO write the object atomically to a
+    // file the driver can always parse.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val tmp = java.nio.file.Paths.get(outFile + ".tmp")
+    java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    println(json)
     spark.stop()
   }
 }
