@@ -160,7 +160,23 @@ object Sampling {
     *      comparison — zero shuffle of the corpus, no window at all.
     *
     * Driver state is (partition, domain) counts plus |domains| cutoff
-    * rows — the same bounded-|domains| contract as [[domainBudget]]. */
+    * rows — the same bounded-|domains| contract as [[domainBudget]].
+    *
+    * @note EAGER, unlike most operators here: calling this runs TWO Spark
+    *       jobs immediately (pid×domain counts, then cutoff extraction)
+    *       over a persisted projection of `df`, and the returned plan
+    *       re-scans `df` a third time when executed. Callers composing
+    *       lazily should call it once and reuse the result.
+    * @note Correctness of step 2/3 requires `spark_partition_id` to agree
+    *       between the two jobs, which `persist()` guarantees only while
+    *       cached partitions survive: if one is evicted/lost and `df`
+    *       re-reads a SOURCE THAT CHANGED between jobs, the recomputed
+    *       range bucketing can shift and a cutoff be read at the wrong
+    *       local offset. Inputs must therefore be deterministic for the
+    *       duration of the call (parquet/Delta snapshots are; a re-read
+    *       JDBC query or a mutating view is not) — for such hostile
+    *       sources, pass `df.localCheckpoint()` so lost partitions fail
+    *       the job loudly instead of silently re-bucketing. */
   def percentileGate(df: DataFrame, domainCol: String, keyCol: String,
                      scoreCol: Column, keepFrac: Double): DataFrame = {
     import org.apache.spark.sql.Row
