@@ -127,6 +127,13 @@ final case class Snapshot(
 final class VersionAlreadyExists(val version: Long)
   extends RuntimeException(s"delta version $version already exists")
 
+object DeltaLog {
+  /** Default bound on |commitInfo timestamp − log-file mtime| assumed by
+    * [[DeltaLog.versionAt]]'s bounded-read search: generous for NTP drift
+    * plus object-store upload lag. */
+  val DefaultMaxClockSkewMs: Long = 15L * 60L * 1000L
+}
+
 /** @param spark when present, checkpoints are written/read as spec-schema
   *              parquet; when absent (log-only tooling), checkpoint writing
   *              is skipped and snapshots replay the JSON commits — equally
@@ -155,13 +162,34 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     if (versions.isEmpty) -1L else versions.max
   }
 
+  /** Commit-file reads performed by [[versionAt]] since construction —
+    * instrumentation for the bounded-read contract (specs assert it stays
+    * O(band), never O(versions)). */
+  private[delta] val versionAtReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Latest version committed at or before `timestampMs` — time travel by
     * datetime, mirroring delta-rs `load_with_datetime` (and Delta's
     * `timestampAsOf`). A version's timestamp is its commitInfo timestamp
     * when present, else the version file's modification time (the same
-    * fallback order delta-rs uses). Throws if the table's FIRST commit is
-    * already after the cut — there is no table to read at that time. */
-  def versionAt(timestampMs: Long): Long = {
+    * fallback order delta-rs uses); out-of-order timestamps are clamped
+    * to the running maximum (Delta's timestamp-adjustment rule), so a
+    * commit whose writer's clock lags a predecessor resolves as if it
+    * happened no earlier than that predecessor — multi-writer clock skew
+    * cannot make the search return an older version than the adjusted
+    * history allows. Throws if the table's FIRST commit is already after
+    * the cut — there is no table to read at that time.
+    *
+    * Cost: O(log n) over file mtimes (from the directory listing — zero
+    * file reads) plus commitInfo reads ONLY for commits whose mtime lies
+    * within `maxClockSkewMs` of the cut, not O(versions) as a naive
+    * history walk would. Exactness contract: a commit's commitInfo
+    * timestamp and its file mtime agree within `maxClockSkewMs` (the
+    * write and the stamp are the same filesystem operation modulo clock
+    * drift and object-store upload lag; 15 min covers both by a wide
+    * margin). A commit skewed beyond that is classified by its mtime. */
+  def versionAt(timestampMs: Long,
+                maxClockSkewMs: Long = DeltaLog.DefaultMaxClockSkewMs): Long = {
+    require(maxClockSkewMs >= 0, s"negative maxClockSkewMs: $maxClockSkewMs")
     if (!fs.exists(logPath))
       throw new IllegalStateException(s"no _delta_log at $tablePath")
     val stamped = fs.listStatus(logPath).iterator.flatMap { st =>
@@ -170,15 +198,56 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         try Some(n.stripSuffix(".json").toLong -> st.getModificationTime)
         catch { case _: NumberFormatException => None }
       else None
-    }.toSeq.sortBy(_._1)
+    }.toVector.sortBy(_._1)
     require(stamped.nonEmpty, s"empty _delta_log at $tablePath")
-    def tsOf(v: Long, mtime: Long): Long =
+    val n = stamped.size
+    // running-max mtimes: a monotone search structure built from the one
+    // listing, no file reads
+    val adjMtime = new Array[Long](n)
+    var run = Long.MinValue
+    var i = 0
+    while (i < n) { run = math.max(run, stamped(i)._2); adjMtime(i) = run; i += 1 }
+    // first index whose running-max mtime exceeds `limit`
+    def upperBound(limit: Long): Int = {
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (adjMtime(mid) > limit) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    // Under the skew contract the adjusted authoritative timestamp of
+    // version i lies in [adjMtime(i) - skew, adjMtime(i) + skew]:
+    //  - indices before `bandStart` are certainly at-or-before the cut,
+    //  - indices at/after `bandEnd` are certainly after it,
+    //  - only the band between needs its commitInfo read.
+    val bandStart = upperBound(math.subtractExact(timestampMs, maxClockSkewMs))
+    val bandEnd = upperBound(
+      if (timestampMs > Long.MaxValue - maxClockSkewMs) Long.MaxValue
+      else timestampMs + maxClockSkewMs)
+    def tsOf(v: Long, mtime: Long): Long = {
+      versionAtReads.incrementAndGet()
       readVersion(v).flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(mtime)
-    val eligible = stamped.takeWhile { case (v, m) => tsOf(v, m) <= timestampMs }
-    if (eligible.isEmpty)
+    }
+    var best = bandStart - 1 // last certainly-eligible index
+    // running max SEEDED only within the band: everything before it is
+    // at-or-before the cut by the band bounds, so earlier values cannot
+    // flip a band verdict
+    var runTs = Long.MinValue
+    var j = bandStart
+    var stop = false
+    while (j < bandEnd && !stop) {
+      val (v, m) = stamped(j)
+      runTs = math.max(runTs, tsOf(v, m))
+      // the running max only grows — once past the cut, every later
+      // version's adjusted timestamp is past it too
+      if (runTs <= timestampMs) best = j else stop = true
+      j += 1
+    }
+    if (best < 0)
       throw new IllegalArgumentException(
         s"no commit at or before timestamp $timestampMs (first commit is later)")
-    eligible.last._1
+    stamped(best)._1
   }
 
   def readVersion(v: Long): Seq[Action] = {

@@ -83,6 +83,42 @@ class DeltaSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](t.toDFAsOf(ts0 - 1))
   }
 
+  test("versionAt clamps out-of-order commit timestamps and reads only near the cut") {
+    val t = newTable()                    // v0: create
+    t.append(sampleDf(0 until 2))         // v1
+    t.append(sampleDf(2 until 5))         // v2 (forward-skewed writer clock)
+    t.append(sampleDf(5 until 9))         // v3 (honest clock, behind v2)
+    // rewrite commitInfo timestamps + file mtimes to a controlled history
+    val ts = Map(0L -> 100000L, 1L -> 200000L, 2L -> 500000L, 3L -> 300000L)
+    ts.foreach { case (v, tv) =>
+      val f = new java.io.File(s"${t.path}/_delta_log/" + f"$v%020d.json")
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val patched = text.replaceAll("\"timestamp\":\\d+", s""""timestamp":$tv""")
+      java.nio.file.Files.write(f.toPath, patched.getBytes("UTF-8"))
+      assert(f.setLastModified(tv))
+    }
+    val log = DeltaTable.forPath(spark, t.path).log
+    val skew = 50000L
+    // out-of-order: v3's raw timestamp (300000) lags v2's skewed 500000;
+    // the running-max clamp resolves a post-v2 cut to the LATER version 3,
+    // never back past it — and only the two band commits are read
+    log.versionAtReads.set(0)
+    assert(log.versionAt(510000L, skew) === 3L)
+    assert(log.versionAtReads.get === 2L, "reads only the in-band commits")
+    // a cut below every in-band mtime resolves from mtimes alone
+    log.versionAtReads.set(0)
+    assert(log.versionAt(400000L, skew) === 1L,
+      "clamped v2/v3 are after the cut; answer is v1")
+    assert(log.versionAtReads.get === 0L, "band empty -> zero commit reads")
+    log.versionAtReads.set(0)
+    assert(log.versionAt(5000000L, skew) === 3L, "far-future cut reads latest")
+    assert(log.versionAtReads.get === 0L)
+    // before the first commit: throws, still without scanning the log
+    log.versionAtReads.set(0)
+    assertThrows[IllegalArgumentException](log.versionAt(40000L, skew))
+    assert(log.versionAtReads.get === 0L)
+  }
+
   test("scan prunes files by add.stats min/max and partition values") {
     import DataSkipping.ColPred
     val t = newTable()
