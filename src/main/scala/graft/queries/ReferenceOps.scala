@@ -401,7 +401,39 @@ object ReferenceOps extends QueryModule {
           sum(col("event_id")).as("id_sum"))
       },
       Some("""SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct,
-             |  CAST(sum(event_id) AS BIGINT) AS id_sum FROM events""".stripMargin))
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum FROM events""".stripMargin)),
+
+    // ---- Time travel (delta-rs load_with_version/load_with_datetime):
+    // two commits through the REAL write path, then the HISTORICAL state
+    // read back both by version and by timestamp. The oracle recomputes
+    // the v1 slice from the raw table, so a time-travel bug (wrong file
+    // set, wrong version resolution, schema leak) fails the hash gate. ---
+    "ref_time_travel" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-tt")
+        val src = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val table = graft.delta.DeltaTable.forPath(s, dir).create(src.schema)
+        table.append(src.filter(col("event_id") % 2 === 0)) // v1: even ids
+        val ts1 = table.log.readVersion(1L).flatMap(_.commitInfo).head.timestamp
+        // commit 2 must land on a LATER millisecond than v1, or a cut at
+        // ts1 could legally resolve to it
+        while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
+        table.append(src.filter(col("event_id") % 2 =!= 0)) // v2: the rest
+        val atV1 = table.toDF(1L).agg(
+          count(lit(1)).as("v1_rows"),
+          sum(col("event_id")).cast("long").as("v1_sum"))
+        val atTs1 = table.toDFAsOf(ts1).agg(
+          count(lit(1)).as("ts1_rows"),
+          sum(col("event_id")).cast("long").as("ts1_sum"))
+        val latest = table.toDF.agg(count(lit(1)).as("latest_rows"))
+        atV1.crossJoin(atTs1).crossJoin(latest)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS v1_rows,
+             |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events WHERE event_id % 2 = 0) AS v1_sum,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS ts1_rows,
+             |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events WHERE event_id % 2 = 0) AS ts1_sum,
+             |  (SELECT count(*) FROM events) AS latest_rows""".stripMargin))
   )
 
   /** Spark's decode() collides with our helper name; tiny alias to cast
