@@ -124,6 +124,111 @@ object TextAnalysis {
       .otherwise(round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 6))
   }
 
+  // ---- Gopher-completeness filters (Rae et al. 2021 §A1.1) -------------
+  // The cheap structural signals the length/punctuation heuristics above
+  // miss: symbol spam, bullet-list pages, ellipsis-truncated scrapes,
+  // non-alphabetic token floods. All stay scan-stage Column expressions
+  // (regex + higher-order list functions, RE2-compatible) with DuckDB
+  // twins below, so each is hash-gateable and shuffle-free at 100 TB.
+
+  /** '#' and ellipsis ('...' or '…') occurrences per word (0 when no
+    * words). Both engines' replace() is non-overlapping left-to-right, so
+    * the occurrence counts agree exactly. */
+  def symbolToWordRatio(text: Column, ts: Column): Column = {
+    val hashes = length(regexp_replace(text, "[^#]", ""))
+    val dots = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val uni = length(text) - length(replace(text, lit("…"), lit("")))
+    val n = size(ts)
+    when(n === 0, lit(0.0)).otherwise((hashes + dots + uni).cast("double") / n)
+  }
+
+  private def docLines(text: Column): Column = split(text, "\n")
+
+  /** Fraction of lines starting with a bullet (-, *, •). split() keeps
+    * trailing empties in both engines, so denominators agree; it is never
+    * 0 (splitting "" yields [""]), so the ratio needs no zero guard. */
+  def bulletLineFraction(text: Column): Column = {
+    val ls = docLines(text)
+    size(filter(ls, l => l.rlike("^\\s*[-*•]"))).cast("double") / size(ls)
+  }
+
+  /** Fraction of lines ending with an ellipsis. */
+  def ellipsisLineFraction(text: Column): Column = {
+    val ls = docLines(text)
+    size(filter(ls, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / size(ls)
+  }
+
+  /** Fraction of words containing at least one alphabetic character
+    * (tokens are already lowercased; 0 when no words). */
+  def alphaWordFraction(ts: Column): Column = {
+    val n = size(ts)
+    when(n === 0, lit(0.0))
+      .otherwise(size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / n)
+  }
+
+  /** The composed Gopher gate: word-count bounds, mean-word-length bounds,
+    * symbol/bullet/ellipsis caps, alphabetic-word floor. Defaults are the
+    * paper's; every threshold is a parameter because corpus-appropriate
+    * values vary (the synthetic test corpus needs a lower word floor). */
+  def gopherKeep(text: Column, ts: Column,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                 minAlphaFrac: Double = 0.8): Column = {
+    val n = size(ts)
+    n >= minWords && n <= maxWords &&
+      meanTokenLenFromTokens(text, ts).between(minMeanLen, maxMeanLen) &&
+      symbolToWordRatio(text, ts) <= maxSymbolRatio &&
+      bulletLineFraction(text) <= maxBulletFrac &&
+      ellipsisLineFraction(text) <= maxEllipsisFrac &&
+      alphaWordFraction(ts) >= minAlphaFrac
+  }
+
+  /** DuckDB twins of the Gopher expressions, over a text expression `e`
+    * and its token-list expression `t`. */
+  def symbolToWordRatioSql(e: String, t: String): String =
+    s"""(CASE WHEN len($t) = 0 THEN 0.0 ELSE
+       |  CAST(length(regexp_replace($e, '[^#]', '', 'g'))
+       |    + (length($e) - length(replace($e, '...', ''))) // 3
+       |    + (length($e) - length(replace($e, '…', ''))) AS DOUBLE)
+       |  / len($t) END)""".stripMargin.replace("\n", " ")
+
+  private def linesSql(e: String): String = s"string_split($e, chr(10))"
+
+  def bulletLineFractionSql(e: String): String = {
+    val ls = linesSql(e)
+    s"(CAST(len(list_filter($ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE) / len($ls))"
+  }
+
+  def ellipsisLineFractionSql(e: String): String = {
+    val ls = linesSql(e)
+    s"(CAST(len(list_filter($ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE) / len($ls))"
+  }
+
+  def alphaWordFractionSql(t: String): String =
+    s"""(CASE WHEN len($t) = 0 THEN 0.0 ELSE
+       |  CAST(len(list_filter($t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+       |  / len($t) END)""".stripMargin.replace("\n", " ")
+
+  def meanTokenLenSql(e: String, t: String): String =
+    s"""(CASE WHEN len($t) = 0 THEN 0.0 ELSE
+       |  CAST(length(regexp_replace($e, '\\s', '', 'g')) AS DOUBLE) / len($t) END)"""
+      .stripMargin.replace("\n", " ")
+
+  def gopherKeepSql(e: String, t: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                    minAlphaFrac: Double = 0.8): String =
+    s"""(len($t) >= $minWords AND len($t) <= $maxWords
+       | AND ${meanTokenLenSql(e, t)} BETWEEN $minMeanLen AND $maxMeanLen
+       | AND ${symbolToWordRatioSql(e, t)} <= $maxSymbolRatio
+       | AND ${bulletLineFractionSql(e)} <= $maxBulletFrac
+       | AND ${ellipsisLineFractionSql(e)} <= $maxEllipsisFrac
+       | AND ${alphaWordFractionSql(t)} >= $minAlphaFrac)""".stripMargin.replace("\n", " ")
+
   /** PII scrub patterns: every regex is RE2-compatible (no lookaround, no
     * backreferences) AND means the same thing to Java's engine, so the
     * DuckDB oracle reproduces the masking byte-for-byte. Order matters:

@@ -88,19 +88,26 @@ object PipelineRecipe extends QueryModule {
       }),
 
     // The CURATION side of the pipeline, composed from this round's ops:
+    // Gopher structural gate (word-count floor live on this corpus; the
+    // symbol/bullet/ellipsis/alpha caps compose in the same predicate) →
     // quality scoring → per-source percentile gate (top 50% by quality)
     // → domain-mixture resampling (fractional epochs). Every stage is the
     // same ops code the individual gates check; the oracle chains the
     // same SQL fragments.
     //
-    // Plan shape at 100 TB: scoring is scan-stage; the gate is one window
-    // per source; the resample explode is scan-stage — one shuffle total
-    // (the source window).
+    // Plan shape at 100 TB: the Gopher gate and scoring are scan-stage;
+    // the percentile gate is a broadcast cutoff; the resample explode is
+    // scan-stage — no added shuffle.
     "pipeline_curate" -> QueryDef(
       (s, d) => {
-        val scored = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            TextAnalysis.tokens(col("text")).as("ts"))
+          .filter(TextAnalysis.gopherKeep(col("text"), col("ts"),
+            minWords = 30, maxWords = 10000))
+        val scored = docs
           .select(col("doc_id"), col("source"),
-            TextAnalysis.qualityScore(col("text")).as("quality"))
+            TextAnalysis.qualityScoreFromTokens(col("text"), col("ts")).as("quality"))
         val gated = Sampling.percentileGate(scored, "source", "doc_id",
           col("quality"), keepFrac = 0.5)
         Sampling.mixtureResample(gated, "source", "doc_id",
@@ -111,8 +118,11 @@ object PipelineRecipe extends QueryModule {
       },
       Some {
         val q = O.qualitySql("text")
+        val gopher = TextAnalysis.gopherKeepSql("text", O.T, 30, 10000,
+          3.0, 10.0, 0.1, 0.9, 0.3, 0.8)
         s"""WITH scored AS (
            |  SELECT doc_id, source, $q AS quality FROM documents
+           |  WHERE $gopher
            |), ranked AS (
            |  SELECT doc_id, source, quality,
            |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,

@@ -192,6 +192,57 @@ object TextQueries extends QueryModule {
               |                      / (len($T) - 2), 6) END AS dup3_ratio
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-completeness gate: symbol spam, bullet-list pages, ellipsis
+    // truncation, non-alphabetic floods + word-count/mean-length bounds.
+    // The synthetic corpus is uniformly clean, so (the text_pii_scrub
+    // pattern) deterministic per-doc_id dirt is appended first — bullets
+    // on %4=0, '#' runs on %4=1, ellipsis lines on %4=2, untouched
+    // otherwise — making every branch of the gate non-vacuous. q6 values
+    // are floor(x*1e6+0.5) on BOTH engines (the report_corpus rule).
+    "text_gopher" -> QueryDef(
+      (s, d) => {
+        val spice = when(col("doc_id") % 4 === 0,
+            lit("\n- item one\n- item two\n- item three\n- item four"))
+          .when(col("doc_id") % 4 === 1, lit(" ## ### #"))
+          .when(col("doc_id") % 4 === 2, lit("\nto be continued...\nread more...\nfin"))
+          .otherwise(lit(""))
+        def q6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"), concat(col("text"), spice).as("dirty"))
+          .select(col("doc_id"), col("dirty"), tokens(col("dirty")).as("ts"))
+          .select(col("doc_id"),
+            size(col("ts")).cast("long").as("n_words"),
+            q6(meanTokenLenFromTokens(col("dirty"), col("ts"))).as("mean_len_q6"),
+            q6(symbolToWordRatio(col("dirty"), col("ts"))).as("symbol_q6"),
+            q6(bulletLineFraction(col("dirty"))).as("bullet_q6"),
+            q6(ellipsisLineFraction(col("dirty"))).as("ellipsis_q6"),
+            q6(alphaWordFraction(col("ts"))).as("alpha_q6"),
+            gopherKeep(col("dirty"), col("ts"), minWords = 30, maxWords = 10000,
+              maxSymbolRatio = 0.05, maxBulletFrac = 0.5).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val e = "dirty"
+        val t = OracleSql.tokensSql("dirty")
+        def q6(x: String) = s"CAST(floor(($x) * 1000000 + 0.5) AS BIGINT)"
+        s"""WITH dirty AS (
+           |  SELECT doc_id, text || CASE
+           |    WHEN doc_id % 4 = 0 THEN chr(10)||'- item one'||chr(10)||'- item two'||chr(10)||'- item three'||chr(10)||'- item four'
+           |    WHEN doc_id % 4 = 1 THEN ' ## ### #'
+           |    WHEN doc_id % 4 = 2 THEN chr(10)||'to be continued...'||chr(10)||'read more...'||chr(10)||'fin'
+           |    ELSE '' END AS dirty
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len($t) AS BIGINT) AS n_words,
+           |  ${q6(meanTokenLenSql(e, t))} AS mean_len_q6,
+           |  ${q6(symbolToWordRatioSql(e, t))} AS symbol_q6,
+           |  ${q6(bulletLineFractionSql(e))} AS bullet_q6,
+           |  ${q6(ellipsisLineFractionSql(e))} AS ellipsis_q6,
+           |  ${q6(alphaWordFractionSql(t))} AS alpha_q6,
+           |  ${gopherKeepSql(e, t, 30, 10000, 3.0, 10.0, 0.05, 0.5, 0.3, 0.8)} AS keep
+           |FROM dirty ORDER BY doc_id""".stripMargin
+      }),
+
     // Test-set-leakage scan: corpus docs sharing ≥2 3-grams with a probe
     // ("benchmark") subset. Probe side is broadcast — the corpus never
     // shuffles (PlanSpec pins the BroadcastHashJoin). Parameters chosen

@@ -138,6 +138,12 @@ class PlanSpec extends SparkSpec {
       "text scoring must stay inside the scan stage:\n" + p)
   }
 
+  test("text_gopher: structural gate stays inside the scan stage, no shuffle") {
+    val p = plan("text_gopher")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the Gopher filters must stay scan-stage expressions:\n" + p)
+  }
+
   test("top-k queries plan TakeOrderedAndProject or partial top-k, not global sort") {
     val p = plan("q2_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
