@@ -443,6 +443,84 @@ object TextAnalysis {
     }
   }
 
+  /** Generated DuckDB CTE chain that RETRAINS BPE from the corpus — the
+    * SQL twin of [[trainBpe]], closing the train-side gap the fixture
+    * gates leave (the text_lm_score pattern: the oracle re-derives the
+    * trained artifact instead of trusting the engine under test).
+    *
+    * `numMerges` iterations are UNROLLED as CTEs; iteration i computes
+    * adjacent-pair counts over the current wrapped symbol strings, picks
+    * the argmax by (count DESC, a, b) — exactly [[trainBpeFromCounts]]'s
+    * `minBy((-c, a, b))` (ASCII corpus ⇒ UTF-16 and UTF-8 byte orders
+    * agree) — and applies the merge as ONE boundary-wrapped replace
+    * (left-to-right non-overlap = the Scala merge pass). `bpe_best_i`
+    * goes empty when pairs are exhausted; the guarded LEFT JOIN then
+    * passes sequences through unchanged, matching the loop's early stop.
+    *
+    * Emits CTEs `wc`, `bpe_seqs_i`, `bpe_pairs_i`, `bpe_best_i`
+    * (1 ≤ i ≤ numMerges); chain [[bpeApplyDocCtes]] after it to encode
+    * documents with the trained merges. */
+  def bpeRetrainCtes(tokensSqlExpr: String, maxWords: Int, numMerges: Int): String = {
+    val base = "array_to_string(list_transform(string_split(w, ''), " +
+      "c -> chr(31) || c || chr(30)), '') || chr(31) || '</w>' || chr(30)"
+    val sb = new StringBuilder
+    sb ++= s"""wc AS (
+      |  SELECT t AS w, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest($tokensSqlExpr) AS t FROM documents)
+      |  GROUP BY t ORDER BY n DESC, w LIMIT $maxWords),
+      |bpe_seqs_0 AS MATERIALIZED (SELECT w, n, $base AS s FROM wc)""".stripMargin
+    for (i <- 1 to numMerges) {
+      val prev = s"bpe_seqs_${i - 1}"
+      sb ++= s""",
+        |bpe_syms_$i AS (
+        |  SELECT n, list_filter(string_split(replace(s, chr(30), ''), chr(31)), x -> x <> '') AS syms
+        |  FROM $prev),
+        |bpe_pairs_$i AS (
+        |  SELECT a, b, CAST(sum(n) AS BIGINT) AS c FROM (
+        |    SELECT n, syms[j] AS a, syms[j + 1] AS b
+        |    FROM (SELECT n, syms, unnest(range(1, len(syms))) AS j
+        |          FROM bpe_syms_$i WHERE len(syms) >= 2))
+        |  GROUP BY a, b),
+        |bpe_best_$i AS MATERIALIZED (SELECT a, b FROM bpe_pairs_$i ORDER BY c DESC, a, b LIMIT 1),
+        |bpe_seqs_$i AS MATERIALIZED (
+        |  SELECT w, n, CASE WHEN m.a IS NULL THEN s ELSE
+        |    replace(s, chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
+        |               chr(31) || m.a || m.b || chr(30)) END AS s
+        |  FROM $prev LEFT JOIN bpe_best_$i m ON TRUE)""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** Doc-encode CTE chain applying `bpe_best_1..numMerges` (from
+    * [[bpeRetrainCtes]]) to every document: one guarded replace per rank
+    * over the concatenated wrapped token string — a LINEAR CTE chain (a
+    * nested CASE expression would copy its operand twice per rank and
+    * blow up exponentially). Concatenation is safe: a trained pair's
+    * first operand can never end in '</w>' (such a pair would have had
+    * no successor symbol in training), so no merge can match across a
+    * word boundary. Rank-sequential replace equals the kernel's greedy
+    * lowest-rank loop for trained lists (same argument as
+    * [[bpeEncodeSql]]). Ends at `bpe_doc_<numMerges>(doc_id, s)`. */
+  def bpeApplyDocCtes(tokensSqlExpr: String, numMerges: Int): String = {
+    val sb = new StringBuilder
+    // no generated line may START with '||': these fragments get embedded
+    // in callers' stripMargin strings, which would eat the first pipe
+    sb ++= s"""bpe_doc_0 AS MATERIALIZED (
+      |  SELECT doc_id, array_to_string(list_transform($tokensSqlExpr,
+      |    w -> array_to_string(list_transform(string_split(w, ''), c -> chr(31) || c || chr(30)), '')
+      |      || chr(31) || '</w>' || chr(30)), '') AS s
+      |  FROM documents)""".stripMargin.replace("\n      ||", " ||")
+    for (i <- 1 to numMerges) {
+      sb ++= s""",
+        |bpe_doc_$i AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN m.a IS NULL THEN s ELSE
+        |    replace(s, chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
+        |               chr(31) || m.a || m.b || chr(30)) END AS s
+        |  FROM bpe_doc_${i - 1} LEFT JOIN bpe_best_$i m ON TRUE)""".stripMargin
+    }
+    sb.result()
+  }
+
   /** Apply a [[buildVocab]] codebook to the corpus: each document's token
     * sequence becomes a same-length id sequence — the corpus→ids encode
     * pass every pretraining pipeline runs after tokenizer training.

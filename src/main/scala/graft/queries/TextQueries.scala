@@ -423,6 +423,36 @@ object TextQueries extends QueryModule {
       },
       headline = true),
 
+    // CORPUS-trained BPE, train side oracle-gated: trainBpe derives the
+    // merge list from the documents table itself (distributed top-60
+    // word counts → driver merge loop), and the oracle RETRAINS the same
+    // merges in SQL — word counts, 16 unrolled argmax-merge iterations
+    // with identical (count DESC, pair) tie-breaks — then re-encodes
+    // every document with them. A drift anywhere in training (counting,
+    // tie-breaks, merge application) or encoding breaks the hash.
+    // Complements text_bpe_encode, whose frozen-fixture merges pin only
+    // the ENCODE side.
+    "text_bpe_corpus" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.ops.TextAnalysis.trainBpe(docs, "text",
+          numMerges = 16, maxWords = 60)
+        docs.select(col("doc_id"),
+            graft.functions.BpeEncode.of(tokens(col("text")), merges).as("p"))
+          .select(col("doc_id"),
+            concat_ws("", transform(col("p"),
+              x => concat(lit("\u001F"), x, lit("\u001E")))).as("pieces_wrapped"),
+            size(col("p")).cast("long").as("n_pieces"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH ${graft.ops.TextAnalysis.bpeRetrainCtes(T, 60, 16)},
+           |${graft.ops.TextAnalysis.bpeApplyDocCtes(T, 16)}
+           |SELECT doc_id, s AS pieces_wrapped,
+           |  CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS n_pieces
+           |FROM bpe_doc_16 ORDER BY doc_id""".stripMargin
+      }),
+
     // CCNet-style LM quality filter: a pruned add-one bigram LM trained on
     // the corpus itself (top-50 vocab, top-300 bigrams — small enough that
     // the unk and pruned-bigram paths fire on real rows), scoring every
