@@ -86,8 +86,10 @@ object StreamingCuration {
     *    banding — one key per doc, one winner), but NEAR-identical docs
     *    in the SAME batch can split band wins between themselves and all
     *    be dropped (band winners are chosen per key, not per doc). At a
-    *    crawler's batch cadence that window is seconds wide; the batch
-    *    clusterers remain the tool for exact representative selection.
+    *    crawler's batch cadence that window is seconds wide; when it
+    *    matters, run [[verifyNearWithinBatch]] in a `foreachBatch` stage
+    *    upstream ([[verifiedNearDedupSink]]) — it keeps exactly one
+    *    exact-verified representative per same-batch cluster.
     *  - Emission defers to watermark close: two chained stateful stages
     *    (band dedup → all-bands-fresh count grouped on the watermarked
     *    event-time column) only emit in append mode once the group is
@@ -128,6 +130,52 @@ object StreamingCuration {
       .filter(col("__fresh") === bands)
       .drop("__fresh")
   }
+
+  /** WITHIN-batch verified near-dedup — the precise counterpart of
+    * [[dedupNearWithinWatermark]]'s candidate-level contract, for the one
+    * case that contract documents as lossy: NEAR-identical docs landing
+    * in the SAME micro-batch can split band wins and all drop. This runs
+    * the full batch machinery on the (bounded) micro-batch instead: LSH
+    * candidates → exact-Jaccard verify ≥ `threshold` → min-label
+    * clustering → keep exactly the min-id representative per cluster.
+    * Same kernels as the batch ops — one shared "near" definition.
+    *
+    * A pure batch→batch function so it is directly testable and usable
+    * inside any `foreachBatch` callback ([[verifiedNearDedupSink]] is the
+    * ready-made mount). */
+  def verifyNearWithinBatch(batch: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                            threshold: Double = 0.5): DataFrame = {
+    val pairs = graft.ops.Dedup.minhashLsh(batch, idCol, textCol,
+      shingleN, numHashes, bands, threshold)
+    val losers = graft.ops.Dedup.duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    batch.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** `foreachBatch` sink running [[verifyNearWithinBatch]] on every
+    * micro-batch before handing survivors to `write`:
+    *
+    * {{{
+    * stream.writeStream
+    *   .foreachBatch(StreamingCuration.verifiedNearDedupSink("doc_id", "text")(
+    *     b => b.write.mode("append").parquet(out)))
+    * }}}
+    *
+    * Composition with the cross-batch stage: mount this sink FIRST
+    * (writing to an intermediate table) and stream that table through
+    * [[dedupNearWithinWatermark]] in a second query — within-batch
+    * exactness here, watermark-bounded cross-batch candidate dedup
+    * there. Mounting the orders the other way is too late: the stateful
+    * stage would have dropped both same-batch near-dups before any sink
+    * ran. */
+  def verifiedNearDedupSink(idCol: String, textCol: String,
+                            shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                            threshold: Double = 0.5)
+                           (write: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => write(verifyNearWithinBatch(batch, idCol, textCol,
+      shingleN, numHashes, bands, threshold))
 
   /** Streaming exact decontamination: drop stream docs whose bag-of-words
     * fingerprint appears in a STATIC probe corpus (eval/benchmark suites)

@@ -130,6 +130,38 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("verified near-dedup sink: same-batch near-identical docs keep exactly one representative") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    val base = "the quick brown fox jumps over the lazy dog again and again in the open field today"
+    val near = base.replace("field", "meadow") // near-identical, NOT identical
+    val far = "completely different content about structured streaming state stores and watermark eviction"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = docs.writeStream
+      .foreachBatch(StreamingCuration.verifiedNearDedupSink("doc_id", "text")(
+        b => seen.synchronized { seen ++= b.select("doc_id").collect().map(_.getLong(0)) }))
+      .start()
+    try {
+      // the exact case dedupNearWithinWatermark documents as lossy: two
+      // NEAR-identical docs in ONE micro-batch (its band winners could
+      // split between them and drop both)
+      in.addData((5L, ts(0), near), (1L, ts(0), base), (2L, ts(0), far))
+      q.processAllAvailable()
+      val out = seen.synchronized(seen.toSet)
+      assert(out.contains(1L) && !out.contains(5L),
+        s"the min-id representative (1) must survive and its near-dup (5) drop; got $out")
+      assert(out.contains(2L), s"the unrelated doc must survive; got $out")
+    } finally q.stop()
+
+    // the pure batch form keeps the same contract (directly testable)
+    import spark.implicits._
+    val batch = Seq((1L, base), (5L, near), (2L, far)).toDF("doc_id", "text")
+    val kept = StreamingCuration.verifyNearWithinBatch(batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("curateNear: cleaning + quality + near-dedup compose on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
