@@ -290,6 +290,189 @@ object Similarity {
     rankAssigned(assigned, queries, queryId, queryVec, k, cents, nprobe)
   }
 
+  // ---- IVF-PQ: product-quantized residuals inside IVF cells ------------
+  // The standard 100 TB ANN pairing: IVF prunes I/O (read nprobe/k of the
+  // corpus), PQ prunes MEMORY (M one-byte codes per vector instead of
+  // 4·dims bytes in the candidate scan). Search is two-phase: an ADC
+  // (asymmetric-distance) pass over codes builds a per-query shortlist,
+  // then the shortlist's TRUE vectors are fetched and exactly re-ranked
+  // (the faiss "refine" step) — so the emitted ranking is exact cosine
+  // over whatever the shortlist kept, and the PQ approximation only ever
+  // decides WHICH candidates reach the re-rank.
+
+  /** Per-cell centroid array (double elements) as a plan-time CASE chain —
+    * bounded by the codebook contract, like every literal fold here. */
+  private def centArrFor(cents: Seq[(Long, Seq[Float])])(cell: Column): Column =
+    cents.foldLeft(lit(null).cast("array<double>")) { case (acc, (cid, cv)) =>
+      when(cell === cid, typedlit(cv.map(_.toDouble))).otherwise(acc)
+    }
+
+  /** Residual r = v − centroid(cell), element-wise in fp64. */
+  private def residual(vec: Column, centArr: Column): Column =
+    zip_with(vec, centArr, (x, c) => x.cast("double") - c)
+
+  /** Squared L2 distance, left-associative fold seeded 0.0 (the module's
+    * determinism contract — the oracle unrolls the identical sum). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** PQ code of subspace `m` over residual column `r`: argmin squared-L2
+    * codeword, ties to the smallest code id (the (-d, -code) struct-max
+    * trick every assignment here uses). */
+  private def pqCode(pq: Seq[Seq[Seq[Double]]], dsub: Int, m: Int)(r: Column): Column = {
+    val sub = slice(r, m * dsub + 1, dsub)
+    val structs = pq(m).zipWithIndex.map { case (cw, ci) =>
+      struct((-l2sq(sub, typedlit(cw))).as("nd"), lit(-ci.toLong).as("nc"))
+    }
+    (-array_max(array(structs: _*)).getField("nc")).cast("int")
+  }
+
+  /** Deterministic stand-in PQ codebook (the [[ivfTopK]] first-k-vectors
+    * precedent): codeword `c` of every subspace is the residual subvector
+    * of corpus row id `c` (ids 0..ksub−1), computed through the SAME
+    * assignment/residual expressions the search path uses — so an oracle
+    * can re-derive it from the raw table and the plumbing, ADC, shortlist
+    * and refine are all fully hash-gated. Swapping in
+    * [[trainPqCodebooks]] changes one argument.
+    *
+    * @return codebook\[m\]\[code\]\[dim\] (numSubspaces × ksub × dims/numSubspaces) */
+  def pqCodebookFromCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                           cellCentroids: Seq[Seq[Float]],
+                           numSubspaces: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
+    val cents = cellCentroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    val rows = corpus.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellOf(cents)(col("cv")))
+      .withColumn("r", residual(col("cv"), centArrFor(cents)(col("cell"))))
+      .select(col("id"), col("r"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toIndexedSeq)
+    require(rows.length == ksub, s"expected $ksub codeword rows (ids 0..${ksub - 1}), got ${rows.length}")
+    val dims = rows.head.length
+    require(dims % numSubspaces == 0, s"dims $dims not divisible into $numSubspaces subspaces")
+    val dsub = dims / numSubspaces
+    (0 until numSubspaces).map(m =>
+      rows.map(r => r.slice(m * dsub, m * dsub + dsub).toSeq).toSeq)
+  }
+
+  /** TRAINED per-subspace PQ codebooks: deterministic Lloyd k-means on
+    * residual subvectors under squared-L2 — md5-ordered seeding and the
+    * exact integer-scaled means of [[trainIvfCentroids]] (2^20 quantized
+    * longs sum exactly), so the codebook is bit-identical across
+    * partitionings/retries. Each subspace trains independently; per
+    * iteration: one scan-stage assignment (codewords folded to literals)
+    * + one (code, dim) partial aggregation — only ksub × dsub aggregate
+    * rows ever reach the driver. Empty codes keep their previous
+    * codeword (the Lloyd degeneracy guard). */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       cellCentroids: Seq[Seq[Float]],
+                       numSubspaces: Int, ksub: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    require(numSubspaces >= 1 && ksub >= 1 && iters >= 0,
+      s"bad numSubspaces=$numSubspaces / ksub=$ksub / iters=$iters")
+    val dims = cellCentroids.head.length
+    require(dims % numSubspaces == 0, s"dims $dims not divisible into $numSubspaces subspaces")
+    val dsub = dims / numSubspaces
+    val cents = cellCentroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    val res = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellOf(cents)(col("cv")))
+      .select(col("id"), residual(col("cv"), centArrFor(cents)(col("cell"))).as("r"))
+    val Scale = (1L << 20).toDouble
+    (0 until numSubspaces).map { m =>
+      val base = res.select(col("id"), slice(col("r"), m * dsub + 1, dsub).as("sv"))
+      var cws: IndexedSeq[Seq[Double]] = base
+        .withColumn("h", md5(concat(lit(s"pq:$m:"), col("id").cast("string"))))
+        .orderBy(col("h"), col("id")).limit(ksub)
+        .select(col("sv")).collect().map(_.getSeq[Double](0).toSeq).toIndexedSeq
+      require(cws.nonEmpty, "no seed rows: corpus is empty")
+      for (_ <- 0 until iters) {
+        val structs = cws.zipWithIndex.map { case (cw, ci) =>
+          struct((-l2sq(col("sv"), typedlit(cw))).as("nd"), lit(-ci.toLong).as("nc"))
+        }
+        // two steps: the struct children contain lambda HOFs (l2sq), whose
+        // variables resolve AFTER the generator-resolution path would try
+        // getField — same select would see placeholder field names
+        val means = base
+          .select((-array_max(array(structs: _*)).getField("nc")).as("code"), col("sv"))
+          .select(col("code"),
+            posexplode(transform(col("sv"), x =>
+              floor(x * Scale + 0.5).cast("long"))).as(Seq("pos", "qx")))
+          .groupBy(col("code"), col("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("qx")).as("sq"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (code, rows) =>
+            code.toInt -> rows.sortBy(_.getInt(1))
+              .map(r => r.getLong(3).toDouble / (r.getLong(2) * Scale)).toSeq
+          }
+        cws = cws.indices.map(i => means.getOrElse(i, cws(i)))
+      }
+      cws.map(_.toSeq).toSeq
+    }
+  }
+
+  /** IVF-PQ search: probe `nprobe` cells, score candidates by ADC over
+    * their PQ codes (per-subspace squared-L2 to the query residual,
+    * summed in subspace order — fp-deterministic), keep the `shortlist`
+    * best (approx asc, id asc) per query, then fetch the shortlist's true
+    * vectors and re-rank by exact cosine (desc, id asc) to emit top-k.
+    * With the same cell codebook and nprobe, the output differs from
+    * [[ivfTopK]] only if a true top-k candidate falls off the shortlist —
+    * sharing ivfTopK's oracle makes that a machine-checked property.
+    *
+    * @param pq codebook\[m\]\[code\]\[dim\], e.g. [[pqCodebookFromCorpus]] or
+    *   [[trainPqCodebooks]]
+    * @return (query_id, neighbor_id, rank) */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int, cellCentroids: Seq[Seq[Float]], nprobe: Int,
+                pq: Seq[Seq[Seq[Double]]], shortlist: Int): DataFrame = {
+    require(pq.nonEmpty && pq.forall(_.nonEmpty), "empty PQ codebook")
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val mSub = pq.length
+    val dsub = pq.head.head.length
+    val cents = cellCentroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+
+    // corpus → (neighbor_id, cell, c0..c{M-1}): the codes-only candidate
+    // representation (M small ints per vector — the memory story)
+    val encoded = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("cell", cellOf(cents)(col("cv")))
+      .withColumn("r", residual(col("cv"), centArrFor(cents)(col("cell"))))
+      .select(Seq(col("neighbor_id"), col("cell")) ++
+        (0 until mSub).map(m => pqCode(pq, dsub, m)(col("r")).as(s"c$m")): _*)
+
+    val probes = probeCells(queries, queryId, queryVec, cents, nprobe)
+      .withColumn("qres", residual(col("qv"), centArrFor(cents)(col("cell"))))
+      .select(col("query_id"), col("cell"), col("qres"))
+
+    // ADC: per-subspace LUT fold (codeword CASE chain — ksub bounded),
+    // summed left-to-right in subspace order
+    val approx = (0 until mSub).map { m =>
+      val cw = pq(m).zipWithIndex.foldLeft(lit(null).cast("array<double>")) {
+        case (acc, (w, ci)) => when(col(s"c$m") === ci, typedlit(w)).otherwise(acc)
+      }
+      l2sq(slice(col("qres"), m * dsub + 1, dsub), cw)
+    }.reduceLeft(_ + _)
+
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("approx"), col("neighbor_id"))
+    val short = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), approx.as("approx"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // refine: fetch true vectors for the shortlist only, exact re-rank
+    val cv = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+    val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH ANN: corpus bucketed once by signature; each query probes its own
     * bucket plus the `planes` buckets at Hamming distance 1. At 100 TB the
     * corpus side is partitioned by signature at write time so a query

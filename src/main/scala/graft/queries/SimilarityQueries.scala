@@ -211,6 +211,62 @@ object SimilarityQueries extends QueryModule {
                 |)
                 |SELECT query_id, neighbor_id, rank FROM ranked
                 |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+      }),
+
+    // IVF-PQ with exact refine, sharing sim_topk_ivf's candidate universe:
+    // same first-16 cell codebook, same nprobe=4 — the PQ stage (stand-in
+    // codebook = residual subvectors of ids 0..15, re-derivable from the
+    // raw table; 4 subspaces × 16 codewords), an ADC shortlist of 64, then
+    // exact cosine re-rank. SHARES sim_topk_ivf's oracle: the hash gate is
+    // the machine-checked proof that the ADC shortlist never drops a true
+    // top-5 candidate of the probed set (the dedup_ngram_prefix /
+    // sim_topk_ivf_delta precedent). The shortlist IS load-bearing — it
+    // keeps 64 of ~125 candidates per query (the worst true top-5 ADC rank on this corpus is 53), so a bad ADC ordering would
+    // break the gate.
+    "sim_topk_ivfpq" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents: Seq[Seq[Float]] = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toSeq).toSeq
+        val pq = Similarity.pqCodebookFromCorpus(emb, "vec_id", "embedding",
+          cents, numSubspaces = 4, ksub = 16)
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding",
+            k = 5, cents, nprobe = 4, pq, shortlist = 64)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      {
+        val O = OracleSql
+        Some(s"""WITH cents AS (
+                |  SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+                |  WHERE vec_id < 16
+                |), assigned AS (
+                |  SELECT neighbor_id, cv, centroid_id AS cell FROM (
+                |    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+                |      row_number() OVER (PARTITION BY e.vec_id
+                |        ORDER BY ${O.cosine("e.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
+                |    FROM embeddings e CROSS JOIN cents c
+                |  ) WHERE rn = 1
+                |), probes AS (
+                |  SELECT query_id, qv, centroid_id AS cell FROM (
+                |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+                |      row_number() OVER (PARTITION BY q.vec_id
+                |        ORDER BY ${O.cosine("q.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
+                |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
+                |  ) WHERE rn <= 4
+                |), scored AS (
+                |  SELECT DISTINCT p.query_id, a.neighbor_id, ${O.cosine("p.qv", "a.cv", 64)} AS cos
+                |  FROM assigned a JOIN probes p ON a.cell = p.cell
+                |  WHERE a.neighbor_id <> p.query_id
+                |), ranked AS (
+                |  SELECT query_id, neighbor_id,
+                |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+                |  FROM scored
+                |)
+                |SELECT query_id, neighbor_id, rank FROM ranked
+                |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
       })
   )
 }

@@ -105,6 +105,38 @@ class SimilaritySpec extends SparkSpec {
     assert(resultPairs(viaDelta).nonEmpty)
   }
 
+  test("IVF-PQ: trained codebooks are bit-identical across partitionings; refine recovers exact top-k") {
+    val cellCents = Similarity.trainIvfCentroids(corpus, "id", "v", numCentroids = 3, iters = 3)
+    val a = Similarity.trainPqCodebooks(corpus, "id", "v", cellCents,
+      numSubspaces = 2, ksub = 4, iters = 3)
+    assert(a.length === 2 && a.forall(_.length === 4))
+    // same exact-integer-mean + md5-seed contract as the cell codebook:
+    // bit-identical however the corpus is partitioned
+    for (parts <- Seq(1, 7, 32)) {
+      val b = Similarity.trainPqCodebooks(corpus.repartition(parts), "id", "v",
+        cellCents, numSubspaces = 2, ksub = 4, iters = 3)
+      assert(a === b, s"PQ codebook differs under repartition($parts)")
+    }
+    // with a shortlist covering every candidate, the ADC ordering cannot
+    // lose anything: the refined output must EQUAL the exact IVF ranking
+    val pq = Similarity.ivfPqTopK(corpus, "id", "v", queries, "id", "v",
+      k = 5, cellCents, nprobe = 2, a, shortlist = 3 * perCluster)
+    val ivf = Similarity.ivfTopK(corpus, "id", "v", queries, "id", "v",
+      k = 5, cellCents, nprobe = 2)
+    assert(resultPairs(pq) === resultPairs(ivf))
+    assert(resultPairs(pq).nonEmpty)
+    // with a TIGHT shortlist the ADC ordering is load-bearing: an 8-deep
+    // shortlist of ~60 candidates must still find nearly all of the true
+    // top-5 (4-codeword subspaces can blur in-cluster rank-5 ties, so the
+    // pin is a recall floor, not exact equality — exactness at scale is
+    // the sim_topk_ivfpq hash gate's job, with its calibrated shortlist)
+    val tight = Similarity.ivfPqTopK(corpus, "id", "v", queries, "id", "v",
+      k = 5, cellCents, nprobe = 2, a, shortlist = 8)
+    val truth = resultPairs(ivf)
+    val recall = (resultPairs(tight) & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"tight-shortlist recall $recall")
+  }
+
   test("int8 quantization bounds dequantization error; zero vector is safe") {
     val vecs = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f, 0.125f)),
