@@ -241,7 +241,8 @@ object TextQueries extends QueryModule {
            |  ${q6(alphaWordFractionSql(t))} AS alpha_q6,
            |  ${gopherKeepSql(e, t, 30, 10000, 3.0, 10.0, 0.05, 0.5, 0.3, 0.8)} AS keep
            |FROM dirty ORDER BY doc_id""".stripMargin
-      }),
+      },
+      headline = true),
 
     // Test-set-leakage scan: corpus docs sharing ≥2 3-grams with a probe
     // ("benchmark") subset. Probe side is broadcast — the corpus never
