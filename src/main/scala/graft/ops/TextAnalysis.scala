@@ -287,8 +287,49 @@ object TextAnalysis {
     concat_ws("\n", filter(split(text, "\n"),
       l => keepLine(l, minWords, maxDigitRatio)))
 
-  /** [[keepLine]] as DuckDB SQL over line expression `l` — generated so the
-    * oracle tracks the code. */
+  /** C4/RefinedWeb corpus-level frequent-line removal: drop every line
+    * whose occurrence count ACROSS THE WHOLE CORPUS exceeds
+    * `maxOccurrences` (boilerplate — copyright footers, nav menus, cookie
+    * banners — repeats verbatim across pages; [[cleanLines]]'s per-line
+    * heuristics can't see corpus frequency). Documents are reassembled
+    * with surviving lines in original order; a fully-boilerplate doc
+    * comes back as an empty string with `n_kept = 0`, never dropped
+    * (token accounting stays the caller's decision).
+    *
+    * Plan shape at 100 TB: the count is one line-digest aggregation with
+    * map-side partials; the frequent set joins back as a digest-keyed
+    * LEFT ANTI (Zipf makes it small — candidates must repeat > k times —
+    * so AQE typically broadcasts it), and reassembly is one groupBy on
+    * the doc id. Line text rides the two line-level exchanges — unlike
+    * the doc-level dedups there is no digest-only trick, because the
+    * output IS the surviving text.
+    *
+    * @return (idCol, clean, n_kept) — one row per input row */
+  def dedupFrequentLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, maxOccurrences: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+    val frequent = lines.groupBy(md5(col("__line")).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxOccurrences)
+      .select(col("__h"))
+    val rebuilt = lines
+      .join(frequent, md5(col("__line")) === col("__h"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("__idx"), col("__line")))),
+          s => s.getField("__line"))).as("clean"),
+        count(lit(1)).cast("long").as("n_kept"))
+    df.select(col(idCol))
+      .join(rebuilt, col(idCol) === rebuilt("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Top-`k` token vocabulary with stable integer ids — the tokenizer-
     * training primitive (and the input to any id-encoded corpus pass).
     * Ids are assigned by (count desc, token asc), so the mapping is a pure

@@ -424,6 +424,109 @@ object TextQueries extends QueryModule {
       },
       headline = true),
 
+    // C4-style corpus-level frequent-line removal: lines occurring more
+    // than maxOccurrences times ACROSS the corpus are boilerplate and
+    // dropped everywhere; docs reassemble in original line order. The
+    // corpus has no newlines, so lines are fabricated deterministically
+    // (the pipeline_e2e pattern) plus planted boilerplate: a footer on
+    // every doc (dropped), a banner on every third (dropped), a unique
+    // ref line on every seventh (kept).
+    "text_dedup_lines" -> QueryDef(
+      (s, d) => {
+        val fab = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            replace(col("text"), lit(" merge "), lit("\n")),
+            lit("\ncopyright example corp all rights reserved"),
+            when(col("doc_id") % 3 === 0,
+              lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit("\nref code "), col("doc_id").cast("string")))
+              .otherwise(lit(""))).as("t"))
+        graft.ops.TextAnalysis.dedupFrequentLines(fab, "doc_id", "t", maxOccurrences = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fab AS (
+              |  SELECT doc_id, replace(text, ' merge ', chr(10))
+              |    || chr(10) || 'copyright example corp all rights reserved'
+              |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END
+              |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'ref code ' || doc_id ELSE '' END AS t
+              |  FROM documents
+              |), ls AS (
+              |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+              |    unnest(range(1, len(string_split(t, chr(10))) + 1)) AS idx
+              |  FROM fab
+              |), freq AS (
+              |  SELECT line FROM ls GROUP BY line HAVING count(*) > 3
+              |), kept AS (
+              |  SELECT doc_id, idx, line FROM ls
+              |  WHERE line NOT IN (SELECT line FROM freq)
+              |), reb AS (
+              |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean,
+              |    CAST(count(*) AS BIGINT) AS n_kept
+              |  FROM kept GROUP BY doc_id
+              |)
+              |SELECT d.doc_id, coalesce(r.clean, '') AS clean,
+              |  coalesce(r.n_kept, 0) AS n_kept
+              |FROM documents d LEFT JOIN reb r USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Multinomial Naive Bayes source classifier, train AND score
+    // hash-gated (the text_lm_score pattern): the oracle re-derives the
+    // global vocab, the per-(class, mapped-token) counts, every add-one
+    // integer-scaled cost, the priors, and each document's argmin class —
+    // a drift anywhere in training or scoring breaks the hash. The
+    // synthetic corpus carries no real class signal; the gate proves
+    // engine parity of the full train/score path, not model quality.
+    "text_nb_classify" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = graft.ops.NaiveBayes.train(docs, "source", "text", maxVocab = 40)
+        graft.ops.NaiveBayes.classify(docs, "doc_id", "text", m)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $T AS ts FROM documents),
+              |u AS (SELECT doc_id, source, unnest(ts) AS t FROM toks),
+              |vocab AS (
+              |  SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM u
+              |  WHERE t <> '<unk>'
+              |  GROUP BY t ORDER BY n DESC, w LIMIT 40),
+              |vsize AS (SELECT CAST(count(*) AS BIGINT) + 1 AS vp FROM vocab),
+              |m AS (
+              |  SELECT u.doc_id, u.source,
+              |    CASE WHEN v.w IS NOT NULL THEN u.t ELSE '<unk>' END AS w
+              |  FROM u LEFT JOIN vocab v ON v.w = u.t),
+              |cnt AS (SELECT source AS c, w, CAST(count(*) AS BIGINT) AS n
+              |        FROM m GROUP BY 1, 2),
+              |ctot AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS nt
+              |         FROM m GROUP BY 1),
+              |vkeys AS (SELECT w FROM vocab UNION ALL SELECT '<unk>'),
+              |costs AS (
+              |  SELECT ct.c, vk.w,
+              |    CAST(floor(-ln((CAST(coalesce(cn.n, 0) AS DOUBLE) + 1.0)
+              |      / (CAST(ct.nt AS DOUBLE) + CAST(vs.vp AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS q6
+              |  FROM ctot ct CROSS JOIN vkeys vk CROSS JOIN vsize vs
+              |  LEFT JOIN cnt cn ON cn.c = ct.c AND cn.w = vk.w),
+              |dpri AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS nd
+              |         FROM documents GROUP BY 1),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents),
+              |priors AS (
+              |  SELECT d.c,
+              |    CAST(floor(-ln(CAST(d.nd AS DOUBLE) / CAST(t.ndocs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS pq6
+              |  FROM dpri d CROSS JOIN tot t),
+              |docsum AS (
+              |  SELECT m.doc_id, cs.c, CAST(sum(cs.q6) AS BIGINT) AS s
+              |  FROM m JOIN costs cs ON cs.w = m.w GROUP BY 1, 2),
+              |allsc AS (
+              |  SELECT d.doc_id, p.c, p.pq6 + coalesce(ds.s, 0) AS score
+              |  FROM documents d CROSS JOIN priors p
+              |  LEFT JOIN docsum ds ON ds.doc_id = d.doc_id AND ds.c = p.c),
+              |ranked AS (
+              |  SELECT doc_id, c, score,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY score, c) AS rn
+              |  FROM allsc)
+              |SELECT doc_id, c AS pred, score AS score_q6
+              |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // CORPUS-trained BPE, train side oracle-gated: trainBpe derives the
     // merge list from the documents table itself (distributed top-60
     // word counts → driver merge loop), and the oracle RETRAINS the same
