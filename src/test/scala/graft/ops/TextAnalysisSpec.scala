@@ -116,6 +116,57 @@ class TextAnalysisSpec extends SparkSpec {
       === Seq("a", "b", "</w>", "a</w>"))
   }
 
+  test("dedupFrequentLines drops corpus-frequent lines; all-boilerplate docs survive empty") {
+    // footer repeats 4x (> max 3) -> dropped everywhere; unique lines kept;
+    // doc 4 is ONLY the footer -> must come back as an empty row, not vanish
+    val docs = Seq(
+      (1L, "alpha unique line\nshared footer line"),
+      (2L, "beta unique line\nshared footer line"),
+      (3L, "gamma unique line\nshared footer line"),
+      (4L, "shared footer line"),
+      (5L, "delta unique line")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupFrequentLines(docs, "doc_id", "text", maxOccurrences = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("alpha unique line", 1L)))
+    assert(out(4L) === (("", 0L)), "all-boilerplate doc must survive as an empty row")
+    assert(out(5L) === (("delta unique line", 1L)))
+    assert(out.size === 5)
+    // at exactly maxOccurrences the line is NOT boilerplate (strict >)
+    val out3 = TextAnalysis.dedupFrequentLines(
+      docs.filter(col("doc_id") <= 3), "doc_id", "text", maxOccurrences = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out3(1L) === "alpha unique line\nshared footer line")
+    // surviving-line ORDER is the original line order, not sorted
+    val ordered = Seq((9L, "zz first\nshared\naa last"), (10L, "shared"),
+        (11L, "shared"), (12L, "shared"), (13L, "shared"))
+      .toDF("doc_id", "text")
+    val kept9 = TextAnalysis.dedupFrequentLines(ordered, "doc_id", "text", 3)
+      .filter(col("doc_id") === 9L).head().getString(1)
+    assert(kept9 === "zz first\naa last")
+  }
+
+  test("NaiveBayes: separable classes classify correctly; ties break to smallest class") {
+    val train = Seq(
+      ("sports", "goal match team score goal win"),
+      ("sports", "team match play score win goal"),
+      ("finance", "market stock price trade market rally"),
+      ("finance", "stock trade price market profit rally")).toDF("label", "text")
+    val m = NaiveBayes.train(train, "label", "text", maxVocab = 20)
+    assert(m.classes === Seq("finance", "sports"))
+    // every class cost map covers vocab + <unk> with the same key set
+    assert(m.costQ6("sports").keySet === m.costQ6("finance").keySet)
+    val test = Seq((1L, "goal team score"), (2L, "stock market price"),
+      (3L, "completely unseen words only"), (4L, "")).toDF("id", "text")
+    val out = NaiveBayes.classify(test, "id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) === "sports")
+    assert(out(2L) === "finance")
+    // all-OOV and empty docs: equal priors and equal unk costs -> the
+    // deterministic tie-break picks the lexicographically smallest class
+    assert(out(3L) === "finance")
+    assert(out(4L) === "finance")
+  }
+
   test("encodeIds maps tokens through the vocab, OOV to -1, length-preserving") {
     val docs = Seq((1L, "The cat sat"), (2L, "dog the DOG"), (3L, ""))
       .toDF("doc_id", "text")

@@ -138,6 +138,12 @@ class PlanSpec extends SparkSpec {
       "text scoring must stay inside the scan stage:\n" + p)
   }
 
+  test("text_nb_classify: scoring is scan-stage folds, no shuffle") {
+    val p = plan("text_nb_classify")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "NB scoring must fold literal cost maps inside the scan stage:\n" + p)
+  }
+
   test("text_gopher: structural gate stays inside the scan stage, no shuffle") {
     val p = plan("text_gopher")
     assert(!p.contains("Exchange hashpartitioning"),
