@@ -250,6 +250,20 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     stamped(best)._1
   }
 
+  /** Commit history, NEWEST first (delta-rs `DeltaTable.history`): one
+    * entry per version with its commitInfo when the writer recorded one.
+    * Reads exactly `limit` commit files when a limit is given — a bounded
+    * probe, not a log scan. */
+  def history(limit: Option[Int] = None): Seq[(Long, Option[Actions.CommitInfo])] = {
+    val latest = latestVersion()
+    if (latest < 0) Nil
+    else {
+      val versions = latest to 0L by -1L
+      limit.fold[Seq[Long]](versions)(n => versions.take(n.max(0)))
+        .map(v => v -> readVersion(v).flatMap(_.commitInfo).headOption)
+    }
+  }
+
   def readVersion(v: Long): Seq[Action] = {
     val in = fs.open(versionFile(v))
     try {

@@ -403,6 +403,33 @@ object ReferenceOps extends QueryModule {
       Some("""SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct,
              |  CAST(sum(event_id) AS BIGINT) AS id_sum FROM events""".stripMargin)),
 
+    // ---- Commit history (delta-rs DeltaTable.history): operations and
+    // ordering of every commit made through the real write path, read
+    // back newest-first then emitted per version. The oracle is the
+    // EXPECTED constant history — a wrong operation label, a missing or
+    // duplicated commit, or a zero timestamp fails the gate. ------------
+    "ref_history" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-hist")
+        val src = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val table = graft.delta.DeltaTable.forPath(s, dir).create(src.schema)
+        table.append(src.filter(col("event_id") % 2 === 0)) // v1
+        table.append(src.filter(col("event_id") % 2 =!= 0)) // v2
+        table.compact(minBytes = 1L << 30)                  // v3 OPTIMIZE
+        val h = table.log.history()
+        require(h == h.sortBy(-_._1), "history must come back newest first")
+        import s.implicits._
+        h.map { case (v, ci) =>
+          (v, ci.map(_.operation).getOrElse(""), ci.exists(_.timestamp > 0L))
+        }.toDF("version", "operation", "has_ts").orderBy(col("version"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), 'CREATE TABLE', true),
+             |  (CAST(1 AS BIGINT), 'WRITE', true),
+             |  (CAST(2 AS BIGINT), 'WRITE', true),
+             |  (CAST(3 AS BIGINT), 'OPTIMIZE', true)) AS t(version, operation, has_ts)
+             |ORDER BY version""".stripMargin)),
+
     // ---- Time travel (delta-rs load_with_version/load_with_datetime):
     // two commits through the REAL write path, then the HISTORICAL state
     // read back both by version and by timestamp. The oracle recomputes
