@@ -50,7 +50,15 @@ def main():
             n_skip += 1
             continue
         try:
-            duck_df = con.execute(oracle[name]).fetch_arrow_table()
+            # transient malloc failures under host contention: retry with
+            # a pause before reporting a phantom oracle error
+            for attempt in range(4):
+                try:
+                    duck_df = con.execute(oracle[name]).fetch_arrow_table()
+                    break
+                except duckdb.OutOfMemoryException:
+                    if attempt == 3: raise
+                    import time; time.sleep(5 * (attempt + 1))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1

@@ -9,10 +9,24 @@ import glob
 import json
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
 import pyarrow.parquet as pq
+
+
+def run_oracle(con, q_sql):
+    """This host's neighbor contention makes malloc fail transiently
+    (tiny-block bad_alloc with 100+ GB free); retry with a pause instead
+    of reporting a phantom failure."""
+    for attempt in range(4):
+        try:
+            return con.execute(q_sql).arrow()
+        except duckdb.OutOfMemoryException:
+            if attempt == 3:
+                raise
+            time.sleep(5 * (attempt + 1))
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -30,7 +44,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures.append((q, "no spark output"))
             continue
         spark_tbl = pq.read_table(files[0])
-        oracle_tbl = con.execute(sql[q]).arrow()
+        oracle_tbl = run_oracle(con, sql[q])
         s_schema = {f.name: str(f.type) for f in spark_tbl.schema}
         o_schema = {f.name: str(f.type) for f in oracle_tbl.schema}
         if s_schema != o_schema:

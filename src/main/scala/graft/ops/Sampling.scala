@@ -237,6 +237,46 @@ object Sampling {
       .drop("__d", "__cs", "__ck")
   }
 
+  /** Deterministic epoch shuffle: a reproducible pseudo-random permutation
+    * of the corpus — the training-order shuffle every pretraining run
+    * needs, seeded per epoch so each epoch sees a different but
+    * REPLAYABLE order (resume-from-checkpoint reads the same order).
+    * `posCol` is the dense rank 0..n−1 of (md5 coin, key).
+    *
+    * Scale design: the naive global `row_number()` window serializes the
+    * corpus into one task. Instead the coin's top 12 bits form 4096
+    * VALUE-derived buckets (a prefix of the sort key, so bucket order ==
+    * global order): one bounded aggregation computes the bucket
+    * histogram (≤ 4096 rows to the driver), prefix-sum offsets fold back
+    * as a map literal, and each row's position is its bucket offset plus
+    * its rank within the bucket — one hash exchange, 4096-way parallel
+    * windows, no single-partition funnel. Unlike [[percentileGate]]'s
+    * partition-id coupling, buckets derive from row VALUES, so cache
+    * eviction or recomputation cannot re-bucket a row.
+    *
+    * @note EAGER: the histogram job runs at call time; the returned plan
+    *       re-scans `df`. Contract: `keyCol` unique (total order). */
+  def epochShuffle(df: DataFrame, keyCol: String, salt: String, epoch: Int,
+                   posCol: String = "pos"): DataFrame = {
+    require(epoch >= 0, s"negative epoch: $epoch")
+    Seq("__coin", "__bkt").foreach(c => require(!df.columns.contains(c),
+      s"epochShuffle reserves column name '$c' but the input already has it"))
+    require(!df.columns.contains(posCol), s"output column '$posCol' already exists")
+    val c = coin(col(keyCol), s"$salt:e$epoch") // uniform in [0, 2^32)
+    val withB = df.withColumn("__coin", c)
+      .withColumn("__bkt", shiftright(col("__coin"), 20).cast("int"))
+    val hist = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = hist.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+    val offMap = hist.map(_._1).zip(offsets.map(_._2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col("__coin"), col(keyCol))
+    withB.withColumn(posCol,
+        element_at(typedlit(offMap), col("__bkt")) +
+          row_number().over(w).cast("long") - 1L)
+      .drop("__coin", "__bkt")
+  }
+
   /** Domain-mixture resampling (data mixing): each domain gets a sampling
     * WEIGHT w ≥ 0 interpreted as epochs — every doc is emitted ⌊w⌋ times
     * plus once more with probability frac(w), so the expected copy count

@@ -84,6 +84,20 @@ object SamplingQueries extends QueryModule {
 
     // Importance sampling: keep probability is a PER-ROW score (here a
     // length ramp over n_chars) instead of a plan-time constant.
+    // Deterministic epoch shuffle: the training-order permutation of the
+    // corpus, ranked WITHOUT a global window — value-derived bucket
+    // offsets (bounded histogram) + 4096-way parallel per-bucket windows.
+    // The oracle is the straightforward global row_number over the same
+    // coin, so the hash gate proves the distributed rank equals it.
+    "sample_shuffle" -> QueryDef(
+      (s, d) =>
+        Sampling.epochShuffle(Tables.documents(s, d), "doc_id", "ord", epoch = 1)
+          .select(col("doc_id"), col("pos"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CAST(row_number() OVER (ORDER BY ${coinSql("doc_id", "ord:e1")}, doc_id) - 1 AS BIGINT) AS pos
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "sample_weighted" -> QueryDef(
       (s, d) =>
         Sampling.weightedBernoulli(Tables.documents(s, d), "doc_id",

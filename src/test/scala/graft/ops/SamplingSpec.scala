@@ -219,6 +219,29 @@ class SamplingSpec extends SparkSpec {
     assert(perDom === Map("big" -> 1350L, "mid" -> 120L, "small" -> 30L))
   }
 
+  test("epochShuffle: exact permutation, epoch-seeded, partitioning-independent") {
+    val docs = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val e1 = Sampling.epochShuffle(docs, "id", "sh", epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // a PERMUTATION: every position 0..n-1 exactly once
+    assert(e1.values.toSeq.sorted === (0L until 500L))
+    // epoch seeding: a different epoch is a different order...
+    val e2 = Sampling.epochShuffle(docs, "id", "sh", epoch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(e2.values.toSeq.sorted === (0L until 500L))
+    assert(e1 !== e2, "epochs must permute differently")
+    // ...but the SAME epoch is bit-identical however the input is
+    // partitioned (replayable training order — the whole point)
+    for (parts <- Seq(1, 7, 32)) {
+      val again = Sampling.epochShuffle(docs.repartition(parts), "id", "sh", epoch = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(again === e1, s"order differs under repartition($parts)")
+    }
+    // reserved/output names are refused, not clobbered
+    assertThrows[IllegalArgumentException](
+      Sampling.epochShuffle(docs.withColumn("pos", lit(1)), "id", "sh", 1))
+  }
+
   test("mixtureResample: copy counts follow weights, deterministic, zero drops") {
     val docs = (1L to 400L).map { i =>
       (i, if (i <= 100) "up" else if (i <= 200) "down" else if (i <= 300) "gone" else "rest")

@@ -138,6 +138,13 @@ class PlanSpec extends SparkSpec {
       "text scoring must stay inside the scan stage:\n" + p)
   }
 
+  test("sample_shuffle: distributed rank, never a single-partition global window") {
+    val p = plan("sample_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the epoch shuffle must rank via bucket windows, not one global window:\n" + p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("text_nb_classify: scoring is scan-stage folds, no shuffle") {
     val p = plan("text_nb_classify")
     assert(!p.contains("Exchange hashpartitioning"),
