@@ -342,6 +342,41 @@ object Sampling {
         expr(s"(start_tok + greatest(n_tokens - 1, 0L)) DIV $contextLen"))
   }
 
+  /** Materialize PACKED training sequences — the step after
+    * [[packChunks]]'s accounting: concatenate each shard's token-id
+    * arrays in the same deterministic hash order, cut at `contextLen`
+    * boundaries, and emit one row per (shard, seq_idx) carrying the ids
+    * in order. The trailing partial sequence of each shard is kept
+    * (padding/dropping is the trainer's policy, not the packer's).
+    *
+    * Scale: this op MATERIALIZES tokens, so per-token rows are the
+    * honest cost — one per-shard offset window (same as [[packChunks]]),
+    * one explode, one (shard, seq) shuffle of (int, long) pairs. The
+    * shard column must bound per-partition data, same contract as
+    * [[packChunks]].
+    *
+    * @param idsCol array<long> token ids per row (e.g.
+    *   [[TextAnalysis.encodeIds]] or the BPE id kernel)
+    * @return (shard, seq_idx, n_ids, ids_joined) — ids comma-joined
+    *   (integer arrays trip the arrow element-name gate) */
+  def packSequences(df: DataFrame, shardCol: String, keyCol: String,
+                    idsCol: Column, contextLen: Int, salt: String): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive: $contextLen")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(coin(col("id"), salt), col("id"))
+    df.select(col(shardCol).as("shard"), col(keyCol).as("id"), idsCol.as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+      .withColumn("__start", coalesce(sum(col("__n")).over(w) - col("__n"), lit(0L)))
+      .select(col("shard"), col("__start"),
+        posexplode(col("__ids")).as(Seq("__i", "__tok")))
+      .withColumn("__gpos", col("__start") + col("__i"))
+      .groupBy(col("shard"), expr(s"__gpos DIV $contextLen").as("seq_idx"))
+      .agg(count(lit(1)).cast("long").as("n_ids"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("__gpos"), col("__tok")))),
+          s => s.getField("__tok").cast("string"))).as("ids_joined"))
+  }
+
   /** Cross-corpus exact decontamination: drop corpus docs whose
     * bag-of-words fingerprint ([[TextAnalysis.fingerprint]] — sorted
     * distinct token set) appears in the probe corpus (benchmark/eval

@@ -82,8 +82,6 @@ object SamplingQueries extends QueryModule {
               |  least(1.0, 800.0 / CAST(total AS DOUBLE)) * 4294967296.0
               |ORDER BY doc_id""".stripMargin)),
 
-    // Importance sampling: keep probability is a PER-ROW score (here a
-    // length ramp over n_chars) instead of a plan-time constant.
     // Deterministic epoch shuffle: the training-order permutation of the
     // corpus, ranked WITHOUT a global window — value-derived bucket
     // offsets (bounded histogram) + 4096-way parallel per-bucket windows.
@@ -98,6 +96,8 @@ object SamplingQueries extends QueryModule {
               |  CAST(row_number() OVER (ORDER BY ${coinSql("doc_id", "ord:e1")}, doc_id) - 1 AS BIGINT) AS pos
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Importance sampling: keep probability is a PER-ROW score (here a
+    // length ramp over n_chars) instead of a plan-time constant.
     "sample_weighted" -> QueryDef(
       (s, d) =>
         Sampling.weightedBernoulli(Tables.documents(s, d), "doc_id",
@@ -173,6 +173,45 @@ object SamplingQueries extends QueryModule {
               |  CAST(start_tok // 512 AS BIGINT) AS chunk_first,
               |  CAST((start_tok + greatest(n_tokens - 1, 0)) // 512 AS BIGINT) AS chunk_last
               |FROM s ORDER BY shard, id""".stripMargin)),
+
+    // Packed-sequence MATERIALIZATION: the tensor-prep step — top-30
+    // vocab ids (text_encode_ids' exact definition) concatenated per
+    // shard in packChunks' hash order and cut into 64-id sequences. The
+    // oracle rebuilds the vocab, the ids, the offsets, and every
+    // sequence's id string from raw text.
+    "pack_sequences" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = TextAnalysis.buildVocab(docs, "text", 30)
+        val ids = TextAnalysis.encodeIds(docs, "doc_id", "text", vocab)
+          .select(col("doc_id"), col("ids"))
+        Sampling.packSequences(
+            docs.select(col("doc_id"), col("source")).join(ids, Seq("doc_id")),
+            "source", "doc_id", col("ids"), contextLen = 64, salt = "ps")
+          .orderBy(col("shard"), col("seq_idx"))
+      },
+      Some(s"""WITH c AS (SELECT unnest(${O.T}) AS token FROM documents),
+              |n AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY token),
+              |v AS (SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS id
+              |      FROM n ORDER BY n DESC, token LIMIT 30),
+              |toks AS (SELECT doc_id, source, ${O.T} AS ts FROM documents),
+              |off AS (
+              |  SELECT doc_id,
+              |    CAST(SUM(len(ts)) OVER (
+              |      PARTITION BY source ORDER BY ${coinSql("doc_id", "ps")}, doc_id
+              |      ROWS UNBOUNDED PRECEDING) - len(ts) AS BIGINT) AS strt
+              |  FROM toks),
+              |u AS (SELECT doc_id, source, unnest(ts) AS tok,
+              |        unnest(range(1, len(ts) + 1)) AS i
+              |      FROM toks),
+              |ids AS (SELECT u.doc_id, u.source, u.i, coalesce(v.id, -1) AS tid
+              |        FROM u LEFT JOIN v ON v.token = u.tok),
+              |pos AS (SELECT ids.source AS shard, o.strt + ids.i - 1 AS gpos, ids.tid
+              |        FROM ids JOIN off o ON o.doc_id = ids.doc_id)
+              |SELECT shard, CAST(gpos // 64 AS BIGINT) AS seq_idx,
+              |  CAST(count(*) AS BIGINT) AS n_ids,
+              |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos) AS ids_joined
+              |FROM pos GROUP BY 1, 2 ORDER BY shard, seq_idx""".stripMargin)),
 
     "text_decontaminate" -> QueryDef(
       (s, d) => {
