@@ -24,3 +24,22 @@ trait FloatArrayInputs
     children.map(_ =>
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
 }
+
+/** (array<float>, bigint) — a vector plus an id (e.g. the PQ encoder's
+  * cell assignment). Same private[sql] AbstractDataType reason as above. */
+trait FloatArrayLongInputs
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType),
+      org.apache.spark.sql.types.LongType)
+}
+
+/** (array<double>, array<int>) — an fp64 residual plus PQ codes. */
+trait DoubleArrayIntArrayInputs
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+}

@@ -316,15 +316,14 @@ object Similarity {
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** PQ code of subspace `m` over residual column `r`: argmin squared-L2
-    * codeword, ties to the smallest code id (the (-d, -code) struct-max
-    * trick every assignment here uses). */
-  private def pqCode(pq: Seq[Seq[Seq[Double]]], dsub: Int, m: Int)(r: Column): Column = {
-    val sub = slice(r, m * dsub + 1, dsub)
-    val structs = pq(m).zipWithIndex.map { case (cw, ci) =>
-      struct((-l2sq(sub, typedlit(cw))).as("nd"), lit(-ci.toLong).as("nc"))
-    }
-    (-array_max(array(structs: _*)).getField("nc")).cast("int")
+  private def pqArrays(pq: Seq[Seq[Seq[Double]]]): Array[Array[Array[Double]]] =
+    pq.map(_.map(_.toArray).toArray).toArray
+
+  private def centArrays(cents: Seq[(Long, Seq[Float])]): Array[Array[Double]] = {
+    // kernel indexes cents by cell id — the codebook ids must be dense
+    require(cents.map(_._1) == cents.indices.map(_.toLong),
+      s"cell codebook ids must be dense 0..k-1, got ${cents.map(_._1)}")
+    cents.map(_._2.map(_.toDouble).toArray).toArray
   }
 
   /** Deterministic stand-in PQ codebook (the [[ivfTopK]] first-k-vectors
@@ -427,36 +426,30 @@ object Similarity {
                 pq: Seq[Seq[Seq[Double]]], shortlist: Int): DataFrame = {
     require(pq.nonEmpty && pq.forall(_.nonEmpty), "empty PQ codebook")
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
-    val mSub = pq.length
-    val dsub = pq.head.head.length
     val cents = cellCentroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    val centsArr = centArrays(cents)
+    val pqArr = pqArrays(pq)
 
-    // corpus → (neighbor_id, cell, c0..c{M-1}): the codes-only candidate
-    // representation (M small ints per vector — the memory story)
+    // corpus → (neighbor_id, cell, codes): the codes-only candidate
+    // representation (M small ints per vector — the memory story). The
+    // fused codegen kernel computes residual + per-subspace argmin in one
+    // compiled pass (the declarative form paid M × ksub interpreted
+    // lambda folds per row), bit-identically.
     val encoded = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .withColumn("cell", cellOf(cents)(col("cv")))
-      .withColumn("r", residual(col("cv"), centArrFor(cents)(col("cell"))))
-      .select(Seq(col("neighbor_id"), col("cell")) ++
-        (0 until mSub).map(m => pqCode(pq, dsub, m)(col("r")).as(s"c$m")): _*)
+      .select(col("neighbor_id"), col("cell"),
+        graft.functions.PqExprs.encode(col("cv"), col("cell"), centsArr, pqArr).as("codes"))
 
     val probes = probeCells(queries, queryId, queryVec, cents, nprobe)
       .withColumn("qres", residual(col("qv"), centArrFor(cents)(col("cell"))))
       .select(col("query_id"), col("cell"), col("qres"))
 
-    // ADC: per-subspace LUT fold (codeword CASE chain — ksub bounded),
-    // summed left-to-right in subspace order
-    val approx = (0 until mSub).map { m =>
-      val cw = pq(m).zipWithIndex.foldLeft(lit(null).cast("array<double>")) {
-        case (acc, (w, ci)) => when(col(s"c$m") === ci, typedlit(w)).otherwise(acc)
-      }
-      l2sq(slice(col("qres"), m * dsub + 1, dsub), cw)
-    }.reduceLeft(_ + _)
-
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("approx"), col("neighbor_id"))
     val short = encoded.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), approx.as("approx"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqExprs.adc(col("qres"), col("codes"), pqArr).as("approx"))
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
