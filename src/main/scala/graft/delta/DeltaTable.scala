@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, input_file_name, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Delta table facade: transactional parquet append/read on top of
@@ -228,6 +228,77 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       }
       tasks.map(_.get()).toSeq
     } finally pool.shutdown()
+  }
+
+  /** Copy-on-write MERGE (upsert, the delta-rs merge shape for a
+    * unique-key source: matched target rows are replaced by their source
+    * row, unmatched source rows insert, unmatched target rows are
+    * untouched). Only data files that actually CONTAIN a matched key are
+    * rewritten — the row→file mapping comes from `input_file_name()`, so
+    * an upsert touching one partition's worth of keys rewrites that
+    * partition's files, not the table. Columns absent from the source
+    * null-fill (the schema-evolution read contract).
+    *
+    * Atomicity/concurrency: one commit carrying the rewritten survivors,
+    * the new data, and the removes; the [[DeltaLog.commit]] `check`
+    * re-verifies on every retry that all files this rewrite was based on
+    * are still live (the [[compact]] guard — a concurrent rewrite of a
+    * shared file would otherwise resurrect its replaced rows).
+    *
+    * Contract: source keys unique (two source rows with one key would
+    * both insert). Returns the committed version. */
+  def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val sch = schema
+    val parts = partitionColumns
+    keyCols.foreach(k => require(sch.fieldNames.contains(k), s"unknown key column '$k'"))
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"source is missing key column '$k'"))
+    val snap = snapshot
+    val srcCols = source.columns.toSet
+    val aligned = source.select(sch.fields.map(f =>
+      (if (srcCols.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)).toSeq: _*)
+    val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
+
+    // which live files hold a matched key? (bounded collect: ≤ file count)
+    val affected: Seq[AddFile] =
+      if (snap.files.isEmpty) Nil
+      else {
+        val paths = snap.files.map(f => new Path(path, f.path).toString)
+        val reader = spark.read.schema(sch)
+        val raw = if (parts.isEmpty) reader.parquet(paths: _*)
+                  else reader.option("basePath", path).parquet(paths: _*)
+        val hitPaths = raw.withColumn("__file", input_file_name())
+          .join(srcKeys, keyCols, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+        snap.files.filter(f =>
+          hitPaths.contains(fs.makeQualified(new Path(path, f.path)).toUri.getPath))
+      }
+
+    // survivors of the affected files + all source rows, staged as one write
+    val survivors = dfFor(snap.copy(files = affected))
+      .join(srcKeys, keyCols, "left_anti")
+    val newData = survivors.unionByName(aligned)
+    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
+    val writer = arranged.write.mode("overwrite").option("compression", "snappy")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
+    val adds = collectStagedFiles(staging, parts)
+    try {
+      val removedPaths = affected.map(_.path).toSet
+      val committed = log.commit(
+        adds.map(a => Action(add = Some(a))) ++
+          affected.map(f => Action(remove = Some(RemoveFile(f.path,
+            Some(System.currentTimeMillis()))))) ++
+          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "MERGE",
+            Map("predicateKeys" -> keyCols.mkString(",")))))),
+        check = s => removedPaths.subsetOf(s.files.map(_.path).toSet))
+      if (committed < 0)
+        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+      committed
+    } finally fs.delete(staging, true)
   }
 
   /** Read the current snapshot as a DataFrame (partition columns restored

@@ -403,6 +403,39 @@ object ReferenceOps extends QueryModule {
       Some("""SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct,
              |  CAST(sum(event_id) AS BIGINT) AS id_sum FROM events""".stripMargin)),
 
+    // ---- MERGE / upsert (delta-rs merge, copy-on-write): target = even
+    // event ids; the source UPDATES every id % 4 == 0 row (user_id bumped
+    // by 1e6) and INSERTS odd multiples of 5 (bumped by 2e6). The oracle
+    // recomputes the merged state from the raw table — a lost update, a
+    // resurrected old row (bad file rewrite), or a dropped insert all
+    // shift the sums. ----------------------------------------------------
+    "ref_merge" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-merge")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val table = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema)
+        table.append(ev.filter(col("event_id") % 2 === 0))
+        val src = ev.filter(col("event_id") % 4 === 0)
+          .select(col("event_id"), (col("user_id") + 1000000).cast("long").as("user_id"))
+          .unionByName(ev.filter(col("event_id") % 2 =!= 0 && col("event_id") % 5 === 0)
+            .select(col("event_id"), (col("user_id") + 2000000).cast("long").as("user_id")))
+        require(table.merge(src, Seq("event_id")) > 0L)
+        table.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""WITH merged AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 4 = 0 THEN user_id + 1000000 ELSE user_id END AS user_id
+             |  FROM events WHERE event_id % 2 = 0
+             |  UNION ALL
+             |  SELECT event_id, user_id + 2000000 AS user_id FROM events
+             |  WHERE event_id % 2 = 1 AND event_id % 5 = 0
+             |)
+             |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM merged""".stripMargin)),
+
     // ---- Commit history (delta-rs DeltaTable.history): operations and
     // ordering of every commit made through the real write path, read
     // back newest-first then emitted per version. The oracle is the

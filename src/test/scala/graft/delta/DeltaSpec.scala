@@ -83,6 +83,41 @@ class DeltaSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](t.toDFAsOf(ts0 - 1))
   }
 
+  test("merge upserts copy-on-write: only files containing matched keys rewrite") {
+    val t = newTable()
+    t.append(sampleDf(0 until 10).coalesce(1))   // file A: ids 0-9
+    t.append(sampleDf(10 until 20).coalesce(1))  // file B: ids 10-19
+    val before = t.snapshot.files.map(_.path).toSet
+    assert(before.size === 2)
+    // update id 5 (lives in file A only), insert id 100
+    val src = sampleDf(5 until 6).withColumn("name", lit("updated5"))
+      .union(sampleDf(100 until 101))
+    val v = t.merge(src, Seq("id"))
+    assert(v > 0L)
+    val after = t.snapshot.files.map(_.path).toSet
+    assert((before -- after).size === 1, s"exactly file A must be replaced: $before -> $after")
+    assert((before & after).size === 1, "file B must be untouched")
+    val rows = t.toDF.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(rows.size === 21)
+    assert(rows(5L) === "updated5", "matched row takes the source values")
+    assert(rows(100L) === "name100", "unmatched source row inserts")
+    assert(rows(15L) === "name15", "unmatched target row is untouched")
+    assert(t.log.history(Some(1)).head._2.exists(_.operation === "MERGE"))
+    // a merge with NO matches rewrites nothing — pure insert
+    val before2 = t.snapshot.files.map(_.path).toSet
+    assert(t.merge(sampleDf(200 until 202), Seq("id")) > 0L)
+    val after2 = t.snapshot.files.map(_.path).toSet
+    assert(before2.subsetOf(after2), "no-match merge must not rewrite any file")
+    assert(t.toDF.count() === 23L)
+    // source columns outside the key null-fill when absent
+    import spark.implicits._
+    val partial = Seq((15L, "renamed15")).toDF("id", "name")
+    t.merge(partial, Seq("id"))
+    val r15 = t.toDF.filter(col("id") === 15L).collect().head
+    assert(r15.getAs[String]("name") === "renamed15")
+    assert(r15.isNullAt(r15.fieldIndex("ts")), "columns absent from the source null-fill")
+  }
+
   test("versionAt clamps out-of-order commit timestamps and reads only near the cut") {
     val t = newTable()                    // v0: create
     t.append(sampleDf(0 until 2))         // v1
