@@ -280,7 +280,74 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // survivors of the affected files + all source rows, staged as one write
     val survivors = dfFor(snap.copy(files = affected))
       .join(srcKeys, keyCols, "left_anti")
-    val newData = survivors.unionByName(aligned)
+    commitRewrite(affected, survivors.unionByName(aligned), "MERGE",
+      Map("predicateKeys" -> keyCols.mkString(",")))
+  }
+
+  /** Copy-on-write DELETE (delta-rs `delete`): drop every row matching
+    * `predicate`; only files actually CONTAINING a match are rewritten
+    * (row→file mapping, like [[merge]]). Returns the committed version,
+    * or -1 when nothing matched (no commit — a no-op delete must not
+    * grow the log). */
+  def delete(predicate: org.apache.spark.sql.Column): Long = {
+    val snap = snapshot
+    val affected = filesMatching(snap, predicate)
+    if (affected.isEmpty) return -1L
+    val survivors = dfFor(snap.copy(files = affected)).filter(!predicate)
+    commitRewrite(affected, survivors, "DELETE")
+  }
+
+  /** Copy-on-write UPDATE (delta-rs `update`): for rows matching
+    * `predicate`, replace each column in `set` with its expression (
+    * evaluated against the OLD row, the standard UPDATE semantics);
+    * non-matching rows in rewritten files are carried unchanged. Returns
+    * the committed version, or -1 when nothing matched. */
+  def update(predicate: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    val sch = schema
+    set.keys.foreach(k => require(sch.fieldNames.contains(k), s"unknown SET column '$k'"))
+    val snap = snapshot
+    val affected = filesMatching(snap, predicate)
+    if (affected.isEmpty) return -1L
+    val rewritten = dfFor(snap.copy(files = affected))
+      .select(sch.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            org.apache.spark.sql.functions.when(predicate, e.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    commitRewrite(affected, rewritten, "UPDATE")
+  }
+
+  /** Live files containing at least one row matching `predicate`
+    * (bounded collect: ≤ file count). */
+  private def filesMatching(snap: Snapshot,
+                            predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    if (snap.files.isEmpty) return Nil
+    val sch = snap.schema.get
+    val parts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
+    val paths = snap.files.map(f => new Path(path, f.path).toString)
+    val reader = spark.read.schema(sch)
+    val raw = if (parts.isEmpty) reader.parquet(paths: _*)
+              else reader.option("basePath", path).parquet(paths: _*)
+    val hitPaths = raw.withColumn("__file", input_file_name())
+      .filter(predicate)
+      .select(col("__file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    snap.files.filter(f =>
+      hitPaths.contains(fs.makeQualified(new Path(path, f.path)).toUri.getPath))
+  }
+
+  /** Stage `newData`, then atomically commit it as adds plus `affected`
+    * as removes — the shared copy-on-write tail of [[merge]], [[delete]]
+    * and [[update]], with [[compact]]'s concurrent-rewrite guard. */
+  private def commitRewrite(affected: Seq[AddFile], newData: DataFrame,
+                            operation: String,
+                            params: Map[String, String] = Map.empty): Long = {
+    val parts = partitionColumns
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
     val writer = arranged.write.mode("overwrite").option("compression", "snappy")
@@ -292,8 +359,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         adds.map(a => Action(add = Some(a))) ++
           affected.map(f => Action(remove = Some(RemoveFile(f.path,
             Some(System.currentTimeMillis()))))) ++
-          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "MERGE",
-            Map("predicateKeys" -> keyCols.mkString(",")))))),
+          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation, params)))),
         check = s => removedPaths.subsetOf(s.files.map(_.path).toSet))
       if (committed < 0)
         adds.foreach(a => fs.delete(new Path(path, a.path), false))

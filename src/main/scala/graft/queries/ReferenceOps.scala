@@ -436,6 +436,34 @@ object ReferenceOps extends QueryModule {
              |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM merged""".stripMargin)),
 
+    // ---- DELETE + UPDATE (delta-rs delete/update, copy-on-write): the
+    // full DML sequence through the real write path — delete every
+    // id % 7 == 0 row, then bump user_id by 5e6 where id % 3 == 0 (SET
+    // evaluated against the OLD row). The oracle recomputes the final
+    // state from raw events; a row deleted too much/too little or an
+    // update applied to the wrong slice shifts the sums. --------------
+    "ref_delete_update" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-dml")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val table = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema)
+        table.append(ev)
+        require(table.delete(col("event_id") % 7 === 0) > 0L)
+        require(table.update(col("event_id") % 3 === 0,
+          Map("user_id" -> (col("user_id") + 5000000L))) > 0L)
+        table.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""WITH afterdml AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 3 = 0 THEN user_id + 5000000 ELSE user_id END AS user_id
+             |  FROM events WHERE event_id % 7 <> 0
+             |)
+             |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM afterdml""".stripMargin)),
+
     // ---- Commit history (delta-rs DeltaTable.history): operations and
     // ordering of every commit made through the real write path, read
     // back newest-first then emitted per version. The oracle is the

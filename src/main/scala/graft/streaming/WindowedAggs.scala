@@ -70,6 +70,47 @@ object WindowedAggs {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
 
+  final case class BudgetDoc(source: String, doc_id: Long,
+                             ts: java.sql.Timestamp, n_tokens: Long)
+
+  /** Streaming per-domain token budget via flatMapGroupsWithState — the
+    * streaming counterpart of [[graft.ops.Sampling.domainBudget]]: admit
+    * a source's documents until its cumulative token count would exceed
+    * `budget`, then drop that source's docs forever (state = one Long per
+    * source, never evicted — bounded by the domain cardinality contract).
+    * "Stop ingesting a source once its quota is spent" — the cap a
+    * crawler feed needs online, where the batch op's global totals don't
+    * exist yet.
+    *
+    * Determinism contract (unlike the batch op's coin-based sample):
+    * admission is FIRST-COME by stream order — cross-batch arrival order
+    * is the stream's order; WITHIN a batch, docs are admitted in
+    * (ts, doc_id) order, so a replay of the same micro-batches yields
+    * the same admissions. A doc larger than the remaining budget is
+    * dropped without consuming it (the next smaller doc may still fit —
+    * greedy-by-order, the standard quota semantics). */
+  def streamingDomainBudget(docs: Dataset[BudgetDoc], budget: Long): Dataset[BudgetDoc] = {
+    require(budget >= 0, s"negative budget: $budget")
+    implicit val docEnc = Encoders.product[BudgetDoc]
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.STRING
+
+    def fn(source: String, it: Iterator[BudgetDoc],
+           state: GroupState[Long]): Iterator[BudgetDoc] = {
+      var consumed = state.getOption.getOrElse(0L)
+      val admitted = it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).filter { d =>
+        val fits = consumed + d.n_tokens <= budget
+        if (fits) consumed += d.n_tokens
+        fits
+      }
+      state.update(consumed)
+      admitted.iterator
+    }
+
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState (the reference
     * has no stateful ops — this is the Spark-native custom-state surface):
     * a session closes when no event arrives within `gapMs` of the last

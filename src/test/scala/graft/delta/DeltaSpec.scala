@@ -118,6 +118,32 @@ class DeltaSpec extends SparkSpec {
     assert(r15.isNullAt(r15.fieldIndex("ts")), "columns absent from the source null-fill")
   }
 
+  test("delete and update rewrite only the files containing matches; no-ops don't commit") {
+    val t = newTable()
+    t.append(sampleDf(0 until 10).coalesce(1))   // file A
+    t.append(sampleDf(10 until 20).coalesce(1))  // file B
+    val before = t.snapshot.files.map(_.path).toSet
+    // delete ids 3,4 — both in file A; file B untouched
+    assert(t.delete(col("id").isin(3L, 4L)) > 0L)
+    val afterDel = t.snapshot.files.map(_.path).toSet
+    assert((before & afterDel).size === 1, "file B must survive the delete untouched")
+    assert(t.toDF.count() === 18L)
+    assert(t.toDF.filter(col("id").isin(3L, 4L)).isEmpty)
+    // no-match delete: no commit at all
+    val vBefore = t.log.latestVersion()
+    assert(t.delete(col("id") === 999L) === -1L)
+    assert(t.log.latestVersion() === vBefore, "a no-op delete must not grow the log")
+    // update with SET evaluated against the OLD row, only where matched
+    assert(t.update(col("id") >= 15L, Map("name" -> concat(col("name"), lit("!")))) > 0L)
+    val names = t.toDF.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(names(15L) === "name15!" && names(19L) === "name19!")
+    assert(names(12L) === "name12", "unmatched rows in rewritten files carry unchanged")
+    assert(t.update(col("id") === 999L, Map("name" -> lit("x"))) === -1L)
+    // history records the DML operations
+    val ops = t.log.history(Some(2)).flatMap(_._2).map(_.operation)
+    assert(ops === Seq("UPDATE", "DELETE"))
+  }
+
   test("versionAt clamps out-of-order commit timestamps and reads only near the cut") {
     val t = newTable()                    // v0: create
     t.append(sampleDf(0 until 2))         // v1

@@ -15,6 +15,33 @@ class StreamingWindowSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("streamingDomainBudget admits first-come until the quota is spent, per source") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[BudgetDoc]
+    val q = WindowedAggs.streamingDomainBudget(in.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("sdb").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: srcA consumes 40 + 50 = 90 (admitted in (ts, id) order);
+      // the 20-token doc would overflow -> dropped without consuming
+      in.addData(
+        BudgetDoc("srcA", 2L, ts(1), 50L),
+        BudgetDoc("srcA", 1L, ts(0), 40L),
+        BudgetDoc("srcA", 3L, ts(2), 20L),
+        BudgetDoc("srcB", 10L, ts(0), 99L))
+      q.processAllAvailable()
+      // batch 2: srcA has 10 left — a 10-token doc fits exactly, a later
+      // one is refused; srcB has 1 left — everything refused
+      in.addData(
+        BudgetDoc("srcA", 4L, ts(3), 10L),
+        BudgetDoc("srcA", 5L, ts(4), 1L),
+        BudgetDoc("srcB", 11L, ts(1), 2L))
+      q.processAllAvailable()
+      val out = spark.table("sdb").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(out === Set(1L, 2L, 4L, 10L),
+        s"expected first-come admissions within per-source budgets; got $out")
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark: late events beyond lateness are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]
