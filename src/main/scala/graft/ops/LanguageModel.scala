@@ -107,4 +107,62 @@ object LanguageModel {
       lm.contexts.toSeq.sortBy(_._1),
       lm.bigrams.toSeq.sortBy(_._1),
       lm.vocabSize.toDouble)
+
+  /** Per-class KL divergence from the corpus distribution — the
+    * data-mixing diagnostic ("how far is source X's unigram distribution
+    * from the blend?") that decides reweighting before any training run.
+    * KL(p_class ‖ p_corpus) over a global top-`maxVocab` vocabulary with
+    * OOV pooled into `<unk>` and add-one smoothing on BOTH sides (so no
+    * term divides by zero and the measure is finite by construction).
+    *
+    * Scale/determinism: the only corpus-scale work is the (class ×
+    * mapped-token) count aggregation (bounded output ≤ classes·(V+1)
+    * rows); the divergence itself is arithmetic on that bounded grid.
+    * Each term integerizes FIRST (floor(p·ln(p/q)·10⁹ + 0.5) — terms can
+    * be negative; floor(x+0.5) rounds identically in both engines) and
+    * the per-class sum is then exact integer addition — order-free, so
+    * the oracle can re-derive it without fp-summation hazards.
+    *
+    * @return (class, n_tokens, kl_q9) one row per class */
+  def klBySource(df: DataFrame, labelCol: String, textCol: String,
+                 maxVocab: Int): DataFrame = {
+    require(maxVocab >= 1, s"bad maxVocab=$maxVocab")
+    val spark = df.sparkSession
+    val toks = df.select(col(labelCol).cast("string").as("c"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    val vocab: Seq[String] = toks.select(explode(col("ts")).as("w"))
+      .filter(col("w") =!= Unk)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(maxVocab)
+      .collect().map(_.getString(0)).toSeq
+    val vocabLit = typedlit[Map[String, Long]](vocab.map(_ -> 1L).toMap)
+    val mapped = toks.select(col("c"), explode(col("ts")).as("w"))
+      .select(col("c"),
+        when(element_at(vocabLit, col("w")).isNotNull, col("w"))
+          .otherwise(lit(Unk)).as("w"))
+    val cnt = mapped.groupBy(col("c"), col("w")).agg(count(lit(1)).as("n"))
+    // bounded grids from here on: every frame is ≤ classes · (V+1) rows
+    val classes = cnt.select(col("c")).distinct()
+    val ctot = cnt.groupBy(col("c")).agg(sum(col("n")).as("nt"))
+    val wtot = cnt.groupBy(col("w")).agg(sum(col("n")).as("nw"))
+    val total = cnt.agg(sum(col("n")).as("nall")).select(col("nall"))
+    import spark.implicits._
+    val vkeys = (vocab :+ Unk).toDF("w")
+    val vPrime = (vocab.size + 1).toDouble
+    val grid = classes.crossJoin(vkeys)
+      .join(cnt, Seq("c", "w"), "left")
+      .join(ctot, Seq("c"))
+      .join(wtot, Seq("w"), "left")
+      .crossJoin(broadcast(total))
+    val pS = (coalesce(col("n"), lit(0L)).cast("double") + 1.0) /
+      (col("nt").cast("double") + vPrime)
+    val pC = (coalesce(col("nw"), lit(0L)).cast("double") + 1.0) /
+      (col("nall").cast("double") + vPrime)
+    grid
+      .select(col("c"), col("nt"),
+        floor(pS * log(pS / pC) * 1e9 + 0.5).cast("long").as("term_q9"))
+      .groupBy(col("c"))
+      .agg(min(col("nt")).cast("long").as("n_tokens"),
+        sum(col("term_q9")).cast("long").as("kl_q9"))
+  }
 }

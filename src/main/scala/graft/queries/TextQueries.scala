@@ -424,6 +424,51 @@ object TextQueries extends QueryModule {
       },
       headline = true),
 
+    // Data-mixing diagnostics: KL(source ‖ corpus) over the pooled top-25
+    // vocabulary — which sources' unigram distributions sit far from the
+    // blend (reweighting candidates). Terms integerize before summing
+    // (q9), so the per-class sums are exact and order-free; the oracle
+    // re-derives vocab, counts, both smoothed distributions, and every
+    // term.
+    "text_kl_sources" -> QueryDef(
+      (s, d) =>
+        graft.ops.LanguageModel.klBySource(Tables.documents(s, d),
+            "source", "text", maxVocab = 25)
+          .withColumnRenamed("c", "source")
+          .orderBy(col("source")),
+      Some(s"""WITH toks AS (SELECT source, $T AS ts FROM documents),
+              |u AS (SELECT source, unnest(ts) AS t FROM toks),
+              |vocab AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM u
+              |          WHERE t <> '<unk>'
+              |          GROUP BY t ORDER BY n DESC, w LIMIT 25),
+              |vs AS (SELECT CAST(count(*) AS DOUBLE) + 1.0 AS vp FROM vocab),
+              |m AS (SELECT u.source AS c,
+              |        CASE WHEN v.w IS NOT NULL THEN u.t ELSE '<unk>' END AS w
+              |      FROM u LEFT JOIN vocab v ON v.w = u.t),
+              |cnt AS (SELECT c, w, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+              |ctot AS (SELECT c, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY 1),
+              |wtot AS (SELECT w, CAST(sum(n) AS BIGINT) AS nw FROM cnt GROUP BY 1),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nall FROM cnt),
+              |vkeys AS (SELECT w FROM vocab UNION ALL SELECT '<unk>'),
+              |grid AS (
+              |  SELECT ct.c, ct.nt, vk.w, coalesce(cn.n, 0) AS n,
+              |    coalesce(wt.nw, 0) AS nw, t.nall, vs.vp
+              |  FROM ctot ct CROSS JOIN vkeys vk
+              |  LEFT JOIN cnt cn ON cn.c = ct.c AND cn.w = vk.w
+              |  LEFT JOIN wtot wt ON wt.w = vk.w
+              |  CROSS JOIN tot t CROSS JOIN vs),
+              |terms AS (
+              |  SELECT c, nt,
+              |    CAST(floor(
+              |      ((CAST(n AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + vp))
+              |      * ln(((CAST(n AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + vp))
+              |           / ((CAST(nw AS DOUBLE) + 1.0) / (CAST(nall AS DOUBLE) + vp)))
+              |      * 1000000000.0 + 0.5) AS BIGINT) AS term_q9
+              |  FROM grid)
+              |SELECT c AS source, CAST(min(nt) AS BIGINT) AS n_tokens,
+              |  CAST(sum(term_q9) AS BIGINT) AS kl_q9
+              |FROM terms GROUP BY c ORDER BY source""".stripMargin)),
+
     // C4-style corpus-level frequent-line removal: lines occurring more
     // than maxOccurrences times ACROSS the corpus are boilerplate and
     // dropped everywhere; docs reassemble in original line order. The
