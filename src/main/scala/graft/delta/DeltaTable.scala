@@ -129,14 +129,32 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * snapshot on every retry — so a zombie query and its restart can't both
     * land the same (appId, version) batch (round-1 advice #2). */
   def append(df: DataFrame, txnAppId: Option[String] = None,
-             txnVersion: Long = -1L, operation: String = "WRITE"): Long = {
+             txnVersion: Long = -1L, operation: String = "WRITE",
+             mergeSchema: Boolean = false): Long = {
     def txnNotYetApplied(snap: Snapshot): Boolean = txnAppId.forall { app =>
       txnVersion < 0 || snap.txns.getOrElse(app, -1L) < txnVersion
     }
     if (!txnNotYetApplied(snapshot)) return -1L
+    // mergeSchema (the delta-rs writer's schema-evolution mode): source
+    // columns the table lacks WIDEN the schema instead of silently
+    // dropping — appended as nullable so existing files read back
+    // null-filled (the updateSchema contract). The metaData update rides
+    // the SAME commit as the data, so no reader can observe the new
+    // columns without the files or vice versa. Caveat: the evolved
+    // schema is computed against THIS snapshot — two writers evolving
+    // the schema concurrently is a metadata conflict this append does
+    // not arbitrate (Delta proper fails such commits too).
+    val evolution: Seq[org.apache.spark.sql.types.StructField] =
+      if (!mergeSchema) Nil
+      else {
+        val have = schema.fieldNames.toSet
+        df.schema.fields.filter(f => !have.contains(f.name))
+          .map(_.copy(nullable = true)).toSeq
+      }
+    val evolvedSchema = org.apache.spark.sql.types.StructType(schema.fields ++ evolution)
     val parts = partitionColumns
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
-    val aligned = df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val aligned = df.select(evolvedSchema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
     // Co-locate rows of one partition value into one task before the
     // partitioned write: without this every task emits a file per value
     // (tasks × values tiny files per batch — measured 4.6× slower ingest
@@ -151,7 +169,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
 
     val adds = collectStagedFiles(staging, parts)
     try {
-      val actions = adds.map(a => Action(add = Some(a))) ++
+      val schemaUpdate =
+        if (evolution.isEmpty) Nil
+        else Seq(Action(metaData = Some(snapshot.metadata
+          .getOrElse(throw new IllegalStateException(s"no table at $path"))
+          .copy(schemaString = evolvedSchema.json))))
+      val actions = schemaUpdate ++
+        adds.map(a => Action(add = Some(a))) ++
         txnAppId.map(app => Action(txn = Some(Txn(app, txnVersion,
           Some(System.currentTimeMillis()))))).toSeq ++
         Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation,

@@ -118,6 +118,28 @@ class DeltaSpec extends SparkSpec {
     assert(r15.isNullAt(r15.fieldIndex("ts")), "columns absent from the source null-fill")
   }
 
+  test("append(mergeSchema) widens the schema atomically with the data") {
+    val t = newTable()
+    t.append(sampleDf(0 until 5))
+    // same frame + an extra column: default append DROPS it silently...
+    val withExtra = sampleDf(5 until 8).withColumn("extra", col("id") * 10)
+    t.append(withExtra)
+    assert(!t.toDF.columns.contains("extra"))
+    // ...mergeSchema widens instead — one commit carries metaData + files
+    val vBefore = t.log.latestVersion()
+    t.append(withExtra, mergeSchema = true)
+    assert(t.log.latestVersion() === vBefore + 1, "schema + data must be ONE commit")
+    assert(t.toDF.columns.contains("extra"))
+    assert(t.toDF.count() === 11L)
+    assert(t.toDF.filter(col("extra").isNotNull).count() === 3L,
+      "only the evolved append's rows carry the new column")
+    assert(t.toDF.filter(col("extra").isNull).count() === 8L,
+      "pre-evolution rows read back null-filled")
+    // evolution is idempotent: appending the same shape again adds no column
+    t.append(withExtra, mergeSchema = true)
+    assert(t.schema.fieldNames.count(_ == "extra") === 1)
+  }
+
   test("delete and update rewrite only the files containing matches; no-ops don't commit") {
     val t = newTable()
     t.append(sampleDf(0 until 10).coalesce(1))   // file A
