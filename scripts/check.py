@@ -34,11 +34,16 @@ def canon(df):
     rows = sorted([tuple(norm(r[c]) for c in cols) for r in data], key=lambda t: tuple(str(x) for x in t))
     return cols, rows
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def _fresh_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = _fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name in sorted(os.listdir(out_dir)):
@@ -50,8 +55,9 @@ def main():
             n_skip += 1
             continue
         try:
-            # transient malloc failures under host contention: retry with
-            # a pause before reporting a phantom oracle error
+            # transient malloc failures under host contention poison the
+            # connection's buffer accounting: retry on a FRESH connection
+            # before reporting a phantom oracle error
             for attempt in range(4):
                 try:
                     duck_df = con.execute(oracle[name]).fetch_arrow_table()
@@ -59,6 +65,9 @@ def main():
                 except duckdb.OutOfMemoryException:
                     if attempt == 3: raise
                     import time; time.sleep(5 * (attempt + 1))
+                    try: con.close()
+                    except Exception: pass
+                    con = _fresh_con(sf_dir)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1

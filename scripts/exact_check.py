@@ -16,26 +16,42 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 
-def run_oracle(con, q_sql):
-    """This host's neighbor contention makes malloc fail transiently
-    (tiny-block bad_alloc with 100+ GB free); retry with a pause instead
-    of reporting a phantom failure."""
-    for attempt in range(4):
-        try:
-            return con.execute(q_sql).arrow()
-        except duckdb.OutOfMemoryException:
-            if attempt == 3:
-                raise
-            time.sleep(5 * (attempt + 1))
-
-
-def main(sf_dir: str, out_dir: str) -> int:
-    sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+def fresh_con(sf_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(t).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
+    return con
+
+
+class ConBox:
+    def __init__(self, sf_dir):
+        self.sf_dir = sf_dir
+        self.con = fresh_con(sf_dir)
+
+    def run(self, q_sql):
+        """This host's neighbor contention makes malloc fail transiently
+        (tiny-block bad_alloc with 100+ GB free), and a failed allocation
+        can leave the connection's buffer accounting poisoned — retry on
+        a FRESH connection instead of reporting a phantom failure."""
+        for attempt in range(4):
+            try:
+                return self.con.execute(q_sql).arrow()
+            except duckdb.OutOfMemoryException:
+                if attempt == 3:
+                    raise
+                time.sleep(5 * (attempt + 1))
+                try:
+                    self.con.close()
+                except Exception:
+                    pass
+                self.con = fresh_con(self.sf_dir)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    box = ConBox(sf_dir)
 
     failures = []
     for q in sorted(sql):
@@ -44,7 +60,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures.append((q, "no spark output"))
             continue
         spark_tbl = pq.read_table(files[0])
-        oracle_tbl = run_oracle(con, sql[q])
+        oracle_tbl = box.run(sql[q])
         s_schema = {f.name: str(f.type) for f in spark_tbl.schema}
         o_schema = {f.name: str(f.type) for f in oracle_tbl.schema}
         if s_schema != o_schema:

@@ -349,6 +349,41 @@ object Dedup {
         round(col("n_dup_windows").cast("double") / col("n_windows").cast("double"), 6))
   }
 
+  /** Edit-distance near-dup pairs over a SHORT string column — the
+    * character-level metric for title/URL/prefix-style fields where
+    * token-set Jaccard is too coarse (one-typo titles share every token
+    * but one). Levenshtein is O(|a|·|b|) per pair, so the column must be
+    * bounded by contract (a title, a normalized key, a fixed prefix) —
+    * never whole documents; that is what [[minhashLsh]] is for.
+    *
+    * Lossless blocking: |len(a) − len(b)| ≤ maxDist is NECESSARY for
+    * levenshtein(a, b) ≤ maxDist (each edit changes length by ≤ 1), and
+    * with buckets of width maxDist+1 two such lengths land in the same
+    * or adjacent buckets — one side probes (b−1, b, b+1) (the LSH
+    * 1-bit-flip idiom), so the bucket equi-join misses nothing and each
+    * pair joins exactly once (a fixed bucket matches at most one of the
+    * three distinct probes). Verification is the exact distance.
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"negative maxDist: $maxDist")
+    val w = maxDist + 1
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
+        length(col(strCol)).as("len"))
+      .withColumn("bkt", floor(col("len") / w).cast("long"))
+    val probes = base.select(col("id"), col("s"), col("len"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    base.alias("a")
+      .join(probes.alias("b"),
+        col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+      .filter(abs(col("a.len") - col("b.len")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
     * by min-label propagation (each node repeatedly adopts the smallest
     * label among itself and its neighbors; fixpoint = per-component min

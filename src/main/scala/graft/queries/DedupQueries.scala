@@ -208,6 +208,26 @@ object DedupQueries extends QueryModule {
               |ORDER BY id_a, id_b""".stripMargin),
       headline = true),
 
+    // Character-level fuzzy dedup on a bounded prefix key (title-style
+    // field): lossless length-bucket blocking + exact levenshtein verify.
+    // Both engines implement the classic Levenshtein, so dist is exact.
+    "dedup_edit_distance" -> QueryDef(
+      (s, d) =>
+        Dedup.editDistancePairs(
+            Tables.documents(s, d)
+              .select(col("doc_id"), substring(lower(col("text")), 1, 32).as("k")),
+            "doc_id", "k", maxDist = 3)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH s AS (
+             |  SELECT doc_id, substring(lower(text), 1, 32) AS k FROM documents
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE abs(length(a.k) - length(b.k)) <= 3
+             |  AND levenshtein(a.k, b.k) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     "dedup_embedding" -> QueryDef(
       (s, d) =>
         Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",

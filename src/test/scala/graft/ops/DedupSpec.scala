@@ -274,4 +274,28 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) === Seq("one"))
     assert(out(2L) === Seq(""))
   }
+
+  test("editDistancePairs: length-bucket blocking is lossless vs brute force") {
+    // lengths straddling bucket boundaries (width maxDist+1 = 3): pairs
+    // whose lengths differ by up to 3 land in ADJACENT buckets and must
+    // still be found via the (b-1, b, b+1) probes
+    val rows = Seq(
+      (1L, "spark engine"),        // len 12
+      (2L, "spark enginee"),       // len 13, dist 1, cross-bucket (4 vs 4)... varied
+      (3L, "spark engineeee"),     // len 15, dist 3 from 1
+      (4L, "flink engine"),        // len 12, dist 2 from 1
+      (5L, "completely different") // no partner
+    ).toDF("id", "k")
+    val blocked = Dedup.editDistancePairs(rows, "id", "k", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = rows.alias("a").crossJoin(rows.alias("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.k"), col("b.k")))
+      .filter(col("dist") <= 3)
+      .select(col("a.id"), col("b.id"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked === brute, s"blocking must lose nothing: $blocked vs $brute")
+    assert(brute.nonEmpty && brute.exists { case (a, b, _) => (a, b) == (1L, 3L) },
+      "a cross-bucket pair (len 12 vs 15) must be present to make the test non-vacuous")
+  }
 }
