@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Mergeable cardinality sketching (HyperLogLog) with EXACT cross-engine
+  * reproducibility — the distinct-count observability a 100 TB corpus
+  * needs (distinct shingles/urls/fingerprints per source) where exact
+  * `count(DISTINCT …)` would shuffle every occurrence.
+  *
+  * Unlike `approx_count_distinct` (whose HLL++ internals no other engine
+  * reproduces), every ingredient here is md5-derived and integer-exact:
+  * the 60-bit [[Hashing.h64]] splits into a 6-bit register index and a
+  * 54-bit suffix whose leading-zero rank comes from a generated
+  * threshold CASE (identical in both engines); register maxima are
+  * integer aggregation (order-free); the indicator sum Σ2^(−M_j) scales
+  * by 2^56 into an exact integer; only the final estimate is fp, in one
+  * shared expression shape. So the DuckDB oracle re-derives the ENTIRE
+  * sketch — registers, sum, and estimate — bit-for-bit.
+  *
+  * Merge law (what makes it a sketch): registers combine by element-wise
+  * max — associative/commutative, so partial sketches from any partition
+  * layout agree, the same contract every trained artifact here follows.
+  */
+object Sketches {
+
+  val HllP = 6
+  val HllM = 64 // 2^HllP registers
+  private val HashBits = 60 // Hashing.h64 = 15 hex chars
+  private val W = HashBits - HllP // suffix bits: 54
+  private val SumScale = 56 // Σ 2^(SumScale − r): ranks ≤ 55, 64·2^55 < 2^62
+
+  /** α_m · m² for m = 64 (the standard HLL bias constant), computed once
+    * in Scala and embedded as the SAME literal in the oracle SQL. */
+  val AlphaM2: Double = 0.7213 / (1 + 1.079 / HllM) * HllM * HllM
+
+  /** Leading-zero rank of the 54-bit suffix `x`: 1 for a set top bit,
+    * W+1 for zero — a descending threshold chain, first match wins. */
+  private def rankCol(x: Column): Column =
+    (0 until W).foldLeft(lit(W + 1): Column) { case (acc, b) =>
+      when(x >= (1L << b), lit(W - b)).otherwise(acc)
+    }
+
+  /** The same chain as DuckDB SQL over suffix expression `x`. */
+  def rankSql(x: String): String =
+    (0 until W).reverse.map(b => s"WHEN $x >= ${1L << b} THEN ${W - b}")
+      .mkString("CASE ", " ", s" ELSE ${W + 1} END")
+
+  /** Per-group HLL distinct estimate of `item`.
+    * @return (group, registers_joined, est_q3) — the 64 register values
+    *   comma-joined (the full-sketch parity exhibit) and the estimate as
+    *   floor(est·10³ + 0.5), small-range linear-counting correction
+    *   included */
+  def hllDistinct(df: DataFrame, groupCol: String, item: Column,
+                  salt: String): DataFrame = {
+    val h = Hashing.h64(item.cast("string"), salt)
+    val perItem = df.select(col(groupCol).as("group"),
+      h.bitwiseAND(lit((HllM - 1).toLong)).cast("int").as("reg"),
+      rankCol(shiftright(h, HllP)).as("r"))
+    val maxed = perItem.groupBy(col("group"), col("reg")).agg(max(col("r")).as("r"))
+    // present registers carry rank ≥ 1; absent ones are the HLL zeros
+    val wide = maxed.groupBy(col("group")).agg(
+      map_from_entries(collect_list(struct(col("reg"), col("r")))).as("m"),
+      sum(expr(s"shiftleft(1L, $SumScale - r)")).as("sp"),
+      count(lit(1)).as("np"))
+    val regs = transform(sequence(lit(0), lit(HllM - 1)),
+      j => coalesce(element_at(col("m"), j), lit(0)).cast("string"))
+    val s = col("sp") + (lit(HllM.toLong) - col("np")) * lit(1L << SumScale)
+    val zeros = lit(HllM.toLong) - col("np")
+    val estRaw = lit(AlphaM2) * lit(math.pow(2.0, SumScale)) / col("S").cast("double")
+    val est = when(col("est_raw") <= 2.5 * HllM && col("zeros") > 0,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros").cast("double")))
+      .otherwise(col("est_raw"))
+    wide
+      .withColumn("S", s)
+      .withColumn("zeros", zeros)
+      .withColumn("est_raw", estRaw)
+      .select(col("group"),
+        concat_ws(",", regs).as("registers_joined"),
+        floor(est * 1000.0 + 0.5).cast("long").as("est_q3"))
+  }
+}

@@ -424,6 +424,56 @@ object TextQueries extends QueryModule {
       },
       headline = true),
 
+    // Mergeable HLL cardinality sketch, fully re-derived by the oracle:
+    // distinct 3-gram shingles per source — registers, scaled indicator
+    // sum, and estimate are all md5/integer-exact; only the final
+    // estimate is fp, in one shared expression. The 64-register string
+    // in the output makes the gate a full-sketch parity proof, not just
+    // an estimate comparison.
+    "sketch_hll_distinct" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sketches.hllDistinct(
+            Tables.documents(s, d)
+              .select(col("source"),
+                explode(graft.ops.Dedup.shingles(col("text"), 3)).as("it")),
+            "source", col("it"), salt = "hll")
+          .withColumnRenamed("group", "source")
+          .orderBy(col("source")),
+      Some {
+        val S = graft.ops.Sketches
+        val regCols = (0 until 64).map(j =>
+          s"coalesce(max(CASE WHEN reg = $j THEN r END), 0) AS r_$j").mkString(",\n|    ")
+        // a || chain would nest 127 binary ops deep — past DuckDB's
+        // binder recursion limit; concat_ws is one flat call
+        val joined = (0 until 64).map(j => s"CAST(r_$j AS VARCHAR)")
+          .mkString("concat_ws(',', ", ", ", ")")
+        val sSum = (0 until 64).map(j =>
+          s"(CASE WHEN r_$j <= 56 THEN (CAST(1 AS BIGINT) << (56 - r_$j)) ELSE CAST(0 AS BIGINT) END)")
+          .mkString("(", " + ", ")")
+        val zeros = (0 until 64).map(j => s"(CASE WHEN r_$j = 0 THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", ")")
+        s"""WITH items AS (
+           |  SELECT source AS grp, unnest(${graft.queries.OracleSql.shingles(3)}) AS it
+           |  FROM documents),
+           |h AS (SELECT grp, ${graft.functions.Hashing.h64Sql("it", "hll")} AS h FROM items),
+           |pr AS (SELECT grp, CAST(h & 63 AS INT) AS reg, ${S.rankSql("(h >> 6)")} AS r FROM h),
+           |mx AS (SELECT grp, reg, max(r) AS r FROM pr GROUP BY 1, 2),
+           |wide AS (SELECT grp,
+           |    $regCols
+           |  FROM mx GROUP BY grp),
+           |calc AS (SELECT grp, $joined AS registers_joined,
+           |    $sSum AS s, $zeros AS zeros
+           |  FROM wide),
+           |est AS (SELECT grp, registers_joined, zeros,
+           |    ${S.AlphaM2} * ${math.pow(2.0, 56)} / CAST(s AS DOUBLE) AS est_raw
+           |  FROM calc)
+           |SELECT grp AS source, registers_joined,
+           |  CAST(floor((CASE WHEN est_raw <= 160.0 AND zeros > 0
+           |    THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE est_raw END)
+           |    * 1000.0 + 0.5) AS BIGINT) AS est_q3
+           |FROM est ORDER BY source""".stripMargin
+      }),
+
     // Data-mixing diagnostics: KL(source ‖ corpus) over the pooled top-25
     // vocabulary — which sources' unigram distributions sit far from the
     // blend (reweighting candidates). Terms integerize before summing
