@@ -119,4 +119,38 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(frames.zipWithIndex.forall { case (f, i) => f.frame_idx == i && f.height == channels })
     }
   }
+
+  test("PQ: encode picks the argmin codeword per subspace; adc matches the direct sum") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val r = rng
+    for (_ <- 1 to 100) {
+      val mSub = 1 + r.nextInt(4)
+      val dsub = 1 + r.nextInt(6)
+      val dims = mSub * dsub
+      val cells = 1 + r.nextInt(3)
+      val ksub = 1 + r.nextInt(5)
+      val cents = Array.fill(cells, dims)(r.nextDouble() * 2 - 1)
+      val pq = Array.fill(mSub, ksub, dsub)(r.nextDouble() * 2 - 1)
+      val v = Array.fill(dims)((r.nextDouble() * 2 - 1).toFloat)
+      val cell = r.nextInt(cells)
+      val codes = PqKernel.encode(ArrayData.toArrayData(v), cell.toLong, cents, pq)
+      val res = v.indices.map(i => v(i).toDouble - cents(cell)(i)).toArray
+      def dist(m: Int, cw: Array[Double]): Double =
+        (0 until dsub).map { i => val d = res(m * dsub + i) - cw(i); d * d }.sum
+      for (m <- 0 until mSub) {
+        val c = codes.getInt(m)
+        assert(c >= 0 && c < ksub)
+        val dmin = (0 until ksub).map(k => dist(m, pq(m)(k))).min
+        assert(dist(m, pq(m)(c)) <= dmin + 1e-12, s"code $c is not the argmin")
+      }
+      val qres = Array.fill(dims)(r.nextDouble() * 2 - 1)
+      val a = PqKernel.adc(ArrayData.toArrayData(qres), codes, pq)
+      val direct = (0 until mSub).map { m =>
+        (0 until dsub).map { i =>
+          val d = qres(m * dsub + i) - pq(m)(codes.getInt(m))(i); d * d
+        }.sum
+      }.sum
+      assert(a >= 0.0 && math.abs(a - direct) < 1e-9)
+    }
+  }
 }

@@ -138,6 +138,30 @@ class PlanSpec extends SparkSpec {
       "text scoring must stay inside the scan stage:\n" + p)
   }
 
+  test("sketch_hll_distinct: item strings stay in the scan; exchanges carry register rows") {
+    val df = Registry.all("sketch_hll_distinct").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    assert(exchangeInputs.forall(in => !in.contains("it#") && !in.contains("text#")),
+      "raw items must reduce to (group, reg, rank) before any exchange:\n" + p)
+  }
+
+  test("dedup_edit_distance: bucket blocking plans an equi-join, not a cross product") {
+    val p = plan("dedup_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the length-bucket join must be an equi-join:\n" + p)
+  }
+
+  test("pack_sequences: one offset window + one (shard, seq) aggregation — two shuffles") {
+    val p = plan("pack_sequences")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"expected the window + pack aggregation (+ ids join) only, found $n:\n$p")
+  }
+
   test("sample_shuffle: distributed rank, never a single-partition global window") {
     val p = plan("sample_shuffle")
     assert(!p.contains("Exchange SinglePartition"),
