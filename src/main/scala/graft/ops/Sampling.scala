@@ -88,6 +88,40 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** WEIGHTED k-per-group sampling without replacement — Efraimidis &
+    * Spirakis priority sampling ("Weighted random sampling with a
+    * reservoir", IPL 2006): each row draws priority u^(1/w) from its md5
+    * coin and the k highest priorities per group win, giving inclusion
+    * probabilities proportional to weight without ever materializing a
+    * reservoir. Ranking uses the order-equivalent ln(u)/w (maximize;
+    * ln is monotone, w > 0), because both engines evaluate `ln` from the
+    * same integer-derived double in one shared expression shape — the
+    * `pow` the textbook form needs has no such cross-engine guarantee.
+    *
+    * Plan shape: identical to [[uniformK]] — one window per group, the
+    * rank filter gets WindowGroupLimit pushdown (per-partition top-k
+    * before the shuffle). Rows with weight ≤ 0 or null never win (they
+    * sort after every positive-weight row, and are dropped outright).
+    *
+    * Contract: `keyCol` unique (the tie-break). */
+  def weightedUniformK(df: DataFrame, groupCol: String, keyCol: String,
+                       weightCol: Column, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("__pri"),
+      "weightedUniformK reserves column name '__pri' but the input already has it")
+    // u ∈ (0, 1]: (coin + 1) / 2^32 — never 0, so ln is finite
+    val u = (coin(col(keyCol), salt).cast("double") + 1.0) / U32
+    val wPos = weightCol.cast("double")
+    val pri = when(wPos.isNotNull && wPos > 0.0, log(u) / wPos)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pri").desc, col(keyCol))
+    df.withColumn("__pri", pri)
+      .filter(col("__pri").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__pri", "__rn")
+  }
+
   /** Per-domain expected-budget downsampling: each domain is kept with
     * probability f_d = min(1, budget / Σ_d weight), so the EXPECTED kept
     * weight per domain is min(budget, total) — the standard way to flatten

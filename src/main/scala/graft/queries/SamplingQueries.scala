@@ -67,6 +67,23 @@ object SamplingQueries extends QueryModule {
               |  PARTITION BY source ORDER BY ${coinSql("doc_id", "uk")}, doc_id) <= 5
               |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted k-per-group (Efraimidis–Spirakis priorities): longer docs
+    // proportionally likelier, ranked by ln(u)/w — the shared-ln form
+    // both engines evaluate identically from the same md5 coin.
+    "sample_weighted_k" -> QueryDef(
+      (s, d) =>
+        Sampling.weightedUniformK(Tables.documents(s, d), "source", "doc_id",
+            col("n_chars"), k = 5, salt = "wk")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, source, n_chars FROM (
+              |  SELECT doc_id, source, n_chars,
+              |    row_number() OVER (PARTITION BY source ORDER BY
+              |      ln((CAST(${coinSql("doc_id", "wk")} AS DOUBLE) + 1.0) / 4294967296.0)
+              |        / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+              |  FROM documents WHERE n_chars > 0)
+              |WHERE rn <= 5 ORDER BY doc_id""".stripMargin)),
+
     "sample_domain_budget" -> QueryDef(
       (s, d) =>
         Sampling.domainBudget(Tables.documents(s, d), "source", "doc_id",
