@@ -466,6 +466,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Scalar-quantized (int8) flat scan with exact refine — the third leg
+    * of the faiss family here (flat / IVF+PQ / SQ8): the whole corpus is
+    * scanned, but candidates are scored on DEQUANTIZED int8 vectors (4×
+    * less candidate memory than fp32), the `shortlist` best (approx
+    * cosine desc, id asc) per query survive, and their true vectors
+    * re-rank by exact cosine. With a calibrated shortlist the output
+    * equals the exact brute-force ranking — sharing [[bruteForceTopK]]'s
+    * oracle makes that a machine-checked property.
+    *
+    * @param quantized [[quantizeInt8]]'s output for the corpus (id,
+    *   scale, q) — precomputed so the 100 TB layout stores codes once */
+  def sq8TopK(quantized: DataFrame, corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
+    // dequantize in the scan stage; a zero-scale (zero/empty) vector
+    // dequantizes to zeros, not NaNs
+    val deq = when(col("scale") === 0.0,
+        transform(col("q"), _ => lit(0.0f)))
+      .otherwise(transform(col("q"), x => (x.cast("double") / col("scale")).cast("float")))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("approx").desc, col("neighbor_id"))
+    val short = quantized.select(col("id").as("neighbor_id"), deq.as("dv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("dv")).as("approx"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(cv, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH ANN: corpus bucketed once by signature; each query probes its own
     * bucket plus the `planes` buckets at Hamming distance 1. At 100 TB the
     * corpus side is partitioned by signature at write time so a query

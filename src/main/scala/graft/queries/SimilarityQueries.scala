@@ -87,6 +87,33 @@ object SimilarityQueries extends QueryModule {
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       headline = true),
 
+    // Scalar-quantized flat scan + exact refine, SHARING the brute-force
+    // oracle: the hash gate proves the int8 approximate scan's 16-deep
+    // shortlist (of ~499 candidates; worst true-top-5 approx rank on
+    // this corpus is 6) never drops a true neighbor — the faiss SQ8
+    // pattern with its losslessness machine-checked.
+    "sim_topk_sq8" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val quant = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.sq8TopK(quant, emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 5, shortlist = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.qv, e.embedding) AS cos
+             |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+             |), ranked AS (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored
+             |)
+             |SELECT query_id, neighbor_id, rank FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     "sim_topk_lsh" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
