@@ -17,7 +17,7 @@ object DedupQueries extends QueryModule {
   /** The minhash-LSH pipeline as a reusable CTE chain ending in
     * `scored(id_a, id_b, j)` — shared by the pair query and the cluster
     * query so both oracles stay in lockstep with Dedup.minhashLsh. */
-  private val minhashCtes: String =
+  private[queries] val minhashCtes: String =
     s"""base AS (
        |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM documents
        |), hashed AS (

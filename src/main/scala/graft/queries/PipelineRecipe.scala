@@ -148,6 +148,48 @@ object PipelineRecipe extends QueryModule {
            |FROM r WHERE reps > 0 ORDER BY doc_id, epoch""".stripMargin
       }),
 
+    // LEAKAGE-SAFE train/val split: near-duplicate docs MUST land in the
+    // same split, or val is contaminated by train's near-copies — so the
+    // split coin is thrown on the doc's duplicate-CLUSTER id (min-label
+    // component of the minhash pairs; unclustered docs are their own
+    // cluster). Composes the same minhash/cluster machinery dedup_clusters
+    // gates with the same split coin sample_split gates; the oracle
+    // chains the recursive-CTE transitive closure with the split CASE.
+    "pipeline_split_safe" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = graft.ops.Dedup.duplicateClusters(
+          graft.ops.Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5))
+        val withCluster = docs.select(col("doc_id"))
+          .join(clusters, docs("doc_id") === clusters("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        Sampling.assignSplit(withCluster, "cluster_id",
+            Seq("train" -> 0.9, "val" -> 0.1), salt = "safe")
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.minhashCtes},
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS a, id_b AS b FROM pairs
+              |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+              |), reach AS (
+              |  SELECT a AS node, a AS r FROM edges
+              |  UNION
+              |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node
+              |), cl AS (
+              |  SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node
+              |), wc AS (
+              |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+              |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+              |)
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN ${O.h32Sql("cluster_id", "safe")} < ${Sampling.threshold32(0.9)}
+              |       THEN 'train' ELSE 'val' END AS split
+              |FROM wc ORDER BY doc_id""".stripMargin)),
+
     // The TOKENIZER-READY side of the pipeline, composed from the round-7
     // ops: corpus-trained LM perplexity gate (keep per-token mean NLL
     // under a cutoff) → BPE piece counts under the frozen fixture merges
