@@ -391,6 +391,40 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     } finally fs.delete(staging, true)
   }
 
+  /** RESTORE the table to an earlier version (delta-rs `restore`): one
+    * commit that re-adds the target version's files, removes the files
+    * added since, and re-points the schema at the target's metadata —
+    * history is PRESERVED (restore is a new commit, not a log rewrite),
+    * so the restore itself can be time-traveled past or re-restored.
+    * Files must still exist on disk: a [[vacuum]] that outlived the
+    * target version makes it unrestorable, exactly like Delta proper.
+    * Returns the committed version. */
+  def restoreTo(version: Long): Long = {
+    val target = log.snapshotAt(version)
+    val current = snapshot
+    val targetFiles = target.files.map(f => f.path -> f).toMap
+    val currentPaths = current.files.map(_.path).toSet
+    val readds = target.files.filter(f => !currentPaths.contains(f.path))
+    val removes = current.files.filter(f => !targetFiles.contains(f.path))
+    readds.foreach { f =>
+      require(fs.exists(new Path(path, f.path)),
+        s"cannot restore to v$version: data file ${f.path} was vacuumed")
+    }
+    val metaUpdate = (target.metadata, current.metadata) match {
+      case (Some(t), Some(c)) if t.schemaString != c.schemaString ||
+        t.partitionColumns != c.partitionColumns =>
+        Seq(Action(metaData = Some(c.copy(schemaString = t.schemaString,
+          partitionColumns = t.partitionColumns))))
+      case _ => Nil
+    }
+    log.commit(metaUpdate ++
+      readds.map(f => Action(add = Some(f))) ++
+      removes.map(f => Action(remove = Some(RemoveFile(f.path,
+        Some(System.currentTimeMillis()))))) ++
+      Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "RESTORE",
+        Map("version" -> version.toString))))))
+  }
+
   /** Read the current snapshot as a DataFrame (partition columns restored
     * from directory layout, cast to the declared schema types). */
   def toDF: DataFrame = dfFor(snapshot)

@@ -464,6 +464,25 @@ object ReferenceOps extends QueryModule {
              |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM afterdml""".stripMargin)),
 
+    // ---- RESTORE (delta-rs restore): two appends, then the table reset
+    // to v1 by a restore COMMIT; the read-back must equal v1's state and
+    // the restore must be the newest history entry. ----------------------
+    "ref_restore" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-restore")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val table = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema)
+        table.append(ev.filter(col("event_id") % 2 === 0)) // v1
+        table.append(ev.filter(col("event_id") % 2 =!= 0)) // v2
+        require(table.restoreTo(1L) == 3L)
+        require(table.log.history(Some(1)).head._2.exists(_.operation == "RESTORE"))
+        table.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events WHERE event_id % 2 = 0""".stripMargin)),
+
     // ---- Commit history (delta-rs DeltaTable.history): operations and
     // ordering of every commit made through the real write path, read
     // back newest-first then emitted per version. The oracle is the

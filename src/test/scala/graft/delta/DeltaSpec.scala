@@ -118,6 +118,28 @@ class DeltaSpec extends SparkSpec {
     assert(r15.isNullAt(r15.fieldIndex("ts")), "columns absent from the source null-fill")
   }
 
+  test("restoreTo resets state in one commit, preserves history, reverts schema") {
+    val t = newTable()
+    t.append(sampleDf(0 until 5))                 // v1
+    t.append(sampleDf(5 until 12))                // v2
+    t.delete(col("id") < 3L)                      // v3: drops 0,1,2
+    t.updateSchema(schema.add(StructField("extra", LongType))) // v4
+    assert(t.toDF.count() === 9L && t.toDF.columns.contains("extra"))
+    val v = t.restoreTo(2L)                       // back to 12 rows, no 'extra'
+    assert(v === 5L, "restore is a NEW commit, not a log rewrite")
+    assert(t.toDF.count() === 12L)
+    assert(t.toDF.filter(col("id") < 3L).count() === 3L, "deleted rows return")
+    assert(!t.toDF.columns.contains("extra"), "schema reverts with the files")
+    assert(t.log.history(Some(1)).head._2.exists(_.operation === "RESTORE"))
+    // history preserved: the pre-restore v3 state is still time-travelable
+    assert(t.toDF(3L).count() === 9L)
+    // restoring past a vacuumed version fails loudly, not silently
+    t.delete(col("id") >= 10L)                    // v6 removes some files
+    t.vacuum(retentionMs = 0L)
+    val gone = intercept[IllegalArgumentException](t.restoreTo(2L))
+    assert(gone.getMessage.contains("vacuumed"))
+  }
+
   test("append(mergeSchema) widens the schema atomically with the data") {
     val t = newTable()
     t.append(sampleDf(0 until 5))
