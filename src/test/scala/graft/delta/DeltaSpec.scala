@@ -118,6 +118,32 @@ class DeltaSpec extends SparkSpec {
     assert(r15.isNullAt(r15.fieldIndex("ts")), "columns absent from the source null-fill")
   }
 
+  test("DML on PARTITIONED tables: merge/delete/update keep the Hive layout") {
+    val t = newTable(partitioned = true) // partitioned by date (3 values)
+    t.append(sampleDf(0 until 12))
+    assert(t.snapshot.files.forall(_.partitionValues.contains("date")))
+    // update one partition's rows: rewritten files stay in their partition
+    assert(t.update(col("date") === "2021-11-01",
+      Map("name" -> concat(col("name"), lit("*")))) > 0L)
+    assert(t.snapshot.files.forall(_.partitionValues.contains("date")))
+    val starred = t.toDF.filter(col("name").endsWith("*"))
+    assert(starred.count() > 0 &&
+      starred.select("date").distinct().collect().map(_.getString(0)).toSeq === Seq("2021-11-01"))
+    // delete a slice spanning partitions
+    assert(t.delete(col("id") < 2L) > 0L)
+    assert(t.toDF.count() === 10L)
+    // merge: update id 5, insert id 100 — partition columns derived from rows
+    val src = sampleDf(5 until 6).withColumn("name", lit("m5"))
+      .union(sampleDf(100 until 101))
+    assert(t.merge(src, Seq("id")) > 0L)
+    val rows = t.toDF.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(rows(5L) === "m5" && rows(100L) === "name100" && rows.size === 11)
+    assert(t.snapshot.files.forall(_.partitionValues.contains("date")))
+    // partition-pruned read still works over the rewritten layout
+    assert(t.scanFiles(Seq(graft.delta.DataSkipping.ColPred("date", "=", "2021-11-02")))
+      .forall(_.partitionValues.get("date").contains("2021-11-02")))
+  }
+
   test("restoreTo resets state in one commit, preserves history, reverts schema") {
     val t = newTable()
     t.append(sampleDf(0 until 5))                 // v1
