@@ -135,17 +135,24 @@ object Bench {
       s""""calib_sec_before":$calibBefore,"calib_sec_after":$calibAfter,""" +
       s""""ingest_rows":$ingested,"ingest_sec":$ingestSec,""" +
       s""""ingest_rows_per_sec":$ingestRate,"sf":"$sfDir"}"""
-    // Stdout for humans and the legacy driver parse — but stdout through
-    // sbt can truncate under load (round 7's BENCH json recorded a cut
-    // tail and "parsed": null), so ALSO write the object atomically to a
-    // file the driver can always parse.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val tmp = java.nio.file.Paths.get(outFile + ".tmp")
-    java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outFile),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // Stdout for humans and the legacy driver parse — printed FIRST, so a
+    // broken SPARK_GRAFT_BENCH_OUT path can never destroy both channels
+    // after minutes of measurement. Then the object lands atomically in a
+    // file the driver can always parse (stdout through sbt can truncate
+    // under load: round 7's BENCH json recorded a cut tail and
+    // "parsed": null).
     println(json)
+    try {
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+      val tmp = java.nio.file.Paths.get(outFile + ".tmp")
+      java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outFile),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] WARN: could not write bench_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

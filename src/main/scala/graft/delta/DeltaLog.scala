@@ -221,7 +221,11 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     //  - indices before `bandStart` are certainly at-or-before the cut,
     //  - indices at/after `bandEnd` are certainly after it,
     //  - only the band between needs its commitInfo read.
-    val bandStart = upperBound(math.subtractExact(timestampMs, maxClockSkewMs))
+    // saturating on BOTH edges: near-MinValue cuts must resolve to the
+    // documented "no commit at or before" error, not an ArithmeticException
+    val bandStart = upperBound(
+      if (timestampMs < Long.MinValue + maxClockSkewMs) Long.MinValue
+      else timestampMs - maxClockSkewMs)
     val bandEnd = upperBound(
       if (timestampMs > Long.MaxValue - maxClockSkewMs) Long.MaxValue
       else timestampMs + maxClockSkewMs)

@@ -265,9 +265,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     *
     * Atomicity/concurrency: one commit carrying the rewritten survivors,
     * the new data, and the removes; the [[DeltaLog.commit]] `check`
-    * re-verifies on every retry that all files this rewrite was based on
-    * are still live (the [[compact]] guard — a concurrent rewrite of a
-    * shared file would otherwise resurrect its replaced rows).
+    * re-verifies on every retry that all files this merge was based on
+    * are still live AND that no concurrent commit added files (a
+    * concurrent append could carry a matched key this merge never
+    * scanned — committing over it would leave duplicate keys). A lost
+    * race throws `ConcurrentModificationException`.
     *
     * Contract: source keys unique (two source rows with one key would
     * both insert). Returns the committed version. */
@@ -284,38 +286,32 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       (if (srcCols.contains(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name)).toSeq: _*)
     val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
-
-    // which live files hold a matched key? (bounded collect: ≤ file count)
-    val affected: Seq[AddFile] =
-      if (snap.files.isEmpty) Nil
-      else {
-        val paths = snap.files.map(f => new Path(path, f.path).toString)
-        val reader = spark.read.schema(sch)
-        val raw = if (parts.isEmpty) reader.parquet(paths: _*)
-                  else reader.option("basePath", path).parquet(paths: _*)
-        val hitPaths = raw.withColumn("__file", input_file_name())
-          .join(srcKeys, keyCols, "left_semi")
-          .select(col("__file")).distinct()
-          .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
-        snap.files.filter(f =>
-          hitPaths.contains(fs.makeQualified(new Path(path, f.path)).toUri.getPath))
-      }
-
+    val affected = filesMatching(snap, _.join(srcKeys, keyCols, "left_semi"))
     // survivors of the affected files + all source rows, staged as one write
     val survivors = dfFor(snap.copy(files = affected))
       .join(srcKeys, keyCols, "left_anti")
+    // merge additionally refuses CONCURRENT ADDS (strictest/serializable
+    // behavior): a file appended after our key scan could contain a
+    // matched key this merge never saw — committing over it would leave
+    // duplicate keys, silently violating the upsert contract
+    val basePaths = snap.files.map(_.path).toSet
     commitRewrite(affected, survivors.unionByName(aligned), "MERGE",
-      Map("predicateKeys" -> keyCols.mkString(",")))
+      Map("predicateKeys" -> keyCols.mkString(",")),
+      extraCheck = s => s.files.map(_.path).forall(basePaths.contains),
+      conflictHint = "a concurrent commit added or rewrote files during this merge")
   }
 
   /** Copy-on-write DELETE (delta-rs `delete`): drop every row matching
     * `predicate`; only files actually CONTAINING a match are rewritten
     * (row→file mapping, like [[merge]]). Returns the committed version,
     * or -1 when nothing matched (no commit — a no-op delete must not
-    * grow the log). */
+    * grow the log); a LOST concurrent-rewrite race throws
+    * `ConcurrentModificationException` — it must never masquerade as a
+    * no-op. Rows in files appended concurrently are not retroactively
+    * deleted (the delete covers its read snapshot). */
   def delete(predicate: org.apache.spark.sql.Column): Long = {
     val snap = snapshot
-    val affected = filesMatching(snap, predicate)
+    val affected = filesMatching(snap, _.filter(predicate))
     if (affected.isEmpty) return -1L
     val survivors = dfFor(snap.copy(files = affected)).filter(!predicate)
     commitRewrite(affected, survivors, "DELETE")
@@ -332,7 +328,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val sch = schema
     set.keys.foreach(k => require(sch.fieldNames.contains(k), s"unknown SET column '$k'"))
     val snap = snapshot
-    val affected = filesMatching(snap, predicate)
+    val affected = filesMatching(snap, _.filter(predicate))
     if (affected.isEmpty) return -1L
     val rewritten = dfFor(snap.copy(files = affected))
       .select(sch.fields.map { f =>
@@ -346,10 +342,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     commitRewrite(affected, rewritten, "UPDATE")
   }
 
-  /** Live files containing at least one row matching `predicate`
-    * (bounded collect: ≤ file count). */
+  /** Live files containing at least one row surviving `restrict` (a
+    * predicate filter or a key semi-join) — the ONE row→file mapping
+    * shared by [[merge]]/[[delete]]/[[update]] so path normalization can
+    * never diverge between them. Bounded collect: ≤ file count. */
   private def filesMatching(snap: Snapshot,
-                            predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+                            restrict: DataFrame => DataFrame): Seq[AddFile] = {
     if (snap.files.isEmpty) return Nil
     val sch = snap.schema.get
     val parts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
@@ -357,8 +355,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val reader = spark.read.schema(sch)
     val raw = if (parts.isEmpty) reader.parquet(paths: _*)
               else reader.option("basePath", path).parquet(paths: _*)
-    val hitPaths = raw.withColumn("__file", input_file_name())
-      .filter(predicate)
+    val hitPaths = restrict(raw.withColumn("__file", input_file_name()))
       .select(col("__file")).distinct()
       .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
     snap.files.filter(f =>
@@ -367,10 +364,17 @@ final class DeltaTable(spark: SparkSession, val path: String) {
 
   /** Stage `newData`, then atomically commit it as adds plus `affected`
     * as removes — the shared copy-on-write tail of [[merge]], [[delete]]
-    * and [[update]], with [[compact]]'s concurrent-rewrite guard. */
+    * and [[update]]. A failed commit check is a LOST RACE, not a no-op:
+    * the staged files are cleaned up and ConcurrentModificationException
+    * thrown, so callers can never mistake an unapplied DML for "nothing
+    * matched" (compact stays quiet on races — skipping an optimization
+    * is safe; skipping a DML is not). */
   private def commitRewrite(affected: Seq[AddFile], newData: DataFrame,
                             operation: String,
-                            params: Map[String, String] = Map.empty): Long = {
+                            params: Map[String, String] = Map.empty,
+                            extraCheck: Snapshot => Boolean = _ => true,
+                            conflictHint: String =
+                              "a concurrent commit rewrote files this operation was based on"): Long = {
     val parts = partitionColumns
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
@@ -384,9 +388,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           affected.map(f => Action(remove = Some(RemoveFile(f.path,
             Some(System.currentTimeMillis()))))) ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation, params)))),
-        check = s => removedPaths.subsetOf(s.files.map(_.path).toSet))
-      if (committed < 0)
+        check = s => removedPaths.subsetOf(s.files.map(_.path).toSet) && extraCheck(s))
+      if (committed < 0) {
         adds.foreach(a => fs.delete(new Path(path, a.path), false))
+        throw new java.util.ConcurrentModificationException(
+          s"$operation lost a commit race: $conflictHint")
+      }
       committed
     } finally fs.delete(staging, true)
   }

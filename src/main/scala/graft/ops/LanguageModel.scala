@@ -108,6 +108,27 @@ object LanguageModel {
       lm.bigrams.toSeq.sortBy(_._1),
       lm.vocabSize.toDouble)
 
+  /** Global top-`maxVocab` vocabulary ((count desc, token) tie-break,
+    * `<unk>` excluded) plus the unk-pooled (label, mapped-token) frame —
+    * the ONE definition of the vocab/OOV contract shared by
+    * [[klBySource]] and [[NaiveBayes.train]]; both oracles re-derive
+    * exactly this rule, so it must never fork between them.
+    * @param toks frame with columns (`c` label, `ts` token array) */
+  private[ops] def topVocabMapped(toks: DataFrame, maxVocab: Int)
+      : (Seq[String], DataFrame) = {
+    val vocab: Seq[String] = toks.select(explode(col("ts")).as("w"))
+      .filter(col("w") =!= Unk)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(maxVocab)
+      .collect().map(_.getString(0)).toSeq
+    val vocabLit = typedlit[Map[String, Long]](vocab.map(_ -> 1L).toMap)
+    val mapped = toks.select(col("c"), explode(col("ts")).as("w"))
+      .select(col("c"),
+        when(element_at(vocabLit, col("w")).isNotNull, col("w"))
+          .otherwise(lit(Unk)).as("w"))
+    (vocab, mapped)
+  }
+
   /** Per-class KL divergence from the corpus distribution — the
     * data-mixing diagnostic ("how far is source X's unigram distribution
     * from the blend?") that decides reweighting before any training run.
@@ -130,16 +151,7 @@ object LanguageModel {
     val spark = df.sparkSession
     val toks = df.select(col(labelCol).cast("string").as("c"),
       TextAnalysis.tokens(col(textCol)).as("ts"))
-    val vocab: Seq[String] = toks.select(explode(col("ts")).as("w"))
-      .filter(col("w") =!= Unk)
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w")).limit(maxVocab)
-      .collect().map(_.getString(0)).toSeq
-    val vocabLit = typedlit[Map[String, Long]](vocab.map(_ -> 1L).toMap)
-    val mapped = toks.select(col("c"), explode(col("ts")).as("w"))
-      .select(col("c"),
-        when(element_at(vocabLit, col("w")).isNotNull, col("w"))
-          .otherwise(lit(Unk)).as("w"))
+    val (vocab, mapped) = topVocabMapped(toks, maxVocab)
     val cnt = mapped.groupBy(col("c"), col("w")).agg(count(lit(1)).as("n"))
     // bounded grids from here on: every frame is ≤ classes · (V+1) rows
     val classes = cnt.select(col("c")).distinct()

@@ -208,8 +208,17 @@ object Multimodal {
         assets.map { a =>
           def fail(msg: String) =
             throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
+          // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream):
+          // the latter defaults to a disk-backed FileCacheImageInputStream
+          // — one temp-file create/write/delete per asset in the executor
+          // hot path, and a hard failure on a full/unwritable tmpdir
+          // ImageIO.read(ImageInputStream) closes the stream itself — a
+          // finally-close here double-closes and throws "closed" AFTER a
+          // successful decode
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+            try javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(a.bytes)))
             catch {
               case e: java.io.IOException => fail(s"image decode failed: ${e.getMessage}")
               case e: RuntimeException => fail(s"image decode failed: ${e.getMessage}")

@@ -47,19 +47,11 @@ object NaiveBayes {
     require(maxVocab >= 1, s"bad maxVocab=$maxVocab")
     val toks = df.select(col(labelCol).cast("string").as("c"),
       TextAnalysis.tokens(col(textCol)).as("ts"))
-    // the literal token "<unk>" pools into the unk class like any OOV
-    // token (the LanguageModel rule — letting it into the vocab would
-    // collide with the special map key)
-    val vocab: Seq[String] = toks.select(explode(col("ts")).as("w"))
-      .filter(col("w") =!= Unk)
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w")).limit(maxVocab)
-      .collect().map(_.getString(0)).toSeq
-    val vocabLit = typedlit[Map[String, Long]](vocab.map(_ -> 1L).toMap)
-    val counts = toks.select(col("c"), explode(col("ts")).as("w"))
-      .select(col("c"),
-        when(element_at(vocabLit, col("w")).isNotNull, col("w"))
-          .otherwise(lit(Unk)).as("w"))
+    // vocab + unk pooling: the ONE shared definition
+    // (LanguageModel.topVocabMapped) — the literal token "<unk>" pools
+    // into the unk class like any OOV token
+    val (vocab, mapped) = LanguageModel.topVocabMapped(toks, maxVocab)
+    val counts = mapped
       .groupBy(col("c"), col("w")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val docCounts = df.groupBy(col(labelCol).cast("string").as("c"))

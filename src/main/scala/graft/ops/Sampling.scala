@@ -81,6 +81,8 @@ object Sampling {
     * rank filter at k ≪ group size. */
   def uniformK(df: DataFrame, groupCol: String, keyCol: String, k: Int,
                salt: String): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "uniformK reserves column name '__rn' but the input already has it")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(coin(col(keyCol), salt), col(keyCol))
     df.withColumn("__rn", row_number().over(w))
@@ -107,8 +109,8 @@ object Sampling {
   def weightedUniformK(df: DataFrame, groupCol: String, keyCol: String,
                        weightCol: Column, k: Int, salt: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(!df.columns.contains("__pri"),
-      "weightedUniformK reserves column name '__pri' but the input already has it")
+    Seq("__pri", "__rn").foreach(c => require(!df.columns.contains(c),
+      s"weightedUniformK reserves column name '$c' but the input already has it"))
     // u ∈ (0, 1]: (coin + 1) / 2^32 — never 0, so ln is finite
     val u = (coin(col(keyCol), salt).cast("double") + 1.0) / U32
     val wPos = weightCol.cast("double")

@@ -454,7 +454,18 @@ object Similarity {
       .filter(col("srn") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
 
-    // refine: fetch true vectors for the shortlist only, exact re-rank
+    refineExact(short, corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+  }
+
+  /** Exact-rerank tail shared by every shortlist-based ANN variant
+    * ([[ivfPqTopK]], [[sq8TopK]]): fetch the shortlist's TRUE vectors,
+    * score exact cosine, emit top-k by (cos desc, id asc) — one
+    * definition so the refine semantics can never drift between
+    * variants. `short` = (query_id, neighbor_id). */
+  private def refineExact(short: DataFrame, corpus: DataFrame,
+                          corpusId: String, corpusVec: String,
+                          queries: DataFrame, queryId: String, queryVec: String,
+                          k: Int): DataFrame = {
     val cv = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
     val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
     val wExact = org.apache.spark.sql.expressions.Window
@@ -496,14 +507,7 @@ object Similarity {
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val cv = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
-    val wExact = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    short.join(cv, Seq("neighbor_id")).join(q, Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(wExact).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    refineExact(short, corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
   }
 
   /** LSH ANN: corpus bucketed once by signature; each query probes its own

@@ -13,6 +13,43 @@ import graft.ops.Similarity
   */
 object SimilarityQueries extends QueryModule {
 
+  /** The IVF probe-and-rank oracle, shared VERBATIM by sim_topk_ivf,
+    * sim_topk_ivf_delta (partition-pruned read) and sim_topk_ivfpq
+    * (PQ shortlist + refine): one definition makes the shared-oracle
+    * losslessness proofs structural — the variants cannot drift from the
+    * baseline oracle by a missed edit. */
+  private val IvfOracleSql: String = {
+    val O = OracleSql
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+       |  WHERE vec_id < 16
+       |), assigned AS (
+       |  SELECT neighbor_id, cv, centroid_id AS cell FROM (
+       |    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${O.cosine("e.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, qv, centroid_id AS cell FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${O.cosine("q.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
+       |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
+       |  ) WHERE rn <= 4
+       |), scored AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id, ${O.cosine("p.qv", "a.cv", 64)} AS cos
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.neighbor_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Per-label centroids via exact integer-scaled sums: deterministic
     // across partitionings where a naive fp mean is a summation-order
@@ -154,37 +191,7 @@ object SimilarityQueries extends QueryModule {
             queries, "vec_id", "embedding", k = 5, numCentroids = 16, nprobe = 4)
           .orderBy(col("query_id"), col("rank"))
       },
-      {
-        val O = OracleSql
-        Some(s"""WITH cents AS (
-                |  SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
-                |  WHERE vec_id < 16
-                |), assigned AS (
-                |  SELECT neighbor_id, cv, centroid_id AS cell FROM (
-                |    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
-                |      row_number() OVER (PARTITION BY e.vec_id
-                |        ORDER BY ${O.cosine("e.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
-                |    FROM embeddings e CROSS JOIN cents c
-                |  ) WHERE rn = 1
-                |), probes AS (
-                |  SELECT query_id, qv, centroid_id AS cell FROM (
-                |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
-                |      row_number() OVER (PARTITION BY q.vec_id
-                |        ORDER BY ${O.cosine("q.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
-                |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
-                |  ) WHERE rn <= 4
-                |), scored AS (
-                |  SELECT DISTINCT p.query_id, a.neighbor_id, ${O.cosine("p.qv", "a.cv", 64)} AS cos
-                |  FROM assigned a JOIN probes p ON a.cell = p.cell
-                |  WHERE a.neighbor_id <> p.query_id
-                |), ranked AS (
-                |  SELECT query_id, neighbor_id,
-                |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-                |  FROM scored
-                |)
-                |SELECT query_id, neighbor_id, rank FROM ranked
-                |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
-      }),
+      Some(IvfOracleSql)),
 
     // The SAME search through the cell-partitioned Delta layout: the
     // corpus is written Hive-partitioned by cell (writeIvfAssigned) and
@@ -208,37 +215,7 @@ object SimilarityQueries extends QueryModule {
             queries, "vec_id", "embedding", k = 5, cents, nprobe = 4)
           .orderBy(col("query_id"), col("rank"))
       },
-      {
-        val O = OracleSql
-        Some(s"""WITH cents AS (
-                |  SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
-                |  WHERE vec_id < 16
-                |), assigned AS (
-                |  SELECT neighbor_id, cv, centroid_id AS cell FROM (
-                |    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
-                |      row_number() OVER (PARTITION BY e.vec_id
-                |        ORDER BY ${O.cosine("e.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
-                |    FROM embeddings e CROSS JOIN cents c
-                |  ) WHERE rn = 1
-                |), probes AS (
-                |  SELECT query_id, qv, centroid_id AS cell FROM (
-                |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
-                |      row_number() OVER (PARTITION BY q.vec_id
-                |        ORDER BY ${O.cosine("q.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
-                |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
-                |  ) WHERE rn <= 4
-                |), scored AS (
-                |  SELECT DISTINCT p.query_id, a.neighbor_id, ${O.cosine("p.qv", "a.cv", 64)} AS cos
-                |  FROM assigned a JOIN probes p ON a.cell = p.cell
-                |  WHERE a.neighbor_id <> p.query_id
-                |), ranked AS (
-                |  SELECT query_id, neighbor_id,
-                |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-                |  FROM scored
-                |)
-                |SELECT query_id, neighbor_id, rank FROM ranked
-                |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
-      }),
+      Some(IvfOracleSql)),
 
     // IVF-PQ with exact refine, sharing sim_topk_ivf's candidate universe:
     // same first-16 cell codebook, same nprobe=4 — the PQ stage (stand-in
@@ -264,36 +241,6 @@ object SimilarityQueries extends QueryModule {
             k = 5, cents, nprobe = 4, pq, shortlist = 64)
           .orderBy(col("query_id"), col("rank"))
       },
-      {
-        val O = OracleSql
-        Some(s"""WITH cents AS (
-                |  SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
-                |  WHERE vec_id < 16
-                |), assigned AS (
-                |  SELECT neighbor_id, cv, centroid_id AS cell FROM (
-                |    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
-                |      row_number() OVER (PARTITION BY e.vec_id
-                |        ORDER BY ${O.cosine("e.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
-                |    FROM embeddings e CROSS JOIN cents c
-                |  ) WHERE rn = 1
-                |), probes AS (
-                |  SELECT query_id, qv, centroid_id AS cell FROM (
-                |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
-                |      row_number() OVER (PARTITION BY q.vec_id
-                |        ORDER BY ${O.cosine("q.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
-                |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
-                |  ) WHERE rn <= 4
-                |), scored AS (
-                |  SELECT DISTINCT p.query_id, a.neighbor_id, ${O.cosine("p.qv", "a.cv", 64)} AS cos
-                |  FROM assigned a JOIN probes p ON a.cell = p.cell
-                |  WHERE a.neighbor_id <> p.query_id
-                |), ranked AS (
-                |  SELECT query_id, neighbor_id,
-                |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-                |  FROM scored
-                |)
-                |SELECT query_id, neighbor_id, rank FROM ranked
-                |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
-      })
+      Some(IvfOracleSql))
   )
 }
