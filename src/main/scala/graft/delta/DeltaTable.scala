@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Delta table facade: transactional parquet append/read on top of
@@ -144,14 +144,19 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // schema is computed against THIS snapshot — two writers evolving
     // the schema concurrently is a metadata conflict this append does
     // not arbitrate (Delta proper fails such commits too).
+    val baseSchema = schema
     val evolution: Seq[org.apache.spark.sql.types.StructField] =
       if (!mergeSchema) Nil
       else {
-        val have = schema.fieldNames.toSet
-        df.schema.fields.filter(f => !have.contains(f.name))
+        // case-INSENSITIVE name match (Spark's default resolution):
+        // a source column differing only in case must resolve to the
+        // existing field, not evolve into a duplicate-modulo-case one —
+        // a schema Delta proper rejects outright
+        val have = baseSchema.fieldNames.map(_.toLowerCase).toSet
+        df.schema.fields.filter(f => !have.contains(f.name.toLowerCase))
           .map(_.copy(nullable = true)).toSeq
       }
-    val evolvedSchema = org.apache.spark.sql.types.StructType(schema.fields ++ evolution)
+    val evolvedSchema = org.apache.spark.sql.types.StructType(baseSchema.fields ++ evolution)
     val parts = partitionColumns
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val aligned = df.select(evolvedSchema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
@@ -180,8 +185,19 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           Some(System.currentTimeMillis()))))).toSeq ++
         Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation,
           Map("mode" -> "Append")))))
+      // an evolving append must not clobber a schema change that landed
+      // while it was staging: its metaData was computed from baseSchema,
+      // so committing it over a different schema would silently drop the
+      // concurrent evolution — detect and throw instead of retrying past
+      var schemaConflict = false
+      def evolutionCheck(snap: Snapshot): Boolean =
+        if (!txnNotYetApplied(snap)) false
+        else if (evolution.nonEmpty &&
+          !snap.metadata.map(_.schemaString).contains(baseSchema.json)) {
+          schemaConflict = true; false
+        } else true
       val committed =
-        try log.commit(actions, txnNotYetApplied)
+        try log.commit(actions, evolutionCheck)
         catch { case e: Throwable =>
           // commit failed outright (retry ceiling, IO error): the files
           // already moved into the table root are unreferenced — remove
@@ -190,9 +206,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           throw e
         }
       if (committed < 0) {
-        // lost the race to a concurrent writer of the same batch: the moved
-        // files are unreferenced — clean them up
+        // the moved files are unreferenced either way — clean them up
         adds.foreach(a => fs.delete(new Path(path, a.path), false))
+        if (schemaConflict)
+          throw new java.util.ConcurrentModificationException(
+            "append(mergeSchema) lost a schema race: the table schema changed " +
+              "while this append was staging — recompute the evolution and retry")
+        // otherwise: lost the race to a concurrent writer of the same
+        // txn batch — the documented idempotent-replay skip
       }
       committed
     } finally {
@@ -280,6 +301,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     keyCols.foreach(k => require(sch.fieldNames.contains(k), s"unknown key column '$k'"))
     keyCols.foreach(k => require(source.columns.contains(k),
       s"source is missing key column '$k'"))
+    // a source column the table doesn't have is almost always a typo'd
+    // SET column — silently dropping it would null-overwrite the intended
+    // target column on every matched row; refuse loudly instead
+    val tableCols = sch.fieldNames.map(_.toLowerCase).toSet
+    val unknown = source.columns.filter(c => !tableCols.contains(c.toLowerCase))
+    require(unknown.isEmpty,
+      s"source columns ${unknown.mkString(", ")} do not exist in the table schema " +
+        "(project them away, or append with mergeSchema to widen first)")
     val snap = snapshot
     val srcCols = source.columns.toSet
     val aligned = source.select(sch.fields.map(f =>
@@ -313,7 +342,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val snap = snapshot
     val affected = filesMatching(snap, _.filter(predicate))
     if (affected.isEmpty) return -1L
-    val survivors = dfFor(snap.copy(files = affected)).filter(!predicate)
+    // three-valued logic: rows where the predicate is NULL match neither
+    // `predicate` nor `!predicate` — a bare negation would silently
+    // delete them; standard DELETE removes only TRUE rows
+    val survivors = dfFor(snap.copy(files = affected))
+      .filter(!coalesce(predicate, lit(false)))
     commitRewrite(affected, survivors, "DELETE")
   }
 
@@ -345,7 +378,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   /** Live files containing at least one row surviving `restrict` (a
     * predicate filter or a key semi-join) — the ONE row→file mapping
     * shared by [[merge]]/[[delete]]/[[update]] so path normalization can
-    * never diverge between them. Bounded collect: ≤ file count. */
+    * never diverge between them. Bounded collect: ≤ file count.
+    *
+    * Cost note: this is a row-level scan of the live files. Catalyst
+    * still prunes partition DIRECTORIES (partition columns resolve from
+    * the Hive layout, so a predicate on them never opens other
+    * partitions' parquet) and pushes comparable predicates into the
+    * parquet row-group stats; what it does NOT use is the Delta
+    * `add.stats` file-level index — pre-restricting candidates through
+    * [[DataSkipping]] for ColPred-expressible predicates is the next
+    * lever if DML ever dominates a workload. */
   private def filesMatching(snap: Snapshot,
                             restrict: DataFrame => DataFrame): Seq[AddFile] = {
     if (snap.files.isEmpty) return Nil
@@ -424,12 +466,21 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           partitionColumns = t.partitionColumns))))
       case _ => Nil
     }
-    log.commit(metaUpdate ++
+    // adds/removes were computed against `current`: if ANY concurrent
+    // commit changes the file set before we land, committing them would
+    // produce neither the old state nor the new one — fail loudly
+    val basePaths = current.files.map(_.path).toSet
+    val committed = log.commit(metaUpdate ++
       readds.map(f => Action(add = Some(f))) ++
       removes.map(f => Action(remove = Some(RemoveFile(f.path,
         Some(System.currentTimeMillis()))))) ++
       Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "RESTORE",
-        Map("version" -> version.toString))))))
+        Map("version" -> version.toString))))),
+      check = s => s.files.map(_.path).toSet == basePaths)
+    if (committed < 0)
+      throw new java.util.ConcurrentModificationException(
+        "RESTORE lost a commit race: a concurrent commit changed the table's file set")
+    committed
   }
 
   /** Read the current snapshot as a DataFrame (partition columns restored

@@ -400,7 +400,12 @@ object Sampling {
     require(contextLen > 0, s"contextLen must be positive: $contextLen")
     val w = Window.partitionBy(col("shard"))
       .orderBy(coin(col("id"), salt), col("id"))
-    df.select(col(shardCol).as("shard"), col(keyCol).as("id"), idsCol.as("__ids"))
+    // a NULL ids array must count as empty: size(NULL) poisons the
+    // running-sum offsets of every later doc in the shard (silently
+    // shifting all downstream sequence boundaries), while posexplode
+    // would just drop the row
+    df.select(col(shardCol).as("shard"), col(keyCol).as("id"),
+        coalesce(idsCol, expr("array()").cast("array<bigint>")).as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
       .withColumn("__start", coalesce(sum(col("__n")).over(w) - col("__n"), lit(0L)))
       .select(col("shard"), col("__start"),

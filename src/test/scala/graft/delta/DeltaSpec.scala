@@ -144,6 +144,24 @@ class DeltaSpec extends SparkSpec {
       .forall(_.partitionValues.get("date").contains("2021-11-02")))
   }
 
+  test("delete keeps NULL-predicate rows; merge refuses unknown source columns") {
+    val t = newTable()
+    import spark.implicits._
+    // name NULL for id 1: a predicate on name is NULL there — standard
+    // DELETE removes only TRUE rows, so the NULL row must survive
+    val rows = Seq((0L, "drop-me"), (1L, null), (2L, "keep")).map { case (i, n) =>
+      (i, n, new java.sql.Timestamp(0L), "2021-11-01")
+    }.toDF("id", "name", "ts", "date")
+    t.append(rows)
+    assert(t.delete(col("name") === "drop-me") > 0L)
+    val left = t.toDF.collect().map(_.getAs[Long]("id")).toSet
+    assert(left === Set(1L, 2L), s"the NULL-name row must survive the delete; got $left")
+    // a source column the table lacks is a typo'd SET column, not a no-op
+    val badSrc = Seq((2L, "x")).toDF("id", "nmae")
+    val e = intercept[IllegalArgumentException](t.merge(badSrc, Seq("id")))
+    assert(e.getMessage.contains("nmae"))
+  }
+
   test("restoreTo resets state in one commit, preserves history, reverts schema") {
     val t = newTable()
     t.append(sampleDf(0 until 5))                 // v1
