@@ -15,7 +15,66 @@ object MultimodalQueries extends QueryModule {
 
   private def hx = "md5(text)"
 
+  /** Deterministic PCM ramp WAV (the MultimodalSpec generator): 16-bit
+    * sample at frame i, channel c = (i·7 + c·3) mod 32767 — a closed
+    * form the oracle can recompute without parsing a byte. */
+  private def rampWav(channels: Int, rate: Int, samples: Int): Array[Byte] = {
+    val bpf = channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + samples * bpf)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples * bpf)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * bpf).putShort(bpf.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(samples * bpf)
+    for (i <- 0 until samples; c <- 0 until channels)
+      buf.putShort(((i * 7 + c * 3) % 32767).toShort)
+    buf.array()
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // The REAL audio decode path, hash-gated end to end: deterministic
+    // ramp WAVs are fabricated per doc_id (mono/stereo, varying length),
+    // decoded by the strict RIFF chunk walk (RealCodecs.PcmWav), windowed
+    // into 256-frame stats — and the oracle recomputes every window's
+    // count/peak/rms from the ramp's CLOSED FORM, never touching a byte.
+    // A wrong chunk offset, byte order, window split, or stats formula
+    // breaks the hash.
+    "mm_wav_stats" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val ch = 1 + (id % 2).toInt
+            val n = 500 + (id % 300).toInt
+            (id, "audio", rampWav(ch, 8000, n))
+          }).toDF("asset_id", "kind", "bytes")
+        Multimodal.pcmWindowStats16(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.PcmWav(256)))
+          .toDF()
+          .orderBy(col("asset_id"), col("frame_idx"), col("channel"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS id, 1 + doc_id % 2 AS ch, 500 + doc_id % 300 AS n
+             |  FROM documents WHERE doc_id < 100
+             |), f AS (
+             |  SELECT id, ch, unnest(range(0, n)) AS fr FROM a
+             |), c AS (
+             |  SELECT id, fr, unnest(range(0, ch)) AS chan FROM f
+             |), v AS (
+             |  SELECT id, chan, fr // 256 AS w, (fr * 7 + chan * 3) % 32767 AS s FROM c
+             |)
+             |SELECT id AS asset_id, CAST(w AS INT) AS frame_idx,
+             |  CAST(chan AS INT) AS channel,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(max(s) AS INT) AS peak_abs,
+             |  CAST(floor(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) * 1000.0 + 0.5) AS BIGINT) AS rms_q3
+             |FROM v GROUP BY 1, 2, 3
+             |ORDER BY asset_id, frame_idx, channel""".stripMargin)),
+
     "mm_meta" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
