@@ -33,7 +33,70 @@ object MultimodalQueries extends QueryModule {
     buf.array()
   }
 
+  /** Deterministic 24-bit bottom-up BMP (the MultimodalSpec generator's
+    * shape): pixel (x, y-from-top) carries BGR (x mod 256, y mod 256,
+    * (x+y) mod 256) — closed form for the oracle. */
+  private def rampBmp(width: Int, height: Int): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowSize * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * height)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * height).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (yUp <- 0 until height) {
+      val y = height - 1 - yUp
+      for (x <- 0 until width)
+        buf.put((x % 256).toByte).put((y % 256).toByte).put(((x + y) % 256).toByte)
+      for (_ <- width * 3 until rowSize) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // The REAL image decode path, hash-gated like mm_wav_stats below:
+    // deterministic ramp BMPs (varying dims incl. row padding), decoded
+    // by the byte-layout Bmp24 codec, reduced to exact q3 channel means —
+    // the oracle recomputes each mean from the pixel formula without
+    // touching a byte. Wrong padding strip, row order, or channel order
+    // breaks the hash.
+    "mm_bmp_stats" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 3 + (id % 7).toInt // widths 3..9: varied row padding
+            val h = 2 + (id % 5).toInt
+            (id, "image", rampBmp(w, h))
+          }).toDF("asset_id", "kind", "bytes")
+        Multimodal.bmpColorStats(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.Bmp24))
+          .toDF()
+          .orderBy(col("asset_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS id, 3 + doc_id % 7 AS w, 2 + doc_id % 5 AS h
+             |  FROM documents WHERE doc_id < 100
+             |), px AS (
+             |  SELECT id, w, h, unnest(range(0, w)) AS x FROM a
+             |), pxy AS (
+             |  SELECT id, w, h, x, unnest(range(0, h)) AS y FROM px
+             |), sums AS (
+             |  SELECT id,
+             |    CAST(w * h AS BIGINT) AS n,
+             |    CAST(sum(x % 256) AS BIGINT) AS sb,
+             |    CAST(sum(y % 256) AS BIGINT) AS sg,
+             |    CAST(sum((x + y) % 256) AS BIGINT) AS sr
+             |  FROM pxy GROUP BY id, w, h
+             |)
+             |SELECT id AS asset_id,
+             |  CAST(floor(CAST(sb AS DOUBLE) / n * 1000.0 + 0.5) AS BIGINT) AS mean_b_q3,
+             |  CAST(floor(CAST(sg AS DOUBLE) / n * 1000.0 + 0.5) AS BIGINT) AS mean_g_q3,
+             |  CAST(floor(CAST(sr AS DOUBLE) / n * 1000.0 + 0.5) AS BIGINT) AS mean_r_q3
+             |FROM sums ORDER BY asset_id""".stripMargin)),
+
     // The REAL audio decode path, hash-gated end to end: deterministic
     // ramp WAVs are fabricated per doc_id (mono/stereo, varying length),
     // decoded by the strict RIFF chunk walk (RealCodecs.PcmWav), windowed
