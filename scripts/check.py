@@ -36,14 +36,39 @@ def canon(df):
 
 def _fresh_con(sf_dir):
     con = duckdb.connect()
+    # Cap DuckDB's allocator well below the host's free memory: under
+    # neighbor contention the default (80% of RAM) lets one query's hash
+    # table push the HOST into exhaustion, after which even 16 KiB mallocs
+    # fail and every later query in the run reports a phantom OOM (round 8
+    # lost 3 green rows this way). 4 GB is ~100x what any sf0.01 oracle
+    # needs; with the cap, a too-big query spills instead of killing the run.
+    con.execute("PRAGMA memory_limit='4GB'")
+    con.execute("PRAGMA threads=4")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
 
 
+def _run_oracle(sf_dir, sql):
+    # One FRESH connection per query: a prior query's OOM poisons the shared
+    # connection's buffer accounting, turning every subsequent row red. A
+    # per-query connection costs ~ms (views over parquet are lazy) and makes
+    # rows independent. Retry once on OOM after a backoff for transient host
+    # exhaustion.
+    for attempt in range(2):
+        con = _fresh_con(sf_dir)
+        try:
+            return con.execute(sql).fetch_arrow_table()
+        except duckdb.OutOfMemoryException:
+            if attempt == 1: raise
+            import time; time.sleep(10)
+        finally:
+            try: con.close()
+            except Exception: pass
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = _fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name in sorted(os.listdir(out_dir)):
@@ -55,19 +80,7 @@ def main():
             n_skip += 1
             continue
         try:
-            # transient malloc failures under host contention poison the
-            # connection's buffer accounting: retry on a FRESH connection
-            # before reporting a phantom oracle error
-            for attempt in range(4):
-                try:
-                    duck_df = con.execute(oracle[name]).fetch_arrow_table()
-                    break
-                except duckdb.OutOfMemoryException:
-                    if attempt == 3: raise
-                    import time; time.sleep(5 * (attempt + 1))
-                    try: con.close()
-                    except Exception: pass
-                    con = _fresh_con(sf_dir)
+            duck_df = _run_oracle(sf_dir, oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1

@@ -19,6 +19,10 @@ import pyarrow.parquet as pq
 def fresh_con(sf_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # see check.py: cap the allocator so one query spills instead of
+    # exhausting the HOST and poisoning every later row in the run
+    con.execute("PRAGMA memory_limit='4GB'")
+    con.execute("PRAGMA threads=4")
     for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(t).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
@@ -34,19 +38,21 @@ class ConBox:
         """This host's neighbor contention makes malloc fail transiently
         (tiny-block bad_alloc with 100+ GB free), and a failed allocation
         can leave the connection's buffer accounting poisoned — retry on
-        a FRESH connection instead of reporting a phantom failure."""
+        a FRESH connection instead of reporting a phantom failure. The
+        connection is also rebuilt BEFORE each query so one row's OOM can
+        never bleed into the next (round 8 lost 3 green rows that way)."""
         for attempt in range(4):
+            try:
+                self.con.close()
+            except Exception:
+                pass
+            self.con = fresh_con(self.sf_dir)
             try:
                 return self.con.execute(q_sql).arrow()
             except duckdb.OutOfMemoryException:
                 if attempt == 3:
                     raise
                 time.sleep(5 * (attempt + 1))
-                try:
-                    self.con.close()
-                except Exception:
-                    pass
-                self.con = fresh_con(self.sf_dir)
 
 
 def main(sf_dir: str, out_dir: str) -> int:

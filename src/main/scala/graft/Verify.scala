@@ -17,7 +17,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [onlyRegex] — the optional filter runs a subset
+    // (dev iteration / re-adjudicating individual gate rows); oracle_sql
+    // .json is filtered to match so scripts/check.py sees a closed set
+    val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).headOption)
+    def selected(name: String): Boolean = only.forall(r => name.matches(r))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder("graft-verify", Some(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,7 +31,7 @@ object Verify {
     // queries are independent; run a few concurrently (Spark schedules
     // concurrent jobs fine) to cut the driver's verify wall-clock
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = SparkEntry.queries.toSeq.filter(q => selected(q._1)).map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
@@ -51,9 +55,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(q => selected(q._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // The DuckDB gate must NOT run while this JVM is still resident: the
+    // Spark heap holds tens of GB and round 8 lost 3 gate rows to host
+    // memory exhaustion. Exit hard — spark.stop() leaves non-daemon
+    // threads (Derby, shuffle cleaners) that can keep the process alive.
+    System.exit(0)
   }
 }

@@ -547,4 +547,58 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup", 2023):
+    * k-means-cluster the embedding space with the exact-integer IVF
+    * codebook ([[Similarity.trainIvfCentroids]]), generate candidate
+    * pairs only WITHIN a cluster cell, connect pairs with
+    * cosine ≥ 1 − eps, and keep the min-id representative of each
+    * connected semantic-duplicate component.
+    *
+    * Output: (id, cluster_id, keep) for EVERY input row — singletons are
+    * their own cluster; `keep` marks the representative (id == cluster
+    * min), so `filter(keep)` is the pruned corpus and the rest is the
+    * per-cluster lineage a curation pipeline logs.
+    *
+    * Plan shape (module rule 1): cell assignment is a plan-literal scan
+    * expression — centroids fold into the plan, no join against a
+    * centroid table — and the within-cell candidate self-join moves
+    * (id, cell) rows ONLY; the `dims`-float vectors join back once per
+    * side for the cosine verify (the [[embeddingNearDups]] idiom with
+    * cells instead of probe signatures). Never all-pairs: candidates are
+    * Σ n_cell², so `numClusters` scales with the corpus
+    * (n / target-cell-size) exactly like IVF search. The codebook is
+    * bit-stable across partitionings (integer Lloyd means), so the
+    * assignment — and therefore the output — is deterministic and the
+    * oracle can RETRAIN it in SQL. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    numClusters: Int, eps: Double, iters: Int = 2): DataFrame = {
+    // spelled 1.0 - eps (not a pre-computed literal) so the oracle's
+    // identical IEEE subtraction yields the identical threshold double
+    val centroids = Similarity.trainIvfCentroids(df, idCol, vecCol, numClusters, iters)
+    val edges = semanticPairs(df, idCol, vecCol, centroids, lit(1.0) - lit(eps))
+    df.select(col(idCol).as("id"))
+      .join(duplicateClusters(edges), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
+  /** [[semanticDedup]]'s candidate stage: (id_a, id_b) pairs sharing an
+    * IVF cell with cosine ≥ threshold. Split out so its plan shape is
+    * pinnable (the clustering step localCheckpoints, truncating lineage)
+    * and reusable with an externally-trained codebook. */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Float]], threshold: Column): DataFrame = {
+    val cents = centroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val idCell = base.select(col("id"), Similarity.cellOf(cents)(col("v")).as("cell"))
+    val cand = idCell.alias("a")
+      .join(idCell.alias("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
 }

@@ -197,7 +197,7 @@ object Similarity {
   /** Per-centroid (cosine, -cid) structs: array_max picks the best cosine,
     * ties resolve to the SMALLEST centroid id (the (c desc, cid asc)
     * order every assignment/probe in this module shares). */
-  private def cellStructs(cents: Seq[(Long, Seq[Float])])(vec: Column): Seq[Column] =
+  private[ops] def cellStructs(cents: Seq[(Long, Seq[Float])])(vec: Column): Seq[Column] =
     cents.map { case (cid, cv) =>
       struct(cosine(vec, typedlit(cv)).as("c"), lit(-cid).as("nid"))
     }
@@ -205,7 +205,7 @@ object Similarity {
   /** Nearest-centroid cell id of `vec` — the assignment expression shared
     * by search, training, and the partitioned writer (one definition, or
     * the layouts drift from the probes that read them). */
-  private def cellOf(cents: Seq[(Long, Seq[Float])])(vec: Column): Column =
+  private[ops] def cellOf(cents: Seq[(Long, Seq[Float])])(vec: Column): Column =
     -array_max(array(cellStructs(cents)(vec): _*)).getField("nid")
 
   /** Each query's `nprobe` best cells, exploded to (query_id, qv, cell). */

@@ -250,6 +250,36 @@ object DedupQueries extends QueryModule {
                 |SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
                 |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin)
       },
+      headline = true),
+
+    // SemDeDup-style semantic dedup: the oracle RETRAINS the IVF codebook
+    // in SQL (unrolled exact-integer Lloyd — the text_bpe_corpus
+    // precedent), recomputes the argmax-cosine cell assignment, the
+    // within-cell cosine pairs, and the min-label transitive closure —
+    // a full independent re-derivation of training + assignment +
+    // candidate generation + clustering.
+    "dedup_semantic" -> QueryDef(
+      (s, d) =>
+        graft.ops.Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+            numClusters = 8, eps = 0.7, iters = 2)
+          .orderBy(col("id")),
+      {
+        val O = OracleSql
+        Some(s"WITH RECURSIVE ${O.ivfLloydCtes(k = 8, iters = 2, dims = 64)}, " +
+          O.ivfAssignCte("fcells", "cents_2", 64) + ", " +
+          "cand AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS v_a, b.v AS v_b " +
+          "FROM fcells a JOIN fcells b ON a.cell = b.cell AND a.id < b.id), " +
+          // threshold spelled (1.0 - eps): the identical IEEE subtraction
+          // Dedup.semanticDedup performs, not a rounded decimal literal
+          s"pairs AS MATERIALIZED (SELECT id_a, id_b FROM cand WHERE ${O.cosine("v_a", "v_b", 64)} >= (1.0 - 0.7)), " +
+          "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b AS a, id_a AS b FROM pairs), " +
+          "reach AS (SELECT a AS node, a AS r FROM edges UNION " +
+          "SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node), " +
+          "cl AS (SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node) " +
+          "SELECT b.id, COALESCE(cl.cluster_id, b.id) AS cluster_id, " +
+          "(b.id = COALESCE(cl.cluster_id, b.id)) AS keep " +
+          "FROM ebase b LEFT JOIN cl ON b.id = cl.id ORDER BY b.id")
+      },
       headline = true)
   )
 }

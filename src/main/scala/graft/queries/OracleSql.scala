@@ -114,4 +114,48 @@ object OracleSql {
 
   def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] =
     Similarity.hyperplaneMatrix(planes, dims)
+
+  /** The per-row argmax-cosine cell assignment over a `(cid, cv)` centroid
+    * CTE — mirrors Similarity.cellOf's array_max over (cosine, −cid)
+    * structs: best cosine wins, exact-double ties resolve to the smallest
+    * centroid id. */
+  def ivfAssignCte(name: String, centsCte: String, dims: Int): String =
+    s"$name AS MATERIALIZED (SELECT id, v, cell FROM (" +
+      s"SELECT b.id, b.v, c.cid AS cell, row_number() OVER (PARTITION BY b.id " +
+      s"ORDER BY ${cosine("b.v", "c.cv", dims)} DESC, c.cid) AS rn " +
+      s"FROM ebase b CROSS JOIN $centsCte c) WHERE rn = 1)"
+
+  /** The FULL in-SQL retraining of Similarity.trainIvfCentroids, unrolled
+    * iteration by iteration (the text_bpe_corpus precedent): md5-seeded
+    * codebook (`k` smallest md5("ivf:"+id) corpus rows, in that order),
+    * then per iteration an argmax-cosine assignment and the 2^20
+    * integer-exact per-(cell, dim) mean — long sums commute, so the means
+    * (and the FLOAT cast) are bit-identical to Spark's regardless of
+    * partitioning. Empty cells keep their previous centroid via the LEFT
+    * JOIN COALESCE, the Lloyd degeneracy guard. Emits CTEs `ebase`,
+    * `cents_0` … `cents_<iters>`; iterated CTEs are MATERIALIZED (DuckDB
+    * inlines twice-referenced CTEs exponentially otherwise). Every
+    * fragment is single-line: generated SQL must never start a line with
+    * '|' or an enclosing stripMargin corrupts it. */
+  def ivfLloydCtes(k: Int, iters: Int, dims: Int): String = {
+    val seed =
+      "ebase AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
+        "cents_0 AS MATERIALIZED (SELECT cid, cv FROM (SELECT CAST(row_number() OVER " +
+        "(ORDER BY md5('ivf:' || CAST(id AS VARCHAR)), id) AS BIGINT) - 1 AS cid, v AS cv " +
+        s"FROM ebase) WHERE cid < $k)"
+    val steps = (0 until iters).map { j =>
+      val assign = ivfAssignCte(s"cells_$j", s"cents_$j", dims)
+      val agg = s"agg_$j AS (SELECT cell, pos, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(qx) AS BIGINT) AS sq FROM (SELECT cell, unnest(range(len(v))) AS pos, " +
+        "unnest(list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))) AS qx " +
+        s"FROM cells_$j) GROUP BY cell, pos)"
+      val newc = s"newc_$j AS (SELECT cell AS cid, " +
+        "list(CAST(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS FLOAT) ORDER BY pos) AS cv " +
+        s"FROM agg_$j GROUP BY cell)"
+      val next = s"cents_${j + 1} AS MATERIALIZED (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv " +
+        s"FROM cents_$j p LEFT JOIN newc_$j n ON p.cid = n.cid)"
+      Seq(assign, agg, newc, next).mkString(", ")
+    }
+    (seed +: steps).mkString(", ")
+  }
 }

@@ -298,4 +298,23 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty && brute.exists { case (a, b, _) => (a, b) == (1L, 3L) },
       "a cross-bucket pair (len 12 vs 15) must be present to make the test non-vacuous")
   }
+
+  test("semanticDedup keeps the min-id representative of each semantic cluster") {
+    // exact-copy duplicates: identical vectors assign to the SAME cell
+    // whatever the trained codebook (same assignment expression), and
+    // cosine(v, v) = 1 passes any eps — so the expected output is exact
+    // regardless of how Lloyd splits the two directions across cells
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, -1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        numClusters = 2, eps = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set((1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 3L, false), (5L, 5L, true)))
+  }
 }

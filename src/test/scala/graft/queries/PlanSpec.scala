@@ -99,6 +99,29 @@ class PlanSpec extends SparkSpec {
       "candidate generation must not shuffle vector payloads:\n" + p)
   }
 
+  test("semantic dedup: candidate exchanges carry ids and cells, never vectors") {
+    // the within-cell self-join must move (id, cell) rows only; vectors
+    // join back per side for the cosine verify (the embeddingNearDups
+    // rule with cluster cells instead of probe signatures)
+    val p = withoutAutoBroadcast {
+      val emb = graft.Tables.embeddings(spark, sf)
+      val cents = graft.ops.Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        numCentroids = 4, iters = 1)
+      val df = graft.ops.Dedup.semanticPairs(emb, "vec_id", "embedding",
+        cents, org.apache.spark.sql.functions.lit(0.3))
+      df.collect()
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    val cellExchanges = exchangeInputs.filter(_.contains("cell#"))
+    assert(cellExchanges.nonEmpty, "expected cell-keyed candidate exchanges:\n" + p)
+    assert(cellExchanges.forall(in => !in.contains("v#") && !in.contains("v_a#") && !in.contains("v_b#")),
+      "candidate generation must not shuffle vector payloads:\n" + p)
+  }
+
   test("contamination scan broadcasts the probe side, never shuffles the corpus") {
     val p = plan("text_contamination")
     assert(p.contains("BroadcastHashJoin"),
