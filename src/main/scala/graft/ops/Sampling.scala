@@ -164,113 +164,158 @@ object Sampling {
   }
 
   /** Per-domain percentile gate: keep the top `keepFrac` of each domain by
-    * `scoreCol` (ties broken by key so the cut is deterministic) — "keep
-    * the best 30% of every source" curation, which a global threshold
-    * can't express when score scales differ by domain. Keeps
-    * ceil(keepFrac · |domain|) rows, so every non-empty domain keeps at
-    * least its best row. Contract: `keyCol` is unique per row (the
-    * tie-break must be a total order) and scores are non-null.
+    * `scoreCol` — "keep the best 30% of every source" curation, which a
+    * global threshold can't express when score scales differ by domain.
+    * Keeps EXACTLY ceil(keepFrac · |domain|) rows per domain, so every
+    * non-empty domain keeps at least its best row. Ties on score break by
+    * the deterministic per-key md5 coin (an unbiased lottery among tied
+    * rows — key order would systematically favor small/old keys), then by
+    * key. Contract: `keyCol` unique per row; scores non-null (null-score
+    * rows are dropped).
     *
-    * Scale design (round-6 fix): the obvious rank-over-domain-window
-    * serializes EVERY domain into one task — at 100 TB one big source is
-    * a single-partition funnel. Instead the per-domain CUTOFF (the k-th
-    * best (score, key) pair) is found by distributed selection, eagerly
-    * at call time, and the returned plan applies it as a scan-stage
-    * predicate:
+    * Scale design (round-9 form): the per-domain CUTOFF — the k_d-th best
+    * (score, coin, key) triple, k_d = ceil(keepFrac·n_d) — is found by
+    * VALUE-derived histogram refinement, eagerly at call time; the
+    * returned plan applies it as a broadcast scan-stage predicate. Every
+    * decision derives from row values ([[graft.functions.DoubleOrderBits]]
+    * makes the double order refinable by bit prefix), so — unlike the
+    * round-6 partition-id form — cache eviction, recomputation, AQE, or
+    * any re-partitioning of the source CANNOT shift a cutoff: no persist,
+    * no spark_partition_id, no deterministic-input caveat.
     *
-    *   1. (domain, score, key) triplets — never full rows — are
-    *      range-partitioned by (domain, score desc, key), so a big domain
-    *      spans MANY partitions in rank order, and persisted (partition
-    *      ids must agree between the two jobs below; range boundaries are
-    *      sampled per plan instantiation, so an uncached re-scan could
-    *      legally re-bucket rows);
-    *   2. per-(partition, domain) row counts — ≤ partitions + |domains|
-    *      rows on the driver — locate, per domain, the partition holding
-    *      its k_d = ceil(keepFrac·n_d)-th row and the local offset within
-    *      that (partition, domain) group;
-    *   3. one window partitioned by (physical partition × domain) ranks
-    *      ONLY the targeted groups (broadcast semi-filter first) — every
-    *      window group is bounded by one range-partition's rows, never a
-    *      whole domain — and extracts each domain's cutoff (score, key);
+    *   1. four passes histogram successive 16-bit chunks of the score's
+    *      order bits per domain (walked on the driver in keep order:
+    *      descending), pinning the cutoff row's exact score `m*` and the
+    *      in-tie offset;
+    *   2. two passes refine the 32-bit tie coin the same way (ascending)
+    *      among rows at `m*`, pinning the cutoff coin `c*`;
+    *   3. rows at (m*, c*) — one per domain barring md5 collisions — get
+    *      a per-domain key rank (window over those few rows only) to pin
+    *      the cutoff key;
     *   4. the returned plan is `df ⋈ broadcast(cutoffs)` + a codegen'd
-    *      comparison — zero shuffle of the corpus, no window at all.
+    *      three-level comparison — zero shuffle of the corpus, no window.
     *
-    * Driver state is (partition, domain) counts plus |domains| cutoff
-    * rows — the same bounded-|domains| contract as [[domainBudget]].
+    * Driver state per pass is ≤ 65536·|domains| (chunk, count) rows — the
+    * bounded-|domains| contract of [[domainBudget]].
     *
-    * @note EAGER, unlike most operators here: calling this runs TWO Spark
-    *       jobs immediately (pid×domain counts, then cutoff extraction)
-    *       over a persisted projection of `df`, and the returned plan
-    *       re-scans `df` a third time when executed. Callers composing
-    *       lazily should call it once and reuse the result.
-    * @note Correctness of step 2/3 requires `spark_partition_id` to agree
-    *       between the two jobs, which `persist()` guarantees only while
-    *       cached partitions survive: if one is evicted/lost and `df`
-    *       re-reads a SOURCE THAT CHANGED between jobs, the recomputed
-    *       range bucketing can shift and a cutoff be read at the wrong
-    *       local offset. Inputs must therefore be deterministic for the
-    *       duration of the call (parquet/Delta snapshots are; a re-read
-    *       JDBC query or a mutating view is not) — for such hostile
-    *       sources, pass `df.localCheckpoint()` so lost partitions fail
-    *       the job loudly instead of silently re-bucketing. */
+    * @note EAGER: calling this runs 7 bounded-aggregation jobs over a
+    *       3-column projection of `df` (each pass after the first filters
+    *       to the previous pass's boundary chunk), and the returned plan
+    *       re-scans `df` once more when executed. Callers composing
+    *       lazily should call it once and reuse the result; callers may
+    *       cache `df` for speed — correctness does not depend on it. */
   def percentileGate(df: DataFrame, domainCol: String, keyCol: String,
-                     scoreCol: Column, keepFrac: Double): DataFrame = {
+                     scoreCol: Column, keepFrac: Double,
+                     salt: String = "pctl"): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac out of (0,1]: $keepFrac")
-    Seq("__cs", "__ck", "__d").foreach(c => require(!df.columns.contains(c),
+    Seq("__d", "__m", "__c", "__k").foreach(c => require(!df.columns.contains(c),
       s"percentileGate reserves column name '$c' but the input already has it"))
     val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions.max(1)
-    val trip = df.select(col(domainCol).as("__d"), scoreCol.as("__s"), col(keyCol).as("__k"))
-      .repartitionByRange(parts, col("__d"), col("__s").desc, col("__k"))
-      .persist()
-    val cutRows =
-      try {
-        val pidCounts = trip.select(spark_partition_id().as("__pid"), col("__d"))
-          .groupBy(col("__pid"), col("__d")).agg(count(lit(1)).as("__c"))
-          .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-        // per domain, walk its partitions in rank order to the k_d-th row
-        val targets = pidCounts.groupBy(_._2).toSeq.map { case (dom, ps) =>
-          val ordered = ps.sortBy(_._1)
-          val n = ordered.map(_._3).sum
-          // same double arithmetic as the previous window form / the oracle
-          val k = math.ceil(keepFrac * n.toDouble).toLong.max(1L).min(n)
-          var remaining = k
-          val hit = ordered.find { case (_, _, c) =>
-            remaining <= c || { remaining -= c; false } }.get
-          Row(hit._1, dom, remaining) // 1-based local index in (pid, dom)
-        }
-        val domType = trip.schema("__d").dataType
-        val tgtDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(targets, 1),
-          StructType(Seq(StructField("__pid", IntegerType), StructField("__d", domType),
-            StructField("__t", LongType))))
-        val wLocal = Window.partitionBy(col("x.__pid"), col("x.__d"))
-          .orderBy(col("x.__s").desc, col("x.__k"))
-        // null-SAFE domain match: a USING join would silently drop the
-        // null domain's cutoff (null == null is never true), losing every
-        // null-domain row from the output
-        trip.select(spark_partition_id().as("__pid"), col("__d"), col("__s"), col("__k"))
-          .as("x")
-          .join(broadcast(tgtDf.as("t")),
-            col("x.__pid") === col("t.__pid") && col("x.__d") <=> col("t.__d"))
-          .withColumn("__lr", row_number().over(wLocal).cast("long"))
-          .filter(col("__lr") === col("t.__t"))
-          .select(col("x.__d"), col("x.__s").as("__cs"), col("x.__k").as("__ck"))
-          .collect()
-      } finally trip.unpersist()
+    val mExpr = graft.functions.DoubleOrderBits.of(scoreCol.cast("double"))
+    val cExpr = coin(col(keyCol), salt)
+    val trip = df
+      .select(col(domainCol).as("__d"), mExpr.as("__m"), cExpr.as("__c"),
+        col(keyCol).as("__k"))
+      .filter(col("__m").isNotNull)
+    val domType = trip.schema("__d").dataType
+
+    def prefDf(rows: Seq[Row], fields: Seq[StructField]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(StructField("__pd", domType) +: fields))
+
+    // walk one histogram level per domain: consume counts of chunks that
+    // sort wholly before the cutoff (in keep order), return the chunk
+    // holding the k-th row and the remaining 1-based offset within it
+    def walk(hist: Array[(Any, Long, Long)], rem: collection.Map[Any, Long],
+             ascending: Boolean): Map[Any, (Long, Long)] =
+      hist.groupBy(_._1).map { case (dom, rows) =>
+        val ordered = rows.sortBy(r => if (ascending) r._2 else -r._2)
+        var remaining = rem(dom)
+        val hit = ordered.find { case (_, _, n) =>
+          remaining <= n || { remaining -= n; false } }.get
+        dom -> (hit._2, remaining)
+      }
+
+    def hist(filtered: DataFrame, chunk: Column): Array[(Any, Long, Long)] =
+      filtered.groupBy(col("__d"), chunk.as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+
+    // ---- pass 0: top 16 signed bits of m; also yields per-domain totals
+    val h0 = hist(trip, shiftright(col("__m"), 48))
+    val quotas = h0.groupBy(_._1).map { case (dom, rows) =>
+      val n = rows.map(_._3).sum
+      // same double arithmetic as the window definition / the oracle
+      dom -> math.ceil(keepFrac * n.toDouble).toLong.max(1L).min(n)
+    }
+    var mState = walk(h0, quotas, ascending = false) // dom -> (mPrefix, rem)
+
+    // ---- passes 1..3: refine successive 16-bit chunks of m
+    for (level <- 1 to 3) {
+      val prevShift = 64 - 16 * level
+      val chunkShift = 48 - 16 * level
+      val pref = prefDf(mState.toSeq.map { case (d, (p, _)) => Row(d, p) },
+        Seq(StructField("__mp", LongType)))
+      val filtered = trip.join(broadcast(pref),
+        col("__d") <=> col("__pd") && shiftright(col("__m"), prevShift) === col("__mp"))
+      val h = hist(filtered,
+        shiftright(col("__m"), chunkShift).bitwiseAND(lit(0xFFFFL)))
+      val rem = mState.map { case (d, (_, r)) => d -> r }
+      val chosen = walk(h, rem, ascending = false)
+      mState = chosen.map { case (d, (chunk, r)) =>
+        d -> ((mState(d)._1 << 16) | chunk, r)
+      }
+    }
+    val mStar = mState // dom -> (exact m*, offset within the m* tie group)
+
+    // ---- passes 4..5: refine the 32-bit tie coin (ascending) at m == m*
+    val prefM = prefDf(mStar.toSeq.map { case (d, (m, _)) => Row(d, m) },
+      Seq(StructField("__mp", LongType)))
+    val atM = trip.join(broadcast(prefM),
+      col("__d") <=> col("__pd") && col("__m") === col("__mp"))
+    val h4 = hist(atM, shiftright(col("__c"), 16))
+    val c4 = walk(h4, mStar.map { case (d, (_, r)) => d -> r }, ascending = true)
+    val prefC = prefDf(c4.toSeq.map { case (d, (p, _)) =>
+      Row(d, mStar(d)._1, p) },
+      Seq(StructField("__mp", LongType), StructField("__cp", LongType)))
+    val atC = trip.join(broadcast(prefC),
+      col("__d") <=> col("__pd") && col("__m") === col("__mp") &&
+        shiftright(col("__c"), 16) === col("__cp"))
+    val h5 = hist(atC, col("__c").bitwiseAND(lit(0xFFFFL)))
+    val c5 = walk(h5, c4.map { case (d, (_, r)) => d -> r }, ascending = true)
+    val cStar = c5.map { case (d, (chunk, r)) => d -> ((c4(d)._1 << 16) | chunk, r) }
+
+    // ---- pass 6: exact key at (m*, c*) — ~1 row/domain barring md5
+    // collisions, so the per-domain window ranks a handful of rows
+    val prefFull = prefDf(cStar.toSeq.map { case (d, (c, j)) =>
+      Row(d, mStar(d)._1, c, j) },
+      Seq(StructField("__mp", LongType), StructField("__cp", LongType),
+        StructField("__j", LongType)))
+    val wKey = Window.partitionBy(col("__d")).orderBy(col("__k"))
+    val cutRows = trip.join(broadcast(prefFull),
+        col("__d") <=> col("__pd") && col("__m") === col("__mp") &&
+          col("__c") === col("__cp"))
+      .withColumn("__r", row_number().over(wKey).cast("long"))
+      .filter(col("__r") === col("__j"))
+      .select(col("__d"), col("__m").as("__cm"), col("__c").as("__cc"),
+        col("__k").as("__ck"))
+      .collect()
+
     val cutSchema = StructType(Seq(
-      StructField("__d", trip.schema("__d").dataType),
-      StructField("__cs", trip.schema("__s").dataType),
+      StructField("__d", domType),
+      StructField("__cm", LongType),
+      StructField("__cc", LongType),
       StructField("__ck", trip.schema("__k").dataType)))
     val cutDf = spark.createDataFrame(
       spark.sparkContext.parallelize(cutRows.toSeq, 1), cutSchema)
-    // null-safe domain match preserves the window form's null-as-a-group
+    // null-safe domain match preserves null-as-a-group semantics
     df.join(broadcast(cutDf), df(domainCol) <=> cutDf("__d"))
-      .filter(scoreCol > col("__cs") ||
-        (scoreCol === col("__cs") && col(keyCol) <= col("__ck")))
-      .drop("__d", "__cs", "__ck")
+      .filter(mExpr > col("__cm") ||
+        (mExpr === col("__cm") && (cExpr < col("__cc") ||
+          (cExpr === col("__cc") && col(keyCol) <= col("__ck")))))
+      .drop("__d", "__cm", "__cc", "__ck")
   }
 
   /** Deterministic epoch shuffle: a reproducible pseudo-random permutation

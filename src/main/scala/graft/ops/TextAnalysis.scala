@@ -337,10 +337,11 @@ object TextAnalysis {
     *
     * Plan shape: one word-count aggregation (map-side partial) on token
     * digests' worth of data, then a DISTRIBUTED partial top-k
-    * (TakeOrdered) — never a global sort of the vocabulary; the final
-    * row_number window ranks only the k survivors (bounded by contract),
-    * so its single-partition window is a k-row driver-side triviality,
-    * not a scale hazard.
+    * (TakeOrderedAndProject) — never a global sort of the vocabulary.
+    * Ids come from zipWithIndex over the take-ordered output (already
+    * sorted, ≤ k rows by contract) — no global row_number window, so the
+    * engine emits no single-partition WindowExec anywhere (the PlanSpec
+    * "never a single-partition window" rule, held tree-wide).
     *
     * @return (token, n, id) — id in [0, k) */
   def buildVocab(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int)
@@ -348,10 +349,11 @@ object TextAnalysis {
     require(k >= 1, s"vocab size must be >= 1, got $k")
     val counts = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("token"))
-    counts.orderBy(col("n").desc, col("token")).limit(k)
-      .withColumn("id", (row_number().over(w) - 1).cast("long"))
+    val spark = df.sparkSession
+    val top = counts.orderBy(col("n").desc, col("token")).limit(k)
+    val ranked = top.rdd // TakeOrderedAndProject emits rows in sort order
+      .zipWithIndex.map { case (r, i) => (r.getString(0), r.getLong(1), i) }
+    spark.createDataFrame(ranked).toDF("token", "n", "id")
   }
 
   /** Learn a byte-pair-encoding merge list from the corpus — the REAL

@@ -125,7 +125,8 @@ object PipelineRecipe extends QueryModule {
            |  WHERE $gopher
            |), ranked AS (
            |  SELECT doc_id, source, quality,
-           |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY quality DESC, ${O.h32Sql("doc_id", "pctl")}, doc_id) AS BIGINT) AS rk,
            |    count(*) OVER (PARTITION BY source) AS n
            |  FROM scored
            |), gated AS (

@@ -127,22 +127,24 @@ object SamplingQueries extends QueryModule {
               |    * 4294967296.0
               |ORDER BY doc_id""".stripMargin)),
 
-    // Per-domain percentile gate: top 30% of each source by n_chars
-    // (ties by doc_id) — per-source curation a global cut can't express.
+    // Per-domain percentile gate: top 30% of each source by n_chars —
+    // per-source curation a global cut can't express. Score ties break by
+    // the md5 coin lottery (then doc_id), mirrored exactly in the rank.
     "sample_percentile" -> QueryDef(
       (s, d) =>
         Sampling.percentileGate(Tables.documents(s, d), "source", "doc_id",
             col("n_chars"), keepFrac = 0.3)
           .select(col("doc_id"), col("source"), col("n_chars"))
           .orderBy(col("doc_id")),
-      Some("""WITH r AS (
-             |  SELECT doc_id, source, n_chars,
-             |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
-             |    count(*) OVER (PARTITION BY source) AS n
-             |  FROM documents)
-             |SELECT doc_id, source, n_chars FROM r
-             |WHERE rk <= CAST(ceil(0.3 * CAST(n AS DOUBLE)) AS BIGINT)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH r AS (
+              |  SELECT doc_id, source, n_chars,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY n_chars DESC, ${coinSql("doc_id", "pctl")}, doc_id) AS BIGINT) AS rk,
+              |    count(*) OVER (PARTITION BY source) AS n
+              |  FROM documents)
+              |SELECT doc_id, source, n_chars FROM r
+              |WHERE rk <= CAST(ceil(0.3 * CAST(n AS DOUBLE)) AS BIGINT)
+              |ORDER BY doc_id""".stripMargin)),
 
     // Mixture resampling: src0 upsampled 2.5 epochs, src1 thinned to 0.25,
     // src2 dropped, everything else kept at 1 — exercises the whole-copy,

@@ -175,7 +175,7 @@ class SamplingSpec extends SparkSpec {
       Sampling.percentileGate(docs, "dom", "doc_id", col("score"), 0.0))
     // reserved internal names must be refused, not clobbered
     assertThrows[IllegalArgumentException](
-      Sampling.percentileGate(docs.withColumn("__cs", lit(1)),
+      Sampling.percentileGate(docs.withColumn("__m", lit(1)),
         "dom", "doc_id", col("score"), 0.5))
   }
 
@@ -193,8 +193,9 @@ class SamplingSpec extends SparkSpec {
 
   test("percentileGate: skewed domains match the rank definition; no window in the plan") {
     // one domain ≫ the others and ≫ shuffle partitions (4 in tests), with
-    // heavy score ties so the key tie-break decides the cut — the fixture
-    // that exercises the multi-partition distributed-selection path
+    // heavy score ties so the coin tie-break decides the cut — the fixture
+    // that exercises the full 6-level histogram refinement (partial tie
+    // groups at the boundary force the coin passes to do real work)
     val docs = (1L to 5000L).map { i =>
       val dom = if (i <= 4500) "big" else if (i <= 4900) "mid" else "small"
       (i, dom, (i % 97).toDouble)
@@ -204,8 +205,8 @@ class SamplingSpec extends SparkSpec {
     // distributed selection is that NO window (bounded or not) remains
     assert(!got.queryExecution.executedPlan.toString.contains("Window"))
     val gotSet = got.select("doc_id").collect().map(_.getLong(0)).toSet
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("dom").orderBy(col("score").desc, col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+      .orderBy(col("score").desc, Sampling.coin(col("doc_id"), "pctl"), col("doc_id"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy("dom")
     val expected = docs
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -217,6 +218,44 @@ class SamplingSpec extends SparkSpec {
     val perDom = Sampling.percentileGate(docs, "dom", "doc_id", col("score"), 0.3)
       .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perDom === Map("big" -> 1350L, "mid" -> 120L, "small" -> 30L))
+  }
+
+  test("percentileGate: value-derived cutoffs are partitioning-independent, no persist") {
+    // the round-6 form coupled correctness to spark_partition_id stability
+    // (persist + deterministic-input caveat); the value-derived form must
+    // give bit-identical output under ANY partitioning of the same rows,
+    // WITHOUT caching anything — cache eviction / recomputation of a
+    // hostile source can shift partition ids, but not row values
+    val docs = (1L to 2000L).map { i =>
+      (i, if (i % 3 == 0) "x" else "y", (i % 41).toDouble, -i)
+    }.toDF("doc_id", "dom", "score", "payload")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val base = Sampling.percentileGate(docs, "dom", "doc_id", col("score"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+      "percentileGate must not persist anything")
+    for (parts <- Seq(1, 7, 32)) {
+      val again = Sampling.percentileGate(docs.repartition(parts),
+          "dom", "doc_id", col("score"), 0.25)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again === base, s"cut shifted under repartition($parts)")
+    }
+    // negative scores exercise the signed top-chunk level of the
+    // DoubleOrderBits refinement
+    val neg = Sampling.percentileGate(
+        docs.withColumn("score", -col("score") - 1.0),
+        "dom", "doc_id", col("score"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wNeg = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+      .orderBy((-col("score") - 1.0).desc,
+        Sampling.coin(col("doc_id"), "pctl"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+    val negExpected = docs
+      .withColumn("rk", row_number().over(wNeg).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rk") <= ceil(lit(0.25) * col("n").cast("double")).cast("long"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(neg === negExpected)
   }
 
   test("epochShuffle: exact permutation, epoch-seeded, partitioning-independent") {
