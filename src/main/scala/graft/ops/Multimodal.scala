@@ -199,53 +199,92 @@ object Multimodal {
 
     /** Compressed still images (JPEG/PNG/GIF/TIFF) through the JDK's
       * `javax.imageio` readers — REAL decompression, pure JVM, no native
-      * libraries (the readers ship with the stock JDK). One frame per
-      * image; `pixels` = top-down BGR (3 bytes/pixel, alpha dropped),
-      * the same layout [[Bmp24]] emits, so [[bmpColorStats]] and any
-      * other still-image feature step run unchanged on either source. */
+      * libraries (the readers ship with the stock JDK). One
+      * [[DecodedFrame]] PER STORED FRAME: single-frame formats emit frame
+      * 0 only; an animated GIF emits every frame (`getNumImages` + a
+      * per-frame read), indexed in storage order and decoded AS STORED —
+      * delta frames are not composited against prior frames (frame
+      * sampling / per-frame stats want raw frames; an animation
+      * compositor would sit above this codec). `pixels` = top-down BGR
+      * (3 bytes/pixel, alpha dropped), the same layout [[Bmp24]] emits,
+      * so [[bmpColorStats]] and any other still-image feature step run
+      * unchanged on either source.
+      *
+      * JDK limitation, guarded loudly: this JDK's GIFImageReader returns
+      * CORRUPT pixel rows for GIF frames with height 2..4 (verified
+      * against an independent LZW decode of the same bytes — the reader,
+      * not the data; height 1 and height ≥ 5 round-trip exactly). Such
+      * frames throw `IllegalArgumentException` like any undecodable
+      * payload — the caller quarantines; silently wrong pixels would
+      * poison every downstream feature. */
     object ImageIo extends MediaCodec {
-      override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] =
-        assets.map { a =>
-          def fail(msg: String) =
-            throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
-          // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream):
-          // the latter defaults to a disk-backed FileCacheImageInputStream
-          // — one temp-file create/write/delete per asset in the executor
-          // hot path, and a hard failure on a full/unwritable tmpdir
-          // ImageIO.read(ImageInputStream) closes the stream itself — a
-          // finally-close here double-closes and throws "closed" AFTER a
-          // successful decode
-          val img =
-            try javax.imageio.ImageIO.read(
-              new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(a.bytes)))
-            catch {
-              case e: java.io.IOException => fail(s"image decode failed: ${e.getMessage}")
-              case e: RuntimeException => fail(s"image decode failed: ${e.getMessage}")
-            }
-          if (img == null) fail("no ImageIO reader recognizes this payload")
-          val w = img.getWidth
-          val h = img.getHeight
-          if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
-          if (w.toLong * h * 3L > Int.MaxValue) fail(s"pixel buffer too large (${w}x$h)")
-          val out = new Array[Byte](w * h * 3)
-          val row = new Array[Int](w) // getRGB row-wise bounds temp memory
-          var y = 0
-          var o = 0
-          while (y < h) {
-            img.getRGB(0, y, w, 1, row, 0, w)
-            var x = 0
-            while (x < w) {
-              val p = row(x) // packed ARGB
-              out(o) = (p & 0xFF).toByte
-              out(o + 1) = ((p >> 8) & 0xFF).toByte
-              out(o + 2) = ((p >> 16) & 0xFF).toByte
-              x += 1
-              o += 3
-            }
-            y += 1
+      private def toBgr(img: java.awt.image.BufferedImage,
+                        fail: String => Nothing): Array[Byte] = {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+        if (w.toLong * h * 3L > Int.MaxValue) fail(s"pixel buffer too large (${w}x$h)")
+        val out = new Array[Byte](w * h * 3)
+        val row = new Array[Int](w) // getRGB row-wise bounds temp memory
+        var y = 0
+        var o = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x) // packed ARGB
+            out(o) = (p & 0xFF).toByte
+            out(o + 1) = ((p >> 8) & 0xFF).toByte
+            out(o + 2) = ((p >> 16) & 0xFF).toByte
+            x += 1
+            o += 3
           }
-          DecodedFrame(a.asset_id, 0, w, h, out)
+          y += 1
+        }
+        out
+      }
+
+      override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] =
+        assets.flatMap { a =>
+          def fail(msg: String): Nothing =
+            throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
+          // MemoryCacheImageInputStream, NOT a file-cache stream: the
+          // default disk-backed cache means one temp-file
+          // create/write/delete per asset in the executor hot path, and a
+          // hard failure on a full/unwritable tmpdir
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(a.bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) fail("no ImageIO reader recognizes this payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val n =
+              try reader.getNumImages(true) // allowSearch: count ALL frames
+              catch {
+                case e: java.io.IOException => fail(s"frame count failed: ${e.getMessage}")
+                case e: RuntimeException => fail(s"frame count failed: ${e.getMessage}")
+              }
+            if (n <= 0) fail("payload contains no frames")
+            (0 until n).map { i =>
+              val img =
+                try reader.read(i)
+                catch {
+                  case e: java.io.IOException => fail(s"frame $i decode failed: ${e.getMessage}")
+                  case e: RuntimeException => fail(s"frame $i decode failed: ${e.getMessage}")
+                }
+              if (img == null) fail(s"frame $i decoded to nothing")
+              if (reader.getFormatName.equalsIgnoreCase("gif") &&
+                  img.getHeight >= 2 && img.getHeight <= 4)
+                fail(s"frame $i: this JDK's GIF reader corrupts heights 2..4 " +
+                  s"(got ${img.getWidth}x${img.getHeight}) — re-encode or pad")
+              DecodedFrame(a.asset_id, i, img.getWidth, img.getHeight,
+                toBgr(img, fail))
+            }
+          } finally {
+            reader.dispose()
+            try iis.close() catch { case _: java.io.IOException => () }
+          }
         }
     }
 
@@ -352,6 +391,29 @@ object Multimodal {
       def q3(s: Long): Long =
         if (n == 0) 0L else math.floor(s.toDouble / n * 1e3 + 0.5).toLong
       BmpColorStats(f.asset_id, q3(sums(0)), q3(sums(1)), q3(sums(2)))
+    }
+  }
+
+  /** [[bmpColorStats]] keeping the frame index — the per-frame feature
+    * step for MULTI-frame sources (animated GIF via
+    * [[RealCodecs.ImageIo]], video via an injected codec).
+    * @return (asset_id, frame_idx, mean_b_q3, mean_g_q3, mean_r_q3) */
+  final case class FrameColorStats(asset_id: Long, frame_idx: Int,
+                                   mean_b_q3: Long, mean_g_q3: Long, mean_r_q3: Long)
+
+  def frameColorStats(frames: Dataset[DecodedFrame]): Dataset[FrameColorStats] = {
+    implicit val enc = Encoders.product[FrameColorStats]
+    frames.map { f =>
+      val n = f.width.toLong * f.height
+      val sums = new Array[Long](3)
+      var i = 0
+      while (i < f.pixels.length) {
+        sums(i % 3) += f.pixels(i) & 0xFF
+        i += 1
+      }
+      def q3(s: Long): Long =
+        if (n == 0) 0L else math.floor(s.toDouble / n * 1e3 + 0.5).toLong
+      FrameColorStats(f.asset_id, f.frame_idx, q3(sums(0)), q3(sums(1)), q3(sums(2)))
     }
   }
 

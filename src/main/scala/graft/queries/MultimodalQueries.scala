@@ -53,7 +53,83 @@ object MultimodalQueries extends QueryModule {
     buf.array()
   }
 
+  /** Deterministic ANIMATED GIF: one solid-color full-size frame per
+    * entry of `colors` (packed 0xRRGGBB), written through the JDK's own
+    * GIF writer (`writeToSequence`) with an explicit 2-entry indexed
+    * palette — the writer preserves indexed palettes exactly, so every
+    * decoded pixel is the closed-form color and the oracle recomputes
+    * per-frame means without touching a byte. */
+  private def solidGif(width: Int, height: Int, colors: Seq[Int]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array[Byte](((c >> 16) & 0xFF).toByte, 0),
+          Array[Byte](((c >> 8) & 0xFF).toByte, 0),
+          Array[Byte]((c & 0xFF).toByte, 0))
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        // raster initializes to index 0 = the frame color
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // REAL multi-frame decode, hash-gated end to end: animated GIFs
+    // (2..4 solid-color frames, varying dims) are fabricated per doc_id,
+    // decoded frame-by-frame through the JDK GIF reader
+    // (RealCodecs.ImageIo getNumImages + per-frame read), reduced to
+    // per-frame q3 channel means — and the oracle recomputes every
+    // frame's means from the color closed form without parsing a byte.
+    // A dropped frame, wrong frame order, palette corruption, or
+    // channel-order slip breaks the hash.
+    "mm_gif_frames" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            // dims stay ≥ 5 high: this JDK's GIF reader corrupts (and the
+            // codec therefore rejects) frame heights 2..4 — see ImageIo
+            val w = 8 + (id % 5).toInt
+            val h = 5 + (id % 4).toInt
+            val nf = 2 + (id % 3).toInt
+            val colors = (0 until nf).map { f =>
+              (((id * 7 + f * 13) % 256).toInt << 16) |
+                (((id * 3 + f * 5) % 256).toInt << 8) |
+                ((id * 11 + f * 17) % 256).toInt
+            }
+            (id, "image", solidGif(w, h, colors))
+          }).toDF("asset_id", "kind", "bytes")
+        Multimodal.frameColorStats(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.ImageIo))
+          .toDF()
+          .orderBy(col("asset_id"), col("frame_idx"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS id, 2 + doc_id % 3 AS nf
+             |  FROM documents WHERE doc_id < 100
+             |), fr AS (
+             |  SELECT id, unnest(range(0, nf)) AS f FROM a
+             |)
+             |SELECT id AS asset_id, CAST(f AS INT) AS frame_idx,
+             |  CAST(((id * 11 + f * 17) % 256) * 1000 AS BIGINT) AS mean_b_q3,
+             |  CAST(((id * 3 + f * 5) % 256) * 1000 AS BIGINT) AS mean_g_q3,
+             |  CAST(((id * 7 + f * 13) % 256) * 1000 AS BIGINT) AS mean_r_q3
+             |FROM fr ORDER BY asset_id, frame_idx""".stripMargin)),
+
     // The REAL image decode path, hash-gated like mm_wav_stats below:
     // deterministic ramp BMPs (varying dims incl. row padding), decoded
     // by the byte-layout Bmp24 codec, reduced to exact q3 channel means —

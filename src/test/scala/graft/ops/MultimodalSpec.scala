@@ -241,6 +241,80 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("asset 13") || e.getCause.getMessage.contains("asset 13"))
   }
 
+  private def animatedGif(w: Int, h: Int,
+                          colors: Seq[(Int, Int, Int, Int, Int, Int)]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { case (r0, g0, b0, r1, g1, b1) =>
+      val cm = new java.awt.image.IndexColorModel(8, 2,
+        Array[Byte](r0.toByte, r1.toByte), Array[Byte](g0.toByte, g1.toByte),
+        Array[Byte](b0.toByte, b1.toByte))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x + y) % 2) // checkerboard indexes
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.flush(); writer.dispose(); ios.close()
+    baos.toByteArray
+  }
+
+  test("RealCodecs.ImageIo decodes every frame of an animated GIF with exact pixels") {
+    // 3-frame 16x8 animated GIF, explicit 2-color indexed palette per
+    // frame, checkerboard raster — palette-indexed GIF round-trips
+    // losslessly through the JDK writer/reader (at height ≥ 5; see the
+    // reader-bug guard test below), so pixels pin EXACTLY
+    val colors = Seq((0xCC, 0x10, 0x20, 0x01, 0x02, 0x03),
+      (0x00, 0xFF, 0x7F, 0x40, 0x41, 0x42), (0x11, 0x22, 0x33, 0xF0, 0xE0, 0xD0))
+    val media = Seq((9L, "image", animatedGif(16, 8, colors)))
+      .toDF("asset_id", "kind", "bytes")
+    val frames = decodePartitions(media, RealCodecs.ImageIo)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2))
+    assert(frames.forall(f => f.width == 16 && f.height == 8))
+    frames.zip(colors).foreach { case (f, (r0, g0, b0, r1, g1, b1)) =>
+      val expected = (for (y <- 0 until 8; x <- 0 until 16) yield {
+        if ((x + y) % 2 == 0) Seq(b0.toByte, g0.toByte, r0.toByte)
+        else Seq(b1.toByte, g1.toByte, r1.toByte)
+      }).flatten
+      assert(f.pixels.toSeq === expected, s"frame ${f.frame_idx} pixels differ")
+    }
+    // ByMagic routes the animated GIF to ImageIo (not the fallback)
+    val routed = decodePartitions(media, RealCodecs.ByMagic()).collect()
+    assert(routed.length === 3)
+    // per-frame color stats keep the frame index
+    val solid = Seq((3L, "image",
+      animatedGif(8, 5, Seq((10, 20, 30, 10, 20, 30), (40, 50, 60, 40, 50, 60)))))
+      .toDF("asset_id", "kind", "bytes")
+    val stats = Multimodal.frameColorStats(
+        decodePartitions(solid, RealCodecs.ImageIo))
+      .collect().sortBy(_.frame_idx)
+    assert(stats.map(s => (s.frame_idx, s.mean_b_q3, s.mean_g_q3, s.mean_r_q3)).toSeq
+      === Seq((0, 30000L, 20000L, 10000L), (1, 60000L, 50000L, 40000L)))
+  }
+
+  test("ImageIo rejects the JDK GIF reader's corrupt-height range loudly; 1x1 is fine") {
+    // this JDK's GIFImageReader returns wrong rows for heights 2..4 (the
+    // bytes are correct — verified against an independent LZW decode);
+    // silent corruption would poison downstream features, so the codec
+    // must throw with the asset id instead
+    val bad = Seq((7L, "image",
+      animatedGif(16, 2, Seq((1, 2, 3, 4, 5, 6)))))
+      .toDF("asset_id", "kind", "bytes")
+    val e = intercept[org.apache.spark.SparkException](
+      decodePartitions(bad, RealCodecs.ImageIo).collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("asset 7") && msg.contains("heights 2..4"))
+    // the 1x1 tracking pixel — the common tiny real-world GIF — decodes
+    val px = Seq((8L, "image", animatedGif(1, 1, Seq((9, 8, 7, 0, 0, 0)))))
+      .toDF("asset_id", "kind", "bytes")
+    val f = decodePartitions(px, RealCodecs.ImageIo).collect()
+    assert(f.length === 1 && f.head.pixels.toSeq === Seq(7.toByte, 8.toByte, 9.toByte))
+  }
+
   test("pcmWindowStats16 refuses non-16-bit PCM frames loudly") {
     // 8-bit mono WAV: parseWav accepts it, stats16 must not silently misread
     val samples = 16
