@@ -48,6 +48,37 @@ object Sketches {
     (0 until W).reverse.map(b => s"WHEN $x >= ${1L << b} THEN ${W - b}")
       .mkString("CASE ", " ", s" ELSE ${W + 1} END")
 
+  /** Per-item (register index, leading-zero rank) columns for `item` —
+    * the sketch's only per-row ingredients, shared by the batch
+    * [[hllDistinct]] and the streaming windowed distinct
+    * ([[graft.streaming.WindowedAggs.windowedDistinct]]). */
+  def regRank(item: Column, salt: String): (Column, Column) = {
+    val h = Hashing.h64(item.cast("string"), salt)
+    (h.bitwiseAND(lit((HllM - 1).toLong)).cast("int"),
+      rankCol(shiftright(h, HllP)))
+  }
+
+  /** registers_joined over 64 named register-max columns `r_0..r_63`
+    * (rank 0 = absent register — the merge identity). */
+  def registersJoinedExpr: Column =
+    concat_ws(",", (0 until HllM).map(j => col(s"r_$j").cast("string")): _*)
+
+  /** est_q3 over the same named register columns: the identical math as
+    * [[hllDistinct]] (exact-integer indicator sum, α·m²·2^56/S, linear
+    * counting under 2.5m with zero registers, ×10³ quantization) in one
+    * Spark-SQL expression — an absent register (r_j = 0) contributes
+    * 2^56 to S exactly like the batch path's (m − n_present) term. */
+  def estQ3Expr: Column = {
+    val s = (0 until HllM).map(j => s"shiftleft(1L, $SumScale - r_$j)")
+      .mkString("(", " + ", ")")
+    val zeros = (0 until HllM).map(j => s"(CASE WHEN r_$j = 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val estRaw = s"(${AlphaM2}d * ${math.pow(2.0, SumScale)}d / cast($s as double))"
+    expr(s"""cast(floor((CASE WHEN $estRaw <= ${2.5 * HllM}d AND $zeros > 0
+      THEN ${HllM.toDouble}d * ln(${HllM.toDouble}d / cast($zeros as double))
+      ELSE $estRaw END) * 1000.0d + 0.5d) as bigint)""")
+  }
+
   /** Per-group HLL distinct estimate of `item`.
     * @return (group, registers_joined, est_q3) — the 64 register values
     *   comma-joined (the full-sketch parity exhibit) and the estimate as
@@ -55,10 +86,8 @@ object Sketches {
     *   included */
   def hllDistinct(df: DataFrame, groupCol: String, item: Column,
                   salt: String): DataFrame = {
-    val h = Hashing.h64(item.cast("string"), salt)
-    val perItem = df.select(col(groupCol).as("group"),
-      h.bitwiseAND(lit((HllM - 1).toLong)).cast("int").as("reg"),
-      rankCol(shiftright(h, HllP)).as("r"))
+    val (reg, r) = regRank(item, salt)
+    val perItem = df.select(col(groupCol).as("group"), reg.as("reg"), r.as("r"))
     val maxed = perItem.groupBy(col("group"), col("reg")).agg(max(col("r")).as("r"))
     // present registers carry rank ≥ 1; absent ones are the HLL zeros
     val wide = maxed.groupBy(col("group")).agg(

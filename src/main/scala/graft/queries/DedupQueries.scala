@@ -43,6 +43,33 @@ object DedupQueries extends QueryModule {
        |    CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE) AS j FROM o
        |)""".stripMargin
 
+  /** Exact-Jaccard pair SQL over the regenerated Zipf corpus — shared by
+    * the brute and prefix rows (losslessness proof on the Zipf regime). */
+  private val zipfPairsOracle: String =
+    s"""WITH zipf AS (
+       |  ${graft.ops.ZipfCorpus.corpusSql()}
+       |), base AS (
+       |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM zipf
+       |), hashed AS (
+       |  SELECT id, list_distinct(list_transform(sh, s -> ${graft.functions.Hashing.h64Sql("s", "cooc")})) AS hsh
+       |  FROM base
+       |), ex AS MATERIALIZED (
+       |  SELECT id, CAST(len(hsh) AS BIGINT) AS sz, unnest(hsh) AS hs FROM hashed
+       |), o AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS o,
+       |    min(a.sz) AS sz_a, min(b.sz) AS sz_b
+       |  FROM ex a JOIN ex b ON a.hs = b.hs AND a.id < b.id
+       |    AND CAST(a.sz AS DOUBLE) >= 0.5 * b.sz
+       |    AND CAST(b.sz AS DOUBLE) >= 0.5 * a.sz
+       |  GROUP BY a.id, b.id
+       |), scored AS (
+       |  SELECT id_a, id_b,
+       |    CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE) AS j
+       |  FROM o
+       |)
+       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
+       |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "dedup_exact" -> QueryDef(
       (s, d) =>
@@ -110,6 +137,33 @@ object DedupQueries extends QueryModule {
               |)
               |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
               |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // The SAME brute/prefix pair on the Zipf-vocabulary regime fixture
+    // (graft.ops.ZipfCorpus): a large power-law shingle vocabulary — real
+    // text's shape — where rarity-ordered prefixes evict the hot head
+    // from candidate generation. Both rows share one oracle (the corpus
+    // is regenerated bit-for-bit in SQL, then the brute pair join), so
+    // the gate proves (a) cross-engine corpus determinism and (b) prefix
+    // losslessness on this regime too; both are headline, so the bench
+    // MEASURES the brute-vs-prefix crossover the docs previously only
+    // asserted (round-8 verdict ask 3).
+    "dedup_zipf_brute" -> QueryDef(
+      (s, d) =>
+        Dedup.ngramJaccardPairs(
+            graft.ops.ZipfCorpus.table(s, d),
+            "doc_id", "text", shingleN = 2, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(zipfPairsOracle),
+      headline = true),
+
+    "dedup_zipf_prefix" -> QueryDef(
+      (s, d) =>
+        Dedup.ngramJaccardPairsPrefix(
+            graft.ops.ZipfCorpus.table(s, d),
+            "doc_id", "text", shingleN = 2, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(zipfPairsOracle),
+      headline = true),
 
     // Passage-level duplication profile: which docs share 6-token windows
     // with any other doc, and how much of each such doc is duplicated.

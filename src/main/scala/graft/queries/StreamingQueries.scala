@@ -24,6 +24,49 @@ object StreamingQueries extends QueryModule {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    // Watermarked windowed DISTINCT count (HLL register merge law): one
+    // 64-register sketch per window instead of per-item state. Batch run
+    // (watermark no-op) → the oracle re-derives the ENTIRE sketch per
+    // window — registers, integer indicator sum, estimate — exactly as
+    // sketch_hll_distinct does per source, proving the streaming agg's
+    // max-per-register formulation computes the same sketch.
+    "stream_windowed_distinct" -> QueryDef(
+      (s, d) =>
+        graft.streaming.WindowedAggs.windowedDistinct(
+            Tables.events(s, d), col("user_id"), "15 minutes",
+            lateness = "10 minutes", salt = "hllw")
+          .orderBy(col("window_start")),
+      Some {
+        val S = graft.ops.Sketches
+        val regCols = (0 until 64).map(j =>
+          s"coalesce(max(CASE WHEN reg = $j THEN r END), 0) AS r_$j").mkString(",\n|    ")
+        val joined = (0 until 64).map(j => s"CAST(r_$j AS VARCHAR)")
+          .mkString("concat_ws(',', ", ", ", ")")
+        val sSum = (0 until 64).map(j =>
+          s"(CAST(1 AS BIGINT) << (56 - r_$j))").mkString("(", " + ", ")")
+        val zeros = (0 until 64).map(j => s"(CASE WHEN r_$j = 0 THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", ")")
+        s"""WITH h AS (
+           |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS w,
+           |    ${graft.functions.Hashing.h64Sql("user_id", "hllw")} AS h
+           |  FROM events),
+           |pr AS (SELECT w, CAST(h & 63 AS INT) AS reg, ${S.rankSql("(h >> 6)")} AS r FROM h),
+           |wide AS (SELECT w,
+           |    $regCols
+           |  FROM pr GROUP BY w),
+           |calc AS (SELECT w, $joined AS registers_joined,
+           |    $sSum AS s, $zeros AS zeros
+           |  FROM wide),
+           |est AS (SELECT w, registers_joined, zeros,
+           |    ${S.AlphaM2} * ${math.pow(2.0, 56)} / CAST(s AS DOUBLE) AS est_raw
+           |  FROM calc)
+           |SELECT w AS window_start, registers_joined,
+           |  CAST(floor((CASE WHEN est_raw <= 160.0 AND zeros > 0
+           |    THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE est_raw END)
+           |    * 1000.0 + 0.5) AS BIGINT) AS est_q3
+           |FROM est ORDER BY window_start""".stripMargin
+      }),
+
     // Sliding event-time windows: each event lands in windowLen/slide
     // overlapping windows (Spark aligns starts to epoch multiples of the
     // slide; the oracle expands k ∈ {0,1,2} buckets per event).

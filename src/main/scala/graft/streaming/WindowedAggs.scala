@@ -30,6 +30,39 @@ object WindowedAggs {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Watermarked windowed DISTINCT count via the HLL register merge law
+    * ([[graft.ops.Sketches]]): exact `count(DISTINCT …)` over a stream
+    * needs one state row per distinct item per open window — unbounded in
+    * the item domain; this keeps exactly 64 register maxima per open
+    * window instead, because registers merge by element-wise max (the
+    * sketch contract), which is precisely a 64-column `max` aggregation.
+    *
+    * ONE stateful operator: groupBy(window).agg(max(r | reg = j) for j in
+    * 0..63) — state is 64 ints per open window regardless of stream
+    * volume, the watermark evicts closed windows, and replay of the same
+    * micro-batches is bit-identical (max is order-free; every ingredient
+    * is md5-derived). Emits (window_start, registers_joined, est_q3) with
+    * the identical estimate math as the batch sketch, so on a batch frame
+    * (watermark no-op) the DuckDB oracle re-derives the full sketch —
+    * which is how the `stream_windowed_distinct` gate verifies it. */
+  def windowedDistinct(events: DataFrame, item: org.apache.spark.sql.Column,
+                       windowLen: String, lateness: String,
+                       salt: String): DataFrame = {
+    import graft.ops.Sketches
+    val (reg, r) = Sketches.regRank(item, salt)
+    val perItem = events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), reg.as("reg"), r.as("r"))
+    val regAggs = (0 until Sketches.HllM).map(j =>
+      coalesce(max(when(col("reg") === j, col("r"))), lit(0)).as(s"r_$j"))
+    perItem
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(regAggs.head, regAggs.tail: _*)
+      .select(col("w.start").as("window_start"),
+        Sketches.registersJoinedExpr.as("registers_joined"),
+        Sketches.estQ3Expr.as("est_q3"))
+  }
+
   /** Stream-stream event-time interval join (attribution shape): each left
     * row matches right rows with the same key whose timestamp falls in
     * [leftTs − window, leftTs]. Both sides carry watermarks and the join

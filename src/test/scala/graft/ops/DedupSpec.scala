@@ -206,6 +206,39 @@ class DedupSpec extends SparkSpec {
     assert(prefix8 === brute8)
   }
 
+  test("ZipfCorpus: grouped near-dups over a power-law vocabulary, deterministic") {
+    val ids = (0L until 100L).toDF("doc_id")
+    val c = ZipfCorpus.corpus(ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c.size === 100)
+    // deterministic: regeneration is bit-identical (all md5-derived)
+    val c2 = ZipfCorpus.corpus(ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c2 === c)
+    // group structure: docs seeded together are near-identical token-wise,
+    // docs across groups are not
+    def toks(id: Long) = c(id).split(" ").toSeq
+    val sameGroup = toks(0).zip(toks(3)).count { case (a, b) => a == b }
+    assert(sameGroup > 50, s"group-mates shared only $sameGroup/60 positions")
+    val crossGroup = toks(0).zip(toks(7)).count { case (a, b) => a == b }
+    assert(crossGroup < 15, s"cross-group docs shared $crossGroup/60 positions")
+    // Zipf head: the hottest token id is hot (power-law, not uniform),
+    // and the vocabulary still has a large tail
+    val freq = c.values.flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.size)
+    val total = freq.values.sum.toDouble
+    val top = freq.values.max / total
+    assert(top > 0.03 && top < 0.25, s"head token frequency $top outside Zipf band")
+    assert(freq.size > 500, s"vocabulary collapsed to ${freq.size} distinct tokens")
+    // the regime consequence: prefix filtering finds the same pairs (the
+    // sf0.01 gate re-proves this against DuckDB's regenerated corpus)
+    val corpus = ZipfCorpus.corpus(ids, "doc_id")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = normalize(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.5))
+    val pref = normalize(Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", 2, 0.5))
+    assert(brute.nonEmpty && pref === brute)
+  }
+
   test("BandBuckets kernel equals the slice-join-md5 formulation") {
     import graft.functions.{BandBuckets, Hashing, MinHashSig, ShingleHashes}
     val bands = 8; val rows = 2
