@@ -257,14 +257,22 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   /** Commit history, NEWEST first (delta-rs `DeltaTable.history`): one
     * entry per version with its commitInfo when the writer recorded one.
     * Reads exactly `limit` commit files when a limit is given — a bounded
-    * probe, not a log scan. */
+    * probe, not a log scan. After [[cleanupMetadata]] removed the JSON
+    * commits below the surviving checkpoint, the walk TRUNCATES at the
+    * first missing file and returns the surviving tail (delta-rs
+    * behavior) instead of surfacing a raw FileNotFoundException. */
   def history(limit: Option[Int] = None): Seq[(Long, Option[Actions.CommitInfo])] = {
     val latest = latestVersion()
     if (latest < 0) Nil
     else {
       val versions = latest to 0L by -1L
       limit.fold[Seq[Long]](versions)(n => versions.take(n.max(0)))
-        .map(v => v -> readVersion(v).flatMap(_.commitInfo).headOption)
+        .iterator
+        .map { v =>
+          try Some(v -> readVersion(v).flatMap(_.commitInfo).headOption)
+          catch { case _: java.io.FileNotFoundException => None }
+        }
+        .takeWhile(_.isDefined).flatMap(_.toSeq).toSeq
     }
   }
 

@@ -190,10 +190,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // so committing it over a different schema would silently drop the
       // concurrent evolution — detect and throw instead of retrying past
       var schemaConflict = false
+      // compare PARSED StructTypes, not raw JSON: another writer's
+      // metadata may serialize the same schema with different key order
+      // or formatting, and a string compare would misreport every
+      // evolving append against it as a schema race
       def evolutionCheck(snap: Snapshot): Boolean =
         if (!txnNotYetApplied(snap)) false
         else if (evolution.nonEmpty &&
-          !snap.metadata.map(_.schemaString).contains(baseSchema.json)) {
+          !snap.metadata.map(m =>
+            org.apache.spark.sql.types.DataType.fromJson(m.schemaString))
+            .contains(baseSchema)) {
           schemaConflict = true; false
         } else true
       val committed =
@@ -276,13 +282,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   }
 
   /** Copy-on-write MERGE (upsert, the delta-rs merge shape for a
-    * unique-key source: matched target rows are replaced by their source
-    * row, unmatched source rows insert, unmatched target rows are
-    * untouched). Only data files that actually CONTAIN a matched key are
-    * rewritten — the row→file mapping comes from `input_file_name()`, so
-    * an upsert touching one partition's worth of keys rewrites that
-    * partition's files, not the table. Columns absent from the source
-    * null-fill (the schema-evolution read contract).
+    * unique-key source: matched target rows take the source's values for
+    * every column the source PROVIDES and keep their own values for the
+    * rest — delta-rs when-matched-update semantics, so a projected
+    * source never null-overwrites unnamed target columns; unmatched
+    * source rows insert (absent columns null-fill, the schema-evolution
+    * read contract); unmatched target rows are untouched). Only data
+    * files that actually CONTAIN a matched key are rewritten — the
+    * row→file mapping comes from `input_file_name()`, so an upsert
+    * touching one partition's worth of keys rewrites that partition's
+    * files, not the table.
     *
     * Atomicity/concurrency: one commit carrying the rewritten survivors,
     * the new data, and the removes; the [[DeltaLog.commit]] `check`
@@ -316,15 +325,30 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         .cast(f.dataType).as(f.name)).toSeq: _*)
     val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
     val affected = filesMatching(snap, _.join(srcKeys, keyCols, "left_semi"))
-    // survivors of the affected files + all source rows, staged as one write
-    val survivors = dfFor(snap.copy(files = affected))
-      .join(srcKeys, keyCols, "left_anti")
+    val tgt = dfFor(snap.copy(files = affected))
+    // unmatched rows of the affected files are carried unchanged
+    val survivors = tgt.join(srcKeys, keyCols, "left_anti")
+    // matched rows update ONLY the columns the source provides; the rest
+    // keep the target's values (a source projected to a column subset
+    // must not null-overwrite what it didn't name)
+    val pfx = "__merge_src_"
+    val updCols = sch.fieldNames.toSeq
+      .filterNot(keyCols.contains).filter(srcCols.contains)
+    val srcRen = aligned.select((keyCols.map(col) ++
+      updCols.map(n => col(n).as(pfx + n))): _*)
+    val matched = tgt.join(srcRen, keyCols, "inner")
+      .select(sch.fieldNames.toSeq.map(n =>
+        (if (updCols.contains(n)) col(pfx + n) else col(n)).as(n)): _*)
+    // source rows matching no live key insert as-is (absent columns null)
+    val inserts = aligned.join(
+      tgt.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
     // merge additionally refuses CONCURRENT ADDS (strictest/serializable
     // behavior): a file appended after our key scan could contain a
     // matched key this merge never saw — committing over it would leave
     // duplicate keys, silently violating the upsert contract
     val basePaths = snap.files.map(_.path).toSet
-    commitRewrite(affected, survivors.unionByName(aligned), "MERGE",
+    commitRewrite(affected,
+      survivors.unionByName(matched).unionByName(inserts), "MERGE",
       Map("predicateKeys" -> keyCols.mkString(",")),
       extraCheck = s => s.files.map(_.path).forall(basePaths.contains),
       conflictHint = "a concurrent commit added or rewrote files during this merge")

@@ -99,6 +99,15 @@ object Sampling {
     * ln is monotone, w > 0), because both engines evaluate `ln` from the
     * same integer-derived double in one shared expression shape — the
     * `pow` the textbook form needs has no such cross-engine guarantee.
+    * Residual cross-engine risk (accepted, documented): neither JVM
+    * Math.log nor DuckDB's log is CORRECTLY rounded, so a priority pair
+    * within 1 ulp could in principle order differently across engines
+    * and flip a gate row intermittently. Not observed across rounds of
+    * gate runs — md5-derived u values are spread over 2^32, so 1-ulp
+    * priority collisions between DISTINCT keys in one group need ~2^-20
+    * coincidences — but if it ever fires, the fix is integer-only
+    * priorities (scaled fixed-point ln via the [[graft.ops.Sketches]]
+    * threshold-chain idiom), not an oracle-side tolerance.
     *
     * Plan shape: identical to [[uniformK]] — one window per group, the
     * rank filter gets WindowGroupLimit pushdown (per-partition top-k

@@ -109,13 +109,22 @@ class DeltaSpec extends SparkSpec {
     val after2 = t.snapshot.files.map(_.path).toSet
     assert(before2.subsetOf(after2), "no-match merge must not rewrite any file")
     assert(t.toDF.count() === 23L)
-    // source columns outside the key null-fill when absent
+    // a PROJECTED source updates only the columns it names: matched rows
+    // keep their target values for absent columns (delta-rs
+    // when-matched-update), while inserted rows null-fill them
     import spark.implicits._
-    val partial = Seq((15L, "renamed15")).toDF("id", "name")
+    val tsBefore = t.toDF.filter(col("id") === 15L).collect().head
+      .getAs[java.sql.Timestamp]("ts")
+    assert(tsBefore != null, "fixture row must carry a ts to preserve")
+    val partial = Seq((15L, "renamed15"), (300L, "new300")).toDF("id", "name")
     t.merge(partial, Seq("id"))
     val r15 = t.toDF.filter(col("id") === 15L).collect().head
     assert(r15.getAs[String]("name") === "renamed15")
-    assert(r15.isNullAt(r15.fieldIndex("ts")), "columns absent from the source null-fill")
+    assert(r15.getAs[java.sql.Timestamp]("ts") === tsBefore,
+      "matched rows must keep target values for columns the source didn't name")
+    val r300 = t.toDF.filter(col("id") === 300L).collect().head
+    assert(r300.isNullAt(r300.fieldIndex("ts")),
+      "inserted rows null-fill columns absent from the source")
   }
 
   test("DML on PARTITIONED tables: merge/delete/update keep the Hive layout") {
@@ -204,6 +213,18 @@ class DeltaSpec extends SparkSpec {
     // evolution is idempotent: appending the same shape again adds no column
     t.append(withExtra, mergeSchema = true)
     assert(t.schema.fieldNames.count(_ == "extra") === 1)
+
+    // another writer re-serializing the SAME schema with different JSON
+    // formatting must not trip the schema-race check: the compare is on
+    // parsed StructTypes, not raw schemaString equality
+    val meta = t.snapshot.metadata.get
+    val reformatted = meta.schemaString.replace("\",\"", "\", \"")
+    assert(reformatted !== meta.schemaString, "fixture must actually reformat")
+    t.log.commit(Seq(graft.delta.Actions.Action(
+      metaData = Some(meta.copy(schemaString = reformatted)))))
+    val withMore = withExtra.withColumn("extra2", col("id") + 1)
+    t.append(withMore, mergeSchema = true) // would throw CME on a string compare
+    assert(t.toDF.columns.contains("extra2"))
   }
 
   test("delete and update rewrite only the files containing matches; no-ops don't commit") {
@@ -354,6 +375,11 @@ class DeltaSpec extends SparkSpec {
     val fresh = DeltaTable.forPath(spark, t.path)
     assert(fresh.toDF.count() === 55L)
     assert(fresh.log.snapshotAt(11).files.nonEmpty)
+    // unlimited history TRUNCATES at the oldest surviving commit file
+    // (delta-rs behavior) instead of throwing on the cleaned-away tail
+    val hist = fresh.log.history()
+    assert(hist.map(_._1) === (11L to 10L by -1L),
+      s"history must walk newest-first and stop at the surviving tail, got ${hist.map(_._1)}")
     // history below the cutoff is gone, like Delta's log retention
     assertThrows[Exception](fresh.log.snapshotAt(5).files.map(_.path))
 
