@@ -22,13 +22,14 @@ import graft.functions.Hashing
   *     real image/audio codec — typed `Dataset.mapPartitions` (the Scala
   *     analog of `mapInPandas`) with explicit micro-batching so a
   *     vectorized decoder gets arrays of payloads, not one call per row.
-  *     The codec is injectable. [[RealCodecs]] decode PCM WAV and
-  *     uncompressed 24-bit BMP FOR REAL (byte-layout specs, pure JVM),
-  *     and JPEG/PNG/GIF/TIFF FOR REAL through the JDK's own
-  *     `javax.imageio` readers (pure JVM, ship with the stock JDK);
-  *     [[FakeCodec]] remains the deterministic stand-in only for video
-  *     (H.264 etc.), whose decode genuinely needs native libraries —
-  *     swapping in a JNI/JavaCV decoder changes no plumbing.
+  *     The codec is injectable. [[RealCodecs]] decode PCM WAV,
+  *     uncompressed 24-bit BMP and uncompressed RGB24 AVI video FOR
+  *     REAL (byte-layout specs, pure JVM), and JPEG/PNG/GIF/TIFF FOR
+  *     REAL through the JDK's own `javax.imageio` readers (pure JVM,
+  *     ship with the stock JDK); [[FakeCodec]] remains the deterministic
+  *     stand-in only for COMPRESSED video (H.264 etc.), whose decode
+  *     genuinely needs native libraries — swapping in a JNI/JavaCV
+  *     decoder changes no plumbing.
   */
 object Multimodal {
 
@@ -44,10 +45,10 @@ object Multimodal {
     def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame]
   }
 
-  /** STUB codec — deterministic fake standing in for a real VIDEO
-    * decoder (H.264/VP9 need native libraries this container doesn't
-    * ship; still images and PCM audio decode for real via
-    * [[RealCodecs]]). Emits one "frame" per
+  /** STUB codec — deterministic fake standing in for a real COMPRESSED
+    * video decoder (H.264/VP9 need native libraries this container
+    * doesn't ship; still images, PCM audio and uncompressed AVI video
+    * decode for real via [[RealCodecs]]). Emits one "frame" per
     * 4 KiB of payload with md5-derived dimensions and a pixel buffer
     * sampled from the payload bytes; fully reproducible for tests. */
   object FakeCodec extends MediaCodec {
@@ -76,10 +77,14 @@ object Multimodal {
     *    `javax.imageio` readers (pure JVM, present in the stock JDK) —
     *    one frame per image, `pixels` = top-down BGR matching [[Bmp24]]'s
     *    layout so every still-image feature step shares one contract.
+    *  - [[RealCodecs.AviRgb24]]: uncompressed RGB24 AVI video (RIFF
+    *    'AVI ', 'DIB ' stream) — one frame per '00db' movi chunk,
+    *    `pixels` = top-down BGR like [[Bmp24]].
     *  - [[RealCodecs.ByMagic]]: routes each asset on its magic bytes and
-    *    hands everything else (video — H.264/VP9 decode genuinely needs
-    *    native libs) to a fallback, by default [[FakeCodec]], confining
-    *    the documented-stub boundary to video ONLY.
+    *    hands everything else (compressed video — H.264/VP9 decode
+    *    genuinely needs native libs) to a fallback, by default
+    *    [[FakeCodec]], confining the documented-stub boundary to
+    *    compressed video ONLY.
     * Malformed payloads throw `IllegalArgumentException` with the asset
     * id — the caller quarantines (DLQ pattern), a silent skip would
     * corrupt token accounting. */
@@ -197,6 +202,100 @@ object Multimodal {
         }
     }
 
+    /** Uncompressed RGB24 AVI (RIFF 'AVI ', 'DIB ' video stream) — REAL
+      * VIDEO decode in pure JVM: the container is a RIFF chunk tree like
+      * WAV, and each '00db' movi chunk is a BMP-style bottom-up padded
+      * BGR raster, so the strict chunk walk + the [[Bmp24]] row logic
+      * decode it exactly. One [[DecodedFrame]] per stored frame in
+      * storage order, `pixels` = top-down BGR — the same layout every
+      * other still/video source emits, so frame features run unchanged.
+      *
+      * Scope (loud, not silent): only stream 0 as an uncompressed 24-bit
+      * 'vids' stream is supported; '00dc' (compressed) frames throw with
+      * the asset id — H.264/VP9 genuinely need native decoders and stay
+      * behind the [[FakeCodec]] fallback. Non-video chunks (e.g. '01wb'
+      * audio interleave) are skipped: this codec extracts the video
+      * track, the audio track is [[PcmWav]]'s job upstream. */
+    object AviRgb24 extends MediaCodec {
+      private final case class VidFmt(width: Int, height: Int)
+
+      override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] =
+        assets.flatMap { a =>
+          val b = a.bytes
+          def fail(msg: String): Nothing =
+            throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
+          if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+            fail(s"not a RIFF/AVI payload (${b.length} bytes)")
+          var fmt: Option[VidFmt] = None
+          val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+          // one walker for every chunk level; LISTs recurse on their body
+          def walk(from: Int, to: Int): Unit = {
+            var o = from
+            while (o + 8 <= to) {
+              val id = tag(b, o)
+              val size = u32(b, o + 4).toInt
+              if (size < 0 || o + 8 + size > to)
+                fail(s"chunk '$id' overruns payload (size=$size at offset $o)")
+              id match {
+                case "LIST" =>
+                  if (size < 4) fail(s"LIST chunk too small ($size)")
+                  walk(o + 12, o + 8 + size) // subtype tag at o+8, then body
+                case "strh" =>
+                  // the first stream header decides: only vids is decoded
+                  if (size < 8) fail(s"strh chunk too small ($size)")
+                  if (fmt.isEmpty && tag(b, o + 8) != "vids")
+                    fail(s"stream 0 is '${tag(b, o + 8)}', not a video stream")
+                case "strf" =>
+                  if (fmt.isEmpty) { // BITMAPINFOHEADER of the vids stream
+                    if (size < 40) fail(s"strf BITMAPINFOHEADER too small ($size)")
+                    val w = u32(b, o + 8 + 4).toInt
+                    val hRaw = u32(b, o + 8 + 8).toInt
+                    val bpp = u16(b, o + 8 + 14)
+                    val compression = u32(b, o + 8 + 16)
+                    if (bpp != 24 || compression != 0)
+                      fail(s"only uncompressed 24-bit video supported " +
+                        s"(bpp=$bpp compression=$compression)")
+                    if (w <= 0 || hRaw == 0)
+                      fail(s"bad dimensions ${w}x$hRaw")
+                    fmt = Some(VidFmt(w, hRaw))
+                  }
+                case "00db" =>
+                  frames += java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size)
+                case "00dc" =>
+                  fail("compressed video frames ('00dc') need a native decoder")
+                case _ => () // idx1, audio interleave, junk padding
+              }
+              o += 8 + size + (size & 1) // chunks pad to even
+            }
+          }
+          walk(12, b.length)
+
+          val VidFmt(width, hRaw) = fmt.getOrElse(
+            fail("AVI missing a 'vids' strf (BITMAPINFOHEADER)"))
+          val bottomUp = hRaw >= 0
+          val height = math.abs(hRaw)
+          val rowSizeL = ((24L * width + 31L) / 32L) * 4L
+          if (width.toLong * height * 3L > Int.MaxValue)
+            fail(s"pixel buffer too large (${width}x$height)")
+          if (frames.isEmpty) fail("AVI contains no '00db' frames")
+          frames.zipWithIndex.map { case (raw, i) =>
+            if (raw.length.toLong != rowSizeL * height)
+              fail(s"frame $i: ${raw.length} bytes != ${rowSizeL * height} " +
+                s"for ${width}x$height RGB24")
+            val rowSize = rowSizeL.toInt
+            val out = new Array[Byte](width * height * 3)
+            var y = 0
+            while (y < height) {
+              val srcRow = if (bottomUp) height - 1 - y else y
+              System.arraycopy(raw, srcRow * rowSize, out, y * width * 3, width * 3)
+              y += 1
+            }
+            DecodedFrame(a.asset_id, i, width, height, out)
+          }.toSeq
+        }
+    }
+
     /** Compressed still images (JPEG/PNG/GIF/TIFF) through the JDK's
       * `javax.imageio` readers — REAL decompression, pure JVM, no native
       * libraries (the readers ship with the stock JDK). One
@@ -288,15 +387,18 @@ object Multimodal {
         }
     }
 
-    /** Magic-byte dispatch: WAV, BMP, JPEG, PNG, GIF and TIFF decode for
-      * real; only unrecognized payloads (video — H.264/VP9 need native
-      * libs) go to `fallback`. */
+    /** Magic-byte dispatch: WAV, BMP, JPEG, PNG, GIF, TIFF and
+      * uncompressed AVI decode for real; only unrecognized payloads
+      * (compressed video — H.264/VP9 need native libs) go to
+      * `fallback`. */
     final case class ByMagic(fallback: MediaCodec = FakeCodec,
                              samplesPerWindow: Int = 1024) extends MediaCodec {
       private val wav = PcmWav(samplesPerWindow)
       override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] = {
         def isWav(b: Array[Byte]) =
           b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
+        def isAvi(b: Array[Byte]) =
+          b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI "
         def isBmp(b: Array[Byte]) = b.length >= 2 && b(0) == 'B' && b(1) == 'M'
         def isJpeg(b: Array[Byte]) =
           b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
@@ -309,6 +411,7 @@ object Multimodal {
             (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
         assets.flatMap {
           case a if isWav(a.bytes) => wav.decodeBatch(Seq(a))
+          case a if isAvi(a.bytes) => AviRgb24.decodeBatch(Seq(a))
           case a if isBmp(a.bytes) => Bmp24.decodeBatch(Seq(a))
           case a if isJpeg(a.bytes) || isPng(a.bytes) || isGif(a.bytes) || isTiff(a.bytes) =>
             ImageIo.decodeBatch(Seq(a))

@@ -85,7 +85,100 @@ object MultimodalQueries extends QueryModule {
     baos.toByteArray
   }
 
+  /** Deterministic uncompressed RGB24 AVI (the byte layout
+    * RealCodecs.AviRgb24 decodes): frame f, pixel (x, y-from-top)
+    * carries BGR ((x + 11f) mod 256, (y + 7f) mod 256, (x+y+3f) mod 256)
+    * — closed form for the oracle. Frames are bottom-up padded DIB rows
+    * in '00db' movi chunks, the standard uncompressed-AVI shape. */
+  private def rampAvi(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val fb = rowSize * height
+    val strl = 4 + 8 + 56 + 8 + 40
+    val hdrl = 4 + 8 + 56 + 8 + strl
+    val movi = 4 + nFrames * (8 + fb)
+    val riff = 4 + 8 + hdrl + 8 + movi
+    val buf = java.nio.ByteBuffer.allocate(8 + riff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def t(s: String) = buf.put(s.getBytes("US-ASCII"))
+    t("RIFF"); buf.putInt(riff); t("AVI ")
+    t("LIST"); buf.putInt(hdrl); t("hdrl")
+    t("avih"); buf.putInt(56)
+    buf.putInt(40000).putInt(0).putInt(0).putInt(0).putInt(nFrames).putInt(0)
+      .putInt(1).putInt(fb).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    t("LIST"); buf.putInt(strl); t("strl")
+    t("strh"); buf.putInt(56)
+    t("vids"); t("DIB "); buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(25).putInt(0).putInt(nFrames).putInt(fb)
+      .putInt(0).putInt(0)
+    buf.putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    t("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(fb).putInt(0).putInt(0).putInt(0).putInt(0)
+    t("LIST"); buf.putInt(movi); t("movi")
+    for (f <- 0 until nFrames) {
+      t("00db"); buf.putInt(fb)
+      for (yUp <- 0 until height) {
+        val y = height - 1 - yUp
+        for (x <- 0 until width)
+          buf.put(((x + f * 11) % 256).toByte).put(((y + f * 7) % 256).toByte)
+            .put(((x + y + f * 3) % 256).toByte)
+        for (_ <- width * 3 until rowSize) buf.put(0.toByte)
+      }
+    }
+    buf.array()
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // REAL VIDEO decode, hash-gated end to end: uncompressed RGB24 AVIs
+    // (2..4 ramp frames, varying dims incl. row padding) are fabricated
+    // per doc_id, decoded by the strict RIFF chunk walk
+    // (RealCodecs.AviRgb24 — the same byte-layout discipline as the WAV
+    // and BMP paths), reduced to per-frame q3 channel means — and the
+    // oracle recomputes every frame's means from the ramp closed form
+    // without parsing a byte. A wrong chunk offset, dropped/reordered
+    // frame, bad padding strip, row order, or channel order breaks the
+    // hash.
+    "mm_avi_frames" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 3 + (id % 7).toInt // widths 3..9: varied row padding
+            val h = 2 + (id % 5).toInt
+            val nf = 2 + (id % 3).toInt
+            (id, "video", rampAvi(w, h, nf))
+          }).toDF("asset_id", "kind", "bytes")
+        Multimodal.frameColorStats(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.AviRgb24))
+          .toDF()
+          .orderBy(col("asset_id"), col("frame_idx"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS id, 3 + doc_id % 7 AS w, 2 + doc_id % 5 AS h,
+             |    2 + doc_id % 3 AS nf
+             |  FROM documents WHERE doc_id < 100
+             |), fr AS (
+             |  SELECT id, w, h, unnest(range(0, nf)) AS f FROM a
+             |), px AS (
+             |  SELECT id, w, h, f, unnest(range(0, w)) AS x FROM fr
+             |), pxy AS (
+             |  SELECT id, w, h, f, x, unnest(range(0, h)) AS y FROM px
+             |), sums AS (
+             |  SELECT id, f,
+             |    CAST(w * h AS BIGINT) AS n,
+             |    CAST(sum((x + f * 11) % 256) AS BIGINT) AS sb,
+             |    CAST(sum((y + f * 7) % 256) AS BIGINT) AS sg,
+             |    CAST(sum((x + y + f * 3) % 256) AS BIGINT) AS sr
+             |  FROM pxy GROUP BY id, f, w, h
+             |)
+             |SELECT id AS asset_id, CAST(f AS INT) AS frame_idx,
+             |  CAST(floor(CAST(sb AS DOUBLE) / n * 1000.0 + 0.5) AS BIGINT) AS mean_b_q3,
+             |  CAST(floor(CAST(sg AS DOUBLE) / n * 1000.0 + 0.5) AS BIGINT) AS mean_g_q3,
+             |  CAST(floor(CAST(sr AS DOUBLE) / n * 1000.0 + 0.5) AS BIGINT) AS mean_r_q3
+             |FROM sums ORDER BY asset_id, frame_idx""".stripMargin)),
     // REAL multi-frame decode, hash-gated end to end: animated GIFs
     // (2..4 solid-color frames, varying dims) are fabricated per doc_id,
     // decoded frame-by-frame through the JDK GIF reader

@@ -315,6 +315,87 @@ class MultimodalSpec extends SparkSpec {
     assert(f.length === 1 && f.head.pixels.toSeq === Seq(7.toByte, 8.toByte, 9.toByte))
   }
 
+  /** Minimal uncompressed RGB24 AVI: frame f, pixel (x, y-from-top) has
+    * BGR (x+10f, y+20f, x+y+f) — bottom-up padded DIB rows in '00db'
+    * chunks, exactly the layout AviRgb24 must invert. */
+  private def aviBytes(width: Int, height: Int, nFrames: Int,
+                       frameFourCc: String = "00db",
+                       streamType: String = "vids"): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val fb = rowSize * height
+    val strl = 4 + 8 + 56 + 8 + 40
+    val hdrl = 4 + 8 + 56 + 8 + strl
+    val movi = 4 + nFrames * (8 + fb)
+    val riff = 4 + 8 + hdrl + 8 + movi
+    val buf = java.nio.ByteBuffer.allocate(8 + riff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def t(s: String) = buf.put(s.getBytes("US-ASCII"))
+    t("RIFF"); buf.putInt(riff); t("AVI ")
+    t("LIST"); buf.putInt(hdrl); t("hdrl")
+    t("avih"); buf.putInt(56)
+    (0 until 14).foreach(_ => buf.putInt(0))
+    t("LIST"); buf.putInt(strl); t("strl")
+    t("strh"); buf.putInt(56)
+    t(streamType); t("DIB "); (0 until 12).foreach(_ => buf.putInt(0))
+    t("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(fb).putInt(0).putInt(0).putInt(0).putInt(0)
+    t("LIST"); buf.putInt(movi); t("movi")
+    for (f <- 0 until nFrames) {
+      t(frameFourCc); buf.putInt(fb)
+      for (yUp <- 0 until height) {
+        val y = height - 1 - yUp
+        for (x <- 0 until width)
+          buf.put((x + 10 * f).toByte).put((y + 20 * f).toByte).put((x + y + f).toByte)
+        for (_ <- width * 3 until rowSize) buf.put(0.toByte)
+      }
+    }
+    buf.array()
+  }
+
+  test("RealCodecs.AviRgb24 decodes every frame with exact pixels, padding stripped") {
+    val frames = RealCodecs.AviRgb24.decodeBatch(
+      Seq(MediaAsset(9L, "video", aviBytes(3, 2, 2))))
+    assert(frames.length === 2)
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      assert((fr.width, fr.height, fr.frame_idx) === (3, 2, f))
+      // top-down BGR with the 1-byte-per-row padding gone
+      val expected = (for (y <- 0 until 2; x <- 0 until 3)
+        yield Seq(x + 10 * f, y + 20 * f, x + y + f)).flatten.map(_.toByte)
+      assert(fr.pixels.toSeq === expected, s"frame $f pixel mismatch")
+    }
+    // determinism across calls
+    val again = RealCodecs.AviRgb24.decodeBatch(
+      Seq(MediaAsset(9L, "video", aviBytes(3, 2, 2))))
+    assert(again.map(_.pixels.toSeq) === frames.map(_.pixels.toSeq))
+  }
+
+  test("AviRgb24 rejects compressed frames, non-video streams and truncation loudly") {
+    def failsWith(bytes: Array[Byte], fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        RealCodecs.AviRgb24.decodeBatch(Seq(MediaAsset(7L, "video", bytes)))
+      }
+      assert(e.getMessage.contains("asset 7") && e.getMessage.contains(fragment),
+        s"expected '$fragment' with the asset id, got: ${e.getMessage}")
+    }
+    failsWith(aviBytes(3, 2, 1, frameFourCc = "00dc"), "native decoder")
+    failsWith(aviBytes(3, 2, 1, streamType = "auds"), "not a video stream")
+    failsWith(aviBytes(3, 2, 1).dropRight(5), "overruns payload")
+    failsWith("RIFFxxxxWAVE".getBytes("US-ASCII"), "not a RIFF/AVI payload")
+  }
+
+  test("ByMagic tells the two RIFF forms apart: AVI decodes as video, WAV as audio") {
+    val media = Seq(
+      (1L, "audio", wavBytes(1, 8000, 10)),
+      (2L, "video", aviBytes(4, 3, 2)))
+      .toDF("asset_id", "kind", "bytes")
+    val frames = decodePartitions(media, RealCodecs.ByMagic()).collect()
+      .groupBy(_.asset_id)
+    assert(frames(1L).head.height === 1, "WAV must route to PcmWav (channels=height)")
+    assert(frames(2L).length === 2 && frames(2L).head.width === 4 &&
+      frames(2L).head.height === 3, "AVI must route to the real video decode")
+  }
+
   test("pcmWindowStats16 refuses non-16-bit PCM frames loudly") {
     // 8-bit mono WAV: parseWav accepts it, stats16 must not silently misread
     val samples = 16
