@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
 
-/** Mergeable cardinality sketching (HyperLogLog) with EXACT cross-engine
-  * reproducibility — the distinct-count observability a 100 TB corpus
-  * needs (distinct shingles/urls/fingerprints per source) where exact
-  * `count(DISTINCT …)` would shuffle every occurrence.
+/** Mergeable sketches with EXACT cross-engine reproducibility — the
+  * bounded-memory observability a 100 TB corpus needs: HyperLogLog for
+  * distinct counts (distinct shingles/urls/fingerprints per source,
+  * where exact `count(DISTINCT …)` would shuffle every occurrence) and
+  * count-min for item frequencies (track heavy keys online where an
+  * exact per-item count would hold unbounded state).
   *
   * Unlike `approx_count_distinct` (whose HLL++ internals no other engine
   * reproduces), every ingredient here is md5-derived and integer-exact:
@@ -77,6 +79,73 @@ object Sketches {
     expr(s"""cast(floor((CASE WHEN $estRaw <= ${2.5 * HllM}d AND $zeros > 0
       THEN ${HllM.toDouble}d * ln(${HllM.toDouble}d / cast($zeros as double))
       ELSE $estRaw END) * 1000.0d + 0.5d) as bigint)""")
+  }
+
+  // ---- Count-min sketch (Cormode/Muthukrishnan): the FREQUENCY twin of
+  // the HLL distinct sketch — point-estimate item counts with bounded
+  // memory when the item domain is unbounded. Same portability rules:
+  // indexes are md5+affine-derived, counters are integer sums (order-
+  // free), so the DuckDB oracle re-derives the ENTIRE sketch. Merge law:
+  // counters add element-wise — the streaming twin
+  // ([[graft.streaming.WindowedAggs.windowedHeavyProbes]]) is therefore
+  // a plain sum aggregation. Estimates NEVER underestimate (each row's
+  // cell ≥ the true count; min over rows tightens collisions):
+  // est(x) = min_d C[d][i_d(x)], overestimate ≤ e/W of total mass w.h.p.
+
+  val CmsD = 4 // hash rows
+  val CmsW = 64 // counters per row
+
+  /** Per-item CMS row indexes i_0..i_{D−1}: affine hashes of the item's
+    * 32-bit md5 value, masked to the row width. */
+  def cmsIdx(item: Column, salt: String): Seq[Column] = {
+    val x = Hashing.h32(item.cast("string"), salt)
+    (0 until CmsD).map(d =>
+      Hashing.affine(x, d).bitwiseAND(lit((CmsW - 1).toLong)).cast("int"))
+  }
+
+  /** Plan-time twin of [[cmsIdx]] for a LITERAL probe item — probes
+    * resolve to fixed counter coordinates at plan time, so a point
+    * estimate is `least` over D named columns, no per-row hashing. */
+  def cmsIdxLiteral(item: String, salt: String): Seq[Int] = {
+    val x = Hashing.planTimeH64(s"$salt:$item") & 0xFFFFFFFFL
+    (0 until CmsD).map(d =>
+      (((Hashing.affineA(d) * x + Hashing.affineB(d)) % Hashing.P32) &
+        (CmsW - 1)).toInt)
+  }
+
+  /** The same index expression as DuckDB SQL over a pre-computed 32-bit
+    * column `x`. */
+  def cmsIdxSql(x: String, d: Int): String =
+    s"(((${Hashing.affineA(d)} * $x + ${Hashing.affineB(d)}) % ${Hashing.P32}) & ${CmsW - 1})"
+
+  /** Per-group count-min sketch of `item` occurrences (multiplicities
+    * count — this is a frequency sketch) + point estimates for `probes`.
+    *
+    * Plan shape: D index columns per row (no explode), ONE aggregation
+    * with D·W conditional sums — the sketch rides the same single
+    * shuffle a groupBy-count would use, but its state is D·W longs per
+    * group regardless of item cardinality.
+    *
+    * @return (group, cms_joined, est_<probe>…) — the D·W counters
+    *   row-major comma-joined (full-sketch parity exhibit) and one
+    *   `least`-over-rows estimate per probe */
+  def cmsCounts(df: DataFrame, groupCol: String, item: Column, salt: String,
+                probes: Seq[String]): DataFrame = {
+    val idx = cmsIdx(item, salt)
+    val perItem = df.select(
+      col(groupCol).as("group") +: idx.zipWithIndex.map { case (c, d) => c.as(s"i$d") }: _*)
+    val aggs = for (d <- 0 until CmsD; j <- 0 until CmsW)
+      yield sum(when(col(s"i$d") === j, 1L).otherwise(0L)).as(s"c_${d}_$j")
+    val wide = perItem.groupBy(col("group")).agg(aggs.head, aggs.tail: _*)
+    val joined = concat_ws(",",
+      (for (d <- 0 until CmsD; j <- 0 until CmsW)
+        yield col(s"c_${d}_$j").cast("string")): _*)
+    val estCols = probes.map { p =>
+      val coords = cmsIdxLiteral(p, salt)
+      least(coords.zipWithIndex.map { case (j, d) => col(s"c_${d}_$j") }: _*)
+        .as(s"est_$p")
+    }
+    wide.select(col("group") +: joined.as("cms_joined") +: estCols: _*)
   }
 
   /** Per-group HLL distinct estimate of `item`.

@@ -67,6 +67,43 @@ object StreamingQueries extends QueryModule {
            |FROM est ORDER BY window_start""".stripMargin
       }),
 
+    // Watermarked windowed FREQUENCY monitoring (count-min merge law):
+    // 256 counter sums per window instead of per-item state, answering
+    // point estimates for tracked keys. Batch run (watermark no-op) →
+    // the oracle re-derives every window's counter array and the same
+    // least-over-rows estimates in SQL.
+    "stream_windowed_cms" -> QueryDef(
+      (s, d) =>
+        graft.streaming.WindowedAggs.windowedHeavyProbes(
+            Tables.events(s, d), col("event_type"),
+            probes = Seq("click", "view", "error"), "15 minutes",
+            lateness = "10 minutes", salt = "cmsw")
+          .orderBy(col("window_start")),
+      Some {
+        val S = graft.ops.Sketches
+        val idxCols = (0 until S.CmsD)
+          .map(d => s"${S.cmsIdxSql("x", d)} AS i$d").mkString(", ")
+        val sums = (for (d <- 0 until S.CmsD; j <- 0 until S.CmsW)
+          yield s"CAST(sum(CASE WHEN i$d = $j THEN 1 ELSE 0 END) AS BIGINT) AS c_${d}_$j")
+          .mkString(",\n|    ")
+        val ests = Seq("click", "view", "error").map { p =>
+          val coords = S.cmsIdxLiteral(p, "cmsw")
+          coords.zipWithIndex.map { case (j, d) => s"c_${d}_$j" }
+            .mkString("least(", ", ", s") AS est_$p")
+        }.mkString(",\n|  ")
+        s"""WITH items AS (
+           |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS w, event_type AS it
+           |  FROM events),
+           |x AS (SELECT w, (${graft.functions.Hashing.h64Sql("it", "cmsw")} & 4294967295) AS x FROM items),
+           |idx AS (SELECT w, $idxCols FROM x),
+           |wide AS (SELECT w,
+           |    $sums
+           |  FROM idx GROUP BY w)
+           |SELECT w AS window_start,
+           |  $ests
+           |FROM wide ORDER BY window_start""".stripMargin
+      }),
+
     // Sliding event-time windows: each event lands in windowLen/slide
     // overlapping windows (Spark aligns starts to epoch multiples of the
     // slide; the oracle expands k ∈ {0,1,2} buckets per event).

@@ -424,6 +424,51 @@ object TextQueries extends QueryModule {
       },
       headline = true),
 
+    // Mergeable count-min frequency sketch, fully re-derived by the
+    // oracle: token occurrences per source hash into 4×64 integer
+    // counters (md5+affine indexes — the same portable family as
+    // minhash); the 256-counter string makes the gate a full-sketch
+    // parity proof, and the probe estimates (least over rows at
+    // plan-time coordinates) pin the point-query path. 'zzqx' probes a
+    // token absent from the corpus — its estimate is pure collision
+    // mass, the CMS overestimate exhibit.
+    "sketch_cms_counts" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sketches.cmsCounts(
+            Tables.documents(s, d)
+              .select(col("source"),
+                explode(graft.ops.TextAnalysis.tokens(col("text"))).as("it")),
+            "source", col("it"), salt = "cms",
+            probes = Seq("the", "and", "data", "zzqx"))
+          .withColumnRenamed("group", "source")
+          .orderBy(col("source")),
+      Some {
+        val S = graft.ops.Sketches
+        val idxCols = (0 until S.CmsD)
+          .map(d => s"${S.cmsIdxSql("x", d)} AS i$d").mkString(", ")
+        val sums = (for (d <- 0 until S.CmsD; j <- 0 until S.CmsW)
+          yield s"CAST(sum(CASE WHEN i$d = $j THEN 1 ELSE 0 END) AS BIGINT) AS c_${d}_$j")
+          .mkString(",\n|    ")
+        val joined = (for (d <- 0 until S.CmsD; j <- 0 until S.CmsW)
+          yield s"CAST(c_${d}_$j AS VARCHAR)")
+          .mkString("concat_ws(',', ", ", ", ")")
+        val ests = Seq("the", "and", "data", "zzqx").map { p =>
+          val coords = S.cmsIdxLiteral(p, "cms")
+          coords.zipWithIndex.map { case (j, d) => s"c_${d}_$j" }
+            .mkString("least(", ", ", s") AS est_$p")
+        }.mkString(",\n|  ")
+        s"""WITH items AS (
+           |  SELECT source AS grp, unnest($T) AS it FROM documents),
+           |x AS (SELECT grp, (${graft.functions.Hashing.h64Sql("it", "cms")} & 4294967295) AS x FROM items),
+           |idx AS (SELECT grp, $idxCols FROM x),
+           |wide AS (SELECT grp,
+           |    $sums
+           |  FROM idx GROUP BY grp)
+           |SELECT grp AS source, $joined AS cms_joined,
+           |  $ests
+           |FROM wide ORDER BY source""".stripMargin
+      }),
+
     // Mergeable HLL cardinality sketch, fully re-derived by the oracle:
     // distinct 3-gram shingles per source — registers, scaled indicator
     // sum, and estimate are all md5/integer-exact; only the final

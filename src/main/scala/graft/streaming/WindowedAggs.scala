@@ -63,6 +63,42 @@ object WindowedAggs {
         Sketches.estQ3Expr.as("est_q3"))
   }
 
+  /** Watermarked windowed FREQUENCY monitoring via the count-min merge
+    * law ([[graft.ops.Sketches]]): per-item exact counts over a stream
+    * hold one state row per distinct item per open window — unbounded;
+    * this keeps exactly D·W counter sums per open window (counters ADD,
+    * so the sketch is a plain sum aggregation) and answers point
+    * estimates for a FIXED probe set — "how often did these tracked
+    * keys occur per window", the bounded-state online form of a
+    * frequency dashboard. Estimates never underestimate; collisions can
+    * only inflate them (CMS contract).
+    *
+    * ONE stateful operator, state = 256 longs per open window,
+    * watermark-evicted, replay-deterministic (integer sums + md5-derived
+    * indexes). Batch frames run identically (watermark no-op), which is
+    * how the `stream_windowed_cms` gate re-derives the full counter
+    * array per window in SQL. */
+  def windowedHeavyProbes(events: DataFrame, item: org.apache.spark.sql.Column,
+                          probes: Seq[String], windowLen: String,
+                          lateness: String, salt: String): DataFrame = {
+    import graft.ops.Sketches
+    val idx = Sketches.cmsIdx(item, salt)
+    val perItem = events
+      .withWatermark("ts", lateness)
+      .select(col("ts") +: idx.zipWithIndex.map { case (c, d) => c.as(s"i$d") }: _*)
+    val aggs = for (d <- 0 until Sketches.CmsD; j <- 0 until Sketches.CmsW)
+      yield sum(when(col(s"i$d") === j, 1L).otherwise(0L)).as(s"c_${d}_$j")
+    val wide = perItem
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val estCols = probes.map { p =>
+      val coords = Sketches.cmsIdxLiteral(p, salt)
+      least(coords.zipWithIndex.map { case (j, d) => col(s"c_${d}_$j") }: _*)
+        .as(s"est_$p")
+    }
+    wide.select(col("w.start").as("window_start") +: estCols: _*)
+  }
+
   /** Stream-stream event-time interval join (attribution shape): each left
     * row matches right rows with the same key whose timestamp falls in
     * [leftTs − window, leftTs]. Both sides carry watermarks and the join

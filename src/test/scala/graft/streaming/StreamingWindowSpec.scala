@@ -125,6 +125,56 @@ class StreamingWindowSpec extends SparkSpec {
     assert(rows2 === rows, "replay must reproduce identical sketch rows")
   }
 
+  test("windowedHeavyProbes: CMS counter state per window, matches batch, replayable") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // 3 clicks + 2 views in window 1; 1 view in window 2; then a closer
+    val batch1 = Seq((ts(1), "click"), (ts(2), "click"), (ts(3), "click"),
+      (ts(4), "view"), (ts(5), "view"))
+    val batch2 = Seq((ts(16), "view"))
+    val closer = Seq((ts(59), "error"))
+
+    def runOnce(name: String): (Seq[(Timestamp, Long, Long, Long)], Long) = {
+      val in = MemoryStream[(Timestamp, String)]
+      val events = in.toDF.toDF("ts", "event_type")
+      val q = WindowedAggs.windowedHeavyProbes(events, col("event_type"),
+          probes = Seq("click", "view", "error"), "15 minutes",
+          lateness = "10 minutes", salt = "cmsw")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(batch1); q.processAllAvailable()
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        in.addData(batch2); q.processAllAvailable()
+        in.addData(closer); q.processAllAvailable()
+        val rows = spark.table(name).collect()
+          .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1.getTime).toSeq
+        (rows, stateRows)
+      } finally q.stop()
+    }
+
+    val (rows, stateRows) = runOnce("hp1")
+    // one 256-counter sketch row per open window, not one row per item
+    assert(stateRows === 1L, s"expected 1 state row, got $stateRows")
+    // 3 event types cannot collide into overestimates here unless they
+    // share cells in ALL 4 rows — deterministic md5 coordinates, exact:
+    assert(rows.head === ((Timestamp.valueOf("2024-01-01 10:00:00"), 3L, 2L, 0L)),
+      s"window-1 probe estimates wrong: ${rows.head}")
+    assert(rows.length === 2) // the closer window is still open
+    assert(rows(1)._3 === 1L, s"window-2 view estimate: ${rows(1)}")
+
+    // batch parity (what the stream_windowed_cms gate checks at sf0.01)
+    val batchDf = (batch1 ++ batch2 ++ closer).toDF("ts", "event_type")
+    val expected = WindowedAggs.windowedHeavyProbes(batchDf, col("event_type"),
+        Seq("click", "view", "error"), "15 minutes", "10 minutes", "cmsw")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1.getTime).toSeq
+    assert(rows === expected.filter(_._1.getTime < ts(45).getTime))
+
+    val (rows2, _) = runOnce("hp2")
+    assert(rows2 === rows, "replay must reproduce identical estimates")
+  }
+
   test("dedupWithinWatermark drops replays, keeps state bounded by the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]
