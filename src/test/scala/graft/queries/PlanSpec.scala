@@ -122,6 +122,44 @@ class PlanSpec extends SparkSpec {
       "candidate generation must not shuffle vector payloads:\n" + p)
   }
 
+  test("cms sketch: exchanges carry partial counter buffers, never items") {
+    // the sketch aggregation must move partial counter sums only — the
+    // token strings stay in the scan stage (module rule: digests/ints in
+    // exchanges, payloads never). Two exchanges total: the sketch agg and
+    // the presentation orderBy.
+    val df = Registry.all("sketch_cms_counts").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    assert(exchangeInputs.forall(in => !in.contains("it#") && !in.contains("text#")),
+      "the sketch shuffles must not carry token payloads:\n" + p)
+    assert(exchangeInputs.exists(_.contains("sum#")),
+      "expected the partial-sum aggregation exchange:\n" + p)
+  }
+
+  test("zipf regime rows: both joins consume the MATERIALIZED corpus scan") {
+    // ZipfCorpus.table writes the generated corpus to scratch parquet
+    // once per JVM; the brute/prefix joins must plan as parquet scans —
+    // an unmaterialized generator would re-run the md5 expression tree
+    // per consumer (the prefix join scans its input four times) and the
+    // bench would measure hashing, not the join regime.
+    Seq("dedup_zipf_brute", "dedup_zipf_prefix").foreach { name =>
+      val df = Registry.all(name).build(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("zipf-corpus"),
+        s"$name must scan the materialized corpus parquet:\n$p")
+      assert(!p.contains("sequence(0, 59"),
+        s"$name must not inline the token-generation expression:\n$p")
+      // exact-Jaccard machinery stays equi-join (no cross product sneaks
+      // in through the size-ratio prune conditions)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name joins must stay hash-keyed:\n$p")
+    }
+  }
+
   test("contamination scan broadcasts the probe side, never shuffles the corpus") {
     val p = plan("text_contamination")
     assert(p.contains("BroadcastHashJoin"),
