@@ -416,14 +416,20 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(edges("dst").as("id"), labels("label"))
-      val next = labels.union(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // the convergence signal rides the SAME aggregation that computes
+      // the new labels: each id's own old label is the unique `own` row
+      // in the union, so changed = min(all) < that row's label — a
+      // second join-the-old-frame pass per iteration was pure scheduler
+      // overhead (this loop runs on checkpointed kilobyte frames; jobs,
+      // not data, are the cost at bench scale)
+      val next = labels.select(col("id"), col("label"), lit(true).as("own"))
+        .union(msgs.select(col("id"), col("label"), lit(false).as("own")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"),
+          (min(col("label")) < max(when(col("own"), col("label")))).as("changed"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     require(converged, s"components did not converge in $maxIter rounds")

@@ -177,8 +177,16 @@ object Similarity {
       // Same headroom math as groupMeanEmbedding: |x|·2^20 ≤ 2^27 for
       // |x| ≤ 128, so 2^36 rows per cell fit in a long.
       val Scale = (1L << 20).toDouble
+      // the assignment expression and the generator live in SEPARATE
+      // selects: a posexplode in the same select re-evaluates its sibling
+      // expressions per GENERATED row, turning the k-cosine assignment
+      // into a dims-times-amplified interpreted loop (measured 1.4 s →
+      // 0.2 s per Lloyd iteration at 2000×64 — the performance twin of
+      // the struct+lambda+generator name-resolution pitfall)
       val means = base
         .select((-array_max(array(cellStructs(col("v")): _*)).getField("nid")).as("cell"),
+          col("v"))
+        .select(col("cell"),
           posexplode(transform(col("v"), x =>
             floor(x.cast("double") * Scale + 0.5).cast("long"))).as(Seq("pos", "qx")))
         .groupBy(col("cell"), col("pos"))
