@@ -148,6 +148,92 @@ object Sketches {
     wide.select(col("group") +: joined.as("cms_joined") +: estCols: _*)
   }
 
+  // ---- Log-histogram quantile sketch: the third sketch family —
+  // bounded-memory QUANTILES (p50/p95/p99 of latencies, doc lengths,
+  // quality scores) where exact percentiles need a full sort. Values
+  // quantize to q20 fixed-point integers; buckets are (bit-length ×
+  // 16 sub-buckets) of |q| with the sign folded in — an ORDER-PRESERVING
+  // integer bucket id computed from integer compares only, so both
+  // engines agree bit-for-bit (no fp log2 at bucket boundaries). Each
+  // (group, bucket) carries (count, min_q, max_q); counts ADD and
+  // min/max merge, so partial sketches from any partitioning agree and
+  // the streaming twin is a plain aggregation. A quantile answer is an
+  // INTERVAL [lo, hi] — the straddling bucket's exact min/max, which
+  // provably brackets the true quantile; relative width ≤ 1/16 by
+  // construction (16 sub-buckets per octave).
+
+  val QScale = 1L << 20 // q20 fixed point — the repo-wide quantization
+  val QSub = 16 // sub-buckets per octave
+
+  /** q20 integer image of a double value. */
+  def qVal(x: Column): Column =
+    floor(x.cast("double") * lit(QScale.toDouble) + lit(0.5)).cast("long")
+
+  /** Order-preserving bucket id of a q20 integer `q`:
+    * sign(q) · (bitlen(|q|)·16 + top-4-bits-after-leading(|q|)) — the
+    * [[graft.functions.QBucket]] codegen kernel (the equivalent nested
+    * CASE chain exceeded Janino's 64 KB method limit). The oracle's CASE
+    * form lives in [[qBitlenSqlOverQ]]/[[qBucketSqlOverQL]]; the gate
+    * proves the formulations identical. */
+  def qBucketOfQ(q: Column): Column = graft.functions.QBucket.of(q)
+
+  /** DuckDB twins, staged over CTE-bound columns (inlining the bitlen
+    * CASE into every sub-bucket branch would square the SQL): bind `q`
+    * first, then `L` = [[qBitlenSqlOverQ]], then the id over (q, L). */
+  def qBitlenSqlOverQ: String =
+    (1 to 63).reverse
+      .map(b => s"WHEN abs(q) >= ${1L << (b - 1)} THEN $b")
+      .mkString("(CASE ", " ", " ELSE 0 END)")
+
+  def qBucketSqlOverQL: String = {
+    val sub = (6 to 63).reverse
+      .map(l => s"WHEN L = $l THEN (abs(q) >> ${l - 5}) & 15")
+      .mkString("(CASE ", " ", " ELSE abs(q) & 15 END)")
+    s"(CASE WHEN q < 0 THEN -(L * $QSub + $sub) ELSE (L * $QSub + $sub) END)"
+  }
+
+  /** Per-(group, bucket) sketch rows of `value`: (group, bucket, cnt,
+    * min_q, max_q). One aggregation; null values are skipped. */
+  def quantileBuckets(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val q = qVal(value)
+    df.select(col(groupCol).as("group"), q.as("q"))
+      .filter(col("q").isNotNull)
+      .select(col("group"), col("q"), qBucketOfQ(col("q")).as("bucket"))
+      .groupBy(col("group"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+  }
+
+  /** Bucket rows → per-group quantile intervals + the full-sketch parity
+    * string. For each p the answer is the straddling bucket's exact
+    * [min_q, max_q]: the bucket where the bucket-ordered cumulative
+    * count first reaches ceil(p·n). Window is per GROUP (bucket count
+    * is bounded by construction — never a global single-partition
+    * window).
+    * @return (group, n, buckets_joined, p<P>_lo_q20, p<P>_hi_q20 …) */
+  def quantilesFromBuckets(buckets: DataFrame, groupCol: String,
+                           ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+    def pname(p: Double) = (p * 100).round.toString
+    val sel = ps.map { p =>
+      min(when(col("cum") >= ceil(lit(p) * col("n").cast("double")).cast("long"),
+        struct(col("bucket"), col("min_q"), col("max_q")))).as(s"s${pname(p)}")
+    }
+    val joined = concat_ws(",", transform(
+      array_sort(collect_list(struct(col("bucket"), col("cnt")))),
+      e => concat(e.getField("bucket").cast("string"), lit(":"),
+        e.getField("cnt").cast("string"))))
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), (sel :+ joined.as("buckets_joined")): _*)
+      .select(col(groupCol) +: col("n") +: col("buckets_joined") +:
+        ps.flatMap(p => Seq(
+          col(s"s${pname(p)}").getField("min_q").as(s"p${pname(p)}_lo_q20"),
+          col(s"s${pname(p)}").getField("max_q").as(s"p${pname(p)}_hi_q20"))): _*)
+  }
+
   /** Per-group HLL distinct estimate of `item`.
     * @return (group, registers_joined, est_q3) — the 64 register values
     *   comma-joined (the full-sketch parity exhibit) and the estimate as

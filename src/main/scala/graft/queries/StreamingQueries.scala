@@ -104,6 +104,46 @@ object StreamingQueries extends QueryModule {
            |FROM wide ORDER BY window_start""".stripMargin
       }),
 
+    // Watermarked windowed QUANTILES (log-histogram sketch): per-window
+    // value p50/p95/p99 intervals from (window, bucket) rows — the
+    // bounded-state online form of a latency-percentile dashboard. The
+    // batch run exercises the identical bucket agg + extraction; the
+    // oracle re-derives buckets, cumulative crossings, and intervals.
+    "stream_windowed_quantiles" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sketches.quantilesFromBuckets(
+            graft.streaming.WindowedAggs.windowedQuantileBuckets(
+              Tables.events(s, d), col("value"), "15 minutes",
+              lateness = "10 minutes"),
+            "window_start", Seq(0.5, 0.95, 0.99))
+          .orderBy(col("window_start")),
+      Some {
+        val S = graft.ops.Sketches
+        val ests = Seq("50" -> "0.5", "95" -> "0.95", "99" -> "0.99").flatMap {
+          case (nm, p) =>
+            val k = s"CAST(ceil($p * CAST(n AS DOUBLE)) AS BIGINT)"
+            Seq(s"arg_min(min_q, bucket) FILTER (WHERE cum >= $k) AS p${nm}_lo_q20",
+              s"arg_min(max_q, bucket) FILTER (WHERE cum >= $k) AS p${nm}_hi_q20")
+        }.mkString(",\n|    ")
+        s"""WITH v0 AS (
+           |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS w,
+           |    CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+           |  FROM events WHERE value IS NOT NULL),
+           |v1 AS (SELECT w, q, ${S.qBitlenSqlOverQ} AS L FROM v0),
+           |v2 AS (SELECT w, q, ${S.qBucketSqlOverQL} AS bucket FROM v1),
+           |b AS (SELECT w, bucket, CAST(count(*) AS BIGINT) AS cnt,
+           |    min(q) AS min_q, max(q) AS max_q
+           |  FROM v2 GROUP BY w, bucket),
+           |c AS (SELECT w, bucket, cnt, min_q, max_q,
+           |    sum(cnt) OVER (PARTITION BY w ORDER BY bucket) AS cum,
+           |    sum(cnt) OVER (PARTITION BY w) AS n
+           |  FROM b)
+           |SELECT w AS window_start, CAST(max(n) AS BIGINT) AS n,
+           |  string_agg(bucket || ':' || cnt, ',' ORDER BY bucket) AS buckets_joined,
+           |    $ests
+           |FROM c GROUP BY w ORDER BY window_start""".stripMargin
+      }),
+
     // Sliding event-time windows: each event lands in windowLen/slide
     // overlapping windows (Spark aligns starts to epoch multiples of the
     // slide; the oracle expands k ∈ {0,1,2} buckets per event).

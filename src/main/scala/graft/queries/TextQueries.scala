@@ -424,6 +424,48 @@ object TextQueries extends QueryModule {
       },
       headline = true),
 
+    // Mergeable log-histogram QUANTILE sketch (the third sketch family):
+    // doc-length p50/p95/p99 intervals per source. Buckets are integer
+    // threshold chains over the q20 image (no fp log2 — both engines
+    // agree exactly); the oracle re-derives every bucket row, the
+    // cumulative crossing, and the interval bounds; buckets_joined makes
+    // the gate a full-sketch parity proof. Interval semantics: the true
+    // quantile provably lies in [lo, hi], width ≤ 1/16 relative.
+    "sketch_quantiles" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sketches.quantilesFromBuckets(
+            graft.ops.Sketches.quantileBuckets(
+              Tables.documents(s, d), "source", col("n_chars")),
+            "group", Seq(0.5, 0.95, 0.99))
+          .withColumnRenamed("group", "source")
+          .orderBy(col("source")),
+      Some {
+        val S = graft.ops.Sketches
+        val ests = Seq("50" -> "0.5", "95" -> "0.95", "99" -> "0.99").flatMap {
+          case (nm, p) =>
+            val k = s"CAST(ceil($p * CAST(n AS DOUBLE)) AS BIGINT)"
+            Seq(s"arg_min(min_q, bucket) FILTER (WHERE cum >= $k) AS p${nm}_lo_q20",
+              s"arg_min(max_q, bucket) FILTER (WHERE cum >= $k) AS p${nm}_hi_q20")
+        }.mkString(",\n|    ")
+        s"""WITH v0 AS (
+           |  SELECT source AS grp,
+           |    CAST(floor(CAST(n_chars AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+           |  FROM documents WHERE n_chars IS NOT NULL),
+           |v1 AS (SELECT grp, q, ${S.qBitlenSqlOverQ} AS L FROM v0),
+           |v2 AS (SELECT grp, q, ${S.qBucketSqlOverQL} AS bucket FROM v1),
+           |b AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS cnt,
+           |    min(q) AS min_q, max(q) AS max_q
+           |  FROM v2 GROUP BY grp, bucket),
+           |c AS (SELECT grp, bucket, cnt, min_q, max_q,
+           |    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+           |    sum(cnt) OVER (PARTITION BY grp) AS n
+           |  FROM b)
+           |SELECT grp AS source, CAST(max(n) AS BIGINT) AS n,
+           |  string_agg(bucket || ':' || cnt, ',' ORDER BY bucket) AS buckets_joined,
+           |    $ests
+           |FROM c GROUP BY grp ORDER BY source""".stripMargin
+      }),
+
     // Mergeable count-min frequency sketch, fully re-derived by the
     // oracle: token occurrences per source hash into 4×64 integer
     // counters (md5+affine indexes — the same portable family as

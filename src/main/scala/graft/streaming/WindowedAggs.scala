@@ -99,6 +99,34 @@ object WindowedAggs {
     wide.select(col("w.start").as("window_start") +: estCols: _*)
   }
 
+  /** Watermarked windowed QUANTILE sketching via the log-histogram merge
+    * law ([[graft.ops.Sketches]]): exact windowed percentiles need every
+    * value in state; this keeps one (count, min_q, max_q) row per
+    * OCCUPIED bucket per open window — bounded by the bucket family
+    * (≤ ~2000 ids, in practice dozens), not the stream. Counts add and
+    * min/max merge, so the sketch is one plain aggregation keyed by
+    * (window, bucket); the watermark evicts closed windows and replay is
+    * bit-identical (integer buckets, order-free merges).
+    *
+    * Emits the per-window BUCKET ROWS on window close; quantile
+    * extraction ([[graft.ops.Sketches.quantilesFromBuckets]] — p50/p95/
+    * p99 intervals with ≤ 1/16 relative width) runs downstream over
+    * closed windows, which is how the `stream_windowed_quantiles` gate
+    * verifies the whole path on a batch frame. */
+  def windowedQuantileBuckets(events: DataFrame,
+                              value: org.apache.spark.sql.Column,
+                              windowLen: String, lateness: String): DataFrame = {
+    import graft.ops.Sketches
+    events.withWatermark("ts", lateness)
+      .select(col("ts"), Sketches.qVal(value).as("q"))
+      .filter(col("q").isNotNull)
+      .select(col("ts"), col("q"), Sketches.qBucketOfQ(col("q")).as("bucket"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+      .select(col("w.start").as("window_start"), col("bucket"),
+        col("cnt"), col("min_q"), col("max_q"))
+  }
+
   /** Stream-stream event-time interval join (attribution shape): each left
     * row matches right rows with the same key whose timestamp falls in
     * [leftTs − window, leftTs]. Both sides carry watermarks and the join

@@ -41,6 +41,53 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: intervals bracket the true quantile, merge order-free") {
+    // mixed-sign values with a heavy tail — ids are deterministic
+    val vals = (1 to 1000).map(i => (i * 37 % 997) - 100 + (if (i % 17 == 0) 5000 else 0))
+      .map(_.toDouble / 3.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "id", "x")
+    val buckets = Sketches.quantileBuckets(df, "g", col("x"))
+    val out = Sketches.quantilesFromBuckets(buckets, "group", Seq(0.5, 0.95, 0.99))
+      .collect().head
+    assert(out.getAs[Long]("n") === 1000L)
+    // true quantile (ceil(p*n)-th smallest in the q20 domain) must lie in
+    // the reported interval, and the interval must be narrow
+    val qs = vals.map(v => math.floor(v * (1L << 20).toDouble + 0.5).toLong).sorted
+    for ((p, nm) <- Seq((0.5, "50"), (0.95, "95"), (0.99, "99"))) {
+      val truth = qs(math.ceil(p * 1000).toInt - 1)
+      val lo = out.getAs[Long](s"p${nm}_lo_q20")
+      val hi = out.getAs[Long](s"p${nm}_hi_q20")
+      assert(lo <= truth && truth <= hi, s"p$nm: $truth not in [$lo, $hi]")
+      // ≤ 1/16 relative width by construction (same-sign bucket)
+      assert(hi - lo <= math.max(math.abs(hi), math.abs(lo)) / 16 + 1,
+        s"p$nm interval too wide: [$lo, $hi]")
+    }
+    // order-free merge: any partitioning yields the identical sketch
+    val joined = out.getAs[String]("buckets_joined")
+    for (parts <- Seq(1, 7, 32)) {
+      val again = Sketches.quantilesFromBuckets(
+        Sketches.quantileBuckets(df.repartition(parts), "g", col("x")),
+        "group", Seq(0.5, 0.95, 0.99)).collect().head
+      assert(again.getAs[String]("buckets_joined") === joined,
+        s"buckets differ under repartition($parts)")
+    }
+    // explicit two-half merge law: bucket rows of the halves, unioned and
+    // re-aggregated, equal the whole corpus' sketch
+    val (h1, h2) = df.collect().splitAt(500)
+    def sketch(rows: Array[org.apache.spark.sql.Row]) =
+      Sketches.quantileBuckets(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), df.schema),
+        "g", col("x"))
+    val merged = sketch(h1).unionByName(sketch(h2))
+      .groupBy(col("group"), col("bucket"))
+      .agg(org.apache.spark.sql.functions.sum(col("cnt")).as("cnt"),
+        min(col("min_q")).as("min_q"), max(col("max_q")).as("max_q"))
+    val mergedOut = Sketches.quantilesFromBuckets(merged, "group", Seq(0.5))
+      .collect().head
+    assert(mergedOut.getAs[String]("buckets_joined") === joined)
+  }
+
   test("hllDistinct estimates within the standard error; partitioning-independent") {
     // 2000 distinct items per group, duplicated 3x (dups must not matter)
     val df = (0 until 6000).map(i => ("g1", s"item-${i % 2000}")).toDF("g", "it")

@@ -175,6 +175,55 @@ class StreamingWindowSpec extends SparkSpec {
     assert(rows2 === rows, "replay must reproduce identical estimates")
   }
 
+  test("windowedQuantileBuckets: state per occupied bucket, matches batch extraction") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // 60 values in window 1 landing in FEW buckets (runs of similar
+    // magnitudes), 3 in window 2, then a closer
+    val batch1 = (1 to 60).map(i => (ts(i % 15), (100 + i % 4).toDouble))
+    val batch2 = Seq((ts(16), 7.25), (ts(17), -3.5), (ts(18), 0.0))
+    val closer = Seq((ts(59), 1.0))
+
+    def runOnce(name: String) = {
+      val in = MemoryStream[(Timestamp, Double)]
+      val events = in.toDF.toDF("ts", "value")
+      val q = WindowedAggs.windowedQuantileBuckets(events, col("value"),
+          "15 minutes", lateness = "10 minutes")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(batch1); q.processAllAvailable()
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        in.addData(batch2); q.processAllAvailable()
+        in.addData(closer); q.processAllAvailable()
+        val rows = spark.table(name).collect()
+          .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .sortBy(t => (t._1.getTime, t._2)).toSeq
+        (rows, stateRows)
+      } finally q.stop()
+    }
+
+    val (rows, stateRows) = runOnce("qb1")
+    // 60 items hit one window but only as many state rows as OCCUPIED
+    // buckets — values 100..103 share a bucket family, far fewer than 60
+    val batch1Buckets = rows.filter(_._1 == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(stateRows === batch1Buckets.size.toLong,
+      s"state must be one row per (window, bucket): $stateRows vs ${batch1Buckets.size}")
+    assert(stateRows < 10L, s"bucket rows should be few, got $stateRows")
+    assert(batch1Buckets.map(_._3).sum === 60L, "counts must cover every item")
+
+    // batch parity of the full path: bucket rows + downstream extraction
+    val batchDf = (batch1 ++ batch2 ++ closer).toDF("ts", "value")
+    val closedBatch = WindowedAggs.windowedQuantileBuckets(batchDf, col("value"),
+        "15 minutes", lateness = "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filter(_._1.getTime < ts(45).getTime)
+      .sortBy(t => (t._1.getTime, t._2)).toSeq
+    assert(rows === closedBatch, "streaming bucket rows must equal the batch sketch")
+
+    val (rows2, _) = runOnce("qb2")
+    assert(rows2 === rows, "replay must reproduce identical bucket rows")
+  }
+
   test("dedupWithinWatermark drops replays, keeps state bounded by the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]
