@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
+import org.apache.spark.sql.functions.{coalesce, col, concat, input_file_name, lit, struct, to_json}
 import org.apache.spark.sql.types.StructType
 
 /** Delta table facade: transactional parquet append/read on top of
@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.StructType
 object DeltaTable {
 
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Metadata configuration prefix for CHECK constraints — the Delta
+    * protocol / delta-rs representation. */
+  val ConstraintPrefix = "delta.constraints."
 
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
@@ -110,6 +114,80 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   /** Stored txn version for an app id (None if never committed). */
   def txnVersion(appId: String): Option[Long] = snapshot.txns.get(appId)
 
+  /** CHECK constraints in force, by name (delta-rs `add_constraint`
+    * representation: `delta.constraints.<name>` metadata configuration). */
+  def checkConstraints: Map[String, String] =
+    snapshot.metadata.map(_.configuration).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith(DeltaTable.ConstraintPrefix) =>
+        k.stripPrefix(DeltaTable.ConstraintPrefix) -> v }
+
+  /** ALTER TABLE ADD CONSTRAINT (delta-rs `add_constraint`): validates
+    * `exprSql` against ALL existing rows (one predicate scan — the same
+    * cost Delta proper pays), then commits the
+    * `delta.constraints.<name>` configuration plus the writer-version-3
+    * protocol bump the Delta protocol requires for check constraints.
+    * SQL CHECK semantics throughout: a NULL predicate passes, only
+    * FALSE violates. A concurrent write landing between validation and
+    * commit fails this call with `ConcurrentModificationException` —
+    * those rows were never validated. */
+  def addCheckConstraint(name: String, exprSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must be alphanumeric/underscore")
+    val key = DeltaTable.ConstraintPrefix + name
+    val snap = snapshot
+    val meta = snap.metadata
+      .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    require(!meta.configuration.contains(key), s"constraint '$name' already exists")
+    val pred = org.apache.spark.sql.functions.expr(exprSql)
+    val offender = dfFor(snap)
+      .filter(coalesce(pred, lit(true)) === false).limit(1).collect()
+    if (offender.nonEmpty) throw new IllegalArgumentException(
+      s"cannot add constraint '$name' ($exprSql): existing row violates it: ${offender.head}")
+    val basePaths = snap.files.map(_.path).toSet
+    val committed = log.commit(
+      Seq(Action(protocol = Some(Protocol(minReaderVersion = 1, minWriterVersion = 3))),
+        Action(metaData = Some(meta.copy(
+          configuration = meta.configuration + (key -> exprSql)))),
+        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+          "ADD CONSTRAINT", Map("name" -> name, "expr" -> exprSql))))),
+      check = s => s.metadata.exists(m => !m.configuration.contains(key)) &&
+        s.files.map(_.path).toSet == basePaths)
+    if (committed < 0) throw new java.util.ConcurrentModificationException(
+      s"cannot add constraint '$name': the table changed while validating — retry")
+    committed
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT (delta-rs `drop_constraints`). */
+  def dropConstraint(name: String): Long = {
+    val key = DeltaTable.ConstraintPrefix + name
+    val meta = snapshot.metadata
+      .getOrElse(throw new IllegalStateException(s"no table at $path"))
+    require(meta.configuration.contains(key), s"no constraint named '$name'")
+    log.commit(Seq(
+      Action(metaData = Some(meta.copy(configuration = meta.configuration - key))),
+      Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+        "DROP CONSTRAINT", Map("name" -> name))))))
+  }
+
+  /** Fuse CHECK enforcement into a write's own job: each constraint
+    * becomes a filter whose violating branch raises with the constraint
+    * name and the offending row — NO extra scan over the batch (Delta
+    * proper fuses the check the same way), and the existing staged-file
+    * cleanup paths handle the failed write. Applied to appended data and
+    * to the CHANGED rows of merge/update; delete/compact/zorder/restore
+    * introduce no new values and skip it (delta-rs behavior). */
+  private def withConstraintChecks(df: DataFrame): DataFrame = {
+    val cons = checkConstraints.toSeq.sortBy(_._1)
+    cons.foldLeft(df) { case (d, (n, e)) =>
+      val pred = org.apache.spark.sql.functions.expr(e)
+      d.filter(
+        org.apache.spark.sql.functions.when(coalesce(pred, lit(true)), lit(true))
+          .otherwise(org.apache.spark.sql.functions.raise_error(
+            concat(lit(s"CHECK constraint '$n' ($e) violated by row: "),
+              to_json(struct(df.columns.map(col).toSeq: _*)))).cast("boolean")))
+    }
+  }
+
   /** Commit a metaData update (schema evolution, reference X3). Additions
     * must be nullable columns so existing files read back null-filled —
     * the contract pinned by the reference's schema_update test. */
@@ -159,7 +237,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val evolvedSchema = org.apache.spark.sql.types.StructType(baseSchema.fields ++ evolution)
     val parts = partitionColumns
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
-    val aligned = df.select(evolvedSchema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val aligned = withConstraintChecks(
+      df.select(evolvedSchema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
     // Co-locate rows of one partition value into one task before the
     // partitioned write: without this every task emits a file per value
     // (tasks × values tiny files per batch — measured 4.6× slower ingest
@@ -348,7 +427,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // duplicate keys, silently violating the upsert contract
     val basePaths = snap.files.map(_.path).toSet
     commitRewrite(affected,
-      survivors.unionByName(matched).unionByName(inserts), "MERGE",
+      survivors.unionByName(withConstraintChecks(matched.unionByName(inserts))), "MERGE",
       Map("predicateKeys" -> keyCols.mkString(",")),
       extraCheck = s => s.files.map(_.path).forall(basePaths.contains),
       conflictHint = "a concurrent commit added or rewrote files during this merge")
@@ -396,7 +475,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           case None => col(f.name)
         }
       }.toSeq: _*)
-    commitRewrite(affected, rewritten, "UPDATE")
+    commitRewrite(affected, withConstraintChecks(rewritten), "UPDATE")
   }
 
   /** Live files containing at least one row surviving `restrict` (a

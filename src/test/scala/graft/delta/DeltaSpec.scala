@@ -363,6 +363,63 @@ class DeltaSpec extends SparkSpec {
     assert(p.scan(Seq(ColPred("date", "=", "2021-11-02"))).count() === 10L)
   }
 
+  test("CHECK constraints: validated on add, enforced on append/merge/update, droppable") {
+    val t = newTable()
+    t.append(sampleDf(0 until 10))
+    // existing data passes → constraint lands, with the protocol bump
+    t.addCheckConstraint("id_nonneg", "id >= 0")
+    assert(t.checkConstraints === Map("id_nonneg" -> "id >= 0"))
+    assert(DeltaTable.forPath(spark, t.path).checkConstraints.contains("id_nonneg"),
+      "a fresh reader must see the constraint")
+    // a violated add is refused without committing
+    assertThrows[IllegalArgumentException](
+      t.addCheckConstraint("name_short", "length(name) < 5"))
+    assert(t.checkConstraints.size === 1)
+    // duplicate name refused
+    assertThrows[IllegalArgumentException](t.addCheckConstraint("id_nonneg", "id >= 0"))
+
+    // append: violating batch fails INSIDE the write job, nothing lands
+    val vBefore = t.log.latestVersion()
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    val bad = intercept[Exception](t.append(sampleDf(-3 until -1)))
+    assert(stackMessages(bad).exists(_.contains("id_nonneg")),
+      s"violation must name the constraint: ${stackMessages(bad)}")
+    assert(t.log.latestVersion() === vBefore, "failed append must not commit")
+    assert(t.snapshot.files.map(_.path).toSet === filesBefore)
+    t.append(sampleDf(10 until 12)) // satisfying batch still lands
+    assert(t.toDF.count() === 12L)
+
+    // SQL NULL semantics: a NULL predicate passes
+    t.addCheckConstraint("ts_recent", "ts IS NULL OR ts > timestamp'2000-01-01'")
+    import spark.implicits._
+    val nullTs = Seq((100L, "n100", null.asInstanceOf[java.sql.Timestamp], "2021-11-01"))
+      .toDF("id", "name", "ts", "date")
+    t.append(nullTs)
+    assert(t.toDF.count() === 13L)
+
+    // merge: a violating source row fails the rewrite; update likewise
+    val badSrc = Seq((-5L, "neg")).toDF("id", "name")
+    val m = intercept[Exception](t.merge(badSrc, Seq("id")))
+    assert(stackMessages(m).exists(_.contains("id_nonneg")))
+    val u = intercept[Exception](
+      t.update(col("id") === 5L, Map("id" -> lit(-9L))))
+    assert(stackMessages(u).exists(_.contains("id_nonneg")))
+    assert(t.toDF.filter(col("id") < 0).isEmpty, "no violating row may land")
+
+    // drop → previously-violating writes land
+    t.dropConstraint("id_nonneg")
+    assert(!t.checkConstraints.contains("id_nonneg"))
+    t.append(sampleDf(-3 until -1))
+    assert(t.toDF.filter(col("id") < 0).count() === 2L)
+    assertThrows[IllegalArgumentException](t.dropConstraint("id_nonneg"))
+  }
+
+  /** All messages down a throwable's cause chain (Spark wraps task
+    * failures several layers deep). */
+  private def stackMessages(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+      .flatMap(t => Option(t.getMessage))
+
   test("metadata cleanup drops checkpointed-away JSON, snapshots keep working") {
     val t = newTable()                       // v0
     (0 until 11).foreach(i => t.append(sampleDf(i * 5 until i * 5 + 5)))  // v1..v11, ckpt at 10
