@@ -439,7 +439,8 @@ object TextQueries extends QueryModule {
             "group", Seq(0.5, 0.95, 0.99))
           .withColumnRenamed("group", "source")
           .orderBy(col("source")),
-      Some {
+      headline = true,
+      oracle = Some {
         val S = graft.ops.Sketches
         val ests = Seq("50" -> "0.5", "95" -> "0.95", "99" -> "0.99").flatMap {
           case (nm, p) =>
