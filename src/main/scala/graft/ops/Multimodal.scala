@@ -296,6 +296,83 @@ object Multimodal {
         }
     }
 
+    /** The AUDIO track of an AVI container — the demux counterpart of
+      * [[AviRgb24]]: locates the first 'auds' stream, parses its
+      * WAVEFORMATEX (PCM format 1 only), concatenates that stream's
+      * 'NNwb' movi chunks in storage order, and windows the PCM exactly
+      * like [[PcmWav]] (frame = one window, `width` = sample frames,
+      * `height` = channels, `pixels` = raw little-endian PCM bytes), so
+      * [[pcmWindowStats16]] and every audio feature step run unchanged
+      * on either source. An AVI without an audio stream throws with the
+      * asset id — silently emitting nothing would corrupt accounting. */
+    final case class AviPcmAudio(samplesPerWindow: Int = 1024) extends MediaCodec {
+      require(samplesPerWindow > 0, "samplesPerWindow must be positive")
+      override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] =
+        assets.flatMap { a =>
+          val b = a.bytes
+          def fail(msg: String): Nothing =
+            throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
+          if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+            fail(s"not a RIFF/AVI payload (${b.length} bytes)")
+          var streamIdx = -1 // ordinal of the NEXT strh
+          var audioIdx = -1 // stream index of the first auds stream
+          var lastWasAuds = false
+          var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+          val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          def audioChunkId = f"$audioIdx%02dwb"
+
+          def walk(from: Int, to: Int): Unit = {
+            var o = from
+            while (o + 8 <= to) {
+              val id = tag(b, o)
+              val size = u32(b, o + 4).toInt
+              if (size < 0 || o + 8 + size > to)
+                fail(s"chunk '$id' overruns payload (size=$size at offset $o)")
+              id match {
+                case "LIST" =>
+                  if (size < 4) fail(s"LIST chunk too small ($size)")
+                  walk(o + 12, o + 8 + size)
+                case "strh" =>
+                  if (size < 8) fail(s"strh chunk too small ($size)")
+                  streamIdx += 1
+                  lastWasAuds = tag(b, o + 8) == "auds"
+                  if (lastWasAuds && audioIdx < 0) audioIdx = streamIdx
+                case "strf" =>
+                  if (lastWasAuds && fmt.isEmpty) { // WAVEFORMATEX
+                    if (size < 16) fail(s"auds strf too small ($size)")
+                    val formatTag = u16(b, o + 8)
+                    if (formatTag != 1)
+                      fail(s"only PCM audio (format 1) supported, got $formatTag")
+                    fmt = Some((u16(b, o + 10), u32(b, o + 12).toInt, u16(b, o + 22)))
+                  }
+                case other if audioIdx >= 0 && other == audioChunkId =>
+                  chunks += java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size)
+                case _ => ()
+              }
+              o += 8 + size + (size & 1)
+            }
+          }
+          walk(12, b.length)
+
+          val (channels, rate, bits) = fmt.getOrElse(
+            fail("AVI contains no PCM 'auds' stream"))
+          if (channels <= 0 || rate <= 0 ||
+            !(bits == 8 || bits == 16 || bits == 24 || bits == 32))
+            fail(s"unsupported PCM shape: channels=$channels rate=$rate bits=$bits")
+          val pcm = Array.concat(chunks.toSeq: _*)
+          val bpf = channels * (bits / 8)
+          val total = pcm.length / bpf
+          val nWin = math.max(1, (total + samplesPerWindow - 1) / samplesPerWindow)
+          (0 until nWin).map { w =>
+            val startFrame = w * samplesPerWindow
+            val frames = math.max(0, math.min(samplesPerWindow, total - startFrame))
+            DecodedFrame(a.asset_id, w, frames, channels,
+              java.util.Arrays.copyOfRange(pcm, startFrame * bpf,
+                startFrame * bpf + frames * bpf))
+          }
+        }
+    }
+
     /** Compressed still images (JPEG/PNG/GIF/TIFF) through the JDK's
       * `javax.imageio` readers — REAL decompression, pure JVM, no native
       * libraries (the readers ship with the stock JDK). One

@@ -129,7 +129,98 @@ object MultimodalQueries extends QueryModule {
     buf.array()
   }
 
+  /** Interleaved A/V AVI: one 4×3 video frame (stream 0, 'DIB ') plus a
+    * PCM ramp audio track (stream 1, WAVEFORMATEX) whose samples follow
+    * the rampWav closed form — sample (i, c) = (i·7 + c·3) mod 32767 —
+    * split across TWO '01wb' chunks so the demuxer's chunk
+    * concatenation is actually exercised. */
+  private[graft] def rampAviAv(channels: Int, samples: Int): Array[Byte] = {
+    val width = 4; val height = 3
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val fb = rowSize * height
+    val pcm = java.nio.ByteBuffer.allocate(samples * channels * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until samples; c <- 0 until channels)
+      pcm.putShort(((i * 7 + c * 3) % 32767).toShort)
+    val bytes = pcm.array()
+    val cut = (samples / 2) * channels * 2 // sample-frame boundary
+    val (a1, a2) = bytes.splitAt(cut)
+    val strlV = 4 + 8 + 56 + 8 + 40
+    val strlA = 4 + 8 + 56 + 8 + 16
+    val hdrl = 4 + 8 + 56 + 8 + strlV + 8 + strlA
+    val movi = 4 + (8 + fb) + (8 + a1.length) + (8 + a2.length)
+    val riff = 4 + 8 + hdrl + 8 + movi
+    val buf = java.nio.ByteBuffer.allocate(8 + riff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def t(s: String) = buf.put(s.getBytes("US-ASCII"))
+    t("RIFF"); buf.putInt(riff); t("AVI ")
+    t("LIST"); buf.putInt(hdrl); t("hdrl")
+    t("avih"); buf.putInt(56)
+    buf.putInt(40000).putInt(0).putInt(0).putInt(0).putInt(1).putInt(0)
+      .putInt(2).putInt(fb).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    t("LIST"); buf.putInt(strlV); t("strl")
+    t("strh"); buf.putInt(56)
+    t("vids"); t("DIB "); (0 until 12).foreach(_ => buf.putInt(0))
+    t("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(fb).putInt(0).putInt(0).putInt(0).putInt(0)
+    t("LIST"); buf.putInt(strlA); t("strl")
+    t("strh"); buf.putInt(56)
+    t("auds"); buf.putInt(1); (0 until 12).foreach(_ => buf.putInt(0))
+    t("strf"); buf.putInt(16) // WAVEFORMATEX, cbSize omitted
+    buf.putShort(1).putShort(channels.toShort).putInt(8000)
+      .putInt(8000 * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    t("LIST"); buf.putInt(movi); t("movi")
+    t("00db"); buf.putInt(fb)
+    for (yUp <- 0 until height; _ <- 0 until rowSize) buf.put(0.toByte): Unit
+    t("01wb"); buf.putInt(a1.length); buf.put(a1)
+    t("01wb"); buf.putInt(a2.length); buf.put(a2)
+    buf.array()
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // The AUDIO track of an interleaved A/V container, hash-gated end to
+    // end: ramp PCM interleaved as '01wb' chunks behind a video stream,
+    // demuxed by RealCodecs.AviPcmAudio (stream discovery, WAVEFORMATEX
+    // parse, multi-chunk concatenation), windowed into the same 256-frame
+    // stats as mm_wav_stats — and the oracle recomputes every window from
+    // the ramp closed form without touching a byte. A wrong stream pick,
+    // dropped chunk, or misaligned concat breaks the hash.
+    "mm_avi_audio" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val ch = 1 + (id % 2).toInt
+            val n = 400 + (id % 200).toInt
+            (id, "video", rampAviAv(ch, n))
+          }).toDF("asset_id", "kind", "bytes")
+        Multimodal.pcmWindowStats16(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.AviPcmAudio(256)))
+          .toDF()
+          .orderBy(col("asset_id"), col("frame_idx"), col("channel"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS id, 1 + doc_id % 2 AS ch, 400 + doc_id % 200 AS n
+             |  FROM documents WHERE doc_id < 100
+             |), f AS (
+             |  SELECT id, ch, unnest(range(0, n)) AS fr FROM a
+             |), c AS (
+             |  SELECT id, fr, unnest(range(0, ch)) AS chan FROM f
+             |), v AS (
+             |  SELECT id, chan, fr // 256 AS w, (fr * 7 + chan * 3) % 32767 AS s FROM c
+             |)
+             |SELECT id AS asset_id, CAST(w AS INT) AS frame_idx,
+             |  CAST(chan AS INT) AS channel,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(max(s) AS INT) AS peak_abs,
+             |  CAST(floor(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) * 1000.0 + 0.5) AS BIGINT) AS rms_q3
+             |FROM v GROUP BY 1, 2, 3
+             |ORDER BY asset_id, frame_idx, channel""".stripMargin)),
+
     // REAL VIDEO decode, hash-gated end to end: uncompressed RGB24 AVIs
     // (2..4 ramp frames, varying dims incl. row padding) are fabricated
     // per doc_id, decoded by the strict RIFF chunk walk

@@ -396,6 +396,29 @@ class MultimodalSpec extends SparkSpec {
       frames(2L).head.height === 3, "AVI must route to the real video decode")
   }
 
+  test("AviPcmAudio demuxes the audio track: stream discovery, chunk concat, windows") {
+    // 700 stereo ramp samples split across two '01wb' chunks behind a
+    // video stream — windows must match the standalone-WAV decode of the
+    // same ramp exactly (same PCM, same window contract)
+    val av = graft.queries.MultimodalQueries.rampAviAv(channels = 2, samples = 700)
+    val frames = RealCodecs.AviPcmAudio(256).decodeBatch(Seq(MediaAsset(3L, "video", av)))
+      .sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.width, f.height)) ===
+      Seq((0, 256, 2), (1, 256, 2), (2, 188, 2)))
+    val wav = RealCodecs.PcmWav(256).decodeBatch(
+      Seq(MediaAsset(3L, "audio", wavBytes(2, 8000, 700)))).sortBy(_.frame_idx)
+    assert(frames.map(_.pixels.toSeq) === wav.map(_.pixels.toSeq),
+      "demuxed PCM must be byte-identical to the standalone WAV ramp")
+    // the sample straddling the chunk cut (frame 350) survives the concat
+    val s350 = java.nio.ByteBuffer.wrap(frames(1).pixels, (350 - 256) * 4, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort
+    assert(s350 === ((350 * 7) % 32767).toShort)
+    // a video-only AVI has no audio track to extract — loud failure
+    val e = intercept[IllegalArgumentException](
+      RealCodecs.AviPcmAudio(256).decodeBatch(Seq(MediaAsset(9L, "video", aviBytes(3, 2, 1)))))
+    assert(e.getMessage.contains("asset 9") && e.getMessage.contains("auds"))
+  }
+
   test("pcmWindowStats16 refuses non-16-bit PCM frames loudly") {
     // 8-bit mono WAV: parseWav accepts it, stats16 must not silently misread
     val samples = 16
