@@ -125,6 +125,80 @@ class StreamingWindowSpec extends SparkSpec {
     assert(rows2 === rows, "replay must reproduce identical sketch rows")
   }
 
+  test("windowedDistinct sketches persist to Delta exactly-once across restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    implicit val sqlCtx = spark.sqlContext
+    // the observability loop end-to-end: windowed HLL sketches land in a
+    // Delta table through foreachBatch + the (appId, batchId) txn guard,
+    // so a restarted query resuming from the checkpoint can neither lose
+    // a closed window nor land one twice
+    val tablePath = tmpDir("sketch-table")
+    val ckpt = tmpDir("sketch-ckpt")
+    val table = graft.delta.DeltaTable.forPath(spark, tablePath).create(StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("registers_joined", StringType),
+      StructField("est_q3", LongType))))
+
+    def startSink(in: MemoryStream[(Long, Timestamp)]) =
+      WindowedAggs.windowedDistinct(in.toDF.toDF("user_id", "ts"), col("user_id"),
+          "15 minutes", lateness = "10 minutes", salt = "hllw")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          table.append(df, Some("sketch-sink"), batchId,
+            operation = "STREAMING UPDATE"): Unit
+        }
+        .start()
+
+    val blockA = (1 to 20).map(u => (u.toLong, ts(u % 15)))     // window 10:00
+    val blockB = Seq((50L, ts(16)), (51L, ts(17)))              // window 10:15
+    val closer1 = Seq((99L, ts(40)))                            // closes 10:00
+    val in1 = MemoryStream[(Long, Timestamp)]
+    val q1 = startSink(in1)
+    try {
+      in1.addData(blockA); q1.processAllAvailable()
+      in1.addData(blockB ++ closer1); q1.processAllAvailable()
+      in1.addData(Seq((98L, ts(41)))); q1.processAllAvailable() // flush emissions
+    } finally q1.stop()
+    val afterRun1 = table.toDF.count()
+    assert(afterRun1 >= 1L, "run 1 must have landed the closed 10:00 window")
+
+    // restart on the same checkpoint: the new source carries the FULL
+    // history again (same BLOCK boundaries — MemoryStream offsets count
+    // blocks, and the checkpoint resumes past the committed ones) plus a
+    // closer past 10:15 — replayed blocks must not re-land, the newly
+    // closed window must
+    val in2 = MemoryStream[(Long, Timestamp)]
+    in2.addData(blockA)
+    in2.addData(blockB ++ closer1)
+    in2.addData(Seq((98L, ts(41))))
+    val q2 = startSink(in2)
+    try {
+      in2.addData(Seq((97L, ts(59)))); q2.processAllAvailable() // closes 10:15
+    } finally q2.stop()
+
+    val rows = table.toDF.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2)))
+    val starts = rows.map(_._1.toString).sorted
+    assert(starts.length === starts.distinct.length,
+      s"a window landed twice after restart: ${starts.toSeq}")
+    assert(starts.exists(_.startsWith("2024-01-01 10:00")) &&
+      starts.exists(_.startsWith("2024-01-01 10:15")),
+      s"closed windows missing after restart: ${starts.toSeq}")
+    // and the persisted sketch is the batch-computed truth
+    val batchAll = (blockA ++ blockB ++ closer1 ++ Seq((98L, ts(41)), (97L, ts(59))))
+      .toDF("user_id", "ts")
+    val expect = WindowedAggs.windowedDistinct(batchAll, col("user_id"),
+        "15 minutes", lateness = "10 minutes", salt = "hllw")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    rows.foreach { case (w, est) =>
+      assert(expect(w) === est, s"persisted estimate for $w diverges from batch")
+    }
+  }
+
   test("windowedHeavyProbes: CMS counter state per window, matches batch, replayable") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
