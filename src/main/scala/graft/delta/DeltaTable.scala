@@ -150,7 +150,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           configuration = meta.configuration + (key -> exprSql)))),
         Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
           "ADD CONSTRAINT", Map("name" -> name, "expr" -> exprSql))))),
-      check = s => s.metadata.exists(m => !m.configuration.contains(key)) &&
+      // the metaData action was copied from `meta`: require the WHOLE
+      // configuration and schema unchanged (not just our key absent), or a
+      // retry over another writer's concurrent metadata commit — a second
+      // constraint, a schema evolution — would silently erase it
+      check = s => s.metadata.exists(m =>
+        m.configuration == meta.configuration &&
+          m.schemaString == meta.schemaString) &&
         s.files.map(_.path).toSet == basePaths)
     if (committed < 0) throw new java.util.ConcurrentModificationException(
       s"cannot add constraint '$name': the table changed while validating — retry")
@@ -163,10 +169,18 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val meta = snapshot.metadata
       .getOrElse(throw new IllegalStateException(s"no table at $path"))
     require(meta.configuration.contains(key), s"no constraint named '$name'")
-    log.commit(Seq(
-      Action(metaData = Some(meta.copy(configuration = meta.configuration - key))),
-      Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
-        "DROP CONSTRAINT", Map("name" -> name))))))
+    val committed = log.commit(
+      Seq(Action(metaData = Some(meta.copy(configuration = meta.configuration - key))),
+        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+          "DROP CONSTRAINT", Map("name" -> name))))),
+      // same stale-copy hazard as addCheckConstraint: any concurrent
+      // metadata change invalidates the copied action
+      check = s => s.metadata.exists(m =>
+        m.configuration == meta.configuration &&
+          m.schemaString == meta.schemaString))
+    if (committed < 0) throw new java.util.ConcurrentModificationException(
+      s"cannot drop constraint '$name': the table metadata changed — retry")
+    committed
   }
 
   /** Fuse CHECK enforcement into a write's own job: each constraint
@@ -253,11 +267,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
 
     val adds = collectStagedFiles(staging, parts)
     try {
-      val schemaUpdate =
-        if (evolution.isEmpty) Nil
-        else Seq(Action(metaData = Some(snapshot.metadata
-          .getOrElse(throw new IllegalStateException(s"no table at $path"))
-          .copy(schemaString = evolvedSchema.json))))
+      val baseMeta =
+        if (evolution.isEmpty) None
+        else Some(snapshot.metadata
+          .getOrElse(throw new IllegalStateException(s"no table at $path")))
+      val schemaUpdate = baseMeta
+        .map(m => Action(metaData = Some(m.copy(schemaString = evolvedSchema.json))))
+        .toSeq
       val actions = schemaUpdate ++
         adds.map(a => Action(add = Some(a))) ++
         txnAppId.map(app => Action(txn = Some(Txn(app, txnVersion,
@@ -272,13 +288,17 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // compare PARSED StructTypes, not raw JSON: another writer's
       // metadata may serialize the same schema with different key order
       // or formatting, and a string compare would misreport every
-      // evolving append against it as a schema race
+      // evolving append against it as a schema race. The CONFIGURATION
+      // must also be unchanged: the metaData action above was copied from
+      // baseMeta, so retrying it over a concurrently-committed
+      // configuration change (a new CHECK constraint, say) would silently
+      // erase that change — and never enforce the constraint again.
       def evolutionCheck(snap: Snapshot): Boolean =
         if (!txnNotYetApplied(snap)) false
         else if (evolution.nonEmpty &&
-          !snap.metadata.map(m =>
-            org.apache.spark.sql.types.DataType.fromJson(m.schemaString))
-            .contains(baseSchema)) {
+          !snap.metadata.exists(m =>
+            org.apache.spark.sql.types.DataType.fromJson(m.schemaString) == baseSchema &&
+              m.configuration == baseMeta.get.configuration)) {
           schemaConflict = true; false
         } else true
       val committed =
@@ -295,8 +315,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         adds.foreach(a => fs.delete(new Path(path, a.path), false))
         if (schemaConflict)
           throw new java.util.ConcurrentModificationException(
-            "append(mergeSchema) lost a schema race: the table schema changed " +
-              "while this append was staging — recompute the evolution and retry")
+            "append(mergeSchema) lost a metadata race: the table schema or " +
+              "configuration changed while this append was staging — recompute " +
+              "the evolution and retry")
         // otherwise: lost the race to a concurrent writer of the same
         // txn batch — the documented idempotent-replay skip
       }

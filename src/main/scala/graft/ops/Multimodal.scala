@@ -216,6 +216,33 @@ object Multimodal {
       * behind the [[FakeCodec]] fallback. Non-video chunks (e.g. '01wb'
       * audio interleave) are skipped: this codec extracts the video
       * track, the audio track is [[PcmWav]]'s job upstream. */
+    /** The ONE strict RIFF/AVI chunk walker both AVI codecs share:
+      * validates the preamble, recurses into LISTs, bounds every chunk
+      * in LONG arithmetic (a crafted size near Int.MaxValue would wrap
+      * an Int sum negative and sail past the guard), skips pad bytes,
+      * and hands each leaf chunk (id, payloadOffset, size) to
+      * `onChunk`. */
+    private def walkAvi(b: Array[Byte], fail: String => Nothing)
+                       (onChunk: (String, Int, Int) => Unit): Unit = {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+        fail(s"not a RIFF/AVI payload (${b.length} bytes)")
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = tag(b, o)
+          val size = u32(b, o + 4).toInt
+          if (size < 0 || o.toLong + 8L + size > to)
+            fail(s"chunk '$id' overruns payload (size=$size at offset $o)")
+          if (id == "LIST") {
+            if (size < 4) fail(s"LIST chunk too small ($size)")
+            walk(o + 12, o + 8 + size) // subtype tag at o+8, then body
+          } else onChunk(id, o + 8, size)
+          o += 8 + size + (size & 1) // chunks pad to even
+        }
+      }
+      walk(12, b.length)
+    }
+
     object AviRgb24 extends MediaCodec {
       private final case class VidFmt(width: Int, height: Int)
 
@@ -224,52 +251,36 @@ object Multimodal {
           val b = a.bytes
           def fail(msg: String): Nothing =
             throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
-          if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
-            fail(s"not a RIFF/AVI payload (${b.length} bytes)")
           var fmt: Option[VidFmt] = None
           val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-
-          // one walker for every chunk level; LISTs recurse on their body
-          def walk(from: Int, to: Int): Unit = {
-            var o = from
-            while (o + 8 <= to) {
-              val id = tag(b, o)
-              val size = u32(b, o + 4).toInt
-              if (size < 0 || o + 8 + size > to)
-                fail(s"chunk '$id' overruns payload (size=$size at offset $o)")
-              id match {
-                case "LIST" =>
-                  if (size < 4) fail(s"LIST chunk too small ($size)")
-                  walk(o + 12, o + 8 + size) // subtype tag at o+8, then body
-                case "strh" =>
-                  // the first stream header decides: only vids is decoded
-                  if (size < 8) fail(s"strh chunk too small ($size)")
-                  if (fmt.isEmpty && tag(b, o + 8) != "vids")
-                    fail(s"stream 0 is '${tag(b, o + 8)}', not a video stream")
-                case "strf" =>
-                  if (fmt.isEmpty) { // BITMAPINFOHEADER of the vids stream
-                    if (size < 40) fail(s"strf BITMAPINFOHEADER too small ($size)")
-                    val w = u32(b, o + 8 + 4).toInt
-                    val hRaw = u32(b, o + 8 + 8).toInt
-                    val bpp = u16(b, o + 8 + 14)
-                    val compression = u32(b, o + 8 + 16)
-                    if (bpp != 24 || compression != 0)
-                      fail(s"only uncompressed 24-bit video supported " +
-                        s"(bpp=$bpp compression=$compression)")
-                    if (w <= 0 || hRaw == 0)
-                      fail(s"bad dimensions ${w}x$hRaw")
-                    fmt = Some(VidFmt(w, hRaw))
-                  }
-                case "00db" =>
-                  frames += java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size)
-                case "00dc" =>
-                  fail("compressed video frames ('00dc') need a native decoder")
-                case _ => () // idx1, audio interleave, junk padding
-              }
-              o += 8 + size + (size & 1) // chunks pad to even
+          walkAvi(b, fail) { (id, po, size) =>
+            id match {
+              case "strh" =>
+                // the first stream header decides: only vids is decoded
+                if (size < 8) fail(s"strh chunk too small ($size)")
+                if (fmt.isEmpty && tag(b, po) != "vids")
+                  fail(s"stream 0 is '${tag(b, po)}', not a video stream")
+              case "strf" =>
+                if (fmt.isEmpty) { // BITMAPINFOHEADER of the vids stream
+                  if (size < 40) fail(s"strf BITMAPINFOHEADER too small ($size)")
+                  val w = u32(b, po + 4).toInt
+                  val hRaw = u32(b, po + 8).toInt
+                  val bpp = u16(b, po + 14)
+                  val compression = u32(b, po + 16)
+                  if (bpp != 24 || compression != 0)
+                    fail(s"only uncompressed 24-bit video supported " +
+                      s"(bpp=$bpp compression=$compression)")
+                  if (w <= 0 || hRaw == 0)
+                    fail(s"bad dimensions ${w}x$hRaw")
+                  fmt = Some(VidFmt(w, hRaw))
+                }
+              case "00db" =>
+                frames += java.util.Arrays.copyOfRange(b, po, po + size)
+              case "00dc" =>
+                fail("compressed video frames ('00dc') need a native decoder")
+              case _ => () // idx1, audio interleave, junk padding
             }
           }
-          walk(12, b.length)
 
           val VidFmt(width, hRaw) = fmt.getOrElse(
             fail("AVI missing a 'vids' strf (BITMAPINFOHEADER)"))
@@ -312,8 +323,6 @@ object Multimodal {
           val b = a.bytes
           def fail(msg: String): Nothing =
             throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
-          if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
-            fail(s"not a RIFF/AVI payload (${b.length} bytes)")
           var streamIdx = -1 // ordinal of the NEXT strh
           var audioIdx = -1 // stream index of the first auds stream
           var lastWasAuds = false
@@ -321,38 +330,26 @@ object Multimodal {
           val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           def audioChunkId = f"$audioIdx%02dwb"
 
-          def walk(from: Int, to: Int): Unit = {
-            var o = from
-            while (o + 8 <= to) {
-              val id = tag(b, o)
-              val size = u32(b, o + 4).toInt
-              if (size < 0 || o + 8 + size > to)
-                fail(s"chunk '$id' overruns payload (size=$size at offset $o)")
-              id match {
-                case "LIST" =>
-                  if (size < 4) fail(s"LIST chunk too small ($size)")
-                  walk(o + 12, o + 8 + size)
-                case "strh" =>
-                  if (size < 8) fail(s"strh chunk too small ($size)")
-                  streamIdx += 1
-                  lastWasAuds = tag(b, o + 8) == "auds"
-                  if (lastWasAuds && audioIdx < 0) audioIdx = streamIdx
-                case "strf" =>
-                  if (lastWasAuds && fmt.isEmpty) { // WAVEFORMATEX
-                    if (size < 16) fail(s"auds strf too small ($size)")
-                    val formatTag = u16(b, o + 8)
-                    if (formatTag != 1)
-                      fail(s"only PCM audio (format 1) supported, got $formatTag")
-                    fmt = Some((u16(b, o + 10), u32(b, o + 12).toInt, u16(b, o + 22)))
-                  }
-                case other if audioIdx >= 0 && other == audioChunkId =>
-                  chunks += java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size)
-                case _ => ()
-              }
-              o += 8 + size + (size & 1)
+          walkAvi(b, fail) { (id, po, size) =>
+            id match {
+              case "strh" =>
+                if (size < 8) fail(s"strh chunk too small ($size)")
+                streamIdx += 1
+                lastWasAuds = tag(b, po) == "auds"
+                if (lastWasAuds && audioIdx < 0) audioIdx = streamIdx
+              case "strf" =>
+                if (lastWasAuds && fmt.isEmpty) { // WAVEFORMATEX
+                  if (size < 16) fail(s"auds strf too small ($size)")
+                  val formatTag = u16(b, po)
+                  if (formatTag != 1)
+                    fail(s"only PCM audio (format 1) supported, got $formatTag")
+                  fmt = Some((u16(b, po + 2), u32(b, po + 4).toInt, u16(b, po + 14)))
+                }
+              case other if audioIdx >= 0 && other == audioChunkId =>
+                chunks += java.util.Arrays.copyOfRange(b, po, po + size)
+              case _ => ()
             }
           }
-          walk(12, b.length)
 
           val (channels, rate, bits) = fmt.getOrElse(
             fail("AVI contains no PCM 'auds' stream"))
@@ -361,6 +358,12 @@ object Multimodal {
             fail(s"unsupported PCM shape: channels=$channels rate=$rate bits=$bits")
           val pcm = Array.concat(chunks.toSeq: _*)
           val bpf = channels * (bits / 8)
+          // a ragged tail (truncated final chunk cutting mid-sample) must
+          // not be silently discarded — same loud-failure contract as
+          // every other malformed shape
+          if (pcm.length % bpf != 0)
+            fail(s"audio stream length ${pcm.length} is not a multiple of " +
+              s"the $bpf-byte sample frame (truncated final chunk?)")
           val total = pcm.length / bpf
           val nWin = math.max(1, (total + samplesPerWindow - 1) / samplesPerWindow)
           (0 until nWin).map { w =>

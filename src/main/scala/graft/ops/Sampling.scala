@@ -219,8 +219,10 @@ object Sampling {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac out of (0,1]: $keepFrac")
-    Seq("__d", "__m", "__c", "__k").foreach(c => require(!df.columns.contains(c),
-      s"percentileGate reserves column name '$c' but the input already has it"))
+    // __cm/__cc/__ck are appended to the INPUT frame by the cutoff join
+    Seq("__d", "__m", "__c", "__k", "__cm", "__cc", "__ck").foreach(c =>
+      require(!df.columns.contains(c),
+        s"percentileGate reserves column name '$c' but the input already has it"))
     val spark = df.sparkSession
     val mExpr = graft.functions.DoubleOrderBits.of(scoreCol.cast("double"))
     val cExpr = coin(col(keyCol), salt)
