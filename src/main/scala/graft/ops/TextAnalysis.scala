@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -246,6 +246,67 @@ object TextAnalysis {
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\+\\d[\\d()\\- ]{5,}\\d" -> "<PHONE>",
     "\\(\\d{3}\\)[ -]?\\d{3}[ -]\\d{4}" -> "<PHONE>")
+
+  /** (pattern, replacement) chain for unicode-lite normalization — the
+    * standard pre-tokenization cleanup: curly quotes/primes → ASCII,
+    * en/em dashes → '-', ellipsis → '...', control chars → space (this
+    * also erases the Java-vs-RE2 `\s` disagreement over \x0B before the
+    * whitespace collapse runs), then whitespace runs → one space. ONE
+    * definition drives both engines. */
+  private val NormalizePatterns: Seq[(String, String)] = Seq(
+    "[‘’‚′]" -> "'",
+    "[“”„″]" -> "\"",
+    "[‒–—―]" -> "-",
+    "…" -> "...",
+    "[\\x00-\\x1f\\x7f]" -> " ",
+    "\\s+" -> " ")
+
+  /** Normalize text for tokenization: the [[NormalizePatterns]] chain,
+    * trimmed and lowercased. Scan-stage regexp chain, no shuffle;
+    * RE2-portable so the oracle mirrors it exactly. Idempotent. */
+  def normalizeText(text: Column): Column =
+    lower(trim(NormalizePatterns.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }))
+
+  /** DuckDB twin of [[normalizeText]] over `expr` (single-quoted SQL
+    * strings pass backslashes through verbatim — no re-escaping, same
+    * as [[scrubPiiSql]]). */
+  def normalizeTextSql(expr: String): String = {
+    val chain = NormalizePatterns.foldLeft(expr) { case (acc, (pat, repl)) =>
+      val p = pat.replace("'", "''")
+      val r = repl.replace("'", "''")
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    s"lower(trim($chain))"
+  }
+
+  /** Overlapping token-window chunking (RAG / embedding-prep shape):
+    * chunk k covers tokens [k·stride, k·stride + chunkSize); the final
+    * chunk may be shorter; docs with no tokens emit no chunks, and every
+    * token lands in at least one chunk. Scan-stage sequence + slice with
+    * one generator — no shuffle, chunk text re-joined with single
+    * spaces.
+    * @return (id, chunk_idx, n_chunk_tokens, chunk_text) */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got size=$chunkSize stride=$stride")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .filter(col("n") > 0)
+    val lastK = greatest(lit(0L),
+      ceil((col("n") - lit(chunkSize)).cast("double") / lit(stride)).cast("long"))
+    base
+      .select(col("id"),
+        transform(sequence(lit(0L), lastK), k =>
+          concat_ws(" ", slice(col("ts"), (k * stride + 1).cast("int"), lit(chunkSize))))
+          .as("cs"))
+      .select(col("id"), posexplode(col("cs")).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"),
+        col("chunk_text"))
+  }
 
   /** The identical masking chain as DuckDB SQL over `expr` — generated
     * from [[PiiPatterns]] so the oracle can never drift from the code. */

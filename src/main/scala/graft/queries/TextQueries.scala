@@ -129,6 +129,54 @@ object TextQueries extends QueryModule {
               |FROM documents ORDER BY doc_id""".stripMargin),
       headline = true),
 
+    // Unicode-lite normalization with per-doc dirt (the text_pii_scrub
+    // pattern: the synthetic corpus is clean ASCII, so curly quotes,
+    // em-dash, ellipsis, a tab and double spaces are appended on both
+    // sides to make every replacement branch non-vacuous).
+    "text_normalize" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 60),
+              lit("  “Quote” — it’s … END\t"),
+              col("doc_id").cast("string")).as("dirty"))
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.normalizeText(col("dirty")).as("clean"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH dirty AS (
+              |  SELECT doc_id, substring(text, 1, 60)
+              |    || '  “Quote” — it’s … END' || chr(9) || doc_id AS dirty
+              |  FROM documents)
+              |SELECT doc_id, ${graft.ops.TextAnalysis.normalizeTextSql("dirty")} AS clean
+              |FROM dirty ORDER BY doc_id""".stripMargin)),
+
+    // Overlapping token-window chunking (RAG / embedding-prep shape):
+    // 32-token chunks on a 24-token stride; the oracle regenerates every
+    // chunk via list slicing, so a boundary slip, dropped tail, or
+    // re-join drift breaks the hash.
+    "text_chunks" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.chunkTokens(Tables.documents(s, d),
+            "doc_id", "text", chunkSize = 32, stride = 24)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id AS id, $T AS ts FROM documents),
+              |nz AS (SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM base WHERE len(ts) > 0),
+              |ks AS (SELECT id, ts,
+              |    greatest(CAST(0 AS BIGINT),
+              |      CAST(ceil(CAST(n - 32 AS DOUBLE) / 24.0) AS BIGINT)) AS lastk
+              |  FROM nz),
+              |ch AS (SELECT id,
+              |    unnest(range(0, lastk + 1)) AS chunk_idx,
+              |    unnest(list_transform(range(0, lastk + 1),
+              |      k -> array_to_string(ts[k * 24 + 1 : k * 24 + 32], ' '))) AS chunk_text
+              |  FROM ks)
+              |SELECT id AS doc_id, chunk_idx,
+              |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens,
+              |  chunk_text
+              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     "text_langid" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

@@ -414,6 +414,34 @@ class DeltaSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](t.dropConstraint("id_nonneg"))
   }
 
+  test("racing constraint adds never erase each other's metadata") {
+    // two writers add DIFFERENT constraints concurrently: the loser's
+    // commit retry must NOT re-land its stale metadata copy (which lacks
+    // the winner's key) — it either serializes cleanly or surfaces
+    // ConcurrentModificationException for the caller to retry fresh
+    val t = newTable()
+    t.append(sampleDf(0 until 5))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def add(name: String, sql: String): Future[Option[Throwable]] = Future {
+      val w = DeltaTable.forPath(spark, t.path) // own log instance = own cache
+      try { w.addCheckConstraint(name, sql); None }
+      catch { case e: java.util.ConcurrentModificationException => Some(e) }
+    }
+    val outcomes = Await.result(
+      Future.sequence(Seq(add("id_nonneg", "id >= 0"), add("name_nonempty", "length(name) > 0"))),
+      2.minutes)
+    // any CME loser retries once against fresh metadata — must then land
+    outcomes.zip(Seq("id_nonneg" -> "id >= 0", "name_nonempty" -> "length(name) > 0"))
+      .foreach { case (cme, (n, sql)) =>
+        if (cme.isDefined) DeltaTable.forPath(spark, t.path).addCheckConstraint(n, sql)
+      }
+    val cons = DeltaTable.forPath(spark, t.path).checkConstraints
+    assert(cons.keySet === Set("id_nonneg", "name_nonempty"),
+      s"a concurrent add erased a committed constraint: $cons")
+  }
+
   /** All messages down a throwable's cause chain (Spark wraps task
     * failures several layers deep). */
   private def stackMessages(e: Throwable): Seq[String] =
