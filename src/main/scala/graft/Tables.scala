@@ -16,7 +16,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$table.parquet"))
+
+  /** The driver's generator has emitted timestamp columns three ways across
+    * rounds: TIMESTAMP(NANOS) (no Spark type — read as long via
+    * legacy.parquet.nanosAsLong), TIMESTAMP(MICROS, adjustedToUTC=true)
+    * (TimestampType), and TIMESTAMP(MICROS, adjustedToUTC=false) — which
+    * Spark 4 infers as TIMESTAMP_NTZ, breaking instant functions like
+    * unix_millis. Canonicalize: NTZ wall-clock values are UTC instants
+    * (session tz is UTC in GraftSession), so a cast to TimestampType is
+    * value-preserving and restores the type every operator was built on.
+    * DuckDB reads the same column as a naive timestamp, so oracle parity
+    * is unchanged. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
