@@ -18,6 +18,10 @@ object GraftSession {
       .builder()
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
+      // graft_* SQL functions (GraftExtensions): the same Catalyst kernels
+      // the Scala API builds, reachable from pure SQL. Static conf — on a
+      // cluster, pass the same --conf; injection is additive and idempotent.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

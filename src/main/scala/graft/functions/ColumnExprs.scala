@@ -11,6 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def wrap(e: Expression): Column = ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column→Expression conversion: resolves the ColumnNode tree to a
+    * plain Catalyst tree NOW instead of deferring to plan conversion.
+    * Required inside analyzer-time FunctionBuilders (GraftExtensions): the
+    * deferred `ColumnNodeExpression` wrapper `toExpr` returns is only
+    * converted when a Column enters a plan through the DataFrame API — a
+    * builder's return value never does, and would stay Unevaluable. */
+  def toCatalystExpr(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
 
 /** Every input must be array<float> (with implicit casts — array<double>

@@ -198,6 +198,46 @@ object DedupQueries extends QueryModule {
               |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin),
       headline = true),
 
+    // The SAME minhash pipeline written in pure Spark SQL through the
+    // graft_* functions (GraftExtensions) — no Scala Column API at all.
+    // Shares dedup_minhash_lsh's oracle: the hash gate proves the SQL
+    // surface resolves to the identical kernels (signatures, bands,
+    // verify counts) value-for-value.
+    "dedup_minhash_sql" -> QueryDef(
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("graft_sql_documents")
+        s.sql(
+          """WITH base AS (
+            |  SELECT doc_id AS id,
+            |    graft_shingle_hashes(graft_tokens(text), 2, 'mh') AS hsh
+            |  FROM graft_sql_documents
+            |), exh AS (
+            |  SELECT id, CAST(size(hsh) AS BIGINT) AS sz, explode(hsh) AS h FROM base
+            |), sig AS (
+            |  SELECT id, graft_minhash_sig(hsh, 128) AS mh FROM base WHERE size(hsh) > 0
+            |), banded AS (
+            |  SELECT id, posexplode(graft_band_buckets(mh, 32)) AS (band, bucket) FROM sig
+            |), cand AS (
+            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            |  FROM banded a JOIN banded b
+            |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            |), scored AS (
+            |  SELECT c.id_a, c.id_b, count(1) AS o, min(ea.sz) AS sz_a, min(eb.sz) AS sz_b
+            |  FROM cand c
+            |  JOIN exh ea ON ea.id = c.id_a
+            |  JOIN exh eb ON eb.id = c.id_b AND eb.h = ea.h
+            |  GROUP BY c.id_a, c.id_b
+            |)
+            |SELECT id_a, id_b,
+            |  round(CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE), 6) AS jaccard
+            |FROM scored
+            |WHERE CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin)
+      },
+      Some(s"""WITH $minhashCtes
+              |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
+              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
     // Pair→cluster resolution: connected components of the minhash pairs
     // (cluster_id = min doc id per component). Oracle computes the same
     // transitive closure with a recursive CTE.

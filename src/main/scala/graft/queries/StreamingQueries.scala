@@ -14,6 +14,30 @@ import graft.Tables
 object StreamingQueries extends QueryModule {
 
   def defs: Map[String, QueryDef] = Map(
+    // Streaming deterministic uniform-k (reservoir slot): run on a batch
+    // frame the flatMapGroupsWithState op degenerates to one group call
+    // with empty state = exactly Sampling.uniformK, so the batch oracle
+    // gates the SAME code path micro-batch runs execute; batch-split
+    // independence and state bounds are StreamingWindowSpec's job.
+    "stream_uniform_k" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[graft.streaming.WindowedAggs.SampleDoc]
+        graft.streaming.WindowedAggs.streamingUniformK(docs, k = 5, salt = "uk")
+          .toDF()
+          .select(col("doc_id"), col("source"),
+            col("rank").cast("long").as("smp_rank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, source, CAST(row_number() OVER w AS BIGINT) AS smp_rank
+              |FROM documents
+              |WINDOW w AS (PARTITION BY source
+              |  ORDER BY ${OracleSql.h32Sql("doc_id", "uk")}, doc_id)
+              |QUALIFY row_number() OVER w <= 5
+              |ORDER BY doc_id""".stripMargin)),
+
     "stream_windowed_counts" -> QueryDef(
       (s, d) =>
         graft.streaming.WindowedAggs.windowedCounts(

@@ -208,6 +208,57 @@ object WindowedAggs {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  final case class SampleDoc(source: String, doc_id: Long, text: String)
+  final case class SampledDoc(source: String, rank: Int, doc_id: Long, text: String)
+
+  /** Streaming k-per-group uniform sample — the reservoir-sampling slot,
+    * but DETERMINISTIC: state holds the k rows with the smallest
+    * (md5 coin, doc_id) per source, the exact ranking
+    * [[graft.ops.Sampling.uniformK]] uses, so after ANY prefix of the
+    * stream the current sample equals the batch op over the rows seen so
+    * far — independent of micro-batch boundaries and replay-stable, where
+    * a textbook reservoir's contents depend on arrival order and RNG
+    * state. A group's refreshed sample (rank-stamped, ≤ k rows) is
+    * emitted only in batches that CHANGE it; sinks upsert on
+    * (source, rank) under OutputMode.Update.
+    *
+    * Scale: one shuffle on source; state is ≤ k rows per source — bounded
+    * by design, no watermark needed. Run on a batch frame (state empty,
+    * one group call) it degenerates to exactly `uniformK`, which is how
+    * the driver gate verifies it against the batch oracle.
+    */
+  def streamingUniformK(docs: Dataset[SampleDoc], k: Int,
+                        salt: String): Dataset[SampledDoc] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    implicit val docEnc = Encoders.product[SampleDoc]
+    implicit val outEnc = Encoders.product[SampledDoc]
+    implicit val stateEnc = Encoders.product[SampleReservoir]
+    implicit val keyEnc = Encoders.STRING
+
+    // JVM twin of Sampling.coin(col, salt): low 32 bits of the 60-bit md5
+    // hash of "salt:key" — bit-identical to the batch op's plan-side coin.
+    def coinOf(id: Long): Long =
+      graft.functions.Hashing.planTimeH64(s"$salt:$id") & 0xFFFFFFFFL
+
+    def fn(source: String, it: Iterator[SampleDoc],
+           state: GroupState[SampleReservoir]): Iterator[SampledDoc] = {
+      val cur = state.getOption.map(_.docs).getOrElse(Seq.empty)
+      val next = (cur ++ it).sortBy(d => (coinOf(d.doc_id), d.doc_id)).take(k)
+      if (next == cur) Iterator.empty
+      else {
+        state.update(SampleReservoir(next))
+        next.iterator.zipWithIndex.map { case (d, i) =>
+          SampledDoc(source, i + 1, d.doc_id, d.text)
+        }
+      }
+    }
+
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  final case class SampleReservoir(docs: Seq[SampleDoc])
+
   /** Gap-based sessionization via flatMapGroupsWithState (the reference
     * has no stateful ops — this is the Spark-native custom-state surface):
     * a session closes when no event arrives within `gapMs` of the last

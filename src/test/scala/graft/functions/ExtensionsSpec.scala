@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{Dedup, TextAnalysis}
+
+/** The `graft_*` SQL functions ([[graft.GraftExtensions]]) must resolve to
+  * the SAME expression trees the Scala Column API builds — proven by
+  * value-equality on real corpus data and by literal-argument misuse
+  * failing at analysis, not at runtime.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    d.createOrReplaceTempView("ext_docs")
+    d
+  }
+
+  test("scalar kernels: SQL surface ≡ Column API, row for row") {
+    docs // force view registration
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_shingle_hashes(graft_tokens(text), 2, 'mh') AS hsh,
+        |  graft_simhash(graft_shingle_hashes(graft_tokens(text), 1, 'sh')) AS sim,
+        |  graft_zvalue(doc_id, n_chars) AS zv,
+        |  graft_qbucket(n_chars) AS qb,
+        |  graft_double_order_bits(CAST(n_chars AS DOUBLE)) AS dob,
+        |  graft_h64(text, 's') AS h,
+        |  graft_fingerprint(text) AS fp,
+        |  graft_langid(text) AS lang
+        |FROM ext_docs""".stripMargin)
+    val ts = TextAnalysis.tokens(col("text"))
+    val viaApi = docs.select(col("doc_id"),
+      ShingleHashes.of(ts, 2, "mh").as("hsh"),
+      SimHashSig.of(ShingleHashes.of(ts, 1, "sh"), 60).as("sim"),
+      ZValue.of(col("doc_id"), col("n_chars")).as("zv"),
+      QBucket.of(col("n_chars")).as("qb"),
+      DoubleOrderBits.of(col("n_chars").cast("double")).as("dob"),
+      Hashing.h64(col("text"), "s").as("h"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.langId(col("text")).as("lang"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
+  test("signature pipeline: minhash → bands via SQL ≡ Column API") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_band_buckets(
+        |    graft_minhash_sig(graft_shingle_hashes(graft_tokens(text), 2, 'mh'), 128),
+        |    32) AS bk
+        |FROM ext_docs WHERE size(graft_tokens(text)) > 0""".stripMargin)
+    val ts = TextAnalysis.tokens(col("text"))
+    val viaApi = docs.filter(size(ts) > 0).select(col("doc_id"),
+      BandBuckets.of(
+        MinHashSig.of(ShingleHashes.of(ts, 2, "mh"), 128), 32).as("bk"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
+  test("vector + set similarity functions agree with the API") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  graft_jaccard(graft_tokens(a.text), graft_tokens(b.text)) AS j,
+        |  graft_cosine(array(1.0F, 0.0F, CAST(a.n_chars AS FLOAT)),
+        |               array(0.5F, 0.5F, CAST(b.n_chars AS FLOAT))) AS c,
+        |  graft_quality(a.text) AS q
+        |FROM ext_docs a JOIN ext_docs b ON b.doc_id = a.doc_id + 1""".stripMargin)
+    val a = docs.select(col("doc_id"), col("text"), col("n_chars"))
+    val b = docs.select(col("doc_id").as("doc_id_b"), col("text").as("text_b"),
+      col("n_chars").as("n_chars_b"))
+    val viaApi = a.join(b, col("doc_id_b") === col("doc_id") + 1)
+      .select(col("doc_id").as("ia"), col("doc_id_b").as("ib"),
+        Dedup.jaccard(TextAnalysis.tokens(col("text")),
+          TextAnalysis.tokens(col("text_b"))).as("j"),
+        VecExprs.cosine(
+          array(lit(1.0f), lit(0.0f), col("n_chars").cast("float")),
+          array(lit(0.5f), lit(0.5f), col("n_chars_b").cast("float"))).as("c"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
+  test("plan-time parameters must be literals — misuse fails at analysis") {
+    docs
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes(graft_tokens(text), doc_id, 'mh') FROM ext_docs")
+    }
+    assert(e.getMessage.contains("integer literal"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(graft_tokens(text), 128, 3) FROM ext_docs")
+    }
+    assert(e2.getMessage.contains("expects 2 arguments"))
+  }
+
+  test("graft_shingles matches Dedup.shingles for short and long docs") {
+    docs
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_shingles(text, 3) AS sh FROM ext_docs")
+    val viaApi = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+}

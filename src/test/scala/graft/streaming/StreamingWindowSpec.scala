@@ -552,4 +552,58 @@ class StreamingWindowSpec extends SparkSpec {
       assert(out.head.session_start === ts(0) && out.head.n_events === 1)
     } finally q.stop()
   }
+
+  test("streamingUniformK: sample is micro-batch-split independent and equals the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    val salt = "tuk"
+    val all = (1L to 12L).map(id => SampleDoc("s", id, s"doc $id"))
+    def coinOf(id: Long): Long =
+      graft.functions.Hashing.planTimeH64(s"$salt:$id") & 0xFFFFFFFFL
+    // the doc with the globally largest coin can never displace a full
+    // k=3 reservoir built from the other 11 — its batch must emit nothing
+    val worst = all.maxBy(d => (coinOf(d.doc_id), d.doc_id))
+
+    def run(name: String, batches: Seq[Seq[SampleDoc]]): Seq[Seq[(String, Int, Long)]] = {
+      val in = MemoryStream[SampleDoc]
+      val q = WindowedAggs.streamingUniformK(in.toDS(), k, salt)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        var prev = Map.empty[(String, Int, Long), Int]
+        batches.map { b =>
+          in.addData(b)
+          q.processAllAvailable()
+          val now = spark.table(name).collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+            .groupBy(identity).map { case (t, g) => (t, g.length) }
+          // multiset diff vs the previous snapshot = this batch's emission
+          val fresh = now.toSeq.flatMap { case (t, n) =>
+            Seq.fill(n - prev.getOrElse(t, 0))(t)
+          }
+          prev = now
+          fresh.sorted
+        }
+      } finally q.stop()
+    }
+
+    val split3 = run("suk3",
+      Seq(all.take(6).filterNot(_ == worst),
+        all.drop(6).filterNot(_ == worst), Seq(worst)))
+    val split1 = run("suk1", Seq(all))
+
+    assert(split3(2).isEmpty,
+      "a batch that cannot change the reservoir must emit nothing")
+    val lastEmission3 = split3.reverse.find(_.nonEmpty).get
+    val lastEmission1 = split1.reverse.find(_.nonEmpty).get
+    assert(lastEmission3 === lastEmission1,
+      "final sample must not depend on micro-batch boundaries")
+    assert(lastEmission3.length === k)
+
+    // equals the batch operator over the same rows (same coin, same ties)
+    val batch = graft.ops.Sampling.uniformK(
+        all.toDF("source", "doc_id", "text"), "source", "doc_id", k, salt)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(lastEmission3.map(_._3).toSet === batch)
+  }
 }
