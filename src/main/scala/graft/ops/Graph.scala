@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation over edge lists — the second graph op
+  * family next to [[Dedup.duplicateClusters]]'s connected components.
+  *
+  * PageRank in exact fixed-point integer arithmetic: ranks are Q-scaled
+  * longs, every division is integer `div`, so the result is bit-identical
+  * at any partition order / parallelism AND the DuckDB oracle replays the
+  * whole iteration chain exactly (the same reason every sketch/sampling
+  * op in this repo integerizes — fp64 addition is not associative, and a
+  * non-deterministic rank can't be hash-gated).
+  *
+  * Scale (100 TB story): one shuffle per iteration pair — join ranks to
+  * edges on src, aggregate contributions on dst; rows crossing exchanges
+  * are (long, long) pairs, never adjacency lists. Iterations compose the
+  * plan depth linearly; past ~10 iterations persist/localCheckpoint the
+  * rank frame between rounds (values are partition-independent integers,
+  * so recompute vs checkpoint cannot change results — it's purely a plan-
+  * depth/lineage-cost decision, unlike [[Sampling.percentileGate]]'s old
+  * partition-id coupling).
+  */
+object Graph {
+
+  /** Default Q: ranks are parts-per-10^12 of total mass. */
+  val RankScale: Long = 1000000000000L
+
+  /** PageRank with damping d = dampNum/dampDen over a directed edge list
+    * (`src`, `dst` long columns; duplicates collapse to simple edges).
+    *
+    * r_0(v)   = SCALE div N
+    * r_i+1(v) = ((dampDen−dampNum)·SCALE) div (dampDen·N)
+    *            + (dampNum · Σ_{u→v} (r_i(u) div outdeg(u))) div dampDen
+    *
+    * Dangling mass: nodes with no out-edges contribute nothing (their
+    * mass evaporates — the "weak PageRank" variant). Build the edge list
+    * symmetric (e.g. [[bipartiteEdges]]) and every node has outdegree
+    * ≥ 1, so no mass is lost at all.
+    *
+    * @return (node, rank) — rank is the Q-scaled integer r_iters
+    */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = RankScale,
+               dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // one-row node count, stitched in by cross join (broadcast scalar)
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+
+    var r = nodes.crossJoin(nRow)
+      .select(col("node"), expr(s"$scale div n").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("c"))
+      r = nodes.crossJoin(nRow)
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(${dampDen - dampNum} * $scale) div ($dampDen * n) + " +
+            s"($dampNum * coalesce(c, 0L)) div $dampDen").as("r"))
+    }
+    r
+  }
+
+  /** DuckDB twin of [[pageRank]]: the unrolled iteration CTE chain ending
+    * in `r$iters(node, r)`. `edgesCte` must already be in scope as
+    * `e(src, dst)` (distinct simple edges). */
+  def pageRankSql(iters: Int, scale: Long = RankScale,
+                  dampNum: Int = 85, dampDen: Int = 100): String = {
+    val base = s"(${dampDen - dampNum} * $scale) // ($dampDen * sc.n)"
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, CAST(sum(r.r // deg.d) AS BIGINT) AS c
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT nodes.node,
+         |    $base + ($dampNum * COALESCE(c$i.c, 0)) // $dampDen AS r
+         |  FROM nodes CROSS JOIN sc LEFT JOIN c$i ON c$i.node = nodes.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |), deg AS (
+       |  SELECT src, count(*) AS d FROM e GROUP BY src
+       |), sc AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT node, $scale // sc.n AS r FROM nodes CROSS JOIN sc
+       |), $steps""".stripMargin
+  }
+
+  /** Symmetric bipartite interaction edges between two id columns of a
+    * relation (e.g. customers and suppliers linked by order lines): an
+    * edge each way per distinct pair, right ids offset into their own id
+    * space. Symmetry ⇒ every node has outdegree ≥ 1 ⇒ [[pageRank]]
+    * loses no dangling mass. */
+  def bipartiteEdges(rel: DataFrame, leftId: String, rightId: String,
+                     rightOffset: Long): DataFrame = {
+    val pairs = rel.select(col(leftId).cast("long").as("a"),
+      (col(rightId).cast("long") + rightOffset).as("b")).distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+}

@@ -341,6 +341,31 @@ object Analytics extends QueryModule {
              |FROM lineitem l
              |JOIN (SELECT l_orderkey AS k, max(l_quantity) AS max_qty FROM lineitem GROUP BY 1) m
              |  ON l.l_orderkey = m.k AND l.l_quantity = m.max_qty
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Iterative graph computation: 3-round exact-integer PageRank over the
+    // customer↔supplier interaction graph (symmetric bipartite edges from
+    // order lines — every node has outdegree ≥ 1, no dangling mass). The
+    // oracle replays the full unrolled iteration chain: same Q-scaled
+    // integer ranks, same integer divisions, bit-for-bit.
+    "graph_pagerank" -> QueryDef(
+      (s, d) => {
+        val rel = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        graft.ops.Graph.pageRank(
+            graft.ops.Graph.bipartiteEdges(rel, "o_custkey", "l_suppkey", 10000000L),
+            iters = 3)
+          .select(col("node"), col("r").as("rank_q"))
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+              |    10000000 + CAST(l_suppkey AS BIGINT) AS b
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |), e AS (
+              |  SELECT a AS src, b AS dst FROM p
+              |  UNION ALL SELECT b AS src, a AS dst FROM p
+              |), ${graft.ops.Graph.pageRankSql(3)}
+              |SELECT node, r AS rank_q FROM r3 ORDER BY node""".stripMargin))
   )
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PageRank pins: Spark result ≡ an independent in-memory integer
+  * reference on the same fixed-point recurrence, partition-count
+  * independent, and exact on the documented dangling-mass semantics. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala twin of the Q-scaled recurrence (Long `/` truncates like
+    * Spark `div` and DuckDB `//` on the all-positive domain). */
+  private def ref(edges: Set[(Long, Long)], iters: Int,
+                  scale: Long = Graph.RankScale): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val n = nodes.size
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(v => v -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val c = edges.toSeq.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => r(e._1) / deg(e._1)).sum
+      }
+      r = nodes.map(v =>
+        v -> (15L * scale / (100L * n) + 85L * c.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+                  parts: Int = 1): Map[Long, Long] =
+    Graph.pageRank(
+        edges.toDF("src", "dst").repartition(parts), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // deterministic pseudo-random digraph: 40 edges over 12 nodes
+  private val graph: Seq[(Long, Long)] = (0 until 40).map { i =>
+    val h = graft.functions.Hashing.planTimeH64(s"g:$i")
+    ((h % 12).toLong, ((h >> 8) % 12).toLong)
+  }.filter(e => e._1 != e._2)
+
+  test("pageRank equals the in-memory integer reference, any partitioning") {
+    val expected = ref(graph.toSet, iters = 3)
+    assert(run(graph, 3) === expected)
+    assert(run(graph, 3, parts = 7) === expected,
+      "Q-scaled integer ranks must not depend on partition count")
+  }
+
+  test("iteration zero is the uniform prior; symmetric edges conserve it") {
+    // undirected 3-cycle: uniform is the fixed point of the recurrence
+    val cyc = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 1L, 3L -> 2L, 1L -> 3L)
+    val n = 3
+    val uniform = Graph.RankScale / n
+    assert(run(cyc, 0).values.toSet === Set(uniform))
+    val r3 = run(cyc, 3)
+    // each round maps u -> 15%·u/1 + 85%·u (two in-edges at u/2 each, up
+    // to integer truncation) — stays within iters ulps of uniform
+    assert(r3.values.forall(v => (uniform - v) <= 3 && v <= uniform),
+      s"symmetric-regular graph must hold the uniform fixed point, got $r3")
+  }
+
+  test("dangling sink evaporates mass exactly as documented") {
+    val e = Seq(1L -> 2L) // 2 has no out-edge
+    val expected = ref(e.toSet, iters = 2)
+    assert(run(e, 2) === expected)
+    // and the closed form: r1(1) = base only, r1(2) = base + 85%·r0(1)
+    val scale = Graph.RankScale
+    val base = 15L * scale / (100L * 2)
+    assert(ref(e.toSet, 1)(1L) === base)
+    assert(ref(e.toSet, 1)(2L) === base + 85L * (scale / 2) / 100L)
+  }
+
+  test("bipartiteEdges is symmetric and offsets the right id space") {
+    val rel = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("cust", "supp")
+    val e = Graph.bipartiteEdges(rel, "cust", "supp", 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === Set((1L, 1010L), (1L, 1011L), (2L, 1010L),
+      (1010L, 1L), (1011L, 1L), (1010L, 2L)))
+  }
+}
