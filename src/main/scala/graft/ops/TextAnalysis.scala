@@ -323,6 +323,47 @@ object TextAnalysis {
       regexp_replace(c, pat, repl)
     }
 
+  /** Card-shaped candidate: 13–19 digits with optional single space/dash
+    * separators, on word boundaries. RE2-portable (no lookaround) — the
+    * checksum, not the regex, rejects dates/ids/phone tails. */
+  val CardPattern: String = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Mask payment-card numbers with CHECKSUM validation: card-shaped digit
+    * runs ([[CardPattern]]) mask only when their digits pass Luhn, so
+    * 16-digit order ids and timestamps survive while real PANs (spaced,
+    * dashed, or bare) don't — the validated upgrade of [[scrubPii]]'s
+    * shape-only masking. Per-row scan-stage expression: extract
+    * candidates, keep Luhn-valid ones (Spark's `luhn_check`), fold each
+    * back with literal replace. No shuffle; compose with [[scrubPii]]
+    * freely (run cards FIRST — masking emails/phones can't create card
+    * shapes, but a phone mask inside a spaced PAN would hide it). */
+  def maskCardNumbers(text: Column): Column = {
+    val valid = filter(
+      regexp_extract_all(text, lit(CardPattern), lit(0)),
+      c => call_function("luhn_check", regexp_replace(c, "[ -]", "")))
+    aggregate(valid, text,
+      (acc, c) => call_function("replace", acc, c, lit("<CARD>")))
+  }
+
+  /** DuckDB twin of [[maskCardNumbers]] over `expr`: the same candidate
+    * extraction and per-candidate Luhn (doubling from the right, digits
+    * > 9 reduced by 9) in list lambdas, folded by `list_reduce` with the
+    * original text prepended as the init value. */
+  def maskCardNumbersSql(expr: String): String = {
+    val ds = s"regexp_replace(c, '[ -]', '', 'g')"
+    val digitAt = s"CAST(substr(reverse($ds), i, 1) AS INT)"
+    val luhn =
+      s"""(list_sum(list_transform(range(1, len($ds) + 1),
+         |  i -> CASE WHEN i % 2 = 0 THEN
+         |         CASE WHEN 2 * $digitAt > 9 THEN 2 * $digitAt - 9
+         |              ELSE 2 * $digitAt END
+         |       ELSE $digitAt END)) % 10 = 0)""".stripMargin
+    s"""list_reduce(
+       |  list_prepend($expr,
+       |    list_filter(regexp_extract_all($expr, '$CardPattern', 0), c -> $luhn)),
+       |  (acc, x) -> replace(acc, x, '<CARD>'))""".stripMargin
+  }
+
   /** Line-level boilerplate filter (CCNet/C4-style): a line survives when
     * it has ≥ `minWords` whitespace words AND its digit share of non-space
     * chars is ≤ `maxDigitRatio` (navigation stubs, timestamps, page

@@ -226,6 +226,33 @@ object TextQueries extends QueryModule {
               |SELECT doc_id, ${graft.ops.TextAnalysis.scrubPiiSql("dirty")} AS clean
               |FROM dirty ORDER BY doc_id""".stripMargin)),
 
+    // Luhn-VALIDATED card masking (the checksum upgrade of text_pii_scrub's
+    // shape-only masking). Per-doc dirt exercises every branch: bare valid
+    // PAN, spaced valid PAN, card-shaped-but-invalid number (must survive
+    // unmasked — the whole point), dashed 13-digit valid PAN.
+    "text_card_mask" -> QueryDef(
+      (s, d) => {
+        val dirt = when(col("doc_id") % 4 === 0, lit(" pay 4111111111111111 now"))
+          .when(col("doc_id") % 4 === 1, lit(" pan 4111 1111 1111 1111 ok"))
+          .when(col("doc_id") % 4 === 2, lit(" id 4111111111111112 ref"))
+          .otherwise(lit(" visa 4222-2222-2222-2 x"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 50), dirt).as("dirty"))
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.maskCardNumbers(col("dirty")).as("clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH dirty AS (
+              |  SELECT doc_id, substring(text, 1, 50) ||
+              |    CASE WHEN doc_id % 4 = 0 THEN ' pay 4111111111111111 now'
+              |         WHEN doc_id % 4 = 1 THEN ' pan 4111 1111 1111 1111 ok'
+              |         WHEN doc_id % 4 = 2 THEN ' id 4111111111111112 ref'
+              |         ELSE ' visa 4222-2222-2222-2 x' END AS dirty
+              |  FROM documents)
+              |SELECT doc_id, ${graft.ops.TextAnalysis.maskCardNumbersSql("dirty")} AS clean
+              |FROM dirty ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style repetition filter: share of duplicate word 3-grams.
     "text_repetition" -> QueryDef(
       (s, d) =>
