@@ -336,4 +336,25 @@ class PlanSpec extends SparkSpec {
     // ordering for the oracle is the only sort; no hash shuffle needed
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("graph_pagerank: no cartesian product; only the one-row scalar nests") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      "rank iterations must join on keys; the node-count stitch must " +
+        "broadcast its single row:\n" + p)
+  }
+
+  test("text_card_mask: Luhn masking stays inside the scan stage, no shuffle") {
+    val p = plan("text_card_mask")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "candidate extraction + checksum + fold are per-row work:\n" + p)
+  }
+
+  test("dedup_minhash_sql: the SQL surface plans the same banded self-join reuse") {
+    val p = withoutAutoBroadcast(plan("dedup_minhash_sql"))
+    assert(p.contains("ReusedExchange"),
+      "graft_* SQL functions must resolve to the kernel plan, including " +
+        "exchange reuse on the banded self-join:\n" + p)
+    assert(p.contains("minhash_sig") && p.contains("band_buckets"), p)
+  }
 }
