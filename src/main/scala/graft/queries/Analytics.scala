@@ -366,6 +366,7 @@ object Analytics extends QueryModule {
               |  SELECT a AS src, b AS dst FROM p
               |  UNION ALL SELECT b AS src, a AS dst FROM p
               |), ${graft.ops.Graph.pageRankSql(3)}
-              |SELECT node, r AS rank_q FROM r3 ORDER BY node""".stripMargin))
+              |SELECT node, r AS rank_q FROM r3 ORDER BY node""".stripMargin),
+      headline = true)
   )
 }
