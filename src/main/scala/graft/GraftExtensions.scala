@@ -69,6 +69,12 @@ object GraftExtensions {
       ZValue(args(0), args(1))
     }
 
+    register(ext, "graft_hilbert",
+      "graft_hilbert(a, b) - order-16 Hilbert-curve index of two non-negative 16-bit-range longs") { args =>
+      checkArity("graft_hilbert", args, 2)
+      HilbertValue(args(0), args(1))
+    }
+
     register(ext, "graft_qbucket",
       "graft_qbucket(q) - order-preserving log-histogram bucket of a quantized long") { args =>
       checkArity("graft_qbucket", args, 1)

@@ -730,13 +730,27 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     *
     * @param numFiles target file count (0 = keep the current count)
     * @return committed version, or -1 if nothing to do / lost the race */
-  def optimizeZOrder(colA: String, colB: String, numFiles: Int = 0): Long = {
+  def optimizeZOrder(colA: String, colB: String, numFiles: Int = 0): Long =
+    optimizeByKey(graft.functions.ZValue.of(
+      col(colA).cast("long"), col(colB).cast("long")), numFiles)
+
+  /** [[optimizeZOrder]] with the order-16 Hilbert index as the clustering
+    * key ([[graft.functions.HilbertValue]] — what liquid-style clustering
+    * uses): consecutive key values are always grid-adjacent cells, so a
+    * file's key interval maps to a tighter two-dimensional region than
+    * the Morton key's seam-jumping intervals and stats prune at least as
+    * hard. Inputs must satisfy the 16-bit window contract (rank or
+    * bucket first). */
+  def optimizeHilbert(colA: String, colB: String, numFiles: Int = 0): Long =
+    optimizeByKey(graft.functions.HilbertValue.of(
+      col(colA).cast("long"), col(colB).cast("long")), numFiles)
+
+  private def optimizeByKey(key: org.apache.spark.sql.Column, numFiles: Int): Long = {
     val snap = snapshot
     if (snap.files.size < 2 && numFiles <= 0) return -1L
     val parts = partitionColumns
     val n = if (numFiles > 0) numFiles else snap.files.size
-    val zv = graft.functions.ZValue.of(
-      col(colA).cast("long"), col(colB).cast("long"))
+    val zv = key
     val rangeCols = parts.map(col) :+ org.apache.spark.sql.functions.col("__zv")
     val sorted = dfFor(snap).withColumn("__zv", zv)
       .repartitionByRange(n, rangeCols: _*)

@@ -343,6 +343,20 @@ object Analytics extends QueryModule {
              |  ON l.l_orderkey = m.k AND l.l_quantity = m.max_qty
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Hilbert clustering key (the liquid-clustering upgrade of q21's
+    // Morton key), oracle-checked bit-for-bit: the DuckDB side replays
+    // the full 16-step reflect/swap walk as a generated CTE chain.
+    "q23_hilbert_key" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_id"),
+            graft.functions.HilbertValue.of(col("user_id"), col("event_id")).as("hv"))
+          .orderBy(col("event_id")),
+      Some(s"""WITH ${graft.functions.HilbertValue.hilbertCtes(
+                "events", Seq("event_id"), "user_id", "event_id")}
+              |SELECT event_id, hd AS hv
+              |FROM h${graft.functions.HilbertValue.Order} ORDER BY event_id""".stripMargin)),
+
     // Iterative graph computation: 3-round exact-integer PageRank over the
     // customer↔supplier interaction graph (symmetric bipartite edges from
     // order lines — every node has outdegree ≥ 1, no dangling mass). The

@@ -650,4 +650,32 @@ class DeltaSpec extends SparkSpec {
     assert(after.scan(Seq(ColPred("a", "=", 7L))).count() === 32L)
     assert(after.scan(Seq(ColPred("b", "=", 7L), ColPred("a", "<", 4L))).count() === 4L)
   }
+
+  test("optimizeHilbert clusters two dimensions so stats prune both") {
+    import DataSkipping.ColPred
+    val t = DeltaTable.forPath(spark, tmpDir("delta-hilbert")).create(
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    // same adversarial layout as the z-order case: row-major slices make
+    // every file span the full b range before the rewrite
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    grid.grouped(128).foreach(chunk => t.append(chunk.toDF("a", "b").coalesce(1)))
+    val before = DeltaTable.forPath(spark, t.path)
+    val nFiles = before.snapshot.files.size
+    assert(nFiles === 8)
+    assert(before.scanFiles(Seq(ColPred("b", "=", 7L))).size === nFiles)
+    val data = before.toDF.orderBy("a", "b").collect().toSeq
+
+    assert(before.optimizeHilbert("a", "b") > 0)
+    val after = DeltaTable.forPath(spark, t.path)
+    assert(after.snapshot.files.size === nFiles)
+    // each file is a contiguous 128-cell curve segment = at most two 8x8
+    // subquadrants of one 16x16 quadrant — a point predicate on either
+    // dim crosses at most half the files (Morton pruning holds here too,
+    // but Hilbert segments never jump seams, so the bound is robust)
+    assert(after.scanFiles(Seq(ColPred("b", "=", 7L))).size <= nFiles / 2)
+    assert(after.scanFiles(Seq(ColPred("a", "=", 7L))).size <= nFiles / 2)
+    assert(after.toDF.orderBy("a", "b").collect().toSeq === data)
+    assert(after.scan(Seq(ColPred("a", "=", 7L))).count() === 32L)
+    assert(after.scan(Seq(ColPred("b", "=", 7L), ColPred("a", "<", 4L))).count() === 4L)
+  }
 }

@@ -25,6 +25,7 @@ class ExtensionsSpec extends SparkSpec {
         |  graft_shingle_hashes(graft_tokens(text), 2, 'mh') AS hsh,
         |  graft_simhash(graft_shingle_hashes(graft_tokens(text), 1, 'sh')) AS sim,
         |  graft_zvalue(doc_id, n_chars) AS zv,
+        |  graft_hilbert(doc_id, n_chars) AS hv,
         |  graft_qbucket(n_chars) AS qb,
         |  graft_double_order_bits(CAST(n_chars AS DOUBLE)) AS dob,
         |  graft_h64(text, 's') AS h,
@@ -36,6 +37,7 @@ class ExtensionsSpec extends SparkSpec {
       ShingleHashes.of(ts, 2, "mh").as("hsh"),
       SimHashSig.of(ShingleHashes.of(ts, 1, "sh"), 60).as("sim"),
       ZValue.of(col("doc_id"), col("n_chars")).as("zv"),
+      HilbertValue.of(col("doc_id"), col("n_chars")).as("hv"),
       QBucket.of(col("n_chars")).as("qb"),
       DoubleOrderBits.of(col("n_chars").cast("double")).as("dob"),
       Hashing.h64(col("text"), "s").as("h"),

@@ -74,6 +74,25 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("HilbertValue: bijective on a 32x32 grid; consecutive indexes are grid-adjacent") {
+    val cells = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val d = cells.map { case (x, y) => (x, y) -> HilbertValue.index(x, y) }.toMap
+    // inputs < 2^5 exercise only the last 5 curve levels: d is a bijection
+    // onto [0, 4^5) — the hierarchical-quadrant property
+    assert(d.values.toSet === (0L until 1024L).toSet)
+    // THE Hilbert property (which the Morton key lacks): walking the index
+    // never jumps — consecutive cells are Manhattan-distance-1 neighbors
+    val byD = d.map(_.swap)
+    for (i <- 0L until 1023L) {
+      val (x1, y1) = byD(i)
+      val (x2, y2) = byD(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"seam jump at d=$i: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // 16-bit window contract: masking, not hashing
+    assert(HilbertValue.index(0x10003L, 0x20005L) === HilbertValue.index(3L, 5L))
+  }
+
   test("MinHashKernel: signature equals the direct affine minima, within [0, P32)") {
     val r = rng
     for (_ <- 1 to 100) {

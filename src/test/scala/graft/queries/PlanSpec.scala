@@ -337,6 +337,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("hilbert key is a codegen'd scan-stage expression") {
+    val p = plan("q23_hilbert_key")
+    assert(p.contains("hilbert_value"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("graph_pagerank: no cartesian product; only the one-row scalar nests") {
     val p = plan("graph_pagerank")
     assert(!p.contains("CartesianProduct"),
