@@ -30,6 +30,49 @@ object Dedup {
       .groupBy(col("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** The batch rows that are NOVEL against a live Delta corpus: in-batch
+    * exact-deduped (smallest id per digest), then anti-joined on the
+    * corpus table's stored `digest` column. The corpus side of the
+    * anti-join reads ONLY that 32-char column (column pruning reaches the
+    * parquet scan — DedupSpec pins the ReadSchema), and the shuffle
+    * carries digests, never text: the [[exact]] scale rules, against a
+    * table instead of a frame. */
+  def novelAgainst(table: graft.delta.DeltaTable, docs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    require(table.toDF.columns.contains("digest"),
+      "incremental dedup requires the corpus table to carry the 'digest' " +
+        "column appendNovel writes (create the table with it)")
+    require(!docs.columns.contains("digest"),
+      "'digest' is derived from the text — the input must not carry one")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col(idCol))
+    docs.withColumn("digest", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(table.toDF.select(col("digest")), Seq("digest"), "left_anti")
+      // digest last, matching the create-schema convention (input ++ digest)
+      .select(docs.columns.map(col) :+ col("digest"): _*)
+  }
+
+  /** Incremental exact dedup into a Delta corpus: append only
+    * [[novelAgainst]] rows. CONTENT-idempotent — replaying a batch after
+    * a successful commit appends nothing (every digest now exists), so
+    * retries are safe without transaction bookkeeping, and growing the
+    * corpus never rewrites it. Returns the committed version, or -1 when
+    * the batch contained nothing new (no empty commit is written; the
+    * emptiness probe re-plans the anti-join once — the cost of not
+    * littering history with no-op versions).
+    *
+    * Concurrency: two simultaneous writers carrying the SAME novel digest
+    * can both commit (row-level intent is invisible to the commit guard —
+    * same as Delta proper's blind appends); serialize writers per corpus
+    * or route through one streaming sink when that matters. */
+  def appendNovel(table: graft.delta.DeltaTable, docs: DataFrame,
+                  idCol: String, textCol: String): Long = {
+    val novel = novelAgainst(table, docs, idCol, textCol)
+    if (novel.isEmpty) -1L else table.append(novel)
+  }
+
   /** Word n-gram shingles from a MATERIALIZED token-array column. Uses n
     * O(1) element_at lookups per position, not slice() (which copies the
     * array per call). `ts` must be a real column attribute, not a

@@ -238,6 +238,36 @@ object DedupQueries extends QueryModule {
               |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
               |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Incremental exact dedup through the REAL Delta write path: the
+    // corpus grows in two batches (even ids, then odd ids) via
+    // appendNovel; a replay of batch 1 must commit nothing (content
+    // idempotence, require()'d in-query). The oracle derives the final
+    // corpus from raw documents alone: per digest, the winner is the
+    // smallest even id when the digest has one (batch 1 ran first), else
+    // the smallest odd id.
+    "dedup_incremental" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-incr")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val schema = org.apache.spark.sql.types.StructType(docs.schema.fields :+
+          org.apache.spark.sql.types.StructField("digest",
+            org.apache.spark.sql.types.StringType))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(schema)
+        require(Dedup.appendNovel(t, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text") >= 0)
+        Dedup.appendNovel(t, docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+        require(Dedup.appendNovel(t, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text") == -1L, "replayed batch must be a no-op")
+        graft.delta.DeltaTable.forPath(s, dir).toDF
+          .select(col("doc_id"), col("digest")).orderBy(col("doc_id"))
+      },
+      Some("""SELECT winner AS doc_id, digest FROM (
+             |  SELECT md5(text) AS digest,
+             |    coalesce(min(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+             |             min(doc_id)) AS winner
+             |  FROM documents GROUP BY md5(text))
+             |ORDER BY doc_id""".stripMargin)),
+
     // Pair→cluster resolution: connected components of the minhash pairs
     // (cluster_id = min doc id per component). Oracle computes the same
     // transitive closure with a recursive CTE.

@@ -350,4 +350,35 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 1L, true), (2L, 1L, false),
       (3L, 3L, true), (4L, 3L, false), (5L, 5L, true)))
   }
+
+  test("appendNovel: content-idempotent incremental dedup; corpus scan reads digest only") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("digest", org.apache.spark.sql.types.StringType)))
+    val t = graft.delta.DeltaTable.forPath(spark, tmpDir("incr-dedup")).create(schema)
+    // batch 1: one in-batch duplicate pair (3 copies id 1/2/9 -> min id 1)
+    val b1 = Seq((1L, "same"), (2L, "same"), (9L, "same"), (5L, "only-b1")).toDF("id", "text")
+    assert(Dedup.appendNovel(t, b1, "id", "text") >= 0)
+    assert(t.toDF.select("id").as[Long].collect().toSet === Set(1L, 5L))
+    // batch 2: cross-batch duplicate loses to batch 1's row even though
+    // its id is smaller; genuinely new text appends
+    val b2 = Seq((0L, "same"), (7L, "new-in-b2")).toDF("id", "text")
+    assert(Dedup.appendNovel(t, b2, "id", "text") >= 0)
+    assert(t.toDF.select("id").as[Long].collect().toSet === Set(1L, 5L, 7L))
+    // replays of either batch are no-ops — no version committed
+    val v = t.snapshot.version
+    assert(Dedup.appendNovel(t, b1, "id", "text") === -1L)
+    assert(Dedup.appendNovel(t, b2, "id", "text") === -1L)
+    assert(graft.delta.DeltaTable.forPath(spark, t.path).snapshot.version === v)
+    // the anti-join's corpus side must read ONLY the digest column
+    val p = Dedup.novelAgainst(t, b2, "id", "text")
+      .queryExecution.executedPlan.toString
+    val corpusScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("incr-dedup")).toSeq
+    assert(corpusScans.nonEmpty, p)
+    assert(corpusScans.forall(_.contains("ReadSchema: struct<digest:string>")),
+      "corpus anti-join must prune to the digest column:\n" + p)
+  }
 }
