@@ -177,6 +177,25 @@ object StreamingCuration {
     (batch, _) => write(verifyNearWithinBatch(batch, idCol, textCol,
       shingleN, numHashes, bands, threshold))
 
+  /** `foreachBatch` sink growing a Delta corpus with EXACT dedup against
+    * everything ever ingested — [[graft.ops.Dedup.appendNovel]] per
+    * micro-batch, so duplicates are dropped across batches, across
+    * restarts, and across arbitrarily long horizons (the corpus table IS
+    * the state; nothing lives in the state store, unlike the watermark-
+    * bounded [[dedupNearWithinWatermark]] whose memory of a text expires
+    * with the watermark). Content idempotence makes the usual foreachBatch
+    * at-least-once contract exactly-once in effect: a replayed batch
+    * re-derives digests that now all exist and appends nothing.
+    *
+    * {{{
+    * stream.writeStream.foreachBatch(
+    *   StreamingCuration.incrementalDedupSink(table, "doc_id", "text"))
+    * }}}
+    */
+  def incrementalDedupSink(table: graft.delta.DeltaTable, idCol: String,
+                           textCol: String): (DataFrame, Long) => Unit =
+    (batch, _) => { graft.ops.Dedup.appendNovel(table, batch, idCol, textCol): Unit }
+
   /** Streaming exact decontamination: drop stream docs whose bag-of-words
     * fingerprint appears in a STATIC probe corpus (eval/benchmark suites)
     * — the stream-static form of [[graft.ops.Sampling.decontaminate]].

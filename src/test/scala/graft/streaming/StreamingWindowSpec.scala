@@ -553,6 +553,39 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupSink: corpus-backed dedup across batches and replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("digest", org.apache.spark.sql.types.StringType)))
+    val t = graft.delta.DeltaTable.forPath(spark, tmpDir("stream-incr")).create(schema)
+
+    def ingest(batches: Seq[Seq[(Long, String)]]): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDS().toDF("id", "text").writeStream
+        .foreachBatch(StreamingCuration.incrementalDedupSink(t, "id", "text"))
+        .outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+
+    ingest(Seq(
+      Seq(1L -> "alpha", 2L -> "alpha", 5L -> "beta"), // in-batch dup: min id wins
+      Seq(0L -> "alpha", 7L -> "gamma"))) // cross-batch dup loses to the corpus
+    def ids = graft.delta.DeltaTable.forPath(spark, t.path)
+      .toDF.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 5L, 7L))
+    val v = graft.delta.DeltaTable.forPath(spark, t.path).snapshot.version
+
+    // a full restart replaying every batch (the at-least-once worst case)
+    // appends nothing and commits nothing — the corpus is the state
+    ingest(Seq(Seq(1L -> "alpha", 2L -> "alpha", 5L -> "beta",
+      0L -> "alpha", 7L -> "gamma")))
+    assert(ids === Set(1L, 5L, 7L))
+    assert(graft.delta.DeltaTable.forPath(spark, t.path).snapshot.version === v)
+  }
+
   test("streamingUniformK: sample is micro-batch-split independent and equals the batch op") {
     implicit val sqlCtx = spark.sqlContext
     val k = 3
