@@ -360,16 +360,21 @@ object DedupQueries extends QueryModule {
       {
         val m = O.hyperplanes(10, 64)
         val probeList = O.probeList(10, "sig")
+        // candidate DISTINCT carries ids only (the old form hashed full
+        // 64-float vector pairs); cosine uses per-row precomputed norms —
+        // bit-identical doubles (OracleSql.cosineN), lean DuckDB gate
         Some(s"""WITH sigs AS MATERIALIZED (
-                |  SELECT vec_id AS id, embedding AS v, ${O.signature("embedding", m)} AS sig
+                |  SELECT vec_id AS id, embedding AS v, ${O.norm("embedding", 64)} AS nrm,
+                |    ${O.signature("embedding", m)} AS sig
                 |  FROM embeddings
                 |), probed AS (
-                |  SELECT id, v, unnest($probeList) AS psig FROM sigs
+                |  SELECT id, unnest($probeList) AS psig FROM sigs
                 |), cand AS (
-                |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS v_a, b.v AS v_b
+                |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
                 |  FROM probed a JOIN sigs b ON a.psig = b.sig AND a.id < b.id
                 |), scored AS (
-                |  SELECT id_a, id_b, ${O.cosine("v_a", "v_b", 64)} AS c FROM cand
+                |  SELECT p.id_a, p.id_b, ${O.cosineN("a.v", "b.v", "a.nrm", "b.nrm", 64)} AS c
+                |  FROM cand p JOIN sigs a ON a.id = p.id_a JOIN sigs b ON b.id = p.id_b
                 |)
                 |SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
                 |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin)
@@ -391,11 +396,13 @@ object DedupQueries extends QueryModule {
         val O = OracleSql
         Some(s"WITH RECURSIVE ${O.ivfLloydCtes(k = 8, iters = 2, dims = 64)}, " +
           O.ivfAssignCte("fcells", "cents_2", 64) + ", " +
-          "cand AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS v_a, b.v AS v_b " +
+          "cand AS (SELECT a.id AS id_a, b.id AS id_b " +
           "FROM fcells a JOIN fcells b ON a.cell = b.cell AND a.id < b.id), " +
           // threshold spelled (1.0 - eps): the identical IEEE subtraction
           // Dedup.semanticDedup performs, not a rounded decimal literal
-          s"pairs AS MATERIALIZED (SELECT id_a, id_b FROM cand WHERE ${O.cosine("v_a", "v_b", 64)} >= (1.0 - 0.7)), " +
+          "pairs AS MATERIALIZED (SELECT p.id_a, p.id_b FROM cand p " +
+          "JOIN ebase va ON va.id = p.id_a JOIN ebase vb ON vb.id = p.id_b " +
+          s"WHERE ${O.cosineN("va.v", "vb.v", "va.nrm", "vb.nrm", 64)} >= (1.0 - 0.7)), " +
           "edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b AS a, id_a AS b FROM pairs), " +
           "reach AS (SELECT a AS node, a AS r FROM edges UNION " +
           "SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node), " +

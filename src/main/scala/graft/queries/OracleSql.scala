@@ -107,6 +107,23 @@ object OracleSql {
     s"CASE WHEN $d = 0 THEN 0.0 ELSE ${dot(a, b, dims)} / $d END"
   }
 
+  /** `sqrt(v·v)` — the per-row norm VecKernel.cosine computes inline.
+    * Precomputing it once per row in a CTE yields the identical double
+    * (same left-associative fold, same sqrt), so downstream cosines can
+    * reference it instead of re-expanding two 64-term dot products. */
+  def norm(v: String, dims: Int): String = s"sqrt(${dot(v, v, dims)})"
+
+  /** cosine via PRE-COMPUTED norms `na`/`nb` — bit-identical to
+    * [[cosine]] (the product, zero test, and division see the same
+    * doubles) at a third of the expression size. Exists purely to keep
+    * the driver's DuckDB gate lean: round-8/9 phantom OOMs hit whichever
+    * query was mid-allocation when the HOST ran dry, so every byte the
+    * planner doesn't allocate widens the survival window. */
+  def cosineN(a: String, b: String, na: String, nb: String, dims: Int): String = {
+    val d = s"($na * $nb)"
+    s"CASE WHEN $d = 0 THEN 0.0 ELSE ${dot(a, b, dims)} / $d END"
+  }
+
   /** Probe-set list for LSH: own signature + every 1-bit flip — mirrors
     * the explodes in Similarity.lshTopK and Dedup.embeddingNearDups. */
   def probeList(planes: Int, sigCol: String = "qsig"): String =
@@ -115,14 +132,16 @@ object OracleSql {
   def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] =
     Similarity.hyperplaneMatrix(planes, dims)
 
-  /** The per-row argmax-cosine cell assignment over a `(cid, cv)` centroid
-    * CTE — mirrors Similarity.cellOf's array_max over (cosine, −cid)
-    * structs: best cosine wins, exact-double ties resolve to the smallest
-    * centroid id. */
+  /** The per-row argmax-cosine cell assignment over a `(cid, cv, cnrm)`
+    * centroid CTE — mirrors Similarity.cellOf's array_max over
+    * (cosine, −cid) structs: best cosine wins, exact-double ties resolve
+    * to the smallest centroid id. Emits (id, cell) ONLY — consumers that
+    * need vectors join `ebase` back, keeping the materialized hash table
+    * id-sized (the gate-leanness contract of [[cosineN]]). */
   def ivfAssignCte(name: String, centsCte: String, dims: Int): String =
-    s"$name AS MATERIALIZED (SELECT id, v, cell FROM (" +
-      s"SELECT b.id, b.v, c.cid AS cell, row_number() OVER (PARTITION BY b.id " +
-      s"ORDER BY ${cosine("b.v", "c.cv", dims)} DESC, c.cid) AS rn " +
+    s"$name AS MATERIALIZED (SELECT id, cell FROM (" +
+      s"SELECT b.id, c.cid AS cell, row_number() OVER (PARTITION BY b.id " +
+      s"ORDER BY ${cosineN("b.v", "c.cv", "b.nrm", "c.cnrm", dims)} DESC, c.cid) AS rn " +
       s"FROM ebase b CROSS JOIN $centsCte c) WHERE rn = 1)"
 
   /** The FULL in-SQL retraining of Similarity.trainIvfCentroids, unrolled
@@ -139,20 +158,21 @@ object OracleSql {
     * '|' or an enclosing stripMargin corrupts it. */
   def ivfLloydCtes(k: Int, iters: Int, dims: Int): String = {
     val seed =
-      "ebase AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
-        "cents_0 AS MATERIALIZED (SELECT cid, cv FROM (SELECT CAST(row_number() OVER " +
-        "(ORDER BY md5('ivf:' || CAST(id AS VARCHAR)), id) AS BIGINT) - 1 AS cid, v AS cv " +
+      s"ebase AS MATERIALIZED (SELECT vec_id AS id, embedding AS v, ${norm("embedding", dims)} AS nrm FROM embeddings), " +
+        "cents_0 AS MATERIALIZED (SELECT cid, cv, cnrm FROM (SELECT CAST(row_number() OVER " +
+        "(ORDER BY md5('ivf:' || CAST(id AS VARCHAR)), id) AS BIGINT) - 1 AS cid, v AS cv, nrm AS cnrm " +
         s"FROM ebase) WHERE cid < $k)"
     val steps = (0 until iters).map { j =>
       val assign = ivfAssignCte(s"cells_$j", s"cents_$j", dims)
       val agg = s"agg_$j AS (SELECT cell, pos, CAST(count(*) AS BIGINT) AS n, " +
-        "CAST(sum(qx) AS BIGINT) AS sq FROM (SELECT cell, unnest(range(len(v))) AS pos, " +
-        "unnest(list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))) AS qx " +
-        s"FROM cells_$j) GROUP BY cell, pos)"
+        "CAST(sum(qx) AS BIGINT) AS sq FROM (SELECT cl.cell, unnest(range(len(e.v))) AS pos, " +
+        "unnest(list_transform(e.v, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))) AS qx " +
+        s"FROM cells_$j cl JOIN ebase e ON e.id = cl.id) GROUP BY cell, pos)"
       val newc = s"newc_$j AS (SELECT cell AS cid, " +
         "list(CAST(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS FLOAT) ORDER BY pos) AS cv " +
         s"FROM agg_$j GROUP BY cell)"
-      val next = s"cents_${j + 1} AS MATERIALIZED (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv " +
+      val next = s"cents_${j + 1} AS MATERIALIZED (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv, " +
+        s"CASE WHEN n.cv IS NULL THEN p.cnrm ELSE ${norm("n.cv", dims)} END AS cnrm " +
         s"FROM cents_$j p LEFT JOIN newc_$j n ON p.cid = n.cid)"
       Seq(assign, agg, newc, next).mkString(", ")
     }

@@ -20,27 +20,34 @@ object SimilarityQueries extends QueryModule {
     * baseline oracle by a missed edit. */
   private val IvfOracleSql: String = {
     val O = OracleSql
-    s"""WITH cents AS (
-       |  SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
-       |  WHERE vec_id < 16
-       |), assigned AS (
-       |  SELECT neighbor_id, cv, centroid_id AS cell FROM (
-       |    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${O.cosine("e.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
-       |    FROM embeddings e CROSS JOIN cents c
+    // norms precomputed once per row, candidate generation carries ids
+    // only, vectors join back for exactly one dot product per scored
+    // pair — a third of the old SQL's expression count, same doubles
+    // (OracleSql.cosineN's bit-identity note; round-9 driver-OOM lever)
+    val assignCos = O.cosineN("b.v", "c.cv", "b.nrm", "c.cnrm", 64)
+    s"""WITH ebase AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding AS v, ${O.norm("embedding", 64)} AS nrm FROM embeddings
+       |), cents AS MATERIALIZED (
+       |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM ebase WHERE id < 16
+       |), assigned AS MATERIALIZED (
+       |  SELECT id, cell FROM (
+       |    SELECT b.id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY b.id ORDER BY $assignCos DESC, c.cid) AS rn
+       |    FROM ebase b CROSS JOIN cents c
        |  ) WHERE rn = 1
        |), probes AS (
-       |  SELECT query_id, qv, centroid_id AS cell FROM (
-       |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${O.cosine("q.embedding", "c.centv", 64)} DESC, c.centroid_id) AS rn
-       |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
+       |  SELECT id AS query_id, cell FROM (
+       |    SELECT b.id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY b.id ORDER BY $assignCos DESC, c.cid) AS rn
+       |    FROM ebase b CROSS JOIN cents c WHERE b.id < 8
        |  ) WHERE rn <= 4
-       |), scored AS (
-       |  SELECT DISTINCT p.query_id, a.neighbor_id, ${O.cosine("p.qv", "a.cv", 64)} AS cos
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, a.id AS neighbor_id
        |  FROM assigned a JOIN probes p ON a.cell = p.cell
-       |  WHERE a.neighbor_id <> p.query_id
+       |  WHERE a.id <> p.query_id
+       |), scored AS (
+       |  SELECT p.query_id, p.neighbor_id, ${O.cosineN("q.v", "n.v", "q.nrm", "n.nrm", 64)} AS cos
+       |  FROM cand p JOIN ebase q ON q.id = p.query_id JOIN ebase n ON n.id = p.neighbor_id
        |), ranked AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -163,16 +170,22 @@ object SimilarityQueries extends QueryModule {
       {
         val O = OracleSql
         val m = O.hyperplanes(8, 64)
-        Some(s"""WITH sigs AS (
-                |  SELECT vec_id AS id, embedding AS v, ${O.signature("embedding", m)} AS sig
+        // id-only candidate DISTINCT + norm-precomputed cosine — same
+        // doubles as the old 3-dot form (OracleSql.cosineN), lean gate
+        Some(s"""WITH sigs AS MATERIALIZED (
+                |  SELECT vec_id AS id, embedding AS v, ${O.norm("embedding", 64)} AS nrm,
+                |    ${O.signature("embedding", m)} AS sig
                 |  FROM embeddings
                 |), q AS (
-                |  SELECT id AS query_id, v AS qv, sig AS qsig FROM sigs WHERE id < 8
+                |  SELECT id AS query_id, sig AS qsig FROM sigs WHERE id < 8
                 |), probes AS (
-                |  SELECT query_id, qv, unnest(${O.probeList(8)}) AS sig FROM q
-                |), scored AS (
-                |  SELECT DISTINCT p.query_id, s.id AS neighbor_id, ${O.cosine("p.qv", "s.v", 64)} AS cos
+                |  SELECT query_id, unnest(${O.probeList(8)}) AS sig FROM q
+                |), cand AS (
+                |  SELECT DISTINCT p.query_id, s.id AS neighbor_id
                 |  FROM probes p JOIN sigs s ON p.sig = s.sig WHERE s.id <> p.query_id
+                |), scored AS (
+                |  SELECT p.query_id, p.neighbor_id, ${O.cosineN("a.v", "b.v", "a.nrm", "b.nrm", 64)} AS cos
+                |  FROM cand p JOIN sigs a ON a.id = p.query_id JOIN sigs b ON b.id = p.neighbor_id
                 |), ranked AS (
                 |  SELECT query_id, neighbor_id,
                 |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
