@@ -30,8 +30,18 @@ object Tables {
     * is unchanged. */
   private def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
-      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else {
+      // the NTZ→LTZ cast interprets wall-clock values in the SESSION
+      // timezone: value-preserving at UTC, silently shifting every
+      // instant anywhere else — fail loudly instead of corrupting
+      val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      require(tz == "UTC",
+        s"Tables.load canonicalizes TIMESTAMP_NTZ assuming a UTC session, " +
+          s"but spark.sql.session.timeZone is '$tz' — the cast would shift " +
+          "every instant. Build the session via GraftSession (sets UTC).")
+      ntz.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
     }
   }
 

@@ -59,9 +59,13 @@ object Dedup {
     * a successful commit appends nothing (every digest now exists), so
     * retries are safe without transaction bookkeeping, and growing the
     * corpus never rewrites it. Returns the committed version, or -1 when
-    * the batch contained nothing new (no empty commit is written; the
-    * emptiness probe re-plans the anti-join once — the cost of not
-    * littering history with no-op versions).
+    * the batch contained nothing new (no empty commit is written).
+    *
+    * The novelty frame is materialized ONCE (localCheckpoint): the
+    * emptiness probe and the appended rows observe the same execution,
+    * so the probe's decision can't diverge from what gets committed
+    * under a concurrent writer, and a single-writer run pays the corpus
+    * anti-join scan once instead of twice.
     *
     * Concurrency: two simultaneous writers carrying the SAME novel digest
     * can both commit (row-level intent is invisible to the commit guard —
@@ -69,7 +73,7 @@ object Dedup {
     * or route through one streaming sink when that matters. */
   def appendNovel(table: graft.delta.DeltaTable, docs: DataFrame,
                   idCol: String, textCol: String): Long = {
-    val novel = novelAgainst(table, docs, idCol, textCol)
+    val novel = novelAgainst(table, docs, idCol, textCol).localCheckpoint()
     if (novel.isEmpty) -1L else table.append(novel)
   }
 

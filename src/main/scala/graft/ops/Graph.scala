@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation over edge lists — the second graph op
@@ -121,8 +121,24 @@ object Graph {
     * loses no dangling mass. */
   def bipartiteEdges(rel: DataFrame, leftId: String, rightId: String,
                      rightOffset: Long): DataFrame = {
-    val pairs = rel.select(col(leftId).cast("long").as("a"),
-      (col(rightId).cast("long") + rightOffset).as("b")).distinct()
+    require(rightOffset > 0, s"rightOffset must be positive, got $rightOffset")
+    // The id spaces stay disjoint only while every left id sits below
+    // rightOffset (and no offset right id overflows). At a large enough
+    // scale factor the keys DO cross any fixed offset — which would
+    // silently merge left and right nodes into one and corrupt every
+    // rank. Guard per ROW in the scan stage: no extra max() job, no
+    // driver scan, the first violating id fails the query loudly.
+    val l = col(leftId).cast("long")
+    val r = col(rightId).cast("long")
+    def guarded(c: Column, bad: Column, name: String): Column =
+      when(bad, raise_error(concat(
+        lit(s"bipartiteEdges: $name id "), c.cast("string"),
+        lit(s" breaks the id-space split at rightOffset=$rightOffset")))
+        .cast("long")).otherwise(c)
+    val pairs = rel.select(
+      guarded(l, l < 0L || l >= rightOffset, leftId).as("a"),
+      (guarded(r, r < 0L || r > Long.MaxValue - rightOffset, rightId)
+        + rightOffset).as("b")).distinct()
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
   }

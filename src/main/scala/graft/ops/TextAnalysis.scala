@@ -334,21 +334,29 @@ object TextAnalysis {
     * dashed, or bare) don't — the validated upgrade of [[scrubPii]]'s
     * shape-only masking. Per-row scan-stage expression: extract
     * candidates, keep Luhn-valid ones (Spark's `luhn_check`), fold each
-    * back with literal replace. No shuffle; compose with [[scrubPii]]
-    * freely (run cards FIRST — masking emails/phones can't create card
-    * shapes, but a phone mask inside a spaced PAN would hide it). */
+    * back with a WORD-BOUNDARY-anchored replace — a literal replace
+    * would also rewrite the candidate's digits where they appear inside
+    * a longer non-card run elsewhere in the document (boundary
+    * protection applied only at extraction). Candidates are digits,
+    * spaces, and dashes only, so the re-wrapped pattern needs no regex
+    * escaping. No shuffle; compose with [[scrubPii]] freely (run cards
+    * FIRST — masking emails/phones can't create card shapes, but a
+    * phone mask inside a spaced PAN would hide it). */
   def maskCardNumbers(text: Column): Column = {
     val valid = filter(
       regexp_extract_all(text, lit(CardPattern), lit(0)),
       c => call_function("luhn_check", regexp_replace(c, "[ -]", "")))
     aggregate(valid, text,
-      (acc, c) => call_function("replace", acc, c, lit("<CARD>")))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("\\b"), c, lit("\\b")), lit("<CARD>")))
   }
 
   /** DuckDB twin of [[maskCardNumbers]] over `expr`: the same candidate
     * extraction and per-candidate Luhn (doubling from the right, digits
     * > 9 reduced by 9) in list lambdas, folded by `list_reduce` with the
-    * original text prepended as the init value. */
+    * original text prepended as the init value — replacement anchored to
+    * word boundaries exactly like the Spark side (candidates carry no
+    * regex metacharacters, so bare concatenation is safe). */
   def maskCardNumbersSql(expr: String): String = {
     val ds = s"regexp_replace(c, '[ -]', '', 'g')"
     val digitAt = s"CAST(substr(reverse($ds), i, 1) AS INT)"
@@ -361,7 +369,7 @@ object TextAnalysis {
     s"""list_reduce(
        |  list_prepend($expr,
        |    list_filter(regexp_extract_all($expr, '$CardPattern', 0), c -> $luhn)),
-       |  (acc, x) -> replace(acc, x, '<CARD>'))""".stripMargin
+       |  (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', '<CARD>', 'g'))""".stripMargin
   }
 
   /** Line-level boilerplate filter (CCNet/C4-style): a line survives when

@@ -78,4 +78,20 @@ class GraphSpec extends SparkSpec {
     assert(e === Set((1L, 1010L), (1L, 1011L), (2L, 1010L),
       (1010L, 1L), (1011L, 1L), (1010L, 2L)))
   }
+
+  test("bipartiteEdges fails LOUDLY when a left id crosses into the offset space") {
+    // a left id >= rightOffset would silently merge left and right nodes
+    // into one (wrong ranks, no error) — the scan-stage guard must throw
+    val rel = Seq((1000L, 10L), (1L, 11L)).toDF("cust", "supp")
+    val ex = intercept[Exception] {
+      Graph.bipartiteEdges(rel, "cust", "supp", 1000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("id-space split")),
+      s"guard must name the violation, got: ${messages(ex)}")
+    // valid ids still pass through the guard untouched
+    assert(Graph.bipartiteEdges(Seq((999L, 10L)).toDF("cust", "supp"),
+      "cust", "supp", 1000L).count() === 2L)
+  }
 }
