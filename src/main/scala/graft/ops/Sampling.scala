@@ -96,41 +96,45 @@ object Sampling {
     * coin and the k highest priorities per group win, giving inclusion
     * probabilities proportional to weight without ever materializing a
     * reservoir. Ranking uses the order-equivalent ln(u)/w (maximize;
-    * ln is monotone, w > 0), because both engines evaluate `ln` from the
-    * same integer-derived double in one shared expression shape — the
-    * `pow` the textbook form needs has no such cross-engine guarantee.
-    * Residual cross-engine risk (accepted, documented): neither JVM
-    * Math.log nor DuckDB's log is CORRECTLY rounded, so a priority pair
-    * within 1 ulp could in principle order differently across engines
-    * and flip a gate row intermittently. Not observed across rounds of
-    * gate runs — md5-derived u values are spread over 2^32, so 1-ulp
-    * priority collisions between DISTINCT keys in one group need ~2^-20
-    * coincidences — but if it ever fires, the fix is integer-only
-    * priorities (scaled fixed-point ln via the [[graft.ops.Sketches]]
-    * threshold-chain idiom), not an oracle-side tolerance.
+    * ln is monotone, w > 0) — with ln evaluated by
+    * [[graft.functions.PortableMath]]: an explicit power-of-two split +
+    * atanh series built from ONLY correctly-rounded IEEE ops, the same
+    * generated fragments running in Spark and in the DuckDB oracle. The
+    * earlier `log(u)` form leaned on JVM Math.log ≡ DuckDB ln to the
+    * last bit, which neither library promises (both are faithfully- but
+    * not correctly-rounded) — a 1-ulp tie could flip the hash gate
+    * intermittently; the shared-fragment series closes that for good
+    * (round-9 advice #4).
     *
     * Plan shape: identical to [[uniformK]] — one window per group, the
     * rank filter gets WindowGroupLimit pushdown (per-partition top-k
-    * before the shuffle). Rows with weight ≤ 0 or null never win (they
-    * sort after every positive-weight row, and are dropped outright).
+    * before the shuffle); the series stages are scan-stage projections.
+    * Rows with weight ≤ 0 or null are dropped outright.
     *
     * Contract: `keyCol` unique (the tie-break). */
   def weightedUniformK(df: DataFrame, groupCol: String, keyCol: String,
                        weightCol: Column, k: Int, salt: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    Seq("__pri", "__rn").foreach(c => require(!df.columns.contains(c),
+    val reserved = Seq("__x", "__m", "__b", "__z", "__zz", "__pri", "__rn")
+    reserved.foreach(c => require(!df.columns.contains(c),
       s"weightedUniformK reserves column name '$c' but the input already has it"))
-    // u ∈ (0, 1]: (coin + 1) / 2^32 — never 0, so ln is finite
-    val u = (coin(col(keyCol), salt).cast("double") + 1.0) / U32
+    val P = graft.functions.PortableMath
     val wPos = weightCol.cast("double")
-    val pri = when(wPos.isNotNull && wPos > 0.0, log(u) / wPos)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__pri").desc, col(keyCol))
-    df.withColumn("__pri", pri)
+    df
+      // x ∈ [1, 2^32]: coin + 1 — never 0, so ln is finite
+      .withColumn("__x", coin(col(keyCol), salt) + lit(1L))
+      .withColumn("__m", expr(P.mSql("__x")))
+      .withColumn("__b", expr(P.biasSql("__x")))
+      .withColumn("__z", expr(P.zSql("__m")))
+      .withColumn("__zz", expr("(__z * __z)"))
+      .withColumn("__pri", when(wPos.isNotNull && wPos > 0.0,
+        expr(P.lnFromPartsSql("__z", "__zz", "__b")) / wPos))
       .filter(col("__pri").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .drop("__pri", "__rn")
+      .drop(reserved: _*)
   }
 
   /** Per-domain expected-budget downsampling: each domain is kept with

@@ -68,21 +68,34 @@ object SamplingQueries extends QueryModule {
               |ORDER BY doc_id""".stripMargin)),
 
     // Weighted k-per-group (Efraimidis–Spirakis priorities): longer docs
-    // proportionally likelier, ranked by ln(u)/w — the shared-ln form
-    // both engines evaluate identically from the same md5 coin.
+    // proportionally likelier, ranked by ln(u)/w. ln is the PortableMath
+    // series — the identical generated fragments run in Spark and here,
+    // so the priorities are bit-equal by construction (no libm parity
+    // assumption; round-9 advice #4).
     "sample_weighted_k" -> QueryDef(
       (s, d) =>
         Sampling.weightedUniformK(Tables.documents(s, d), "source", "doc_id",
             col("n_chars"), k = 5, salt = "wk")
           .select(col("doc_id"), col("source"), col("n_chars"))
           .orderBy(col("doc_id")),
-      Some(s"""SELECT doc_id, source, n_chars FROM (
-              |  SELECT doc_id, source, n_chars,
-              |    row_number() OVER (PARTITION BY source ORDER BY
-              |      ln((CAST(${coinSql("doc_id", "wk")} AS DOUBLE) + 1.0) / 4294967296.0)
-              |        / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
-              |  FROM documents WHERE n_chars > 0)
-              |WHERE rn <= 5 ORDER BY doc_id""".stripMargin)),
+      {
+        val P = graft.functions.PortableMath
+        Some(s"""WITH t0 AS (
+                |  SELECT doc_id, source, n_chars,
+                |    ${coinSql("doc_id", "wk")} + 1 AS __x
+                |  FROM documents WHERE n_chars > 0
+                |), t1 AS (
+                |  SELECT *, ${P.mSql("__x")} AS __m, ${P.biasSql("__x")} AS __b FROM t0
+                |), t2 AS (SELECT *, ${P.zSql("__m")} AS __z FROM t1
+                |), t3 AS (SELECT *, (__z * __z) AS __zz FROM t2)
+                |SELECT doc_id, source, n_chars FROM (
+                |  SELECT doc_id, source, n_chars,
+                |    row_number() OVER (PARTITION BY source ORDER BY
+                |      ${P.lnFromPartsSql("__z", "__zz", "__b")}
+                |        / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+                |  FROM t3)
+                |WHERE rn <= 5 ORDER BY doc_id""".stripMargin)
+      }),
 
     "sample_domain_budget" -> QueryDef(
       (s, d) =>

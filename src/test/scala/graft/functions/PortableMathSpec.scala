@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PortableMath contract: the generated SQL fragments and the Scala
+  * twin produce bit-identical doubles (that is the whole point — the
+  * DuckDB side runs the SAME fragment strings, so Spark↔Scala parity
+  * plus the sample_weighted_k hash gate covers all three evaluators),
+  * and the series tracks true ln to full double precision. */
+class PortableMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boundary: Seq[Long] =
+    Seq(1L, 2L, 3L, (1L << 31) - 1, 1L << 31, (1L << 31) + 1, (1L << 32) - 1, 1L << 32) ++
+      (0 to 32).map(j => 1L << j) ++ (1 to 31).map(j => (1L << j) + 1)
+
+  private val random: Seq[Long] = {
+    val r = new scala.util.Random(42)
+    Seq.fill(2000)((r.nextLong() & 0xFFFFFFFFL) + 1L)
+  }
+
+  test("lnCoin tracks Math.log to ~1e-15 ABSOLUTE over boundaries and random coins") {
+    // absolute, not relative: just above a power of two the reduction
+    // ln(x/2^32) = ln(m) + (j-32)·ln2 cancels to ~1e-10 and the series'
+    // ~1-ulp-of-ln(m) error dominates RELATIVELY while staying ~1e-16
+    // absolute — identical in both engines (parity unaffected), and
+    // priorities ln(u)/w only need absolute accuracy
+    (boundary ++ random).foreach { x =>
+      val got = PortableMath.lnCoin(x)
+      val want = math.log(x.toDouble / 4294967296.0)
+      if (x == (1L << 32)) assert(got === 0.0)
+      else assert(math.abs(got - want) < 1e-13,
+        s"x=$x got=$got want=$want absErr=${math.abs(got - want)}")
+    }
+  }
+
+  test("Spark-evaluated fragments bit-match the Scala twin on every coin") {
+    val P = PortableMath
+    val xs = (boundary ++ random).distinct
+    val rows = xs.toDF("__x")
+      .withColumn("__m", expr(P.mSql("__x")))
+      .withColumn("__b", expr(P.biasSql("__x")))
+      .withColumn("__z", expr(P.zSql("__m")))
+      .withColumn("__zz", expr("(__z * __z)"))
+      .withColumn("__ln", expr(P.lnFromPartsSql("__z", "__zz", "__b")))
+      .select(col("__x"), col("__ln"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getLong(0)
+      val sparkBits = java.lang.Double.doubleToLongBits(r.getDouble(1))
+      val scalaBits = java.lang.Double.doubleToLongBits(P.lnCoin(x))
+      assert(sparkBits === scalaBits,
+        s"x=$x spark=${java.lang.Double.longBitsToDouble(sparkBits)} scala=${P.lnCoin(x)}")
+    }
+  }
+
+  test("the series is monotone: more coin, more ln") {
+    val sorted = (boundary ++ random).distinct.sorted
+    sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(PortableMath.lnCoin(a) <= PortableMath.lnCoin(b),
+        s"monotonicity broke between $a and $b")
+    }
+  }
+}
