@@ -23,13 +23,14 @@ import graft.functions.Hashing
   *     analog of `mapInPandas`) with explicit micro-batching so a
   *     vectorized decoder gets arrays of payloads, not one call per row.
   *     The codec is injectable. [[RealCodecs]] decode PCM WAV,
-  *     uncompressed 24-bit BMP and uncompressed RGB24 AVI video FOR
-  *     REAL (byte-layout specs, pure JVM), and JPEG/PNG/GIF/TIFF FOR
+  *     uncompressed 24-bit BMP, uncompressed RGB24 AVI video, and
+  *     MJPEG-in-AVI COMPRESSED video FOR REAL (byte-layout specs +
+  *     per-frame JDK JPEG decode, pure JVM), and JPEG/PNG/GIF/TIFF FOR
   *     REAL through the JDK's own `javax.imageio` readers (pure JVM,
   *     ship with the stock JDK); [[FakeCodec]] remains the deterministic
-  *     stand-in only for COMPRESSED video (H.264 etc.), whose decode
-  *     genuinely needs native libraries — swapping in a JNI/JavaCV
-  *     decoder changes no plumbing.
+  *     stand-in only for INTER-FRAME compressed video (H.264/VP9),
+  *     whose decode genuinely needs native libraries — swapping in a
+  *     JNI/JavaCV decoder changes no plumbing.
   */
 object Multimodal {
 
@@ -307,6 +308,58 @@ object Multimodal {
         }
     }
 
+    /** MJPEG-in-AVI — REAL COMPRESSED-video decode in pure JVM: the
+      * shared RIFF walker locates the 'vids' stream whose
+      * BITMAPINFOHEADER compression is the 'MJPG' fourcc, and each
+      * '00dc' movi chunk is a standalone JPEG image decoded through
+      * [[ImageIo]]'s JDK reader path (frame index = storage order,
+      * `pixels` = top-down BGR like every other source). This retires
+      * the [[FakeCodec]] stub for the one compressed-video codec that
+      * needs no native library; H.264/VP9 remain behind the fallback.
+      *
+      * Loud-failure contract like the siblings: a non-MJPG stream,
+      * '00db' (uncompressed) chunks in an MJPEG stream, or an
+      * undecodable JPEG chunk throws with the asset id. */
+    object AviMjpeg extends MediaCodec {
+      override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] =
+        assets.flatMap { a =>
+          val b = a.bytes
+          def fail(msg: String): Nothing =
+            throw new IllegalArgumentException(s"asset ${a.asset_id}: $msg")
+          var sawFmt = false
+          val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          walkAvi(b, fail) { (id, po, size) =>
+            id match {
+              case "strh" =>
+                if (size < 8) fail(s"strh chunk too small ($size)")
+                if (!sawFmt && tag(b, po) != "vids")
+                  fail(s"stream 0 is '${tag(b, po)}', not a video stream")
+              case "strf" =>
+                if (!sawFmt) {
+                  if (size < 40) fail(s"strf BITMAPINFOHEADER too small ($size)")
+                  if (tag(b, po + 16) != "MJPG")
+                    fail(s"stream 0 compression is '${tag(b, po + 16)}', not MJPG")
+                  sawFmt = true
+                }
+              case "00dc" =>
+                frames += java.util.Arrays.copyOfRange(b, po, po + size)
+              case "00db" =>
+                fail("'00db' uncompressed frames inside an MJPEG stream")
+              case _ => () // audio interleave, idx1, junk
+            }
+          }
+          if (!sawFmt) fail("AVI missing a 'vids' strf (BITMAPINFOHEADER)")
+          if (frames.isEmpty) fail("AVI contains no '00dc' frames")
+          frames.zipWithIndex.map { case (jpeg, i) =>
+            // each chunk is a complete JPEG: reuse the still-image
+            // reader end to end, re-index to the video frame number
+            val f = ImageIo.decodeBatch(Seq(MediaAsset(a.asset_id, "jpeg", jpeg)))
+              .headOption.getOrElse(fail(s"frame $i decoded to nothing"))
+            DecodedFrame(a.asset_id, i, f.width, f.height, f.pixels)
+          }.toSeq
+        }
+    }
+
     /** The AUDIO track of an AVI container — the demux counterpart of
       * [[AviRgb24]]: locates the first 'auds' stream, parses its
       * WAVEFORMATEX (PCM format 1 only), concatenates that stream's
@@ -467,10 +520,29 @@ object Multimodal {
         }
     }
 
-    /** Magic-byte dispatch: WAV, BMP, JPEG, PNG, GIF, TIFF and
-      * uncompressed AVI decode for real; only unrecognized payloads
-      * (compressed video — H.264/VP9 need native libs) go to
-      * `fallback`. */
+    /** Compression fourcc of an AVI's first video stream ("DIB " / ""
+      * for uncompressed, "MJPG", "H264", …) — a header-only walk for
+      * [[ByMagic]] routing; malformed containers yield None and fall to
+      * whichever codec will produce the loud error. */
+    private def aviVideoCompression(b: Array[Byte]): Option[String] = {
+      var lastStrhVids = false
+      var comp: Option[String] = None
+      try walkAvi(b, msg => throw new IllegalArgumentException(msg)) { (id, po, size) =>
+        id match {
+          case "strh" if comp.isEmpty && size >= 8 =>
+            lastStrhVids = tag(b, po) == "vids"
+          case "strf" if comp.isEmpty && lastStrhVids && size >= 40 =>
+            comp = Some(tag(b, po + 16))
+          case _ => ()
+        }
+      } catch { case _: IllegalArgumentException => () }
+      comp
+    }
+
+    /** Magic-byte dispatch: WAV, BMP, JPEG, PNG, GIF, TIFF, uncompressed
+      * AVI, and MJPEG AVI (sniffed from the stream's compression fourcc)
+      * decode for real; only unrecognized payloads (compressed video —
+      * H.264/VP9 need native libs) go to `fallback`. */
     final case class ByMagic(fallback: MediaCodec = FakeCodec,
                              samplesPerWindow: Int = 1024) extends MediaCodec {
       private val wav = PcmWav(samplesPerWindow)
@@ -491,7 +563,10 @@ object Multimodal {
             (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
         assets.flatMap {
           case a if isWav(a.bytes) => wav.decodeBatch(Seq(a))
-          case a if isAvi(a.bytes) => AviRgb24.decodeBatch(Seq(a))
+          case a if isAvi(a.bytes) =>
+            if (aviVideoCompression(a.bytes).contains("MJPG"))
+              AviMjpeg.decodeBatch(Seq(a))
+            else AviRgb24.decodeBatch(Seq(a))
           case a if isBmp(a.bytes) => Bmp24.decodeBatch(Seq(a))
           case a if isJpeg(a.bytes) || isPng(a.bytes) || isGif(a.bytes) || isTiff(a.bytes) =>
             ImageIo.decodeBatch(Seq(a))

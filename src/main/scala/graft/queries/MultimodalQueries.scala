@@ -129,6 +129,69 @@ object MultimodalQueries extends QueryModule {
     buf.array()
   }
 
+  /** MJPEG AVI: one solid-RGB JPEG (JDK writer, quality 0.95) per entry
+    * of `colors`, stored as '00dc' movi chunks behind a 'vids' stream
+    * whose BITMAPINFOHEADER compression is the MJPG fourcc — the
+    * real-compressed-video fixture for RealCodecs.AviMjpeg. Solid
+    * frames survive the lossy JPEG round-trip to within a couple of
+    * counts per channel (uniform blocks are DC-only), so a gate that
+    * buckets channel means to 16 levels — with the fixture colors
+    * CENTERED in their bucket (c ≡ 8 mod 16) — is deterministic despite
+    * the codec being genuinely lossy. */
+  private[graft] def mjpegAvi(width: Int, height: Int,
+                              colors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    def jpegOf(r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(r, g, b))
+      gr.fillRect(0, 0, width, height)
+      gr.dispose()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        w.setOutput(ios)
+        val p = w.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(0.95f)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        ios.flush()
+      } finally { w.dispose(); ios.close() }
+      baos.toByteArray
+    }
+    val jpegs = colors.map { case (r, g, b) => jpegOf(r, g, b) }
+    val strl = 4 + 8 + 56 + 8 + 40
+    val hdrl = 4 + 8 + 56 + 8 + strl
+    val movi = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val riff = 4 + 8 + hdrl + 8 + movi
+    val buf = java.nio.ByteBuffer.allocate(8 + riff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def t(s: String) = buf.put(s.getBytes("US-ASCII"))
+    t("RIFF"); buf.putInt(riff); t("AVI ")
+    t("LIST"); buf.putInt(hdrl); t("hdrl")
+    t("avih"); buf.putInt(56)
+    buf.putInt(40000).putInt(0).putInt(0).putInt(0).putInt(jpegs.size).putInt(0)
+      .putInt(1).putInt(0).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    t("LIST"); buf.putInt(strl); t("strl")
+    t("strh"); buf.putInt(56)
+    t("vids"); t("MJPG"); buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(25).putInt(0).putInt(jpegs.size).putInt(0)
+      .putInt(0).putInt(0)
+    buf.putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    t("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    t("MJPG") // biCompression = the MJPG fourcc
+    buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    t("LIST"); buf.putInt(movi); t("movi")
+    jpegs.foreach { j =>
+      t("00dc"); buf.putInt(j.length); buf.put(j)
+      if ((j.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
   /** Interleaved A/V AVI: one 4×3 video frame (stream 0, 'DIB ') plus a
     * PCM ramp audio track (stream 1, WAVEFORMATEX) whose samples follow
     * the rampWav closed form — sample (i, c) = (i·7 + c·3) mod 32767 —
@@ -270,6 +333,52 @@ object MultimodalQueries extends QueryModule {
              |  CAST(floor(CAST(sg AS DOUBLE) / n * 1000.0 + 0.5) AS BIGINT) AS mean_g_q3,
              |  CAST(floor(CAST(sr AS DOUBLE) / n * 1000.0 + 0.5) AS BIGINT) AS mean_r_q3
              |FROM sums ORDER BY asset_id, frame_idx""".stripMargin)),
+    // REAL COMPRESSED-video decode, hash-gated: per-doc MJPEG AVIs
+    // (1..3 solid-color JPEG frames behind an MJPG 'vids' stream) are
+    // fabricated, routed through ByMagic's compression sniff to
+    // RealCodecs.AviMjpeg (RIFF walk + per-'00dc' JDK JPEG decode), and
+    // reduced to 16-level channel-mean buckets. The fixture colors sit
+    // CENTERED in their bucket (c ≡ 8 mod 16) while the lossy JPEG
+    // round-trip of a solid frame moves means by ≲2 counts — so the
+    // bucket is exact and the oracle recomputes it from the color
+    // closed form without decoding anything. A dropped frame, wrong
+    // chunk routing, or channel-order slip breaks the hash.
+    "mm_mjpeg_frames" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 60)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val nf = 1 + (id % 3).toInt
+            val colors = (0 until nf).map { f =>
+              (16 * ((id + 3 * f) % 16).toInt + 8,
+                16 * ((2 * id + 5 * f + 1) % 16).toInt + 8,
+                16 * ((3 * id + 7 * f + 2) % 16).toInt + 8)
+            }
+            (id, "video", mjpegAvi(16, 8, colors))
+          }).toDF("asset_id", "kind", "bytes")
+        Multimodal.frameColorStats(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.ByMagic()))
+          .toDF()
+          .select(col("asset_id"), col("frame_idx"),
+            floor(col("mean_r_q3") / 16000).cast("long").as("r16"),
+            floor(col("mean_g_q3") / 16000).cast("long").as("g16"),
+            floor(col("mean_b_q3") / 16000).cast("long").as("b16"))
+          .orderBy(col("asset_id"), col("frame_idx"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS id, 1 + doc_id % 3 AS nf
+             |  FROM documents WHERE doc_id < 60
+             |), fr AS (
+             |  SELECT id, unnest(range(0, nf)) AS f FROM a
+             |)
+             |SELECT id AS asset_id, CAST(f AS INT) AS frame_idx,
+             |  CAST((id + 3 * f) % 16 AS BIGINT) AS r16,
+             |  CAST((2 * id + 5 * f + 1) % 16 AS BIGINT) AS g16,
+             |  CAST((3 * id + 7 * f + 2) % 16 AS BIGINT) AS b16
+             |FROM fr ORDER BY asset_id, frame_idx""".stripMargin)),
+
     // REAL multi-frame decode, hash-gated end to end: animated GIFs
     // (2..4 solid-color frames, varying dims) are fabricated per doc_id,
     // decoded frame-by-frame through the JDK GIF reader

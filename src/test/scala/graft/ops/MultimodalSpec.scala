@@ -384,6 +384,51 @@ class MultimodalSpec extends SparkSpec {
     failsWith("RIFFxxxxWAVE".getBytes("US-ASCII"), "not a RIFF/AVI payload")
   }
 
+  test("AviMjpeg decodes MJPEG-in-AVI frames within JPEG tolerance; loud on abuse") {
+    val colors = Seq((40, 120, 200), (88, 24, 152), (216, 168, 56))
+    val bytes = graft.queries.MultimodalQueries.mjpegAvi(16, 8, colors)
+    val frames = RealCodecs.AviMjpeg.decodeBatch(Seq(MediaAsset(5L, "video", bytes)))
+    assert(frames.length === 3)
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      assert((fr.width, fr.height, fr.frame_idx) === (16, 8, f))
+      val (r, g, b) = colors(f)
+      // solid frames are DC-only: the lossy round-trip stays within a
+      // few counts of the source color on every pixel
+      fr.pixels.grouped(3).zipWithIndex.foreach { case (Array(pb, pg, pr), i) =>
+        assert(math.abs((pb & 0xFF) - b) <= 4, s"frame $f px $i blue ${pb & 0xFF} vs $b")
+        assert(math.abs((pg & 0xFF) - g) <= 4, s"frame $f px $i green ${pg & 0xFF} vs $g")
+        assert(math.abs((pr & 0xFF) - r) <= 4, s"frame $f px $i red ${pr & 0xFF} vs $r")
+      }
+    }
+    // determinism across calls
+    val again = RealCodecs.AviMjpeg.decodeBatch(Seq(MediaAsset(5L, "video", bytes)))
+    assert(again.map(_.pixels.toSeq) === frames.map(_.pixels.toSeq))
+    // an UNCOMPRESSED avi routed here fails loudly, and vice versa
+    val e1 = intercept[IllegalArgumentException] {
+      RealCodecs.AviMjpeg.decodeBatch(Seq(MediaAsset(6L, "video", aviBytes(3, 2, 1))))
+    }
+    assert(e1.getMessage.contains("not MJPG"))
+    val e2 = intercept[IllegalArgumentException] {
+      RealCodecs.AviRgb24.decodeBatch(Seq(MediaAsset(6L, "video", bytes)))
+    }
+    assert(e2.getMessage.contains("bpp") || e2.getMessage.contains("native decoder"),
+      s"got: ${e2.getMessage}")
+  }
+
+  test("ByMagic sniffs the MJPG fourcc and routes compressed AVI to the real decode") {
+    val mjpeg = graft.queries.MultimodalQueries.mjpegAvi(16, 8, Seq((88, 136, 184)))
+    val media = Seq(
+      (1L, "video", mjpeg),
+      (2L, "video", aviBytes(4, 3, 2)))
+      .toDF("asset_id", "kind", "bytes")
+    val frames = decodePartitions(media, RealCodecs.ByMagic()).collect()
+      .groupBy(_.asset_id)
+    assert(frames(1L).length === 1 && frames(1L).head.width === 16,
+      "MJPG AVI must route to AviMjpeg")
+    assert(frames(2L).length === 2 && frames(2L).head.width === 4,
+      "DIB AVI must still route to AviRgb24")
+  }
+
   test("ByMagic tells the two RIFF forms apart: AVI decodes as video, WAV as audio") {
     val media = Seq(
       (1L, "audio", wavBytes(1, 8000, 10)),
