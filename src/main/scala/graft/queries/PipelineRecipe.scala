@@ -251,6 +251,66 @@ object PipelineRecipe extends QueryModule {
            |  CAST(start_tok // 256 AS BIGINT) AS chunk_first,
            |  CAST((start_tok + greatest(n_tokens - 1, 0)) // 256 AS BIGINT) AS chunk_last
            |FROM packed ORDER BY shard, id""".stripMargin
-      })
+      }),
+
+    // The incremental-corpus LIFECYCLE a production pipeline runs daily,
+    // composed over the REAL Delta write path and replayed by the oracle
+    // from the raw batches: create with a live CHECK constraint →
+    // appendNovel day-1 batch → replay the same batch (content-idempotent
+    // no-op) → day-2 batch → a poisoned ingest lands → restoreTo rolls
+    // the corpus back (one commit) → day-3 batch proceeds against the
+    // RESTORED digest set. Every stage is the same ops/delta code the
+    // individual gates check (dedup_incremental, ref_constraints,
+    // ref_restore); this row proves they compose — and that the rollback
+    // actually forgets the poisoned digests (batch 3 must land in full).
+    //
+    // Plan shape at 100 TB: three digest-only anti-join shuffles (one per
+    // batch), constraint checks fused into the write jobs, restore is a
+    // metadata-only commit. Nothing here scans the corpus text twice.
+    "pipeline_incremental" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-pincr")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val schema = org.apache.spark.sql.types.StructType(docs.schema.fields :+
+          org.apache.spark.sql.types.StructField("digest",
+            org.apache.spark.sql.types.StringType))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(schema)
+        // enforcement fuses into every append job below (a violating row
+        // would fail its batch; DeltaSpec pins that behavior)
+        t.addCheckConstraint("nonempty_text", "length(text) > 0")
+        require(Dedup.appendNovel(t, docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text") >= 0, "day-1 batch must commit")
+        require(Dedup.appendNovel(t, docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text") == -1L, "replayed day-1 batch must be a no-op")
+        Dedup.appendNovel(t, docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+        val good = t.log.latestVersion()
+        // the poison passes the CHECK (the damage is semantic, not
+        // structural) — the recovery lever is the rollback, not the gate
+        val bad = docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("text", concat(lit("POISONED "), col("text")))
+        require(Dedup.appendNovel(t, bad, "doc_id", "text") >= 0,
+          "poisoned batch must land before the rollback")
+        t.restoreTo(good)
+        Dedup.appendNovel(t, docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+        graft.delta.DeltaTable.forPath(s, dir).toDF
+          .select(col("doc_id"), col("digest")).orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+             |b1 AS (
+             |  SELECT digest, min(doc_id) AS doc_id FROM d
+             |  WHERE doc_id % 3 = 0 GROUP BY digest),
+             |b2 AS (
+             |  SELECT digest, min(doc_id) AS doc_id FROM d
+             |  WHERE doc_id % 3 = 1 AND digest NOT IN (SELECT digest FROM b1)
+             |  GROUP BY digest),
+             |b3 AS (
+             |  SELECT digest, min(doc_id) AS doc_id FROM d
+             |  WHERE doc_id % 3 = 2 AND digest NOT IN (
+             |    SELECT digest FROM b1 UNION ALL SELECT digest FROM b2)
+             |  GROUP BY digest)
+             |SELECT doc_id, digest FROM (
+             |  SELECT * FROM b1 UNION ALL SELECT * FROM b2
+             |  UNION ALL SELECT * FROM b3)
+             |ORDER BY doc_id""".stripMargin))
   )
 }
