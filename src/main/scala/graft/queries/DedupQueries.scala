@@ -104,8 +104,7 @@ object DedupQueries extends QueryModule {
               |  FROM o
               |)
               |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
-              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin),
-      headline = true),
+              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     // Same exact-Jaccard contract via prefix filtering (rarity-ordered
     // prefixes, lossless) — output bit-identical to dedup_ngram_jaccard,
@@ -144,17 +143,21 @@ object DedupQueries extends QueryModule {
     // from candidate generation. Both rows share one oracle (the corpus
     // is regenerated bit-for-bit in SQL, then the brute pair join), so
     // the gate proves (a) cross-engine corpus determinism and (b) prefix
-    // losslessness on this regime too; both are headline, so the bench
-    // MEASURES the brute-vs-prefix crossover the docs previously only
-    // asserted (round-8 verdict ask 3).
+    // losslessness on this regime too. The brute legs (this row and
+    // dedup_ngram_jaccard) are GATED but no longer headline: the
+    // brute-vs-prefix crossover was MEASURED in rounds 8–9 (prefix 3×
+    // faster here, 12× slower on the adversarial tiny-vocab corpus) and
+    // recorded; re-measure any time with
+    // SPARK_GRAFT_BENCH_ONLY=dedup_zipf_brute,dedup_zipf_prefix. Keeping
+    // the intentionally-slow legs out of the default set cuts ~1/3 of
+    // the bench wall-clock and its host-contention exposure.
     "dedup_zipf_brute" -> QueryDef(
       (s, d) =>
         Dedup.ngramJaccardPairs(
             graft.ops.ZipfCorpus.table(s, d),
             "doc_id", "text", shingleN = 2, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
-      Some(zipfPairsOracle),
-      headline = true),
+      Some(zipfPairsOracle)),
 
     "dedup_zipf_prefix" -> QueryDef(
       (s, d) =>
