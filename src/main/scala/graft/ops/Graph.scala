@@ -92,24 +92,31 @@ object Graph {
   def pageRankSql(iters: Int, scale: Long = RankScale,
                   dampNum: Int = 85, dampDen: Int = 100): String = {
     val base = s"(${dampDen - dampNum} * $scale) // ($dampDen * sc.n)"
+    // every CTE is MATERIALIZED: each r$i is referenced twice downstream
+    // (c${i+1} and r${i+1}), so DuckDB's default inline-per-reference
+    // doubles the live plan per round — 2^iters copies of the whole
+    // upstream running concurrently pushed the oracle's peak to 512 MB on
+    // a 60 kB graph and contributed to the driver-host OOMs of rounds
+    // 8–9. Materialized, each round is one tiny table; the query runs in
+    // the 64 MB tier.
     val steps = (1 to iters).map { i =>
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT e.dst AS node, CAST(sum(r.r // deg.d) AS BIGINT) AS c
          |  FROM e JOIN r${i - 1} r ON e.src = r.node JOIN deg ON e.src = deg.src
          |  GROUP BY e.dst
-         |), r$i AS (
+         |), r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |    $base + ($dampNum * COALESCE(c$i.c, 0)) // $dampDen AS r
          |  FROM nodes CROSS JOIN sc LEFT JOIN c$i ON c$i.node = nodes.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""nodes AS (
+    s"""nodes AS MATERIALIZED (
        |  SELECT DISTINCT node FROM (
        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS d FROM e GROUP BY src
-       |), sc AS (SELECT count(*) AS n FROM nodes),
-       |r0 AS (
+       |), sc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (
        |  SELECT node, $scale // sc.n AS r FROM nodes CROSS JOIN sc
        |), $steps""".stripMargin
   }

@@ -372,11 +372,11 @@ object Analytics extends QueryModule {
           .select(col("node"), col("r").as("rank_q"))
           .orderBy(col("node"))
       },
-      Some(s"""WITH p AS (
+      Some(s"""WITH p AS MATERIALIZED (
               |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
               |    10000000 + CAST(l_suppkey AS BIGINT) AS b
               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-              |), e AS (
+              |), e AS MATERIALIZED (
               |  SELECT a AS src, b AS dst FROM p
               |  UNION ALL SELECT b AS src, a AS dst FROM p
               |), ${graft.ops.Graph.pageRankSql(3)}

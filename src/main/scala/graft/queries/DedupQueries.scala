@@ -29,7 +29,7 @@ object DedupQueries extends QueryModule {
        |  SELECT id, sz, (h & 4294967295) AS x FROM ex0
        |), sigs AS MATERIALIZED (
        |  SELECT id, ${O.minhashAggArray("x", 128)} AS mh FROM ex GROUP BY id
-       |), banded AS (
+       |), banded AS MATERIALIZED (
        |  ${O.bandedUnion(bands = 32, rows = 4)}
        |), cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -38,7 +38,7 @@ object DedupQueries extends QueryModule {
        |  SELECT c.id_a, c.id_b, count(*) AS o, min(xa.sz) AS sz_a, min(xb.sz) AS sz_b
        |  FROM cand c JOIN ex0 xa ON c.id_a = xa.id JOIN ex0 xb ON c.id_b = xb.id AND xa.h = xb.h
        |  GROUP BY c.id_a, c.id_b
-       |), scored AS (
+       |), scored AS MATERIALIZED (
        |  SELECT id_a, id_b,
        |    CAST(o AS DOUBLE) / CAST(sz_a + sz_b - o AS DOUBLE) AS j FROM o
        |)""".stripMargin
@@ -281,7 +281,7 @@ object DedupQueries extends QueryModule {
               shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5))
           .orderBy(col("id")),
       Some(s"""WITH RECURSIVE $minhashCtes,
-              |pairs AS (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
+              |pairs AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
               |edges AS (
               |  SELECT id_a AS a, id_b AS b FROM pairs
               |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
@@ -303,7 +303,7 @@ object DedupQueries extends QueryModule {
               shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5))
           .orderBy(col("id")),
       Some(s"""WITH RECURSIVE $minhashCtes,
-              |pairs AS (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
+              |pairs AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
               |edges AS (
               |  SELECT id_a AS a, id_b AS b FROM pairs
               |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs

@@ -172,7 +172,7 @@ object PipelineRecipe extends QueryModule {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE ${DedupQueries.minhashCtes},
-              |pairs AS (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
+              |pairs AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
               |edges AS (
               |  SELECT id_a AS a, id_b AS b FROM pairs
               |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
