@@ -642,6 +642,65 @@ object Dedup {
       .withColumn("keep", col("id") === col("cluster_id"))
   }
 
+  /** Exact duplicated-SPAN removal (the substring-level dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): any `windowN`-token window whose hash occurs ≥ 2 times
+    * ANYWHERE in the corpus (another document, or a repeat within the
+    * same one) marks its token span for removal; surviving tokens
+    * reassemble in order. Document-level dedup ([[exact]]/[[minhashLsh]])
+    * misses the boilerplate/license/navigation passages that repeat
+    * inside otherwise-distinct pages — this is the operator that cuts
+    * them at the span level.
+    *
+    * Windows are positional (start index kept), so the corpus-wide
+    * frequency needs one shuffle of (id, pos, h) rows — 20 bytes per
+    * window, never window text. The count is a count-over-window on the
+    * hash partition ([[dupPassages]]'s shape). Dup starts then aggregate
+    * per doc into a sorted array (size ∝ that doc's duplicated windows —
+    * doc-local, not corpus-proportional) and join back to the tokenized
+    * frame by id; coverage and reassembly are index-lambda projections in
+    * the scan stage. Total: two shuffles of id/pos pairs + the one
+    * id-keyed join every per-document rewrite pays.
+    *
+    * Windows HASH 60 bits; a collision could remove a non-duplicated
+    * span (never corrupts order). P(any collision) < n_windows²/2^61 —
+    * at 10^9 windows ≈ 0.2, so 100 TB runs should raise windowN's hash
+    * via double hashing; at test scale it is vanishing and the oracle
+    * replays the identical hash, so the gate stays exact.
+    *
+    * @return (id, clean_text, n_tokens, n_removed) one row per doc */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     windowN: Int = 6): DataFrame = {
+    require(windowN >= 2, s"windowN must be >= 2, got $windowN")
+    val seed = s"spanrm$windowN"
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    // positional window hashes: starts 0 .. n-windowN (empty when n < windowN
+    // — sequence(0, negative) would DESCEND, so the short-doc branch is
+    // explicit); slice is 1-based on the Spark side
+    val winHashes = when(size(col("ts")) < windowN, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(0), size(col("ts")) - windowN),
+        i => Hashing.h64(concat_ws(" ", slice(col("ts"), i + 1, lit(windowN))), seed)))
+    val wins = toks.select(col("id"), posexplode(winHashes).as(Seq("pos", "h")))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val dupStarts = wins.withColumn("cnt", count(lit(1)).over(byHash))
+      .filter(col("cnt") >= 2)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    toks.join(dupStarts, Seq("id"), "left")
+      .select(col("id"), col("ts"),
+        coalesce(col("ss"), array().cast("array<int>")).as("ss"))
+      .select(
+        col("id"),
+        array_join(filter(col("ts"), (t, i) =>
+          !exists(col("ss"), s => s <= i && i <= s + (windowN - 1))), " ")
+          .as("clean_text"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        (size(col("ts")) - size(filter(col("ts"), (t, i) =>
+          !exists(col("ss"), s => s <= i && i <= s + (windowN - 1)))))
+          .cast("long").as("n_removed"))
+  }
+
   /** [[semanticDedup]]'s candidate stage: (id_a, id_b) pairs sharing an
     * IVF cell with cosine ≥ threshold. Split out so its plan shape is
     * pinnable (the clustering step localCheckpoints, truncating lineage)

@@ -191,6 +191,40 @@ object DedupQueries extends QueryModule {
               |GROUP BY id ORDER BY id""".stripMargin),
       headline = true),
 
+    // Substring-level exact dedup (Lee et al. 2022): remove every
+    // 6-token span whose window hash repeats anywhere in the corpus,
+    // reassemble the survivors. The oracle replays the positional window
+    // hashes, the corpus-wide frequency, per-doc covered starts, and the
+    // index-lambda reassembly (DuckDB list lambdas are 1-based, Spark's
+    // 0-based — the oracle shifts by one).
+    "text_dedup_spans" -> QueryDef(
+      (s, d) =>
+        Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text",
+            windowN = 6)
+          .orderBy(col("id")),
+      Some(s"""WITH tok AS MATERIALIZED (
+              |  SELECT doc_id AS id, ${O.tokensSql("text")} AS ts FROM documents
+              |), wins AS MATERIALIZED (
+              |  SELECT id, i - 1 AS pos,
+              |    ${graft.functions.Hashing.h64Sql("array_to_string(ts[i:i+5], ' ')", "spanrm6")} AS h
+              |  FROM (SELECT id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i FROM tok)
+              |), dup AS (
+              |  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+              |), ss AS MATERIALIZED (
+              |  SELECT w.id, list_sort(list(w.pos)) AS ss
+              |  FROM wins w JOIN dup USING (h) GROUP BY w.id
+              |)
+              |SELECT t.id,
+              |  coalesce(array_to_string(list_filter(t.ts, (x, i) ->
+              |    len(list_filter(coalesce(s.ss, CAST([] AS BIGINT[])),
+              |        p -> p <= i - 1 AND i - 1 <= p + 5)) = 0), ' '), '') AS clean_text,
+              |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+              |  CAST(len(t.ts) - len(list_filter(t.ts, (x, i) ->
+              |    len(list_filter(coalesce(s.ss, CAST([] AS BIGINT[])),
+              |        p -> p <= i - 1 AND i - 1 <= p + 5)) = 0)) AS BIGINT) AS n_removed
+              |FROM tok t LEFT JOIN ss s USING (id) ORDER BY t.id""".stripMargin),
+      headline = true),
+
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) =>
         Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",

@@ -381,4 +381,59 @@ class DedupSpec extends SparkSpec {
     assert(corpusScans.forall(_.contains("ReadSchema: struct<digest:string>")),
       "corpus anti-join must prune to the digest column:\n" + p)
   }
+
+  test("removeDupSpans cuts cross-doc and within-doc repeated windows, keeps the rest") {
+    // docs 1 and 2 share the 4-token span "alpha beta gamma delta" at
+    // different offsets; doc 3 repeats a span INTERNALLY; doc 4 is clean;
+    // doc 5 is shorter than the window and must survive untouched.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unique1 tail1 end1"),
+      (2L, "head2 alpha beta gamma delta tail2 end2"),
+      (3L, "x1 rep rep rep rep rep x2 rep rep rep rep rep x3"),
+      (4L, "totally fresh words nothing shared here at all"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(corpus, "doc_id", "text", windowN = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))))
+      .toMap
+
+    // doc 1: windows starting at 0 ("alpha beta gamma delta") duplicated
+    // in doc 2 -> tokens 0..3 removed
+    assert(out(1L)._1 === "unique1 tail1 end1")
+    assert(out(1L)._2 === 7L && out(1L)._3 === 4L)
+    // doc 2: the shared window starts at 1 -> tokens 1..4 removed
+    assert(out(2L)._1 === "head2 tail2 end2")
+    // doc 3: "rep rep rep rep" repeats within the doc (starts 1,2 and
+    // 7,8 share the hash; windows containing x2 appear once each) —
+    // covered tokens are 1..5 and 7..11
+    assert(out(3L)._1 === "x1 x2 x3")
+    assert(out(3L)._3 === 10L)
+    // doc 4 untouched, doc 5 shorter than the window
+    assert(out(4L)._1 === "totally fresh words nothing shared here at all")
+    assert(out(4L)._3 === 0L)
+    assert(out(5L) === (("tiny doc", 2L, 0L)))
+  }
+
+  test("removeDupSpans matches a brute-force reference on the fixture corpus") {
+    val n = 3
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val tok = rows.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val wins = tok.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - n).map(p => (id, p, ts.slice(p, p + n).mkString(" "))) }
+    val dupKeys = wins.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val expect = tok.map { case (id, ts) =>
+      val starts = wins.filter(w => w._1 == id && dupKeys(w._3)).map(_._2).toSet
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !starts.exists(s => s <= i && i <= s + n - 1) => t }
+      id -> ((kept.mkString(" "), ts.length.toLong, (ts.length - kept.length).toLong))
+    }
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text", windowN = n)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(got === expect)
+    assert(expect.values.exists(_._3 > 0L)) // non-vacuous: docs 1/2/4 overlap
+  }
 }
