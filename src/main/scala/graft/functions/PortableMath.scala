@@ -73,6 +73,47 @@ object PortableMath {
       s"WHEN $x >= ${1L << j} THEN ${fmt(value(j))}"
     }.mkString("(CASE ", " ", s" ELSE ${fmt(value(0))} END)")
 
+  // ---- wide-domain variant: x ∈ [1, 2^62] ------------------------------
+  // The coin fragments above cap at 2^32 because md5 coins are 32-bit.
+  // COUNT arguments (token totals, bucket frequencies) outgrow that at
+  // corpus scale — a 100 TB corpus holds ~10^13 tokens — so the wide
+  // cascade extends the same construction to every positive long a count
+  // column can hold (2^62 headroom; the +1-smoothed count of anything
+  // that fits in storage). For x > 2^53 the mantissa split rounds
+  // x·2^-j once in CAST(x AS DOUBLE) — identically in both engines, so
+  // parity is unaffected and the absolute error stays ≤ 1 ulp.
+
+  private val ScaleW: Array[Double] = Array.tabulate(63)(j => 1.0 / (1L << j).toDouble)
+  private val BiasW: Array[Double] = Array.tabulate(63)(j => (j - 32).toDouble * Ln2)
+
+  private def msbCaseWide(x: String, value: Int => Double): String =
+    (62 to 1 by -1).map { j =>
+      s"WHEN $x >= ${1L << j} THEN ${fmt(value(j))}"
+    }.mkString("(CASE ", " ", s" ELSE ${fmt(value(0))} END)")
+
+  /** Wide-domain mantissa stage: compose with [[biasWideSql]], [[zSql]],
+    * and [[lnFromPartsSql]] exactly like the coin chain; the result is
+    * ln(x) − 32·ln 2 (the constant offset cancels in the log-RATIO uses
+    * these fragments exist for, and would otherwise be `+ 32·Ln2`). */
+  def mWideSql(x: String): String =
+    s"(CAST($x AS DOUBLE) * ${msbCaseWide(x, ScaleW)})"
+
+  def biasWideSql(x: String): String = msbCaseWide(x, BiasW)
+
+  /** Scala twin of the wide chain — bit-identical to the SQL fragments
+    * in either engine (only correctly-rounded IEEE ops). */
+  def lnWide(x: Long): Double = {
+    require(x >= 1L && x <= (1L << 62), s"x out of [1, 2^62]: $x")
+    val j = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val m = x.toDouble * ScaleW(j)
+    val z = (m - 1.0) / (m + 1.0)
+    val zz = z * z
+    var h = Coef(Terms - 1)
+    var k = Terms - 2
+    while (k >= 0) { h = Coef(k) + zz * h; k -= 1 }
+    2.0 * z * h + BiasW(j)
+  }
+
   /** The four COMMON-dialect fragments below compose to ln(x / 2^32).
     * Naively inlining them into one expression would repeat the 33-branch
     * cascade ~70× (the Horner references zz 17 times), so callers hoist

@@ -411,6 +411,79 @@ object Sampling {
       .drop("__reps")
   }
 
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every POOL document by how target-like its
+    * hashed-n-gram feature distribution is, and keep the top k. The
+    * feature model is the paper's hashed bag-of-unigrams: token → md5
+    * bucket in [0, buckets); both corpora get add-one-smoothed unigram
+    * models over the buckets, and a doc's score is its log importance
+    * weight  Σ_tok [ln p_target(b(tok)) − ln p_pool(b(tok))].
+    *
+    * Determinism/parity: ln is [[graft.functions.PortableMath]]'s wide
+    * chain (correctly-rounded-ops-only series, domain [1, 2^62] — counts
+    * at 100 TB fit), each per-bucket log-ratio and the totals term are
+    * quantized to integer nano-nats (floor(Δln·10⁹ + ½)), and the doc
+    * score is an exact integer SUM of those — partition-order free, and
+    * the oracle replays every bucket weight and every doc score
+    * bit-for-bit.
+    *
+    * Plan shape: exploded (id, is_target, bucket) rows shuffle once into
+    * the ≤`buckets`-row count table; bucket weights broadcast back onto
+    * the exploded scan; doc scores are one groupBy(id) of (id, weight)
+    * longs; the top k is a distributed TakeOrdered — no global sort, no
+    * driver funnel, nothing text-sized past the scan stage.
+    *
+    * @param targetPred rows where TRUE define the target distribution;
+    *                   the rest are the pool being selected from
+    * @return k rows (id, score_q9) — highest importance first by the
+    *         (score desc, id) total order */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, buckets: Int = 512, k: Int = 100): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val P = graft.functions.PortableMath
+    def lnWideOf(d: DataFrame, x: Column, out: String): DataFrame = {
+      val reserved = Seq("__x", "__m", "__b", "__z", "__zz")
+      reserved.foreach(c => require(!d.columns.contains(c),
+        s"dsirSelect reserves column name '$c'"))
+      d.withColumn("__x", x.cast("long"))
+        .withColumn("__m", expr(P.mWideSql("__x")))
+        .withColumn("__b", expr(P.biasWideSql("__x")))
+        .withColumn("__z", expr(P.zSql("__m")))
+        .withColumn("__zz", expr("(__z * __z)"))
+        .withColumn(out, expr(P.lnFromPartsSql("__z", "__zz", "__b")))
+        .drop(reserved: _*)
+    }
+    val ex = df.select(col(idCol).as("id"), targetPred.as("is_t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("id"), col("is_t"),
+        pmod(Hashing.h64(col("tok"), "dsir"), lit(buckets.toLong)).as("b"))
+    val counts = ex.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    // per-bucket Δln of the add-one numerators, quantized to nano-nats
+    val wq = lnWideOf(lnWideOf(counts, col("ct") + 1L, "__lnt"), col("cr") + 1L, "__lnr")
+      .withColumn("delta_q",
+        expr("CAST(floor((__lnt - __lnr) * 1.0E9 + 0.5E0) AS BIGINT)"))
+      .select(col("b"), col("delta_q"))
+    // denominator term: ln(Tpool + B) − ln(Ttarget + B), once (one row)
+    val totals = counts.agg(
+      (sum(col("ct")) + lit(buckets.toLong)).as("tt"),
+      (sum(col("cr")) + lit(buckets.toLong)).as("tr"))
+    val cq = lnWideOf(lnWideOf(totals, col("tr"), "__lnTr"), col("tt"), "__lnTt")
+      .withColumn("const_q",
+        expr("CAST(floor((__lnTr - __lnTt) * 1.0E9 + 0.5E0) AS BIGINT)"))
+      .select(col("const_q"))
+    ex.filter(!col("is_t"))
+      .join(broadcast(wq), Seq("b"))
+      .crossJoin(broadcast(cq))
+      .groupBy(col("id"))
+      .agg(sum(col("delta_q") + col("const_q")).as("score_q9"))
+      .orderBy(col("score_q9").desc, col("id"))
+      .limit(k)
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-pretraining scheme):
     * within each shard, documents are concatenated in a deterministic
     * hash order and cut into fixed `contextLen`-token windows; each doc

@@ -97,6 +97,64 @@ object SamplingQueries extends QueryModule {
                 |WHERE rn <= 5 ORDER BY doc_id""".stripMargin)
       }),
 
+    // DSIR importance selection: keep the 100 pool docs (source <> src0)
+    // whose hashed-unigram distribution is most target-like (target =
+    // src0). The oracle retrains both bucket models, replays the wide
+    // portable-ln chain per bucket AND for the totals term, quantizes the
+    // same nano-nat integers, and re-ranks — every bucket weight and doc
+    // score is bit-identical, so the hash gate covers train + score +
+    // select. (Zero-token pool docs have no feature rows and are
+    // unrankable by construction — both engines drop them in GROUP BY.)
+    "sample_dsir" -> QueryDef(
+      (s, d) =>
+        Sampling.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+            col("source") === "src0", buckets = 512, k = 100)
+          .orderBy(col("score_q9").desc, col("id")),
+      {
+        val P = graft.functions.PortableMath
+        val B = 512
+        Some(s"""WITH ex AS MATERIALIZED (
+                |  SELECT id, is_t, (${graft.functions.Hashing.h64Sql("tok", "dsir")}) % $B AS b
+                |  FROM (SELECT doc_id AS id, source = 'src0' AS is_t,
+                |          unnest(${O.T}) AS tok FROM documents)
+                |), counts AS MATERIALIZED (
+                |  SELECT b,
+                |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) + 1 AS xt,
+                |    CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) + 1 AS xr
+                |  FROM ex GROUP BY b
+                |), w1 AS (
+                |  SELECT b, ${P.mWideSql("xt")} AS mt, ${P.biasWideSql("xt")} AS bt,
+                |    ${P.mWideSql("xr")} AS mr, ${P.biasWideSql("xr")} AS br FROM counts
+                |), w2 AS (
+                |  SELECT b, ${P.zSql("mt")} AS zt, bt, ${P.zSql("mr")} AS zr, br FROM w1
+                |), w3 AS (
+                |  SELECT b, zt, (zt * zt) AS zzt, bt, zr, (zr * zr) AS zzr, br FROM w2
+                |), wq AS MATERIALIZED (
+                |  SELECT b, CAST(floor((${P.lnFromPartsSql("zt", "zzt", "bt")}
+                |    - ${P.lnFromPartsSql("zr", "zzr", "br")}) * 1.0E9 + 0.5E0) AS BIGINT) AS delta_q
+                |  FROM w3
+                |), tot0 AS (
+                |  SELECT CAST(sum(xt - 1) AS BIGINT) + $B AS tt,
+                |    CAST(sum(xr - 1) AS BIGINT) + $B AS tr FROM counts
+                |), g1 AS (
+                |  SELECT ${P.mWideSql("tt")} AS mt, ${P.biasWideSql("tt")} AS bt,
+                |    ${P.mWideSql("tr")} AS mr, ${P.biasWideSql("tr")} AS br FROM tot0
+                |), g2 AS (
+                |  SELECT ${P.zSql("mt")} AS zt, bt, ${P.zSql("mr")} AS zr, br FROM g1
+                |), g3 AS (
+                |  SELECT zt, (zt * zt) AS zzt, bt, zr, (zr * zr) AS zzr, br FROM g2
+                |), cq AS MATERIALIZED (
+                |  SELECT CAST(floor((${P.lnFromPartsSql("zr", "zzr", "br")}
+                |    - ${P.lnFromPartsSql("zt", "zzt", "bt")}) * 1.0E9 + 0.5E0) AS BIGINT) AS const_q
+                |  FROM g3
+                |)
+                |SELECT id, CAST(sum(delta_q + const_q) AS BIGINT) AS score_q9
+                |FROM ex JOIN wq USING (b) CROSS JOIN cq
+                |WHERE NOT is_t GROUP BY id
+                |ORDER BY score_q9 DESC, id LIMIT 100""".stripMargin)
+      },
+      headline = true),
+
     "sample_domain_budget" -> QueryDef(
       (s, d) =>
         Sampling.domainBudget(Tables.documents(s, d), "source", "doc_id",

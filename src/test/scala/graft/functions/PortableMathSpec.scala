@@ -62,4 +62,42 @@ class PortableMathSpec extends SparkSpec {
         s"monotonicity broke between $a and $b")
     }
   }
+
+  private val wideBoundary: Seq[Long] =
+    Seq(1L, 2L, 3L, (1L << 32) - 1, 1L << 32, (1L << 32) + 1,
+      (1L << 53) - 1, 1L << 53, (1L << 53) + 1, (1L << 62) - 1, 1L << 62) ++
+      (0 to 62).map(j => 1L << j) ++ (1 to 61).map(j => (1L << j) + 1)
+
+  private val wideRandom: Seq[Long] = {
+    val r = new scala.util.Random(7)
+    Seq.fill(2000)((r.nextLong() & ((1L << 62) - 1)) + 1L)
+  }
+
+  test("wide chain tracks Math.log − 32·ln2 absolutely over the count domain") {
+    (wideBoundary ++ wideRandom).foreach { x =>
+      val got = PortableMath.lnWide(x)
+      val want = math.log(x.toDouble) - 32.0 * PortableMath.Ln2
+      assert(math.abs(got - want) < 1e-12,
+        s"x=$x got=$got want=$want absErr=${math.abs(got - want)}")
+    }
+  }
+
+  test("Spark-evaluated WIDE fragments bit-match lnWide, including past 2^53") {
+    val P = PortableMath
+    val xs = (wideBoundary ++ wideRandom).distinct
+    val rows = xs.toDF("__x")
+      .withColumn("__m", expr(P.mWideSql("__x")))
+      .withColumn("__b", expr(P.biasWideSql("__x")))
+      .withColumn("__z", expr(P.zSql("__m")))
+      .withColumn("__zz", expr("(__z * __z)"))
+      .withColumn("__ln", expr(P.lnFromPartsSql("__z", "__zz", "__b")))
+      .select(col("__x"), col("__ln"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getLong(0)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(P.lnWide(x)),
+        s"x=$x spark=${r.getDouble(1)} scala=${P.lnWide(x)}")
+    }
+  }
 }

@@ -314,4 +314,50 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureResample(docs.withColumn("epoch", lit(1)),
         "source", "doc_id", Map.empty, 1.0, "t"))
   }
+
+  test("dsirSelect ranks target-like pool docs first and matches an in-memory reference") {
+    // target speaks "apple banana cherry"; pool docs range from pure
+    // target-vocabulary to pure off-vocabulary
+    val target = (1L to 20L).map(i => (i, "apple banana cherry apple banana", true))
+    val pool = Seq(
+      (101L, "apple banana cherry apple", false),       // most target-like
+      (102L, "apple banana zebra quark", false),        // mixed
+      (103L, "zebra quark xylophone gnome", false),     // off-vocab
+      (104L, "apple apple apple apple", false),
+      (105L, "", false)                                 // zero tokens: unrankable
+    )
+    val df = (target ++ pool).toDF("doc_id", "text", "is_t")
+    val out = Sampling.dsirSelect(df, "doc_id", "text", col("is_t"),
+      buckets = 64, k = 3)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 3)
+    // ranking: pure-target-vocab docs above mixed above none; 105 never appears
+    assert(got.map(_._1).take(2).toSet === Set(101L, 104L))
+    assert(got.map(_._1).contains(102L))
+    assert(!got.map(_._1).contains(103L) && !got.map(_._1).contains(105L))
+    assert(got.map(_._2).sliding(2).forall { case Array(a, b) => a >= b })
+
+    // in-memory reference: same buckets, same add-one models, lnWide
+    val P = graft.functions.PortableMath
+    val B = 64
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def bkt(t: String) = java.lang.Math.floorMod(
+      graft.functions.Hashing.planTimeH64(s"dsir:$t"), B.toLong)
+    val tTok = target.flatMap(r => toks(r._2)).map(bkt)
+    val rTok = pool.flatMap(r => toks(r._2)).map(bkt)
+    val ct: Map[Long, Long] = tTok.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cr: Map[Long, Long] = rTok.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val constQ = math.floor((P.lnWide(rTok.size + B) - P.lnWide(tTok.size + B)) * 1e9 + 0.5).toLong
+    def deltaQ(b: Long) = math.floor(
+      (P.lnWide(ct.getOrElse(b, 0L) + 1) - P.lnWide(cr.getOrElse(b, 0L) + 1)) * 1e9 + 0.5).toLong
+    val expect = pool.filter(r => toks(r._2).nonEmpty).map { r =>
+      r._1 -> toks(r._2).map(t => deltaQ(bkt(t)) + constQ).sum
+    }.sortBy(p => (-p._2, p._1)).take(3)
+    assert(got.toSeq === expect)
+
+    // partitioning independence: scores are exact integers
+    val rep = Sampling.dsirSelect(df.repartition(13), "doc_id", "text",
+      col("is_t"), buckets = 64, k = 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.toSeq === got.toSeq)
+  }
 }
