@@ -655,6 +655,84 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   def scanInFiles(column: String, values: Seq[Any]): Seq[Actions.AddFile] =
     pruneIn(snapshot, column, values)
 
+  /** LOG-ONLY table statistics: row count plus exact min/max per
+    * requested column, computed entirely from `add.stats` — not one
+    * parquet data file is opened (StatsSpec proves it by deleting them).
+    * This is the delta-rs/Delta `SELECT count(*)`-from-metadata fast
+    * path generalized: on a 100 TB table the answer costs one log
+    * replay (already cached in [[snapshot]]) instead of a full scan —
+    * the difference between milliseconds and a cluster-hour.
+    *
+    * Exactness: the writer records per-file numRecords and TRUE min/max
+    * for every leaf column ([[ParquetStats]], reference ST1), and every
+    * rewrite (delete/update/merge/compact) re-derives stats from the
+    * rewritten files' footers — so sum/min/max over live files equal the
+    * values a full scan would produce. String stats are exact (no
+    * truncation in our writer). A file missing stats, or a column
+    * missing from a file's stats, yields NULL for that column's bounds
+    * (never a silently-wrong bound); zero-row files contribute nothing.
+    *
+    * Returns one row: (n_rows, min_<c>, max_<c> ...) with bound types
+    * following the table schema (int widens to long). */
+  def statsSummary(cols: Seq[String]): DataFrame = {
+    val sch = schema
+    cols.foreach(c => require(sch.fieldNames.contains(c), s"unknown column '$c'"))
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      sch.fields.map(f => f.name -> f.dataType).toMap
+    import org.apache.spark.sql.types._
+    def boundType(c: String): DataType = types(c) match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case DoubleType | FloatType => DoubleType
+      case StringType => StringType
+      case other => throw new IllegalArgumentException(
+        s"statsSummary supports numeric and string columns, '$c' is $other")
+    }
+    val parsed = snapshot.files.map(f => f.stats.map(Actions.mapper.readTree))
+    def bound(c: String, key: String): Seq[Option[Any]] = parsed.map { st =>
+      st.flatMap { s =>
+        val n = s.path(key).path(c)
+        if (n.isMissingNode || n.isNull ||
+            s.path("numRecords").asLong(0L) == 0L) None
+        else boundType(c) match {
+          case LongType => Some(n.asLong())
+          case DoubleType => Some(n.asDouble())
+          case _ => Some(n.asText())
+        }
+      }
+    }
+    def fold(vs: Seq[Option[Any]], wantMin: Boolean): Any = {
+      val known = vs.flatten
+      // a single stats-less NON-EMPTY file makes the bound unknowable
+      val unknowable = vs.zip(parsed).exists { case (v, st) =>
+        v.isEmpty && st.forall(_.path("numRecords").asLong(1L) != 0L) }
+      if (known.isEmpty || unknowable) null
+      else known.reduce[Any] { (a, b) =>
+        val cmp = (a, b) match {
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          case (x: String, y: String) => x.compareTo(y)
+          case _ => 0
+        }
+        if ((cmp <= 0) == wantMin) a else b
+      }
+    }
+    val nRows = parsed.map(_.map(_.path("numRecords").asLong(0L)).getOrElse(
+      throw new IllegalStateException(
+        "a live file has no stats: row count from the log would be wrong — scan instead"))).sum
+    val values: Seq[Any] = nRows +: cols.flatMap { c =>
+      Seq(fold(bound(c, "minValues"), wantMin = true),
+        fold(bound(c, "maxValues"), wantMin = false))
+    }
+    val outSchema = StructType(
+      StructField("n_rows", LongType, nullable = false) +:
+        cols.flatMap(c => Seq(
+          StructField(s"min_$c", boundType(c), nullable = true),
+          StructField(s"max_$c", boundType(c), nullable = true))))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(values: _*)),
+      outSchema)
+  }
+
   private def pruneIn(snap: Snapshot, column: String,
                       values: Seq[Any]): Seq[Actions.AddFile] =
     values

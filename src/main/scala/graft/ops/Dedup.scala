@@ -304,6 +304,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EXACT n-gram CONTAINMENT join: pairs where the smaller shingle set
+    * is mostly inside the other — C = o / min(|A|, |B|) ≥ threshold.
+    * Jaccard misses exactly these (a 50-token license block inside a
+    * 5000-token page has J ≈ 0.01 but C = 1.0); this is the
+    * quote/subset/wrapper-page detector that complements
+    * [[ngramJaccardPairs]].
+    *
+    * Same plan skeleton as the Jaccard join — one explode, ReuseExchange
+    * self-join on the 60-bit shingle hash, count-based verify, digests
+    * and ids only in every shuffle — but NO size-ratio prune: a tiny doc
+    * inside a huge one is precisely the target, so size-incompatible
+    * pairs must survive candidate generation. That widens the Σdf²
+    * regime vs Jaccard (every co-occurrence row reaches the count);
+    * `maxDf` is the documented relief valve, and a prefix variant is
+    * unsound here (prefix filtering's lossless guarantee needs the
+    * Jaccard size bound).
+    *
+    * @return (id_a, id_b, containment) with id_a < id_b, C ≥ threshold */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 2, threshold: Double = 0.5,
+                            maxDf: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val base = hashedShingleBase(df, idCol, textCol, shingleN, "cooc")
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions * 4
+    val ex0 = base.select(col("id"), size(col("hsh")).cast("long").as("sz"),
+        explode(col("hsh")).as("hs"))
+      .select(col("hs"), col("id"), col("sz"))
+      .repartition(fanout, col("hs"))
+    val ex = maxDf match {
+      case None => ex0
+      case Some(cap) =>
+        val hot = ex0.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("hs"))
+        ex0.join(broadcast(hot), Seq("hs"), "left_anti")
+    }
+    ex.alias("a")
+      .join(ex.alias("b").hint("shuffle_hash"),
+        col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("o"), min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
+      .withColumn("containment",
+        col("o").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** EXACT n-gram Jaccard join with PREFIX FILTERING (PPJoin-family,
     * Chaudhuri/Xiao et al.): each doc's shingles are ordered by global
     * rarity (ascending document frequency) and only the first

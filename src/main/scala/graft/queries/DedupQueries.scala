@@ -106,6 +106,35 @@ object DedupQueries extends QueryModule {
               |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
               |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Asymmetric containment: o / min(|A|,|B|) — the subset/quote
+    // detector Jaccard misses. No size prune (size-incompatible pairs
+    // are the point); oracle is the brute pair join with the containment
+    // formula.
+    "dedup_containment" -> QueryDef(
+      (s, d) =>
+        Dedup.ngramContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+            shingleN = 2, threshold = 0.6)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id AS id, ${O.shingles(2)} AS sh FROM documents
+              |), hashed AS (
+              |  SELECT id, list_distinct(list_transform(sh, s -> ${graft.functions.Hashing.h64Sql("s", "cooc")})) AS hsh
+              |  FROM base
+              |), ex AS MATERIALIZED (
+              |  SELECT id, CAST(len(hsh) AS BIGINT) AS sz, unnest(hsh) AS hs FROM hashed
+              |), o AS (
+              |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS o,
+              |    min(a.sz) AS sz_a, min(b.sz) AS sz_b
+              |  FROM ex a JOIN ex b ON a.hs = b.hs AND a.id < b.id
+              |  GROUP BY a.id, b.id
+              |), scored AS (
+              |  SELECT id_a, id_b,
+              |    CAST(o AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) AS c
+              |  FROM o
+              |)
+              |SELECT id_a, id_b, round(c, 6) AS containment FROM scored
+              |WHERE c >= 0.6 ORDER BY id_a, id_b""".stripMargin)),
+
     // Same exact-Jaccard contract via prefix filtering (rarity-ordered
     // prefixes, lossless) — output bit-identical to dedup_ngram_jaccard,
     // so the brute-force SQL above is reused verbatim: the driver's hash

@@ -464,6 +464,29 @@ object ReferenceOps extends QueryModule {
              |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM afterdml""".stripMargin)),
 
+    // ---- LOG-ONLY STATS AGGREGATE (the delta-rs count(*)-from-metadata
+    // fast path, generalized to min/max): append through the real write
+    // path, DELETE a slice (so the answer depends on rewritten files'
+    // re-derived stats, not just the original appends), then answer
+    // count/min/max from add.stats alone — zero parquet data reads
+    // (StatsSpec proves it by deleting the data files). The oracle
+    // recomputes the same numbers by actually scanning raw events. -----
+    "ref_stats_agg" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-statsagg")
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val table = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema)
+        table.append(ev.filter(col("event_id") % 2 === 0))
+        table.append(ev.filter(col("event_id") % 2 =!= 0))
+        require(table.delete(col("event_id") % 7 === 0) > 0L)
+        table.statsSummary(Seq("event_id", "value"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+             |  min(value) AS min_value, max(value) AS max_value
+             |FROM events WHERE event_id % 7 <> 0""".stripMargin)),
+
     // ---- RESTORE (delta-rs restore): two appends, then the table reset
     // to v1 by a restore COMMIT; the read-back must equal v1's state and
     // the restore must be the newest history entry. ----------------------

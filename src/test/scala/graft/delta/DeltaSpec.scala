@@ -678,4 +678,37 @@ class DeltaSpec extends SparkSpec {
     assert(after.scan(Seq(ColPred("a", "=", 7L))).count() === 32L)
     assert(after.scan(Seq(ColPred("b", "=", 7L), ColPred("a", "<", 4L))).count() === 4L)
   }
+
+  test("statsSummary answers count/min/max from the log alone — even with data files gone") {
+    val t = DeltaTable.forPath(spark, tmpDir("delta-statsagg")).create(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))))
+    t.append(Seq((5L, 2.5, "mango"), (9L, -1.25, "apple")).toDF("id", "v", "s"))
+    t.append(Seq((1L, 7.75, "zebra"), (3L, 0.0, "kiwi")).toDF("id", "v", "s"))
+    // a rewrite must re-derive stats: the deleted row carried the global
+    // max v and max s, so a stale bound would report 7.75/"zebra"
+    assert(t.delete(col("id") === 1L) > 0L)
+    val expect = (3L, 3L, 9L, -1.25, 2.5, "apple", "mango")
+
+    def read(tab: DeltaTable) = {
+      val r = tab.statsSummary(Seq("id", "v", "s")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getString(5), r.getString(6))
+    }
+    assert(read(t) === expect)
+
+    // the proof it never opens data: physically delete every parquet
+    // data file; the log answer is unchanged while a real scan would die
+    val dir = new java.io.File(new java.net.URI(t.path).getPath match {
+      case "" => t.path case p => p })
+    val dataFiles = Option(dir.listFiles()).get
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(f => assert(f.delete()))
+    assert(read(DeltaTable.forPath(spark, t.path)) === expect)
+
+    assertThrows[IllegalArgumentException](t.statsSummary(Seq("nope")))
+  }
 }

@@ -382,6 +382,40 @@ class DedupSpec extends SparkSpec {
       "corpus anti-join must prune to the digest column:\n" + p)
   }
 
+  test("ngramContainmentPairs finds subset docs Jaccard misses; matches set math") {
+    val corpus = Seq(
+      // doc 11's entire shingle set sits inside doc 10 (a quoted block):
+      // containment 1.0 while Jaccard is far below any useful threshold
+      (10L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 b1 b2 b3 b4 b5 b6 b7 b8 b9 c1 c2 c3 c4"),
+      (11L, "a1 a2 a3 a4"),
+      (12L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (13L, "q1 q2 q3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        shingleN = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((10L, 11L, 1.0)))
+    // the Jaccard join at the same threshold finds nothing here
+    assert(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleN = 2, threshold = 0.8).isEmpty)
+
+    // exhaustive set-math equivalence on the shared fixture corpus
+    val base = docs.select(col("doc_id").as("id"),
+        array_distinct(Dedup.shingles(col("text"), 2)).as("sh"))
+    val expect = base.alias("a").crossJoin(base.alias("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          least(size(col("a.sh")), size(col("b.sh"))).cast("double"), 6).as("c"))
+      .filter(col("c") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("removeDupSpans cuts cross-doc and within-doc repeated windows, keeps the rest") {
     // docs 1 and 2 share the 4-token span "alpha beta gamma delta" at
     // different offsets; doc 3 repeats a span INTERNALLY; doc 4 is clean;
