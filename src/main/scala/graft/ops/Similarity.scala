@@ -95,6 +95,56 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Cosine RANGE search (radius query): every (query, neighbor) pair
+    * with cos ≥ `minCos` — the "all near-enough matches" companion of
+    * top-k (retrieval-augmented dedup, policy screens, near-match
+    * audits want a threshold, not a count). Brute-force baseline:
+    * queries broadcast, one corpus scan, output-proportional result.
+    * Self-matches excluded. Returns (query_id, neighbor_id, cosine
+    * rounded 6dp — bit-stable across engines, see dedup_embedding). */
+  def rangeSearch(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  minCos: Double): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
+    corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF-pruned range search: the corpus is assigned to cells once
+    * (scan-stage plan-literal codebook, like [[ivfTopK]]) and each query
+    * scores only its `nprobe` nearest cells — candidate volume drops to
+    * ~nprobe/numCentroids of the corpus, and over a cell-partitioned
+    * Delta layout ([[writeIvfAssigned]]) that fraction is files READ,
+    * not rows filtered. APPROXIMATE by construction: a true match
+    * assigned to an unprobed cell is missed (recall rises with nprobe);
+    * the oracle therefore replays assignment + probes rather than
+    * pretending exactness — [[rangeSearch]] is the exact twin. */
+  def ivfRangeSearch(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     minCos: Double, numCentroids: Int, nprobe: Int): DataFrame = {
+    val cents: Seq[(Long, Seq[Float])] = corpus.filter(col(corpusId) < numCentroids)
+      .select(col(corpusId).cast("long"), col(corpusVec))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    require(cents.nonEmpty, "no centroid rows found (corpusId < numCentroids)")
+    val assigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("cell", cellOf(cents)(col("cv")))
+    val probes = probeCells(queries, queryId, queryVec, cents, nprobe)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: the corpus is coarsely quantized to its
     * nearest centroid (one linear pass, centroids broadcast), queries
     * probe only the `nprobe` nearest cells — the classic

@@ -18,7 +18,11 @@ object SimilarityQueries extends QueryModule {
     * (PQ shortlist + refine): one definition makes the shared-oracle
     * losslessness proofs structural — the variants cannot drift from the
     * baseline oracle by a missed edit. */
-  private val IvfOracleSql: String = {
+  /** The shared IVF CTE chain (assign → probe → candidate → score): one
+    * definition for the top-k AND range oracles so the probe/assignment
+    * replay cannot drift between them. Ends in `scored(query_id,
+    * neighbor_id, cos)`. */
+  private val IvfScoredCtes: String = {
     val O = OracleSql
     // norms precomputed once per row, candidate generation carries ids
     // only, vectors join back for exactly one dot product per scored
@@ -48,14 +52,22 @@ object SimilarityQueries extends QueryModule {
        |), scored AS (
        |  SELECT p.query_id, p.neighbor_id, ${O.cosineN("q.v", "n.v", "q.nrm", "n.nrm", 64)} AS cos
        |  FROM cand p JOIN ebase q ON q.id = p.query_id JOIN ebase n ON n.id = p.neighbor_id
-       |), ranked AS (
+       |)""".stripMargin
+  }
+
+  /** The IVF probe-and-rank oracle, shared VERBATIM by sim_topk_ivf,
+    * sim_topk_ivf_delta (partition-pruned read) and sim_topk_ivfpq
+    * (PQ shortlist + refine): one definition makes the shared-oracle
+    * losslessness proofs structural — the variants cannot drift from the
+    * baseline oracle by a missed edit. */
+  private val IvfOracleSql: String =
+    s"""$IvfScoredCtes, ranked AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM scored
        |)
        |SELECT query_id, neighbor_id, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
 
   def defs: Map[String, QueryDef] = Map(
     // Per-label centroids via exact integer-scaled sums: deterministic
@@ -195,6 +207,48 @@ object SimilarityQueries extends QueryModule {
                 |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
       },
       headline = true),
+
+    // Cosine RANGE search, exact baseline: all pairs with cos >= 0.25
+    // for the 8 query vectors. Values (not just ranks) are gated — the
+    // 6dp-rounded cosine is bit-stable across engines (dedup_embedding
+    // precedent).
+    "sim_range_brute" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.rangeSearch(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding", minCos = 0.25)
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      {
+        val O = OracleSql
+        Some(s"""WITH ebase AS MATERIALIZED (
+                |  SELECT vec_id AS id, embedding AS v, ${O.norm("embedding", 64)} AS nrm FROM embeddings
+                |), q AS (SELECT id, v, nrm FROM ebase WHERE id < 8),
+                |scored AS (
+                |  SELECT q.id AS query_id, e.id AS neighbor_id,
+                |    ${O.cosineN("q.v", "e.v", "q.nrm", "e.nrm", 64)} AS cos
+                |  FROM q CROSS JOIN ebase e WHERE e.id <> q.id
+                |)
+                |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM scored
+                |WHERE cos >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin)
+      }),
+
+    // The IVF-pruned range search: candidates only from each query's 4
+    // probed cells (of 16). Approximate BY CONSTRUCTION, so the oracle
+    // replays assignment + probes (IvfScoredCtes) instead of sharing the
+    // brute oracle — recall vs exact is a spec property, correctness of
+    // the pruned computation is the gate.
+    "sim_range_ivf" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfRangeSearch(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            minCos = 0.25, numCentroids = 16, nprobe = 4)
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some(s"""$IvfScoredCtes
+              |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM scored
+              |WHERE cos >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin)),
 
     "sim_topk_ivf" -> QueryDef(
       (s, d) => {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, round}
 import graft.SparkSpec
 
 /** k-means IVF codebook training: on a corpus with planted direction
@@ -135,6 +136,31 @@ class SimilaritySpec extends SparkSpec {
     val truth = resultPairs(ivf)
     val recall = (resultPairs(tight) & truth).size.toDouble / truth.size
     assert(recall >= 0.9, s"tight-shortlist recall $recall")
+  }
+
+  test("range search: brute matches an in-plan ground truth; IVF-pruned is a subset with full in-cell recall") {
+    val exact = Similarity.rangeSearch(corpus, "id", "v", queries, "id", "v", minCos = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // ground truth via the cosine column directly (no broadcast/range path)
+    val truth = corpus.alias("c").crossJoin(queries.alias("q"))
+      .select(col("q.id").as("qid"), col("c.id").as("nid"),
+        round(Similarity.cosine(col("q.v"), col("c.v")), 6).as("cos"))
+      .filter(col("cos") >= 0.5 && col("qid") =!= col("nid"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact === truth)
+    assert(exact.nonEmpty) // planted clusters guarantee in-radius members
+
+    // IVF: subset of exact, and every match in a probed cell is found —
+    // with nprobe = numCentroids it degenerates to the exact result
+    val pruned = Similarity.ivfRangeSearch(corpus, "id", "v", queries, "id", "v",
+      minCos = 0.5, numCentroids = 3, nprobe = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pruned.keySet.subsetOf(exact.keySet))
+    assert(pruned.forall { case (k, v) => exact(k) === v })
+    val full = Similarity.ivfRangeSearch(corpus, "id", "v", queries, "id", "v",
+      minCos = 0.5, numCentroids = 3, nprobe = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(full === exact)
   }
 
   test("int8 quantization bounds dequantization error; zero vector is safe") {
