@@ -52,6 +52,16 @@ object Actions {
       path: String,
       deletionTimestamp: Option[Long] = None,
       dataChange: Boolean = true)
+  /** Change-data file (Delta PROTOCOL.md `cdc` action): a parquet file
+    * under `_change_data/` carrying the commit's change rows with their
+    * `_change_type`. Not part of table STATE — replay ignores it, and it
+    * is excluded from checkpoints per the spec; [[DeltaLog.readVersion]]
+    * on the commit JSON is the (only) way change files are discovered. */
+  final case class AddCDCFile(
+      path: String,
+      partitionValues: Map[String, String] = Map.empty,
+      size: Long = 0L,
+      dataChange: Boolean = false)
   final case class Txn(appId: String, version: Long, lastUpdated: Option[Long] = None)
   final case class CommitInfo(
       timestamp: Long,
@@ -64,6 +74,7 @@ object Actions {
       metaData: Option[Metadata] = None,
       add: Option[AddFile] = None,
       remove: Option[RemoveFile] = None,
+      cdc: Option[AddCDCFile] = None,
       txn: Option[Txn] = None,
       commitInfo: Option[CommitInfo] = None)
 

@@ -464,6 +464,58 @@ object ReferenceOps extends QueryModule {
              |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM afterdml""".stripMargin)),
 
+    // ---- CHANGE DATA FEED (delta-rs load_cdf): a five-version DML
+    // script — append evens, append odds, delete %7, update %5 (+1e6),
+    // merge %3 (+2e6: updates live rows, REINSERTS the %21 rows deleted
+    // at v3) — then read the whole feed and aggregate per
+    // (version, change_type). The oracle derives every version's change
+    // set from raw events, including v5 preimages that must reflect v4's
+    // update; a lost preimage, a stale postimage, or an insert
+    // misclassified as update shifts the sums. -------------------------
+    "ref_cdf" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-cdf")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(graft.delta.DeltaTable.CdfConfigKey -> "true"))
+        t.append(ev.filter(col("event_id") % 2 === 0))
+        t.append(ev.filter(col("event_id") % 2 =!= 0))
+        require(t.delete(col("event_id") % 7 === 0) == 3L)
+        require(t.update(col("event_id") % 5 === 0,
+          Map("user_id" -> (col("user_id") + 1000000L))) == 4L)
+        val src = ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id"), (col("user_id") + 2000000L).cast("long").as("user_id"))
+        require(t.merge(src, Seq("event_id")) == 5L)
+        t.changes(1L, 5L)
+          .groupBy(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("long").as("sum_id"),
+            sum(col("user_id")).cast("long").as("sum_user"))
+          .orderBy(col("commit_version"), col("change_type"))
+      },
+      Some("""WITH ev AS (SELECT event_id AS id, user_id AS u FROM events),
+             |allc AS (
+             |  SELECT 1 AS v, 'insert' AS ct, id, u FROM ev WHERE id % 2 = 0
+             |  UNION ALL SELECT 2, 'insert', id, u FROM ev WHERE id % 2 = 1
+             |  UNION ALL SELECT 3, 'delete', id, u FROM ev WHERE id % 7 = 0
+             |  UNION ALL SELECT 4, 'update_preimage', id, u
+             |    FROM ev WHERE id % 5 = 0 AND id % 7 <> 0
+             |  UNION ALL SELECT 4, 'update_postimage', id, u + 1000000
+             |    FROM ev WHERE id % 5 = 0 AND id % 7 <> 0
+             |  UNION ALL SELECT 5, 'update_preimage', id,
+             |      u + CASE WHEN id % 5 = 0 THEN 1000000 ELSE 0 END
+             |    FROM ev WHERE id % 3 = 0 AND id % 7 <> 0
+             |  UNION ALL SELECT 5, 'update_postimage', id, u + 2000000
+             |    FROM ev WHERE id % 3 = 0 AND id % 7 <> 0
+             |  UNION ALL SELECT 5, 'insert', id, u + 2000000
+             |    FROM ev WHERE id % 3 = 0 AND id % 7 = 0
+             |)
+             |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+             |  count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+             |  CAST(sum(u) AS BIGINT) AS sum_user
+             |FROM allc GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin)),
+
     // ---- LOG-ONLY STATS AGGREGATE (the delta-rs count(*)-from-metadata
     // fast path, generalized to min/max): append through the real write
     // path, DELETE a slice (so the answer depends on rewritten files'

@@ -679,6 +679,53 @@ class DeltaSpec extends SparkSpec {
     assert(after.scan(Seq(ColPred("b", "=", 7L), ColPred("a", "<", 4L))).count() === 4L)
   }
 
+  test("change data feed: appends, delete, update, merge round-trip with exact change rows") {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val t = DeltaTable.forPath(spark, tmpDir("delta-cdf")).create(
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))),
+      configuration = Map(DeltaTable.CdfConfigKey -> "true"))
+    assert(t.cdfEnabled)
+    // v1 append, v2 append
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    // v3 delete id=2; v4 update id=1; v5 merge (update 3, insert 4)
+    assert(t.delete(col("id") === 2L) === 3L)
+    assert(t.update(col("id") === 1L, Map("s" -> lit("a2"))) === 4L)
+    assert(t.merge(Seq((3L, "c2"), (4L, "d")).toDF("id", "s"), Seq("id")) === 5L)
+
+    def rows(from: Long, to: Long): Set[(Long, String, String, Long)] =
+      t.changes(from, to).collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+
+    assert(rows(1, 5) === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 2L),
+      (2L, "b", "delete", 3L),
+      (1L, "a", "update_preimage", 4L), (1L, "a2", "update_postimage", 4L),
+      (3L, "c", "update_preimage", 5L), (3L, "c2", "update_postimage", 5L),
+      (4L, "d", "insert", 5L)))
+    // range filtering
+    assert(rows(3, 3) === Set((2L, "b", "delete", 3L)))
+    assert(rows(4, 5).forall(_._4 >= 4L))
+    // commit timestamps are populated
+    assert(t.changes(1, 5).select("_commit_timestamp").collect()
+      .forall(_.getTimestamp(0).getTime > 0L))
+    // the final table state agrees with replaying the feed
+    assert(t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a2"), (3L, "c2"), (4L, "d")))
+    // compaction adds no change rows
+    val vCompact = t.compact(minBytes = 1024L * 1024)
+    if (vCompact > 0) assert(t.changes(vCompact, vCompact).isEmpty)
+
+    // a CDF-off table refuses the read, and its DML versions refuse
+    // retroactive reads after enabling
+    val off = DeltaTable.forPath(spark, tmpDir("delta-cdf-off")).create(
+      StructType(Seq(StructField("id", LongType))))
+    off.append(Seq(1L, 2L).toDF("id"))
+    assert(off.delete(col("id") === 1L) > 0L)
+    assertThrows[IllegalArgumentException](off.changes(1, 2))
+  }
+
   test("statsSummary answers count/min/max from the log alone — even with data files gone") {
     val t = DeltaTable.forPath(spark, tmpDir("delta-statsagg")).create(
       org.apache.spark.sql.types.StructType(Seq(
