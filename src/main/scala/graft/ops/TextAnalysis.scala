@@ -112,6 +112,55 @@ object TextAnalysis {
     aggregate(hashed, lit(0L), (acc, h) =>
       pmod(acc * lit(RollingBase) + h.bitwiseAND(lit(RollingMod - 1)), lit(RollingMod)))
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-gram, slide a
+    * w-hash window, select each window's MINIMUM hash (ties → rightmost
+    * position), keep the distinct (position, hash) selections. The
+    * paper's guarantee: any match of length ≥ w + k − 1 tokens between
+    * two documents shares at least one fingerprint, while the stored set
+    * shrinks to ~2/(w+1) of all k-grams — the principled density/recall
+    * dial that ad-hoc "every n-th hash" sampling lacks.
+    *
+    * Docs with fewer than w k-grams winnow their single short window
+    * (one fingerprint — the doc's min); k-gram-less docs emit nothing.
+    *
+    * Plan shape: selection is index-lambda arithmetic in the scan stage
+    * (O(n·w) per doc, doc-local); the only shuffle is the final DISTINCT
+    * on (id, pos, hash) — 20-byte rows. Overlap detection downstream is
+    * an equi-join on the hash, bucketed by construction.
+    *
+    * @return (id, pos, fp) — one row per selected fingerprint */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val seed = s"winnow$k"
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    val hsExpr = when(size(col("ts")) < k, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), size(col("ts")) - k),
+        i => graft.functions.Hashing.h64(
+          concat_ws(" ", slice(col("ts"), i + 1, lit(k))), seed)))
+    val withHs = toks.select(col("id"), hsExpr.as("hs"))
+    def minOver(lo: Column, hi: Column): Column =
+      aggregate(sequence(lo, hi),
+        struct(lit(-1).cast("int").as("p"), lit(Long.MaxValue).as("h")),
+        (acc, j) => {
+          val hj = element_at(col("hs"), (j + 1).cast("int"))
+          when(hj <= acc("h"),
+            struct(j.cast("int").as("p"), hj.as("h"))).otherwise(acc)
+        })
+    val emptySel = array().cast("array<struct<p:int,h:bigint>>")
+    val sel =
+      when(size(col("hs")) === 0, emptySel)
+        .when(size(col("hs")) < w, array(minOver(lit(0), size(col("hs")) - 1)))
+        .otherwise(transform(sequence(lit(0), size(col("hs")) - w),
+          i => minOver(i, i + w - 1)))
+    withHs.select(col("id"), explode(sel).as("s"))
+      .select(col("id"), col("s.p").as("pos"), col("s.h").as("fp"))
+      .distinct()
+  }
+
   /** Duplicate n-gram ratio (Gopher-style repetition filter): 1 −
     * distinct/total word n-grams; 0 for docs shorter than n tokens.
     * High values flag boilerplate/looping text that length and

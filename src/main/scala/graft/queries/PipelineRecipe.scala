@@ -311,6 +311,53 @@ object PipelineRecipe extends QueryModule {
              |SELECT doc_id, digest FROM (
              |  SELECT * FROM b1 UNION ALL SELECT * FROM b2
              |  UNION ALL SELECT * FROM b3)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The CDF consumption story: a per-source corpus report maintained
+    // INCREMENTALLY from the change feed — inserts/update_postimages add,
+    // deletes/update_preimages subtract — across a four-version lifecycle
+    // (two appends, a length-based purge, a re-measure update). The query
+    // require()s the folded feed equals a direct aggregate of the final
+    // table (the incremental-view-maintenance identity), then returns
+    // the fold; the oracle computes the final state analytically from
+    // raw documents. At 100 TB the fold reads only the day's change
+    // files — this row is the proof the feed carries exactly enough to
+    // keep a downstream aggregate consistent without table rescans.
+    "pipeline_cdf_report" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-cdfpipe")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(docs.schema,
+          configuration = Map(graft.delta.DeltaTable.CdfConfigKey -> "true"))
+        t.append(docs.filter(col("doc_id") % 2 === 0))
+        t.append(docs.filter(col("doc_id") % 2 =!= 0))
+        require(t.delete(col("n_chars") < 120) == 3L, "purge must commit at v3")
+        require(t.update(col("doc_id") % 10 === 0,
+          Map("n_chars" -> (col("n_chars") + 1000L))) == 4L, "re-measure must commit at v4")
+        val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L)
+        val folded = t.changes(1L, 4L)
+          .groupBy(col("source"))
+          .agg(sum(sign).as("n_docs"),
+            sum(sign * col("n_chars")).cast("long").as("sum_chars"))
+        val direct = t.toDF.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+        val fRows = folded.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val dRows = direct.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        require(fRows == dRows,
+          s"feed fold diverged from the table: fold=$fRows direct=$dRows")
+        folded.orderBy(col("source"))
+      },
+      Some("""WITH fin AS (
+             |  SELECT source,
+             |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS nc
+             |  FROM documents WHERE n_chars >= 120
+             |)
+             |SELECT source, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS sum_chars
+             |FROM fin GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -350,6 +350,39 @@ object TextQueries extends QueryModule {
               |HAVING count(*) >= 2
               |ORDER BY doc_id, probe_id""".stripMargin)),
 
+    // Winnowing (MOSS) fingerprints: k=3-gram hashes, w=4 windows,
+    // rightmost-min selection per window, distinct (pos, hash). The
+    // oracle replays the hash walk and the reduce-with-tie-break per
+    // window (list_reduce left fold ≡ Spark's aggregate fold; DuckDB's
+    // 1-based indexes shifted).
+    "text_winnow" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.winnowFingerprints(Tables.documents(s, d),
+            "doc_id", "text", k = 3, w = 4)
+          .orderBy(col("id"), col("pos")),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id AS id, $T AS ts FROM documents
+              |), hst AS MATERIALIZED (
+              |  SELECT id, CASE WHEN len(ts) < 3 THEN CAST([] AS BIGINT[])
+              |    ELSE list_transform(range(1, len(ts) - 1),
+              |      i -> ${graft.functions.Hashing.h64Sql("array_to_string(ts[i:i+2], ' ')", "winnow3")})
+              |    END AS hs
+              |  FROM tok
+              |), sel AS (
+              |  SELECT id, unnest(CASE
+              |    WHEN len(hs) = 0 THEN CAST([] AS STRUCT(p INTEGER, h BIGINT)[])
+              |    WHEN len(hs) < 4 THEN [list_reduce(
+              |      list_transform(range(0, len(hs)), j -> {'p': CAST(j AS INTEGER), 'h': hs[j+1]}),
+              |      (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)]
+              |    ELSE list_transform(range(0, len(hs) - 3), i -> list_reduce(
+              |      list_transform(range(i, i + 4), j -> {'p': CAST(j AS INTEGER), 'h': hs[j+1]}),
+              |      (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END))
+              |    END) AS s
+              |  FROM hst
+              |)
+              |SELECT DISTINCT id, s.p AS pos, s.h AS fp FROM sel
+              |ORDER BY id, pos""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
