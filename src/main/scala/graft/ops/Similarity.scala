@@ -95,6 +95,35 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce `dims`-dim
+    * embeddings to `outDims` via the deterministic ±1 hyperplane matrix
+    * ([[hyperplaneMatrix]] — md5-derived, so both engines share it as
+    * plan-time literals), scaled by 1/√outDims (exact when outDims is a
+    * power of four — keep it one). The JL lemma bounds pairwise-distance
+    * distortion, so downstream ANN/clustering runs on outDims/dims of
+    * the memory and FLOPs; ±1 entries make the projection additions
+    * only (the Achlioptas sparse-JL observation).
+    *
+    * Plan shape: outDims left-associative folds per row, scan-stage,
+    * zero shuffle. Component order and fp associativity mirror the
+    * oracle's generated SQL term-for-term — projections are
+    * bit-identical cross-engine.
+    *
+    * @return (id, proj array<double> of outDims) */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                outDims: Int, dims: Int): DataFrame = {
+    require(outDims >= 1 && dims >= 1, s"bad dims: $outDims out of $dims")
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val m = hyperplaneMatrix(outDims, dims)
+    val comps: Seq[Column] = m.toSeq.map { w =>
+      w.zipWithIndex.map { case (wi, i) =>
+        element_at(col("__v"), i + 1).cast("double") * lit(if (wi >= 0) 1.0 else -1.0)
+      }.reduceLeft(_ + _) * lit(scale)
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .select(col("id"), array(comps: _*).as("proj"))
+  }
+
   /** Cosine RANGE search (radius query): every (query, neighbor) pair
     * with cos ≥ `minCos` — the "all near-enough matches" companion of
     * top-k (retrieval-augmented dedup, policy screens, near-match

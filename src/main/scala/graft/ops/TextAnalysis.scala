@@ -161,6 +161,41 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Pairwise SOURCE-overlap matrix: exact Jaccard between each pair of
+    * sources' pooled distinct shingle sets — the corpus-diagnostics view
+    * of cross-source contamination/mirroring (two crawls of the same
+    * site, a dataset embedded in another) BEFORE committing to pair-level
+    * dedup over their union. Complements [[graft.ops.Dedup]]'s
+    * doc-granular joins with a |sources|² summary.
+    *
+    * Plan shape: one (source, shingle-hash) DISTINCT (16-byte rows), a
+    * self-join on the hash whose fan-out per hash is bounded by
+    * |sources| (not corpus size — the crucial difference from the
+    * doc-level Σdf² join), and a |sources|²-row aggregate. Safe at any
+    * corpus size for the bounded source cardinality a `source` column
+    * implies.
+    *
+    * @return (src_a, src_b, n_shared, jaccard) for src_a < src_b */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+                    shingleN: Int = 2): DataFrame = {
+    val sh = df.select(col(srcCol).as("src"),
+        explode(graft.functions.ShingleHashes.of(
+          tokens(col(textCol)), shingleN, "srcov")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    sh.alias("a")
+      .join(sh.alias("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes).withColumnRenamed("src", "src_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("src_a"))
+      .join(broadcast(sizes).withColumnRenamed("src", "src_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")).cast("double"), 6).as("jaccard"))
+  }
+
   /** Duplicate n-gram ratio (Gopher-style repetition filter): 1 −
     * distinct/total word n-grams; 0 for docs shorter than n tokens.
     * High values flag boilerplate/looping text that length and

@@ -90,6 +90,11 @@ object OracleSql {
       s"CAST($v[${i + 1}] AS DOUBLE) * ${if (wi >= 0) "1.0" else "-1.0"}"
     }.mkString(" + ")
 
+  /** Scaled signed projections of `v` under `m` — mirrors
+    * Similarity.jlProject term-for-term (left-assoc fold, then ×scale). */
+  def jlComponents(v: String, m: Array[Array[Double]], scale: Double): Seq[String] =
+    m.toSeq.map(w => s"((${projection(v, w)}) * $scale)")
+
   /** Packed sign-bit signature of `v` — mirrors Similarity.signature. */
   def signature(v: String, m: Array[Array[Double]]): String =
     m.zipWithIndex.map { case (w, p) =>

@@ -208,6 +208,27 @@ object SimilarityQueries extends QueryModule {
       },
       headline = true),
 
+    // Johnson–Lindenstrauss projection 64 -> 16 dims under the shared
+    // md5-derived ±1 matrix, 1/sqrt(16) scale. Projections are
+    // bit-identical cross-engine (same literals, same fold order); gated
+    // as micro-unit integers joined to one string (the list-schema dodge).
+    "sim_project_jl" -> QueryDef(
+      (s, d) =>
+        Similarity.jlProject(Tables.embeddings(s, d), "vec_id", "embedding",
+            outDims = 16, dims = 64)
+          .select(col("id"), concat_ws(",",
+            transform(col("proj"), x =>
+              floor(x * lit(1000000.0) + lit(0.5)).cast("long"))).as("proj_q6_joined"))
+          .orderBy(col("id")),
+      {
+        val O = OracleSql
+        val comps = O.jlComponents("embedding", O.hyperplanes(16, 64), 0.25)
+          .map(c => s"CAST(floor(($c * 1000000.0) + 0.5) AS BIGINT)")
+        Some(s"""SELECT vec_id AS id,
+                |  array_to_string([${comps.mkString(", ")}], ',') AS proj_q6_joined
+                |FROM embeddings ORDER BY id""".stripMargin)
+      }),
+
     // Cosine RANGE search, exact baseline: all pairs with cos >= 0.25
     // for the 8 query vectors. Values (not just ranks) are gated — the
     // 6dp-rounded cosine is bit-stable across engines (dedup_embedding

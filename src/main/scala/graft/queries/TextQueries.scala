@@ -437,6 +437,35 @@ object TextQueries extends QueryModule {
     // share, and exact-duplicate share per source. Exactness discipline:
     // quality is already rounded to 6dp, so summing quality·10⁶ as a LONG
     // makes the mean independent of partition order (no fp64 summation).
+    // Pairwise source-overlap matrix: exact Jaccard of pooled distinct
+    // bigram-hash sets per source pair — the cross-source contamination
+    // diagnostic. Hash fan-out per shingle is bounded by |sources|.
+    "report_source_overlap" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.sourceOverlap(Tables.documents(s, d),
+            "source", "text", shingleN = 2)
+          .orderBy(col("src_a"), col("src_b")),
+      Some(s"""WITH base AS (
+              |  SELECT source AS src, ${OracleSql.shingles(2)} AS sh FROM documents
+              |), hashed AS (
+              |  SELECT src, list_distinct(list_transform(sh, x -> ${graft.functions.Hashing.h64Sql("x", "srcov")})) AS hsh
+              |  FROM base
+              |), sh AS MATERIALIZED (
+              |  SELECT DISTINCT src, unnest(hsh) AS h FROM hashed
+              |), sizes AS MATERIALIZED (
+              |  SELECT src, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY src
+              |), o AS (
+              |  SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+              |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+              |  GROUP BY a.src, b.src
+              |)
+              |SELECT src_a, src_b, n_shared,
+              |  round(CAST(n_shared AS DOUBLE) /
+              |    CAST(sa.sz + sb.sz - n_shared AS DOUBLE), 6) AS jaccard
+              |FROM o JOIN sizes sa ON sa.src = o.src_a
+              |       JOIN sizes sb ON sb.src = o.src_b
+              |ORDER BY src_a, src_b""".stripMargin)),
+
     "report_corpus" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

@@ -163,6 +163,27 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("JL projection preserves planted-cluster cosine structure at 1/4 the dims") {
+    val proj = Similarity.jlProject(corpus, "id", "v", outDims = 4, dims = dims)
+    val rows = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.values.forall(_.length === 4))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // same planted cluster stays similar, different clusters stay apart
+    val perCluster = rows.keys.max.toInt / 3 + 1
+    val (a1, a2) = (rows(0L), rows(1L))              // cluster 0
+    val c1 = rows(perCluster.toLong)                 // cluster 1
+    assert(cos(a1, a2) > 0.5, s"intra-cluster cosine collapsed: ${cos(a1, a2)}")
+    assert(cos(a1, c1) < cos(a1, a2), "inter-cluster not separated after projection")
+    // deterministic across partitionings
+    val again = Similarity.jlProject(corpus.repartition(7), "id", "v", 4, dims)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.keys === again.keys)
+    rows.foreach { case (k, v) => assert(v.toSeq === again(k).toSeq) }
+  }
+
   test("int8 quantization bounds dequantization error; zero vector is safe") {
     val vecs = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f, 0.125f)),
