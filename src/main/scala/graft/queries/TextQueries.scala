@@ -42,6 +42,113 @@ object TextQueries extends QueryModule {
     "sort" -> 18L, "fast" -> 15L, "slow" -> 12L, "line" -> 10L,
     "row" -> 9L, "key" -> 8L, "agg" -> 7L, "part" -> 6L)
 
+  /** Frozen unigram-LM piece vocabulary (piece → integer cost ≈ −ln p
+    * ·10⁶) for the Viterbi segmentation gate: every lowercase letter as
+    * a 2.0-cost fallback piece plus multi-char pieces tuned so corpus
+    * words exercise whole-word wins ("table", "spark"), multi-piece
+    * splits ("wind"+"ow", "cust"+"om"+"er") and char fallbacks. Frozen
+    * by contract — the oracle SQL regenerates from this same list. */
+  private[queries] val UnigramFixtureVocab: Seq[(String, Long)] =
+    ('a' to 'z').map(c => c.toString -> 2000000L) ++ Seq(
+      "table" -> 1100000L, "ta" -> 1400000L, "ble" -> 1500000L,
+      "spark" -> 1000000L, "the" -> 900000L, "key" -> 1000000L,
+      "agg" -> 1100000L, "row" -> 1000000L, "big" -> 1100000L,
+      "slow" -> 1200000L, "small" -> 1300000L, "fast" -> 1200000L,
+      "va" -> 1400000L, "lue" -> 1500000L,
+      "wind" -> 1600000L, "ow" -> 1200000L,
+      "mer" -> 1500000L, "ge" -> 1300000L,
+      "ba" -> 1400000L, "tch" -> 1600000L,
+      "sc" -> 1300000L, "an" -> 1200000L,
+      "ha" -> 1300000L, "sh" -> 1300000L,
+      "cust" -> 1700000L, "om" -> 1300000L, "er" -> 1100000L,
+      "col" -> 1400000L, "umn" -> 1700000L,
+      "fil" -> 1500000L, "ter" -> 1300000L,
+      "jo" -> 1300000L, "in" -> 1100000L,
+      "or" -> 1200000L, "der" -> 1400000L,
+      "vec" -> 1500000L, "tor" -> 1400000L,
+      "li" -> 1300000L, "ne" -> 1200000L, "da" -> 1300000L,
+      "st" -> 1200000L, "re" -> 1200000L, "am" -> 1300000L,
+      "gro" -> 1500000L, "up" -> 1200000L, "par" -> 1400000L,
+      "so" -> 1300000L, "rt" -> 1300000L,
+      "qu" -> 1400000L, "ery" -> 1500000L, "fa" -> 1300000L)
+
+  private[queries] val UnigramUnkCost = 5000000L
+
+  /** Generated DuckDB twin of UnigramKernel.segmentWord over the corpus:
+    * distinct words → cost edges (substring ∈ vocab, or single-char unk)
+    * → the Viterbi DP UNROLLED `maxLen` steps (argmin via
+    * row_number(cost ASC, j ASC) — the kernel's strict-<, smallest-j tie
+    * rule) → unrolled backtrace → ▁-marked pieces rejoined per doc.
+    * `maxLen` must cover the longest corpus word (8 at sf0.01; 10 here). */
+  private def unigramOracleSql(vocab: Seq[(String, Long)], unk: Long,
+                               maxLen: Int): String = {
+    val vals = vocab.map { case (p, c) => s"('$p', ${c})" }.mkString(", ")
+    val dp = (1 to maxLen).map { i =>
+      if (i == 1)
+        s"""d1 AS MATERIALIZED (
+           |  SELECT w, CAST(1 AS BIGINT) AS pos, c AS best, CAST(0 AS BIGINT) AS bp
+           |  FROM edges WHERE i = 1 AND j = 0
+           |), a1 AS MATERIALIZED (SELECT * FROM d1)""".stripMargin
+      else
+        s"""d$i AS MATERIALIZED (
+           |  SELECT w, CAST($i AS BIGINT) AS pos, best, bp FROM (
+           |    SELECT e.w,
+           |      (CASE WHEN e.j = 0 THEN 0 ELSE p.best END) + e.c AS best, e.j AS bp,
+           |      row_number() OVER (PARTITION BY e.w
+           |        ORDER BY (CASE WHEN e.j = 0 THEN 0 ELSE p.best END) + e.c ASC, e.j ASC) AS rn
+           |    FROM edges e LEFT JOIN a${i - 1} p ON p.w = e.w AND p.pos = e.j
+           |    WHERE e.i = $i AND (e.j = 0 OR p.best IS NOT NULL)
+           |  ) WHERE rn = 1
+           |), a$i AS MATERIALIZED (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM d$i)""".stripMargin
+    }.mkString(",\n")
+    val bt = (1 to maxLen).map { i =>
+      s"""bt$i AS MATERIALIZED (
+         |  SELECT b.w,
+         |    CASE WHEN b.pos = 0 THEN CAST(0 AS BIGINT) ELSE d.bp END AS pos,
+         |    CASE WHEN b.pos = 0 THEN b.ps
+         |         ELSE list_prepend(substring(b.w, CAST(d.bp AS INTEGER) + 1,
+         |                CAST(b.pos - d.bp AS INTEGER)), b.ps) END AS ps
+         |  FROM bt${i - 1} b LEFT JOIN a$maxLen d
+         |    ON b.pos > 0 AND d.w = b.w AND d.pos = b.pos
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, $T AS ts FROM documents),
+       |u AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS i FROM toks),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM u),
+       |vocab AS (SELECT * FROM (VALUES $vals) t(p, c)),
+       |pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM words),
+       |ji AS (SELECT w, i, unnest(range(0, i)) AS j FROM pos),
+       |edges AS MATERIALIZED (
+       |  SELECT ji.w, ji.j, ji.i,
+       |    coalesce(v.c, CASE WHEN ji.i - ji.j = 1 THEN $unk END) AS c
+       |  FROM ji LEFT JOIN vocab v
+       |    ON v.p = substring(ji.w, CAST(ji.j AS INTEGER) + 1, CAST(ji.i - ji.j AS INTEGER))
+       |  WHERE coalesce(v.c, CASE WHEN ji.i - ji.j = 1 THEN $unk END) IS NOT NULL
+       |),
+       |$dp,
+       |bt0 AS MATERIALIZED (
+       |  SELECT w, CAST(len(w) AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS ps FROM words),
+       |$bt,
+       |seg AS MATERIALIZED (
+       |  SELECT w, list_transform(ps, (x, ix) ->
+       |    CASE WHEN ix = 1 THEN '▁' || x ELSE x END) AS ps
+       |  FROM bt$maxLen
+       |),
+       |flat AS (
+       |  SELECT doc_id, i AS wpos, unnest(range(1, len(s.ps) + 1)) AS pi, s.ps AS ps
+       |  FROM u JOIN seg s ON s.w = u.w
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+       |    string_agg(ps[CAST(pi AS INTEGER)], ' ' ORDER BY wpos, pi) AS pieces
+       |  FROM flat GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+       |  coalesce(a.pieces, '') AS pieces
+       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Pruned-bigram-LM oracle CTE chain (toks → … → `agg(doc_id, nll_q6)`):
     * the DuckDB retraining + rescoring of graft.ops.LanguageModel with
     * identical counts, tie-breaks, and integer-scaled NLL arithmetic.
@@ -349,6 +456,24 @@ object TextQueries extends QueryModule {
               |GROUP BY c.doc_id, p.probe_id
               |HAVING count(*) >= 2
               |ORDER BY doc_id, probe_id""".stripMargin)),
+
+    // SentencePiece-style unigram-LM Viterbi segmentation (Kudo 2018
+    // inference) under the frozen fixture piece model: exact min-cost
+    // DP per word (not BPE's greedy merge walk), ▁ word marks, unk
+    // fallback. The oracle REPLAYS the DP — unrolled argmin steps with
+    // the kernel's tie rule — and re-joins pieces per doc.
+    "text_unigram_encode" -> QueryDef(
+      (s, d) => {
+        val pieces = graft.functions.UnigramEncode.of(
+          tokens(col("text")), UnigramFixtureVocab, UnigramUnkCost)
+        Tables.documents(s, d)
+          .select(col("doc_id"), pieces.as("ps"))
+          .select(col("doc_id"), size(col("ps")).cast("long").as("n_pieces"),
+            concat_ws(" ", col("ps")).as("pieces"))
+          .orderBy(col("doc_id"))
+      },
+      Some(unigramOracleSql(UnigramFixtureVocab, UnigramUnkCost, maxLen = 10)),
+      headline = true),
 
     // Winnowing (MOSS) fingerprints: k=3-gram hashes, w=4 windows,
     // rightmost-min selection per window, distinct (pos, hash). The
