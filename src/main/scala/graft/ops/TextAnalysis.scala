@@ -161,6 +161,43 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Train a unigram piece-cost model from corpus substring frequencies —
+    * SentencePiece's seed-vocabulary construction (Kudo 2018 §3.2 seeds
+    * EM with the most frequent substrings; this is that M-step-zero
+    * model, used directly): count every ≤`maxPieceLen`-char substring of
+    * every word occurrence, keep the `topV` most frequent (count desc,
+    * piece asc — deterministic), and cost each piece
+    * −ln(count / (total+1)) in integer micro-nats via the wide
+    * [[graft.functions.PortableMath]] chain, so the DuckDB oracle
+    * re-derives every cost bit-for-bit. Feed the result to
+    * [[graft.functions.UnigramEncode]].
+    *
+    * Plan shape: word counts (one token shuffle), substring explode over
+    * the DISTINCT-word frame (vocabulary-sized, tiny vs the corpus), one
+    * piece-count aggregate, a bounded `topV`-row collect (the same
+    * driver-side codebook contract as trainBpe/trainIvfCentroids). */
+  def trainUnigramCosts(df: DataFrame, textCol: String,
+                        maxPieceLen: Int = 6, topV: Int = 80): Seq[(String, Long)] = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val subs = wc.select(col("c"), explode(filter(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(sequence(lit(1), lit(maxPieceLen)), l =>
+            when(i + l - lit(1) <= length(col("w")), col("w").substr(i, l))))),
+        x => x.isNotNull)).as("p"))
+    val top = subs.groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("p")).limit(topV)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val t1 = top.map(_._2).sum + 1L
+    val P = graft.functions.PortableMath
+    top.toSeq.map { case (p, cnt) =>
+      val cost = math.floor((P.lnWide(t1) - P.lnWide(cnt)) * 1e6 + 0.5).toLong
+      p -> math.max(1L, cost)
+    }
+  }
+
   /** Pairwise SOURCE-overlap matrix: exact Jaccard between each pair of
     * sources' pooled distinct shingle sets — the corpus-diagnostics view
     * of cross-source contamination/mirroring (two crawls of the same

@@ -83,6 +83,14 @@ object TextQueries extends QueryModule {
   private def unigramOracleSql(vocab: Seq[(String, Long)], unk: Long,
                                maxLen: Int): String = {
     val vals = vocab.map { case (p, c) => s"('$p', ${c})" }.mkString(", ")
+    unigramOracleSqlWith(s"SELECT * FROM (VALUES $vals) t(p, c)", unk, maxLen)
+  }
+
+  /** The Viterbi-replay oracle parameterized by the vocabulary CTE body
+    * (`SELECT … AS p, … AS c`) — shared by the fixture-vocab gate and
+    * the corpus-trained gate so the DP replay cannot drift. */
+  private def unigramOracleSqlWith(vocabSql: String, unk: Long,
+                                   maxLen: Int): String = {
     val dp = (1 to maxLen).map { i =>
       if (i == 1)
         s"""d1 AS MATERIALIZED (
@@ -116,7 +124,7 @@ object TextQueries extends QueryModule {
        |u AS MATERIALIZED (
        |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS i FROM toks),
        |words AS MATERIALIZED (SELECT DISTINCT w FROM u),
-       |vocab AS (SELECT * FROM (VALUES $vals) t(p, c)),
+       |vocab AS MATERIALIZED ($vocabSql),
        |pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM words),
        |ji AS (SELECT w, i, unnest(range(0, i)) AS j FROM pos),
        |edges AS MATERIALIZED (
@@ -474,6 +482,66 @@ object TextQueries extends QueryModule {
       },
       Some(unigramOracleSql(UnigramFixtureVocab, UnigramUnkCost, maxLen = 10)),
       headline = true),
+
+    // CORPUS-TRAINED unigram model, train AND encode hash-gated: piece
+    // costs derived from corpus substring frequencies via the wide
+    // portable-ln chain (SentencePiece's seed-vocabulary construction),
+    // then the same Viterbi DP as text_unigram_encode. The oracle
+    // RETRAINS the model in SQL — word counts, substring explode, top-V
+    // selection with the same tie order, the same ln/quantize — and
+    // replays the DP against it, so a drift anywhere in train or encode
+    // breaks the row.
+    "text_unigram_corpus" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.ops.TextAnalysis.trainUnigramCosts(docs, "text",
+          maxPieceLen = 6, topV = 80)
+        val pieces = graft.functions.UnigramEncode.of(
+          tokens(col("text")), vocab, 20000000L)
+        docs.select(col("doc_id"), pieces.as("ps"))
+          .select(col("doc_id"), size(col("ps")).cast("long").as("n_pieces"),
+            concat_ws(" ", col("ps")).as("pieces"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        val P = graft.functions.PortableMath
+        val vocabSql =
+          s"""SELECT p, GREATEST(1, CAST(floor((lnt - lnc) * 1.0E6 + 0.5E0) AS BIGINT)) AS c
+             |  FROM (SELECT p, ${P.lnFromPartsSql("zt", "zzt", "bt")} AS lnt,
+             |               ${P.lnFromPartsSql("zc", "zzc", "bc")} AS lnc
+             |    FROM (SELECT p, zt, (zt * zt) AS zzt, bt, zc, (zc * zc) AS zzc, bc
+             |      FROM (SELECT p, ${P.zSql("mt")} AS zt, bt, ${P.zSql("mc")} AS zc, bc
+             |        FROM (SELECT p, ${P.mWideSql("t1")} AS mt, ${P.biasWideSql("t1")} AS bt,
+             |                     ${P.mWideSql("cnt")} AS mc, ${P.biasWideSql("cnt")} AS bc
+             |          FROM (SELECT p, cnt FROM (
+             |                  SELECT substring(sw, CAST(si AS INTEGER), CAST(sl AS INTEGER)) AS p,
+             |                         CAST(sum(sc) AS BIGINT) AS cnt
+             |                  FROM (SELECT w AS sw, c AS sc,
+             |                          unnest(range(1, length(w) + 1)) AS si
+             |                        FROM (SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+             |                              FROM (SELECT unnest($T) AS t FROM documents)
+             |                              GROUP BY t)),
+             |                       unnest(range(1, 7)) ul(sl)
+             |                  WHERE si + sl - 1 <= length(sw)
+             |                  GROUP BY 1
+             |                ) ORDER BY cnt DESC, p LIMIT 80)
+             |               CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) + 1 AS t1 FROM (
+             |                  SELECT cnt FROM (
+             |                    SELECT substring(sw, CAST(si AS INTEGER), CAST(sl AS INTEGER)) AS p,
+             |                           CAST(sum(sc) AS BIGINT) AS cnt
+             |                    FROM (SELECT w AS sw, c AS sc,
+             |                            unnest(range(1, length(w) + 1)) AS si
+             |                          FROM (SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+             |                                FROM (SELECT unnest($T) AS t FROM documents)
+             |                                GROUP BY t)),
+             |                         unnest(range(1, 7)) ul(sl)
+             |                    WHERE si + sl - 1 <= length(sw)
+             |                    GROUP BY 1
+             |                  ) ORDER BY cnt DESC, p LIMIT 80))
+             |        ))))""".stripMargin
+        Some(unigramOracleSqlWith(vocabSql, 20000000L, maxLen = 10))
+      },
+      headline = false),
 
     // Winnowing (MOSS) fingerprints: k=3-gram hashes, w=4 windows,
     // rightmost-min selection per window, distinct (pos, hash). The
