@@ -172,4 +172,64 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(a >= 0.0 && math.abs(a - direct) < 1e-9)
     }
   }
+
+  test("Unigram Viterbi: DP cost equals exhaustive-minimum over ALL segmentations") {
+    val r = rng
+    import scala.jdk.CollectionConverters._
+    for (_ <- 1 to 300) {
+      // small alphabet, random vocab of random substrings + random costs
+      val word = (1 to (1 + r.nextInt(8))).map(_ => ('a' + r.nextInt(3)).toChar).mkString
+      val nPieces = 1 + r.nextInt(8)
+      val vocab = (1 to nPieces).map { _ =>
+        val s = (1 to (1 + r.nextInt(4))).map(_ => ('a' + r.nextInt(3)).toChar).mkString
+        s -> (1L + r.nextInt(1000))
+      }.distinctBy(_._1)
+      val unk = 1L + r.nextInt(2000)
+      val costs = UnigramKernel.costsOf(vocab)
+      val pieces = UnigramKernel.segmentWord(word, costs, unk).asScala.toSeq
+      // pieces reassemble to the word (strip the ▁ mark)
+      assert(pieces.mkString.replace(UnigramKernel.WordMark, "") === word)
+      def cost(ps: Seq[String]): Option[Long] =
+        ps.foldLeft(Option(0L)) { (acc, p) =>
+          acc.flatMap { a =>
+            val c = costs.get(p)
+            if (c != null) Some(a + c)
+            else if (p.length == 1) Some(a + unk)
+            else None
+          }
+        }
+      // exhaustive enumeration of every segmentation (2^(n-1) for n<=9)
+      def segs(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Seq.empty)
+        else (1 to w.length).flatMap(i => segs(w.drop(i)).map(w.take(i) +: _))
+      val best = segs(word).flatMap(s => cost(s)).min
+      val got = cost(pieces.map(_.replace(UnigramKernel.WordMark, ""))).get
+      assert(got === best, s"word=$word vocab=$vocab unk=$unk pieces=$pieces")
+    }
+  }
+
+  test("Winnowing guarantee: two sequences sharing a >= w+k-1 token run share a fingerprint") {
+    // pure-scala replay of the fingerprint selection (the spark op is
+    // gated bit-exact against the oracle; this pins the ALGORITHM's
+    // guarantee over random corpora)
+    val r = rng
+    val k = 3; val w = 4
+    def h(s: String) = Hashing.planTimeH64(s"winnow$k:$s")
+    def fps(ts: Seq[String]): Set[(Int, Long)] = {
+      if (ts.length < k) return Set.empty
+      val hs = (0 to ts.length - k).map(i => h(ts.slice(i, i + k).mkString(" ")))
+      val wins = if (hs.length < w) Seq(hs.indices) else (0 to hs.length - w).map(i => i until i + w)
+      wins.map(_.foldLeft((-1, Long.MaxValue)) { case ((bp, bh), j) =>
+        if (hs(j) <= bh) (j, hs(j)) else (bp, bh) }).toSet
+    }
+    for (trial <- 1 to 200) {
+      val runLen = w + k - 1 + r.nextInt(4)
+      val run = (1 to runLen).map(_ => s"s${r.nextInt(50)}")
+      def noise(n: Int) = (1 to n).map(_ => s"x${trial}_${r.nextInt(1000000)}")
+      val a = noise(r.nextInt(6)) ++ run ++ noise(r.nextInt(6))
+      val b = noise(r.nextInt(6)) ++ run ++ noise(r.nextInt(6))
+      val shared = fps(a).map(_._2).intersect(fps(b).map(_._2))
+      assert(shared.nonEmpty, s"trial=$trial run=$run")
+    }
+  }
 }
