@@ -233,6 +233,33 @@ object TextAnalysis {
           (col("sz_a") + col("sz_b") - col("n_shared")).cast("double"), 6).as("jaccard"))
   }
 
+  /** Winnowing-based near-dup candidate pairs — the MOSS pipeline end to
+    * end: [[winnowFingerprints]] per doc, an equi-join on the
+    * fingerprint HASH (bucketed by construction — a fingerprint's
+    * df is the number of docs containing that selected k-gram), and a
+    * shared-fingerprint count per pair. By the winnowing guarantee every
+    * pair sharing a ≥ w+k−1-token passage shares ≥ 1 fingerprint, at
+    * ~2/(w+1) of the index size an all-k-gram inverted index
+    * ([[graft.ops.Dedup.dupPassages]]'s) would cost — the classic
+    * storage/recall trade, now measurable against the exact operators.
+    *
+    * `minShared` prunes incidental single-collision pairs. Downstream
+    * exact verification (Jaccard/containment on the candidates) is the
+    * callers' choice — this is candidate generation, like LSH banding.
+    *
+    * @return (id_a, id_b, n_shared) with id_a < id_b */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    fp.alias("a")
+      .join(fp.alias("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Duplicate n-gram ratio (Gopher-style repetition filter): 1 −
     * distinct/total word n-grams; 0 for docs shorter than n tokens.
     * High values flag boilerplate/looping text that length and

@@ -42,6 +42,31 @@ object TextQueries extends QueryModule {
     "sort" -> 18L, "fast" -> 15L, "slow" -> 12L, "line" -> 10L,
     "row" -> 9L, "key" -> 8L, "agg" -> 7L, "part" -> 6L)
 
+  /** The winnowing selection CTE chain (tok → hst → `sel(id, s{p,h})`) —
+    * shared by text_winnow and dedup_winnow so the k/w/tie-rule replay
+    * cannot drift between the fingerprint gate and the pair gate. */
+  private lazy val winnowCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id AS id, $T AS ts FROM documents
+       |), hst AS MATERIALIZED (
+       |  SELECT id, CASE WHEN len(ts) < 3 THEN CAST([] AS BIGINT[])
+       |    ELSE list_transform(range(1, len(ts) - 1),
+       |      i -> ${graft.functions.Hashing.h64Sql("array_to_string(ts[i:i+2], ' ')", "winnow3")})
+       |    END AS hs
+       |  FROM tok
+       |), sel AS MATERIALIZED (
+       |  SELECT id, unnest(CASE
+       |    WHEN len(hs) = 0 THEN CAST([] AS STRUCT(p INTEGER, h BIGINT)[])
+       |    WHEN len(hs) < 4 THEN [list_reduce(
+       |      list_transform(range(0, len(hs)), j -> {'p': CAST(j AS INTEGER), 'h': hs[j+1]}),
+       |      (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)]
+       |    ELSE list_transform(range(0, len(hs) - 3), i -> list_reduce(
+       |      list_transform(range(i, i + 4), j -> {'p': CAST(j AS INTEGER), 'h': hs[j+1]}),
+       |      (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END))
+       |    END) AS s
+       |  FROM hst
+       |)""".stripMargin
+
   /** Frozen unigram-LM piece vocabulary (piece → integer cost ≈ −ln p
     * ·10⁶) for the Viterbi segmentation gate: every lowercase letter as
     * a 2.0-cost fallback piece plus multi-char pieces tuned so corpus
@@ -553,28 +578,24 @@ object TextQueries extends QueryModule {
         graft.ops.TextAnalysis.winnowFingerprints(Tables.documents(s, d),
             "doc_id", "text", k = 3, w = 4)
           .orderBy(col("id"), col("pos")),
-      Some(s"""WITH tok AS (
-              |  SELECT doc_id AS id, $T AS ts FROM documents
-              |), hst AS MATERIALIZED (
-              |  SELECT id, CASE WHEN len(ts) < 3 THEN CAST([] AS BIGINT[])
-              |    ELSE list_transform(range(1, len(ts) - 1),
-              |      i -> ${graft.functions.Hashing.h64Sql("array_to_string(ts[i:i+2], ' ')", "winnow3")})
-              |    END AS hs
-              |  FROM tok
-              |), sel AS (
-              |  SELECT id, unnest(CASE
-              |    WHEN len(hs) = 0 THEN CAST([] AS STRUCT(p INTEGER, h BIGINT)[])
-              |    WHEN len(hs) < 4 THEN [list_reduce(
-              |      list_transform(range(0, len(hs)), j -> {'p': CAST(j AS INTEGER), 'h': hs[j+1]}),
-              |      (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)]
-              |    ELSE list_transform(range(0, len(hs) - 3), i -> list_reduce(
-              |      list_transform(range(i, i + 4), j -> {'p': CAST(j AS INTEGER), 'h': hs[j+1]}),
-              |      (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END))
-              |    END) AS s
-              |  FROM hst
-              |)
+      Some(s"""WITH $winnowCtes
               |SELECT DISTINCT id, s.p AS pos, s.h AS fp FROM sel
               |ORDER BY id, pos""".stripMargin)),
+
+    // The MOSS pipeline closed into candidate generation: winnow
+    // fingerprints joined on the hash, >= 2 shared per pair. Shares the
+    // winnow CTE chain with text_winnow so selection cannot drift.
+    "dedup_winnow" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.winnowPairs(Tables.documents(s, d),
+            "doc_id", "text", k = 3, w = 4, minShared = 2)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $winnowCtes,
+              |fpd AS MATERIALIZED (SELECT DISTINCT id, s.h AS fp FROM sel)
+              |SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+              |FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.id < b.id
+              |GROUP BY a.id, b.id HAVING count(*) >= 2
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     "text_fingerprint" -> QueryDef(
       (s, d) =>
