@@ -346,6 +346,46 @@ object Analytics extends QueryModule {
     // Hilbert clustering key (the liquid-clustering upgrade of q21's
     // Morton key), oracle-checked bit-for-bit: the DuckDB side replays
     // the full 16-step reflect/swap walk as a generated CTE chain.
+    // Ordered conversion funnel (view -> click -> purchase): each stage's
+    // time must follow the PREVIOUS stage's first time for that user —
+    // the event-sequence analytic windows/sessionize don't express.
+    // Three per-user min aggregates chained by semi-joins; each exchange
+    // carries (user, ts) pairs only, and the funnel-stage frames shrink
+    // monotonically, so the chain scales as three cheap shuffles of a
+    // per-user row each at any event volume.
+    "q24_funnel" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val t2 = e.join(t1, Seq("user_id"))
+          .filter(col("event_type") === "click" && col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val t3 = e.join(t2, Seq("user_id"))
+          .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val stages = Seq(t1 -> 1, t2 -> 2, t3 -> 3).map { case (df, n) =>
+          df.agg(count(lit(1)).as("users")).select(lit(n.toLong).as("stage"), col("users"))
+        }
+        stages.reduce(_ unionByName _).orderBy(col("stage"))
+      },
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id
+             |), t2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+             |), t3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t3
+             |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+             |)
+             |SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS users FROM t1
+             |UNION ALL SELECT 2, count(*) FROM t2
+             |UNION ALL SELECT 3, count(*) FROM t3
+             |ORDER BY stage""".stripMargin)),
+
     "q23_hilbert_key" -> QueryDef(
       (s, d) =>
         Tables.events(s, d)
