@@ -673,19 +673,34 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val dataAdds = actions.flatMap(_.add).filter(_.dataChange)
       val dataRemoves = actions.flatMap(_.remove).filter(_.dataChange)
       val base: Option[DataFrame] =
-        if (cdcFiles.nonEmpty)
+        if (cdcFiles.nonEmpty) {
+          // change files age out under VACUUM's retention exactly like
+          // data files (Delta behavior); a vacuumed range must refuse at
+          // ANALYSIS time, not die mid-job with a parquet read error
+          cdcFiles.foreach(c => if (!fs.exists(new Path(path, c.path)))
+            throw new IllegalStateException(
+              s"change file ${c.path} of version $v was vacuumed — change " +
+                "data older than the vacuum retention is no longer readable"))
           Some(spark.read.schema(readSchema)
             .parquet(cdcFiles.map(c => new Path(path, c.path).toString): _*))
+        }
         else if (dataRemoves.nonEmpty)
           throw new IllegalStateException(
             s"version $v rewrote data without capturing change rows " +
               "(DML before CDF was enabled, or a RESTORE) — no change " +
               "feed exists for it; read around this version")
-        else if (dataAdds.nonEmpty)
+        else if (dataAdds.nonEmpty) {
+          // an append's files can ALSO age out: a later rewrite
+          // (delete/update/merge/compact) de-references them and vacuum
+          // collects — same refusal as the cdc branch
+          dataAdds.foreach(a => if (!fs.exists(new Path(path, a.path)))
+            throw new IllegalStateException(
+              s"data file ${a.path} of version $v was vacuumed — change " +
+                "data older than the vacuum retention is no longer readable"))
           Some(spark.read.schema(schema)
             .parquet(dataAdds.map(a => new Path(path, a.path).toString): _*)
             .withColumn(DeltaTable.ChangeTypeCol, lit("insert")))
-        else None
+        } else None
       base.map(_
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp",

@@ -726,6 +726,41 @@ class DeltaSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](off.changes(1, 2))
   }
 
+  test("change data feed: vacuumed change files refuse loudly; a file stream tails the feed") {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val t = DeltaTable.forPath(spark, tmpDir("delta-cdf-vac")).create(
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))),
+      configuration = Map(DeltaTable.CdfConfigKey -> "true"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    assert(t.delete(col("id") === 2L) === 2L)
+    assert(t.changes(2, 2).count() === 1L)
+
+    // STREAMING consumption: the _change_data dir is a tailable file
+    // source (atomic renames land whole files) — the zero-machinery way
+    // to stream the feed into a downstream pipeline
+    val cdfSchema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField(DeltaTable.ChangeTypeCol, StringType)))
+    val stream = spark.readStream.schema(cdfSchema)
+      .parquet(new java.io.File(new java.net.URI(t.path).getPath match {
+        case "" => t.path case p => p }, "_change_data").toString)
+    val q = stream.writeStream.format("memory").queryName("cdf_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val tailed = spark.sql("SELECT id, _change_type FROM cdf_tail").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tailed === Set((2L, "delete")))
+
+    // vacuum with zero retention eats the change file; the read refuses
+    // with the vacuum message instead of a mid-job parquet error
+    assert(t.vacuum(retentionMs = -1000L) >= 1)
+    val e = intercept[IllegalStateException](t.changes(2, 2).count())
+    assert(e.getMessage.contains("vacuumed"))
+    // v1's original file was de-referenced by the v2 rewrite and
+    // vacuumed with it — the insert-derived branch refuses identically
+    val e2 = intercept[IllegalStateException](t.changes(1, 1).count())
+    assert(e2.getMessage.contains("vacuumed"))
+  }
+
   test("statsSummary answers count/min/max from the log alone — even with data files gone") {
     val t = DeltaTable.forPath(spark, tmpDir("delta-statsagg")).create(
       org.apache.spark.sql.types.StructType(Seq(
