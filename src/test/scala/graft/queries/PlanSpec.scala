@@ -363,4 +363,45 @@ class PlanSpec extends SparkSpec {
         "exchange reuse on the banded self-join:\n" + p)
     assert(p.contains("minhash_sig") && p.contains("band_buckets"), p)
   }
+
+  test("unigram encode: zero exchanges — segmentation is pure scan-stage work") {
+    val df = graft.Tables.documents(spark, sf).select(
+      graft.functions.UnigramEncode.of(
+        graft.ops.TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")),
+        TextQueries.UnigramFixtureVocab, 5000000L))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "Viterbi segmentation must not shuffle anything:\n" + p)
+    assert(p.toLowerCase.contains("unigram_encode"), p)
+  }
+
+  test("dsir: exchanges carry ids/buckets/weights — document text never shuffles") {
+    val df = Registry.all("sample_dsir").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    assert(exchangeInputs.forall(in => !in.contains("text#") && !in.contains("tok#")),
+      "DSIR exchanges must carry bucket ids and counts, never text/tokens:\n" + p)
+  }
+
+  test("removeDupSpans: the document frame itself never shuffles") {
+    // the dup-starts side exchanges (id, pos, h) rows; the doc-side scan
+    // joins those back without an exchange of its own (broadcast at this
+    // scale, SMJ beyond — either way the TEXT column moves zero times
+    // before the reassembly projection)
+    val df = graft.ops.Dedup.removeDupSpans(
+      graft.Tables.documents(spark, sf), "doc_id", "text", windowN = 6)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    assert(exchangeInputs.forall(in => !in.contains("ts#") && !in.contains("clean_text#")),
+      "span removal must shuffle positions/hashes only, never token arrays:\n" + p)
+  }
 }
