@@ -921,6 +921,203 @@ object TextAnalysis {
        |)""".stripMargin
   }
 
+  /** Per-document unigram (token) Shannon entropy — the RefinedWeb/Dolma-
+    * family "natural language" signal: boilerplate, key-value dumps, and
+    * single-phrase spam sit far below prose entropy, so a floor on this
+    * column is a standard pretraining quality gate. Also emits the
+    * type count (type/token ratio = n_types / n_tokens, the lexical-
+    * diversity twin signal) for free.
+    *
+    * Exact integer contract: with q(x) = floor(lnWide(x)·10⁹ + ½) (the
+    * [[graft.functions.PortableMath]] wide portable-ln, quantized to
+    * nano-nats), the score is
+    *
+    *   entropy_qn = n·q(n) − Σ_type c_t·q(c_t)
+    *
+    * i.e. n·H in nano-nats (H = ln n − (1/n)Σc·ln c): an exact LONG from
+    * exact longs — partition-order free, and the wide chain's −32·ln 2
+    * bias cancels (Σc_t = n). Empty docs score 0 by construction. Safe to
+    * ~4·10⁸ tokens/doc before n·q(n) nears Long range — documents, not
+    * corpora.
+    *
+    * Plan shape (100 TB story): ZERO shuffle — type counts come from
+    * array ops on the materialized token column, the ln chain is
+    * [[graft.functions.PortableMath.lnWideCol]] (pure arithmetic usable
+    * inside the lambda), so the whole signal evaluates in the scan stage.
+    * Higher-order functions are interpreter-only in Spark (no codegen),
+    * so the doc-local algorithm matters: counts are run lengths of the
+    * SORTED token array — O(n log n) per doc — not a per-type re-scan of
+    * the tokens (O(types·n), which measured ~50× slower interpreted).
+    *
+    * @return (id, n_tokens, n_types, entropy_qn) one row per input row */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val P = graft.functions.PortableMath
+    def q(x: Column): Column =
+      floor(P.lnWideCol(x) * lit(1.0e9) + lit(0.5e0)).cast("long")
+    val n = col("n")
+    // 1-based positions where a new run begins in the sorted array (the
+    // greatest() clamp keeps element_at in-domain under ANSI when i = 1;
+    // the i === 1 branch wins the OR there, so the compared value is moot)
+    val starts = filter(sequence(lit(1), n), i =>
+      (i === lit(1)) || (element_at(col("sorted"), i) =!=
+        element_at(col("sorted"), greatest(i - lit(1), lit(1)))))
+    // run length = next start − this start, with a sentinel end at n+1;
+    // the sentinel joins only when runs exist (zip_with pads the SHORTER
+    // side with NULLs, so the two arrays must agree on length exactly)
+    val counts = zip_with(
+      col("starts"),
+      concat(slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+        when(size(col("starts")) > 0, array(n + lit(1)))
+          .otherwise(typedLit(Seq.empty[Int]))),
+      (a, b) => b - a)
+    df.select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(col(idCol), size(col("ts")).as("n"), array_sort(col("ts")).as("sorted"))
+      .select(col(idCol), n,
+        when(n > 0, starts).otherwise(typedLit(Seq.empty[Int])).as("starts"))
+      .select(col(idCol), n, counts.as("cs"), size(col("starts")).cast("long").as("n_types"))
+      .select(col(idCol), n.cast("long").as("n_tokens"), col("n_types"),
+        (n.cast("long") * q(greatest(n.cast("long"), lit(1L))) -
+          aggregate(col("cs"), lit(0L),
+            (acc, c) => acc + c.cast("long") * q(c.cast("long")))).as("entropy_qn"))
+  }
+
+  /** DuckDB twin of [[tokenEntropy]] (CTE chain; the oracle explodes and
+    * groups where Spark stays in the scan stage — correctness, not plan
+    * shape, is the oracle's job). */
+  def tokenEntropySql(tokensSql: String): String = {
+    val P = graft.functions.PortableMath
+    def flq(ln: String) = s"CAST(floor(($ln) * 1.0E9 + 0.5E0) AS BIGINT)"
+    s"""toks AS MATERIALIZED (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_types FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(ts) AS tok FROM toks
+       |), cnt AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY doc_id, tok
+       |), c1 AS (
+       |  SELECT doc_id, c, ${P.mWideSql("c")} AS m, ${P.biasWideSql("c")} AS b FROM cnt
+       |), c2 AS (
+       |  SELECT doc_id, c, ${P.zSql("m")} AS z, b FROM c1
+       |), c3 AS (
+       |  SELECT doc_id, c, z, (z * z) AS zz, b FROM c2
+       |), csum AS (
+       |  SELECT doc_id, CAST(sum(c * ${flq(P.lnFromPartsSql("z", "zz", "b"))}) AS BIGINT) AS s
+       |  FROM c3 GROUP BY doc_id
+       |), n1 AS (
+       |  SELECT doc_id, n_tokens, n_types, greatest(n_tokens, 1) AS x FROM base
+       |), n2 AS (
+       |  SELECT doc_id, n_tokens, n_types, ${P.mWideSql("x")} AS m, ${P.biasWideSql("x")} AS b FROM n1
+       |), n3 AS (
+       |  SELECT doc_id, n_tokens, n_types, ${P.zSql("m")} AS z, b FROM n2
+       |), n4 AS (
+       |  SELECT doc_id, n_tokens, n_types, z, (z * z) AS zz, b FROM n3
+       |), nq AS (
+       |  SELECT doc_id, n_tokens, n_types,
+       |    n_tokens * ${flq(P.lnFromPartsSql("z", "zz", "b"))} AS nn FROM n4
+       |), ent AS (
+       |  SELECT n.doc_id, n.n_tokens, n.n_types,
+       |    n.nn - coalesce(c.s, 0) AS entropy_qn
+       |  FROM nq n LEFT JOIN csum c USING (doc_id)
+       |)""".stripMargin
+  }
+
+  /** TF-IDF top-`k` keyword extraction per document — the tagging /
+    * routing / topic-sketch primitive every corpus curation stack keeps
+    * next to BM25 (same idf statistics, per-DOC ranking instead of a
+    * fixed query).
+    *
+    * Exact integer contract: idf_q(t) = floor((lnWide(N) − lnWide(df_t))
+    * ·10⁹ + ½) nano-nats (the wide-chain bias cancels in the difference;
+    * df_t ≤ N keeps it ≥ 0), score_q = tf(d,t)·idf_q(t) — exact longs,
+    * ranked by the (score_q desc, term asc) total order so ties are
+    * deterministic.
+    *
+    * Plan shape (100 TB story): the classic two-shuffle inverted index —
+    * (id, term) rows reduce to per-doc tf, the df table reduces FROM THE
+    * TF ROWS (one row per posting, not per occurrence), idf joins back on
+    * the term key (sort-merge at vocab scale — a broadcast would not hold
+    * at 100 TB), and the top-k rank is row_number ≤ k, which Spark
+    * rewrites to a per-partition WindowGroupLimit — no global sort, no
+    * driver funnel. N is a one-row broadcast like [[bm25Scores]]'s stats.
+    *
+    * @return (doc_id, rank, term, score_q) — k rows per doc with ≥ k
+    *         distinct terms, rank 1 = top keyword */
+  def tfidfKeywords(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val P = graft.functions.PortableMath
+    def lnChain(d: org.apache.spark.sql.DataFrame, x: Column, out: String)
+        : org.apache.spark.sql.DataFrame = {
+      val reserved = Seq("__x", "__m", "__b", "__z", "__zz")
+      reserved.foreach(c => require(!d.columns.contains(c),
+        s"tfidfKeywords reserves column name '$c'"))
+      d.withColumn("__x", x.cast("long"))
+        .withColumn("__m", expr(P.mWideSql("__x")))
+        .withColumn("__b", expr(P.biasWideSql("__x")))
+        .withColumn("__z", expr(P.zSql("__m")))
+        .withColumn("__zz", expr("(__z * __z)"))
+        .withColumn(out, expr(P.lnFromPartsSql("__z", "__zz", "__b")))
+        .drop(reserved: _*)
+    }
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("dft"))
+    val nDocs = df.agg(count(lit(1)).cast("long").as("n_docs"))
+    val idf = lnChain(lnChain(dft.crossJoin(broadcast(nDocs)),
+        col("n_docs"), "__lnN"), col("dft"), "__lnD")
+      .withColumn("idf_q",
+        expr("CAST(floor((__lnN - __lnD) * 1.0E9 + 0.5E0) AS BIGINT)"))
+      .select(col("term"), col("idf_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("term"))
+    tf.join(idf, Seq("term"))
+      .withColumn("score_q", col("tf") * col("idf_q"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score_q"))
+  }
+
+  /** DuckDB twin of [[tfidfKeywords]]: same tf/df/N statistics, same
+    * portable-ln difference, same quantization, same rank order. */
+  def tfidfKeywordsSql(tokensSql: String, k: Int): String = {
+    val P = graft.functions.PortableMath
+    s"""ex AS MATERIALIZED (
+       |  SELECT doc_id, unnest($tokensSql) AS term FROM documents
+       |), tf AS MATERIALIZED (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY doc_id, term
+       |), dft AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY term
+       |), nd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+       |), i1 AS (
+       |  SELECT term, ${P.mWideSql("n_docs")} AS mn, ${P.biasWideSql("n_docs")} AS bn,
+       |    ${P.mWideSql("dft")} AS md, ${P.biasWideSql("dft")} AS bd
+       |  FROM dft CROSS JOIN nd
+       |), i2 AS (
+       |  SELECT term, ${P.zSql("mn")} AS zn, bn, ${P.zSql("md")} AS zd, bd FROM i1
+       |), i3 AS (
+       |  SELECT term, zn, (zn * zn) AS zzn, bn, zd, (zd * zd) AS zzd, bd FROM i2
+       |), idf AS MATERIALIZED (
+       |  SELECT term, CAST(floor((${P.lnFromPartsSql("zn", "zzn", "bn")}
+       |    - ${P.lnFromPartsSql("zd", "zzd", "bd")}) * 1.0E9 + 0.5E0) AS BIGINT) AS idf_q
+       |  FROM i3
+       |), scored AS (
+       |  SELECT t.doc_id, t.term, t.tf * i.idf_q AS score_q,
+       |    row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY t.tf * i.idf_q DESC, t.term) AS rnk
+       |  FROM tf t JOIN idf i USING (term)
+       |), kw AS (
+       |  SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, score_q
+       |  FROM scored WHERE rnk <= $k
+       |)""".stripMargin
+  }
+
   def keepLineSql(l: String, minWords: Int, maxDigitRatio: Double): String =
     s"""(len(list_filter(regexp_split_to_array(trim($l), '\\s+'), t -> t <> '')) >= $minWords
        | AND (CASE WHEN length(regexp_replace($l, '\\s', '', 'g')) = 0 THEN 1.0

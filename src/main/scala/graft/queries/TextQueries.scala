@@ -1202,8 +1202,39 @@ object TextQueries extends QueryModule {
           .orderBy(col("doc_id")),
       Some(s"""WITH ${graft.ops.TextAnalysis.bm25Sql(Bm25Terms, T)}
               |SELECT doc_id, bm25 FROM scored ORDER BY doc_id""".stripMargin),
+      headline = true),
+
+    // Per-doc unigram Shannon entropy + type count (lexical-diversity /
+    // natural-language quality signals): exact n-scaled nano-nat integers
+    // via the wide portable-ln — Spark computes them shuffle-FREE in the
+    // scan stage (lnWideCol inside the array lambda), the oracle replays
+    // the identical quantization through the explode/group/CTE chain, so
+    // the hash gate proves the lambda arithmetic ≡ the SQL chain.
+    "text_entropy" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""WITH ${graft.ops.TextAnalysis.tokenEntropySql(T)}
+              |SELECT doc_id, n_tokens, n_types, entropy_qn
+              |FROM ent ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF top-3 keywords per doc: train (df/N statistics) AND rank are
+    // hash-gated — the oracle recomputes tf, df, the portable-ln idf
+    // difference, the nano-nat quantization, and the (score desc, term)
+    // tie order bit-for-bit.
+    "text_keywords" -> QueryDef(
+      (s, d) =>
+        graft.ops.TextAnalysis.tfidfKeywords(
+            Tables.documents(s, d), "doc_id", "text", k = KeywordsK)
+          .orderBy(col("doc_id"), col("rank")),
+      Some(s"""WITH ${graft.ops.TextAnalysis.tfidfKeywordsSql(T, KeywordsK)}
+              |SELECT doc_id, rank, term, score_q FROM kw
+              |ORDER BY doc_id, rank""".stripMargin),
       headline = true)
   )
+
+  /** Keywords per doc for text_keywords. */
+  private val KeywordsK = 3
 
   /** The fixed "search query" for text_bm25 — terms present in the
     * synthetic corpus at varied frequencies. */

@@ -404,4 +404,28 @@ class PlanSpec extends SparkSpec {
     assert(exchangeInputs.forall(in => !in.contains("ts#") && !in.contains("clean_text#")),
       "span removal must shuffle positions/hashes only, never token arrays:\n" + p)
   }
+
+  test("text_entropy: zero exchanges — the whole signal is scan-stage work") {
+    val df = graft.ops.TextAnalysis.tokenEntropy(
+      graft.Tables.documents(spark, sf), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "entropy must not shuffle anything — lnWideCol runs in the lambda:\n" + p)
+  }
+
+  test("text_keywords: rank filter gets WindowGroupLimit; text never shuffles") {
+    val df = graft.ops.TextAnalysis.tfidfKeywords(
+      graft.Tables.documents(spark, sf), "doc_id", "text", k = 3)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k per doc must push to a per-partition group limit:\n" + p)
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    assert(exchangeInputs.forall(in => !in.contains("text#")),
+      "keyword exchanges carry (id, term, counts) rows, never documents:\n" + p)
+  }
 }
