@@ -32,7 +32,21 @@ import org.apache.spark.sql.types._
 object Actions {
   final case class Format(provider: String = "parquet",
                           options: Map[String, String] = Map.empty)
-  final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2)
+  final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2,
+                            readerFeatures: Option[Seq[String]] = None,
+                            writerFeatures: Option[Seq[String]] = None)
+
+  /** Deletion-vector descriptor (PROTOCOL.md): where a file's deleted-row
+    * bitmap lives. storageType "i" = Z85 inline in `pathOrInlineDv`,
+    * "u" = table-relative DV file, "p" = absolute path; `offset` locates
+    * the DV inside a shared file; `sizeInBytes` is the serialized bitmap
+    * length; `cardinality` the number of deleted rows. */
+  final case class DeletionVectorDescriptor(
+      storageType: String,
+      pathOrInlineDv: String,
+      offset: Option[Int] = None,
+      sizeInBytes: Int = 0,
+      cardinality: Long = 0L)
   final case class Metadata(
       id: String,
       name: Option[String] = None,
@@ -47,11 +61,13 @@ object Actions {
       size: Long = 0L,
       modificationTime: Long = 0L,
       dataChange: Boolean = true,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      deletionVector: Option[DeletionVectorDescriptor] = None)
   final case class RemoveFile(
       path: String,
       deletionTimestamp: Option[Long] = None,
-      dataChange: Boolean = true)
+      dataChange: Boolean = true,
+      deletionVector: Option[DeletionVectorDescriptor] = None)
   /** Change-data file (Delta PROTOCOL.md `cdc` action): a parquet file
     * under `_change_data/` carrying the commit's change rows with their
     * `_change_type`. Not part of table STATE — replay ignores it, and it
@@ -93,10 +109,18 @@ object Actions {
     val format = StructType(Seq(
       StructField("provider", StringType),
       StructField("options", MapType(StringType, StringType))))
+    val deletionVector = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("name", StringType),
@@ -115,11 +139,13 @@ object Actions {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("deletionVector", deletionVector)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", deletionVector))))))
   }
 }
 
@@ -127,7 +153,8 @@ final case class Snapshot(
     version: Long,
     metadata: Option[Actions.Metadata],
     files: Seq[Actions.AddFile],
-    txns: Map[String, Long]) {
+    txns: Map[String, Long],
+    protocol: Option[Actions.Protocol] = None) {
   def schema(implicit d: DummyImplicit): Option[org.apache.spark.sql.types.StructType] =
     metadata.map(m =>
       org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
@@ -313,8 +340,10 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   private final class ReplayState(
       var metadata: Option[Metadata] = None,
       val adds: mutable.LinkedHashMap[String, AddFile] = mutable.LinkedHashMap.empty,
-      val txns: mutable.HashMap[String, Long] = mutable.HashMap.empty) {
+      val txns: mutable.HashMap[String, Long] = mutable.HashMap.empty,
+      var protocol: Option[Protocol] = None) {
     def apply(actions: Seq[Action]): Unit = actions.foreach { a =>
+      a.protocol.foreach(p => protocol = Some(p))
       a.metaData.foreach(m => metadata = Some(m))
       a.add.foreach(f => adds(f.path) = f)
       a.remove.foreach(r => adds.remove(r.path))
@@ -374,7 +403,8 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     }
     ((fromVersion + 1) to latest).foreach(v => state.apply(readVersion(v)))
     cached = Some((latest, state))
-    Snapshot(latest, state.metadata, state.adds.values.toSeq, state.txns.toMap)
+    Snapshot(latest, state.metadata, state.adds.values.toSeq, state.txns.toMap,
+      state.protocol)
   }
 
   /** After cleanupMetadata, JSON below the surviving checkpoint is gone; a
@@ -399,7 +429,8 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     val from = seedFromCheckpoint(state, version)
     requireReplayStart(from)
     ((from + 1) to version).foreach(v => state.apply(readVersion(v)))
-    Snapshot(version, state.metadata, state.adds.values.toSeq, state.txns.toMap)
+    Snapshot(version, state.metadata, state.adds.values.toSeq, state.txns.toMap,
+      state.protocol)
   }
 
   /** Last committed `txn` version for an app id (idempotence check). */
@@ -466,7 +497,10 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     // commit and this call, poisoning later snapshotAt(version) reads
     val snap = snapshotAt(version)
     val actions: Seq[Action] =
-      Seq(Action(protocol = Some(Protocol()))) ++
+      // the REPLAYED protocol, not a fresh default: a checkpoint after a
+      // feature upgrade (e.g. deletionVectors → (3,7)) must not
+      // downgrade what readers are told the table requires
+      Seq(Action(protocol = Some(snap.protocol.getOrElse(Protocol())))) ++
         snap.metadata.map(m => Action(metaData = Some(m))).toSeq ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) => Action(txn = Some(Txn(app, v))) } ++
         snap.files.map(f => Action(add = Some(f)))

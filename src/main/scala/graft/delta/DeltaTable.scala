@@ -34,6 +34,9 @@ object DeltaTable {
   val ChangeTypeCol = "_change_type"
   val CdfConfigKey = "delta.enableChangeDataFeed"
 
+  /** Deletion-vector enablement config (Delta protocol / delta-rs). */
+  val DvConfigKey = "delta.enableDeletionVectors"
+
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
 
@@ -492,6 +495,160 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     commitRewrite(affected, survivors, "DELETE", changes = cdf)
   }
 
+  /** True when `delta.enableDeletionVectors=true` in the table
+    * configuration (the delta-rs / Delta gate for [[deleteWithDv]]). */
+  def dvEnabled: Boolean = snapshot.metadata.exists(
+    _.configuration.get(DeltaTable.DvConfigKey).contains("true"))
+
+  /** MERGE-ON-READ DELETE via deletion vectors (Delta protocol
+    * `deletionVectors` table feature; delta-rs gates it behind
+    * `delta.enableDeletionVectors`): instead of rewriting every file
+    * containing a match ([[delete]]'s copy-on-write), write a per-file
+    * BITMAP of deleted row positions and re-add the file with the
+    * descriptor attached — the commit is metadata-plus-KBs regardless of
+    * file sizes. Scans ([[rawFor]]) subtract the bitmaps; a later
+    * [[purgeDeletionVectors]] or OPTIMIZE materializes them away.
+    *
+    * This is the 100 TB shape for small-fraction deletes (GDPR erasure,
+    * dedup follow-ups, quality-gate revocations): a 0.1% delete under
+    * copy-on-write rewrites ~every file; under DVs it writes bitmaps
+    * proportional to the DELETED rows and zero data bytes.
+    *
+    * Semantics match [[delete]]: only predicate-TRUE rows delete (NULL
+    * rows survive); rows already DV-deleted cannot re-match (the match
+    * scan reads through the DV-applied path); a delete matching nothing
+    * returns -1 with no commit. A file whose every remaining row is
+    * deleted emits a plain `remove` instead of a 100%-dead DV. Repeated
+    * DV deletes MERGE bitmaps (old ∪ new). CDF-enabled tables capture
+    * the deleted rows exactly like copy-on-write delete.
+    *
+    * Concurrency: the commit re-checks that every affected file is still
+    * live WITH the descriptor this delete merged from — a concurrent DV
+    * delete or rewrite of the same file is a lost race
+    * (`ConcurrentModificationException`), never a lost update. Each DV
+    * commit also carries the protocol bump to (3, 7) +
+    * `deletionVectors` reader/writer features per the spec.
+    *
+    * Scale boundary (documented, by design): per-file positions funnel
+    * through the driver to build bitmaps — memory ∝ deleted rows, NOT
+    * table size. Mass deletes belong to [[delete]]. */
+  def deleteWithDv(predicate: org.apache.spark.sql.Column): Long = {
+    require(dvEnabled,
+      s"${DeltaTable.DvConfigKey} is not 'true' on this table — enable it " +
+        "in the table configuration (create(..., configuration)) first")
+    val snap = snapshot
+    if (snap.files.isEmpty) return -1L
+    val sch = snap.schema.get
+    // matching (file name, position) pairs through the DV-applied read
+    val matched = rawFor(snap, withMeta = true)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__meta_fname").as("__fname"), col("__meta_pos").as("__pos"))
+      .groupBy(col("__fname"))
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(col("__pos"))).as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    if (matched.isEmpty) return -1L
+    val byName = snap.files.map(f => new Path(f.path).getName -> f).toMap
+    val affected = matched.keys.toSeq.sorted.map(n => byName.getOrElse(n,
+      throw new IllegalStateException(s"matched file $n not in snapshot")))
+    // merge new positions into any existing bitmap; full-file deletions
+    // degrade to plain removes (numRecords from the add's stats)
+    def numRecords(f: AddFile): Option[Long] =
+      f.stats.map(s => Actions.mapper.readTree(s).path("numRecords").asLong(-1L))
+        .filter(_ >= 0L)
+    final case class Planned(f: AddFile, merged: Array[Long], fullFile: Boolean)
+    val planned = affected.map { f =>
+      val old = f.deletionVector
+        .map(d => DeletionVectors.readPositions(fs, path, d)).getOrElse(Array.empty[Long])
+      val merged = (old ++ matched(new Path(f.path).getName)).distinct.sorted
+      Planned(f, merged, numRecords(f).contains(merged.length.toLong))
+    }
+    // serialize bitmaps; batch every file-backed DV of this commit into
+    // ONE DV file, inline the small ones
+    val withBytes = planned.filterNot(_.fullFile)
+      .map(p => p -> DeletionVectors.serialize(p.merged))
+    val (small, big) = withBytes.partition(_._2.length <= DeletionVectors.InlineMaxBytes)
+    val bigDescs =
+      if (big.isEmpty) Nil
+      else DeletionVectors.writeDvFile(fs, path, big.map(_._2))
+    val descFor: Map[String, DeletionVectorDescriptor] =
+      (small.map { case (p, b) =>
+        p.f.path -> DeletionVectors.inlineDescriptor(b)
+      } ++ big.map(_._1.f.path).zip(bigDescs)).toMap
+    val cdf = if (!cdfEnabled) None else Some(
+      rawFor(snap)
+        .filter(coalesce(predicate, lit(false)))
+        .select(sch.fieldNames.toSeq.map(col): _*)
+        .withColumn(DeltaTable.ChangeTypeCol, lit("delete")))
+    val cdcActions = cdf.map(stageChangeFiles).getOrElse(Nil)
+    // lost-update guard: every affected file must still be live with the
+    // exact descriptor we merged from
+    val expected: Map[String, Option[DeletionVectorDescriptor]] =
+      affected.map(f => f.path -> f.deletionVector).toMap
+    val now = System.currentTimeMillis()
+    // removes precede the re-adds: [[DeltaLog.ReplayState]] replays a
+    // commit's actions in order and keys by path
+    val actions =
+      Seq(Action(protocol = Some(Protocol(3, 7,
+        Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))))) ++
+        planned.map(p => Action(remove = Some(RemoveFile(p.f.path, Some(now),
+          deletionVector = p.f.deletionVector)))) ++
+        planned.filterNot(_.fullFile).map(p =>
+          Action(add = Some(p.f.copy(dataChange = true,
+            deletionVector = Some(descFor(p.f.path)))))) ++
+        cdcActions ++
+        Seq(Action(commitInfo = Some(CommitInfo(now, "DELETE",
+          Map("mode" -> "deletionVectors")))))
+    val committed = log.commit(actions, check = s => {
+      val live = s.files.map(f => f.path -> f.deletionVector).toMap
+      expected.forall { case (p, dv) => live.get(p).contains(dv) }
+    })
+    if (committed < 0) {
+      cdcActions.foreach(_.cdc.foreach(c => fs.delete(new Path(path, c.path), false)))
+      throw new java.util.ConcurrentModificationException(
+        "DELETE (deletion vectors) lost a commit race: an affected file was " +
+          "rewritten or DV'd concurrently")
+    }
+    committed
+  }
+
+  /** Materialize every live deletion vector away (Delta `REORG TABLE …
+    * APPLY (PURGE)`): rewrite only the DV-carrying files without their
+    * deleted rows and drop the descriptors. dataChange=false — the
+    * table's logical content is untouched, so CDF consumers see nothing.
+    * Returns the committed version, or -1 when the table has no DVs;
+    * quiet on lost races like [[compact]] (skipping an optimization is
+    * safe). */
+  def purgeDeletionVectors(): Long = {
+    val snap = snapshot
+    val dvd = snap.files.filter(_.deletionVector.isDefined)
+    if (dvd.isEmpty) return -1L
+    val parts = partitionColumns
+    val df = dfFor(snap.copy(files = dvd)) // DV-applied read
+    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite").option("compression", "snappy")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
+    val adds = collectStagedFiles(staging, parts)
+    try {
+      val expected = dvd.map(f => f.path -> f.deletionVector).toMap
+      val committed = log.commit(
+        dvd.map(f => Action(remove = Some(RemoveFile(f.path,
+          Some(System.currentTimeMillis()), dataChange = false,
+          deletionVector = f.deletionVector)))) ++
+          adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
+          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+            "OPTIMIZE", Map("operation" -> "purgeDeletionVectors"))))),
+        check = s => {
+          val live = s.files.map(f => f.path -> f.deletionVector).toMap
+          expected.forall { case (p, dv) => live.get(p).contains(dv) }
+        })
+      if (committed < 0)
+        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+      committed
+    } finally fs.delete(staging, true)
+  }
+
   /** Copy-on-write UPDATE (delta-rs `update`): for rows matching
     * `predicate`, replace each column in `set` with its expression (
     * evaluated against the OLD row, the standard UPDATE semantics);
@@ -542,12 +699,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   private def filesMatching(snap: Snapshot,
                             restrict: DataFrame => DataFrame): Seq[AddFile] = {
     if (snap.files.isEmpty) return Nil
-    val sch = snap.schema.get
-    val parts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
-    val paths = snap.files.map(f => new Path(path, f.path).toString)
-    val reader = spark.read.schema(sch)
-    val raw = if (parts.isEmpty) reader.parquet(paths: _*)
-              else reader.option("basePath", path).parquet(paths: _*)
+    // rawFor applies deletion vectors, so a row already DV-deleted can
+    // never mark its file as affected (a delete whose matches were all
+    // DV'd before must be a no-op, not a rewrite)
+    val raw = rawFor(snap)
     val hitPaths = restrict(raw.withColumn("__file", input_file_name()))
       .select(col("__file")).distinct()
       .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
@@ -577,14 +732,21 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val adds = collectStagedFiles(staging, parts)
     val cdcActions = changes.map(stageChangeFiles).getOrElse(Nil)
     try {
-      val removedPaths = affected.map(_.path).toSet
+      // a file is "still ours" only with the same path AND the same DV
+      // descriptor — a concurrent DV delete keeps the path live while
+      // changing the logical content this rewrite was computed from
+      val expected = affected.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(
         adds.map(a => Action(add = Some(a))) ++
           cdcActions ++
           affected.map(f => Action(remove = Some(RemoveFile(f.path,
-            Some(System.currentTimeMillis()))))) ++
+            Some(System.currentTimeMillis()),
+            deletionVector = f.deletionVector)))) ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation, params)))),
-        check = s => removedPaths.subsetOf(s.files.map(_.path).toSet) && extraCheck(s))
+        check = s => {
+          val live = s.files.map(f => f.path -> f.deletionVector).toMap
+          expected.forall { case (p, dv) => live.get(p).contains(dv) } && extraCheck(s)
+        })
       if (committed < 0) {
         adds.foreach(a => fs.delete(new Path(path, a.path), false))
         cdcActions.foreach(_.cdc.foreach(c =>
@@ -730,13 +892,23 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   def restoreTo(version: Long): Long = {
     val target = log.snapshotAt(version)
     val current = snapshot
-    val targetFiles = target.files.map(f => f.path -> f).toMap
-    val currentPaths = current.files.map(_.path).toSet
-    val readds = target.files.filter(f => !currentPaths.contains(f.path))
-    val removes = current.files.filter(f => !targetFiles.contains(f.path))
+    // identity is (path, deletion vector): a file whose DV changed since
+    // `version` must be re-added with the TARGET's descriptor, or the
+    // restore would silently keep rows deleted after the target version
+    val targetFiles = target.files.map(f => (f.path, f.deletionVector) -> f).toMap
+    val currentKeys = current.files.map(f => (f.path, f.deletionVector)).toSet
+    val readds = target.files.filter(f => !currentKeys.contains((f.path, f.deletionVector)))
+    val removes = current.files.filter(f => !targetFiles.contains((f.path, f.deletionVector)))
     readds.foreach { f =>
       require(fs.exists(new Path(path, f.path)),
         s"cannot restore to v$version: data file ${f.path} was vacuumed")
+      // a file re-added WITH a deletion vector needs that DV readable too
+      // — restoring the file without it would resurrect its deleted rows
+      f.deletionVector.filter(d => d.storageType != "i").foreach { d =>
+        require(fs.exists(new Path(path, d.pathOrInlineDv)),
+          s"cannot restore to v$version: deletion vector ${d.pathOrInlineDv} " +
+            s"of ${f.path} was vacuumed")
+      }
     }
     val metaUpdate = (target.metadata, current.metadata) match {
       case (Some(t), Some(c)) if t.schemaString != c.schemaString ||
@@ -746,16 +918,18 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       case _ => Nil
     }
     // adds/removes were computed against `current`: if ANY concurrent
-    // commit changes the file set before we land, committing them would
-    // produce neither the old state nor the new one — fail loudly
-    val basePaths = current.files.map(_.path).toSet
+    // commit changes the file set OR a descriptor before we land,
+    // committing them would produce neither the old state nor the new
+    // one — fail loudly. Removes precede adds: a same-path re-add with
+    // the target's DV must survive the in-order replay.
+    val baseKeys = current.files.map(f => (f.path, f.deletionVector)).toSet
     val committed = log.commit(metaUpdate ++
-      readds.map(f => Action(add = Some(f))) ++
       removes.map(f => Action(remove = Some(RemoveFile(f.path,
-        Some(System.currentTimeMillis()))))) ++
+        Some(System.currentTimeMillis()), deletionVector = f.deletionVector)))) ++
+      readds.map(f => Action(add = Some(f))) ++
       Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "RESTORE",
         Map("version" -> version.toString))))),
-      check = s => s.files.map(_.path).toSet == basePaths)
+      check = s => s.files.map(f => (f.path, f.deletionVector)).toSet == baseKeys)
     if (committed < 0)
       throw new java.util.ConcurrentModificationException(
         "RESTORE lost a commit race: a concurrent commit changed the table's file set")
@@ -842,18 +1016,24 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       case other => throw new IllegalArgumentException(
         s"statsSummary supports numeric and string columns, '$c' is $other")
     }
-    val parsed = snapshot.files.map(f => f.stats.map(Actions.mapper.readTree))
-    def bound(c: String, key: String): Seq[Option[Any]] = parsed.map { st =>
-      st.flatMap { s =>
-        val n = s.path(key).path(c)
-        if (n.isMissingNode || n.isNull ||
-            s.path("numRecords").asLong(0L) == 0L) None
-        else boundType(c) match {
-          case LongType => Some(n.asLong())
-          case DoubleType => Some(n.asDouble())
-          case _ => Some(n.asText())
+    val liveFiles = snapshot.files
+    val parsed = liveFiles.map(f => f.stats.map(Actions.mapper.readTree))
+    def bound(c: String, key: String): Seq[Option[Any]] = liveFiles.zip(parsed).map {
+      case (f, st) =>
+        // a deletion vector may have removed the very row a bound came
+        // from — the file's stats stay valid OUTER bounds (skipping still
+        // prunes on them) but are no longer exact attained values
+        if (f.deletionVector.isDefined) None
+        else st.flatMap { s =>
+          val n = s.path(key).path(c)
+          if (n.isMissingNode || n.isNull ||
+              s.path("numRecords").asLong(0L) == 0L) None
+          else boundType(c) match {
+            case LongType => Some(n.asLong())
+            case DoubleType => Some(n.asDouble())
+            case _ => Some(n.asText())
+          }
         }
-      }
     }
     def fold(vs: Seq[Option[Any]], wantMin: Boolean): Any = {
       val known = vs.flatten
@@ -873,7 +1053,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     }
     val nRows = parsed.map(_.map(_.path("numRecords").asLong(0L)).getOrElse(
       throw new IllegalStateException(
-        "a live file has no stats: row count from the log would be wrong — scan instead"))).sum
+        "a live file has no stats: row count from the log would be wrong — scan instead"))).sum -
+      liveFiles.flatMap(_.deletionVector).map(_.cardinality).sum // logical = physical − deleted
     val values: Seq[Any] = nRows +: cols.flatMap { c =>
       Seq(fold(bound(c, "minValues"), wantMin = true),
         fold(bound(c, "maxValues"), wantMin = false))
@@ -899,6 +1080,19 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       throw new IllegalStateException(s"no table metadata at $path"))
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    rawFor(snap).select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+  }
+
+  /** The snapshot's rows with deletion vectors APPLIED. The one read
+    * path under [[toDF]]/time travel/[[scan]]/DML — so every consumer
+    * subtracts DV'd rows identically. With `withMeta` the result carries
+    * `__meta_fname` (data file name) and `__meta_pos` (row position in
+    * file) — projected BEFORE the DV anti-join, because the hidden
+    * `_metadata` column is only resolvable directly over the file-source
+    * relation and would be lost past a join. */
+  private def rawFor(snap: Snapshot, withMeta: Boolean = false): DataFrame = {
+    val sch = snap.schema.getOrElse(
+      throw new IllegalStateException(s"no table metadata at $path"))
     val paths = snap.files.map(f => new Path(path, f.path).toString)
     val parts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
     // the declared schema is passed EXPLICITLY on both branches: files
@@ -909,7 +1103,43 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val df =
       if (parts.isEmpty) reader.parquet(paths: _*)
       else reader.option("basePath", path).parquet(paths: _*)
-    df.select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val del = deletedPositions(snap)
+    val needMeta = withMeta || del.isDefined
+    // file NAME, not full path: Spark part-file names carry a per-job
+    // UUID, so the name alone identifies the file and sidesteps
+    // URI-encoding drift between `_metadata.file_path` and the log's
+    // relative paths
+    val withCols = if (!needMeta) df else df
+      .withColumn("__meta_fname",
+        org.apache.spark.sql.functions.substring_index(
+          col("_metadata.file_path"), "/", -1))
+      .withColumn("__meta_pos", col("_metadata.row_index"))
+    // the deleted side is cardinality-sized (a DV delete is by design a
+    // small fraction of rows) and broadcasts
+    val filtered = del.fold(withCols)(d =>
+      withCols.join(org.apache.spark.sql.functions.broadcast(d),
+        Seq("__meta_fname", "__meta_pos"), "left_anti"))
+    if (withMeta || !needMeta) filtered
+    else filtered.drop("__meta_fname", "__meta_pos")
+  }
+
+  /** (file name, deleted position) rows for every live file carrying a
+    * deletion vector; None when the snapshot has no DVs (the common case
+    * pays nothing). Driver memory is bounded by the DELETED-row count —
+    * the DV contract (mass deletes belong to copy-on-write
+    * [[delete]]/[[purgeDeletionVectors]], which clear this state). */
+  private def deletedPositions(snap: Snapshot): Option[DataFrame] = {
+    val dvd = snap.files.filter(_.deletionVector.isDefined)
+    if (dvd.isEmpty) None
+    else {
+      import spark.implicits._
+      val rows: Seq[(String, Long)] = dvd.flatMap { f =>
+        val name = new Path(f.path).getName
+        DeletionVectors.readPositions(fs, path, f.deletionVector.get)
+          .map(p => (name, p)).toSeq
+      }
+      Some(rows.toDF("__meta_fname", "__meta_pos"))
+    }
   }
 
   /** Garbage-collect data files no longer referenced by the CURRENT
@@ -922,7 +1152,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * deletion is metadata-rate; for object stores this would batch
     * delete calls. */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
-    val referenced = snapshot.files.map(_.path).toSet
+    val snap = snapshot
+    val referenced = snap.files.map(_.path).toSet
+    // DV files referenced by any LIVE add must survive (deleting one
+    // resurrects that file's deleted rows); unreferenced ones age out
+    // with the same retention as data files
+    val referencedDv = snap.files.flatMap(_.deletionVector)
+      .filter(_.storageType == "u").map(_.pathOrInlineDv).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val root = new Path(path)
     val rootQ = fs.makeQualified(root).toString
@@ -935,8 +1171,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         else {
           val rel = fs.makeQualified(st.getPath).toString
             .stripPrefix(rootQ).stripPrefix("/")
-          val isData = st.getPath.getName.endsWith(".parquet")
-          if (isData && !referenced.contains(rel) && st.getModificationTime < cutoff) {
+          val n = st.getPath.getName
+          val collectable =
+            (n.endsWith(".parquet") && !referenced.contains(rel)) ||
+              (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+                !referencedDv.contains(rel))
+          if (collectable && st.getModificationTime < cutoff) {
             if (fs.delete(st.getPath, false)) deleted += 1
           }
         }
@@ -994,13 +1234,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
     val adds = collectStagedFiles(staging, parts)
     try {
-      val removedPaths = snap.files.map(_.path).toSet
+      val expected = snap.files.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(
         adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
           snap.files.map(f => Action(remove = Some(RemoveFile(f.path,
-            Some(System.currentTimeMillis()), dataChange = false)))) ++
+            Some(System.currentTimeMillis()), dataChange = false,
+            deletionVector = f.deletionVector)))) ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))),
-        check = s => removedPaths.subsetOf(s.files.map(_.path).toSet))
+        // path-AND-descriptor guard: a concurrent DV delete keeps paths
+        // live while changing logical content — clobbering it would
+        // resurrect its deleted rows
+        check = s => {
+          val live = s.files.map(f => f.path -> f.deletionVector).toMap
+          expected.forall { case (p, dv) => live.get(p).contains(dv) }
+        })
       if (committed < 0)
         adds.foreach(a => fs.delete(new Path(path, a.path), false))
       committed
@@ -1023,17 +1270,22 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
     val adds = collectStagedFiles(staging, parts)
     try {
-      val removedPaths = small.map(_.path).toSet
+      val expected = small.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(
         adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
           small.map(f => Action(remove = Some(RemoveFile(f.path,
-            Some(System.currentTimeMillis()), dataChange = false)))) ++
+            Some(System.currentTimeMillis()), dataChange = false,
+            deletionVector = f.deletionVector)))) ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))),
         // concurrency guard: if ANY of the files this rewrite is based on
-        // is no longer live (a concurrent compaction/vacuum got there
-        // first), committing our adds would duplicate every shared row —
-        // abort instead (the retry re-runs this check on the new snapshot)
-        check = s => removedPaths.subsetOf(s.files.map(_.path).toSet))
+        // is no longer live — or now carries a different DV descriptor (a
+        // concurrent compaction, vacuum, or DV delete got there first) —
+        // committing our adds would duplicate or resurrect rows; abort
+        // instead (the retry re-runs this check on the new snapshot)
+        check = s => {
+          val live = s.files.map(f => f.path -> f.deletionVector).toMap
+          expected.forall { case (p, dv) => live.get(p).contains(dv) }
+        })
       if (committed < 0)
         adds.foreach(a => fs.delete(new Path(path, a.path), false))
       committed

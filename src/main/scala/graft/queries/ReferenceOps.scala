@@ -464,6 +464,41 @@ object ReferenceOps extends QueryModule {
              |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM afterdml""".stripMargin)),
 
+    // ---- DELETION VECTORS (delta-rs merge-on-read delete; the Delta
+    // `deletionVectors` table feature): append through the real write
+    // path, DV-delete two overlapping slices (the second MERGES into the
+    // first's bitmaps), and verify IN-QUERY that not one data file was
+    // rewritten, that descriptors ride the commit, and that the LOG-ONLY
+    // row count (numRecords − cardinality) equals the DV-applied scan.
+    // The oracle recomputes the logical state from raw events — a bitmap
+    // off by one position, a dropped merge, or a scan that misses the
+    // anti-join shifts the sums. ---------------------------------------
+    "ref_dv_delete" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-dv")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(graft.delta.DeltaTable.DvConfigKey -> "true"))
+        t.append(ev)
+        val before = t.snapshot.files.map(_.path).toSet
+        require(t.deleteWithDv(col("event_id") % 7 === 0) > 0L)
+        require(t.deleteWithDv(col("event_id") % 11 === 0) > 0L)
+        val after = t.snapshot.files
+        require(after.map(_.path).toSet == before,
+          "a DV delete must not rewrite any data file")
+        require(after.exists(_.deletionVector.isDefined),
+          "deletion-vector descriptors must ride the commit")
+        require(t.statsSummary(Nil).collect()(0).getLong(0) == t.toDF.count(),
+          "log-only logical count must equal the DV-applied scan")
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum
+             |FROM events WHERE event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin)),
+
     // ---- CHANGE DATA FEED (delta-rs load_cdf): a five-version DML
     // script — append evens, append odds, delete %7, update %5 (+1e6),
     // merge %3 (+2e6: updates live rows, REINSERTS the %21 rows deleted

@@ -1,0 +1,249 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Deletion vectors: the portable RoaringBitmapArray serialization, Z85
+  * inline encoding, the DV file framing, and the merge-on-read table
+  * semantics ([[DeltaTable.deleteWithDv]] / [[DeltaTable.purgeDeletionVectors]]).
+  */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- bitmap serialization --------------------------------------------
+
+  test("roaring round-trip: array containers, sparse keys") {
+    val xs = Array(0L, 1L, 5L, 65535L, 65536L, 131072L, 1000000L)
+    assert(DeletionVectors.deserialize(DeletionVectors.serialize(xs)).toSeq === xs.toSeq)
+    assert(DeletionVectors.deserialize(DeletionVectors.serialize(Array.empty[Long])).isEmpty)
+  }
+
+  test("roaring round-trip: bitset container past 4096 values") {
+    val xs = (0L until 5000L).map(_ * 2).toArray // 5000 values in container 0
+    val bytes = DeletionVectors.serialize(xs)
+    assert(DeletionVectors.deserialize(bytes).toSeq === xs.toSeq)
+    // bitset containers are fixed 8 KiB — the serialization must be far
+    // smaller than 2 bytes x values would suggest is the only option
+    assert(bytes.length < 10000)
+  }
+
+  test("roaring round-trip: values past 2^32 span multiple bitmaps") {
+    val xs = Array(3L, (1L << 32) + 7L, (3L << 32) + 1L) // bitmap 2 is empty
+    assert(DeletionVectors.deserialize(DeletionVectors.serialize(xs)).toSeq === xs.toSeq)
+  }
+
+  test("roaring refuses unsorted input and foreign magics") {
+    assertThrows[IllegalArgumentException](
+      DeletionVectors.serialize(Array(5L, 3L)))
+    assertThrows[IllegalArgumentException](
+      DeletionVectors.deserialize(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)))
+  }
+
+  test("z85 round-trip and the reference test vector") {
+    // the ZeroMQ spec's canonical vector
+    val hello = Array(0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B).map(_.toByte)
+    assert(DeletionVectors.z85Encode(hello) === "HelloWorld")
+    assert(DeletionVectors.z85Decode("HelloWorld").toSeq === hello.toSeq)
+    val rnd = Array.tabulate(64)(i => (i * 37 + 11).toByte)
+    assert(DeletionVectors.z85Decode(DeletionVectors.z85Encode(rnd)).toSeq === rnd.toSeq)
+  }
+
+  test("store: inline for small bitmaps, crc-checked file for large; both read back") {
+    val dir = tmpDir("dv-store")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val small = Array(1L, 2L, 3L)
+    val dSmall = DeletionVectors.store(fs, dir, small)
+    assert(dSmall.storageType === "i" && dSmall.cardinality === 3L)
+    assert(DeletionVectors.readPositions(fs, dir, dSmall).toSeq === small.toSeq)
+    val big = (0L until 2000L).toArray // 2000*2B > inline cap
+    val dBig = DeletionVectors.store(fs, dir, big)
+    assert(dBig.storageType === "u" && dBig.cardinality === 2000L)
+    assert(DeletionVectors.readPositions(fs, dir, dBig).toSeq === big.toSeq)
+    // corrupting one bitmap byte must fail the CRC, not return wrong rows
+    val p = new Path(dir, dBig.pathOrInlineDv)
+    val bytes = org.apache.commons.io.IOUtils.toByteArray(fs.open(p))
+    bytes(dBig.offset.get + 10) = (bytes(dBig.offset.get + 10) ^ 0xFF).toByte
+    val out = fs.create(p, true); out.write(bytes); out.close()
+    assertThrows[IllegalArgumentException](DeletionVectors.readPositions(fs, dir, dBig))
+  }
+
+  // ---- table semantics -------------------------------------------------
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", StringType)))
+
+  private def dvTable(extraConf: Map[String, String] = Map.empty): DeltaTable = {
+    val t = DeltaTable.forPath(spark, tmpDir("dv-spec"))
+    t.create(schema, Nil,
+      configuration = Map(DeltaTable.DvConfigKey -> "true") ++ extraConf)
+  }
+
+  private def df(ids: Range) = ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+
+  test("deleteWithDv deletes rows WITHOUT rewriting any data file") {
+    val t = dvTable()
+    t.append(df(0 until 100))
+    t.append(df(100 until 200))
+    val before = t.snapshot.files.map(_.path).toSet
+    val v = t.deleteWithDv(col("id") % 10 === 0) // 20 rows across both files
+    assert(v > 0)
+    val after = t.snapshot.files
+    assert(after.map(_.path).toSet === before, "data files must not be rewritten")
+    assert(after.forall(_.deletionVector.isDefined))
+    assert(after.map(_.deletionVector.get.cardinality).sum === 20L)
+    assert(t.toDF.count() === 180L)
+    assert(t.toDF.filter(col("id") % 10 === 0).count() === 0L)
+    // a delete whose matches are all already deleted is a no-op
+    assert(t.deleteWithDv(col("id") % 10 === 0) === -1L)
+    // unrelated rows intact
+    assert(t.toDF.filter(col("id") === 7L).count() === 1L)
+  }
+
+  test("deleteWithDv refuses without the table config") {
+    val t = DeltaTable.forPath(spark, tmpDir("dv-off"))
+    t.create(schema, Nil)
+    t.append(df(0 until 5))
+    assertThrows[IllegalArgumentException](t.deleteWithDv(col("id") === 1L))
+  }
+
+  test("second DV delete merges bitmaps; full-file deletion degrades to remove") {
+    val t = dvTable()
+    t.append(df(0 until 50).coalesce(1))   // file A (one part-file)
+    t.append(df(50 until 60).coalesce(1))  // file B (10 rows, one part-file)
+    assert(t.deleteWithDv(col("id") < 5) > 0)
+    assert(t.deleteWithDv(col("id") >= 5 && col("id") < 8) > 0) // merges into A's DV
+    val fileA = t.snapshot.files.find(_.deletionVector.isDefined).get
+    assert(fileA.deletionVector.get.cardinality === 8L)
+    assert(t.toDF.count() === 52L)
+    // deleting ALL of file B's remaining rows must remove the file, not
+    // carry a 100%-dead DV
+    val before = t.snapshot.files.map(_.path).toSet
+    assert(t.deleteWithDv(col("id") >= 50) > 0)
+    val after = t.snapshot.files
+    assert(after.size === before.size - 1)
+    assert(t.toDF.count() === 42L)
+  }
+
+  test("NULL-predicate rows survive a DV delete (three-valued logic)") {
+    val t = DeltaTable.forPath(spark, tmpDir("dv-null"))
+    t.create(schema, Nil, configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    t.append(Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("id", "v"))
+    assert(t.deleteWithDv(col("v") =!= "a") > 0) // NULL row: predicate NULL
+    assert(t.toDF.orderBy("id").select("id").as[Long].collect().toSeq === Seq(1L, 2L))
+  }
+
+  test("time travel and restore see through DV versions") {
+    val t = dvTable()
+    t.append(df(0 until 30))                    // v1
+    val vDel = t.deleteWithDv(col("id") < 10)   // v2
+    assert(t.toDF(1).count() === 30L, "pre-delete version must show all rows")
+    assert(t.toDF(vDel).count() === 20L)
+    t.restoreTo(1)                              // v3
+    assert(t.toDF.count() === 30L, "restore resurrects the DV'd rows")
+    assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
+  }
+
+  test("purgeDeletionVectors materializes deletes; logical content unchanged") {
+    val t = dvTable()
+    t.append(df(0 until 100))
+    t.deleteWithDv(col("id") >= 90)
+    val logical = t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq
+    val v = t.purgeDeletionVectors()
+    assert(v > 0)
+    assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
+    assert(t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq === logical)
+    // purge on a clean table is a no-op
+    assert(t.purgeDeletionVectors() === -1L)
+    // the old DV file (if any) is no longer referenced and vacuumable
+    assert(t.vacuum(retentionMs = 0L) >= 1) // at least the pre-purge data file
+  }
+
+  test("copy-on-write DML on a DV'd table honors the logical view and clears DVs") {
+    val t = dvTable()
+    t.append(df(0 until 20))
+    t.deleteWithDv(col("id") < 5)
+    // update must not resurrect DV'd rows
+    t.update(col("id") >= 5 && col("id") < 7, Map("v" -> lit("upd")))
+    val rows = t.toDF.orderBy("id").collect()
+    assert(rows.length === 15)
+    assert(rows.take(2).map(_.getString(1)).toSeq === Seq("upd", "upd"))
+    // the rewrite materialized the file: no DV left
+    assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
+    // copy-on-write delete over a DV'd table composes too
+    val t2 = dvTable()
+    t2.append(df(0 until 20))
+    t2.deleteWithDv(col("id") === 0L)
+    assert(t2.delete(col("id") < 3) > 0) // removes 1, 2 (0 already gone)
+    assert(t2.toDF.count() === 17L)
+  }
+
+  test("statsSummary: logical n_rows subtracts DVs; bounds go conservative then recover") {
+    val t = dvTable()
+    t.append(df(0 until 50))
+    val s0 = t.statsSummary(Seq("id")).collect()(0)
+    assert(s0.getLong(0) === 50L && s0.getLong(1) === 0L && s0.getLong(2) === 49L)
+    t.deleteWithDv(col("id") === 49L)
+    val s1 = t.statsSummary(Seq("id")).collect()(0)
+    assert(s1.getLong(0) === 49L, "count stays exact under DVs")
+    assert(s1.isNullAt(1) && s1.isNullAt(2),
+      "a DV'd file's bounds are no longer exact attained values — null, not a lie")
+    t.purgeDeletionVectors()
+    val s2 = t.statsSummary(Seq("id")).collect()(0)
+    assert(s2.getLong(0) === 49L && s2.getLong(1) === 0L && s2.getLong(2) === 48L)
+  }
+
+  test("CDF captures DV-deleted rows") {
+    val t = DeltaTable.forPath(spark, tmpDir("dv-cdf"))
+    t.create(schema, Nil, configuration = Map(
+      DeltaTable.DvConfigKey -> "true", DeltaTable.CdfConfigKey -> "true"))
+    t.append(df(0 until 10))                    // v1
+    val v = t.deleteWithDv(col("id") >= 8)      // v2
+    val ch = t.changes(v, v).orderBy("id").collect()
+    assert(ch.map(_.getAs[String](DeltaTable.ChangeTypeCol)).toSeq === Seq("delete", "delete"))
+    assert(ch.map(_.getLong(0)).toSeq === Seq(8L, 9L))
+  }
+
+  test("DV'd adds survive the parquet checkpoint round-trip") {
+    val t = dvTable()
+    t.append(df(0 until 40))              // v1
+    t.deleteWithDv(col("id") < 4)         // v2
+    (0 until 8).foreach(i => t.append(df((100 + i) to (100 + i)))) // → v10 checkpoint
+    assert(new Path(t.path, "_delta_log/00000000000000000010.checkpoint.parquet")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new Path(t.path, "_delta_log/00000000000000000010.checkpoint.parquet")))
+    // a FRESH reader seeds from the checkpoint — the descriptor must ride it
+    val t2 = DeltaTable.forPath(spark, t.path)
+    assert(t2.snapshot.files.exists(_.deletionVector.isDefined))
+    assert(t2.toDF.filter(col("id") < 4).count() === 0L)
+    assert(t2.toDF.count() === 44L)
+    // the checkpoint must carry the UPGRADED protocol, not re-stamp the
+    // default — a reader seeding from it needs to know DVs are in play
+    val p = t2.snapshot.protocol.get
+    assert(p.minReaderVersion === 3 && p.minWriterVersion === 7)
+    assert(p.readerFeatures.exists(_.contains("deletionVectors")))
+  }
+
+  test("vacuum keeps referenced DV files, collects them after purge") {
+    val t = dvTable()
+    t.append(df(0 until 3000)) // big enough for a file-backed (non-inline) DV
+    t.deleteWithDv(col("id") % 2 === 0)
+    val fs = new Path(t.path).getFileSystem(spark.sessionState.newHadoopConf())
+    val dvFiles = fs.listStatus(new Path(t.path))
+      .map(_.getPath.getName).filter(_.startsWith("deletion_vector_"))
+    assert(dvFiles.nonEmpty, "1500 deletions must exceed the inline cap")
+    t.vacuum(retentionMs = 0L)
+    assert(fs.listStatus(new Path(t.path))
+      .map(_.getPath.getName).count(_.startsWith("deletion_vector_")) === dvFiles.length,
+      "a referenced DV file must survive vacuum")
+    assert(t.toDF.count() === 1500L, "post-vacuum reads still subtract the DV")
+    t.purgeDeletionVectors()
+    t.vacuum(retentionMs = 0L)
+    assert(fs.listStatus(new Path(t.path))
+      .map(_.getPath.getName).count(_.startsWith("deletion_vector_")) === 0,
+      "an unreferenced DV file ages out")
+  }
+}
