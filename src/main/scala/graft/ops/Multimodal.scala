@@ -675,6 +675,37 @@ object Multimodal {
     }
   }
 
+  /** Scene-cut detection over per-frame statistics (keyframe selection
+    * for video training pipelines: sample one frame per SCENE instead of
+    * per fixed stride). A cut lands at frame f when the L1 distance
+    * between consecutive frames' channel statistics reaches `threshold`
+    * — the classic color-histogram shot-boundary heuristic, over
+    * whatever per-frame reduction the decode stage produced (channel
+    * means here; histograms would slot in the same way).
+    *
+    * Emits one row per non-first frame: (id, frame, dist, is_cut).
+    * Callers feed BUCKETED integer stats (e.g. the 16-level channel
+    * buckets the MJPEG gate uses) so lossy-codec noise below the bucket
+    * width cannot flip a cut decision.
+    *
+    * Plan shape: one window partitioned by asset ordered by frame —
+    * per-asset state is one lag row, shuffles carry (id, frame, k longs)
+    * only; the pixel payloads never leave the decode stage. */
+  def sceneCuts(stats: DataFrame, idCol: String, frameCol: String,
+                channelCols: Seq[String], threshold: Long): DataFrame = {
+    require(channelCols.nonEmpty, "need at least one channel column")
+    require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(frameCol))
+    val dist = channelCols.map(c =>
+      abs(col(c).cast("long") - lag(col(c).cast("long"), 1).over(w)))
+      .reduce(_ + _)
+    stats.withColumn("dist", dist)
+      .filter(col("dist").isNotNull) // first frame of each asset has no lag
+      .select(col(idCol), col(frameCol), col("dist"),
+        (col("dist") >= threshold).as("is_cut"))
+  }
+
   /** Deterministic fake "decode header" as pure columns (oracle-able):
     * md5-derived width/height/channels — the stand-in for reading a real
     * image header, exercised end-to-end by the driver gate. */

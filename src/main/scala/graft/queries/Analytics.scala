@@ -386,6 +386,41 @@ object Analytics extends QueryModule {
              |UNION ALL SELECT 3, count(*) FROM t3
              |ORDER BY stage""".stripMargin)),
 
+    // Cohort retention (the product-analytics staple the funnel doesn't
+    // cover): users grouped by first-active WEEK, then distinct-user
+    // counts per (cohort, weeks-since-cohort) cell. Week buckets via
+    // date_trunc (ISO Monday in both engines — the q10 'hour' parity
+    // precedent), offsets via exact integer day arithmetic (DIV 7 — both
+    // engines truncate identically on the exact multiples date_trunc
+    // guarantees). Plan: one distinct on (user, week), one per-user min,
+    // a key join, one count-distinct agg — all shuffles carry (long,
+    // timestamp) pairs.
+    "q25_cohort" -> QueryDef(
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val firstWk = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        act.join(firstWk, Seq("user_id"))
+          .withColumn("week_offset", expr("CAST(datediff(wk, cohort) AS LONG) DIV 7"))
+          .groupBy(col("cohort"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("users"))
+          .orderBy(col("cohort"), col("week_offset"))
+      },
+      Some("""WITH act AS (
+             |  -- DuckDB date_trunc('week') yields DATE, Spark a TIMESTAMP:
+             |  -- cast here so the arrow schema gate compares like for like
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+             |), firstwk AS (
+             |  SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id
+             |)
+             |SELECT f.cohort AS cohort,
+             |  CAST(date_diff('day', f.cohort, a.wk) AS BIGINT) // 7 AS week_offset,
+             |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+             |FROM act a JOIN firstwk f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin)),
+
     "q23_hilbert_key" -> QueryDef(
       (s, d) =>
         Tables.events(s, d)

@@ -379,6 +379,63 @@ object MultimodalQueries extends QueryModule {
              |  CAST((3 * id + 7 * f + 2) % 16 AS BIGINT) AS b16
              |FROM fr ORDER BY asset_id, frame_idx""".stripMargin)),
 
+    // Scene-cut detection composed onto the REAL MJPEG decode path:
+    // 4–6-frame MJPEG AVIs whose color holds for two frames then jumps
+    // (bucket-centered solid colors survive the lossy round-trip into
+    // exact 16-level buckets), shot boundaries from the L1 bucket
+    // distance of consecutive frames. The oracle replays the closed-form
+    // color walk and the same lag/abs/threshold arithmetic — a missed
+    // boundary, an off-by-one frame order, or codec noise above the
+    // bucket width breaks the hash.
+    "mm_scene_cuts" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 60)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val nf = 4 + (id % 3).toInt
+            val colors = (0 until nf).map { f =>
+              val k = f / 2 // color holds for two frames, then jumps
+              (16 * ((id + 5 * k) % 16).toInt + 8,
+                16 * ((2 * id + 3 * k + 1) % 16).toInt + 8,
+                16 * ((3 * id + 7 * k + 2) % 16).toInt + 8)
+            }
+            (id, "video", mjpegAvi(16, 8, colors))
+          }).toDF("asset_id", "kind", "bytes")
+        val stats = Multimodal.frameColorStats(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.ByMagic()))
+          .toDF()
+          .select(col("asset_id"), col("frame_idx"),
+            floor(col("mean_r_q3") / 16000).cast("long").as("r16"),
+            floor(col("mean_g_q3") / 16000).cast("long").as("g16"),
+            floor(col("mean_b_q3") / 16000).cast("long").as("b16"))
+        Multimodal.sceneCuts(stats, "asset_id", "frame_idx",
+            Seq("r16", "g16", "b16"), threshold = 1L)
+          .orderBy(col("asset_id"), col("frame_idx"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS id, 4 + doc_id % 3 AS nf
+             |  FROM documents WHERE doc_id < 60
+             |), fr AS (
+             |  SELECT id, unnest(range(0, nf)) AS f FROM a
+             |), st AS (
+             |  SELECT id, f,
+             |    (id + 5 * (f // 2)) % 16 AS r16,
+             |    (2 * id + 3 * (f // 2) + 1) % 16 AS g16,
+             |    (3 * id + 7 * (f // 2) + 2) % 16 AS b16
+             |  FROM fr
+             |), dd AS (
+             |  SELECT id, f,
+             |    abs(r16 - lag(r16) OVER w) + abs(g16 - lag(g16) OVER w)
+             |      + abs(b16 - lag(b16) OVER w) AS dist
+             |  FROM st WINDOW w AS (PARTITION BY id ORDER BY f)
+             |)
+             |SELECT id AS asset_id, CAST(f AS INT) AS frame_idx,
+             |  CAST(dist AS BIGINT) AS dist, dist >= 1 AS is_cut
+             |FROM dd WHERE dist IS NOT NULL
+             |ORDER BY asset_id, frame_idx""".stripMargin)),
+
     // REAL multi-frame decode, hash-gated end to end: animated GIFs
     // (2..4 solid-color frames, varying dims) are fabricated per doc_id,
     // decoded frame-by-frame through the JDK GIF reader

@@ -481,4 +481,25 @@ class MultimodalSpec extends SparkSpec {
     val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("asset 21") && msg.contains("16-bit"))
   }
+
+  test("sceneCuts: lag distance per asset; first frame dropped; threshold gates") {
+    val stats = Seq(
+      // asset 1: colors hold, jump at f=2, hold again
+      (1L, 0, 4L, 4L, 4L), (1L, 1, 4L, 4L, 4L), (1L, 2, 9L, 4L, 4L), (1L, 3, 9L, 4L, 4L),
+      // asset 2: every frame drifts by exactly 1 in one channel
+      (2L, 0, 0L, 0L, 0L), (2L, 1, 1L, 0L, 0L), (2L, 2, 2L, 0L, 0L))
+      .toDF("asset_id", "frame_idx", "r", "g", "b")
+    val got = Multimodal.sceneCuts(stats, "asset_id", "frame_idx",
+        Seq("r", "g", "b"), threshold = 2L)
+      .orderBy("asset_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1, 0L, false), (1L, 2, 5L, true), (1L, 3, 0L, false),
+      (2L, 1, 1L, false), (2L, 2, 1L, false)))
+    // threshold 1: the slow drift becomes cuts too
+    val cuts1 = Multimodal.sceneCuts(stats, "asset_id", "frame_idx",
+        Seq("r", "g", "b"), threshold = 1L)
+      .filter(col("is_cut")).count()
+    assert(cuts1 === 3L)
+  }
 }
