@@ -121,6 +121,77 @@ object Graph {
        |), $steps""".stripMargin
   }
 
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007's community
+    * detection, the deterministic variant): every node starts as its own
+    * label; each round every node simultaneously adopts the most
+    * frequent label among its neighbors, ties broken to the SMALLEST
+    * label. The textbook ASYNC version is processing-order dependent —
+    * unreproducible across partitionings and impossible to hash-gate;
+    * the synchronous fixed-round form here is a pure function of the
+    * edge list, bit-identical at any parallelism, and the oracle replays
+    * every round.
+    *
+    * Scale: the [[pageRank]] skeleton — edges deduped, pre-partitioned
+    * on the iteration join key and localCheckpointed once; each round
+    * shuffles only (node, label) pairs; the argmax is one
+    * max(struct(count, −label)) aggregation, no per-node window.
+    *
+    * @param edges symmetric (src, dst) long columns (e.g.
+    *              [[bipartiteEdges]]); duplicates collapse
+    * @return (node, label) after `rounds` synchronous rounds */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       checkpointInterval: Int = 5): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val eP = e.repartition(col("src")).localCheckpoint()
+    var l = nodes.select(col("node"), col("node").as("lbl"))
+    for (i <- 1 to rounds) {
+      val counts = eP.join(l.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): max of (c, −label) structs —
+      // labels are non-negative node ids, so negation cannot overflow
+      val best = counts.groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("newl"))
+      l = l.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+      if (i % checkpointInterval == 0 && i < rounds) l = l.localCheckpoint()
+    }
+    l
+  }
+
+  /** DuckDB twin of [[labelPropagation]]: unrolled round CTEs ending in
+    * `l$rounds(node, lbl)`. `e(src, dst)` must be in scope (distinct
+    * simple edges). Every CTE MATERIALIZED for the same fan-out reason
+    * as [[pageRankSql]]. */
+  def labelPropagationSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""cnt$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.lbl, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY e.dst, l.lbl
+         |), b$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM cnt$i) WHERE rn = 1
+         |), l$i AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(b$i.lbl, l.lbl) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN b$i ON b$i.node = l.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |), l0 AS MATERIALIZED (
+       |  SELECT node, node AS lbl FROM nodes
+       |), $steps""".stripMargin
+  }
+
   /** Symmetric bipartite interaction edges between two id columns of a
     * relation (e.g. customers and suppliers linked by order lines): an
     * edge each way per distinct pair, right ids offset into their own id

@@ -456,6 +456,31 @@ object Analytics extends QueryModule {
               |  UNION ALL SELECT b AS src, a AS dst FROM p
               |), ${graft.ops.Graph.pageRankSql(3)}
               |SELECT node, r AS rank_q FROM r3 ORDER BY node""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // Synchronous label-propagation communities over the same
+    // customer↔supplier interaction graph as graph_pagerank — the oracle
+    // replays all 3 synchronous rounds (counts → smallest-label argmax →
+    // simultaneous adoption) bit-for-bit, so a tie broken the wrong way
+    // or an async-style in-round leak fails the hash.
+    "graph_label_prop" -> QueryDef(
+      (s, d) => {
+        val rel = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        graft.ops.Graph.labelPropagation(
+            graft.ops.Graph.bipartiteEdges(rel, "o_custkey", "l_suppkey", 10000000L),
+            rounds = 3)
+          .select(col("node"), col("lbl").as("community"))
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+              |    10000000 + CAST(l_suppkey AS BIGINT) AS b
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |), e AS MATERIALIZED (
+              |  SELECT a AS src, b AS dst FROM p
+              |  UNION ALL SELECT b AS src, a AS dst FROM p
+              |), ${graft.ops.Graph.labelPropagationSql(3)}
+              |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin))
   )
 }

@@ -94,4 +94,57 @@ class GraphSpec extends SparkSpec {
     assert(Graph.bipartiteEdges(Seq((999L, 10L)).toDF("cust", "supp"),
       "cust", "supp", 1000L).count() === 2L)
   }
+
+  /** Plain-Scala twin of synchronous LPA with the (count desc, label
+    * asc) tie rule. */
+  private def lpaRef(edges: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    var l = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      val next = edges.toSeq.groupBy(_._2).map { case (v, es) =>
+        val counts = es.map(e => l(e._1)).groupBy(identity)
+          .map { case (lbl, o) => lbl -> o.size }
+        v -> counts.toSeq.sortBy { case (lbl, c) => (-c, lbl) }.head._1
+      }
+      l = nodes.map(v => v -> next.getOrElse(v, l(v))).toMap
+    }
+    l
+  }
+
+  private def sym(pairs: (Long, Long)*): Set[(Long, Long)] =
+    pairs.toSet.flatMap((p: (Long, Long)) => Set(p, p.swap))
+
+  test("labelPropagation ≡ in-memory synchronous reference; communities separate") {
+    // two triangles bridged by one edge: labels converge within each
+    // triangle to its min id; the bridge is outvoted
+    val edges = sym((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val df = edges.toSeq.toDF("src", "dst")
+    val got = Graph.labelPropagation(df, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lpaRef(edges, 4))
+    // community structure: each triangle is uniform after convergence
+    assert(Set(got(1L), got(2L), got(3L)).size === 1)
+    assert(Set(got(10L), got(11L), got(12L)).size === 1)
+  }
+
+  test("labelPropagation: synchronous updates and smallest-label ties, any partitioning") {
+    // a 4-star: sync LPA oscillates center↔leaves — the deterministic
+    // fixed-round answer must match the reference EXACTLY (an async or
+    // in-round-leaking implementation converges instead)
+    val star = sym((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))
+    (1 to 3).foreach { rounds =>
+      val got = Graph.labelPropagation(star.toSeq.toDF("src", "dst"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === lpaRef(star, rounds), s"rounds=$rounds")
+    }
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
+    val a = Graph.labelPropagation(
+      edges.toSeq.toDF("src", "dst").repartition(1), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(
+      edges.toSeq.toDF("src", "dst").repartition(7, col("dst")), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b && a === lpaRef(edges, 3))
+  }
 }
