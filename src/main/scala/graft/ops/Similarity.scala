@@ -210,6 +210,36 @@ object Similarity {
     ivfTopKWith(corpus, corpusId, corpusVec, queries, queryId, queryVec, k, cents, nprobe)
   }
 
+  /** FILTERED ANN — [[ivfTopK]] under a metadata predicate: the
+    * retrieval shape every RAG/corpus-serving stack needs ("nearest
+    * neighbors WHERE lang = 'en' AND source != blocked"). Strategy is
+    * in-cell PRE-ranking filtering (FAISS's IDSelector / Vespa's
+    * filtered-ANN semantics): the codebook, cell assignment, and probe
+    * set stay those of the UNFILTERED corpus — one layout serves every
+    * predicate — while the predicate drops candidates BEFORE the top-k
+    * rank, so all k slots go to matching rows. Post-filtering an
+    * unfiltered top-k would return < k (often 0) under a selective
+    * predicate; pre-filtering the LAYOUT per predicate is a rebuild.
+    * Recall caveat unchanged from [[ivfTopK]]: a matching true neighbor
+    * in an unprobed cell is missed — raise nprobe as selectivity drops
+    * (with fewer matches per cell, more cells are needed to fill k).
+    *
+    * @param pred predicate over the corpus' columns; candidates failing
+    *             it never reach scoring */
+  def ivfTopKFiltered(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      pred: Column, queries: DataFrame, queryId: String,
+                      queryVec: String, k: Int, numCentroids: Int,
+                      nprobe: Int): DataFrame = {
+    // codebook from the UNfiltered corpus — shared with every other
+    // predicate (and with the unfiltered search / partitioned layout)
+    val cents: Seq[(Long, Seq[Float])] = corpus.filter(col(corpusId) < numCentroids)
+      .select(col(corpusId).cast("long"), col(corpusVec))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    require(cents.nonEmpty, "no centroid rows found (corpusId < numCentroids)")
+    ivfTopKWith(corpus.filter(pred), corpusId, corpusVec,
+      queries, queryId, queryVec, k, cents, nprobe)
+  }
+
   /** Deterministic Lloyd-iteration k-means codebook for [[ivfTopK]],
     * trained on the corpus under the SEARCH metric (cosine — scale
     * invariance makes the raw per-cell mean a valid spherical-k-means

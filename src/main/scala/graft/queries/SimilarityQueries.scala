@@ -22,7 +22,7 @@ object SimilarityQueries extends QueryModule {
     * definition for the top-k AND range oracles so the probe/assignment
     * replay cannot drift between them. Ends in `scored(query_id,
     * neighbor_id, cos)`. */
-  private val IvfScoredCtes: String = {
+  private def ivfScoredCtes(candJoin: String = "", candWhere: String = ""): String = {
     val O = OracleSql
     // norms precomputed once per row, candidate generation carries ids
     // only, vectors join back for exactly one dot product per scored
@@ -47,13 +47,15 @@ object SimilarityQueries extends QueryModule {
        |  ) WHERE rn <= 4
        |), cand AS (
        |  SELECT DISTINCT p.query_id, a.id AS neighbor_id
-       |  FROM assigned a JOIN probes p ON a.cell = p.cell
-       |  WHERE a.id <> p.query_id
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell$candJoin
+       |  WHERE a.id <> p.query_id$candWhere
        |), scored AS (
        |  SELECT p.query_id, p.neighbor_id, ${O.cosineN("q.v", "n.v", "q.nrm", "n.nrm", 64)} AS cos
        |  FROM cand p JOIN ebase q ON q.id = p.query_id JOIN ebase n ON n.id = p.neighbor_id
        |)""".stripMargin
   }
+
+  private val IvfScoredCtes: String = ivfScoredCtes()
 
   /** The IVF probe-and-rank oracle, shared VERBATIM by sim_topk_ivf,
     * sim_topk_ivf_delta (partition-pruned read) and sim_topk_ivfpq
@@ -62,6 +64,20 @@ object SimilarityQueries extends QueryModule {
     * baseline oracle by a missed edit. */
   private val IvfOracleSql: String =
     s"""$IvfScoredCtes, ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The SAME chain with the metadata predicate dropped into candidate
+    * generation — one generator for filtered and unfiltered, so the
+    * filtered replay cannot drift from the baseline by a missed edit. */
+  private val IvfFilteredOracleSql: String =
+    s"""${ivfScoredCtes(
+          candJoin = " JOIN embeddings em ON em.vec_id = a.id",
+          candWhere = " AND em.label % 2 = 0")}, ranked AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM scored
@@ -280,6 +296,23 @@ object SimilarityQueries extends QueryModule {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(IvfOracleSql)),
+
+    // FILTERED ANN (the RAG retrieval shape: nearest neighbors WHERE
+    // <metadata predicate>): same codebook/cells/probes as sim_topk_ivf,
+    // predicate label % 2 = 0 dropped into candidate generation BEFORE
+    // ranking — all 5 slots go to matching rows. The oracle is the same
+    // generator with the predicate parameter set, so filtered and
+    // unfiltered replays cannot drift apart.
+    "sim_topk_filtered" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.ivfTopKFiltered(emb, "vec_id", "embedding",
+            col("label") % 2 === 0,
+            queries, "vec_id", "embedding", k = 5, numCentroids = 16, nprobe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(IvfFilteredOracleSql)),
 
     // The SAME search through the cell-partitioned Delta layout: the
     // corpus is written Hive-partitioned by cell (writeIvfAssigned) and

@@ -205,4 +205,26 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("ivfTopKFiltered: neighbors satisfy the predicate; trivial predicate degenerates to ivfTopK") {
+    val k = 4
+    // predicate: even ids only
+    val filtered = Similarity.ivfTopKFiltered(corpus, "id", "v",
+      col("id") % 2 === 0, queries, "id", "v", k, numCentroids = 8, nprobe = 8)
+    val rows = filtered.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 % 2 == 0), "a filtered search must never return a non-matching row")
+    // all k slots fill with matching rows (pre-filter, not post-filter)
+    val perQuery = rows.groupBy(_._1).values
+    assert(perQuery.forall(_.length == k))
+    assert(perQuery.forall(_.map(_._3).sorted.toSeq == (1L to k)))
+    // an always-true predicate is exactly the unfiltered search
+    val trivial = Similarity.ivfTopKFiltered(corpus, "id", "v",
+      col("id") >= 0, queries, "id", "v", k, numCentroids = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unfiltered = Similarity.ivfTopK(corpus, "id", "v",
+      queries, "id", "v", k, numCentroids = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(trivial === unfiltered)
+  }
 }
