@@ -744,6 +744,37 @@ object TextAnalysis {
     }
   }
 
+  /** BPE DECODE — ids back to text (every tokenizer ships decode; a
+    * pipeline needs it for inspection, eval-sample rendering, and the
+    * round-trip identity check below). Each id maps through the vocab
+    * (a plan-time map literal — scan-stage, zero shuffle), -1/unknown
+    * ids render as `<unk>`, pieces concatenate and the end-of-word
+    * marker becomes a space.
+    *
+    * Identity contract: for a document whose encode produced no OOV ids,
+    * decode(encode(text)) equals the normalized token sequence joined by
+    * single spaces — BPE merges only ever concatenate adjacent symbols
+    * of one word, so the piece string spells the word exactly. (Corpus
+    * text containing the literal `</w>` marker would alias a word
+    * boundary — no natural-language corpus does, and such characters are
+    * OOV under a letters-only training alphabet anyway.)
+    *
+    * @return (id, decoded, n_unk) */
+  def decodeBpeIds(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   idsCol: String, vocab: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val entries = vocab.zipWithIndex.flatMap { case (p, i) =>
+      Seq(lit(i.toLong), lit(p))
+    }
+    val vocabMap = map(entries: _*)
+    df.select(col(idCol),
+        transform(col(idsCol), id =>
+          coalesce(element_at(vocabMap, id), lit("<unk>"))).as("__pieces"))
+      .select(col(idCol),
+        trim(expr(s"replace(array_join(__pieces, ''), '${graft.functions.BpeKernel.EndOfWord}', ' ')"))
+          .as("decoded"),
+        size(filter(col("__pieces"), p => p === "<unk>")).cast("long").as("n_unk"))
+  }
+
   /** Generated DuckDB CTE chain that RETRAINS BPE from the corpus — the
     * SQL twin of [[trainBpe]], closing the train-side gap the fixture
     * gates leave (the text_lm_score pattern: the oracle re-derives the

@@ -1153,6 +1153,54 @@ object TextQueries extends QueryModule {
            |FROM enc ORDER BY doc_id""".stripMargin
       }),
 
+    // BPE DECODE + the tokenizer round-trip identity: ids from the fused
+    // encode kernel map back through the vocab (plan-literal map,
+    // scan-stage), pieces concatenate, EOW becomes a space — and the
+    // `lossless` column asserts decode∘encode ≡ the normalized token
+    // sequence for every OOV-free doc, in BOTH engines (the oracle
+    // recomputes decode and the identity independently, so the hash gate
+    // proves the round trip, not just the mapping).
+    "text_bpe_decode" -> QueryDef(
+      (s, d) => {
+        val merges = graft.ops.TextAnalysis.trainBpeFromCounts(BpeFixtureCounts, 24)
+        val vocab = graft.ops.TextAnalysis.bpeVocab(BpeFixtureCounts, merges)
+        val docs = Tables.documents(s, d)
+        val ids = docs.select(col("doc_id"),
+          graft.functions.BpeEncodeIds.of(tokens(col("text")), merges, vocab).as("ids"))
+        graft.ops.TextAnalysis.decodeBpeIds(ids, "doc_id", "ids", vocab)
+          .join(docs.select(col("doc_id"),
+            array_join(tokens(col("text")), " ").as("norm")), Seq("doc_id"))
+          .select(col("doc_id"), col("decoded"), col("n_unk"),
+            (col("n_unk") > 0 || col("decoded") === col("norm")).as("lossless"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val merges = graft.ops.TextAnalysis.trainBpeFromCounts(BpeFixtureCounts, 24)
+        val vocab = graft.ops.TextAnalysis.bpeVocab(BpeFixtureCounts, merges)
+        val caseExpr = vocab.zipWithIndex
+          .map { case (p, i) => s"WHEN '${p.replace("'", "''")}' THEN $i" }
+          .mkString("CASE p ", " ", " ELSE -1 END")
+        s"""WITH enc AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(replace(
+           |      array_to_string(list_transform($T, w -> ${graft.ops.TextAnalysis.bpeEncodeSql("w", merges)}), ''),
+           |      chr(30), ''), chr(31)), p -> p <> '') AS pieces
+           |  FROM documents
+           |), dec AS (
+           |  SELECT doc_id,
+           |    trim(replace(array_to_string(list_transform(pieces,
+           |      p -> CASE WHEN ($caseExpr) = -1 THEN '<unk>' ELSE p END), ''),
+           |      '</w>', ' ')) AS decoded,
+           |    CAST(len(list_filter(pieces, p -> ($caseExpr) = -1)) AS BIGINT) AS n_unk
+           |  FROM enc
+           |), n AS (
+           |  SELECT doc_id, array_to_string($T, ' ') AS norm FROM documents
+           |)
+           |SELECT d.doc_id, d.decoded, d.n_unk,
+           |  (d.n_unk > 0 OR d.decoded = n.norm) AS lossless
+           |FROM dec d JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin
+      }),
+
     // Corpus→ids encode pass: the top-30 vocabulary (count desc, token asc
     // ids — same definition as text_vocab) applied back to every document.
     // Ids render as a comma-joined string (integer arrays would trip the

@@ -123,6 +123,24 @@ class TextSignalsSpec extends SparkSpec {
     assert(counts.forall(_ === 1L))
   }
 
+  test("decodeBpeIds inverts the encode kernel; OOV renders <unk>") {
+    val counts = Seq(("hello", 5L), ("world", 3L), ("held", 2L))
+    val merges = TextAnalysis.trainBpeFromCounts(counts, 12)
+    val vocab = TextAnalysis.bpeVocab(counts, merges)
+    val docs = Seq(
+      (1L, "hello world"), (2L, "held hello hello"),
+      (3L, "woZld"), // 'Z' is outside the training alphabet → OOV
+      (4L, "")).toDF("doc_id", "text")
+    val ids = docs.select(col("doc_id"),
+      graft.functions.BpeEncodeIds.of(TextAnalysis.tokens(col("text")), merges, vocab).as("ids"))
+    val got = TextAnalysis.decodeBpeIds(ids, "doc_id", "ids", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("hello world", 0L)))
+    assert(got(2L) === (("held hello hello", 0L)))
+    assert(got(3L)._2 >= 1L && got(3L)._1.contains("<unk>"))
+    assert(got(4L) === (("", 0L)))
+  }
+
   test("tfidfKeywords is partitioning-independent") {
     val a = TextAnalysis.tfidfKeywords(kwDocs.repartition(1), "doc_id", "text", k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
