@@ -37,6 +37,20 @@ object DeltaTable {
   /** Deletion-vector enablement config (Delta protocol / delta-rs). */
   val DvConfigKey = "delta.enableDeletionVectors"
 
+  /** Field-metadata key carrying a generated column's expression (the
+    * Delta protocol "Generated Columns" representation — stored in the
+    * schema's field metadata, not the table configuration). */
+  val GenerationExprKey = "delta.generationExpression"
+
+  /** A schema field declared GENERATED AS (`exprSql`) — pass to
+    * [[DeltaTable.create]]; generated columns are declared at table
+    * creation, like Delta proper. */
+  def generatedField(name: String, dataType: org.apache.spark.sql.types.DataType,
+                     exprSql: String): org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(name, dataType, nullable = true,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(GenerationExprKey, exprSql).build())
+
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
 
@@ -97,8 +111,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
              name: Option[String] = None,
              configuration: Map[String, String] = Map.empty): this.type = {
     if (!exists) {
+      // generated columns require minWriterVersion 4 per the protocol
+      val hasGen = schema.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey))
       log.commit(Seq(
-        Action(protocol = Some(Protocol())),
+        Action(protocol = Some(
+          if (hasGen) Protocol(minWriterVersion = 4) else Protocol())),
         Action(metaData = Some(Metadata(
           id = java.util.UUID.randomUUID().toString,
           name = name,
@@ -192,21 +209,48 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     committed
   }
 
+  /** Generated columns in force: field name → generation expression,
+    * from the schema's field metadata (the protocol representation). */
+  def generatedColumns: Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(DeltaTable.GenerationExprKey))
+        Some(f.name -> f.metadata.getString(DeltaTable.GenerationExprKey))
+      else None
+    }.toMap
+
   /** Fuse CHECK enforcement into a write's own job: each constraint
     * becomes a filter whose violating branch raises with the constraint
     * name and the offending row — NO extra scan over the batch (Delta
     * proper fuses the check the same way), and the existing staged-file
     * cleanup paths handle the failed write. Applied to appended data and
     * to the CHANGED rows of merge/update; delete/compact/zorder/restore
-    * introduce no new values and skip it (delta-rs behavior). */
+    * introduce no new values and skip it (delta-rs behavior).
+    *
+    * GENERATED columns enforce here too: every written row must satisfy
+    * `col <=> generation expression` (null-safe — both null passes).
+    * [[append]] COMPUTES omitted generated columns before this check
+    * (which then passes trivially); merge/update ENFORCE only — a
+    * changed row whose generated value no longer matches its inputs
+    * refuses loudly rather than silently recomputing (provide generated
+    * inputs consistently, the documented divergence from Delta proper's
+    * recompute-on-merge). */
   private def withConstraintChecks(df: DataFrame): DataFrame = {
-    val cons = checkConstraints.toSeq.sortBy(_._1)
-    cons.foldLeft(df) { case (d, (n, e)) =>
-      val pred = org.apache.spark.sql.functions.expr(e)
+    val sch = schema
+    val genChecks = generatedColumns.toSeq.sortBy(_._1).map { case (n, e) =>
+      val dt = sch.fields.find(_.name == n).get.dataType
+      (s"generated column '$n'",
+        s"$n GENERATED AS ($e)",
+        col(n) <=> org.apache.spark.sql.functions.expr(e).cast(dt))
+    }
+    val cons = checkConstraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      (s"CHECK constraint '$n'", e,
+        coalesce(org.apache.spark.sql.functions.expr(e), lit(true)))
+    }
+    (cons ++ genChecks).foldLeft(df) { case (d, (what, e, pred)) =>
       d.filter(
-        org.apache.spark.sql.functions.when(coalesce(pred, lit(true)), lit(true))
+        org.apache.spark.sql.functions.when(pred, lit(true))
           .otherwise(org.apache.spark.sql.functions.raise_error(
-            concat(lit(s"CHECK constraint '$n' ($e) violated by row: "),
+            concat(lit(s"$what ($e) violated by row: "),
               to_json(struct(df.columns.map(col).toSeq: _*)))).cast("boolean")))
     }
   }
@@ -260,8 +304,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val evolvedSchema = org.apache.spark.sql.types.StructType(baseSchema.fields ++ evolution)
     val parts = partitionColumns
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    // generated columns the batch omits are COMPUTED from their
+    // expressions (the Delta writer contract); provided ones pass through
+    // and the fused generation check below refuses any mismatch
+    val withGen = generatedColumns.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+    }
     val aligned = withConstraintChecks(
-      df.select(evolvedSchema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
+      withGen.select(evolvedSchema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
     // Co-locate rows of one partition value into one task before the
     // partitioned write: without this every task emits a file per value
     // (tasks × values tiny files per batch — measured 4.6× slower ingest

@@ -499,6 +499,37 @@ object ReferenceOps extends QueryModule {
              |  CAST(sum(user_id) AS BIGINT) AS user_sum
              |FROM events WHERE event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin)),
 
+    // ---- GENERATED COLUMNS (Delta protocol writer-v4 feature): a table
+    // created with `bucket GENERATED AS (CAST(floor(value) AS BIGINT))`;
+    // batch 1 OMITS the column (the writer computes it), batch 2
+    // PROVIDES it consistently (the fused check passes it through). The
+    // oracle recomputes every bucket from raw values — a computed value
+    // off by one, a dropped row, or a skipped enforcement shifts the
+    // sums. In-query require: the create recorded minWriterVersion 4. --
+    "ref_generated_cols" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-gencol")
+        val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        val sch = org.apache.spark.sql.types.StructType(ev.schema.fields ++ Seq(
+          graft.delta.DeltaTable.generatedField("bucket",
+            org.apache.spark.sql.types.LongType, "CAST(floor(value) AS BIGINT)")))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(sch)
+        require(t.snapshot.protocol.exists(_.minWriterVersion == 4))
+        t.append(ev.filter(col("event_id") % 2 === 0)) // omitted → computed
+        t.append(ev.filter(col("event_id") % 2 =!= 0)  // provided → enforced
+          .withColumn("bucket", expr("CAST(floor(value) AS BIGINT)")))
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("bucket")).cast("long").as("bucket_sum"),
+          min(col("bucket")).as("bucket_min"),
+          max(col("bucket")).as("bucket_max"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS bucket_sum,
+             |  CAST(min(CAST(floor(value) AS BIGINT)) AS BIGINT) AS bucket_min,
+             |  CAST(max(CAST(floor(value) AS BIGINT)) AS BIGINT) AS bucket_max
+             |FROM events""".stripMargin)),
+
     // ---- CHANGE DATA FEED (delta-rs load_cdf): a five-version DML
     // script — append evens, append odds, delete %7, update %5 (+1e6),
     // merge %3 (+2e6: updates live rows, REINSERTS the %21 rows deleted
