@@ -272,6 +272,57 @@ object StreamingQueries extends QueryModule {
              |SELECT c.event_id, c.user_id, c.ts, e.err_value AS asof_err_value
              |FROM clicks c ASOF LEFT JOIN errors e
              |  ON c.user_id = e.user_id AND c.ts >= e.ts
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // The other two merge_asof directions over the same frames: FORWARD
+    // (earliest error at or after the click) and NEAREST (closer of the
+    // two, equal distances backward — the documented tie rule). The
+    // oracle takes both candidates per click via LATERAL probes and
+    // replays the µs-distance compare; DuckDB's ASOF syntax only covers
+    // backward, so this is also the one asof gate whose oracle is a
+    // from-first-principles replay rather than the builtin.
+    "q26_asof_directions" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("err_value"))
+        val fwd = graft.ops.AsofJoin.asof(clicks, errors, "user_id", "ts", "ts",
+            "err_value", direction = "forward")
+          .select(col("event_id"), col("asof_err_value").as("fwd_err"))
+        val near = graft.ops.AsofJoin.asof(clicks, errors, "user_id", "ts", "ts",
+            "err_value", direction = "nearest")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_err_value").as("near_err"))
+        near.join(fwd, Seq("event_id")).orderBy(col("event_id"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("near_err"), col("fwd_err"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+             |), errors AS (
+             |  SELECT user_id, ts, max(value) AS err_value FROM events
+             |  WHERE event_type = 'error' GROUP BY user_id, ts
+             |), cand AS (
+             |  SELECT c.event_id, c.user_id, c.ts,
+             |    b.ts AS bt, b.err_value AS bv, f.ts AS ft, f.err_value AS fv
+             |  FROM clicks c
+             |  LEFT JOIN LATERAL (
+             |    SELECT ts, err_value FROM errors e
+             |    WHERE e.user_id = c.user_id AND e.ts <= c.ts
+             |    ORDER BY e.ts DESC LIMIT 1) b ON TRUE
+             |  LEFT JOIN LATERAL (
+             |    SELECT ts, err_value FROM errors e
+             |    WHERE e.user_id = c.user_id AND e.ts >= c.ts
+             |    ORDER BY e.ts ASC LIMIT 1) f ON TRUE
+             |)
+             |SELECT event_id, user_id, ts,
+             |  CASE WHEN bt IS NULL THEN fv
+             |       WHEN ft IS NULL THEN bv
+             |       WHEN epoch_us(ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(ts)
+             |         THEN bv ELSE fv END AS near_err,
+             |  fv AS fwd_err
+             |FROM cand ORDER BY event_id""".stripMargin))
   )
 }

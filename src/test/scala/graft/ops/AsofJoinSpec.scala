@@ -49,6 +49,34 @@ class AsofJoinSpec extends SparkSpec {
       s"the as-of match at ts(2) has a null payload; got $out")
   }
 
+  test("forward picks the earliest right row at or after; nearest picks the closer side") {
+    val quotes = Seq(
+      (1L, ts(0), 100.0), (1L, ts(10), 110.0), (1L, ts(30), 130.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts(2), "a"),   // back 100 (d=2), fwd 110 (d=8)  → nearest 100
+      (1L, ts(9), "b"),   // back 100 (d=9), fwd 110 (d=1)  → nearest 110
+      (1L, ts(10), "c"),  // boundary both directions → 110 everywhere
+      (1L, ts(20), "d"),  // back 110 (d=10), fwd 130 (d=10) → TIE → backward 110
+      (1L, ts(40), "e")   // fwd none → nearest falls back to 130
+    ).toDF("key", "tts", "tag")
+    def run(dir: String): Map[String, Option[Double]] =
+      AsofJoin.asof(trades, quotes, "key", "tts", "qts", "price", direction = dir)
+        .collect().map(r => r.getAs[String]("tag") ->
+          (if (r.isNullAt(r.fieldIndex("asof_price"))) None
+           else Some(r.getAs[Double]("asof_price")))).toMap
+    val fwd = run("forward")
+    assert(fwd("a") === Some(110.0) && fwd("b") === Some(110.0))
+    assert(fwd("c") === Some(110.0), "forward boundary is inclusive")
+    assert(fwd("d") === Some(130.0))
+    assert(fwd("e") === None, "no later right row → null")
+    val near = run("nearest")
+    assert(near("a") === Some(100.0) && near("b") === Some(110.0))
+    assert(near("c") === Some(110.0))
+    assert(near("d") === Some(110.0), "equal distances break backward")
+    assert(near("e") === Some(130.0))
+  }
+
   test("left columns pass through unchanged") {
     val right = Seq((1L, ts(0), 1.0)).toDF("key", "rts", "v")
     val left = Seq((1L, ts(1), "x", 42)).toDF("key", "lts", "name", "extra")
