@@ -41,8 +41,16 @@ object DataSkipping {
   /** Files of `snap` that MAY contain a matching row. */
   def prune(snap: Snapshot, preds: Seq[ColPred]): Seq[Actions.AddFile] = {
     val partCols = snap.metadata.map(_.partitionColumns.toSet).getOrElse(Set.empty)
+    // types resolve under the LOGICAL name and, on column-mapped tables,
+    // the PHYSICAL name too (stats are keyed physically; DeltaTable.scan
+    // translates its predicates before calling here)
     val colTypes: Map[String, DataType] =
-      snap.schema.map(_.fields.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+      snap.schema.map(_.fields.flatMap { f =>
+        val base = Seq(f.name -> f.dataType)
+        if (f.metadata.contains(DeltaTable.ColMapPhysKey))
+          base :+ (f.metadata.getString(DeltaTable.ColMapPhysKey) -> f.dataType)
+        else base
+      }.toMap).getOrElse(Map.empty)
     snap.files.filter { f =>
       // parse each file's stats once, not once per predicate
       val stats = f.stats.map(Actions.mapper.readTree)

@@ -42,6 +42,14 @@ object DeltaTable {
     * schema's field metadata, not the table configuration). */
   val GenerationExprKey = "delta.generationExpression"
 
+  /** Column-mapping keys (Delta protocol "Column Mapping", mode `name`):
+    * table config selects the mode, per-field metadata carries the
+    * stable id and the physical parquet column name. */
+  val ColumnMappingModeKey = "delta.columnMapping.mode"
+  val ColumnMappingMaxIdKey = "delta.columnMapping.maxColumnId"
+  val ColMapIdKey = "delta.columnMapping.id"
+  val ColMapPhysKey = "delta.columnMapping.physicalName"
+
   /** A schema field declared GENERATED AS (`exprSql`) — pass to
     * [[DeltaTable.create]]; generated columns are declared at table
     * creation, like Delta proper. */
@@ -111,17 +119,49 @@ final class DeltaTable(spark: SparkSession, val path: String) {
              name: Option[String] = None,
              configuration: Map[String, String] = Map.empty): this.type = {
     if (!exists) {
-      // generated columns require minWriterVersion 4 per the protocol
+      val mapping = configuration.get(DeltaTable.ColumnMappingModeKey).contains("name")
+      // documented scope: column mapping composes with everything EXCEPT
+      // Hive-partitioned layouts (partitionValues would key by physical
+      // name — a pruning swamp) and CDF (change files would need the
+      // same translation); both refuse at create, not mid-write
+      if (mapping) {
+        require(partitionColumns.isEmpty,
+          "column mapping is supported on unpartitioned tables only " +
+            "(use OPTIMIZE clustering instead of Hive partitioning)")
+        require(!configuration.get(DeltaTable.CdfConfigKey).contains("true"),
+          "column mapping + change data feed is out of scope — pick one")
+      }
+      // assign stable ids + physical parquet names at creation (mode
+      // `name`): renames/drops become metadata-only commits forever after
+      val finalSchema =
+        if (!mapping) schema
+        else org.apache.spark.sql.types.StructType(
+          schema.fields.zipWithIndex.map { case (f, i) =>
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(DeltaTable.ColMapIdKey, (i + 1).toLong)
+              .putString(DeltaTable.ColMapPhysKey,
+                s"col-${java.util.UUID.randomUUID()}")
+              .build())
+          })
+      val finalConf =
+        if (!mapping) configuration
+        else configuration +
+          (DeltaTable.ColumnMappingMaxIdKey -> schema.fields.length.toString)
+      // feature → protocol floor: columnMapping (2,5) > generated (1,4) > base
       val hasGen = schema.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey))
+      val protocol =
+        if (mapping) Protocol(minReaderVersion = 2, minWriterVersion = 5)
+        else if (hasGen) Protocol(minWriterVersion = 4)
+        else Protocol()
       log.commit(Seq(
-        Action(protocol = Some(
-          if (hasGen) Protocol(minWriterVersion = 4) else Protocol())),
+        Action(protocol = Some(protocol)),
         Action(metaData = Some(Metadata(
           id = java.util.UUID.randomUUID().toString,
           name = name,
-          schemaString = schema.json,
+          schemaString = finalSchema.json,
           partitionColumns = partitionColumns,
-          configuration = configuration,
+          configuration = finalConf,
           createdTime = Some(System.currentTimeMillis())))),
         Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CREATE TABLE")))))
     }
@@ -206,6 +246,81 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           m.schemaString == meta.schemaString))
     if (committed < 0) throw new java.util.ConcurrentModificationException(
       s"cannot drop constraint '$name': the table metadata changed — retry")
+    committed
+  }
+
+  /** True when `delta.columnMapping.mode=name`: parquet files store
+    * PHYSICAL column names, the schema's field metadata maps them to
+    * logical names, and rename/drop are metadata-only commits. */
+  def columnMappingEnabled: Boolean = snapshot.metadata.exists(
+    _.configuration.get(DeltaTable.ColumnMappingModeKey).contains("name"))
+
+  /** Logical → physical column name for `sch` (identity without
+    * mapping metadata — pre-mapping fields read by their own name). */
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(DeltaTable.ColMapPhysKey))
+      f.metadata.getString(DeltaTable.ColMapPhysKey)
+    else f.name
+
+  private def physicalSchema(sch: StructType): StructType =
+    StructType(sch.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** Rename a write batch's columns logical → physical just before the
+    * parquet write (the single seam every staged write goes through). */
+  private def toPhysicalForWrite(df: DataFrame, sch: StructType): DataFrame = {
+    val m = sch.fields.map(f => f.name -> physicalName(f)).toMap
+    if (m.forall { case (l, p) => l == p }) df
+    else df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))).toSeq: _*)
+  }
+
+  /** RENAME COLUMN — with column mapping, one metadata commit: the
+    * logical name changes, the stable id and physical parquet name do
+    * not, so NOT ONE data byte rewrites (on a 100 TB table this is the
+    * difference between a metadata op and a cluster-day). */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(columnMappingEnabled,
+      s"renameColumn requires ${DeltaTable.ColumnMappingModeKey}=name")
+    val meta = snapshot.metadata.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val sch = schema
+    require(sch.fieldNames.contains(oldName), s"no column '$oldName'")
+    require(!sch.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    val renamed = StructType(sch.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val committed = log.commit(Seq(
+      Action(metaData = Some(meta.copy(schemaString = renamed.json))),
+      Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+        "RENAME COLUMN", Map("from" -> oldName, "to" -> newName))))),
+      // stale-copy hazard, as addCheckConstraint: any concurrent metadata
+      // change invalidates the copied action
+      check = s => s.metadata.exists(m =>
+        m.schemaString == meta.schemaString && m.configuration == meta.configuration))
+    if (committed < 0) throw new java.util.ConcurrentModificationException(
+      s"cannot rename '$oldName': the table metadata changed — retry")
+    committed
+  }
+
+  /** DROP COLUMN — metadata-only under column mapping: the field leaves
+    * the schema; existing files keep the physical bytes (readers project
+    * them away) until a later OPTIMIZE/purge naturally rewrites. */
+  def dropColumn(name: String): Long = {
+    require(columnMappingEnabled,
+      s"dropColumn requires ${DeltaTable.ColumnMappingModeKey}=name")
+    val meta = snapshot.metadata.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val sch = schema
+    require(sch.fieldNames.contains(name), s"no column '$name'")
+    require(sch.fields.length > 1, "cannot drop the last column")
+    val dropped = StructType(sch.fields.filterNot(_.name == name))
+    val committed = log.commit(Seq(
+      Action(metaData = Some(meta.copy(schemaString = dropped.json))),
+      Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+        "DROP COLUMN", Map("name" -> name))))),
+      check = s => s.metadata.exists(m =>
+        m.schemaString == meta.schemaString && m.configuration == meta.configuration))
+    if (committed < 0) throw new java.util.ConcurrentModificationException(
+      s"cannot drop '$name': the table metadata changed — retry")
     committed
   }
 
@@ -298,8 +413,24 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         // existing field, not evolve into a duplicate-modulo-case one —
         // a schema Delta proper rejects outright
         val have = baseSchema.fieldNames.map(_.toLowerCase).toSet
-        df.schema.fields.filter(f => !have.contains(f.name.toLowerCase))
+        val fresh = df.schema.fields.filter(f => !have.contains(f.name.toLowerCase))
           .map(_.copy(nullable = true)).toSeq
+        if (!columnMappingEnabled) fresh
+        else {
+          // mapped tables: evolved fields need fresh stable ids and
+          // physical names (maxColumnId advances in the same commit)
+          val maxId = snapshot.metadata
+            .flatMap(_.configuration.get(DeltaTable.ColumnMappingMaxIdKey))
+            .map(_.toLong).getOrElse(0L)
+          fresh.zipWithIndex.map { case (f, i) =>
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(DeltaTable.ColMapIdKey, maxId + i + 1)
+              .putString(DeltaTable.ColMapPhysKey,
+                s"col-${java.util.UUID.randomUUID()}")
+              .build())
+          }
+        }
       }
     val evolvedSchema = org.apache.spark.sql.types.StructType(baseSchema.fields ++ evolution)
     val parts = partitionColumns
@@ -320,7 +451,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // batches are bounded (maxMessagesPerBatch), so one-task-per-value
     // skew is capped; compact() remains the lever for residual smalls.
     val arranged = if (parts.nonEmpty) aligned.repartition(parts.map(col): _*) else aligned
-    val writer = arranged.write.mode("overwrite")
+    val writer = toPhysicalForWrite(arranged, evolvedSchema).write.mode("overwrite")
       .option("compression", "snappy")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(staging.toString)
@@ -332,7 +463,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         else Some(snapshot.metadata
           .getOrElse(throw new IllegalStateException(s"no table at $path")))
       val schemaUpdate = baseMeta
-        .map(m => Action(metaData = Some(m.copy(schemaString = evolvedSchema.json))))
+        .map(m => Action(metaData = Some(m.copy(
+          schemaString = evolvedSchema.json,
+          configuration =
+            if (!columnMappingEnabled) m.configuration
+            else m.configuration + (DeltaTable.ColumnMappingMaxIdKey ->
+              evolvedSchema.fields.flatMap(f =>
+                if (f.metadata.contains(DeltaTable.ColMapIdKey))
+                  Some(f.metadata.getLong(DeltaTable.ColMapIdKey))
+                else None).max.toString)))))
         .toSeq
       val actions = schemaUpdate ++
         adds.map(a => Action(add = Some(a))) ++
@@ -678,7 +817,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val parts = partitionColumns
     val df = dfFor(snap.copy(files = dvd)) // DV-applied read
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite").option("compression", "snappy")
+    val writer = toPhysicalForWrite(df, schema).write
+      .mode("overwrite").option("compression", "snappy")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
     val adds = collectStagedFiles(staging, parts)
     try {
@@ -778,7 +918,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val parts = partitionColumns
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
-    val writer = arranged.write.mode("overwrite").option("compression", "snappy")
+    val writer = toPhysicalForWrite(arranged, schema).write
+      .mode("overwrite").option("compression", "snappy")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
     val adds = collectStagedFiles(staging, parts)
     val cdcActions = changes.map(stageChangeFiles).getOrElse(Nil)
@@ -1008,14 +1149,21 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * never depend on it). See [[DataSkipping]]. */
   def scan(preds: Seq[DataSkipping.ColPred]): DataFrame = {
     val snap = snapshot
-    val surviving = DataSkipping.prune(snap, preds)
+    val surviving = DataSkipping.prune(snap, toPhysicalPreds(preds))
     dfFor(snap.copy(files = surviving)).filter(DataSkipping.exprFor(preds))
+  }
+
+  /** add.stats are keyed by PHYSICAL column names — translate predicate
+    * columns before pruning (the exact filter stays logical). */
+  private def toPhysicalPreds(preds: Seq[DataSkipping.ColPred]): Seq[DataSkipping.ColPred] = {
+    val m = schema.fields.map(f => f.name -> physicalName(f)).toMap
+    preds.map(p => p.copy(column = m.getOrElse(p.column, p.column)))
   }
 
   /** Files the predicate conjunction cannot rule out (exposed for tests
     * and for observability of skipping effectiveness). */
   def scanFiles(preds: Seq[DataSkipping.ColPred]): Seq[Actions.AddFile] =
-    DataSkipping.prune(snapshot, preds)
+    DataSkipping.prune(snapshot, toPhysicalPreds(preds))
 
   /** Disjunctive pruned read: `column IN (values)` — the union of each
     * value's [[DataSkipping]] survivors ([[scan]] can only express
@@ -1069,6 +1217,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     }
     val liveFiles = snapshot.files
     val parsed = liveFiles.map(f => f.stats.map(Actions.mapper.readTree))
+    // stats are keyed by PHYSICAL column name (the footers' names)
+    val physOf: Map[String, String] =
+      sch.fields.map(f => f.name -> physicalName(f)).toMap
     def bound(c: String, key: String): Seq[Option[Any]] = liveFiles.zip(parsed).map {
       case (f, st) =>
         // a deletion vector may have removed the very row a bound came
@@ -1076,7 +1227,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         // prunes on them) but are no longer exact attained values
         if (f.deletionVector.isDefined) None
         else st.flatMap { s =>
-          val n = s.path(key).path(c)
+          val n = s.path(key).path(physOf(c))
           if (n.isMissingNode || n.isNull ||
               s.path("numRecords").asLong(0L) == 0L) None
           else boundType(c) match {
@@ -1123,7 +1274,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   private def pruneIn(snap: Snapshot, column: String,
                       values: Seq[Any]): Seq[Actions.AddFile] =
     values
-      .flatMap(v => DataSkipping.prune(snap, Seq(DataSkipping.ColPred(column, "=", v))))
+      .flatMap(v => DataSkipping.prune(snap,
+        toPhysicalPreds(Seq(DataSkipping.ColPred(column, "=", v)))))
       .groupBy(_.path).map(_._2.head).toSeq
 
   private def dfFor(snap: Snapshot): DataFrame = {
@@ -1146,11 +1298,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       throw new IllegalStateException(s"no table metadata at $path"))
     val paths = snap.files.map(f => new Path(path, f.path).toString)
     val parts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
+    // column mapping: parquet files store PHYSICAL names — read with the
+    // physical schema and rename back to logical below (one projection)
+    val phys = physicalSchema(sch)
     // the declared schema is passed EXPLICITLY on both branches: files
     // written before a schema evolution lack the new columns, and an
     // inferred schema would make the select below fail instead of
     // null-filling them (partition columns resolve from the dir layout)
-    val reader = spark.read.schema(sch)
+    val reader = spark.read.schema(phys)
     val df =
       if (parts.isEmpty) reader.parquet(paths: _*)
       else reader.option("basePath", path).parquet(paths: _*)
@@ -1159,12 +1314,18 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // file NAME, not full path: Spark part-file names carry a per-job
     // UUID, so the name alone identifies the file and sidesteps
     // URI-encoding drift between `_metadata.file_path` and the log's
-    // relative paths
-    val withCols = if (!needMeta) df else df
+    // relative paths. `_metadata` is projected BEFORE the logical rename
+    // (hidden metadata columns do not survive projections).
+    val withPhysCols = if (!needMeta) df else df
       .withColumn("__meta_fname",
         org.apache.spark.sql.functions.substring_index(
           col("_metadata.file_path"), "/", -1))
       .withColumn("__meta_pos", col("_metadata.row_index"))
+    val withCols =
+      if (phys.fieldNames.sameElements(sch.fieldNames)) withPhysCols
+      else withPhysCols.select(
+        (sch.fields.zip(phys.fields).map { case (l, p) => col(p.name).as(l.name) } ++
+          (if (needMeta) Seq(col("__meta_fname"), col("__meta_pos")) else Nil)).toSeq: _*)
     // the deleted side is cardinality-sized (a DV delete is by design a
     // small fraction of rows) and broadcasts
     val filtered = del.fold(withCols)(d =>
@@ -1281,7 +1442,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .sortWithinPartitions(rangeCols: _*)
       .drop("__zv")
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
-    val writer = sorted.write.mode("overwrite").option("compression", "snappy")
+    val writer = toPhysicalForWrite(sorted, schema).write
+      .mode("overwrite").option("compression", "snappy")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
     val adds = collectStagedFiles(staging, parts)
     try {
@@ -1317,7 +1479,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // columns) — an inferred read crashes after schema evolution
     val df = dfFor(snap.copy(files = small))
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
-    val writer = df.coalesce(1).write.mode("overwrite").option("compression", "snappy")
+    val writer = toPhysicalForWrite(df.coalesce(1), schema).write
+      .mode("overwrite").option("compression", "snappy")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
     val adds = collectStagedFiles(staging, parts)
     try {

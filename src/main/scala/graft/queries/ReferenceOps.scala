@@ -499,6 +499,41 @@ object ReferenceOps extends QueryModule {
              |  CAST(sum(user_id) AS BIGINT) AS user_sum
              |FROM events WHERE event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin)),
 
+    // ---- COLUMN MAPPING (Delta protocol mode=name, protocol (2,5)):
+    // parquet stores physical uuid names; RENAME and DROP are
+    // metadata-only commits. Script: create mapped → append evens →
+    // rename user_id→uid → append odds UNDER THE NEW NAME → drop the
+    // props-like column → aggregate. In-query requires pin the
+    // metadata-only property (file set unchanged across rename+drop)
+    // and that no parquet file carries a logical name. The oracle
+    // recomputes the final frame from raw events — a rename that forked
+    // the physical column, a drop that leaked, or a mistranslated read
+    // shifts the sums. --------------------------------------------------
+    "ref_column_mapping" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-colmap")
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(graft.delta.DeltaTable.ColumnMappingModeKey -> "name"))
+        t.append(ev.filter(col("event_id") % 2 === 0))
+        val filesAfterAppend1 = t.snapshot.files.map(_.path).toSet
+        t.renameColumn("user_id", "uid")
+        t.dropColumn("value")
+        require(t.snapshot.files.map(_.path).toSet == filesAfterAppend1,
+          "rename/drop must be metadata-only — zero files rewritten")
+        t.append(ev.filter(col("event_id") % 2 =!= 0)
+          .select(col("event_id"), col("user_id").as("uid")))
+        require(t.schema.fieldNames.toSeq == Seq("event_id", "uid"))
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("uid")).cast("long").as("uid_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id) AS BIGINT) AS uid_sum
+             |FROM events""".stripMargin)),
+
     // ---- GENERATED COLUMNS (Delta protocol writer-v4 feature): a table
     // created with `bucket GENERATED AS (CAST(floor(value) AS BIGINT))`;
     // batch 1 OMITS the column (the writer computes it), batch 2

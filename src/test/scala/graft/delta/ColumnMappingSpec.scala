@@ -1,0 +1,126 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Column mapping (`delta.columnMapping.mode=name`): parquet stores
+  * physical names, rename/drop are metadata-only commits, and every
+  * read/write/DML path translates at the one read/write seam. */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("amount", DoubleType),
+    StructField("note", StringType)))
+
+  private def newTable(): DeltaTable =
+    DeltaTable.forPath(spark, tmpDir("colmap")).create(schema, Nil,
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
+
+  private def df(ids: Range) =
+    ids.map(i => (i.toLong, i * 1.5, s"n$i")).toDF("id", "amount", "note")
+
+  test("create assigns ids + physical names, protocol (2,5); round-trip reads logical") {
+    val t = newTable()
+    val fields = t.schema.fields
+    assert(fields.forall(_.metadata.contains(DeltaTable.ColMapPhysKey)))
+    assert(fields.map(_.metadata.getLong(DeltaTable.ColMapIdKey)).toSeq === Seq(1L, 2L, 3L))
+    val p = t.snapshot.protocol.get
+    assert(p.minReaderVersion === 2 && p.minWriterVersion === 5)
+    t.append(df(0 until 10))
+    assert(t.toDF.columns.toSeq === Seq("id", "amount", "note"))
+    assert(t.toDF.orderBy("id").collect()(3).getString(2) === "n3")
+    // the parquet files on disk must carry PHYSICAL names, not logical
+    val file = new Path(t.path, t.snapshot.files.head.path).toString
+    val raw = spark.read.parquet(file)
+    assert(!raw.columns.contains("amount"),
+      s"parquet must store physical names, found ${raw.columns.mkString(",")}")
+    assert(raw.columns.forall(_.startsWith("col-")))
+  }
+
+  test("renameColumn is metadata-only: file set unchanged, both epochs readable") {
+    val t = newTable()
+    t.append(df(0 until 5))
+    val before = t.snapshot.files.map(_.path).toSet
+    t.renameColumn("amount", "price")
+    assert(t.snapshot.files.map(_.path).toSet === before, "rename must rewrite nothing")
+    assert(t.toDF.columns.toSeq === Seq("id", "price", "note"))
+    // data written BEFORE the rename reads under the new logical name
+    assert(t.toDF.filter(col("id") === 2L).collect()(0).getAs[Double]("price") === 3.0)
+    // appends after the rename land in the same physical column
+    t.append(Seq((9L, 99.0, "x")).toDF("id", "price", "note"))
+    assert(t.toDF.filter(col("id") === 9L).collect()(0).getAs[Double]("price") === 99.0)
+    assert(t.toDF.count() === 6L)
+    // collisions and unknown columns refuse
+    assertThrows[IllegalArgumentException](t.renameColumn("price", "note"))
+    assertThrows[IllegalArgumentException](t.renameColumn("ghost", "z"))
+  }
+
+  test("dropColumn is metadata-only; time travel still sees the old schema") {
+    val t = newTable()
+    t.append(df(0 until 5))          // v1
+    val before = t.snapshot.files.map(_.path).toSet
+    t.dropColumn("note")             // v2
+    assert(t.snapshot.files.map(_.path).toSet === before)
+    assert(t.toDF.columns.toSeq === Seq("id", "amount"))
+    // historic read: the column exists at v1 with its values
+    val old = t.toDF(1L)
+    assert(old.columns.contains("note"))
+    assert(old.orderBy("id").collect()(1).getAs[String]("note") === "n1")
+    // appends after the drop don't resurrect it
+    t.append(Seq((7L, 7.0)).toDF("id", "amount"))
+    assert(t.toDF.count() === 6L)
+  }
+
+  test("DML and OPTIMIZE work through the mapping; schema evolution assigns fresh ids") {
+    val t = newTable()
+    t.append(df(0 until 20))
+    assert(t.delete(col("id") % 5 === 0) > 0L)
+    assert(t.toDF.count() === 16L)
+    t.update(col("id") === 1L, Map("note" -> lit("upd")))
+    assert(t.toDF.filter(col("id") === 1L).collect()(0).getString(2) === "upd")
+    t.merge(Seq((100L, 1.0, "m")).toDF("id", "amount", "note"), Seq("id"))
+    assert(t.toDF.count() === 17L)
+    assert(t.compact(minBytes = 1L << 30) > 0L)
+    assert(t.toDF.count() === 17L)
+    // rewritten files still carry physical names
+    val raw = spark.read.parquet(new Path(t.path, t.snapshot.files.head.path).toString)
+    assert(raw.columns.forall(_.startsWith("col-")))
+    // mergeSchema evolution: the new field gets a fresh id past maxColumnId
+    t.append(Seq((200L, 2.0, "e", 42L)).toDF("id", "amount", "note", "extra"),
+      mergeSchema = true)
+    val extra = t.schema.fields.find(_.name == "extra").get
+    assert(extra.metadata.getLong(DeltaTable.ColMapIdKey) === 4L)
+    assert(extra.metadata.getString(DeltaTable.ColMapPhysKey).startsWith("col-"))
+    assert(t.snapshot.metadata.get.configuration(DeltaTable.ColumnMappingMaxIdKey) === "4")
+    assert(t.toDF.filter(col("id") === 200L).collect()(0).getAs[Long]("extra") === 42L)
+    // old rows null-fill the evolved column
+    assert(t.toDF.filter(col("id") === 1L).collect()(0).isNullAt(3))
+  }
+
+  test("stats pruning and statsSummary translate logical names to physical") {
+    val t = newTable()
+    t.append(df(0 until 50).coalesce(1))
+    t.append(df(50 until 100).coalesce(1))
+    val s = t.statsSummary(Seq("id", "amount")).collect()(0)
+    assert(s.getLong(0) === 100L && s.getLong(1) === 0L && s.getLong(2) === 99L)
+    assert(s.getDouble(3) === 0.0 && s.getDouble(4) === 148.5)
+    // file-level skipping: an id-range predicate prunes the other file
+    val files = t.scanFiles(Seq(DataSkipping.ColPred("id", "<=", 10L)))
+    assert(files.size === 1, s"expected 1 surviving file, got ${files.size}")
+    assert(t.scan(Seq(DataSkipping.ColPred("id", "<=", 10L))).count() === 11L)
+  }
+
+  test("partitioned or CDF-enabled mapped tables refuse at create") {
+    assertThrows[IllegalArgumentException](
+      DeltaTable.forPath(spark, tmpDir("colmap-part")).create(schema, Seq("note"),
+        configuration = Map(DeltaTable.ColumnMappingModeKey -> "name")))
+    assertThrows[IllegalArgumentException](
+      DeltaTable.forPath(spark, tmpDir("colmap-cdf")).create(schema, Nil,
+        configuration = Map(DeltaTable.ColumnMappingModeKey -> "name",
+          DeltaTable.CdfConfigKey -> "true")))
+  }
+}
