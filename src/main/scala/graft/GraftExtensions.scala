@@ -101,6 +101,14 @@ object GraftExtensions {
       ops.TextAnalysis.tokens(cols(0)._1)
     }
 
+    registerCols(ext, "graft_ln_wide",
+      "graft_ln_wide(x) - engine-portable ln(x) - 32*ln2 for x in [1, 2^62]: " +
+        "correctly-rounded-ops-only series, bit-identical to PortableMath.lnWide " +
+        "and to the oracle CTE chain (offsets cancel in log ratios)") { cols =>
+      checkArity("graft_ln_wide", cols, 1)
+      functions.PortableMath.lnWideCol(cols(0)._1)
+    }
+
     registerCols(ext, "graft_shingles",
       "graft_shingles(text, n) - distinct word n-gram shingle strings") { cols =>
       checkArityCols("graft_shingles", cols, 2)

@@ -421,6 +421,31 @@ object Analytics extends QueryModule {
              |FROM act a JOIN firstwk f USING (user_id)
              |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin)),
 
+    // PIVOT (the §2.11 reshaping gap): daily event counts spread into
+    // one column per event type — Spark's relational pivot with a FIXED
+    // value list (the scale-sane form: an unbounded pivot needs a
+    // value-discovery pass and an unbounded-width row). The oracle is
+    // the portable CASE-sum expansion, which is also exactly what
+    // Catalyst lowers pivot to.
+    "q27_pivot" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .pivot("event_type", Seq("view", "click", "purchase", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("day"), col("view").cast("long").as("n_view"),
+            col("click").cast("long").as("n_click"),
+            col("purchase").cast("long").as("n_purchase"),
+            col("error").cast("long").as("n_error"))
+          .orderBy(col("day")),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
     "q23_hilbert_key" -> QueryDef(
       (s, d) =>
         Tables.events(s, d)

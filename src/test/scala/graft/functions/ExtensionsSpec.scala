@@ -103,4 +103,16 @@ class ExtensionsSpec extends SparkSpec {
     val viaApi = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
+
+  test("graft_ln_wide is bit-identical to PortableMath.lnWide from pure SQL") {
+    docs
+    val got = spark.sql(
+      "SELECT n_chars, graft_ln_wide(n_chars) AS ln FROM ext_docs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.nonEmpty)
+    got.foreach { case (x, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(PortableMath.lnWide(x)), s"x=$x")
+    }
+  }
 }
