@@ -1128,6 +1128,52 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     committed
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE … SHALLOW CLONE`): a new table
+    * whose first commit REFERENCES the source's current files by
+    * absolute path (the Delta protocol allows absolute `add.path`s) —
+    * zero data bytes copy, so forking a 100 TB table for an experiment
+    * / a schema trial / a what-if DML run costs one metadata commit.
+    * Writes to the clone create local files and log-level removes of
+    * the absolute references; the source never observes them. Deletion
+    * vectors ride along ("u" table-relative descriptors convert to "p"
+    * absolute). Stats, schema (incl. column-mapping metadata), config,
+    * and protocol replay into the clone, under a fresh table id.
+    *
+    * Caveats, same as Delta proper: a later VACUUM of the SOURCE can
+    * collect files the clone still references (clones don't pin source
+    * retention); and Hive-partitioned sources are out of scope here
+    * (the partition-column-from-directory read needs a basePath, which
+    * absolute foreign paths don't share) — refused loudly.
+    *
+    * @return the clone, ready to read/write */
+  def shallowCloneTo(targetPath: String): DeltaTable = {
+    val snap = snapshot
+    val meta = snap.metadata.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    require(meta.partitionColumns.isEmpty,
+      "shallow clone supports unpartitioned tables only")
+    val target = new DeltaTable(spark, targetPath)
+    require(!target.exists, s"clone target $targetPath already exists")
+    def absolute(rel: String): String =
+      fs.makeQualified(new Path(path, rel)).toString
+    val adds = snap.files.map { f =>
+      f.copy(path = absolute(f.path),
+        deletionVector = f.deletionVector.map(d =>
+          if (d.storageType == "u")
+            d.copy(storageType = "p", pathOrInlineDv = absolute(d.pathOrInlineDv))
+          else d))
+    }
+    target.log.commit(
+      Seq(Action(protocol = Some(snap.protocol.getOrElse(Protocol()))),
+        Action(metaData = Some(meta.copy(
+          id = java.util.UUID.randomUUID().toString,
+          createdTime = Some(System.currentTimeMillis()))))) ++
+        adds.map(a => Action(add = Some(a))) ++
+        Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CLONE",
+          Map("source" -> path, "sourceVersion" -> snap.version.toString))))))
+    target
+  }
+
   /** Read the current snapshot as a DataFrame (partition columns restored
     * from directory layout, cast to the declared schema types). */
   def toDF: DataFrame = dfFor(snapshot)

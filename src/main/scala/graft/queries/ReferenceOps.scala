@@ -499,6 +499,49 @@ object ReferenceOps extends QueryModule {
              |  CAST(sum(user_id) AS BIGINT) AS user_sum
              |FROM events WHERE event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin)),
 
+    // ---- SHALLOW CLONE (zero-copy fork via absolute add.paths): clone
+    // the events table, DV-delete a slice ON THE CLONE, and aggregate
+    // both tables. In-query requires: the clone dir holds zero parquet
+    // files, and the source still answers the full count after the
+    // clone's delete — isolation and zero-copy, machine-checked. The
+    // oracle recomputes both aggregates from raw events. ----------------
+    "ref_shallow_clone" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-clone-src")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val src = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(graft.delta.DeltaTable.DvConfigKey -> "true"))
+        src.append(ev)
+        val cloneDir = graft.Scratch.dir("graft-clone-dst") + "/t"
+        val clone = src.shallowCloneTo(cloneDir)
+        val cfs = new org.apache.hadoop.fs.Path(cloneDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val it = cfs.listFiles(new org.apache.hadoop.fs.Path(cloneDir), true)
+        var copied = 0
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.toString.contains("_delta_log")) copied += 1
+        }
+        require(copied == 0, "a SHALLOW clone must copy zero data files")
+        require(clone.deleteWithDv(col("event_id") % 3 === 0) > 0L)
+        require(src.toDF.count() == ev.count(),
+          "clone DML must never touch the source")
+        val a = clone.toDF.agg(
+          count(lit(1)).as("clone_rows"),
+          sum(col("event_id")).cast("long").as("clone_id_sum"))
+        val b = src.toDF.agg(
+          count(lit(1)).as("src_rows"),
+          sum(col("event_id")).cast("long").as("src_id_sum"))
+        a.crossJoin(b)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM events WHERE event_id % 3 <> 0) AS clone_rows,
+             |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events
+             |   WHERE event_id % 3 <> 0) AS clone_id_sum,
+             |  (SELECT count(*) FROM events) AS src_rows,
+             |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events) AS src_id_sum""".stripMargin)),
+
     // ---- COLUMN MAPPING (Delta protocol mode=name, protocol (2,5)):
     // parquet stores physical uuid names; RENAME and DROP are
     // metadata-only commits. Script: create mapped → append evens →
