@@ -273,6 +273,25 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     else df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))).toSeq: _*)
   }
 
+  /** A metadata-only rename/drop of a column some stored SQL (CHECK
+    * constraint or another column's generation expression) references
+    * would leave every future write failing analysis — refuse at DDL
+    * time like Delta proper. Word-boundary text match: conservative
+    * (a coincidental identifier substring also refuses), which fails
+    * SAFE. A column's own generation expression doesn't count against
+    * dropping it (the expression leaves with the field). */
+  private def requireUnreferenced(colName: String, what: String,
+                                  ignoreOwnGeneration: Boolean): Unit = {
+    val rx = ("(?i)\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+    val gens = if (ignoreOwnGeneration) generatedColumns - colName else generatedColumns
+    val refs = (checkConstraints.toSeq.map { case (n, e) => s"CHECK constraint '$n'" -> e } ++
+      gens.toSeq.map { case (n, e) => s"generated column '$n'" -> e })
+      .collect { case (who, e) if rx.findFirstIn(e).isDefined => who }
+    require(refs.isEmpty,
+      s"cannot $what column '$colName': referenced by ${refs.mkString(", ")} — " +
+        "drop the constraint / generated column first")
+  }
+
   /** RENAME COLUMN — with column mapping, one metadata commit: the
     * logical name changes, the stable id and physical parquet name do
     * not, so NOT ONE data byte rewrites (on a 100 TB table this is the
@@ -284,6 +303,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       throw new IllegalStateException(s"no table at $path"))
     val sch = schema
     require(sch.fieldNames.contains(oldName), s"no column '$oldName'")
+    requireUnreferenced(oldName, "rename", ignoreOwnGeneration = false)
     require(!sch.fieldNames.exists(_.equalsIgnoreCase(newName)),
       s"column '$newName' already exists")
     val renamed = StructType(sch.fields.map(f =>
@@ -312,6 +332,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val sch = schema
     require(sch.fieldNames.contains(name), s"no column '$name'")
     require(sch.fields.length > 1, "cannot drop the last column")
+    requireUnreferenced(name, "drop", ignoreOwnGeneration = true)
     val dropped = StructType(sch.fields.filterNot(_.name == name))
     val committed = log.commit(Seq(
       Action(metaData = Some(meta.copy(schemaString = dropped.json))),
@@ -739,8 +760,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
     if (matched.isEmpty) return -1L
-    val byName = snap.files.map(f => new Path(f.path).getName -> f).toMap
-    val affected = matched.keys.toSeq.sorted.map(n => byName.getOrElse(n,
+    val byKey = snap.files.map(f => fileKey(snap, f) -> f).toMap
+    require(byKey.size == snap.files.size,
+      "internal: file keys must be unique across the snapshot")
+    val affected = matched.keys.toSeq.sorted.map(n => byKey.getOrElse(n,
       throw new IllegalStateException(s"matched file $n not in snapshot")))
     // merge new positions into any existing bitmap; full-file deletions
     // degrade to plain removes (numRecords from the add's stats)
@@ -751,7 +774,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val planned = affected.map { f =>
       val old = f.deletionVector
         .map(d => DeletionVectors.readPositions(fs, path, d)).getOrElse(Array.empty[Long])
-      val merged = (old ++ matched(new Path(f.path).getName)).distinct.sorted
+      val merged = (old ++ matched(fileKey(snap, f))).distinct.sorted
       Planned(f, merged, numRecords(f).contains(merged.length.toLong))
     }
     // serialize bitmaps; batch every file-backed DV of this commit into
@@ -780,8 +803,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // removes precede the re-adds: [[DeltaLog.ReplayState]] replays a
     // commit's actions in order and keys by path
     val actions =
-      Seq(Action(protocol = Some(Protocol(3, 7,
-        Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))))) ++
+      Seq(Action(protocol = Some(protocolWithDv(snap)))) ++
         planned.map(p => Action(remove = Some(RemoveFile(p.f.path, Some(now),
           deletionVector = p.f.deletionVector)))) ++
         planned.filterNot(_.fullFile).map(p =>
@@ -796,11 +818,40 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     })
     if (committed < 0) {
       cdcActions.foreach(_.cdc.foreach(c => fs.delete(new Path(path, c.path), false)))
+      // the freshly written shared DV file is unreferenced too — remove
+      // it like every other path cleans its staged files on a lost race
+      bigDescs.map(_.pathOrInlineDv).distinct.foreach(p =>
+        fs.delete(new Path(path, p), false))
       throw new java.util.ConcurrentModificationException(
         "DELETE (deletion vectors) lost a commit race: an affected file was " +
           "rewritten or DV'd concurrently")
     }
     committed
+  }
+
+  /** The protocol action a DV commit carries: versions raised to the
+    * (3, 7) floor the feature requires, MERGED with what the table
+    * already declares — a mapped or generated-columns table must keep
+    * advertising those features (at reader 3 / writer 7 the spec says
+    * the lists enumerate EVERY active feature, so the legacy-version
+    * features are spelled out too). */
+  private def protocolWithDv(snap: Snapshot): Protocol = {
+    val old = snap.protocol.getOrElse(Protocol())
+    val conf = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+    val sch = snap.schema.getOrElse(StructType(Nil))
+    val mapped = conf.get(DeltaTable.ColumnMappingModeKey).contains("name")
+    val hasGen = sch.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey))
+    val hasConstraints = conf.keys.exists(_.startsWith(DeltaTable.ConstraintPrefix))
+    val hasCdf = conf.get(DeltaTable.CdfConfigKey).contains("true")
+    val reader = (old.readerFeatures.getOrElse(Nil) ++ Seq("deletionVectors") ++
+      (if (mapped) Seq("columnMapping") else Nil)).distinct.sorted
+    val writer = (old.writerFeatures.getOrElse(Nil) ++ Seq("deletionVectors") ++
+      (if (mapped) Seq("columnMapping") else Nil) ++
+      (if (hasGen) Seq("generatedColumns") else Nil) ++
+      (if (hasConstraints) Seq("checkConstraints") else Nil) ++
+      (if (hasCdf) Seq("changeDataFeed") else Nil)).distinct.sorted
+    Protocol(math.max(3, old.minReaderVersion), math.max(7, old.minWriterVersion),
+      Some(reader), Some(writer))
   }
 
   /** Materialize every live deletion vector away (Delta `REORG TABLE …
@@ -1357,15 +1408,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       else reader.option("basePath", path).parquet(paths: _*)
     val del = deletedPositions(snap)
     val needMeta = withMeta || del.isDefined
-    // file NAME, not full path: Spark part-file names carry a per-job
-    // UUID, so the name alone identifies the file and sidesteps
-    // URI-encoding drift between `_metadata.file_path` and the log's
-    // relative paths. `_metadata` is projected BEFORE the logical rename
+    // per-file key = URI path suffix incl. partition dirs (see
+    // [[fileKey]] — a bare basename collides across partition
+    // directories). `_metadata` is projected BEFORE the logical rename
     // (hidden metadata columns do not survive projections).
     val withPhysCols = if (!needMeta) df else df
-      .withColumn("__meta_fname",
-        org.apache.spark.sql.functions.substring_index(
-          col("_metadata.file_path"), "/", -1))
+      .withColumn("__meta_fname", fileKeyExpr(snap))
       .withColumn("__meta_pos", col("_metadata.row_index"))
     val withCols =
       if (phys.fieldNames.sameElements(sch.fieldNames)) withPhysCols
@@ -1392,13 +1440,33 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     else {
       import spark.implicits._
       val rows: Seq[(String, Long)] = dvd.flatMap { f =>
-        val name = new Path(f.path).getName
+        val key = fileKey(snap, f)
         DeletionVectors.readPositions(fs, path, f.deletionVector.get)
-          .map(p => (name, p)).toSeq
+          .map(p => (key, p)).toSeq
       }
       Some(rows.toDF("__meta_fname", "__meta_pos"))
     }
   }
+
+  /** Distributed join key identifying ONE data file of `snap`: the
+    * URI-rendered path suffix of 1 + |partition columns| segments. The
+    * basename alone is NOT unique on partitioned tables — one task
+    * writing several partition directories reuses its
+    * `part-<task>-<jobUUID>` name in each (guaranteed under compact's
+    * coalesce(1)) — so the key carries the partition directories too.
+    * Both sides render through the URI form (`Path.toUri.toString` here,
+    * Spark's `_metadata.file_path` = SparkPath's uri string there), so
+    * percent-encoding agrees by construction. */
+  private def fileKeySegments(snap: Snapshot): Int =
+    snap.metadata.map(_.partitionColumns.size).getOrElse(0) + 1
+
+  private def fileKey(snap: Snapshot, f: AddFile): String =
+    fs.makeQualified(new Path(path, f.path)).toUri.toString
+      .split('/').takeRight(fileKeySegments(snap)).mkString("/")
+
+  private def fileKeyExpr(snap: Snapshot): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.substring_index(
+      col("_metadata.file_path"), "/", -fileKeySegments(snap))
 
   /** Garbage-collect data files no longer referenced by the CURRENT
     * snapshot and older than `retentionMs` (delta VACUUM analog; pairs

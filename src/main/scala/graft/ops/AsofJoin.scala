@@ -77,9 +77,15 @@ object AsofJoin {
     val wb = running(col("_t").asc)
     val wf = running(col("_t").desc)
 
-    // epoch-linear view of a time value for the nearest distance compare
+    // epoch-linear view of a time value for the nearest distance compare;
+    // a left/right type mismatch would compare incompatible units
+    if (direction == "nearest")
+      require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+        s"nearest needs matching time types, got ${left.schema(leftTime).dataType} " +
+          s"vs ${right.schema(rightTime).dataType}")
     def tl(c: Column): Column = right.schema(rightTime).dataType match {
       case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.DateType => unix_date(c).cast("long")
       case _ => c.cast("long")
     }
     val chosen: Column = direction match {

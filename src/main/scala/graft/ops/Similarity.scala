@@ -157,10 +157,7 @@ object Similarity {
   def ivfRangeSearch(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
                      minCos: Double, numCentroids: Int, nprobe: Int): DataFrame = {
-    val cents: Seq[(Long, Seq[Float])] = corpus.filter(col(corpusId) < numCentroids)
-      .select(col(corpusId).cast("long"), col(corpusVec))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
-    require(cents.nonEmpty, "no centroid rows found (corpusId < numCentroids)")
+    val cents = firstNCentroids(corpus, corpusId, corpusVec, numCentroids)
     val assigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .withColumn("cell", cellOf(cents)(col("cv")))
     val probes = probeCells(queries, queryId, queryVec, cents, nprobe)
@@ -193,10 +190,7 @@ object Similarity {
     // scan-stage expression. The previous cross-join + row_number form
     // shuffled |corpus| × numCentroids rows through a window sort just to
     // pick each row's best centroid (review finding).
-    val cents: Seq[(Long, Seq[Float])] = corpus.filter(col(corpusId) < numCentroids)
-      .select(col(corpusId).cast("long"), col(corpusVec))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
-    require(cents.nonEmpty, "no centroid rows found (corpusId < numCentroids)")
+    val cents = firstNCentroids(corpus, corpusId, corpusVec, numCentroids)
     ivfTopKWith(corpus, corpusId, corpusVec, queries, queryId, queryVec, k, cents, nprobe)
   }
 
@@ -232,10 +226,7 @@ object Similarity {
                       nprobe: Int): DataFrame = {
     // codebook from the UNfiltered corpus — shared with every other
     // predicate (and with the unfiltered search / partitioned layout)
-    val cents: Seq[(Long, Seq[Float])] = corpus.filter(col(corpusId) < numCentroids)
-      .select(col(corpusId).cast("long"), col(corpusVec))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
-    require(cents.nonEmpty, "no centroid rows found (corpusId < numCentroids)")
+    val cents = firstNCentroids(corpus, corpusId, corpusVec, numCentroids)
     ivfTopKWith(corpus.filter(pred), corpusId, corpusVec,
       queries, queryId, queryVec, k, cents, nprobe)
   }
@@ -308,6 +299,20 @@ object Similarity {
         }
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
+    cents
+  }
+
+
+  /** The first-N stand-in codebook (corpus rows with id < n) — the ONE
+    * definition every IVF variant (top-k, filtered, range) collects its
+    * default centroids through, so their candidate universes cannot
+    * drift apart by a missed edit. */
+  private def firstNCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
+                              n: Int): Seq[(Long, Seq[Float])] = {
+    val cents: Seq[(Long, Seq[Float])] = corpus.filter(col(corpusId) < n)
+      .select(col(corpusId).cast("long"), col(corpusVec))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    require(cents.nonEmpty, "no centroid rows found (corpusId < numCentroids)")
     cents
   }
 

@@ -114,6 +114,28 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.scan(Seq(DataSkipping.ColPred("id", "<=", 10L))).count() === 11L)
   }
 
+  test("rename/drop refuse columns referenced by constraints or generation exprs") {
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amount", DoubleType),
+      DeltaTable.generatedField("bucket", LongType, "CAST(floor(amount) AS BIGINT)")))
+    val t = DeltaTable.forPath(spark, tmpDir("colmap-ref")).create(sch, Nil,
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
+    t.append(Seq((1L, 2.5)).toDF("id", "amount"))
+    t.addCheckConstraint("pos_id", "id >= 0")
+    // a metadata-only rename/drop that breaks stored SQL must refuse at
+    // DDL time, not fail every future write
+    assertThrows[IllegalArgumentException](t.renameColumn("amount", "amt"))
+    assertThrows[IllegalArgumentException](t.dropColumn("amount"))
+    assertThrows[IllegalArgumentException](t.renameColumn("id", "key"))
+    // dropping the generated column ITSELF is fine (its expr leaves too),
+    // after which its input becomes free to rename
+    t.dropColumn("bucket")
+    t.renameColumn("amount", "amt")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "amt"))
+    assert(t.toDF.count() === 1L)
+  }
+
   test("partitioned or CDF-enabled mapped tables refuse at create") {
     assertThrows[IllegalArgumentException](
       DeltaTable.forPath(spark, tmpDir("colmap-part")).create(schema, Seq("note"),

@@ -227,6 +227,51 @@ class DeletionVectorSpec extends SparkSpec {
     assert(p.readerFeatures.exists(_.contains("deletionVectors")))
   }
 
+  test("partitioned tables: identical basenames across partition dirs don't cross-delete") {
+    // compact's coalesce(1)+partitionBy writes the SAME part-file name
+    // into every partition directory — the review-flagged collision. The
+    // DV row key must carry the partition dirs, or a delete in p=a also
+    // suppresses the same positions in p=b.
+    val t = DeltaTable.forPath(spark, tmpDir("dv-part"))
+    t.create(StructType(Seq(
+      StructField("id", LongType),
+      StructField("p", StringType))),
+      partitionColumns = Seq("p"),
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    t.append((0L until 40L).map(i => (i, if (i < 20) "a" else "b")).toDF("id", "p"))
+    assert(t.compact(minBytes = 1L << 30) > 0L)
+    val names = t.snapshot.files.map(f => new Path(f.path).getName)
+    assert(names.distinct.size < names.size,
+      s"fixture must produce colliding basenames, got $names")
+    // delete rows 0..4 — they live ONLY in partition a
+    assert(t.deleteWithDv(col("id") < 5) > 0L)
+    assert(t.toDF.count() === 35L)
+    assert(t.toDF.filter(col("p") === "b").count() === 20L,
+      "partition b must be untouched by a's deletion vector")
+    assert(t.toDF.filter(col("p") === "a").count() === 15L)
+    // and the positions really did come from the right file
+    assert(t.toDF.filter(col("id") < 5).count() === 0L)
+  }
+
+  test("a DV commit merges the protocol instead of clobbering declared features") {
+    val t = DeltaTable.forPath(spark, tmpDir("dv-proto"))
+    t.create(StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      configuration = Map(
+        DeltaTable.DvConfigKey -> "true",
+        DeltaTable.ColumnMappingModeKey -> "name"))
+    t.append(df(0 until 10))
+    t.deleteWithDv(col("id") === 1L)
+    val p = t.snapshot.protocol.get
+    assert(p.minReaderVersion === 3 && p.minWriterVersion === 7)
+    assert(p.readerFeatures.get.contains("deletionVectors") &&
+      p.readerFeatures.get.contains("columnMapping"),
+      s"reader features must keep columnMapping: ${p.readerFeatures}")
+    assert(p.writerFeatures.get.contains("columnMapping"))
+    // the mapped read still works post-DV (physical names + DV anti-join)
+    assert(t.toDF.count() === 9L)
+  }
+
   test("vacuum keeps referenced DV files, collects them after purge") {
     val t = dvTable()
     t.append(df(0 until 3000)) // big enough for a file-backed (non-inline) DV

@@ -77,6 +77,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(near("e") === Some(130.0))
   }
 
+  test("nearest works on DATE time columns and refuses mismatched time types") {
+    val d = java.sql.Date.valueOf(_: String)
+    val right = Seq((1L, d("2024-01-01"), 10.0), (1L, d("2024-01-11"), 20.0))
+      .toDF("key", "rts", "v")
+    val left = Seq((1L, d("2024-01-04"), "a"), (1L, d("2024-01-08"), "b"))
+      .toDF("key", "lts", "tag")
+    val out = AsofJoin.asof(left, right, "key", "lts", "rts", "v", direction = "nearest")
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Double]("asof_v")).toMap
+    assert(out("a") === 10.0 && out("b") === 20.0)
+    val tsLeft = Seq((1L, ts(1), "x")).toDF("key", "lts", "tag")
+    assertThrows[IllegalArgumentException](
+      AsofJoin.asof(tsLeft, right, "key", "lts", "rts", "v", direction = "nearest"))
+  }
+
   test("left columns pass through unchanged") {
     val right = Seq((1L, ts(0), 1.0)).toDF("key", "rts", "v")
     val left = Seq((1L, ts(1), "x", 42)).toDF("key", "lts", "name", "extra")
