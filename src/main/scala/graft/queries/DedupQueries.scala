@@ -356,6 +356,51 @@ object DedupQueries extends QueryModule {
               |SELECT node AS id, min(r) AS cluster_id FROM reach
               |GROUP BY node ORDER BY id""".stripMargin)),
 
+    // Duplication-audit report: the cluster-SIZE histogram over the
+    // whole corpus (singletons included as size-1 clusters) — the
+    // number every dedup run reports first ("how much of the corpus is
+    // duplicated, at what multiplicities"). Composes the gated minhash
+    // clustering with a two-level aggregation; the oracle replays the
+    // closure and the same histogram.
+    "report_cluster_sizes" -> QueryDef(
+      (s, d) => {
+        val clusters = Dedup.duplicateClusters(
+          Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+            shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5))
+        Tables.documents(s, d).select(col("doc_id").as("id"))
+          .join(clusters, Seq("id"), "left")
+          .select(col("id"),
+            org.apache.spark.sql.functions.coalesce(
+              col("cluster_id"), col("id")).as("cluster_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            org.apache.spark.sql.functions.sum(col("sz")).cast("long").as("n_docs"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE $minhashCtes,
+              |pairs AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS a, id_b AS b FROM pairs
+              |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+              |), reach AS (
+              |  SELECT a AS node, a AS r FROM edges
+              |  UNION
+              |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node
+              |), clusters AS (
+              |  SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node
+              |), assigned AS (
+              |  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              |  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+              |), sizes AS (
+              |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+              |  FROM assigned GROUP BY cluster_id
+              |)
+              |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+              |  CAST(sum(sz) AS BIGINT) AS n_docs
+              |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin)),
+
     // same contract via the O(log n)-round large-star/small-star algorithm
     // (deep-chain-safe); output — and therefore oracle — identical to
     // dedup_clusters
