@@ -272,6 +272,21 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.toDF.count() === 9L)
   }
 
+  test("a DV-free table's read plan carries no anti-join — the common case pays nothing") {
+    val t = dvTable()
+    t.append(df(0 until 20))
+    val clean = t.toDF
+    clean.collect()
+    val p = clean.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("__meta"),
+      "reads of DV-free tables must not pay the anti-join:\n" + p)
+    // and the moment a DV exists, the join appears
+    t.deleteWithDv(col("id") === 0L)
+    val dv = t.toDF
+    dv.collect()
+    assert(dv.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("vacuum keeps referenced DV files, collects them after purge") {
     val t = dvTable()
     t.append(df(0 until 3000)) // big enough for a file-backed (non-inline) DV
