@@ -446,6 +446,51 @@ object Analytics extends QueryModule {
              |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
 
+    // Pearson correlation per group (the §2.11 statistics gap): corr of
+    // (value, user_id) per event type, computed from EXACT integer
+    // moment sums — value quantized to micro-units, the five moments
+    // summed as scale-0 decimals (no fp summation order anywhere), the
+    // final formula evaluated in doubles whose every op (exact-int cast,
+    // ×, ÷, sqrt) is correctly rounded per IEEE-754 — so the result is
+    // bit-identical across engines AND partitionings, where a naive
+    // corr() is a summation-order lottery.
+    "q28_corr" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 1.0E6 + 0.5E0) AS DECIMAL(38,0))").as("x"),
+            col("user_id").cast("decimal(38,0)").as("y"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"),
+            col("n").cast("long").as("n_rows"),
+            (( (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("corr_xy"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH q AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 1.0E6 + 0.5E0) AS HUGEINT) AS x,
+             |    CAST(user_id AS HUGEINT) AS y
+             |  FROM events
+             |), m AS (
+             |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             |    sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+             |  FROM q GROUP BY event_type
+             |)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+             |         CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
+             |FROM m ORDER BY event_type""".stripMargin)),
+
     "q23_hilbert_key" -> QueryDef(
       (s, d) =>
         Tables.events(s, d)
