@@ -158,6 +158,51 @@ object Sampling {
       .drop("__total")
   }
 
+  /** TEMPERATURE-scaled domain resampling — the multilingual /
+    * multi-domain mixing scheme of mBERT/XLM-R (sampling mass per domain
+    * ∝ (token mass)^α): flattens the natural size distribution so small
+    * domains aren't drowned, WITHOUT the hand-set per-domain weights of
+    * [[mixtureResample]]. Per-domain keep rate
+    *
+    *   r_d = min(1, budget·w_d / (Σw · T_d)),   w_d = T_d^α
+    *
+    * — expected kept tokens ∝ w_d until a domain saturates at keeping
+    * everything (the single-shot form: budget freed by saturated domains
+    * is not re-spread; re-run with a larger budget if that matters).
+    *
+    * Determinism/parity: α is FIXED at ½ — T^½ = sqrt(T), and IEEE-754
+    * sqrt is CORRECTLY rounded (unlike pow/exp/ln), so with weights
+    * quantized to integer micro-units (w_q = floor(sqrt(T)·10⁶ + ½)) and
+    * Σw_q an exact integer sum, every rate is a chain of exact-int→double
+    * casts, one multiply, one divide — bit-identical across engines and
+    * partitionings. A general α needs pow, which is a 1-ulp libm lottery
+    * (the PortableMath lesson); ½ is also a standard setting.
+    *
+    * Zero-token domains rate to 0 by an explicit guard (under ANSI mode
+    * even double division by zero raises) — they keep nothing.
+    *
+    * Plan: one tiny per-domain integer aggregation + a one-row Σw_q,
+    * both broadcast back; the keep decision is a scan-stage md5-coin
+    * compare — the [[domainBudget]] skeleton. */
+  def temperatureResample(df: DataFrame, domainCol: String, keyCol: String,
+                          tokenCount: Column, budget: Long, salt: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val totals = df.groupBy(col(domainCol))
+      .agg(sum(tokenCount.cast("long")).as("__t"))
+      .withColumn("__wq",
+        floor(sqrt(col("__t").cast("double")) * lit(1.0e6) + lit(0.5)).cast("long"))
+    val sw = totals.agg(sum(col("__wq")).as("__sw"))
+    val rate = when(col("__t") > 0L,
+      least(lit(1.0),
+        (lit(budget.toDouble) * col("__wq").cast("double")) /
+          (col("__sw").cast("double") * col("__t").cast("double"))))
+      .otherwise(lit(0.0))
+    df.join(broadcast(totals), Seq(domainCol))
+      .crossJoin(broadcast(sw))
+      .filter(coin(col(keyCol), salt).cast("double") < rate * lit(U32))
+      .drop("__t", "__wq", "__sw")
+  }
+
   /** Importance sampling: keep each row with its OWN probability — a score
     * column in [0, 1] (quality score, model-based filter output, inverse
     * propensity weight) instead of a plan-time constant. The coin is the

@@ -155,6 +155,35 @@ object SamplingQueries extends QueryModule {
       },
       headline = true),
 
+    // Temperature-scaled (α = ½) domain resampling, the XLM-R mixing
+    // scheme: keep rates ∝ sqrt(token mass)/mass per source. sqrt is the
+    // ONE correctly-rounded power, and weights quantize to integer
+    // micro-units before the exact Σ, so the oracle replays every rate
+    // bit-for-bit — train-side (the weights) AND decision-side (the
+    // coins) both hash-gated.
+    "sample_temperature" -> QueryDef(
+      (s, d) =>
+        Sampling.temperatureResample(Tables.documents(s, d), "source", "doc_id",
+            TextAnalysis.tokenCount(col("text")), budget = 2000L, salt = "temp")
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+              |  SELECT source, CAST(sum($tc) AS BIGINT) AS tt
+              |  FROM documents GROUP BY source
+              |), w AS (
+              |  SELECT source, tt,
+              |    CAST(floor(sqrt(CAST(tt AS DOUBLE)) * 1.0E6 + 0.5E0) AS BIGINT) AS wq
+              |  FROM t
+              |), sw AS (
+              |  SELECT CAST(sum(wq) AS BIGINT) AS sw FROM w
+              |)
+              |SELECT d.doc_id, d.source
+              |FROM documents d JOIN w USING (source) CROSS JOIN sw
+              |WHERE CAST(${coinSql("doc_id", "temp")} AS DOUBLE) <
+              |  (CASE WHEN tt > 0 THEN least(1.0, (2000.0E0 * CAST(wq AS DOUBLE)) /
+              |    (CAST(sw AS DOUBLE) * CAST(tt AS DOUBLE))) ELSE 0.0E0 END) * 4294967296.0
+              |ORDER BY doc_id""".stripMargin)),
+
     "sample_domain_budget" -> QueryDef(
       (s, d) =>
         Sampling.domainBudget(Tables.documents(s, d), "source", "doc_id",

@@ -360,4 +360,31 @@ class SamplingSpec extends SparkSpec {
       col("is_t"), buckets = 64, k = 3).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rep.toSeq === got.toSeq)
   }
+
+  test("temperatureResample: small domains keep a larger FRACTION; deterministic") {
+    import org.apache.spark.sql.functions.{length => slen}
+    // big domain 10x the token mass of the small one
+    val corpus = ((1L to 900L).map(i => (i, "w " * 10, "big")) ++
+      (1001L to 1100L).map(i => (i, "w " * 10, "small")))
+      .toDF("doc_id", "text", "source")
+    val tokenCount = graft.ops.TextAnalysis.tokenCount(col("text"))
+    val kept = Sampling.temperatureResample(corpus, "source", "doc_id",
+        tokenCount, budget = 3000L, salt = "t")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracBig = kept.getOrElse("big", 0L).toDouble / 900.0
+    val fracSmall = kept.getOrElse("small", 0L).toDouble / 100.0
+    // α = ½: rate ratio small/big = sqrt(10) ≈ 3.16 — well separated
+    assert(fracSmall > fracBig * 2.0,
+      s"temperature must boost the small domain: small=$fracSmall big=$fracBig")
+    // deterministic + partitioning independent
+    val a = Sampling.temperatureResample(corpus.repartition(1), "source", "doc_id",
+      tokenCount, 3000L, "t").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureResample(corpus.repartition(7, col("doc_id")), "source",
+      "doc_id", tokenCount, 3000L, "t").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.nonEmpty)
+    // a zero-token domain keeps nothing (NaN rate compares false)
+    val z = corpus.unionByName(Seq((2000L, "", "empty")).toDF("doc_id", "text", "source"))
+    assert(Sampling.temperatureResample(z, "source", "doc_id", tokenCount, 3000L, "t")
+      .filter(col("source") === "empty").count() === 0L)
+  }
 }
