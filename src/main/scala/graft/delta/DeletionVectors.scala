@@ -319,13 +319,17 @@ object DeletionVectors {
     deserialize(readBitmap(fs, tablePath, d))
 
   /** The raw serialized bitmap behind a descriptor. */
-  def readBitmap(fs: FileSystem, tablePath: String,
+  def readBitmap(fs0: FileSystem, tablePath: String,
                  d: Actions.DeletionVectorDescriptor): Array[Byte] = d.storageType match {
     case "i" =>
       java.util.Arrays.copyOf(z85Decode(d.pathOrInlineDv), d.sizeInBytes)
     case "u" | "p" =>
       val p = if (d.storageType == "p") new Path(d.pathOrInlineDv)
               else new Path(tablePath, d.pathOrInlineDv)
+      // an absolute descriptor (a shallow clone of a foreign-FS source)
+      // resolves its OWN FileSystem — the table's handle would throw
+      // "Wrong FS" for a different scheme/authority
+      val fs = if (d.storageType == "p") p.getFileSystem(fs0.getConf) else fs0
       if (!fs.exists(p))
         throw new IllegalStateException(
           s"deletion vector file ${d.pathOrInlineDv} is missing (vacuumed?) — " +

@@ -211,7 +211,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       s"cannot add constraint '$name' ($exprSql): existing row violates it: ${offender.head}")
     val basePaths = snap.files.map(_.path).toSet
     val committed = log.commit(
-      Seq(Action(protocol = Some(Protocol(minReaderVersion = 1, minWriterVersion = 3))),
+      // RAISE to the check-constraints floor (writer 3) — never replace:
+      // a hardcoded Protocol(1,3) would downgrade a mapped (2,5) or
+      // DV'd (3,7) table and erase its feature lists
+      Seq(Action(protocol = Some(raisedProtocol(snap, 1, 3,
+          Nil, Seq("checkConstraints")))),
         Action(metaData = Some(meta.copy(
           configuration = meta.configuration + (key -> exprSql)))),
         Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
@@ -829,30 +833,42 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     committed
   }
 
-  /** The protocol action a DV commit carries: versions raised to the
-    * (3, 7) floor the feature requires, MERGED with what the table
-    * already declares — a mapped or generated-columns table must keep
-    * advertising those features (at reader 3 / writer 7 the spec says
-    * the lists enumerate EVERY active feature, so the legacy-version
-    * features are spelled out too). */
-  private def protocolWithDv(snap: Snapshot): Protocol = {
+  /** The protocol action a feature-requiring commit carries: versions
+    * RAISED to the feature's floor, never lowered, MERGED with what the
+    * table already declares. Below the feature-list versions (reader 3 /
+    * writer 7) legacy versions imply their features and no lists are
+    * written; at or above them the spec says the lists enumerate EVERY
+    * active feature, so they are re-derived from table state (plus the
+    * `add*` features this very commit is introducing, which the
+    * pre-commit state can't yet show). Every protocol-touching write
+    * goes through here — a hardcoded action on a feature-bearing table
+    * silently downgrades what readers are told (review finding, twice). */
+  private def raisedProtocol(snap: Snapshot, floorReader: Int, floorWriter: Int,
+                             addReader: Seq[String], addWriter: Seq[String]): Protocol = {
     val old = snap.protocol.getOrElse(Protocol())
-    val conf = snap.metadata.map(_.configuration).getOrElse(Map.empty)
-    val sch = snap.schema.getOrElse(StructType(Nil))
-    val mapped = conf.get(DeltaTable.ColumnMappingModeKey).contains("name")
-    val hasGen = sch.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey))
-    val hasConstraints = conf.keys.exists(_.startsWith(DeltaTable.ConstraintPrefix))
-    val hasCdf = conf.get(DeltaTable.CdfConfigKey).contains("true")
-    val reader = (old.readerFeatures.getOrElse(Nil) ++ Seq("deletionVectors") ++
-      (if (mapped) Seq("columnMapping") else Nil)).distinct.sorted
-    val writer = (old.writerFeatures.getOrElse(Nil) ++ Seq("deletionVectors") ++
-      (if (mapped) Seq("columnMapping") else Nil) ++
-      (if (hasGen) Seq("generatedColumns") else Nil) ++
-      (if (hasConstraints) Seq("checkConstraints") else Nil) ++
-      (if (hasCdf) Seq("changeDataFeed") else Nil)).distinct.sorted
-    Protocol(math.max(3, old.minReaderVersion), math.max(7, old.minWriterVersion),
-      Some(reader), Some(writer))
+    val r = math.max(floorReader, old.minReaderVersion)
+    val w = math.max(floorWriter, old.minWriterVersion)
+    if (r < 3 && w < 7) Protocol(r, w)
+    else {
+      val conf = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+      val sch = snap.schema.getOrElse(StructType(Nil))
+      val mapped = conf.get(DeltaTable.ColumnMappingModeKey).contains("name")
+      val hasGen = sch.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey))
+      val hasConstraints = conf.keys.exists(_.startsWith(DeltaTable.ConstraintPrefix))
+      val hasCdf = conf.get(DeltaTable.CdfConfigKey).contains("true")
+      val reader = (old.readerFeatures.getOrElse(Nil) ++ addReader ++
+        (if (mapped) Seq("columnMapping") else Nil)).distinct.sorted
+      val writer = (old.writerFeatures.getOrElse(Nil) ++ addWriter ++
+        (if (mapped) Seq("columnMapping") else Nil) ++
+        (if (hasGen) Seq("generatedColumns") else Nil) ++
+        (if (hasConstraints) Seq("checkConstraints") else Nil) ++
+        (if (hasCdf) Seq("changeDataFeed") else Nil)).distinct.sorted
+      Protocol(r, w, Some(reader), Some(writer))
+    }
   }
+
+  private def protocolWithDv(snap: Snapshot): Protocol =
+    raisedProtocol(snap, 3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
 
   /** Materialize every live deletion vector away (Delta `REORG TABLE …
     * APPLY (PURGE)`): rewrite only the DV-carrying files without their

@@ -468,9 +468,15 @@ object Analytics extends QueryModule {
             sum(col("y") * col("y")).as("syy"))
           .select(col("event_type"),
             col("n").cast("long").as("n_rows"),
-            (( (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            // degenerate groups (n=1 or zero variance) have no defined
+            // correlation: guard to NULL explicitly — an unguarded 0/0 is
+            // NULL in Spark but NaN in DuckDB, breaking the parity this
+            // query exists to demonstrate
+            when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+                 (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                  (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
               .as("corr_xy"))
           .orderBy(col("event_type"))
       },
@@ -486,9 +492,11 @@ object Analytics extends QueryModule {
              |  FROM q GROUP BY event_type
              |)
              |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
-             |  CAST(n * sxy - sx * sy AS DOUBLE) /
-             |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-             |         CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             |    CAST(n * sxy - sx * sy AS DOUBLE) /
+             |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+             |           CAST(n * syy - sy * sy AS DOUBLE))
+             |  ELSE NULL END AS corr_xy
              |FROM m ORDER BY event_type""".stripMargin)),
 
     "q23_hilbert_key" -> QueryDef(

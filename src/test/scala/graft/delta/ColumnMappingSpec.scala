@@ -123,6 +123,10 @@ class ColumnMappingSpec extends SparkSpec {
       configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
     t.append(Seq((1L, 2.5)).toDF("id", "amount"))
     t.addCheckConstraint("pos_id", "id >= 0")
+    // the constraint commit must RAISE protocol, never downgrade the
+    // mapped table's (2,5) to a hardcoded (1,3)
+    val p = t.snapshot.protocol.get
+    assert(p.minReaderVersion === 2 && p.minWriterVersion === 5)
     // a metadata-only rename/drop that breaks stored SQL must refuse at
     // DDL time, not fail every future write
     assertThrows[IllegalArgumentException](t.renameColumn("amount", "amt"))

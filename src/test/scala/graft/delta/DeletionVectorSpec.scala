@@ -270,6 +270,14 @@ class DeletionVectorSpec extends SparkSpec {
     assert(p.writerFeatures.get.contains("columnMapping"))
     // the mapped read still works post-DV (physical names + DV anti-join)
     assert(t.toDF.count() === 9L)
+    // a later constraint keeps (3,7) and EXTENDS the feature lists —
+    // never resets to a hardcoded legacy protocol
+    t.addCheckConstraint("pos_id", "id >= 0")
+    val p2 = t.snapshot.protocol.get
+    assert(p2.minReaderVersion === 3 && p2.minWriterVersion === 7)
+    assert(p2.writerFeatures.get.contains("deletionVectors") &&
+      p2.writerFeatures.get.contains("checkConstraints") &&
+      p2.writerFeatures.get.contains("columnMapping"))
   }
 
   test("a DV-free table's read plan carries no anti-join — the common case pays nothing") {
