@@ -706,6 +706,26 @@ object Multimodal {
         (col("dist") >= threshold).as("is_cut"))
   }
 
+  /** REAL PNG header metadata WITHOUT decoding a pixel: width/height are
+    * the big-endian u32s at the fixed IHDR offsets (bytes 17–20 / 21–24
+    * after the 8-byte signature + IHDR length/tag), parsed as pure
+    * Column expressions — substring on the binary column, hex, base-16
+    * conv. Non-PNG payloads (signature mismatch) yield NULLs, never
+    * garbage dims.
+    *
+    * The 100 TB point: metadata extraction over a billion images must
+    * not decode pixels — this runs in the scan stage's codegen span with
+    * zero shuffle and touches 24 header bytes of each BLOB, where the
+    * mapPartitions codec path exists for jobs that genuinely need the
+    * pixels. */
+  def pngDims(bytes: Column): (Column, Column) = {
+    def u32(pos: Int): Column =
+      conv(hex(substring(bytes, pos, 4)), 16, 10).cast("long")
+    val isPng = hex(substring(bytes, 1, 8)) === "89504E470D0A1A0A"
+    (when(isPng, u32(17)).otherwise(lit(null).cast("long")),
+     when(isPng, u32(21)).otherwise(lit(null).cast("long")))
+  }
+
   /** Deterministic fake "decode header" as pure columns (oracle-able):
     * md5-derived width/height/channels — the stand-in for reading a real
     * image header, exercised end-to-end by the driver gate. */

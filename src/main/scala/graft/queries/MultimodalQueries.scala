@@ -379,6 +379,39 @@ object MultimodalQueries extends QueryModule {
              |  CAST((3 * id + 7 * f + 2) % 16 AS BIGINT) AS b16
              |FROM fr ORDER BY asset_id, frame_idx""".stripMargin)),
 
+    // REAL PNG header metadata without decoding a pixel: genuine PNGs
+    // (JDK ImageIO encoder) with closed-form dims, parsed by the
+    // scan-stage IHDR expression — the oracle recomputes width/height
+    // from the formula without touching a byte, so a mis-offset, an
+    // endianness slip, or a signature misfire breaks the gate.
+    "mm_png_meta" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 16 + (id % 21).toInt
+            val h = 9 + (id % 13).toInt
+            val bi = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = bi.createGraphics()
+            g.setColor(new java.awt.Color(((id * 37) % 256).toInt, 0, 0))
+            g.fillRect(0, 0, w, h)
+            g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", baos)
+            (id, baos.toByteArray)
+          }).toDF("asset_id", "bytes")
+        val (wCol, hCol) = Multimodal.pngDims(col("bytes"))
+        media.select(col("asset_id"), wCol.as("width"), hCol.as("height"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(16 + doc_id % 21 AS BIGINT) AS width,
+             |  CAST(9 + doc_id % 13 AS BIGINT) AS height
+             |FROM documents WHERE doc_id < 200 ORDER BY asset_id""".stripMargin)),
+
     // Scene-cut detection composed onto the REAL MJPEG decode path:
     // 4–6-frame MJPEG AVIs whose color holds for two frames then jumps
     // (bucket-centered solid colors survive the lossy round-trip into

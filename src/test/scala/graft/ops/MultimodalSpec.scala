@@ -482,6 +482,22 @@ class MultimodalSpec extends SparkSpec {
     assert(msg.contains("asset 21") && msg.contains("16-bit"))
   }
 
+  test("pngDims parses real PNG headers; non-PNG bytes yield NULLs") {
+    val bi = new java.awt.image.BufferedImage(37, 21,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    val rows = Seq(
+      (1L, baos.toByteArray),
+      (2L, "definitely not a png".getBytes("UTF-8")))
+      .toDF("asset_id", "bytes")
+    val (w, h) = Multimodal.pngDims(col("bytes"))
+    val got = rows.select(col("asset_id"), w.as("w"), h.as("h"))
+      .orderBy("asset_id").collect()
+    assert(got(0).getLong(1) === 37L && got(0).getLong(2) === 21L)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+  }
+
   test("sceneCuts: lag distance per asset; first frame dropped; threshold gates") {
     val stats = Seq(
       // asset 1: colors hold, jump at f=2, hold again
