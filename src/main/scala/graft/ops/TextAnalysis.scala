@@ -456,6 +456,40 @@ object TextAnalysis {
         col("chunk_text"))
   }
 
+  /** SENTENCE-aligned chunking — the RAG-preferred variant of
+    * [[chunkTokens]]: retrieval chunks that respect sentence boundaries
+    * embed and cite better than mid-sentence token windows. Sentences
+    * split after terminal punctuation ([.!?] + whitespace); RE2 has no
+    * lookbehind, so the boundary keeps its terminator via a
+    * capture-group replace onto a control-char separator no text corpus
+    * contains (the BPE-oracle chr(31) precedent), then a plain split.
+    * `chunkSentences` consecutive sentences per chunk with `stride`
+    * overlap, ragged tail kept — the [[chunkTokens]] window contract.
+    * Scan-stage: one replace, one split, one generator; zero shuffle.
+    *
+    * @return (id, chunk_idx, n_sentences, chunk_text) */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     chunkSentences: Int, stride: Int): DataFrame = {
+    require(chunkSentences >= 1 && stride >= 1 && stride <= chunkSentences,
+      s"need 1 <= stride <= chunkSentences, got size=$chunkSentences stride=$stride")
+    val sep = "\u001f" // chr(31): the BPE-oracle separator precedent
+    val marked = regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1" + sep)
+    val sents = filter(transform(split(marked, sep), s => trim(s)), s => s =!= "")
+    val base = df.select(col(idCol).as("id"), sents.as("ss"))
+      .withColumn("n", size(col("ss")).cast("long"))
+      .filter(col("n") > 0)
+    val lastK = greatest(lit(0L),
+      ceil((col("n") - lit(chunkSentences)).cast("double") / lit(stride)).cast("long"))
+    base
+      .select(col("id"), col("ss"),
+        transform(sequence(lit(0L), lastK), k =>
+          slice(col("ss"), (k * stride + 1).cast("int"), lit(chunkSentences))).as("cs"))
+      .select(col("id"), posexplode(col("cs")).as(Seq("chunk_idx", "chunk")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_sentences"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
   /** The identical masking chain as DuckDB SQL over `expr` — generated
     * from [[PiiPatterns]] so the oracle can never drift from the code. */
   def scrubPiiSql(expr: String): String =

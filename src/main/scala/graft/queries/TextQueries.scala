@@ -317,6 +317,61 @@ object TextQueries extends QueryModule {
               |  chunk_text
               |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Sentence-aligned chunking (the RAG-preferred sibling of
+    // text_chunks): boundaries after [.!?]+whitespace via the
+    // RE2-portable marker-insert (no lookbehind in either engine), 3
+    // sentences per chunk, stride 2. The synthetic corpus contains NO
+    // terminators, so the query synthesizes deterministic sentence
+    // structure per doc (a terminator chosen by doc_id after every 7th
+    // token — the text_normalize per-doc-dirt precedent) so every
+    // branch of the split and the window arithmetic fires on real rows;
+    // the oracle replays the construction AND the chain.
+    "text_sentence_chunks" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+        val term = element_at(
+          org.apache.spark.sql.functions.array(lit("."), lit("!"), lit("?")),
+          (col("doc_id") % 3 + 1).cast("int"))
+        val sentenced = concat_ws(" ",
+          transform(sequence(lit(1), size(col("ts"))), i =>
+            concat(element_at(col("ts"), i),
+              when(i % 7 === 0, term).otherwise(lit("")))))
+        graft.ops.TextAnalysis.sentenceChunks(
+            docs.select(col("doc_id"), sentenced.as("sentenced")),
+            "doc_id", "sentenced", chunkSentences = 3, stride = 2)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id AS id, $T AS ts,
+             |    CASE doc_id % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END AS term
+             |  FROM documents),
+             |sent AS (
+             |  SELECT id, array_to_string(list_transform(range(1, len(ts) + 1),
+             |    i -> ts[i] || CASE WHEN i % 7 = 0 THEN term ELSE '' END), ' ') AS stext
+             |  FROM toks),
+             |base AS (
+             |  SELECT id,
+             |    list_filter(list_transform(
+             |      string_split(regexp_replace(trim(stext), '([.!?])\\s+', '\\1' || chr(31), 'g'), chr(31)),
+             |      x -> trim(x)), x -> x <> '') AS ss
+             |  FROM sent),
+             |nz AS (SELECT id, ss, CAST(len(ss) AS BIGINT) AS n FROM base WHERE len(ss) > 0),
+             |ks AS (SELECT id, ss,
+             |    greatest(CAST(0 AS BIGINT),
+             |      CAST(ceil(CAST(n - 3 AS DOUBLE) / 2.0) AS BIGINT)) AS lastk
+             |  FROM nz),
+             |ch AS (SELECT id,
+             |    unnest(range(0, lastk + 1)) AS chunk_idx,
+             |    unnest(list_transform(range(0, lastk + 1),
+             |      k -> ss[k * 2 + 1 : k * 2 + 3])) AS chunk
+             |  FROM ks)
+             |SELECT id AS doc_id, chunk_idx,
+             |  CAST(len(chunk) AS BIGINT) AS n_sentences,
+             |  array_to_string(chunk, ' ') AS chunk_text
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     "text_langid" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

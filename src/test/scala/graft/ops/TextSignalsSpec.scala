@@ -141,6 +141,25 @@ class TextSignalsSpec extends SparkSpec {
     assert(got(4L) === (("", 0L)))
   }
 
+  test("sentenceChunks: boundary split, overlap, ragged tail, empty-doc drop") {
+    val docs = Seq(
+      (1L, "One. Two! Three? Four. Five."),   // 5 sentences
+      (2L, "No terminator here at all"),       // 1 sentence
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceChunks(docs, "doc_id", "text",
+        chunkSentences = 2, stride = 1)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = got.filter(_._1 == 1L)
+    // 5 sentences, size 2, stride 1 → ceil((5-2)/1)+1 = 4 chunks
+    assert(d1.length === 4)
+    assert(d1(0)._4 === "One. Two!")
+    assert(d1(1)._4 === "Two! Three?", "stride-1 chunks must overlap by one sentence")
+    assert(d1(3)._4 === "Four. Five." && d1(3)._3 === 2L)
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq === Seq("No terminator here at all"))
+    assert(!got.exists(_._1 == 3L), "empty docs emit nothing")
+  }
+
   test("tfidfKeywords is partitioning-independent") {
     val a = TextAnalysis.tfidfKeywords(kwDocs.repartition(1), "doc_id", "text", k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
