@@ -158,6 +158,12 @@ object DeletionVectors {
     val offsets = new Array[Int](n)
     (0 until n).foreach(k => offsets(k) = buf.getInt)
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // leave the buffer at the end of this bitmap: max(offset + container
+    // length) over ALL containers — tracked explicitly (seeded with the
+    // header end), so parsing is independent of container storage order;
+    // a spec-valid bitmap with out-of-order container data must not
+    // corrupt the NEXT bitmap of a multi-bitmap array
+    var maxEnd = start + 8 + 8 * n
     (0 until n).foreach { k =>
       buf.position(start + offsets(k))
       if (cards(k) > 4096) { // bitset container
@@ -173,8 +179,9 @@ object DeletionVectors {
           out += (keys(k) << 16) | (buf.getShort & 0xFFFF)
         }
       }
+      maxEnd = math.max(maxEnd, buf.position())
     }
-    // leave the buffer at the end of this bitmap (max offset + its data)
+    buf.position(maxEnd)
     out.toArray
   }
 
@@ -237,16 +244,61 @@ object DeletionVectors {
     * bloating (every snapshot replay carries inline bytes). */
   val InlineMaxBytes: Int = 512
 
+  /** Encode a UUID's 16 big-endian bytes as the 20-char Z85 string the
+    * protocol stores in a "u" descriptor's `pathOrInlineDv`. */
+  def encodeUuid(uuid: java.util.UUID): String = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    z85Encode(bb.array())
+  }
+
+  /** TABLE-RELATIVE physical file name a "u" descriptor resolves to, per
+    * PROTOCOL.md: `pathOrInlineDv` is `<random prefix><z85 UUID>` — the
+    * LAST 20 chars are always the encoded UUID, anything before is an
+    * optional directory prefix — and the on-disk name derives as
+    * `[<prefix>/]deletion_vector_<uuid>.bin`. */
+  def relativeFileName(pathOrInlineDv: String): String = {
+    require(pathOrInlineDv.length >= 20,
+      s"'u' descriptor too short for a z85 UUID: '$pathOrInlineDv'")
+    val encoded = pathOrInlineDv.takeRight(20)
+    val prefix = pathOrInlineDv.dropRight(20)
+    val bb = ByteBuffer.wrap(z85Decode(encoded))
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val name = s"deletion_vector_$uuid.bin"
+    if (prefix.isEmpty) name else s"$prefix/$name"
+  }
+
+  /** Resolve a non-inline descriptor to its physical path + the
+    * FileSystem that owns it. An absolute ("p") descriptor — a shallow
+    * clone of a foreign-FS source — resolves its OWN FileSystem; the
+    * table's handle would throw "Wrong FS" for a different scheme or
+    * authority. The single seam for every consumer that touches DV
+    * files (read, restore-existence check, vacuum's referenced set). */
+  def physicalLocation(fs0: FileSystem, tablePath: String,
+                       d: Actions.DeletionVectorDescriptor): (FileSystem, Path) =
+    d.storageType match {
+      case "u" => (fs0, new Path(tablePath, relativeFileName(d.pathOrInlineDv)))
+      case "p" =>
+        val p = new Path(d.pathOrInlineDv)
+        (p.getFileSystem(fs0.getConf), p)
+      case other =>
+        throw new IllegalArgumentException(s"descriptor storageType '$other' has no file")
+    }
+
   /** Write the given bitmaps into ONE new DV file under the table root
-    * and return descriptors in input order. File layout as documented on
-    * the object: version byte, then per DV [4-byte BE length | bitmap |
-    * 4-byte BE CRC-32]; each descriptor's offset points at its length
-    * prefix. */
+    * and return descriptors in input order. The descriptor stores the
+    * z85-encoded UUID (NOT the file name — conforming readers derive
+    * `deletion_vector_<uuid>.bin` from it, see [[relativeFileName]]).
+    * File layout as documented on the object: version byte, then per DV
+    * [4-byte BE length | bitmap | 4-byte BE CRC-32]; each descriptor's
+    * offset points at its length prefix. */
   def writeDvFile(fs: FileSystem, tablePath: String,
                   bitmaps: Seq[Array[Byte]]): Seq[Actions.DeletionVectorDescriptor] = {
     require(bitmaps.nonEmpty, "no deletion vectors to write")
     val uuid = java.util.UUID.randomUUID()
-    val rel = s"deletion_vector_$uuid.bin"
+    val encoded = encodeUuid(uuid)
+    val rel = relativeFileName(encoded)
     val out = fs.create(new Path(tablePath, rel), false)
     val descs = scala.collection.mutable.ArrayBuffer.empty[Actions.DeletionVectorDescriptor]
     try {
@@ -260,7 +312,7 @@ object DeletionVectors {
         out.writeInt(crc.getValue.toInt)
         descs += Actions.DeletionVectorDescriptor(
           storageType = "u",
-          pathOrInlineDv = rel,
+          pathOrInlineDv = encoded,
           offset = Some(offset),
           sizeInBytes = b.length,
           cardinality = deserializedCardinality(b))
@@ -324,12 +376,7 @@ object DeletionVectors {
     case "i" =>
       java.util.Arrays.copyOf(z85Decode(d.pathOrInlineDv), d.sizeInBytes)
     case "u" | "p" =>
-      val p = if (d.storageType == "p") new Path(d.pathOrInlineDv)
-              else new Path(tablePath, d.pathOrInlineDv)
-      // an absolute descriptor (a shallow clone of a foreign-FS source)
-      // resolves its OWN FileSystem — the table's handle would throw
-      // "Wrong FS" for a different scheme/authority
-      val fs = if (d.storageType == "p") p.getFileSystem(fs0.getConf) else fs0
+      val (fs, p) = physicalLocation(fs0, tablePath, d)
       if (!fs.exists(p))
         throw new IllegalStateException(
           s"deletion vector file ${d.pathOrInlineDv} is missing (vacuumed?) — " +
@@ -362,5 +409,133 @@ object DeletionVectors {
     val bytes = serialize(positions)
     if (bytes.length <= InlineMaxBytes) inlineDescriptor(bytes)
     else writeDvFile(fs, tablePath, Seq(bytes)).head
+  }
+
+  /** Sorted-distinct union of `fresh` (sorted distinct) with an existing
+    * serialized bitmap, re-serialized — the per-file bitmap MERGE a
+    * repeated DV delete performs, runnable on an EXECUTOR (both inputs
+    * and the output are ∝ that one file's deleted rows). */
+  def mergeSerialize(fresh: Array[Long], old: Option[Array[Byte]]): Array[Byte] =
+    old match {
+      case None => serialize(fresh)
+      case Some(bytes) =>
+        val a = deserialize(bytes)
+        val out = new Array[Long](a.length + fresh.length)
+        var i = 0; var j = 0; var k = 0
+        while (i < a.length && j < fresh.length) {
+          if (a(i) < fresh(j)) { out(k) = a(i); i += 1 }
+          else if (a(i) > fresh(j)) { out(k) = fresh(j); j += 1 }
+          else { out(k) = a(i); i += 1; j += 1 } // defensive: dedupe ties
+          k += 1
+        }
+        while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+        while (j < fresh.length) { out(k) = fresh(j); j += 1; k += 1 }
+        serialize(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+    }
+
+  /** Number of set values in a serialized bitmap without materializing
+    * them (sum of container cardinalities) — the executor-side
+    * cardinality a descriptor records. */
+  def cardinalityOf(bytes: Array[Byte]): Long = deserializedCardinality(bytes)
+}
+
+/** O(log) membership over a SERIALIZED RoaringBitmapArray — no
+  * deserialization to a position list, so the scan-side memory cost of a
+  * deletion vector is its compressed bytes, not 8 bytes per deleted row.
+  * The per-bitmap start offsets index lazily (once per deserialized copy
+  * — i.e. once per executor under a broadcast); lookups are absolute
+  * byte reads with zero allocation. */
+final class BitmapView(bytes: Array[Byte]) extends Serializable {
+  import DeletionVectors.PortableMagic
+
+  // absolute little-endian reads
+  @inline private def u8(p: Int): Int = bytes(p) & 0xFF
+  @inline private def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+  @inline private def i32(p: Int): Int =
+    u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3) << 24)
+
+  /** Start offset of each 32-bit bitmap (index = high word). */
+  @transient private lazy val bitmapStarts: Array[Int] = {
+    require(i32(0) == PortableMagic, s"not a portable RoaringBitmapArray")
+    val n = ByteBuffer.wrap(bytes, 4, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+    require(n >= 0 && n <= Int.MaxValue, s"absurd bitmap count $n")
+    val starts = new Array[Int](n.toInt)
+    var pos = 12
+    var b = 0
+    while (b < n) {
+      starts(b) = pos
+      val cnt = i32(pos + 4)
+      var maxEnd = pos + 8 + 8 * cnt
+      var k = 0
+      while (k < cnt) {
+        val card = u16(pos + 8 + 4 * k + 2) + 1
+        val off = i32(pos + 8 + 4 * cnt + 4 * k)
+        val len = if (card > 4096) 8192 else 2 * card
+        maxEnd = math.max(maxEnd, pos + off + len)
+        k += 1
+      }
+      pos = maxEnd
+      b += 1
+    }
+    starts
+  }
+
+  def contains(v: Long): Boolean = {
+    if (v < 0) return false
+    val high = v >>> 32
+    if (high >= bitmapStarts.length) return false
+    val start = bitmapStarts(high.toInt)
+    val n = i32(start + 4)
+    val low = (v & 0xFFFFFFFFL).toInt
+    val key = low >>> 16
+    // binary search the (sorted) container keys in the header
+    var lo = 0
+    var hi = n - 1
+    var found = -1
+    while (found < 0 && lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val k = u16(start + 8 + 4 * mid)
+      if (k == key) found = mid
+      else if (k < key) lo = mid + 1
+      else hi = mid - 1
+    }
+    if (found < 0) return false
+    val card = u16(start + 8 + 4 * found + 2) + 1
+    val cStart = start + i32(start + 8 + 4 * n + 4 * found)
+    val target = low & 0xFFFF
+    if (card > 4096) (u8(cStart + (target >>> 3)) & (1 << (target & 7))) != 0
+    else {
+      var l = 0
+      var h = card - 1
+      var hit = false
+      while (!hit && l <= h) {
+        val m = (l + h) >>> 1
+        val s = u16(cStart + 2 * m)
+        if (s == target) hit = true
+        else if (s < target) l = m + 1
+        else h = m - 1
+      }
+      hit
+    }
+  }
+}
+
+/** Broadcast-side deleted-row membership for a snapshot: file key →
+  * serialized bitmap. Deserialized ONCE per executor (Spark broadcast
+  * semantics); the UTF8String-keyed index builds lazily there, so the
+  * per-row probe in [[graft.delta.DvDeleted]] allocates nothing. */
+final class DvLookup(bitmaps: Map[String, Array[Byte]]) extends Serializable {
+  @transient private lazy val views: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, BitmapView] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, BitmapView](
+      bitmaps.size * 2)
+    bitmaps.foreach { case (k, b) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(k), new BitmapView(b))
+    }
+    m
+  }
+
+  def deleted(fileKey: org.apache.spark.unsafe.types.UTF8String, pos: Long): Boolean = {
+    val v = views.get(fileKey)
+    v != null && v.contains(pos)
   }
 }

@@ -744,9 +744,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * commit also carries the protocol bump to (3, 7) +
     * `deletionVectors` reader/writer features per the spec.
     *
-    * Scale boundary (documented, by design): per-file positions funnel
-    * through the driver to build bitmaps — memory ∝ deleted rows, NOT
-    * table size. Mass deletes belong to [[delete]]. */
+    * Scale shape: per-file positions aggregate and SERIALIZE to roaring
+    * bitmaps on the EXECUTORS; the driver collects only (file, compressed
+    * bitmap, cardinality) — memory ∝ compressed bitmap bytes (≤ ~1 bit
+    * per row of an affected file, usually far less), never 8 bytes × raw
+    * deleted positions. Mass deletes still belong to [[delete]] — a DV
+    * covering most of the table is the wrong tool regardless of where
+    * the bitmap was built. */
   def deleteWithDv(predicate: org.apache.spark.sql.Column): Long = {
     require(dvEnabled,
       s"${DeltaTable.DvConfigKey} is not 'true' on this table — enable it " +
@@ -754,37 +758,49 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val snap = snapshot
     if (snap.files.isEmpty) return -1L
     val sch = snap.schema.get
-    // matching (file name, position) pairs through the DV-applied read
-    val matched = rawFor(snap, withMeta = true)
+    // existing bitmaps ride to the executors by broadcast so the merge
+    // with this delete's fresh positions happens where the positions are
+    val oldBitmaps: Map[String, Array[Byte]] =
+      snap.files.filter(_.deletionVector.isDefined)
+        .map(f => fileKey(snap, f) ->
+          DeletionVectors.readBitmap(fs, path, f.deletionVector.get)).toMap
+    val bcOld = spark.sparkContext.broadcast(oldBitmaps)
+    val mergeSer = org.apache.spark.sql.functions.udf { (fname: String, ps: Seq[Long]) =>
+      val bytes = DeletionVectors.mergeSerialize(ps.toArray, bcOld.value.get(fname))
+      (bytes, DeletionVectors.cardinalityOf(bytes))
+    }
+    // matching rows through the DV-applied read, aggregated per file and
+    // serialized in the same job; one compressed row per affected file
+    // comes back to the driver
+    val matched: Map[String, (Array[Byte], Long)] = rawFor(snap, withMeta = true)
       .filter(coalesce(predicate, lit(false)))
       .select(col("__meta_fname").as("__fname"), col("__meta_pos").as("__pos"))
       .groupBy(col("__fname"))
       .agg(org.apache.spark.sql.functions.sort_array(
         org.apache.spark.sql.functions.collect_list(col("__pos"))).as("ps"))
+      .select(col("__fname"), mergeSer(col("__fname"), col("ps")).as("s"))
+      .select(col("__fname"), col("s._1").as("bytes"), col("s._2").as("card"))
       .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      .map(r => r.getString(0) -> (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
     if (matched.isEmpty) return -1L
     val byKey = snap.files.map(f => fileKey(snap, f) -> f).toMap
     require(byKey.size == snap.files.size,
       "internal: file keys must be unique across the snapshot")
     val affected = matched.keys.toSeq.sorted.map(n => byKey.getOrElse(n,
       throw new IllegalStateException(s"matched file $n not in snapshot")))
-    // merge new positions into any existing bitmap; full-file deletions
-    // degrade to plain removes (numRecords from the add's stats)
+    // full-file deletions degrade to plain removes (numRecords from the
+    // add's stats; the merged cardinality counts old ∪ new)
     def numRecords(f: AddFile): Option[Long] =
       f.stats.map(s => Actions.mapper.readTree(s).path("numRecords").asLong(-1L))
         .filter(_ >= 0L)
-    final case class Planned(f: AddFile, merged: Array[Long], fullFile: Boolean)
+    final case class Planned(f: AddFile, bytes: Array[Byte], fullFile: Boolean)
     val planned = affected.map { f =>
-      val old = f.deletionVector
-        .map(d => DeletionVectors.readPositions(fs, path, d)).getOrElse(Array.empty[Long])
-      val merged = (old ++ matched(fileKey(snap, f))).distinct.sorted
-      Planned(f, merged, numRecords(f).contains(merged.length.toLong))
+      val (bytes, card) = matched(fileKey(snap, f))
+      Planned(f, bytes, numRecords(f).contains(card))
     }
-    // serialize bitmaps; batch every file-backed DV of this commit into
-    // ONE DV file, inline the small ones
-    val withBytes = planned.filterNot(_.fullFile)
-      .map(p => p -> DeletionVectors.serialize(p.merged))
+    // batch every file-backed DV of this commit into ONE DV file, inline
+    // the small ones
+    val withBytes = planned.filterNot(_.fullFile).map(p => p -> p.bytes)
     val (small, big) = withBytes.partition(_._2.length <= DeletionVectors.InlineMaxBytes)
     val bigDescs =
       if (big.isEmpty) Nil
@@ -824,8 +840,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       cdcActions.foreach(_.cdc.foreach(c => fs.delete(new Path(path, c.path), false)))
       // the freshly written shared DV file is unreferenced too — remove
       // it like every other path cleans its staged files on a lost race
-      bigDescs.map(_.pathOrInlineDv).distinct.foreach(p =>
-        fs.delete(new Path(path, p), false))
+      bigDescs.map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv))
+        .distinct.foreach(p => fs.delete(new Path(path, p), false))
       throw new java.util.ConcurrentModificationException(
         "DELETE (deletion vectors) lost a commit race: an affected file was " +
           "rewritten or DV'd concurrently")
@@ -1162,10 +1178,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       require(fs.exists(new Path(path, f.path)),
         s"cannot restore to v$version: data file ${f.path} was vacuumed")
       // a file re-added WITH a deletion vector needs that DV readable too
-      // — restoring the file without it would resurrect its deleted rows
+      // — restoring the file without it would resurrect its deleted rows.
+      // physicalLocation derives the on-disk name from the descriptor's
+      // z85 UUID and, for absolute "p" descriptors, resolves the path's
+      // OWN FileSystem (the table's handle would throw "Wrong FS")
       f.deletionVector.filter(d => d.storageType != "i").foreach { d =>
-        require(fs.exists(new Path(path, d.pathOrInlineDv)),
-          s"cannot restore to v$version: deletion vector ${d.pathOrInlineDv} " +
+        val (dfs, p) = DeletionVectors.physicalLocation(fs, path, d)
+        require(dfs.exists(p),
+          s"cannot restore to v$version: deletion vector $p " +
             s"of ${f.path} was vacuumed")
       }
     }
@@ -1227,7 +1247,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       f.copy(path = absolute(f.path),
         deletionVector = f.deletionVector.map(d =>
           if (d.storageType == "u")
-            d.copy(storageType = "p", pathOrInlineDv = absolute(d.pathOrInlineDv))
+            d.copy(storageType = "p",
+              pathOrInlineDv = absolute(DeletionVectors.relativeFileName(d.pathOrInlineDv)))
           else d))
     }
     target.log.commit(
@@ -1422,7 +1443,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val df =
       if (parts.isEmpty) reader.parquet(paths: _*)
       else reader.option("basePath", path).parquet(paths: _*)
-    val del = deletedPositions(snap)
+    val del = dvLookup(snap)
     val needMeta = withMeta || del.isDefined
     // per-file key = URI path suffix incl. partition dirs (see
     // [[fileKey]] — a bare basename collides across partition
@@ -1436,32 +1457,30 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       else withPhysCols.select(
         (sch.fields.zip(phys.fields).map { case (l, p) => col(p.name).as(l.name) } ++
           (if (needMeta) Seq(col("__meta_fname"), col("__meta_pos")) else Nil)).toSeq: _*)
-    // the deleted side is cardinality-sized (a DV delete is by design a
-    // small fraction of rows) and broadcasts
-    val filtered = del.fold(withCols)(d =>
-      withCols.join(org.apache.spark.sql.functions.broadcast(d),
-        Seq("__meta_fname", "__meta_pos"), "left_anti"))
+    // DV subtraction is a broadcast-bitmap membership FILTER inside the
+    // scan stage — no join node, no driver-side position list; per
+    // executor the cost is the compressed bitmap bytes once
+    val filtered = del.fold(withCols) { b =>
+      import org.apache.spark.sql.graft.ColumnBridge
+      withCols.filter(!ColumnBridge.wrap(DvDeleted(
+        ColumnBridge.toExpr(col("__meta_fname")),
+        ColumnBridge.toExpr(col("__meta_pos")), b)))
+    }
     if (withMeta || !needMeta) filtered
     else filtered.drop("__meta_fname", "__meta_pos")
   }
 
-  /** (file name, deleted position) rows for every live file carrying a
-    * deletion vector; None when the snapshot has no DVs (the common case
-    * pays nothing). Driver memory is bounded by the DELETED-row count —
-    * the DV contract (mass deletes belong to copy-on-write
-    * [[delete]]/[[purgeDeletionVectors]], which clear this state). */
-  private def deletedPositions(snap: Snapshot): Option[DataFrame] = {
+  /** Broadcast file-key → serialized-bitmap lookup for every live file
+    * carrying a deletion vector; None when the snapshot has no DVs (the
+    * common case pays nothing). The driver touches only the COMPRESSED
+    * bitmap bytes (KBs–MBs); positions are never materialized — executors
+    * probe the serialized form directly ([[BitmapView]]). */
+  private def dvLookup(snap: Snapshot): Option[org.apache.spark.broadcast.Broadcast[DvLookup]] = {
     val dvd = snap.files.filter(_.deletionVector.isDefined)
     if (dvd.isEmpty) None
-    else {
-      import spark.implicits._
-      val rows: Seq[(String, Long)] = dvd.flatMap { f =>
-        val key = fileKey(snap, f)
-        DeletionVectors.readPositions(fs, path, f.deletionVector.get)
-          .map(p => (key, p)).toSeq
-      }
-      Some(rows.toDF("__meta_fname", "__meta_pos"))
-    }
+    else Some(spark.sparkContext.broadcast(new DvLookup(
+      dvd.map(f => fileKey(snap, f) ->
+        DeletionVectors.readBitmap(fs, path, f.deletionVector.get)).toMap)))
   }
 
   /** Distributed join key identifying ONE data file of `snap`: the
@@ -1500,7 +1519,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // resurrects that file's deleted rows); unreferenced ones age out
     // with the same retention as data files
     val referencedDv = snap.files.flatMap(_.deletionVector)
-      .filter(_.storageType == "u").map(_.pathOrInlineDv).toSet
+      .filter(_.storageType == "u")
+      .map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv)).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val root = new Path(path)
     val rootQ = fs.makeQualified(root).toString
