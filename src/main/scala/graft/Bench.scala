@@ -52,6 +52,41 @@ object Bench {
     calibrate() // discard: first run pays the loop's own JIT (~0.10 vs 0.09)
     val calibBefore = calibrate()
 
+    // I/O-speed calibration: write+fsync a fixed-size file in the SAME
+    // tmpdir the ingest leg's scratch Delta table lands in (graft.Scratch
+    // → java.io.tmpdir; ext4 on this host, not tmpfs). The CPU hash loop
+    // above is blind to disk contention — round 10's driver bench
+    // recorded a 17× ingest "regression" (47 s vs a 3.7 s idle re-run)
+    // with a CLEAN cpu calib, because the write-heavy ingest leg was the
+    // only phase competing for the disk. These fields make that
+    // mechanically visible: a hot io_calib means the ingest number is
+    // load-polluted and should be discounted, not diagnosed.
+    def ioCalibLoop(totalBytes: Int): Double = {
+      val block = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(block, 0x5a.toByte)
+      val p = java.nio.file.Files.createTempFile("graft-bench-io", ".bin")
+      try {
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          var written = 0
+          while (written < totalBytes) {
+            ch.write(java.nio.ByteBuffer.wrap(block)); written += block.length
+          }
+          ch.force(true) // fsync: measure the device, not the page cache
+        } finally ch.close()
+        (System.nanoTime() - t0) / 1e9
+      } finally { java.nio.file.Files.deleteIfExists(p): Unit }
+    }
+    def ioCalibrate(): Double = ioCalibLoop(64 << 20)
+    // ~16 MiB slice after EVERY ingest run — the per-sample analog of
+    // calibSlice, on the resource the ingest actually contends for
+    def ioSlice(): Double = ioCalibLoop(16 << 20)
+    ioCalibrate() // discard: first run pays file-creation warmup
+    val ioCalibBefore = ioCalibrate()
+
     // Execute the FULL physical plan: DataFrame.count() rewrites to a
     // count(1) aggregate whose column pruning deletes the very projections
     // being benchmarked (a pure-select query degenerates to a footer-count
@@ -124,19 +159,28 @@ object Bench {
     // — the only workload the reference actually runs. Reported as extra
     // fields, NOT in the headline total, so cross-round totals compare.
     streaming.IngestPipeline.flagship(spark, warmDir).count(): Unit
+    // each ingest run records (rows, seconds, adjacent cpu slice,
+    // adjacent io slice) — the ingest leg is write-heavy, so it carries
+    // BOTH calibration kinds per sample (round-10 harness gap: the leg
+    // had no adjacent calibration at all and a cpu loop can't see I/O)
     val ingestRuns = (1 to iters).map { _ =>
       val t0 = System.nanoTime()
       val n = streaming.IngestPipeline.flagship(spark, sfDir).count()
-      (n, (System.nanoTime() - t0) / 1e9)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (n, sec, calibSlice(), ioSlice())
     }
     val ingested = ingestRuns.head._1
-    val ingestSec = ingestRuns.map(_._2).min // same min-of-N rationale
+    val ingestMin = ingestRuns.minBy(_._2)
+    val ingestSec = ingestMin._2 // same min-of-N rationale
     val ingestRate = (ingested / ingestSec).round
     System.err.println(f"[bench] ingest min=${ingestSec}%.3f " +
-      ingestRuns.map(r => f"${r._2}%.3f").mkString("[", " ", "]"))
+      ingestRuns.map(r => f"${r._2}%.3f/c${r._3}%.3f/io${r._4}%.3f")
+        .mkString("[", " ", "]"))
 
     val calibAfter = calibrate()
-    System.err.println(f"[bench] calib before=$calibBefore%.3f after=$calibAfter%.3f")
+    val ioCalibAfter = ioCalibrate()
+    System.err.println(f"[bench] calib before=$calibBefore%.3f after=$calibAfter%.3f " +
+      f"io before=$ioCalibBefore%.3f after=$ioCalibAfter%.3f")
 
     // Mechanical environment-vs-regression signal: this host runs the
     // calibration loop in ~0.090 s when quiet (measured idle, matching the
@@ -146,6 +190,14 @@ object Bench {
     // hot with calib 0.106 and every query inflated).
     val QuietCalibSec = 0.090
     val SliceQuietSec = 0.045
+    // 64 MiB write+fsync on this host's ext4 /tmp measured idle ≈
+    // 0.16–0.25 s, the 16 MiB slice ≈ 0.041–0.046 s (round-11 idle
+    // probe, 6 samples each). Disk timings swing more than CPU even
+    // when quiet, so the hot threshold is 2× the reference, not 1.15×
+    // — it flags the order-of-magnitude contention that produced round
+    // 10's phantom 17× ingest regression, not run-to-run jitter.
+    val IoQuietSec = 0.20
+    val IoSliceQuietSec = 0.045
     // run-level warning: hot endpoints OR a hot majority of the per-sample
     // slices (round 9: endpoints read clean while the middle of the run
     // was contended — the slice median can't be straddled that way)
@@ -156,6 +208,11 @@ object Bench {
       else (allSlices(allSlices.length / 2 - 1) + allSlices(allSlices.length / 2)) / 2.0
     val loadWarning = calibBefore > QuietCalibSec * 1.15 ||
       calibAfter > QuietCalibSec * 1.15 || sliceMedian > SliceQuietSec * 1.15
+    // separate flag for the ingest leg: disk contention that never
+    // touched the (CPU-bound) query loop must not poison the headline
+    // total's credibility, and vice versa
+    val ingestWarning = ioCalibBefore > IoQuietSec * 2 || ioCalibAfter > IoQuietSec * 2 ||
+      ingestMin._3 > SliceQuietSec * 1.15 || ingestMin._4 > IoSliceQuietSec * 2
 
     // median alongside min/max: on a host with 2–4× scheduler swings even a
     // min-of-3 is occasionally inflated; the median shows whether the min is
@@ -183,7 +240,12 @@ object Bench {
       s""""calib_sec_before":$calibBefore,"calib_sec_after":$calibAfter,""" +
       s""""calib_quiet_ref":$QuietCalibSec,"load_warning":$loadWarning,""" +
       s""""ingest_rows":$ingested,"ingest_sec":$ingestSec,""" +
-      s""""ingest_rows_per_sec":$ingestRate,"sf":"$sfDir"}"""
+      s""""ingest_rows_per_sec":$ingestRate,""" +
+      s""""ingest_runs":${ingestRuns.map(_._2).mkString("[", ",", "]")},""" +
+      s""""ingest_calib_at_min":${ingestMin._3},"ingest_io_at_min":${ingestMin._4},""" +
+      s""""io_calib_before":$ioCalibBefore,"io_calib_after":$ioCalibAfter,""" +
+      s""""io_calib_quiet_ref":$IoQuietSec,"ingest_warning":$ingestWarning,""" +
+      s""""sf":"$sfDir"}"""
     // Stdout for humans and the legacy driver parse — printed FIRST, so a
     // broken SPARK_GRAFT_BENCH_OUT path can never destroy both channels
     // after minutes of measurement. Then the object lands atomically in a
