@@ -40,7 +40,18 @@ object DataSkipping {
 
   /** Files of `snap` that MAY contain a matching row. */
   def prune(snap: Snapshot, preds: Seq[ColPred]): Seq[Actions.AddFile] = {
-    val partCols = snap.metadata.map(_.partitionColumns.toSet).getOrElse(Set.empty)
+    // partition columns by logical AND physical name: on a column-mapped
+    // table, predicates arrive physically translated and partitionValues
+    // key physically — the logical names stay in the set for unmapped
+    // tables (identity) and direct callers
+    val partCols = {
+      val logical = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
+      val physOf = snap.schema.map(_.fields.map(f =>
+        f.name -> (if (f.metadata.contains(DeltaTable.ColMapPhysKey))
+          f.metadata.getString(DeltaTable.ColMapPhysKey) else f.name)).toMap)
+        .getOrElse(Map.empty[String, String])
+      (logical ++ logical.flatMap(physOf.get)).toSet
+    }
     // types resolve under the LOGICAL name and, on column-mapped tables,
     // the PHYSICAL name too (stats are keyed physically; DeltaTable.scan
     // translates its predicates before calling here)

@@ -149,6 +149,77 @@ object Actions {
   }
 }
 
+/** Direct Row → [[Actions.Action]] conversion for checkpoint replay
+  * (field positions follow [[Actions.CheckpointSchema]] exactly). */
+private[delta] object CheckpointRows {
+  import Actions._
+  import org.apache.spark.sql.Row
+
+  private def optStr(r: Row, i: Int): Option[String] =
+    if (r.isNullAt(i)) None else Some(r.getString(i))
+  private def optLong(r: Row, i: Int): Option[Long] =
+    if (r.isNullAt(i)) None else Some(r.getLong(i))
+  private def optInt(r: Row, i: Int): Option[Int] =
+    if (r.isNullAt(i)) None else Some(r.getInt(i))
+  private def optSeq(r: Row, i: Int): Option[Seq[String]] =
+    if (r.isNullAt(i)) None else Some(r.getSeq[String](i))
+  private def mapOf(r: Row, i: Int): Map[String, String] =
+    if (r.isNullAt(i)) Map.empty else r.getMap[String, String](i).toMap
+
+  private def dv(r: Row, i: Int): Option[DeletionVectorDescriptor] =
+    if (r.isNullAt(i)) None
+    else {
+      val d = r.getStruct(i)
+      Some(DeletionVectorDescriptor(
+        storageType = d.getString(0),
+        pathOrInlineDv = d.getString(1),
+        offset = optInt(d, 2),
+        sizeInBytes = if (d.isNullAt(3)) 0 else d.getInt(3),
+        cardinality = if (d.isNullAt(4)) 0L else d.getLong(4)))
+    }
+
+  def toAction(r: Row): Action = {
+    if (!r.isNullAt(0)) {
+      val p = r.getStruct(0)
+      Action(protocol = Some(Protocol(
+        minReaderVersion = p.getInt(0), minWriterVersion = p.getInt(1),
+        readerFeatures = optSeq(p, 2), writerFeatures = optSeq(p, 3))))
+    } else if (!r.isNullAt(1)) {
+      val m = r.getStruct(1)
+      val format =
+        if (m.isNullAt(2)) Format()
+        else {
+          val f = m.getStruct(2)
+          Format(provider = if (f.isNullAt(0)) "parquet" else f.getString(0),
+            options = mapOf(f, 1))
+        }
+      Action(metaData = Some(Metadata(
+        id = m.getString(0), name = optStr(m, 1), format = format,
+        schemaString = if (m.isNullAt(3)) "" else m.getString(3),
+        partitionColumns = if (m.isNullAt(4)) Nil else m.getSeq[String](4),
+        configuration = mapOf(m, 5),
+        createdTime = optLong(m, 6))))
+    } else if (!r.isNullAt(2)) {
+      val t = r.getStruct(2)
+      Action(txn = Some(Txn(t.getString(0), t.getLong(1), optLong(t, 2))))
+    } else if (!r.isNullAt(3)) {
+      val a = r.getStruct(3)
+      Action(add = Some(AddFile(
+        path = a.getString(0), partitionValues = mapOf(a, 1),
+        size = if (a.isNullAt(2)) 0L else a.getLong(2),
+        modificationTime = if (a.isNullAt(3)) 0L else a.getLong(3),
+        dataChange = !a.isNullAt(4) && a.getBoolean(4),
+        stats = optStr(a, 5), deletionVector = dv(a, 6))))
+    } else if (!r.isNullAt(4)) {
+      val rm = r.getStruct(4)
+      Action(remove = Some(RemoveFile(
+        path = rm.getString(0), deletionTimestamp = optLong(rm, 1),
+        dataChange = !rm.isNullAt(2) && rm.getBoolean(2),
+        deletionVector = dv(rm, 3))))
+    } else Action() // blank row: ignored by replay, like an unknown action
+  }
+}
+
 final case class Snapshot(
     version: Long,
     metadata: Option[Actions.Metadata],
@@ -365,15 +436,17 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   }
 
   /** Seed a replay from the newest parquet checkpoint at version ≤ cap.
-    * Returns the checkpoint version applied, or -1. */
+    * Returns the checkpoint version applied, or -1. Rows map STRAIGHT to
+    * [[Actions.Action]] — the earlier toJSON→Jackson round-trip doubled
+    * the serialization work per checkpoint row, which at 10⁶-file tables
+    * is the dominant cold-start cost of this (driver-side-log) design. */
   private def seedFromCheckpoint(state: ReplayState, cap: Long): Long =
     (spark, checkpointVersions().filter(_ <= cap).lastOption) match {
       case (Some(ss), Some(v)) =>
-        // parquet rows → JSON lines → Action: same serde as the commits
-        val lines = ss.read.schema(CheckpointSchema)
+        val rows = ss.read.schema(CheckpointSchema)
           .parquet(checkpointFile(v).toString)
-          .toJSON.collect()
-        state.apply(lines.toSeq.map(l => mapper.readValue(l, classOf[Action])))
+          .collect()
+        state.apply(rows.iterator.map(CheckpointRows.toAction).toSeq)
         v
       case _ => -1L
     }

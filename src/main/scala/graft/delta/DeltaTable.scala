@@ -120,17 +120,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
              configuration: Map[String, String] = Map.empty): this.type = {
     if (!exists) {
       val mapping = configuration.get(DeltaTable.ColumnMappingModeKey).contains("name")
-      // documented scope: column mapping composes with everything EXCEPT
-      // Hive-partitioned layouts (partitionValues would key by physical
-      // name — a pruning swamp) and CDF (change files would need the
-      // same translation); both refuse at create, not mid-write
-      if (mapping) {
-        require(partitionColumns.isEmpty,
-          "column mapping is supported on unpartitioned tables only " +
-            "(use OPTIMIZE clustering instead of Hive partitioning)")
-        require(!configuration.get(DeltaTable.CdfConfigKey).contains("true"),
-          "column mapping + change data feed is out of scope — pick one")
-      }
+      // column mapping composes with partitioning and CDF (round 11):
+      // partition directories / partitionValues / change files all carry
+      // PHYSICAL names (the protocol's representation) and every read
+      // seam renames back to logical — the 100 TB tables that most need
+      // metadata-only rename ARE partitioned
       // assign stable ids + physical parquet names at creation (mode
       // `name`): renames/drops become metadata-only commits forever after
       val finalSchema =
@@ -269,6 +263,17 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   private def physicalSchema(sch: StructType): StructType =
     StructType(sch.fields.map(f => f.copy(name = physicalName(f))))
 
+  /** Partition columns by PHYSICAL name (identity without mapping).
+    * Hive directory names, `add.partitionValues` keys, and the staged
+    * `partitionBy` all use physical names on a mapped table — the
+    * protocol's representation, and what keeps RENAME COLUMN on a
+    * partition column metadata-only (the directories never move). */
+  private def physicalPartNames(parts: Seq[String]): Seq[String] = {
+    if (parts.isEmpty) return parts
+    val m = schema.fields.map(f => f.name -> physicalName(f)).toMap
+    parts.map(p => m.getOrElse(p, p))
+  }
+
   /** Rename a write batch's columns logical → physical just before the
     * parquet write (the single seam every staged write goes through). */
   private def toPhysicalForWrite(df: DataFrame, sch: StructType): DataFrame = {
@@ -312,8 +317,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       s"column '$newName' already exists")
     val renamed = StructType(sch.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
+    // a PARTITION column rename is still metadata-only: directory names
+    // carry the stable physical name, so only the logical list updates
+    val renamedParts = meta.partitionColumns.map(p =>
+      if (p == oldName) newName else p)
     val committed = log.commit(Seq(
-      Action(metaData = Some(meta.copy(schemaString = renamed.json))),
+      Action(metaData = Some(meta.copy(schemaString = renamed.json,
+        partitionColumns = renamedParts))),
       Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
         "RENAME COLUMN", Map("from" -> oldName, "to" -> newName))))),
       // stale-copy hazard, as addCheckConstraint: any concurrent metadata
@@ -336,6 +346,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val sch = schema
     require(sch.fieldNames.contains(name), s"no column '$name'")
     require(sch.fields.length > 1, "cannot drop the last column")
+    require(!snapshot.metadata.exists(_.partitionColumns.contains(name)),
+      s"cannot drop partition column '$name' (Delta refuses this too) — " +
+        "rewrite the table unpartitioned first")
     requireUnreferenced(name, "drop", ignoreOwnGeneration = true)
     val dropped = StructType(sch.fields.filterNot(_.name == name))
     val committed = log.commit(Seq(
@@ -419,7 +432,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     def txnNotYetApplied(snap: Snapshot): Boolean = txnAppId.forall { app =>
       txnVersion < 0 || snap.txns.getOrElse(app, -1L) < txnVersion
     }
-    if (!txnNotYetApplied(snapshot)) return -1L
+    // ONE base snapshot for the whole evolution computation: schema,
+    // maxColumnId, and the metadata the schemaUpdate action copies must
+    // come from the SAME version — three separate snapshot() reads left
+    // a torn-read window where a concurrent evolving append lands
+    // between them and this append's metaData action mixes old schema
+    // with new configuration (minting duplicate column-mapping ids)
+    val baseSnap = snapshot
+    if (!txnNotYetApplied(baseSnap)) return -1L
     // mergeSchema (the delta-rs writer's schema-evolution mode): source
     // columns the table lacks WIDEN the schema instead of silently
     // dropping — appended as nullable so existing files read back
@@ -429,7 +449,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // schema is computed against THIS snapshot — two writers evolving
     // the schema concurrently is a metadata conflict this append does
     // not arbitrate (Delta proper fails such commits too).
-    val baseSchema = schema
+    val baseSchema = baseSnap.schema.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
     val evolution: Seq[org.apache.spark.sql.types.StructField] =
       if (!mergeSchema) Nil
       else {
@@ -444,7 +465,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         else {
           // mapped tables: evolved fields need fresh stable ids and
           // physical names (maxColumnId advances in the same commit)
-          val maxId = snapshot.metadata
+          val maxId = baseSnap.metadata
             .flatMap(_.configuration.get(DeltaTable.ColumnMappingMaxIdKey))
             .map(_.toLong).getOrElse(0L)
           fresh.zipWithIndex.map { case (f, i) =>
@@ -476,16 +497,17 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // batches are bounded (maxMessagesPerBatch), so one-task-per-value
     // skew is capped; compact() remains the lever for residual smalls.
     val arranged = if (parts.nonEmpty) aligned.repartition(parts.map(col): _*) else aligned
+    val physParts = physicalPartNames(parts)
     val writer = toPhysicalForWrite(arranged, evolvedSchema).write.mode("overwrite")
       .option("compression", "snappy")
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
       .parquet(staging.toString)
 
-    val adds = collectStagedFiles(staging, parts)
+    val adds = collectStagedFiles(staging, physParts)
     try {
       val baseMeta =
         if (evolution.isEmpty) None
-        else Some(snapshot.metadata
+        else Some(baseSnap.metadata
           .getOrElse(throw new IllegalStateException(s"no table at $path")))
       val schemaUpdate = baseMeta
         .map(m => Action(metaData = Some(m.copy(
@@ -897,13 +919,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val snap = snapshot
     val dvd = snap.files.filter(_.deletionVector.isDefined)
     if (dvd.isEmpty) return -1L
-    val parts = partitionColumns
+    val physParts = physicalPartNames(partitionColumns)
     val df = dfFor(snap.copy(files = dvd)) // DV-applied read
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val writer = toPhysicalForWrite(df, schema).write
       .mode("overwrite").option("compression", "snappy")
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
-    val adds = collectStagedFiles(staging, parts)
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer).parquet(staging.toString)
+    val adds = collectStagedFiles(staging, physParts)
     try {
       val expected = dvd.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(
@@ -999,12 +1021,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                               "a concurrent commit rewrote files this operation was based on",
                             changes: Option[DataFrame] = None): Long = {
     val parts = partitionColumns
+    val physParts = physicalPartNames(parts)
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
     val writer = toPhysicalForWrite(arranged, schema).write
       .mode("overwrite").option("compression", "snappy")
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
-    val adds = collectStagedFiles(staging, parts)
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer).parquet(staging.toString)
+    val adds = collectStagedFiles(staging, physParts)
     val cdcActions = changes.map(stageChangeFiles).getOrElse(Nil)
     try {
       // a file is "still ours" only with the same path AND the same DV
@@ -1041,7 +1064,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   private def stageChangeFiles(changes: DataFrame): Seq[Action] = {
     val staging = new Path(path, s"_staging-cdc-${java.util.UUID.randomUUID()}")
     try {
-      changes.write.mode("overwrite").option("compression", "snappy")
+      // change files carry PHYSICAL column names like data files (the
+      // `_change_type` column is not in the schema and passes through)
+      toPhysicalForWrite(changes, schema).write
+        .mode("overwrite").option("compression", "snappy")
         .parquet(staging.toString)
       val it = fs.listFiles(staging, true)
       val buf = mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
@@ -1092,11 +1118,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       s"bad version range [$fromVersion, $toVersion]")
     require(cdfEnabled,
       s"${DeltaTable.CdfConfigKey} is not 'true' on this table")
-    val readSchema = schema.add(DeltaTable.ChangeTypeCol,
-      org.apache.spark.sql.types.StringType)
-    val outCols = readSchema.fieldNames.toSeq.map(col) ++
-      Seq(col("_commit_version"), col("_commit_timestamp"))
-    val frames = (fromVersion to toVersion).flatMap { v =>
+    val sch = schema
+    val physSch = physicalSchema(sch)
+    // commit-JSON reads: driver metadata, cost ∝ versions (KBs each)
+    final case class VersionFiles(v: Long, ts: Long,
+                                  cdc: Seq[AddCDCFile], adds: Seq[AddFile])
+    val versions: Seq[VersionFiles] = (fromVersion to toVersion).map { v =>
       val actions =
         try log.readVersion(v)
         catch {
@@ -1109,46 +1136,83 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val cdcFiles = actions.flatMap(_.cdc)
       val dataAdds = actions.flatMap(_.add).filter(_.dataChange)
       val dataRemoves = actions.flatMap(_.remove).filter(_.dataChange)
-      val base: Option[DataFrame] =
-        if (cdcFiles.nonEmpty) {
-          // change files age out under VACUUM's retention exactly like
-          // data files (Delta behavior); a vacuumed range must refuse at
-          // ANALYSIS time, not die mid-job with a parquet read error
-          cdcFiles.foreach(c => if (!fs.exists(new Path(path, c.path)))
-            throw new IllegalStateException(
-              s"change file ${c.path} of version $v was vacuumed — change " +
-                "data older than the vacuum retention is no longer readable"))
-          Some(spark.read.schema(readSchema)
-            .parquet(cdcFiles.map(c => new Path(path, c.path).toString): _*))
-        }
-        else if (dataRemoves.nonEmpty)
-          throw new IllegalStateException(
-            s"version $v rewrote data without capturing change rows " +
-              "(DML before CDF was enabled, or a RESTORE) — no change " +
-              "feed exists for it; read around this version")
-        else if (dataAdds.nonEmpty) {
-          // an append's files can ALSO age out: a later rewrite
-          // (delete/update/merge/compact) de-references them and vacuum
-          // collects — same refusal as the cdc branch
-          dataAdds.foreach(a => if (!fs.exists(new Path(path, a.path)))
-            throw new IllegalStateException(
-              s"data file ${a.path} of version $v was vacuumed — change " +
-                "data older than the vacuum retention is no longer readable"))
-          Some(spark.read.schema(schema)
-            .parquet(dataAdds.map(a => new Path(path, a.path).toString): _*)
-            .withColumn(DeltaTable.ChangeTypeCol, lit("insert")))
-        } else None
-      base.map(_
-        .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp",
-          org.apache.spark.sql.functions.timestamp_millis(lit(ts)))
-        .select(outCols: _*))
+      if (cdcFiles.isEmpty && dataRemoves.nonEmpty)
+        throw new IllegalStateException(
+          s"version $v rewrote data without capturing change rows " +
+            "(DML before CDF was enabled, or a RESTORE) — no change " +
+            "feed exists for it; read around this version")
+      // a version WITH change files describes itself entirely through
+      // them (merge/update cdc capture inserts too) — its adds are not
+      // read twice
+      VersionFiles(v, ts, cdcFiles, if (cdcFiles.isEmpty) dataAdds else Nil)
     }
-    frames.reduceOption(_ unionByName _).getOrElse {
+    // change/data files age out under VACUUM's retention (Delta
+    // behavior); a vacuumed range must refuse at ANALYSIS time, not die
+    // mid-job with a parquet read error. ONE listing per distinct parent
+    // directory — never a per-file fs.exists loop (a nightly consumer
+    // over thousands of commits would turn that into thousands of
+    // namenode round-trips).
+    val needed: Seq[(String, Long)] =
+      versions.flatMap(vf => (vf.cdc.map(_.path) ++ vf.adds.map(_.path)).map(_ -> vf.v))
+    needed.groupBy { case (rel, _) => new Path(path, rel).getParent }
+      .foreach { case (parent, files) =>
+        val listed: Set[String] =
+          try fs.listStatus(parent).map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+        files.foreach { case (rel, v) =>
+          if (!listed.contains(new Path(rel).getName))
+            throw new IllegalStateException(
+              s"file $rel of version $v was vacuumed — change " +
+                "data older than the vacuum retention is no longer readable")
+        }
+      }
+    // version/timestamp attribution by file BASENAME: part-file names
+    // embed their write job's UUID, so names never repeat across
+    // versions (one job CAN reuse a name across partition directories —
+    // same version, so the mapping stays well-defined). This keeps the
+    // whole range in TWO scans with a literal-map lookup column instead
+    // of one unionByName branch per version — a thousand-commit feed
+    // was hitting analyzer depth limits under the per-version chain.
+    val verOf: Map[String, Long] = needed.map { case (rel, v) =>
+      new Path(rel).getName -> v }.toMap
+    val tsByV: Map[Long, Long] = versions.map(vf => vf.v -> vf.ts).toMap
+    val tsOf: Map[String, Long] = verOf.map { case (n, v) => n -> tsByV(v) }
+    import org.apache.spark.sql.functions.{element_at, substring_index, timestamp_millis, typedLit}
+    def stamp(df: DataFrame): DataFrame = {
+      val key = substring_index(col("_metadata.file_path"), "/", -1)
+      df.withColumn("_commit_version", element_at(typedLit(verOf), key))
+        .withColumn("_commit_timestamp", timestamp_millis(element_at(typedLit(tsOf), key)))
+    }
+    // physical parquet names rename back to logical (identity when
+    // unmapped); explicit schemas null-fill pre-evolution files
+    val extras = Seq(DeltaTable.ChangeTypeCol, "_commit_version", "_commit_timestamp")
+    def toLogical(df: DataFrame): DataFrame = df.select(
+      (sch.fields.zip(physSch.fields).map { case (l, p) => col(p.name).as(l.name) } ++
+        extras.map(col)).toSeq: _*)
+    val cdcPaths = versions.flatMap(_.cdc).map(c => new Path(path, c.path).toString)
+    val addPaths = versions.flatMap(_.adds).map(a => new Path(path, a.path).toString)
+    val cdcFrame =
+      if (cdcPaths.isEmpty) None
+      else Some(toLogical(stamp(spark.read
+        .schema(physSch.add(DeltaTable.ChangeTypeCol, org.apache.spark.sql.types.StringType))
+        .parquet(cdcPaths: _*))))
+    val addFrame =
+      if (addPaths.isEmpty) None
+      else {
+        val reader = spark.read.schema(physSch)
+        val base =
+          if (partitionColumns.isEmpty) reader.parquet(addPaths: _*)
+          else reader.option("basePath", path).parquet(addPaths: _*)
+        Some(toLogical(stamp(base)
+          .withColumn(DeltaTable.ChangeTypeCol, lit("insert"))))
+      }
+    (cdcFrame.toSeq ++ addFrame.toSeq).reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(
-          readSchema.fields.toSeq ++ Seq(
+          sch.fields.toSeq ++ Seq(
+            org.apache.spark.sql.types.StructField(DeltaTable.ChangeTypeCol,
+              org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("_commit_version",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("_commit_timestamp",
@@ -1592,10 +1656,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .sortWithinPartitions(rangeCols: _*)
       .drop("__zv")
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val physParts = physicalPartNames(parts)
     val writer = toPhysicalForWrite(sorted, schema).write
       .mode("overwrite").option("compression", "snappy")
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
-    val adds = collectStagedFiles(staging, parts)
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer).parquet(staging.toString)
+    val adds = collectStagedFiles(staging, physParts)
     try {
       val expected = snap.files.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(
@@ -1629,10 +1694,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // columns) — an inferred read crashes after schema evolution
     val df = dfFor(snap.copy(files = small))
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val physParts = physicalPartNames(parts)
     val writer = toPhysicalForWrite(df.coalesce(1), schema).write
       .mode("overwrite").option("compression", "snappy")
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(staging.toString)
-    val adds = collectStagedFiles(staging, parts)
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer).parquet(staging.toString)
+    val adds = collectStagedFiles(staging, physParts)
     try {
       val expected = small.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(

@@ -700,9 +700,20 @@ object Multimodal {
     val dist = channelCols.map(c =>
       abs(col(c).cast("long") - lag(col(c).cast("long"), 1).over(w)))
       .reduce(_ + _)
+    // drop ONLY each asset's first frame (no lag row exists for it) via
+    // row_number, never via `dist IS NOT NULL`: a NULL channel stat
+    // mid-asset also NULLs the distance, and filtering on dist would
+    // silently hide that frame's boundary AND shift the next comparison
+    // across it — an unexpected NULL stat must fail loudly instead
     stats.withColumn("dist", dist)
-      .filter(col("dist").isNotNull) // first frame of each asset has no lag
-      .select(col(idCol), col(frameCol), col("dist"),
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col(frameCol),
+        when(col("dist").isNull, org.apache.spark.sql.functions.raise_error(
+          concat(lit("sceneCuts: NULL channel stat at ("),
+            col(idCol).cast("string"), lit(", "), col(frameCol).cast("string"),
+            lit(") — stats must be non-null"))).cast("long"))
+          .otherwise(col("dist")).as("dist"),
         (col("dist") >= threshold).as("is_cut"))
   }
 

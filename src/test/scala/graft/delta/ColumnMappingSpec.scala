@@ -140,13 +140,74 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.toDF.count() === 1L)
   }
 
-  test("partitioned or CDF-enabled mapped tables refuse at create") {
-    assertThrows[IllegalArgumentException](
-      DeltaTable.forPath(spark, tmpDir("colmap-part")).create(schema, Seq("note"),
-        configuration = Map(DeltaTable.ColumnMappingModeKey -> "name")))
-    assertThrows[IllegalArgumentException](
-      DeltaTable.forPath(spark, tmpDir("colmap-cdf")).create(schema, Nil,
-        configuration = Map(DeltaTable.ColumnMappingModeKey -> "name",
-          DeltaTable.CdfConfigKey -> "true")))
+  test("partitioned mapped table: physical dirs, logical reads, partition pruning") {
+    val t = DeltaTable.forPath(spark, tmpDir("colmap-part")).create(schema, Seq("note"),
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
+    t.append((0 until 40).map(i => (i.toLong, i * 1.5, s"p${i % 4}"))
+      .toDF("id", "amount", "note"))
+    // Hive directories carry the PHYSICAL partition-column name (the
+    // protocol representation), not the logical one
+    val fs = new Path(t.path).getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new Path(t.path)).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.contains("="))
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("col-")),
+      s"partition dirs must use physical names, got ${dirs.toSeq}")
+    assert(t.snapshot.files.forall(_.partitionValues.keys.forall(_.startsWith("col-"))),
+      "add.partitionValues must key by physical name")
+    // reads are logical, partition column included
+    assert(t.toDF.filter(col("note") === "p1").count() === 10L)
+    // partition pruning through the logical predicate: only p1's files
+    val pruned = t.scanFiles(Seq(DataSkipping.ColPred("note", "=", "p1")))
+    assert(pruned.nonEmpty &&
+      pruned.forall(_.partitionValues.values.toSeq.contains("p1")))
+    assert(pruned.size < t.snapshot.files.size)
+    // DML through the mapping on a partitioned table
+    assert(t.delete(col("id") < 4L) > 0)
+    assert(t.toDF.count() === 36L)
+    // compaction preserves the physical layout (the delete removed one
+    // row from each partition: ids 0..3 are p0..p3)
+    assert(t.compact(minBytes = 1L << 30) > 0)
+    assert(t.toDF.filter(col("note") === "p2").count() === 9L)
+  }
+
+  test("renaming a PARTITION column is metadata-only; pruning follows the new name") {
+    val t = DeltaTable.forPath(spark, tmpDir("colmap-partrn")).create(schema, Seq("note"),
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
+    t.append((0 until 20).map(i => (i.toLong, i * 1.5, s"p${i % 2}"))
+      .toDF("id", "amount", "note"))
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    t.renameColumn("note", "bucket")
+    assert(t.snapshot.files.map(_.path).toSet === filesBefore,
+      "partition-column rename must not move a single file")
+    assert(t.partitionColumns === Seq("bucket"),
+      "metaData.partitionColumns must follow the logical rename")
+    assert(t.toDF.filter(col("bucket") === "p0").count() === 10L)
+    val pruned = t.scanFiles(Seq(DataSkipping.ColPred("bucket", "=", "p0")))
+    assert(pruned.nonEmpty && pruned.size < t.snapshot.files.size)
+    // appends AFTER the rename land in the same physical directories
+    t.append(Seq((100L, 1.0, "p0")).toDF("id", "amount", "bucket"))
+    assert(t.toDF.filter(col("bucket") === "p0").count() === 11L)
+    // a partition column cannot DROP (Delta refuses too)
+    assertThrows[IllegalArgumentException](t.dropColumn("bucket"))
+  }
+
+  test("CDF on a mapped table: change files store physical names, feed reads logical") {
+    val t = DeltaTable.forPath(spark, tmpDir("colmap-cdf")).create(schema, Nil,
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name",
+        DeltaTable.CdfConfigKey -> "true"))
+    t.append(df(0 until 10))                      // v1: inserts
+    val vDel = t.delete(col("id") >= 8L)          // v2: deletes via cdc file
+    val ch = t.changes(1, vDel).orderBy("_commit_version", "id").collect()
+    assert(ch.length === 12)
+    assert(ch.take(10).forall(_.getAs[String](DeltaTable.ChangeTypeCol) == "insert"))
+    assert(ch.drop(10).forall(_.getAs[String](DeltaTable.ChangeTypeCol) == "delete"))
+    assert(ch.map(_.schema.fieldNames.take(3).toSeq).distinct ===
+      Seq(Seq("id", "amount", "note")), "feed columns must be logical")
+    // after a rename, the SAME historical feed surfaces under the new
+    // logical name — change files key by stable physical names
+    t.renameColumn("note", "memo")
+    val ch2 = t.changes(1, vDel)
+    assert(ch2.columns.take(3).toSeq === Seq("id", "amount", "memo"))
+    assert(ch2.filter(col("memo") === "n3").count() === 1L)
   }
 }

@@ -726,6 +726,46 @@ class DeltaSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](off.changes(1, 2))
   }
 
+  test("change data feed: a 300-version range reads in ONE scan (bounded plan)") {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    // the round-10 shape: one unionByName branch per version meant a
+    // nightly consumer over thousands of commits built a plan with
+    // thousands of scan branches plus a per-file fs.exists driver loop —
+    // version attribution now rides a literal-map lookup over
+    // _metadata.file_path, so the whole range is one scan per kind
+    val t = DeltaTable.forPath(spark, tmpDir("delta-cdf-wide")).create(
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))),
+      configuration = Map(DeltaTable.CdfConfigKey -> "true"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)) // v1: one file
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val src = t.snapshot.files.head.path
+    val n = 300
+    (2 to n).foreach { i =>
+      val rel = s"cdf-syn-$i.parquet" // distinct basenames, like real job UUIDs
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(t.path, src),
+        fs, new org.apache.hadoop.fs.Path(t.path, rel), false, fs.getConf)
+      t.log.commit(Seq(
+        Actions.Action(add = Some(Actions.AddFile(path = rel, size = 1L,
+          modificationTime = i.toLong, dataChange = true))),
+        Actions.Action(commitInfo = Some(Actions.CommitInfo(1700000000000L + i, "WRITE")))))
+    }
+    val ch = t.changes(1, n.toLong)
+    // bounded plan: ONE parquet relation (two only when cdc files exist),
+    // regardless of how many versions the range spans
+    val rels = ch.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }
+    assert(rels.length === 1, s"expected 1 scan for 300 versions, got ${rels.length}")
+    assert(ch.count() === 2L * n)
+    // attribution: every version contributes exactly its rows, stamped
+    // with its own commit metadata
+    assert(ch.filter(col("_commit_version") === 2L).count() === 2L)
+    assert(ch.filter(col("_commit_version") === n.toLong).count() === 2L)
+    assert(ch.filter(col("_commit_version") === 100L)
+      .select("_commit_timestamp").head.getTimestamp(0).getTime === 1700000000000L + 100L)
+    assert(ch.filter(col("_change_type") =!= "insert").count() === 0L)
+  }
+
   test("change data feed: vacuumed change files refuse loudly; a file stream tails the feed") {
     import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
     val t = DeltaTable.forPath(spark, tmpDir("delta-cdf-vac")).create(

@@ -518,4 +518,20 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("is_cut")).count()
     assert(cuts1 === 3L)
   }
+
+  test("sceneCuts: a NULL channel stat mid-asset fails loudly, never vanishes") {
+    // the old `dist IS NOT NULL` filter couldn't distinguish the
+    // intended first-frame lag NULL from a NULL stat mid-asset — the
+    // frame (and its boundary) silently disappeared and the next
+    // comparison jumped across it
+    val stats = Seq(
+      (1L, 0, Some(4L)), (1L, 1, None: Option[Long]), (1L, 2, Some(9L)))
+      .toDF("asset_id", "frame_idx", "r")
+    val e = intercept[Exception] {
+      Multimodal.sceneCuts(stats, "asset_id", "frame_idx", Seq("r"), threshold = 2L)
+        .collect()
+    }
+    assert(e.getMessage.contains("NULL channel stat"),
+      s"expected the loud NULL-stat error, got: ${e.getMessage}")
+  }
 }
