@@ -77,6 +77,41 @@ object Dedup {
     if (novel.isEmpty) -1L else table.append(novel)
   }
 
+  /** [[appendNovel]] with the documented two-writer same-digest race
+    * CLOSED: every writer of a corpus that passes the same `writerGroup`
+    * serializes its novelty-check→commit window through the Delta txn
+    * seam. Each commit carries `txn(writerGroup, lastGroupTxn + 1)`;
+    * [[graft.delta.DeltaLog.commit]] re-checks the txn predicate against
+    * the winning snapshot on every attempt, so of two concurrent group
+    * writers exactly ONE lands — the other's attempt is skipped and this
+    * method RECOMPUTES novelty against the advanced corpus and retries
+    * (its batch may hold digests the winner's didn't; returning the
+    * skip would lose them). Terminates: every retry means the corpus
+    * advanced, and a batch's novel set only shrinks against a grown
+    * corpus.
+    *
+    * Contract: ALL dedup writers of the corpus must use the same group —
+    * a writer appending digests outside it is invisible to this guard
+    * (exactly the blind-append semantics of [[appendNovel]]). */
+  def appendNovelSerialized(table: graft.delta.DeltaTable, docs: DataFrame,
+                            idCol: String, textCol: String,
+                            writerGroup: String = "graft-dedup",
+                            maxAttempts: Int = 50): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = table.txnVersion(writerGroup).getOrElse(-1L)
+      val novel = novelAgainst(table, docs, idCol, textCol).localCheckpoint()
+      if (novel.isEmpty) return -1L
+      val committed = table.append(novel,
+        txnAppId = Some(writerGroup), txnVersion = base + 1)
+      if (committed >= 0) return committed
+      attempt += 1 // lost the txn race — another group writer landed first
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"appendNovelSerialized lost $maxAttempts txn races in a row on " +
+        s"group '$writerGroup' — writer contention is pathological")
+  }
+
   /** Word n-gram shingles from a MATERIALIZED token-array column. Uses n
     * O(1) element_at lookups per position, not slice() (which copies the
     * array per call). `ts` must be a real column attribute, not a

