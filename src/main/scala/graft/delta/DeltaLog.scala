@@ -257,6 +257,8 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   def versionFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
   private def checkpointFile(v: Long): Path =
     new Path(logPath, f"$v%020d.checkpoint.parquet")
+  private def checkpointPartFile(v: Long, part: Int, parts: Int): Path =
+    new Path(logPath, f"$v%020d.checkpoint.$part%010d.$parts%010d.parquet")
 
   def exists(): Boolean = fs.exists(logPath)
 
@@ -422,18 +424,33 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     }
   }
 
-  /** All checkpoint versions present on disk (not just `_last_checkpoint`
-    * — time travel and metadata cleanup need the older ones too). */
-  private def checkpointVersions(): Seq[Long] = {
+  /** One COMPLETE checkpoint on disk: either the classic single file
+    * (`v.checkpoint.parquet`) or a full multi-part set
+    * (`v.checkpoint.<part>.<parts>.parquet`, parts 1..N all present —
+    * PROTOCOL.md classic multi-part form). An incomplete set (a writer
+    * died mid-upload) is IGNORED, never half-read. */
+  private final case class CheckpointSet(version: Long, files: Seq[Path])
+
+  private val SinglePartRx = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiPartRx = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  /** All complete checkpoints present on disk, sorted by version (not
+    * just `_last_checkpoint` — time travel and metadata cleanup need the
+    * older ones too). */
+  private def checkpointSets(): Seq[CheckpointSet] = {
     if (!fs.exists(logPath)) return Nil
-    fs.listStatus(logPath).iterator.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.endsWith(".checkpoint.parquet"))
-        try Some(n.stripSuffix(".checkpoint.parquet").toLong)
-        catch { case _: NumberFormatException => None }
-      else None
-    }.toSeq.sorted
+    val names = fs.listStatus(logPath).map(_.getPath.getName)
+    val singles = names.collect { case SinglePartRx(v) =>
+      CheckpointSet(v.toLong, Seq(new Path(logPath, f"${v.toLong}%020d.checkpoint.parquet"))) }
+    val multis = names.collect { case n @ MultiPartRx(v, part, parts) =>
+      (v.toLong, parts.toInt, part.toInt, n) }
+      .groupBy(t => (t._1, t._2))
+      .collect { case ((v, parts), found) if found.map(_._3).toSet == (1 to parts).toSet =>
+        CheckpointSet(v, found.sortBy(_._3).map(t => new Path(logPath, t._4)).toSeq) }
+    (singles ++ multis).toSeq.sortBy(_.version)
   }
+
+  private def checkpointVersions(): Seq[Long] = checkpointSets().map(_.version)
 
   /** Seed a replay from the newest parquet checkpoint at version ≤ cap.
     * Returns the checkpoint version applied, or -1. Rows map STRAIGHT to
@@ -441,13 +458,13 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     * the serialization work per checkpoint row, which at 10⁶-file tables
     * is the dominant cold-start cost of this (driver-side-log) design. */
   private def seedFromCheckpoint(state: ReplayState, cap: Long): Long =
-    (spark, checkpointVersions().filter(_ <= cap).lastOption) match {
-      case (Some(ss), Some(v)) =>
+    (spark, checkpointSets().filter(_.version <= cap).lastOption) match {
+      case (Some(ss), Some(ck)) =>
         val rows = ss.read.schema(CheckpointSchema)
-          .parquet(checkpointFile(v).toString)
+          .parquet(ck.files.map(_.toString): _*)
           .collect()
         state.apply(rows.iterator.map(CheckpointRows.toAction).toSeq)
-        v
+        ck.version
       case _ => -1L
     }
 
@@ -559,6 +576,15 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
 
   val checkpointInterval = 10
 
+  /** Actions per checkpoint part: above this, the checkpoint writes as
+    * the protocol's classic MULTI-PART form
+    * (`v.checkpoint.<part>.<parts>.parquet`) so a million-file table's
+    * checkpoint is N executor-written parquet parts instead of one
+    * driver-coalesced file — and cold-start readers scan the parts in
+    * parallel. private[delta] var so specs can exercise the multi-part
+    * path without staging 50k files. */
+  private[delta] var checkpointPartSize: Int = 50000
+
   /** Every Nth version, write the spec-schema parquet checkpoint and
     * advance `_last_checkpoint`. Requires a SparkSession (skipped, with the
     * log staying pure-JSON, when constructed without one). */
@@ -581,15 +607,27 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     import scala.jdk.CollectionConverters._
     val df = ss.read.schema(CheckpointSchema)
       .json(ss.createDataset(lines.asJava)(org.apache.spark.sql.Encoders.STRING))
+    val wantParts = math.max(1,
+      math.ceil(actions.size.toDouble / checkpointPartSize).toInt)
     val tmpDir = new Path(logPath, s".ck-${java.util.UUID.randomUUID()}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val part = fs.listStatus(tmpDir)
-      .find(_.getPath.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
-    fs.rename(part.getPath, checkpointFile(version))
+    (if (wantParts == 1) df.coalesce(1) else df.repartition(wantParts))
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    // the ACTUAL part count is whatever the job produced (a repartition
+    // slot can come up empty) — the final names encode that count, and a
+    // rename-then-crash window leaves an INCOMPLETE set which readers
+    // ignore by construction (checkpointSets requires all parts present)
+    val written = fs.listStatus(tmpDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    require(written.nonEmpty, "checkpoint write produced no parquet")
+    if (written.length == 1)
+      fs.rename(written.head.getPath, checkpointFile(version))
+    else written.zipWithIndex.foreach { case (st, i) =>
+      fs.rename(st.getPath, checkpointPartFile(version, i + 1, written.length))
+    }
     fs.delete(tmpDir, true)
+    val partsField = if (written.length == 1) "" else s""","parts":${written.length}"""
     val lc = fs.create(new Path(logPath, "_last_checkpoint"), true)
-    try lc.write(s"""{"version":$version,"size":${actions.size}}"""
+    try lc.write(s"""{"version":$version,"size":${actions.size}$partsField}"""
       .getBytes(StandardCharsets.UTF_8))
     finally lc.close()
   }
@@ -608,15 +646,15 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     var deleted = 0
     fs.listStatus(logPath).foreach { st =>
       val n = st.getPath.getName
-      val json = n.endsWith(".json") && !n.contains("checkpoint")
-      val oldCk = n.endsWith(".checkpoint.parquet")
-      val v = try {
-        if (json) Some(n.stripSuffix(".json").toLong)
-        else if (oldCk) Some(n.stripSuffix(".checkpoint.parquet").toLong)
-        else None
-      } catch { case _: NumberFormatException => None }
-      val drop = v.exists(x => x < cutoff && (json || oldCk))
-      if (drop && fs.delete(st.getPath, false)) deleted += 1
+      val v: Option[Long] = n match {
+        case SinglePartRx(x) => Some(x.toLong)
+        case MultiPartRx(x, _, _) => Some(x.toLong)
+        case _ if n.endsWith(".json") && !n.contains("checkpoint") =>
+          try Some(n.stripSuffix(".json").toLong)
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+      if (v.exists(_ < cutoff) && fs.delete(st.getPath, false)) deleted += 1
     }
     deleted
   }

@@ -112,6 +112,84 @@ object Dedup {
         s"group '$writerGroup' — writer contention is pathological")
   }
 
+  /** Incremental NEAR-duplicate dedup into a Delta corpus — the MinHash
+    * analog of [[appendNovel]]: the corpus persists each kept doc's
+    * minhash SIGNATURE (`corpus`: id, text, sig) and its exploded LSH
+    * band buckets (`bandsTable`: band, bucket, id), so deduplicating a
+    * new batch against a grown corpus joins the batch's ~bands rows per
+    * doc against the stored buckets instead of re-running LSH over the
+    * whole corpus.
+    *
+    * A batch doc is dropped when it has a verified near-dup (exact
+    * shingle-set Jaccard ≥ `threshold`) with a SMALLER id in its own
+    * batch (chain-kill: the smaller side need not itself survive —
+    * deterministic and order-free), or with ANY doc already in the
+    * corpus. Survivors append to BOTH tables; empty-shingle docs never
+    * collide (always novel).
+    *
+    * Scale shape: the band join's batch side is (band, bucket, id) —
+    * ~17 bytes × bands per doc; the corpus side reads its OWN 3-column
+    * table (partition `bandsTable` by `band` at create to prune the
+    * join's scan). Candidate verification ships corpus TEXT only for
+    * the candidate pairs (rare by construction), never for the corpus.
+    *
+    * Crash contract: bands append FIRST. An orphaned bands row (crash
+    * between the two commits) can only create candidates whose corpus
+    * join finds no row — dropped at verification, never a false kill —
+    * and a batch REPLAY after any crash is content-idempotent: each
+    * previously-appended survivor collides with itself at Jaccard 1.
+    *
+    * @return corpus version committed, or -1 when nothing was novel */
+  def appendNovelNear(corpus: graft.delta.DeltaTable,
+                      bandsTable: graft.delta.DeltaTable, docs: DataFrame,
+                      idCol: String, textCol: String, shingleN: Int = 2,
+                      numHashes: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.5): Long = {
+    require(corpus.toDF.columns.toSeq == Seq("id", "text", "sig"),
+      "near-dup corpus schema must be (id, text, sig)")
+    require(bandsTable.toDF.columns.toSeq == Seq("band", "bucket", "id"),
+      "bands table schema must be (band, bucket, id)")
+    val base = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("hsh", graft.functions.ShingleHashes.of(
+        tokens(col("text")), shingleN, "mh"))
+      .withColumn("sig", when(size(col("hsh")) > 0,
+        graft.functions.MinHashSig.of(col("hsh"), numHashes))
+        .otherwise(array().cast("array<bigint>")))
+      .localCheckpoint() // one execution feeds banding, verify, and append
+    // in-batch chain-kill: any verified pair's larger id drops
+    val inBatchKill = minhashLsh(docs, idCol, textCol, shingleN, numHashes,
+        bands, threshold)
+      .select(col("id_b").cast("long").as("id"))
+    // cross-corpus candidates: stored buckets × batch buckets
+    val batchBands = base.filter(size(col("sig")) > 0).select(col("id"),
+      posexplode(graft.functions.BandBuckets.of(col("sig"), bands))
+        .as(Seq("band", "bucket")))
+    val cand = batchBands
+      .join(bandsTable.toDF.withColumnRenamed("id", "corpus_id"),
+        Seq("band", "bucket"))
+      .select(col("id"), col("corpus_id")).dropDuplicates("id", "corpus_id")
+    // exact-Jaccard verify on shingle-hash sets; corpus text joins in for
+    // CANDIDATES only
+    val corpusH = corpus.toDF
+      .select(col("id").as("corpus_id"), graft.functions.ShingleHashes.of(
+        tokens(col("text")), shingleN, "mh").as("chsh"))
+    val crossKill = cand
+      .join(base.select(col("id"), col("hsh")), Seq("id"))
+      .join(corpusH, Seq("corpus_id"))
+      .filter(jaccard(col("hsh"), col("chsh")) >= threshold)
+      .select(col("id"))
+    val survivors = base
+      .join(inBatchKill.union(crossKill).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("text"), col("sig"))
+      .localCheckpoint() // both appends and the emptiness probe see one execution
+    if (survivors.isEmpty) return -1L
+    bandsTable.append(survivors.filter(size(col("sig")) > 0).select(
+      posexplode(graft.functions.BandBuckets.of(col("sig"), bands))
+        .as(Seq("band", "bucket")), col("id")))
+    corpus.append(survivors)
+  }
+
   /** Word n-gram shingles from a MATERIALIZED token-array column. Uses n
     * O(1) element_at lookups per position, not slice() (which copies the
     * array per call). `ts` must be a real column attribute, not a

@@ -334,6 +334,59 @@ object DedupQueries extends QueryModule {
              |  FROM documents GROUP BY md5(text))
              |ORDER BY doc_id""".stripMargin)),
 
+    // Incremental NEAR-dup dedup through the real Delta write path: the
+    // corpus + its LSH band-bucket table grow in two batches (even ids,
+    // then odd ids) via appendNovelNear; batch-2 docs near a stored
+    // batch-1 survivor drop without re-running LSH over the corpus. The
+    // oracle replays the same banding+verify pipeline (minhashCtes) and
+    // applies the operator's kill rules: chain-kill by smaller same-batch
+    // id, then cross-kill by any SURVIVING batch-1 doc.
+    "dedup_incremental_near" -> QueryDef(
+      (s, d) => {
+        val corpus = graft.delta.DeltaTable.forPath(s, graft.Scratch.dir("graft-nearc"))
+          .create(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("sig", org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+        val bandsT = graft.delta.DeltaTable.forPath(s, graft.Scratch.dir("graft-nearb"))
+          .create(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))),
+            partitionColumns = Seq("band"))
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        require(Dedup.appendNovelNear(corpus, bandsT,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5) >= 0)
+        Dedup.appendNovelNear(corpus, bandsT,
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+        require(Dedup.appendNovelNear(corpus, bandsT,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5) == -1L,
+          "replayed batch must be a near-dup no-op")
+        graft.delta.DeltaTable.forPath(s, corpus.path).toDF
+          .select(col("id").as("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $minhashCtes, pairs AS MATERIALIZED (
+              |  SELECT id_a, id_b FROM scored WHERE j >= 0.5
+              |), surv_even AS MATERIALIZED (
+              |  SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 0
+              |  AND NOT EXISTS (SELECT 1 FROM pairs p
+              |    WHERE p.id_b = d.doc_id AND p.id_a % 2 = 0)
+              |), surv_odd AS (
+              |  SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 1
+              |  AND NOT EXISTS (SELECT 1 FROM pairs p
+              |    WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1)
+              |  AND NOT EXISTS (SELECT 1 FROM pairs p JOIN surv_even e
+              |    ON (p.id_a = e.doc_id AND p.id_b = d.doc_id)
+              |    OR (p.id_b = e.doc_id AND p.id_a = d.doc_id))
+              |)
+              |SELECT doc_id FROM surv_even
+              |UNION ALL SELECT doc_id FROM surv_odd
+              |ORDER BY doc_id""".stripMargin)),
+
     // Pair→cluster resolution: connected components of the minhash pairs
     // (cluster_id = min doc id per component). Oracle computes the same
     // transitive closure with a recursive CTE.

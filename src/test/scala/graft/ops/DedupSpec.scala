@@ -411,6 +411,52 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.appendNovelSerialized(t, batchA.toDF("id", "text"), "id", "text") === -1L)
   }
 
+  test("appendNovelNear: near-dups drop against batch AND stored corpus; replay idempotent") {
+    import spark.implicits._
+    def mkCorpus(p: String) = graft.delta.DeltaTable.forPath(spark, tmpDir(p)).create(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+    def mkBands(p: String) = graft.delta.DeltaTable.forPath(spark, tmpDir(p)).create(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))),
+      partitionColumns = Seq("band"))
+    val corpus = mkCorpus("near-corpus")
+    val bandsT = mkBands("near-bands")
+    val doc = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val nearDoc = doc.replace("runs", "walks") // high-overlap near-dup
+    val other = "completely different content about spark catalyst optimizer internals"
+    // batch 1: doc + its near-dup (chain-kill larger id) + a distinct doc
+    val b1 = Seq((1L, doc), (2L, nearDoc), (3L, other)).toDF("id", "text")
+    assert(Dedup.appendNovelNear(corpus, bandsT, b1, "id", "text") >= 0)
+    assert(corpus.toDF.select("id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(bandsT.toDF.select("id").as[Long].collect().toSet === Set(1L, 3L))
+    // batch 2: near-dup of a CORPUS doc drops; exact replay of a corpus
+    // doc drops (jaccard 1); genuinely new text survives
+    val b2 = Seq((10L, doc.replace("lazy", "sleepy")), (11L, other),
+      (12L, "fresh new totally unrelated sentence about roaring bitmaps")).toDF("id", "text")
+    assert(Dedup.appendNovelNear(corpus, bandsT, b2, "id", "text") >= 0)
+    assert(corpus.toDF.select("id").as[Long].collect().toSet === Set(1L, 3L, 12L))
+    // full replays are content-idempotent no-ops
+    assert(Dedup.appendNovelNear(corpus, bandsT, b1, "id", "text") === -1L)
+    assert(Dedup.appendNovelNear(corpus, bandsT, b2, "id", "text") === -1L)
+    // empty docs: ShingleHashes emits the [""] shingle, so the first
+    // empty doc is novel and a second one near-dups it at Jaccard 1 —
+    // the dedup semantics you want for blank documents
+    val b3 = Seq((20L, "")).toDF("id", "text")
+    assert(Dedup.appendNovelNear(corpus, bandsT, b3, "id", "text") >= 0)
+    assert(corpus.toDF.count() === 4L)
+    assert(Dedup.appendNovelNear(corpus, bandsT,
+      Seq((21L, "")).toDF("id", "text"), "id", "text") === -1L)
+    // the bands table is partitioned by band: the stored-bucket join can
+    // prune partitions when a batch only probes some bands
+    assert(bandsT.partitionColumns === Seq("band"))
+  }
+
   test("ngramContainmentPairs finds subset docs Jaccard misses; matches set math") {
     val corpus = Seq(
       // doc 11's entire shingle set sits inside doc 10 (a quoted block):
