@@ -37,6 +37,10 @@ object DeltaTable {
   /** Deletion-vector enablement config (Delta protocol / delta-rs). */
   val DvConfigKey = "delta.enableDeletionVectors"
 
+  /** Append-only enforcement config (Delta protocol writer feature
+    * `appendOnly`, in force since writer version 2 — the default). */
+  val AppendOnlyConfigKey = "delta.appendOnly"
+
   /** Field-metadata key carrying a generated column's expression (the
     * Delta protocol "Generated Columns" representation — stored in the
     * schema's field metadata, not the table configuration). */
@@ -650,6 +654,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * Contract: source keys unique (two source rows with one key would
     * both insert). Returns the committed version. */
   def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+    // merge rewrites matched rows unconditionally, so even an insert-only
+    // outcome goes through a file rewrite here — blocked wholesale
+    // (Delta proper permits provably insert-only merges; documented
+    // divergence in exchange for the stricter guarantee)
+    requireNotAppendOnly("MERGE")
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val sch = schema
     val parts = partitionColumns
@@ -717,6 +726,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * no-op. Rows in files appended concurrently are not retroactively
     * deleted (the delete covers its read snapshot). */
   def delete(predicate: org.apache.spark.sql.Column): Long = {
+    requireNotAppendOnly("DELETE")
     val snap = snapshot
     val affected = filesMatching(snap, _.filter(predicate))
     if (affected.isEmpty) return -1L
@@ -774,6 +784,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * covering most of the table is the wrong tool regardless of where
     * the bitmap was built. */
   def deleteWithDv(predicate: org.apache.spark.sql.Column): Long = {
+    requireNotAppendOnly("DELETE (deletion vectors)")
     require(dvEnabled,
       s"${DeltaTable.DvConfigKey} is not 'true' on this table — enable it " +
         "in the table configuration (create(..., configuration)) first")
@@ -952,6 +963,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * the committed version, or -1 when nothing matched. */
   def update(predicate: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column]): Long = {
+    requireNotAppendOnly("UPDATE")
     require(set.nonEmpty, "update needs at least one SET column")
     val sch = schema
     set.keys.foreach(k => require(sch.fieldNames.contains(k), s"unknown SET column '$k'"))
@@ -978,6 +990,95 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     }
     commitRewrite(affected, withConstraintChecks(rewritten), "UPDATE", changes = cdf)
   }
+
+  /** Align a DML source frame the way [[append]] does: compute omitted
+    * generated columns from their expressions, then cast-project to the
+    * table schema (constraint/generation checks fuse in separately). */
+  private def alignForDml(df: DataFrame): DataFrame = {
+    val sch = schema
+    val withGen = generatedColumns.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+    }
+    withGen.select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+  }
+
+  /** INSERT OVERWRITE with a predicate (Delta's `replaceWhere`): one
+    * atomic commit deletes every row matching `predicate` and inserts
+    * `df` in its place. Every inserted row MUST satisfy the predicate —
+    * a nonconforming row fails the write job loudly (Delta's replaceWhere
+    * contract), because a row outside the predicate would silently
+    * survive the next overwrite of its actual region.
+    *
+    * Scale shape: only files CONTAINING a matching row rewrite (the
+    * [[merge]]/[[delete]] row→file mapping); a predicate on partition
+    * columns therefore touches exactly the named partitions — the
+    * standard idempotent-backfill shape at 100 TB (recompute one day,
+    * `overwriteWhere(col("day") === d, fresh)`).
+    *
+    * Serializable vs concurrent writers: the commit re-checks that no
+    * file beyond the base snapshot exists — a concurrent append could
+    * otherwise land matching rows this overwrite never saw, breaking the
+    * replace contract (same strictness as [[merge]]). NULL-predicate
+    * rows survive, as in [[delete]]. CDF captures delete + insert rows. */
+  def overwriteWhere(predicate: org.apache.spark.sql.Column, df: DataFrame): Long = {
+    requireNotAppendOnly("OVERWRITE (replaceWhere)")
+    val snap = snapshot
+    val aligned = alignForDml(df)
+    val conforming = aligned.filter(
+      org.apache.spark.sql.functions.when(coalesce(predicate, lit(false)), lit(true))
+        .otherwise(org.apache.spark.sql.functions.raise_error(
+          concat(lit("replaceWhere: written row does not match the overwrite predicate: "),
+            to_json(struct(aligned.columns.map(col).toSeq: _*)))).cast("boolean")))
+    val checked = withConstraintChecks(conforming)
+    val affected = filesMatching(snap, _.filter(predicate))
+    val survivors = dfFor(snap.copy(files = affected))
+      .filter(!coalesce(predicate, lit(false)))
+    val cdf = if (!cdfEnabled) None else Some(
+      dfFor(snap.copy(files = affected))
+        .filter(coalesce(predicate, lit(false)))
+        .withColumn(DeltaTable.ChangeTypeCol, lit("delete"))
+        .unionByName(checked.withColumn(DeltaTable.ChangeTypeCol, lit("insert"))))
+    val basePaths = snap.files.map(_.path).toSet
+    commitRewrite(affected, survivors.unionByName(checked), "WRITE",
+      Map("mode" -> "Overwrite", "predicate" -> predicate.toString),
+      extraCheck = s => s.files.map(_.path).forall(basePaths.contains),
+      conflictHint = "a concurrent commit added or rewrote files during this overwrite",
+      changes = cdf)
+  }
+
+  /** Full INSERT OVERWRITE: atomically replace the table's entire
+    * contents with `df` (schema unchanged — use [[updateSchema]] or
+    * `append(mergeSchema=true)` to widen first). Constraint and
+    * generated-column checks apply to the new rows like any write. */
+  def overwrite(df: DataFrame): Long = {
+    requireNotAppendOnly("OVERWRITE")
+    val snap = snapshot
+    val checked = withConstraintChecks(alignForDml(df))
+    val cdf = if (!cdfEnabled) None else Some(
+      dfFor(snap).withColumn(DeltaTable.ChangeTypeCol, lit("delete"))
+        .unionByName(checked.withColumn(DeltaTable.ChangeTypeCol, lit("insert"))))
+    val basePaths = snap.files.map(_.path).toSet
+    commitRewrite(snap.files, checked, "WRITE", Map("mode" -> "Overwrite"),
+      extraCheck = s => s.files.map(_.path).forall(basePaths.contains),
+      conflictHint = "a concurrent commit added or rewrote files during this overwrite",
+      changes = cdf)
+  }
+
+  /** True when `delta.appendOnly=true` (Delta protocol writer feature
+    * `appendOnly`, writer version ≥ 2): the table accepts appends but
+    * refuses every operation that deletes or rewrites committed rows. */
+  def isAppendOnly: Boolean = snapshot.metadata.exists(
+    _.configuration.get(DeltaTable.AppendOnlyConfigKey).contains("true"))
+
+  /** Guard for data-removing DML. File-layout maintenance (compact,
+    * OPTIMIZE, purge, vacuum) stays allowed on append-only tables — it
+    * rewrites bytes, never logical rows (Delta proper's dataChange=false
+    * distinction). */
+  private def requireNotAppendOnly(op: String): Unit =
+    require(!isAppendOnly,
+      s"$op is not allowed: ${DeltaTable.AppendOnlyConfigKey}=true on this table " +
+        "(appends and file maintenance only)")
 
   /** Live files containing at least one row surviving `restrict` (a
     * predicate filter or a key semi-join) — the ONE row→file mapping
@@ -1229,6 +1330,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * target version makes it unrestorable, exactly like Delta proper.
     * Returns the committed version. */
   def restoreTo(version: Long): Long = {
+    requireNotAppendOnly("RESTORE")
     val target = log.snapshotAt(version)
     val current = snapshot
     // identity is (path, deletion vector): a file whose DV changed since

@@ -464,6 +464,46 @@ object ReferenceOps extends QueryModule {
              |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM afterdml""".stripMargin)),
 
+    // ---- INSERT OVERWRITE / replaceWhere (Delta's predicate overwrite):
+    // the idempotent-backfill shape — partition events by bucket, then
+    // atomically replace bucket 1 with recomputed rows. In-query
+    // requires: untouched partitions keep their exact file set (the
+    // rewrite touched ONLY the named region), and a nonconforming row
+    // (outside the predicate) refuses loudly. Oracle recomputes the
+    // final state from raw events. ------------------------------------
+    "ref_replace_where" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-rw")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          (col("event_id") % 4).cast("int").as("bucket"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          partitionColumns = Seq("bucket"))
+        t.append(ev)
+        val otherFiles = t.snapshot.files
+          .filter(_.partitionValues.get("bucket").exists(_ != "1")).map(_.path).toSet
+        val fresh = ev.filter(col("bucket") === 1)
+          .select(col("event_id"),
+            (col("user_id") + 9000000L).cast("long").as("user_id"), col("bucket"))
+        require(t.overwriteWhere(col("bucket") === 1, fresh) > 0L)
+        require(t.snapshot.files
+          .filter(_.partitionValues.get("bucket").exists(_ != "1"))
+          .map(_.path).toSet == otherFiles,
+          "replaceWhere must not touch partitions outside the predicate")
+        val bad = try {
+          t.overwriteWhere(col("bucket") === 1,
+            ev.filter(col("bucket") === 2).limit(1)); false
+        } catch { case e: Exception => e.isInstanceOf[org.apache.spark.SparkThrowable] }
+        require(bad, "a written row outside the predicate must refuse")
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(CASE WHEN event_id % 4 = 1 THEN user_id + 9000000
+             |    ELSE user_id END) AS BIGINT) AS user_sum
+             |FROM events""".stripMargin)),
+
     // ---- DELETION VECTORS (delta-rs merge-on-read delete; the Delta
     // `deletionVectors` table feature): append through the real write
     // path, DV-delete two overlapping slices (the second MERGES into the

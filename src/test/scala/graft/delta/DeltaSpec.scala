@@ -597,6 +597,119 @@ class DeltaSpec extends SparkSpec {
     assert(fresh.toDF.count() === 12L)
   }
 
+  test("multi-part checkpoint: part naming, replay, incomplete-set fallback, cleanup") {
+    val t = newTable()
+    t.log.checkpointPartSize = 3 // force the multi-part path on a small table
+    (0 until 12).foreach(i => t.append(sampleDf(i to i), Some("app"), i.toLong))
+    val logDir = new Path(t.path, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    // v10 state = protocol + metaData + txn + 10 adds = 13 actions → >1 part
+    val parts = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("""0{12}\d{8}\.checkpoint\.\d{10}\.\d{10}\.parquet""")).sorted
+    assert(parts.length > 1, s"expected a multi-part checkpoint, got ${parts.toSeq}")
+    assert(!fs.exists(new Path(logDir, f"${10L}%020d.checkpoint.parquet")),
+      "single-part name must not coexist with the part set")
+    val declared = parts.head.split('.')(3).toInt
+    assert(parts.length === declared, "part names must declare the real part count")
+    val lc = new String(org.apache.commons.io.IOUtils.toByteArray(
+      fs.open(new Path(logDir, "_last_checkpoint"))), "UTF-8")
+    assert(lc.contains(s""""parts":$declared"""), lc)
+    // the part set alone reconstructs state: delete the covered JSON
+    (0L to 10L).foreach(v => fs.delete(t.log.versionFile(v), false))
+    val fresh = DeltaTable.forPath(spark, t.path)
+    assert(fresh.snapshot.version === 12L)
+    assert(fresh.snapshot.txns("app") === 11L)
+    assert(fresh.toDF.count() === 12L)
+
+    // an INCOMPLETE part set (writer died mid-upload) is ignored, never
+    // half-read: with the covered JSON also gone the replay must refuse
+    // loudly (nothing to seed from), not return a partial table
+    val t2 = newTable()
+    t2.log.checkpointPartSize = 3
+    (0 until 11).foreach(i => t2.append(sampleDf(i to i)))
+    val log2 = new Path(t2.path, "_delta_log")
+    val part1 = fs.listStatus(log2).map(_.getPath.getName)
+      .filter(_.matches(""".*\.checkpoint\.0000000001\.\d{10}\.parquet""")).head
+    fs.delete(new Path(log2, part1), false)
+    (0L to 9L).foreach(v => fs.delete(t2.log.versionFile(v), false))
+    assertThrows[IllegalStateException](DeltaTable.forPath(spark, t2.path).snapshot)
+
+    // cleanup recognizes multi-part names: after a second checkpoint at
+    // v20, cleanup below it removes the v10 part files
+    (12 until 21).foreach(i => t.append(sampleDf(i to i)))
+    assert(t.log.cleanupMetadata(20L) > 0)
+    assert(fs.listStatus(logDir).map(_.getPath.getName)
+      .count(_.matches(f"${10L}%020d\\.checkpoint\\..*")) === 0,
+      "old part files must age out with cleanup")
+    assert(DeltaTable.forPath(spark, t.path).toDF.count() === 21L)
+  }
+
+  test("overwriteWhere replaces only the matching region; overwrite replaces all; CDF records both") {
+    val t = newTable(partitioned = true)
+    t.append(sampleDf(0 until 12)) // dates 2021-11-01..03, 4 rows each
+    val keepFiles = t.snapshot.files
+      .filter(_.partitionValues.get("date").exists(_ != "2021-11-02")).map(_.path).toSet
+    // replace one date's region with two fresh rows
+    val fresh = Seq((100L, "fresh100", new java.sql.Timestamp(0L), "2021-11-02"),
+      (101L, "fresh101", new java.sql.Timestamp(0L), "2021-11-02"))
+      .toDF("id", "name", "ts", "date")
+    assert(t.overwriteWhere(col("date") === "2021-11-02", fresh) === 2L)
+    assert(t.toDF.filter(col("date") === "2021-11-02").select("id").as[Long]
+      .collect().toSet === Set(100L, 101L))
+    assert(t.toDF.count() === 10L) // 8 survivors + 2 fresh
+    assert(t.snapshot.files
+      .filter(_.partitionValues.get("date").exists(_ != "2021-11-02"))
+      .map(_.path).toSet === keepFiles, "other partitions' files must not rewrite")
+    // a row OUTSIDE the predicate fails the write job; table unchanged
+    val bad = fresh.withColumn("date", lit("2021-11-03"))
+    // raise_error surfaces as SparkRuntimeException when the check folds
+    // driver-side and as a task-failure SparkException when it runs in
+    // executors — both are SparkThrowable
+    val refused = intercept[Exception](
+      t.overwriteWhere(col("date") === "2021-11-02", bad))
+    assert(refused.isInstanceOf[org.apache.spark.SparkThrowable])
+    assert(t.toDF.count() === 10L)
+    // predicate matching NO live file still inserts (pure-insert overwrite)
+    assert(t.overwriteWhere(col("date") === "2021-12-25",
+      Seq((200L, "xmas", new java.sql.Timestamp(0L), "2021-12-25"))
+        .toDF("id", "name", "ts", "date")) > 0L)
+    assert(t.toDF.count() === 11L)
+    // full overwrite replaces everything
+    assert(t.overwrite(sampleDf(0 until 3)) > 0L)
+    assert(t.toDF.select("id").as[Long].collect().toSet === Set(0L, 1L, 2L))
+
+    // CDF-enabled table records delete + insert rows for the overwrite
+    val c = DeltaTable.forPath(spark, tmpDir("delta-rw-cdf")).create(schema,
+      configuration = Map(DeltaTable.CdfConfigKey -> "true"))
+    c.append(sampleDf(0 until 4)) // v1
+    val v = c.overwriteWhere(col("id") < 2, Seq(
+      (1L, "new", new java.sql.Timestamp(0L), "2021-11-01"))
+      .toDF("id", "name", "ts", "date"))
+    val ch = c.changes(v, v).groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch === Map("delete" -> 2L, "insert" -> 1L))
+  }
+
+  test("appendOnly: removal DML refuses; appends and compaction still work") {
+    val t = DeltaTable.forPath(spark, tmpDir("delta-ao")).create(schema,
+      configuration = Map(DeltaTable.AppendOnlyConfigKey -> "true"))
+    assert(t.isAppendOnly)
+    t.append(sampleDf(0 until 4))
+    t.append(sampleDf(4 until 8)) // appends always allowed
+    assert(t.toDF.count() === 8L)
+    assertThrows[IllegalArgumentException](t.delete(col("id") === 1L))
+    assertThrows[IllegalArgumentException](t.update(col("id") === 1L,
+      Map("name" -> lit("x"))))
+    assertThrows[IllegalArgumentException](t.merge(sampleDf(0 until 1), Seq("id")))
+    assertThrows[IllegalArgumentException](t.overwrite(sampleDf(0 until 1)))
+    assertThrows[IllegalArgumentException](
+      t.overwriteWhere(col("id") < 2, sampleDf(0 until 1)))
+    assertThrows[IllegalArgumentException](t.restoreTo(1L))
+    // file maintenance rewrites bytes, not logical rows — still allowed
+    assert(t.compact(minBytes = Long.MaxValue) > 0L)
+    assert(t.toDF.count() === 8L)
+  }
+
   test("schema evolution: new nullable column null-fills old files") {
     val t = newTable()
     t.append(sampleDf(0 until 3))
