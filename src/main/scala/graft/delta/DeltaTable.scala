@@ -66,6 +66,93 @@ object DeltaTable {
   def forPath(spark: SparkSession, path: String): DeltaTable =
     new DeltaTable(spark, path)
 
+  /** CONVERT TO DELTA: turn an existing plain-parquet directory
+    * (optionally Hive-partitioned, `k=v` path segments) into a Delta
+    * table IN PLACE — no data file moves or rewrites, just a v0
+    * `_delta_log` commit carrying protocol + metaData + one `add` per
+    * existing parquet file with footer-derived stats. Atomic by
+    * construction: a reader sees either no Delta table or the complete
+    * converted one; the directory keeps answering plain
+    * `spark.read.parquet` either way.
+    *
+    * `partitionColumns` must name the Hive layout's directory keys (the
+    * same contract as Delta proper's `CONVERT TO DELTA ... PARTITIONED
+    * BY`); the schema (including typed partition columns) is taken from
+    * Spark's reader over the directory, so every file must be
+    * schema-compatible — a genuinely mixed-schema directory fails here,
+    * not at first read.
+    *
+    * Scale: one recursive listing plus one bounded-pool footer read per
+    * file on the driver (same shape as the append path's stats
+    * collection — at many millions of files, collecting stats inside a
+    * Spark job is the next lever). */
+  def convertFrom(spark: SparkSession, dir: String,
+                  partitionColumns: Seq[String] = Nil): DeltaTable = {
+    import Actions._
+    val t = new DeltaTable(spark, dir)
+    require(!t.exists, s"$dir is already a Delta table")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"$dir does not exist")
+    val reader = spark.read.option("basePath", dir)
+    val schema = relaxContainers(reader.parquet(dir).schema)
+    partitionColumns.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' not found in the inferred schema " +
+        s"(${schema.fieldNames.mkString(", ")}) — is the directory Hive-partitioned by it?"))
+    val rootPrefix = fs.makeQualified(root).toString
+    val files = {
+      val it = fs.listFiles(root, true)
+      val buf = mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = fs.makeQualified(st.getPath).toString
+          .stripPrefix(rootPrefix).stripPrefix("/")
+        val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+        if (st.getPath.getName.endsWith(".parquet") && !hidden) buf += st
+      }
+      buf.toSeq
+    }
+    require(files.nonEmpty, s"no parquet files under $dir — nothing to convert")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, files.size))
+    val adds = try {
+      files.map { st =>
+        pool.submit(new java.util.concurrent.Callable[AddFile] {
+          override def call(): AddFile = {
+            val rel = fs.makeQualified(st.getPath).toString
+              .stripPrefix(rootPrefix).stripPrefix("/")
+            val partitionValues = rel.split('/').dropRight(1).iterator
+              .filter(_.contains('='))
+              .map { seg =>
+                val Array(k, v) = seg.split("=", 2)
+                k -> (if (v == HiveDefaultPartition) null else unescapePathName(v))
+              }.toMap
+            require(partitionValues.keySet == partitionColumns.toSet,
+              s"file $rel has partition path keys ${partitionValues.keySet} " +
+                s"but the declared partitioning is $partitionColumns")
+            AddFile(path = rel, partitionValues = partitionValues,
+              size = st.getLen, modificationTime = st.getModificationTime,
+              dataChange = true,
+              stats = ParquetStats.forFile(fs, st.getPath, partitionColumns.toSet))
+          }
+        })
+      }.map(_.get()).toSeq
+    } finally pool.shutdown()
+    t.log.commit(
+      Seq(Action(protocol = Some(Protocol())),
+        Action(metaData = Some(Metadata(
+          id = java.util.UUID.randomUUID().toString,
+          schemaString = schema.json,
+          partitionColumns = partitionColumns,
+          configuration = Map.empty,
+          createdTime = Some(System.currentTimeMillis()))))) ++
+        adds.map(a => Action(add = Some(a))) :+
+        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CONVERT",
+          Map("numFiles" -> adds.size.toString)))))
+    t
+  }
+
   /** Relax container nullability recursively (fields stay as declared).
     * Parquet round-trips array/map elements as nullable regardless of the
     * writer's containsNull, and Spark refuses the true→false element

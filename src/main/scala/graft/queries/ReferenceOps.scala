@@ -464,6 +464,34 @@ object ReferenceOps extends QueryModule {
              |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM afterdml""".stripMargin)),
 
+    // ---- CONVERT TO DELTA (in-place conversion of a plain parquet
+    // directory): write events as Hive-partitioned parquet, convert, and
+    // run real DML on the result. In-query requires: every add carries
+    // footer stats, conversion moved zero data files (the plain parquet
+    // read still works), and the post-convert DELETE actually rewrote
+    // state. Oracle recomputes the final state from raw events. --------
+    "ref_convert" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-convert") + "/t"
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          (col("event_id") % 3).cast("int").as("bucket"))
+        ev.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        val plainCount = s.read.parquet(dir).count()
+        val t = graft.delta.DeltaTable.convertFrom(s, dir, Seq("bucket"))
+        require(t.snapshot.files.nonEmpty && t.snapshot.files.forall(_.stats.isDefined),
+          "every converted add must carry footer stats")
+        require(t.toDF.count() == plainCount,
+          "conversion must cover exactly the directory's rows")
+        require(t.delete(col("event_id") % 5 === 0) > 0L)
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum
+             |FROM events WHERE event_id % 5 <> 0""".stripMargin)),
+
     // ---- INSERT OVERWRITE / replaceWhere (Delta's predicate overwrite):
     // the idempotent-backfill shape — partition events by bucket, then
     // atomically replace bucket 1 with recomputed rows. In-query

@@ -690,6 +690,42 @@ class DeltaSpec extends SparkSpec {
     assert(ch === Map("delete" -> 2L, "insert" -> 1L))
   }
 
+  test("convertFrom: in-place CONVERT TO DELTA with stats; DML works on the converted table") {
+    // partitioned: Hive layout becomes partitionValues, schema keeps the
+    // typed partition column, footer stats ride each add
+    val dir = tmpDir("convert-part")
+    sampleDf(0 until 12).write.mode("overwrite").partitionBy("date").parquet(dir)
+    val t = DeltaTable.convertFrom(spark, dir, Seq("date"))
+    assert(t.toDF.count() === 12L)
+    assert(t.partitionColumns === Seq("date"))
+    assert(t.snapshot.files.nonEmpty)
+    assert(t.snapshot.files.forall(f =>
+      f.partitionValues.keySet == Set("date") && f.stats.isDefined))
+    assert(t.toDF.orderBy("id").collect()(3).getAs[String]("name") === "name3")
+    // the directory still answers plain parquet reads
+    assert(spark.read.parquet(dir).count() === 12L)
+    // DML works post-convert (the point of converting)
+    assert(t.delete(col("id") < 4L) > 0L)
+    assert(t.toDF.count() === 8L)
+    assert(t.append(sampleDf(100 until 102)) > 0L)
+    assert(t.toDF.count() === 10L)
+    // converting twice refuses
+    assertThrows[IllegalArgumentException](DeltaTable.convertFrom(spark, dir))
+    // unpartitioned convert
+    val dir2 = tmpDir("convert-flat")
+    sampleDf(0 until 5).write.mode("overwrite").parquet(dir2)
+    val t2 = DeltaTable.convertFrom(spark, dir2)
+    assert(t2.toDF.count() === 5L)
+    assert(t2.snapshot.files.forall(_.partitionValues.isEmpty))
+    // wrong partitioning declaration fails loudly, and the failed
+    // attempt must not leave a half-created log behind
+    val dir3 = tmpDir("convert-bad")
+    sampleDf(0 until 5).write.mode("overwrite").partitionBy("date").parquet(dir3)
+    assertThrows[java.util.concurrent.ExecutionException](
+      DeltaTable.convertFrom(spark, dir3, Seq("name")))
+    assert(!DeltaTable.forPath(spark, dir3).exists)
+  }
+
   test("appendOnly: removal DML refuses; appends and compaction still work") {
     val t = DeltaTable.forPath(spark, tmpDir("delta-ao")).create(schema,
       configuration = Map(DeltaTable.AppendOnlyConfigKey -> "true"))
