@@ -1,0 +1,162 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+
+/** A graft Delta table as a Structured Streaming SOURCE (the delta-spark
+  * `spark.readStream.format("delta")` shape, V1 Source API — the same
+  * API delta-spark's own DeltaSource uses):
+  *
+  * {{{
+  * spark.readStream.format("graft-delta").option("path", dir).load()
+  * }}}
+  *
+  * Offsets are table VERSIONS (`LongOffset(v)` = "data through commit v
+  * emitted"), so the checkpoint contract is exactly the log: a restart
+  * resumes from the last committed version with no duplicates and no
+  * loss. The first batch is the table's full snapshot at stream start
+  * (or nothing, with `startingVersion` = tail from that commit on);
+  * each subsequent batch is the `dataChange` adds of the new commits.
+  *
+  * Options:
+  *  - `path` (required): table directory
+  *  - `startingVersion`: skip the initial snapshot, emit commits ≥ v
+  *  - `ignoreDeletes`: tolerate delete-only commits (their removed rows
+  *    were already emitted; nothing re-emits)
+  *  - `ignoreChanges`: additionally tolerate rewrites (UPDATE/MERGE/
+  *    overwrite): their re-added files RE-EMIT in full — the documented
+  *    at-least-once caveat, same as delta-spark
+  *  - `maxVersionsPerTrigger`: rate-limit a catch-up backlog
+  *
+  * Scale shape: a trigger's work is one log listing plus the new commit
+  * JSONs — never a table scan; the batch reads exactly the new files.
+  * OPTIMIZE/compaction commits (`dataChange=false`) are invisible to the
+  * stream by construction. Streams refuse tables with live deletion
+  * vectors in the initial snapshot (purge first) and fail loudly on
+  * mid-stream schema changes (restart to pick up the new schema —
+  * delta-spark's contract too). */
+final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-delta"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "option 'path' (the Delta table directory) is required"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft-delta streams the table's own schema; " +
+      "a user-specified schema is not supported")
+    (shortName(),
+      DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+}
+
+final class DeltaStreamSource(spark: SparkSession, path: String,
+                              parameters: Map[String, String]) extends Source {
+  import Actions._
+
+  private val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+  private val table = DeltaTable.forPath(spark, path)
+  private val startingVersion: Option[Long] = opts.get("startingversion").map(_.toLong)
+  private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
+  private val ignoreDeletes = ignoreChanges || opts.get("ignoredeletes").exists(_.toBoolean)
+  private val maxVersionsPerTrigger: Option[Long] =
+    opts.get("maxversionspertrigger").map(_.toLong)
+  require(maxVersionsPerTrigger.forall(_ > 0), "maxVersionsPerTrigger must be > 0")
+
+  override val schema: StructType = table.schema
+  private val schemaJson = schema.json
+
+  /** Rate-limit baseline: the last offset handed out (or resumed to).
+    * Authoritative progress lives in the CHECKPOINT, not here — getBatch
+    * re-seeds this on restart. */
+  private var lastSeen: Option[Long] = None
+
+  override def getOffset: Option[Offset] = {
+    val latest = table.log.latestVersion()
+    if (latest < 0) None
+    else {
+      // rate-limit baseline: last offset handed out, or just below
+      // startingVersion on a fresh tail-mode start (so even the first
+      // trigger of a catch-up is paced)
+      val base = lastSeen.orElse(startingVersion.map(_ - 1))
+      val capped = (base, maxVersionsPerTrigger) match {
+        case (Some(l), Some(m)) => math.min(latest, l + m)
+        case _ => latest
+      }
+      lastSeen = Some(capped)
+      Some(LongOffset(capped))
+    }
+  }
+
+  private def toVersion(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => throw new IllegalArgumentException(s"unexpected offset $other")
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = toVersion(end)
+    lastSeen = Some(math.max(endV, lastSeen.getOrElse(endV)))
+    val files = (start.map(toVersion), startingVersion) match {
+      case (Some(s), _) => addsInRange(s + 1, endV)
+      case (None, Some(sv)) => addsInRange(sv, endV)
+      case (None, None) =>
+        val snap = table.log.snapshotAt(endV)
+        require(snap.files.forall(_.deletionVector.isEmpty),
+          "cannot stream from a table with live deletion vectors — " +
+            "purgeDeletionVectors() first, or tail with startingVersion")
+        snap.files
+    }
+    table.streamingBatchFor(files)
+  }
+
+  /** `dataChange` adds of commits `from..to`, with the streaming append
+    * contract enforced per commit: delete-only commits need
+    * `ignoreDeletes`, rewrites need `ignoreChanges`, schema changes and
+    * protocol-invisible maintenance follow delta-spark's source rules. */
+  private def addsInRange(from: Long, to: Long): Seq[AddFile] =
+    (math.max(0L, from) to to).flatMap { v =>
+      val actions = table.log.readVersion(v)
+      actions.flatMap(_.metaData).foreach { m =>
+        require(m.schemaString == schemaJson,
+          s"the table schema changed at version $v — restart the stream " +
+            "to pick up the new schema")
+      }
+      val removes = actions.flatMap(_.remove).filter(_.dataChange)
+      val adds = actions.flatMap(_.add).filter(_.dataChange)
+      val (dvAdds, plainAdds) = adds.partition(_.deletionVector.isDefined)
+      val op = actions.flatMap(_.commitInfo).headOption.map(_.operation)
+      if (removes.isEmpty && dvAdds.isEmpty) plainAdds
+      else if (op.contains("DELETE")) {
+        // both delete shapes — copy-on-write (remove + survivor re-add)
+        // and deletion vectors (DV re-add) — emit NOTHING: every
+        // surviving row already went out with its original file, so
+        // re-emitting the rewritten survivors would duplicate and the
+        // deleted rows are simply not retracted
+        require(ignoreDeletes,
+          s"version $v deletes data. Set ignoreDeletes=true to continue " +
+            "(already-emitted rows are not retracted)")
+        Nil
+      } else {
+        require(ignoreChanges,
+          s"version $v rewrites data (UPDATE/MERGE/overwrite). Set " +
+            "ignoreChanges=true to continue (rewritten files re-emit in full)")
+        plainAdds
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

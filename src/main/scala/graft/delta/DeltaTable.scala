@@ -1673,6 +1673,28 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     rawFor(snap).select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
   }
 
+  /** A STREAMING-tagged batch over an explicit live-file set — the
+    * [[DeltaStreamSource.getBatch]] read path. Mirrors [[rawFor]]'s
+    * physical→logical rename and declared-schema cast (column-mapped
+    * tables stream under their LOGICAL names); callers guarantee the
+    * files carry no deletion vectors. */
+  private[delta] def streamingBatchFor(files: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.sql.graft.StreamBridge
+    val sch = schema
+    if (files.isEmpty) return StreamBridge.emptyStreaming(spark, sch)
+    require(files.forall(_.deletionVector.isEmpty),
+      "streaming batches must not carry deletion vectors")
+    val phys = physicalSchema(sch)
+    val paths = files.map(f => new Path(path, f.path).toString)
+    val raw = StreamBridge.streamingParquet(spark, paths, phys,
+      if (partitionColumns.isEmpty) None else Some(path))
+    val renamed =
+      if (phys.fieldNames.sameElements(sch.fieldNames)) raw
+      else raw.select(sch.fields.zip(phys.fields).map {
+        case (l, p) => col(p.name).as(l.name) }.toSeq: _*)
+    renamed.select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+  }
+
   /** The snapshot's rows with deletion vectors APPLIED. The one read
     * path under [[toDF]]/time travel/[[scan]]/DML — so every consumer
     * subtracts DV'd rows identically. With `withMeta` the result carries

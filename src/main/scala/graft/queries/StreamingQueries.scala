@@ -38,6 +38,36 @@ object StreamingQueries extends QueryModule {
               |QUALIFY row_number() OVER w <= 5
               |ORDER BY doc_id""".stripMargin)),
 
+    // Delta table as a REAL streaming source (graft-delta, V1 Source):
+    // half the documents land before the stream starts (the snapshot
+    // batch), the other half are appended mid-stream (the tail batch),
+    // and a stateful complete-mode aggregation drains both. The oracle
+    // aggregates all documents — a re-emitted snapshot, a lost tail
+    // batch, or version-offset drift doubles/loses rows and shifts
+    // every sum. ------------------------------------------------------
+    "stream_delta_tail" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-dstream") + "/t"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(docs.schema)
+        t.append(docs.filter(col("doc_id") % 2 === 0))
+        val q = s.readStream.format("graft-delta").option("path", dir).load()
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"))
+          .writeStream.format("memory").queryName("stream_delta_tail_mem")
+          .outputMode("complete")
+          .option("checkpointLocation", graft.Scratch.dir("graft-dstream-ck"))
+          .start()
+        try {
+          q.processAllAvailable()
+          t.append(docs.filter(col("doc_id") % 2 =!= 0))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table("stream_delta_tail_mem").orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     "stream_windowed_counts" -> QueryDef(
       (s, d) =>
         graft.streaming.WindowedAggs.windowedCounts(

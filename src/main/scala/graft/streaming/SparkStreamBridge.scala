@@ -1,0 +1,41 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** private[sql] seams a V1 streaming Source needs: `getBatch` must hand
+  * MicroBatchExecution a DataFrame whose logical plan carries
+  * `isStreaming = true`, and the only constructors for such plans
+  * (`LogicalRelation(_, isStreaming)`, streaming `LocalRelation`,
+  * `Dataset.ofRows`) are private[sql]. This is exactly how Spark's own
+  * FileStreamSource builds its batches
+  * (spark/sql/core/.../streaming/sources/FileStreamSource.scala); the
+  * shim lives under org.apache.spark.sql for access, like
+  * [[ColumnBridge]]. */
+object StreamBridge {
+
+  /** A STREAMING-tagged parquet batch over an explicit file list with a
+    * declared schema (partition columns resolve from the Hive layout
+    * when `basePath` is set — the same read shape as the batch path). */
+  def streamingParquet(spark: SparkSession, paths: Seq[String],
+                       schema: StructType, basePath: Option[String]): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      cs, className = "parquet", paths = paths,
+      userSpecifiedSchema = Some(schema),
+      options = basePath.map("basePath" -> _).toMap)
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        ds.resolveRelation(checkFilesExist = false), isStreaming = true))
+  }
+
+  /** An empty STREAMING batch of `schema` (a trigger that found no new
+    * data must still return a streaming-tagged frame). */
+  def emptyStreaming(spark: SparkSession, schema: StructType): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        Nil, isStreaming = true))
+  }
+}

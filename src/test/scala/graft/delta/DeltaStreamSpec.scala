@@ -1,0 +1,169 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Pins the Delta-as-streaming-source contract: snapshot-then-tail,
+  * version-granular offsets through a real checkpoint (restart = no
+  * dupes, no loss), invisibility of dataChange=false maintenance,
+  * loud failure on deletes/rewrites with the ignore* escape hatches,
+  * startingVersion, rate limiting, and column-mapped logical names. */
+class DeltaStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType)))
+
+  private def mkTable(prefix: String, conf: Map[String, String] = Map.empty): DeltaTable =
+    DeltaTable.forPath(spark, tmpDir(prefix)).create(schema, configuration = conf)
+
+  private def rows(ids: Range) = ids.map(i => (i.toLong, s"n$i")).toDF("id", "name")
+
+  private def readStream(t: DeltaTable, extra: (String, String)*) = {
+    val r = spark.readStream.format("graft-delta").option("path", t.path)
+    extra.foldLeft(r) { case (rr, (k, v)) => rr.option(k, v) }.load()
+  }
+
+  test("snapshot-then-tail into a memory sink; maintenance commits are invisible") {
+    val t = mkTable("dstream")
+    t.append(rows(0 until 5))
+    t.append(rows(5 until 8))
+    val q = readStream(t).writeStream.format("memory")
+      .queryName("dstream_t1")
+      .option("checkpointLocation", tmpDir("dstream-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dstream_t1").count() === 8L)
+      // tail: a new append arrives incrementally
+      t.append(rows(8 until 11))
+      q.processAllAvailable()
+      assert(spark.table("dstream_t1").count() === 11L)
+      assert(spark.table("dstream_t1").select("id").as[Long].collect().toSet
+        === (0L until 11L).toSet)
+      // compaction is dataChange=false — the stream must not re-emit
+      assert(t.compact(minBytes = Long.MaxValue) > 0L)
+      q.processAllAvailable()
+      assert(spark.table("dstream_t1").count() === 11L)
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes at the committed version: no dupes, no loss") {
+    val t = mkTable("dstream-rs")
+    t.append(rows(0 until 6))
+    val ck = tmpDir("dstream-rs-ck")
+    val out = tmpDir("dstream-rs-out")
+    def run(): Unit = {
+      val q = readStream(t).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 6L)
+    // rows appended BETWEEN runs arrive exactly once on restart
+    t.append(rows(6 until 10))
+    t.append(rows(10 until 12))
+    run()
+    val back = spark.read.parquet(out)
+    assert(back.count() === 12L)
+    assert(back.select("id").as[Long].collect().toSet === (0L until 12L).toSet)
+    // an idle restart emits nothing
+    run()
+    assert(spark.read.parquet(out).count() === 12L)
+  }
+
+  test("deletes fail the stream; ignoreDeletes tails past them; rewrites need ignoreChanges") {
+    val t = mkTable("dstream-del")
+    t.append(rows(0 until 6))
+    val q = readStream(t).writeStream.format("memory").queryName("dstream_del")
+      .option("checkpointLocation", tmpDir("dstream-del-ck")).start()
+    try {
+      q.processAllAvailable()
+      t.delete(col("id") < 2L)
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(e.getMessage.contains("ignoreDeletes"), e.getMessage)
+    } finally q.stop()
+    // ignoreDeletes: the delete commit passes silently (delete-only
+    // commits emit nothing; already-emitted rows are not retracted)
+    val q2 = readStream(t, "ignoreDeletes" -> "true").writeStream.format("memory")
+      .queryName("dstream_del2")
+      .option("checkpointLocation", tmpDir("dstream-del2-ck")).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("dstream_del2").count() === 4L) // post-delete snapshot
+      t.append(rows(20 until 22))
+      t.delete(col("id") === 20L)
+      q2.processAllAvailable()
+      assert(spark.table("dstream_del2").select("id").as[Long].collect().toSet
+        === Set(2L, 3L, 4L, 5L, 20L, 21L)) // append emitted; delete not retracted
+      // an UPDATE rewrites a file: ignoreDeletes is NOT enough
+      t.update(col("id") === 21L, Map("name" -> lit("x")))
+      val e2 = intercept[Exception](q2.processAllAvailable())
+      assert(e2.getMessage.contains("ignoreChanges"), e2.getMessage)
+    } finally q2.stop()
+    // ignoreChanges: the rewrite re-emits its file (at-least-once caveat)
+    val q3 = readStream(t, "ignoreChanges" -> "true", "startingVersion" -> "0")
+      .writeStream.format("memory").queryName("dstream_del3")
+      .option("checkpointLocation", tmpDir("dstream-del3-ck")).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("dstream_del3").filter(col("name") === "x").count() === 1L)
+    } finally q3.stop()
+  }
+
+  test("startingVersion skips the snapshot; maxVersionsPerTrigger paces catch-up") {
+    val t = mkTable("dstream-sv")
+    t.append(rows(0 until 4))  // v1
+    t.append(rows(4 until 6))  // v2
+    t.append(rows(6 until 9))  // v3
+    val q = readStream(t, "startingVersion" -> "2", "maxVersionsPerTrigger" -> "1")
+      .writeStream.format("memory").queryName("dstream_sv")
+      .option("checkpointLocation", tmpDir("dstream-sv-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dstream_sv").select("id").as[Long].collect().toSet
+        === (4L until 9L).toSet, "versions before startingVersion must not emit")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "rate limiting must split the catch-up across triggers")
+    } finally q.stop()
+  }
+
+  test("column-mapped tables stream under logical names after a rename") {
+    val t = DeltaTable.forPath(spark, tmpDir("dstream-map")).create(schema,
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
+    t.append(rows(0 until 3))
+    t.renameColumn("name", "label")
+    t.append(Seq((3L, "n3")).toDF("id", "label"))
+    val df = readStream(t)
+    assert(df.columns.toSeq === Seq("id", "label"))
+    val q = df.writeStream.format("memory").queryName("dstream_map")
+      .option("checkpointLocation", tmpDir("dstream-map-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dstream_map").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === (0 until 4).map(i => (i.toLong, s"n$i")))
+    } finally q.stop()
+  }
+
+  test("streams refuse tables with live deletion vectors until purged") {
+    val t = mkTable("dstream-dv", Map(DeltaTable.DvConfigKey -> "true"))
+    t.append(rows(0 until 6))
+    t.deleteWithDv(col("id") < 2L)
+    val q = readStream(t).writeStream.format("memory").queryName("dstream_dv")
+      .option("checkpointLocation", tmpDir("dstream-dv-ck")).start()
+    val e = intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    t.purgeDeletionVectors()
+    val q2 = readStream(t).writeStream.format("memory").queryName("dstream_dv2")
+      .option("checkpointLocation", tmpDir("dstream-dv2-ck")).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("dstream_dv2").select("id").as[Long].collect().toSet
+        === (2L until 6L).toSet)
+    } finally q2.stop()
+  }
+}
