@@ -157,6 +157,24 @@ object DataSkipping {
           case (Some(b), Some(v)) => Some((b.compareTo(v), true))
           case _ => None
         }
+      case Some(DateType) =>
+        // partition values / stats render dates as ISO yyyy-MM-dd
+        def days(a: Any): Option[Long] = {
+          def parse(s: String): Option[Long] =
+            try Some(java.time.LocalDate.parse(s).toEpochDay)
+            catch { case _: java.time.format.DateTimeParseException => None }
+          a match {
+            case n: JsonNode if n.isTextual => parse(n.asText())
+            case s: String => parse(s)
+            case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+            case d: java.time.LocalDate => Some(d.toEpochDay)
+            case _ => None
+          }
+        }
+        (days(bound), days(value)) match {
+          case (Some(b), Some(v)) => Some((java.lang.Long.compare(b, v), true))
+          case _ => None
+        }
       case Some(TimestampType | TimestampNTZType) =>
         // stats bounds render via ParquetStats.tsFmt (ms floor); partition
         // values use a different format, fail to parse, and keep the file

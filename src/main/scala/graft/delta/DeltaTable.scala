@@ -1536,9 +1536,19 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * never depend on it). See [[DataSkipping]]. */
   def scan(preds: Seq[DataSkipping.ColPred]): DataFrame = {
     val snap = snapshot
-    val surviving = DataSkipping.prune(snap, toPhysicalPreds(preds))
+    val surviving = DataSkipping.prune(snap, toPhysicalPreds(withDerived(preds)))
+    // the EXACT filter stays the caller's predicates — derived partition
+    // conjuncts are pruning-only and can never change results
     dfFor(snap.copy(files = surviving)).filter(DataSkipping.exprFor(preds))
   }
+
+  /** Caller predicates plus partition conjuncts implied through
+    * monotone GENERATED partition columns ([[GeneratedPruning]]): a
+    * table partitioned by `day GENERATED AS (CAST(ts AS DATE))` prunes
+    * to the matching days on a bare `ts` range. */
+  private def withDerived(preds: Seq[DataSkipping.ColPred]): Seq[DataSkipping.ColPred] =
+    preds ++ GeneratedPruning.derive(spark, schema, partitionColumns,
+      generatedColumns, preds)
 
   /** add.stats are keyed by PHYSICAL column names — translate predicate
     * columns before pruning (the exact filter stays logical). */
@@ -1550,7 +1560,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   /** Files the predicate conjunction cannot rule out (exposed for tests
     * and for observability of skipping effectiveness). */
   def scanFiles(preds: Seq[DataSkipping.ColPred]): Seq[Actions.AddFile] =
-    DataSkipping.prune(snapshot, toPhysicalPreds(preds))
+    DataSkipping.prune(snapshot, toPhysicalPreds(withDerived(preds)))
 
   /** Disjunctive pruned read: `column IN (values)` — the union of each
     * value's [[DataSkipping]] survivors ([[scan]] can only express
