@@ -31,6 +31,11 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   *    overwrite): their re-added files RE-EMIT in full — the documented
   *    at-least-once caveat, same as delta-spark
   *  - `maxVersionsPerTrigger`: rate-limit a catch-up backlog
+  *  - `readChangeFeed`: stream the CHANGE FEED instead of the data —
+  *    batches carry table columns + `_change_type` / `_commit_version` /
+  *    `_commit_timestamp`, deletes/updates arrive as rows (no ignore*
+  *    needed), the initial snapshot emits as `insert` changes
+  *
   *
   * Scale shape: a trigger's work is one log listing plus the new commit
   * JSONs — never a table scan; the batch reads exactly the new files.
@@ -52,8 +57,11 @@ final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegi
                             parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft-delta streams the table's own schema; " +
       "a user-specified schema is not supported")
-    (shortName(),
-      DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
+    val t = DeltaTable.forPath(sqlContext.sparkSession, pathOf(parameters))
+    val cdf = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean }
+      .getOrElse(false)
+    (shortName(), if (cdf) t.cdfSchema else t.schema)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -75,8 +83,21 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
     opts.get("maxversionspertrigger").map(_.toLong)
   require(maxVersionsPerTrigger.forall(_ > 0), "maxVersionsPerTrigger must be > 0")
 
-  override val schema: StructType = table.schema
-  private val schemaJson = schema.json
+  /** CDF mode (`readChangeFeed=true`, the delta-spark option): batches
+    * are CHANGE rows (table columns + `_change_type` /
+    * `_commit_version` / `_commit_timestamp`) from the table's change
+    * feed — deletes and updates arrive as data instead of failing the
+    * stream, so a downstream consumer can replicate DML incrementally.
+    * The initial snapshot emits as `insert` rows stamped with the
+    * starting version (delta-spark's initial-snapshot contract). */
+  private val readChangeFeed = opts.get("readchangefeed").exists(_.toBoolean)
+  require(!readChangeFeed || (!ignoreChanges && !ignoreDeletes),
+    "readChangeFeed already delivers deletes/updates as change rows — " +
+      "ignoreDeletes/ignoreChanges do not apply")
+
+  override val schema: StructType =
+    if (readChangeFeed) table.cdfSchema else table.schema
+  private val schemaJson = table.schema.json
 
   /** Rate-limit baseline: the last offset handed out (or resumed to).
     * Authoritative progress lives in the CHECKPOINT, not here — getBatch
@@ -109,17 +130,37 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = toVersion(end)
     lastSeen = Some(math.max(endV, lastSeen.getOrElse(endV)))
-    val files = (start.map(toVersion), startingVersion) match {
-      case (Some(s), _) => addsInRange(s + 1, endV)
-      case (None, Some(sv)) => addsInRange(sv, endV)
-      case (None, None) =>
-        val snap = table.log.snapshotAt(endV)
-        require(snap.files.forall(_.deletionVector.isEmpty),
-          "cannot stream from a table with live deletion vectors — " +
-            "purgeDeletionVectors() first, or tail with startingVersion")
-        snap.files
+    def snapshotFiles: Seq[AddFile] = {
+      val snap = table.log.snapshotAt(endV)
+      require(snap.files.forall(_.deletionVector.isEmpty),
+        "cannot stream from a table with live deletion vectors — " +
+          "purgeDeletionVectors() first, or tail with startingVersion")
+      snap.files
     }
-    table.streamingBatchFor(files)
+    if (readChangeFeed) {
+      import org.apache.spark.sql.functions.{lit, timestamp_millis}
+      (start.map(toVersion), startingVersion) match {
+        case (Some(s), _) =>
+          if (s + 1 > endV)
+            org.apache.spark.sql.graft.StreamBridge.emptyStreaming(spark, schema)
+          else table.changesFrames(s + 1, endV, streaming = true)
+        case (None, Some(sv)) => table.changesFrames(sv, endV, streaming = true)
+        case (None, None) =>
+          val ts = table.log.readVersion(endV)
+            .flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(0L)
+          table.streamingBatchFor(snapshotFiles)
+            .withColumn(DeltaTable.ChangeTypeCol, lit("insert"))
+            .withColumn("_commit_version", lit(endV))
+            .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+      }
+    } else {
+      val files = (start.map(toVersion), startingVersion) match {
+        case (Some(s), _) => addsInRange(s + 1, endV)
+        case (None, Some(sv)) => addsInRange(sv, endV)
+        case (None, None) => snapshotFiles
+      }
+      table.streamingBatchFor(files)
+    }
   }
 
   /** `dataChange` adds of commits `from..to`, with the streaming append

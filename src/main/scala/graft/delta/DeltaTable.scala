@@ -1301,7 +1301,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * RESTORE — read around those versions), or when the commit JSON was
     * already cleaned up ([[DeltaLog.cleanupMetadata]] bounds CDF
     * retention exactly like Delta's log retention). */
-  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+  def changes(fromVersion: Long, toVersion: Long): DataFrame =
+    changesFrames(fromVersion, toVersion, streaming = false)
+
+  /** [[changes]]'s engine, shared with the CDF-mode streaming source
+    * ([[DeltaStreamSource]] `readChangeFeed`): identical file
+    * classification, vacuum checks, and version stamping — `streaming`
+    * only switches the two scans (and the empty fallback) to
+    * streaming-tagged frames. */
+  private[delta] def changesFrames(fromVersion: Long, toVersion: Long,
+                                   streaming: Boolean): DataFrame = {
     require(fromVersion >= 0 && toVersion >= fromVersion,
       s"bad version range [$fromVersion, $toVersion]")
     require(cdfEnabled,
@@ -1379,34 +1388,52 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         extras.map(col)).toSeq: _*)
     val cdcPaths = versions.flatMap(_.cdc).map(c => new Path(path, c.path).toString)
     val addPaths = versions.flatMap(_.adds).map(a => new Path(path, a.path).toString)
+    def readFrame(paths: Seq[String], schema: StructType,
+                  withBase: Boolean): DataFrame =
+      if (streaming)
+        org.apache.spark.sql.graft.StreamBridge.streamingParquet(
+          spark, paths, schema, if (withBase) Some(path) else None)
+      else {
+        val r = spark.read.schema(schema)
+        if (withBase) r.option("basePath", path).parquet(paths: _*)
+        else r.parquet(paths: _*)
+      }
     val cdcFrame =
       if (cdcPaths.isEmpty) None
-      else Some(toLogical(stamp(spark.read
-        .schema(physSch.add(DeltaTable.ChangeTypeCol, org.apache.spark.sql.types.StringType))
-        .parquet(cdcPaths: _*))))
+      else Some(toLogical(stamp(readFrame(cdcPaths,
+        physSch.add(DeltaTable.ChangeTypeCol, org.apache.spark.sql.types.StringType),
+        withBase = false))))
     val addFrame =
       if (addPaths.isEmpty) None
-      else {
-        val reader = spark.read.schema(physSch)
-        val base =
-          if (partitionColumns.isEmpty) reader.parquet(addPaths: _*)
-          else reader.option("basePath", path).parquet(addPaths: _*)
-        Some(toLogical(stamp(base)
-          .withColumn(DeltaTable.ChangeTypeCol, lit("insert"))))
-      }
+      else Some(toLogical(stamp(
+        readFrame(addPaths, physSch, withBase = partitionColumns.nonEmpty))
+        .withColumn(DeltaTable.ChangeTypeCol, lit("insert"))))
     (cdcFrame.toSeq ++ addFrame.toSeq).reduceOption(_ unionByName _).getOrElse {
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(
-          sch.fields.toSeq ++ Seq(
-            org.apache.spark.sql.types.StructField(DeltaTable.ChangeTypeCol,
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("_commit_version",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("_commit_timestamp",
-              org.apache.spark.sql.types.TimestampType))))
+      val fullSchema = org.apache.spark.sql.types.StructType(
+        sch.fields.toSeq ++ Seq(
+          org.apache.spark.sql.types.StructField(DeltaTable.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_commit_timestamp",
+            org.apache.spark.sql.types.TimestampType)))
+      if (streaming)
+        org.apache.spark.sql.graft.StreamBridge.emptyStreaming(spark, fullSchema)
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), fullSchema)
     }
   }
+
+  /** [[changes]]'s output schema (CDF rows = table columns + the three
+    * change-metadata columns). */
+  private[delta] def cdfSchema: StructType = org.apache.spark.sql.types.StructType(
+    schema.fields.toSeq ++ Seq(
+      org.apache.spark.sql.types.StructField(DeltaTable.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
 
   /** RESTORE the table to an earlier version (delta-rs `restore`): one
     * commit that re-adds the target version's files, removes the files

@@ -149,6 +149,57 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readChangeFeed: the stream replays exactly the batch change feed; DML needs no ignore*") {
+    val t = DeltaTable.forPath(spark, tmpDir("dstream-cdf")).create(schema,
+      configuration = Map(DeltaTable.CdfConfigKey -> "true"))
+    t.append(rows(0 until 5))                             // v1: inserts
+    t.delete(col("id") < 2L)                              // v2: deletes
+    t.update(col("id") === 3L, Map("name" -> lit("upd"))) // v3: pre+post
+    t.merge(Seq((4L, "m4"), (9L, "m9")).toDF("id", "name"), Seq("id")) // v4
+    // tail-from-0 stream must equal the batch feed row-for-row
+    val q = readStream(t, "readChangeFeed" -> "true", "startingVersion" -> "0")
+      .writeStream.format("memory").queryName("dstream_cdf")
+      .option("checkpointLocation", tmpDir("dstream-cdf-ck")).start()
+    try {
+      q.processAllAvailable()
+      // deletes/updates flowed as DATA — no ignoreDeletes/ignoreChanges
+      val got = spark.table("dstream_cdf")
+        .select("id", "name", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val want = t.changes(0, t.log.latestVersion())
+        .select("id", "name", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.sorted.toSeq === want.sorted.toSeq)
+      // mid-stream DML keeps flowing
+      t.delete(col("id") === 9L)
+      q.processAllAvailable()
+      assert(spark.table("dstream_cdf")
+        .filter(col("_change_type") === "delete" && col("id") === 9L).count() === 1L)
+    } finally q.stop()
+
+    // snapshot mode: current rows emit as insert changes stamped with
+    // the stream's starting version
+    val q2 = readStream(t, "readChangeFeed" -> "true")
+      .writeStream.format("memory").queryName("dstream_cdf2")
+      .option("checkpointLocation", tmpDir("dstream-cdf2-ck")).start()
+    try {
+      q2.processAllAvailable()
+      val snap = spark.table("dstream_cdf2")
+      assert(snap.select("_change_type").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("insert"))
+      assert(snap.count() === t.toDF.count())
+      assert(snap.select("_commit_version").distinct().collect()
+        .map(_.getLong(0)).toSeq === Seq(t.log.latestVersion()))
+    } finally q2.stop()
+    // ignore* flags contradict CDF mode — refuse loudly
+    assertThrows[Exception] {
+      readStream(t, "readChangeFeed" -> "true", "ignoreDeletes" -> "true")
+        .writeStream.format("memory").queryName("dstream_cdf3")
+        .option("checkpointLocation", tmpDir("dstream-cdf3-ck")).start()
+        .processAllAvailable()
+    }
+  }
+
   test("streams refuse tables with live deletion vectors until purged") {
     val t = mkTable("dstream-dv", Map(DeltaTable.DvConfigKey -> "true"))
     t.append(rows(0 until 6))
