@@ -68,6 +68,63 @@ object StreamingQueries extends QueryModule {
       Some("""SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // The CHANGE FEED as a stream (readChangeFeed): ref_cdf's exact DML
+    // history (2 appends, delete, update, merge) drains through the
+    // streaming source from version 1 and must aggregate to the same
+    // per-(version, change_type) counts/sums as the batch feed — the
+    // oracle IS ref_cdf's oracle. A mis-stamped version, dropped change
+    // file, or double-emitted batch shifts a group. ---------------------
+    "stream_delta_cdf" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-scdf") + "/t"
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(graft.delta.DeltaTable.CdfConfigKey -> "true"))
+        t.append(ev.filter(col("event_id") % 2 === 0))
+        t.append(ev.filter(col("event_id") % 2 =!= 0))
+        require(t.delete(col("event_id") % 7 === 0) == 3L)
+        require(t.update(col("event_id") % 5 === 0,
+          Map("user_id" -> (col("user_id") + 1000000L))) == 4L)
+        val src = ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id"), (col("user_id") + 2000000L).cast("long").as("user_id"))
+        require(t.merge(src, Seq("event_id")) == 5L)
+        val q = s.readStream.format("graft-delta").option("path", dir)
+          .option("readChangeFeed", "true").option("startingVersion", "1")
+          .load()
+          .writeStream.format("memory").queryName("stream_delta_cdf_mem")
+          .option("checkpointLocation", graft.Scratch.dir("graft-scdf-ck"))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_delta_cdf_mem")
+          .groupBy(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("long").as("sum_id"),
+            sum(col("user_id")).cast("long").as("sum_user"))
+          .orderBy(col("commit_version"), col("change_type"))
+      },
+      Some("""WITH ev AS (SELECT event_id AS id, user_id AS u FROM events),
+             |allc AS (
+             |  SELECT 1 AS v, 'insert' AS ct, id, u FROM ev WHERE id % 2 = 0
+             |  UNION ALL SELECT 2, 'insert', id, u FROM ev WHERE id % 2 = 1
+             |  UNION ALL SELECT 3, 'delete', id, u FROM ev WHERE id % 7 = 0
+             |  UNION ALL SELECT 4, 'update_preimage', id, u
+             |    FROM ev WHERE id % 5 = 0 AND id % 7 <> 0
+             |  UNION ALL SELECT 4, 'update_postimage', id, u + 1000000
+             |    FROM ev WHERE id % 5 = 0 AND id % 7 <> 0
+             |  UNION ALL SELECT 5, 'update_preimage', id,
+             |      u + CASE WHEN id % 5 = 0 THEN 1000000 ELSE 0 END
+             |    FROM ev WHERE id % 3 = 0 AND id % 7 <> 0
+             |  UNION ALL SELECT 5, 'update_postimage', id, u + 2000000
+             |    FROM ev WHERE id % 3 = 0 AND id % 7 <> 0
+             |  UNION ALL SELECT 5, 'insert', id, u + 2000000
+             |    FROM ev WHERE id % 3 = 0 AND id % 7 = 0
+             |)
+             |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+             |  count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+             |  CAST(sum(u) AS BIGINT) AS sum_user
+             |FROM allc GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin)),
+
     "stream_windowed_counts" -> QueryDef(
       (s, d) =>
         graft.streaming.WindowedAggs.windowedCounts(
