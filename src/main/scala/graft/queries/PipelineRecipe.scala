@@ -267,6 +267,51 @@ object PipelineRecipe extends QueryModule {
     // Plan shape at 100 TB: three digest-only anti-join shuffles (one per
     // batch), constraint checks fused into the write jobs, restore is a
     // metadata-only commit. Nothing here scans the corpus text twice.
+    // The INCREMENTAL curation loop, end to end through the streaming
+    // source: raw docs land in a Delta table in two generations; a
+    // graft-delta stream tails it and each micro-batch quality-filters
+    // then exact-dedups (appendNovel) into the curated table — the
+    // delta→delta shape every continuously-growing 100 TB corpus
+    // pipeline runs. Batch order is deterministic (the snapshot batch
+    // drains before generation 2 is appended), so first-batch-wins
+    // dedup is oracle-expressible: winner per digest = generation
+    // order, then smallest id. --------------------------------------
+    "pipeline_stream_curate" -> QueryDef(
+      (s, d) => {
+        val rawDir = graft.Scratch.dir("graft-pstream-raw") + "/t"
+        val curDir = graft.Scratch.dir("graft-pstream-cur") + "/t"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+        val raw = graft.delta.DeltaTable.forPath(s, rawDir).create(docs.schema)
+        val cur = graft.delta.DeltaTable.forPath(s, curDir).create(
+          org.apache.spark.sql.types.StructType(docs.schema.fields :+
+            org.apache.spark.sql.types.StructField("digest",
+              org.apache.spark.sql.types.StringType)))
+        raw.append(docs.filter(col("doc_id") % 2 === 0)) // generation 1
+        val q = s.readStream.format("graft-delta").option("path", rawDir).load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Dedup.appendNovel(cur, batch.filter(length(col("text")) >= 100),
+              "doc_id", "text")
+            ()
+          }
+          .option("checkpointLocation", graft.Scratch.dir("graft-pstream-ck"))
+          .start()
+        try {
+          q.processAllAvailable() // drain generation 1 first (determinism)
+          raw.append(docs.filter(col("doc_id") % 2 =!= 0)) // generation 2
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.delta.DeltaTable.forPath(s, curDir).toDF
+          .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT doc_id, source, md5(text) AS dg FROM documents
+             |  WHERE length(text) >= 100)
+             |SELECT doc_id, source FROM kept
+             |QUALIFY row_number() OVER (
+             |  PARTITION BY dg ORDER BY doc_id % 2, doc_id) = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     "pipeline_incremental" -> QueryDef(
       (s, d) => {
         val dir = graft.Scratch.dir("graft-pincr")
