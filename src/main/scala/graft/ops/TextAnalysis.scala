@@ -809,6 +809,153 @@ object TextAnalysis {
         size(filter(col("__pieces"), p => p === "<unk>")).cast("long").as("n_unk"))
   }
 
+  /** WordPiece trainer over an explicit word-frequency table — pure and
+    * data-source-free like [[trainBpeFromCounts]], the third tokenizer
+    * family (BPE merge-replay, unigram-LM Viterbi, WordPiece
+    * longest-match). Seed symbols are each word's first code point plus
+    * `##`-prefixed continuations (Wu et al. 2016 / the BERT trainer);
+    * each merge joins the adjacent pair with the HIGHEST likelihood
+    * score count(ab) / (count(a)·count(b)) under the CURRENT
+    * segmentation — exact integer comparison via BigInt cross
+    * multiplication, ties by pair lexicographic order — and the merged
+    * piece keeps the left symbol's continuation marker.
+    *
+    * @return the piece VOCABULARY ([[graft.functions.WordPieceEncode]]'s
+    *         input — longest-match encoding needs only the set): seed
+    *         alphabet sorted, then merged pieces in rank order */
+  def trainWordPieceFromCounts(wordCounts: Seq[(String, Long)],
+                               numMerges: Int): Seq[String] = {
+    require(numMerges >= 0, s"bad numMerges=$numMerges")
+    val CP = graft.functions.WordPieceKernel.ContinuationPrefix
+    def symsOf(w: String): Array[String] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        val c = w.substring(i, i + cc)
+        b += (if (i == 0) c else CP + c)
+        i += cc
+      }
+      b.toArray
+    }
+    var vocabWords: Array[(Array[String], Long)] =
+      wordCounts.toArray.map { case (w, n) => (symsOf(w), n) }
+    val alphabet = vocabWords.flatMap(_._1).distinct.sorted.toSeq
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    var exhausted = false
+    while (merged.size < numMerges && !exhausted) {
+      val symCounts = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocabWords.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length) {
+          symCounts.update(syms(i), symCounts.getOrElse(syms(i), 0L) + n)
+          if (i < syms.length - 1) {
+            val p = (syms(i), syms(i + 1))
+            pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          }
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // argmax of c_ab/(c_a·c_b): cross-multiplied BigInt compare, so
+        // the ranking is exact for any count magnitude
+        val best = pairCounts.toSeq.reduceLeft { (x, y) =>
+          val ((xa, xb), xc) = x
+          val ((ya, yb), yc) = y
+          val lhs = BigInt(xc) * symCounts(ya) * symCounts(yb)
+          val rhs = BigInt(yc) * symCounts(xa) * symCounts(xb)
+          val c = lhs.compare(rhs)
+          if (c > 0) x
+          else if (c < 0) y
+          else if (Ordering[(String, String)].lteq((xa, xb), (ya, yb))) x else y
+        }._1
+        val joined = best._1 + best._2.stripPrefix(CP)
+        merged += joined
+        vocabWords = vocabWords.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += joined; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+      }
+    }
+    (alphabet ++ merged).distinct
+  }
+
+  /** DuckDB twin of [[graft.functions.WordPieceKernel.encodeWord]] for a
+    * FIXED vocab: the greedy longest-match loop UNROLLS into
+    * `maxWordChars` strip steps as a MATERIALIZED CTE chain over the
+    * distinct-word table (each successful step consumes ≥ 1 char, so
+    * that many steps always suffice; CTE materialization keeps the
+    * unrolled steps linear — lateral aliases would re-inline every
+    * prior step and blow up exponentially). Per step, one generated
+    * CASE (arms sorted by effective length DESC, then stored piece —
+    * the longest-match rule made explicit) yields the matched STORED
+    * piece and a parallel CASE its effective length as a literal, so
+    * `##`-prefix stripping never happens at runtime. A stuck position
+    * leaves the remainder nonempty and the word renders as `[UNK]`, as
+    * does one over the length cap.
+    *
+    * @param wordsCte name of a CTE providing one DISTINCT word per row
+    *                 in column `w`
+    * @return CTE-chain SQL (to splice after `wordsCte`) ending in CTE
+    *         `wp_enc(w, pieces_w)` — the chr(31)/chr(30)-wrapped piece
+    *         string per word */
+  def wordPieceEncodeCtes(wordsCte: String, vocab: Seq[String],
+                          maxWordChars: Int): String = {
+    val CP = graft.functions.WordPieceKernel.ContinuationPrefix
+    def esc(s: String) = s.replace("'", "''")
+    def wrap(s: String) = s"chr(31) || '${esc(s)}' || chr(30)"
+    val unk = wrap(graft.functions.WordPieceKernel.Unk)
+    // (stored, effective) candidates per position class, longest first
+    def arms(pieces: Seq[(String, String)],
+             out: (String, String) => String): String =
+      pieces.sortBy { case (st, eff) => (-eff.length, st) }.map { case (st, eff) =>
+        s"WHEN substr(r, 1, ${eff.length}) = '${esc(eff)}' THEN ${out(st, eff)}"
+      }.mkString(" ")
+    val startP = vocab.filter(p => !p.startsWith(CP) && p.nonEmpty).map(p => (p, p))
+    val contP = vocab.filter(p => p.startsWith(CP))
+      .map(p => (p, p.substring(CP.length))).filter(_._2.nonEmpty)
+    val sb = new StringBuilder
+    sb ++= s"wp_0 AS (SELECT w, w AS r, '' AS acc, FALSE AS stuck FROM $wordsCte)"
+    for (k <- 0 until maxWordChars) {
+      val ps = if (k == 0) startP else contP
+      // m = '' means done (nothing left); NULL means NO piece matches at
+      // this position — the stuck LATCH below makes that terminal, like
+      // the kernel's whole-word [UNK] bail-out (without the latch a
+      // word with no start-position match would resume matching
+      // continuation pieces at the next step)
+      val m = "CASE WHEN stuck OR r = '' THEN '' ELSE CASE " +
+        arms(ps, (st, _) => s"'${esc(st)}'") + " ELSE NULL END END"
+      val l = "CASE WHEN stuck OR r = '' THEN 0 ELSE CASE " +
+        arms(ps, (_, eff) => eff.length.toString) + " ELSE NULL END END"
+      sb ++= s""",
+        |wp_${k + 1} AS MATERIALIZED (
+        |  SELECT w,
+        |    CASE WHEN m IS NULL OR m = '' THEN r ELSE substr(r, l + 1) END AS r,
+        |    CASE WHEN m IS NULL OR m = '' THEN acc
+        |         ELSE acc || chr(31) || m || chr(30) END AS acc,
+        |    stuck OR m IS NULL AS stuck
+        |  FROM (SELECT w, r, acc, stuck, $m AS m, $l AS l FROM wp_$k))""".stripMargin
+    }
+    sb ++= s""",
+      |wp_enc AS (
+      |  SELECT w, CASE WHEN length(w) > $maxWordChars OR w = '' OR stuck
+      |      OR r <> ''
+      |    THEN $unk ELSE acc END AS pieces_w
+      |  FROM wp_$maxWordChars)""".stripMargin
+    sb.toString
+  }
+
   /** Generated DuckDB CTE chain that RETRAINS BPE from the corpus — the
     * SQL twin of [[trainBpe]], closing the train-side gap the fixture
     * gates leave (the text_lm_score pattern: the oracle re-derives the

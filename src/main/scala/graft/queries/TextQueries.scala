@@ -830,6 +830,50 @@ object TextQueries extends QueryModule {
       },
       headline = true),
 
+    // WordPiece tokenization (the BERT tokenizer family — greedy
+    // longest-match-first under a trained vocab, the third tokenizer
+    // after BPE merge-replay and unigram-LM Viterbi), oracle-gated: the
+    // vocab is trained at definition time from the shared fixture via
+    // the HF likelihood objective (count(ab)/(count(a)·count(b)), exact
+    // integer compare), so the same constant vocab drives the
+    // scan-stage WordPieceEncode kernel and the generated
+    // longest-match strip chain on the DuckDB side (applied per
+    // DISTINCT word, then joined back in token order). Whole-word
+    // [UNK] on any stuck position or over-length word — the HF
+    // max_input_chars_per_word contract — is replayed by both engines.
+    "text_wordpiece_encode" -> QueryDef(
+      (s, d) => {
+        val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(BpeFixtureCounts, 16)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.WordPieceEncode.of(tokens(col("text")), vocab, 20).as("p"))
+          .select(col("doc_id"),
+            concat_ws("", transform(col("p"),
+              x => concat(lit(""), x, lit("")))).as("pieces_wrapped"),
+            size(col("p")).cast("long").as("n_pieces"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(BpeFixtureCounts, 16)
+        val ctes = graft.ops.TextAnalysis.wordPieceEncodeCtes("words", vocab, 20)
+        s"""WITH toks AS (SELECT doc_id, $T AS ts FROM documents),
+           |tok AS MATERIALIZED (
+           |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS i
+           |  FROM toks),
+           |words AS (SELECT DISTINCT w FROM tok),
+           |$ctes,
+           |per AS (
+           |  SELECT t.doc_id,
+           |    string_agg(e.pieces_w, '' ORDER BY t.i) AS pieces_wrapped
+           |  FROM tok t JOIN wp_enc e ON t.w = e.w GROUP BY t.doc_id)
+           |SELECT d.doc_id, coalesce(p.pieces_wrapped, '') AS pieces_wrapped,
+           |  CAST(length(coalesce(p.pieces_wrapped, '')) -
+           |       length(replace(coalesce(p.pieces_wrapped, ''), chr(31), ''))
+           |    AS BIGINT) AS n_pieces
+           |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // Mergeable log-histogram QUANTILE sketch (the third sketch family):
     // doc-length p50/p95/p99 intervals per source. Buckets are integer
     // threshold chains over the q20 image (no fp log2 — both engines
