@@ -2,10 +2,11 @@ package graft.delta
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
 
 /** A graft Delta table as a Structured Streaming SOURCE (the delta-spark
   * `spark.readStream.format("delta")` shape, V1 Source API — the same
@@ -44,7 +45,8 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   * vectors in the initial snapshot (purge first) and fail loudly on
   * mid-stream schema changes (restart to pick up the new schema —
   * delta-spark's contract too). */
-final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
+final class DeltaStreamProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-delta"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -68,6 +70,56 @@ final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegi
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+
+  /** `writeStream.format("graft-delta")` — the SINK side (delta-spark's
+    * DeltaSink shape, V1 Sink API): each micro-batch appends through the
+    * full [[DeltaTable.append]] write path (constraints, generated
+    * columns, schema alignment, footer stats), carrying a
+    * `txn(appId, batchId)` so a REPLAYED batch after a crash-restart is
+    * the idempotent no-op — exactly-once end to end with zero
+    * foreachBatch plumbing. `appId` is `txnAppId` if given, else derived
+    * from the checkpoint location (stable across restarts by
+    * construction). Append output mode only; the target table is created
+    * from the first batch's schema (honoring `.partitionBy(...)`) when
+    * absent. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-delta sink supports Append output mode only, got $outputMode " +
+        "(aggregate into complete/update sinks via foreachBatch + merge)")
+    val appId = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("txnAppId") => v }
+      .orElse(parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("checkpointLocation") =>
+          s"graft-delta-sink:$v" })
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-delta sink needs option 'txnAppId' or a checkpointLocation " +
+          "to derive a stable exactly-once transaction id"))
+    new DeltaStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      partitionColumns, appId)
+  }
+}
+
+final class DeltaStreamSink(spark: SparkSession, path: String,
+                            partitionColumns: Seq[String], appId: String) extends Sink {
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // the V1 contract hands a STREAMING-planned frame; re-wrap it as this
+    // trigger's batch (ForeachBatchSink's construction) before writing
+    val batch = org.apache.spark.sql.graft.StreamBridge.asBatch(data.toDF())
+    val t = DeltaTable.forPath(spark, path)
+    if (!t.exists)
+      t.create(DeltaTable.relaxContainers(batch.schema), partitionColumns)
+    else require(partitionColumns.isEmpty ||
+      t.partitionColumns == partitionColumns,
+      s"sink partitionBy(${partitionColumns.mkString(",")}) does not match " +
+        s"the existing table's partitioning (${t.partitionColumns.mkString(",")})")
+    // append returns -1 on an idempotent replay (txn already applied) —
+    // exactly the crash-restart double-delivery case
+    t.append(batch, txnAppId = Some(appId), txnVersion = batchId,
+      operation = "STREAMING UPDATE")
+    ()
+  }
+  override def toString: String = s"DeltaStreamSink[$path]"
 }
 
 final class DeltaStreamSource(spark: SparkSession, path: String,

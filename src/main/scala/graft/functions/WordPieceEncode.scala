@@ -71,6 +71,32 @@ object WordPieceKernel {
     out
   }
 
+  /** Encode straight to ids (pieces → positions in `[UNK] +: vocab`) —
+    * the fused form [[WordPieceEncodeIds]] calls. */
+  def encodeIds(tokens: ArrayData, v: Vocab,
+                ids: java.util.HashMap[String, java.lang.Long]): ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = tokens.getUTF8String(i)
+      if (w != null) {
+        val pieces = encodeWord(w.toString, v)
+        var j = 0
+        while (j < pieces.size) {
+          val id = ids.get(pieces.get(j))
+          out.add(if (id == null) 0L else id) // unknown piece ≡ [UNK]
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+
   def encode(tokens: ArrayData, v: Vocab): ArrayData = {
     val n = tokens.numElements()
     val out = new java.util.ArrayList[UTF8String](n * 2)
@@ -118,4 +144,45 @@ object WordPieceEncode {
   /** Column API: WordPiece pieces of a token-array column. */
   def of(tokens: Column, vocab: Seq[String], maxWordChars: Int = 20): Column =
     ColumnBridge.wrap(WordPieceEncode(ColumnBridge.toExpr(tokens), vocab, maxWordChars))
+}
+
+/** `array<long>` WordPiece piece IDS: encode and vocabulary lookup fused
+  * into one kernel pass ([[BpeEncodeIds]]'s counterpart). Id space is
+  * `[UNK]` at 0 followed by the vocab pieces in order — the standard
+  * reserved-special layout — so unknown words land on id 0 through the
+  * SAME lookup as every other piece. */
+case class WordPieceEncodeIds(child: Expression, vocab: Seq[String], maxWordChars: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  @transient private lazy val v = new WordPieceKernel.Vocab(vocab, maxWordChars)
+  @transient private lazy val ids = {
+    val m = new java.util.HashMap[String, java.lang.Long]((vocab.size + 1) * 2)
+    (WordPieceKernel.Unk +: vocab).zipWithIndex.foreach { case (p, i) =>
+      m.putIfAbsent(p, i.toLong)
+    }
+    m
+  }
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "wordpiece_encode_ids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordPieceKernel.encodeIds(input.asInstanceOf[ArrayData], v, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("vocab", v, "graft.functions.WordPieceKernel.Vocab")
+    val idsRef = ctx.addReferenceObj("ids", ids, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordPieceKernel.encodeIds($c, $vRef, $idsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeIds =
+    copy(child = newChild)
+}
+
+object WordPieceEncodeIds {
+  def of(tokens: Column, vocab: Seq[String], maxWordChars: Int = 20): Column =
+    ColumnBridge.wrap(WordPieceEncodeIds(ColumnBridge.toExpr(tokens), vocab, maxWordChars))
 }

@@ -872,6 +872,54 @@ object TextQueries extends QueryModule {
            |    AS BIGINT) AS n_pieces
            |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
            |ORDER BY d.doc_id""".stripMargin
+      },
+      headline = true),
+
+    // WordPiece ids: the fused encode+lookup kernel under the standard
+    // reserved-special id layout ([UNK]=0, then vocab pieces in order).
+    // The oracle replays the SAME strip chain, then maps pieces through
+    // a generated CASE — so the id assignment, not just the
+    // segmentation, is engine-identical.
+    "text_wordpiece_ids" -> QueryDef(
+      (s, d) => {
+        val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(BpeFixtureCounts, 16)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.WordPieceEncodeIds.of(tokens(col("text")), vocab, 20).as("ids"))
+          .select(col("doc_id"),
+            concat_ws(",", transform(col("ids"), _.cast("string"))).as("ids_joined"),
+            size(filter(col("ids"), _ === 0L)).cast("long").as("n_unk"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(BpeFixtureCounts, 16)
+        val ctes = graft.ops.TextAnalysis.wordPieceEncodeCtes("words", vocab, 20)
+        val caseExpr = (graft.functions.WordPieceKernel.Unk +: vocab).zipWithIndex
+          .map { case (p, i) => s"WHEN '${p.replace("'", "''")}' THEN $i" }
+          .mkString("CASE p ", " ", " ELSE 0 END")
+        s"""WITH toks AS (SELECT doc_id, $T AS ts FROM documents),
+           |tok AS MATERIALIZED (
+           |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS i
+           |  FROM toks),
+           |words AS (SELECT DISTINCT w FROM tok),
+           |$ctes,
+           |docp AS (
+           |  SELECT t.doc_id,
+           |    string_agg(e.pieces_w, '' ORDER BY t.i) AS pw
+           |  FROM tok t JOIN wp_enc e ON t.w = e.w GROUP BY t.doc_id),
+           |docids AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(replace(pw, chr(30), ''), chr(31)),
+           |      p -> p <> '') AS pieces
+           |  FROM docp)
+           |SELECT d.doc_id,
+           |  coalesce(array_to_string(
+           |    list_transform(i.pieces, p -> CAST($caseExpr AS VARCHAR)), ','), '')
+           |    AS ids_joined,
+           |  CAST(coalesce(len(list_filter(i.pieces, p -> p = '[UNK]')), 0)
+           |    AS BIGINT) AS n_unk
+           |FROM documents d LEFT JOIN docids i ON d.doc_id = i.doc_id
+           |ORDER BY d.doc_id""".stripMargin
       }),
 
     // Mergeable log-histogram QUANTILE sketch (the third sketch family):

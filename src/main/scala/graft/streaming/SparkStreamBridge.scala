@@ -29,6 +29,20 @@ object StreamBridge {
         ds.resolveRelation(checkFilesExist = false), isStreaming = true))
   }
 
+  /** The BATCH twin of a micro-batch's streaming DataFrame — what a V1
+    * `Sink.addBatch` needs before it can `.write` the data (calling
+    * write on the streaming-tagged frame is
+    * CALL_ON_STREAMING_DATASET_UNSUPPORTED). Exactly ForeachBatchSink's
+    * own construction: the incremental execution's `toRdd` wrapped in a
+    * non-streaming `LogicalRDD`, so the sink re-plans nothing and reads
+    * only this trigger's data. */
+  def asBatch(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, node)
+  }
+
   /** An empty STREAMING batch of `schema` (a trigger that found no new
     * data must still return a streaming-tagged frame). */
   def emptyStreaming(spark: SparkSession, schema: StructType): DataFrame = {

@@ -149,6 +149,58 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-delta sink: delta-to-delta stream, txn-exactly-once, partitionBy, append-only") {
+    val src = mkTable("dsink-src")
+    src.append(rows(0 until 6))
+    val outDir = tmpDir("dsink-out") + "/t"
+    val ck = tmpDir("dsink-ck")
+    def run(): Unit = {
+      val q = readStream(src).writeStream.format("graft-delta")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val out = DeltaTable.forPath(spark, outDir)
+    assert(out.toDF.count() === 6L)
+    val appId = out.snapshot.txns.keys.find(_.startsWith("graft-delta-sink:"))
+      .getOrElse(fail("sink commits must carry the derived txn appId"))
+    // restart picks up only the new source commits
+    src.append(rows(6 until 10))
+    run()
+    assert(out.toDF.select("id").as[Long].collect().toSet === (0L until 10L).toSet)
+    // zombie double-delivery of an already-committed batch is a no-op
+    val committedBatch = out.snapshot.txns(appId)
+    new DeltaStreamSink(spark, outDir, Nil, appId)
+      .addBatch(committedBatch, rows(6 until 10))
+    assert(out.toDF.count() === 10L, "replayed batch must not duplicate")
+    // and a NEWER batch id still lands
+    new DeltaStreamSink(spark, outDir, Nil, appId)
+      .addBatch(committedBatch + 1, rows(100 until 102))
+    assert(out.toDF.count() === 12L)
+
+    // partitionBy flows through to table creation
+    val out2 = tmpDir("dsink-part") + "/t"
+    val q2 = readStream(src).withColumn("par", (col("id") % 2L).cast("string"))
+      .writeStream.format("graft-delta").partitionBy("par")
+      .option("path", out2)
+      .option("checkpointLocation", tmpDir("dsink-part-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val t2 = DeltaTable.forPath(spark, out2)
+    assert(t2.partitionColumns === Seq("par"))
+    assert(t2.toDF.count() === 10L)
+
+    // complete output mode refuses (append-only sink)
+    val e = intercept[Exception] {
+      readStream(src).groupBy("name").count()
+        .writeStream.format("graft-delta").outputMode("complete")
+        .option("path", tmpDir("dsink-bad") + "/t")
+        .option("checkpointLocation", tmpDir("dsink-bad-ck")).start()
+    }
+    assert(e.getMessage.contains("Append"), e.getMessage)
+  }
+
   test("readChangeFeed: the stream replays exactly the batch change feed; DML needs no ignore*") {
     val t = DeltaTable.forPath(spark, tmpDir("dstream-cdf")).create(schema,
       configuration = Map(DeltaTable.CdfConfigKey -> "true"))
