@@ -95,13 +95,25 @@ final class DeltaStreamProvider extends StreamSourceProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-delta sink needs option 'txnAppId' or a checkpointLocation " +
           "to derive a stable exactly-once transaction id"))
+    val mergeKeys = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("mergeKeys") =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+      .getOrElse(Nil)
     new DeltaStreamSink(sqlContext.sparkSession, pathOf(parameters),
-      partitionColumns, appId)
+      partitionColumns, appId, mergeKeys)
   }
 }
 
+/** `mergeKeys` empty = append sink; nonempty = UPSERT sink: each batch
+  * MERGEs on those keys (streaming dedup/CDC-apply shape — late copies
+  * of a key overwrite instead of duplicating). Upsert replay safety is
+  * two-layer: a txn pre-check skips batches the table already recorded,
+  * and merge itself is content-idempotent (re-upserting identical rows
+  * changes nothing), so the crash window between the merge commit and
+  * the checkpoint advance still converges. */
 final class DeltaStreamSink(spark: SparkSession, path: String,
-                            partitionColumns: Seq[String], appId: String) extends Sink {
+                            partitionColumns: Seq[String], appId: String,
+                            mergeKeys: Seq[String] = Nil) extends Sink {
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     // the V1 contract hands a STREAMING-planned frame; re-wrap it as this
     // trigger's batch (ForeachBatchSink's construction) before writing
@@ -113,10 +125,35 @@ final class DeltaStreamSink(spark: SparkSession, path: String,
       t.partitionColumns == partitionColumns,
       s"sink partitionBy(${partitionColumns.mkString(",")}) does not match " +
         s"the existing table's partitioning (${t.partitionColumns.mkString(",")})")
-    // append returns -1 on an idempotent replay (txn already applied) —
-    // exactly the crash-restart double-delivery case
-    t.append(batch, txnAppId = Some(appId), txnVersion = batchId,
-      operation = "STREAMING UPDATE")
+    if (mergeKeys.isEmpty) {
+      // append returns -1 on an idempotent replay (txn already applied) —
+      // exactly the crash-restart double-delivery case
+      t.append(batch, txnAppId = Some(appId), txnVersion = batchId,
+        operation = "STREAMING UPDATE")
+    } else {
+      // merge carries no txn action, so record progress in a separate
+      // marker commit AFTER the merge; the pre-check makes full replays
+      // no-ops and the merge's own idempotence covers the marker gap
+      if (!t.txnVersion(appId).exists(_ >= batchId)) {
+        import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
+        // in-batch dedup: keep the LAST row per key (source order) so a
+        // batch carrying two versions of a key upserts deterministically
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(mergeKeys.map(col): _*)
+          .orderBy(monotonically_increasing_id().desc)
+        val deduped = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        t.merge(deduped, mergeKeys)
+        t.log.commit(Seq(
+          Actions.Action(txn = Some(Actions.Txn(appId, batchId,
+            Some(System.currentTimeMillis())))),
+          Actions.Action(commitInfo = Some(Actions.CommitInfo(
+            System.currentTimeMillis(), "STREAMING UPDATE",
+            Map("mode" -> "Upsert", "batchId" -> batchId.toString))))),
+          check = s => !s.txns.get(appId).exists(_ >= batchId))
+      }
+    }
     ()
   }
   override def toString: String = s"DeltaStreamSink[$path]"

@@ -41,6 +41,13 @@ object DeltaTable {
     * `appendOnly`, in force since writer version 2 — the default). */
   val AppendOnlyConfigKey = "delta.appendOnly"
 
+  /** Auto-compaction config (the Delta `delta.autoOptimize.autoCompact`
+    * table property) plus the small-file-count trigger threshold
+    * (Delta's spark-conf `minNumFiles` knob surfaced as a table
+    * property, default 50). */
+  val AutoCompactConfigKey = "delta.autoOptimize.autoCompact"
+  val AutoCompactMinFilesKey = "delta.autoOptimize.minNumFiles"
+
   /** Field-metadata key carrying a generated column's expression (the
     * Delta protocol "Generated Columns" representation — stored in the
     * schema's field metadata, not the table configuration). */
@@ -658,10 +665,29 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         // otherwise: lost the race to a concurrent writer of the same
         // txn batch — the documented idempotent-replay skip
       }
+      if (committed >= 0) maybeAutoCompact()
       committed
     } finally {
       fs.delete(staging, true)
     }
+  }
+
+  /** Post-append auto-compaction (`delta.autoOptimize.autoCompact`,
+    * Delta's table property): when the live small-file count reaches the
+    * `minNumFiles` threshold, fold them through [[compact]] — the knob
+    * that keeps a streaming sink's per-trigger files from accreting into
+    * the classic small-files failure without an external OPTIMIZE cron.
+    * dataChange=false like any OPTIMIZE (invisible to streams and CDF);
+    * quiet on concurrency races (skipping an optimization is safe). */
+  private def maybeAutoCompact(): Unit = {
+    val conf = snapshot.metadata.map(_.configuration).getOrElse(Map.empty)
+    if (!conf.get(DeltaTable.AutoCompactConfigKey).contains("true")) return
+    val minFiles = conf.get(DeltaTable.AutoCompactMinFilesKey)
+      .map(_.toInt).getOrElse(50)
+    val target = 128L * 1024 * 1024
+    if (snapshot.files.count(_.size < target) >= minFiles)
+      compact(target)
+    ()
   }
 
   /** Move staged parquet files into the table root preserving the Hive

@@ -726,6 +726,32 @@ class DeltaSpec extends SparkSpec {
     assert(!DeltaTable.forPath(spark, dir3).exists)
   }
 
+  test("autoCompact: appends fold small files once the threshold is reached") {
+    val t = DeltaTable.forPath(spark, tmpDir("delta-ac")).create(schema,
+      configuration = Map(
+        DeltaTable.AutoCompactConfigKey -> "true",
+        DeltaTable.AutoCompactMinFilesKey -> "4"))
+    (0 until 3).foreach(i => t.append(sampleDf(i to i).coalesce(1)))
+    assert(t.snapshot.files.size === 3, "below threshold: no compaction yet")
+    t.append(sampleDf(3 to 3).coalesce(1)) // 4th file trips the threshold
+    assert(t.snapshot.files.size === 1,
+      s"auto-compaction must fold the small files, got ${t.snapshot.files.size}")
+    assert(t.toDF.count() === 4L)
+    assert(t.log.history(Some(1)).head._2.exists(_.operation === "OPTIMIZE"))
+    // the OPTIMIZE is dataChange=false: a tailing stream must not re-emit
+    val q = spark.readStream.format("graft-delta").option("path", t.path).load()
+      .writeStream.format("memory").queryName("delta_ac_stream")
+      .option("checkpointLocation", tmpDir("delta-ac-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("delta_ac_stream").count() === 4L)
+    } finally q.stop()
+    // without the property, files accrete
+    val u = DeltaTable.forPath(spark, tmpDir("delta-noac")).create(schema)
+    (0 until 5).foreach(i => u.append(sampleDf(i to i).coalesce(1)))
+    assert(u.snapshot.files.size === 5)
+  }
+
   test("appendOnly: removal DML refuses; appends and compaction still work") {
     val t = DeltaTable.forPath(spark, tmpDir("delta-ao")).create(schema,
       configuration = Map(DeltaTable.AppendOnlyConfigKey -> "true"))

@@ -201,6 +201,44 @@ class DeltaStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("Append"), e.getMessage)
   }
 
+  test("graft-delta sink mergeKeys: streaming upsert, replay-safe, last-in-batch wins") {
+    val src = mkTable("dsink-up-src")
+    src.append(rows(0 until 4)) // ids 0..3, names n0..n3
+    val outDir = tmpDir("dsink-up-out") + "/t"
+    val ck = tmpDir("dsink-up-ck")
+    def run(): Unit = {
+      val q = readStream(src).writeStream.format("graft-delta")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .option("mergeKeys", "id")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val out = DeltaTable.forPath(spark, outDir)
+    assert(out.toDF.count() === 4L)
+    // same keys again with NEW values: upsert overwrites, no duplicates
+    src.append(Seq((2L, "updated2"), (3L, "updated3"), (10L, "n10")).toDF("id", "name"))
+    run()
+    val got = out.toDF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 5)
+    assert(got(2L) === "updated2" && got(3L) === "updated3" && got(10L) === "n10")
+    assert(got(0L) === "n0", "untouched keys keep their values")
+    // zombie double-delivery of the committed batch is a no-op
+    val appId = out.snapshot.txns.keys.find(_.startsWith("graft-delta-sink:")).get
+    val committed = out.snapshot.txns(appId)
+    val vBefore = out.log.latestVersion()
+    new DeltaStreamSink(spark, outDir, Nil, appId, Seq("id"))
+      .addBatch(committed, Seq((2L, "stale")).toDF("id", "name"))
+    assert(out.log.latestVersion() === vBefore, "replayed batch must not commit")
+    assert(out.toDF.filter(col("id") === 2L).collect().head.getString(1) === "updated2")
+    // a batch carrying TWO versions of one key: the last one wins
+    new DeltaStreamSink(spark, outDir, Nil, appId, Seq("id"))
+      .addBatch(committed + 1,
+        Seq((7L, "first"), (7L, "second")).toDF("id", "name"))
+    assert(out.toDF.filter(col("id") === 7L).collect().map(_.getString(1)).toSeq
+      === Seq("second"))
+  }
+
   test("readChangeFeed: the stream replays exactly the batch change feed; DML needs no ignore*") {
     val t = DeltaTable.forPath(spark, tmpDir("dstream-cdf")).create(schema,
       configuration = Map(DeltaTable.CdfConfigKey -> "true"))
