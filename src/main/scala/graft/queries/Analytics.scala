@@ -454,6 +454,84 @@ object Analytics extends QueryModule {
     // ×, ÷, sqrt) is correctly rounded per IEEE-754 — so the result is
     // bit-identical across engines AND partitionings, where a naive
     // corr() is a summation-order lottery.
+    // First-order Markov transition matrix over per-user event streams
+    // (the behavioral-model / anomaly-baseline primitive): consecutive
+    // event-type pairs per user under the deterministic (ts, event_id)
+    // order; probabilities as exact integer micro-units (BIGINT floor
+    // division in both engines — no float division drift).
+    "q29_markov" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+        pairs
+          .withColumn("tot", sum(col("n")).over(wTot))
+          .withColumn("p_micro",
+            expr("CAST((n * CAST(1000000 AS BIGINT)) DIV tot AS BIGINT)"))
+          .select(col("from_type"), col("to_type"), col("n"), col("p_micro"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events
+             |), pairs AS (
+             |  SELECT event_type AS from_type, next_type AS to_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT from_type, to_type, n,
+             |    sum(n) OVER (PARTITION BY from_type) AS t
+             |  FROM pairs
+             |)
+             |SELECT from_type, to_type, n,
+             |  CAST((n * 1000000) // t AS BIGINT) AS p_micro
+             |FROM tot ORDER BY from_type, to_type""".stripMargin)),
+
+    // RFM customer segmentation (the classic retention/marketing cut):
+    // per-customer recency (latest order epoch-day), frequency (orders),
+    // monetary (exact cent sum); quintile scores via ntile(5) under
+    // fully-deterministic (metric, custkey) orders — recency quintiles
+    // newest-first so 5 = best in every dimension.
+    "q30_rfm" -> QueryDef(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val base = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+            count(lit(1)).as("frequency"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5E0) AS BIGINT)")).as("cents"))
+        base
+          .select(col("o_custkey"), col("frequency"), col("cents"),
+            ntile(5).over(W.orderBy(col("last_day").desc, col("o_custkey")))
+              .cast("long").as("r_score"),
+            ntile(5).over(W.orderBy(col("frequency").desc, col("o_custkey")))
+              .cast("long").as("f_score"),
+            ntile(5).over(W.orderBy(col("cents").desc, col("o_custkey")))
+              .cast("long").as("m_score"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey,
+             |    max(CAST(o_orderdate AS DATE)) AS last_day,
+             |    CAST(count(*) AS BIGINT) AS frequency,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5E0) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY o_custkey
+             |)
+             |SELECT o_custkey, frequency, cents,
+             |  CAST(ntile(5) OVER (ORDER BY last_day DESC, o_custkey) AS BIGINT) AS r_score,
+             |  CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+             |  CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS m_score
+             |FROM base ORDER BY o_custkey""".stripMargin)),
+
     "q28_corr" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)
