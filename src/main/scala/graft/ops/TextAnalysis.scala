@@ -956,6 +956,38 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** WordPiece DECODE — ids back to text ([[decodeBpeIds]]'s counterpart
+    * for the longest-match family): ids map through `[UNK] +: vocab` (a
+    * plan-literal map, scan-stage), `##` pieces append to the current
+    * word, unprefixed pieces start a new space-separated word, unknown
+    * ids render `[UNK]`.
+    *
+    * Identity contract: a word's pieces are verbatim substrings of the
+    * word (longest-match never rewrites characters), so for any doc with
+    * zero [UNK] ids, decode(encode(text)) equals the normalized token
+    * sequence joined by single spaces.
+    *
+    * @return (id, decoded, n_unk) */
+  def decodeWordPieceIds(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         idsCol: String, vocab: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val CP = graft.functions.WordPieceKernel.ContinuationPrefix
+    val unk = graft.functions.WordPieceKernel.Unk
+    val entries = (unk +: vocab).zipWithIndex.flatMap { case (p, i) =>
+      Seq(lit(i.toLong), lit(p))
+    }
+    val vocabMap = map(entries: _*)
+    df.select(col(idCol),
+        transform(col(idsCol), id =>
+          coalesce(element_at(vocabMap, id), lit(unk))).as("__pieces"))
+      .select(col(idCol),
+        aggregate(col("__pieces"), lit(""),
+          (acc, p) => when(p.startsWith(CP),
+              concat(acc, p.substr(lit(CP.length + 1), length(p))))
+            .otherwise(when(acc === "", p).otherwise(concat(acc, lit(" "), p))))
+          .as("decoded"),
+        size(filter(col("__pieces"), p => p === unk)).cast("long").as("n_unk"))
+  }
+
   /** Generated DuckDB CTE chain that RETRAINS BPE from the corpus — the
     * SQL twin of [[trainBpe]], closing the train-side gap the fixture
     * gates leave (the text_lm_score pattern: the oracle re-derives the

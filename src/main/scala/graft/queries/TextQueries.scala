@@ -922,6 +922,54 @@ object TextQueries extends QueryModule {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // WordPiece DECODE + round-trip identity: ids map back through the
+    // reserved-special vocab, ## pieces rejoin their word, and the
+    // `lossless` column asserts decode∘encode ≡ the normalized token
+    // sequence for every UNK-free doc IN BOTH ENGINES — the oracle
+    // re-derives decode from its own strip-chain pieces (word = strip
+    // markers and ## prefixes), so the gate proves the identity, not
+    // just the mapping.
+    "text_wordpiece_decode" -> QueryDef(
+      (s, d) => {
+        val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(BpeFixtureCounts, 16)
+        val docs = Tables.documents(s, d)
+        val ids = docs.select(col("doc_id"),
+          graft.functions.WordPieceEncodeIds.of(tokens(col("text")), vocab, 20).as("ids"))
+        graft.ops.TextAnalysis.decodeWordPieceIds(ids, "doc_id", "ids", vocab)
+          .join(docs.select(col("doc_id"),
+            array_join(tokens(col("text")), " ").as("norm")), Seq("doc_id"))
+          .select(col("doc_id"), col("decoded"), col("n_unk"),
+            (col("n_unk") > 0 || col("decoded") === col("norm")).as("lossless"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(BpeFixtureCounts, 16)
+        val ctes = graft.ops.TextAnalysis.wordPieceEncodeCtes("words", vocab, 20)
+        s"""WITH toks AS (SELECT doc_id, $T AS ts FROM documents),
+           |tok AS MATERIALIZED (
+           |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS i
+           |  FROM toks),
+           |words AS (SELECT DISTINCT w FROM tok),
+           |$ctes,
+           |perword AS (
+           |  SELECT t.doc_id, t.i,
+           |    replace(replace(replace(e.pieces_w, chr(30), ''),
+           |      chr(31) || '##', ''), chr(31), '') AS word,
+           |    CAST((length(e.pieces_w) - length(replace(e.pieces_w,
+           |      chr(31) || '[UNK]' || chr(30), ''))) / 7 AS BIGINT) AS unks
+           |  FROM tok t JOIN wp_enc e ON t.w = e.w),
+           |per AS (
+           |  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS decoded,
+           |    CAST(sum(unks) AS BIGINT) AS n_unk
+           |  FROM perword GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(p.decoded, '') AS decoded,
+           |  coalesce(p.n_unk, 0) AS n_unk,
+           |  (coalesce(p.n_unk, 0) > 0 OR
+           |   coalesce(p.decoded, '') = array_to_string($T, ' ')) AS lossless
+           |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // Mergeable log-histogram QUANTILE sketch (the third sketch family):
     // doc-length p50/p95/p99 intervals per source. Buckets are integer
     // threshold chains over the q20 image (no fp log2 — both engines

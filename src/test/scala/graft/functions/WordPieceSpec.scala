@@ -63,6 +63,28 @@ class WordPieceSpec extends SparkSpec {
     assert(v3.exists(_.startsWith("##")), s"continuation merge expected in $v3")
   }
 
+  test("decode inverts encode for in-vocab text; UNK words surface as [UNK]") {
+    import org.apache.spark.sql.functions.array_join
+    val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(
+      Seq("spark" -> 30L, "scan" -> 20L, "sort" -> 10L, "park" -> 5L), 12)
+    val docs = Seq(
+      (1L, "spark scan sort park spark"), // fully in-vocab
+      (2L, "sort zzz scan"),              // one UNK word
+      (3L, "spark")).toDF("id", "text")
+    val ids = docs.select(col("id"),
+      WordPieceEncodeIds.of(graft.ops.TextAnalysis.tokens(col("text")), vocab).as("ids"))
+    val dec = graft.ops.TextAnalysis.decodeWordPieceIds(ids, "id", "ids", vocab)
+      .join(docs.select(col("id"),
+        array_join(graft.ops.TextAnalysis.tokens(col("text")), " ").as("norm")), Seq("id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("decoded"), r.getAs[Long]("n_unk"), r.getAs[String]("norm"))).toMap
+    assert(dec(1L)._2 === 0L)
+    assert(dec(1L)._1 === dec(1L)._3, "decode∘encode must be the identity in-vocab")
+    assert(dec(3L)._1 === "spark" && dec(3L)._2 === 0L)
+    assert(dec(2L)._2 === 1L)
+    assert(dec(2L)._1 === "sort [UNK] scan")
+  }
+
   test("WordPieceEncode rides the scan stage and matches the kernel") {
     val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(
       Seq("spark" -> 30L, "scan" -> 20L, "sort" -> 10L), 8)
