@@ -1903,9 +1903,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     *
     * @param numFiles target file count (0 = keep the current count)
     * @return committed version, or -1 if nothing to do / lost the race */
-  def optimizeZOrder(colA: String, colB: String, numFiles: Int = 0): Long =
+  def optimizeZOrder(colA: String, colB: String, numFiles: Int = 0,
+                     where: Option[org.apache.spark.sql.Column] = None): Long =
     optimizeByKey(graft.functions.ZValue.of(
-      col(colA).cast("long"), col(colB).cast("long")), numFiles)
+      col(colA).cast("long"), col(colB).cast("long")), numFiles, where)
 
   /** [[optimizeZOrder]] with the order-16 Hilbert index as the clustering
     * key ([[graft.functions.HilbertValue]] — what liquid-style clustering
@@ -1914,13 +1915,48 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * the Morton key's seam-jumping intervals and stats prune at least as
     * hard. Inputs must satisfy the 16-bit window contract (rank or
     * bucket first). */
-  def optimizeHilbert(colA: String, colB: String, numFiles: Int = 0): Long =
+  def optimizeHilbert(colA: String, colB: String, numFiles: Int = 0,
+                      where: Option[org.apache.spark.sql.Column] = None): Long =
     optimizeByKey(graft.functions.HilbertValue.of(
-      col(colA).cast("long"), col(colB).cast("long")), numFiles)
+      col(colA).cast("long"), col(colB).cast("long")), numFiles, where)
 
-  private def optimizeByKey(key: org.apache.spark.sql.Column, numFiles: Int): Long = {
-    val snap = snapshot
-    if (snap.files.size < 2 && numFiles <= 0) return -1L
+  /** Files whose PARTITION VALUES satisfy `predicate` — the `OPTIMIZE
+    * ... WHERE` restriction. Evaluated through one small driver-side
+    * frame of the files' typed partition values (row count = live file
+    * count, log-bounded), so any Column over partition columns works and
+    * the semantics are exactly Spark's. Non-partition references fail
+    * analysis loudly. */
+  private def filesInPartitions(files: Seq[AddFile],
+                                predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    val parts = partitionColumns
+    require(parts.nonEmpty,
+      "a partition predicate needs a partitioned table (use the unscoped form)")
+    val sch = schema
+    val partFields = parts.map(p => sch.fields.find(_.name == p).get)
+    import scala.jdk.CollectionConverters._
+    val strSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__idx",
+        org.apache.spark.sql.types.LongType) +:
+        partFields.map(f => org.apache.spark.sql.types.StructField(f.name,
+          org.apache.spark.sql.types.StringType)))
+    val data = files.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        i.toLong +: parts.map(p => f.partitionValues.getOrElse(p, null)))
+    }
+    val keep = spark.createDataFrame(data.asJava, strSchema)
+      .select(col("__idx") +: partFields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      .filter(predicate)
+      .select("__idx").collect().map(_.getLong(0)).toSet
+    files.zipWithIndex.collect { case (f, i) if keep(i.toLong) => f }
+  }
+
+  private def optimizeByKey(key: org.apache.spark.sql.Column, numFiles: Int,
+                            where: Option[org.apache.spark.sql.Column] = None): Long = {
+    val snap0 = snapshot
+    val selected = where.fold(snap0.files)(p => filesInPartitions(snap0.files, p))
+    val snap = snap0.copy(files = selected)
+    if (snap.files.isEmpty || (snap.files.size < 2 && numFiles <= 0)) return -1L
     val parts = partitionColumns
     val n = if (numFiles > 0) numFiles else snap.files.size
     val zv = key
@@ -1959,9 +1995,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   /** Small-file compaction (the reference's min_bytes_per_file lever, B3,
     * re-expressed as OPTIMIZE): rewrite files below `minBytes` per partition
     * into compacted ones; commits add+remove with dataChange=false. */
-  def compact(minBytes: Long = 128L * 1024 * 1024): Long = {
+  def compact(minBytes: Long = 128L * 1024 * 1024,
+              where: Option[org.apache.spark.sql.Column] = None): Long = {
     val snap = snapshot
-    val small = snap.files.filter(_.size < minBytes)
+    // `where` = partition-scoped OPTIMIZE (the `OPTIMIZE t WHERE day = x`
+    // shape): at 100 TB you compact yesterday's partition, not the table
+    val small0 = snap.files.filter(_.size < minBytes)
+    val small = where.fold(small0)(p => filesInPartitions(small0, p))
     if (small.size < 2) return -1L
     val parts = partitionColumns
     // dfFor handles the declared-schema read (old files null-fill evolved

@@ -726,6 +726,38 @@ class DeltaSpec extends SparkSpec {
     assert(!DeltaTable.forPath(spark, dir3).exists)
   }
 
+  test("OPTIMIZE WHERE: compaction scoped to the named partitions only") {
+    val t = newTable(partitioned = true)
+    (0 until 4).foreach(_ => t.append(sampleDf(0 until 6))) // 3 dates × 4 files
+    def filesOf(day: String) =
+      t.snapshot.files.filter(_.partitionValues.get("date").contains(day)).map(_.path).toSet
+    assert(filesOf("2021-11-01").size === 4)
+    val otherBefore = filesOf("2021-11-02") ++ filesOf("2021-11-03")
+    assert(t.compact(minBytes = Long.MaxValue,
+      where = Some(col("date") === "2021-11-01")) > 0L)
+    assert(filesOf("2021-11-01").size === 1, "scoped partition must fold")
+    assert(filesOf("2021-11-02") ++ filesOf("2021-11-03") === otherBefore,
+      "partitions outside the predicate must keep their exact files")
+    assert(t.toDF.count() === 24L)
+    // predicate over a NON-partition column fails analysis loudly
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      t.compact(minBytes = Long.MaxValue, where = Some(col("id") > 0L)))
+    // scoped Z-order rewrites only the named partition's files
+    val other2 = filesOf("2021-11-02")
+    assert(t.optimizeZOrder("id", "id",
+      where = Some(col("date") === "2021-11-03")) > 0L)
+    assert(filesOf("2021-11-02") === other2)
+    assert(t.toDF.count() === 24L)
+    // a predicate matching nothing is a quiet no-op
+    assert(t.compact(minBytes = Long.MaxValue,
+      where = Some(col("date") === "1999-01-01")) === -1L)
+    // unpartitioned tables refuse the scoped form
+    val u = newTable()
+    u.append(sampleDf(0 until 3))
+    assertThrows[IllegalArgumentException](
+      u.compact(where = Some(col("date") === "x")))
+  }
+
   test("autoCompact: appends fold small files once the threshold is reached") {
     val t = DeltaTable.forPath(spark, tmpDir("delta-ac")).create(schema,
       configuration = Map(
