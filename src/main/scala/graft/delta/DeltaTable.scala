@@ -1469,6 +1469,33 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * Files must still exist on disk: a [[vacuum]] that outlived the
     * target version makes it unrestorable, exactly like Delta proper.
     * Returns the committed version. */
+  /** RESTORE by timestamp: [[restoreTo]] of the last version committed
+    * at or before the cut ([[DeltaLog.versionAt]]'s time-travel rule —
+    * clock-skew clamped, adjusted timestamps). */
+  def restoreToTimestamp(timestampMs: Long): Long =
+    restoreTo(log.versionAt(timestampMs))
+
+  /** DESCRIBE DETAIL: one row of table-level metadata — entirely from
+    * the log (no data files opened; sizeInBytes/numFiles from the live
+    * add set, like [[statsSummary]]'s log-only contract). */
+  def detail(): DataFrame = {
+    val snap = snapshot
+    val meta = snap.metadata.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val proto = snap.protocol.getOrElse(Actions.Protocol())
+    import spark.implicits._
+    Seq((
+      "delta", meta.id, meta.name.orNull, path,
+      meta.partitionColumns, snap.files.size.toLong,
+      snap.files.map(_.size).sum, meta.configuration,
+      proto.minReaderVersion, proto.minWriterVersion,
+      meta.createdTime.map(new java.sql.Timestamp(_)).orNull,
+      snap.version))
+      .toDF("format", "id", "name", "location", "partitionColumns",
+        "numFiles", "sizeInBytes", "properties",
+        "minReaderVersion", "minWriterVersion", "createdAt", "version")
+  }
+
   def restoreTo(version: Long): Long = {
     requireNotAppendOnly("RESTORE")
     val target = log.snapshotAt(version)

@@ -758,6 +758,25 @@ class DeltaSpec extends SparkSpec {
       u.compact(where = Some(col("date") === "x")))
   }
 
+  test("detail() reports log-only metadata; restoreToTimestamp resolves the cut") {
+    val t = newTable(partitioned = true)
+    t.append(sampleDf(0 until 6)) // v1
+    val row = t.detail().collect().head
+    assert(row.getAs[String]("format") === "delta")
+    assert(row.getAs[Seq[String]]("partitionColumns") === Seq("date"))
+    assert(row.getAs[Long]("numFiles") === t.snapshot.files.size.toLong)
+    assert(row.getAs[Long]("sizeInBytes") === t.snapshot.files.map(_.size).sum)
+    assert(row.getAs[Long]("version") === 1L)
+    assert(row.getAs[Int]("minWriterVersion") >= 2)
+    Thread.sleep(10)
+    t.append(sampleDf(6 until 10)) // v2
+    def tsOf(v: Long) = t.log.readVersion(v).flatMap(_.commitInfo).head.timestamp
+    if (tsOf(2) > tsOf(1)) { // same-ms commits are legal; only assert when distinct
+      t.restoreToTimestamp(tsOf(1))
+      assert(t.toDF.count() === 6L, "cut at v1's timestamp restores v1's content")
+    }
+  }
+
   test("autoCompact: appends fold small files once the threshold is reached") {
     val t = DeltaTable.forPath(spark, tmpDir("delta-ac")).create(schema,
       configuration = Map(
