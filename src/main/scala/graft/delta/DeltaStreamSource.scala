@@ -165,7 +165,23 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
 
   private val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
   private val table = DeltaTable.forPath(spark, path)
-  private val startingVersion: Option[Long] = opts.get("startingversion").map(_.toLong)
+  private val startingVersion: Option[Long] = {
+    val byVersion = opts.get("startingversion").map(_.toLong)
+    // startingTimestamp (delta-spark's sibling option): epoch millis or
+    // an ISO-8601 instant. Tail from the first commit AT or after the
+    // cut (delta-spark's inclusive contract), via versionAt's
+    // time-travel rule on the instant just before it
+    val byTs = opts.get("startingtimestamp").map { s =>
+      val ms = try s.toLong catch {
+        case _: NumberFormatException => java.time.Instant.parse(s).toEpochMilli
+      }
+      try table.log.versionAt(ms - 1) + 1
+      catch { case _: IllegalArgumentException => 0L } // cut before v0: everything
+    }
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    byVersion.orElse(byTs)
+  }
   private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
   private val ignoreDeletes = ignoreChanges || opts.get("ignoredeletes").exists(_.toBoolean)
   private val maxVersionsPerTrigger: Option[Long] =

@@ -125,6 +125,49 @@ object StreamingQueries extends QueryModule {
              |  CAST(sum(u) AS BIGINT) AS sum_user
              |FROM allc GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin)),
 
+    // Streaming UPSERT through the graft-delta sink (mergeKeys): two
+    // generations of per-user summaries flow raw→stream→sink; the
+    // second generation's keys OVERWRITE the first's rows instead of
+    // duplicating — the CDC-apply / latest-state shape. The oracle is a
+    // full outer join preferring generation 2. -------------------------
+    "stream_delta_upsert" -> QueryDef(
+      (s, d) => {
+        val rawDir = graft.Scratch.dir("graft-sup-raw") + "/t"
+        val outDir = graft.Scratch.dir("graft-sup-out") + "/t"
+        val ev = Tables.events(s, d)
+        def gen(parity: Int) = ev.filter(col("event_id") % 2 === parity)
+          .groupBy(col("user_id"))
+          .agg(max(col("event_id")).cast("long").as("last_event"),
+            count(lit(1)).as("n_events"))
+        val raw = graft.delta.DeltaTable.forPath(s, rawDir).create(gen(0).schema)
+        raw.append(gen(0))
+        val q = s.readStream.format("graft-delta").option("path", rawDir).load()
+          .writeStream.format("graft-delta")
+          .option("path", outDir).option("mergeKeys", "user_id")
+          .option("checkpointLocation", graft.Scratch.dir("graft-sup-ck"))
+          .start()
+        try {
+          q.processAllAvailable()
+          raw.append(gen(1))
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.delta.DeltaTable.forPath(s, outDir).toDF
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g1 AS (
+             |  SELECT user_id, CAST(max(event_id) AS BIGINT) AS last_event,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+             |g2 AS (
+             |  SELECT user_id, CAST(max(event_id) AS BIGINT) AS last_event,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+             |SELECT coalesce(g2.user_id, g1.user_id) AS user_id,
+             |  coalesce(g2.last_event, g1.last_event) AS last_event,
+             |  coalesce(g2.n_events, g1.n_events) AS n_events
+             |FROM g1 FULL OUTER JOIN g2 ON g1.user_id = g2.user_id
+             |ORDER BY user_id""".stripMargin)),
+
     "stream_windowed_counts" -> QueryDef(
       (s, d) =>
         graft.streaming.WindowedAggs.windowedCounts(

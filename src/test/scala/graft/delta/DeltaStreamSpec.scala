@@ -129,6 +129,26 @@ class DeltaStreamSpec extends SparkSpec {
       assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
         "rate limiting must split the catch-up across triggers")
     } finally q.stop()
+    // startingTimestamp: the cut resolves through versionAt — commits AT
+    // or after it emit, earlier ones don't (inclusive, delta-spark's rule)
+    def tsOf(v: Long) = t.log.readVersion(v).flatMap(_.commitInfo).head.timestamp
+    if (tsOf(2) > tsOf(1) && tsOf(3) > tsOf(2)) { // only assert on distinct stamps
+      val q2 = readStream(t, "startingTimestamp" -> tsOf(2).toString)
+        .writeStream.format("memory").queryName("dstream_st")
+        .option("checkpointLocation", tmpDir("dstream-st-ck")).start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("dstream_st").select("id").as[Long].collect().toSet
+          === (4L until 9L).toSet)
+      } finally q2.stop()
+    }
+    // both options together refuse (surfaces when the stream thread
+    // builds the source, not at start())
+    val qBad = readStream(t, "startingTimestamp" -> "0", "startingVersion" -> "1")
+      .writeStream.format("memory").queryName("dstream_st2")
+      .option("checkpointLocation", tmpDir("dstream-st2-ck")).start()
+    val e = intercept[Exception] { try qBad.processAllAvailable() finally qBad.stop() }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
   }
 
   test("column-mapped tables stream under logical names after a rename") {
