@@ -82,7 +82,8 @@ object Actions {
   final case class CommitInfo(
       timestamp: Long,
       operation: String,
-      operationParameters: Map[String, String] = Map.empty)
+      operationParameters: Map[String, String] = Map.empty,
+      inCommitTimestamp: Option[Long] = None)
 
   /** One log line: exactly one of the fields set. */
   final case class Action(
@@ -342,7 +343,11 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       else timestampMs + maxClockSkewMs)
     def tsOf(v: Long, mtime: Long): Long = {
       versionAtReads.incrementAndGet()
-      readVersion(v).flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(mtime)
+      // the in-commit timestamp, when present, is the AUTHORITATIVE
+      // stamp (monotone by construction) — wall-clock commitInfo, then
+      // mtime, are the fallbacks
+      readVersion(v).flatMap(_.commitInfo).headOption
+        .map(ci => ci.inCommitTimestamp.getOrElse(ci.timestamp)).getOrElse(mtime)
     }
     var best = bandStart - 1 // last certainly-eligible index
     // running max SEEDED only within the band: everything before it is
@@ -563,8 +568,29 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       val snap = snapshot()
       if (!check(snap)) return -1L
       val next = snap.version + 1
+      // IN-COMMIT TIMESTAMPS (Delta writer feature `inCommitTimestamp`,
+      // `delta.enableInCommitTimestamps`): the commitInfo carries an
+      // authoritative timestamp max(now, predecessor's + 1) — strictly
+      // monotone by construction, so time travel survives file copies /
+      // mtime-mangling backfills. Recomputed per retry attempt against
+      // the actual winning predecessor.
+      val stamped =
+        if (!snap.metadata.exists(
+          _.configuration.get(DeltaTable.IctConfigKey).contains("true"))) actions
+        else {
+          val prev =
+            if (snap.version < 0) 0L
+            else readVersion(snap.version).flatMap(_.commitInfo).headOption
+              .flatMap(_.inCommitTimestamp).getOrElse(0L)
+          val ict = math.max(System.currentTimeMillis(), prev + 1)
+          actions.map(a => a.commitInfo match {
+            case Some(ci) =>
+              a.copy(commitInfo = Some(ci.copy(inCommitTimestamp = Some(ict))))
+            case None => a
+          })
+        }
       try {
-        write(next, actions)
+        write(next, stamped)
         maybeCheckpoint(next)
         return next
       } catch {

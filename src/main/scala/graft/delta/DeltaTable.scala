@@ -48,6 +48,10 @@ object DeltaTable {
   val AutoCompactConfigKey = "delta.autoOptimize.autoCompact"
   val AutoCompactMinFilesKey = "delta.autoOptimize.minNumFiles"
 
+  /** In-commit timestamps enablement (Delta writer feature
+    * `inCommitTimestamp`). */
+  val IctConfigKey = "delta.enableInCommitTimestamps"
+
   /** Field-metadata key carrying a generated column's expression (the
     * Delta protocol "Generated Columns" representation — stored in the
     * schema's field metadata, not the table configuration). */
@@ -242,10 +246,21 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           (DeltaTable.ColumnMappingMaxIdKey -> schema.fields.length.toString)
       // feature → protocol floor: columnMapping (2,5) > generated (1,4) > base
       val hasGen = schema.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey))
-      val protocol =
+      val base =
         if (mapping) Protocol(minReaderVersion = 2, minWriterVersion = 5)
         else if (hasGen) Protocol(minWriterVersion = 4)
         else Protocol()
+      // in-commit timestamps are a TABLE-FEATURES writer feature (writer
+      // version 7, every active feature enumerated) — raise through the
+      // same enumeration the DV upgrade path uses, against the pending
+      // metadata
+      val protocol =
+        if (!configuration.get(DeltaTable.IctConfigKey).contains("true")) base
+        else raisedProtocol(
+          Snapshot(-1L, Some(Metadata(id = "pending",
+            schemaString = finalSchema.json, configuration = finalConf)),
+            Nil, Map.empty, Some(base)),
+          base.minReaderVersion, 7, Nil, Seq("inCommitTimestamp"))
       log.commit(Seq(
         Action(protocol = Some(protocol)),
         Action(metaData = Some(Metadata(

@@ -777,6 +777,24 @@ class DeltaSpec extends SparkSpec {
     }
   }
 
+  test("in-commit timestamps: strictly monotone stamps drive time travel; protocol advertises the feature") {
+    val t = DeltaTable.forPath(spark, tmpDir("delta-ict")).create(schema,
+      configuration = Map(DeltaTable.IctConfigKey -> "true"))
+    val proto = t.snapshot.protocol.get
+    assert(proto.minWriterVersion === 7)
+    assert(proto.writerFeatures.exists(_.contains("inCommitTimestamp")), proto)
+    (0 until 5).foreach(i => t.append(sampleDf(i to i))) // rapid same-ms commits
+    def ictOf(v: Long): Long = t.log.readVersion(v).flatMap(_.commitInfo)
+      .head.inCommitTimestamp.getOrElse(fail(s"version $v must carry an ICT"))
+    val icts = (1L to 5L).map(ictOf)
+    assert(icts === icts.sorted && icts.distinct.size === icts.size,
+      s"ICTs must be STRICTLY increasing even for same-ms commits: $icts")
+    // time travel resolves by the authoritative ICT
+    assert(t.toDFAsOf(ictOf(3)).count() === 3L)
+    assert(t.toDFAsOf(ictOf(5)).count() === 5L)
+    assert(t.toDFAsOf(ictOf(3) + (ictOf(4) - ictOf(3)) / 2).count() === 3L)
+  }
+
   test("autoCompact: appends fold small files once the threshold is reached") {
     val t = DeltaTable.forPath(spark, tmpDir("delta-ac")).create(schema,
       configuration = Map(
