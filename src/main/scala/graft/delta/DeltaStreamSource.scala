@@ -99,8 +99,11 @@ final class DeltaStreamProvider extends StreamSourceProvider
       case (k, v) if k.equalsIgnoreCase("mergeKeys") =>
         v.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
       .getOrElse(Nil)
+    val mergeSchema = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("mergeSchema") => v.toBoolean }
+      .getOrElse(false)
     new DeltaStreamSink(sqlContext.sparkSession, pathOf(parameters),
-      partitionColumns, appId, mergeKeys)
+      partitionColumns, appId, mergeKeys, mergeSchema)
   }
 }
 
@@ -113,7 +116,8 @@ final class DeltaStreamProvider extends StreamSourceProvider
   * the checkpoint advance still converges. */
 final class DeltaStreamSink(spark: SparkSession, path: String,
                             partitionColumns: Seq[String], appId: String,
-                            mergeKeys: Seq[String] = Nil) extends Sink {
+                            mergeKeys: Seq[String] = Nil,
+                            mergeSchema: Boolean = false) extends Sink {
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     // the V1 contract hands a STREAMING-planned frame; re-wrap it as this
     // trigger's batch (ForeachBatchSink's construction) before writing
@@ -127,9 +131,11 @@ final class DeltaStreamSink(spark: SparkSession, path: String,
         s"the existing table's partitioning (${t.partitionColumns.mkString(",")})")
     if (mergeKeys.isEmpty) {
       // append returns -1 on an idempotent replay (txn already applied) —
-      // exactly the crash-restart double-delivery case
+      // exactly the crash-restart double-delivery case. mergeSchema
+      // (option of the same name) lets an upstream schema widening flow
+      // through — the new columns ride the same commit as the batch.
       t.append(batch, txnAppId = Some(appId), txnVersion = batchId,
-        operation = "STREAMING UPDATE")
+        operation = "STREAMING UPDATE", mergeSchema = mergeSchema)
     } else {
       // merge carries no txn action, so record progress in a separate
       // marker commit AFTER the merge; the pre-check makes full replays

@@ -211,6 +211,28 @@ class DeltaStreamSpec extends SparkSpec {
     assert(t2.partitionColumns === Seq("par"))
     assert(t2.toDF.count() === 10L)
 
+    // mergeSchema: an upstream widening flows through (old rows null-fill)
+    val out3 = tmpDir("dsink-ms") + "/t"
+    val ck3 = tmpDir("dsink-ms-ck")
+    def run3(extraCol: Boolean): Unit = {
+      val base = readStream(src)
+      val df = if (extraCol) base.withColumn("extra", col("id") * 10L) else base
+      val q = df.writeStream.format("graft-delta")
+        .option("path", out3).option("checkpointLocation", ck3)
+        .option("mergeSchema", "true")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run3(extraCol = false)
+    src.append(rows(200 until 202))
+    run3(extraCol = true)
+    val t3 = DeltaTable.forPath(spark, out3)
+    assert(t3.toDF.columns.contains("extra"))
+    assert(t3.toDF.filter(col("id") === 200L).select("extra").collect()
+      .head.getLong(0) === 2000L)
+    assert(t3.toDF.filter(col("id") === 0L).select("extra").collect()
+      .head.isNullAt(0), "pre-evolution rows null-fill the new column")
+
     // complete output mode refuses (append-only sink)
     val e = intercept[Exception] {
       readStream(src).groupBy("name").count()
