@@ -956,6 +956,168 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** Corpus-trained WordPiece ([[trainBpe]]'s counterpart): top-maxWords
+    * word counts (deterministic (n desc, w) selection — the bounded
+    * codebook-collect contract) feed the pure trainer. */
+  def trainWordPiece(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     numMerges: Int, maxWords: Int = 100000): Seq[String] = {
+    require(numMerges >= 0 && maxWords >= 1, s"bad numMerges=$numMerges / maxWords=$maxWords")
+    trainWordPieceFromCounts(df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq,
+      numMerges)
+  }
+
+  /** Generated DuckDB CTE chain that RETRAINS WordPiece from the corpus
+    * — the SQL twin of [[trainWordPiece]], closing the train-side gap
+    * like [[bpeRetrainCtes]] does for BPE. Each unrolled iteration
+    * computes symbol AND pair counts over the current segmentation and
+    * picks the argmax of count(ab)/(count(a)·count(b)) EXACTLY via a
+    * single sort key: fk = floor(c · 2^96 / (ca·cb)) in HUGEINT. The
+    * key SEPARATES every pair of distinct ratios — two distinct
+    * rationals with denominators ca·cb ≤ 2^48 differ by ≥ 2^-96, so
+    * their floor keys differ by ≥ 1 — hence (fk DESC, a, b) equals the
+    * Scala trainer's BigInt cross-multiplied argmax with lexicographic
+    * ties for any corpus with symbol counts ≤ 2^24 (a double ratio sort
+    * would NOT be exact; an anti-join formulation was, but its
+    * per-iteration operator tree held ~20 MB to the end of the query
+    * and 16 iterations blew the 128 MB oracle bar). Then each iteration
+    * applies the merge as one boundary-wrapped replace (right symbol's
+    * `##` strips, the left's marker survives: the WordPiece join rule).
+    * ASCII-corpus caveat as bpeRetrainCtes (UTF-16/code-point orders
+    * agree).
+    *
+    * Emits `wpc`, `wp_seqs_i`, `wp_best_i` (1..numMerges) and the final
+    * runtime vocab `wpv(sym, eff, is_cont)`; chain
+    * [[wordPieceApplyDocCtes]] after it. */
+  def wordPieceRetrainCtes(tokensSqlExpr: String, maxWords: Int,
+                           numMerges: Int): String = {
+    // coalesce: DuckDB's array_to_string([], '') is NULL, which would
+    // null the whole seed for single-char words and silently drop them
+    // from training (caught by the 6-merge divergence this gate exists
+    // to catch)
+    val seed = "chr(31) || substr(w, 1, 1) || chr(30) || " +
+      "coalesce(array_to_string(list_transform(range(2, length(w) + 1), " +
+      "i -> chr(31) || '##' || substr(w, i, 1) || chr(30)), ''), '')"
+    val sb = new StringBuilder
+    sb ++= s"""wpc AS (
+      |  SELECT t AS w, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest($tokensSqlExpr) AS t FROM documents)
+      |  GROUP BY t ORDER BY n DESC, w LIMIT $maxWords),
+      |wp_seqs_0 AS MATERIALIZED (SELECT w, n, $seed AS s FROM wpc)""".stripMargin
+    for (i <- 1 to numMerges) {
+      val prev = s"wp_seqs_${i - 1}"
+      sb ++= s""",
+        |wpt_syms_$i AS (
+        |  SELECT n, list_filter(string_split(replace(s, chr(30), ''), chr(31)), x -> x <> '') AS syms
+        |  FROM $prev),
+        |wpt_symc_$i AS (
+        |  SELECT sym, CAST(sum(n) AS BIGINT) AS c
+        |  FROM (SELECT n, unnest(syms) AS sym FROM wpt_syms_$i) GROUP BY sym),
+        |wpt_pairs_$i AS (
+        |  SELECT a, b, CAST(sum(n) AS BIGINT) AS c FROM (
+        |    SELECT n, syms[j] AS a, syms[j + 1] AS b
+        |    FROM (SELECT n, syms, unnest(range(1, len(syms))) AS j
+        |          FROM wpt_syms_$i WHERE len(syms) >= 2))
+        |  GROUP BY a, b),
+        |wp_best_$i AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT p.a, p.b,
+        |      (CAST(p.c AS HUGEINT) * 79228162514264337593543950336) //
+        |        (CAST(ca.c AS HUGEINT) * cb.c) AS fk
+        |    FROM wpt_pairs_$i p
+        |    JOIN wpt_symc_$i ca ON p.a = ca.sym
+        |    JOIN wpt_symc_$i cb ON p.b = cb.sym)
+        |  ORDER BY fk DESC, a, b LIMIT 1),
+        |wp_seqs_$i AS MATERIALIZED (
+        |  SELECT w, n, CASE WHEN m.a IS NULL THEN s ELSE
+        |    replace(s, chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
+        |               chr(31) || m.a || substr(m.b, 3) || chr(30)) END AS s
+        |  FROM $prev LEFT JOIN wp_best_$i m ON TRUE)""".stripMargin
+    }
+    val mergeUnion = (1 to numMerges)
+      .map(i => s"SELECT a || substr(b, 3) AS sym FROM wp_best_$i")
+      .mkString("\n  UNION ALL ")
+    sb ++= s""",
+      |wp_alpha AS (
+      |  SELECT DISTINCT x AS sym
+      |  FROM (SELECT unnest(list_filter(string_split(replace(s, chr(30), ''), chr(31)),
+      |          x -> x <> '')) AS x
+      |        FROM wp_seqs_0)),
+      |wpv AS (
+      |  SELECT DISTINCT sym,
+      |    CASE WHEN sym LIKE '##%' THEN substr(sym, 3) ELSE sym END AS eff,
+      |    (sym LIKE '##%') AS is_cont
+      |  FROM (SELECT sym FROM wp_alpha
+      |  ${if (numMerges > 0) s"UNION ALL $mergeUnion" else ""})
+      |  WHERE CASE WHEN sym LIKE '##%' THEN length(sym) > 2
+      |        ELSE length(sym) > 0 END)""".stripMargin
+    sb.result()
+  }
+
+  /** Runtime-vocab longest-match encode over the corpus for a TRAINED
+    * `wpv` ([[wordPieceRetrainCtes]]'s output): the fixed-vocab
+    * generator's strip chain can't inline arms it doesn't know at
+    * generation time, so each unrolled step instead takes its longest
+    * match from a LATERAL top-1 probe of `wpv` (length DESC — within a
+    * position class, distinct stored pieces have distinct effective
+    * texts, so no tie exists). Same latched-stuck / over-length [UNK]
+    * contract as the kernel. Emits `wpe_tok(doc_id, w, i)` and
+    * `wp_enc(w, pieces_w)`. */
+  def wordPieceApplyDocCtes(tokensSqlExpr: String, maxWordChars: Int): String = {
+    // Structure chosen by three hard constraints, found the expensive way:
+    //  1. ONE recursive walk, not maxWordChars chained MATERIALIZED
+    //     steps — every materialized CTE stays allocated until the query
+    //     ends, and the chained form's fixed per-step footprint pushed
+    //     this oracle over the 128 MB no-spill bar.
+    //  2. The longest match per (word, offset) is precomputed OUTSIDE
+    //     the recursion (`wp_match`, a plain argmax — no ties: two
+    //     distinct same-class pieces matching one offset at one length
+    //     would be the same piece), because DuckDB resolves CTE
+    //     references made from CORRELATED SUBQUERIES inside a recursive
+    //     term against not-yet-populated relations (observed: an
+    //     all-[UNK] feed, then a merge-less vocab) — a plain equi-JOIN
+    //     in the recursive term resolves correctly.
+    //  3. The recursion must be a TOP-LEVEL member of the caller's
+    //     WITH, which therefore says WITH RECURSIVE.
+    // The walk advances pos by the matched piece's effective length;
+    // a stuck offset terminates the word (whole-word [UNK], like the
+    // kernel), and the over-length cap applies in wp_enc.
+    s"""wpe_tok AS MATERIALIZED (
+      |  SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS i
+      |  FROM (SELECT doc_id, $tokensSqlExpr AS ts FROM documents)),
+      |wpe_words AS (SELECT DISTINCT w FROM wpe_tok),
+      |wp_match AS MATERIALIZED (
+      |  SELECT w, o, arg_max(sym, elen) AS sym, max(elen) AS elen
+      |  FROM (
+      |    SELECT p.w, p.o, v.sym, length(v.eff) AS elen
+      |    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS o FROM wpe_words) p
+      |    JOIN wpv v ON v.is_cont = (p.o > 1)
+      |      AND substr(p.w, p.o, length(v.eff)) = v.eff)
+      |  GROUP BY w, o),
+      |wpe_steps(w, acc, stuck, pos) AS (
+      |  SELECT w, '', FALSE, 1 FROM wpe_words
+      |  UNION ALL
+      |  SELECT s.w,
+      |    CASE WHEN m.sym IS NULL THEN s.acc
+      |         ELSE s.acc || chr(31) || m.sym || chr(30) END,
+      |    m.sym IS NULL,
+      |    CASE WHEN m.sym IS NULL THEN s.pos ELSE s.pos + m.elen END
+      |  FROM wpe_steps s LEFT JOIN wp_match m ON m.w = s.w AND m.o = s.pos
+      |  WHERE s.pos <= length(s.w) AND NOT s.stuck),
+      |wpe_rec AS MATERIALIZED (
+      |  SELECT w, arg_max(acc, pos) AS acc, bool_or(stuck) AS stuck,
+      |    max(pos) AS pos
+      |  FROM wpe_steps GROUP BY w),
+      |wp_enc AS (
+      |  SELECT w, CASE WHEN length(w) > $maxWordChars OR w = '' OR stuck
+      |      OR pos <= length(w)
+      |    THEN chr(31) || '[UNK]' || chr(30) ELSE acc END AS pieces_w
+      |  FROM wpe_rec)""".stripMargin
+  }
+
   /** WordPiece DECODE — ids back to text ([[decodeBpeIds]]'s counterpart
     * for the longest-match family): ids map through `[UNK] +: vocab` (a
     * plan-literal map, scan-stage), `##` pieces append to the current

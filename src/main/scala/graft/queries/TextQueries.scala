@@ -922,6 +922,47 @@ object TextQueries extends QueryModule {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // CORPUS-trained WordPiece, train AND encode hash-gated: the oracle
+    // RETRAINS the vocab in SQL (unrolled likelihood-argmax iterations
+    // on an exact HUGEINT floor key — the text_bpe_corpus pattern for
+    // the likelihood objective) and encodes via a recursive
+    // longest-match walk over a precomputed per-(word, offset) match
+    // table, so neither the trained pieces nor the segmentation is
+    // trusted from the engine under test. Sized at 6 merges: each
+    // unrolled likelihood iteration (two aggregates + two joins) holds
+    // ~9 MB to query end in DuckDB and the 128 MB oracle bar caps the
+    // chain — the 16-merge trainer itself is pinned by the fixture
+    // gates, which run the identical Scala code. This gate caught a
+    // real bug on arrival: DuckDB's array_to_string([], '') is NULL,
+    // which silently dropped every single-char word from SQL training.
+    "text_wordpiece_corpus" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.ops.TextAnalysis.trainWordPiece(docs, "text",
+          numMerges = 6, maxWords = 60)
+        docs.select(col("doc_id"),
+            graft.functions.WordPieceEncode.of(tokens(col("text")), vocab, 20).as("p"))
+          .select(col("doc_id"),
+            concat_ws("", transform(col("p"),
+              x => concat(lit(""), x, lit("")))).as("pieces_wrapped"),
+            size(col("p")).cast("long").as("n_pieces"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH RECURSIVE ${graft.ops.TextAnalysis.wordPieceRetrainCtes(T, 60, 6)},
+           |${graft.ops.TextAnalysis.wordPieceApplyDocCtes(T, 20)},
+           |wp_per AS (
+           |  SELECT t.doc_id,
+           |    string_agg(e.pieces_w, '' ORDER BY t.i) AS pieces_wrapped
+           |  FROM wpe_tok t JOIN wp_enc e ON t.w = e.w GROUP BY t.doc_id)
+           |SELECT d.doc_id, coalesce(p.pieces_wrapped, '') AS pieces_wrapped,
+           |  CAST(length(coalesce(p.pieces_wrapped, '')) -
+           |       length(replace(coalesce(p.pieces_wrapped, ''), chr(31), ''))
+           |    AS BIGINT) AS n_pieces
+           |FROM documents d LEFT JOIN wp_per p ON d.doc_id = p.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // WordPiece DECODE + round-trip identity: ids map back through the
     // reserved-special vocab, ## pieces rejoin their word, and the
     // `lossless` column asserts decode∘encode ≡ the normalized token
@@ -1269,7 +1310,7 @@ object TextQueries extends QueryModule {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val merges = graft.ops.TextAnalysis.trainBpe(docs, "text",
-          numMerges = 16, maxWords = 60)
+          numMerges = 6, maxWords = 60)
         docs.select(col("doc_id"),
             graft.functions.BpeEncode.of(tokens(col("text")), merges).as("p"))
           .select(col("doc_id"),
