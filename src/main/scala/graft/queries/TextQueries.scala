@@ -1310,7 +1310,7 @@ object TextQueries extends QueryModule {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val merges = graft.ops.TextAnalysis.trainBpe(docs, "text",
-          numMerges = 6, maxWords = 60)
+          numMerges = 16, maxWords = 60)
         docs.select(col("doc_id"),
             graft.functions.BpeEncode.of(tokens(col("text")), merges).as("p"))
           .select(col("doc_id"),
