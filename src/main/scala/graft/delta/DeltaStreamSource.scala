@@ -109,11 +109,10 @@ final class DeltaStreamProvider extends StreamSourceProvider
 
 /** `mergeKeys` empty = append sink; nonempty = UPSERT sink: each batch
   * MERGEs on those keys (streaming dedup/CDC-apply shape — late copies
-  * of a key overwrite instead of duplicating). Upsert replay safety is
-  * two-layer: a txn pre-check skips batches the table already recorded,
-  * and merge itself is content-idempotent (re-upserting identical rows
-  * changes nothing), so the crash window between the merge commit and
-  * the checkpoint advance still converges. */
+  * of a key overwrite instead of duplicating). Exactly-once like the
+  * append path: the `txn(appId, batchId)` rides the merge commit
+  * itself, so a crash-replayed batch skips without re-merging — one
+  * commit per batch, no marker, no crash window. */
 final class DeltaStreamSink(spark: SparkSession, path: String,
                             partitionColumns: Seq[String], appId: String,
                             mergeKeys: Seq[String] = Nil,
@@ -137,28 +136,18 @@ final class DeltaStreamSink(spark: SparkSession, path: String,
       t.append(batch, txnAppId = Some(appId), txnVersion = batchId,
         operation = "STREAMING UPDATE", mergeSchema = mergeSchema)
     } else {
-      // merge carries no txn action, so record progress in a separate
-      // marker commit AFTER the merge; the pre-check makes full replays
-      // no-ops and the merge's own idempotence covers the marker gap
-      if (!t.txnVersion(appId).exists(_ >= batchId)) {
-        import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
-        // in-batch dedup: keep the LAST row per key (source order) so a
-        // batch carrying two versions of a key upserts deterministically
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(mergeKeys.map(col): _*)
-          .orderBy(monotonically_increasing_id().desc)
-        val deduped = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        t.merge(deduped, mergeKeys)
-        t.log.commit(Seq(
-          Actions.Action(txn = Some(Actions.Txn(appId, batchId,
-            Some(System.currentTimeMillis())))),
-          Actions.Action(commitInfo = Some(Actions.CommitInfo(
-            System.currentTimeMillis(), "STREAMING UPDATE",
-            Map("mode" -> "Upsert", "batchId" -> batchId.toString))))),
-          check = s => !s.txns.get(appId).exists(_ >= batchId))
-      }
+      import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
+      // in-batch dedup: keep the LAST row per key (source order) so a
+      // batch carrying two versions of a key upserts deterministically
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(mergeKeys.map(col): _*)
+        .orderBy(monotonically_increasing_id().desc)
+      val deduped = batch
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      // the txn rides the merge commit itself — one commit per batch,
+      // and a crash-replayed batch returns -1 without re-merging
+      t.merge(deduped, mergeKeys, txnAppId = Some(appId), txnVersion = batchId)
     }
     ()
   }

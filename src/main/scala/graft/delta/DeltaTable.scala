@@ -781,7 +781,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     *
     * Contract: source keys unique (two source rows with one key would
     * both insert). Returns the committed version. */
-  def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+  def merge(source: DataFrame, keyCols: Seq[String],
+            txnAppId: Option[String] = None, txnVersion: Long = -1L): Long = {
     // merge rewrites matched rows unconditionally, so even an insert-only
     // outcome goes through a file rewrite here — blocked wholesale
     // (Delta proper permits provably insert-only merges; documented
@@ -842,7 +843,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       Map("predicateKeys" -> keyCols.mkString(",")),
       extraCheck = s => s.files.map(_.path).forall(basePaths.contains),
       conflictHint = "a concurrent commit added or rewrote files during this merge",
-      changes = cdf)
+      changes = cdf,
+      // exactly-once upsert (the streaming sink's contract): a replayed
+      // (appId, version) batch skips as -1 instead of re-merging — the
+      // txn rides the SAME commit as the rewrite, no marker commit, no
+      // crash window
+      txn = txnAppId.filter(_ => txnVersion >= 0).map(_ -> txnVersion))
   }
 
   /** Copy-on-write DELETE (delta-rs `delete`): drop every row matching
@@ -1248,7 +1254,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                             extraCheck: Snapshot => Boolean = _ => true,
                             conflictHint: String =
                               "a concurrent commit rewrote files this operation was based on",
-                            changes: Option[DataFrame] = None): Long = {
+                            changes: Option[DataFrame] = None,
+                            txn: Option[(String, Long)] = None): Long = {
+    // idempotent-replay pre-check (the append path's txn contract, for
+    // DML): a batch the table already recorded skips BEFORE staging;
+    // the same predicate re-runs inside the commit check, so a zombie
+    // and its restart can't both land
+    def txnApplied(s: Snapshot): Boolean = txn.exists { case (app, v) =>
+      s.txns.getOrElse(app, -1L) >= v }
+    if (txnApplied(snapshot)) return -1L
     val parts = partitionColumns
     val physParts = physicalPartNames(parts)
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
@@ -1263,23 +1277,32 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // descriptor — a concurrent DV delete keeps the path live while
       // changing the logical content this rewrite was computed from
       val expected = affected.map(f => f.path -> f.deletionVector).toMap
+      var txnSkip = false
       val committed = log.commit(
         adds.map(a => Action(add = Some(a))) ++
           cdcActions ++
           affected.map(f => Action(remove = Some(RemoveFile(f.path,
             Some(System.currentTimeMillis()),
             deletionVector = f.deletionVector)))) ++
+          txn.map { case (app, v) => Action(txn = Some(Txn(app, v,
+            Some(System.currentTimeMillis())))) }.toSeq ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation, params)))),
         check = s => {
-          val live = s.files.map(f => f.path -> f.deletionVector).toMap
-          expected.forall { case (p, dv) => live.get(p).contains(dv) } && extraCheck(s)
+          if (txnApplied(s)) { txnSkip = true; false }
+          else {
+            val live = s.files.map(f => f.path -> f.deletionVector).toMap
+            expected.forall { case (p, dv) => live.get(p).contains(dv) } && extraCheck(s)
+          }
         })
       if (committed < 0) {
         adds.foreach(a => fs.delete(new Path(path, a.path), false))
         cdcActions.foreach(_.cdc.foreach(c =>
           fs.delete(new Path(path, c.path), false)))
-        throw new java.util.ConcurrentModificationException(
-          s"$operation lost a commit race: $conflictHint")
+        // losing to the SAME txn batch is the documented idempotent
+        // replay; losing to a concurrent rewrite is a race
+        if (!txnSkip)
+          throw new java.util.ConcurrentModificationException(
+            s"$operation lost a commit race: $conflictHint")
       }
       committed
     } finally fs.delete(staging, true)
