@@ -332,6 +332,51 @@ class DeltaStreamSpec extends SparkSpec {
     }
   }
 
+  test("composition: mapped+partitioned tables and CONVERTed directories stream correctly") {
+    // column mapping + partitioning (round-11 composition): physical
+    // names in partition dirs, logical names on the stream
+    val t = DeltaTable.forPath(spark, tmpDir("dstream-mp")).create(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("par", org.apache.spark.sql.types.StringType))),
+      partitionColumns = Seq("par"),
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
+    t.append(rows(0 until 4).withColumn("par", (col("id") % 2L).cast("string")))
+    t.renameColumn("name", "label")
+    val q = readStream(t).writeStream.format("memory").queryName("dstream_mp")
+      .option("checkpointLocation", tmpDir("dstream-mp-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dstream_mp")
+      assert(got.columns.toSeq === Seq("id", "label", "par"))
+      assert(got.count() === 4L)
+      assert(got.filter(col("par") === "1").select("id").as[Long].collect().toSet
+        === Set(1L, 3L), "partition values must resolve through physical dirs")
+      // tail after the rename, under the new logical name
+      t.append(Seq((10L, "n10", "0")).toDF("id", "label", "par"))
+      q.processAllAvailable()
+      assert(got.count() === 5L)
+    } finally q.stop()
+
+    // CONVERT TO DELTA → stream: the converted directory is a first-class
+    // source (snapshot, then tail across post-convert appends)
+    val dir = tmpDir("dstream-conv")
+    rows(0 until 6).write.mode("overwrite").parquet(dir)
+    val c = DeltaTable.convertFrom(spark, dir)
+    val q2 = spark.readStream.format("graft-delta").option("path", dir).load()
+      .writeStream.format("memory").queryName("dstream_conv")
+      .option("checkpointLocation", tmpDir("dstream-conv-ck")).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("dstream_conv").count() === 6L)
+      c.append(rows(6 until 9))
+      q2.processAllAvailable()
+      assert(spark.table("dstream_conv").select("id").as[Long].collect().toSet
+        === (0L until 9L).toSet)
+    } finally q2.stop()
+  }
+
   test("streams refuse tables with live deletion vectors until purged") {
     val t = mkTable("dstream-dv", Map(DeltaTable.DvConfigKey -> "true"))
     t.append(rows(0 until 6))
