@@ -7,6 +7,7 @@ import scala.collection.mutable
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import com.fasterxml.jackson.annotation.JsonInclude
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
@@ -62,12 +63,23 @@ object Actions {
       modificationTime: Long = 0L,
       dataChange: Boolean = true,
       stats: Option[String] = None,
-      deletionVector: Option[DeletionVectorDescriptor] = None)
+      deletionVector: Option[DeletionVectorDescriptor] = None,
+      // contentAs: Jackson would otherwise deserialize small JSON numbers
+      // into an Option[Integer] that unboxes as Long only at CRASH time
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      baseRowId: Option[Long] = None,
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      defaultRowCommitVersion: Option[Long] = None)
   final case class RemoveFile(
       path: String,
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
       deletionTimestamp: Option[Long] = None,
       dataChange: Boolean = true,
-      deletionVector: Option[DeletionVectorDescriptor] = None)
+      deletionVector: Option[DeletionVectorDescriptor] = None,
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      baseRowId: Option[Long] = None,
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      defaultRowCommitVersion: Option[Long] = None)
   /** Change-data file (Delta PROTOCOL.md `cdc` action): a parquet file
     * under `_change_data/` carrying the commit's change rows with their
     * `_change_type`. Not part of table STATE — replay ignores it, and it
@@ -79,6 +91,15 @@ object Actions {
       size: Long = 0L,
       dataChange: Boolean = false)
   final case class Txn(appId: String, version: Long, lastUpdated: Option[Long] = None)
+  /** Domain metadata (Delta PROTOCOL.md `domainMetadata` action, writer
+    * feature `domainMetadata`): a named system domain carrying a
+    * configuration string as part of TABLE STATE — replay keeps the last
+    * writer per domain, `removed=true` tombstones it, and checkpoints
+    * persist the live domains. Carries the row-tracking high-water mark
+    * (`delta.rowTracking`) and clustered-table clustering columns
+    * (`delta.clustering`). */
+  final case class DomainMetadata(domain: String, configuration: String = "",
+                                  removed: Boolean = false)
   final case class CommitInfo(
       timestamp: Long,
       operation: String,
@@ -93,6 +114,7 @@ object Actions {
       remove: Option[RemoveFile] = None,
       cdc: Option[AddCDCFile] = None,
       txn: Option[Txn] = None,
+      domainMetadata: Option[DomainMetadata] = None,
       commitInfo: Option[CommitInfo] = None)
 
   val mapper: ObjectMapper = {
@@ -141,12 +163,20 @@ object Actions {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         StructField("stats", StringType),
-        StructField("deletionVector", deletionVector)))),
+        StructField("deletionVector", deletionVector),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
         StructField("dataChange", BooleanType),
-        StructField("deletionVector", deletionVector))))))
+        StructField("deletionVector", deletionVector),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
   }
 }
 
@@ -210,13 +240,21 @@ private[delta] object CheckpointRows {
         size = if (a.isNullAt(2)) 0L else a.getLong(2),
         modificationTime = if (a.isNullAt(3)) 0L else a.getLong(3),
         dataChange = !a.isNullAt(4) && a.getBoolean(4),
-        stats = optStr(a, 5), deletionVector = dv(a, 6))))
+        stats = optStr(a, 5), deletionVector = dv(a, 6),
+        baseRowId = optLong(a, 7), defaultRowCommitVersion = optLong(a, 8))))
     } else if (!r.isNullAt(4)) {
       val rm = r.getStruct(4)
       Action(remove = Some(RemoveFile(
         path = rm.getString(0), deletionTimestamp = optLong(rm, 1),
         dataChange = !rm.isNullAt(2) && rm.getBoolean(2),
-        deletionVector = dv(rm, 3))))
+        deletionVector = dv(rm, 3),
+        baseRowId = optLong(rm, 4), defaultRowCommitVersion = optLong(rm, 5))))
+    } else if (!r.isNullAt(5)) {
+      val dm = r.getStruct(5)
+      Action(domainMetadata = Some(DomainMetadata(
+        domain = dm.getString(0),
+        configuration = if (dm.isNullAt(1)) "" else dm.getString(1),
+        removed = !dm.isNullAt(2) && dm.getBoolean(2))))
     } else Action() // blank row: ignored by replay, like an unknown action
   }
 }
@@ -226,7 +264,8 @@ final case class Snapshot(
     metadata: Option[Actions.Metadata],
     files: Seq[Actions.AddFile],
     txns: Map[String, Long],
-    protocol: Option[Actions.Protocol] = None) {
+    protocol: Option[Actions.Protocol] = None,
+    domainMetadata: Map[String, String] = Map.empty) {
   def schema(implicit d: DummyImplicit): Option[org.apache.spark.sql.types.StructType] =
     metadata.map(m =>
       org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
@@ -238,6 +277,11 @@ final class VersionAlreadyExists(val version: Long)
   extends RuntimeException(s"delta version $version already exists")
 
 object DeltaLog {
+  /** Row-tracking domain name (Delta PROTOCOL.md "Row Tracking": fresh
+    * base row IDs are assigned AT COMMIT TIME from this domain's
+    * `rowIdHighWaterMark`). */
+  val RowTrackingDomain = "delta.rowTracking"
+
   /** Default bound on |commitInfo timestamp − log-file mtime| assumed by
     * [[DeltaLog.versionAt]]'s bounded-read search: generous for NTP drift
     * plus object-store upload lag. */
@@ -419,13 +463,17 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       var metadata: Option[Metadata] = None,
       val adds: mutable.LinkedHashMap[String, AddFile] = mutable.LinkedHashMap.empty,
       val txns: mutable.HashMap[String, Long] = mutable.HashMap.empty,
-      var protocol: Option[Protocol] = None) {
+      var protocol: Option[Protocol] = None,
+      val domains: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty) {
     def apply(actions: Seq[Action]): Unit = actions.foreach { a =>
       a.protocol.foreach(p => protocol = Some(p))
       a.metaData.foreach(m => metadata = Some(m))
       a.add.foreach(f => adds(f.path) = f)
       a.remove.foreach(r => adds.remove(r.path))
       a.txn.foreach(t => txns(t.appId) = t.version)
+      a.domainMetadata.foreach(d =>
+        if (d.removed) domains.remove(d.domain)
+        else domains(d.domain) = d.configuration)
     }
   }
 
@@ -499,7 +547,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     ((fromVersion + 1) to latest).foreach(v => state.apply(readVersion(v)))
     cached = Some((latest, state))
     Snapshot(latest, state.metadata, state.adds.values.toSeq, state.txns.toMap,
-      state.protocol)
+      state.protocol, state.domains.toMap)
   }
 
   /** After cleanupMetadata, JSON below the surviving checkpoint is gone; a
@@ -525,7 +573,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     requireReplayStart(from)
     ((from + 1) to version).foreach(v => state.apply(readVersion(v)))
     Snapshot(version, state.metadata, state.adds.values.toSeq, state.txns.toMap,
-      state.protocol)
+      state.protocol, state.domains.toMap)
   }
 
   /** Last committed `txn` version for an app id (idempotence check). */
@@ -562,12 +610,53 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     *
     * @return the committed version, or -1 if `check` rejected. */
   def commit(actions: Seq[Action], check: Snapshot => Boolean = _ => true,
-             maxAttempts: Int = 1000): Long = {
+             maxAttempts: Int = 1000): Long =
+    commitWith(_ => actions, check, maxAttempts)
+
+  private def rowIdHighWaterMark(snap: Snapshot): Long =
+    snap.domainMetadata.get(DeltaLog.RowTrackingDomain)
+      .map(c => mapper.readTree(c).path("rowIdHighWaterMark").asLong(-1L))
+      .getOrElse(-1L)
+
+  /** When row tracking is enabled, stamp every fresh `add` (one missing a
+    * baseRowId — re-adds of existing files keep theirs) with a contiguous
+    * base-row-id block from the CURRENT high-water mark and this commit's
+    * version, and ride the advanced mark in the same commit. Runs per
+    * retry attempt, so a lost race re-allocates against the winner's
+    * mark — two writers can never mint overlapping row ids. */
+  private def stampRowIds(snap: Snapshot, next: Long, actions: Seq[Action]): Seq[Action] = {
+    val enabled = actions.flatMap(_.metaData).lastOption.orElse(snap.metadata)
+      .exists(_.configuration.get(DeltaTable.RowTrackingConfigKey).contains("true"))
+    if (!enabled || !actions.exists(_.add.exists(_.baseRowId.isEmpty))) return actions
+    var hwm = rowIdHighWaterMark(snap)
+    val stamped = actions.map { a =>
+      a.add match {
+        case Some(ad) if ad.baseRowId.isEmpty =>
+          val n = ad.stats.map(s => mapper.readTree(s).path("numRecords").asLong(-1L))
+            .getOrElse(-1L)
+          require(n >= 0L, s"row tracking requires numRecords stats on ${ad.path}")
+          val base = hwm + 1; hwm += n
+          a.copy(add = Some(ad.copy(baseRowId = Some(base),
+            defaultRowCommitVersion = Some(next))))
+        case _ => a
+      }
+    }.filterNot(_.domainMetadata.exists(_.domain == DeltaLog.RowTrackingDomain))
+    stamped :+ Action(domainMetadata = Some(DomainMetadata(DeltaLog.RowTrackingDomain,
+      s"""{"rowIdHighWaterMark":$hwm}""")))
+  }
+
+  /** [[commit]] with per-attempt action GENERATION: `gen` runs against
+    * the then-current snapshot on every retry, so actions that depend on
+    * the predecessor state (row-id blocks, version-stamped fields) are
+    * recomputed against the actual winner instead of committing stale. */
+  def commitWith(gen: Snapshot => Seq[Action], check: Snapshot => Boolean = _ => true,
+                 maxAttempts: Int = 1000): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val snap = snapshot()
       if (!check(snap)) return -1L
       val next = snap.version + 1
+      val actions = stampRowIds(snap, next, gen(snap))
       // IN-COMMIT TIMESTAMPS (Delta writer feature `inCommitTimestamp`,
       // `delta.enableInCommitTimestamps`): the commitInfo carries an
       // authoritative timestamp max(now, predecessor's + 1) — strictly
@@ -628,6 +717,8 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       Seq(Action(protocol = Some(snap.protocol.getOrElse(Protocol())))) ++
         snap.metadata.map(m => Action(metaData = Some(m))).toSeq ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) => Action(txn = Some(Txn(app, v))) } ++
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (dom, cfg) =>
+          Action(domainMetadata = Some(DomainMetadata(dom, cfg))) } ++
         snap.files.map(f => Action(add = Some(f)))
     val lines = actions.map(mapper.writeValueAsString)
     import scala.jdk.CollectionConverters._

@@ -52,6 +52,34 @@ object DeltaTable {
     * `inCommitTimestamp`). */
   val IctConfigKey = "delta.enableInCommitTimestamps"
 
+  /** Row tracking (Delta writer feature `rowTracking` + `domainMetadata`):
+    * every committed add carries a fresh contiguous base-row-id block
+    * (assigned at commit time in [[DeltaLog.commitWith]] from the
+    * `delta.rowTracking` domain's high-water mark), and readers expose
+    * `_row_id` / `_row_commit_version` ([[DeltaTable.toDFWithRowIds]]).
+    * Enable at CREATE — this implementation does not backfill ids onto
+    * files committed before the feature was on. */
+  val RowTrackingConfigKey = "delta.enableRowTracking"
+
+  /** Materialized row-id / row-commit-version PHYSICAL parquet columns
+    * (the protocol's row-id preservation mechanism): OPTIMIZE rewrites
+    * carry each surviving row's original id in these columns, and the
+    * read path takes `coalesce(materialized, baseRowId + row_index)` —
+    * so row ids are STABLE across compaction/Z-order, exactly the Delta
+    * materialized-column design. Never part of the logical schema. */
+  val MaterializedRowIdCol = "_graft_materialized_row_id"
+  val MaterializedRcvCol = "_graft_materialized_row_commit_version"
+
+  /** Logical metadata column names exposed by [[DeltaTable.toDFWithRowIds]]. */
+  val RowIdCol = "_row_id"
+  val RowCommitVersionCol = "_row_commit_version"
+
+  /** Clustered-table clustering-column domain (Delta writer feature
+    * `clusteredTable`): the clustering columns live in the
+    * `delta.clustering` domain metadata — by PHYSICAL name, so RENAME
+    * COLUMN on a mapped clustered table stays metadata-only. */
+  val ClusteringDomain = "delta.clustering"
+
   /** Field-metadata key carrying a generated column's expression (the
     * Delta protocol "Generated Columns" representation — stored in the
     * schema's field metadata, not the table configuration). */
@@ -219,8 +247,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * fixtures seed a v0 _delta_log. No-op if it already exists. */
   def create(schema: StructType, partitionColumns: Seq[String] = Nil,
              name: Option[String] = None,
-             configuration: Map[String, String] = Map.empty): this.type = {
+             configuration: Map[String, String] = Map.empty,
+             clusterBy: Seq[String] = Nil): this.type = {
     if (!exists) {
+      clusterBy.foreach(c => require(schema.fieldNames.contains(c),
+        s"clusterBy column '$c' is not in the schema"))
       val mapping = configuration.get(DeltaTable.ColumnMappingModeKey).contains("name")
       // column mapping composes with partitioning and CDF (round 11):
       // partition directories / partitionValues / change files all carry
@@ -254,13 +285,29 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // version 7, every active feature enumerated) — raise through the
       // same enumeration the DV upgrade path uses, against the pending
       // metadata
+      val extraWriter =
+        (if (configuration.get(DeltaTable.IctConfigKey).contains("true"))
+          Seq("inCommitTimestamp") else Nil) ++
+        (if (configuration.get(DeltaTable.RowTrackingConfigKey).contains("true"))
+          Seq("rowTracking", "domainMetadata") else Nil) ++
+        (if (clusterBy.nonEmpty) Seq("clusteredTable", "domainMetadata") else Nil)
       val protocol =
-        if (!configuration.get(DeltaTable.IctConfigKey).contains("true")) base
+        if (extraWriter.isEmpty) base
         else raisedProtocol(
           Snapshot(-1L, Some(Metadata(id = "pending",
             schemaString = finalSchema.json, configuration = finalConf)),
             Nil, Map.empty, Some(base)),
-          base.minReaderVersion, 7, Nil, Seq("inCommitTimestamp"))
+          base.minReaderVersion, 7, Nil, extraWriter.distinct)
+      // the clustering domain stores PHYSICAL names (like partitionBy's
+      // directory keys) so a later RENAME on a mapped table stays
+      // metadata-only
+      val physByLogical = finalSchema.fields.map(f => f.name -> physicalName(f)).toMap
+      val clusterDomain =
+        if (clusterBy.isEmpty) Nil
+        else Seq(Action(domainMetadata = Some(DomainMetadata(
+          DeltaTable.ClusteringDomain,
+          Actions.mapper.writeValueAsString(Map(
+            "clusteringColumns" -> clusterBy.map(c => Seq(physByLogical(c)))))))))
       log.commit(Seq(
         Action(protocol = Some(protocol)),
         Action(metaData = Some(Metadata(
@@ -269,8 +316,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           schemaString = finalSchema.json,
           partitionColumns = partitionColumns,
           configuration = finalConf,
-          createdTime = Some(System.currentTimeMillis())))),
-        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CREATE TABLE")))))
+          createdTime = Some(System.currentTimeMillis()))))) ++
+        clusterDomain ++
+        Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CREATE TABLE")))))
     }
     this
   }
@@ -1039,12 +1087,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val hasGen = sch.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey))
       val hasConstraints = conf.keys.exists(_.startsWith(DeltaTable.ConstraintPrefix))
       val hasCdf = conf.get(DeltaTable.CdfConfigKey).contains("true")
+      val hasRowTracking = conf.get(DeltaTable.RowTrackingConfigKey).contains("true")
       val reader = (old.readerFeatures.getOrElse(Nil) ++ addReader ++
         (if (mapped) Seq("columnMapping") else Nil)).distinct.sorted
       val writer = (old.writerFeatures.getOrElse(Nil) ++ addWriter ++
         (if (mapped) Seq("columnMapping") else Nil) ++
         (if (hasGen) Seq("generatedColumns") else Nil) ++
         (if (hasConstraints) Seq("checkConstraints") else Nil) ++
+        (if (hasRowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
         (if (hasCdf) Seq("changeDataFeed") else Nil)).distinct.sorted
       Protocol(r, w, Some(reader), Some(writer))
     }
@@ -1637,6 +1687,60 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * from directory layout, cast to the declared schema types). */
   def toDF: DataFrame = dfFor(snapshot)
 
+  def rowTrackingEnabled: Boolean = snapshot.metadata.exists(
+    _.configuration.get(DeltaTable.RowTrackingConfigKey).contains("true"))
+
+  /** The table with the row-tracking metadata columns `_row_id` and
+    * `_row_commit_version` (Delta "Row Tracking" reader surface): stable
+    * per-row identity assigned at commit time, preserved through
+    * OPTIMIZE/compaction via materialized columns. Fresh rows read
+    * `baseRowId + row_index`; rewritten-file rows read the materialized
+    * value. */
+  def toDFWithRowIds: DataFrame = {
+    require(rowTrackingEnabled,
+      s"${DeltaTable.RowTrackingConfigKey} is not 'true' on this table")
+    rawFor(snapshot, withRowIds = true)
+  }
+
+  /** The clustered table's clustering columns (LOGICAL names — the
+    * `delta.clustering` domain stores physical ones). Empty when the
+    * table was not created with `clusterBy`. */
+  def clusteringColumns: Seq[String] = {
+    val snap = snapshot
+    snap.domainMetadata.get(DeltaTable.ClusteringDomain).toSeq.flatMap { cfg =>
+      val node = Actions.mapper.readTree(cfg).path("clusteringColumns")
+      val phys = (0 until node.size).map(i => node.get(i).get(0).asText())
+      val logicalByPhys = snap.schema.map(_.fields.map(f =>
+        physicalName(f) -> f.name).toMap).getOrElse(Map.empty)
+      phys.map(p => logicalByPhys.getOrElse(p, p))
+    }
+  }
+
+  /** Incremental clustering maintenance for a `clusterBy` table (the
+    * liquid-clustering OPTIMIZE shape): re-sort on the Hilbert index of
+    * the stored clustering columns — callers never re-state the keys, so
+    * every maintenance run and every writer agrees on the layout. One
+    * clustering column degrades to a plain range-sort on that column. */
+  def optimizeClustered(numFiles: Int = 0,
+                        where: Option[org.apache.spark.sql.Column] = None): Long = {
+    val cols = clusteringColumns
+    require(cols.nonEmpty, "not a clustered table — create(clusterBy = ...) first")
+    cols match {
+      case Seq(one) => optimizeByKey(col(one), numFiles, where)
+      case Seq(a, b) => optimizeHilbert(a, b, numFiles, where)
+      case many =>
+        // fold >2 keys through the 2-D Hilbert index: the first two
+        // (highest-priority) columns drive the curve, the rest break
+        // ties lexicographically — the practical shape for wide keys
+        optimizeByKey(
+          org.apache.spark.sql.functions.struct(
+            graft.functions.HilbertValue.of(
+              col(many.head).cast("long"), col(many(1)).cast("long")) +:
+              many.drop(2).map(col): _*),
+          numFiles, where)
+    }
+  }
+
   /** Time travel: the table as of `version` — that version's file set AND
     * that version's schema (a later schema evolution must not leak into a
     * historical read). */
@@ -1830,7 +1934,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * file) — projected BEFORE the DV anti-join, because the hidden
     * `_metadata` column is only resolvable directly over the file-source
     * relation and would be lost past a join. */
-  private def rawFor(snap: Snapshot, withMeta: Boolean = false): DataFrame = {
+  private def rawFor(snap: Snapshot, withMeta: Boolean = false,
+                     withRowIds: Boolean = false): DataFrame = {
     val sch = snap.schema.getOrElse(
       throw new IllegalStateException(s"no table metadata at $path"))
     val paths = snap.files.map(f => new Path(path, f.path).toString)
@@ -1838,16 +1943,27 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // column mapping: parquet files store PHYSICAL names — read with the
     // physical schema and rename back to logical below (one projection)
     val phys = physicalSchema(sch)
+    // row tracking: OPTIMIZE-rewritten files carry the surviving rows'
+    // original ids in materialized physical columns; files that were
+    // never rewritten lack them and null-fill (the coalesce below then
+    // falls back to baseRowId + row_index)
+    val readSchema =
+      if (!withRowIds) phys
+      else StructType(phys.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(DeltaTable.MaterializedRowIdCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(DeltaTable.MaterializedRcvCol,
+          org.apache.spark.sql.types.LongType)))
     // the declared schema is passed EXPLICITLY on both branches: files
     // written before a schema evolution lack the new columns, and an
     // inferred schema would make the select below fail instead of
     // null-filling them (partition columns resolve from the dir layout)
-    val reader = spark.read.schema(phys)
+    val reader = spark.read.schema(readSchema)
     val df =
       if (parts.isEmpty) reader.parquet(paths: _*)
       else reader.option("basePath", path).parquet(paths: _*)
     val del = dvLookup(snap)
-    val needMeta = withMeta || del.isDefined
+    val needMeta = withMeta || withRowIds || del.isDefined
     // per-file key = URI path suffix incl. partition dirs (see
     // [[fileKey]] — a bare basename collides across partition
     // directories). `_metadata` is projected BEFORE the logical rename
@@ -1859,7 +1975,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       if (phys.fieldNames.sameElements(sch.fieldNames)) withPhysCols
       else withPhysCols.select(
         (sch.fields.zip(phys.fields).map { case (l, p) => col(p.name).as(l.name) } ++
-          (if (needMeta) Seq(col("__meta_fname"), col("__meta_pos")) else Nil)).toSeq: _*)
+          (if (needMeta) Seq(col("__meta_fname"), col("__meta_pos")) else Nil) ++
+          (if (withRowIds) Seq(col(DeltaTable.MaterializedRowIdCol),
+            col(DeltaTable.MaterializedRcvCol)) else Nil)).toSeq: _*)
     // DV subtraction is a broadcast-bitmap membership FILTER inside the
     // scan stage — no join node, no driver-side position list; per
     // executor the cost is the compressed bitmap bytes once
@@ -1869,8 +1987,32 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         ColumnBridge.toExpr(col("__meta_fname")),
         ColumnBridge.toExpr(col("__meta_pos")), b)))
     }
-    if (withMeta || !needMeta) filtered
-    else filtered.drop("__meta_fname", "__meta_pos")
+    // _row_id / _row_commit_version: materialized column first (rows
+    // preserved through an OPTIMIZE rewrite), else the file's committed
+    // baseRowId + physical row position — both resolved INSIDE the scan
+    // stage via broadcast per-file lookups, the same shape as the DV
+    // filter above. A DV'd row simply never surfaces its id (the filter
+    // runs first), matching the protocol's merge-on-read semantics.
+    val withIds = if (!withRowIds) filtered else {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val baseBc = spark.sparkContext.broadcast(new FileLongLookup(
+        snap.files.flatMap(f => f.baseRowId.map(fileKey(snap, f) -> _)).toMap))
+      val dcvBc = spark.sparkContext.broadcast(new FileLongLookup(
+        snap.files.flatMap(f =>
+          f.defaultRowCommitVersion.map(fileKey(snap, f) -> _)).toMap))
+      val fnameE = ColumnBridge.toExpr(col("__meta_fname"))
+      filtered
+        .withColumn(DeltaTable.RowIdCol,
+          coalesce(col(DeltaTable.MaterializedRowIdCol),
+            ColumnBridge.wrap(FileLongValue(fnameE, baseBc, "base_row_id")) +
+              col("__meta_pos")))
+        .withColumn(DeltaTable.RowCommitVersionCol,
+          coalesce(col(DeltaTable.MaterializedRcvCol),
+            ColumnBridge.wrap(FileLongValue(fnameE, dcvBc, "row_commit_version"))))
+        .drop(DeltaTable.MaterializedRowIdCol, DeltaTable.MaterializedRcvCol)
+    }
+    if (withMeta || !needMeta) withIds
+    else withIds.drop("__meta_fname", "__meta_pos")
   }
 
   /** Broadcast file-key → serialized-bitmap lookup for every live file
@@ -2016,6 +2158,19 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     files.zipWithIndex.collect { case (f, i) if keep(i.toLong) => f }
   }
 
+  /** The rewrite-input frame for OPTIMIZE paths: on a row-tracking table,
+    * each surviving row carries its CURRENT `_row_id` /
+    * `_row_commit_version` renamed into the materialized physical
+    * columns, so the rewritten files preserve row identity (the fresh
+    * baseRowIds the commit stamps on them are shadowed by the
+    * materialized values at read time). [[toPhysicalForWrite]] passes
+    * the extra columns through to the parquet write untouched. */
+  private def materializingRowIds(snap: Snapshot): DataFrame =
+    if (!rowTrackingEnabled) dfFor(snap)
+    else rawFor(snap, withRowIds = true)
+      .withColumnRenamed(DeltaTable.RowIdCol, DeltaTable.MaterializedRowIdCol)
+      .withColumnRenamed(DeltaTable.RowCommitVersionCol, DeltaTable.MaterializedRcvCol)
+
   private def optimizeByKey(key: org.apache.spark.sql.Column, numFiles: Int,
                             where: Option[org.apache.spark.sql.Column] = None): Long = {
     val snap0 = snapshot
@@ -2026,7 +2181,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val n = if (numFiles > 0) numFiles else snap.files.size
     val zv = key
     val rangeCols = parts.map(col) :+ org.apache.spark.sql.functions.col("__zv")
-    val sorted = dfFor(snap).withColumn("__zv", zv)
+    val sorted = materializingRowIds(snap).withColumn("__zv", zv)
       .repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop("__zv")
@@ -2071,7 +2226,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val parts = partitionColumns
     // dfFor handles the declared-schema read (old files null-fill evolved
     // columns) — an inferred read crashes after schema evolution
-    val df = dfFor(snap.copy(files = small))
+    val df = materializingRowIds(snap.copy(files = small))
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val physParts = physicalPartNames(parts)
     val writer = toPhysicalForWrite(df.coalesce(1), schema).write

@@ -827,7 +827,96 @@ object ReferenceOps extends QueryModule {
              |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events WHERE event_id % 2 = 0) AS v1_sum,
              |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS ts1_rows,
              |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events WHERE event_id % 2 = 0) AS ts1_sum,
-             |  (SELECT count(*) FROM events) AS latest_rows""".stripMargin))
+             |  (SELECT count(*) FROM events) AS latest_rows""".stripMargin)),
+
+    // ---- ROW TRACKING (Delta writer features rowTracking +
+    // domainMetadata): stable per-row identity. Append evens (v1) then
+    // odds (v2) — each commit stamps a contiguous base-row-id block from
+    // the domain's high-water mark — then OPTIMIZE, which must PRESERVE
+    // every (_row_id, _row_commit_version) via the materialized columns.
+    // In-query requires pin the preservation (pre/post maps equal) and
+    // the compaction itself; the output aggregates are deterministic
+    // because id blocks are contiguous: ids cover 0..N-1 exactly, and
+    // each row's _row_commit_version is its insert commit. The oracle
+    // recomputes all of it from raw events — a leaked/recycled id, a
+    // lost materialized column, or a commit-version mix-up shifts the
+    // sums. -------------------------------------------------------------
+    "ref_row_tracking" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-rowtrack")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(graft.delta.DeltaTable.RowTrackingConfigKey -> "true"))
+        t.append(ev.filter(col("event_id") % 2 === 0))
+        t.append(ev.filter(col("event_id") % 2 =!= 0))
+        val rid = col(graft.delta.DeltaTable.RowIdCol)
+        val rcv = col(graft.delta.DeltaTable.RowCommitVersionCol)
+        val before = t.toDFWithRowIds.select(col("event_id"), rid, rcv)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        require(t.compact() > 0L, "compaction must fold the two appends")
+        val after = t.toDFWithRowIds.select(col("event_id"), rid, rcv)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        require(after == before,
+          "OPTIMIZE must preserve (_row_id, _row_commit_version) per row")
+        t.toDFWithRowIds.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(rid).as("id_distinct"),
+          min(rid).as("id_min"),
+          max(rid).as("id_max"),
+          sum(rid).cast("long").as("id_sum"),
+          sum(when(rcv === 1L, 1L).otherwise(0L)).cast("long").as("n_v1"),
+          sum(when(rcv === 2L, 1L).otherwise(0L)).cast("long").as("n_v2"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(*) AS id_distinct,
+             |  CAST(0 AS BIGINT) AS id_min,
+             |  CAST(count(*) - 1 AS BIGINT) AS id_max,
+             |  CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS id_sum,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS n_v1,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 <> 0) AS n_v2
+             |FROM events""".stripMargin)),
+
+    // ---- CLUSTERED TABLE (Delta writer feature clusteredTable): the
+    // clustering keys are declared ONCE at create (stored by physical
+    // name in the delta.clustering domain) and optimizeClustered
+    // re-sorts on their Hilbert index without the caller re-stating
+    // them. In-query requires pin the protocol feature, the domain
+    // round-trip, the exact post-optimize file count, and that a point
+    // probe on the leading key prunes files via stats. The oracle
+    // recomputes the content aggregate — a row lost or duplicated by
+    // the rewrite shifts the sums. --------------------------------------
+    "ref_clustered" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-clustered")
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          clusterBy = Seq("user_id", "event_id"))
+        require(t.snapshot.protocol.exists(
+          _.writerFeatures.exists(_.contains("clusteredTable"))))
+        require(t.clusteringColumns == Seq("user_id", "event_id"))
+        (0 until 4).foreach(b => t.append(ev.filter(col("event_id") % 4 === b)))
+        require(t.optimizeClustered(numFiles = 8) > 0L)
+        require(t.snapshot.files.size == 8)
+        // locality probe: one concrete (user_id, event_id) point must
+        // resolve to a small file subset via stats — the observable
+        // clustering property (a single-key probe is the wrong ask under
+        // a Hilbert layout: a fixed user_id crosses many curve segments)
+        val probeRow = t.toDF.orderBy(col("event_id")).limit(1)
+          .select(col("user_id"), col("event_id")).head()
+        require(t.scanFiles(Seq(
+          graft.delta.DataSkipping.ColPred("user_id", "=", probeRow.getLong(0)),
+          graft.delta.DataSkipping.ColPred("event_id", "=", probeRow.getLong(1)))).size <= 2,
+          "a clustered layout must answer a clustering-key point probe " +
+            "from a small file subset")
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum
+             |FROM events""".stripMargin))
   )
 
   /** Spark's decode() collides with our helper name; tiny alias to cast

@@ -1,0 +1,76 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Clustered tables (Delta writer feature `clusteredTable`): clustering
+  * columns declared ONCE at create in the `delta.clustering` domain (by
+  * physical name), incremental layout maintenance via
+  * [[DeltaTable.optimizeClustered]] — no caller ever re-states the keys. */
+class ClusteredTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("create(clusterBy) records the domain + feature; optimize narrows file ranges") {
+    val dir = tmpDir("clus")
+    val df = (0L until 4000L).map(i => (i % 64, (i * 37) % 64, s"r$i"))
+      .toDF("x", "y", "payload")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema, clusterBy = Seq("x", "y"))
+    val p = t.snapshot.protocol.get
+    assert(p.minWriterVersion === 7)
+    assert(p.writerFeatures.get.contains("clusteredTable"))
+    assert(p.writerFeatures.get.contains("domainMetadata"))
+    assert(t.clusteringColumns === Seq("x", "y"))
+    // four interleaved appends: every file spans nearly the whole x range
+    (0 until 4).foreach(b => t.append(df.filter(col("x") % 4 === b)))
+    val before = t.scanFiles(Seq(DataSkipping.ColPred("x", "=", 3L))).size
+    assert(t.optimizeClustered(numFiles = 8) > 0L)
+    val after = t.scanFiles(Seq(DataSkipping.ColPred("x", "=", 3L))).size
+    assert(t.snapshot.files.size === 8)
+    assert(after < before || after < t.snapshot.files.size,
+      s"clustering must make point lookups prune files (before=$before after=$after)")
+    // content unchanged
+    assert(t.toDF.count() === 4000L)
+    assert(t.toDF.agg(sum(col("x"))).head().getLong(0) ===
+      (0L until 4000L).map(_ % 64).sum)
+  }
+
+  test("clusterBy survives RENAME on a mapped table (physical names in the domain)") {
+    val dir = tmpDir("clus-map")
+    val df = (0L until 100L).map(i => (i, i % 7)).toDF("a", "b")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"),
+      clusterBy = Seq("a", "b"))
+    t.append(df)
+    t.renameColumn("a", "alpha")
+    assert(t.clusteringColumns === Seq("alpha", "b"),
+      "the domain stores physical names, so a rename must re-resolve logically")
+    t.append((100L until 200L).map(i => (i, i % 7)).toDF("alpha", "b"))
+    assert(t.optimizeClustered(numFiles = 2) > 0L)
+    assert(t.toDF.count() === 200L)
+  }
+
+  test("clustered + row tracking: optimizeClustered preserves row identity") {
+    val dir = tmpDir("clus-rt")
+    val df = (0L until 500L).map(i => ((i * 131) % 97, i)).toDF("k", "seq")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.RowTrackingConfigKey -> "true"),
+      clusterBy = Seq("k", "seq"))
+    (0 until 2).foreach(b => t.append(df.filter(col("seq") % 2 === b)))
+    val before = t.toDFWithRowIds.select(col("seq"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t.optimizeClustered(numFiles = 4) > 0L)
+    val after = t.toDFWithRowIds.select(col("seq"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before)
+  }
+
+  test("single clustering column degrades to a plain range sort") {
+    val dir = tmpDir("clus-one")
+    val df = (0L until 1000L).map(i => ((i * 7919) % 1000, i)).toDF("k", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema, clusterBy = Seq("k"))
+    t.append(df)
+    assert(t.optimizeClustered(numFiles = 5) > 0L)
+    val files = t.scanFiles(Seq(DataSkipping.ColPred("k", "<=", 100L)))
+    assert(files.size === 1, "a range-sorted layout answers a range probe from one file")
+  }
+}

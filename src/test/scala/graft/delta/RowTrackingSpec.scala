@@ -1,0 +1,124 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Row tracking (Delta PROTOCOL.md "Row Tracking" / writer features
+  * `rowTracking` + `domainMetadata`): commit-time base-row-id blocks from
+  * the `delta.rowTracking` domain's high-water mark, `_row_id` /
+  * `_row_commit_version` on the read path, and preservation through
+  * OPTIMIZE via materialized columns. */
+class RowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(dir: String, extraConf: Map[String, String] = Map.empty) = {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.RowTrackingConfigKey -> "true") ++ extraConf)
+  }
+
+  test("create raises protocol to writer 7 with rowTracking + domainMetadata") {
+    val t = mkTable(tmpDir("rt-proto"))
+    val p = t.snapshot.protocol.get
+    assert(p.minWriterVersion === 7)
+    assert(p.writerFeatures.get.contains("rowTracking"))
+    assert(p.writerFeatures.get.contains("domainMetadata"))
+  }
+
+  test("row ids: contiguous block per commit, unique across commits, version stamped") {
+    val t = mkTable(tmpDir("rt-ids"))
+    val v1 = t.append((0L until 100L).map(i => (i, s"x$i")).toDF("k", "v"))
+    val v2 = t.append((100L until 250L).map(i => (i, s"x$i")).toDF("k", "v"))
+    val rows = t.toDFWithRowIds
+      .select(col(DeltaTable.RowIdCol), col(DeltaTable.RowCommitVersionCol), col("k"))
+      .collect()
+    assert(rows.length === 250)
+    assert(rows.map(_.getLong(0)).toSet === (0L until 250L).toSet,
+      "ids must cover 0..N-1 with no gaps across two commits")
+    // every row of one commit carries that commit's version
+    val byVersion = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(byVersion === Map(v1 -> 100, v2 -> 150))
+    // the domain metadata advanced to the high-water mark
+    assert(t.snapshot.domainMetadata(DeltaLog.RowTrackingDomain)
+      .contains("\"rowIdHighWaterMark\":249"))
+  }
+
+  test("compaction preserves row identity via materialized columns") {
+    val t = mkTable(tmpDir("rt-compact"))
+    (0 until 4).foreach(b =>
+      t.append((b * 50 until (b + 1) * 50).map(i => (i.toLong, s"x$i")).toDF("k", "v")))
+    val before = t.toDFWithRowIds
+      .select(col("k"), col(DeltaTable.RowIdCol).as("id"),
+        col(DeltaTable.RowCommitVersionCol).as("rcv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t.compact() > 0L)
+    assert(t.snapshot.files.size < 4, "compact must fold the small files")
+    val after = t.toDFWithRowIds
+      .select(col("k"), col(DeltaTable.RowIdCol).as("id"),
+        col(DeltaTable.RowCommitVersionCol).as("rcv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after === before,
+      "every row must keep its (_row_id, _row_commit_version) across OPTIMIZE")
+    // and a SECOND rewrite reads the materialized values back out of the
+    // compacted files and carries them again
+    t.append((200L until 230L).map(i => (i, s"x$i")).toDF("k", "v"))
+    assert(t.compact() > 0L)
+    val again = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    before.foreach { case (k, (id, _)) => assert(again(k) === id) }
+    assert(again.values.toSeq.distinct.length === again.size)
+  }
+
+  test("DV delete keeps survivors' ids; fresh appends continue past the mark") {
+    val t = mkTable(tmpDir("rt-dv"),
+      Map(DeltaTable.DvConfigKey -> "true"))
+    t.append((0L until 100L).map(i => (i, s"x$i")).toDF("k", "v"))
+    val before = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t.deleteWithDv(col("k") % 3 === 0) > 0L)
+    val after = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.keySet === before.keySet.filter(_ % 3 != 0))
+    after.foreach { case (k, id) => assert(id === before(k)) }
+    // new rows allocate ABOVE the deleted range — ids never recycle
+    t.append(Seq((1000L, "z")).toDF("k", "v"))
+    val z = t.toDFWithRowIds.filter(col("k") === 1000L)
+      .select(col(DeltaTable.RowIdCol)).head().getLong(0)
+    assert(z === 100L)
+  }
+
+  test("cold reopen and checkpoint replay carry the high-water mark") {
+    val dir = tmpDir("rt-ck")
+    val t = mkTable(dir)
+    // cross the checkpoint interval (10) so the reopen seeds from parquet
+    (0 until 11).foreach(b =>
+      t.append(Seq((b.toLong, s"b$b")).toDF("k", "v")))
+    val reopened = DeltaTable.forPath(spark, dir)
+    assert(reopened.snapshot.domainMetadata(DeltaLog.RowTrackingDomain)
+      .contains("\"rowIdHighWaterMark\":10"))
+    reopened.append(Seq((99L, "z")).toDF("k", "v"))
+    val ids = reopened.toDFWithRowIds.select(col(DeltaTable.RowIdCol))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 12L).toSet)
+    // the checkpoint itself must round-trip baseRowId: files replayed
+    // from the parquet seed still answer with their committed ids
+    val fresh = DeltaTable.forPath(spark, dir)
+    assert(fresh.toDFWithRowIds.select(col(DeltaTable.RowIdCol))
+      .collect().map(_.getLong(0)).toSet === (0L until 12L).toSet)
+  }
+
+  test("two writers racing one table never mint overlapping ids") {
+    val dir = tmpDir("rt-race")
+    mkTable(dir)
+    val a = DeltaTable.forPath(spark, dir)
+    val b = DeltaTable.forPath(spark, dir)
+    a.append((0L until 40L).map(i => (i, "a")).toDF("k", "v"))
+    b.append((100L until 160L).map(i => (i, "b")).toDF("k", "v"))
+    a.append((200L until 220L).map(i => (i, "a2")).toDF("k", "v"))
+    val ids = DeltaTable.forPath(spark, dir).toDFWithRowIds
+      .select(col(DeltaTable.RowIdCol)).collect().map(_.getLong(0))
+    assert(ids.length === 120)
+    assert(ids.toSet === (0L until 120L).toSet,
+      "per-attempt re-stamping must re-allocate against the winner's mark")
+  }
+}
