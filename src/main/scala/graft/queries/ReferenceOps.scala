@@ -875,6 +875,44 @@ object ReferenceOps extends QueryModule {
              |  (SELECT count(*) FROM events WHERE event_id % 2 <> 0) AS n_v2
              |FROM events""".stripMargin)),
 
+    // ---- IDENTITY COLUMNS (Delta protocol writer v6): two appends that
+    // OMIT the id column get contiguous machine-assigned blocks
+    // start, start+step, ... from the schema-metadata high-water mark —
+    // so min/max/sum over the ids are fully determined by the row count
+    // alone, which is exactly what the oracle recomputes from raw
+    // events. In-query requires pin the protocol floor and the advanced
+    // mark; a gap, overlap, or restart-from-start shifts id_sum. -------
+    "ref_identity_cols" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-identity")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val sch = org.apache.spark.sql.types.StructType(
+          graft.delta.DeltaTable.identityField("row_seq", start = 10L, step = 3L) +:
+            ev.schema.fields)
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(sch)
+        require(t.snapshot.protocol.exists(_.minWriterVersion == 6))
+        t.append(ev.filter(col("event_id") % 2 === 0))
+        t.append(ev.filter(col("event_id") % 2 =!= 0))
+        val n = t.toDF.count()
+        val hwm = t.schema.fields.find(_.name == "row_seq").get
+          .metadata.getLong(graft.delta.DeltaTable.IdentityHwmKey)
+        require(hwm == 10L + 3L * (n - 1),
+          "the high-water mark must sit exactly on the last allocated id")
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("row_seq")).as("id_distinct"),
+          min(col("row_seq")).as("id_min"),
+          max(col("row_seq")).as("id_max"),
+          sum(col("row_seq")).cast("long").as("id_sum"),
+          sum(col("event_id")).cast("long").as("event_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(*) AS id_distinct,
+             |  CAST(10 AS BIGINT) AS id_min,
+             |  CAST(10 + 3 * (count(*) - 1) AS BIGINT) AS id_max,
+             |  CAST(10 * count(*) + 3 * count(*) * (count(*) - 1) / 2 AS BIGINT) AS id_sum,
+             |  CAST(sum(event_id) AS BIGINT) AS event_sum
+             |FROM events""".stripMargin)),
+
     // ---- CLUSTERED TABLE (Delta writer feature clusteredTable): the
     // clustering keys are declared ONCE at create (stored by physical
     // name in the delta.clustering domain) and optimizeClustered
