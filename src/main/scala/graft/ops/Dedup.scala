@@ -30,6 +30,18 @@ object Dedup {
       .groupBy(col("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** URL-level dedup — the FIRST pass of a web-crawl pipeline, before
+    * any content bytes are read: canonicalize ([[UrlOps.normalizeUrl]]:
+    * case, www, userinfo, default ports, tracking params, param order,
+    * fragments, trailing slashes) and keep the lowest id per canonical
+    * URL. Scale shape identical to [[exact]]: scan-stage string
+    * canonicalization, one groupBy whose exchange carries only
+    * (canonical url, id). */
+  def byUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(UrlOps.normalizeUrl(col(urlCol)).as("canon_url"), col(idCol))
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** The batch rows that are NOVEL against a live Delta corpus: in-batch
     * exact-deduped (smallest id per digest), then anti-joined on the
     * corpus table's stored `digest` column. The corpus side of the

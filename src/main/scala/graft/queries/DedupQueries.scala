@@ -71,6 +71,22 @@ object DedupQueries extends QueryModule {
        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
+    // ---- URL dedup (keep lowest doc per canonical URL): the messy-URL
+    // fixture from TextQueries (shared so the two gates cannot drift)
+    // through Dedup.byUrl vs DuckDB's independent canonicalization +
+    // GROUP BY. Param-order/tracking/port/case variants must land in ONE
+    // group each. --------------------------------------------------------
+    "dedup_url" -> QueryDef(
+      (s, d) =>
+        graft.ops.Dedup.byUrl(
+          Tables.documents(s, d).select(col("doc_id"),
+            TextQueries.rawUrl(col("doc_id"), col("source")).as("raw")),
+          "doc_id", "raw")
+          .orderBy(col("keep_id")),
+      Some(s"""SELECT ${graft.ops.UrlOps.normalizeUrlSql(TextQueries.rawUrlSql)} AS canon_url,
+              |  min(doc_id) AS keep_id, count(*) AS n_copies
+              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
     "dedup_exact" -> QueryDef(
       (s, d) =>
         Dedup.exact(Tables.documents(s, d), "doc_id", "text")

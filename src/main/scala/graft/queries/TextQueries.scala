@@ -229,7 +229,67 @@ object TextQueries extends QueryModule {
        |agg AS (SELECT doc_id, CAST(sum(q6) AS BIGINT) AS nll_q6
        |        FROM scored GROUP BY doc_id)""".stripMargin
 
+  /** Deterministic messy-URL fixture derived from documents (doc_id
+    * drives scheme case, www/userinfo noise, default/explicit ports,
+    * trailing slashes, tracking params, param order, fragments) — the
+    * SAME construction in Spark and DuckDB, so each engine canonicalizes
+    * independently and the gate compares the results. */
+  private[queries] def rawUrl(d: org.apache.spark.sql.Column,
+                     src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(d % 2 === 0, lit("http")).otherwise(lit("HTTPS")), lit("://"),
+      when(d % 4 === 0, lit("WWW.")).otherwise(
+        when(d % 4 === 1, lit("www.")).otherwise(lit(""))),
+      when(d % 3 === 0, lit("user:pw@")).otherwise(lit("")),
+      src, lit(".Example.COM"),
+      when(d % 5 === 0, lit(":80")).otherwise(
+        when(d % 5 === 1, lit(":443")).otherwise(
+          when(d % 5 === 2, lit(":8080")).otherwise(lit("")))),
+      lit("/p/"), (d % 50).cast("string"),
+      when(d % 7 === 0, lit("/")).otherwise(lit("")),
+      when(d % 3 === 0, lit("?b=2&utm_source=x&a=1")).otherwise(
+        when(d % 3 === 1, lit("?a=1&b=2")).otherwise(lit(""))),
+      when(d % 11 === 0, lit("#frag")).otherwise(lit("")))
+
+  private[queries] val rawUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END || '://' ||
+      | CASE WHEN doc_id % 4 = 0 THEN 'WWW.' WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END ||
+      | CASE WHEN doc_id % 3 = 0 THEN 'user:pw@' ELSE '' END ||
+      | source || '.Example.COM' ||
+      | CASE WHEN doc_id % 5 = 0 THEN ':80' WHEN doc_id % 5 = 1 THEN ':443'
+      |      WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END ||
+      | '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      | CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+      | CASE WHEN doc_id % 3 = 0 THEN '?b=2&utm_source=x&a=1'
+      |      WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END ||
+      | CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)"""
+      .stripMargin.replace("\n", " ")
+
   def defs: Map[String, QueryDef] = Map(
+    // ---- URL canonicalization (the first key of web-crawl curation):
+    // each engine builds the identical messy URL from doc columns, then
+    // canonicalizes with ITS OWN implementation — scheme/host case,
+    // userinfo, www, default ports, trailing slash, tracking params,
+    // param order, and fragments must all collapse identically, and the
+    // host/registered-domain extractors must agree per row. ------------
+    "text_url_canonical" -> QueryDef(
+      (s, d) => {
+        import graft.ops.UrlOps
+        Tables.documents(s, d)
+          .select(col("doc_id"), rawUrl(col("doc_id"), col("source")).as("raw"))
+          .select(col("doc_id"),
+            UrlOps.normalizeUrl(col("raw")).as("canon"),
+            UrlOps.urlHost(col("raw")).as("host"),
+            UrlOps.registeredDomain(UrlOps.urlHost(col("raw"))).as("domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  ${graft.ops.UrlOps.normalizeUrlSql(rawUrlSql)} AS canon,
+              |  ${graft.ops.UrlOps.urlHostSql(rawUrlSql)} AS host,
+              |  ${graft.ops.UrlOps.registeredDomainSql(
+                   graft.ops.UrlOps.urlHostSql(rawUrlSql))} AS domain
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "text_token_count" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
