@@ -124,6 +124,68 @@ object Similarity {
       .select(col("id"), array(comps: _*).as("proj"))
   }
 
+  /** Greedy k-center (farthest-point) DIVERSITY SELECTION — the coreset
+    * primitive of embedding-driven data curation (pick k maximally
+    * spread exemplars; the 2-approximation of the k-center objective).
+    * Seed = lowest id; each round adds the point FARTHEST from the
+    * chosen set (squared L2, ties to the lowest id).
+    *
+    * Exact integer arithmetic: elements quantize to `2^quantBits` units
+    * (floor(x·2^q + ½) — the repo's rounding that both engines compute
+    * identically), distances are BIGINT sums — so the argmax can never
+    * flip on cross-engine float noise.
+    *
+    * Scale shape: driver state is the k selected (id, vector) pairs and
+    * one 1-row collect per round — never the corpus. Each round is ONE
+    * distributed pass updating the running min-distance against only the
+    * NEWEST center (`least(dmin, d²(v, c_new))`), localCheckpointed so
+    * round r's lineage does not replay rounds 1..r-1 — k passes total,
+    * the textbook distributed greedy k-center.
+    *
+    * @return (rank 1..k, id, dist2 = the selected point's min squared
+    *         distance to the prior centers; NULL for the seed) */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    quantBits: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val scale = math.pow(2.0, quantBits)
+    def dist2To(center: Seq[Long]): Column = {
+      val lits = array(center.map(lit): _*)
+      aggregate(
+        zip_with(col("qv"), lits, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    }
+    val q = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long")).as("qv"))
+      .localCheckpoint(true)
+    val seedRow = q.orderBy(col("id")).limit(1).collect().headOption.getOrElse(
+      throw new IllegalArgumentException("k-center on an empty frame"))
+    var picked = List[(Int, Long, Option[Long])]((1, seedRow.getLong(0), None))
+    var lastVec: Seq[Long] = seedRow.getSeq[Long](1)
+    var state = q.filter(col("id") =!= seedRow.getLong(0))
+      .withColumn("dmin", dist2To(lastVec))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      state = state.localCheckpoint(true)
+      val top = state.orderBy(col("dmin").desc, col("id")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val t = top.head
+        picked ::= ((r, t.getLong(0), Some(t.getLong(2))))
+        lastVec = t.getSeq[Long](1)
+        state = state.filter(col("id") =!= t.getLong(0))
+          .withColumn("dmin", least(col("dmin"), dist2To(lastVec)))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    picked.reverse.map { case (rk, id, d) => (rk, id, d) }
+      .toDF("rank", "id", "dist2")
+      .select(col("rank").cast("long").as("rank"), col("id"), col("dist2"))
+  }
+
   /** Cosine RANGE search (radius query): every (query, neighbor) pair
     * with cos ≥ `minCos` — the "all near-enough matches" companion of
     * top-k (retrieval-augmented dedup, policy screens, near-match

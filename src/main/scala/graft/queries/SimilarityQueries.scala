@@ -228,6 +228,38 @@ object SimilarityQueries extends QueryModule {
     // md5-derived ±1 matrix, 1/sqrt(16) scale. Projections are
     // bit-identical cross-engine (same literals, same fold order); gated
     // as micro-unit integers joined to one string (the list-schema dodge).
+    // ---- Greedy k-center diversity selection (coreset sampling): 8
+    // maximally-spread exemplars under exact-integer squared L2 (2^20
+    // quantization — the argmax cannot flip on float noise). The oracle
+    // re-runs the greedy loop as ONE recursive CTE accumulating the
+    // selected-id list; every rank, id, AND selection radius must agree.
+    "sim_kcenter" -> QueryDef(
+      (s, d) =>
+        Similarity.kCenterSelect(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8),
+      Some("""WITH RECURSIVE
+             |qe AS MATERIALIZED (
+             |  SELECT vec_id AS id,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS qv
+             |  FROM embeddings
+             |),
+             |sel(rank, ids, id, dist2) AS (
+             |  SELECT 1, [(SELECT min(id) FROM qe)], (SELECT min(id) FROM qe), CAST(NULL AS BIGINT)
+             |  UNION ALL
+             |  SELECT sel.rank + 1, list_append(sel.ids, nxt.id), nxt.id, nxt.d
+             |  FROM sel, LATERAL (
+             |    SELECT e.id AS id,
+             |      min(CAST(list_sum(list_transform(list_zip(e.qv, c.qv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)) AS d
+             |    FROM qe e JOIN qe c ON list_contains(sel.ids, c.id)
+             |    WHERE NOT list_contains(sel.ids, e.id)
+             |    GROUP BY e.id
+             |    ORDER BY d DESC, e.id
+             |    LIMIT 1
+             |  ) nxt
+             |  WHERE sel.rank < 8
+             |)
+             |SELECT CAST(rank AS BIGINT) AS rank, id, dist2 FROM sel ORDER BY rank""".stripMargin)),
+
     "sim_project_jl" -> QueryDef(
       (s, d) =>
         Similarity.jlProject(Tables.embeddings(s, d), "vec_id", "embedding",

@@ -227,4 +227,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(trivial === unfiltered)
   }
+
+  test("kCenterSelect: greedy farthest-point invariants on a planted grid") {
+    import spark.implicits._
+    // four tight clusters at the corners of a square + noise points near
+    // the origin cluster: the first four picks must hit all four corners
+    val pts = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0.01f, 0f)), (2L, Seq(0f, 0.01f)),
+      (10L, Seq(10f, 0f)), (11L, Seq(10f, 0.01f)),
+      (20L, Seq(0f, 10f)), (21L, Seq(0.01f, 10f)),
+      (30L, Seq(10f, 10f)), (31L, Seq(10f, 9.99f)))
+    val df = pts.toDF("id", "v")
+    val sel = Similarity.kCenterSelect(df, "id", "v", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(sel.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(sel.head._2 === 0L, "seed = lowest id")
+    assert(sel.map(_._2 / 10).toSet === Set(0L, 1L, 2L, 3L),
+      s"first four picks must cover the four corners, got ${sel.toSeq}")
+    // selection radii are non-increasing (the greedy k-center invariant)
+    val radii = sel.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("kCenterSelect: k past the corpus size exhausts cleanly; ids distinct") {
+    import spark.implicits._
+    val df = Seq((5L, Seq(1f, 0f)), (6L, Seq(0f, 1f)), (7L, Seq(1f, 1f)))
+      .toDF("id", "v")
+    val sel = Similarity.kCenterSelect(df, "id", "v", k = 10).collect()
+    assert(sel.length === 3)
+    assert(sel.map(_.getLong(1)).toSet === Set(5L, 6L, 7L))
+  }
 }
