@@ -107,6 +107,50 @@ class RowTrackingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === (0L until 12L).toSet)
   }
 
+  test("DML preserves row identity: DELETE survivors, UPDATE rows, MERGE upserts") {
+    val t = mkTable(tmpDir("rt-dml"))
+    t.append((0L until 100L).map(i => (i, s"x$i")).toDF("k", "v"))
+    val v0 = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // DELETE: survivors keep ids
+    assert(t.delete(col("k") % 10 === 0) > 0L)
+    val afterDel = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterDel === v0.filter { case (k, _) => k % 10 != 0 })
+    // UPDATE: updated rows keep their id; their commit version advances
+    // to the update's commit, untouched rows keep theirs
+    val updV = t.update(col("k") % 7 === 1, Map("v" -> lit("upd")))
+    assert(updV > 0L)
+    val afterUpd = t.toDFWithRowIds
+      .select(col("k"), col(DeltaTable.RowIdCol), col(DeltaTable.RowCommitVersionCol))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    afterUpd.foreach { case (k, (id, rcv)) =>
+      assert(id === afterDel(k), s"UPDATE must not re-identify row k=$k")
+      if (k % 7 == 1) assert(rcv === updV, s"updated row k=$k must carry the UPDATE's commit")
+    }
+    // MERGE: matched rows keep ids; inserts get FRESH ids past the mark
+    val src = Seq((3L, "merged"), (1000L, "new")).toDF("k", "v")
+    assert(t.merge(src, Seq("k")) > 0L)
+    val afterMerge = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterMerge(3L) === afterDel(3L), "merge update must keep the row id")
+    assert(afterMerge(1000L) >= 100L, "merge insert must allocate past the mark")
+    assert(afterMerge.values.toSeq.distinct.length === afterMerge.size)
+  }
+
+  test("purgeDeletionVectors keeps survivors' ids while rewriting DV'd files") {
+    val t = mkTable(tmpDir("rt-purge"), Map(DeltaTable.DvConfigKey -> "true"))
+    t.append((0L until 60L).map(i => (i, s"x$i")).toDF("k", "v"))
+    assert(t.deleteWithDv(col("k") % 4 === 0) > 0L)
+    val before = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t.purgeDeletionVectors() > 0L)
+    assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
+    val after = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before)
+  }
+
   test("two writers racing one table never mint overlapping ids") {
     val dir = tmpDir("rt-race")
     mkTable(dir)
