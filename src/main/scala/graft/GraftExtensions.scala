@@ -101,6 +101,26 @@ object GraftExtensions {
       ops.TextAnalysis.tokens(cols(0)._1)
     }
 
+    registerCols(ext, "graft_url_normalize",
+      "graft_url_normalize(url) - canonical URL: lowercase scheme/host, www/userinfo/" +
+        "default ports/fragments/trailing slashes stripped, tracking params dropped, " +
+        "params sorted") { cols =>
+      checkArity("graft_url_normalize", cols, 1)
+      ops.UrlOps.normalizeUrl(cols(0)._1)
+    }
+
+    registerCols(ext, "graft_url_host",
+      "graft_url_host(url) - the canonical host (lowercased, www/userinfo/port stripped)") { cols =>
+      checkArity("graft_url_host", cols, 1)
+      ops.UrlOps.urlHost(cols(0)._1)
+    }
+
+    registerCols(ext, "graft_url_domain",
+      "graft_url_domain(host) - registered-domain heuristic of a host (public-suffix-lite)") { cols =>
+      checkArity("graft_url_domain", cols, 1)
+      ops.UrlOps.registeredDomain(cols(0)._1)
+    }
+
     registerCols(ext, "graft_ln_wide",
       "graft_ln_wide(x) - engine-portable ln(x) - 32*ln2 for x in [1, 2^62]: " +
         "correctly-rounded-ops-only series, bit-identical to PortableMath.lnWide " +

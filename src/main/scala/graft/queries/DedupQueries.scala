@@ -87,6 +87,26 @@ object DedupQueries extends QueryModule {
               |  min(doc_id) AS keep_id, count(*) AS n_copies
               |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
 
+    // ---- the same URL dedup through the PURE SQL surface
+    // (graft_url_normalize, installed by GraftExtensions): shares
+    // dedup_url's oracle, so the SQL function and the Column API are
+    // proven to build the same kernel end-to-end. ------------------------
+    "dedup_url_sql" -> QueryDef(
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("graft_sql_docs_url")
+        s.sql(s"""WITH raw AS (
+                 |  SELECT doc_id, ${TextQueries.rawUrlSql.replace("AS VARCHAR", "AS STRING")} AS u
+                 |  FROM graft_sql_docs_url
+                 |)
+                 |SELECT graft_url_normalize(u) AS canon_url,
+                 |  min(doc_id) AS keep_id, count(1) AS n_copies
+                 |FROM raw GROUP BY graft_url_normalize(u)
+                 |ORDER BY keep_id""".stripMargin)
+      },
+      Some(s"""SELECT ${graft.ops.UrlOps.normalizeUrlSql(TextQueries.rawUrlSql)} AS canon_url,
+              |  min(doc_id) AS keep_id, count(*) AS n_copies
+              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
     "dedup_exact" -> QueryDef(
       (s, d) =>
         Dedup.exact(Tables.documents(s, d), "doc_id", "text")
