@@ -80,6 +80,12 @@ object DeltaTable {
     * COLUMN on a mapped clustered table stays metadata-only. */
   val ClusteringDomain = "delta.clustering"
 
+  /** CONVERT TO DELTA reads footer stats in a Spark job (instead of a
+    * driver thread pool) at or above this many files. private[delta] var
+    * so specs can exercise the distributed path without staging
+    * thousands of files. */
+  private[delta] var distributedStatsThreshold: Int = 1000
+
   /** Field-metadata key carrying a generated column's expression (the
     * Delta protocol "Generated Columns" representation — stored in the
     * schema's field metadata, not the table configuration). */
@@ -102,6 +108,21 @@ object DeltaTable {
   val IdentityStepKey = "delta.identity.step"
   val IdentityHwmKey = "delta.identity.highWaterMark"
   val IdentityAllowExplicitKey = "delta.identity.allowExplicitInsert"
+
+  /** Column-default field-metadata key (Delta protocol "Default Columns",
+    * writer feature `allowColumnDefaults`): the SQL expression a write
+    * evaluates for a column the batch OMITS. Like delta-spark, defaults
+    * apply on INSERT paths (append / streaming sink) only — MERGE and
+    * overwrite sources must provide their values. */
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+
+  /** A schema field declared DEFAULT (`defaultSql`) — pass to
+    * [[DeltaTable.create]]. */
+  def defaultField(name: String, dataType: org.apache.spark.sql.types.DataType,
+                   defaultSql: String): org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(name, dataType, nullable = true,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(CurrentDefaultKey, defaultSql).build())
 
   /** A schema field declared GENERATED ALWAYS/BY DEFAULT AS IDENTITY —
     * pass to [[DeltaTable.create]]. Appends that omit the column get
@@ -147,10 +168,12 @@ object DeltaTable {
     * schema-compatible — a genuinely mixed-schema directory fails here,
     * not at first read.
     *
-    * Scale: one recursive listing plus one bounded-pool footer read per
-    * file on the driver (same shape as the append path's stats
-    * collection — at many millions of files, collecting stats inside a
-    * Spark job is the next lever). */
+    * Scale: one recursive listing; footer stats read on a bounded driver
+    * pool for small directories and INSIDE A SPARK JOB past
+    * [[DistributedStatsThreshold]] files — a million-file import reads
+    * its footers with cluster parallelism, and the driver receives only
+    * the per-file stats JSON it must hold anyway to write the commit
+    * (driver-side-log design). */
   def convertFrom(spark: SparkSession, dir: String,
                   partitionColumns: Seq[String] = Nil): DeltaTable = {
     import Actions._
@@ -179,31 +202,55 @@ object DeltaTable {
       buf.toSeq
     }
     require(files.nonEmpty, s"no parquet files under $dir — nothing to convert")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, files.size))
-    val adds = try {
-      files.map { st =>
-        pool.submit(new java.util.concurrent.Callable[AddFile] {
-          override def call(): AddFile = {
-            val rel = fs.makeQualified(st.getPath).toString
-              .stripPrefix(rootPrefix).stripPrefix("/")
-            val partitionValues = rel.split('/').dropRight(1).iterator
-              .filter(_.contains('='))
-              .map { seg =>
-                val Array(k, v) = seg.split("=", 2)
-                k -> (if (v == HiveDefaultPartition) null else unescapePathName(v))
-              }.toMap
-            require(partitionValues.keySet == partitionColumns.toSet,
-              s"file $rel has partition path keys ${partitionValues.keySet} " +
-                s"but the declared partitioning is $partitionColumns")
-            AddFile(path = rel, partitionValues = partitionValues,
-              size = st.getLen, modificationTime = st.getModificationTime,
-              dataChange = true,
-              stats = ParquetStats.forFile(fs, st.getPath, partitionColumns.toSet))
-          }
-        })
-      }.map(_.get()).toSeq
-    } finally pool.shutdown()
+    def relOf(st: org.apache.hadoop.fs.LocatedFileStatus): String =
+      fs.makeQualified(st.getPath).toString.stripPrefix(rootPrefix).stripPrefix("/")
+    // footer stats: small imports read on a driver pool; large ones run
+    // ONE Spark job over the file list (executors open the footers with
+    // a rebuilt Hadoop conf), and the driver collects only the stats
+    // strings the commit must carry anyway
+    val statsByRel: Map[String, Option[String]] =
+      if (files.size < DeltaTable.distributedStatsThreshold) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, files.size))
+        try files.map { st =>
+          pool.submit(new java.util.concurrent.Callable[(String, Option[String])] {
+            override def call(): (String, Option[String]) =
+              relOf(st) -> ParquetStats.forFile(fs, st.getPath, partitionColumns.toSet)
+          })
+        }.map(_.get()).toMap
+        finally pool.shutdown()
+      } else {
+        val confPairs = {
+          import scala.jdk.CollectionConverters._
+          conf.iterator().asScala.map(e => e.getKey -> e.getValue).toSeq
+        }
+        val bcConf = spark.sparkContext.broadcast(confPairs)
+        val parts = partitionColumns.toSet
+        val prefix = rootPrefix
+        val slices = math.min(files.size, 512)
+        spark.sparkContext.parallelize(files.map(relOf), slices).map { rel =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          bcConf.value.foreach { case (k, v) => c.set(k, v) }
+          val p = new Path(s"$prefix/$rel")
+          rel -> ParquetStats.forFile(p.getFileSystem(c), p, parts)
+        }.collect().toMap
+      }
+    val adds = files.map { st =>
+      val rel = relOf(st)
+      val partitionValues = rel.split('/').dropRight(1).iterator
+        .filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> (if (v == HiveDefaultPartition) null else unescapePathName(v))
+        }.toMap
+      require(partitionValues.keySet == partitionColumns.toSet,
+        s"file $rel has partition path keys ${partitionValues.keySet} " +
+          s"but the declared partitioning is $partitionColumns")
+      AddFile(path = rel, partitionValues = partitionValues,
+        size = st.getLen, modificationTime = st.getModificationTime,
+        dataChange = true,
+        stats = statsByRel(rel))
+    }
     t.log.commit(
       Seq(Action(protocol = Some(Protocol())),
         Action(metaData = Some(Metadata(
@@ -276,6 +323,19 @@ final class DeltaTable(spark: SparkSession, val path: String) {
              configuration: Map[String, String] = Map.empty,
              clusterBy: Seq[String] = Nil): this.type = {
     if (!exists) {
+      // DEFAULT expressions must be constant-foldable (the Delta
+      // contract): a default referencing other columns is a generated
+      // column's job — refuse at create, not at first append
+      schema.fields.filter(_.metadata.contains(DeltaTable.CurrentDefaultKey))
+        .foreach { f =>
+          val e = f.metadata.getString(DeltaTable.CurrentDefaultKey)
+          val ok = try {
+            spark.range(1).select(
+              org.apache.spark.sql.functions.expr(e).cast(f.dataType)).head(); true
+          } catch { case scala.util.control.NonFatal(_) => false }
+          require(ok, s"default for column '${f.name}' must be a constant " +
+            s"expression castable to ${f.dataType.simpleString}, got: $e")
+        }
       clusterBy.foreach(c => require(schema.fieldNames.contains(c),
         s"clusterBy column '$c' is not in the schema"))
       val mapping = configuration.get(DeltaTable.ColumnMappingModeKey).contains("name")
@@ -318,6 +378,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           Seq("inCommitTimestamp") else Nil) ++
         (if (configuration.get(DeltaTable.RowTrackingConfigKey).contains("true"))
           Seq("rowTracking", "domainMetadata") else Nil) ++
+        (if (schema.fields.exists(_.metadata.contains(DeltaTable.CurrentDefaultKey)))
+          Seq("allowColumnDefaults") else Nil) ++
         (if (clusterBy.nonEmpty) Seq("clusteredTable", "domainMetadata") else Nil)
       val protocol =
         if (extraWriter.isEmpty) base
@@ -553,6 +615,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
 
   /** Generated columns in force: field name → generation expression,
     * from the schema's field metadata (the protocol representation). */
+  /** Column defaults by name ([[DeltaTable.defaultField]]): the SQL each
+    * append evaluates for a column the batch omits. */
+  def columnDefaults: Map[String, String] =
+    schema.fields.filter(_.metadata.contains(DeltaTable.CurrentDefaultKey))
+      .map(f => f.name -> f.metadata.getString(DeltaTable.CurrentDefaultKey)).toMap
+
   def generatedColumns: Map[String, String] =
     schema.fields.flatMap { f =>
       if (f.metadata.contains(DeltaTable.GenerationExprKey))
@@ -606,6 +674,60 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     log.commit(Seq(
       Action(metaData = Some(meta.copy(schemaString = newSchema.json))),
       Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CHANGE SCHEMA")))))
+  }
+
+  /** SYNC IDENTITY (Delta's `ALTER TABLE ... SYNC IDENTITY`): recompute
+    * each identity column's high-water mark from the table's ACTUAL
+    * values — the repair step after explicit-value DML (merge/overwrite)
+    * that this implementation, like Delta proper, does not auto-advance
+    * for. The mark only ever moves FORWARD (in step direction); a
+    * concurrent allocation conflicts loudly via the parsed-schema commit
+    * guard. Returns the committed version, or -1 when already in sync. */
+  def syncIdentity(): Long = {
+    val baseSnap = snapshot
+    val baseSchema = baseSnap.schema.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val ident = baseSchema.fields.toSeq
+      .filter(_.metadata.contains(DeltaTable.IdentityStartKey))
+    require(ident.nonEmpty, "no identity columns on this table")
+    if (dfFor(baseSnap).isEmpty) return -1L
+    val aggs = ident.map { f =>
+      val step = f.metadata.getLong(DeltaTable.IdentityStepKey)
+      (if (step > 0) org.apache.spark.sql.functions.max(col(f.name))
+       else org.apache.spark.sql.functions.min(col(f.name))).cast("long").as(f.name)
+    }
+    val row = dfFor(baseSnap).agg(aggs.head, aggs.tail: _*).head()
+    val updates: Map[String, Long] = ident.zipWithIndex.flatMap { case (f, i) =>
+      if (row.isNullAt(i)) None
+      else {
+        val step = f.metadata.getLong(DeltaTable.IdentityStepKey)
+        val start = f.metadata.getLong(DeltaTable.IdentityStartKey)
+        val cur =
+          if (f.metadata.contains(DeltaTable.IdentityHwmKey))
+            f.metadata.getLong(DeltaTable.IdentityHwmKey)
+          else start - step
+        val ext = row.getLong(i)
+        val next = if (step > 0) math.max(cur, ext) else math.min(cur, ext)
+        if (next == cur) None else Some(f.name -> next)
+      }
+    }.toMap
+    if (updates.isEmpty) return -1L
+    val newSchema = StructType(baseSchema.fields.map(f =>
+      updates.get(f.name).fold(f)(h =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(DeltaTable.IdentityHwmKey, h).build()))))
+    val meta = baseSnap.metadata.get
+    val committed = log.commit(
+      Seq(Action(metaData = Some(meta.copy(schemaString = newSchema.json))),
+        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+          "SYNC IDENTITY")))),
+      check = s => s.metadata.exists(m =>
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaString) == baseSchema &&
+          m.configuration == meta.configuration))
+    if (committed < 0)
+      throw new java.util.ConcurrentModificationException(
+        "SYNC IDENTITY lost a metadata race — re-run against the new state")
+    committed
   }
 
   /** Transactional append. Returns the committed version, or -1 if skipped
@@ -718,10 +840,18 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           sch0.fields ++ firsts.map(t => org.apache.spark.sql.types.StructField(
             t._1, org.apache.spark.sql.types.LongType))))
       }
+    // DEFAULT columns the batch omits evaluate their default expression
+    // (writer feature allowColumnDefaults); provided values pass through
+    // UNCHECKED — a default is a fallback, not a constraint
+    val withDefaults = columnDefaults.toSeq.sortBy(_._1).foldLeft(withIdent) {
+      case (d, (n, e)) =>
+        if (d.columns.exists(_.equalsIgnoreCase(n))) d
+        else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+    }
     // generated columns the batch omits are COMPUTED from their
     // expressions (the Delta writer contract); provided ones pass through
     // and the fused generation check below refuses any mismatch
-    val withGen = generatedColumns.toSeq.sortBy(_._1).foldLeft(withIdent) { case (d, (n, e)) =>
+    val withGen = generatedColumns.toSeq.sortBy(_._1).foldLeft(withDefaults) { case (d, (n, e)) =>
       if (d.columns.exists(_.equalsIgnoreCase(n))) d
       else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
     }
@@ -1238,6 +1368,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val hasCdf = conf.get(DeltaTable.CdfConfigKey).contains("true")
       val hasRowTracking = conf.get(DeltaTable.RowTrackingConfigKey).contains("true")
       val hasIdentity = sch.fields.exists(_.metadata.contains(DeltaTable.IdentityStartKey))
+      val hasDefaults = sch.fields.exists(_.metadata.contains(DeltaTable.CurrentDefaultKey))
       val reader = (old.readerFeatures.getOrElse(Nil) ++ addReader ++
         (if (mapped) Seq("columnMapping") else Nil)).distinct.sorted
       val writer = (old.writerFeatures.getOrElse(Nil) ++ addWriter ++
@@ -1246,6 +1377,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         (if (hasConstraints) Seq("checkConstraints") else Nil) ++
         (if (hasRowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
         (if (hasIdentity) Seq("identityColumns") else Nil) ++
+        (if (hasDefaults) Seq("allowColumnDefaults") else Nil) ++
         (if (hasCdf) Seq("changeDataFeed") else Nil)).distinct.sorted
       Protocol(r, w, Some(reader), Some(writer))
     }

@@ -875,6 +875,40 @@ object ReferenceOps extends QueryModule {
              |  (SELECT count(*) FROM events WHERE event_id % 2 <> 0) AS n_v2
              |FROM events""".stripMargin)),
 
+    // ---- COLUMN DEFAULTS (Delta writer feature allowColumnDefaults):
+    // batch 1 OMITS the defaulted columns (the writer evaluates the
+    // constant defaults), batch 2 PROVIDES them (pass-through — a
+    // default is a fallback, not a constraint). The oracle recomputes
+    // the mixed frame from raw events; a default applied to a provided
+    // row, or a dropped default, shifts the sums. -----------------------
+    "ref_default_cols" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-defaults")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val sch = org.apache.spark.sql.types.StructType(ev.schema.fields ++ Seq(
+          graft.delta.DeltaTable.defaultField("src",
+            org.apache.spark.sql.types.StringType, "'backfill'"),
+          graft.delta.DeltaTable.defaultField("weight",
+            org.apache.spark.sql.types.LongType, "7")))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(sch)
+        require(t.snapshot.protocol.exists(
+          _.writerFeatures.exists(_.contains("allowColumnDefaults"))))
+        t.append(ev.filter(col("event_id") % 2 === 0)) // omitted → defaults
+        t.append(ev.filter(col("event_id") % 2 =!= 0)  // provided → pass through
+          .withColumn("src", lit("live"))
+          .withColumn("weight", (col("event_id") % 5).cast("long")))
+        t.toDF.groupBy(col("src"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("weight")).cast("long").as("weight_sum"),
+            sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy(col("src"))
+      },
+      Some("""SELECT CASE WHEN event_id % 2 = 0 THEN 'backfill' ELSE 'live' END AS src,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 7 ELSE event_id % 5 END) AS BIGINT) AS weight_sum,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY 1 ORDER BY src""".stripMargin)),
+
     // ---- IDENTITY COLUMNS (Delta protocol writer v6): two appends that
     // OMIT the id column get contiguous machine-assigned blocks
     // start, start+step, ... from the schema-metadata high-water mark —

@@ -690,6 +690,24 @@ class DeltaSpec extends SparkSpec {
     assert(ch === Map("delete" -> 2L, "insert" -> 1L))
   }
 
+  test("convertFrom: distributed footer-stats path produces identical adds") {
+    val dirA = tmpDir("convert-dist-a")
+    val dirB = tmpDir("convert-dist-b")
+    sampleDf(0 until 20).write.mode("overwrite").partitionBy("date").parquet(dirA)
+    sampleDf(0 until 20).write.mode("overwrite").partitionBy("date").parquet(dirB)
+    val tA = DeltaTable.convertFrom(spark, dirA, Seq("date")) // driver pool
+    val old = DeltaTable.distributedStatsThreshold
+    DeltaTable.distributedStatsThreshold = 1
+    val tB = try DeltaTable.convertFrom(spark, dirB, Seq("date")) // spark job
+    finally DeltaTable.distributedStatsThreshold = old
+    def statsSet(t: DeltaTable) = t.snapshot.files
+      .map(f => (f.partitionValues.toSeq.sorted, f.stats)).sortBy(_.toString)
+    assert(statsSet(tB) === statsSet(tA),
+      "executor-read footer stats must match the driver-pool stats file-for-file")
+    assert(tB.toDF.count() === 20L)
+    assert(tB.scanFiles(Seq(DataSkipping.ColPred("id", "<=", 1L))).nonEmpty)
+  }
+
   test("convertFrom: in-place CONVERT TO DELTA with stats; DML works on the converted table") {
     // partitioned: Hive layout becomes partitionValues, schema keeps the
     // typed partition column, footer stats ride each add
@@ -721,7 +739,7 @@ class DeltaSpec extends SparkSpec {
     // attempt must not leave a half-created log behind
     val dir3 = tmpDir("convert-bad")
     sampleDf(0 until 5).write.mode("overwrite").partitionBy("date").parquet(dir3)
-    assertThrows[java.util.concurrent.ExecutionException](
+    assertThrows[IllegalArgumentException](
       DeltaTable.convertFrom(spark, dir3, Seq("name")))
     assert(!DeltaTable.forPath(spark, dir3).exists)
   }

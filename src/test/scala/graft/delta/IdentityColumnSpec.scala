@@ -89,6 +89,24 @@ class IdentityColumnSpec extends SparkSpec {
       "sequential appends through two handles must still allocate disjoint blocks")
   }
 
+  test("SYNC IDENTITY re-seats the mark after explicit-value DML") {
+    val t = mk(tmpDir("id-sync"), allowExplicit = true)
+    t.append((0 until 5).map(i => s"a$i").toDF("v")) // ids 1..5, hwm 5
+    // merge inserts an explicit id far past the mark — the mark does NOT
+    // auto-advance (the documented divergence; Delta proper behaves the
+    // same and prescribes SYNC IDENTITY)
+    t.merge(Seq((500L, "ext")).toDF("id", "v"), Seq("id"))
+    assert(t.schema.fields.find(_.name == "id").get
+      .metadata.getLong(DeltaTable.IdentityHwmKey) === 5L)
+    assert(t.syncIdentity() > 0L)
+    assert(t.schema.fields.find(_.name == "id").get
+      .metadata.getLong(DeltaTable.IdentityHwmKey) === 500L)
+    // allocation continues past the synced mark; a second sync is a no-op
+    t.append(Seq("z").toDF("v"))
+    assert(t.toDF.filter(col("v") === "z").head().getLong(0) === 501L)
+    assert(t.syncIdentity() === -1L)
+  }
+
   test("identity composes with generated columns and partitioning") {
     val dir = tmpDir("id-compose")
     val sch = StructType(Seq(
