@@ -85,7 +85,8 @@ object DedupQueries extends QueryModule {
           .orderBy(col("keep_id")),
       Some(s"""SELECT ${graft.ops.UrlOps.normalizeUrlSql(TextQueries.rawUrlSql)} AS canon_url,
               |  min(doc_id) AS keep_id, count(*) AS n_copies
-              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin),
+      headline = true),
 
     // ---- the same URL dedup through the PURE SQL surface
     // (graft_url_normalize, installed by GraftExtensions): shares

@@ -28,6 +28,64 @@ object PipelineRecipe extends QueryModule {
   private val LmThresholdQ6 = 5400000L
 
   def defs: Map[String, QueryDef] = Map(
+    // ---- WEB-CRAWL CURATION, composed: messy-URL canonicalization →
+    // URL-level dedup (first pass, no content bytes) → token-length gate
+    // → embedding join → greedy k-center diversity selection of the
+    // final exemplar set. Every stage is the same graft.ops code its
+    // individual gate checks; the oracle chains the same canonicalization
+    // SQL and re-runs the greedy loop as a recursive CTE over exactly
+    // the surviving candidate set — a drift in ANY stage (a URL variant
+    // not collapsing, a filter boundary, a flipped argmax) moves the
+    // selected ids. Plan shape at 100 TB: scan-stage URL + token
+    // expressions, ONE (url,id) shuffle for the dedup, a broadcast-sized
+    // winner join, then k distributed min-distance passes with only the
+    // k centers on the driver. ------------------------------------------
+    "pipeline_web_curate" -> QueryDef(
+      (s, d) => {
+        import graft.ops.Similarity
+        val withUrl = Tables.documents(s, d).select(col("doc_id"),
+          TextQueries.rawUrl(col("doc_id"), col("source")).as("raw"), col("text"))
+        val winners = Dedup.byUrl(withUrl, "doc_id", "raw")
+          .select(col("keep_id").as("doc_id"))
+        val kept = withUrl.join(winners, Seq("doc_id"))
+          .filter(TextAnalysis.tokenCount(col("text")).cast("long") >= 50L)
+        val cand = kept.select(col("doc_id"))
+          .join(Tables.embeddings(s, d).withColumnRenamed("vec_id", "doc_id"),
+            Seq("doc_id"))
+        Similarity.kCenterSelect(cand, "doc_id", "embedding", k = 6)
+      },
+      Some(s"""WITH RECURSIVE
+              |winners AS MATERIALIZED (
+              |  SELECT min(doc_id) AS doc_id FROM documents
+              |  GROUP BY ${graft.ops.UrlOps.normalizeUrlSql(TextQueries.rawUrlSql)}
+              |),
+              |kept AS MATERIALIZED (
+              |  SELECT d.doc_id FROM documents d
+              |  JOIN winners w ON d.doc_id = w.doc_id
+              |  WHERE len(${O.T}) >= 50
+              |),
+              |qe AS MATERIALIZED (
+              |  SELECT e.vec_id AS id,
+              |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS qv
+              |  FROM embeddings e JOIN kept k ON e.vec_id = k.doc_id
+              |),
+              |sel(rank, ids, id, dist2) AS (
+              |  SELECT 1, [(SELECT min(id) FROM qe)], (SELECT min(id) FROM qe), CAST(NULL AS BIGINT)
+              |  UNION ALL
+              |  SELECT sel.rank + 1, list_append(sel.ids, nxt.id), nxt.id, nxt.d
+              |  FROM sel, LATERAL (
+              |    SELECT e.id AS id,
+              |      min(CAST(list_sum(list_transform(list_zip(e.qv, c.qv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)) AS d
+              |    FROM qe e JOIN qe c ON list_contains(sel.ids, c.id)
+              |    WHERE NOT list_contains(sel.ids, e.id)
+              |    GROUP BY e.id
+              |    ORDER BY d DESC, e.id
+              |    LIMIT 1
+              |  ) nxt
+              |  WHERE sel.rank < 6
+              |)
+              |SELECT CAST(rank AS BIGINT) AS rank, id, dist2 FROM sel ORDER BY rank""".stripMargin)),
+
     "pipeline_e2e" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)

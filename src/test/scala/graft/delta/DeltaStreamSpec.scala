@@ -332,6 +332,35 @@ class DeltaStreamSpec extends SparkSpec {
     }
   }
 
+  test("composition: sink into an identity + default + row-tracking table") {
+    // the sink appends through the FULL write path, so a pre-created
+    // table's identity blocks, constant defaults, and row-id stamping
+    // all apply per micro-batch with zero sink-side plumbing
+    val src = mkTable("dsink-id-src")
+    src.append(rows(0 until 8))
+    val outDir = tmpDir("dsink-id-out") + "/t"
+    val outSchema = StructType(Seq(
+      DeltaTable.identityField("seq"),
+      StructField("id", LongType),
+      StructField("name", StringType),
+      DeltaTable.defaultField("tier", StringType, "'raw'")))
+    DeltaTable.forPath(spark, outDir).create(outSchema,
+      configuration = Map(DeltaTable.RowTrackingConfigKey -> "true"))
+    val q = readStream(src).writeStream.format("graft-delta")
+      .option("path", outDir).option("checkpointLocation", tmpDir("dsink-id-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = DeltaTable.forPath(spark, outDir)
+    assert(out.toDF.count() === 8L)
+    assert(out.toDF.select("seq").as[Long].collect().toSet === (1L to 8L).toSet,
+      "identity block assigned to the streamed batch")
+    assert(out.toDF.filter(col("tier") === "raw").count() === 8L,
+      "constant default evaluated for the omitted column")
+    assert(out.toDFWithRowIds.select(col(DeltaTable.RowIdCol))
+      .as[Long].collect().toSet === (0L until 8L).toSet,
+      "row-id block stamped on the streamed commit")
+  }
+
   test("composition: mapped+partitioned tables and CONVERTed directories stream correctly") {
     // column mapping + partitioning (round-11 composition): physical
     // names in partition dirs, logical names on the stream
