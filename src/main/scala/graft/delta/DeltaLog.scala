@@ -445,6 +445,108 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     } finally in.close()
   }
 
+  private val CompactedRx = """(\d{20})\.(\d{20})\.compacted\.json""".r
+
+  private def compactedFile(from: Long, to: Long): Path =
+    new Path(logPath, f"$from%020d.$to%020d.compacted.json")
+
+  /** All log-compaction files on disk as (from, to) spans, sorted. */
+  private[delta] def compactedSpans(): Seq[(Long, Long)] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).map(_.getPath.getName).collect {
+      case CompactedRx(a, b) => (a.toLong, b.toLong)
+    }.toSeq.sorted
+  }
+
+  /** LOG COMPACTION (PROTOCOL.md "Log Compaction Files",
+    * `<from>.<to>.compacted.json`): aggregate commits from..to into one
+    * file a replay can substitute for the span — per-path LAST file
+    * action (a path both added and removed in the span keeps the REMOVE:
+    * earlier state may hold it live and the tombstone must still apply),
+    * last metaData/protocol, per-app last txn, per-domain last
+    * domainMetadata; commitInfo and cdc are dropped like checkpoints.
+    * The original commit JSONs stay (CDF readers and audits still need
+    * them) — this bounds REPLAY file count between checkpoints, the
+    * protocol's stated purpose. Atomic via the LogStore; idempotent
+    * (same span → same content). Returns the actions written. */
+  def compactLog(from: Long, to: Long): Int = {
+    require(from >= 0 && to >= from, s"bad compaction span [$from, $to]")
+    require(to <= latestVersion(), s"span end $to past the latest version")
+    val state = new ReplayState()
+    (from to to).foreach(v => state.apply(readVersion(v)))
+    // per-path last action: ReplayState keeps live adds; removed paths
+    // need explicit tombstones — recompute them by replaying removes
+    val removedLast = {
+      val seen = mutable.LinkedHashMap.empty[String, RemoveFile]
+      (from to to).foreach(v => readVersion(v).foreach { a =>
+        a.add.foreach(f => seen.remove(f.path))
+        a.remove.foreach(r => seen(r.path) = r)
+      })
+      seen.values.toSeq
+    }
+    val actions: Seq[Action] =
+      state.protocol.map(p => Action(protocol = Some(p))).toSeq ++
+        state.metadata.map(m => Action(metaData = Some(m))).toSeq ++
+        state.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          Action(txn = Some(Txn(app, v))) } ++
+        state.domains.toSeq.sortBy(_._1).map { case (dom, cfg) =>
+          Action(domainMetadata = Some(DomainMetadata(dom, cfg))) } ++
+        state.adds.values.toSeq.map(f => Action(add = Some(f))) ++
+        removedLast.map(r => Action(remove = Some(r)))
+    val bytes = {
+      val sb = new java.lang.StringBuilder()
+      actions.foreach(a => sb.append(mapper.writeValueAsString(a)).append('\n'))
+      sb.toString.getBytes(StandardCharsets.UTF_8)
+    }
+    val file = compactedFile(from, to)
+    if (!fs.exists(file))
+      LogStore.forScheme(Option(fs.getUri.getScheme).getOrElse("file"))
+        .writeAtomic(fs, file, bytes, from)
+    actions.size
+  }
+
+  /** Replay versions (from..to] into `state`, substituting compacted
+    * spans that lie FULLY inside the range — the reader side of log
+    * compaction. Greedy: at each position, take the longest applicable
+    * compacted span, else the single commit JSON. */
+  private def replayRange(state: ReplayState, afterVersion: Long, to: Long): Unit = {
+    if (afterVersion >= to) return
+    // short tails (the cached incremental snapshot's per-commit call)
+    // defer the span listing — one extra FS listing would tax every
+    // streaming trigger to save a handful of JSON reads — but fall back
+    // to it the moment a commit JSON is MISSING (cleanup may have aged
+    // JSONs a surviving span still covers)
+    def listSpans(): Map[Long, Long] =
+      compactedSpans().filter { case (a, b) => a > afterVersion && b <= to }
+        .groupBy(_._1).map { case (a, ss) => a -> ss.map(_._2).max }
+    var spans: Option[Map[Long, Long]] =
+      if (to - afterVersion < 10) None else Some(listSpans())
+    var v = afterVersion + 1
+    while (v <= to) {
+      spans.getOrElse(Map.empty).get(v) match {
+        case Some(end) =>
+          state.apply(readCompacted(v, end))
+          v = end + 1
+        case None =>
+          try {
+            state.apply(readVersion(v)); v += 1
+          } catch {
+            case _: java.io.FileNotFoundException if spans.isEmpty =>
+              spans = Some(listSpans()) // retry v through a covering span
+          }
+      }
+    }
+  }
+
+  private def readCompacted(from: Long, to: Long): Seq[Action] = {
+    val in = fs.open(compactedFile(from, to))
+    try {
+      val text = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(l => mapper.readValue(l, classOf[Action])).toSeq
+    } finally in.close()
+  }
+
   /** Version recorded in `_last_checkpoint`, if readable. */
   private def lastCheckpointVersion(): Option[Long] = {
     val p = new Path(logPath, "_last_checkpoint")
@@ -544,7 +646,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       fromVersion = seedFromCheckpoint(state, latest)
       requireReplayStart(fromVersion)
     }
-    ((fromVersion + 1) to latest).foreach(v => state.apply(readVersion(v)))
+    replayRange(state, fromVersion, latest)
     cached = Some((latest, state))
     Snapshot(latest, state.metadata, state.adds.values.toSeq, state.txns.toMap,
       state.protocol, state.domains.toMap)
@@ -571,7 +673,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     val state = new ReplayState()
     val from = seedFromCheckpoint(state, version)
     requireReplayStart(from)
-    ((from + 1) to version).foreach(v => state.apply(readVersion(v)))
+    replayRange(state, from, version)
     Snapshot(version, state.metadata, state.adds.values.toSeq, state.txns.toMap,
       state.protocol, state.domains.toMap)
   }
@@ -766,6 +868,9 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       val v: Option[Long] = n match {
         case SinglePartRx(x) => Some(x.toLong)
         case MultiPartRx(x, _, _) => Some(x.toLong)
+        // a compaction span dies with its END version: any replay that
+        // could still use it starts at a checkpoint >= cutoff > end
+        case CompactedRx(_, b) => Some(b.toLong)
         case _ if n.endsWith(".json") && !n.contains("checkpoint") =>
           try Some(n.stripSuffix(".json").toLong)
           catch { case _: NumberFormatException => None }

@@ -2353,6 +2353,21 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     org.apache.spark.sql.functions.substring_index(
       col("_metadata.file_path"), "/", -fileKeySegments(snap))
 
+  /** LOG COMPACTION maintenance (PROTOCOL.md log-compaction files): fold
+    * the commit JSONs of [from, to] into one `from.to.compacted.json`
+    * that replays substitute for the span — bounds snapshot-replay file
+    * count between checkpoints on high-commit-rate tables (a streaming
+    * sink lands one commit per trigger). Defaults to everything since
+    * the last checkpoint. Original commits stay for CDF/audit; metadata
+    * cleanup ages the span out with its end version. */
+  def compactLog(from: Long = -1L, to: Long = -1L): Int = {
+    val latest = log.latestVersion()
+    require(latest >= 0, s"no table at $path")
+    val hi = if (to >= 0) to else latest
+    val lo = if (from >= 0) from else 0L
+    log.compactLog(lo, hi)
+  }
+
   /** Garbage-collect data files no longer referenced by the CURRENT
     * snapshot and older than `retentionMs` (delta VACUUM analog; pairs
     * with [[toDF(version:Long)*]] — vacuumed history is no longer

@@ -1,0 +1,66 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Log-compaction files (PROTOCOL.md `<from>.<to>.compacted.json`):
+  * span aggregation semantics (per-path last action incl. tombstones,
+  * last metadata, txns, domain metadata), replay substitution, and
+  * metadata-cleanup aging. */
+class LogCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("a compacted span replays to the identical state — even with the JSONs gone") {
+    val dir = tmpDir("logcomp")
+    val t = DeltaTable.forPath(spark, dir).create(
+      Seq((0L, "s")).toDF("k", "v").schema,
+      configuration = Map(DeltaTable.RowTrackingConfigKey -> "true"))
+    (0 until 17).foreach(b =>
+      t.append(Seq((b.toLong, s"b$b")).toDF("k", "v"),
+        txnAppId = Some("app"), txnVersion = b.toLong))        // v1..v17
+    assert(t.delete(col("k") % 5 === 1) > 0L)                  // v18
+    t.append(Seq((100L, "z")).toDF("k", "v"))                  // v19
+    val expected = t.log.snapshotAt(19L)
+    // compact the tail past the v10 checkpoint
+    assert(t.compactLog(11L, 18L) > 0)
+    // compacting twice is a no-op write (idempotent)
+    assert(t.compactLog(11L, 18L) > 0)
+    // burn the individual commit JSONs of the span: replay MUST come
+    // from the compacted file alone
+    val fs = fsOf(dir)
+    (11L to 18L).foreach(v => fs.delete(t.log.versionFile(v), false))
+    val cold = DeltaTable.forPath(spark, dir)
+    val replayed = cold.log.snapshotAt(19L)
+    assert(replayed.files.toSet === expected.files.toSet,
+      "per-path last actions (incl. the delete's removes) must substitute exactly")
+    assert(replayed.txns === expected.txns)
+    assert(replayed.domainMetadata === expected.domainMetadata,
+      "the row-tracking high-water mark must ride the compacted span")
+    assert(replayed.metadata.map(_.schemaString) === expected.metadata.map(_.schemaString))
+    // and the live table still answers correctly through the span
+    assert(cold.toDF.count() === expected.files.flatMap(_.stats)
+      .map(s => Actions.mapper.readTree(s).path("numRecords").asLong(0L)).sum)
+    // row ids stay unique and contiguous through compacted replay
+    val ids = cold.toDFWithRowIds
+      .select(col(DeltaTable.RowIdCol)).as[Long].collect()
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("metadata cleanup ages a span out with its end version") {
+    val dir = tmpDir("logcomp-clean")
+    val t = DeltaTable.forPath(spark, dir).create(Seq((0L, "s")).toDF("k", "v").schema)
+    (0 until 22).foreach(b => t.append(Seq((b.toLong, s"b$b")).toDF("k", "v")))
+    t.compactLog(3L, 8L)
+    val fs = fsOf(dir)
+    val spanFile = new Path(dir, "_delta_log/" + f"${3L}%020d.${8L}%020d.compacted.json")
+    assert(fs.exists(spanFile))
+    assert(t.log.cleanupMetadata(20L) > 0)
+    assert(!fs.exists(spanFile), "span end 8 < cutoff 20 must age out")
+    // snapshots still reconstruct from the surviving checkpoint
+    assert(DeltaTable.forPath(spark, dir).toDF.count() === 22L)
+  }
+}
