@@ -100,6 +100,18 @@ object Actions {
     * (`delta.clustering`). */
   final case class DomainMetadata(domain: String, configuration: String = "",
                                   removed: Boolean = false)
+  /** V2-checkpoint actions (PROTOCOL.md "V2 Spec Checkpoints"): the
+    * top-level checkpoint file carries one `checkpointMetadata` plus a
+    * `sidecar` pointer per sidecar parquet (under `_delta_log/_sidecars/`)
+    * holding the file actions. Replay ignores both outside checkpoint
+    * loading. */
+  final case class CheckpointMetadata(version: Long,
+                                      tags: Map[String, String] = Map.empty)
+  final case class SidecarFile(path: String,
+                               @JsonDeserialize(contentAs = classOf[java.lang.Long])
+                               sizeInBytes: Option[Long] = None,
+                               @JsonDeserialize(contentAs = classOf[java.lang.Long])
+                               modificationTime: Option[Long] = None)
   final case class CommitInfo(
       timestamp: Long,
       operation: String,
@@ -115,6 +127,8 @@ object Actions {
       cdc: Option[AddCDCFile] = None,
       txn: Option[Txn] = None,
       domainMetadata: Option[DomainMetadata] = None,
+      checkpointMetadata: Option[CheckpointMetadata] = None,
+      sidecar: Option[SidecarFile] = None,
       commitInfo: Option[CommitInfo] = None)
 
   val mapper: ObjectMapper = {
@@ -579,15 +593,21 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     }
   }
 
-  /** One COMPLETE checkpoint on disk: either the classic single file
-    * (`v.checkpoint.parquet`) or a full multi-part set
+  /** One COMPLETE checkpoint on disk: the classic single file
+    * (`v.checkpoint.parquet`), a full multi-part set
     * (`v.checkpoint.<part>.<parts>.parquet`, parts 1..N all present —
-    * PROTOCOL.md classic multi-part form). An incomplete set (a writer
-    * died mid-upload) is IGNORED, never half-read. */
-  private final case class CheckpointSet(version: Long, files: Seq[Path])
+    * PROTOCOL.md classic multi-part form), or a V2 top-level file
+    * (`v.checkpoint.<uuid>.json` whose sidecar pointers are resolved at
+    * load). An incomplete set (a writer died mid-upload) is IGNORED,
+    * never half-read. */
+  private final case class CheckpointSet(version: Long, files: Seq[Path],
+                                         v2: Boolean = false)
 
   private val SinglePartRx = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartRx = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  private val V2Rx = """(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.json""".r
+
+  private[delta] val sidecarDir = new Path(logPath, "_sidecars")
 
   /** All complete checkpoints present on disk, sorted by version (not
     * just `_last_checkpoint` — time travel and metadata cleanup need the
@@ -602,7 +622,13 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       .groupBy(t => (t._1, t._2))
       .collect { case ((v, parts), found) if found.map(_._3).toSet == (1 to parts).toSet =>
         CheckpointSet(v, found.sortBy(_._3).map(t => new Path(logPath, t._4)).toSeq) }
-    (singles ++ multis).toSeq.sortBy(_.version)
+    val v2s = names.collect { case n @ V2Rx(v, _) =>
+      CheckpointSet(v.toLong, Seq(new Path(logPath, n)), v2 = true) }
+    // a version can carry both forms; prefer the V2 (sidecars parallelize)
+    (singles ++ multis ++ v2s).toSeq
+      .groupBy(_.version).map { case (_, sets) =>
+        sets.find(_.v2).getOrElse(sets.head) }
+      .toSeq.sortBy(_.version)
   }
 
   private def checkpointVersions(): Seq[Long] = checkpointSets().map(_.version)
@@ -614,6 +640,19 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     * is the dominant cold-start cost of this (driver-side-log) design. */
   private def seedFromCheckpoint(state: ReplayState, cap: Long): Long =
     (spark, checkpointSets().filter(_.version <= cap).lastOption) match {
+      case (Some(ss), Some(ck)) if ck.v2 =>
+        // V2: the top-level JSON carries the non-file actions + sidecar
+        // pointers; the file actions live in sidecar parquet(s), read
+        // with the same spec schema as classic checkpoints
+        val top = readActionsJson(ck.files.head)
+        state.apply(top.filter(a => a.sidecar.isEmpty && a.checkpointMetadata.isEmpty))
+        val sidecars = top.flatMap(_.sidecar)
+          .map(s => new Path(sidecarDir, s.path).toString)
+        if (sidecars.nonEmpty) {
+          val rows = ss.read.schema(CheckpointSchema).parquet(sidecars: _*).collect()
+          state.apply(rows.iterator.map(CheckpointRows.toAction).toSeq)
+        }
+        ck.version
       case (Some(ss), Some(ck)) =>
         val rows = ss.read.schema(CheckpointSchema)
           .parquet(ck.files.map(_.toString): _*)
@@ -622,6 +661,15 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         ck.version
       case _ => -1L
     }
+
+  private def readActionsJson(file: Path): Seq[Action] = {
+    val in = fs.open(file)
+    try {
+      val text = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(l => mapper.readValue(l, classOf[Action])).toSeq
+    } finally in.close()
+  }
 
   /** Incremental snapshot cache: a streaming writer calls snapshot()
     * before every commit attempt; replaying the whole log each time is
@@ -812,7 +860,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     // would capture any commit a concurrent writer lands between our
     // commit and this call, poisoning later snapshotAt(version) reads
     val snap = snapshotAt(version)
-    val actions: Seq[Action] =
+    val nonFile: Seq[Action] =
       // the REPLAYED protocol, not a fresh default: a checkpoint after a
       // feature upgrade (e.g. deletionVectors → (3,7)) must not
       // downgrade what readers are told the table requires
@@ -820,8 +868,15 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         snap.metadata.map(m => Action(metaData = Some(m))).toSeq ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) => Action(txn = Some(Txn(app, v))) } ++
         snap.domainMetadata.toSeq.sortBy(_._1).map { case (dom, cfg) =>
-          Action(domainMetadata = Some(DomainMetadata(dom, cfg))) } ++
-        snap.files.map(f => Action(add = Some(f)))
+          Action(domainMetadata = Some(DomainMetadata(dom, cfg))) }
+    val actions: Seq[Action] = nonFile ++ snap.files.map(f => Action(add = Some(f)))
+    // V2 checkpoints (table config delta.checkpointPolicy=v2): file
+    // actions go to sidecar parquet(s) under _sidecars/, the UUID-named
+    // top-level JSON carries the rest + checkpointMetadata + pointers
+    if (snap.metadata.exists(_.configuration.get("delta.checkpointPolicy").contains("v2"))) {
+      writeV2Checkpoint(ss, version, snap, nonFile)
+      return
+    }
     val lines = actions.map(mapper.writeValueAsString)
     import scala.jdk.CollectionConverters._
     val df = ss.read.schema(CheckpointSchema)
@@ -851,6 +906,61 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     finally lc.close()
   }
 
+  /** V2-checkpoint writer: sidecar parquet part(s) (spec checkpoint
+    * schema, executor-written like classic multi-part) renamed into
+    * `_sidecars/<uuid>.parquet`, then ONE atomic UUID-named top-level
+    * JSON with checkpointMetadata + non-file actions + sidecar pointers.
+    * `_last_checkpoint` advances exactly like the classic form; a crash
+    * before the top-level publish leaves only unreferenced sidecars,
+    * which [[cleanupMetadata]] garbage-collects. */
+  private def writeV2Checkpoint(ss: SparkSession, version: Long,
+                                snap: Snapshot, nonFile: Seq[Action]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val fileActions = snap.files.map(f => Action(add = Some(f)))
+    val sidecars: Seq[SidecarFile] =
+      if (fileActions.isEmpty) Nil
+      else {
+        val lines = fileActions.map(mapper.writeValueAsString)
+        val df = ss.read.schema(CheckpointSchema)
+          .json(ss.createDataset(lines.asJava)(org.apache.spark.sql.Encoders.STRING))
+        val wantParts = math.max(1,
+          math.ceil(fileActions.size.toDouble / checkpointPartSize).toInt)
+        val tmpDir = new Path(logPath, s".ck2-${java.util.UUID.randomUUID()}")
+        (if (wantParts == 1) df.coalesce(1) else df.repartition(wantParts))
+          .write.mode("overwrite").parquet(tmpDir.toString)
+        fs.mkdirs(sidecarDir)
+        val written = fs.listStatus(tmpDir)
+          .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+        val out = written.toSeq.map { st =>
+          val name = s"${java.util.UUID.randomUUID()}.parquet"
+          val dest = new Path(sidecarDir, name)
+          if (!fs.rename(st.getPath, dest))
+            throw new RuntimeException(s"failed to publish sidecar $dest")
+          SidecarFile(name, Some(fs.getFileStatus(dest).getLen),
+            Some(fs.getFileStatus(dest).getModificationTime))
+        }
+        fs.delete(tmpDir, true)
+        out
+      }
+    val top: Seq[Action] =
+      Seq(Action(checkpointMetadata = Some(CheckpointMetadata(version)))) ++
+        nonFile ++ sidecars.map(s => Action(sidecar = Some(s)))
+    val bytes = {
+      val sb = new java.lang.StringBuilder()
+      top.foreach(a => sb.append(mapper.writeValueAsString(a)).append('\n'))
+      sb.toString.getBytes(StandardCharsets.UTF_8)
+    }
+    val file = new Path(logPath,
+      f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.json")
+    LogStore.forScheme(Option(fs.getUri.getScheme).getOrElse("file"))
+      .writeAtomic(fs, file, bytes, version)
+    val lc = fs.create(new Path(logPath, "_last_checkpoint"), true)
+    try lc.write(
+      s"""{"version":$version,"size":${nonFile.size + snap.files.size + 1}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally lc.close()
+  }
+
   /** Delete JSON commits and checkpoints strictly below the newest
     * checkpoint at or below `beforeVersion` — the Delta metadata-cleanup
     * analog. The cutoff SNAPS DOWN to an existing checkpoint version, and
@@ -871,12 +981,25 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         // a compaction span dies with its END version: any replay that
         // could still use it starts at a checkpoint >= cutoff > end
         case CompactedRx(_, b) => Some(b.toLong)
+        case V2Rx(x, _) => Some(x.toLong)
         case _ if n.endsWith(".json") && !n.contains("checkpoint") =>
           try Some(n.stripSuffix(".json").toLong)
           catch { case _: NumberFormatException => None }
         case _ => None
       }
       if (v.exists(_ < cutoff) && fs.delete(st.getPath, false)) deleted += 1
+    }
+    // sidecar GC: a sidecar survives only while a surviving V2 top-level
+    // file references it (covers both aged-out checkpoints and crashed
+    // writers that never published their top-level)
+    if (fs.exists(sidecarDir)) {
+      val referenced = checkpointSets().filter(_.v2)
+        .flatMap(ck => readActionsJson(ck.files.head).flatMap(_.sidecar.map(_.path)))
+        .toSet
+      fs.listStatus(sidecarDir).foreach { st =>
+        if (!referenced.contains(st.getPath.getName) &&
+          fs.delete(st.getPath, false)) deleted += 1
+      }
     }
     deleted
   }

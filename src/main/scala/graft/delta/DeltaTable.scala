@@ -80,6 +80,11 @@ object DeltaTable {
     * COLUMN on a mapped clustered table stays metadata-only. */
   val ClusteringDomain = "delta.clustering"
 
+  /** V2-checkpoint policy (reader+writer feature `v2Checkpoint`): set
+    * to "v2" in the table configuration at create — checkpoints then
+    * write sidecar parquet(s) + a UUID-named top-level JSON. */
+  val CheckpointPolicyKey = "delta.checkpointPolicy"
+
   /** CONVERT TO DELTA reads footer stats in a Spark job (instead of a
     * driver thread pool) at or above this many files. private[delta] var
     * so specs can exercise the distributed path without staging
@@ -373,6 +378,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // version 7, every active feature enumerated) — raise through the
       // same enumeration the DV upgrade path uses, against the pending
       // metadata
+      val v2Ck = configuration.get(DeltaTable.CheckpointPolicyKey).contains("v2")
       val extraWriter =
         (if (configuration.get(DeltaTable.IctConfigKey).contains("true"))
           Seq("inCommitTimestamp") else Nil) ++
@@ -380,6 +386,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           Seq("rowTracking", "domainMetadata") else Nil) ++
         (if (schema.fields.exists(_.metadata.contains(DeltaTable.CurrentDefaultKey)))
           Seq("allowColumnDefaults") else Nil) ++
+        (if (v2Ck) Seq("v2Checkpoint") else Nil) ++
         (if (clusterBy.nonEmpty) Seq("clusteredTable", "domainMetadata") else Nil)
       val protocol =
         if (extraWriter.isEmpty) base
@@ -387,7 +394,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           Snapshot(-1L, Some(Metadata(id = "pending",
             schemaString = finalSchema.json, configuration = finalConf)),
             Nil, Map.empty, Some(base)),
-          base.minReaderVersion, 7, Nil, extraWriter.distinct)
+          if (v2Ck) 3 else base.minReaderVersion, 7,
+          if (v2Ck) Seq("v2Checkpoint") else Nil, extraWriter.distinct)
       // the clustering domain stores PHYSICAL names (like partitionBy's
       // directory keys) so a later RENAME on a mapped table stays
       // metadata-only

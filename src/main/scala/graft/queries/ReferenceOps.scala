@@ -875,6 +875,33 @@ object ReferenceOps extends QueryModule {
              |  (SELECT count(*) FROM events WHERE event_id % 2 <> 0) AS n_v2
              |FROM events""".stripMargin)),
 
+    // ---- V2 CHECKPOINTS (reader+writer feature v2Checkpoint): 12
+    // commits under checkpointPolicy=v2, metadata cleanup burns the
+    // JSONs below the checkpoint, and a COLD reader must reconstruct
+    // the table from the UUID top-level + sidecar parquet alone. The
+    // oracle recomputes the final content from raw events — a sidecar
+    // row lost or double-applied shifts the sums. -----------------------
+    "ref_v2_checkpoint" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-v2ck")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(graft.delta.DeltaTable.CheckpointPolicyKey -> "v2"))
+        (0 until 12).foreach(b => t.append(ev.filter(col("event_id") % 12 === b)))
+        require(t.log.cleanupMetadata(10L) > 0,
+          "cleanup must burn the pre-checkpoint JSONs")
+        val cold = graft.delta.DeltaTable.forPath(s, dir)
+        require(cold.snapshot.protocol.exists(
+          _.readerFeatures.exists(_.contains("v2Checkpoint"))))
+        cold.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum
+             |FROM events""".stripMargin)),
+
     // ---- COLUMN DEFAULTS (Delta writer feature allowColumnDefaults):
     // batch 1 OMITS the defaulted columns (the writer evaluates the
     // constant defaults), batch 2 PROVIDES them (pass-through — a

@@ -1,0 +1,73 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** V2 checkpoints (PROTOCOL.md, reader+writer feature `v2Checkpoint`):
+  * UUID-named top-level JSON + sidecar parquet(s), cold-start seeding,
+  * and sidecar garbage collection. */
+class V2CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def logFiles(dir: String): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(dir, "_delta_log")).map(_.getPath.getName).toSeq
+  }
+
+  test("v2 policy writes top-level + sidecars; cold start seeds from them") {
+    val dir = tmpDir("v2ck")
+    val t = DeltaTable.forPath(spark, dir).create(
+      Seq((0L, "s")).toDF("k", "v").schema,
+      configuration = Map(
+        DeltaTable.CheckpointPolicyKey -> "v2",
+        DeltaTable.RowTrackingConfigKey -> "true"))
+    val p = t.snapshot.protocol.get
+    assert(p.minReaderVersion === 3)
+    assert(p.readerFeatures.get.contains("v2Checkpoint"))
+    assert(p.writerFeatures.get.contains("v2Checkpoint"))
+    (0 until 12).foreach(b => t.append(Seq((b.toLong, s"b$b")).toDF("k", "v")))
+    val names = logFiles(dir)
+    assert(names.exists(_.matches("""\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.json""")),
+      s"v2 top-level missing in $names")
+    assert(!names.exists(_.matches("""\d{20}\.checkpoint\.parquet""")),
+      "v2 policy must not also write classic checkpoints")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecars = fs.listStatus(new Path(dir, "_delta_log/_sidecars"))
+      .map(_.getPath.getName).toSeq
+    assert(sidecars.nonEmpty && sidecars.forall(_.endsWith(".parquet")))
+    // age out the JSONs below the checkpoint: the cold snapshot must
+    // reconstruct from the v2 top-level + sidecars alone
+    assert(t.log.cleanupMetadata(10L) > 0)
+    val cold = DeltaTable.forPath(spark, dir)
+    assert(cold.toDF.count() === 12L)
+    assert(cold.snapshot.domainMetadata.contains(DeltaLog.RowTrackingDomain),
+      "domain metadata must ride the v2 top-level")
+    val ids = cold.toDFWithRowIds.select(col(DeltaTable.RowIdCol)).as[Long].collect()
+    assert(ids.toSet === (0L until 12L).toSet,
+      "baseRowIds must round-trip through the sidecar parquet")
+    // time travel to a version past the checkpoint still works
+    assert(cold.toDF(11L).count() === 11L)
+  }
+
+  test("sidecar GC removes files no surviving top-level references") {
+    val dir = tmpDir("v2ck-gc")
+    val t = DeltaTable.forPath(spark, dir).create(
+      Seq((0L, "s")).toDF("k", "v").schema,
+      configuration = Map(DeltaTable.CheckpointPolicyKey -> "v2"))
+    (0 until 22).foreach(b => t.append(Seq((b.toLong, s"b$b")).toDF("k", "v")))
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val scDir = new Path(dir, "_delta_log/_sidecars")
+    val before = fs.listStatus(scDir).map(_.getPath.getName).toSet
+    assert(before.size >= 2, s"two checkpoints → two sidecar files, got $before")
+    // plant an orphan (a crashed writer's leftover)
+    val orphan = new Path(scDir, "deadbeef-0000-0000-0000-000000000000.parquet")
+    val out = fs.create(orphan); out.write(1); out.close()
+    assert(t.log.cleanupMetadata(20L) > 0)
+    val after = fs.listStatus(scDir).map(_.getPath.getName).toSet
+    assert(!after.contains(orphan.getName), "orphaned sidecars must GC")
+    // the surviving checkpoint's sidecar is still there and still seeds
+    assert(after.nonEmpty)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() === 22L)
+  }
+}
