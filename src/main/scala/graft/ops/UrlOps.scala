@@ -26,35 +26,16 @@ object UrlOps {
   private val TrackingRx =
     "^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)(=.*)?$"
 
-  /** Canonicalize a URL column (see object doc for the exact form). */
+  /** Canonicalize a URL column (see object doc for the exact form).
+    * ONE codegen'd single-pass kernel expression
+    * ([[graft.functions.UrlCanonicalize]]) — the original ~18-regex
+    * Column formulation paid a full regex stack per row; at 100 TB the
+    * canonicalizer IS the first-pass dedup's scan cost. The DuckDB twin
+    * ([[normalizeUrlSql]]) still derives canonical forms independently,
+    * so the kernel's semantics stay gate-pinned step for step. */
   def normalizeUrl(url: Column): Column = {
-    val u0 = trim(url)
-    val nofrag = regexp_replace(u0, "#.*", "")
-    val scheme = lower(regexp_extract(nofrag, SchemeRx, 1))
-    val rest = regexp_replace(nofrag, SchemeRx, "")
-    val hostportRaw = regexp_extract(rest, "^([^/?]*)", 1)
-    val hostport = regexp_replace(hostportRaw, "^.*@", "")
-    val host = lower(regexp_replace(hostport, ":[0-9]+$", ""))
-    val hostClean = regexp_replace(host, "^www\\.", "")
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val keepPort = (port =!= "") &&
-      !((scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"))
-    val pathq = rest.substr(length(hostportRaw) + 1, length(rest))
-    val path = regexp_extract(pathq, "^([^?]*)", 1)
-    val query = when(pathq.contains("?"),
-      regexp_replace(pathq, "^[^?]*\\?", "")).otherwise(lit(""))
-    val cleanPath = when(path === "" || path === "/", lit(""))
-      .otherwise(regexp_replace(path, "/+$", ""))
-    val params = filter(split(query, "&"),
-      p => (p =!= "") && !p.rlike(TrackingRx))
-    val sortedQ = array_join(array_sort(params), "&")
-    val canonical = concat(
-      scheme, lit("://"), hostClean,
-      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-      cleanPath,
-      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
-    when(scheme === "", nofrag).otherwise(canonical)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.wrap(graft.functions.UrlCanonicalize(ColumnBridge.toExpr(url)))
   }
 
   /** The canonical URL's host (post-normalization). */
