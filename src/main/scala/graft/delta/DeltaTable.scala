@@ -560,6 +560,63 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         "drop the constraint / generated column first")
   }
 
+  /** Widenings [[widenColumnType]] accepts (Delta "Type Widening",
+    * reader+writer feature `typeWidening`) — exactly the conversions the
+    * parquet vectorized reader performs losslessly in-scan, so NOT ONE
+    * data byte rewrites: old files read back widened, new files write
+    * the wide type. */
+  private val Widenings: Set[(org.apache.spark.sql.types.DataType, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set[(DataType, DataType)](
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType),
+      (FloatType, DoubleType))
+  }
+
+  /** ALTER COLUMN TYPE — metadata-only widening. Records the change in
+    * the field's `delta.typeChanges` metadata (the protocol's
+    * representation) and raises to the `typeWidening` reader+writer
+    * feature: readers older than the feature must not misread the
+    * narrow physical pages. Partition columns refuse (their values live
+    * in directory names, not pages). */
+  def widenColumnType(name: String, to: org.apache.spark.sql.types.DataType): Long = {
+    val snap = snapshot
+    val sch = snap.schema.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val f = sch.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown column '$name'"))
+    require(!partitionColumns.contains(name),
+      s"cannot widen partition column '$name'")
+    require(Widenings.contains((f.dataType, to)),
+      s"unsupported widening ${f.dataType.simpleString} -> ${to.simpleString} — " +
+        "supported: byte/short/int -> wider integral, float -> double")
+    val meta = snap.metadata.get
+    val changes = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putMetadataArray("delta.typeChanges",
+        (if (f.metadata.contains("delta.typeChanges"))
+          f.metadata.getMetadataArray("delta.typeChanges") else Array.empty) :+
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("fromType", f.dataType.simpleString)
+            .putString("toType", to.simpleString)
+            .putLong("tableVersion", snap.version + 1)
+            .build())
+      .build()
+    val newSchema = StructType(sch.fields.map(x =>
+      if (x.name == name) x.copy(dataType = to, metadata = changes) else x))
+    val protocol = raisedProtocol(snap, 3, 7, Seq("typeWidening"), Seq("typeWidening"))
+    log.commit(
+      Seq(Action(protocol = Some(protocol)),
+        Action(metaData = Some(meta.copy(schemaString = newSchema.json))),
+        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+          "CHANGE COLUMN", Map("column" -> name, "toType" -> to.simpleString))))),
+      // racing a concurrent schema change would silently drop it
+      check = s => s.metadata.exists(m =>
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaString) == sch &&
+          m.configuration == meta.configuration))
+  }
+
   /** RENAME COLUMN — with column mapping, one metadata commit: the
     * logical name changes, the stable id and physical parquet name do
     * not, so NOT ONE data byte rewrites (on a 100 TB table this is the

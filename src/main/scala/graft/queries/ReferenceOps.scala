@@ -875,6 +875,42 @@ object ReferenceOps extends QueryModule {
              |  (SELECT count(*) FROM events WHERE event_id % 2 <> 0) AS n_v2
              |FROM events""".stripMargin)),
 
+    // ---- TYPE WIDENING (reader+writer feature typeWidening): append a
+    // batch as (int, float), ALTER COLUMN TYPE to (long, double) —
+    // metadata-only, required in-query — then append a second batch in
+    // the wide types and aggregate EXACT integers across the mixed
+    // files. The oracle replays the narrowing cast chain (double →
+    // float → double is the IEEE round both engines share), so a
+    // misread narrow page or a rewritten file shifts the sums. ----------
+    "ref_type_widening" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-widen")
+        val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        val narrow = ev.select(col("event_id").cast("int").as("event_id"),
+          col("value").cast("float").as("value"))
+        val t = graft.delta.DeltaTable.forPath(s, dir)
+          .create(narrow.schema)
+        t.append(narrow.filter(col("event_id") % 2 === 0))
+        val before = t.snapshot.files.map(_.path).toSet
+        require(t.widenColumnType("event_id",
+          org.apache.spark.sql.types.LongType) > 0L)
+        require(t.widenColumnType("value",
+          org.apache.spark.sql.types.DoubleType) > 0L)
+        require(t.snapshot.files.map(_.path).toSet == before,
+          "widening must rewrite zero data files")
+        t.append(ev.filter(col("event_id") % 2 =!= 0))
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(floor(col("value") * 64).cast("long")).cast("long").as("val_q6_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(CAST(floor(
+             |    (CASE WHEN event_id % 2 = 0
+             |          THEN CAST(CAST(value AS REAL) AS DOUBLE) ELSE value END) * 64)
+             |    AS BIGINT)) AS BIGINT) AS val_q6_sum
+             |FROM events""".stripMargin)),
+
     // ---- V2 CHECKPOINTS (reader+writer feature v2Checkpoint): 12
     // commits under checkpointPolicy=v2, metadata cleanup burns the
     // JSONs below the checkpoint, and a COLD reader must reconstruct

@@ -1,0 +1,59 @@
+package graft.delta
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Type widening (Delta reader+writer feature `typeWidening`): metadata-only
+  * ALTER COLUMN TYPE; old files' narrow pages read back widened in-scan. */
+class TypeWideningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int->long and float->double widen without rewriting a byte") {
+    val dir = tmpDir("widen-t")
+    val df = Seq((1, 1.5f, "a"), (2, 2.5f, "b")).toDF("k", "w", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema)
+    t.append(df)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    assert(t.widenColumnType("k", LongType) > 0L)
+    assert(t.widenColumnType("w", DoubleType) > 0L)
+    assert(t.snapshot.files.map(_.path).toSet === filesBefore,
+      "widening must be metadata-only")
+    val p = t.snapshot.protocol.get
+    assert(p.readerFeatures.get.contains("typeWidening"))
+    assert(p.writerFeatures.get.contains("typeWidening"))
+    // old (narrow) and new (wide) files answer under the widened schema
+    t.append(Seq((3L, 9.25d, "c")).toDF("k", "w", "v"))
+    assert(t.schema("k").dataType === LongType)
+    val rows = t.toDF.orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(1.5d, 2.5d, 9.25d))
+    // the protocol's typeChanges record rides the field metadata
+    val tc = t.schema("k").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length === 1 && tc.head.getString("toType") === "bigint")
+  }
+
+  test("narrowing, unknown columns, and partition columns refuse") {
+    val dir = tmpDir("widen-no")
+    val df = Seq((1L, 1, "x")).toDF("k", "n", "par")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      partitionColumns = Seq("par"))
+    t.append(df)
+    assertThrows[IllegalArgumentException](t.widenColumnType("k", IntegerType))
+    assertThrows[IllegalArgumentException](t.widenColumnType("nope", LongType))
+    assertThrows[IllegalArgumentException](t.widenColumnType("par", LongType))
+  }
+
+  test("data skipping keeps pruning across the widen; DML works on mixed files") {
+    val dir = tmpDir("widen-skip")
+    val df1 = (0 until 50).map(i => (i, s"a$i")).toDF("k", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df1.schema)
+    t.append(df1)
+    assert(t.widenColumnType("k", LongType) > 0L)
+    t.append((100L until 150L).map(i => (i, s"b$i")).toDF("k", "v"))
+    val pruned = t.scanFiles(Seq(DataSkipping.ColPred("k", "<=", 10L)))
+    assert(pruned.size === 1, "old-file int stats must prune under the long predicate")
+    assert(t.delete(col("k") >= 100L && col("k") < 110L) > 0L)
+    assert(t.toDF.count() === 90L)
+  }
+}
