@@ -379,6 +379,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // same enumeration the DV upgrade path uses, against the pending
       // metadata
       val v2Ck = configuration.get(DeltaTable.CheckpointPolicyKey).contains("v2")
+      val hasNtz = schema.fields.exists(_.dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
       val extraWriter =
         (if (configuration.get(DeltaTable.IctConfigKey).contains("true"))
           Seq("inCommitTimestamp") else Nil) ++
@@ -387,6 +389,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         (if (schema.fields.exists(_.metadata.contains(DeltaTable.CurrentDefaultKey)))
           Seq("allowColumnDefaults") else Nil) ++
         (if (v2Ck) Seq("v2Checkpoint") else Nil) ++
+        (if (hasNtz) Seq("timestampNtz") else Nil) ++
         (if (clusterBy.nonEmpty) Seq("clusteredTable", "domainMetadata") else Nil)
       val protocol =
         if (extraWriter.isEmpty) base
@@ -394,8 +397,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           Snapshot(-1L, Some(Metadata(id = "pending",
             schemaString = finalSchema.json, configuration = finalConf)),
             Nil, Map.empty, Some(base)),
-          if (v2Ck) 3 else base.minReaderVersion, 7,
-          if (v2Ck) Seq("v2Checkpoint") else Nil, extraWriter.distinct)
+          if (v2Ck || hasNtz) 3 else base.minReaderVersion, 7,
+          (if (v2Ck) Seq("v2Checkpoint") else Nil) ++
+            (if (hasNtz) Seq("timestampNtz") else Nil), extraWriter.distinct)
       // the clustering domain stores PHYSICAL names (like partitionBy's
       // directory keys) so a later RENAME on a mapped table stays
       // metadata-only
@@ -1434,7 +1438,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val hasRowTracking = conf.get(DeltaTable.RowTrackingConfigKey).contains("true")
       val hasIdentity = sch.fields.exists(_.metadata.contains(DeltaTable.IdentityStartKey))
       val hasDefaults = sch.fields.exists(_.metadata.contains(DeltaTable.CurrentDefaultKey))
+      val hasNtz = sch.fields.exists(_.dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
       val reader = (old.readerFeatures.getOrElse(Nil) ++ addReader ++
+        (if (hasNtz) Seq("timestampNtz") else Nil) ++
         (if (mapped) Seq("columnMapping") else Nil)).distinct.sorted
       val writer = (old.writerFeatures.getOrElse(Nil) ++ addWriter ++
         (if (mapped) Seq("columnMapping") else Nil) ++
@@ -1443,6 +1450,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         (if (hasRowTracking) Seq("rowTracking", "domainMetadata") else Nil) ++
         (if (hasIdentity) Seq("identityColumns") else Nil) ++
         (if (hasDefaults) Seq("allowColumnDefaults") else Nil) ++
+        (if (hasNtz) Seq("timestampNtz") else Nil) ++
         (if (hasCdf) Seq("changeDataFeed") else Nil)).distinct.sorted
       Protocol(r, w, Some(reader), Some(writer))
     }

@@ -33,6 +33,25 @@ class TypeWideningSpec extends SparkSpec {
     assert(tc.length === 1 && tc.head.getString("toType") === "bigint")
   }
 
+  test("timestampNtz columns raise the feature and round-trip with stats skipping") {
+    val dir = tmpDir("ntz")
+    val df = Seq(
+      (1L, java.time.LocalDateTime.of(2021, 7, 20, 10, 0, 0)),
+      (2L, java.time.LocalDateTime.of(2021, 7, 21, 11, 30, 0)))
+      .toDF("k", "ts")
+    assert(df.schema("ts").dataType === TimestampNTZType)
+    val t = DeltaTable.forPath(spark, dir).create(df.schema)
+    val p = t.snapshot.protocol.get
+    assert(p.minReaderVersion === 3)
+    assert(p.readerFeatures.get.contains("timestampNtz"))
+    assert(p.writerFeatures.get.contains("timestampNtz"))
+    t.append(df)
+    val back = t.toDF.orderBy("k").collect()
+    assert(back.map(_.getAs[java.time.LocalDateTime]("ts").getHour).toSeq === Seq(10, 11),
+      "NTZ wall-clock values must round-trip unshifted")
+    assert(t.schema("ts").dataType === TimestampNTZType)
+  }
+
   test("narrowing, unknown columns, and partition columns refuse") {
     val dir = tmpDir("widen-no")
     val df = Seq((1L, 1, "x")).toDF("k", "n", "par")

@@ -414,6 +414,45 @@ class PlanSpec extends SparkSpec {
       "entropy must not shuffle anything — lnWideCol runs in the lambda:\n" + p)
   }
 
+  test("dedup_url: one codegen'd kernel in the scan stage, one aggregate exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      TextQueries.rawUrl(col("doc_id"), col("source")).as("raw"))
+    val df = graft.ops.Dedup.byUrl(docs, "doc_id", "raw")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE prints the plan twice
+    assert(p.contains("url_canonicalize"),
+      "canonicalization must be the single kernel expression:\n" + p)
+    assert(!p.contains("regexp_replace"),
+      "the regex-chain formulation must be gone from the hot path:\n" + p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"URL dedup is scan + ONE aggregate exchange, got $exchanges:\n" + p)
+    assert(!p.contains("text#"),
+      "the shuffle carries (canonical, partials), never document text:\n" + p)
+  }
+
+  test("sim_kcenter per-round state: min-distance update has no exchange") {
+    import org.apache.spark.sql.functions._
+    // the round's plan shape: checkpointed state -> filter -> least(dmin,
+    // d2(qv, newest-center literal)) — all scan-stage; the only job-wide
+    // movement is TakeOrdered's 1-row result
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = emb.select(col("vec_id").cast("long").as("id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)).cast("long")).as("qv"))
+      .localCheckpoint(true)
+    val lits = array((0 until 8).map(i => lit(i.toLong)): _*)
+    val state = q.filter(col("id") =!= 0L)
+      .withColumn("dmin", aggregate(
+        zip_with(col("qv"), lits, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+    val p = state.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "the k-center round update must be exchange-free:\n" + p)
+  }
+
   test("text_keywords: rank filter gets WindowGroupLimit; text never shuffles") {
     val df = graft.ops.TextAnalysis.tfidfKeywords(
       graft.Tables.documents(spark, sf), "doc_id", "text", k = 3)
