@@ -486,17 +486,23 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   def compactLog(from: Long, to: Long): Int = {
     require(from >= 0 && to >= from, s"bad compaction span [$from, $to]")
     require(to <= latestVersion(), s"span end $to past the latest version")
+    // ONE pass over the span feeds both the live state and the
+    // TOMBSTONES — paths whose last action was a remove, and domains
+    // whose last action was removed=true, must both ride the compacted
+    // file explicitly: earlier state may hold them live and replay
+    // substitution has to erase them
     val state = new ReplayState()
-    (from to to).foreach(v => state.apply(readVersion(v)))
-    // per-path last action: ReplayState keeps live adds; removed paths
-    // need explicit tombstones — recompute them by replaying removes
-    val removedLast = {
-      val seen = mutable.LinkedHashMap.empty[String, RemoveFile]
-      (from to to).foreach(v => readVersion(v).foreach { a =>
-        a.add.foreach(f => seen.remove(f.path))
-        a.remove.foreach(r => seen(r.path) = r)
-      })
-      seen.values.toSeq
+    val removedPaths = mutable.LinkedHashMap.empty[String, RemoveFile]
+    val removedDomains = mutable.LinkedHashSet.empty[String]
+    (from to to).foreach { v =>
+      val actions = readVersion(v)
+      state.apply(actions)
+      actions.foreach { a =>
+        a.add.foreach(f => removedPaths.remove(f.path))
+        a.remove.foreach(r => removedPaths(r.path) = r)
+        a.domainMetadata.foreach(d =>
+          if (d.removed) removedDomains += d.domain else removedDomains -= d.domain)
+      }
     }
     val actions: Seq[Action] =
       state.protocol.map(p => Action(protocol = Some(p))).toSeq ++
@@ -505,8 +511,10 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
           Action(txn = Some(Txn(app, v))) } ++
         state.domains.toSeq.sortBy(_._1).map { case (dom, cfg) =>
           Action(domainMetadata = Some(DomainMetadata(dom, cfg))) } ++
+        removedDomains.toSeq.sorted.map(dom =>
+          Action(domainMetadata = Some(DomainMetadata(dom, removed = true)))) ++
         state.adds.values.toSeq.map(f => Action(add = Some(f))) ++
-        removedLast.map(r => Action(remove = Some(r)))
+        removedPaths.values.toSeq.map(r => Action(remove = Some(r)))
     val bytes = {
       val sb = new java.lang.StringBuilder()
       actions.foreach(a => sb.append(mapper.writeValueAsString(a)).append('\n'))
@@ -552,14 +560,8 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     }
   }
 
-  private def readCompacted(from: Long, to: Long): Seq[Action] = {
-    val in = fs.open(compactedFile(from, to))
-    try {
-      val text = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
-        .map(l => mapper.readValue(l, classOf[Action])).toSeq
-    } finally in.close()
-  }
+  private def readCompacted(from: Long, to: Long): Seq[Action] =
+    readActionsJson(compactedFile(from, to))
 
   /** Version recorded in `_last_checkpoint`, if readable. */
   private def lastCheckpointVersion(): Option[Long] = {
@@ -632,6 +634,12 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   }
 
   private def checkpointVersions(): Seq[Long] = checkpointSets().map(_.version)
+
+  /** Newest checkpoint version on disk, if any (the natural start of a
+    * log-compaction span — spans at or below a checkpoint can never be
+    * substituted, because replays seed past them). */
+  private[delta] def newestCheckpointVersion(): Option[Long] =
+    checkpointVersions().lastOption
 
   /** Seed a replay from the newest parquet checkpoint at version ≤ cap.
     * Returns the checkpoint version applied, or -1. Rows map STRAIGHT to

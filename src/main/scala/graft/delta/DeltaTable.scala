@@ -330,16 +330,23 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     if (!exists) {
       // DEFAULT expressions must be constant-foldable (the Delta
       // contract): a default referencing other columns is a generated
-      // column's job — refuse at create, not at first append
+      // column's job, and a non-deterministic one (rand()) would mint a
+      // different "default" per row — refuse both at create, not at
+      // first append. Analysis runs over a FROM-less projection so any
+      // column reference fails resolution (range(1) would silently
+      // resolve 'id'), and the analyzed tree's determinism is checked
+      // explicitly.
       schema.fields.filter(_.metadata.contains(DeltaTable.CurrentDefaultKey))
         .foreach { f =>
           val e = f.metadata.getString(DeltaTable.CurrentDefaultKey)
           val ok = try {
-            spark.range(1).select(
-              org.apache.spark.sql.functions.expr(e).cast(f.dataType)).head(); true
+            val df = spark.sql(s"SELECT CAST(($e) AS ${f.dataType.sql})")
+            df.queryExecution.analyzed.expressions.forall(_.deterministic) && {
+              df.head(); true
+            }
           } catch { case scala.util.control.NonFatal(_) => false }
-          require(ok, s"default for column '${f.name}' must be a constant " +
-            s"expression castable to ${f.dataType.simpleString}, got: $e")
+          require(ok, s"default for column '${f.name}' must be a constant, " +
+            s"deterministic expression castable to ${f.dataType.simpleString}, got: $e")
         }
       clusterBy.foreach(c => require(schema.fieldNames.contains(c),
         s"clusterBy column '$c' is not in the schema"))
@@ -610,7 +617,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val newSchema = StructType(sch.fields.map(x =>
       if (x.name == name) x.copy(dataType = to, metadata = changes) else x))
     val protocol = raisedProtocol(snap, 3, 7, Seq("typeWidening"), Seq("typeWidening"))
-    log.commit(
+    val committed = log.commit(
       Seq(Action(protocol = Some(protocol)),
         Action(metaData = Some(meta.copy(schemaString = newSchema.json))),
         Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
@@ -619,6 +626,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       check = s => s.metadata.exists(m =>
         org.apache.spark.sql.types.DataType.fromJson(m.schemaString) == sch &&
           m.configuration == meta.configuration))
+    // DDL must fail LOUDLY on a lost race: a caller ignoring the return
+    // would proceed believing the column widened
+    if (committed < 0)
+      throw new java.util.ConcurrentModificationException(
+        "ALTER COLUMN TYPE lost a metadata race — re-run against the new state")
+    committed
   }
 
   /** RENAME COLUMN — with column mapping, one metadata commit: the
@@ -885,12 +898,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         "(create the table with identityField(allowExplicitInsert = true) " +
         "for BY DEFAULT semantics)") }
     // explicit inserts advance the mark past the farthest provided value
-    // (in step direction) — one tiny agg job, only on explicit batches
-    val identProvidedExtreme: Map[String, Long] = identProvided.map {
+    // (in step direction) — one tiny agg job, only on explicit batches.
+    // An empty or all-null batch aggregates to NULL → no extreme, mark
+    // untouched (the batchRows guard below would skip anyway, but the
+    // eager getLong would crash first)
+    val identProvidedExtreme: Map[String, Long] = identProvided.flatMap {
       case (n, _, step, _, _) =>
         val agg = if (step > 0) org.apache.spark.sql.functions.max(col(n))
                   else org.apache.spark.sql.functions.min(col(n))
-        n -> df.agg(agg.cast("long")).head().getLong(0)
+        val row = df.agg(agg.cast("long")).head()
+        if (row.isNullAt(0)) None else Some(n -> row.getLong(0))
     }.toMap
     // contiguous block assignment rides RDD.zipWithIndex (one light
     // partition-size pass + the write pass — Spark's standard 2-pass id
@@ -955,9 +972,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           }
         } ++ identProvided.flatMap { case (n, start, step, _, hwm) =>
           if (batchRows == 0L) None
-          else {
+          else identProvidedExtreme.get(n).flatMap { ext =>
             val cur = hwm.getOrElse(start - step)
-            val ext = identProvidedExtreme(n)
             val next = if (step > 0) math.max(cur, ext) else math.min(cur, ext)
             if (next == cur) None else Some(n -> next)
           }
@@ -2055,6 +2071,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         Action(metaData = Some(meta.copy(
           id = java.util.UUID.randomUUID().toString,
           createdTime = Some(System.currentTimeMillis()))))) ++
+        // domain metadata is TABLE STATE and must ride the clone: without
+        // the delta.rowTracking high-water mark, the clone's first append
+        // would re-stamp baseRowId 0 over the cloned files' ids; without
+        // delta.clustering, optimizeClustered forgets the layout
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (dom, cfg) =>
+          Action(domainMetadata = Some(DomainMetadata(dom, cfg))) } ++
         adds.map(a => Action(add = Some(a))) ++
         Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CLONE",
           Map("source" -> path, "sourceVersion" -> snap.version.toString))))))
@@ -2437,7 +2459,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val latest = log.latestVersion()
     require(latest >= 0, s"no table at $path")
     val hi = if (to >= 0) to else latest
-    val lo = if (from >= 0) from else 0L
+    // default from = just past the newest checkpoint: a span overlapping
+    // the checkpoint can never be substituted (replays seed past it), so
+    // compacting from 0 on a checkpointed table would be wasted I/O
+    val lo = if (from >= 0) from
+             else log.newestCheckpointVersion().map(_ + 1).getOrElse(0L)
+    require(lo <= hi, s"nothing to compact: [$lo, $hi]")
     log.compactLog(lo, hi)
   }
 

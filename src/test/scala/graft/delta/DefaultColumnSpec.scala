@@ -27,12 +27,18 @@ class DefaultColumnSpec extends SparkSpec {
       1L -> ("unknown", 7L), 2L -> ("unknown", 7L), 3L -> ("web", 9L)))
   }
 
-  test("non-constant default refuses at create") {
-    val sch = StructType(Seq(
-      StructField("k", LongType),
-      DeltaTable.defaultField("bad", LongType, "k + 1")))
-    assertThrows[IllegalArgumentException](
-      DeltaTable.forPath(spark, tmpDir("def-bad")).create(sch))
+  test("non-constant and non-deterministic defaults refuse at create") {
+    def refuse(name: String, e: String): Unit = {
+      val sch = StructType(Seq(
+        StructField("k", LongType),
+        DeltaTable.defaultField(name, LongType, e)))
+      assertThrows[IllegalArgumentException](
+        DeltaTable.forPath(spark, tmpDir(s"def-bad-$name")).create(sch))
+    }
+    refuse("bad", "k + 1")
+    // 'id' must not silently resolve against some internal relation
+    refuse("copy", "id")
+    refuse("roll", "CAST(rand() * 100 AS BIGINT)")
   }
 
   test("defaults compose with generated columns and partitioning") {

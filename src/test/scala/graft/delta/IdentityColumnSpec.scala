@@ -58,6 +58,22 @@ class IdentityColumnSpec extends SparkSpec {
     assert(byV("x") === 100L && byV("y") === 200L && byV("z") === 201L)
   }
 
+  test("explicit-identity batches that are empty or all-null don't crash or move the mark") {
+    val t = mk(tmpDir("id-empty"), allowExplicit = true)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // empty batch WITH the identity column: aggregate is NULL — no NPE,
+    // mark untouched
+    t.append(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType)))))
+    // all-null ids: same
+    t.append(Seq((Option.empty[Long], "n")).toDF("id", "v"))
+    val hwm = t.schema.fields.find(_.name == "id").get.metadata
+    assert(!hwm.contains(DeltaTable.IdentityHwmKey) ||
+      hwm.getLong(DeltaTable.IdentityHwmKey) === 1L)
+    assert(t.toDF.count() === 2L)
+  }
+
   test("merge/overwrite refuse silent identity nulls") {
     val t = mk(tmpDir("id-dml"))
     t.append(Seq("a").toDF("v"))

@@ -50,6 +50,38 @@ class LogCompactionSpec extends SparkSpec {
     assert(ids.distinct.length === ids.length)
   }
 
+  test("a domain removed inside the span stays removed after substitution") {
+    val dir = tmpDir("logcomp-dom")
+    val t = DeltaTable.forPath(spark, dir).create(Seq((0L, "s")).toDF("k", "v").schema)
+    import Actions._
+    t.log.commit(Seq(Action(domainMetadata = Some(DomainMetadata("custom.d", "{}"))),
+      Action(commitInfo = Some(CommitInfo(1L, "SET DOMAIN")))))          // v1
+    (0 until 10).foreach(b => t.append(Seq((b.toLong, "x")).toDF("k", "v"))) // v2..v11
+    t.log.commit(Seq(Action(domainMetadata = Some(DomainMetadata("custom.d",
+      removed = true))), Action(commitInfo = Some(CommitInfo(2L, "DROP DOMAIN"))))) // v12
+    t.append(Seq((99L, "z")).toDF("k", "v"))                              // v13
+    assert(t.compactLog(11L, 12L) > 0)
+    val fs = fsOf(dir)
+    // burn only the covered interior (cleanup never deletes the tip —
+    // latestVersion() is derived from the commit listing)
+    (11L to 12L).foreach(v => fs.delete(t.log.versionFile(v), false))
+    val cold = DeltaTable.forPath(spark, dir)
+    assert(!cold.snapshot.domainMetadata.contains("custom.d"),
+      "the tombstone must ride the compacted span — the domain was live at v10")
+    assert(cold.toDF.count() === 11L)
+  }
+
+  test("compactLog defaults to the span past the newest checkpoint") {
+    val dir = tmpDir("logcomp-def")
+    val t = DeltaTable.forPath(spark, dir).create(Seq((0L, "s")).toDF("k", "v").schema)
+    (0 until 14).foreach(b => t.append(Seq((b.toLong, "x")).toDF("k", "v"))) // ck at v10
+    assert(t.compactLog() > 0)
+    val fs = fsOf(dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "_delta_log/" + f"${11L}%020d.${14L}%020d.compacted.json")),
+      "the default span must start just past the v10 checkpoint")
+  }
+
   test("metadata cleanup ages a span out with its end version") {
     val dir = tmpDir("logcomp-clean")
     val t = DeltaTable.forPath(spark, dir).create(Seq((0L, "s")).toDF("k", "v").schema)

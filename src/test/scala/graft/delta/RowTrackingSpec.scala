@@ -151,6 +151,21 @@ class RowTrackingSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("shallow clone carries the row-id high-water mark and domains") {
+    val t = mkTable(tmpDir("rt-clone"))
+    t.append((0L until 20L).map(i => (i, s"x$i")).toDF("k", "v"))
+    val cloneDir = tmpDir("rt-clone-dst") + "/t"
+    val clone = t.shallowCloneTo(cloneDir)
+    assert(clone.snapshot.domainMetadata.contains(DeltaLog.RowTrackingDomain),
+      "the clone must inherit the delta.rowTracking domain")
+    clone.append((100L until 105L).map(i => (i, "c")).toDF("k", "v"))
+    val ids = clone.toDFWithRowIds.select(col(DeltaTable.RowIdCol))
+      .collect().map(_.getLong(0))
+    assert(ids.length === 25)
+    assert(ids.toSet === (0L until 25L).toSet,
+      "the clone's first append must allocate PAST the cloned mark, not restart at 0")
+  }
+
   test("two writers racing one table never mint overlapping ids") {
     val dir = tmpDir("rt-race")
     mkTable(dir)
