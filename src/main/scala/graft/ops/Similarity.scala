@@ -186,6 +186,51 @@ object Similarity {
       .select(col("rank").cast("long").as("rank"), col("id"), col("dist2"))
   }
 
+  /** DuckDB twin of [[kCenterSelect]]: the greedy loop UNROLLED as a
+    * chain of tiny MATERIALIZED steps (p1, d1, p2, d2, ... — each d_i is
+    * the 1-pass `least(d, d²(·, newest))` update over ≤ |corpus| rows,
+    * mirroring the Spark rounds exactly). The earlier recursive-CTE
+    * formulation carried per-iteration operator trees that pushed DuckDB
+    * past the 128 MB driver-host bar (the rounds-8/9 OOM lesson) and a
+    * LATERAL referencing a chain CTE inside the recursion resolved
+    * against empty relations (the round-11 DuckDB bug) — the unrolled
+    * chain dodges both.
+    *
+    * @param qeBody    SQL producing the candidate set as (id, qv) — qv
+    *                  must be the 2^quantBits-quantized BIGINT list
+    * @param prefixCtes optional CTE definitions (each ending with a
+    *                  comma) the qeBody references */
+  def kCenterSql(k: Int, qeBody: String, prefixCtes: String = ""): String = {
+    require(k >= 1)
+    def d2(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    val steps = new scala.collection.mutable.ArrayBuffer[String]
+    steps += s"qe AS MATERIALIZED ($qeBody)"
+    steps += "p1 AS MATERIALIZED (SELECT id, qv, CAST(NULL AS BIGINT) AS d " +
+      "FROM qe WHERE id = (SELECT min(id) FROM qe))"
+    steps += s"""d1 AS MATERIALIZED (
+                |  SELECT e.id, e.qv, ${d2("e.qv", "c.qv")} AS d
+                |  FROM qe e, p1 c WHERE e.id <> c.id
+                |)""".stripMargin
+    for (i <- 2 to k) {
+      steps += s"p$i AS MATERIALIZED (SELECT id, qv, d FROM d${i - 1} ORDER BY d DESC, id LIMIT 1)"
+      if (i < k)
+        steps += s"""d$i AS MATERIALIZED (
+                    |  SELECT e.id, e.qv, least(e.d, ${d2("e.qv", "c.qv")}) AS d
+                    |  FROM d${i - 1} e, p$i c WHERE e.id <> c.id
+                    |)""".stripMargin
+    }
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, id, d AS dist2 FROM p$i").mkString(" UNION ALL ")
+    s"WITH $prefixCtes${steps.mkString(",\n")}\n" +
+      s"SELECT rank, id, dist2 FROM ($sel) ORDER BY rank"
+  }
+
+  /** The quantized-vector SQL fragment shared by [[kCenterSql]] callers. */
+  def quantizeSql(vecExpr: String, quantBits: Int = 20): String =
+    s"list_transform($vecExpr, x -> CAST(floor(CAST(x AS DOUBLE) * " +
+      s"${math.pow(2.0, quantBits).toLong}.0 + 0.5) AS BIGINT))"
+
   /** Cosine RANGE search (radius query): every (query, neighbor) pair
     * with cos ≥ `minCos` — the "all near-enough matches" companion of
     * top-k (retrieval-augmented dedup, policy screens, near-match

@@ -54,37 +54,24 @@ object PipelineRecipe extends QueryModule {
             Seq("doc_id"))
         Similarity.kCenterSelect(cand, "doc_id", "embedding", k = 6)
       },
-      Some(s"""WITH RECURSIVE
-              |winners AS MATERIALIZED (
-              |  SELECT min(doc_id) AS doc_id FROM documents
-              |  GROUP BY ${graft.ops.UrlOps.normalizeUrlSql(TextQueries.rawUrlSql)}
-              |),
-              |kept AS MATERIALIZED (
-              |  SELECT d.doc_id FROM documents d
-              |  JOIN winners w ON d.doc_id = w.doc_id
-              |  WHERE len(${O.T}) >= 50
-              |),
-              |qe AS MATERIALIZED (
-              |  SELECT e.vec_id AS id,
-              |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS qv
-              |  FROM embeddings e JOIN kept k ON e.vec_id = k.doc_id
-              |),
-              |sel(rank, ids, id, dist2) AS (
-              |  SELECT 1, [(SELECT min(id) FROM qe)], (SELECT min(id) FROM qe), CAST(NULL AS BIGINT)
-              |  UNION ALL
-              |  SELECT sel.rank + 1, list_append(sel.ids, nxt.id), nxt.id, nxt.d
-              |  FROM sel, LATERAL (
-              |    SELECT e.id AS id,
-              |      min(CAST(list_sum(list_transform(list_zip(e.qv, c.qv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)) AS d
-              |    FROM qe e JOIN qe c ON list_contains(sel.ids, c.id)
-              |    WHERE NOT list_contains(sel.ids, e.id)
-              |    GROUP BY e.id
-              |    ORDER BY d DESC, e.id
-              |    LIMIT 1
-              |  ) nxt
-              |  WHERE sel.rank < 6
-              |)
-              |SELECT CAST(rank AS BIGINT) AS rank, id, dist2 FROM sel ORDER BY rank""".stripMargin)),
+      Some {
+        import graft.ops.Similarity
+        val prefix =
+          s"""winners AS MATERIALIZED (
+             |  SELECT min(doc_id) AS doc_id FROM documents
+             |  GROUP BY ${graft.ops.UrlOps.normalizeUrlSql(TextQueries.rawUrlSql)}
+             |),
+             |kept AS MATERIALIZED (
+             |  SELECT d.doc_id FROM documents d
+             |  JOIN winners w ON d.doc_id = w.doc_id
+             |  WHERE len(${O.T}) >= 50
+             |),
+             |""".stripMargin
+        Similarity.kCenterSql(6,
+          s"SELECT e.vec_id AS id, ${Similarity.quantizeSql("e.embedding")} AS qv " +
+            "FROM embeddings e JOIN kept k ON e.vec_id = k.doc_id",
+          prefixCtes = prefix)
+      }),
 
     "pipeline_e2e" -> QueryDef(
       (s, d) => {

@@ -237,28 +237,8 @@ object SimilarityQueries extends QueryModule {
       (s, d) =>
         Similarity.kCenterSelect(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 8),
-      Some("""WITH RECURSIVE
-             |qe AS MATERIALIZED (
-             |  SELECT vec_id AS id,
-             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS qv
-             |  FROM embeddings
-             |),
-             |sel(rank, ids, id, dist2) AS (
-             |  SELECT 1, [(SELECT min(id) FROM qe)], (SELECT min(id) FROM qe), CAST(NULL AS BIGINT)
-             |  UNION ALL
-             |  SELECT sel.rank + 1, list_append(sel.ids, nxt.id), nxt.id, nxt.d
-             |  FROM sel, LATERAL (
-             |    SELECT e.id AS id,
-             |      min(CAST(list_sum(list_transform(list_zip(e.qv, c.qv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)) AS d
-             |    FROM qe e JOIN qe c ON list_contains(sel.ids, c.id)
-             |    WHERE NOT list_contains(sel.ids, e.id)
-             |    GROUP BY e.id
-             |    ORDER BY d DESC, e.id
-             |    LIMIT 1
-             |  ) nxt
-             |  WHERE sel.rank < 8
-             |)
-             |SELECT CAST(rank AS BIGINT) AS rank, id, dist2 FROM sel ORDER BY rank""".stripMargin)),
+      Some(Similarity.kCenterSql(8,
+        s"SELECT vec_id AS id, ${Similarity.quantizeSql("embedding")} AS qv FROM embeddings"))),
 
     "sim_project_jl" -> QueryDef(
       (s, d) =>
