@@ -77,6 +77,71 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"))
 
+  /** Unicode-SCRIPT profile — the multilingual curation signal langid's
+    * stopword heuristic can't give (it only knows Latin-script
+    * languages): per-script character counts over EXPLICIT codepoint
+    * ranges (Unicode-version-independent, so both engines count
+    * identically — \p{Han}-style classes drift across regex engines).
+    * Scan-stage regexp_count; zero shuffle. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\u00C0-\\u024F",
+    "han" -> "\\u4E00-\\u9FFF",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "devanagari" -> "\\u0900-\\u097F",
+    "hangul" -> "\\uAC00-\\uD7AF",
+    "kana" -> "\\u3040-\\u30FF",
+    "greek" -> "\\u0370-\\u03FF")
+
+  def scriptCount(text: Column, script: String): Column = {
+    val range = ScriptRanges.toMap.apply(script)
+    regexp_count(text, lit(s"[$range]"))
+  }
+
+  /** The dominant script name: argmax of the per-script counts, ties to
+    * the ALPHABETICALLY-FIRST script name, 'und' when no script char
+    * occurs. One integer key per script — `count·16 + tiebreak` with
+    * tiebreak DESCENDING in name order — so argmax is a plain
+    * greatest() both engines share (DuckDB's greatest takes no structs). */
+  private def scriptTiebreak(name: String): Long =
+    ScriptRanges.map(_._1).sorted.reverse.indexOf(name).toLong
+
+  def dominantScript(text: Column): Column = {
+    val keys = ScriptRanges.map { case (name, _) =>
+      scriptCount(text, name).cast("long") * 16L + lit(scriptTiebreak(name))
+    }
+    val best = greatest(keys: _*)
+    val name = ScriptRanges.map(_._1).foldLeft(lit("und")) { case (acc, n) =>
+      when(best % 16L === scriptTiebreak(n), lit(n)).otherwise(acc)
+    }
+    when(best < 16L, lit("und")).otherwise(name)
+  }
+
+  /** DuckDB twins ([[scriptCount]] / [[dominantScript]]) over expression `e`. */
+  def scriptCountSql(e: String, script: String): String = {
+    val range = ScriptRanges.toMap.apply(script)
+      .replace("\\u00C0", "\\x{00C0}").replace("\\u024F", "\\x{024F}")
+      .replace("\\u4E00", "\\x{4E00}").replace("\\u9FFF", "\\x{9FFF}")
+      .replace("\\u0400", "\\x{0400}").replace("\\u04FF", "\\x{04FF}")
+      .replace("\\u0600", "\\x{0600}").replace("\\u06FF", "\\x{06FF}")
+      .replace("\\u0900", "\\x{0900}").replace("\\u097F", "\\x{097F}")
+      .replace("\\uAC00", "\\x{AC00}").replace("\\uD7AF", "\\x{D7AF}")
+      .replace("\\u3040", "\\x{3040}").replace("\\u30FF", "\\x{30FF}")
+      .replace("\\u0370", "\\x{0370}").replace("\\u03FF", "\\x{03FF}")
+    s"CAST(len(regexp_extract_all($e, '[$range]')) AS BIGINT)"
+  }
+
+  def dominantScriptSql(e: String): String = {
+    val keys = ScriptRanges.map { case (name, _) =>
+      s"${scriptCountSql(e, name)} * 16 + ${scriptTiebreak(name)}"
+    }.mkString(", ")
+    val best = s"greatest($keys)"
+    val arms = ScriptRanges.map { case (name, _) =>
+      s"WHEN ($best) % 16 = ${scriptTiebreak(name)} THEN '$name'"
+    }.mkString(" ")
+    s"(CASE WHEN ($best) < 16 THEN 'und' $arms ELSE 'und' END)"
+  }
+
   def langHits(text: Column, lang: String): Column =
     size(filter(tokens(text), t => t.isin(LangStopwords(lang): _*)))
 

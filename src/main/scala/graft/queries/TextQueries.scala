@@ -290,6 +290,43 @@ object TextQueries extends QueryModule {
                    graft.ops.UrlOps.urlHostSql(rawUrlSql))} AS domain
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Unicode-script profiling (the multilingual signal langid's
+    // stopword heuristic can't give): both engines build the identical
+    // mixed-script text (ASCII base + doc_id-driven Han/Cyrillic/Arabic
+    // blocks), count per EXPLICIT codepoint range, and derive the
+    // dominant script through the shared integer argmax key. -----------
+    "text_script" -> QueryDef(
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val mixed = concat(
+          substring(col("text"), 1, 100),
+          repeat(lit("世界"), ((col("doc_id") % 4) * 60).cast("int")),
+          repeat(lit("Пр"), ((col("doc_id") % 3) * 80).cast("int")),
+          repeat(lit("م"), ((col("doc_id") % 2) * 50).cast("int")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), mixed.as("t"))
+          .select(col("doc_id"),
+            TextAnalysis.scriptCount(col("t"), "latin").cast("long").as("latin_n"),
+            TextAnalysis.scriptCount(col("t"), "han").cast("long").as("han_n"),
+            TextAnalysis.scriptCount(col("t"), "cyrillic").cast("long").as("cyrillic_n"),
+            TextAnalysis.scriptCount(col("t"), "arabic").cast("long").as("arabic_n"),
+            TextAnalysis.dominantScript(col("t")).as("script"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.ops.TextAnalysis
+        val mixed = "(substring(text, 1, 100) || repeat('世界', CAST((doc_id % 4) * 60 AS INT)) " +
+          "|| repeat('Пр', CAST((doc_id % 3) * 80 AS INT)) " +
+          "|| repeat('م', CAST((doc_id % 2) * 50 AS INT)))"
+        s"""SELECT doc_id,
+           |  ${TextAnalysis.scriptCountSql(mixed, "latin")} AS latin_n,
+           |  ${TextAnalysis.scriptCountSql(mixed, "han")} AS han_n,
+           |  ${TextAnalysis.scriptCountSql(mixed, "cyrillic")} AS cyrillic_n,
+           |  ${TextAnalysis.scriptCountSql(mixed, "arabic")} AS arabic_n,
+           |  ${TextAnalysis.dominantScriptSql(mixed)} AS script
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     "text_token_count" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
