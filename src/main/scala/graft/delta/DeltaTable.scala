@@ -104,6 +104,20 @@ object DeltaTable {
   val ColMapIdKey = "delta.columnMapping.id"
   val ColMapPhysKey = "delta.columnMapping.physicalName"
 
+  /** TIMESTAMP_NTZ anywhere in a type (top level or nested in
+    * struct/array/map) — the `timestampNtz` feature trigger; delta-spark
+    * detects nested NTZ recursively and so must we. */
+  def containsNtz(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampNTZType => true
+      case st: StructType => st.fields.exists(f => containsNtz(f.dataType))
+      case at: ArrayType => containsNtz(at.elementType)
+      case mt: MapType => containsNtz(mt.keyType) || containsNtz(mt.valueType)
+      case _ => false
+    }
+  }
+
   /** Identity-column field-metadata keys (Delta protocol "Identity
     * Columns", writer version 6 / feature `identityColumns`): start,
     * step, the last allocated value (high-water mark, updated by a
@@ -386,8 +400,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // same enumeration the DV upgrade path uses, against the pending
       // metadata
       val v2Ck = configuration.get(DeltaTable.CheckpointPolicyKey).contains("v2")
-      val hasNtz = schema.fields.exists(_.dataType ==
-        org.apache.spark.sql.types.TimestampNTZType)
+      val hasNtz = schema.fields.exists(f => DeltaTable.containsNtz(f.dataType))
       val extraWriter =
         (if (configuration.get(DeltaTable.IctConfigKey).contains("true"))
           Seq("inCommitTimestamp") else Nil) ++
@@ -592,40 +605,54 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * narrow physical pages. Partition columns refuse (their values live
     * in directory names, not pages). */
   def widenColumnType(name: String, to: org.apache.spark.sql.types.DataType): Long = {
-    val snap = snapshot
-    val sch = snap.schema.getOrElse(
+    val snap0 = snapshot
+    val sch0 = snap0.schema.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
-    val f = sch.fields.find(_.name == name).getOrElse(
+    val f0 = sch0.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown column '$name'"))
     require(!partitionColumns.contains(name),
       s"cannot widen partition column '$name'")
-    require(Widenings.contains((f.dataType, to)),
-      s"unsupported widening ${f.dataType.simpleString} -> ${to.simpleString} — " +
+    // a generated column or CHECK constraint computed against the narrow
+    // type would silently wrap through its declared-type cast after the
+    // widen — refuse like rename/drop do (delta-spark refuses too)
+    requireUnreferenced(name, "widen", ignoreOwnGeneration = false)
+    require(Widenings.contains((f0.dataType, to)),
+      s"unsupported widening ${f0.dataType.simpleString} -> ${to.simpleString} — " +
         "supported: byte/short/int -> wider integral, float -> double")
-    val meta = snap.metadata.get
-    val changes = new org.apache.spark.sql.types.MetadataBuilder()
-      .withMetadata(f.metadata)
-      .putMetadataArray("delta.typeChanges",
-        (if (f.metadata.contains("delta.typeChanges"))
-          f.metadata.getMetadataArray("delta.typeChanges") else Array.empty) :+
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putString("fromType", f.dataType.simpleString)
-            .putString("toType", to.simpleString)
-            .putLong("tableVersion", snap.version + 1)
-            .build())
-      .build()
-    val newSchema = StructType(sch.fields.map(x =>
-      if (x.name == name) x.copy(dataType = to, metadata = changes) else x))
-    val protocol = raisedProtocol(snap, 3, 7, Seq("typeWidening"), Seq("typeWidening"))
-    val committed = log.commit(
-      Seq(Action(protocol = Some(protocol)),
-        Action(metaData = Some(meta.copy(schemaString = newSchema.json))),
-        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
-          "CHANGE COLUMN", Map("column" -> name, "toType" -> to.simpleString))))),
-      // racing a concurrent schema change would silently drop it
+    // actions REGENERATE per commit attempt (commitWith): the protocol
+    // must merge with whatever a concurrent commit raised (a fixed-action
+    // retry could clobber, say, a concurrently-added deletionVectors
+    // feature), and the typeChanges record's tableVersion must be the
+    // version this commit actually lands at
+    val committed = log.commitWith(
+      snap => {
+        val sch = snap.schema.get
+        val f = sch.fields.find(_.name == name).get
+        val changes = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putMetadataArray("delta.typeChanges",
+            (if (f.metadata.contains("delta.typeChanges"))
+              f.metadata.getMetadataArray("delta.typeChanges") else Array.empty) :+
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString("fromType", f.dataType.simpleString)
+                .putString("toType", to.simpleString)
+                .putLong("tableVersion", snap.version + 1)
+                .build())
+          .build()
+        val newSchema = StructType(sch.fields.map(x =>
+          if (x.name == name) x.copy(dataType = to, metadata = changes) else x))
+        Seq(Action(protocol = Some(raisedProtocol(snap, 3, 7,
+            Seq("typeWidening"), Seq("typeWidening")))),
+          Action(metaData = Some(snap.metadata.get.copy(
+            schemaString = newSchema.json))),
+          Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+            "CHANGE COLUMN", Map("column" -> name, "toType" -> to.simpleString)))))
+      },
+      // racing a concurrent SCHEMA/CONFIG change would silently drop it
+      // (protocol changes are fine — the generator merges them)
       check = s => s.metadata.exists(m =>
-        org.apache.spark.sql.types.DataType.fromJson(m.schemaString) == sch &&
-          m.configuration == meta.configuration))
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaString) == sch0 &&
+          m.configuration == snap0.metadata.get.configuration))
     // DDL must fail LOUDLY on a lost race: a caller ignoring the return
     // would proceed believing the column widened
     if (committed < 0)
@@ -1001,7 +1028,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                   Some(f.metadata.getLong(DeltaTable.ColMapIdKey))
                 else None).max.toString)))))
         .toSeq
-      val actions = schemaUpdate ++
+      // an evolution that introduces a TIMESTAMP_NTZ column must raise
+      // the timestampNtz feature IN THE SAME COMMIT — NTZ pages under a
+      // protocol that never declares the feature violate the spec
+      val ntzRaise =
+        if (evolution.exists(f => DeltaTable.containsNtz(f.dataType)) &&
+          !baseSnap.protocol.exists(_.writerFeatures.exists(_.contains("timestampNtz"))))
+          Seq(Action(protocol = Some(raisedProtocol(baseSnap, 3, 7,
+            Seq("timestampNtz"), Seq("timestampNtz")))))
+        else Nil
+      val actions = ntzRaise ++ schemaUpdate ++
         adds.map(a => Action(add = Some(a))) ++
         txnAppId.map(app => Action(txn = Some(Txn(app, txnVersion,
           Some(System.currentTimeMillis()))))).toSeq ++
@@ -1026,7 +1062,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // concurrent writer advanced the mark our id block was cut from
       def evolutionCheck(snap: Snapshot): Boolean =
         if (!txnNotYetApplied(snap)) false
-        else if (needsMeta &&
+        else if (ntzRaise.nonEmpty && snap.protocol != baseSnap.protocol) {
+          schemaConflict = true; false
+        } else if (needsMeta &&
           !snap.metadata.exists(m =>
             org.apache.spark.sql.types.DataType.fromJson(m.schemaString) == baseSchema &&
               m.configuration == baseMeta.get.configuration)) {
@@ -1454,8 +1492,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val hasRowTracking = conf.get(DeltaTable.RowTrackingConfigKey).contains("true")
       val hasIdentity = sch.fields.exists(_.metadata.contains(DeltaTable.IdentityStartKey))
       val hasDefaults = sch.fields.exists(_.metadata.contains(DeltaTable.CurrentDefaultKey))
-      val hasNtz = sch.fields.exists(_.dataType ==
-        org.apache.spark.sql.types.TimestampNTZType)
+      val hasNtz = sch.fields.exists(f => DeltaTable.containsNtz(f.dataType))
       val reader = (old.readerFeatures.getOrElse(Nil) ++ addReader ++
         (if (hasNtz) Seq("timestampNtz") else Nil) ++
         (if (mapped) Seq("columnMapping") else Nil)).distinct.sorted
@@ -2464,7 +2501,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // compacting from 0 on a checkpointed table would be wasted I/O
     val lo = if (from >= 0) from
              else log.newestCheckpointVersion().map(_ + 1).getOrElse(0L)
-    require(lo <= hi, s"nothing to compact: [$lo, $hi]")
+    // routine maintenance right after a checkpoint has nothing to fold —
+    // a quiet no-op, not a crash (explicit callers still get compactLog's
+    // own span validation)
+    if (lo > hi) return -1
     log.compactLog(lo, hi)
   }
 

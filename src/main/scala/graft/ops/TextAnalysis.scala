@@ -119,15 +119,12 @@ object TextAnalysis {
 
   /** DuckDB twins ([[scriptCount]] / [[dominantScript]]) over expression `e`. */
   def scriptCountSql(e: String, script: String): String = {
-    val range = ScriptRanges.toMap.apply(script)
-      .replace("\\u00C0", "\\x{00C0}").replace("\\u024F", "\\x{024F}")
-      .replace("\\u4E00", "\\x{4E00}").replace("\\u9FFF", "\\x{9FFF}")
-      .replace("\\u0400", "\\x{0400}").replace("\\u04FF", "\\x{04FF}")
-      .replace("\\u0600", "\\x{0600}").replace("\\u06FF", "\\x{06FF}")
-      .replace("\\u0900", "\\x{0900}").replace("\\u097F", "\\x{097F}")
-      .replace("\\uAC00", "\\x{AC00}").replace("\\uD7AF", "\\x{D7AF}")
-      .replace("\\u3040", "\\x{3040}").replace("\\u30FF", "\\x{30FF}")
-      .replace("\\u0370", "\\x{0370}").replace("\\u03FF", "\\x{03FF}")
+    // translate Java \uXXXX escapes to RE2's \x{XXXX} generically — a
+    // hand-kept replace chain silently ships untranslated escapes for
+    // any range added later
+    val range = """\\u([0-9A-Fa-f]{4})""".r
+      .replaceAllIn(ScriptRanges.toMap.apply(script),
+        m => java.util.regex.Matcher.quoteReplacement("\\x{" + m.group(1) + "}"))
     s"CAST(len(regexp_extract_all($e, '[$range]')) AS BIGINT)"
   }
 

@@ -82,6 +82,13 @@ class LogCompactionSpec extends SparkSpec {
       "the default span must start just past the v10 checkpoint")
   }
 
+  test("compactLog() right after a checkpoint is a quiet no-op") {
+    val dir = tmpDir("logcomp-tip")
+    val t = DeltaTable.forPath(spark, dir).create(Seq((0L, "s")).toDF("k", "v").schema)
+    (0 until 10).foreach(b => t.append(Seq((b.toLong, "x")).toDF("k", "v"))) // ck AT tip
+    assert(t.compactLog() === -1, "nothing past the checkpoint -> no-op, not a crash")
+  }
+
   test("metadata cleanup ages a span out with its end version") {
     val dir = tmpDir("logcomp-clean")
     val t = DeltaTable.forPath(spark, dir).create(Seq((0L, "s")).toDF("k", "v").schema)

@@ -52,6 +52,40 @@ class TypeWideningSpec extends SparkSpec {
     assert(t.schema("ts").dataType === TimestampNTZType)
   }
 
+  test("widening a column referenced by a generated column or constraint refuses") {
+    val dir = tmpDir("widen-ref")
+    val sch = StructType(Seq(
+      StructField("k", IntegerType),
+      DeltaTable.generatedField("g", IntegerType, "k")))
+    val t = DeltaTable.forPath(spark, dir).create(sch)
+    assertThrows[IllegalArgumentException](t.widenColumnType("k", LongType))
+  }
+
+  test("mergeSchema evolution adding NTZ raises the feature in the same commit") {
+    val dir = tmpDir("widen-ntz-evolve")
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema)
+    t.append(df)
+    assert(t.snapshot.protocol.get.minReaderVersion === 1)
+    val withNtz = Seq((2L, "b", java.time.LocalDateTime.of(2021, 1, 1, 0, 0)))
+      .toDF("k", "v", "ts")
+    t.append(withNtz, mergeSchema = true)
+    val p = t.snapshot.protocol.get
+    assert(p.minReaderVersion === 3)
+    assert(p.readerFeatures.get.contains("timestampNtz"))
+    assert(p.writerFeatures.get.contains("timestampNtz"))
+    assert(t.toDF.count() === 2L)
+  }
+
+  test("NESTED NTZ (struct field) raises the feature at create") {
+    val dir = tmpDir("widen-ntz-nested")
+    val sch = StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StructType(Seq(StructField("ts", TimestampNTZType))))))
+    val t = DeltaTable.forPath(spark, dir).create(sch)
+    assert(t.snapshot.protocol.get.readerFeatures.get.contains("timestampNtz"))
+  }
+
   test("narrowing, unknown columns, and partition columns refuse") {
     val dir = tmpDir("widen-no")
     val df = Seq((1L, 1, "x")).toDF("k", "n", "par")
