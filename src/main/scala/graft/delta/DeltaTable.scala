@@ -595,7 +595,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
       (ShortType, IntegerType), (ShortType, LongType),
       (IntegerType, LongType),
-      (FloatType, DoubleType))
+      (FloatType, DoubleType),
+      (DateType, TimestampNTZType))
   }
 
   /** ALTER COLUMN TYPE — metadata-only widening. Records the change in
@@ -641,8 +642,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           .build()
         val newSchema = StructType(sch.fields.map(x =>
           if (x.name == name) x.copy(dataType = to, metadata = changes) else x))
-        Seq(Action(protocol = Some(raisedProtocol(snap, 3, 7,
-            Seq("typeWidening"), Seq("typeWidening")))),
+        // widening INTO timestamp_ntz makes the table carry NTZ pages —
+        // both features must ride the same commit (the auto-detection in
+        // raisedProtocol sees only the OLD schema here)
+        val feats = "typeWidening" +:
+          (if (DeltaTable.containsNtz(to)) Seq("timestampNtz") else Nil)
+        Seq(Action(protocol = Some(raisedProtocol(snap, 3, 7, feats, feats))),
           Action(metaData = Some(snap.metadata.get.copy(
             schemaString = newSchema.json))),
           Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),

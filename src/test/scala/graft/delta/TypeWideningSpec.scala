@@ -52,6 +52,23 @@ class TypeWideningSpec extends SparkSpec {
     assert(t.schema("ts").dataType === TimestampNTZType)
   }
 
+  test("byte->short and date->timestamp_ntz widen too; NTZ raise rides the widen") {
+    val dir = tmpDir("widen-more")
+    val df = Seq((1.toByte, java.sql.Date.valueOf("2021-07-20")),
+      (2.toByte, java.sql.Date.valueOf("2021-07-21"))).toDF("b", "d")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema)
+    t.append(df)
+    assert(t.widenColumnType("b", ShortType) > 0L)
+    assert(t.widenColumnType("d", TimestampNTZType) > 0L)
+    val p = t.snapshot.protocol.get
+    assert(p.readerFeatures.get.contains("typeWidening"))
+    assert(p.readerFeatures.get.contains("timestampNtz"),
+      "widening INTO ntz must raise timestampNtz in the same commit")
+    val rows = t.toDF.orderBy("b").collect()
+    assert(rows.map(_.getShort(0)).toSeq === Seq(1.toShort, 2.toShort))
+    assert(rows.map(_.getAs[java.time.LocalDateTime](1).getDayOfMonth).toSeq === Seq(20, 21))
+  }
+
   test("widening a column referenced by a generated column or constraint refuses") {
     val dir = tmpDir("widen-ref")
     val sch = StructType(Seq(
