@@ -115,6 +115,25 @@ object GraftExtensions {
       ops.UrlOps.urlHost(cols(0)._1)
     }
 
+    registerCols(ext, "graft_script_count",
+      "graft_script_count(text, script) - chars of a unicode script (latin/han/cyrillic/" +
+        "arabic/devanagari/hangul/kana/greek) by explicit codepoint range") { cols =>
+      checkArity("graft_script_count", cols, 2)
+      val script = cols(1)._2 match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          s.toString
+        case _ => throw new IllegalArgumentException(
+          "graft_script_count: script must be a string literal")
+      }
+      ops.TextAnalysis.scriptCount(cols(0)._1, script)
+    }
+
+    registerCols(ext, "graft_dominant_script",
+      "graft_dominant_script(text) - argmax unicode script, alphabetical ties, 'und' on none") { cols =>
+      checkArity("graft_dominant_script", cols, 1)
+      ops.TextAnalysis.dominantScript(cols(0)._1)
+    }
+
     registerCols(ext, "graft_url_domain",
       "graft_url_domain(host) - registered-domain heuristic of a host (public-suffix-lite)") { cols =>
       checkArity("graft_url_domain", cols, 1)

@@ -115,4 +115,30 @@ class ExtensionsSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(PortableMath.lnWide(x)), s"x=$x")
     }
   }
+
+  test("url + script functions: SQL surface ≡ Column API") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_url_normalize('HTTPS://WWW.Ex.COM:443/a/?b=2&utm_source=x&a=1#f') AS u,
+        |  graft_url_host('http://user@Sub.WWW.co.uk:8080/x') AS h,
+        |  graft_url_domain(graft_url_host('http://a.b.example.com/x')) AS d,
+        |  graft_script_count(text, 'latin') AS ln,
+        |  graft_dominant_script(text) AS ds
+        |FROM ext_docs""".stripMargin)
+    val viaApi = docs.select(col("doc_id"),
+      graft.ops.UrlOps.normalizeUrl(
+        lit("HTTPS://WWW.Ex.COM:443/a/?b=2&utm_source=x&a=1#f")).as("u"),
+      graft.ops.UrlOps.urlHost(lit("http://user@Sub.WWW.co.uk:8080/x")).as("h"),
+      graft.ops.UrlOps.registeredDomain(
+        graft.ops.UrlOps.urlHost(lit("http://a.b.example.com/x"))).as("d"),
+      TextAnalysis.scriptCount(col("text"), "latin").as("ln"),
+      TextAnalysis.dominantScript(col("text")).as("ds"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    // script name must be a literal
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_script_count(text, text) FROM ext_docs")
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
 }
