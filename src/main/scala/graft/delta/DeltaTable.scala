@@ -1374,14 +1374,105 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * the bitmap was built. */
   def deleteWithDv(predicate: org.apache.spark.sql.Column): Long = {
     requireNotAppendOnly("DELETE (deletion vectors)")
+    val snap = snapshot
+    val plan = planDvMask(snap, predicate).getOrElse(return -1L)
+    val sch = snap.schema.get
+    val cdf = if (!cdfEnabled) None else Some(
+      rawFor(snap)
+        .filter(coalesce(predicate, lit(false)))
+        .select(sch.fieldNames.toSeq.map(col): _*)
+        .withColumn(DeltaTable.ChangeTypeCol, lit("delete")))
+    commitDvMask(snap, plan, Nil, cdf, "DELETE",
+      Map("mode" -> "deletionVectors"))
+  }
+
+  /** Merge-on-read UPDATE (the DV sibling of [[deleteWithDv]]): matched
+    * rows are masked OUT of their files by deletion vectors — zero data
+    * files rewrite — and their TRANSFORMED versions append as new
+    * file(s) in the same commit. The 100 TB shape for narrow updates: a
+    * point update touches KBs of bitmaps + one small new file instead of
+    * rewriting every file a matched row lives in.
+    *
+    * Row tracking: updated rows KEEP their row id (materialized into the
+    * new file) and fall to this commit's version — identical semantics
+    * to copy-on-write [[update]]. CDF captures update_preimage/
+    * postimage. Constraint/generation checks fuse into the new-file
+    * write like any write. Wide updates still belong to [[update]] — a
+    * DV covering most of the table is the wrong tool regardless. */
+  def updateWithDv(predicate: org.apache.spark.sql.Column,
+                   set: Map[String, org.apache.spark.sql.Column]): Long = {
+    requireNotAppendOnly("UPDATE (deletion vectors)")
+    require(set.nonEmpty, "update needs at least one SET column")
+    val sch = schema
+    set.keys.foreach(k => require(sch.fieldNames.contains(k), s"unknown SET column '$k'"))
+    val snap = snapshot
+    val plan = planDvMask(snap, predicate).getOrElse(return -1L)
+    // the transformed rows: matched through the DV-applied read, SET
+    // expressions against the OLD values; on a row-tracking table the
+    // row id materializes into the new file and the commit version
+    // falls through to this commit's defaultRowCommitVersion
+    val matchedSrc =
+      (if (rowTrackingEnabled)
+        rawFor(snap, withRowIds = true)
+          .withColumnRenamed(DeltaTable.RowIdCol, DeltaTable.MaterializedRowIdCol)
+          .drop(DeltaTable.RowCommitVersionCol)
+      else rawFor(snap))
+        .filter(coalesce(predicate, lit(false)))
+    val rewritten = matchedSrc.select((sch.fields.map { f =>
+      set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+    }.toSeq ++ (if (rowTrackingEnabled)
+      Seq(col(DeltaTable.MaterializedRowIdCol)) else Nil)): _*)
+    val checked = withConstraintChecks(rewritten)
+    // stage the new file(s) exactly like append's write path
+    val parts = partitionColumns
+    val physParts = physicalPartNames(parts)
+    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val arranged = if (parts.nonEmpty) checked.repartition(parts.map(col): _*) else checked
+    val writer = toPhysicalForWrite(arranged, sch).write
+      .mode("overwrite").option("compression", "snappy")
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
+      .parquet(staging.toString)
+    val adds = collectStagedFiles(staging, physParts)
+    try {
+      val cdf = if (!cdfEnabled) None else {
+        val pre = rawFor(snap).filter(coalesce(predicate, lit(false)))
+          .select(sch.fieldNames.toSeq.map(col): _*)
+        val post = pre.select(sch.fields.map { f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+        }.toSeq: _*)
+        Some(pre.withColumn(DeltaTable.ChangeTypeCol, lit("update_preimage"))
+          .unionByName(post.withColumn(DeltaTable.ChangeTypeCol, lit("update_postimage"))))
+      }
+      val committed = commitDvMask(snap, plan,
+        adds.map(a => Action(add = Some(a))), cdf, "UPDATE",
+        Map("mode" -> "deletionVectors"))
+      if (committed < 0)
+        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+      committed
+    } finally fs.delete(staging, true)
+  }
+
+  private final case class DvPlanned(f: AddFile, bytes: Array[Byte], fullFile: Boolean)
+  private final case class DvPlan(planned: Seq[DvPlanned],
+                                  descFor: Map[String, DeletionVectorDescriptor],
+                                  bigDescs: Seq[DeletionVectorDescriptor])
+
+  /** The shared DV-masking core of [[deleteWithDv]]/[[updateWithDv]]:
+    * positions of rows matching `predicate` aggregate and SERIALIZE to
+    * roaring bitmaps on the EXECUTORS (merged with each file's existing
+    * bitmap, broadcast out); the driver collects only (file, compressed
+    * bitmap, cardinality). Files whose every remaining row matched
+    * degrade to plain removes; the rest get merged descriptors (one
+    * shared DV file for the large bitmaps, inline for the small). None
+    * when nothing matched. */
+  private def planDvMask(snap: Snapshot,
+                         predicate: org.apache.spark.sql.Column): Option[DvPlan] = {
     require(dvEnabled,
       s"${DeltaTable.DvConfigKey} is not 'true' on this table — enable it " +
         "in the table configuration (create(..., configuration)) first")
-    val snap = snapshot
-    if (snap.files.isEmpty) return -1L
-    val sch = snap.schema.get
+    if (snap.files.isEmpty) return None
     // existing bitmaps ride to the executors by broadcast so the merge
-    // with this delete's fresh positions happens where the positions are
+    // with this operation's fresh positions happens where the positions are
     val oldBitmaps: Map[String, Array[Byte]] =
       snap.files.filter(_.deletionVector.isDefined)
         .map(f => fileKey(snap, f) ->
@@ -1404,21 +1495,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .select(col("__fname"), col("s._1").as("bytes"), col("s._2").as("card"))
       .collect()
       .map(r => r.getString(0) -> (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
-    if (matched.isEmpty) return -1L
+    if (matched.isEmpty) return None
     val byKey = snap.files.map(f => fileKey(snap, f) -> f).toMap
     require(byKey.size == snap.files.size,
       "internal: file keys must be unique across the snapshot")
     val affected = matched.keys.toSeq.sorted.map(n => byKey.getOrElse(n,
       throw new IllegalStateException(s"matched file $n not in snapshot")))
-    // full-file deletions degrade to plain removes (numRecords from the
+    // full-file masks degrade to plain removes (numRecords from the
     // add's stats; the merged cardinality counts old ∪ new)
     def numRecords(f: AddFile): Option[Long] =
       f.stats.map(s => Actions.mapper.readTree(s).path("numRecords").asLong(-1L))
         .filter(_ >= 0L)
-    final case class Planned(f: AddFile, bytes: Array[Byte], fullFile: Boolean)
     val planned = affected.map { f =>
       val (bytes, card) = matched(fileKey(snap, f))
-      Planned(f, bytes, numRecords(f).contains(card))
+      DvPlanned(f, bytes, numRecords(f).contains(card))
     }
     // batch every file-backed DV of this commit into ONE DV file, inline
     // the small ones
@@ -1431,29 +1521,31 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       (small.map { case (p, b) =>
         p.f.path -> DeletionVectors.inlineDescriptor(b)
       } ++ big.map(_._1.f.path).zip(bigDescs)).toMap
-    val cdf = if (!cdfEnabled) None else Some(
-      rawFor(snap)
-        .filter(coalesce(predicate, lit(false)))
-        .select(sch.fieldNames.toSeq.map(col): _*)
-        .withColumn(DeltaTable.ChangeTypeCol, lit("delete")))
+    Some(DvPlan(planned, descFor, bigDescs))
+  }
+
+  /** Commit a [[planDvMask]] result plus any extra adds/change files:
+    * removes precede the DV re-adds (ReplayState replays in order,
+    * keyed by path); the lost-update guard requires every affected file
+    * live WITH the exact descriptor the mask merged from. Cleans staged
+    * cdc and the shared DV file on a lost race and throws. */
+  private def commitDvMask(snap: Snapshot, plan: DvPlan, extraAdds: Seq[Action],
+                           cdf: Option[DataFrame], operation: String,
+                           params: Map[String, String]): Long = {
     val cdcActions = cdf.map(stageChangeFiles).getOrElse(Nil)
-    // lost-update guard: every affected file must still be live with the
-    // exact descriptor we merged from
     val expected: Map[String, Option[DeletionVectorDescriptor]] =
-      affected.map(f => f.path -> f.deletionVector).toMap
+      plan.planned.map(p => p.f.path -> p.f.deletionVector).toMap
     val now = System.currentTimeMillis()
-    // removes precede the re-adds: [[DeltaLog.ReplayState]] replays a
-    // commit's actions in order and keys by path
     val actions =
       Seq(Action(protocol = Some(protocolWithDv(snap)))) ++
-        planned.map(p => Action(remove = Some(RemoveFile(p.f.path, Some(now),
+        plan.planned.map(p => Action(remove = Some(RemoveFile(p.f.path, Some(now),
           deletionVector = p.f.deletionVector)))) ++
-        planned.filterNot(_.fullFile).map(p =>
+        plan.planned.filterNot(_.fullFile).map(p =>
           Action(add = Some(p.f.copy(dataChange = true,
-            deletionVector = Some(descFor(p.f.path)))))) ++
+            deletionVector = Some(plan.descFor(p.f.path)))))) ++
+        extraAdds ++
         cdcActions ++
-        Seq(Action(commitInfo = Some(CommitInfo(now, "DELETE",
-          Map("mode" -> "deletionVectors")))))
+        Seq(Action(commitInfo = Some(CommitInfo(now, operation, params))))
     val committed = log.commit(actions, check = s => {
       val live = s.files.map(f => f.path -> f.deletionVector).toMap
       expected.forall { case (p, dv) => live.get(p).contains(dv) }
@@ -1462,11 +1554,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       cdcActions.foreach(_.cdc.foreach(c => fs.delete(new Path(path, c.path), false)))
       // the freshly written shared DV file is unreferenced too — remove
       // it like every other path cleans its staged files on a lost race
-      bigDescs.map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv))
+      plan.bigDescs.map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv))
         .distinct.foreach(p => fs.delete(new Path(path, p), false))
       throw new java.util.ConcurrentModificationException(
-        "DELETE (deletion vectors) lost a commit race: an affected file was " +
-          "rewritten or DV'd concurrently")
+        s"$operation (deletion vectors) lost a commit race: an affected file " +
+          "was rewritten or DV'd concurrently")
     }
     committed
   }

@@ -567,6 +567,39 @@ object ReferenceOps extends QueryModule {
              |  CAST(sum(user_id) AS BIGINT) AS user_sum
              |FROM events WHERE event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin)),
 
+    // ---- MERGE-ON-READ UPDATE (deletion vectors): matched rows mask
+    // OUT of their files by DV and their transformed versions append as
+    // a new file — required in-query: every original file survives (by
+    // path) and at least one carries a descriptor. The oracle recomputes
+    // the post-update frame from raw events; a row updated twice, a
+    // survivor caught by the mask, or a mask leak shifts the sums. ------
+    "ref_dv_update" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-dv-upd")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(graft.delta.DeltaTable.DvConfigKey -> "true"))
+        t.append(ev)
+        val before = t.snapshot.files.map(_.path).toSet
+        require(t.updateWithDv(col("event_id") % 5 === 0,
+          Map("user_id" -> (col("user_id") + 1000000L))) > 0L)
+        val after = t.snapshot.files
+        require(before.subsetOf(after.map(_.path).toSet),
+          "a DV update must not rewrite any original data file")
+        require(after.exists(f => before(f.path) && f.deletionVector.isDefined),
+          "descriptors must ride the commit")
+        require(after.exists(f => !before(f.path)),
+          "the transformed rows must land in a new file")
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(CASE WHEN event_id % 5 = 0 THEN user_id + 1000000
+             |    ELSE user_id END) AS BIGINT) AS user_sum
+             |FROM events""".stripMargin)),
+
     // ---- SHALLOW CLONE (zero-copy fork via absolute add.paths): clone
     // the events table, DV-delete a slice ON THE CLONE, and aggregate
     // both tables. In-query requires: the clone dir holds zero parquet

@@ -413,4 +413,69 @@ class DeletionVectorSpec extends SparkSpec {
       .map(_.getPath.getName).count(_.startsWith("deletion_vector_")) === 0,
       "an unreferenced DV file ages out")
   }
+
+  test("updateWithDv: merge-on-read UPDATE — bitmaps + one new file, zero rewrites") {
+    import spark.implicits._
+    val dir = tmpDir("dv-upd")
+    val df = (0L until 90L).map(i => (i, i * 10)).toDF("k", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true",
+        DeltaTable.CdfConfigKey -> "true"))
+    t.append(df)
+    val before = t.snapshot.files.map(_.path).toSet
+    val updV = t.updateWithDv(col("k") % 3 === 0L, Map("v" -> (col("v") + 1L)))
+    assert(updV > 0L)
+    val after = t.snapshot.files
+    assert(before.subsetOf(after.map(_.path).toSet),
+      "the original files survive with DV descriptors — no rewrite")
+    assert(after.exists(f => before(f.path) && f.deletionVector.isDefined))
+    assert(after.exists(f => !before(f.path)), "the transformed rows land in a new file")
+    // content: every k%3 row took the update exactly once
+    val rows = t.toDF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === 90)
+    rows.foreach { case (k, v) =>
+      assert(v === (if (k % 3 == 0) k * 10 + 1 else k * 10), s"k=$k v=$v") }
+    // CDF carries pre/post images for exactly the matched rows
+    val feed = t.changes(updV, updV)
+    assert(feed.filter(col("_change_type") === "update_preimage").count() === 30L)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .filter(col("v") % 10 === 1L).count() === 30L)
+    // repeat updates MERGE bitmaps
+    assert(t.updateWithDv(col("k") % 5 === 0L, Map("v" -> (col("v") + 100L))) > 0L)
+    assert(t.toDF.count() === 90L)
+    // k=15 matched both passes: 150 +1 (first) +100 (second)
+    assert(t.toDF.filter(col("k") === 15L).head().getLong(1) === 251L)
+  }
+
+  test("updateWithDv preserves row identity; full-file masks degrade to removes") {
+    import spark.implicits._
+    val dir = tmpDir("dv-upd-rt")
+    val df = (0L until 40L).map(i => (i, s"x$i")).toDF("k", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true",
+        DeltaTable.RowTrackingConfigKey -> "true"))
+    t.append(df)
+    val before = t.toDFWithRowIds
+      .select(col("k"), col(DeltaTable.RowIdCol)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val updV = t.updateWithDv(col("k") % 4 === 1L, Map("v" -> lit("upd")))
+    assert(updV > 0L)
+    val after = t.toDFWithRowIds
+      .select(col("k"), col(DeltaTable.RowIdCol), col(DeltaTable.RowCommitVersionCol))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    after.foreach { case (k, (id, rcv)) =>
+      assert(id === before(k), s"merge-on-read update must not re-identify k=$k")
+      if (k % 4 == 1) assert(rcv === updV)
+    }
+    // full-file mask: update EVERYTHING -> the old file becomes a plain
+    // remove (no 100%-dead DV), content fully in the new file
+    val t2dir = tmpDir("dv-upd-full")
+    val t2 = DeltaTable.forPath(spark, t2dir).create(df.schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    t2.append(Seq((1L, "a")).toDF("k", "v"))
+    assert(t2.updateWithDv(lit(true), Map("v" -> lit("z"))) > 0L)
+    assert(t2.snapshot.files.forall(_.deletionVector.isEmpty),
+      "a fully-masked file must degrade to a plain remove")
+    assert(t2.toDF.head().getString(1) === "z")
+  }
 }
