@@ -790,6 +790,42 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CHANGE SCHEMA")))))
   }
 
+  /** User domain metadata (PROTOCOL.md `domainMetadata`, writer feature
+    * `domainMetadata`): attach a named configuration string to TABLE
+    * STATE — it rides snapshots, checkpoints, clones, and log
+    * compaction like any state. System domains (`delta.*`) are engine-
+    * owned and refuse here ([[DeltaLog.RowTrackingDomain]],
+    * [[DeltaTable.ClusteringDomain]] are maintained by their features). */
+  def setDomainMetadata(domain: String, configuration: String): Long = {
+    require(!domain.startsWith("delta."),
+      s"'$domain' is a system domain — delta.* domains are engine-maintained")
+    require(domain.nonEmpty, "domain name must be non-empty")
+    val snap = snapshot
+    require(snap.version >= 0, s"no table at $path")
+    log.commit(Seq(
+      Action(protocol = Some(raisedProtocol(snap,
+        snap.protocol.map(_.minReaderVersion).getOrElse(1), 7,
+        Nil, Seq("domainMetadata")))),
+      Action(domainMetadata = Some(DomainMetadata(domain, configuration))),
+      Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+        "SET DOMAIN METADATA", Map("domain" -> domain))))))
+  }
+
+  /** Tombstone a user domain (removed=true rides replay and compaction). */
+  def removeDomainMetadata(domain: String): Long = {
+    require(!domain.startsWith("delta."),
+      s"'$domain' is a system domain — delta.* domains are engine-maintained")
+    val snap = snapshot
+    if (!snap.domainMetadata.contains(domain)) return -1L
+    log.commit(Seq(
+      Action(domainMetadata = Some(DomainMetadata(domain, removed = true))),
+      Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+        "REMOVE DOMAIN METADATA", Map("domain" -> domain))))))
+  }
+
+  /** Live domain configurations (user + system). */
+  def domainMetadata: Map[String, String] = snapshot.domainMetadata
+
   /** SYNC IDENTITY (Delta's `ALTER TABLE ... SYNC IDENTITY`): recompute
     * each identity column's high-water mark from the table's ACTUAL
     * values — the repair step after explicit-value DML (merge/overwrite)
@@ -1452,6 +1488,117 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     } finally fs.delete(staging, true)
   }
 
+  /** Merge-on-read MERGE (the DV sibling of [[merge]] — the CDC-apply
+    * shape at 100 TB): matched target rows mask OUT by deletion vectors
+    * and ONE new file carries the matched-updated rows (source values
+    * for columns the source provides, target values kept for the rest)
+    * plus the inserts — no data file rewrites at all.
+    *
+    * Same contracts as [[merge]]: unique source keys, unknown source
+    * columns refuse, concurrent ADDS refuse (a file appended after the
+    * key scan could hold a matched key), txn rides the commit for
+    * exactly-once streaming upserts. Row tracking: matched rows keep
+    * their ids, inserts get a fresh block. CDF: preimage/postimage/
+    * insert rows. */
+  def mergeWithDv(source: DataFrame, keyCols: Seq[String],
+                  txnAppId: Option[String] = None, txnVersion: Long = -1L): Long = {
+    requireNotAppendOnly("MERGE (deletion vectors)")
+    requireIdentityProvided(source, "MERGE")
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val sch = schema
+    keyCols.foreach(k => require(sch.fieldNames.contains(k), s"unknown key column '$k'"))
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"source is missing key column '$k'"))
+    val tableCols = sch.fieldNames.map(_.toLowerCase).toSet
+    val unknown = source.columns.filter(c => !tableCols.contains(c.toLowerCase))
+    require(unknown.isEmpty,
+      s"source columns ${unknown.mkString(", ")} do not exist in the table schema")
+    val snap = snapshot
+    def txnApplied(s: Snapshot): Boolean = txnAppId.exists(app =>
+      txnVersion >= 0 && s.txns.getOrElse(app, -1L) >= txnVersion)
+    if (txnApplied(snap)) return -1L
+    val srcCols = source.columns.toSet
+    val aligned = source.select(sch.fields.map(f =>
+      (if (srcCols.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)).toSeq: _*).localCheckpoint(true)
+    val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
+    val plan = planDvMaskBy(snap, _.join(srcKeys, keyCols, "left_semi"))
+    val pfx = "__merge_src_"
+    val updCols = sch.fieldNames.toSeq
+      .filterNot(keyCols.contains).filter(srcCols.contains)
+    val srcRen = aligned.select((keyCols.map(col) ++
+      updCols.map(n => col(n).as(pfx + n))): _*)
+    val tgtMatched =
+      (if (rowTrackingEnabled)
+        rawFor(snap, withRowIds = true)
+          .withColumnRenamed(DeltaTable.RowIdCol, DeltaTable.MaterializedRowIdCol)
+          .drop(DeltaTable.RowCommitVersionCol)
+      else rawFor(snap))
+        .join(srcKeys, keyCols, "left_semi")
+    val rtExtras = if (!rowTrackingEnabled) Nil
+      else Seq(col(DeltaTable.MaterializedRowIdCol))
+    val matched = tgtMatched.join(srcRen, keyCols, "inner")
+      .select((sch.fieldNames.toSeq.map(n =>
+        (if (updCols.contains(n)) col(pfx + n) else col(n)).as(n)) ++ rtExtras): _*)
+    val tgtKeys = rawFor(snap).select(keyCols.map(col): _*).distinct()
+    val inserts0 = aligned.join(tgtKeys, keyCols, "left_anti")
+    val inserts = if (!rowTrackingEnabled) inserts0
+      else inserts0.withColumn(DeltaTable.MaterializedRowIdCol, lit(null).cast("long"))
+    val newData = withConstraintChecks(matched.unionByName(inserts))
+    // stage like append
+    val parts = partitionColumns
+    val physParts = physicalPartNames(parts)
+    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
+    val writer = toPhysicalForWrite(arranged, sch).write
+      .mode("overwrite").option("compression", "snappy")
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
+      .parquet(staging.toString)
+    val adds = collectStagedFiles(staging, physParts)
+    try {
+      val cdf = if (!cdfEnabled) None else {
+        val pre = rawFor(snap).join(srcKeys, keyCols, "left_semi")
+          .select(sch.fieldNames.toSeq.map(col): _*)
+        Some(pre.withColumn(DeltaTable.ChangeTypeCol, lit("update_preimage"))
+          .unionByName(matched
+            .drop(DeltaTable.MaterializedRowIdCol)
+            .withColumn(DeltaTable.ChangeTypeCol, lit("update_postimage")))
+          .unionByName(inserts0
+            .withColumn(DeltaTable.ChangeTypeCol, lit("insert"))))
+      }
+      val basePaths = snap.files.map(_.path).toSet
+      val txnActs = txnAppId.filter(_ => txnVersion >= 0)
+        .map(app => Action(txn = Some(Txn(app, txnVersion,
+          Some(System.currentTimeMillis()))))).toSeq
+      val committed = plan match {
+        case Some(pl) =>
+          // a zombie replay of an already-recorded (appId, version) batch
+          // must stay a QUIET skip even when it surfaces as a lost race
+          try commitDvMask(snap, pl, adds.map(a => Action(add = Some(a))) ++ txnActs,
+            cdf, "MERGE", Map("mode" -> "deletionVectors",
+              "predicateKeys" -> keyCols.mkString(",")),
+            extraCheck = s => !txnApplied(s) &&
+              s.files.map(_.path).forall(basePaths.contains))
+          catch {
+            case _: java.util.ConcurrentModificationException
+              if txnApplied(snapshot) => -1L
+          }
+        case None =>
+          // insert-only outcome: no masks, just the new file + txn
+          val cdcActions = cdf.map(stageChangeFiles).getOrElse(Nil)
+          log.commit(
+            adds.map(a => Action(add = Some(a))) ++ cdcActions ++ txnActs ++
+              Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+                "MERGE", Map("mode" -> "deletionVectors"))))),
+            check = s => !txnApplied(s) &&
+              s.files.map(_.path).forall(basePaths.contains))
+      }
+      if (committed < 0)
+        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+      committed
+    } finally fs.delete(staging, true)
+  }
+
   private final case class DvPlanned(f: AddFile, bytes: Array[Byte], fullFile: Boolean)
   private final case class DvPlan(planned: Seq[DvPlanned],
                                   descFor: Map[String, DeletionVectorDescriptor],
@@ -1466,7 +1613,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * shared DV file for the large bitmaps, inline for the small). None
     * when nothing matched. */
   private def planDvMask(snap: Snapshot,
-                         predicate: org.apache.spark.sql.Column): Option[DvPlan] = {
+                         predicate: org.apache.spark.sql.Column): Option[DvPlan] =
+    planDvMaskBy(snap, _.filter(coalesce(predicate, lit(false))))
+
+  /** [[planDvMask]] with an arbitrary MATCHER over the meta-carrying
+    * frame (must preserve `__meta_fname`/`__meta_pos`) — the join-based
+    * shape [[mergeWithDv]] needs, where "matched" is a semi-join on the
+    * source keys rather than a row predicate. */
+  private def planDvMaskBy(snap: Snapshot,
+                           matcher: DataFrame => DataFrame): Option[DvPlan] = {
     require(dvEnabled,
       s"${DeltaTable.DvConfigKey} is not 'true' on this table — enable it " +
         "in the table configuration (create(..., configuration)) first")
@@ -1485,8 +1640,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // matching rows through the DV-applied read, aggregated per file and
     // serialized in the same job; one compressed row per affected file
     // comes back to the driver
-    val matched: Map[String, (Array[Byte], Long)] = rawFor(snap, withMeta = true)
-      .filter(coalesce(predicate, lit(false)))
+    val matched: Map[String, (Array[Byte], Long)] = matcher(rawFor(snap, withMeta = true))
       .select(col("__meta_fname").as("__fname"), col("__meta_pos").as("__pos"))
       .groupBy(col("__fname"))
       .agg(org.apache.spark.sql.functions.sort_array(
@@ -1531,7 +1685,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * cdc and the shared DV file on a lost race and throws. */
   private def commitDvMask(snap: Snapshot, plan: DvPlan, extraAdds: Seq[Action],
                            cdf: Option[DataFrame], operation: String,
-                           params: Map[String, String]): Long = {
+                           params: Map[String, String],
+                           extraCheck: Snapshot => Boolean = _ => true): Long = {
     val cdcActions = cdf.map(stageChangeFiles).getOrElse(Nil)
     val expected: Map[String, Option[DeletionVectorDescriptor]] =
       plan.planned.map(p => p.f.path -> p.f.deletionVector).toMap
@@ -1548,7 +1703,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         Seq(Action(commitInfo = Some(CommitInfo(now, operation, params))))
     val committed = log.commit(actions, check = s => {
       val live = s.files.map(f => f.path -> f.deletionVector).toMap
-      expected.forall { case (p, dv) => live.get(p).contains(dv) }
+      expected.forall { case (p, dv) => live.get(p).contains(dv) } && extraCheck(s)
     })
     if (committed < 0) {
       cdcActions.foreach(_.cdc.foreach(c => fs.delete(new Path(path, c.path), false)))

@@ -600,6 +600,36 @@ object ReferenceOps extends QueryModule {
              |    ELSE user_id END) AS BIGINT) AS user_sum
              |FROM events""".stripMargin)),
 
+    // ---- MERGE-ON-READ MERGE (DV CDC-apply): target = evens; source
+    // updates the %6 rows (+2e6) and inserts the odds — matched rows
+    // mask out by DV, everything new lands in one file, ZERO rewrites
+    // (required in-query). The oracle recomputes the upserted frame from
+    // raw events. ------------------------------------------------------
+    "ref_dv_merge" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-dv-merge")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(graft.delta.DeltaTable.DvConfigKey -> "true"))
+        t.append(ev.filter(col("event_id") % 2 === 0))
+        val before = t.snapshot.files.map(_.path).toSet
+        val src = ev.filter(col("event_id") % 6 === 0)
+          .select(col("event_id"),
+            (col("user_id") + 2000000L).cast("long").as("user_id"))
+          .unionByName(ev.filter(col("event_id") % 2 =!= 0))
+        require(t.mergeWithDv(src, Seq("event_id")) > 0L)
+        require(before.subsetOf(t.snapshot.files.map(_.path).toSet),
+          "a DV merge must not rewrite any original data file")
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(CASE WHEN event_id % 6 = 0 THEN user_id + 2000000
+             |    ELSE user_id END) AS BIGINT) AS user_sum
+             |FROM events""".stripMargin)),
+
     // ---- SHALLOW CLONE (zero-copy fork via absolute add.paths): clone
     // the events table, DV-delete a slice ON THE CLONE, and aggregate
     // both tables. In-query requires: the clone dir holds zero parquet

@@ -478,4 +478,48 @@ class DeletionVectorSpec extends SparkSpec {
       "a fully-masked file must degrade to a plain remove")
     assert(t2.toDF.head().getString(1) === "z")
   }
+
+  test("mergeWithDv: CDC-apply upsert — masks + one new file, row identity, inserts") {
+    import spark.implicits._
+    val dir = tmpDir("dv-merge")
+    val df = (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true",
+        DeltaTable.RowTrackingConfigKey -> "true",
+        DeltaTable.CdfConfigKey -> "true"))
+    t.append(df)
+    val idsBefore = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = t.snapshot.files.map(_.path).toSet
+    val src = Seq((3L, "upd3"), (7L, "upd7"), (100L, "new100")).toDF("k", "v")
+    val mv = t.mergeWithDv(src, Seq("k"))
+    assert(mv > 0L)
+    assert(before.subsetOf(t.snapshot.files.map(_.path).toSet),
+      "DV merge must not rewrite any original file")
+    val rows = t.toDF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size === 51)
+    assert(rows(3L) === "upd3" && rows(7L) === "upd7" && rows(100L) === "new100")
+    assert(rows(5L) === "v5")
+    // matched rows keep identity; the insert allocates past the mark
+    val idsAfter = t.toDFWithRowIds.select(col("k"), col(DeltaTable.RowIdCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idsAfter(3L) === idsBefore(3L) && idsAfter(7L) === idsBefore(7L))
+    assert(idsAfter(100L) >= 50L)
+    assert(idsAfter.values.toSeq.distinct.length === idsAfter.size)
+    // CDF: 2 pre + 2 post + 1 insert
+    val feed = t.changes(mv, mv)
+    assert(feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("update_preimage" -> 2L, "update_postimage" -> 2L, "insert" -> 1L))
+    // insert-only outcome commits without masks
+    val mv2 = t.mergeWithDv(Seq((200L, "n")).toDF("k", "v"), Seq("k"))
+    assert(mv2 > 0L)
+    assert(t.toDF.count() === 52L)
+    // exactly-once: a replayed (appId, version) batch is a quiet no-op
+    assert(t.mergeWithDv(Seq((300L, "x")).toDF("k", "v"), Seq("k"),
+      txnAppId = Some("up"), txnVersion = 1L) > 0L)
+    assert(t.mergeWithDv(Seq((300L, "y")).toDF("k", "v"), Seq("k"),
+      txnAppId = Some("up"), txnVersion = 1L) === -1L)
+    assert(t.toDF.filter(col("k") === 300L).head().getString(1) === "x")
+  }
 }

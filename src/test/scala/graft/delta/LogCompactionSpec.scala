@@ -89,6 +89,28 @@ class LogCompactionSpec extends SparkSpec {
     assert(t.compactLog() === -1, "nothing past the checkpoint -> no-op, not a crash")
   }
 
+  test("user domain metadata: set/remove survive checkpoints and clones; delta.* refuses") {
+    val dir = tmpDir("userdom")
+    val t = DeltaTable.forPath(spark, dir).create(Seq((0L, "s")).toDF("k", "v").schema)
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    assert(t.setDomainMetadata("myapp.retention", "{\"days\":30}") > 0L)
+    assert(t.snapshot.protocol.get.writerFeatures.get.contains("domainMetadata"))
+    assert(t.domainMetadata("myapp.retention").contains("30"))
+    assertThrows[IllegalArgumentException](
+      t.setDomainMetadata("delta.rowTracking", "{}"))
+    // survives a checkpoint-seeded cold read
+    (0 until 10).foreach(b => t.append(Seq((b.toLong, "x")).toDF("k", "v")))
+    assert(DeltaTable.forPath(spark, dir)
+      .domainMetadata("myapp.retention").contains("30"))
+    // and a shallow clone
+    val clone = t.shallowCloneTo(tmpDir("userdom-cl") + "/t")
+    assert(clone.domainMetadata("myapp.retention").contains("30"))
+    // removal tombstones; removing a missing domain is a quiet no-op
+    assert(t.removeDomainMetadata("myapp.retention") > 0L)
+    assert(!t.domainMetadata.contains("myapp.retention"))
+    assert(t.removeDomainMetadata("myapp.retention") === -1L)
+  }
+
   test("metadata cleanup ages a span out with its end version") {
     val dir = tmpDir("logcomp-clean")
     val t = DeltaTable.forPath(spark, dir).create(Seq((0L, "s")).toDF("k", "v").schema)
