@@ -119,13 +119,8 @@ object GraftExtensions {
       "graft_script_count(text, script) - chars of a unicode script (latin/han/cyrillic/" +
         "arabic/devanagari/hangul/kana/greek) by explicit codepoint range") { cols =>
       checkArity("graft_script_count", cols, 2)
-      val script = cols(1)._2 match {
-        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
-          s.toString
-        case _ => throw new IllegalArgumentException(
-          "graft_script_count: script must be a string literal")
-      }
-      ops.TextAnalysis.scriptCount(cols(0)._1, script)
+      ops.TextAnalysis.scriptCount(cols(0)._1,
+        stringLitCol("graft_script_count", cols, 1))
     }
 
     registerCols(ext, "graft_dominant_script",

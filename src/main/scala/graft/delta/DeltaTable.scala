@@ -800,11 +800,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     require(!domain.startsWith("delta."),
       s"'$domain' is a system domain — delta.* domains are engine-maintained")
     require(domain.nonEmpty, "domain name must be non-empty")
-    val snap = snapshot
-    require(snap.version >= 0, s"no table at $path")
-    log.commit(Seq(
-      Action(protocol = Some(raisedProtocol(snap,
-        snap.protocol.map(_.minReaderVersion).getOrElse(1), 7,
+    require(snapshot.version >= 0, s"no table at $path")
+    // protocol regenerates per attempt (the widenColumnType invariant):
+    // a fixed action would clobber a concurrently-raised feature
+    log.commitWith(att => Seq(
+      Action(protocol = Some(raisedProtocol(att,
+        att.protocol.map(_.minReaderVersion).getOrElse(1), 7,
         Nil, Seq("domainMetadata")))),
       Action(domainMetadata = Some(DomainMetadata(domain, configuration))),
       Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
@@ -1263,7 +1264,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val sch = schema
     val parts = partitionColumns
     keyCols.foreach(k => require(sch.fieldNames.contains(k), s"unknown key column '$k'"))
-    keyCols.foreach(k => require(source.columns.contains(k),
+    // source columns resolve CASE-INSENSITIVELY (Spark's default
+    // resolution) — a case-mismatched column must update, not silently
+    // null-fill past the unknown-column check (review finding)
+    val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
+    keyCols.foreach(k => require(srcByLower.contains(k.toLowerCase),
       s"source is missing key column '$k'"))
     // a source column the table doesn't have is almost always a typo'd
     // SET column — silently dropping it would null-overwrite the intended
@@ -1274,9 +1279,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       s"source columns ${unknown.mkString(", ")} do not exist in the table schema " +
         "(project them away, or append with mergeSchema to widen first)")
     val snap = snapshot
-    val srcCols = source.columns.toSet
     val aligned = source.select(sch.fields.map(f =>
-      (if (srcCols.contains(f.name)) col(f.name) else lit(null))
+      srcByLower.get(f.name.toLowerCase).map(col).getOrElse(lit(null))
         .cast(f.dataType).as(f.name)).toSeq: _*)
     val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
     val affected = filesMatching(snap, _.join(srcKeys, keyCols, "left_semi"))
@@ -1289,7 +1293,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // must not null-overwrite what it didn't name)
     val pfx = "__merge_src_"
     val updCols = sch.fieldNames.toSeq
-      .filterNot(keyCols.contains).filter(srcCols.contains)
+      .filterNot(keyCols.contains).filter(n => srcByLower.contains(n.toLowerCase))
     val srcRen = aligned.select((keyCols.map(col) ++
       updCols.map(n => col(n).as(pfx + n))): _*)
     // matched rows KEEP their row id (a merge update never re-identifies
@@ -1459,16 +1463,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     }.toSeq ++ (if (rowTrackingEnabled)
       Seq(col(DeltaTable.MaterializedRowIdCol)) else Nil)): _*)
     val checked = withConstraintChecks(rewritten)
-    // stage the new file(s) exactly like append's write path
-    val parts = partitionColumns
-    val physParts = physicalPartNames(parts)
-    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
-    val arranged = if (parts.nonEmpty) checked.repartition(parts.map(col): _*) else checked
-    val writer = toPhysicalForWrite(arranged, sch).write
-      .mode("overwrite").option("compression", "snappy")
-    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
-      .parquet(staging.toString)
-    val adds = collectStagedFiles(staging, physParts)
+    val (staging, adds) = stageWrite(checked)
     try {
       val cdf = if (!cdfEnabled) None else {
         val pre = rawFor(snap).filter(coalesce(predicate, lit(false)))
@@ -1479,12 +1474,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         Some(pre.withColumn(DeltaTable.ChangeTypeCol, lit("update_preimage"))
           .unionByName(post.withColumn(DeltaTable.ChangeTypeCol, lit("update_postimage"))))
       }
-      val committed = commitDvMask(snap, plan,
+      commitDvMask(snap, plan,
         adds.map(a => Action(add = Some(a))), cdf, "UPDATE",
         Map("mode" -> "deletionVectors"))
-      if (committed < 0)
-        adds.foreach(a => fs.delete(new Path(path, a.path), false))
-      committed
     } finally fs.delete(staging, true)
   }
 
@@ -1507,7 +1499,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val sch = schema
     keyCols.foreach(k => require(sch.fieldNames.contains(k), s"unknown key column '$k'"))
-    keyCols.foreach(k => require(source.columns.contains(k),
+    // source columns resolve CASE-INSENSITIVELY (Spark's default
+    // resolution) — a case-mismatched column must update, not silently
+    // null-fill past the unknown-column check (review finding)
+    val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
+    keyCols.foreach(k => require(srcByLower.contains(k.toLowerCase),
       s"source is missing key column '$k'"))
     val tableCols = sch.fieldNames.map(_.toLowerCase).toSet
     val unknown = source.columns.filter(c => !tableCols.contains(c.toLowerCase))
@@ -1517,15 +1513,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     def txnApplied(s: Snapshot): Boolean = txnAppId.exists(app =>
       txnVersion >= 0 && s.txns.getOrElse(app, -1L) >= txnVersion)
     if (txnApplied(snap)) return -1L
-    val srcCols = source.columns.toSet
     val aligned = source.select(sch.fields.map(f =>
-      (if (srcCols.contains(f.name)) col(f.name) else lit(null))
+      srcByLower.get(f.name.toLowerCase).map(col).getOrElse(lit(null))
         .cast(f.dataType).as(f.name)).toSeq: _*).localCheckpoint(true)
     val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
     val plan = planDvMaskBy(snap, _.join(srcKeys, keyCols, "left_semi"))
     val pfx = "__merge_src_"
     val updCols = sch.fieldNames.toSeq
-      .filterNot(keyCols.contains).filter(srcCols.contains)
+      .filterNot(keyCols.contains).filter(n => srcByLower.contains(n.toLowerCase))
     val srcRen = aligned.select((keyCols.map(col) ++
       updCols.map(n => col(n).as(pfx + n))): _*)
     val tgtMatched =
@@ -1545,16 +1540,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val inserts = if (!rowTrackingEnabled) inserts0
       else inserts0.withColumn(DeltaTable.MaterializedRowIdCol, lit(null).cast("long"))
     val newData = withConstraintChecks(matched.unionByName(inserts))
-    // stage like append
-    val parts = partitionColumns
-    val physParts = physicalPartNames(parts)
-    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
-    val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
-    val writer = toPhysicalForWrite(arranged, sch).write
-      .mode("overwrite").option("compression", "snappy")
-    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
-      .parquet(staging.toString)
-    val adds = collectStagedFiles(staging, physParts)
+    val (staging, adds) = stageWrite(newData)
     try {
       val cdf = if (!cdfEnabled) None else {
         val pre = rawFor(snap).join(srcKeys, keyCols, "left_semi")
@@ -1584,17 +1570,30 @@ final class DeltaTable(spark: SparkSession, val path: String) {
               if txnApplied(snapshot) => -1L
           }
         case None =>
-          // insert-only outcome: no masks, just the new file + txn
+          // insert-only outcome: no masks, just the new file + txn — a
+          // lost race still throws (a concurrent add may hold a matched
+          // key); only an already-recorded txn batch skips quietly
           val cdcActions = cdf.map(stageChangeFiles).getOrElse(Nil)
-          log.commit(
+          var txnSkip = false
+          val c = log.commit(
             adds.map(a => Action(add = Some(a))) ++ cdcActions ++ txnActs ++
               Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
                 "MERGE", Map("mode" -> "deletionVectors"))))),
-            check = s => !txnApplied(s) &&
-              s.files.map(_.path).forall(basePaths.contains))
+            check = s => {
+              if (txnApplied(s)) { txnSkip = true; false }
+              else s.files.map(_.path).forall(basePaths.contains)
+            })
+          if (c < 0) {
+            adds.foreach(a => fs.delete(new Path(path, a.path), false))
+            cdcActions.foreach(_.cdc.foreach(cf =>
+              fs.delete(new Path(path, cf.path), false)))
+            if (!txnSkip)
+              throw new java.util.ConcurrentModificationException(
+                "MERGE (deletion vectors) lost a commit race: a concurrent " +
+                  "commit added files during this merge")
+          }
+          c
       }
-      if (committed < 0)
-        adds.foreach(a => fs.delete(new Path(path, a.path), false))
       committed
     } finally fs.delete(staging, true)
   }
@@ -1691,26 +1690,33 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val expected: Map[String, Option[DeletionVectorDescriptor]] =
       plan.planned.map(p => p.f.path -> p.f.deletionVector).toMap
     val now = System.currentTimeMillis()
-    val actions =
-      Seq(Action(protocol = Some(protocolWithDv(snap)))) ++
-        plan.planned.map(p => Action(remove = Some(RemoveFile(p.f.path, Some(now),
-          deletionVector = p.f.deletionVector)))) ++
+    val rest =
+      plan.planned.map(p => Action(remove = Some(RemoveFile(p.f.path, Some(now),
+        deletionVector = p.f.deletionVector)))) ++
         plan.planned.filterNot(_.fullFile).map(p =>
           Action(add = Some(p.f.copy(dataChange = true,
             deletionVector = Some(plan.descFor(p.f.path)))))) ++
         extraAdds ++
         cdcActions ++
         Seq(Action(commitInfo = Some(CommitInfo(now, operation, params))))
-    val committed = log.commit(actions, check = s => {
-      val live = s.files.map(f => f.path -> f.deletionVector).toMap
-      expected.forall { case (p, dv) => live.get(p).contains(dv) } && extraCheck(s)
-    })
+    // the PROTOCOL regenerates per attempt: a fixed action built from the
+    // base snapshot would clobber a feature a concurrent commit raised
+    // while this one retried (the widenColumnType invariant)
+    val committed = log.commitWith(
+      att => Action(protocol = Some(protocolWithDv(att))) +: rest,
+      check = s => {
+        val live = s.files.map(f => f.path -> f.deletionVector).toMap
+        expected.forall { case (p, dv) => live.get(p).contains(dv) } && extraCheck(s)
+      })
     if (committed < 0) {
       cdcActions.foreach(_.cdc.foreach(c => fs.delete(new Path(path, c.path), false)))
-      // the freshly written shared DV file is unreferenced too — remove
-      // it like every other path cleans its staged files on a lost race
+      // the freshly written shared DV file is unreferenced too, and so are
+      // the new-data files the caller already moved into the table dir —
+      // clean ALL of them before throwing (leaked orphans otherwise)
       plan.bigDescs.map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv))
         .distinct.foreach(p => fs.delete(new Path(path, p), false))
+      extraAdds.flatMap(_.add).foreach(a =>
+        fs.delete(new Path(path, a.path), false))
       throw new java.util.ConcurrentModificationException(
         s"$operation (deletion vectors) lost a commit race: an affected file " +
           "was rewritten or DV'd concurrently")
@@ -1981,6 +1987,23 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * thrown, so callers can never mistake an unapplied DML for "nothing
     * matched" (compact stays quiet on races — skipping an optimization
     * is safe; skipping a DML is not). */
+  /** Stage a new-data frame exactly like append's write path (partition
+    * co-location, physical names, snappy) and move the files into the
+    * table dir, returning (staging dir to delete in the caller's
+    * finally, collected adds). ONE copy of this recipe — three
+    * hand-rolled copies diverged on error-path cleanup (review). */
+  private def stageWrite(newData: DataFrame): (Path, Seq[AddFile]) = {
+    val parts = partitionColumns
+    val physParts = physicalPartNames(parts)
+    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
+    val writer = toPhysicalForWrite(arranged, schema).write
+      .mode("overwrite").option("compression", "snappy")
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
+      .parquet(staging.toString)
+    (staging, collectStagedFiles(staging, physParts))
+  }
+
   private def commitRewrite(affected: Seq[AddFile], newData: DataFrame,
                             operation: String,
                             params: Map[String, String] = Map.empty,
@@ -1996,14 +2019,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     def txnApplied(s: Snapshot): Boolean = txn.exists { case (app, v) =>
       s.txns.getOrElse(app, -1L) >= v }
     if (txnApplied(snapshot)) return -1L
-    val parts = partitionColumns
-    val physParts = physicalPartNames(parts)
-    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
-    val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
-    val writer = toPhysicalForWrite(arranged, schema).write
-      .mode("overwrite").option("compression", "snappy")
-    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer).parquet(staging.toString)
-    val adds = collectStagedFiles(staging, physParts)
+    val (staging, adds) = stageWrite(newData)
     val cdcActions = changes.map(stageChangeFiles).getOrElse(Nil)
     try {
       // a file is "still ours" only with the same path AND the same DV

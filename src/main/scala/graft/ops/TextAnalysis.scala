@@ -94,7 +94,9 @@ object TextAnalysis {
     "greek" -> "\\u0370-\\u03FF")
 
   def scriptCount(text: Column, script: String): Column = {
-    val range = ScriptRanges.toMap.apply(script)
+    val range = ScriptRanges.toMap.getOrElse(script,
+      throw new IllegalArgumentException(
+        s"unknown script '$script' — one of ${ScriptRanges.map(_._1).mkString(", ")}"))
     regexp_count(text, lit(s"[$range]"))
   }
 
@@ -123,7 +125,9 @@ object TextAnalysis {
     // hand-kept replace chain silently ships untranslated escapes for
     // any range added later
     val range = """\\u([0-9A-Fa-f]{4})""".r
-      .replaceAllIn(ScriptRanges.toMap.apply(script),
+      .replaceAllIn(ScriptRanges.toMap.getOrElse(script,
+        throw new IllegalArgumentException(
+          s"unknown script '$script' — one of ${ScriptRanges.map(_._1).mkString(", ")}")),
         m => java.util.regex.Matcher.quoteReplacement("\\x{" + m.group(1) + "}"))
     s"CAST(len(regexp_extract_all($e, '[$range]')) AS BIGINT)"
   }

@@ -522,4 +522,19 @@ class DeletionVectorSpec extends SparkSpec {
       txnAppId = Some("up"), txnVersion = 1L) === -1L)
     assert(t.toDF.filter(col("k") === 300L).head().getString(1) === "x")
   }
+
+  test("merge sources resolve case-insensitively (no silent null-fill)") {
+    import spark.implicits._
+    val dir = tmpDir("dv-merge-case")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    t.append(df)
+    // source provides 'V' (different case): must UPDATE, never null-fill
+    assert(t.mergeWithDv(Seq((1L, "upd")).toDF("k", "V"), Seq("k")) > 0L)
+    assert(t.toDF.filter(col("k") === 1L).head().getString(1) === "upd")
+    // same through the copy-on-write merge
+    assert(t.merge(Seq((2L, "upd2")).toDF("K", "V"), Seq("k")) > 0L)
+    assert(t.toDF.filter(col("k") === 2L).head().getString(1) === "upd2")
+  }
 }
