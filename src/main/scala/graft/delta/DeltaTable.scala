@@ -2277,10 +2277,19 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       snap.files.map(_.size).sum, meta.configuration,
       proto.minReaderVersion, proto.minWriterVersion,
       meta.createdTime.map(new java.sql.Timestamp(_)).orNull,
-      snap.version))
+      snap.version,
+      // the table-features era columns (delta-spark's DESCRIBE DETAIL
+      // shows tableFeatures; clustering + DV state ride along)
+      (proto.readerFeatures.getOrElse(Nil) ++ proto.writerFeatures.getOrElse(Nil))
+        .distinct.sorted,
+      clusteringColumns,
+      snap.files.count(_.deletionVector.isDefined).toLong,
+      snap.files.flatMap(_.deletionVector).map(_.cardinality).sum))
       .toDF("format", "id", "name", "location", "partitionColumns",
         "numFiles", "sizeInBytes", "properties",
-        "minReaderVersion", "minWriterVersion", "createdAt", "version")
+        "minReaderVersion", "minWriterVersion", "createdAt", "version",
+        "tableFeatures", "clusteringColumns",
+        "numDeletionVectors", "deletedRowCount")
   }
 
   def restoreTo(version: Long): Long = {
@@ -2785,7 +2794,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * Scale: the referenced-set is path strings only (no footers), and
     * deletion is metadata-rate; for object stores this would batch
     * delete calls. */
-  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int =
+    vacuumImpl(retentionMs, dryRun = false)
+
+  /** VACUUM DRY RUN: list the files a vacuum at this retention WOULD
+    * delete, touching nothing — the delta-spark `VACUUM ... DRY RUN`
+    * safety valve before an irreversible collection. */
+  def vacuumDryRun(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    vacuumImpl(retentionMs, dryRun = true, onCandidate = out += _)
+    out.toSeq.sorted
+  }
+
+  private def vacuumImpl(retentionMs: Long, dryRun: Boolean,
+                         onCandidate: String => Unit = _ => ()): Int = {
     val snap = snapshot
     val referenced = snap.files.map(_.path).toSet
     // DV files referenced by any LIVE add must survive (deleting one
@@ -2812,7 +2834,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
               (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
                 !referencedDv.contains(rel))
           if (collectable && st.getModificationTime < cutoff) {
-            if (fs.delete(st.getPath, false)) deleted += 1
+            onCandidate(rel)
+            if (!dryRun && fs.delete(st.getPath, false)) deleted += 1
           }
         }
       }

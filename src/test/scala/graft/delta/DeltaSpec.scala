@@ -1095,4 +1095,29 @@ class DeltaSpec extends SparkSpec {
 
     assertThrows[IllegalArgumentException](t.statsSummary(Seq("nope")))
   }
+
+  test("DESCRIBE DETAIL surfaces table features, clustering, and DV state; vacuum dry-run") {
+    val dir = tmpDir("detail-feat")
+    val df = sampleDf(0 until 20)
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true"),
+      clusterBy = Seq("id", "name"))
+    t.append(df)
+    assert(t.deleteWithDv(col("id") % 5 === 0L) > 0L)
+    val d = t.detail().head()
+    val feats = d.getSeq[String](d.fieldIndex("tableFeatures"))
+    assert(feats.contains("deletionVectors") && feats.contains("clusteredTable"))
+    assert(d.getSeq[String](d.fieldIndex("clusteringColumns")) === Seq("id", "name"))
+    assert(d.getAs[Long]("numDeletionVectors") >= 1L)
+    assert(d.getAs[Long]("deletedRowCount") === 4L)
+    // dry run lists without deleting: orphan a file via compact, then check
+    assert(t.purgeDeletionVectors() > 0L)
+    val candidates = t.vacuumDryRun(retentionMs = -1000L)
+    assert(candidates.nonEmpty, "purge leaves the old DV'd files unreferenced")
+    assert(t.toDF.count() === 16L)
+    val before = candidates.toSet
+    assert(t.vacuum(retentionMs = -1000L) === before.size,
+      "the real vacuum must collect exactly the dry-run set")
+    assert(t.vacuumDryRun(retentionMs = -1000L).isEmpty)
+  }
 }
