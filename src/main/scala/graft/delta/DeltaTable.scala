@@ -530,6 +530,122 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     committed
   }
 
+  /** ALTER TABLE SET TBLPROPERTIES (delta-rs `set_tbl_properties`,
+    * delta-spark ALTER TABLE): merge `props` into the table
+    * configuration in one metadata commit. Feature-gating flips raise
+    * the protocol through the SAME enumeration every feature path uses
+    * — enabling deletion vectors here is exactly what makes a later
+    * [[deleteWithDv]] legal on a table created without them.
+    *
+    * Refusals (fail-safe, mirrors delta-spark):
+    *  - `delta.constraints.*` — constraints have their own validated API
+    *    ([[addCheckConstraint]] scans for violating rows; a raw property
+    *    write would skip that)
+    *  - engine-maintained keys (`delta.columnMapping.maxColumnId`)
+    *  - `delta.columnMapping.mode` changes — mapping is a create-time
+    *    migration (physical names must be minted per field)
+    *  - unknown `delta.`-prefixed keys — a typo'd `delta.enableDeletionVektors`
+    *    silently doing nothing is the worst failure mode; arbitrary
+    *    USER keys (no `delta.` prefix) pass through like Delta proper
+    *  - enabling row tracking on a non-empty table — ids are assigned at
+    *    commit time and this implementation does not backfill
+    *
+    * Concurrency: actions regenerate per attempt from the winning
+    * snapshot ([[DeltaLog.commitWith]]) — no stale-copy hazard, and a
+    * concurrently-raised feature is never clobbered because the protocol
+    * is re-derived against each attempt's predecessor. */
+  def setProperties(props: Map[String, String]): Long = {
+    require(props.nonEmpty, "no properties to set")
+    val knownDelta = Set(
+      DeltaTable.CdfConfigKey, DeltaTable.DvConfigKey,
+      DeltaTable.AppendOnlyConfigKey, DeltaTable.AutoCompactConfigKey,
+      DeltaTable.AutoCompactMinFilesKey, DeltaTable.IctConfigKey,
+      DeltaTable.RowTrackingConfigKey, DeltaTable.CheckpointPolicyKey,
+      DeltaTable.ColumnMappingModeKey)
+    props.keys.foreach { k =>
+      require(!k.startsWith(DeltaTable.ConstraintPrefix),
+        s"'$k' is a CHECK constraint — use addCheckConstraint/dropConstraint")
+      require(k != DeltaTable.ColumnMappingMaxIdKey,
+        s"'$k' is engine-maintained")
+      require(!k.startsWith("delta.") || knownDelta.contains(k),
+        s"unknown delta configuration '$k' — refusing a silent no-op")
+    }
+    props.get(DeltaTable.CheckpointPolicyKey).foreach(v =>
+      require(v == "classic" || v == "v2", s"checkpointPolicy must be classic|v2, got '$v'"))
+    val snap0 = snapshot
+    require(snap0.version >= 0, s"no table at $path")
+    props.get(DeltaTable.ColumnMappingModeKey).foreach { v =>
+      val cur = snap0.metadata.flatMap(
+        _.configuration.get(DeltaTable.ColumnMappingModeKey)).getOrElse("none")
+      require(v == cur, s"column mapping mode is set at CREATE " +
+        s"(current '$cur', requested '$v') — physical names must be minted per field")
+    }
+    if (props.get(DeltaTable.RowTrackingConfigKey).contains("true") &&
+        !rowTrackingEnabled)
+      require(snap0.files.isEmpty, "cannot enable row tracking on a non-empty " +
+        "table — ids are assigned at commit time and are not backfilled; " +
+        "enable at CREATE or on an empty table")
+    def turnsOn(key: String): Boolean = props.get(key).contains("true") &&
+      !snap0.metadata.exists(_.configuration.get(key).contains("true"))
+    val v2On = props.get(DeltaTable.CheckpointPolicyKey).contains("v2")
+    val addReader =
+      (if (turnsOn(DeltaTable.DvConfigKey)) Seq("deletionVectors") else Nil) ++
+      (if (v2On) Seq("v2Checkpoint") else Nil)
+    val addWriter = addReader ++
+      (if (turnsOn(DeltaTable.CdfConfigKey)) Seq("changeDataFeed") else Nil) ++
+      (if (turnsOn(DeltaTable.IctConfigKey)) Seq("inCommitTimestamp") else Nil) ++
+      (if (turnsOn(DeltaTable.RowTrackingConfigKey))
+        Seq("rowTracking", "domainMetadata") else Nil)
+    // legacy floors: DV/v2Checkpoint force (3,7); ICT/rowTracking force
+    // writer 7; CDF alone is satisfied by legacy writer 4
+    val floorReader =
+      if (turnsOn(DeltaTable.DvConfigKey) || v2On) 3 else 1
+    val floorWriter =
+      if (addWriter.exists(f => f != "changeDataFeed")) 7
+      else if (turnsOn(DeltaTable.CdfConfigKey)) 4 else 1
+    log.commitWith { att =>
+      val meta = att.metadata.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val proto = raisedProtocol(att, floorReader, floorWriter, addReader, addWriter)
+      val protoAct =
+        if (att.protocol.contains(proto)) Nil
+        else Seq(Action(protocol = Some(proto)))
+      protoAct ++ Seq(
+        Action(metaData = Some(meta.copy(configuration = meta.configuration ++ props))),
+        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+          "SET TBLPROPERTIES", Map("properties" -> props.keys.toSeq.sorted.mkString(","))))))
+    }
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES: remove configuration keys. The
+    * PROTOCOL keeps any feature the key enabled (protocol never
+    * downgrades — existing DV descriptors etc. stay readable); the
+    * feature merely stops applying to NEW work, Delta proper's
+    * semantics. Unsetting `delta.columnMapping.mode` refuses — files
+    * already carry physical names. Missing keys are a no-op (returns -1
+    * if nothing would change). */
+  def unsetProperties(keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "no properties to unset")
+    keys.foreach { k =>
+      require(!k.startsWith(DeltaTable.ConstraintPrefix),
+        s"'$k' is a CHECK constraint — use dropConstraint")
+      require(k != DeltaTable.ColumnMappingModeKey &&
+        k != DeltaTable.ColumnMappingMaxIdKey,
+        s"cannot unset '$k' — files already carry physical column names")
+    }
+    require(snapshot.version >= 0, s"no table at $path")
+    log.commitWith(
+      att => {
+        val meta = att.metadata.getOrElse(
+          throw new IllegalStateException(s"no table at $path"))
+        Seq(
+          Action(metaData = Some(meta.copy(configuration = meta.configuration -- keys))),
+          Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+            "UNSET TBLPROPERTIES", Map("properties" -> keys.sorted.mkString(","))))))
+      },
+      check = _.metadata.exists(m => keys.exists(m.configuration.contains)))
+  }
+
   /** True when `delta.columnMapping.mode=name`: parquet files store
     * PHYSICAL column names, the schema's field metadata maps them to
     * logical names, and rename/drop are metadata-only commits. */

@@ -1096,6 +1096,76 @@ class DeltaSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](t.statsSummary(Seq("nope")))
   }
 
+  test("SET TBLPROPERTIES enables features mid-life with protocol raise") {
+    val t = newTable()
+    t.append(sampleDf(0 until 10))
+    // DV on a table created WITHOUT them: deleteWithDv refuses, then the
+    // property flip makes it legal and raises (3,7)+deletionVectors
+    assertThrows[IllegalArgumentException](t.deleteWithDv(col("id") === 1L))
+    val v = t.setProperties(Map(DeltaTable.DvConfigKey -> "true"))
+    assert(v > 0)
+    val p = t.snapshot.protocol.get
+    assert(p.minReaderVersion === 3 && p.minWriterVersion === 7)
+    assert(p.readerFeatures.get.contains("deletionVectors"))
+    assert(p.writerFeatures.get.contains("deletionVectors"))
+    assert(t.deleteWithDv(col("id") === 1L) > 0)
+    assert(t.toDF.count() === 9L)
+    // CDF mid-life: the feature applies from the flip forward
+    t.setProperties(Map(DeltaTable.CdfConfigKey -> "true"))
+    val before = t.snapshot.version
+    t.delete(col("id") === 2L)
+    val ch = t.changes(before + 1, t.snapshot.version)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch === Map("delete" -> 1L))
+    // user keys pass through; unknown delta.* keys refuse loudly
+    t.setProperties(Map("team.owner" -> "data-eng"))
+    assert(t.snapshot.metadata.get.configuration("team.owner") === "data-eng")
+    assertThrows[IllegalArgumentException](
+      t.setProperties(Map("delta.enableDeletionVektors" -> "true")))
+    assertThrows[IllegalArgumentException](
+      t.setProperties(Map(DeltaTable.ConstraintPrefix + "c1" -> "id > 0")))
+    assertThrows[IllegalArgumentException](
+      t.setProperties(Map(DeltaTable.ColumnMappingModeKey -> "name")))
+    assertThrows[IllegalArgumentException](
+      t.setProperties(Map(DeltaTable.RowTrackingConfigKey -> "true")))
+  }
+
+  test("SET TBLPROPERTIES on legacy table: CDF alone stays legacy writer 4; row tracking ok while empty") {
+    val t = newTable()
+    t.setProperties(Map(DeltaTable.CdfConfigKey -> "true"))
+    val p = t.snapshot.protocol.get
+    assert(p.minReaderVersion === 1 && p.minWriterVersion === 4)
+    assert(p.writerFeatures.isEmpty, "legacy versions imply the feature")
+    // empty table: row tracking may still be enabled (nothing to backfill)
+    t.setProperties(Map(DeltaTable.RowTrackingConfigKey -> "true"))
+    assert(t.rowTrackingEnabled)
+    t.append(sampleDf(0 until 5))
+    assert(t.toDFWithRowIds.select(DeltaTable.RowIdCol).distinct().count() === 5L)
+  }
+
+  test("UNSET TBLPROPERTIES removes config but never downgrades protocol") {
+    val t = newTable()
+    t.append(sampleDf(0 until 10))
+    t.setProperties(Map(DeltaTable.DvConfigKey -> "true",
+      DeltaTable.AutoCompactConfigKey -> "true"))
+    assert(t.deleteWithDv(col("id") === 0L) > 0)
+    val v = t.unsetProperties(Seq(DeltaTable.DvConfigKey,
+      DeltaTable.AutoCompactConfigKey))
+    assert(v > 0)
+    val conf = t.snapshot.metadata.get.configuration
+    assert(!conf.contains(DeltaTable.DvConfigKey))
+    assert(!conf.contains(DeltaTable.AutoCompactConfigKey))
+    // protocol keeps the feature: the existing DV stays readable
+    assert(t.snapshot.protocol.get.readerFeatures.get.contains("deletionVectors"))
+    assert(t.toDF.count() === 9L)
+    // but NEW DV writes refuse again
+    assertThrows[IllegalArgumentException](t.deleteWithDv(col("id") === 1L))
+    assert(t.unsetProperties(Seq("never.set")) === -1L, "no-op returns -1")
+    assertThrows[IllegalArgumentException](
+      t.unsetProperties(Seq(DeltaTable.ColumnMappingModeKey)))
+  }
+
   test("DESCRIBE DETAIL surfaces table features, clustering, and DV state; vacuum dry-run") {
     val dir = tmpDir("detail-feat")
     val df = sampleDf(0 until 20)
