@@ -351,17 +351,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // resolve 'id'), and the analyzed tree's determinism is checked
       // explicitly.
       schema.fields.filter(_.metadata.contains(DeltaTable.CurrentDefaultKey))
-        .foreach { f =>
-          val e = f.metadata.getString(DeltaTable.CurrentDefaultKey)
-          val ok = try {
-            val df = spark.sql(s"SELECT CAST(($e) AS ${f.dataType.sql})")
-            df.queryExecution.analyzed.expressions.forall(_.deterministic) && {
-              df.head(); true
-            }
-          } catch { case scala.util.control.NonFatal(_) => false }
-          require(ok, s"default for column '${f.name}' must be a constant, " +
-            s"deterministic expression castable to ${f.dataType.simpleString}, got: $e")
-        }
+        .foreach(requireValidDefault)
       clusterBy.foreach(c => require(schema.fieldNames.contains(c),
         s"clusterBy column '$c' is not in the schema"))
       val mapping = configuration.get(DeltaTable.ColumnMappingModeKey).contains("name")
@@ -779,6 +769,103 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     if (committed < 0)
       throw new java.util.ConcurrentModificationException(
         "ALTER COLUMN TYPE lost a metadata race — re-run against the new state")
+    committed
+  }
+
+  /** A DEFAULT expression must be constant-foldable and deterministic
+    * (the Delta contract): a column reference is a generated column's
+    * job, and rand() would mint a different "default" per row. Analysis
+    * runs over a FROM-less projection so any column reference fails
+    * resolution (range(1) would silently resolve 'id'). */
+  private def requireValidDefault(f: org.apache.spark.sql.types.StructField): Unit = {
+    val e = f.metadata.getString(DeltaTable.CurrentDefaultKey)
+    val ok = try {
+      val df = spark.sql(s"SELECT CAST(($e) AS ${f.dataType.sql})")
+      df.queryExecution.analyzed.expressions.forall(_.deterministic) && {
+        df.head(); true
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+    require(ok, s"default for column '${f.name}' must be a constant, " +
+      s"deterministic expression castable to ${f.dataType.simpleString}, got: $e")
+  }
+
+  /** ALTER TABLE ADD COLUMNS: a metadata-only commit — existing files
+    * read the new columns back as NULL (Spark's parquet reader fills
+    * missing columns), so NOT ONE data byte rewrites. Additions must be
+    * nullable for exactly that reason. A DEFAULT rides along validated
+    * ([[DeltaTable.defaultField]]) and applies to writes that OMIT the
+    * column from the flip forward — existing rows stay NULL (backfill is
+    * a job, not a DDL side effect; delta-spark refuses the combination
+    * outright, this keeps the two concerns explicit). Generated and
+    * identity columns are create-time only: existing rows could not
+    * satisfy a generation expression and identity ids are not
+    * backfilled. On a mapped table each addition mints its stable id +
+    * physical parquet name and bumps `delta.columnMapping.maxColumnId`. */
+  def addColumns(newFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(newFields.nonEmpty, "no columns to add")
+    val snap0 = snapshot
+    val sch0 = snap0.schema.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    newFields.foreach { f =>
+      require(!sch0.fieldNames.exists(_.equalsIgnoreCase(f.name)) &&
+        !newFields.exists(g => (g ne f) && g.name.equalsIgnoreCase(f.name)),
+        s"column '${f.name}' already exists")
+      require(f.nullable, s"added column '${f.name}' must be nullable — " +
+        "existing files read it back as NULL")
+      require(!f.metadata.contains(DeltaTable.GenerationExprKey),
+        s"cannot add generated column '${f.name}' — existing rows would " +
+          "violate its generation expression; generated columns are create-time only")
+      require(!f.metadata.contains(DeltaTable.IdentityStartKey),
+        s"cannot add identity column '${f.name}' — ids are not backfilled")
+      if (f.metadata.contains(DeltaTable.CurrentDefaultKey)) requireValidDefault(f)
+    }
+    val hasDefault = newFields.exists(_.metadata.contains(DeltaTable.CurrentDefaultKey))
+    val hasNtz = newFields.exists(f => DeltaTable.containsNtz(f.dataType))
+    val committed = log.commitWith(
+      snap => {
+        val meta = snap.metadata.get
+        val mapped = meta.configuration
+          .get(DeltaTable.ColumnMappingModeKey).contains("name")
+        val maxId = meta.configuration
+          .get(DeltaTable.ColumnMappingMaxIdKey).map(_.toLong).getOrElse(0L)
+        val finalFields =
+          if (!mapped) newFields
+          else newFields.zipWithIndex.map { case (f, i) =>
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(DeltaTable.ColMapIdKey, maxId + i + 1)
+              .putString(DeltaTable.ColMapPhysKey,
+                s"col-${java.util.UUID.randomUUID()}")
+              .build())
+          }
+        val newSchema = StructType(snap.schema.get.fields ++ finalFields)
+        val newConf =
+          if (!mapped) meta.configuration
+          else meta.configuration + (DeltaTable.ColumnMappingMaxIdKey ->
+            (maxId + newFields.size).toString)
+        // features the ADDED columns introduce must ride the same commit
+        // (raisedProtocol's auto-detection sees only the OLD schema)
+        val featsR = if (hasNtz) Seq("timestampNtz") else Nil
+        val featsW = featsR ++
+          (if (hasDefault) Seq("allowColumnDefaults") else Nil)
+        val protoActs =
+          if (featsW.isEmpty) Nil
+          else Seq(Action(protocol = Some(raisedProtocol(snap,
+            if (hasNtz) 3 else snap.protocol.map(_.minReaderVersion).getOrElse(1),
+            7, featsR, featsW))))
+        protoActs ++ Seq(
+          Action(metaData = Some(meta.copy(schemaString = newSchema.json,
+            configuration = newConf))),
+          Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+            "ADD COLUMNS", Map("columns" -> newFields.map(_.name).mkString(","))))))
+      },
+      // racing a concurrent schema/config change would silently drop it
+      check = s => s.metadata.exists(m =>
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaString) == sch0 &&
+          m.configuration == snap0.metadata.get.configuration))
+    if (committed < 0)
+      throw new java.util.ConcurrentModificationException(
+        "ADD COLUMNS lost a metadata race — re-run against the new state")
     committed
   }
 
