@@ -296,6 +296,12 @@ object DeltaLog {
     * `rowIdHighWaterMark`). */
   val RowTrackingDomain = "delta.rowTracking"
 
+  /** Grace window before [[DeltaLog.cleanupMetadata]] collects V2-checkpoint
+    * transients (unreferenced `_sidecars` parquet, stale `.ck2-*` staging
+    * dirs). Must exceed the longest plausible gap between a writer's
+    * sidecar rename and its atomic top-level publish. */
+  val DefaultTempGraceMs: Long = 60L * 60 * 1000
+
   /** Default bound on |commitInfo timestamp − log-file mtime| assumed by
     * [[DeltaLog.versionAt]]'s bounded-read search: generous for NTP drift
     * plus object-store upload lag. */
@@ -976,11 +982,28 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     * snapshotAt(v ≥ cutoff) keep working (including versions between the
     * cutoff checkpoint and a newer one); time travel BELOW the cutoff
     * stops, like Delta's logRetentionDuration cleanup. Returns the number
-    * of files deleted. */
-  def cleanupMetadata(beforeVersion: Long): Int = synchronized {
+    * of files deleted.
+    *
+    * `tempGraceMs` guards the two V2-checkpoint transients against a
+    * concurrent writer: an unreferenced `_sidecars` parquet is only GC'd
+    * once older than the grace (a writer renames sidecars BEFORE its
+    * atomic top-level publish, so a fresh unreferenced sidecar may be an
+    * in-flight checkpoint, not garbage), and a stale `.ck2-<uuid>`
+    * staging dir (crash mid-write) is likewise only collected past the
+    * grace. */
+  def cleanupMetadata(beforeVersion: Long,
+                      tempGraceMs: Long = DeltaLog.DefaultTempGraceMs): Int = synchronized {
     val cutoff = checkpointVersions().filter(_ <= beforeVersion).lastOption.getOrElse(return 0)
     if (cutoff <= 0) return 0
+    val staleBefore = System.currentTimeMillis() - math.max(0L, tempGraceMs)
     var deleted = 0
+    // crashed V2 writers leave `.ck2-<uuid>` staging dirs behind; collect
+    // them once old enough that no live writer can still be renaming out
+    fs.listStatus(logPath).foreach { st =>
+      if (st.getPath.getName.startsWith(".ck2-") && st.isDirectory &&
+        st.getModificationTime < staleBefore && fs.delete(st.getPath, true))
+        deleted += 1
+    }
     fs.listStatus(logPath).foreach { st =>
       val n = st.getPath.getName
       val v: Option[Long] = n match {
@@ -997,15 +1020,17 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       }
       if (v.exists(_ < cutoff) && fs.delete(st.getPath, false)) deleted += 1
     }
-    // sidecar GC: a sidecar survives only while a surviving V2 top-level
-    // file references it (covers both aged-out checkpoints and crashed
-    // writers that never published their top-level)
+    // sidecar GC: a sidecar survives while a surviving V2 top-level file
+    // references it, OR while it is younger than the grace window — a
+    // concurrent checkpointer renames sidecars before publishing its
+    // top-level, so "unreferenced and fresh" may be in-flight, not orphaned
     if (fs.exists(sidecarDir)) {
       val referenced = checkpointSets().filter(_.v2)
         .flatMap(ck => readActionsJson(ck.files.head).flatMap(_.sidecar.map(_.path)))
         .toSet
       fs.listStatus(sidecarDir).foreach { st =>
         if (!referenced.contains(st.getPath.getName) &&
+          st.getModificationTime < staleBefore &&
           fs.delete(st.getPath, false)) deleted += 1
       }
     }

@@ -1894,8 +1894,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       plan.planned.map(p => p.f.path -> p.f.deletionVector).toMap
     val now = System.currentTimeMillis()
     val rest =
-      plan.planned.map(p => Action(remove = Some(RemoveFile(p.f.path, Some(now),
-        deletionVector = p.f.deletionVector)))) ++
+      plan.planned.map(p => Action(remove = Some(removeOf(p.f, now)))) ++
         plan.planned.filterNot(_.fullFile).map(p =>
           Action(add = Some(p.f.copy(dataChange = true,
             deletionVector = Some(plan.descFor(p.f.path)))))) ++
@@ -1966,7 +1965,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         (if (hasDefaults) Seq("allowColumnDefaults") else Nil) ++
         (if (hasNtz) Seq("timestampNtz") else Nil) ++
         (if (hasCdf) Seq("changeDataFeed") else Nil)).distinct.sorted
-      Protocol(r, w, Some(reader), Some(writer))
+      // PROTOCOL.md: readerFeatures may only be present when
+      // minReaderVersion = 3 — a writer-7-only table (e.g. rowTracking,
+      // inCommitTimestamp) must not carry the list or strict readers balk
+      Protocol(r, w, if (r >= 3) Some(reader) else None, Some(writer))
     }
   }
 
@@ -1996,9 +1998,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     try {
       val expected = dvd.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(
-        dvd.map(f => Action(remove = Some(RemoveFile(f.path,
-          Some(System.currentTimeMillis()), dataChange = false,
-          deletionVector = f.deletionVector)))) ++
+        dvd.map(f => Action(remove = Some(removeOf(f,
+          System.currentTimeMillis(), dataChange = false)))) ++
           adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
             "OPTIMIZE", Map("operation" -> "purgeDeletionVectors"))))),
@@ -2233,9 +2234,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val committed = log.commit(
         adds.map(a => Action(add = Some(a))) ++
           cdcActions ++
-          affected.map(f => Action(remove = Some(RemoveFile(f.path,
-            Some(System.currentTimeMillis()),
-            deletionVector = f.deletionVector)))) ++
+          affected.map(f => Action(remove = Some(removeOf(f,
+            System.currentTimeMillis())))) ++
           txn.map { case (app, v) => Action(txn = Some(Txn(app, v,
             Some(System.currentTimeMillis())))) }.toSeq ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation, params)))),
@@ -2535,8 +2535,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // the target's DV must survive the in-order replay.
     val baseKeys = current.files.map(f => (f.path, f.deletionVector)).toSet
     val committed = log.commit(metaUpdate ++
-      removes.map(f => Action(remove = Some(RemoveFile(f.path,
-        Some(System.currentTimeMillis()), deletionVector = f.deletionVector)))) ++
+      removes.map(f => Action(remove = Some(removeOf(f,
+        System.currentTimeMillis())))) ++
       readds.map(f => Action(add = Some(f))) ++
       Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "RESTORE",
         Map("version" -> version.toString))))),
@@ -2954,6 +2954,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * Both sides render through the URI form (`Path.toUri.toString` here,
     * Spark's `_metadata.file_path` = SparkPath's uri string there), so
     * percent-encoding agrees by construction. */
+  /** RemoveFile for a live AddFile. Carries the add's DV descriptor AND
+    * its row-tracking fields (baseRowId/defaultRowCommitVersion) — the
+    * Delta spec says writers preserve these on removes so external
+    * readers/CDC tooling can attribute the removed rows. */
+  private def removeOf(f: AddFile, ts: Long, dataChange: Boolean = true): RemoveFile =
+    RemoveFile(f.path, Some(ts), dataChange = dataChange,
+      deletionVector = f.deletionVector,
+      baseRowId = f.baseRowId, defaultRowCommitVersion = f.defaultRowCommitVersion)
+
   private def fileKeySegments(snap: Snapshot): Int =
     snap.metadata.map(_.partitionColumns.size).getOrElse(0) + 1
 
@@ -3149,9 +3158,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val expected = snap.files.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(
         adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
-          snap.files.map(f => Action(remove = Some(RemoveFile(f.path,
-            Some(System.currentTimeMillis()), dataChange = false,
-            deletionVector = f.deletionVector)))) ++
+          snap.files.map(f => Action(remove = Some(removeOf(f,
+            System.currentTimeMillis(), dataChange = false)))) ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))),
         // path-AND-descriptor guard: a concurrent DV delete keeps paths
         // live while changing logical content — clobbering it would
@@ -3191,9 +3199,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val expected = small.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(
         adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
-          small.map(f => Action(remove = Some(RemoveFile(f.path,
-            Some(System.currentTimeMillis()), dataChange = false,
-            deletionVector = f.deletionVector)))) ++
+          small.map(f => Action(remove = Some(removeOf(f,
+            System.currentTimeMillis(), dataChange = false)))) ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))),
         // concurrency guard: if ANY of the files this rewrite is based on
         // is no longer live — or now carries a different DV descriptor (a

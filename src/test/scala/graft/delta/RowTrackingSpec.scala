@@ -23,6 +23,28 @@ class RowTrackingSpec extends SparkSpec {
     assert(p.minWriterVersion === 7)
     assert(p.writerFeatures.get.contains("rowTracking"))
     assert(p.writerFeatures.get.contains("domainMetadata"))
+    // PROTOCOL.md: readerFeatures only when minReaderVersion = 3 — a
+    // writer-7-only table must not carry the list
+    assert(p.minReaderVersion < 3)
+    assert(p.readerFeatures.isEmpty,
+      s"writer-7-only protocol must omit readerFeatures: $p")
+  }
+
+  test("remove actions preserve row-tracking fields (spec'd log format)") {
+    val t = mkTable(tmpDir("rt-remove"))
+    (0 until 3).foreach(b =>
+      t.append((b * 10 until (b + 1) * 10).map(i => (i.toLong, s"x$i")).toDF("k", "v")))
+    val liveIds = t.snapshot.files.map(f => f.path -> f.baseRowId).toMap
+    assert(liveIds.values.forall(_.isDefined))
+    assert(t.compact() > 0L)
+    // the OPTIMIZE commit's removes must carry the removed adds' ids
+    val removed = t.log.readVersion(t.snapshot.version).flatMap(_.remove)
+    assert(removed.nonEmpty)
+    removed.foreach { r =>
+      assert(r.baseRowId === liveIds(r.path),
+        s"remove for ${r.path} must copy the add's baseRowId")
+      assert(r.defaultRowCommitVersion.isDefined)
+    }
   }
 
   test("row ids: contiguous block per commit, unique across commits, version stamped") {

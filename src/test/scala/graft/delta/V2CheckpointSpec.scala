@@ -60,14 +60,28 @@ class V2CheckpointSpec extends SparkSpec {
     val scDir = new Path(dir, "_delta_log/_sidecars")
     val before = fs.listStatus(scDir).map(_.getPath.getName).toSet
     assert(before.size >= 2, s"two checkpoints → two sidecar files, got $before")
-    // plant an orphan (a crashed writer's leftover)
-    val orphan = new Path(scDir, "deadbeef-0000-0000-0000-000000000000.parquet")
-    val out = fs.create(orphan); out.write(1); out.close()
+    // plant two orphans: one fresh (a writer that may still be publishing
+    // its top-level) and one aged past the grace (a crashed writer)
+    val fresh = new Path(scDir, "deadbeef-0000-0000-0000-00000000000f.parquet")
+    val out1 = fs.create(fresh); out1.write(1); out1.close()
+    val aged = new Path(scDir, "deadbeef-0000-0000-0000-00000000000a.parquet")
+    val out2 = fs.create(aged); out2.write(1); out2.close()
+    fs.setTimes(aged, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+    // a crashed writer's staging dir, likewise aged
+    val staleDir = new Path(dir, "_delta_log/.ck2-deadbeef")
+    fs.mkdirs(staleDir)
+    fs.setTimes(staleDir, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
     assert(t.log.cleanupMetadata(20L) > 0)
     val after = fs.listStatus(scDir).map(_.getPath.getName).toSet
-    assert(!after.contains(orphan.getName), "orphaned sidecars must GC")
+    assert(!after.contains(aged.getName), "aged orphaned sidecars must GC")
+    assert(after.contains(fresh.getName),
+      "a fresh unreferenced sidecar may be an in-flight checkpoint — survives the grace")
+    assert(!fs.exists(staleDir), "stale .ck2-* staging dirs must GC")
+    // with grace 0 the fresh orphan is collectable too
+    assert(t.log.cleanupMetadata(20L, tempGraceMs = 0L) > 0)
+    assert(!fs.exists(fresh))
     // the surviving checkpoint's sidecar is still there and still seeds
-    assert(after.nonEmpty)
+    assert(fs.listStatus(scDir).nonEmpty)
     assert(DeltaTable.forPath(spark, dir).toDF.count() === 22L)
   }
 }
