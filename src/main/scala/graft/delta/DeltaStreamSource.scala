@@ -41,10 +41,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   * Scale shape: a trigger's work is one log listing plus the new commit
   * JSONs — never a table scan; the batch reads exactly the new files.
   * OPTIMIZE/compaction commits (`dataChange=false`) are invisible to the
-  * stream by construction. Streams refuse tables with live deletion
-  * vectors in the initial snapshot (purge first) and fail loudly on
-  * mid-stream schema changes (restart to pick up the new schema —
-  * delta-spark's contract too). */
+  * stream by construction. Live deletion vectors in the initial
+  * snapshot are APPLIED (broadcast-bitmap scan filter, like the batch
+  * read) — a table maintained by merge-on-read upserts tails directly;
+  * DV re-adds in the incremental tail never re-emit (their surviving
+  * rows already went out). Mid-stream schema changes fail loudly
+  * (restart to pick up the new schema — delta-spark's contract too). */
 final class DeltaStreamProvider extends StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-delta"
@@ -230,12 +232,12 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = toVersion(end)
     lastSeen = Some(math.max(endV, lastSeen.getOrElse(endV)))
-    def snapshotFiles: Seq[AddFile] = {
+    // the initial snapshot streams with deletion vectors APPLIED (the
+    // same broadcast-bitmap scan filter as the batch read) — a table
+    // maintained by merge-on-read upserts tails downstream directly
+    def initialSnapshot: DataFrame = {
       val snap = table.log.snapshotAt(endV)
-      require(snap.files.forall(_.deletionVector.isEmpty),
-        "cannot stream from a table with live deletion vectors — " +
-          "purgeDeletionVectors() first, or tail with startingVersion")
-      snap.files
+      table.streamingBatchFor(snap.files, dvSnap = Some(snap))
     }
     if (readChangeFeed) {
       import org.apache.spark.sql.functions.{lit, timestamp_millis}
@@ -248,18 +250,17 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
         case (None, None) =>
           val ts = table.log.readVersion(endV)
             .flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(0L)
-          table.streamingBatchFor(snapshotFiles)
+          initialSnapshot
             .withColumn(DeltaTable.ChangeTypeCol, lit("insert"))
             .withColumn("_commit_version", lit(endV))
             .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
       }
     } else {
-      val files = (start.map(toVersion), startingVersion) match {
-        case (Some(s), _) => addsInRange(s + 1, endV)
-        case (None, Some(sv)) => addsInRange(sv, endV)
-        case (None, None) => snapshotFiles
+      (start.map(toVersion), startingVersion) match {
+        case (Some(s), _) => table.streamingBatchFor(addsInRange(s + 1, endV))
+        case (None, Some(sv)) => table.streamingBatchFor(addsInRange(sv, endV))
+        case (None, None) => initialSnapshot
       }
-      table.streamingBatchFor(files)
     }
   }
 

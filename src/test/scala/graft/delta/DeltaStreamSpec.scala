@@ -406,21 +406,64 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("streams refuse tables with live deletion vectors until purged") {
+  test("initial snapshot applies live deletion vectors; DV-maintained tables tail directly") {
     val t = mkTable("dstream-dv", Map(DeltaTable.DvConfigKey -> "true"))
     t.append(rows(0 until 6))
     t.deleteWithDv(col("id") < 2L)
+    // the initial snapshot streams the LOGICAL rows (masks applied)
     val q = readStream(t).writeStream.format("memory").queryName("dstream_dv")
       .option("checkpointLocation", tmpDir("dstream-dv-ck")).start()
-    val e = intercept[Exception] { try q.processAllAvailable() finally q.stop() }
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    t.purgeDeletionVectors()
-    val q2 = readStream(t).writeStream.format("memory").queryName("dstream_dv2")
-      .option("checkpointLocation", tmpDir("dstream-dv2-ck")).start()
     try {
-      q2.processAllAvailable()
-      assert(spark.table("dstream_dv2").select("id").as[Long].collect().toSet
+      q.processAllAvailable()
+      assert(spark.table("dstream_dv").select("id").as[Long].collect().toSet
         === (2L until 6L).toSet)
-    } finally q2.stop()
+      // plain appends keep tailing after the DV'd snapshot
+      t.append(rows(6 until 9))
+      q.processAllAvailable()
+      assert(spark.table("dstream_dv").select("id").as[Long].collect().toSet
+        === (2L until 9L).toSet)
+      // a mid-stream DV delete is still a delete commit: needs ignoreDeletes
+      t.deleteWithDv(col("id") === 3L)
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(e.getMessage.contains("ignoreDeletes"), e.getMessage)
+    } finally q.stop()
+  }
+
+  test("snapshot of a merge-on-read upsert-maintained table streams its logical state") {
+    val t = mkTable("dstream-mor", Map(DeltaTable.DvConfigKey -> "true"))
+    t.append(rows(0 until 50))
+    // CDC-apply: update 1..2, insert 50..51 — old files gain DVs, new file adds
+    val delta = Seq((1L, "u1"), (2L, "u2"), (50L, "n50"), (51L, "n51")).toDF("id", "name")
+    t.mergeWithDv(delta, Seq("id"))
+    assert(t.snapshot.files.exists(_.deletionVector.isDefined),
+      "mergeWithDv must leave live DVs for this test to mean anything")
+    val q = readStream(t).writeStream.format("memory").queryName("dstream_mor")
+      .option("checkpointLocation", tmpDir("dstream-mor-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dstream_mor").select("id", "name").as[(Long, String)]
+        .collect().toMap
+      val want = (0L until 50L).map(i => i -> s"n$i").toMap ++
+        Map(1L -> "u1", 2L -> "u2", 50L -> "n50", 51L -> "n51")
+      assert(got === want,
+        s"snapshot must be the post-merge logical state, got ${got.toSeq.sorted.take(8)}…")
+    } finally q.stop()
+  }
+
+  test("readChangeFeed initial snapshot applies deletion vectors too") {
+    val t = mkTable("dstream-dvcdf",
+      Map(DeltaTable.DvConfigKey -> "true", DeltaTable.CdfConfigKey -> "true"))
+    t.append(rows(0 until 5))
+    t.deleteWithDv(col("id") >= 3L)
+    val q = readStream(t, "readChangeFeed" -> "true").writeStream.format("memory")
+      .queryName("dstream_dvcdf")
+      .option("checkpointLocation", tmpDir("dstream-dvcdf-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dstream_dvcdf")
+        .select("id", "_change_type").as[(Long, String)].collect().toSet
+      assert(got === Set((0L, "insert"), (1L, "insert"), (2L, "insert")),
+        s"initial CDF snapshot must be the masked state as inserts, got $got")
+    } finally q.stop()
   }
 }
