@@ -38,6 +38,72 @@ object DataSkipping {
   def exprFor(preds: Seq[ColPred]): Column =
     preds.map(_.toColumn).foldLeft(lit(true))(_ && _)
 
+  /** ColPred-expressible conjuncts of a DML predicate `Column` — the
+    * bridge that lets DELETE/UPDATE/MERGE pre-restrict their candidate
+    * files through the same `add.stats` index as [[DeltaTable.scan]].
+    * Conservative by construction: the predicate analyzes against the
+    * table schema (so implicit casts and case resolution land first),
+    * then only top-level AND conjuncts of the shape
+    * `column (=|<|<=|>|>=|<=>) literal` (either side) with a bare
+    * attribute and a foldable value extract; every other conjunct —
+    * OR, IN, casts on the COLUMN side, UDF calls — yields nothing, so
+    * the caller keeps all files for it. Extraction can only shrink the
+    * candidate set of files that PROVABLY contain no match; the
+    * row-level restriction still runs on the survivors, so results never
+    * depend on it. */
+  def fromFilter(spark: org.apache.spark.sql.SparkSession, schema: StructType,
+                 predicate: Column): Seq[ColPred] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val cond: Expression = try {
+      val dummy = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      dummy.filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: LFilter => f.condition
+      }.getOrElse(return Nil)
+    } catch { case _: Exception => return Nil }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // foldable covers Literal AND the Cast(Literal) type-coercion wraps;
+    // a null value extracts nothing (x = NULL matches no row — but the
+    // row filter, not pruning, owns that semantics)
+    def value(e: Expression): Option[Any] =
+      if (!e.foldable) None
+      else try Option(e.eval(null))
+        .map(CatalystTypeConverters.convertToScala(_, e.dataType))
+      catch { case _: Exception => None }
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case o => o
+    }
+    def extract(l: Expression, r: Expression, op: String): Option[ColPred] =
+      (attr(l), value(r)) match {
+        case (Some(c), Some(v)) => Some(ColPred(c, op, v))
+        case _ => (attr(r), value(l)) match {
+          case (Some(c), Some(v)) => Some(ColPred(c, flip(op), v))
+          case _ => None
+        }
+      }
+    conjuncts(cond).flatMap {
+      case EqualTo(l, r) => extract(l, r, "=")
+      // <=> with a non-null value matches exactly the = rows (all-null
+      // files have no stats bounds and are kept regardless)
+      case EqualNullSafe(l, r) => extract(l, r, "=")
+      case LessThan(l, r) => extract(l, r, "<")
+      case LessThanOrEqual(l, r) => extract(l, r, "<=")
+      case GreaterThan(l, r) => extract(l, r, ">")
+      case GreaterThanOrEqual(l, r) => extract(l, r, ">=")
+      case _ => None
+    }
+  }
+
   /** Files of `snap` that MAY contain a matching row. */
   def prune(snap: Snapshot, preds: Seq[ColPred]): Seq[Actions.AddFile] = {
     // partition columns by logical AND physical name: on a column-mapped

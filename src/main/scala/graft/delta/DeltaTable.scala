@@ -1486,7 +1486,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       srcByLower.get(f.name.toLowerCase).map(col).getOrElse(lit(null))
         .cast(f.dataType).as(f.name)).toSeq: _*)
     val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
-    val affected = filesMatching(snap, _.join(srcKeys, keyCols, "left_semi"))
+    // stats-index pre-restriction: only files whose per-key ranges admit
+    // a source key can hold a match (skipForKeys) — a file with a
+    // matching key always survives, so insert detection below (anti-join
+    // against the AFFECTED files' keys) stays exact
+    val affected = filesMatching(skipForKeys(snap, srcKeys, keyCols),
+      _.join(srcKeys, keyCols, "left_semi"))
     val tgt = materializingRowIds(snap.copy(files = affected))
     // unmatched rows of the affected files are carried unchanged
     // (row-tracking: including their materialized identity)
@@ -1557,7 +1562,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   def delete(predicate: org.apache.spark.sql.Column): Long = {
     requireNotAppendOnly("DELETE")
     val snap = snapshot
-    val affected = filesMatching(snap, _.filter(predicate))
+    val affected = filesMatching(skipForDml(snap, predicate), _.filter(predicate))
     if (affected.isEmpty) return -1L
     // three-valued logic: rows where the predicate is NULL match neither
     // `predicate` nor `!predicate` — a bare negation would silently
@@ -1618,10 +1623,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   def deleteWithDv(predicate: org.apache.spark.sql.Column): Long = {
     requireNotAppendOnly("DELETE (deletion vectors)")
     val snap = snapshot
-    val plan = planDvMask(snap, predicate).getOrElse(return -1L)
+    // stats-index pre-restriction: the position scan and the CDF
+    // pre-image only open files whose add.stats range admits a match
+    // (matched rows can only live in candidate files)
+    val cand = skipForDml(snap, predicate)
+    val plan = planDvMask(cand, predicate).getOrElse(return -1L)
     val sch = snap.schema.get
     val cdf = if (!cdfEnabled) None else Some(
-      rawFor(snap)
+      rawFor(cand)
         .filter(coalesce(predicate, lit(false)))
         .select(sch.fieldNames.toSeq.map(col): _*)
         .withColumn(DeltaTable.ChangeTypeCol, lit("delete")))
@@ -1649,17 +1658,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val sch = schema
     set.keys.foreach(k => require(sch.fieldNames.contains(k), s"unknown SET column '$k'"))
     val snap = snapshot
-    val plan = planDvMask(snap, predicate).getOrElse(return -1L)
+    // stats-index pre-restriction shared by the mask plan, the matched-
+    // row read, and the CDF frames (matches only live in candidates)
+    val cand = skipForDml(snap, predicate)
+    val plan = planDvMask(cand, predicate).getOrElse(return -1L)
     // the transformed rows: matched through the DV-applied read, SET
     // expressions against the OLD values; on a row-tracking table the
     // row id materializes into the new file and the commit version
     // falls through to this commit's defaultRowCommitVersion
     val matchedSrc =
       (if (rowTrackingEnabled)
-        rawFor(snap, withRowIds = true)
+        rawFor(cand, withRowIds = true)
           .withColumnRenamed(DeltaTable.RowIdCol, DeltaTable.MaterializedRowIdCol)
           .drop(DeltaTable.RowCommitVersionCol)
-      else rawFor(snap))
+      else rawFor(cand))
         .filter(coalesce(predicate, lit(false)))
     val rewritten = matchedSrc.select((sch.fields.map { f =>
       set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
@@ -1669,7 +1681,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val (staging, adds) = stageWrite(checked)
     try {
       val cdf = if (!cdfEnabled) None else {
-        val pre = rawFor(snap).filter(coalesce(predicate, lit(false)))
+        val pre = rawFor(cand).filter(coalesce(predicate, lit(false)))
           .select(sch.fieldNames.toSeq.map(col): _*)
         val post = pre.select(sch.fields.map { f =>
           set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
@@ -1720,7 +1732,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       srcByLower.get(f.name.toLowerCase).map(col).getOrElse(lit(null))
         .cast(f.dataType).as(f.name)).toSeq: _*).localCheckpoint(true)
     val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
-    val plan = planDvMaskBy(snap, _.join(srcKeys, keyCols, "left_semi"))
+    // per-key source ranges bound the candidate files (skipForKeys); a
+    // file holding a matched key always survives pruning, so the mask
+    // plan, the matched-row read, and the insert anti-join below — all
+    // run over `cand` — stay exact while opening only candidate files
+    val cand = skipForKeys(snap, srcKeys, keyCols)
+    val plan = planDvMaskBy(cand, _.join(srcKeys, keyCols, "left_semi"))
     val pfx = "__merge_src_"
     val updCols = sch.fieldNames.toSeq
       .filterNot(keyCols.contains).filter(n => srcByLower.contains(n.toLowerCase))
@@ -1728,17 +1745,19 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       updCols.map(n => col(n).as(pfx + n))): _*)
     val tgtMatched =
       (if (rowTrackingEnabled)
-        rawFor(snap, withRowIds = true)
+        rawFor(cand, withRowIds = true)
           .withColumnRenamed(DeltaTable.RowIdCol, DeltaTable.MaterializedRowIdCol)
           .drop(DeltaTable.RowCommitVersionCol)
-      else rawFor(snap))
+      else rawFor(cand))
         .join(srcKeys, keyCols, "left_semi")
     val rtExtras = if (!rowTrackingEnabled) Nil
       else Seq(col(DeltaTable.MaterializedRowIdCol))
     val matched = tgtMatched.join(srcRen, keyCols, "inner")
       .select((sch.fieldNames.toSeq.map(n =>
         (if (updCols.contains(n)) col(pfx + n) else col(n)).as(n)) ++ rtExtras): _*)
-    val tgtKeys = rawFor(snap).select(keyCols.map(col): _*).distinct()
+    // exact despite pruning: a target key equal to a source key lives in
+    // a file whose stats admit it, i.e. a candidate file
+    val tgtKeys = rawFor(cand).select(keyCols.map(col): _*).distinct()
     val inserts0 = aligned.join(tgtKeys, keyCols, "left_anti")
     val inserts = if (!rowTrackingEnabled) inserts0
       else inserts0.withColumn(DeltaTable.MaterializedRowIdCol, lit(null).cast("long"))
@@ -1746,7 +1765,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val (staging, adds) = stageWrite(newData)
     try {
       val cdf = if (!cdfEnabled) None else {
-        val pre = rawFor(snap).join(srcKeys, keyCols, "left_semi")
+        val pre = rawFor(cand).join(srcKeys, keyCols, "left_semi")
           .select(sch.fieldNames.toSeq.map(col): _*)
         Some(pre.withColumn(DeltaTable.ChangeTypeCol, lit("update_preimage"))
           .unionByName(matched
@@ -2025,7 +2044,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val sch = schema
     set.keys.foreach(k => require(sch.fieldNames.contains(k), s"unknown SET column '$k'"))
     val snap = snapshot
-    val affected = filesMatching(snap, _.filter(predicate))
+    val affected = filesMatching(skipForDml(snap, predicate), _.filter(predicate))
     if (affected.isEmpty) return -1L
     // row tracking: every row keeps its materialized _row_id; UPDATED
     // rows null their materialized commit version so the read path falls
@@ -2100,7 +2119,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           concat(lit("replaceWhere: written row does not match the overwrite predicate: "),
             to_json(struct(aligned.columns.map(col).toSeq: _*)))).cast("boolean")))
     val checked = withConstraintChecks(conforming)
-    val affected = filesMatching(snap, _.filter(predicate))
+    val affected = filesMatching(skipForDml(snap, predicate), _.filter(predicate))
     // row-tracking: carried-over rows keep their identity; the REPLACED
     // rows are new data and get fresh ids at commit
     val survivors = materializingRowIds(snap.copy(files = affected))
@@ -2162,14 +2181,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * shared by [[merge]]/[[delete]]/[[update]] so path normalization can
     * never diverge between them. Bounded collect: ≤ file count.
     *
-    * Cost note: this is a row-level scan of the live files. Catalyst
-    * still prunes partition DIRECTORIES (partition columns resolve from
-    * the Hive layout, so a predicate on them never opens other
-    * partitions' parquet) and pushes comparable predicates into the
-    * parquet row-group stats; what it does NOT use is the Delta
-    * `add.stats` file-level index — pre-restricting candidates through
-    * [[DataSkipping]] for ColPred-expressible predicates is the next
-    * lever if DML ever dominates a workload. */
+    * Cost note: the row-level scan runs over the stats-index SURVIVORS
+    * only — callers pre-restrict the snapshot through [[skipForDml]] /
+    * [[skipForKeys]], so at 100 TB a point DELETE opens the handful of
+    * files whose `add.stats` range admits a match, not the table.
+    * Catalyst additionally prunes partition DIRECTORIES and pushes
+    * comparable predicates into the parquet row-group stats. */
   private def filesMatching(snap: Snapshot,
                             restrict: DataFrame => DataFrame): Seq[AddFile] = {
     if (snap.files.isEmpty) return Nil
@@ -2642,20 +2659,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                         where: Option[org.apache.spark.sql.Column] = None): Long = {
     val cols = clusteringColumns
     require(cols.nonEmpty, "not a clustered table — create(clusterBy = ...) first")
-    cols match {
-      case Seq(one) => optimizeByKey(col(one), numFiles, where)
-      case Seq(a, b) => optimizeHilbert(a, b, numFiles, where)
-      case many =>
-        // fold >2 keys through the 2-D Hilbert index: the first two
-        // (highest-priority) columns drive the curve, the rest break
-        // ties lexicographically — the practical shape for wide keys
-        optimizeByKey(
-          org.apache.spark.sql.functions.struct(
-            graft.functions.HilbertValue.of(
-              col(many.head).cast("long"), col(many(1)).cast("long")) +:
-              many.drop(2).map(col): _*),
-          numFiles, where)
-    }
+    // true N-dimensional curve for >2 keys ([[optimizeHilbert]] Seq
+    // form — Skilling transpose), not a 2-D fold with tiebreaks: every
+    // clustering column's per-file stats tighten, so skipping serves
+    // predicates on any of them
+    optimizeHilbert(cols, numFiles, where)
   }
 
   /** Time travel: the table as of `version` — that version's file set AND
@@ -2679,6 +2687,48 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // the EXACT filter stays the caller's predicates — derived partition
     // conjuncts are pruning-only and can never change results
     dfFor(snap.copy(files = surviving)).filter(DataSkipping.exprFor(preds))
+  }
+
+  /** DML candidate pre-restriction through the `add.stats` index: the
+    * snapshot narrowed to files the predicate's ColPred-expressible
+    * conjuncts cannot rule out — the SAME pruning pipeline as [[scan]]
+    * (generated-partition derivation + physical-name translation), so a
+    * point DELETE/UPDATE on a stats'd column touches the few matching
+    * files instead of row-scanning the table. Pure optimization: the
+    * row-level restriction still runs on the survivors. */
+  private def skipForDml(snap: Snapshot,
+                         predicate: org.apache.spark.sql.Column): Snapshot = {
+    val preds = DataSkipping.fromFilter(spark, schema, predicate)
+    if (preds.isEmpty) snap
+    else snap.copy(files =
+      DataSkipping.prune(snap, toPhysicalPreds(withDerived(preds))))
+  }
+
+  /** [[skipForDml]] for the MERGE shape: matches are equality on
+    * `keyCols`, so per-key [min, max] ranges of the SOURCE keys (one
+    * tiny aggregate over the distinct-key frame) bound which target
+    * files can hold a match — a CDC batch of recent keys merges into a
+    * time-ordered 100 TB table by opening only the recent files. A file
+    * outside the range on ANY key column has no matching row (matching
+    * needs every key equal). Null-safe: min/max ignore null keys and a
+    * null key never equality-matches. */
+  private def skipForKeys(snap: Snapshot, srcKeys: DataFrame,
+                          keyCols: Seq[String]): Snapshot = {
+    if (snap.files.size <= 1) return snap
+    val aggs = keyCols.flatMap(k => Seq(
+      org.apache.spark.sql.functions.min(col(k)).as(s"__min_$k"),
+      org.apache.spark.sql.functions.max(col(k)).as(s"__max_$k")))
+    val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+    val preds = keyCols.zipWithIndex.flatMap { case (k, i) =>
+      (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+        case (Some(lo), Some(hi)) => Seq(
+          DataSkipping.ColPred(k, ">=", lo), DataSkipping.ColPred(k, "<=", hi))
+        case _ => Nil // all-null source keys: nothing can match anyway
+      }
+    }
+    if (preds.isEmpty) snap
+    else snap.copy(files =
+      DataSkipping.prune(snap, toPhysicalPreds(withDerived(preds))))
   }
 
   /** Caller predicates plus partition conjuncts implied through
@@ -2825,18 +2875,37 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   /** A STREAMING-tagged batch over an explicit live-file set — the
     * [[DeltaStreamSource.getBatch]] read path. Mirrors [[rawFor]]'s
     * physical→logical rename and declared-schema cast (column-mapped
-    * tables stream under their LOGICAL names); callers guarantee the
-    * files carry no deletion vectors. */
-  private[delta] def streamingBatchFor(files: Seq[AddFile]): DataFrame = {
-    import org.apache.spark.sql.graft.StreamBridge
+    * tables stream under their LOGICAL names). Files carrying deletion
+    * vectors need `dvSnap` (the snapshot they belong to, for partition-
+    * aware file keys): their masks apply as the same broadcast-bitmap
+    * scan-stage filter as the batch path, so a DV-maintained table's
+    * initial snapshot streams its LOGICAL rows. The incremental tail
+    * path stays DV-free by construction (DV re-adds never re-emit). */
+  private[delta] def streamingBatchFor(files: Seq[AddFile],
+                                       dvSnap: Option[Snapshot] = None): DataFrame = {
+    import org.apache.spark.sql.graft.{ColumnBridge, StreamBridge}
     val sch = schema
     if (files.isEmpty) return StreamBridge.emptyStreaming(spark, sch)
-    require(files.forall(_.deletionVector.isEmpty),
+    val dvd = files.filter(_.deletionVector.isDefined)
+    require(dvd.isEmpty || dvSnap.isDefined,
       "streaming batches must not carry deletion vectors")
     val phys = physicalSchema(sch)
     val paths = files.map(f => new Path(path, f.path).toString)
-    val raw = StreamBridge.streamingParquet(spark, paths, phys,
+    val raw0 = StreamBridge.streamingParquet(spark, paths, phys,
       if (partitionColumns.isEmpty) None else Some(path))
+    // DV subtraction BEFORE the logical rename (the hidden _metadata
+    // column only resolves directly over the file-source relation) —
+    // identical membership filter to [[rawFor]], no join, no driver list
+    val raw = if (dvd.isEmpty) raw0 else {
+      val keySnap = dvSnap.get.copy(files = dvd)
+      val b = dvLookup(keySnap).get
+      raw0.withColumn("__meta_fname", fileKeyExpr(keySnap))
+        .withColumn("__meta_pos", col("_metadata.row_index"))
+        .filter(!ColumnBridge.wrap(DvDeleted(
+          ColumnBridge.toExpr(col("__meta_fname")),
+          ColumnBridge.toExpr(col("__meta_pos")), b)))
+        .drop("__meta_fname", "__meta_pos")
+    }
     val renamed =
       if (phys.fieldNames.sameElements(sch.fieldNames)) raw
       else raw.select(sch.fields.zip(phys.fields).map {
@@ -3078,6 +3147,26 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     optimizeByKey(graft.functions.ZValue.of(
       col(colA).cast("long"), col(colB).cast("long")), numFiles, where)
 
+  /** N-column OPTIMIZE ZORDER (real Z-order takes any number of columns;
+    * 3–4-column layouts are routine): one column is a plain range-sort,
+    * two keeps the oracle-gated 32-bit binary interleave, three or more
+    * use the ⌊63/n⌋-bit round-robin interleave
+    * ([[graft.functions.ZValueN]]). Window contract per arity is
+    * documented on the expressions — rank or bucket first. */
+  def optimizeZOrder(cols: Seq[String], numFiles: Int,
+                     where: Option[org.apache.spark.sql.Column]): Long = {
+    require(cols.nonEmpty, "OPTIMIZE ZORDER needs at least one column")
+    cols match {
+      case Seq(one) => optimizeByKey(col(one), numFiles, where)
+      case Seq(a, b) => optimizeZOrder(a, b, numFiles, where)
+      case many => optimizeByKey(
+        graft.functions.ZValueN.of(many.map(c => col(c).cast("long"))),
+        numFiles, where)
+    }
+  }
+
+  def optimizeZOrder(cols: Seq[String]): Long = optimizeZOrder(cols, 0, None)
+
   /** [[optimizeZOrder]] with the order-16 Hilbert index as the clustering
     * key ([[graft.functions.HilbertValue]] — what liquid-style clustering
     * uses): consecutive key values are always grid-adjacent cells, so a
@@ -3089,6 +3178,24 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                       where: Option[org.apache.spark.sql.Column] = None): Long =
     optimizeByKey(graft.functions.HilbertValue.of(
       col(colA).cast("long"), col(colB).cast("long")), numFiles, where)
+
+  /** N-column Hilbert OPTIMIZE: one column range-sorts, two keeps the
+    * oracle-gated 2-D walk, three or more use Skilling's N-dimensional
+    * transpose ([[graft.functions.HilbertValueN]], min(16, ⌊63/n⌋) bits
+    * per dimension). */
+  def optimizeHilbert(cols: Seq[String], numFiles: Int,
+                      where: Option[org.apache.spark.sql.Column]): Long = {
+    require(cols.nonEmpty, "OPTIMIZE (Hilbert) needs at least one column")
+    cols match {
+      case Seq(one) => optimizeByKey(col(one), numFiles, where)
+      case Seq(a, b) => optimizeHilbert(a, b, numFiles, where)
+      case many => optimizeByKey(
+        graft.functions.HilbertValueN.of(many.map(c => col(c).cast("long"))),
+        numFiles, where)
+    }
+  }
+
+  def optimizeHilbert(cols: Seq[String]): Long = optimizeHilbert(cols, 0, None)
 
   /** Files whose PARTITION VALUES satisfy `predicate` — the `OPTIMIZE
     * ... WHERE` restriction. Evaluated through one small driver-side
