@@ -327,6 +327,21 @@ object Analytics extends QueryModule {
       Some(s"""SELECT event_id, ${graft.functions.ZValue.sql("user_id", "event_id")} AS zv
               |FROM events ORDER BY event_id""".stripMargin)),
 
+    // N-dimensional Morton key (the 3+-column OPTIMIZE ZORDER form,
+    // ZValueN's 63/n-bit round-robin interleave) — oracle-checked
+    // bit-for-bit via the same bit-gather spelling.
+    "q31_zorder3_key" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_id"),
+            graft.functions.ZValueN.of(Seq(
+              col("user_id"), col("event_id"),
+              org.apache.spark.sql.functions.length(col("event_type")))).as("zv3"))
+          .orderBy(col("event_id")),
+      Some(s"""SELECT event_id, ${graft.functions.ZValueN.sql(
+                Seq("user_id", "event_id", "length(event_type)"))} AS zv3
+              |FROM events ORDER BY event_id""".stripMargin)),
+
     // Correlated scalar subquery shape: per-order max line.
     "q13_subquery" -> QueryDef(
       (s, d) => {

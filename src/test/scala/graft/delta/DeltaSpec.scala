@@ -941,6 +941,60 @@ class DeltaSpec extends SparkSpec {
     assert(after.scan(Seq(ColPred("b", "=", 7L), ColPred("a", "<", 4L))).count() === 4L)
   }
 
+  test("optimizeZOrder over THREE columns clusters all three dimensions") {
+    import DataSkipping.ColPred
+    val t = DeltaTable.forPath(spark, tmpDir("delta-zorder3")).create(
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType),
+        StructField("c", LongType))))
+    // 16^3 grid appended a-major: every file spans the FULL b and c
+    // ranges, so predicates on them prune nothing before the rewrite
+    val grid = for (a <- 0L until 16L; b <- 0L until 16L; c <- 0L until 16L)
+      yield (a, b, c)
+    grid.grouped(512).foreach(chunk => t.append(chunk.toDF("a", "b", "c").coalesce(1)))
+    val before = DeltaTable.forPath(spark, t.path)
+    val nFiles = before.snapshot.files.size
+    assert(nFiles === 8)
+    assert(before.scanFiles(Seq(ColPred("b", "=", 7L))).size === nFiles)
+    assert(before.scanFiles(Seq(ColPred("c", "=", 7L))).size === nFiles)
+    val data = before.toDF.orderBy("a", "b", "c").collect().toSeq
+
+    // rewrite into 64 files (~64-cell z-segments ~ 4x4x4 sub-octants):
+    // fine granularity makes the pruning bound robust to the sampled
+    // range boundaries straddling octant edges
+    assert(before.optimizeZOrder(Seq("a", "b", "c"), numFiles = 64, None) > 0)
+    val after = DeltaTable.forPath(spark, t.path)
+    val nAfter = after.snapshot.files.size
+    assert(nAfter >= 32, s"expected ~64 output files, got $nAfter")
+    // an aligned 4x4x4 sub-octant layout answers a point predicate on
+    // any dimension from 1/4 of the files; allow 2x for boundary slop
+    assert(after.scanFiles(Seq(ColPred("a", "=", 7L))).size <= nAfter / 2)
+    assert(after.scanFiles(Seq(ColPred("b", "=", 7L))).size <= nAfter / 2)
+    assert(after.scanFiles(Seq(ColPred("c", "=", 7L))).size <= nAfter / 2)
+    assert(after.toDF.orderBy("a", "b", "c").collect().toSeq === data)
+    assert(after.scan(Seq(ColPred("b", "=", 7L))).count() === 256L)
+    assert(after.scan(Seq(ColPred("c", "=", 7L), ColPred("a", "<", 4L))).count() === 64L)
+  }
+
+  test("three clustering columns run the N-dimensional Hilbert curve") {
+    import DataSkipping.ColPred
+    val dir = tmpDir("clus-three")
+    val grid = for (a <- 0L until 16L; b <- 0L until 16L; c <- 0L until 16L)
+      yield (a, b, c)
+    val df = grid.toDF("a", "b", "c")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      clusterBy = Seq("a", "b", "c"))
+    grid.grouped(512).foreach(chunk => t.append(chunk.toDF("a", "b", "c").coalesce(1)))
+    assert(t.optimizeClustered(numFiles = 8) > 0L)
+    val after = DeltaTable.forPath(spark, dir)
+    // a contiguous Hilbert segment is spatially compact in ALL dims: a
+    // point predicate on any dimension must beat the unclustered 8/8
+    for (d <- Seq("a", "b", "c"))
+      assert(after.scanFiles(Seq(ColPred(d, "=", 7L))).size < 8,
+        s"point predicate on $d must prune after N-d Hilbert clustering")
+    assert(after.scan(Seq(ColPred("b", "=", 3L))).count() === 256L)
+    assert(after.toDF.count() === 4096L)
+  }
+
   test("change data feed: appends, delete, update, merge round-trip with exact change rows") {
     import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
     val t = DeltaTable.forPath(spark, tmpDir("delta-cdf")).create(
