@@ -33,6 +33,11 @@ object GraftExtensions {
 
   def install(ext: SparkSessionExtensions): Unit = {
 
+    // SQL STATEMENT surface (OPTIMIZE / VACUUM / DESCRIBE DETAIL /
+    // DESCRIBE HISTORY / ALTER TABLE ... TBLPROPERTIES on path tables):
+    // unmatched text delegates verbatim, so this can only ADD statements
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+
     // -- scalar kernels over arrays/longs (direct expression constructors)
 
     register(ext, "graft_shingle_hashes",

@@ -1,0 +1,147 @@
+package graft.sql
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL *statement* surface for graft Delta table operations — the layer a
+  * SQL-only user (thrift server, notebook `%sql`, BI tool) parks at.
+  * Installed by [[graft.GraftExtensions]] via `injectParser`, so
+  * `spark.sql.extensions=graft.GraftExtensions` turns on both the
+  * `graft_*` functions and these statements with zero code change.
+  *
+  * Grammar (tables are PATH-based, named as a string literal `'<path>'`
+  * or delta-style ``delta.`<path>` ``):
+  *
+  * {{{
+  * OPTIMIZE '<path>' [WHERE <partition predicate>] [ZORDER BY (c1, ..., cn)]
+  * VACUUM '<path>' [RETAIN <n> HOURS] [DRY RUN]
+  * DESCRIBE DETAIL '<path>'
+  * DESCRIBE HISTORY '<path>' [LIMIT <n>]
+  * ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
+  * ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', ...)
+  * }}}
+  *
+  * Everything else — including every statement Spark itself understands —
+  * delegates verbatim to the session's default parser, so installing this
+  * parser can only ADD statements, never change one. Each statement
+  * resolves to the SAME Scala API the programmatic surface uses
+  * (`optimizeZOrder`/`compact`/`vacuum`/`detail`/`setProperties`), so
+  * semantics, protocol handling, and concurrency behavior are identical
+  * whichever surface runs the operation. Reference: the reference engine
+  * exposes these levers as CLI flags (src/main.rs:351-487); a Spark-native
+  * engine exposes them as SQL. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseGraftStatement(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  // `'path'` or delta-style `delta.`path``
+  private val Tbl = """(?:'([^']+)'|delta\.`([^`]+)`)"""
+  private def pat(re: String): Pattern =
+    Pattern.compile(re, Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+
+  private val OptimizeRx = pat(
+    s"""\\s*OPTIMIZE\\s+$Tbl(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
+  private val VacuumRx = pat(
+    s"""\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
+  private val DetailRx = pat(s"""\\s*(?:DESCRIBE|DESC)\\s+DETAIL\\s+$Tbl\\s*;?\\s*""")
+  private val HistoryRx = pat(
+    s"""\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Tbl(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""")
+  private val SetPropsRx = pat(
+    s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""")
+  private val UnsetPropsRx = pat(
+    s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""")
+
+  private def tblOf(m: java.util.regex.Matcher): String =
+    Option(m.group(1)).getOrElse(m.group(2))
+
+  /** The graft statement plan for `sqlText`, or None when it is not one
+    * of ours (the caller then delegates — unknown text NEVER errors
+    * here, even `OPTIMIZE my_catalog_table`, which stays the default
+    * parser's business). */
+  def parseGraftStatement(sqlText: String,
+                          delegate: ParserInterface): Option[LogicalPlan] = {
+    val opt = OptimizeRx.matcher(sqlText)
+    if (opt.matches()) {
+      val zcols = Option(opt.group(4)).map(_.split(",").map(stripId).toSeq)
+        .filter(_.nonEmpty)
+      // the WHERE text parse-checks through the DELEGATE parser (typos
+      // fail at parse time like any SQL) but rides as TEXT — it resolves
+      // against the TARGET TABLE when the command runs
+      val where = Option(opt.group(3)).map(_.trim).filter(_.nonEmpty)
+      where.foreach(delegate.parseExpression)
+      return Some(OptimizeTableCommand(tblOf(opt), where, zcols.getOrElse(Nil)))
+    }
+    val vac = VacuumRx.matcher(sqlText)
+    if (vac.matches()) {
+      val hours = Option(vac.group(3)).map(_.toLong)
+      return Some(VacuumTableCommand(tblOf(vac), hours,
+        dryRun = vac.group(4) != null))
+    }
+    val det = DetailRx.matcher(sqlText)
+    if (det.matches()) return Some(DescribeDetailCommand(tblOf(det)))
+    val hist = HistoryRx.matcher(sqlText)
+    if (hist.matches())
+      return Some(DescribeHistoryCommand(tblOf(hist),
+        Option(hist.group(3)).map(_.toInt)))
+    val setp = SetPropsRx.matcher(sqlText)
+    if (setp.matches())
+      return Some(AlterPropertiesCommand(tblOf(setp),
+        parsePropList(setp.group(3)), unset = false))
+    val unset = UnsetPropsRx.matcher(sqlText)
+    if (unset.matches())
+      return Some(AlterPropertiesCommand(tblOf(unset),
+        parseKeyList(unset.group(3)).map(_ -> "").toMap, unset = true))
+    None
+  }
+
+  private def stripId(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("`") && t.endsWith("`") && t.length >= 2)
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** `'k' = 'v', ...` (unquoted keys tolerated for user properties). */
+  private[sql] def parsePropList(s: String): Map[String, String] = {
+    val pair = pat("""\s*(?:'([^']*)'|([\w.\-]+))\s*=\s*'([^']*)'\s*""")
+    s.split(",").map { item =>
+      val m = pair.matcher(item)
+      require(m.matches(),
+        s"cannot parse TBLPROPERTIES entry '$item' — expected 'key' = 'value'")
+      Option(m.group(1)).getOrElse(m.group(2)) -> m.group(3)
+    }.toMap
+  }
+
+  private[sql] def parseKeyList(s: String): Seq[String] = {
+    val key = pat("""\s*(?:'([^']*)'|([\w.\-]+))\s*""")
+    s.split(",").toSeq.map { item =>
+      val m = key.matcher(item)
+      require(m.matches(),
+        s"cannot parse TBLPROPERTIES key '$item' — expected 'key'")
+      Option(m.group(1)).getOrElse(m.group(2))
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, SparkSession}
+
+import graft.delta.DeltaTable
+
+/** Runnable commands behind [[GraftSqlParser]]'s statements. Each wraps
+  * the Scala API one-to-one, so SQL and programmatic callers share the
+  * exact same semantics (commit protocol, concurrency guards, protocol
+  * raising). Eager like every Spark command: `spark.sql("OPTIMIZE …")`
+  * runs the operation and returns its result rows. */
+private object CmdSchema {
+  def attrs(fields: (String, DataType)*): Seq[Attribute] =
+    fields.map { case (n, t) => AttributeReference(n, t, nullable = true)() }
+}
+
+/** `OPTIMIZE` — plain small-file compaction without ZORDER BY, an
+  * N-column space-filling-curve rewrite with it; WHERE scopes either to
+  * matching partitions. Version is -1 when there was nothing to do (the
+  * quiet-no-op contract of the Scala API). The WHERE rides as raw SQL
+  * text — a stored unresolved Expression would fail CheckAnalysis before
+  * the command ever runs (it resolves against the TABLE, not this plan). */
+case class OptimizeTableCommand(path: String, whereSql: Option[String],
+                                zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "path" -> StringType, "operation" -> StringType, "version" -> LongType)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    val whereCol = whereSql.map(org.apache.spark.sql.functions.expr)
+    val (op, v) =
+      if (zorderBy.nonEmpty)
+        (s"ZORDER BY (${zorderBy.mkString(", ")})",
+          t.optimizeZOrder(zorderBy, 0, whereCol))
+      else ("COMPACT", t.compact(where = whereCol))
+    Seq(Row(path, op, v))
+  }
+}
+
+/** `VACUUM` — DRY RUN returns one row per collectable file (and deletes
+  * nothing); the real run returns the deleted count. */
+case class VacuumTableCommand(path: String, retainHours: Option[Long],
+                              dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (dryRun) CmdSchema.attrs("path" -> StringType)
+    else CmdSchema.attrs("path" -> StringType, "deleted_files" -> LongType)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    val retentionMs = retainHours.map(_ * 3600L * 1000).getOrElse(7L * 24 * 3600 * 1000)
+    if (dryRun) t.vacuumDryRun(retentionMs).map(Row(_))
+    else Seq(Row(path, t.vacuum(retentionMs).toLong))
+  }
+}
+
+/** `DESCRIBE DETAIL` — one row of log-only table metadata
+  * ([[DeltaTable.detail]]'s columns verbatim). */
+case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "format" -> StringType, "id" -> StringType, "name" -> StringType,
+    "location" -> StringType,
+    "partitionColumns" -> ArrayType(StringType),
+    "numFiles" -> LongType, "sizeInBytes" -> LongType,
+    "properties" -> MapType(StringType, StringType),
+    "minReaderVersion" -> IntegerType, "minWriterVersion" -> IntegerType,
+    "createdAt" -> TimestampType, "version" -> LongType,
+    "tableFeatures" -> ArrayType(StringType),
+    "clusteringColumns" -> ArrayType(StringType),
+    "numDeletionVectors" -> LongType, "deletedRowCount" -> LongType)
+
+  override def run(spark: SparkSession): Seq[Row] =
+    DeltaTable.forPath(spark, path).detail().collect().toSeq
+}
+
+/** `DESCRIBE HISTORY` — newest-first commit log
+  * (version, timestamp, operation, operationParameters). */
+case class DescribeHistoryCommand(path: String,
+                                  limit: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "version" -> LongType, "timestamp" -> TimestampType,
+    "operation" -> StringType,
+    "operationParameters" -> MapType(StringType, StringType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    DeltaTable.forPath(spark, path).log.history(limit).map { case (v, ci) =>
+      Row(v,
+        ci.map(c => new java.sql.Timestamp(c.timestamp)).orNull,
+        ci.map(_.operation).orNull,
+        ci.map(_.operationParameters).getOrElse(Map.empty[String, String]))
+    }
+}
+
+/** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — the feature-aware property
+  * paths ([[DeltaTable.setProperties]]/`unsetProperties`): protocol
+  * raising, engine-maintained-key refusals, and the no-downgrade rule
+  * all apply identically from SQL. */
+case class AlterPropertiesCommand(path: String, props: Map[String, String],
+                                  unset: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    val v = if (unset) t.unsetProperties(props.keys.toSeq)
+    else t.setProperties(props)
+    Seq(Row(v))
+  }
+}

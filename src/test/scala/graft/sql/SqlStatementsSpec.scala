@@ -1,0 +1,112 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.delta.{DataSkipping, DeltaTable}
+
+/** The SQL statement surface (OPTIMIZE / VACUUM / DESCRIBE DETAIL /
+  * DESCRIBE HISTORY / ALTER TABLE TBLPROPERTIES over path tables):
+  * each statement must behave exactly like the Scala API it wraps, and
+  * everything else must still parse through the default parser. */
+class SqlStatementsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(prefix: String, files: Int = 4): DeltaTable = {
+    val dir = tmpDir(prefix)
+    val t = DeltaTable.forPath(spark, dir).create(
+      Seq((0L, 0L)).toDF("a", "b").schema)
+    (0 until files).foreach(i =>
+      t.append((i * 100L until (i + 1) * 100L).map(v => (v, v % 7)).toDF("a", "b")
+        .coalesce(1)))
+    t
+  }
+
+  test("default parser is untouched: ordinary SQL still runs") {
+    assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) === 2)
+    // a catalog-table OPTIMIZE stays the default parser's business
+    intercept[Exception](spark.sql("OPTIMIZE some_catalog_table"))
+  }
+
+  test("OPTIMIZE compacts; OPTIMIZE ZORDER BY clusters N columns") {
+    val t = mkTable("sqlstmt-opt")
+    val n0 = t.snapshot.files.size
+    val out = spark.sql(s"OPTIMIZE '${t.path}'").collect()
+    assert(out.head.getString(1) === "COMPACT" && out.head.getLong(2) > 0L)
+    assert(DeltaTable.forPath(spark, t.path).snapshot.files.size < n0)
+
+    val t2 = mkTable("sqlstmt-zorder")
+    val out2 = spark.sql(s"OPTIMIZE '${t2.path}' ZORDER BY (a, b)").collect()
+    assert(out2.head.getString(1).startsWith("ZORDER") && out2.head.getLong(2) > 0L)
+    // and the three-column form runs the N-ary curve
+    val t3 = mkTable("sqlstmt-zorder3")
+    val t3b = DeltaTable.forPath(spark, t3.path)
+    spark.sql(s"ALTER TABLE '${t3.path}' SET TBLPROPERTIES ('user.k' = 'v')")
+    val out3 = spark.sql(s"OPTIMIZE '${t3.path}' ZORDER BY (a, b, a)").collect()
+    assert(out3.head.getLong(2) > 0L)
+  }
+
+  test("VACUUM DRY RUN lists candidates and deletes nothing; VACUUM deletes") {
+    val t = mkTable("sqlstmt-vac", files = 2)
+    assert(t.compact(minBytes = Long.MaxValue) > 0L) // orphan the 2 small files
+    val dry = spark.sql(s"VACUUM '${t.path}' RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry.length === 2, s"two superseded files must list, got ${dry.toSeq}")
+    assert(DeltaTable.forPath(spark, t.path).toDF.count() === 200L)
+    val real = spark.sql(s"VACUUM '${t.path}' RETAIN 0 HOURS").collect()
+    assert(real.head.getLong(1) === 2L)
+    assert(spark.sql(s"VACUUM '${t.path}' RETAIN 0 HOURS DRY RUN").collect().isEmpty)
+    assert(DeltaTable.forPath(spark, t.path).toDF.count() === 200L)
+  }
+
+  test("DESCRIBE DETAIL and DESCRIBE HISTORY mirror the Scala APIs") {
+    val t = mkTable("sqlstmt-desc", files = 2)
+    val det = spark.sql(s"DESCRIBE DETAIL '${t.path}'").collect()
+    assert(det.length === 1)
+    val r = det.head
+    assert(r.getString(0) === "delta")
+    assert(r.getLong(r.fieldIndex("numFiles")) === 2L)
+    assert(r.getLong(r.fieldIndex("version")) === 2L)
+    val hist = spark.sql(s"DESC HISTORY '${t.path}' LIMIT 2").collect()
+    assert(hist.length === 2)
+    assert(hist.map(_.getString(2)).forall(_ == "WRITE"))
+    assert(hist.head.getLong(0) === 2L, "history is newest-first")
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES goes through the feature-aware path") {
+    val t = mkTable("sqlstmt-props", files = 1)
+    val v = spark.sql(s"ALTER TABLE '${t.path}' SET TBLPROPERTIES " +
+      "('delta.enableChangeDataFeed' = 'true', 'user.owner' = 'me')").collect()
+    assert(v.head.getLong(0) > 0L)
+    val after = DeltaTable.forPath(spark, t.path)
+    assert(after.cdfEnabled)
+    assert(after.snapshot.metadata.get.configuration("user.owner") === "me")
+    // the refusal rules apply identically from SQL
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE '${t.path}' SET TBLPROPERTIES ('delta.enableTypo' = 'true')"))
+    val v2 = spark.sql(
+      s"ALTER TABLE '${t.path}' UNSET TBLPROPERTIES ('user.owner')").collect()
+    assert(v2.head.getLong(0) > 0L)
+    assert(!DeltaTable.forPath(spark, t.path).snapshot
+      .metadata.get.configuration.contains("user.owner"))
+  }
+
+  test("OPTIMIZE WHERE scopes to matching partitions") {
+    val dir = tmpDir("sqlstmt-optwhere")
+    val df = (0L until 200L).map(i => (i, i % 2)).toDF("v", "p")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema, Seq("p"))
+    (0 until 3).foreach(_ => t.append(df.coalesce(1)))
+    val filesPerPart = t.snapshot.files.groupBy(_.partitionValues("p"))
+    assert(filesPerPart.values.forall(_.size === 3))
+    spark.sql(s"OPTIMIZE '$dir' WHERE p = 0")
+    val after = DeltaTable.forPath(spark, dir).snapshot.files
+      .groupBy(_.partitionValues("p"))
+    assert(after("0").size === 1, "partition 0 must compact")
+    assert(after("1").size === 3, "partition 1 must be untouched")
+  }
+
+  test("delta.`path` naming works too") {
+    val t = mkTable("sqlstmt-tick", files = 2)
+    val det = spark.sql(s"DESCRIBE DETAIL delta.`${t.path}`").collect()
+    assert(det.head.getLong(det.head.fieldIndex("numFiles")) === 2L)
+  }
+}
