@@ -34,9 +34,14 @@ object GraftExtensions {
   def install(ext: SparkSessionExtensions): Unit = {
 
     // SQL STATEMENT surface (OPTIMIZE / VACUUM / DESCRIBE DETAIL /
-    // DESCRIBE HISTORY / ALTER TABLE ... TBLPROPERTIES on path tables):
-    // unmatched text delegates verbatim, so this can only ADD statements
+    // DESCRIBE HISTORY / RESTORE / ALTER TABLE ... TBLPROPERTIES on path
+    // tables): unmatched text delegates verbatim — can only ADD statements
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+
+    // delta.`<path>` relation resolution: SELECT (incl. VERSION/TIMESTAMP
+    // AS OF time travel), DELETE/UPDATE/MERGE INTO/INSERT resolve to the
+    // same Scala APIs; non-path identifiers fall through untouched
+    ext.injectResolutionRule(session => graft.sql.GraftPathRules(session))
 
     // -- scalar kernels over arrays/longs (direct expression constructors)
 

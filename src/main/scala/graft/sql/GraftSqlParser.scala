@@ -21,9 +21,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * VACUUM '<path>' [RETAIN <n> HOURS] [DRY RUN]
   * DESCRIBE DETAIL '<path>'
   * DESCRIBE HISTORY '<path>' [LIMIT <n>]
+  * RESTORE [TABLE] '<path>' TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
   * ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', ...)
   * }}}
+  *
+  * SELECT / DELETE / UPDATE / MERGE INTO / INSERT over `delta.`<path>``
+  * relations are NOT parsed here — Spark's own grammar covers them and
+  * [[GraftPathRules]] resolves the relations during analysis.
   *
   * Everything else — including every statement Spark itself understands —
   * delegates verbatim to the session's default parser, so installing this
@@ -69,6 +74,8 @@ object GraftSqlParser {
   private val DetailRx = pat(s"""\\s*(?:DESCRIBE|DESC)\\s+DETAIL\\s+$Tbl\\s*;?\\s*""")
   private val HistoryRx = pat(
     s"""\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Tbl(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""")
+  private val RestoreRx = pat(
+    s"""\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+TO\\s+(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*""")
   private val SetPropsRx = pat(
     s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""")
   private val UnsetPropsRx = pat(
@@ -106,6 +113,10 @@ object GraftSqlParser {
     if (hist.matches())
       return Some(DescribeHistoryCommand(tblOf(hist),
         Option(hist.group(3)).map(_.toInt)))
+    val rst = RestoreRx.matcher(sqlText)
+    if (rst.matches())
+      return Some(RestoreTableCommand(tblOf(rst),
+        Option(rst.group(3)).map(_.toLong), Option(rst.group(4))))
     val setp = SetPropsRx.matcher(sqlText)
     if (setp.matches())
       return Some(AlterPropertiesCommand(tblOf(setp),

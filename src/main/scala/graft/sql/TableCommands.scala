@@ -93,6 +93,97 @@ case class DescribeHistoryCommand(path: String,
     }
 }
 
+/** `RESTORE [TABLE] … TO VERSION/TIMESTAMP AS OF` —
+  * [[DeltaTable.restoreTo]]/`restoreToTimestamp`. */
+case class RestoreTableCommand(path: String, version: Option[Long],
+                               timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    val v = (version, timestamp) match {
+      case (Some(n), None) => t.restoreTo(n)
+      case (None, Some(ts)) => t.restoreToTimestamp(
+        java.time.Instant.parse(ts.replace(" ", "T") +
+          (if (ts.contains("Z") || ts.contains("+")) "" else "Z")).toEpochMilli)
+      case _ => throw new IllegalArgumentException(
+        "RESTORE needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `DELETE FROM delta.`path` WHERE …` — [[DeltaTable.delete]] verbatim
+  * (stats-index candidate pruning, CDF, row tracking, concurrency
+  * guards). The condition re-resolves against the target table from its
+  * SQL text. Version -1 = nothing matched (no commit). */
+case class DeltaDeleteCommand(path: String, condSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(DeltaTable.forPath(spark, path)
+      .delete(org.apache.spark.sql.functions.expr(condSql))))
+}
+
+/** `UPDATE delta.`path` SET c = e, … [WHERE …]` — [[DeltaTable.update]];
+  * no WHERE means every row (`true`), standard SQL semantics. */
+case class DeltaUpdateCommand(path: String, set: Seq[(String, String)],
+                              condSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    Seq(Row(DeltaTable.forPath(spark, path).update(
+      condSql.map(expr).getOrElse(lit(true)),
+      set.map { case (c, e) => c -> expr(e) }.toMap)))
+  }
+}
+
+/** `MERGE INTO delta.`path` … ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *` — [[DeltaTable.merge]]'s key-equality
+  * upsert. The SOURCE rides as this command's child so the analyzer
+  * resolves it like any query. */
+case class DeltaMergeCommand(path: String, keyCols: Seq[String],
+                             source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    extends org.apache.spark.sql.execution.command.RunnableCommand {
+  override def children: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Seq(source)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): DeltaMergeCommand =
+    copy(source = newChildren.head)
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, source)
+    Seq(Row(DeltaTable.forPath(spark, path).merge(src, keyCols)))
+  }
+}
+
+/** `INSERT INTO / INSERT OVERWRITE delta.`path` [(cols)] <query>` —
+  * [[DeltaTable.append]]/`overwrite`. Positional column mapping like SQL
+  * INSERT (renamed to the table schema; arity must match), or by the
+  * user-specified column list when given. */
+case class DeltaInsertCommand(path: String,
+                              query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                              userCols: Seq[String], overwrite: Boolean)
+    extends org.apache.spark.sql.execution.command.RunnableCommand {
+  override def children: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Seq(query)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): DeltaInsertCommand =
+    copy(query = newChildren.head)
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    val df = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, query)
+    val names = if (userCols.nonEmpty) userCols else t.schema.fieldNames.toSeq
+    require(df.columns.length == names.length,
+      s"INSERT query produces ${df.columns.length} columns but the target " +
+        s"expects ${names.length} (${names.mkString(", ")})")
+    val aligned = df.toDF(names: _*)
+    Seq(Row(if (overwrite) t.overwrite(aligned) else t.append(aligned)))
+  }
+}
+
 /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — the feature-aware property
   * paths ([[DeltaTable.setProperties]]/`unsetProperties`): protocol
   * raising, engine-maintained-key refusals, and the no-downgrade rule

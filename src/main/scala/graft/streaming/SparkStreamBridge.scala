@@ -43,6 +43,15 @@ object StreamBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, node)
   }
 
+  /** A DataFrame over an analyzed logical plan — what a command holding
+    * a query plan as its child needs to hand that plan back to the
+    * DataFrame API ([[graft.sql.DeltaMergeCommand]]'s source,
+    * `DeltaInsertCommand`'s query). Same private[sql] seam as above. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** An empty STREAMING batch of `schema` (a trigger that found no new
     * data must still return a streaming-tagged frame). */
   def emptyStreaming(spark: SparkSession, schema: StructType): DataFrame = {

@@ -1,0 +1,116 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.delta.DeltaTable
+
+/** `delta.`<path>`` relation resolution ([[GraftPathRules]]): SELECT with
+  * time travel, DELETE/UPDATE/MERGE INTO/INSERT, and the RESTORE
+  * statement — each must behave exactly like the Scala API it resolves
+  * to, and non-path identifiers must fall through untouched. */
+class SqlRelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(prefix: String): DeltaTable = {
+    val dir = tmpDir(prefix)
+    val t = DeltaTable.forPath(spark, dir).create(
+      Seq((0L, "x")).toDF("k", "v").schema)
+    t.append((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t
+  }
+
+  test("SELECT over delta.`path`, with joins and aggregation") {
+    val t = mkTable("sqlrel-sel")
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta.`${t.path}`")
+      .head().getLong(0) === 10L)
+    assert(spark.sql(
+      s"SELECT v FROM delta.`${t.path}` WHERE k = 7").head().getString(0) === "v7")
+    // self-join through two references of the same path
+    val j = spark.sql(
+      s"""SELECT a.k FROM delta.`${t.path}` a JOIN delta.`${t.path}` b
+         |ON a.k = b.k WHERE a.k < 3 ORDER BY a.k""".stripMargin)
+    assert(j.as[Long].collect().toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val t = mkTable("sqlrel-tt")
+    t.append(Seq((100L, "late")).toDF("k", "v"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta.`${t.path}` VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta.`${t.path}`")
+      .head().getLong(0) === 11L)
+    val ts = java.time.Instant.now().plusSeconds(60).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM delta.`${t.path}` TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) === 11L)
+  }
+
+  test("DELETE FROM / UPDATE go through the Scala DML (stats pruning included)") {
+    val t = mkTable("sqlrel-dml")
+    val v = spark.sql(s"DELETE FROM delta.`${t.path}` WHERE k >= 8").head().getLong(0)
+    assert(v > 0L)
+    assert(DeltaTable.forPath(spark, t.path).toDF.count() === 8L)
+    // no-match delete commits nothing (the Scala -1 contract)
+    assert(spark.sql(s"DELETE FROM delta.`${t.path}` WHERE k = 999")
+      .head().getLong(0) === -1L)
+    val v2 = spark.sql(
+      s"UPDATE delta.`${t.path}` SET v = concat(v, '!') WHERE k < 2").head().getLong(0)
+    assert(v2 > 0L)
+    val got = DeltaTable.forPath(spark, t.path).toDF
+      .orderBy("k").select("v").as[String].collect().take(3).toSeq
+    assert(got === Seq("v0!", "v1!", "v2"))
+    // UPDATE without WHERE hits every row
+    assert(spark.sql(s"UPDATE delta.`${t.path}` SET v = 'all'").head().getLong(0) > 0L)
+    assert(DeltaTable.forPath(spark, t.path).toDF
+      .select("v").distinct().as[String].collect().toSeq === Seq("all"))
+  }
+
+  test("MERGE INTO upserts; non-upsert shapes refuse loudly") {
+    val t = mkTable("sqlrel-merge")
+    Seq((5L, "upd5"), (100L, "new100")).toDF("k", "v")
+      .createOrReplaceTempView("merge_src")
+    val v = spark.sql(
+      s"""MERGE INTO delta.`${t.path}` t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0)
+    assert(v > 0L)
+    val rows = DeltaTable.forPath(spark, t.path).toDF
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size === 11 && rows(5L) === "upd5" && rows(100L) === "new100")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO delta.`${t.path}` t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("upsert shape"), e.getMessage)
+  }
+
+  test("INSERT INTO appends; INSERT OVERWRITE replaces") {
+    val t = mkTable("sqlrel-ins")
+    assert(spark.sql(
+      s"INSERT INTO delta.`${t.path}` VALUES (50, 'fifty'), (51, 'fiftyone')")
+      .head().getLong(0) > 0L)
+    assert(DeltaTable.forPath(spark, t.path).toDF.count() === 12L)
+    assert(spark.sql(
+      s"INSERT OVERWRITE delta.`${t.path}` SELECT k + 1000, v FROM delta.`${t.path}` WHERE k < 2")
+      .head().getLong(0) > 0L)
+    val after = DeltaTable.forPath(spark, t.path).toDF
+    assert(after.count() === 2L)
+    assert(after.select("k").as[Long].collect().toSet === Set(1000L, 1001L))
+  }
+
+  test("RESTORE statement rewinds the table") {
+    val t = mkTable("sqlrel-restore")
+    spark.sql(s"DELETE FROM delta.`${t.path}` WHERE k >= 5")
+    assert(DeltaTable.forPath(spark, t.path).toDF.count() === 5L)
+    assert(spark.sql(s"RESTORE TABLE delta.`${t.path}` TO VERSION AS OF 1")
+      .head().getLong(0) > 0L)
+    assert(DeltaTable.forPath(spark, t.path).toDF.count() === 10L)
+  }
+
+  test("non-path identifiers fall through to the catalog untouched") {
+    // a temp view named like a 2-part identifier is not hijacked
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("plainview")
+    assert(spark.sql("SELECT count(*) AS n FROM plainview").head().getLong(0) === 1L)
+    // delta.<not-a-path> stays an unresolved catalog reference
+    intercept[Exception](spark.sql("SELECT * FROM delta.sometable").collect())
+  }
+}
