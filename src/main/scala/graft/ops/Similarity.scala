@@ -140,12 +140,21 @@ object Similarity {
     * distributed pass updating the running min-distance against only the
     * NEWEST center (`least(dmin, d²(v, c_new))`), localCheckpointed so
     * round r's lineage does not replay rounds 1..r-1 — k passes total,
-    * the textbook distributed greedy k-center.
+    * the textbook distributed greedy k-center. The per-round checkpoint
+    * carries ONLY (id, dmin) — 16 bytes/row, not the vector: the base
+    * frame (id, qv) is id-partitioned and checkpointed ONCE, each round
+    * re-joins it co-partitioned (checkpoint preserves the hash
+    * partitioning, so the join moves no vectors), and the new center's
+    * vector is a 1-row id lookup. Round I/O is therefore independent of
+    * vector width (`stateProbe` lets the spec pin that).
     *
+    * @param stateProbe test hook observing each round's checkpointed
+    *        state frame (the spec pins its schema = (id, dmin))
     * @return (rank 1..k, id, dist2 = the selected point's min squared
     *         distance to the prior centers; NULL for the seed) */
   def kCenterSelect(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                    quantBits: Int = 20): DataFrame = {
+                    quantBits: Int = 20,
+                    stateProbe: DataFrame => Unit = _ => ()): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     val scale = math.pow(2.0, quantBits)
@@ -158,25 +167,30 @@ object Similarity {
     val q = df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long")).as("qv"))
+      .repartition(col("id"))
       .localCheckpoint(true)
+    def vecOf(id: Long): Seq[Long] =
+      q.filter(col("id") === id).select("qv").head().getSeq[Long](0)
     val seedRow = q.orderBy(col("id")).limit(1).collect().headOption.getOrElse(
       throw new IllegalArgumentException("k-center on an empty frame"))
     var picked = List[(Int, Long, Option[Long])]((1, seedRow.getLong(0), None))
     var lastVec: Seq[Long] = seedRow.getSeq[Long](1)
     var state = q.filter(col("id") =!= seedRow.getLong(0))
-      .withColumn("dmin", dist2To(lastVec))
+      .select(col("id"), dist2To(lastVec).as("dmin"))
     var r = 2
     var exhausted = false
     while (r <= k && !exhausted) {
       state = state.localCheckpoint(true)
+      stateProbe(state)
       val top = state.orderBy(col("dmin").desc, col("id")).limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val t = top.head
-        picked ::= ((r, t.getLong(0), Some(t.getLong(2))))
-        lastVec = t.getSeq[Long](1)
+        picked ::= ((r, t.getLong(0), Some(t.getLong(1))))
+        lastVec = vecOf(t.getLong(0))
         state = state.filter(col("id") =!= t.getLong(0))
-          .withColumn("dmin", least(col("dmin"), dist2To(lastVec)))
+          .join(q, Seq("id"))
+          .select(col("id"), least(col("dmin"), dist2To(lastVec)).as("dmin"))
         r += 1
       }
     }

@@ -257,4 +257,23 @@ class SimilaritySpec extends SparkSpec {
     assert(sel.length === 3)
     assert(sel.map(_.getLong(1)).toSet === Set(5L, 6L, 7L))
   }
+
+  test("kCenterSelect: per-round checkpoint state is (id, dmin) — no vector column") {
+    import spark.implicits._
+    // round I/O must be independent of vector width: the state that gets
+    // re-materialized each round may carry only the 16-byte (id, dmin)
+    // pair; vectors live solely in the once-checkpointed base frame
+    val df = (0L until 40L).map(i => (i, Seq((i % 7).toFloat, (i % 5).toFloat,
+      (i % 3).toFloat))).toDF("id", "v")
+    var probed = 0
+    val sel = Similarity.kCenterSelect(df, "id", "v", k = 5,
+      stateProbe = st => {
+        probed += 1
+        assert(st.schema.fieldNames.toSeq === Seq("id", "dmin"),
+          s"round state must be (id, dmin), got ${st.schema.fieldNames.toSeq}")
+        assert(!st.schema.fieldNames.contains("qv"))
+      }).collect()
+    assert(sel.length === 5)
+    assert(probed >= 4, "probe must observe each round's checkpointed state")
+  }
 }
