@@ -132,7 +132,7 @@ object Bench {
     val samples = ordered.map { case (name, _) =>
       name -> scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     }.toMap
-    (1 to iters).foreach { _ =>
+    def oneIteration(): Unit =
       ordered.foreach { case (name, d) =>
         val t0 = System.nanoTime()
         try run(d.build(spark, sfDir))
@@ -145,43 +145,7 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         samples(name) += ((sec, calibSlice()))
       }
-    }
-    val results = ordered.map { case (name, _) =>
-      val pairs = samples(name).toSeq
-      val times = pairs.map(_._1)
-      System.err.println(f"[bench] $name%-28s min=${times.min}%.3f max=${times.max}%.3f " +
-        pairs.map { case (t, c) => f"$t%.3f/c$c%.3f" }.mkString("[", " ", "]"))
-      name -> pairs
-    }
-    // Reference-identity throughput: the full message path (JSON decode →
-    // JMESPath transforms → coercions → DLQ split → Delta append with
-    // per-file stats + txn) over the events table as ~230 B JSON messages
-    // — the only workload the reference actually runs. Reported as extra
-    // fields, NOT in the headline total, so cross-round totals compare.
-    streaming.IngestPipeline.flagship(spark, warmDir).count(): Unit
-    // each ingest run records (rows, seconds, adjacent cpu slice,
-    // adjacent io slice) — the ingest leg is write-heavy, so it carries
-    // BOTH calibration kinds per sample (round-10 harness gap: the leg
-    // had no adjacent calibration at all and a cpu loop can't see I/O)
-    val ingestRuns = (1 to iters).map { _ =>
-      val t0 = System.nanoTime()
-      val n = streaming.IngestPipeline.flagship(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      (n, sec, calibSlice(), ioSlice())
-    }
-    val ingested = ingestRuns.head._1
-    val ingestMin = ingestRuns.minBy(_._2)
-    val ingestSec = ingestMin._2 // same min-of-N rationale
-    val ingestRate = (ingested / ingestSec).round
-    System.err.println(f"[bench] ingest min=${ingestSec}%.3f " +
-      ingestRuns.map(r => f"${r._2}%.3f/c${r._3}%.3f/io${r._4}%.3f")
-        .mkString("[", " ", "]"))
-
-    val calibAfter = calibrate()
-    val ioCalibAfter = ioCalibrate()
-    System.err.println(f"[bench] calib before=$calibBefore%.3f after=$calibAfter%.3f " +
-      f"io before=$ioCalibBefore%.3f after=$ioCalibAfter%.3f")
-
+    (1 to iters).foreach(_ => oneIteration())
     // Mechanical environment-vs-regression signal: this host runs the
     // calibration loop in ~0.090 s when quiet (measured idle, matching the
     // judge's r7/r8 quiet runs at 0.087–0.093); a calib more than 15% above
@@ -198,31 +162,113 @@ object Bench {
     // 10's phantom 17× ingest regression, not run-to-run jitter.
     val IoQuietSec = 0.20
     val IoSliceQuietSec = 0.045
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    // Bounded self-correction (round-12 lesson: the driver published a
+    // contention-inflated 44.4 s that a quiet re-run read at 37.5 s — the
+    // calibration fields SAW it but nothing acted): when a leg's own
+    // calibration flags contention, that leg re-runs ONCE and every sample
+    // is reported, so the min self-corrects if the retry window is quiet.
+    // The final warning then judges the retry window — if even the retry
+    // ran hot, the flag stays up and the row should be discounted.
+    // SPARK_GRAFT_BENCH_RETRY=0 disables (pure fixed-budget runs);
+    // SPARK_GRAFT_BENCH_FORCE_RETRY=queries,ingest (dev-only) exercises
+    // the retry path on a quiet host so its plumbing is verifiable.
+    val retryEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
+    val forceRetry = sys.env.get("SPARK_GRAFT_BENCH_FORCE_RETRY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+
+    // --- query-leg endpoint + retry decision (measured BEFORE the
+    // write-heavy ingest leg so the endpoint brackets only this leg)
+    val calibAfterQueries = calibrate()
+    def queriesSliceMedian(): Double = median(samples.values.flatMap(_.map(_._2)).toSeq)
+    val loadWarningInitial = calibBefore > QuietCalibSec * 1.15 ||
+      calibAfterQueries > QuietCalibSec * 1.15 ||
+      queriesSliceMedian() > SliceQuietSec * 1.15
+    val retriedQueries =
+      retryEnabled && (loadWarningInitial || forceRetry("queries"))
+    val calibRetry: Option[Double] = if (retriedQueries) {
+      System.err.println("[bench] load_warning on the query leg — re-running one iteration")
+      oneIteration()
+      Some(calibrate())
+    } else None
     // run-level warning: hot endpoints OR a hot majority of the per-sample
     // slices (round 9: endpoints read clean while the middle of the run
-    // was contended — the slice median can't be straddled that way)
-    val allSlices = results.flatMap(_._2.map(_._2)).sorted
-    val sliceMedian =
-      if (allSlices.isEmpty) 0.0
-      else if (allSlices.length % 2 == 1) allSlices(allSlices.length / 2)
-      else (allSlices(allSlices.length / 2 - 1) + allSlices(allSlices.length / 2)) / 2.0
-    val loadWarning = calibBefore > QuietCalibSec * 1.15 ||
-      calibAfter > QuietCalibSec * 1.15 || sliceMedian > SliceQuietSec * 1.15
+    // was contended — the slice median can't be straddled that way). After
+    // a retry, judge the retry iteration's own window.
+    val loadWarning = calibRetry match {
+      case None => loadWarningInitial
+      case Some(c) =>
+        val retrySlices = ordered.map { case (name, _) => samples(name).last._2 }
+        c > QuietCalibSec * 1.15 || median(retrySlices) > SliceQuietSec * 1.15
+    }
+
+    val results = ordered.map { case (name, _) =>
+      val pairs = samples(name).toSeq
+      val times = pairs.map(_._1)
+      System.err.println(f"[bench] $name%-28s min=${times.min}%.3f max=${times.max}%.3f " +
+        pairs.map { case (t, c) => f"$t%.3f/c$c%.3f" }.mkString("[", " ", "]"))
+      name -> pairs
+    }
+    val sliceMedian = queriesSliceMedian()
+
+    // Reference-identity throughput: the full message path (JSON decode →
+    // JMESPath transforms → coercions → DLQ split → Delta append with
+    // per-file stats + txn) over the events table as ~230 B JSON messages
+    // — the only workload the reference actually runs. Reported as extra
+    // fields, NOT in the headline total, so cross-round totals compare.
+    streaming.IngestPipeline.flagship(spark, warmDir).count(): Unit
+    // each ingest run records (rows, seconds, adjacent cpu slice,
+    // adjacent io slice) — the ingest leg is write-heavy, so it carries
+    // BOTH calibration kinds per sample (round-10 harness gap: the leg
+    // had no adjacent calibration at all and a cpu loop can't see I/O)
+    def oneIngestRun(): (Long, Double, Double, Double) = {
+      val t0 = System.nanoTime()
+      val n = streaming.IngestPipeline.flagship(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (n, sec, calibSlice(), ioSlice())
+    }
+    var ingestRuns = (1 to iters).map(_ => oneIngestRun())
+    val ioCalibAfter = ioCalibrate()
     // separate flag for the ingest leg: disk contention that never
     // touched the (CPU-bound) query loop must not poison the headline
     // total's credibility, and vice versa
-    val ingestWarning = ioCalibBefore > IoQuietSec * 2 || ioCalibAfter > IoQuietSec * 2 ||
-      ingestMin._3 > SliceQuietSec * 1.15 || ingestMin._4 > IoSliceQuietSec * 2
+    def ingestMinOf(runs: Seq[(Long, Double, Double, Double)]) = runs.minBy(_._2)
+    def ingestSlicesHot(m: (Long, Double, Double, Double)): Boolean =
+      m._3 > SliceQuietSec * 1.15 || m._4 > IoSliceQuietSec * 2
+    val ingestWarningInitial = ioCalibBefore > IoQuietSec * 2 ||
+      ioCalibAfter > IoQuietSec * 2 || ingestSlicesHot(ingestMinOf(ingestRuns))
+    val retriedIngest =
+      retryEnabled && (ingestWarningInitial || forceRetry("ingest"))
+    val ioCalibRetry: Option[Double] = if (retriedIngest) {
+      System.err.println("[bench] ingest_warning — re-running the ingest leg once")
+      ingestRuns = ingestRuns :+ oneIngestRun()
+      Some(ioCalibrate())
+    } else None
+    val ingestMin = ingestMinOf(ingestRuns)
+    val ingestWarning = ioCalibRetry match {
+      case None => ingestWarningInitial
+      case Some(io) => io > IoQuietSec * 2 || ingestSlicesHot(ingestMin)
+    }
+    val ingested = ingestRuns.head._1
+    val ingestSec = ingestMin._2 // same min-of-N rationale
+    val ingestRate = (ingested / ingestSec).round
+    System.err.println(f"[bench] ingest min=${ingestSec}%.3f " +
+      ingestRuns.map(r => f"${r._2}%.3f/c${r._3}%.3f/io${r._4}%.3f")
+        .mkString("[", " ", "]"))
+
+    val calibAfter = calibrate()
+    System.err.println(f"[bench] calib before=$calibBefore%.3f after=$calibAfter%.3f " +
+      f"io before=$ioCalibBefore%.3f after=$ioCalibAfter%.3f")
 
     // median alongside min/max: on a host with 2–4× scheduler swings even a
     // min-of-3 is occasionally inflated; the median shows whether the min is
     // an outlier or the steady state. `total` stays min-based so totals
     // compare across rounds.
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
     def m(f: Seq[(Double, Double)] => Double): String =
       results.map { case (k, ps) => "\"" + k + "\":" + f(ps) }.mkString("{", ",", "}")
     val qs = m(_.map(_._1).min)
@@ -233,18 +279,24 @@ object Bench {
     // whole row should be discounted, not diagnosed
     val qsCalibAtMin = m(_.minBy(_._1)._2)
     val total = results.map(_._2.map(_._1).min).sum
+    def optNum(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""iters":$iters,"queries_max":$qsMax,"queries_median":$qsMed,""" +
       s""""queries_calib_at_min":$qsCalibAtMin,"calib_slice_quiet_ref":$SliceQuietSec,""" +
       s""""calib_slice_median":$sliceMedian,""" +
       s""""calib_sec_before":$calibBefore,"calib_sec_after":$calibAfter,""" +
+      s""""calib_sec_after_queries":$calibAfterQueries,""" +
       s""""calib_quiet_ref":$QuietCalibSec,"load_warning":$loadWarning,""" +
+      s""""load_warning_initial":$loadWarningInitial,""" +
+      s""""retried":{"queries":$retriedQueries,"ingest":$retriedIngest},""" +
+      s""""calib_sec_retry":${optNum(calibRetry)},"io_calib_retry":${optNum(ioCalibRetry)},""" +
       s""""ingest_rows":$ingested,"ingest_sec":$ingestSec,""" +
       s""""ingest_rows_per_sec":$ingestRate,""" +
       s""""ingest_runs":${ingestRuns.map(_._2).mkString("[", ",", "]")},""" +
       s""""ingest_calib_at_min":${ingestMin._3},"ingest_io_at_min":${ingestMin._4},""" +
       s""""io_calib_before":$ioCalibBefore,"io_calib_after":$ioCalibAfter,""" +
       s""""io_calib_quiet_ref":$IoQuietSec,"ingest_warning":$ingestWarning,""" +
+      s""""ingest_warning_initial":$ingestWarningInitial,""" +
       s""""sf":"$sfDir"}"""
     // Stdout for humans and the legacy driver parse — printed FIRST, so a
     // broken SPARK_GRAFT_BENCH_OUT path can never destroy both channels
