@@ -354,7 +354,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         .foreach(requireValidDefault)
       clusterBy.foreach(c => require(schema.fieldNames.contains(c),
         s"clusterBy column '$c' is not in the schema"))
-      val mapping = configuration.get(DeltaTable.ColumnMappingModeKey).contains("name")
+      val requestedMode =
+        configuration.getOrElse(DeltaTable.ColumnMappingModeKey, "none")
+      require(Set("none", "name", "id")(requestedMode),
+        s"${DeltaTable.ColumnMappingModeKey} must be none|name|id, got '$requestedMode'")
+      val mapping = requestedMode == "name" || requestedMode == "id"
       // column mapping composes with partitioning and CDF (round 11):
       // partition directories / partitionValues / change files all carry
       // PHYSICAL names (the protocol's representation) and every read
@@ -636,11 +640,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       check = _.metadata.exists(m => keys.exists(m.configuration.contains)))
   }
 
-  /** True when `delta.columnMapping.mode=name`: parquet files store
-    * PHYSICAL column names, the schema's field metadata maps them to
-    * logical names, and rename/drop are metadata-only commits. */
-  def columnMappingEnabled: Boolean = snapshot.metadata.exists(
-    _.configuration.get(DeltaTable.ColumnMappingModeKey).contains("name"))
+  /** The table's `delta.columnMapping.mode`: `none`, `name`, or `id`.
+    * Create-time only (mode changes refuse in [[setProperties]]). */
+  def columnMappingMode: String = snapshot.metadata.flatMap(
+    _.configuration.get(DeltaTable.ColumnMappingModeKey)).getOrElse("none")
+
+  /** True when column mapping is active (`name` OR `id` mode): parquet
+    * files store PHYSICAL column names, the schema's field metadata maps
+    * them to logical names, and rename/drop are metadata-only commits.
+    * In `id` mode files additionally carry parquet field ids and READERS
+    * RESOLVE BY ID — an external file whose physical column names differ
+    * still reads correctly as long as its field ids match. */
+  def columnMappingEnabled: Boolean = {
+    val m = columnMappingMode; m == "name" || m == "id"
+  }
 
   /** Logical → physical column name for `sch` (identity without
     * mapping metadata — pre-mapping fields read by their own name). */
@@ -649,8 +662,29 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       f.metadata.getString(DeltaTable.ColMapPhysKey)
     else f.name
 
+  /** Read-side physical schema. In `id` mode each field also carries
+    * `parquet.field.id` (from the Delta stable id), which — together
+    * with [[ensureFieldIdRead]] — makes Spark's parquet reader match
+    * columns BY FIELD ID, the protocol's id-mode contract. */
   private def physicalSchema(sch: StructType): StructType =
-    StructType(sch.fields.map(f => f.copy(name = physicalName(f))))
+    StructType(sch.fields.map { f =>
+      val renamed = f.copy(name = physicalName(f))
+      if (columnMappingMode == "id" && f.metadata.contains(DeltaTable.ColMapIdKey))
+        renamed.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(renamed.metadata)
+          .putLong("parquet.field.id", f.metadata.getLong(DeltaTable.ColMapIdKey))
+          .build())
+      else renamed
+    })
+
+  /** Field-id matching is gated by a session conf; it only activates for
+    * read schemas that CARRY `parquet.field.id` metadata (this table's
+    * id-mode reads), so flipping it session-wide cannot change any other
+    * read's behavior. Missing ids in a data file stay a loud error —
+    * `ignoreMissing` is left false, per the id-mode contract. */
+  private def ensureFieldIdRead(): Unit =
+    if (columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   /** Partition columns by PHYSICAL name (identity without mapping).
     * Hive directory names, `add.partitionValues` keys, and the staged
@@ -664,11 +698,26 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   }
 
   /** Rename a write batch's columns logical → physical just before the
-    * parquet write (the single seam every staged write goes through). */
+    * parquet write (the single seam every staged write goes through).
+    * In `id` mode each written column also carries `parquet.field.id`
+    * metadata so the parquet footer records the Delta stable ids —
+    * Spark's writer emits them (fieldId.write.enabled defaults true)
+    * and id-mode readers match on them. */
   private def toPhysicalForWrite(df: DataFrame, sch: StructType): DataFrame = {
+    val idMode = columnMappingMode == "id"
     val m = sch.fields.map(f => f.name -> physicalName(f)).toMap
-    if (m.forall { case (l, p) => l == p }) df
-    else df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))).toSeq: _*)
+    val ids = sch.fields.collect {
+      case f if f.metadata.contains(DeltaTable.ColMapIdKey) =>
+        f.name -> f.metadata.getLong(DeltaTable.ColMapIdKey)
+    }.toMap
+    if (!idMode && m.forall { case (l, p) => l == p }) df
+    else df.select(df.columns.map { c =>
+      val name = m.getOrElse(c, c)
+      if (idMode && ids.contains(c))
+        col(c).as(name, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", ids(c)).build())
+      else col(c).as(name)
+    }.toSeq: _*)
   }
 
   /** A metadata-only rename/drop of a column some stored SQL (CHECK
@@ -825,7 +874,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       snap => {
         val meta = snap.metadata.get
         val mapped = meta.configuration
-          .get(DeltaTable.ColumnMappingModeKey).contains("name")
+          .get(DeltaTable.ColumnMappingModeKey).exists(m => m == "name" || m == "id")
         val maxId = meta.configuration
           .get(DeltaTable.ColumnMappingMaxIdKey).map(_.toLong).getOrElse(0L)
         val finalFields =
@@ -875,7 +924,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * difference between a metadata op and a cluster-day). */
   def renameColumn(oldName: String, newName: String): Long = {
     require(columnMappingEnabled,
-      s"renameColumn requires ${DeltaTable.ColumnMappingModeKey}=name")
+      s"renameColumn requires ${DeltaTable.ColumnMappingModeKey}=name|id")
     val meta = snapshot.metadata.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
     val sch = schema
@@ -908,7 +957,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * them away) until a later OPTIMIZE/purge naturally rewrites. */
   def dropColumn(name: String): Long = {
     require(columnMappingEnabled,
-      s"dropColumn requires ${DeltaTable.ColumnMappingModeKey}=name")
+      s"dropColumn requires ${DeltaTable.ColumnMappingModeKey}=name|id")
     val meta = snapshot.metadata.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
     val sch = schema
@@ -1964,7 +2013,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     else {
       val conf = snap.metadata.map(_.configuration).getOrElse(Map.empty)
       val sch = snap.schema.getOrElse(StructType(Nil))
-      val mapped = conf.get(DeltaTable.ColumnMappingModeKey).contains("name")
+      val mapped = conf.get(DeltaTable.ColumnMappingModeKey)
+        .exists(m => m == "name" || m == "id")
       val hasGen = sch.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey))
       val hasConstraints = conf.keys.exists(_.startsWith(DeltaTable.ConstraintPrefix))
       val hasCdf = conf.get(DeltaTable.CdfConfigKey).contains("true")
@@ -2350,6 +2400,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       s"${DeltaTable.CdfConfigKey} is not 'true' on this table")
     val sch = schema
     val physSch = physicalSchema(sch)
+    ensureFieldIdRead()
     // commit-JSON reads: driver metadata, cost ∝ versions (KBs each)
     final case class VersionFiles(v: Long, ts: Long,
                                   cdc: Seq[AddCDCFile], adds: Seq[AddFile])
@@ -2891,6 +2942,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       "streaming batches must not carry deletion vectors")
     val phys = physicalSchema(sch)
     val paths = files.map(f => new Path(path, f.path).toString)
+    ensureFieldIdRead()
     val raw0 = StreamBridge.streamingParquet(spark, paths, phys,
       if (partitionColumns.isEmpty) None else Some(path))
     // DV subtraction BEFORE the logical rename (the hidden _metadata
@@ -2944,6 +2996,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // written before a schema evolution lack the new columns, and an
     // inferred schema would make the select below fail instead of
     // null-filling them (partition columns resolve from the dir layout)
+    ensureFieldIdRead()
     val reader = spark.read.schema(readSchema)
     val df =
       if (parts.isEmpty) reader.parquet(paths: _*)

@@ -210,4 +210,103 @@ class ColumnMappingSpec extends SparkSpec {
     assert(ch2.columns.take(3).toSeq === Seq("id", "amount", "memo"))
     assert(ch2.filter(col("memo") === "n3").count() === 1L)
   }
+
+  // ---- id mode -----------------------------------------------------
+
+  private def newIdTable(prefix: String = "colmap-id"): DeltaTable =
+    DeltaTable.forPath(spark, tmpDir(prefix)).create(schema, Nil,
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "id"))
+
+  /** Parquet footer (name, field id) pairs of one data file. */
+  private def footerFields(t: DeltaTable, rel: String): Seq[(String, Option[Int])] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(t.path, rel), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+      .map(f => f.getName -> Option(f.getId).map(_.intValue))
+    finally r.close()
+  }
+
+  test("id mode: written files carry the Delta stable ids as parquet field ids") {
+    val t = newIdTable()
+    assert(t.columnMappingMode === "id")
+    val p = t.snapshot.protocol.get
+    assert(p.minReaderVersion === 2 && p.minWriterVersion === 5)
+    t.append(df(0 until 10))
+    val ff = footerFields(t, t.snapshot.files.head.path)
+    assert(ff.map(_._2) === Seq(Some(1), Some(2), Some(3)),
+      s"parquet footer must carry field ids 1..3, got $ff")
+    assert(ff.forall(_._1.startsWith("col-")),
+      "id mode still writes physical names (stats/partition keys use them)")
+    // reads come back logical, round-trip intact
+    assert(t.toDF.columns.toSeq === Seq("id", "amount", "note"))
+    assert(t.toDF.orderBy("id").collect()(3).getString(2) === "n3")
+    // rename is metadata-only and both epochs read; DML flows through
+    t.renameColumn("amount", "price")
+    assert(t.toDF.filter(col("id") === 2L).collect()(0).getAs[Double]("price") === 3.0)
+    assert(t.delete(col("id") >= 8L) > 0L)
+    t.update(col("id") === 1L, Map("note" -> lit("upd")))
+    t.merge(Seq((50L, 5.0, "m")).toDF("id", "price", "note"), Seq("id"))
+    assert(t.compact(minBytes = 1L << 30) > 0L)
+    assert(t.toDF.count() === 9L)
+    assert(t.toDF.filter(col("id") === 1L).collect()(0).getString(2) === "upd")
+    // mode changes stay refused either direction
+    assertThrows[IllegalArgumentException](
+      t.setProperties(Map(DeltaTable.ColumnMappingModeKey -> "name")))
+  }
+
+  test("id mode: columns resolve BY FIELD ID — alien physical names still read") {
+    val t = newIdTable("colmap-idalien")
+    t.append(df(0 until 3))
+    // an "external writer"'s file: completely different physical column
+    // names, but the SAME parquet field ids — per PROTOCOL.md id-mode
+    // readers must match on the ids, so this file reads as (id, amount,
+    // note) even though no column name agrees with the table's
+    val alien = Seq((100L, 1.25, "alien")).toDF("a", "b", "c").select(
+      col("a").as("weird_x", new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      col("b").as("weird_y", new MetadataBuilder().putLong("parquet.field.id", 2L).build()),
+      col("c").as("weird_z", new MetadataBuilder().putLong("parquet.field.id", 3L).build()))
+    val stage = tmpDir("colmap-alienstage")
+    alien.coalesce(1).write.mode("overwrite").parquet(stage)
+    val fs = new Path(t.path).getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new Path(stage))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    val rel = "alien-writer.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, new Path(t.path, rel),
+      false, fs.getConf)
+    val ff = footerFields(t, rel)
+    assert(ff.map(_._1) === Seq("weird_x", "weird_y", "weird_z"))
+    t.log.commit(Seq(
+      Actions.Action(add = Some(Actions.AddFile(path = rel,
+        size = fs.getFileStatus(new Path(t.path, rel)).getLen,
+        modificationTime = 1L, dataChange = true))),
+      Actions.Action(commitInfo = Some(Actions.CommitInfo(1700000000000L, "WRITE")))))
+    assert(t.toDF.count() === 4L)
+    val r = t.toDF.filter(col("id") === 100L).collect()
+    assert(r.length === 1)
+    assert(r(0).getDouble(1) === 1.25 && r(0).getString(2) === "alien",
+      "the alien file's columns must map by field id, not by name")
+  }
+
+  test("id mode composes with partitioning, CDF, and schema evolution") {
+    val t = DeltaTable.forPath(spark, tmpDir("colmap-idpart")).create(schema, Seq("note"),
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "id",
+        DeltaTable.CdfConfigKey -> "true"))
+    t.append((0 until 20).map(i => (i.toLong, i * 1.5, s"p${i % 2}"))
+      .toDF("id", "amount", "note"))
+    assert(t.toDF.filter(col("note") === "p1").count() === 10L)
+    val pruned = t.scanFiles(Seq(DataSkipping.ColPred("note", "=", "p0")))
+    assert(pruned.nonEmpty && pruned.size < t.snapshot.files.size)
+    val vDel = t.delete(col("id") < 2L)
+    val ch = t.changes(1, vDel)
+    assert(ch.filter(col(DeltaTable.ChangeTypeCol) === "delete").count() === 2L)
+    // evolution mints a fresh id; the new column's files carry it
+    t.append(Seq((200L, 2.0, "p0", 7L)).toDF("id", "amount", "note", "extra"),
+      mergeSchema = true)
+    val extra = t.schema.fields.find(_.name == "extra").get
+    assert(extra.metadata.getLong(DeltaTable.ColMapIdKey) === 4L)
+    assert(t.toDF.filter(col("id") === 200L).collect()(0).getAs[Long]("extra") === 7L)
+    assert(t.toDF.filter(col("id") === 5L).collect()(0).isNullAt(3))
+  }
 }
