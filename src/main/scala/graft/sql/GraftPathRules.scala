@@ -145,3 +145,93 @@ case class GraftPathRules(spark: SparkSession) extends Rule[LogicalPlan] {
       readPlan(p, DeltaTable.forPath(spark, p).toDF)
   }
 }
+
+/** Parse-time rewrite of `CREATE TABLE delta.`<path>`` statements —
+  * applied by [[GraftSqlParser.parsePlan]] right after Spark's grammar
+  * produces the `CreateTable`/`CreateTableAsSelect` node. CREATE must be
+  * claimed at PARSE time, not analysis: Spark's own ResolveSessionCatalog
+  * runs earlier in the resolution batch and throws `dataSourceNotFound`
+  * for provider `delta` before an injected resolution rule ever sees the
+  * node. The full CREATE grammar (column types, GENERATED/DEFAULT/
+  * IDENTITY, PARTITIONED BY, CLUSTER BY, TBLPROPERTIES, IF NOT EXISTS,
+  * CTAS) comes from Spark's parser for free — only the resulting node is
+  * re-pointed at [[DeltaCreateTableCommand]]/
+  * [[DeltaCreateTableAsSelectCommand]]. A non-delta `USING` provider or a
+  * non-path identifier leaves the node untouched for Spark's catalogs. */
+object CreateTableRewrite {
+
+  private def pathOf(plan: LogicalPlan): Option[String] = plan match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+      if u.nameParts.size == 2 && u.nameParts.head.equalsIgnoreCase("delta") &&
+        (u.nameParts(1).contains("/") || u.nameParts(1).contains("\\")) =>
+      Some(u.nameParts(1))
+    case _ => None
+  }
+
+  /** Claim only the delta provider (or none — delta.`path` implies it);
+    * `USING parquet` etc. falls through to Spark. */
+  private def deltaProvider(spec: TableSpecBase): Boolean = {
+    val prov = spec match {
+      case s: TableSpec => s.provider
+      case s: UnresolvedTableSpec => s.provider
+      case _ => None
+    }
+    prov.forall(p => Set("delta", "graft-delta")(p.toLowerCase(java.util.Locale.ROOT)))
+  }
+
+  private def propsOf(spec: TableSpecBase): Map[String, String] = spec match {
+    case s: TableSpec => s.properties
+    case s: UnresolvedTableSpec => s.properties
+    case _ => Map.empty
+  }
+
+  /** PARTITIONED BY / CLUSTER BY transforms → (partition cols, cluster
+    * cols); any other transform (bucket, days, …) refuses loudly. */
+  private def splitTransforms(ts: Seq[org.apache.spark.sql.connector.expressions.Transform]): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.connector.expressions.ClusterByTransform
+    // IdentityTransform's extractor is private[sql]; the public Transform
+    // surface (name + references) identifies it just as well
+    def isIdentity(t: org.apache.spark.sql.connector.expressions.Transform) =
+      t.name == "identity" && t.references.length == 1
+    val parts = ts.collect {
+      case t if isIdentity(t) => t.references.head.fieldNames.mkString(".")
+    }
+    val cluster = ts.collect {
+      case ClusterByTransform(cols) => cols.map(_.fieldNames.mkString("."))
+    }.flatten
+    val other = ts.filterNot(t =>
+      isIdentity(t) || ClusterByTransform.unapply(t).isDefined)
+    require(other.isEmpty,
+      s"unsupported partition transform(s) on a path table: ${other.mkString(", ")} — " +
+        "only PARTITIONED BY (col, …) and CLUSTER BY (col, …) are supported")
+    (parts, cluster)
+  }
+
+  /** Column DDL → the engine's schema-field encodings (generated /
+    * identity / default columns use the same metadata keys as the Scala
+    * helpers, so CREATE TABLE SQL gets identical write-time semantics). */
+  private def colDefToField(c: ColumnDefinition): org.apache.spark.sql.types.StructField = {
+    (c.generationExpression, c.identityColumnSpec, c.defaultValue) match {
+      case (Some(g), _, _) => DeltaTable.generatedField(c.name, c.dataType, g)
+      case (_, Some(i), _) =>
+        require(c.dataType == org.apache.spark.sql.types.LongType,
+          s"identity column '${c.name}' must be BIGINT")
+        DeltaTable.identityField(c.name, i.getStart, i.getStep, i.isAllowExplicitInsert)
+      case (_, _, Some(d)) => DeltaTable.defaultField(c.name, c.dataType, d.originalSQL)
+      case _ => org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
+    }
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: CreateTable if pathOf(c.name).isDefined && deltaProvider(c.tableSpec) =>
+      val (parts, cluster) = splitTransforms(c.partitioning)
+      DeltaCreateTableCommand(pathOf(c.name).get,
+        org.apache.spark.sql.types.StructType(c.columns.map(colDefToField)),
+        parts, cluster, propsOf(c.tableSpec), c.ignoreIfExists)
+    case c: CreateTableAsSelect if pathOf(c.name).isDefined && deltaProvider(c.tableSpec) =>
+      val (parts, cluster) = splitTransforms(c.partitioning)
+      DeltaCreateTableAsSelectCommand(pathOf(c.name).get,
+        parts, cluster, propsOf(c.tableSpec), c.query, c.ignoreIfExists)
+    case other => other
+  }
+}

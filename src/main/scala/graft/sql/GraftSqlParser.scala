@@ -43,7 +43,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    parseGraftStatement(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+    parseGraftStatement(sqlText, delegate)
+      .getOrElse(CreateTableRewrite(delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -93,6 +93,63 @@ case class DescribeHistoryCommand(path: String,
     }
 }
 
+/** `CREATE TABLE delta.`path` (cols…) [USING delta] [PARTITIONED BY …]
+  * [CLUSTER BY …] [TBLPROPERTIES …]` — [[DeltaTable.create]] verbatim
+  * (same protocol floors, feature raising, generated/identity/default
+  * column handling). SQL semantics on an existing table: error unless
+  * IF NOT EXISTS (the Scala API's quiet no-op would silently ignore a
+  * conflicting schema). */
+case class DeltaCreateTableCommand(path: String, tableSchema: StructType,
+                                   partitionCols: Seq[String],
+                                   clusterCols: Seq[String],
+                                   properties: Map[String, String],
+                                   ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "path" -> StringType, "created" -> BooleanType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    if (t.exists) {
+      if (ignoreIfExists) return Seq(Row(path, false))
+      throw new IllegalStateException(
+        s"table already exists at $path — use CREATE TABLE IF NOT EXISTS")
+    }
+    t.create(tableSchema, partitionCols, None, properties, clusterCols)
+    Seq(Row(path, true))
+  }
+}
+
+/** `CREATE TABLE delta.`path` [USING delta] [PARTITIONED BY …] AS
+  * SELECT …` — create + first append in sequence (the append is its own
+  * commit: CTAS on a path table is create-then-load, and a concurrent
+  * writer race surfaces through the normal commit conflict checks). */
+case class DeltaCreateTableAsSelectCommand(path: String,
+                                           partitionCols: Seq[String],
+                                           clusterCols: Seq[String],
+                                           properties: Map[String, String],
+                                           query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                                           ignoreIfExists: Boolean)
+    extends org.apache.spark.sql.execution.command.RunnableCommand {
+  override def children: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Seq(query)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): DeltaCreateTableAsSelectCommand =
+    copy(query = newChildren.head)
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "path" -> StringType, "created" -> BooleanType, "version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    if (t.exists) {
+      if (ignoreIfExists) return Seq(Row(path, false, -1L))
+      throw new IllegalStateException(
+        s"table already exists at $path — use CREATE TABLE IF NOT EXISTS")
+    }
+    val df = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, query)
+    t.create(df.schema, partitionCols, None, properties, clusterCols)
+    Seq(Row(path, true, t.append(df)))
+  }
+}
+
 /** `RESTORE [TABLE] … TO VERSION/TIMESTAMP AS OF` —
   * [[DeltaTable.restoreTo]]/`restoreToTimestamp`. */
 case class RestoreTableCommand(path: String, version: Option[Long],

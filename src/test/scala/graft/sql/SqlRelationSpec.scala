@@ -113,4 +113,69 @@ class SqlRelationSpec extends SparkSpec {
     // delta.<not-a-path> stays an unresolved catalog reference
     intercept[Exception](spark.sql("SELECT * FROM delta.sometable").collect())
   }
+
+  test("CREATE TABLE: columns, PARTITIONED BY, TBLPROPERTIES, IF NOT EXISTS") {
+    val dir = tmpDir("sqlrel-create")
+    val r = spark.sql(
+      s"""CREATE TABLE delta.`$dir` (k BIGINT, v STRING, part STRING)
+         |USING delta PARTITIONED BY (part)
+         |TBLPROPERTIES ('${DeltaTable.CdfConfigKey}' = 'true')""".stripMargin).head()
+    assert(r.getBoolean(1), "created must be true")
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.exists)
+    assert(t.schema.fieldNames.toSeq === Seq("k", "v", "part"))
+    assert(t.partitionColumns === Seq("part"))
+    assert(t.snapshot.metadata.get.configuration(DeltaTable.CdfConfigKey) === "true")
+    // the created table is immediately usable through the SQL surface
+    spark.sql(s"INSERT INTO delta.`$dir` VALUES (1, 'a', 'p0'), (2, 'b', 'p1')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta.`$dir`").head().getLong(0) === 2L)
+    // plain CREATE on an existing table errors; IF NOT EXISTS no-ops
+    intercept[Exception](spark.sql(s"CREATE TABLE delta.`$dir` (x INT) USING delta"))
+    val again = spark.sql(
+      s"CREATE TABLE IF NOT EXISTS delta.`$dir` (x INT) USING delta").head()
+    assert(!again.getBoolean(1))
+    assert(t.schema.fieldNames.length === 3, "IF NOT EXISTS must not touch the schema")
+  }
+
+  test("CREATE TABLE: generated, default, and identity columns from SQL DDL") {
+    val dir = tmpDir("sqlrel-createddl")
+    spark.sql(
+      s"""CREATE TABLE delta.`$dir` (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+         |  amount DOUBLE,
+         |  bucket BIGINT GENERATED ALWAYS AS (CAST(floor(amount) AS BIGINT)),
+         |  tag STRING DEFAULT 'none'
+         |) USING delta""".stripMargin)
+    val t = DeltaTable.forPath(spark, dir)
+    val fm = t.schema.fields.map(f => f.name -> f.metadata).toMap
+    assert(fm("id").contains(DeltaTable.IdentityStartKey))
+    assert(fm("bucket").getString(DeltaTable.GenerationExprKey)
+      .toLowerCase.contains("floor"))
+    assert(fm("tag").getString(DeltaTable.CurrentDefaultKey) === "'none'")
+    // write through the Scala API: identity assigns, generation computes,
+    // default fills — identical semantics to a Scala-declared schema
+    t.append(Seq(3.7, 5.2).toDF("amount"))
+    val rows = t.toDF.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.map(_.getLong(2)).toSeq === Seq(3L, 5L))
+    assert(rows.map(_.getString(3)).toSeq === Seq("none", "none"))
+  }
+
+  test("CREATE TABLE AS SELECT materializes the query; USING parquet falls through") {
+    val dir = tmpDir("sqlrel-ctas")
+    val src = mkTable("sqlrel-ctassrc")
+    val r = spark.sql(
+      s"""CREATE TABLE delta.`$dir` USING delta
+         |AS SELECT k, upper(v) AS v FROM delta.`${src.path}` WHERE k < 4""".stripMargin)
+      .head()
+    assert(r.getBoolean(1) && r.getLong(2) >= 1L)
+    val got = spark.sql(s"SELECT v FROM delta.`$dir` ORDER BY k").as[String].collect()
+    assert(got.toSeq === Seq("V0", "V1", "V2", "V3"))
+    // a non-delta provider is NOT ours: falls through to Spark's catalog
+    // resolution (which has no 'delta' catalog) and must not create a log
+    val alien = tmpDir("sqlrel-alien")
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE delta.`$alien` (x INT) USING parquet"))
+    assert(!DeltaTable.forPath(spark, alien).exists)
+  }
 }
