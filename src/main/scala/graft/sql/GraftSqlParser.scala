@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * DESCRIBE DETAIL '<path>'
   * DESCRIBE HISTORY '<path>' [LIMIT <n>]
   * RESTORE [TABLE] '<path>' TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
+  * CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY (c1 [type], ...)]
   * ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', ...)
   * }}}
@@ -77,6 +78,11 @@ object GraftSqlParser {
     s"""\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Tbl(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""")
   private val RestoreRx = pat(
     s"""\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+TO\\s+(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*""")
+  // CONVERT's source is a parquet directory: `parquet.`path`` (Delta
+  // proper's naming), bare delta-style, or a string literal all accepted
+  private val ConvTbl = """(?:'([^']+)'|(?:parquet|delta)\.`([^`]+)`)"""
+  private val ConvertRx = pat(
+    s"""\\s*CONVERT\\s+TO\\s+DELTA\\s+$ConvTbl(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
   private val SetPropsRx = pat(
     s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""")
   private val UnsetPropsRx = pat(
@@ -118,6 +124,16 @@ object GraftSqlParser {
     if (rst.matches())
       return Some(RestoreTableCommand(tblOf(rst),
         Option(rst.group(3)).map(_.toLong), Option(rst.group(4))))
+    val conv = ConvertRx.matcher(sqlText)
+    if (conv.matches()) {
+      // Delta proper's PARTITIONED BY takes `name type` pairs; the type
+      // is redundant here (convertFrom types partition columns from the
+      // directory reader) — accept and drop it
+      val parts = Option(conv.group(3)).map(_.split(",").toSeq
+        .map(c => stripId(c.trim.split("\\s+")(0))).filter(_.nonEmpty))
+        .getOrElse(Nil)
+      return Some(ConvertToDeltaCommand(tblOf(conv), parts))
+    }
     val setp = SetPropsRx.matcher(sqlText)
     if (setp.matches())
       return Some(AlterPropertiesCommand(tblOf(setp),

@@ -150,6 +150,20 @@ case class DeltaCreateTableAsSelectCommand(path: String,
   }
 }
 
+/** `CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY (…)]` —
+  * [[DeltaTable.convertFrom]]: in-place v0 log over the existing parquet
+  * files with footer-derived stats (distributed past the threshold), no
+  * data movement. */
+case class ConvertToDeltaCommand(path: String, partitionCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "path" -> StringType, "num_files" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.convertFrom(spark, path, partitionCols)
+    Seq(Row(path, t.snapshot.files.size.toLong))
+  }
+}
+
 /** `RESTORE [TABLE] … TO VERSION/TIMESTAMP AS OF` —
   * [[DeltaTable.restoreTo]]/`restoreToTimestamp`. */
 case class RestoreTableCommand(path: String, version: Option[Long],

@@ -109,4 +109,23 @@ class SqlStatementsSpec extends SparkSpec {
     val det = spark.sql(s"DESCRIBE DETAIL delta.`${t.path}`").collect()
     assert(det.head.getLong(det.head.fieldIndex("numFiles")) === 2L)
   }
+
+  test("CONVERT TO DELTA imports a partitioned parquet directory in place") {
+    val dir = tmpDir("sqlstmt-convert")
+    (0L until 40L).map(i => (i, s"d${i % 2}")).toDF("v", "date")
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    val r = spark.sql(
+      s"CONVERT TO DELTA parquet.`$dir` PARTITIONED BY (date string)").head()
+    assert(r.getLong(1) > 0L, "must report converted file count")
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.exists && t.partitionColumns === Seq("date"))
+    assert(t.toDF.count() === 40L)
+    // the converted table is a first-class SQL citizen immediately
+    assert(spark.sql(s"SELECT count(*) AS n FROM delta.`$dir` WHERE date = 'd1'")
+      .head().getLong(0) === 20L)
+    assert(spark.sql(s"DELETE FROM delta.`$dir` WHERE v < 4").head().getLong(0) > 0L)
+    assert(t.toDF.count() === 36L)
+    // converting twice refuses (already a Delta table)
+    intercept[Exception](spark.sql(s"CONVERT TO DELTA parquet.`$dir`"))
+  }
 }
