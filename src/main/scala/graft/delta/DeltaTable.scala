@@ -2626,19 +2626,24 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * absolute). Stats, schema (incl. column-mapping metadata), config,
     * and protocol replay into the clone, under a fresh table id.
     *
-    * Caveats, same as Delta proper: a later VACUUM of the SOURCE can
-    * collect files the clone still references (clones don't pin source
-    * retention); and Hive-partitioned sources are out of scope here
-    * (the partition-column-from-directory read needs a basePath, which
-    * absolute foreign paths don't share) — refused loudly.
+    * Partitioned sources clone too (round 13): the clone's reads resolve
+    * partition columns from `add.partitionValues` via a broadcast
+    * per-file probe ([[FileStringValue]]) instead of directory discovery
+    * — absolute foreign paths share no basePath, but the log is the
+    * protocol's authoritative source of partition values anyway.
     *
+    * Caveat, same as Delta proper: a later VACUUM of the SOURCE can
+    * collect files the clone still references (clones don't pin source
+    * retention).
+    *
+    * @param version snapshot to clone (-1 = current) — cloning a HISTORIC
+    *        version forks the table as of that commit, the
+    *        `CLONE … VERSION AS OF` shape
     * @return the clone, ready to read/write */
-  def shallowCloneTo(targetPath: String): DeltaTable = {
-    val snap = snapshot
+  def shallowCloneTo(targetPath: String, version: Long = -1L): DeltaTable = {
+    val snap = if (version < 0) snapshot else log.snapshotAt(version)
     val meta = snap.metadata.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
-    require(meta.partitionColumns.isEmpty,
-      "shallow clone supports unpartitioned tables only")
     val target = new DeltaTable(spark, targetPath)
     require(!target.exists, s"clone target $targetPath already exists")
     def absolute(rel: String): String =
@@ -2665,6 +2670,94 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         adds.map(a => Action(add = Some(a))) ++
         Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CLONE",
           Map("source" -> path, "sourceVersion" -> snap.version.toString))))))
+    target
+  }
+
+  /** DEEP CLONE: an independent full copy — the source's current (or
+    * historic) files copy byte-for-byte into the target directory and a
+    * fresh log references the copies, so unlike [[shallowCloneTo]] a
+    * later VACUUM or lifecycle change of the source can never break the
+    * clone. Stats ride verbatim (the bytes are identical); schema,
+    * config, protocol, and domain metadata (row-tracking high-water
+    * mark, clustering layout) replay under a fresh table id; row-id
+    * assignments survive (baseRowId + materialized columns both copy).
+    *
+    * Scale: the copy fans out as ONE Spark job over the file list —
+    * cluster-parallel byte movement, the driver handles only metadata.
+    * Relative-path sources keep their exact directory layout (partition
+    * dirs stay dir-prunable); absolute references (a shallow-clone
+    * chain) materialize under collision-safe basenames in the target
+    * root with their partition values intact in the log. File-backed
+    * deletion vectors re-store into the clone (driver cost = the
+    * compressed bitmap bytes, the same order as a DV read). */
+  def deepCloneTo(targetPath: String, version: Long = -1L): DeltaTable = {
+    val snap = if (version < 0) snapshot else log.snapshotAt(version)
+    val meta = snap.metadata.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val target = new DeltaTable(spark, targetPath)
+    require(!target.exists, s"clone target $targetPath already exists")
+    val targetFs = new Path(targetPath).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    targetFs.mkdirs(new Path(targetPath))
+    // destination rel path: identical layout for relative sources;
+    // absolute references (shallow-clone chains) land flat under a
+    // collision-safe name — their partition values live in the log and
+    // [[rawFor]]'s log-authoritative attach would not even be needed
+    // (the copied files are local), but dir layout for them is unknowable
+    val dstRelByIdx = snap.files.zipWithIndex.map { case (f, i) =>
+      if (!new Path(f.path).isAbsolute) f.path
+      else s"clone-$i-${new Path(f.path).getName}"
+    }
+    val copies = snap.files.zip(dstRelByIdx).map { case (f, rel) =>
+      (fs.makeQualified(new Path(path, f.path)).toString, rel)
+    }
+    val confPairs = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq
+    }
+    val bcConf = spark.sparkContext.broadcast(confPairs)
+    val tgt = targetFs.makeQualified(new Path(targetPath)).toString
+    val slices = math.max(1, math.min(copies.size, 512))
+    val copied = spark.sparkContext.parallelize(copies, slices).map {
+      case (src, rel) =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bcConf.value.foreach { case (k, v) => c.set(k, v) }
+        val srcPath = new Path(src)
+        val dstPath = new Path(s"$tgt/$rel")
+        val sfs = srcPath.getFileSystem(c)
+        val dfs = dstPath.getFileSystem(c)
+        org.apache.hadoop.fs.FileUtil.copy(sfs, srcPath, dfs, dstPath,
+          false, true, c)
+        1L
+    }.sum()
+    require(copied == copies.size.toLong,
+      s"deep clone copied $copied of ${copies.size} files")
+    // file-backed DVs re-store into the clone's own directory (fresh
+    // "u"/"i" descriptors); inline ones ride unchanged
+    val adds = snap.files.zip(dstRelByIdx).map { case (f, rel) =>
+      val dv = f.deletionVector.map { d =>
+        if (d.storageType == "i") d
+        else {
+          val bytes = DeletionVectors.readBitmap(fs, path, d)
+          if (bytes.length <= DeletionVectors.InlineMaxBytes)
+            DeletionVectors.inlineDescriptor(bytes)
+          else DeletionVectors.writeDvFile(targetFs, targetPath, Seq(bytes)).head
+        }
+      }
+      f.copy(path = rel, deletionVector = dv)
+    }
+    target.log.commit(
+      Seq(Action(protocol = Some(snap.protocol.getOrElse(Protocol()))),
+        Action(metaData = Some(meta.copy(
+          id = java.util.UUID.randomUUID().toString,
+          createdTime = Some(System.currentTimeMillis()))))) ++
+        snap.domainMetadata.toSeq.sortBy(_._1).map { case (dom, cfg) =>
+          Action(domainMetadata = Some(DomainMetadata(dom, cfg))) } ++
+        adds.map(a => Action(add = Some(a))) ++
+        Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CLONE",
+          Map("source" -> path, "sourceVersion" -> snap.version.toString,
+            "mode" -> "deep"))))))
     target
   }
 
@@ -2995,21 +3088,53 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // the declared schema is passed EXPLICITLY on both branches: files
     // written before a schema evolution lack the new columns, and an
     // inferred schema would make the select below fail instead of
-    // null-filling them (partition columns resolve from the dir layout)
+    // null-filling them (partition columns resolve from the dir layout —
+    // except for shallow clones of partitioned sources, below)
     ensureFieldIdRead()
-    val reader = spark.read.schema(readSchema)
-    val df =
-      if (parts.isEmpty) reader.parquet(paths: _*)
-      else reader.option("basePath", path).parquet(paths: _*)
     val del = dvLookup(snap)
+    // SHALLOW CLONES of partitioned sources reference files by ABSOLUTE
+    // path, so Spark's directory discovery (which needs one shared
+    // basePath) cannot resolve partition columns. The log can:
+    // `add.partitionValues` is the Delta protocol's authoritative
+    // representation — attach each partition column as a broadcast
+    // fileKey→value probe inside the scan stage (FileStringValue, the
+    // same shape as the DV/row-id lookups), cast to its declared type.
+    val foreignPartitioned =
+      parts.nonEmpty && snap.files.exists(f => new Path(f.path).isAbsolute)
     val needMeta = withMeta || withRowIds || del.isDefined
+    val physByLogical = sch.fields.zip(phys.fields).map {
+      case (l, p) => l.name -> p.name }.toMap
     // per-file key = URI path suffix incl. partition dirs (see
     // [[fileKey]] — a bare basename collides across partition
     // directories). `_metadata` is projected BEFORE the logical rename
     // (hidden metadata columns do not survive projections).
-    val withPhysCols = if (!needMeta) df else df
-      .withColumn("__meta_fname", fileKeyExpr(snap))
-      .withColumn("__meta_pos", col("_metadata.row_index"))
+    val withPhysCols =
+      if (!foreignPartitioned) {
+        val reader = spark.read.schema(readSchema)
+        val df =
+          if (parts.isEmpty) reader.parquet(paths: _*)
+          else reader.option("basePath", path).parquet(paths: _*)
+        if (!needMeta) df else df
+          .withColumn("__meta_fname", fileKeyExpr(snap))
+          .withColumn("__meta_pos", col("_metadata.row_index"))
+      } else {
+        import org.apache.spark.sql.graft.ColumnBridge
+        val partPhysSet = parts.map(physByLogical).toSet
+        val dataSchema = StructType(readSchema.fields.filterNot(f => partPhysSet(f.name)))
+        val keyed = spark.read.schema(dataSchema).parquet(paths: _*)
+          .withColumn("__meta_fname", fileKeyExpr(snap))
+          .withColumn("__meta_pos", col("_metadata.row_index"))
+        val attached = parts.foldLeft(keyed) { (d, lp) =>
+          val pn = physByLogical(lp)
+          val bc = spark.sparkContext.broadcast(new FileStringLookup(
+            snap.files.map(f => fileKey(snap, f) ->
+              f.partitionValues.getOrElse(pn, null)).toMap))
+          d.withColumn(pn, ColumnBridge.wrap(FileStringValue(
+            ColumnBridge.toExpr(col("__meta_fname")), bc))
+            .cast(sch.fields.find(_.name == lp).get.dataType))
+        }
+        if (needMeta) attached else attached.drop("__meta_fname", "__meta_pos")
+      }
     val withCols =
       if (phys.fieldNames.sameElements(sch.fieldNames)) withPhysCols
       else withPhysCols.select(

@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * DESCRIBE HISTORY '<path>' [LIMIT <n>]
   * RESTORE [TABLE] '<path>' TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
   * CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY (c1 [type], ...)]
+  * CREATE TABLE '<dst>' SHALLOW|DEEP CLONE '<src>' [VERSION AS OF <n>]
   * ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', ...)
   * }}}
@@ -83,6 +84,8 @@ object GraftSqlParser {
   private val ConvTbl = """(?:'([^']+)'|(?:parquet|delta)\.`([^`]+)`)"""
   private val ConvertRx = pat(
     s"""\\s*CONVERT\\s+TO\\s+DELTA\\s+$ConvTbl(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
+  private val CloneRx = pat(
+    s"""\\s*CREATE\\s+TABLE\\s+$Tbl\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""")
   private val SetPropsRx = pat(
     s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""")
   private val UnsetPropsRx = pat(
@@ -124,6 +127,13 @@ object GraftSqlParser {
     if (rst.matches())
       return Some(RestoreTableCommand(tblOf(rst),
         Option(rst.group(3)).map(_.toLong), Option(rst.group(4))))
+    val cln = CloneRx.matcher(sqlText)
+    if (cln.matches())
+      return Some(CloneTableCommand(
+        target = Option(cln.group(1)).getOrElse(cln.group(2)),
+        source = Option(cln.group(4)).getOrElse(cln.group(5)),
+        version = Option(cln.group(6)).map(_.toLong),
+        deep = cln.group(3).equalsIgnoreCase("DEEP")))
     val conv = ConvertRx.matcher(sqlText)
     if (conv.matches()) {
       // Delta proper's PARTITIONED BY takes `name type` pairs; the type

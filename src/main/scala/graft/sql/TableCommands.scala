@@ -150,6 +150,24 @@ case class DeltaCreateTableAsSelectCommand(path: String,
   }
 }
 
+/** `CREATE TABLE <dst> SHALLOW|DEEP CLONE <src> [VERSION AS OF n]` —
+  * [[DeltaTable.shallowCloneTo]] (zero-copy fork by absolute reference)
+  * or [[DeltaTable.deepCloneTo]] (independent full copy, cluster-parallel),
+  * optionally as of a historic version. */
+case class CloneTableCommand(target: String, source: String,
+                             version: Option[Long],
+                             deep: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "target" -> StringType, "source" -> StringType, "source_version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = DeltaTable.forPath(spark, source)
+    val v = version.getOrElse(src.log.latestVersion())
+    if (deep) src.deepCloneTo(target, version.getOrElse(-1L))
+    else src.shallowCloneTo(target, version.getOrElse(-1L))
+    Seq(Row(target, source, v))
+  }
+}
+
 /** `CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY (…)]` —
   * [[DeltaTable.convertFrom]]: in-place v0 log over the existing parquet
   * files with footer-derived stats (distributed past the threshold), no

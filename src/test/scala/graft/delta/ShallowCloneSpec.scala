@@ -65,11 +65,120 @@ class ShallowCloneSpec extends SparkSpec {
     assert(clone.toDF.filter(col("id") % 2 === 0).count() === 0L)
   }
 
-  test("partitioned sources refuse loudly") {
-    val src = DeltaTable.forPath(spark, tmpDir("clone-part-src"))
-      .create(schema, Seq("v"))
-    src.append(df(0 until 4))
-    assertThrows[IllegalArgumentException](
-      src.shallowCloneTo(tmpDir("clone-part-dst") + "/t"))
+  test("partitioned sources clone: partition columns resolve from the log") {
+    val src = DeltaTable.forPath(spark, tmpDir("clone-part-src")).create(
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("bucket", LongType),
+        StructField("v", StringType))), Seq("bucket"))
+    src.append((0 until 40).map(i => (i.toLong, (i % 4).toLong, s"v$i"))
+      .toDF("id", "bucket", "v"))
+    val cloneDir = tmpDir("clone-part-dst") + "/t"
+    val clone = src.shallowCloneTo(cloneDir)
+    assert(parquetCount(cloneDir) === 0)
+    assert(clone.partitionColumns === Seq("bucket"))
+    // partition column reads back TYPED from add.partitionValues (no
+    // shared basePath exists for the absolute foreign references)
+    assert(clone.toDF.count() === 40L)
+    assert(clone.toDF.filter(col("bucket") === 2L).count() === 10L)
+    assert(clone.toDF.orderBy("id").collect()(6).getLong(1) === 2L)
+    // partition pruning still flows from the log's partitionValues
+    val pruned = clone.scanFiles(Seq(DataSkipping.ColPred("bucket", "=", 1L)))
+    assert(pruned.nonEmpty && pruned.size < clone.snapshot.files.size)
+    // clone DML on one partition isolates from the source
+    assert(clone.delete(col("bucket") === 0L) > 0L)
+    assert(clone.toDF.count() === 30L && src.toDF.count() === 40L)
+    // post-clone local appends mix with foreign files correctly
+    clone.append(Seq((100L, 9L, "new")).toDF("id", "bucket", "v"))
+    assert(clone.toDF.count() === 31L)
+    assert(clone.toDF.filter(col("bucket") === 9L).count() === 1L)
+  }
+
+  test("clone at a historic version; SQL SHALLOW CLONE statement") {
+    val src = DeltaTable.forPath(spark, tmpDir("clone-v-src")).create(schema)
+    src.append(df(0 until 10))  // v1
+    src.append(df(10 until 30)) // v2
+    val old = src.shallowCloneTo(tmpDir("clone-v-dst") + "/t", version = 1L)
+    assert(old.toDF.count() === 10L, "VERSION AS OF 1 clone sees only v1 rows")
+    // SQL statement form, current version
+    val dst2 = tmpDir("clone-v-sql") + "/t"
+    val r = spark.sql(
+      s"CREATE TABLE delta.`$dst2` SHALLOW CLONE delta.`${src.path}`").head()
+    assert(r.getLong(2) === 2L)
+    assert(DeltaTable.forPath(spark, dst2).toDF.count() === 30L)
+    // SQL statement form, historic version
+    val dst3 = tmpDir("clone-v-sql1") + "/t"
+    spark.sql(
+      s"CREATE TABLE delta.`$dst3` SHALLOW CLONE delta.`${src.path}` VERSION AS OF 1")
+    assert(DeltaTable.forPath(spark, dst3).toDF.count() === 10L)
+  }
+
+  test("deep clone: full copy, source vacuum cannot break it, DVs re-store") {
+    val src = DeltaTable.forPath(spark, tmpDir("dclone-src")).create(
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("part", StringType),
+        StructField("v", StringType))), Seq("part"),
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    src.append((0 until 3000).map(i => (i.toLong, s"p${i % 2}", s"v$i"))
+      .toDF("id", "part", "v"))
+    src.deleteWithDv(col("id") % 3 === 0) // file-backed DV rides the clone
+    val cloneDir = tmpDir("dclone-dst") + "/t"
+    val clone = src.deepCloneTo(cloneDir)
+    assert(parquetCount(cloneDir) > 0, "a DEEP clone must copy the data files")
+    assert(clone.toDF.count() === 2000L)
+    assert(clone.toDF.filter(col("id") % 3 === 0).count() === 0L,
+      "the source's deletion vectors must re-store into the clone")
+    assert(clone.toDF.filter(col("part") === "p1").count() === 1000L,
+      "partition layout must survive the copy")
+    // stats rode verbatim: log-only LIVE count (numRecords minus DV
+    // cardinality) without opening parquet
+    assert(clone.statsSummary(Seq("id")).collect()(0).getLong(0) === 2000L)
+    // SQL DEEP CLONE at a historic version (before the source's files
+    // can be vacuumed away — historic clones read live bytes like any
+    // time travel)
+    val dst2 = tmpDir("dclone-sql") + "/t"
+    spark.sql(s"CREATE TABLE delta.`$dst2` DEEP CLONE delta.`${src.path}` VERSION AS OF 1")
+    assert(DeltaTable.forPath(spark, dst2).toDF.count() === 3000L)
+    // independence: vacuum + DML on the source never reach the clone
+    assert(src.delete(col("id") < 1000L) > 0L)
+    src.vacuum(retentionMs = 0L)
+    assert(clone.toDF.count() === 2000L, "the clone owns its bytes")
+    // and clone DML never reaches the source
+    assert(clone.delete(col("part") === "p0") > 0L)
+    assert(src.toDF.count() === 1334L)
+  }
+
+  test("deep clone of a shallow clone materializes the absolute references") {
+    val base = DeltaTable.forPath(spark, tmpDir("dclone-chain-base")).create(schema)
+    base.append(df(0 until 50))
+    val sh = base.shallowCloneTo(tmpDir("dclone-chain-sh") + "/t")
+    val deepDir = tmpDir("dclone-chain-deep") + "/t"
+    val deep = sh.deepCloneTo(deepDir)
+    assert(parquetCount(deepDir) > 0)
+    assert(deep.snapshot.files.forall(f => !new Path(f.path).isAbsolute),
+      "a deep clone's references must all be local")
+    assert(deep.toDF.count() === 50L)
+    // the chain's origin can now disappear entirely
+    base.delete(lit(true))
+    base.vacuum(retentionMs = 0L)
+    assert(deep.toDF.count() === 50L)
+  }
+
+  test("partitioned + column-mapped + DV source clones and reads logical") {
+    val src = DeltaTable.forPath(spark, tmpDir("clone-pm-src")).create(
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("part", StringType))), Seq("part"),
+      configuration = Map(
+        DeltaTable.ColumnMappingModeKey -> "name",
+        DeltaTable.DvConfigKey -> "true"))
+    src.append((0 until 30).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part"))
+    src.deleteWithDv(col("id") % 2 === 0)
+    val clone = src.shallowCloneTo(tmpDir("clone-pm-dst") + "/t")
+    assert(clone.toDF.columns.toSeq === Seq("id", "part"))
+    assert(clone.toDF.count() === 15L, "clone subtracts the source DV")
+    assert(clone.toDF.filter(col("part") === "p1").count() === 5L)
+    assert(clone.toDF.filter(col("id") % 2 === 0).count() === 0L)
   }
 }
