@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, input_file_name, lit, struct, to_json}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, input_file_name, lit, struct, to_json, when}
 import org.apache.spark.sql.types.StructType
 
 /** Delta table facade: transactional parquet append/read on top of
@@ -73,6 +73,35 @@ object DeltaTable {
   /** Logical metadata column names exposed by [[DeltaTable.toDFWithRowIds]]. */
   val RowIdCol = "_row_id"
   val RowCommitVersionCol = "_row_commit_version"
+
+  /** The full MERGE clause surface ([[DeltaTable.mergeClauses]]) — the
+    * five WHEN shapes of the Delta/ANSI MERGE statement. Conditions and
+    * SET/VALUES expressions are SQL text; column references resolve as
+    * `t.<col>` (target), `s.<col>` (source), or bare (target in
+    * matched/by-source contexts, source in insert contexts). Within each
+    * group clauses evaluate IN ORDER and the first whose condition holds
+    * applies; only the LAST clause of a group may omit its condition
+    * (ANSI/Delta's rule — an unconditional earlier clause would shadow
+    * the rest). */
+  sealed trait MergeClause { def condition: Option[String] }
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET …`; an EMPTY `set` means
+    * `UPDATE SET *`: every non-key column the source provides. */
+  final case class WhenMatchedUpdate(set: Map[String, String] = Map.empty,
+                                     condition: Option[String] = None) extends MergeClause
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class WhenMatchedDelete(condition: Option[String] = None) extends MergeClause
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT …`; an EMPTY `values`
+    * means `INSERT *` (all source-provided columns, others null). */
+  final case class WhenNotMatchedInsert(values: Map[String, String] = Map.empty,
+                                        condition: Option[String] = None) extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …` — target
+    * rows no source row matched; expressions see target columns only. */
+  final case class WhenNotMatchedBySourceUpdate(set: Map[String, String],
+                                                condition: Option[String] = None) extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — the
+    * full-sync/retention shape: drop target rows the source no longer
+    * carries. */
+  final case class WhenNotMatchedBySourceDelete(condition: Option[String] = None) extends MergeClause
 
   /** Clustered-table clustering-column domain (Delta writer feature
     * `clusteredTable`): the clustering columns live in the
@@ -1597,6 +1626,292 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // (appId, version) batch skips as -1 instead of re-merging — the
       // txn rides the SAME commit as the rewrite, no marker commit, no
       // crash window
+      txn = txnAppId.filter(_ => txnVersion >= 0).map(_ -> txnVersion))
+  }
+
+  /** General MERGE with the FULL clause surface (the Delta/ANSI
+    * statement [[merge]] is the fixed upsert special case of):
+    * `WHEN MATCHED [AND c] THEN UPDATE SET …|DELETE`,
+    * `WHEN NOT MATCHED [AND c] THEN INSERT …`, and
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET …|DELETE` —
+    * conditional CDC apply (op='D' deletes, op='U'/'I' upserts),
+    * full-sync replication (by-source DELETE drops rows the source no
+    * longer has), and SCD-style conditional updates, each in ONE
+    * copy-on-write commit.
+    *
+    * Semantics (Delta proper's): within each group clauses evaluate in
+    * order, first satisfied condition applies, a NULL condition is
+    * false; a matched row no matched clause claims — and a
+    * not-matched-by-source row no by-source clause claims — carries
+    * unchanged; a source row no insert clause claims is dropped. A
+    * source with DUPLICATE key rows matching a target row refuses
+    * loudly (ambiguous — which update wins would be nondeterministic),
+    * exactly Delta's multiple-source-rows-matched error.
+    *
+    * Expressions are SQL text over `t.<col>` / `s.<col>` (bare names =
+    * target, except in INSERT clauses where only the source is in
+    * scope). By-source clause expressions see ONLY target columns (no
+    * source row matched, by definition).
+    *
+    * Scale shape, same as [[merge]]: only files containing a CLAIMED
+    * row rewrite; matched-key candidates pre-restrict through the
+    * add.stats index ([[skipForKeys]]). A by-source clause adds its
+    * rows via a row-level scan (its condition can hold anywhere, so no
+    * key-range pre-restriction is sound — an unconditional by-source
+    * DELETE legitimately touches every file holding unmatched rows).
+    * Insert detection anti-joins the affected files only — exact,
+    * because every file holding a matched key is in the affected set.
+    *
+    * Row tracking: updated rows KEEP their row id and fall to this
+    * commit's version; carried rows keep id and version; inserts get
+    * fresh ids. CDF captures update_preimage/postimage, delete, insert
+    * rows. Returns the committed version, or -1 on an idempotent-txn
+    * skip / when nothing matched any clause (no commit). */
+  def mergeClauses(source: DataFrame, keyCols: Seq[String],
+                   clauses: Seq[DeltaTable.MergeClause],
+                   txnAppId: Option[String] = None,
+                   txnVersion: Long = -1L): Long = {
+    import DeltaTable._
+    requireNotAppendOnly("MERGE")
+    requireIdentityProvided(source, "MERGE")
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(clauses.nonEmpty, "merge needs at least one WHEN clause")
+    val sch = schema
+    keyCols.foreach(k => require(sch.fieldNames.contains(k), s"unknown key column '$k'"))
+    val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
+    keyCols.foreach(k => require(srcByLower.contains(k.toLowerCase),
+      s"source is missing key column '$k'"))
+    val tableCols = sch.fieldNames.map(_.toLowerCase).toSet
+    val unknownSrc = source.columns.filter(c => !tableCols.contains(c.toLowerCase))
+    require(unknownSrc.isEmpty,
+      s"source columns ${unknownSrc.mkString(", ")} do not exist in the table schema " +
+        "(project them away, or append with mergeSchema to widen first)")
+
+    val matchedCs: Seq[MergeClause] = clauses.filter(c =>
+      c.isInstanceOf[WhenMatchedUpdate] || c.isInstanceOf[WhenMatchedDelete])
+    val insertCs: Seq[WhenNotMatchedInsert] =
+      clauses.collect { case c: WhenNotMatchedInsert => c }
+    val bySrcCs: Seq[MergeClause] = clauses.filter(c =>
+      c.isInstanceOf[WhenNotMatchedBySourceUpdate] ||
+        c.isInstanceOf[WhenNotMatchedBySourceDelete])
+    Seq("WHEN MATCHED" -> matchedCs, "WHEN NOT MATCHED" -> insertCs,
+      "WHEN NOT MATCHED BY SOURCE" -> bySrcCs).foreach { case (g, cs) =>
+      cs.dropRight(1).foreach(c => require(c.condition.isDefined,
+        s"only the last $g clause may omit its condition"))
+    }
+
+    val snap = snapshot
+    def txnApplied(s: Snapshot): Boolean = txnAppId.exists(app =>
+      txnVersion >= 0 && s.txns.getOrElse(app, -1L) >= txnVersion)
+    if (txnApplied(snap)) return -1L
+
+    val pfx = "__merge_src_"
+    val provided = sch.fieldNames.filter(n => srcByLower.contains(n.toLowerCase)).toSet
+    // t/s-qualified SQL → Columns over the joined frame: target columns
+    // plain, source columns prefixed (keys shared). `mode`: 0 = matched
+    // (both sides, bare→target), 1 = by-source (target only), 2 = insert
+    // (source only, PLAIN names — the insert frame IS the aligned source)
+    def resolve(sql: String, ctx: String, mode: Int): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      def canon(n: String): String = sch.fieldNames.find(_.equalsIgnoreCase(n))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$ctx references unknown column '$n'"))
+      def tgt(n: String): UnresolvedAttribute = {
+        require(mode != 2, s"$ctx (an INSERT clause) cannot reference target column '$n'")
+        UnresolvedAttribute(Seq(canon(n)))
+      }
+      def src(n: String): UnresolvedAttribute = {
+        require(mode != 1,
+          s"$ctx (a NOT MATCHED BY SOURCE clause) cannot reference source column '$n' " +
+            "— no source row matched, by definition")
+        val c = canon(n)
+        require(provided.contains(c),
+          s"$ctx references source column '$n' the source does not provide")
+        if (mode == 2 || keyCols.contains(c)) UnresolvedAttribute(Seq(c))
+        else UnresolvedAttribute(Seq(pfx + c))
+      }
+      val bound = spark.sessionState.sqlParser.parseExpression(sql).transformUp {
+        case a: UnresolvedAttribute => a.nameParts match {
+          case Seq(q, n) if q.equalsIgnoreCase("s") => src(n)
+          case Seq(q, n) if q.equalsIgnoreCase("t") => tgt(n)
+          case Seq(n) => if (mode == 2) src(n) else tgt(n)
+          case _ => throw new IllegalArgumentException(
+            s"$ctx: reference columns as t.<col>, s.<col>, or bare, got ${a.sql}")
+        }
+      }
+      org.apache.spark.sql.graft.ColumnBridge.wrap(bound)
+    }
+    def condCol(c: Option[String], ctx: String, mode: Int): org.apache.spark.sql.Column =
+      c.map(s => coalesce(resolve(s, ctx, mode), lit(false))).getOrElse(lit(true))
+
+    val aligned = source.select(sch.fields.map(f =>
+      srcByLower.get(f.name.toLowerCase).map(col).getOrElse(lit(null))
+        .cast(f.dataType).as(f.name)).toSeq: _*).localCheckpoint(true)
+    val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
+
+    // ---- affected files: matched-key holders (stats-pre-restricted)
+    // plus, when by-source clauses exist, every file holding an
+    // unmatched row some by-source condition claims ----
+    val bySrcHit: Option[org.apache.spark.sql.Column] =
+      if (bySrcCs.isEmpty) None
+      else Some(bySrcCs.map(c => condCol(c.condition, "WHEN NOT MATCHED BY SOURCE", 1))
+        .reduce(_ || _))
+    val affected: Seq[AddFile] = bySrcHit match {
+      case None =>
+        filesMatching(skipForKeys(snap, srcKeys, keyCols),
+          _.join(srcKeys, keyCols, "left_semi"))
+      case Some(hit) =>
+        filesMatching(snap, { df =>
+          val marked = df.join(srcKeys.withColumn("__sk", lit(1)), keyCols, "left_outer")
+          marked.filter(col("__sk").isNotNull || hit)
+        })
+    }
+    if (affected.isEmpty && insertCs.isEmpty) return -1L
+
+    val tgtM = materializingRowIds(snap.copy(files = affected))
+    // ambiguity guard (Delta's multiple-source-rows-matched error): a
+    // duplicate-key source row matching a target row would apply two
+    // updates — or duplicate a carried row through the join — refuse.
+    // Source-side aggregation first (cheap); the affected-file semi-join
+    // only runs when duplicates exist at all.
+    val dupKeys = aligned.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(keyCols.map(col): _*)
+    if (!dupKeys.isEmpty) {
+      require(dupKeys.join(tgtM.select(keyCols.map(col): _*), keyCols, "left_semi").isEmpty,
+        "MERGE: multiple source rows matched the same target row — " +
+          "deduplicate the source on the key columns first")
+    }
+
+    val srcRen = aligned.select((keyCols.map(col) ++
+      provided.toSeq.filterNot(keyCols.contains).map(n => col(n).as(pfx + n)) :+
+      lit(true).as("__src_present")): _*)
+    val joined = tgtM.join(srcRen, keyCols, "left_outer")
+    val present = col("__src_present").isNotNull
+
+    // first-satisfied-clause index: matched group 1.., by-source 101..,
+    // 0 = no clause claims the row (carry unchanged)
+    val act: org.apache.spark.sql.Column = {
+      val m = matchedCs.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (c, i)) =>
+          val cond = present && condCol(c.condition, "WHEN MATCHED", 0)
+          Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
+      }
+      val mb = bySrcCs.zipWithIndex.foldLeft(m) { case (acc, (c, i)) =>
+        val cond = !present && condCol(c.condition, "WHEN NOT MATCHED BY SOURCE", 1)
+        Some(acc.fold(when(cond, lit(101 + i)))(_.when(cond, lit(101 + i))))
+      }
+      mb.map(_.otherwise(lit(0))).getOrElse(lit(0))
+    }
+    val acted = joined.withColumn("__act", act)
+
+    def isUpd(c: MergeClause): Boolean =
+      c.isInstanceOf[WhenMatchedUpdate] || c.isInstanceOf[WhenNotMatchedBySourceUpdate]
+    val updIdx = matchedCs.zipWithIndex.collect { case (c, i) if isUpd(c) => i + 1 } ++
+      bySrcCs.zipWithIndex.collect { case (c, i) if isUpd(c) => 101 + i }
+    val delIdx = matchedCs.zipWithIndex.collect { case (c, i) if !isUpd(c) => i + 1 } ++
+      bySrcCs.zipWithIndex.collect { case (c, i) if !isUpd(c) => 101 + i }
+    def inSet(idxs: Seq[Int]): org.apache.spark.sql.Column =
+      if (idxs.isEmpty) lit(false) else idxs.map(col("__act") === _).reduce(_ || _)
+
+    // updated value of column n under update clause (idx, set)
+    def setValue(n: String, c: MergeClause): Option[org.apache.spark.sql.Column] = c match {
+      case WhenMatchedUpdate(set, _) if set.isEmpty => // UPDATE SET *
+        if (provided.contains(n) && !keyCols.contains(n)) Some(col(pfx + n)) else None
+      case WhenMatchedUpdate(set, _) =>
+        set.find(_._1.equalsIgnoreCase(n)).map(kv => resolve(kv._2, "UPDATE SET", 0))
+      case WhenNotMatchedBySourceUpdate(set, _) =>
+        set.find(_._1.equalsIgnoreCase(n))
+          .map(kv => resolve(kv._2, "BY SOURCE UPDATE SET", 1))
+      case _ => None
+    }
+    (matchedCs ++ bySrcCs).foreach {
+      case WhenMatchedUpdate(set, _) => set.keys.foreach(k =>
+        require(sch.fieldNames.exists(_.equalsIgnoreCase(k)), s"UPDATE SET unknown column '$k'"))
+      case WhenNotMatchedBySourceUpdate(set, _) =>
+        require(set.nonEmpty, "BY SOURCE UPDATE needs explicit SET columns (no source row to take * from)")
+        set.keys.foreach(k =>
+          require(sch.fieldNames.exists(_.equalsIgnoreCase(k)), s"UPDATE SET unknown column '$k'"))
+      case _ => ()
+    }
+    def updatedValue(n: String): org.apache.spark.sql.Column = {
+      val branches = (matchedCs.zipWithIndex.map { case (c, i) => (i + 1, c) } ++
+        bySrcCs.zipWithIndex.map { case (c, i) => (101 + i, c) })
+        .collect { case (idx, c) if isUpd(c) => (idx, setValue(n, c)) }
+      val f = sch.fields.find(_.name == n).get
+      branches.foldRight(col(n)) { case ((idx, v), acc) =>
+        v.fold(acc)(vv => when(col("__act") === idx, vv.cast(f.dataType)).otherwise(acc))
+      }.as(n)
+    }
+
+    val rtCarried: Seq[org.apache.spark.sql.Column] =
+      if (!rowTrackingEnabled) Nil
+      else Seq(col(MaterializedRowIdCol), col(MaterializedRcvCol))
+    val rtUpdated: Seq[org.apache.spark.sql.Column] =
+      if (!rowTrackingEnabled) Nil
+      else Seq(col(MaterializedRowIdCol),
+        lit(null).cast("long").as(MaterializedRcvCol))
+    val carried = acted.filter(col("__act") === 0)
+      .select(sch.fieldNames.toSeq.map(col) ++ rtCarried: _*)
+    val updated = acted.filter(inSet(updIdx))
+      .select(sch.fieldNames.toSeq.map(updatedValue) ++ rtUpdated: _*)
+
+    // ---- inserts: source rows matching no affected-file key; first
+    // satisfied insert clause claims, unclaimed rows drop ----
+    val antiSrc = aligned.join(
+      tgtM.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val insActed = antiSrc.withColumn("__act", {
+      insertCs.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (c, i)) =>
+          val cond = condCol(c.condition, "WHEN NOT MATCHED", 2)
+          Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
+      }.map(_.otherwise(lit(0))).getOrElse(lit(0))
+    })
+    insertCs.foreach(c => c.values.keys.foreach(k =>
+      require(sch.fieldNames.exists(_.equalsIgnoreCase(k)), s"INSERT unknown column '$k'")))
+    def insertValue(n: String): org.apache.spark.sql.Column = {
+      val f = sch.fields.find(_.name == n).get
+      insertCs.zipWithIndex.foldRight(lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
+        case ((c, i), acc) =>
+          val v =
+            if (c.values.isEmpty) { // INSERT *
+              if (provided.contains(n)) col(n) else lit(null).cast(f.dataType)
+            } else c.values.find(_._1.equalsIgnoreCase(n))
+              .map(kv => resolve(kv._2, "INSERT VALUES", 2).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType))
+          when(col("__act") === (i + 1), v).otherwise(acc)
+      }.as(n)
+    }
+    val inserts0 = insActed.filter(col("__act") =!= 0)
+      .select(sch.fieldNames.toSeq.map(insertValue): _*)
+    val inserts =
+      if (!rowTrackingEnabled) inserts0
+      else inserts0
+        .withColumn(MaterializedRowIdCol, lit(null).cast("long"))
+        .withColumn(MaterializedRcvCol, lit(null).cast("long"))
+    if (affected.isEmpty && inserts0.isEmpty) return -1L
+
+    val basePaths = snap.files.map(_.path).toSet
+    val cdf = if (!cdfEnabled) None else {
+      val plain = sch.fieldNames.toSeq
+      val pre = acted.filter(inSet(updIdx)).select(plain.map(col): _*)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+      val post = acted.filter(inSet(updIdx))
+        .select(plain.map(updatedValue): _*)
+        .withColumn(ChangeTypeCol, lit("update_postimage"))
+      val dels = acted.filter(inSet(delIdx)).select(plain.map(col): _*)
+        .withColumn(ChangeTypeCol, lit("delete"))
+      val ins = inserts0.withColumn(ChangeTypeCol, lit("insert"))
+      Some(pre.unionByName(post).unionByName(dels).unionByName(ins))
+    }
+    commitRewrite(affected,
+      carried.unionByName(withConstraintChecks(updated.unionByName(inserts))),
+      "MERGE",
+      Map("predicateKeys" -> keyCols.mkString(","),
+        "clauses" -> clauses.map(_.getClass.getSimpleName).mkString(",")),
+      extraCheck = s => s.files.map(_.path).forall(basePaths.contains),
+      conflictHint = "a concurrent commit added or rewrote files during this merge",
+      changes = cdf,
       txn = txnAppId.filter(_ => txnVersion >= 0).map(_ -> txnVersion))
   }
 

@@ -436,6 +436,65 @@ object ReferenceOps extends QueryModule {
              |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM merged""".stripMargin)),
 
+    // ---- MERGE with the FULL clause surface (conditional matched
+    // delete/update, conditional insert, NOT MATCHED BY SOURCE
+    // delete/update — the CDC-apply + full-sync shape) in ONE commit.
+    // Target = even event ids; source = id%4==0 rows (user_id+1e6) plus
+    // odd multiples of 5 (user_id+2e6). Clauses: matched id%8==0 →
+    // DELETE, other matched → UPDATE to the source value; unmatched odd
+    // source rows INSERT; target rows the source lacks DELETE when
+    // id%6==0, else UPDATE (+3e6) when id%10==2, else carry. The oracle
+    // replays every branch from raw events — a clause mis-ordered, a
+    // carried row re-written, or a by-source row over-deleted all shift
+    // the three aggregates. -----------------------------------------
+    "ref_merge_clauses" -> QueryDef(
+      (s, d) => {
+        import graft.delta.DeltaTable
+        val dir = graft.Scratch.dir("graft-merge-clauses")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val table = DeltaTable.forPath(s, dir).create(ev.schema)
+        table.append(ev.filter(col("event_id") % 2 === 0))
+        val src = ev.filter(col("event_id") % 4 === 0)
+          .select(col("event_id"), (col("user_id") + 1000000).cast("long").as("user_id"))
+          .unionByName(ev.filter(col("event_id") % 2 =!= 0 && col("event_id") % 5 === 0)
+            .select(col("event_id"), (col("user_id") + 2000000).cast("long").as("user_id")))
+        require(table.mergeClauses(src, Seq("event_id"), Seq(
+          DeltaTable.WhenMatchedDelete(Some("s.event_id % 8 = 0")),
+          DeltaTable.WhenMatchedUpdate(set = Map("user_id" -> "s.user_id")),
+          DeltaTable.WhenNotMatchedInsert(condition = Some("s.event_id % 2 = 1")),
+          DeltaTable.WhenNotMatchedBySourceDelete(Some("t.event_id % 6 = 0")),
+          DeltaTable.WhenNotMatchedBySourceUpdate(
+            set = Map("user_id" -> "t.user_id + 3000000"),
+            condition = Some("t.event_id % 10 = 2")))) > 0L)
+        table.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT event_id, user_id FROM events WHERE event_id % 2 = 0
+             |), src AS (
+             |  SELECT event_id, user_id + 1000000 AS user_id FROM events WHERE event_id % 4 = 0
+             |  UNION ALL
+             |  SELECT event_id, user_id + 2000000 AS user_id FROM events
+             |  WHERE event_id % 2 = 1 AND event_id % 5 = 0
+             |), kept AS (
+             |  SELECT t.event_id, s.user_id FROM tgt t JOIN src s USING (event_id)
+             |  WHERE s.event_id % 8 <> 0
+             |  UNION ALL
+             |  SELECT t.event_id,
+             |    CASE WHEN t.event_id % 10 = 2 THEN t.user_id + 3000000 ELSE t.user_id END
+             |  FROM tgt t
+             |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+             |    AND t.event_id % 6 <> 0
+             |  UNION ALL
+             |  SELECT s.event_id, s.user_id FROM src s
+             |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.event_id = s.event_id)
+             |    AND s.event_id % 2 = 1
+             |)
+             |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM kept""".stripMargin)),
+
     // ---- DELETE + UPDATE (delta-rs delete/update, copy-on-write): the
     // full DML sequence through the real write path — delete every
     // id % 7 == 0 row, then bump user_id by 5e6 where id % 3 == 0 (SET

@@ -95,6 +95,70 @@ case class GraftPathRules(spark: SparkSession) extends Rule[LogicalPlan] {
         s"key columns (t.k = s.k [AND …]), got: ${other.sql}")
   }
 
+  /** Alias/table names a qualified column reference may use for a side
+    * of the merge (`USING src s` → {src, s}). */
+  private def aliasNamesOf(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) => aliasNamesOf(child) + id.name
+    case u: UnresolvedRelation => Set(u.multipartIdentifier.last)
+    case _ => Set.empty
+  }
+
+  /** Re-render a merge-clause expression with the user's aliases
+    * canonicalized to `t.`/`s.` — [[DeltaTable.mergeClauses]]'s contract
+    * (bare names stay bare: target in matched/by-source contexts, source
+    * in insert contexts, resolved inside the engine). */
+  private def canonSql(e: Expression, srcNames: Set[String], tgtNames: Set[String],
+                       what: String): String =
+    noSubquery(e, what).transformUp {
+      case a: UnresolvedAttribute if a.nameParts.size == 2 =>
+        val q = a.nameParts.head
+        val n = a.nameParts.last
+        if (srcNames.exists(_.equalsIgnoreCase(q)) || q.equalsIgnoreCase("s"))
+          UnresolvedAttribute(Seq("s", n))
+        else if (tgtNames.exists(_.equalsIgnoreCase(q)) || q.equalsIgnoreCase("t"))
+          UnresolvedAttribute(Seq("t", n))
+        else throw new IllegalArgumentException(
+          s"$what: unknown qualifier '$q' in ${a.sql} — use the merge's " +
+            "target/source aliases")
+    }.sql
+
+  /** The full WHEN-clause list of a SQL MERGE INTO, as the engine's
+    * clause ADT ([[DeltaTable.mergeClauses]]). */
+  private def mergeClausesOf(m: MergeIntoTable): Seq[DeltaTable.MergeClause] = {
+    import graft.delta.DeltaTable._
+    val tgtNames = aliasNamesOf(m.targetTable)
+    val srcNames = aliasNamesOf(m.sourceTable)
+    def cond(c: Option[Expression], what: String): Option[String] =
+      c.map(x => canonSql(x, srcNames, tgtNames, what))
+    def sets(as: Seq[Assignment], what: String): Map[String, String] =
+      as.map(a => nameOf(a.key, s"$what SET column") ->
+        canonSql(a.value, srcNames, tgtNames, what)).toMap
+    m.matchedActions.map {
+      case UpdateStarAction(c) => WhenMatchedUpdate(Map.empty, cond(c, "WHEN MATCHED"))
+      case UpdateAction(c, as, _) =>
+        WhenMatchedUpdate(sets(as, "WHEN MATCHED"), cond(c, "WHEN MATCHED"))
+      case DeleteAction(c) => WhenMatchedDelete(cond(c, "WHEN MATCHED"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: $other")
+    } ++ m.notMatchedActions.map {
+      case InsertStarAction(c) => WhenNotMatchedInsert(Map.empty, cond(c, "WHEN NOT MATCHED"))
+      case InsertAction(c, as) =>
+        WhenNotMatchedInsert(
+          as.map(a => nameOf(a.key, "INSERT column") ->
+            canonSql(a.value, srcNames, tgtNames, "WHEN NOT MATCHED")).toMap,
+          cond(c, "WHEN NOT MATCHED"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    } ++ m.notMatchedBySourceActions.map {
+      case UpdateAction(c, as, _) =>
+        WhenNotMatchedBySourceUpdate(sets(as, "WHEN NOT MATCHED BY SOURCE"),
+          cond(c, "WHEN NOT MATCHED BY SOURCE"))
+      case DeleteAction(c) => WhenNotMatchedBySourceDelete(cond(c, "WHEN NOT MATCHED BY SOURCE"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case DeleteFromTable(GraftPath(p), cond) =>
       DeltaDeleteCommand(p, sqlOf(noSubquery(cond, "DELETE")))
@@ -107,13 +171,14 @@ case class GraftPathRules(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable if GraftPath.unapply(m.targetTable).isDefined =>
       val p = GraftPath.unapply(m.targetTable).get
-      require(m.notMatchedBySourceActions.isEmpty &&
+      if (m.notMatchedBySourceActions.isEmpty &&
         m.matchedActions == Seq(UpdateStarAction(None)) &&
-        m.notMatchedActions == Seq(InsertStarAction(None)),
-        "MERGE INTO a path table supports exactly " +
-          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-          "(the upsert shape; conditional/delete clauses are not supported)")
-      DeltaMergeCommand(p, mergeKeys(m.mergeCondition), m.sourceTable)
+        m.notMatchedActions == Seq(InsertStarAction(None)))
+        // the bare star-upsert keeps its dedicated fast path
+        DeltaMergeCommand(p, mergeKeys(m.mergeCondition), m.sourceTable)
+      else
+        DeltaMergeClausesCommand(p, mergeKeys(m.mergeCondition), m.sourceTable,
+          mergeClausesOf(m))
 
     case i: InsertIntoStatement if GraftPath.unapply(i.table).isDefined =>
       require(i.partitionSpec.isEmpty,

@@ -247,6 +247,27 @@ case class DeltaMergeCommand(path: String, keyCols: Seq[String],
   }
 }
 
+/** `MERGE INTO delta.`path` … ` with the FULL clause surface —
+  * conditional matched UPDATE/DELETE, conditional INSERT, and
+  * WHEN NOT MATCHED BY SOURCE UPDATE/DELETE — resolved to
+  * [[DeltaTable.mergeClauses]]. Clause expressions arrive canonicalized
+  * to `t.`/`s.` qualifiers by [[GraftPathRules.mergeClausesOf]]. */
+case class DeltaMergeClausesCommand(path: String, keyCols: Seq[String],
+                                    source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                                    clauses: Seq[DeltaTable.MergeClause])
+    extends org.apache.spark.sql.execution.command.RunnableCommand {
+  override def children: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Seq(source)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): DeltaMergeClausesCommand =
+    copy(source = newChildren.head)
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, source)
+    Seq(Row(DeltaTable.forPath(spark, path).mergeClauses(src, keyCols, clauses)))
+  }
+}
+
 /** `INSERT INTO / INSERT OVERWRITE delta.`path` [(cols)] <query>` —
   * [[DeltaTable.append]]/`overwrite`. Positional column mapping like SQL
   * INSERT (renamed to the table schema; arity must match), or by the

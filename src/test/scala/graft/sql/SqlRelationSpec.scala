@@ -65,7 +65,7 @@ class SqlRelationSpec extends SparkSpec {
       .select("v").distinct().as[String].collect().toSeq === Seq("all"))
   }
 
-  test("MERGE INTO upserts; non-upsert shapes refuse loudly") {
+  test("MERGE INTO upserts (the star shape keeps its dedicated path)") {
     val t = mkTable("sqlrel-merge")
     Seq((5L, "upd5"), (100L, "new100")).toDF("k", "v")
       .createOrReplaceTempView("merge_src")
@@ -77,10 +77,32 @@ class SqlRelationSpec extends SparkSpec {
     val rows = DeltaTable.forPath(spark, t.path).toDF
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows.size === 11 && rows(5L) === "upd5" && rows(100L) === "new100")
-    val e = intercept[Exception](spark.sql(
-      s"""MERGE INTO delta.`${t.path}` t USING merge_src s ON t.k = s.k
-         |WHEN MATCHED THEN DELETE""".stripMargin))
-    assert(e.getMessage.contains("upsert shape"), e.getMessage)
+  }
+
+  test("MERGE INTO with the full clause surface: conditional update/delete, " +
+    "conditional insert, NOT MATCHED BY SOURCE") {
+    val t = mkTable("sqlrel-mergecl")
+    // CDC-shaped source: 'D' rows delete, others upsert; stale rows
+    // (absent from the source, k >= 8) delete by source absence
+    Seq((2L, "D"), (5L, "five'"), (100L, "new"), (101L, "D"))
+      .toDF("k", "v").createOrReplaceTempView("mergecl_src")
+    val v = spark.sql(
+      s"""MERGE INTO delta.`${t.path}` tg USING mergecl_src sr ON tg.k = sr.k
+         |WHEN MATCHED AND sr.v = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = concat(sr.v, '+')
+         |WHEN NOT MATCHED AND sr.v != 'D' THEN INSERT (k, v) VALUES (sr.k, sr.v)
+         |WHEN NOT MATCHED BY SOURCE AND tg.k >= 8 THEN DELETE""".stripMargin)
+      .head().getLong(0)
+    assert(v > 0L)
+    val rows = DeltaTable.forPath(spark, t.path).toDF
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!rows.contains(2L), "matched 'D' row deleted")
+    assert(!rows.contains(8L) && !rows.contains(9L), "stale rows deleted by source absence")
+    assert(!rows.contains(101L), "unclaimed not-matched 'D' row NOT inserted")
+    assert(rows(5L) === "five'+", "conditional update applied (quote survives re-render)")
+    assert(rows(100L) === "new", "conditional insert applied")
+    assert(rows(3L) === "v3", "unclaimed matched rows carry unchanged")
+    assert(rows.size === 8) // 10 - (1 matched D) - (2 stale) + (1 insert)
   }
 
   test("INSERT INTO appends; INSERT OVERWRITE replaces") {
