@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * RESTORE [TABLE] '<path>' TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
   * CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY (c1 [type], ...)]
   * CREATE TABLE '<dst>' SHALLOW|DEEP CLONE '<src>' [VERSION AS OF <n>]
+  * REORG TABLE '<path>' APPLY (PURGE)
   * ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', ...)
   * }}}
@@ -86,6 +87,8 @@ object GraftSqlParser {
     s"""\\s*CONVERT\\s+TO\\s+DELTA\\s+$ConvTbl(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
   private val CloneRx = pat(
     s"""\\s*CREATE\\s+TABLE\\s+$Tbl\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""")
+  private val ReorgRx = pat(
+    s"""\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""")
   private val SetPropsRx = pat(
     s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""")
   private val UnsetPropsRx = pat(
@@ -144,6 +147,8 @@ object GraftSqlParser {
         .getOrElse(Nil)
       return Some(ConvertToDeltaCommand(tblOf(conv), parts))
     }
+    val rg = ReorgRx.matcher(sqlText)
+    if (rg.matches()) return Some(ReorgTableCommand(tblOf(rg)))
     val setp = SetPropsRx.matcher(sqlText)
     if (setp.matches())
       return Some(AlterPropertiesCommand(tblOf(setp),

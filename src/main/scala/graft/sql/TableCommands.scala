@@ -202,6 +202,18 @@ case class RestoreTableCommand(path: String, version: Option[Long],
   }
 }
 
+/** `REORG TABLE delta.`path` APPLY (PURGE)` —
+  * [[DeltaTable.purgeDeletionVectors]]: rewrite every DV-carrying file
+  * without its deleted rows so the bitmaps disappear (Delta proper's
+  * REORG PURGE). Version is -1 when the table has no deletion vectors
+  * (quiet no-op, no commit). */
+case class ReorgTableCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "path" -> StringType, "version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(path, DeltaTable.forPath(spark, path).purgeDeletionVectors()))
+}
+
 /** `DELETE FROM delta.`path` WHERE …` — [[DeltaTable.delete]] verbatim
   * (stats-index candidate pruning, CDF, row tracking, concurrency
   * guards). The condition re-resolves against the target table from its

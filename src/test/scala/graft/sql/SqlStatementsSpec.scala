@@ -110,6 +110,26 @@ class SqlStatementsSpec extends SparkSpec {
     assert(det.head.getLong(det.head.fieldIndex("numFiles")) === 2L)
   }
 
+  test("REORG TABLE APPLY (PURGE) rewrites DV files; no-DV table is a quiet no-op") {
+    val dir = tmpDir("sqlstmt-reorg")
+    val t = DeltaTable.forPath(spark, dir).create(
+      Seq((0L, 0L)).toDF("a", "b").schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    t.append((0L until 500L).map(v => (v, v % 7)).toDF("a", "b"))
+    t.deleteWithDv(col("a") % 5 === 0)
+    assert(t.snapshot.files.exists(_.deletionVector.isDefined))
+    val r = spark.sql(s"REORG TABLE delta.`$dir` APPLY (PURGE)").head()
+    assert(r.getLong(1) > 0L)
+    val after = DeltaTable.forPath(spark, dir)
+    assert(after.snapshot.files.forall(_.deletionVector.isEmpty),
+      "PURGE must materialize every deletion vector away")
+    assert(after.toDF.count() === 400L)
+    // purging a DV-free table: -1, no commit
+    val v0 = after.log.latestVersion()
+    assert(spark.sql(s"REORG TABLE delta.`$dir` APPLY (PURGE)").head().getLong(1) === -1L)
+    assert(after.log.latestVersion() === v0)
+  }
+
   test("CONVERT TO DELTA imports a partitioned parquet directory in place") {
     val dir = tmpDir("sqlstmt-convert")
     (0L until 40L).map(i => (i, s"d${i % 2}")).toDF("v", "date")
