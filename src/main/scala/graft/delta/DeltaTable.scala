@@ -1629,8 +1629,208 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       txn = txnAppId.filter(_ => txnVersion >= 0).map(_ -> txnVersion))
   }
 
+  /** Shared clause machinery of [[mergeClauses]] (copy-on-write) and
+    * [[mergeClausesWithDv]] (merge-on-read): validation, clause-group
+    * splitting, source alignment, `t.`/`s.` SQL expression resolution
+    * over the joined frame (target columns plain, source columns
+    * `__merge_src_`-prefixed), the first-satisfied-clause action chain,
+    * and the per-column CASE builders for updates and inserts. */
+  private final class ClauseEngine(source: DataFrame, keyCols: Seq[String],
+                                   clauses: Seq[DeltaTable.MergeClause]) {
+    import DeltaTable._
+    requireIdentityProvided(source, "MERGE")
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(clauses.nonEmpty, "merge needs at least one WHEN clause")
+    val sch: StructType = schema
+    keyCols.foreach(k => require(sch.fieldNames.contains(k), s"unknown key column '$k'"))
+    private val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
+    keyCols.foreach(k => require(srcByLower.contains(k.toLowerCase),
+      s"source is missing key column '$k'"))
+    private val tableCols = sch.fieldNames.map(_.toLowerCase).toSet
+    // source columns OUTSIDE the table schema are legal (Delta proper's
+    // semantics): a CDC payload's op/marker columns drive clause
+    // conditions via `s.<col>` but are excluded from SET * / INSERT *
+    // expansion, so they never write into the table
+    private val extraSrcCols: Seq[String] =
+      source.columns.filterNot(c => tableCols.contains(c.toLowerCase)).toSeq
+
+    val matchedCs: Seq[MergeClause] = clauses.filter(c =>
+      c.isInstanceOf[WhenMatchedUpdate] || c.isInstanceOf[WhenMatchedDelete])
+    val insertCs: Seq[WhenNotMatchedInsert] =
+      clauses.collect { case c: WhenNotMatchedInsert => c }
+    val bySrcCs: Seq[MergeClause] = clauses.filter(c =>
+      c.isInstanceOf[WhenNotMatchedBySourceUpdate] ||
+        c.isInstanceOf[WhenNotMatchedBySourceDelete])
+    Seq("WHEN MATCHED" -> matchedCs, "WHEN NOT MATCHED" -> insertCs,
+      "WHEN NOT MATCHED BY SOURCE" -> bySrcCs).foreach { case (g, cs) =>
+      cs.dropRight(1).foreach(c => require(c.condition.isDefined,
+        s"only the last $g clause may omit its condition"))
+    }
+    (matchedCs ++ bySrcCs).foreach {
+      case WhenMatchedUpdate(set, _) => set.keys.foreach(k =>
+        require(sch.fieldNames.exists(_.equalsIgnoreCase(k)), s"UPDATE SET unknown column '$k'"))
+      case WhenNotMatchedBySourceUpdate(set, _) =>
+        require(set.nonEmpty, "BY SOURCE UPDATE needs explicit SET columns (no source row to take * from)")
+        set.keys.foreach(k =>
+          require(sch.fieldNames.exists(_.equalsIgnoreCase(k)), s"UPDATE SET unknown column '$k'"))
+      case _ => ()
+    }
+    insertCs.foreach(c => c.values.keys.foreach(k =>
+      require(sch.fieldNames.exists(_.equalsIgnoreCase(k)), s"INSERT unknown column '$k'")))
+
+    val pfx = "__merge_src_"
+    val provided: Set[String] =
+      sch.fieldNames.filter(n => srcByLower.contains(n.toLowerCase)).toSet
+    // t/s-qualified SQL → Columns over the joined frame. `mode`: 0 =
+    // matched (both sides, bare→target), 1 = by-source (target only),
+    // 2 = insert (source only, PLAIN names — the insert frame IS the
+    // aligned source)
+    private def resolve(sql: String, ctx: String, mode: Int): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      def canon(n: String): String = sch.fieldNames.find(_.equalsIgnoreCase(n))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$ctx references unknown column '$n'"))
+      def tgt(n: String): UnresolvedAttribute = {
+        require(mode != 2, s"$ctx (an INSERT clause) cannot reference target column '$n'")
+        UnresolvedAttribute(Seq(canon(n)))
+      }
+      def src(n: String): UnresolvedAttribute = {
+        require(mode != 1,
+          s"$ctx (a NOT MATCHED BY SOURCE clause) cannot reference source column '$n' " +
+            "— no source row matched, by definition")
+        extraSrcCols.find(_.equalsIgnoreCase(n)) match {
+          case Some(x) => // a marker column outside the table schema
+            UnresolvedAttribute(Seq(if (mode == 2) x else pfx + x))
+          case None =>
+            val c = canon(n)
+            require(provided.contains(c),
+              s"$ctx references source column '$n' the source does not provide")
+            if (mode == 2 || keyCols.contains(c)) UnresolvedAttribute(Seq(c))
+            else UnresolvedAttribute(Seq(pfx + c))
+        }
+      }
+      val bound = spark.sessionState.sqlParser.parseExpression(sql).transformUp {
+        case a: UnresolvedAttribute => a.nameParts match {
+          case Seq(q, n) if q.equalsIgnoreCase("s") => src(n)
+          case Seq(q, n) if q.equalsIgnoreCase("t") => tgt(n)
+          case Seq(n) => if (mode == 2) src(n) else tgt(n)
+          case _ => throw new IllegalArgumentException(
+            s"$ctx: reference columns as t.<col>, s.<col>, or bare, got ${a.sql}")
+        }
+      }
+      org.apache.spark.sql.graft.ColumnBridge.wrap(bound)
+    }
+    private def condCol(c: Option[String], ctx: String, mode: Int): org.apache.spark.sql.Column =
+      c.map(s => coalesce(resolve(s, ctx, mode), lit(false))).getOrElse(lit(true))
+
+    val aligned: DataFrame = source.select((sch.fields.map(f =>
+      srcByLower.get(f.name.toLowerCase).map(col).getOrElse(lit(null))
+        .cast(f.dataType).as(f.name)).toSeq ++
+      extraSrcCols.map(col)): _*).localCheckpoint(true)
+    val srcKeys: DataFrame = aligned.select(keyCols.map(col): _*).distinct()
+    val srcRen: DataFrame = aligned.select((keyCols.map(col) ++
+      provided.toSeq.filterNot(keyCols.contains).map(n => col(n).as(pfx + n)) ++
+      extraSrcCols.map(n => col(n).as(pfx + n)) :+
+      lit(true).as("__src_present")): _*)
+    val present: org.apache.spark.sql.Column = col("__src_present").isNotNull
+
+    /** OR of the by-source conditions (claim test for unmatched target
+      * rows) — None when the merge has no by-source clauses. */
+    val bySrcHit: Option[org.apache.spark.sql.Column] =
+      if (bySrcCs.isEmpty) None
+      else Some(bySrcCs.map(c => condCol(c.condition, "WHEN NOT MATCHED BY SOURCE", 1))
+        .reduce(_ || _))
+
+    /** First-satisfied-clause index over the joined frame: matched group
+      * 1.., by-source group 101.., 0 = no clause claims the row. */
+    val act: org.apache.spark.sql.Column = {
+      val m = matchedCs.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (c, i)) =>
+          val cond = present && condCol(c.condition, "WHEN MATCHED", 0)
+          Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
+      }
+      val mb = bySrcCs.zipWithIndex.foldLeft(m) { case (acc, (c, i)) =>
+        val cond = !present && condCol(c.condition, "WHEN NOT MATCHED BY SOURCE", 1)
+        Some(acc.fold(when(cond, lit(101 + i)))(_.when(cond, lit(101 + i))))
+      }
+      mb.map(_.otherwise(lit(0))).getOrElse(lit(0))
+    }
+
+    private def isUpd(c: MergeClause): Boolean =
+      c.isInstanceOf[WhenMatchedUpdate] || c.isInstanceOf[WhenNotMatchedBySourceUpdate]
+    val updIdx: Seq[Int] =
+      matchedCs.zipWithIndex.collect { case (c, i) if isUpd(c) => i + 1 } ++
+        bySrcCs.zipWithIndex.collect { case (c, i) if isUpd(c) => 101 + i }
+    val delIdx: Seq[Int] =
+      matchedCs.zipWithIndex.collect { case (c, i) if !isUpd(c) => i + 1 } ++
+        bySrcCs.zipWithIndex.collect { case (c, i) if !isUpd(c) => 101 + i }
+    def inSet(idxs: Seq[Int]): org.apache.spark.sql.Column =
+      if (idxs.isEmpty) lit(false) else idxs.map(col("__act") === _).reduce(_ || _)
+
+    private def setValue(n: String, c: MergeClause): Option[org.apache.spark.sql.Column] = c match {
+      case WhenMatchedUpdate(set, _) if set.isEmpty => // UPDATE SET *
+        if (provided.contains(n) && !keyCols.contains(n)) Some(col(pfx + n)) else None
+      case WhenMatchedUpdate(set, _) =>
+        set.find(_._1.equalsIgnoreCase(n)).map(kv => resolve(kv._2, "UPDATE SET", 0))
+      case WhenNotMatchedBySourceUpdate(set, _) =>
+        set.find(_._1.equalsIgnoreCase(n))
+          .map(kv => resolve(kv._2, "BY SOURCE UPDATE SET", 1))
+      case _ => None
+    }
+    /** Value of column `n` on a claimed-update row: CASE over the update
+      * clauses' indices, falling through to the target's value. */
+    def updatedValue(n: String): org.apache.spark.sql.Column = {
+      val branches = (matchedCs.zipWithIndex.map { case (c, i) => (i + 1, c) } ++
+        bySrcCs.zipWithIndex.map { case (c, i) => (101 + i, c) })
+        .collect { case (idx, c) if isUpd(c) => (idx, setValue(n, c)) }
+      val f = sch.fields.find(_.name == n).get
+      branches.foldRight(col(n)) { case ((idx, v), acc) =>
+        v.fold(acc)(vv => when(col("__act") === idx, vv.cast(f.dataType)).otherwise(acc))
+      }.as(n)
+    }
+
+    /** The anti-joined source frame with its own first-satisfied insert
+      * clause index as `__act` (0 = dropped). */
+    def insActed(antiSrc: DataFrame): DataFrame = antiSrc.withColumn("__act", {
+      insertCs.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (c, i)) =>
+          val cond = condCol(c.condition, "WHEN NOT MATCHED", 2)
+          Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
+      }.map(_.otherwise(lit(0))).getOrElse(lit(0))
+    })
+    def insertValue(n: String): org.apache.spark.sql.Column = {
+      val f = sch.fields.find(_.name == n).get
+      insertCs.zipWithIndex.foldRight(lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
+        case ((c, i), acc) =>
+          val v =
+            if (c.values.isEmpty) { // INSERT *
+              if (provided.contains(n)) col(n) else lit(null).cast(f.dataType)
+            } else c.values.find(_._1.equalsIgnoreCase(n))
+              .map(kv => resolve(kv._2, "INSERT VALUES", 2).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType))
+          when(col("__act") === (i + 1), v).otherwise(acc)
+      }.as(n)
+    }
+
+    /** Ambiguity guard (Delta's multiple-source-rows-matched error): a
+      * duplicate-key source row matching a target row would apply two
+      * updates — or duplicate a carried row through the join — refuse.
+      * Source-side aggregation first (cheap); the target semi-join only
+      * runs when duplicates exist at all. */
+    def guardDuplicates(tgtKeys: DataFrame): Unit = {
+      val dupKeys = aligned.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .select(keyCols.map(col): _*)
+      if (!dupKeys.isEmpty) {
+        require(dupKeys.join(tgtKeys, keyCols, "left_semi").isEmpty,
+          "MERGE: multiple source rows matched the same target row — " +
+            "deduplicate the source on the key columns first")
+      }
+    }
+  }
+
   /** General MERGE with the FULL clause surface (the Delta/ANSI
-    * statement [[merge]] is the fixed upsert special case of):
+    * statement; [[merge]] is the fixed upsert special case):
     * `WHEN MATCHED [AND c] THEN UPDATE SET …|DELETE`,
     * `WHEN NOT MATCHED [AND c] THEN INSERT …`, and
     * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET …|DELETE` —
@@ -1673,89 +1873,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                    txnVersion: Long = -1L): Long = {
     import DeltaTable._
     requireNotAppendOnly("MERGE")
-    requireIdentityProvided(source, "MERGE")
-    require(keyCols.nonEmpty, "merge needs at least one key column")
-    require(clauses.nonEmpty, "merge needs at least one WHEN clause")
-    val sch = schema
-    keyCols.foreach(k => require(sch.fieldNames.contains(k), s"unknown key column '$k'"))
-    val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
-    keyCols.foreach(k => require(srcByLower.contains(k.toLowerCase),
-      s"source is missing key column '$k'"))
-    val tableCols = sch.fieldNames.map(_.toLowerCase).toSet
-    val unknownSrc = source.columns.filter(c => !tableCols.contains(c.toLowerCase))
-    require(unknownSrc.isEmpty,
-      s"source columns ${unknownSrc.mkString(", ")} do not exist in the table schema " +
-        "(project them away, or append with mergeSchema to widen first)")
-
-    val matchedCs: Seq[MergeClause] = clauses.filter(c =>
-      c.isInstanceOf[WhenMatchedUpdate] || c.isInstanceOf[WhenMatchedDelete])
-    val insertCs: Seq[WhenNotMatchedInsert] =
-      clauses.collect { case c: WhenNotMatchedInsert => c }
-    val bySrcCs: Seq[MergeClause] = clauses.filter(c =>
-      c.isInstanceOf[WhenNotMatchedBySourceUpdate] ||
-        c.isInstanceOf[WhenNotMatchedBySourceDelete])
-    Seq("WHEN MATCHED" -> matchedCs, "WHEN NOT MATCHED" -> insertCs,
-      "WHEN NOT MATCHED BY SOURCE" -> bySrcCs).foreach { case (g, cs) =>
-      cs.dropRight(1).foreach(c => require(c.condition.isDefined,
-        s"only the last $g clause may omit its condition"))
-    }
-
     val snap = snapshot
     def txnApplied(s: Snapshot): Boolean = txnAppId.exists(app =>
       txnVersion >= 0 && s.txns.getOrElse(app, -1L) >= txnVersion)
     if (txnApplied(snap)) return -1L
-
-    val pfx = "__merge_src_"
-    val provided = sch.fieldNames.filter(n => srcByLower.contains(n.toLowerCase)).toSet
-    // t/s-qualified SQL → Columns over the joined frame: target columns
-    // plain, source columns prefixed (keys shared). `mode`: 0 = matched
-    // (both sides, bare→target), 1 = by-source (target only), 2 = insert
-    // (source only, PLAIN names — the insert frame IS the aligned source)
-    def resolve(sql: String, ctx: String, mode: Int): org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-      def canon(n: String): String = sch.fieldNames.find(_.equalsIgnoreCase(n))
-        .getOrElse(throw new IllegalArgumentException(
-          s"$ctx references unknown column '$n'"))
-      def tgt(n: String): UnresolvedAttribute = {
-        require(mode != 2, s"$ctx (an INSERT clause) cannot reference target column '$n'")
-        UnresolvedAttribute(Seq(canon(n)))
-      }
-      def src(n: String): UnresolvedAttribute = {
-        require(mode != 1,
-          s"$ctx (a NOT MATCHED BY SOURCE clause) cannot reference source column '$n' " +
-            "— no source row matched, by definition")
-        val c = canon(n)
-        require(provided.contains(c),
-          s"$ctx references source column '$n' the source does not provide")
-        if (mode == 2 || keyCols.contains(c)) UnresolvedAttribute(Seq(c))
-        else UnresolvedAttribute(Seq(pfx + c))
-      }
-      val bound = spark.sessionState.sqlParser.parseExpression(sql).transformUp {
-        case a: UnresolvedAttribute => a.nameParts match {
-          case Seq(q, n) if q.equalsIgnoreCase("s") => src(n)
-          case Seq(q, n) if q.equalsIgnoreCase("t") => tgt(n)
-          case Seq(n) => if (mode == 2) src(n) else tgt(n)
-          case _ => throw new IllegalArgumentException(
-            s"$ctx: reference columns as t.<col>, s.<col>, or bare, got ${a.sql}")
-        }
-      }
-      org.apache.spark.sql.graft.ColumnBridge.wrap(bound)
-    }
-    def condCol(c: Option[String], ctx: String, mode: Int): org.apache.spark.sql.Column =
-      c.map(s => coalesce(resolve(s, ctx, mode), lit(false))).getOrElse(lit(true))
-
-    val aligned = source.select(sch.fields.map(f =>
-      srcByLower.get(f.name.toLowerCase).map(col).getOrElse(lit(null))
-        .cast(f.dataType).as(f.name)).toSeq: _*).localCheckpoint(true)
-    val srcKeys = aligned.select(keyCols.map(col): _*).distinct()
+    val eng = new ClauseEngine(source, keyCols, clauses)
+    import eng._
 
     // ---- affected files: matched-key holders (stats-pre-restricted)
     // plus, when by-source clauses exist, every file holding an
     // unmatched row some by-source condition claims ----
-    val bySrcHit: Option[org.apache.spark.sql.Column] =
-      if (bySrcCs.isEmpty) None
-      else Some(bySrcCs.map(c => condCol(c.condition, "WHEN NOT MATCHED BY SOURCE", 1))
-        .reduce(_ || _))
     val affected: Seq[AddFile] = bySrcHit match {
       case None =>
         filesMatching(skipForKeys(snap, srcKeys, keyCols),
@@ -1769,80 +1896,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     if (affected.isEmpty && insertCs.isEmpty) return -1L
 
     val tgtM = materializingRowIds(snap.copy(files = affected))
-    // ambiguity guard (Delta's multiple-source-rows-matched error): a
-    // duplicate-key source row matching a target row would apply two
-    // updates — or duplicate a carried row through the join — refuse.
-    // Source-side aggregation first (cheap); the affected-file semi-join
-    // only runs when duplicates exist at all.
-    val dupKeys = aligned.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
-      .select(keyCols.map(col): _*)
-    if (!dupKeys.isEmpty) {
-      require(dupKeys.join(tgtM.select(keyCols.map(col): _*), keyCols, "left_semi").isEmpty,
-        "MERGE: multiple source rows matched the same target row — " +
-          "deduplicate the source on the key columns first")
-    }
-
-    val srcRen = aligned.select((keyCols.map(col) ++
-      provided.toSeq.filterNot(keyCols.contains).map(n => col(n).as(pfx + n)) :+
-      lit(true).as("__src_present")): _*)
+    guardDuplicates(tgtM.select(keyCols.map(col): _*))
     val joined = tgtM.join(srcRen, keyCols, "left_outer")
-    val present = col("__src_present").isNotNull
-
-    // first-satisfied-clause index: matched group 1.., by-source 101..,
-    // 0 = no clause claims the row (carry unchanged)
-    val act: org.apache.spark.sql.Column = {
-      val m = matchedCs.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-        case (acc, (c, i)) =>
-          val cond = present && condCol(c.condition, "WHEN MATCHED", 0)
-          Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
-      }
-      val mb = bySrcCs.zipWithIndex.foldLeft(m) { case (acc, (c, i)) =>
-        val cond = !present && condCol(c.condition, "WHEN NOT MATCHED BY SOURCE", 1)
-        Some(acc.fold(when(cond, lit(101 + i)))(_.when(cond, lit(101 + i))))
-      }
-      mb.map(_.otherwise(lit(0))).getOrElse(lit(0))
-    }
     val acted = joined.withColumn("__act", act)
-
-    def isUpd(c: MergeClause): Boolean =
-      c.isInstanceOf[WhenMatchedUpdate] || c.isInstanceOf[WhenNotMatchedBySourceUpdate]
-    val updIdx = matchedCs.zipWithIndex.collect { case (c, i) if isUpd(c) => i + 1 } ++
-      bySrcCs.zipWithIndex.collect { case (c, i) if isUpd(c) => 101 + i }
-    val delIdx = matchedCs.zipWithIndex.collect { case (c, i) if !isUpd(c) => i + 1 } ++
-      bySrcCs.zipWithIndex.collect { case (c, i) if !isUpd(c) => 101 + i }
-    def inSet(idxs: Seq[Int]): org.apache.spark.sql.Column =
-      if (idxs.isEmpty) lit(false) else idxs.map(col("__act") === _).reduce(_ || _)
-
-    // updated value of column n under update clause (idx, set)
-    def setValue(n: String, c: MergeClause): Option[org.apache.spark.sql.Column] = c match {
-      case WhenMatchedUpdate(set, _) if set.isEmpty => // UPDATE SET *
-        if (provided.contains(n) && !keyCols.contains(n)) Some(col(pfx + n)) else None
-      case WhenMatchedUpdate(set, _) =>
-        set.find(_._1.equalsIgnoreCase(n)).map(kv => resolve(kv._2, "UPDATE SET", 0))
-      case WhenNotMatchedBySourceUpdate(set, _) =>
-        set.find(_._1.equalsIgnoreCase(n))
-          .map(kv => resolve(kv._2, "BY SOURCE UPDATE SET", 1))
-      case _ => None
-    }
-    (matchedCs ++ bySrcCs).foreach {
-      case WhenMatchedUpdate(set, _) => set.keys.foreach(k =>
-        require(sch.fieldNames.exists(_.equalsIgnoreCase(k)), s"UPDATE SET unknown column '$k'"))
-      case WhenNotMatchedBySourceUpdate(set, _) =>
-        require(set.nonEmpty, "BY SOURCE UPDATE needs explicit SET columns (no source row to take * from)")
-        set.keys.foreach(k =>
-          require(sch.fieldNames.exists(_.equalsIgnoreCase(k)), s"UPDATE SET unknown column '$k'"))
-      case _ => ()
-    }
-    def updatedValue(n: String): org.apache.spark.sql.Column = {
-      val branches = (matchedCs.zipWithIndex.map { case (c, i) => (i + 1, c) } ++
-        bySrcCs.zipWithIndex.map { case (c, i) => (101 + i, c) })
-        .collect { case (idx, c) if isUpd(c) => (idx, setValue(n, c)) }
-      val f = sch.fields.find(_.name == n).get
-      branches.foldRight(col(n)) { case ((idx, v), acc) =>
-        v.fold(acc)(vv => when(col("__act") === idx, vv.cast(f.dataType)).otherwise(acc))
-      }.as(n)
-    }
 
     val rtCarried: Seq[org.apache.spark.sql.Column] =
       if (!rowTrackingEnabled) Nil
@@ -1860,29 +1916,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // satisfied insert clause claims, unclaimed rows drop ----
     val antiSrc = aligned.join(
       tgtM.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    val insActed = antiSrc.withColumn("__act", {
-      insertCs.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-        case (acc, (c, i)) =>
-          val cond = condCol(c.condition, "WHEN NOT MATCHED", 2)
-          Some(acc.fold(when(cond, lit(i + 1)))(_.when(cond, lit(i + 1))))
-      }.map(_.otherwise(lit(0))).getOrElse(lit(0))
-    })
-    insertCs.foreach(c => c.values.keys.foreach(k =>
-      require(sch.fieldNames.exists(_.equalsIgnoreCase(k)), s"INSERT unknown column '$k'")))
-    def insertValue(n: String): org.apache.spark.sql.Column = {
-      val f = sch.fields.find(_.name == n).get
-      insertCs.zipWithIndex.foldRight(lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
-        case ((c, i), acc) =>
-          val v =
-            if (c.values.isEmpty) { // INSERT *
-              if (provided.contains(n)) col(n) else lit(null).cast(f.dataType)
-            } else c.values.find(_._1.equalsIgnoreCase(n))
-              .map(kv => resolve(kv._2, "INSERT VALUES", 2).cast(f.dataType))
-              .getOrElse(lit(null).cast(f.dataType))
-          when(col("__act") === (i + 1), v).otherwise(acc)
-      }.as(n)
-    }
-    val inserts0 = insActed.filter(col("__act") =!= 0)
+    val ins = insActed(antiSrc)
+    val inserts0 = ins.filter(col("__act") =!= 0)
       .select(sch.fieldNames.toSeq.map(insertValue): _*)
     val inserts =
       if (!rowTrackingEnabled) inserts0
@@ -1901,8 +1936,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         .withColumn(ChangeTypeCol, lit("update_postimage"))
       val dels = acted.filter(inSet(delIdx)).select(plain.map(col): _*)
         .withColumn(ChangeTypeCol, lit("delete"))
-      val ins = inserts0.withColumn(ChangeTypeCol, lit("insert"))
-      Some(pre.unionByName(post).unionByName(dels).unionByName(ins))
+      val insCdf = inserts0.withColumn(ChangeTypeCol, lit("insert"))
+      Some(pre.unionByName(post).unionByName(dels).unionByName(insCdf))
     }
     commitRewrite(affected,
       carried.unionByName(withConstraintChecks(updated.unionByName(inserts))),
@@ -1913,6 +1948,130 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       conflictHint = "a concurrent commit added or rewrote files during this merge",
       changes = cdf,
       txn = txnAppId.filter(_ => txnVersion >= 0).map(_ -> txnVersion))
+  }
+
+  /** Merge-on-read MERGE with the FULL clause surface — the 100 TB
+    * CDC-apply shape: every CLAIMED target row (matched update/delete
+    * AND by-source update/delete) masks OUT of its file by deletion
+    * vector, and ONE new file carries the updated rows plus the
+    * claimed inserts — zero data-file rewrites. A conditional delete of
+    * 0.1% of a 100 TB table commits bitmaps proportional to the deleted
+    * rows; the copy-on-write [[mergeClauses]] would rewrite every
+    * affected file.
+    *
+    * Clause semantics, expression language, ordering, the duplicate-
+    * source-key refusal, row tracking (updated rows keep their ids), and
+    * CDF capture are IDENTICAL to [[mergeClauses]] — one ClauseEngine
+    * drives both. Carried rows differ in mechanism only: copy-on-write
+    * rewrites them into fresh files; here they simply stay, untouched,
+    * in files whose DVs grew. Concurrency contract matches
+    * [[mergeWithDv]]: concurrent ADDS refuse (an appended file could
+    * hold a matched key this merge never saw), affected files must keep
+    * their exact DV descriptor, txn rides the commit for exactly-once
+    * streaming applies. */
+  def mergeClausesWithDv(source: DataFrame, keyCols: Seq[String],
+                         clauses: Seq[DeltaTable.MergeClause],
+                         txnAppId: Option[String] = None,
+                         txnVersion: Long = -1L): Long = {
+    import DeltaTable._
+    requireNotAppendOnly("MERGE (deletion vectors)")
+    val snap = snapshot
+    def txnApplied(s: Snapshot): Boolean = txnAppId.exists(app =>
+      txnVersion >= 0 && s.txns.getOrElse(app, -1L) >= txnVersion)
+    if (txnApplied(snap)) return -1L
+    val eng = new ClauseEngine(source, keyCols, clauses)
+    import eng._
+
+    // matched-key candidates pre-restrict through the stats index; a
+    // by-source clause can claim a row in ANY file, so no restriction
+    val cand = if (bySrcCs.isEmpty) skipForKeys(snap, srcKeys, keyCols) else snap
+    guardDuplicates(rawFor(cand).select(keyCols.map(col): _*))
+    // every claimed row masks out of its file (updates are re-added
+    // transformed below; deletes just disappear)
+    val plan = planDvMaskBy(cand, df =>
+      df.join(srcRen, keyCols, "left_outer").withColumn("__act", act)
+        .filter(col("__act") =!= 0))
+
+    val rtExtras = if (!rowTrackingEnabled) Nil
+      else Seq(col(MaterializedRowIdCol))
+    val tgtRaw =
+      if (rowTrackingEnabled)
+        rawFor(cand, withRowIds = true)
+          .withColumnRenamed(RowIdCol, MaterializedRowIdCol)
+          .drop(RowCommitVersionCol)
+      else rawFor(cand)
+    val acted = tgtRaw.join(srcRen, keyCols, "left_outer").withColumn("__act", act)
+    val updated = acted.filter(inSet(updIdx))
+      .select(sch.fieldNames.toSeq.map(updatedValue) ++ rtExtras: _*)
+    // exact despite pruning: a target key equal to a source key lives in
+    // a file whose stats admit it, i.e. a candidate file
+    val tgtKeys = rawFor(cand).select(keyCols.map(col): _*).distinct()
+    val ins = insActed(aligned.join(tgtKeys, keyCols, "left_anti"))
+    val inserts0 = ins.filter(col("__act") =!= 0)
+      .select(sch.fieldNames.toSeq.map(insertValue): _*)
+    val inserts = if (!rowTrackingEnabled) inserts0
+      else inserts0.withColumn(MaterializedRowIdCol, lit(null).cast("long"))
+    if (plan.isEmpty && inserts0.isEmpty) return -1L
+
+    val newData = withConstraintChecks(updated.unionByName(inserts))
+    val (staging, adds) = stageWrite(newData)
+    try {
+      val cdf = if (!cdfEnabled) None else {
+        val plain = sch.fieldNames.toSeq
+        val actedPlain = rawFor(cand).join(srcRen, keyCols, "left_outer")
+          .withColumn("__act", act)
+        val pre = actedPlain.filter(inSet(updIdx)).select(plain.map(col): _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = actedPlain.filter(inSet(updIdx)).select(plain.map(updatedValue): _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val dels = actedPlain.filter(inSet(delIdx)).select(plain.map(col): _*)
+          .withColumn(ChangeTypeCol, lit("delete"))
+        Some(pre.unionByName(post).unionByName(dels)
+          .unionByName(inserts0.withColumn(ChangeTypeCol, lit("insert"))))
+      }
+      val basePaths = snap.files.map(_.path).toSet
+      val txnActs = txnAppId.filter(_ => txnVersion >= 0)
+        .map(app => Action(txn = Some(Txn(app, txnVersion,
+          Some(System.currentTimeMillis()))))).toSeq
+      val committed = plan match {
+        case Some(pl) =>
+          // a zombie replay of an already-recorded (appId, version) batch
+          // must stay a QUIET skip even when it surfaces as a lost race
+          try commitDvMask(snap, pl, adds.map(a => Action(add = Some(a))) ++ txnActs,
+            cdf, "MERGE", Map("mode" -> "deletionVectors",
+              "predicateKeys" -> keyCols.mkString(","),
+              "clauses" -> clauses.map(_.getClass.getSimpleName).mkString(",")),
+            extraCheck = s => !txnApplied(s) &&
+              s.files.map(_.path).forall(basePaths.contains))
+          catch {
+            case _: java.util.ConcurrentModificationException
+              if txnApplied(snapshot) => -1L
+          }
+        case None =>
+          // insert-only outcome: no masks, just the new file + txn
+          val cdcActions = cdf.map(stageChangeFiles).getOrElse(Nil)
+          var txnSkip = false
+          val c = log.commit(
+            adds.map(a => Action(add = Some(a))) ++ cdcActions ++ txnActs ++
+              Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+                "MERGE", Map("mode" -> "deletionVectors"))))),
+            check = s => {
+              if (txnApplied(s)) { txnSkip = true; false }
+              else s.files.map(_.path).forall(basePaths.contains)
+            })
+          if (c < 0) {
+            adds.foreach(a => fs.delete(new Path(path, a.path), false))
+            cdcActions.foreach(_.cdc.foreach(cf =>
+              fs.delete(new Path(path, cf.path), false)))
+            if (!txnSkip)
+              throw new java.util.ConcurrentModificationException(
+                "MERGE (deletion vectors) lost a commit race: a concurrent " +
+                  "commit added files during this merge")
+          }
+          c
+      }
+      committed
+    } finally fs.delete(staging, true)
   }
 
   /** Copy-on-write DELETE (delta-rs `delete`): drop every row matching

@@ -495,6 +495,62 @@ object ReferenceOps extends QueryModule {
              |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM kept""".stripMargin)),
 
+    // ---- the SAME full-clause merge, MERGE-ON-READ (deletion vectors):
+    // claimed rows mask out by bitmap, zero data files rewrite (required
+    // in-query), one new file carries updates + inserts. Identical
+    // oracle — the two engines must agree bit-for-bit. ----------------
+    "ref_dv_merge_clauses" -> QueryDef(
+      (s, d) => {
+        import graft.delta.DeltaTable
+        val dir = graft.Scratch.dir("graft-dv-merge-clauses")
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+        val table = DeltaTable.forPath(s, dir).create(ev.schema,
+          configuration = Map(DeltaTable.DvConfigKey -> "true"))
+        table.append(ev.filter(col("event_id") % 2 === 0))
+        val before = table.snapshot.files.map(_.path).toSet
+        val src = ev.filter(col("event_id") % 4 === 0)
+          .select(col("event_id"), (col("user_id") + 1000000).cast("long").as("user_id"))
+          .unionByName(ev.filter(col("event_id") % 2 =!= 0 && col("event_id") % 5 === 0)
+            .select(col("event_id"), (col("user_id") + 2000000).cast("long").as("user_id")))
+        require(table.mergeClausesWithDv(src, Seq("event_id"), Seq(
+          DeltaTable.WhenMatchedDelete(Some("s.event_id % 8 = 0")),
+          DeltaTable.WhenMatchedUpdate(set = Map("user_id" -> "s.user_id")),
+          DeltaTable.WhenNotMatchedInsert(condition = Some("s.event_id % 2 = 1")),
+          DeltaTable.WhenNotMatchedBySourceDelete(Some("t.event_id % 6 = 0")),
+          DeltaTable.WhenNotMatchedBySourceUpdate(
+            set = Map("user_id" -> "t.user_id + 3000000"),
+            condition = Some("t.event_id % 10 = 2")))) > 0L)
+        require(before.subsetOf(table.snapshot.files.map(_.path).toSet),
+          "a DV clause merge must not rewrite any original data file")
+        table.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT event_id, user_id FROM events WHERE event_id % 2 = 0
+             |), src AS (
+             |  SELECT event_id, user_id + 1000000 AS user_id FROM events WHERE event_id % 4 = 0
+             |  UNION ALL
+             |  SELECT event_id, user_id + 2000000 AS user_id FROM events
+             |  WHERE event_id % 2 = 1 AND event_id % 5 = 0
+             |), kept AS (
+             |  SELECT t.event_id, s.user_id FROM tgt t JOIN src s USING (event_id)
+             |  WHERE s.event_id % 8 <> 0
+             |  UNION ALL
+             |  SELECT t.event_id,
+             |    CASE WHEN t.event_id % 10 = 2 THEN t.user_id + 3000000 ELSE t.user_id END
+             |  FROM tgt t
+             |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+             |    AND t.event_id % 6 <> 0
+             |  UNION ALL
+             |  SELECT s.event_id, s.user_id FROM src s
+             |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.event_id = s.event_id)
+             |    AND s.event_id % 2 = 1
+             |)
+             |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum FROM kept""".stripMargin)),
+
     // ---- DELETE + UPDATE (delta-rs delete/update, copy-on-write): the
     // full DML sequence through the real write path — delete every
     // id % 7 == 0 row, then bump user_id by 5e6 where id % 3 == 0 (SET

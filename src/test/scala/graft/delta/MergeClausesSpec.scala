@@ -149,6 +149,26 @@ class MergeClausesSpec extends SparkSpec {
     assert(t.toDF.filter(col("id") === 4L).head().getLong(1) === 444L)
   }
 
+  test("marker columns outside the table schema drive conditions but never write") {
+    val t = target("mc-marker")
+    // `op` is NOT a table column — the Debezium-style CDC payload shape
+    val src = Seq(
+      (1L, 0L, "x", "delete"),
+      (2L, 222L, "u2", "update"),
+      (30L, 300L, "i30", "insert"),
+      (31L, 0L, "x", "delete") // delete of an absent key: dropped, not inserted
+    ).toDF("id", "v", "tag", "op")
+    t.mergeClauses(src, Seq("id"), Seq(
+      WhenMatchedDelete(condition = Some("s.op = 'delete'")),
+      WhenMatchedUpdate(),
+      WhenNotMatchedInsert(condition = Some("op != 'delete'"))))
+    assert(t.toDF.columns.toSeq === Seq("id", "v", "tag"),
+      "SET * / INSERT * must exclude the marker column")
+    val out = t.toDF.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size === 10 && !out.contains(1L) && !out.contains(31L))
+    assert(out(2L) === ((222L, "u2")) && out(30L) === ((300L, "i30")))
+  }
+
   test("idempotent txn replay skips; unclaimed no-op merge returns -1") {
     val t = target("mc-txn")
     val src = Seq((1L, 111L, "u")).toDF("id", "v", "tag")
