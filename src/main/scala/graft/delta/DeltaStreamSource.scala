@@ -104,8 +104,12 @@ final class DeltaStreamProvider extends StreamSourceProvider
     val mergeSchema = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("mergeSchema") => v.toBoolean }
       .getOrElse(false)
+    val deleteWhen = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("deleteWhen") => v }
+    require(deleteWhen.isEmpty || mergeKeys.nonEmpty,
+      "deleteWhen needs mergeKeys (it refines the upsert sink into a CDC apply)")
     new DeltaStreamSink(sqlContext.sparkSession, pathOf(parameters),
-      partitionColumns, appId, mergeKeys, mergeSchema)
+      partitionColumns, appId, mergeKeys, mergeSchema, deleteWhen)
   }
 }
 
@@ -114,16 +118,32 @@ final class DeltaStreamProvider extends StreamSourceProvider
   * of a key overwrite instead of duplicating). Exactly-once like the
   * append path: the `txn(appId, batchId)` rides the merge commit
   * itself, so a crash-replayed batch skips without re-merging — one
-  * commit per batch, no marker, no crash window. */
+  * commit per batch, no marker, no crash window.
+  *
+  * `deleteWhen` (with mergeKeys) refines the upsert into a full CDC
+  * APPLY: batch rows satisfying the condition DELETE their key, the
+  * rest upsert — `deleteWhen = "op = 'delete'"` tails a Debezium-style
+  * changelog straight into the table. The condition sees the BATCH row
+  * (bare column names — marker columns outside the table schema are
+  * fine, they never write); delete rows for absent keys are no-ops, not
+  * inserts. One clause-merge commit per batch
+  * ([[DeltaTable.mergeClauses]]) keeps the txn exactly-once contract;
+  * on a DV-enabled table the merge runs MERGE-ON-READ
+  * ([[DeltaTable.mergeClausesWithDv]]) — streaming CDC apply with zero
+  * file rewrites, the 100 TB shape. */
 final class DeltaStreamSink(spark: SparkSession, path: String,
                             partitionColumns: Seq[String], appId: String,
                             mergeKeys: Seq[String] = Nil,
-                            mergeSchema: Boolean = false) extends Sink {
+                            mergeSchema: Boolean = false,
+                            deleteWhen: Option[String] = None) extends Sink {
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     // the V1 contract hands a STREAMING-planned frame; re-wrap it as this
     // trigger's batch (ForeachBatchSink's construction) before writing
     val batch = org.apache.spark.sql.graft.StreamBridge.asBatch(data.toDF())
     val t = DeltaTable.forPath(spark, path)
+    require(deleteWhen.isEmpty || t.exists,
+      "deleteWhen needs an EXISTING target table — at create time a CDC " +
+        "batch's marker columns are indistinguishable from data columns")
     if (!t.exists)
       t.create(DeltaTable.relaxContainers(batch.schema), partitionColumns)
     else require(partitionColumns.isEmpty ||
@@ -149,7 +169,28 @@ final class DeltaStreamSink(spark: SparkSession, path: String,
         .filter(col("__rn") === 1).drop("__rn")
       // the txn rides the merge commit itself — one commit per batch,
       // and a crash-replayed batch returns -1 without re-merging
-      t.merge(deduped, mergeKeys, txnAppId = Some(appId), txnVersion = batchId)
+      deleteWhen match {
+        case None =>
+          t.merge(deduped, mergeKeys, txnAppId = Some(appId), txnVersion = batchId)
+        case Some(condSql) =>
+          // bare column names in the user's condition mean the BATCH row
+          import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          val cond = spark.sessionState.sqlParser.parseExpression(condSql)
+            .transformUp {
+              case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+                UnresolvedAttribute(Seq("s", a.nameParts.head))
+            }.sql
+          val clauses = Seq(
+            DeltaTable.WhenMatchedDelete(Some(cond)),
+            DeltaTable.WhenMatchedUpdate(),
+            DeltaTable.WhenNotMatchedInsert(condition = Some(s"NOT ($cond)")))
+          if (t.dvEnabled)
+            t.mergeClausesWithDv(deduped, mergeKeys, clauses,
+              txnAppId = Some(appId), txnVersion = batchId)
+          else
+            t.mergeClauses(deduped, mergeKeys, clauses,
+              txnAppId = Some(appId), txnVersion = batchId)
+      }
     }
     ()
   }

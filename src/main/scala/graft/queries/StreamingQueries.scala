@@ -168,6 +168,56 @@ object StreamingQueries extends QueryModule {
              |FROM g1 FULL OUTER JOIN g2 ON g1.user_id = g2.user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // Streaming CDC APPLY (sink deleteWhen + mergeKeys): the target
+    // holds per-user state from even events; the change stream carries
+    // odd-event state with an `op` marker — users ≡0 mod 7 DELETE, the
+    // rest upsert. The marker column is outside the table schema (the
+    // Debezium payload shape) and must never write. The oracle replays
+    // kept = (even-only users) ∪ (odd non-delete users); a leaked
+    // delete, a marker column written, or a resurrected row all shift
+    // the compare. ----------------------------------------------------
+    "stream_delta_cdc" -> QueryDef(
+      (s, d) => {
+        val rawDir = graft.Scratch.dir("graft-scdc-raw") + "/t"
+        val outDir = graft.Scratch.dir("graft-scdc-out") + "/t"
+        val ev = Tables.events(s, d)
+        def agg(parity: Int) = ev.filter(col("event_id") % 2 === parity)
+          .groupBy(col("user_id"))
+          .agg(max(col("event_id")).cast("long").as("last_event"),
+            count(lit(1)).as("n_events"))
+        val state = agg(0)
+        val out = graft.delta.DeltaTable.forPath(s, outDir).create(state.schema)
+        out.append(state)
+        val changes = agg(1).withColumn("op",
+          when(col("user_id") % 7 === 0, lit("delete")).otherwise(lit("upsert")))
+        val raw = graft.delta.DeltaTable.forPath(s, rawDir).create(changes.schema)
+        raw.append(changes)
+        val q = s.readStream.format("graft-delta").option("path", rawDir).load()
+          .writeStream.format("graft-delta")
+          .option("path", outDir).option("mergeKeys", "user_id")
+          .option("deleteWhen", "op = 'delete'")
+          .option("checkpointLocation", graft.Scratch.dir("graft-scdc-ck"))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val outT = graft.delta.DeltaTable.forPath(s, outDir)
+        require(outT.toDF.columns.toSeq == Seq("user_id", "last_event", "n_events"),
+          "the op marker column must never reach the table")
+        outT.toDF.orderBy(col("user_id"))
+      },
+      Some("""WITH g1 AS (
+             |  SELECT user_id, CAST(max(event_id) AS BIGINT) AS last_event,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+             |g2 AS (
+             |  SELECT user_id, CAST(max(event_id) AS BIGINT) AS last_event,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+             |SELECT user_id, last_event, n_events FROM g1
+             |WHERE user_id NOT IN (SELECT user_id FROM g2)
+             |UNION ALL
+             |SELECT user_id, last_event, n_events FROM g2 WHERE user_id % 7 <> 0
+             |ORDER BY user_id""".stripMargin)),
+
     "stream_windowed_counts" -> QueryDef(
       (s, d) =>
         graft.streaming.WindowedAggs.windowedCounts(

@@ -281,6 +281,60 @@ class DeltaStreamSpec extends SparkSpec {
       === Seq("second"))
   }
 
+  test("sink deleteWhen: streaming CDC apply — deletes, upserts, marker column never writes") {
+    val cdcSchema = StructType(schema.fields :+ StructField("op", StringType))
+    val srcDir = tmpDir("dsink-cdc-src")
+    val src = DeltaTable.forPath(spark, srcDir).create(cdcSchema)
+    val outDir = tmpDir("dsink-cdc-out") + "/t"
+    // CDC apply needs an existing target (markers vs data is undecidable
+    // at create time) — pinned loudly
+    val out = DeltaTable.forPath(spark, outDir).create(schema)
+    out.append(rows(0 until 5))
+    src.append(Seq(
+      (1L, null.asInstanceOf[String], "delete"), // delete id 1
+      (2L, "two'", "update"),                    // upsert id 2
+      (9L, "nine", "insert"),                    // insert id 9
+      (50L, null.asInstanceOf[String], "delete") // delete of absent key: no-op
+    ).toDF("id", "name", "op"))
+    val q = readStream(src).writeStream.format("graft-delta")
+      .option("path", outDir).option("checkpointLocation", tmpDir("dsink-cdc-ck"))
+      .option("mergeKeys", "id").option("deleteWhen", "op = 'delete'")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(out.toDF.columns.toSeq === Seq("id", "name"),
+      "the op marker column must never reach the table")
+    val got = out.toDF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 5, "5 - 1 delete + 1 insert; absent-key delete is a no-op")
+    assert(!got.contains(1L) && got(2L) === "two'" && got(9L) === "nine")
+    assert(got(0L) === "n0")
+  }
+
+  test("sink deleteWhen on a DV table: CDC apply with zero file rewrites") {
+    val cdcSchema = StructType(schema.fields :+ StructField("op", StringType))
+    val outDir = tmpDir("dsink-cdvc-out") + "/t"
+    val out = DeltaTable.forPath(spark, outDir).create(schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    out.append(rows(0 until 8))
+    val before = out.snapshot.files.map(_.path).toSet
+    val appId = "cdc-dv-test"
+    new DeltaStreamSink(spark, outDir, Nil, appId, Seq("id"),
+      deleteWhen = Some("op = 'delete'"))
+      .addBatch(0L, Seq(
+        (3L, null.asInstanceOf[String], "delete"),
+        (4L, "four!", "update")).toDF("id", "name", "op"))
+    assert(before.subsetOf(out.snapshot.files.map(_.path).toSet),
+      "a DV-table CDC batch must not rewrite any original file")
+    val got = out.toDF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 7 && !got.contains(3L) && got(4L) === "four!")
+    // exactly-once: the txn rode the clause-merge commit; replay skips
+    val vBefore = out.log.latestVersion()
+    new DeltaStreamSink(spark, outDir, Nil, appId, Seq("id"),
+      deleteWhen = Some("op = 'delete'"))
+      .addBatch(0L, Seq((4L, "stale", "update")).toDF("id", "name", "op"))
+    assert(out.log.latestVersion() === vBefore)
+    assert(out.toDF.filter(col("id") === 4L).head().getString(1) === "four!")
+  }
+
   test("readChangeFeed: the stream replays exactly the batch change feed; DML needs no ignore*") {
     val t = DeltaTable.forPath(spark, tmpDir("dstream-cdf")).create(schema,
       configuration = Map(DeltaTable.CdfConfigKey -> "true"))
