@@ -217,26 +217,38 @@ case class ReorgTableCommand(path: String) extends LeafRunnableCommand {
 /** `DELETE FROM delta.`path` WHERE …` — [[DeltaTable.delete]] verbatim
   * (stats-index candidate pruning, CDF, row tracking, concurrency
   * guards). The condition re-resolves against the target table from its
-  * SQL text. Version -1 = nothing matched (no commit). */
+  * SQL text. Version -1 = nothing matched (no commit).
+  *
+  * On a table with `delta.enableDeletionVectors=true` SQL DML runs
+  * MERGE-ON-READ ([[DeltaTable.deleteWithDv]]) — delta-spark's
+  * behavior: the table property is SQL's only lever to pick the DV
+  * path, and enabling it declares exactly that intent. Semantics are
+  * identical either way (the DV engines are oracle-pinned against
+  * their copy-on-write twins); only the file economics differ. */
 case class DeltaDeleteCommand(path: String, condSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(DeltaTable.forPath(spark, path)
-      .delete(org.apache.spark.sql.functions.expr(condSql))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    val cond = org.apache.spark.sql.functions.expr(condSql)
+    Seq(Row(if (t.dvEnabled) t.deleteWithDv(cond) else t.delete(cond)))
+  }
 }
 
 /** `UPDATE delta.`path` SET c = e, … [WHERE …]` — [[DeltaTable.update]];
-  * no WHERE means every row (`true`), standard SQL semantics. */
+  * no WHERE means every row (`true`), standard SQL semantics. DV-enabled
+  * tables run merge-on-read ([[DeltaTable.updateWithDv]], see
+  * [[DeltaDeleteCommand]]). */
 case class DeltaUpdateCommand(path: String, set: Seq[(String, String)],
                               condSql: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
-    Seq(Row(DeltaTable.forPath(spark, path).update(
-      condSql.map(expr).getOrElse(lit(true)),
-      set.map { case (c, e) => c -> expr(e) }.toMap)))
+    val t = DeltaTable.forPath(spark, path)
+    val cond = condSql.map(expr).getOrElse(lit(true))
+    val sets = set.map { case (c, e) => c -> expr(e) }.toMap
+    Seq(Row(if (t.dvEnabled) t.updateWithDv(cond, sets) else t.update(cond, sets)))
   }
 }
 
@@ -255,7 +267,9 @@ case class DeltaMergeCommand(path: String, keyCols: Seq[String],
   override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, source)
-    Seq(Row(DeltaTable.forPath(spark, path).merge(src, keyCols)))
+    val t = DeltaTable.forPath(spark, path)
+    Seq(Row(if (t.dvEnabled) t.mergeWithDv(src, keyCols)
+    else t.merge(src, keyCols)))
   }
 }
 
@@ -276,7 +290,9 @@ case class DeltaMergeClausesCommand(path: String, keyCols: Seq[String],
   override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, source)
-    Seq(Row(DeltaTable.forPath(spark, path).mergeClauses(src, keyCols, clauses)))
+    val t = DeltaTable.forPath(spark, path)
+    Seq(Row(if (t.dvEnabled) t.mergeClausesWithDv(src, keyCols, clauses)
+    else t.mergeClauses(src, keyCols, clauses)))
   }
 }
 

@@ -105,6 +105,30 @@ class SqlRelationSpec extends SparkSpec {
     assert(rows.size === 8) // 10 - (1 matched D) - (2 stale) + (1 insert)
   }
 
+  test("SQL DML on a DV-enabled table runs merge-on-read: zero file rewrites") {
+    val dir = tmpDir("sqlrel-dv")
+    val t = DeltaTable.forPath(spark, dir).create(
+      Seq((0L, "x")).toDF("k", "v").schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    t.append((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val before = t.snapshot.files.map(_.path).toSet
+    assert(spark.sql(s"DELETE FROM delta.`$dir` WHERE k >= 18").head().getLong(0) > 0L)
+    assert(spark.sql(s"UPDATE delta.`$dir` SET v = 'u' WHERE k < 2").head().getLong(0) > 0L)
+    Seq((5L, "m5"), (100L, "m100")).toDF("k", "v").createOrReplaceTempView("dv_src")
+    assert(spark.sql(
+      s"""MERGE INTO delta.`$dir` t USING dv_src s ON t.k = s.k
+         |WHEN MATCHED AND s.v != 'zzz' THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0) > 0L)
+    val after = DeltaTable.forPath(spark, dir)
+    assert(before.subsetOf(after.snapshot.files.map(_.path).toSet),
+      "DV-enabled SQL DML must not rewrite any original data file")
+    assert(after.snapshot.files.exists(_.deletionVector.isDefined))
+    val got = after.toDF.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 19 && !got.contains(18L) && !got.contains(19L))
+    assert(got(0L) === "u" && got(1L) === "u")
+    assert(got(5L) === "m5" && got(100L) === "m100")
+  }
+
   test("INSERT INTO appends; INSERT OVERWRITE replaces") {
     val t = mkTable("sqlrel-ins")
     assert(spark.sql(
