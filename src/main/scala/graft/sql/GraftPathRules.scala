@@ -95,6 +95,24 @@ case class GraftPathRules(spark: SparkSession) extends Rule[LogicalPlan] {
         s"key columns (t.k = s.k [AND …]), got: ${other.sql}")
   }
 
+  /** `delta`.`<path>` as an ALTER-style UnresolvedTable/TableOrView
+    * target (the column/constraint DDL statements). */
+  private object GraftTable {
+    private def ok(parts: Seq[String]): Option[String] = parts match {
+      case Seq(d, p) if d.equalsIgnoreCase("delta") &&
+        (p.contains("/") || p.contains("\\")) &&
+        DeltaTable.forPath(spark, p).exists => Some(p)
+      case _ => None
+    }
+    def unapply(plan: LogicalPlan): Option[String] = plan match {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ok(t.multipartIdentifier)
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        ok(t.multipartIdentifier)
+      case _ => None
+    }
+  }
+
   /** Alias/table names a qualified column reference may use for a side
     * of the merge (`USING src s` → {src, s}). */
   private def aliasNamesOf(plan: LogicalPlan): Set[String] = plan match {
@@ -179,6 +197,59 @@ case class GraftPathRules(spark: SparkSession) extends Rule[LogicalPlan] {
       else
         DeltaMergeClausesCommand(p, mergeKeys(m.mergeCondition), m.sourceTable,
           mergeClausesOf(m))
+
+    // ---- column DDL (metadata-only commits on the Delta side) ----
+    case AddColumns(GraftTable(p), cols) =>
+      val fields = cols.map { c =>
+        require(c.path.isEmpty,
+          "ADD COLUMNS supports top-level columns (nested adds: evolve via mergeSchema)")
+        require(c.position.isEmpty,
+          "column position is not supported — new columns append at the end")
+        require(c.default.isEmpty,
+          "ADD COLUMNS with DEFAULT is not supported — declare defaults at CREATE TABLE")
+        (c.colName, c.dataType, c.nullable, c.comment)
+      }
+      DeltaAddColumnsCommand(p, fields)
+
+    case RenameColumn(GraftTable(p), field, newName) =>
+      require(field.name.size == 1,
+        "RENAME COLUMN supports top-level columns only")
+      DeltaRenameColumnCommand(p, field.name.head, newName)
+
+    case DropColumns(GraftTable(p), fields, ifExists) =>
+      DeltaDropColumnsCommand(p, fields.map { f =>
+        require(f.name.size == 1, "DROP COLUMN supports top-level columns only")
+        f.name.head
+      }, ifExists)
+
+    case AlterColumns(GraftTable(p), specs) =>
+      DeltaAlterColumnTypeCommand(p, specs.map { s =>
+        require(s.newDataType.isDefined && s.newNullability.isEmpty &&
+          s.newComment.isEmpty && s.newPosition.isEmpty &&
+          s.newDefaultExpression.isEmpty && !s.dropDefault,
+          "ALTER COLUMN supports TYPE widening only " +
+            "(delta type widening — nullability/comment/position/default do not apply)")
+        require(s.column.name.size == 1, "ALTER COLUMN supports top-level columns only")
+        s.column.name.head -> s.newDataType.get
+      })
+
+    case a: AddCheckConstraint =>
+      val pOpt = a.child.collectFirst { case GraftPath(pp) => pp }
+      pOpt match {
+        case Some(p) =>
+          val cc = a.checkConstraint
+          require(cc.userProvidedName != null,
+            "ADD CONSTRAINT needs an explicit constraint name")
+          DeltaAddConstraintCommand(p, cc.userProvidedName, cc.condition)
+        case None => a
+      }
+
+    case DropConstraint(GraftTable(p), name, ifExists, cascade) =>
+      require(!cascade, "DROP CONSTRAINT CASCADE does not apply to CHECK constraints")
+      DeltaDropConstraintCommand(p, name, ifExists)
+
+    case ShowTableProperties(GraftTable(p), key, _) =>
+      DeltaShowPropertiesCommand(p, key)
 
     case i: InsertIntoStatement if GraftPath.unapply(i.table).isDefined =>
       require(i.partitionSpec.isEmpty,

@@ -202,6 +202,104 @@ case class RestoreTableCommand(path: String, version: Option[Long],
   }
 }
 
+/** `ALTER TABLE delta.`path` ADD COLUMNS (c type [COMMENT …], …)` —
+  * [[DeltaTable.addColumns]]: a metadata-only commit; existing files
+  * null-fill the new columns at read time. */
+case class DeltaAddColumnsCommand(path: String,
+                                  cols: Seq[(String, DataType, Boolean, Option[String])])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val fields = cols.map { case (n, dt, nullable, comment) =>
+      val f = StructField(n, dt, nullable)
+      comment.map(f.withComment).getOrElse(f)
+    }
+    Seq(Row(DeltaTable.forPath(spark, path).addColumns(fields)))
+  }
+}
+
+/** `ALTER TABLE delta.`path` RENAME COLUMN a TO b` —
+  * [[DeltaTable.renameColumn]] (on a column-mapped table this is
+  * metadata-only; otherwise it refuses, the Delta contract). */
+case class DeltaRenameColumnCommand(path: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(DeltaTable.forPath(spark, path).renameColumn(from, to)))
+}
+
+/** `ALTER TABLE delta.`path` DROP COLUMN[S] …` —
+  * [[DeltaTable.dropColumn]] per column (metadata-only on mapped
+  * tables); IF EXISTS skips absent names quietly. */
+case class DeltaDropColumnsCommand(path: String, names: Seq[String],
+                                   ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    var v = -1L
+    names.foreach { n =>
+      if (!ifExists || t.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+        v = t.dropColumn(n)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE delta.`path` ALTER COLUMN c TYPE t` —
+  * [[DeltaTable.widenColumnType]] (the Delta type-widening feature:
+  * only safe widenings commit; anything else refuses there). */
+case class DeltaAlterColumnTypeCommand(path: String,
+                                       changes: Seq[(String, DataType)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    Seq(Row(changes.map { case (n, dt) => t.widenColumnType(n, dt) }.last))
+  }
+}
+
+/** `ALTER TABLE delta.`path` ADD CONSTRAINT name CHECK (…)` —
+  * [[DeltaTable.addCheckConstraint]]: verifies existing rows FIRST,
+  * then commits the constraint into the table configuration. */
+case class DeltaAddConstraintCommand(path: String, name: String,
+                                     conditionSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(DeltaTable.forPath(spark, path).addCheckConstraint(name, conditionSql)))
+}
+
+/** `ALTER TABLE delta.`path` DROP CONSTRAINT [IF EXISTS] name`. */
+case class DeltaDropConstraintCommand(path: String, name: String,
+                                      ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    val key = DeltaTable.ConstraintPrefix + name.toLowerCase
+    val present = t.snapshot.metadata.exists(_.configuration.contains(key))
+    if (!present && ifExists) Seq(Row(-1L))
+    else Seq(Row(t.dropConstraint(name)))
+  }
+}
+
+/** `SHOW TBLPROPERTIES delta.`path` [('key')]` — the table
+  * configuration (constraints ride under their `delta.constraints.`
+  * keys, exactly as stored). */
+case class DeltaShowPropertiesCommand(path: String, key: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "key" -> StringType, "value" -> StringType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val conf = DeltaTable.forPath(spark, path).snapshot.metadata
+      .map(_.configuration).getOrElse(Map.empty)
+    key match {
+      case Some(k) => Seq(Row(k, conf.getOrElse(k,
+        s"Table ${path} does not have property: $k")))
+      case None => conf.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
 /** `REORG TABLE delta.`path` APPLY (PURGE)` —
   * [[DeltaTable.purgeDeletionVectors]]: rewrite every DV-carrying file
   * without its deleted rows so the bitmaps disappear (Delta proper's

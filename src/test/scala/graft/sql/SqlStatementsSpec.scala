@@ -110,6 +110,67 @@ class SqlStatementsSpec extends SparkSpec {
     assert(det.head.getLong(det.head.fieldIndex("numFiles")) === 2L)
   }
 
+  test("ALTER TABLE column DDL: ADD/RENAME/DROP/ALTER COLUMN from SQL") {
+    val dir = tmpDir("sqlstmt-coldd")
+    val t = DeltaTable.forPath(spark, dir).create(
+      Seq((0L, 0)).toDF("a", "b").schema,
+      configuration = Map(
+        DeltaTable.ColumnMappingModeKey -> "name",
+        "delta.enableTypeWidening" -> "true"))
+    t.append(Seq((1L, 10), (2L, 20)).toDF("a", "b"))
+    val files0 = t.snapshot.files.map(_.path).toSet
+    assert(spark.sql(
+      s"ALTER TABLE delta.`$dir` ADD COLUMNS (c STRING COMMENT 'note', d BIGINT)")
+      .head().getLong(0) > 0L)
+    assert(spark.sql(s"ALTER TABLE delta.`$dir` RENAME COLUMN c TO c2")
+      .head().getLong(0) > 0L)
+    assert(spark.sql(s"ALTER TABLE delta.`$dir` DROP COLUMN d").head().getLong(0) > 0L)
+    // IF EXISTS on an absent column: quiet no-op (-1)
+    assert(spark.sql(s"ALTER TABLE delta.`$dir` DROP COLUMN IF EXISTS nope")
+      .head().getLong(0) === -1L)
+    assert(spark.sql(s"ALTER TABLE delta.`$dir` ALTER COLUMN b TYPE BIGINT")
+      .head().getLong(0) > 0L)
+    val after = DeltaTable.forPath(spark, dir)
+    assert(after.schema.fieldNames.toSeq === Seq("a", "b", "c2"))
+    assert(after.schema("b").dataType === LongType)
+    assert(after.schema("c2").getComment().contains("note"),
+      "the COMMENT must survive ADD + RENAME")
+    assert(after.snapshot.files.map(_.path).toSet === files0,
+      "every column DDL statement must be metadata-only")
+    assert(spark.sql(s"SELECT a, b, c2 FROM delta.`$dir` ORDER BY a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSeq
+      === Seq((1L, 10L, true), (2L, 20L, true)))
+  }
+
+  test("ADD/DROP CONSTRAINT and SHOW TBLPROPERTIES from SQL") {
+    val dir = tmpDir("sqlstmt-constr")
+    val t = DeltaTable.forPath(spark, dir).create(Seq((0L, 0L)).toDF("a", "b").schema)
+    t.append((0L until 10L).map(i => (i, i)).toDF("a", "b"))
+    assert(spark.sql(
+      s"ALTER TABLE delta.`$dir` ADD CONSTRAINT nonneg CHECK (a >= 0)")
+      .head().getLong(0) > 0L)
+    // violating data refuses at write time — the constraint is live
+    intercept[Exception](
+      DeltaTable.forPath(spark, dir).append(Seq((-1L, 0L)).toDF("a", "b")))
+    // adding a constraint existing rows violate refuses
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE delta.`$dir` ADD CONSTRAINT impossible CHECK (a > 100)"))
+    val props = spark.sql(s"SHOW TBLPROPERTIES delta.`$dir`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("delta.constraints.nonneg") === "a >= 0")
+    assert(spark.sql(s"SHOW TBLPROPERTIES delta.`$dir` ('delta.constraints.nonneg')")
+      .head().getString(1) === "a >= 0")
+    assert(spark.sql(s"ALTER TABLE delta.`$dir` DROP CONSTRAINT nonneg")
+      .head().getLong(0) > 0L)
+    // IF EXISTS quiet; bare drop of an absent constraint refuses
+    assert(spark.sql(s"ALTER TABLE delta.`$dir` DROP CONSTRAINT IF EXISTS nonneg")
+      .head().getLong(0) === -1L)
+    intercept[Exception](spark.sql(s"ALTER TABLE delta.`$dir` DROP CONSTRAINT nonneg"))
+    DeltaTable.forPath(spark, dir).append(Seq((-1L, 0L)).toDF("a", "b"))
+    // catalog tables stay the default parser/analyzer's business
+    intercept[Exception](spark.sql("ALTER TABLE not_a_path_table ADD COLUMNS (x INT)"))
+  }
+
   test("REORG TABLE APPLY (PURGE) rewrites DV files; no-DV table is a quiet no-op") {
     val dir = tmpDir("sqlstmt-reorg")
     val t = DeltaTable.forPath(spark, dir).create(
