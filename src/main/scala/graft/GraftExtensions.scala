@@ -43,6 +43,53 @@ object GraftExtensions {
     // same Scala APIs; non-path identifiers fall through untouched
     ext.injectResolutionRule(session => graft.sql.GraftPathRules(session))
 
+    // table_changes('<path>', from[, to]) — the CDF as a TABLE FUNCTION
+    // (delta-spark's SQL surface for the change feed): versions as
+    // integers, timestamps as strings; `to` omitted = latest. Resolves
+    // through the same changes() engine as the Scala API and the CDF
+    // stream, so the three surfaces cannot drift.
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "table_changes",
+        "table_changes(path, fromVersionOrTs[, toVersionOrTs]) - change-data-feed rows of a Delta path table", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3,
+          "table_changes(path, fromVersionOrTimestamp[, toVersionOrTimestamp])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v,
+            org.apache.spark.sql.types.StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes: path must be a string literal, got ${other.sql}")
+        }
+        val t = graft.delta.DeltaTable.forPath(spark, path)
+        def tsMs(s: String): Long =
+          java.time.Instant.parse(s.replace(" ", "T") +
+            (if (s.contains("Z") || s.contains("+")) "" else "Z")).toEpochMilli
+        // from-timestamp: first commit AT or after the cut (delta's
+        // inclusive contract); to-timestamp: last commit at or before it
+        def bound(e: Expression, isFrom: Boolean): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v,
+            org.apache.spark.sql.types.StringType) =>
+            val ms = tsMs(v.toString)
+            if (isFrom)
+              try t.log.versionAt(ms - 1) + 1
+              catch { case _: IllegalArgumentException => 0L }
+            else t.log.versionAt(ms)
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+            if Seq(org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType,
+              org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.ByteType).contains(dt) =>
+            v.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"table_changes: version bound must be an integer or timestamp-string literal, got ${other.sql}")
+        }
+        val from = bound(args(1), isFrom = true)
+        val to = if (args.size == 3) bound(args(2), isFrom = false)
+        else t.log.latestVersion()
+        t.changes(from, to).queryExecution.analyzed
+      }))
+
     // -- scalar kernels over arrays/longs (direct expression constructors)
 
     register(ext, "graft_shingle_hashes",

@@ -141,4 +141,33 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("string literal"))
   }
+
+  test("table_changes(): the CDF as a SQL table function, same rows as changes()") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ext-tvf").toString
+    val t = graft.delta.DeltaTable.forPath(spark, dir).create(
+      Seq((0L, "x")).toDF("k", "v").schema,
+      configuration = Map(graft.delta.DeltaTable.CdfConfigKey -> "true"))
+    t.append((0L until 6L).map(i => (i, s"v$i")).toDF("k", "v")) // v1
+    t.delete(col("k") >= 4L)                                     // v2
+    t.update(col("k") === 0L, Map("v" -> lit("zero")))           // v3
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "v", graft.delta.DeltaTable.ChangeTypeCol, "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._4, x._3, x._1)).toSeq
+    // full range, `to` omitted = latest
+    assert(key(spark.sql(s"SELECT * FROM table_changes('$dir', 1)"))
+      === key(t.changes(1L, t.log.latestVersion())))
+    // bounded range via SQL
+    assert(key(spark.sql(s"SELECT * FROM table_changes('$dir', 2, 2)"))
+      === key(t.changes(2L, 2L)))
+    // it is a real relation: filters and aggregates compose
+    assert(spark.sql(
+      s"""SELECT count(*) FROM table_changes('$dir', 1)
+         |WHERE _change_type = 'delete'""".stripMargin).head().getLong(0) === 2L)
+    // timestamp bounds: everything from before the table began
+    assert(key(spark.sql(
+      s"SELECT * FROM table_changes('$dir', '2000-01-01T00:00:00')"))
+      === key(t.changes(0L, t.log.latestVersion())))
+  }
 }
