@@ -19,13 +19,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   * Offsets are table VERSIONS (`LongOffset(v)` = "data through commit v
   * emitted"), so the checkpoint contract is exactly the log: a restart
   * resumes from the last committed version with no duplicates and no
-  * loss. The first batch is the table's full snapshot at stream start
-  * (or nothing, with `startingVersion` = tail from that commit on);
-  * each subsequent batch is the `dataChange` adds of the new commits.
+  * loss. The INITIAL SNAPSHOT (the whole table at stream start) emits
+  * in file-chunked batches of `maxFilesPerTrigger` via
+  * [[SnapshotOffset]] — at 100 TB the snapshot is the table, and one
+  * batch over it would be a cluster-day trigger; the checkpoint records
+  * exact (version, fileIndex) progress so a restart resumes
+  * MID-SNAPSHOT. After the snapshot (or from `startingVersion` on),
+  * each batch is the `dataChange` adds of the new commits.
   *
   * Options:
   *  - `path` (required): table directory
   *  - `startingVersion`: skip the initial snapshot, emit commits ≥ v
+  *  - `maxFilesPerTrigger` (default 1000): initial-snapshot chunk size
   *  - `ignoreDeletes`: tolerate delete-only commits (their removed rows
   *    were already emitted; nothing re-emits)
   *  - `ignoreChanges`: additionally tolerate rewrites (UPDATE/MERGE/
@@ -197,6 +202,19 @@ final class DeltaStreamSink(spark: SparkSession, path: String,
   override def toString: String = s"DeltaStreamSink[$path]"
 }
 
+/** Composite stream offset: `index >= 0` means "the first `index` files
+  * (path-sorted) of version `version`'s INITIAL SNAPSHOT are emitted";
+  * `index = -1` means "everything through commit `version` is emitted"
+  * (the tail-mode / snapshot-complete form, JSON-compatible with the
+  * legacy plain-long offsets older checkpoints carry). Splitting the
+  * initial snapshot is the 100 TB requirement: a snapshot is the whole
+  * table, and ONE micro-batch over it would be a cluster-day batch —
+  * `maxFilesPerTrigger` (default 1000, delta-spark's) paces it while
+  * the checkpoint records exact file progress for restart. */
+final case class SnapshotOffset(version: Long, index: Long) extends Offset {
+  override def json(): String = s"""{"version":$version,"index":$index}"""
+}
+
 final class DeltaStreamSource(spark: SparkSession, path: String,
                               parameters: Map[String, String]) extends Source {
   import Actions._
@@ -225,6 +243,13 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
   private val maxVersionsPerTrigger: Option[Long] =
     opts.get("maxversionspertrigger").map(_.toLong)
   require(maxVersionsPerTrigger.forall(_ > 0), "maxVersionsPerTrigger must be > 0")
+  /** Initial-snapshot pacing (delta-spark's option + default): at most
+    * this many snapshot FILES per micro-batch. Tail batches stay
+    * version-granular (`maxVersionsPerTrigger`) — commits are already
+    * incremental; the snapshot is the whole table. */
+  private val maxFilesPerTrigger: Long =
+    opts.get("maxfilespertrigger").map(_.toLong).getOrElse(1000L)
+  require(maxFilesPerTrigger > 0, "maxFilesPerTrigger must be > 0")
 
   /** CDF mode (`readChangeFeed=true`, the delta-spark option): batches
     * are CHANGE rows (table columns + `_change_type` /
@@ -242,66 +267,114 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
     if (readChangeFeed) table.cdfSchema else table.schema
   private val schemaJson = table.schema.json
 
-  /** Rate-limit baseline: the last offset handed out (or resumed to).
+  /** Rate-limit baseline: the last (version, index) handed out (or
+    * resumed to); index -1 = tail mode / snapshot complete.
     * Authoritative progress lives in the CHECKPOINT, not here — getBatch
     * re-seeds this on restart. */
-  private var lastSeen: Option[Long] = None
+  private var lastSeen: Option[(Long, Long)] = None
+
+  /** The initial snapshot's path-SORTED file list + snapshot (cached per
+    * version): deterministic across restarts, so a checkpointed file
+    * index always means the same files. */
+  private var snapCache: Option[(Long, Seq[AddFile], Snapshot)] = None
+  private def snapAt(v: Long): (Seq[AddFile], Snapshot) = snapCache match {
+    case Some((cv, fs, sn)) if cv == v => (fs, sn)
+    case _ =>
+      val sn = table.log.snapshotAt(v)
+      val fs = sn.files.sortBy(_.path)
+      snapCache = Some((v, fs, sn))
+      (fs, sn)
+  }
+
+  private def rank(o: (Long, Long)): (Long, Long) =
+    (o._1, if (o._2 < 0) Long.MaxValue else o._2)
 
   override def getOffset: Option[Offset] = {
     val latest = table.log.latestVersion()
-    if (latest < 0) None
-    else {
-      // rate-limit baseline: last offset handed out, or just below
-      // startingVersion on a fresh tail-mode start (so even the first
-      // trigger of a catch-up is paced)
-      val base = lastSeen.orElse(startingVersion.map(_ - 1))
-      val capped = (base, maxVersionsPerTrigger) match {
-        case (Some(l), Some(m)) => math.min(latest, l + m)
-        case _ => latest
-      }
-      lastSeen = Some(capped)
-      Some(LongOffset(capped))
+    if (latest < 0) return None
+    val cur = lastSeen.orElse(startingVersion.map(sv => (sv - 1, -1L)))
+    def tailFrom(v: Long): (Long, Long) =
+      (maxVersionsPerTrigger.fold(latest)(m => math.min(latest, v + m)), -1L)
+    val next: (Long, Long) = cur match {
+      case None =>
+        // fresh start: begin the chunked initial snapshot at `latest`
+        val (files, _) = snapAt(latest)
+        (latest, math.min(files.size.toLong, maxFilesPerTrigger))
+      case Some((v, i)) if i >= 0 =>
+        val n = snapAt(v)._1.size.toLong
+        if (i < n) (v, math.min(n, i + maxFilesPerTrigger)) // next snapshot chunk
+        else if (latest > v) tailFrom(v) // snapshot complete → tail
+        else (v, i)
+      case Some((v, _)) =>
+        if (latest > v) tailFrom(v) else (v, -1L)
     }
+    lastSeen = Some(next)
+    Some(if (next._2 >= 0) SnapshotOffset(next._1, next._2) else LongOffset(next._1))
   }
 
-  private def toVersion(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case s: SerializedOffset => LongOffset(s).offset
+  private def parseOffset(o: Offset): (Long, Long) = o match {
+    case SnapshotOffset(v, i) => (v, i)
+    case LongOffset(v) => (v, -1L)
+    case s: SerializedOffset =>
+      val txt = s.json.trim
+      if (txt.startsWith("{")) {
+        val node = Actions.mapper.readTree(txt)
+        (node.get("version").asLong(), node.get("index").asLong())
+      } else (txt.toLong, -1L)
     case other => throw new IllegalArgumentException(s"unexpected offset $other")
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = toVersion(end)
-    lastSeen = Some(math.max(endV, lastSeen.getOrElse(endV)))
+    val (endV, endI) = parseOffset(end)
+    lastSeen = Some(Seq(lastSeen.getOrElse((endV, endI)), (endV, endI))
+      .maxBy(rank))
     // the initial snapshot streams with deletion vectors APPLIED (the
     // same broadcast-bitmap scan filter as the batch read) — a table
     // maintained by merge-on-read upserts tails downstream directly
-    def initialSnapshot: DataFrame = {
-      val snap = table.log.snapshotAt(endV)
-      table.streamingBatchFor(snap.files, dvSnap = Some(snap))
+    def snapshotChunk(v: Long, from: Long, until: Long): DataFrame = {
+      val (files, sn) = snapAt(v)
+      val hi = if (until < 0) files.size.toLong else math.min(until, files.size.toLong)
+      table.streamingBatchFor(
+        files.slice(from.toInt, hi.toInt), dvSnap = Some(sn))
     }
-    if (readChangeFeed) {
+    def stamped(df: DataFrame, v: Long): DataFrame = {
       import org.apache.spark.sql.functions.{lit, timestamp_millis}
-      (start.map(toVersion), startingVersion) match {
-        case (Some(s), _) =>
-          if (s + 1 > endV)
-            org.apache.spark.sql.graft.StreamBridge.emptyStreaming(spark, schema)
-          else table.changesFrames(s + 1, endV, streaming = true)
-        case (None, Some(sv)) => table.changesFrames(sv, endV, streaming = true)
-        case (None, None) =>
-          val ts = table.log.readVersion(endV)
-            .flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(0L)
-          initialSnapshot
-            .withColumn(DeltaTable.ChangeTypeCol, lit("insert"))
-            .withColumn("_commit_version", lit(endV))
-            .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
-      }
-    } else {
-      (start.map(toVersion), startingVersion) match {
-        case (Some(s), _) => table.streamingBatchFor(addsInRange(s + 1, endV))
-        case (None, Some(sv)) => table.streamingBatchFor(addsInRange(sv, endV))
-        case (None, None) => initialSnapshot
-      }
+      val ts = table.log.readVersion(v)
+        .flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(0L)
+      df.withColumn(DeltaTable.ChangeTypeCol, lit("insert"))
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+    }
+    def empty: DataFrame =
+      org.apache.spark.sql.graft.StreamBridge.emptyStreaming(spark, schema)
+    val startP = start.map(parseOffset)
+    (startP, startingVersion) match {
+      // ---- mid-snapshot progress: emit the next chunk (plus, when the
+      // end offset already moved to tail form, the snapshot remainder
+      // and the tail range in one batch — restart compatibility) ----
+      case (Some((sv, si)), _) if si >= 0 =>
+        val chunk = snapshotChunk(sv, si, if (endV == sv) endI else -1L)
+        val chunkOut = if (readChangeFeed) stamped(chunk, sv) else chunk
+        if (endV == sv) chunkOut
+        else {
+          val tail =
+            if (readChangeFeed) table.changesFrames(sv + 1, endV, streaming = true)
+            else table.streamingBatchFor(addsInRange(sv + 1, endV))
+          chunkOut.unionByName(tail)
+        }
+      // ---- tail mode ----
+      case (Some((s, _)), _) =>
+        if (s + 1 > endV) empty
+        else if (readChangeFeed) table.changesFrames(s + 1, endV, streaming = true)
+        else table.streamingBatchFor(addsInRange(s + 1, endV))
+      case (None, Some(startV)) =>
+        if (readChangeFeed) table.changesFrames(startV, endV, streaming = true)
+        else table.streamingBatchFor(addsInRange(startV, endV))
+      // ---- first batch of the initial snapshot (endI < 0 = the legacy
+      // whole-snapshot offset an old checkpoint may carry) ----
+      case (None, None) =>
+        val chunk = snapshotChunk(endV, 0L, endI)
+        if (readChangeFeed) stamped(chunk, endV) else chunk
     }
   }
 

@@ -281,6 +281,69 @@ class DeltaStreamSpec extends SparkSpec {
       === Seq("second"))
   }
 
+  test("chunked initial snapshot: maxFilesPerTrigger paces the first load, then tails") {
+    val t = mkTable("dstream-chunk")
+    (0 until 6).foreach(i => t.append(rows(i * 10 until i * 10 + 5).coalesce(1)))
+    assert(t.snapshot.files.size === 6)
+    val q = readStream(t, "maxFilesPerTrigger" -> "2").writeStream.format("memory")
+      .queryName("dstream_chunk")
+      .option("checkpointLocation", tmpDir("dstream-chunk-ck")).start()
+    try {
+      q.processAllAvailable()
+      // all 30 snapshot rows arrive, exactly once, across 3 chunked batches
+      assert(spark.table("dstream_chunk").count() === 30L)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"a 6-file snapshot at maxFilesPerTrigger=2 must take >= 3 batches, " +
+          s"got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+      // tail after the snapshot: normal incremental batches
+      t.append(rows(100 until 103))
+      q.processAllAvailable()
+      assert(spark.table("dstream_chunk").count() === 33L)
+      assert(spark.table("dstream_chunk").select("id").as[Long].collect().toSet.size === 33)
+    } finally q.stop()
+  }
+
+  test("snapshot offsets restart mid-chunk: exact file progress, no dupes, no loss") {
+    val t = mkTable("dstream-resume")
+    (0 until 5).foreach(i => t.append(rows(i * 10 until i * 10 + 4).coalesce(1)))
+    // strip the isStreaming marker so the chunk frames execute as batch
+    // queries (the engine normally executes them inside a micro-batch)
+    def cnt(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val plan = df.queryExecution.analyzed.transformUp {
+        case r: LogicalRelation if r.isStreaming => r.copy(isStreaming = false)
+        case l: LocalRelation if l.isStreaming => l.copy(isStreaming = false)
+      }
+      org.apache.spark.sql.graft.StreamBridge.ofRows(spark, plan).count()
+    }
+    val mk = () => new DeltaStreamSource(spark, t.path, Map("maxFilesPerTrigger" -> "2"))
+    val s1 = mk()
+    val o1 = s1.getOffset.get
+    assert(o1 === SnapshotOffset(5L, 2L))
+    val b1 = s1.getBatch(None, o1)
+    assert(cnt(b1) === 8L, "first chunk = 2 files x 4 rows")
+    val o2 = s1.getOffset.get
+    assert(o2 === SnapshotOffset(5L, 4L))
+    // RESTART between chunks: a fresh source replays the recovered batch
+    // from serialized offsets, then continues from exact file progress
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    val s2 = mk()
+    val b2 = s2.getBatch(Some(SerializedOffset(o1.json())), SerializedOffset(o2.json()))
+    assert(cnt(b2) === 8L, "recovered mid-snapshot batch = files [2,4)")
+    val o3 = s2.getOffset.get
+    assert(o3 === SnapshotOffset(5L, 5L), "restart must resume at file 4, not 0")
+    assert(cnt(s2.getBatch(Some(o2), o3)) === 4L)
+    // snapshot complete → tail offsets take over; a new commit arrives
+    t.append(rows(900 until 902))
+    val o4 = s2.getOffset.get
+    assert(cnt(s2.getBatch(Some(o3), o4)) === 2L, "tail after chunked snapshot")
+    // legacy plain-long offsets (an old checkpoint) still parse as tail
+    t.append(rows(910 until 913))
+    val o5 = s2.getOffset.get
+    assert(cnt(s2.getBatch(Some(SerializedOffset("6")), SerializedOffset(o5.json()))) === 3L)
+  }
+
   test("sink deleteWhen: streaming CDC apply — deletes, upserts, marker column never writes") {
     val cdcSchema = StructType(schema.fields :+ StructField("op", StringType))
     val srcDir = tmpDir("dsink-cdc-src")
