@@ -1195,32 +1195,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val baseSchema = baseSnap.schema.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
     val evolution: Seq[org.apache.spark.sql.types.StructField] =
-      if (!mergeSchema) Nil
-      else {
-        // case-INSENSITIVE name match (Spark's default resolution):
-        // a source column differing only in case must resolve to the
-        // existing field, not evolve into a duplicate-modulo-case one —
-        // a schema Delta proper rejects outright
-        val have = baseSchema.fieldNames.map(_.toLowerCase).toSet
-        val fresh = df.schema.fields.filter(f => !have.contains(f.name.toLowerCase))
-          .map(_.copy(nullable = true)).toSeq
-        if (!columnMappingEnabled) fresh
-        else {
-          // mapped tables: evolved fields need fresh stable ids and
-          // physical names (maxColumnId advances in the same commit)
-          val maxId = baseSnap.metadata
-            .flatMap(_.configuration.get(DeltaTable.ColumnMappingMaxIdKey))
-            .map(_.toLong).getOrElse(0L)
-          fresh.zipWithIndex.map { case (f, i) =>
-            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong(DeltaTable.ColMapIdKey, maxId + i + 1)
-              .putString(DeltaTable.ColMapPhysKey,
-                s"col-${java.util.UUID.randomUUID()}")
-              .build())
-          }
-        }
-      }
+      if (!mergeSchema) Nil else evolvedFieldsFor(baseSnap, df.schema)
     val evolvedSchema = org.apache.spark.sql.types.StructType(baseSchema.fields ++ evolution)
     val parts = partitionColumns
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
@@ -1636,12 +1611,24 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * `__merge_src_`-prefixed), the first-satisfied-clause action chain,
     * and the per-column CASE builders for updates and inserts. */
   private final class ClauseEngine(source: DataFrame, keyCols: Seq[String],
-                                   clauses: Seq[DeltaTable.MergeClause]) {
+                                   clauses: Seq[DeltaTable.MergeClause],
+                                   effSchema: StructType,
+                                   physFields: Set[String]) {
     import DeltaTable._
     requireIdentityProvided(source, "MERGE")
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")
-    val sch: StructType = schema
+    /** The merge's EFFECTIVE schema — the table's, plus (under
+      * mergeSchema) the evolving columns; `physFields` are the columns
+      * physically present on the target's files, so an evolving column
+      * reads as NULL on target rows ([[targetValue]]). */
+    val sch: StructType = effSchema
+
+    /** The target-side value of column `n`: its column when the files
+      * have it, a typed NULL when it is this merge's schema evolution. */
+    def targetValue(n: String): org.apache.spark.sql.Column =
+      if (physFields(n)) col(n)
+      else lit(null).cast(sch.fields.find(_.name == n).get.dataType)
     keyCols.foreach(k => require(sch.fieldNames.contains(k), s"unknown key column '$k'"))
     private val srcByLower = source.columns.map(c => c.toLowerCase -> c).toMap
     keyCols.foreach(k => require(srcByLower.contains(k.toLowerCase),
@@ -1690,9 +1677,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       def canon(n: String): String = sch.fieldNames.find(_.equalsIgnoreCase(n))
         .getOrElse(throw new IllegalArgumentException(
           s"$ctx references unknown column '$n'"))
-      def tgt(n: String): UnresolvedAttribute = {
+      def tgt(n: String): org.apache.spark.sql.catalyst.expressions.Expression = {
         require(mode != 2, s"$ctx (an INSERT clause) cannot reference target column '$n'")
-        UnresolvedAttribute(Seq(canon(n)))
+        val c = canon(n)
+        if (physFields(c)) UnresolvedAttribute(Seq(c))
+        else org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+          sch.fields.find(_.name == c).get.dataType)
       }
       def src(n: String): UnresolvedAttribute = {
         require(mode != 1,
@@ -1784,7 +1774,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         bySrcCs.zipWithIndex.map { case (c, i) => (101 + i, c) })
         .collect { case (idx, c) if isUpd(c) => (idx, setValue(n, c)) }
       val f = sch.fields.find(_.name == n).get
-      branches.foldRight(col(n)) { case ((idx, v), acc) =>
+      branches.foldRight(targetValue(n)) { case ((idx, v), acc) =>
         v.fold(acc)(vv => when(col("__act") === idx, vv.cast(f.dataType)).otherwise(acc))
       }.as(n)
     }
@@ -1870,14 +1860,22 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   def mergeClauses(source: DataFrame, keyCols: Seq[String],
                    clauses: Seq[DeltaTable.MergeClause],
                    txnAppId: Option[String] = None,
-                   txnVersion: Long = -1L): Long = {
+                   txnVersion: Long = -1L,
+                   mergeSchema: Boolean = false): Long = {
     import DeltaTable._
     requireNotAppendOnly("MERGE")
     val snap = snapshot
     def txnApplied(s: Snapshot): Boolean = txnAppId.exists(app =>
       txnVersion >= 0 && s.txns.getOrElse(app, -1L) >= txnVersion)
     if (txnApplied(snap)) return -1L
-    val eng = new ClauseEngine(source, keyCols, clauses)
+    // mergeSchema (Delta's autoMerge for MERGE): source columns outside
+    // the table WIDEN the schema — the metaData update rides the SAME
+    // commit as the rewrite, carried rows read the new columns as NULL.
+    // Without it, extra source columns stay condition-only markers.
+    val evolution = if (!mergeSchema) Nil else evolvedFieldsFor(snap, source.schema)
+    val effSchema = StructType(schema.fields ++ evolution)
+    val eng = new ClauseEngine(source, keyCols, clauses, effSchema,
+      schema.fieldNames.toSet)
     import eng._
 
     // ---- affected files: matched-key holders (stats-pre-restricted)
@@ -1908,7 +1906,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       else Seq(col(MaterializedRowIdCol),
         lit(null).cast("long").as(MaterializedRcvCol))
     val carried = acted.filter(col("__act") === 0)
-      .select(sch.fieldNames.toSeq.map(col) ++ rtCarried: _*)
+      .select(sch.fieldNames.toSeq.map(n => targetValue(n).as(n)) ++ rtCarried: _*)
     val updated = acted.filter(inSet(updIdx))
       .select(sch.fieldNames.toSeq.map(updatedValue) ++ rtUpdated: _*)
 
@@ -1929,25 +1927,56 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val basePaths = snap.files.map(_.path).toSet
     val cdf = if (!cdfEnabled) None else {
       val plain = sch.fieldNames.toSeq
-      val pre = acted.filter(inSet(updIdx)).select(plain.map(col): _*)
+      val pre = acted.filter(inSet(updIdx))
+        .select(plain.map(n => targetValue(n).as(n)): _*)
         .withColumn(ChangeTypeCol, lit("update_preimage"))
       val post = acted.filter(inSet(updIdx))
         .select(plain.map(updatedValue): _*)
         .withColumn(ChangeTypeCol, lit("update_postimage"))
-      val dels = acted.filter(inSet(delIdx)).select(plain.map(col): _*)
+      val dels = acted.filter(inSet(delIdx))
+        .select(plain.map(n => targetValue(n).as(n)): _*)
         .withColumn(ChangeTypeCol, lit("delete"))
       val insCdf = inserts0.withColumn(ChangeTypeCol, lit("insert"))
       Some(pre.unionByName(post).unionByName(dels).unionByName(insCdf))
     }
+    // an evolving merge carries its metaData (+ any NTZ feature raise)
+    // in the same commit, and must not clobber a schema or config
+    // change that landed while it staged
+    val metaActions: Seq[Action] =
+      if (evolution.isEmpty) Nil
+      else {
+        val meta = snap.metadata.getOrElse(
+          throw new IllegalStateException(s"no table at $path"))
+        val ntz =
+          if (evolution.exists(f => DeltaTable.containsNtz(f.dataType)) &&
+            !snap.protocol.exists(_.writerFeatures.exists(_.contains("timestampNtz"))))
+            Seq(Action(protocol = Some(raisedProtocol(snap, 3, 7,
+              Seq("timestampNtz"), Seq("timestampNtz")))))
+          else Nil
+        ntz :+ Action(metaData = Some(meta.copy(
+          schemaString = effSchema.json,
+          configuration =
+            if (!columnMappingEnabled) meta.configuration
+            else meta.configuration + (DeltaTable.ColumnMappingMaxIdKey ->
+              effSchema.fields.flatMap(f =>
+                if (f.metadata.contains(DeltaTable.ColMapIdKey))
+                  Some(f.metadata.getLong(DeltaTable.ColMapIdKey))
+                else None).max.toString))))
+      }
     commitRewrite(affected,
       carried.unionByName(withConstraintChecks(updated.unionByName(inserts))),
       "MERGE",
       Map("predicateKeys" -> keyCols.mkString(","),
         "clauses" -> clauses.map(_.getClass.getSimpleName).mkString(",")),
-      extraCheck = s => s.files.map(_.path).forall(basePaths.contains),
+      extraCheck = s => s.files.map(_.path).forall(basePaths.contains) &&
+        (evolution.isEmpty ||
+          (s.metadata.map(_.schemaString) == snap.metadata.map(_.schemaString) &&
+            s.metadata.map(_.configuration) == snap.metadata.map(_.configuration))),
       conflictHint = "a concurrent commit added or rewrote files during this merge",
       changes = cdf,
-      txn = txnAppId.filter(_ => txnVersion >= 0).map(_ -> txnVersion))
+      txn = txnAppId.filter(_ => txnVersion >= 0).map(_ -> txnVersion),
+      writeSchema = effSchema,
+      extraActions = metaActions)
   }
 
   /** Merge-on-read MERGE with the FULL clause surface — the 100 TB
@@ -1979,7 +2008,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     def txnApplied(s: Snapshot): Boolean = txnAppId.exists(app =>
       txnVersion >= 0 && s.txns.getOrElse(app, -1L) >= txnVersion)
     if (txnApplied(snap)) return -1L
-    val eng = new ClauseEngine(source, keyCols, clauses)
+    val eng = new ClauseEngine(source, keyCols, clauses, schema,
+      schema.fieldNames.toSet)
     import eng._
 
     // matched-key candidates pre-restrict through the stats index; a
@@ -2049,7 +2079,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           }
         case None =>
           // insert-only outcome: no masks, just the new file + txn
-          val cdcActions = cdf.map(stageChangeFiles).getOrElse(Nil)
+          val cdcActions = cdf.map(stageChangeFiles(_)).getOrElse(Nil)
           var txnSkip = false
           val c = log.commit(
             adds.map(a => Action(add = Some(a))) ++ cdcActions ++ txnActs ++
@@ -2318,7 +2348,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           // insert-only outcome: no masks, just the new file + txn — a
           // lost race still throws (a concurrent add may hold a matched
           // key); only an already-recorded txn batch skips quietly
-          val cdcActions = cdf.map(stageChangeFiles).getOrElse(Nil)
+          val cdcActions = cdf.map(stageChangeFiles(_)).getOrElse(Nil)
           var txnSkip = false
           val c = log.commit(
             adds.map(a => Action(add = Some(a))) ++ cdcActions ++ txnActs ++
@@ -2431,7 +2461,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                            cdf: Option[DataFrame], operation: String,
                            params: Map[String, String],
                            extraCheck: Snapshot => Boolean = _ => true): Long = {
-    val cdcActions = cdf.map(stageChangeFiles).getOrElse(Nil)
+    val cdcActions = cdf.map(stageChangeFiles(_)).getOrElse(Nil)
     val expected: Map[String, Option[DeletionVectorDescriptor]] =
       plan.planned.map(p => p.f.path -> p.f.deletionVector).toMap
     val now = System.currentTimeMillis()
@@ -2725,6 +2755,38 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       hitPaths.contains(fs.makeQualified(new Path(path, f.path)).toUri.getPath))
   }
 
+  /** The schema-evolution delta of a source frame against `baseSnap`'s
+    * schema (append's `mergeSchema` and [[mergeClauses]]' share it):
+    * source columns the table lacks, appended NULLABLE so existing
+    * files read back null-filled. Case-INSENSITIVE name match (Spark's
+    * default resolution) — a source column differing only in case must
+    * resolve to the existing field, not evolve into a
+    * duplicate-modulo-case one, a schema Delta proper rejects outright.
+    * On column-mapped tables evolved fields get fresh stable ids and
+    * physical names (maxColumnId advances in the same commit). */
+  private def evolvedFieldsFor(baseSnap: Snapshot,
+                               srcSchema: StructType): Seq[org.apache.spark.sql.types.StructField] = {
+    val baseSchema = baseSnap.schema.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val have = baseSchema.fieldNames.map(_.toLowerCase).toSet
+    val fresh = srcSchema.fields.filter(f => !have.contains(f.name.toLowerCase))
+      .map(_.copy(nullable = true)).toSeq
+    if (!columnMappingEnabled) fresh
+    else {
+      val maxId = baseSnap.metadata
+        .flatMap(_.configuration.get(DeltaTable.ColumnMappingMaxIdKey))
+        .map(_.toLong).getOrElse(0L)
+      fresh.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(DeltaTable.ColMapIdKey, maxId + i + 1)
+          .putString(DeltaTable.ColMapPhysKey,
+            s"col-${java.util.UUID.randomUUID()}")
+          .build())
+      }
+    }
+  }
+
   /** Stage `newData`, then atomically commit it as adds plus `affected`
     * as removes — the shared copy-on-write tail of [[merge]], [[delete]]
     * and [[update]]. A failed commit check is a LOST RACE, not a no-op:
@@ -2737,12 +2799,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * table dir, returning (staging dir to delete in the caller's
     * finally, collected adds). ONE copy of this recipe — three
     * hand-rolled copies diverged on error-path cleanup (review). */
-  private def stageWrite(newData: DataFrame): (Path, Seq[AddFile]) = {
+  private def stageWrite(newData: DataFrame,
+                         writeSchema: StructType = schema): (Path, Seq[AddFile]) = {
     val parts = partitionColumns
     val physParts = physicalPartNames(parts)
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val arranged = if (parts.nonEmpty) newData.repartition(parts.map(col): _*) else newData
-    val writer = toPhysicalForWrite(arranged, schema).write
+    val writer = toPhysicalForWrite(arranged, writeSchema).write
       .mode("overwrite").option("compression", "snappy")
     (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
       .parquet(staging.toString)
@@ -2756,7 +2819,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                             conflictHint: String =
                               "a concurrent commit rewrote files this operation was based on",
                             changes: Option[DataFrame] = None,
-                            txn: Option[(String, Long)] = None): Long = {
+                            txn: Option[(String, Long)] = None,
+                            writeSchema: StructType = schema,
+                            extraActions: Seq[Action] = Nil): Long = {
     // idempotent-replay pre-check (the append path's txn contract, for
     // DML): a batch the table already recorded skips BEFORE staging;
     // the same predicate re-runs inside the commit check, so a zombie
@@ -2764,8 +2829,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     def txnApplied(s: Snapshot): Boolean = txn.exists { case (app, v) =>
       s.txns.getOrElse(app, -1L) >= v }
     if (txnApplied(snapshot)) return -1L
-    val (staging, adds) = stageWrite(newData)
-    val cdcActions = changes.map(stageChangeFiles).getOrElse(Nil)
+    val (staging, adds) = stageWrite(newData, writeSchema)
+    val cdcActions = changes.map(stageChangeFiles(_, writeSchema)).getOrElse(Nil)
     try {
       // a file is "still ours" only with the same path AND the same DV
       // descriptor — a concurrent DV delete keeps the path live while
@@ -2773,7 +2838,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val expected = affected.map(f => f.path -> f.deletionVector).toMap
       var txnSkip = false
       val committed = log.commit(
-        adds.map(a => Action(add = Some(a))) ++
+        extraActions ++
+          adds.map(a => Action(add = Some(a))) ++
           cdcActions ++
           affected.map(f => Action(remove = Some(removeOf(f,
             System.currentTimeMillis())))) ++
@@ -2806,12 +2872,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * commit. Change files are written FLAT (partition columns stay
     * inline) — the reader lists paths from the commit JSON, never the
     * directory layout. */
-  private def stageChangeFiles(changes: DataFrame): Seq[Action] = {
+  private def stageChangeFiles(changes: DataFrame,
+                               writeSchema: StructType = schema): Seq[Action] = {
     val staging = new Path(path, s"_staging-cdc-${java.util.UUID.randomUUID()}")
     try {
       // change files carry PHYSICAL column names like data files (the
       // `_change_type` column is not in the schema and passes through)
-      toPhysicalForWrite(changes, schema).write
+      toPhysicalForWrite(changes, writeSchema).write
         .mode("overwrite").option("compression", "snappy")
         .parquet(staging.toString)
       val it = fs.listFiles(staging, true)

@@ -169,6 +169,44 @@ class MergeClausesSpec extends SparkSpec {
     assert(out(2L) === ((222L, "u2")) && out(30L) === ((300L, "i30")))
   }
 
+  test("mergeSchema: extra source columns widen the schema in the same commit") {
+    val t = target("mc-evolve")
+    val v0 = t.log.latestVersion()
+    val src = Seq((2L, 222L, "u2", 3.5), (30L, 300L, "i30", 7.25))
+      .toDF("id", "v", "tag", "score")
+    t.mergeClauses(src, Seq("id"),
+      Seq(WhenMatchedUpdate(), WhenNotMatchedInsert()), mergeSchema = true)
+    assert(t.log.latestVersion() === v0 + 1, "evolution + rewrite = ONE commit")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "tag", "score"))
+    val out = t.toDF.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out.size === 11)
+    assert(out(2L) === Some(3.5), "matched SET * writes the new column")
+    assert(out(30L) === Some(7.25), "INSERT * carries the new column")
+    assert(out(5L) === None, "carried rows read the new column as NULL")
+    // time travel still reads the OLD schema
+    assert(t.toDF(v0).columns.toSeq === Seq("id", "v", "tag"))
+  }
+
+  test("mergeSchema on a column-mapped table: evolved columns get fresh ids") {
+    val t = DeltaTable.forPath(spark, tmpDir("mc-evmap")).create(schema,
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
+    t.append((0L until 4L).map(i => (i, i * 10, "base")).toDF("id", "v", "tag"))
+    val src = Seq((1L, 11L, "u", "extra1")).toDF("id", "v", "tag", "note")
+    t.mergeClauses(src, Seq("id"),
+      Seq(WhenMatchedUpdate(), WhenNotMatchedInsert()), mergeSchema = true)
+    val f = t.schema("note")
+    assert(f.metadata.contains(DeltaTable.ColMapIdKey) &&
+      f.metadata.contains(DeltaTable.ColMapPhysKey),
+      "an evolved column on a mapped table needs a stable id + physical name")
+    val got = t.toDF.orderBy("id").select("note").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got === Seq(null, "extra1", null, null))
+    // a later rename of the evolved column stays metadata-only
+    t.renameColumn("note", "note2")
+    assert(t.toDF.filter(col("note2") === "extra1").count() === 1L)
+  }
+
   test("idempotent txn replay skips; unclaimed no-op merge returns -1") {
     val t = target("mc-txn")
     val src = Seq((1L, 111L, "u")).toDF("id", "v", "tag")
