@@ -216,7 +216,8 @@ final case class SnapshotOffset(version: Long, index: Long) extends Offset {
 }
 
 final class DeltaStreamSource(spark: SparkSession, path: String,
-                              parameters: Map[String, String]) extends Source {
+                              parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import Actions._
 
   private val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
@@ -289,13 +290,14 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
   private def rank(o: (Long, Long)): (Long, Long) =
     (o._1, if (o._2 < 0) Long.MaxValue else o._2)
 
-  override def getOffset: Option[Offset] = {
-    val latest = table.log.latestVersion()
+  /** One pacing step from `cur` toward `latest` — shared by the V1
+    * getOffset and the admission-control latestOffset (which the engine
+    * prefers whenever the interface is present). */
+  private def step(cur: Option[(Long, Long)], latest: Long): Option[(Long, Long)] = {
     if (latest < 0) return None
-    val cur = lastSeen.orElse(startingVersion.map(sv => (sv - 1, -1L)))
     def tailFrom(v: Long): (Long, Long) =
       (maxVersionsPerTrigger.fold(latest)(m => math.min(latest, v + m)), -1L)
-    val next: (Long, Long) = cur match {
+    Some(cur match {
       case None =>
         // fresh start: begin the chunked initial snapshot at `latest`
         val (files, _) = snapAt(latest)
@@ -307,10 +309,56 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
         else (v, i)
       case Some((v, _)) =>
         if (latest > v) tailFrom(v) else (v, -1L)
-    }
-    lastSeen = Some(next)
-    Some(if (next._2 >= 0) SnapshotOffset(next._1, next._2) else LongOffset(next._1))
+    })
   }
+
+  private def offsetOf(o: (Long, Long)): Offset =
+    if (o._2 >= 0) SnapshotOffset(o._1, o._2) else LongOffset(o._1)
+
+  override def getOffset: Option[Offset] = {
+    val next = step(lastSeen.orElse(startingVersion.map(sv => (sv - 1, -1L))),
+      cappedLatest)
+    next.foreach(n => lastSeen = Some(n))
+    next.map(offsetOf)
+  }
+
+  // ---- SupportsTriggerAvailableNow / SupportsAdmissionControl: the
+  // engine drives pacing through this STATELESS start→next API when the
+  // interface is present — and it is what lets Trigger.AvailableNow
+  // drain a chunked initial snapshot over MULTIPLE batches (the V1
+  // fallback fixes its end from one getOffset call and would stop after
+  // the first chunk) ----
+  private var availableNowCap: Option[Long] = None
+  private def cappedLatest: Long = {
+    val latest = table.log.latestVersion()
+    availableNowCap.fold(latest)(math.min(latest, _))
+  }
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.log.latestVersion())
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    startingVersion.map(sv => offsetOf((sv - 1, -1L)))
+      .getOrElse(SnapshotOffset(-1L, -1L)) // sentinel: nothing emitted yet
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    offsetOf(parseOffset(SerializedOffset(json)))
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur = (start match {
+      case o: Offset => Some(parseOffset(o))
+      case _ => None
+    }).filter(_._1 >= 0) // the sentinel parses as (-1, -1) = fresh start
+    val next = step(cur.orElse(startingVersion.map(sv => (sv - 1, -1L))),
+      cappedLatest)
+    next.foreach(n => lastSeen = Some(n))
+    next.map(offsetOf).orNull
+  }
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val l = table.log.latestVersion()
+    if (l < 0) null else LongOffset(l)
+  }
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
 
   private def parseOffset(o: Offset): (Long, Long) = o match {
     case SnapshotOffset(v, i) => (v, i)

@@ -303,6 +303,20 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a chunked snapshot across batches in one run") {
+    val t = mkTable("dstream-an")
+    (0 until 5).foreach(i => t.append(rows(i * 10 until i * 10 + 3).coalesce(1)))
+    val q = readStream(t, "maxFilesPerTrigger" -> "2").writeStream.format("memory")
+      .queryName("dstream_an")
+      .option("checkpointLocation", tmpDir("dstream-an-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // without the AvailableNow wrapper (GraftSession pins it on), the
+    // V1 fallback would run ONE batch = first 2 files = 6 rows
+    assert(spark.table("dstream_an").count() === 15L,
+      "AvailableNow must drain every snapshot chunk, not just the first")
+  }
+
   test("snapshot offsets restart mid-chunk: exact file progress, no dupes, no loss") {
     val t = mkTable("dstream-resume")
     (0 until 5).foreach(i => t.append(rows(i * 10 until i * 10 + 4).coalesce(1)))
