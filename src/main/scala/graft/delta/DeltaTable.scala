@@ -3797,6 +3797,41 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int =
     vacuumImpl(retentionMs, dryRun = false)
 
+  /** FSCK REPAIR (delta-spark's `FSCK REPAIR TABLE`): find snapshot
+    * files whose bytes are GONE from storage (out-of-band deletion, a
+    * bad lifecycle rule, a botched manual cleanup) and commit removes
+    * for them so reads stop failing with FileNotFound. The repair is a
+    * metadata commit — the lost rows are lost either way; recording the
+    * removes makes the loss explicit in the log (and CDC-visible)
+    * instead of a scan-time crash. `dryRun` lists the dangling
+    * references without committing. Returns the dangling paths.
+    *
+    * Scale: one driver existence probe per snapshot file, the same
+    * metadata rate as vacuum's listing — no data bytes move. */
+  def fsckRepair(dryRun: Boolean = false): Seq[String] = {
+    val snap = snapshot
+    val missing = snap.files.filter(f =>
+      !fs.exists(new Path(path, f.path))).sortBy(_.path)
+    if (missing.isEmpty || dryRun) return missing.map(_.path)
+    val expected = missing.map(f => f.path -> f.deletionVector).toMap
+    val now = System.currentTimeMillis()
+    val committed = log.commit(
+      missing.map(f => Action(remove = Some(removeOf(f, now)))) ++
+        Seq(Action(commitInfo = Some(CommitInfo(now, "FSCK",
+          Map("numRemovedFiles" -> missing.size.toString))))),
+      // only repair files still referenced EXACTLY as we observed them —
+      // a concurrent rewrite already un-referenced the path, and
+      // committing our remove over it would tombstone a live re-add
+      check = s => {
+        val live = s.files.map(f => f.path -> f.deletionVector).toMap
+        expected.forall { case (p, dv) => live.get(p).contains(dv) }
+      })
+    if (committed < 0)
+      throw new java.util.ConcurrentModificationException(
+        "FSCK lost a commit race: a concurrent commit touched the dangling files")
+    missing.map(_.path)
+  }
+
   /** VACUUM DRY RUN: list the files a vacuum at this retention WOULD
     * delete, touching nothing — the delta-spark `VACUUM ... DRY RUN`
     * safety valve before an irreversible collection. */

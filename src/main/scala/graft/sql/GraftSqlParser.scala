@@ -25,6 +25,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY (c1 [type], ...)]
   * CREATE TABLE '<dst>' SHALLOW|DEEP CLONE '<src>' [VERSION AS OF <n>]
   * REORG TABLE '<path>' APPLY (PURGE)
+  * FSCK REPAIR TABLE '<path>' [DRY RUN]
   * ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', ...)
   * }}}
@@ -89,6 +90,8 @@ object GraftSqlParser {
     s"""\\s*CREATE\\s+TABLE\\s+$Tbl\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""")
   private val ReorgRx = pat(
     s"""\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""")
+  private val FsckRx = pat(
+    s"""\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Tbl(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
   private val SetPropsRx = pat(
     s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""")
   private val UnsetPropsRx = pat(
@@ -149,6 +152,9 @@ object GraftSqlParser {
     }
     val rg = ReorgRx.matcher(sqlText)
     if (rg.matches()) return Some(ReorgTableCommand(tblOf(rg)))
+    val fsck = FsckRx.matcher(sqlText)
+    if (fsck.matches())
+      return Some(FsckRepairCommand(tblOf(fsck), dryRun = fsck.group(3) != null))
     val setp = SetPropsRx.matcher(sqlText)
     if (setp.matches())
       return Some(AlterPropertiesCommand(tblOf(setp),

@@ -312,6 +312,17 @@ case class ReorgTableCommand(path: String) extends LeafRunnableCommand {
     Seq(Row(path, DeltaTable.forPath(spark, path).purgeDeletionVectors()))
 }
 
+/** `FSCK REPAIR TABLE delta.`path` [DRY RUN]` —
+  * [[DeltaTable.fsckRepair]]: commit removes for snapshot files whose
+  * bytes are gone from storage so reads stop failing; DRY RUN lists the
+  * dangling references and touches nothing. One row per dangling file. */
+case class FsckRepairCommand(path: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("dangling_file" -> StringType)
+  override def run(spark: SparkSession): Seq[Row] =
+    DeltaTable.forPath(spark, path).fsckRepair(dryRun).map(Row(_))
+}
+
 /** `DELETE FROM delta.`path` WHERE …` — [[DeltaTable.delete]] verbatim
   * (stats-index candidate pruning, CDF, row tracking, concurrency
   * guards). The condition re-resolves against the target table from its

@@ -191,6 +191,32 @@ class SqlStatementsSpec extends SparkSpec {
     assert(after.log.latestVersion() === v0)
   }
 
+  test("FSCK REPAIR TABLE removes dangling file references; DRY RUN lists only") {
+    val dir = tmpDir("sqlstmt-fsck")
+    val t = DeltaTable.forPath(spark, dir).create(Seq((0L, 0L)).toDF("a", "b").schema)
+    (0 until 3).foreach(i =>
+      t.append(((i * 10L) until (i * 10L + 10L)).map(v => (v, v)).toDF("a", "b")
+        .coalesce(1)))
+    // healthy table: nothing dangling
+    assert(spark.sql(s"FSCK REPAIR TABLE delta.`$dir`").collect().isEmpty)
+    // out-of-band deletion (a lifecycle rule, a manual rm): reads break
+    val victim = t.snapshot.files.head.path
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, victim), false))
+    intercept[Exception](t.toDF.count())
+    val v0 = t.log.latestVersion()
+    val listed = spark.sql(s"FSCK REPAIR TABLE delta.`$dir` DRY RUN").collect()
+    assert(listed.map(_.getString(0)).toSeq === Seq(victim))
+    assert(t.log.latestVersion() === v0, "DRY RUN must not commit")
+    val repaired = spark.sql(s"FSCK REPAIR TABLE delta.`$dir`").collect()
+    assert(repaired.map(_.getString(0)).toSeq === Seq(victim))
+    val after = DeltaTable.forPath(spark, dir)
+    assert(after.log.latestVersion() === v0 + 1)
+    assert(after.toDF.count() === 20L, "reads work again; surviving files intact")
+    assert(after.log.history(Some(1)).head._2.exists(_.operation == "FSCK"))
+  }
+
   test("CONVERT TO DELTA imports a partitioned parquet directory in place") {
     val dir = tmpDir("sqlstmt-convert")
     (0L until 40L).map(i => (i, s"d${i % 2}")).toDF("v", "date")
