@@ -63,6 +63,31 @@ class DmlSkippingSpec extends SparkSpec {
     assert(got === Map(5L -> "m5", 7L -> "m7", 55L -> "new"))
   }
 
+  test("clause MERGE prunes by source-key ranges; by-source clauses scan (correctly)") {
+    import graft.delta.DeltaTable._
+    val (t, midPath) = mkPruned("dmlskip-mergecl")
+    // matched/insert-only clause set: same skipForKeys pre-restriction
+    // as the upsert merge — the unlinked mid file never opens
+    val src = Seq((5L, "D"), (7L, "m7"), (55L, "new")).toDF("id", "v")
+    assert(t.mergeClauses(src, Seq("id"), Seq(
+      WhenMatchedDelete(condition = Some("s.v = 'D'")),
+      WhenMatchedUpdate(),
+      WhenNotMatchedInsert())) > 0L)
+    assert(t.snapshot.files.map(_.path).contains(midPath))
+    val back = spark.read.parquet(t.snapshot.files
+      .filterNot(_.path == midPath)
+      .map(f => t.path + "/" + f.path): _*)
+    assert(back.where(col("id") === 5L).isEmpty, "matched 'D' row deleted")
+    assert(back.where(col("id").isin(7L, 55L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === Map(7L -> "m7", 55L -> "new"))
+    // a BY SOURCE clause's claims can live anywhere → the row-level scan
+    // is REQUIRED and must now fail loudly on the missing file instead
+    // of silently treating its rows as absent
+    intercept[Exception](t.mergeClauses(src, Seq("id"), Seq(
+      WhenMatchedUpdate(),
+      WhenNotMatchedBySourceDelete(condition = Some("t.id >= 240")))))
+  }
+
   test("DV DELETE/MERGE prune their position scans too") {
     val (t, midPath) = mkPruned("dmlskip-dv", Map(DeltaTable.DvConfigKey -> "true"))
     assert(t.deleteWithDv(col("id") === 3L) > 0L)
