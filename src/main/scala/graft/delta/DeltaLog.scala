@@ -845,6 +845,11 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       try {
         write(next, stamped)
         maybeCheckpoint(next)
+        // post-commit hooks (e.g. symlink-manifest maintenance) run after
+        // the commit is DURABLE: a hook failure propagates to the caller
+        // as a visible error, but the commit itself stands — delta-spark's
+        // PostCommitHook contract for GenerateSymlinkManifest.
+        postCommitHooks.foreach(h => h(next, snap, stamped))
         return next
       } catch {
         case _: VersionAlreadyExists => attempt += 1
@@ -852,6 +857,18 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     }
     throw new RuntimeException(s"commit retry ceiling ($maxAttempts) hit")
   }
+
+  /** Hooks invoked after every SUCCESSFUL commit through this log handle
+    * with (committedVersion, predecessorSnapshot, committedActions). The
+    * predecessor snapshot plus the actions fully determine the committed
+    * state, so hooks can maintain derived artifacts without re-listing
+    * the log. Registered once per [[DeltaTable]] instance; commits made
+    * through OTHER handles (or other writers entirely) do not fire them —
+    * same scope as delta-spark's transaction-local post-commit hooks. */
+  private val postCommitHooks =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Snapshot, Seq[Action]) => Unit]
+  def onPostCommit(h: (Long, Snapshot, Seq[Action]) => Unit): Unit =
+    synchronized { postCommitHooks += h }
 
   val checkpointInterval = 10
 

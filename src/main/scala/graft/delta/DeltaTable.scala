@@ -52,6 +52,14 @@ object DeltaTable {
     * `inCommitTimestamp`). */
   val IctConfigKey = "delta.enableInCommitTimestamps"
 
+  /** Symlink-format manifest maintenance (Delta's
+    * `delta.compatibility.symlinkFormatManifest.enabled`): when true,
+    * every data commit incrementally rewrites the Hive-symlink manifests
+    * under [[ManifestDirName]] so Presto/Trino/Athena-style external
+    * readers track the table without a manual GENERATE after each write. */
+  val SymlinkManifestKey = "delta.compatibility.symlinkFormatManifest.enabled"
+  val ManifestDirName = "_symlink_format_manifest"
+
   /** Row tracking (Delta writer feature `rowTracking` + `domainMetadata`):
     * every committed add carries a fresh contiguous base-row-id block
     * (assigned at commit time in [[DeltaLog.commitWith]] from the
@@ -358,6 +366,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   import Actions._
 
   val log = new DeltaLog(path, spark.sessionState.newHadoopConf(), Some(spark))
+  log.onPostCommit(maybeUpdateManifest)
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -387,6 +396,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         configuration.getOrElse(DeltaTable.ColumnMappingModeKey, "none")
       require(Set("none", "name", "id")(requestedMode),
         s"${DeltaTable.ColumnMappingModeKey} must be none|name|id, got '$requestedMode'")
+      if (configuration.get(DeltaTable.SymlinkManifestKey).contains("true"))
+        requireManifestCompatible(configuration, Nil)
       val mapping = requestedMode == "name" || requestedMode == "id"
       // column mapping composes with partitioning and CDF (round 11):
       // partition directories / partitionValues / change files all carry
@@ -584,7 +595,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       DeltaTable.AppendOnlyConfigKey, DeltaTable.AutoCompactConfigKey,
       DeltaTable.AutoCompactMinFilesKey, DeltaTable.IctConfigKey,
       DeltaTable.RowTrackingConfigKey, DeltaTable.CheckpointPolicyKey,
-      DeltaTable.ColumnMappingModeKey)
+      DeltaTable.ColumnMappingModeKey, DeltaTable.SymlinkManifestKey)
     props.keys.foreach { k =>
       require(!k.startsWith(DeltaTable.ConstraintPrefix),
         s"'$k' is a CHECK constraint — use addCheckConstraint/dropConstraint")
@@ -608,6 +619,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       require(snap0.files.isEmpty, "cannot enable row tracking on a non-empty " +
         "table — ids are assigned at commit time and are not backfilled; " +
         "enable at CREATE or on an empty table")
+    val conf0 = snap0.metadata.map(_.configuration).getOrElse(Map.empty)
+    // symlink manifests and deletion vectors are mutually exclusive in
+    // BOTH directions (delta-spark's rule): a manifest reader has no DV
+    // masking, so it would see deleted rows
+    if (props.get(DeltaTable.SymlinkManifestKey).contains("true"))
+      requireManifestCompatible(conf0 ++ props, snap0.files)
+    if (props.get(DeltaTable.DvConfigKey).contains("true"))
+      require(!(conf0 ++ props).get(DeltaTable.SymlinkManifestKey).contains("true"),
+        "cannot enable deletion vectors while symlink manifests are " +
+          "enabled — a manifest reader would see deleted rows")
     def turnsOn(key: String): Boolean = props.get(key).contains("true") &&
       !snap0.metadata.exists(_.configuration.get(key).contains("true"))
     val v2On = props.get(DeltaTable.CheckpointPolicyKey).contains("v2")
@@ -1394,6 +1415,144 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     } finally {
       fs.delete(staging, true)
     }
+  }
+
+  /** GENERATE symlink_format_manifest (delta-spark's `GENERATE` command):
+    * write Hive-symlink manifests under `_symlink_format_manifest/` so
+    * engines that read symlink text manifests (Presto, Trino, Athena,
+    * Hive) can query the CURRENT table snapshot without a Delta reader.
+    * Layout mirrors the data layout: one `manifest` text file per live
+    * partition directory (`k1=v1/k2=v2/manifest`; unpartitioned tables
+    * get a single root `manifest`), each line one fully-qualified data
+    * file URI. Manifest dirs for partitions with no live files are
+    * deleted. Returns the table-relative manifest paths written.
+    *
+    * Refused on deletion-vector tables (a symlink reader would resurrect
+    * DV-deleted rows) and on column-mapping tables (external readers
+    * resolve parquet columns by PHYSICAL name) — delta-spark's
+    * compatibility rules. Scale: manifests are metadata (one small text
+    * file per partition, written from the driver's file index); no data
+    * bytes move. Reference: kafka-delta-ingest targets external
+    * consumers via the delta log itself; this is the Hive-ecosystem
+    * bridge delta-spark pairs with it. */
+  def generateManifest(): Seq[String] = {
+    val snap = snapshot
+    require(snap.version >= 0, s"no table at $path")
+    val meta = snap.metadata.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    requireManifestCompatible(meta.configuration, snap.files)
+    writeManifests(snap.files, meta.partitionColumns, dirs = None)
+  }
+
+  private def requireManifestCompatible(conf: Map[String, String],
+                                        live: Seq[AddFile]): Unit = {
+    require(!conf.get(DeltaTable.DvConfigKey).contains("true") &&
+      !live.exists(_.deletionVector.isDefined),
+      "symlink manifests are not supported on deletion-vector tables — " +
+        "a manifest reader would see deleted rows; REORG TABLE APPLY " +
+        "(PURGE) first")
+    require(conf.getOrElse(DeltaTable.ColumnMappingModeKey, "none") == "none",
+      "symlink manifests are not supported with column mapping — external " +
+        "readers resolve parquet columns by physical name")
+  }
+
+  /** The manifest directory a data file belongs to: its Hive partition
+    * path built from `partitionValues` (NOT the file's parent dir —
+    * shallow-cloned adds carry absolute foreign paths while their
+    * partitionValues stay authoritative), "" for unpartitioned tables. */
+  private def manifestDirOf(f: AddFile, parts: Seq[String]): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    parts.map { c =>
+      val v = f.partitionValues.getOrElse(c, null)
+      escapePathName(c) + "=" +
+        (if (v == null) DeltaTable.HiveDefaultPartition else escapePathName(v))
+    }.mkString("/")
+  }
+
+  /** Rewrite manifests from the live file set. `dirs = None` is a FULL
+    * generation: every live partition's manifest is (re)written and any
+    * stale manifest dir (a partition no longer holding live files) is
+    * deleted. `dirs = Some(touched)` rewrites only the touched partition
+    * dirs — the incremental path the post-commit hook uses. */
+  private def writeManifests(live: Seq[AddFile], parts: Seq[String],
+                             dirs: Option[Set[String]]): Seq[String] = {
+    val byDir = live.groupBy(f => manifestDirOf(f, parts))
+    val manifestRoot = new Path(path, DeltaTable.ManifestDirName)
+    val targets = dirs.getOrElse(byDir.keySet)
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    targets.toSeq.sorted.foreach { dir =>
+      val mDir = if (dir.isEmpty) manifestRoot else new Path(manifestRoot, dir)
+      byDir.get(dir) match {
+        case Some(files) =>
+          val mFile = new Path(mDir, "manifest")
+          fs.mkdirs(mDir)
+          val body = files.map(f =>
+            fs.makeQualified(new Path(path, f.path)).toString)
+            .sorted.mkString("", "\n", "\n")
+          val out = fs.create(mFile, true)
+          try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          written += (DeltaTable.ManifestDirName +
+            (if (dir.isEmpty) "" else "/" + dir) + "/manifest")
+        case None =>
+          // partition emptied: its manifest must disappear, or a symlink
+          // reader keeps resurrecting the dropped files
+          if (fs.exists(mDir)) fs.delete(mDir, true)
+      }
+    }
+    if (dirs.isEmpty && fs.exists(manifestRoot)) {
+      // full generation also sweeps manifests of partitions that no
+      // longer exist at all (not merely emptied-this-commit)
+      val it = fs.listFiles(manifestRoot, true)
+      val rootQ = fs.makeQualified(manifestRoot).toString
+      val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName == "manifest") {
+          val rel = fs.makeQualified(st.getPath.getParent).toString
+            .stripPrefix(rootQ).stripPrefix("/")
+          if (!byDir.contains(rel)) stale += st.getPath.getParent
+        }
+      }
+      stale.foreach(p => fs.delete(p, true))
+    }
+    written.toSeq
+  }
+
+  /** Post-commit symlink-manifest maintenance
+    * (`delta.compatibility.symlinkFormatManifest.enabled`): after a data
+    * commit, rewrite the manifests of exactly the partitions the commit
+    * touched; after the enabling ALTER (or any metadata commit), run a
+    * full generation. The committed state is derived from the
+    * predecessor snapshot + the commit's own actions — no log re-listing
+    * on the hot commit path, and hook runs see precisely the state their
+    * commit produced even under concurrent writers. */
+  private def maybeUpdateManifest(version: Long, prev: Snapshot,
+                                  actions: Seq[Action]): Unit = {
+    val meta = actions.flatMap(_.metaData).lastOption.orElse(prev.metadata)
+    val conf = meta.map(_.configuration).getOrElse(Map.empty)
+    if (!conf.get(DeltaTable.SymlinkManifestKey).contains("true")) return
+    val parts = meta.map(_.partitionColumns).getOrElse(Nil)
+    val adds = actions.flatMap(_.add)
+    val removed = actions.flatMap(_.remove).map(_.path).toSet
+    val addedPaths = adds.map(_.path).toSet
+    val live = prev.files.filterNot(f =>
+      removed(f.path) || addedPaths(f.path)) ++ adds
+    requireManifestCompatible(conf, live)
+    val wasOn = prev.metadata.exists(
+      _.configuration.get(DeltaTable.SymlinkManifestKey).contains("true"))
+    if (!wasOn || actions.exists(_.metaData.isDefined)) {
+      writeManifests(live, parts, dirs = None)
+    } else {
+      // a remove action carries only the path — its partition comes from
+      // the predecessor's file index
+      val prevByPath = prev.files.iterator.map(f => f.path -> f).toMap
+      val touched = (adds.iterator.map(f => manifestDirOf(f, parts)) ++
+        removed.iterator.flatMap(prevByPath.get)
+          .map(f => manifestDirOf(f, parts))).toSet
+      if (touched.nonEmpty) writeManifests(live, parts, Some(touched))
+    }
+    ()
   }
 
   /** Post-append auto-compaction (`delta.autoOptimize.autoCompact`,
@@ -3857,7 +4016,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     var deleted = 0
     def walk(dir: Path): Unit = {
       val name = dir.getName
-      if (name == "_delta_log" || name.startsWith("_staging-")) return
+      if (name == "_delta_log" || name.startsWith("_staging-") ||
+        name == DeltaTable.ManifestDirName) return
       fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) walk(st.getPath)
         else {

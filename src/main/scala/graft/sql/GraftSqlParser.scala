@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * CREATE TABLE '<dst>' SHALLOW|DEEP CLONE '<src>' [VERSION AS OF <n>]
   * REORG TABLE '<path>' APPLY (PURGE)
   * FSCK REPAIR TABLE '<path>' [DRY RUN]
+  * GENERATE symlink_format_manifest FOR TABLE '<path>'
   * ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', ...)
   * }}}
@@ -92,6 +93,8 @@ object GraftSqlParser {
     s"""\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""")
   private val FsckRx = pat(
     s"""\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Tbl(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
+  private val GenerateRx = pat(
+    s"""\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$Tbl\\s*;?\\s*""")
   private val SetPropsRx = pat(
     s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""")
   private val UnsetPropsRx = pat(
@@ -155,6 +158,11 @@ object GraftSqlParser {
     val fsck = FsckRx.matcher(sqlText)
     if (fsck.matches())
       return Some(FsckRepairCommand(tblOf(fsck), dryRun = fsck.group(3) != null))
+    val gen = GenerateRx.matcher(sqlText)
+    if (gen.matches())
+      // mode is group 1, so the table path sits in groups 2/3 (not tblOf's 1/2)
+      return Some(GenerateManifestCommand(
+        Option(gen.group(2)).getOrElse(gen.group(3)), gen.group(1)))
     val setp = SetPropsRx.matcher(sqlText)
     if (setp.matches())
       return Some(AlterPropertiesCommand(tblOf(setp),

@@ -323,6 +323,19 @@ case class FsckRepairCommand(path: String, dryRun: Boolean)
     DeltaTable.forPath(spark, path).fsckRepair(dryRun).map(Row(_))
 }
 
+/** `GENERATE symlink_format_manifest FOR TABLE` — (re)writes the Hive
+  * symlink manifests for external Presto/Trino/Athena readers. Returns
+  * one row per manifest file written. */
+case class GenerateManifestCommand(path: String, mode: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("manifest_file" -> StringType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(mode.equalsIgnoreCase("symlink_format_manifest"),
+      s"unsupported GENERATE mode '$mode' — only symlink_format_manifest")
+    DeltaTable.forPath(spark, path).generateManifest().map(Row(_))
+  }
+}
+
 /** `DELETE FROM delta.`path` WHERE …` — [[DeltaTable.delete]] verbatim
   * (stats-index candidate pruning, CDF, row tracking, concurrency
   * guards). The condition re-resolves against the target table from its
