@@ -844,7 +844,8 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         }
       try {
         write(next, stamped)
-        maybeCheckpoint(next)
+        maybeCheckpoint(next,
+          stamped.flatMap(_.metaData).lastOption.orElse(snap.metadata))
         // post-commit hooks (e.g. symlink-manifest maintenance) run after
         // the commit is DURABLE: a hook failure propagates to the caller
         // as a visible error, but the commit itself stands — delta-spark's
@@ -870,6 +871,10 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   def onPostCommit(h: (Long, Snapshot, Seq[Action]) => Unit): Unit =
     synchronized { postCommitHooks += h }
 
+  /** Default checkpoint cadence; the `delta.checkpointInterval` table
+    * property overrides it per table (delta-spark's knob — a 100 TB
+    * table with thousand-commit days checkpoints more often so cold
+    * snapshot reads replay less JSON). */
   val checkpointInterval = 10
 
   /** Actions per checkpoint part: above this, the checkpoint writes as
@@ -884,8 +889,12 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   /** Every Nth version, write the spec-schema parquet checkpoint and
     * advance `_last_checkpoint`. Requires a SparkSession (skipped, with the
     * log staying pure-JSON, when constructed without one). */
-  private def maybeCheckpoint(version: Long): Unit = {
-    if (version <= 0 || version % checkpointInterval != 0) return
+  private def maybeCheckpoint(version: Long, meta: Option[Metadata]): Unit = {
+    val conf = meta.map(_.configuration).getOrElse(Map.empty)
+    val interval = conf.get(DeltaTable.CheckpointIntervalKey)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ >= 1)
+      .getOrElse(checkpointInterval)
+    if (version <= 0 || version % interval != 0) return
     val ss = spark.getOrElse(return)
     // the checkpoint must contain exactly version's state: snapshot()
     // would capture any commit a concurrent writer lands between our
@@ -906,6 +915,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     // top-level JSON carries the rest + checkpointMetadata + pointers
     if (snap.metadata.exists(_.configuration.get("delta.checkpointPolicy").contains("v2"))) {
       writeV2Checkpoint(ss, version, snap, nonFile)
+      maybeExpireLog(conf)
       return
     }
     val lines = actions.map(mapper.writeValueAsString)
@@ -935,6 +945,31 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     try lc.write(s"""{"version":$version,"size":${actions.size}$partsField}"""
       .getBytes(StandardCharsets.UTF_8))
     finally lc.close()
+    maybeExpireLog(conf)
+  }
+
+  /** Checkpoint-time log expiry (delta-spark's `doLogCleanup`, governed
+    * by `delta.enableExpiredLogCleanup`, default ON): commits whose file
+    * mtime is older than `delta.logRetentionDuration` (default 30 days)
+    * feed [[cleanupMetadata]] — its snap-down-to-a-checkpoint rule keeps
+    * every surviving version reconstructable, so this can only ever
+    * retire history nobody can time-travel to anyway. One directory
+    * listing; nothing to do on young tables. */
+  private def maybeExpireLog(conf: Map[String, String]): Unit = {
+    if (conf.get(DeltaTable.ExpiredLogCleanupKey).contains("false")) return
+    val retentionMs = conf.get(DeltaTable.LogRetentionKey)
+      .map(DeltaTable.parseIntervalMs).getOrElse(30L * 24 * 3600 * 1000)
+    val cutoffTime = System.currentTimeMillis() - retentionMs
+    val expired = fs.listStatus(logPath).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".json") && !n.contains("checkpoint") &&
+        st.getModificationTime < cutoffTime)
+        try Some(n.stripSuffix(".json").toLong)
+        catch { case _: NumberFormatException => None }
+      else None
+    }
+    if (expired.nonEmpty) cleanupMetadata(expired.max)
+    ()
   }
 
   /** V2-checkpoint writer: sidecar parquet part(s) (spec checkpoint

@@ -60,6 +60,41 @@ object DeltaTable {
   val SymlinkManifestKey = "delta.compatibility.symlinkFormatManifest.enabled"
   val ManifestDirName = "_symlink_format_manifest"
 
+  /** Retention/cadence table properties (delta-spark's):
+    * checkpoint cadence, checkpoint-time log expiry and its retention,
+    * and VACUUM's default tombstone retention. */
+  val CheckpointIntervalKey = "delta.checkpointInterval"
+  val LogRetentionKey = "delta.logRetentionDuration"
+  val ExpiredLogCleanupKey = "delta.enableExpiredLogCleanup"
+  val DeletedFileRetentionKey = "delta.deletedFileRetentionDuration"
+
+  /** vacuum()'s "use the table's configured retention" sentinel — a
+    * dedicated value because real negatives are meaningful (a cutoff in
+    * the future collects everything regardless of age). */
+  val TableDefaultRetention: Long = Long.MinValue
+
+  /** Delta's duration-property syntax → millis: "interval 7 days",
+    * "interval 168 hours" (the `interval` keyword optional, units
+    * week|day|hour|minute|second|millisecond, plural accepted). */
+  def parseIntervalMs(s: String): Long = {
+    val Rx =
+      """(?i)\s*(?:interval\s+)?(\d+)\s*(week|day|hour|minute|second|millisecond)s?\s*""".r
+    s match {
+      case Rx(n, unit) =>
+        val u = unit.toLowerCase match {
+          case "week" => 7L * 24 * 3600 * 1000
+          case "day" => 24L * 3600 * 1000
+          case "hour" => 3600L * 1000
+          case "minute" => 60L * 1000
+          case "second" => 1000L
+          case "millisecond" => 1L
+        }
+        n.toLong * u
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse duration '$s' — use e.g. 'interval 7 days'")
+    }
+  }
+
   /** Row tracking (Delta writer feature `rowTracking` + `domainMetadata`):
     * every committed add carries a fresh contiguous base-row-id block
     * (assigned at commit time in [[DeltaLog.commitWith]] from the
@@ -595,7 +630,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       DeltaTable.AppendOnlyConfigKey, DeltaTable.AutoCompactConfigKey,
       DeltaTable.AutoCompactMinFilesKey, DeltaTable.IctConfigKey,
       DeltaTable.RowTrackingConfigKey, DeltaTable.CheckpointPolicyKey,
-      DeltaTable.ColumnMappingModeKey, DeltaTable.SymlinkManifestKey)
+      DeltaTable.ColumnMappingModeKey, DeltaTable.SymlinkManifestKey,
+      DeltaTable.CheckpointIntervalKey, DeltaTable.LogRetentionKey,
+      DeltaTable.ExpiredLogCleanupKey, DeltaTable.DeletedFileRetentionKey)
+    // malformed cadence/retention values must fail at SET time, not
+    // surface later as a skipped checkpoint or an unparseable vacuum
+    props.get(DeltaTable.CheckpointIntervalKey).foreach(v =>
+      require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
+        s"${DeltaTable.CheckpointIntervalKey} must be a positive int, got '$v'"))
+    Seq(DeltaTable.LogRetentionKey, DeltaTable.DeletedFileRetentionKey)
+      .foreach(k => props.get(k).foreach(DeltaTable.parseIntervalMs))
     props.keys.foreach { k =>
       require(!k.startsWith(DeltaTable.ConstraintPrefix),
         s"'$k' is a CHECK constraint — use addCheckConstraint/dropConstraint")
@@ -3953,8 +3997,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * Scale: the referenced-set is path strings only (no footers), and
     * deletion is metadata-rate; for object stores this would batch
     * delete calls. */
-  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int =
-    vacuumImpl(retentionMs, dryRun = false)
+  def vacuum(retentionMs: Long = DeltaTable.TableDefaultRetention): Int =
+    vacuumImpl(resolvedRetention(retentionMs), dryRun = false)
+
+  /** The [[DeltaTable.TableDefaultRetention]] sentinel means "the
+    * table's default": the `delta.deletedFileRetentionDuration` property
+    * if set, else delta's 7-day standard. Every explicit retention wins
+    * verbatim — including NEGATIVE ones (cutoff in the future), which
+    * specs use for collect-everything-now sweeps. */
+  private def resolvedRetention(retentionMs: Long): Long =
+    if (retentionMs != DeltaTable.TableDefaultRetention) retentionMs
+    else snapshot.metadata
+      .flatMap(_.configuration.get(DeltaTable.DeletedFileRetentionKey))
+      .map(DeltaTable.parseIntervalMs)
+      .getOrElse(7L * 24 * 3600 * 1000)
 
   /** FSCK REPAIR (delta-spark's `FSCK REPAIR TABLE`): find snapshot
     * files whose bytes are GONE from storage (out-of-band deletion, a
@@ -3994,9 +4050,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   /** VACUUM DRY RUN: list the files a vacuum at this retention WOULD
     * delete, touching nothing — the delta-spark `VACUUM ... DRY RUN`
     * safety valve before an irreversible collection. */
-  def vacuumDryRun(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+  def vacuumDryRun(retentionMs: Long = DeltaTable.TableDefaultRetention): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    vacuumImpl(retentionMs, dryRun = true, onCandidate = out += _)
+    vacuumImpl(resolvedRetention(retentionMs), dryRun = true, onCandidate = out += _)
     out.toSeq.sorted
   }
 

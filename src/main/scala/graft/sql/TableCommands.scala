@@ -50,7 +50,10 @@ case class VacuumTableCommand(path: String, retainHours: Option[Long],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, path)
-    val retentionMs = retainHours.map(_ * 3600L * 1000).getOrElse(7L * 24 * 3600 * 1000)
+    // no RETAIN clause → the table's delta.deletedFileRetentionDuration
+    // (or delta's 7-day standard), resolved by the Scala API
+    val retentionMs = retainHours.map(_ * 3600L * 1000)
+      .getOrElse(DeltaTable.TableDefaultRetention)
     if (dryRun) t.vacuumDryRun(retentionMs).map(Row(_))
     else Seq(Row(path, t.vacuum(retentionMs).toLong))
   }
