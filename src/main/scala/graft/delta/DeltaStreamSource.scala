@@ -36,6 +36,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   *  - `ignoreChanges`: additionally tolerate rewrites (UPDATE/MERGE/
   *    overwrite): their re-added files RE-EMIT in full — the documented
   *    at-least-once caveat, same as delta-spark
+  *  - `skipChangeCommits`: skip delete/rewrite commits ENTIRELY (no
+  *    re-emission) while appends flow — supersedes ignoreChanges
   *  - `maxVersionsPerTrigger`: rate-limit a catch-up backlog
   *  - `readChangeFeed`: stream the CHANGE FEED instead of the data —
   *    batches carry table columns + `_change_type` / `_commit_version` /
@@ -241,6 +243,11 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
   }
   private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
   private val ignoreDeletes = ignoreChanges || opts.get("ignoredeletes").exists(_.toBoolean)
+  // delta-spark's successor option to ignoreChanges: SKIP data-changing
+  // commits wholesale (no re-emission of rewritten files at all) while
+  // plain appends keep flowing — the clean semantics for a downstream
+  // that wants an append-only view of an upserted table
+  private val skipChangeCommits = opts.get("skipchangecommits").exists(_.toBoolean)
   private val maxVersionsPerTrigger: Option[Long] =
     opts.get("maxversionspertrigger").map(_.toLong)
   require(maxVersionsPerTrigger.forall(_ > 0), "maxVersionsPerTrigger must be > 0")
@@ -443,6 +450,7 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
       val (dvAdds, plainAdds) = adds.partition(_.deletionVector.isDefined)
       val op = actions.flatMap(_.commitInfo).headOption.map(_.operation)
       if (removes.isEmpty && dvAdds.isEmpty) plainAdds
+      else if (skipChangeCommits) Nil // deletes AND rewrites: emit nothing
       else if (op.contains("DELETE")) {
         // both delete shapes — copy-on-write (remove + survivor re-add)
         // and deletion vectors (DV re-add) — emit NOTHING: every

@@ -114,6 +114,31 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("skipChangeCommits: deletes AND rewrites skip wholesale; appends still flow") {
+    val t = mkTable("dstream-skipcc")
+    t.append(rows(0 until 6))
+    val q = readStream(t, "skipChangeCommits" -> "true").writeStream
+      .format("memory").queryName("dstream_skipcc")
+      .option("checkpointLocation", tmpDir("dstream-skipcc-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dstream_skipcc").count() === 6L)
+      // a DELETE and an UPDATE both pass silently — nothing re-emits
+      t.delete(col("id") < 2L)
+      t.update(col("id") === 5L, Map("name" -> lit("x")))
+      q.processAllAvailable()
+      assert(spark.table("dstream_skipcc").count() === 6L,
+        "change commits skip wholesale: no retractions, no re-emissions")
+      // plain appends keep flowing
+      t.append(rows(10 until 13))
+      q.processAllAvailable()
+      assert(spark.table("dstream_skipcc").select("id").as[Long].collect().toSet
+        === (0L until 6L).toSet ++ Set(10L, 11L, 12L))
+      assert(spark.table("dstream_skipcc").filter(col("name") === "x").isEmpty,
+        "the rewritten file must never re-emit under skipChangeCommits")
+    } finally q.stop()
+  }
+
   test("startingVersion skips the snapshot; maxVersionsPerTrigger paces catch-up") {
     val t = mkTable("dstream-sv")
     t.append(rows(0 until 4))  // v1
