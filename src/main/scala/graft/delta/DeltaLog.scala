@@ -286,6 +286,19 @@ final case class Snapshot(
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 }
 
+/** Per-commit state summary persisted as `<version>.crc` next to the
+  * commit JSON (delta-spark's VersionChecksum sidecar — not part of
+  * PROTOCOL.md, ignored by readers that don't know it). */
+final case class VersionChecksum(
+    tableSizeBytes: Long,
+    numFiles: Long,
+    numMetadata: Int,
+    numProtocol: Int,
+    numDeletionVectors: Long = 0L,
+    deletedRecordCount: Long = 0L,
+    metadata: Option[Actions.Metadata] = None,
+    protocol: Option[Actions.Protocol] = None)
+
 /** Commit failed because the target version already exists. */
 final class VersionAlreadyExists(val version: Long)
   extends RuntimeException(s"delta version $version already exists")
@@ -320,6 +333,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   private def fs: FileSystem = logPath.getFileSystem(conf)
 
   def versionFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
+  private def checksumFile(v: Long): Path = new Path(logPath, f"$v%020d.crc")
   private def checkpointFile(v: Long): Path =
     new Path(logPath, f"$v%020d.checkpoint.parquet")
   private def checkpointPartFile(v: Long, part: Int, parts: Int): Path =
@@ -844,6 +858,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         }
       try {
         write(next, stamped)
+        writeChecksum(next, snap, stamped)
         maybeCheckpoint(next,
           stamped.flatMap(_.metaData).lastOption.orElse(snap.metadata))
         // post-commit hooks (e.g. symlink-manifest maintenance) run after
@@ -857,6 +872,72 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       }
     }
     throw new RuntimeException(s"commit retry ceiling ($maxAttempts) hit")
+  }
+
+  /** The committed state's live file set, derived from the predecessor
+    * snapshot plus the commit's own actions (re-adds win by path) — the
+    * replay result without re-listing the log. */
+  private def liveAfter(snap: Snapshot, actions: Seq[Action]): Seq[AddFile] = {
+    val adds = actions.flatMap(_.add)
+    val removed = actions.flatMap(_.remove).map(_.path).toSet
+    val addedPaths = adds.map(_.path).toSet
+    snap.files.filterNot(f => removed(f.path) || addedPaths(f.path)) ++ adds
+  }
+
+  /** Per-commit VERSION CHECKSUM (`<version>.crc`, delta-spark's
+    * VersionChecksum sidecar): a one-line JSON summary of the table
+    * state the commit produced — file count, byte size, DV tallies, the
+    * effective metadata and protocol. Readers cross-check replayed state
+    * against it ([[validateChecksum]]) to catch log corruption (a
+    * truncated JSON, a lost add line, a bad backfill) the moment it
+    * happens instead of as silently wrong query results. Write failures
+    * are non-fatal — the commit is already durable and the next commit
+    * writes the next checksum. */
+  private def writeChecksum(version: Long, snap: Snapshot,
+                            actions: Seq[Action]): Unit =
+    try {
+      val live = liveAfter(snap, actions)
+      val crc = VersionChecksum(
+        tableSizeBytes = live.map(_.size).sum,
+        numFiles = live.size.toLong,
+        numMetadata = 1, numProtocol = 1,
+        numDeletionVectors = live.count(_.deletionVector.isDefined).toLong,
+        deletedRecordCount = live.flatMap(_.deletionVector).map(_.cardinality).sum,
+        metadata = actions.flatMap(_.metaData).lastOption.orElse(snap.metadata),
+        protocol = actions.flatMap(_.protocol).lastOption.orElse(snap.protocol))
+      val out = fs.create(checksumFile(version), true)
+      try out.write(mapper.writeValueAsString(crc).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Cross-check a snapshot's replayed state against its commit's
+    * `.crc` checksum. Missing checksum (pre-feature history, a writer
+    * that crashed between the commit and the crc write, an external
+    * writer) validates vacuously; a PRESENT checksum that disagrees
+    * throws — replay produced state some writer never committed. */
+  def validateChecksum(snap: Snapshot): Unit = {
+    val f = checksumFile(snap.version)
+    if (!fs.exists(f)) return
+    val in = fs.open(f)
+    val crc =
+      try mapper.readValue(in: java.io.InputStream, classOf[VersionChecksum])
+      finally in.close()
+    val size = snap.files.map(_.size).sum
+    val dvs = snap.files.count(_.deletionVector.isDefined).toLong
+    val deleted = snap.files.flatMap(_.deletionVector).map(_.cardinality).sum
+    def fail(field: String, expect: Any, got: Any) =
+      throw new IllegalStateException(s"version ${snap.version} checksum " +
+        s"mismatch on $field: crc=$expect replayed=$got — the log is " +
+        "corrupt or was modified out-of-band")
+    if (crc.numFiles != snap.files.size.toLong)
+      fail("numFiles", crc.numFiles, snap.files.size)
+    if (crc.tableSizeBytes != size) fail("tableSizeBytes", crc.tableSizeBytes, size)
+    if (crc.numDeletionVectors != dvs) fail("numDeletionVectors", crc.numDeletionVectors, dvs)
+    if (crc.deletedRecordCount != deleted) fail("deletedRecordCount", crc.deletedRecordCount, deleted)
+    crc.metadata.zip(snap.metadata).foreach { case (a, b) =>
+      if (a.id != b.id) fail("metadata.id", a.id, b.id) }
+    crc.protocol.zip(snap.protocol).foreach { case (a, b) =>
+      if (a != b) fail("protocol", a, b) }
   }
 
   /** Hooks invoked after every SUCCESSFUL commit through this log handle
@@ -895,6 +976,15 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ >= 1)
       .getOrElse(checkpointInterval)
     if (version <= 0 || version % interval != 0) return
+    checkpointAt(version)
+    maybeExpireLog(conf)
+  }
+
+  /** Unconditionally checkpoint `version` (the cadence-independent form:
+    * DROP FEATURE's history truncation needs a checkpoint NOW at the
+    * current version, whatever the interval). Classic or V2 per the
+    * table's `delta.checkpointPolicy`. */
+  def checkpointAt(version: Long): Unit = {
     val ss = spark.getOrElse(return)
     // the checkpoint must contain exactly version's state: snapshot()
     // would capture any commit a concurrent writer lands between our
@@ -915,7 +1005,6 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     // top-level JSON carries the rest + checkpointMetadata + pointers
     if (snap.metadata.exists(_.configuration.get("delta.checkpointPolicy").contains("v2"))) {
       writeV2Checkpoint(ss, version, snap, nonFile)
-      maybeExpireLog(conf)
       return
     }
     val lines = actions.map(mapper.writeValueAsString)
@@ -945,7 +1034,6 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     try lc.write(s"""{"version":$version,"size":${actions.size}$partsField}"""
       .getBytes(StandardCharsets.UTF_8))
     finally lc.close()
-    maybeExpireLog(conf)
   }
 
   /** Checkpoint-time log expiry (delta-spark's `doLogCleanup`, governed
@@ -1067,6 +1155,10 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         case V2Rx(x, _) => Some(x.toLong)
         case _ if n.endsWith(".json") && !n.contains("checkpoint") =>
           try Some(n.stripSuffix(".json").toLong)
+          catch { case _: NumberFormatException => None }
+        // version checksums die with their commit JSON
+        case _ if n.endsWith(".crc") =>
+          try Some(n.stripSuffix(".crc").toLong)
           catch { case _: NumberFormatException => None }
         case _ => None
       }

@@ -734,6 +734,119 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       check = _.metadata.exists(m => keys.exists(m.configuration.contains)))
   }
 
+  /** Reader-scoped table features: dropping one changes what HISTORICAL
+    * versions require of readers, so the drop demands TRUNCATE HISTORY. */
+  private val readerScopedFeatures = Set("deletionVectors", "v2Checkpoint", "timestampNtz")
+
+  /** Per-feature "no trace left" preconditions for [[dropFeature]] —
+    * re-checked against every commit attempt's snapshot, so a concurrent
+    * writer re-introducing the feature turns the drop into a loud
+    * failure instead of a protocol that underclaims the state. */
+  private def requireNoFeatureTrace(name: String, s: Snapshot): Unit = {
+    val conf = s.metadata.map(_.configuration).getOrElse(Map.empty)
+    val sch = s.schema.getOrElse(StructType(Nil))
+    def off(key: String, hint: String): Unit =
+      require(!conf.get(key).contains("true"),
+        s"feature '$name' is still enabled — $hint first")
+    name match {
+      case "deletionVectors" =>
+        off(DeltaTable.DvConfigKey,
+          s"ALTER TABLE ... SET TBLPROPERTIES ('${DeltaTable.DvConfigKey}'='false')")
+        require(!s.files.exists(_.deletionVector.isDefined),
+          "live deletion vectors exist — REORG TABLE APPLY (PURGE) first")
+      case "v2Checkpoint" =>
+        require(!conf.get(DeltaTable.CheckpointPolicyKey).contains("v2"),
+          s"set ${DeltaTable.CheckpointPolicyKey}=classic first")
+      case "changeDataFeed" =>
+        off(DeltaTable.CdfConfigKey, s"disable ${DeltaTable.CdfConfigKey}")
+      case "inCommitTimestamp" =>
+        off(DeltaTable.IctConfigKey, s"disable ${DeltaTable.IctConfigKey}")
+      case "rowTracking" =>
+        off(DeltaTable.RowTrackingConfigKey, s"disable ${DeltaTable.RowTrackingConfigKey}")
+      case "generatedColumns" =>
+        require(!sch.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey)),
+          "generated columns remain in the schema — drop them first")
+      case "checkConstraints" =>
+        require(!conf.keys.exists(_.startsWith(DeltaTable.ConstraintPrefix)),
+          "CHECK constraints remain — DROP CONSTRAINT first")
+      case "identityColumns" =>
+        require(!sch.fields.exists(_.metadata.contains(DeltaTable.IdentityStartKey)),
+          "identity columns remain in the schema")
+      case "allowColumnDefaults" =>
+        require(!sch.fields.exists(_.metadata.contains(DeltaTable.CurrentDefaultKey)),
+          "DEFAULT columns remain in the schema")
+      case "timestampNtz" =>
+        require(!sch.fields.exists(f => DeltaTable.containsNtz(f.dataType)),
+          "TIMESTAMP_NTZ columns remain in the schema")
+      case "domainMetadata" =>
+        require(s.domainMetadata.isEmpty,
+          s"domains remain: ${s.domainMetadata.keys.toSeq.sorted.mkString(",")}")
+        require(!s.protocol.exists(_.writerFeatures.getOrElse(Nil).contains("rowTracking")),
+          "rowTracking depends on domainMetadata — drop it first")
+      case "columnMapping" =>
+        throw new IllegalArgumentException(
+          "columnMapping cannot be dropped — files carry physical column names forever")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported feature drop '$other'")
+    }
+  }
+
+  /** ALTER TABLE ... DROP FEATURE (delta-spark's feature removal): take a
+    * feature OUT of the table protocol once nothing in the table state
+    * uses it, downgrading to legacy protocol versions when the feature
+    * lists empty out. Reader-scoped features (DV, v2Checkpoint,
+    * timestampNtz) additionally require `truncateHistory = true`: a
+    * pre-drop version can still carry feature state (DV descriptors, V2
+    * checkpoints) that a reader trusting the downgraded protocol would
+    * misread, so the current version is checkpointed and everything below
+    * it retired before the downgrade commits — delta-spark's TRUNCATE
+    * HISTORY, minus its 24-hour wait (our `cleanupMetadata` seeds from
+    * the fresh checkpoint, so no reader ever needs the removed JSON).
+    * Returns the downgrade commit's version. */
+  def dropFeature(name: String, truncateHistory: Boolean = false): Long = {
+    val snap0 = snapshot
+    require(snap0.version >= 0, s"no table at $path")
+    val proto0 = snap0.protocol.getOrElse(Protocol())
+    require(proto0.readerFeatures.getOrElse(Nil).contains(name) ||
+      proto0.writerFeatures.getOrElse(Nil).contains(name),
+      s"feature '$name' is not in the table protocol")
+    requireNoFeatureTrace(name, snap0)
+    if (readerScopedFeatures(name))
+      require(truncateHistory, s"dropping reader feature '$name' requires " +
+        "TRUNCATE HISTORY — historical versions may still carry its state")
+    if (truncateHistory) {
+      log.checkpointAt(snap0.version)
+      log.cleanupMetadata(snap0.version)
+    }
+    log.commitWith { att =>
+      requireNoFeatureTrace(name, att)
+      val p = att.protocol.getOrElse(Protocol())
+      val reader = p.readerFeatures.getOrElse(Nil).filterNot(_ == name).sorted
+      val writer = p.writerFeatures.getOrElse(Nil).filterNot(_ == name).sorted
+      val newProto =
+        if (reader.isEmpty && writer.isEmpty)
+          // no features left at all: the no-trace checks above guarantee
+          // nothing needing a higher legacy floor survives either
+          Protocol(1, 2)
+        else {
+          val r = if (reader.nonEmpty) 3 else 1
+          Protocol(r, 7, if (r >= 3) Some(reader) else None, Some(writer))
+        }
+      // rowTracking's drop retires its high-water-mark domain in the same
+      // commit (a tombstone; checkpoints stop carrying it)
+      val domainDrop =
+        if (name == "rowTracking" &&
+          att.domainMetadata.contains(DeltaLog.RowTrackingDomain))
+          Seq(Action(domainMetadata = Some(DomainMetadata(
+            DeltaLog.RowTrackingDomain, "", removed = true))))
+        else Nil
+      Seq(Action(protocol = Some(newProto))) ++ domainDrop ++
+        Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+          "DROP FEATURE", Map("feature" -> name,
+            "truncateHistory" -> truncateHistory.toString)))))
+    }
+  }
+
   /** The table's `delta.columnMapping.mode`: `none`, `name`, or `id`.
     * Create-time only (mode changes refuse in [[setProperties]]). */
   def columnMappingMode: String = snapshot.metadata.flatMap(

@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GENERATE symlink_format_manifest FOR TABLE '<path>'
   * ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', ...)
+  * ALTER TABLE '<path>' DROP FEATURE <name> [TRUNCATE HISTORY]
   * }}}
   *
   * SELECT / DELETE / UPDATE / MERGE INTO / INSERT over `delta.`<path>``
@@ -93,6 +94,8 @@ object GraftSqlParser {
     s"""\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""")
   private val FsckRx = pat(
     s"""\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Tbl(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
+  private val DropFeatureRx = pat(
+    s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+FEATURE\\s+(\\w+)(\\s+TRUNCATE\\s+HISTORY)?\\s*;?\\s*""")
   private val GenerateRx = pat(
     s"""\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$Tbl\\s*;?\\s*""")
   private val SetPropsRx = pat(
@@ -163,6 +166,10 @@ object GraftSqlParser {
       // mode is group 1, so the table path sits in groups 2/3 (not tblOf's 1/2)
       return Some(GenerateManifestCommand(
         Option(gen.group(2)).getOrElse(gen.group(3)), gen.group(1)))
+    val dropf = DropFeatureRx.matcher(sqlText)
+    if (dropf.matches())
+      return Some(DropFeatureCommand(tblOf(dropf), dropf.group(3),
+        truncateHistory = dropf.group(4) != null))
     val setp = SetPropsRx.matcher(sqlText)
     if (setp.matches())
       return Some(AlterPropertiesCommand(tblOf(setp),

@@ -326,6 +326,19 @@ case class FsckRepairCommand(path: String, dryRun: Boolean)
     DeltaTable.forPath(spark, path).fsckRepair(dryRun).map(Row(_))
 }
 
+/** `ALTER TABLE ... DROP FEATURE` — protocol feature removal with the
+  * optional TRUNCATE HISTORY for reader-scoped features. */
+case class DropFeatureCommand(path: String, feature: String,
+                              truncateHistory: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "path" -> StringType, "feature" -> StringType, "version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = DeltaTable.forPath(spark, path).dropFeature(feature, truncateHistory)
+    Seq(Row(path, feature, v))
+  }
+}
+
 /** `GENERATE symlink_format_manifest FOR TABLE` — (re)writes the Hive
   * symlink manifests for external Presto/Trino/Athena readers. Returns
   * one row per manifest file written. */

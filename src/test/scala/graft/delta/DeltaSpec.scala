@@ -455,7 +455,10 @@ class DeltaSpec extends SparkSpec {
     val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
     assert(fs.exists(new Path(logDir, f"${10L}%020d.checkpoint.parquet")))
     val deleted = t.log.cleanupMetadata(beforeVersion = 10L)
-    assert(deleted === 10, s"v0..v9 JSON should go, got $deleted")
+    assert(deleted === 20, s"v0..v9 JSON + their crc twins should go, got $deleted")
+    assert(!fs.exists(new Path(logDir, f"${0L}%020d.crc")) &&
+      fs.exists(new Path(logDir, f"${10L}%020d.crc")),
+      "version checksums retire with their commit JSON")
     // a FRESH reader (cold cache) reconstructs from checkpoint + tail
     val fresh = DeltaTable.forPath(spark, t.path)
     assert(fresh.toDF.count() === 55L)
@@ -474,7 +477,7 @@ class DeltaSpec extends SparkSpec {
     assert(t.log.cleanupMetadata(beforeVersion = 15L) === 0) // snaps to ck 10: nothing new below it
     assert(DeltaTable.forPath(spark, t.path).log.snapshotAt(16).files.nonEmpty)
     // cleanup past the newest checkpoint removes [10, 20) and the old seed
-    assert(t.log.cleanupMetadata(beforeVersion = 99L) === 11) // json 10..19 + ckpt 10
+    assert(t.log.cleanupMetadata(beforeVersion = 99L) === 21) // json+crc 10..19 + ckpt 10
     val fresh2 = DeltaTable.forPath(spark, t.path)
     assert(fresh2.toDF.count() === 105L)
     assert(fresh2.log.snapshotAt(20).files.nonEmpty)
