@@ -197,6 +197,78 @@ object Graph {
     * edge each way per distinct pair, right ids offset into their own id
     * space. Symmetry ⇒ every node has outdegree ≥ 1 ⇒ [[pageRank]]
     * loses no dangling mass. */
+  /** Exact per-node triangle participation counts over an undirected
+    * simple graph (`src`, `dst` long columns; direction, duplicates and
+    * self-loops are normalized away). Degree-ordered orientation (the
+    * compact-forward scheme): every edge points from its lower-(deg, id)
+    * endpoint to the higher, so each triangle materializes exactly once
+    * as a wedge at its smallest corner closed by one oriented edge — and
+    * a hub of degree d contributes only C(outdeg, 2) ≈ C(d/2, 2) wedge
+    * candidates instead of C(d, 2), the difference between near-linear
+    * work and a quadratic hub blowup on power-law graphs at 100 TB.
+    * Exchanges carry (long, long, long) rows only. Nodes in no triangle
+    * are absent from the output.
+    *
+    * @return (node, triangles) */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge (s → t) with t's (deg, id) carried for the wedge
+    // order — materialized ONCE (localCheckpoint, the pageRank pattern):
+    // it feeds both wedge sides and the closing join, and re-deriving
+    // the dedup + two degree joins three times triples the dominant cost
+    val o = und.join(du, "u").join(dv, "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"),
+        when(lower, col("dv")).otherwise(col("du")).as("tdeg"))
+      .localCheckpoint()
+    val e1 = o.select(col("s"), col("t").as("b"), col("tdeg").as("bdeg"))
+    val e2 = o.select(col("s"), col("t").as("c"), col("tdeg").as("cdeg"))
+    val wedges = e1.join(e2, Seq("s"))
+      .where(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+      .select(col("s").as("a"), col("b"), col("c"))
+    val tri = wedges.join(o.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+    // one pass over the triangles: explode the three corners in place
+    // instead of scanning the join three times through a unionAll
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** DuckDB oracle twin of [[triangles]]: CTE chain over a prior `p`
+    * CTE holding the canonical undirected pairs as (a, b) with a < b.
+    * Terminal CTE `tricnt` has (node, triangles). Generated here so the
+    * oracle can never drift from the operator. */
+  def trianglesSql: String =
+    """deg AS MATERIALIZED (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM p UNION ALL SELECT b FROM p) GROUP BY 1
+      |), o AS MATERIALIZED (
+      |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND a < b) THEN a ELSE b END AS s,
+      |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND a < b) THEN b ELSE a END AS t,
+      |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND a < b) THEN dv.deg ELSE du.deg END AS tdeg
+      |  FROM p JOIN deg du ON du.node = a JOIN deg dv ON dv.node = b
+      |), w AS (
+      |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      |  FROM o e1 JOIN o e2 ON e1.s = e2.s
+      |    AND (e1.tdeg < e2.tdeg OR (e1.tdeg = e2.tdeg AND e1.t < e2.t))
+      |), tri AS MATERIALIZED (
+      |  SELECT w.a, w.b, w.c FROM w JOIN o ON o.s = w.b AND o.t = w.c
+      |), tricnt AS (
+      |  SELECT node, count(*) AS triangles FROM (
+      |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) GROUP BY 1
+      |)""".stripMargin
+
   def bipartiteEdges(rel: DataFrame, leftId: String, rightId: String,
                      rightOffset: Long): DataFrame = {
     require(rightOffset > 0, s"rightOffset must be positive, got $rightOffset")

@@ -114,6 +114,27 @@ class GraphSpec extends SparkSpec {
   private def sym(pairs: (Long, Long)*): Set[(Long, Long)] =
     pairs.toSet.flatMap((p: (Long, Long)) => Set(p, p.swap))
 
+  test("triangles: exact per-node counts; normalization kills dupes/loops/direction") {
+    // triangle {1,2,3}; triangle {4,5,6} bridged by 3-4; K4 on {7,8,9,10}
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+      (7L, 8L), (7L, 9L), (7L, 10L), (8L, 9L), (8L, 10L), (9L, 10L))
+    // noise: duplicates, reversed direction, self-loops
+    val edges = (base ++ base.map(_.swap) ++ Seq((1L, 2L), (5L, 5L)))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.triangles(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 3L, 8L -> 3L, 9L -> 3L, 10L -> 3L)
+    assert(got === expected)
+    // total triangles from per-node participation: each counts 3 corners
+    assert(got.values.sum === 3L * (1 + 1 + 4))
+    // repartitioning must not change anything (pure joins + aggregation)
+    val got8 = graft.ops.Graph.triangles(edges.repartition(8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got8 === expected)
+  }
+
   test("labelPropagation ≡ in-memory synchronous reference; communities separate") {
     // two triangles bridged by one edge: labels converge within each
     // triangle to its min id; the bridge is outvoted
