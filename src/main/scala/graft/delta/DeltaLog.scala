@@ -279,7 +279,10 @@ final case class Snapshot(
     files: Seq[Actions.AddFile],
     txns: Map[String, Long],
     protocol: Option[Actions.Protocol] = None,
-    domainMetadata: Map[String, String] = Map.empty) {
+    domainMetadata: Map[String, String] = Map.empty,
+    // per-app `txn.lastUpdated` (absent = never expires) — feeds
+    // delta.setTransactionRetentionDuration's checkpoint-time expiry
+    txnTimes: Map[String, Long] = Map.empty) {
   def schema(implicit d: DummyImplicit): Option[org.apache.spark.sql.types.StructType] =
     metadata.map(m =>
       org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
@@ -528,7 +531,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       state.protocol.map(p => Action(protocol = Some(p))).toSeq ++
         state.metadata.map(m => Action(metaData = Some(m))).toSeq ++
         state.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          Action(txn = Some(Txn(app, v))) } ++
+          Action(txn = Some(Txn(app, v, state.txnTimes.get(app)))) } ++
         state.domains.toSeq.sortBy(_._1).map { case (dom, cfg) =>
           Action(domainMetadata = Some(DomainMetadata(dom, cfg))) } ++
         removedDomains.toSeq.sorted.map(dom =>
@@ -602,13 +605,23 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       val adds: mutable.LinkedHashMap[String, AddFile] = mutable.LinkedHashMap.empty,
       val txns: mutable.HashMap[String, Long] = mutable.HashMap.empty,
       var protocol: Option[Protocol] = None,
-      val domains: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty) {
+      val domains: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty,
+      val txnTimes: mutable.HashMap[String, Long] = mutable.HashMap.empty) {
     def apply(actions: Seq[Action]): Unit = actions.foreach { a =>
       a.protocol.foreach(p => protocol = Some(p))
       a.metaData.foreach(m => metadata = Some(m))
       a.add.foreach(f => adds(f.path) = f)
       a.remove.foreach(r => adds.remove(r.path))
-      a.txn.foreach(t => txns(t.appId) = t.version)
+      a.txn.foreach { t =>
+        txns(t.appId) = t.version
+        // no lastUpdated = never expires (delta's rule) — a later
+        // timeless write clears any earlier stamp rather than keeping a
+        // stale one that could expire a LIVE app
+        t.lastUpdated match {
+          case Some(ts) => txnTimes(t.appId) = ts
+          case None => txnTimes.remove(t.appId)
+        }
+      }
       a.domainMetadata.foreach(d =>
         if (d.removed) domains.remove(d.domain)
         else domains(d.domain) = d.configuration)
@@ -725,7 +738,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     replayRange(state, fromVersion, latest)
     cached = Some((latest, state))
     Snapshot(latest, state.metadata, state.adds.values.toSeq, state.txns.toMap,
-      state.protocol, state.domains.toMap)
+      state.protocol, state.domains.toMap, state.txnTimes.toMap)
   }
 
   /** After cleanupMetadata, JSON below the surviving checkpoint is gone; a
@@ -751,7 +764,7 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     requireReplayStart(from)
     replayRange(state, from, version)
     Snapshot(version, state.metadata, state.adds.values.toSeq, state.txns.toMap,
-      state.protocol, state.domains.toMap)
+      state.protocol, state.domains.toMap, state.txnTimes.toMap)
   }
 
   /** Last committed `txn` version for an app id (idempotence check). */
@@ -856,16 +869,27 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
             case None => a
           })
         }
+      // txn actions get a lastUpdated stamp when the caller left it out —
+      // setTransactionRetentionDuration can only age entries that carry a
+      // time, and every writer path here is "now" by definition
+      val withTxnTimes = {
+        lazy val now = System.currentTimeMillis()
+        stamped.map(a => a.txn match {
+          case Some(t) if t.lastUpdated.isEmpty =>
+            a.copy(txn = Some(t.copy(lastUpdated = Some(now))))
+          case _ => a
+        })
+      }
       try {
-        write(next, stamped)
-        writeChecksum(next, snap, stamped)
+        write(next, withTxnTimes)
+        writeChecksum(next, snap, withTxnTimes)
         maybeCheckpoint(next,
-          stamped.flatMap(_.metaData).lastOption.orElse(snap.metadata))
+          withTxnTimes.flatMap(_.metaData).lastOption.orElse(snap.metadata))
         // post-commit hooks (e.g. symlink-manifest maintenance) run after
         // the commit is DURABLE: a hook failure propagates to the caller
         // as a visible error, but the commit itself stands — delta-spark's
         // PostCommitHook contract for GenerateSymlinkManifest.
-        postCommitHooks.foreach(h => h(next, snap, stamped))
+        postCommitHooks.foreach(h => h(next, snap, withTxnTimes))
         return next
       } catch {
         case _: VersionAlreadyExists => attempt += 1
@@ -984,6 +1008,25 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     * DROP FEATURE's history truncation needs a checkpoint NOW at the
     * current version, whatever the interval). Classic or V2 per the
     * table's `delta.checkpointPolicy`. */
+  /** Checkpoint-time txn expiry (delta-spark's
+    * `delta.setTransactionRetentionDuration`): per-app txn entries whose
+    * `lastUpdated` is older than the retention drop from the checkpoint —
+    * a streaming sink fleet's dead appIds stop accreting forever. An
+    * entry WITHOUT a timestamp never expires (delta's rule), and replay
+    * from tail JSON still sees everything — only the checkpointed state
+    * forgets. The trade, documented by delta as well: an expired app's
+    * next write is no longer idempotence-checked, so set the retention
+    * well above any writer's maximum pause. */
+  private def liveTxns(snap: Snapshot): Seq[(String, Long)] = {
+    val retention = snap.metadata
+      .flatMap(_.configuration.get(DeltaTable.TxnRetentionKey))
+      .map(DeltaTable.parseIntervalMs)
+    val cutoff = retention.map(System.currentTimeMillis() - _)
+    snap.txns.toSeq.sortBy(_._1).filter { case (app, _) =>
+      cutoff.forall(c => snap.txnTimes.get(app).forall(_ >= c))
+    }
+  }
+
   def checkpointAt(version: Long): Unit = {
     val ss = spark.getOrElse(return)
     // the checkpoint must contain exactly version's state: snapshot()
@@ -996,7 +1039,8 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       // downgrade what readers are told the table requires
       Seq(Action(protocol = Some(snap.protocol.getOrElse(Protocol())))) ++
         snap.metadata.map(m => Action(metaData = Some(m))).toSeq ++
-        snap.txns.toSeq.sortBy(_._1).map { case (app, v) => Action(txn = Some(Txn(app, v))) } ++
+        liveTxns(snap).map { case (app, v) =>
+          Action(txn = Some(Txn(app, v, snap.txnTimes.get(app)))) } ++
         snap.domainMetadata.toSeq.sortBy(_._1).map { case (dom, cfg) =>
           Action(domainMetadata = Some(DomainMetadata(dom, cfg))) }
     val actions: Seq[Action] = nonFile ++ snap.files.map(f => Action(add = Some(f)))

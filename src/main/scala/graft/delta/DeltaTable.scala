@@ -68,6 +68,9 @@ object DeltaTable {
   val ExpiredLogCleanupKey = "delta.enableExpiredLogCleanup"
   val DeletedFileRetentionKey = "delta.deletedFileRetentionDuration"
 
+  /** Checkpoint-time per-app txn expiry (delta-spark's). */
+  val TxnRetentionKey = "delta.setTransactionRetentionDuration"
+
   /** vacuum()'s "use the table's configured retention" sentinel — a
     * dedicated value because real negatives are meaningful (a cutoff in
     * the future collects everything regardless of age). */
@@ -632,13 +635,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       DeltaTable.RowTrackingConfigKey, DeltaTable.CheckpointPolicyKey,
       DeltaTable.ColumnMappingModeKey, DeltaTable.SymlinkManifestKey,
       DeltaTable.CheckpointIntervalKey, DeltaTable.LogRetentionKey,
-      DeltaTable.ExpiredLogCleanupKey, DeltaTable.DeletedFileRetentionKey)
+      DeltaTable.ExpiredLogCleanupKey, DeltaTable.DeletedFileRetentionKey,
+      DeltaTable.TxnRetentionKey)
     // malformed cadence/retention values must fail at SET time, not
     // surface later as a skipped checkpoint or an unparseable vacuum
     props.get(DeltaTable.CheckpointIntervalKey).foreach(v =>
       require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= 1),
         s"${DeltaTable.CheckpointIntervalKey} must be a positive int, got '$v'"))
-    Seq(DeltaTable.LogRetentionKey, DeltaTable.DeletedFileRetentionKey)
+    Seq(DeltaTable.LogRetentionKey, DeltaTable.DeletedFileRetentionKey,
+        DeltaTable.TxnRetentionKey)
       .foreach(k => props.get(k).foreach(DeltaTable.parseIntervalMs))
     props.keys.foreach { k =>
       require(!k.startsWith(DeltaTable.ConstraintPrefix),

@@ -90,6 +90,35 @@ class RetentionPropertiesSpec extends SparkSpec {
     assert(d.vacuumDryRun().isEmpty, "7-day default must keep a fresh tombstone")
   }
 
+  test("setTransactionRetentionDuration expires idle app txns at checkpoint time") {
+    val t = mk("ret-txn", Map(
+      DeltaTable.CheckpointIntervalKey -> "2",
+      DeltaTable.TxnRetentionKey -> "interval 0 milliseconds"))
+    t.append(Seq((1L, "a")).toDF("id", "v"), txnAppId = Some("app-x"), txnVersion = 7L)
+    // every committed txn action carries a lastUpdated stamp
+    assert(t.log.readVersion(1L).flatMap(_.txn).exists(_.lastUpdated.isDefined))
+    Thread.sleep(5)
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v2 → checkpoint drops the entry
+    t.log.cleanupMetadata(2L) // fresh readers must seed from the checkpoint
+    val fresh = DeltaTable.forPath(spark, t.path)
+    assert(fresh.snapshot.txns.get("app-x").isEmpty,
+      "zero retention: the idle app's txn must not survive the checkpoint")
+    // the documented trade: the idempotence window is closed — the same
+    // (appId, version) applies again
+    assert(fresh.append(Seq((3L, "c")).toDF("id", "v"),
+      txnAppId = Some("app-x"), txnVersion = 7L) > 0L)
+
+    // without the property the txn survives checkpoint + cleanup and dedups
+    val d = mk("ret-txnkeep", Map(DeltaTable.CheckpointIntervalKey -> "2"))
+    d.append(Seq((1L, "a")).toDF("id", "v"), txnAppId = Some("app-y"), txnVersion = 7L)
+    d.append(Seq((2L, "b")).toDF("id", "v"))
+    d.log.cleanupMetadata(2L)
+    val freshD = DeltaTable.forPath(spark, d.path)
+    assert(freshD.snapshot.txns.get("app-y").contains(7L))
+    assert(freshD.append(Seq((3L, "c")).toDF("id", "v"),
+      txnAppId = Some("app-y"), txnVersion = 7L) === -1L)
+  }
+
   test("duration parsing: units, optional keyword, malformed refusals at SET time") {
     assert(DeltaTable.parseIntervalMs("interval 2 weeks") === 14L * 24 * 3600 * 1000)
     assert(DeltaTable.parseIntervalMs("interval 1 day") === 24L * 3600 * 1000)
