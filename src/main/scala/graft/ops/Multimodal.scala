@@ -656,6 +656,60 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash — the classic perceptual image
+    * fingerprint for near-duplicate detection): grayscale via the BT.601
+    * integer weights (r·299 + g·587 + b·114)/1000, area-average
+    * downsample onto a 9×8 grid with the integer mapping
+    * cx = x·9/w, cy = y·8/h (floor division end to end — no float
+    * resampling, so the DuckDB oracle replays the hash bit for bit),
+    * one bit per horizontally-adjacent cell pair (right > left), rows
+    * top-down, assembled MSB-first: bit (row i, comparison j) lands at
+    * position 63 − (i·8 + j). Images smaller than the grid leave empty
+    * cells averaging 0. A constant brightness shift leaves the hash
+    * unchanged (differences are invariant) — the property that makes
+    * dHash robust where raw pixel hashing is useless. */
+  final case class FrameHash(asset_id: Long, frame_idx: Int, dhash: Long)
+
+  def dHash64(frames: Dataset[DecodedFrame]): Dataset[FrameHash] = {
+    implicit val enc = Encoders.product[FrameHash]
+    frames.map { f =>
+      val gw = 9; val gh = 8
+      val sum = new Array[Long](gh * gw)
+      val cnt = new Array[Long](gh * gw)
+      var y = 0
+      while (y < f.height) {
+        val cy = y * gh / f.height
+        var x = 0
+        while (x < f.width) {
+          val cx = x * gw / f.width
+          val o = (y * f.width + x) * 3
+          val b = f.pixels(o) & 0xFF
+          val g = f.pixels(o + 1) & 0xFF
+          val r = f.pixels(o + 2) & 0xFF
+          sum(cy * gw + cx) += (r * 299 + g * 587 + b * 114) / 1000
+          cnt(cy * gw + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      def avg(i: Int, j: Int): Long = {
+        val k = i * gw + j
+        if (cnt(k) == 0) 0L else sum(k) / cnt(k)
+      }
+      var h = 0L
+      var i = 0
+      while (i < gh) {
+        var j = 0
+        while (j < gw - 1) {
+          h = (h << 1) | (if (avg(i, j + 1) > avg(i, j)) 1L else 0L)
+          j += 1
+        }
+        i += 1
+      }
+      FrameHash(f.asset_id, f.frame_idx, h)
+    }
+  }
+
   /** [[bmpColorStats]] keeping the frame index — the per-frame feature
     * step for MULTI-frame sources (animated GIF via
     * [[RealCodecs.ImageIo]], video via an injected codec).

@@ -36,6 +36,32 @@ object MultimodalQueries extends QueryModule {
   /** Deterministic 24-bit bottom-up BMP (the MultimodalSpec generator's
     * shape): pixel (x, y-from-top) carries BGR (x mod 256, y mod 256,
     * (x+y) mod 256) — closed form for the oracle. */
+  /** Deterministic grayscale BMP for the dHash gate: pixel gray is a
+    * Knuth multiplicative hash of (x, y, group) — structurally DIFFERENT
+    * across groups — with a 6×6 corner perturbation per variant, so
+    * same-group variants are near-dups (hamming ≤ ~5) and cross-group
+    * pairs are far. The oracle recomputes the identical closed form. */
+  private def patternBmp(width: Int, height: Int, grp: Long, variant: Long): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowSize * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * height)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * height).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (yUp <- 0 until height) {
+      val y = height - 1 - yUp
+      for (x <- 0 until width) {
+        val base = (((x + y * width + grp * width * height + 1) * 2654435761L)
+          % 4294967296L) / 16777216L
+        val gray = (if (x < 6 && y < 6) (base + variant * 60) % 256 else base).toByte
+        buf.put(gray).put(gray).put(gray)
+      }
+      for (_ <- width * 3 until rowSize) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
   private def rampBmp(width: Int, height: Int): Array[Byte] = {
     val rowSize = ((24 * width + 31) / 32) * 4
     val buf = java.nio.ByteBuffer.allocate(54 + rowSize * height)
@@ -596,6 +622,74 @@ object MultimodalQueries extends QueryModule {
              |  CAST(floor(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) * 1000.0 + 0.5) AS BIGINT) AS rms_q3
              |FROM v GROUP BY 1, 2, 3
              |ORDER BY asset_id, frame_idx, channel""".stripMargin)),
+
+    // Perceptual near-duplicate image detection, hash-gated end to end:
+    // real BMP decode → integer dHash (9×8 area-average grid, BT.601
+    // gray, MSB-first bits) → 4×16-bit band blocking → exact Hamming
+    // verify ≤ 10. The scale shape is the MinHash-LSH one: payload bytes
+    // never shuffle — only (asset_id, band) rows block and (id, hash)
+    // pairs verify. The oracle rebuilds every pixel from the fixture's
+    // closed form and replays grid/bits/bands/ham identically.
+    "mm_dhash_neardup" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, "image", patternBmp(24, 16, id / 4, id % 4))
+          }).toDF("asset_id", "kind", "bytes")
+        val hashes = Multimodal.dHash64(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.Bmp24))
+          .toDF().localCheckpoint() // feeds banding AND both verify sides
+        val bands = hashes.select(col("asset_id"),
+          explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
+            shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("e"))
+          .select(col("asset_id"), col("e.bi").as("bi"), col("e.bv").as("bv"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+              col("x.asset_id") < col("y.asset_id"))
+          .select(col("x.asset_id").as("a"), col("y.asset_id").as("b")).distinct()
+        cand
+          .join(hashes.select(col("asset_id").as("a"), col("dhash").as("ha")), "a")
+          .join(hashes.select(col("asset_id").as("b"), col("dhash").as("hb")), "b")
+          .select(col("a"), col("b"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+          .where(col("hamming") <= 10)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH a AS MATERIALIZED (
+             |  SELECT doc_id AS id, 24 AS w, 16 AS h, doc_id // 4 AS grp, doc_id % 4 AS var
+             |  FROM documents WHERE doc_id < 200
+             |), px AS (SELECT id, w, h, grp, var, unnest(range(0, w)) AS x FROM a),
+             |pxy AS (SELECT id, w, h, grp, var, x, unnest(range(0, h)) AS y FROM px),
+             |g AS MATERIALIZED (
+             |  SELECT id, w, h, x, y,
+             |    CASE WHEN x < 6 AND y < 6
+             |      THEN (((x + y*24 + grp*384 + 1) * 2654435761) % 4294967296 // 16777216 + var*60) % 256
+             |      ELSE ((x + y*24 + grp*384 + 1) * 2654435761) % 4294967296 // 16777216 END AS gray
+             |  FROM pxy
+             |), cells AS MATERIALIZED (
+             |  SELECT id, (y*8)//h AS cy, (x*9)//w AS cx, sum(gray)//count(*) AS avgv
+             |  FROM g GROUP BY 1,2,3
+             |), bits AS (
+             |  SELECT l.id, l.cy, l.cx, CASE WHEN r.avgv > l.avgv THEN 1 ELSE 0 END AS bit
+             |  FROM cells l JOIN cells r ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
+             |  WHERE l.cx < 8
+             |), bands AS MATERIALIZED (
+             |  SELECT id, (63 - (cy*8+cx)) // 16 AS bi,
+             |    CAST(sum(bit * (1::BIGINT << ((63 - (cy*8+cx)) % 16))) AS BIGINT) AS bv
+             |  FROM bits GROUP BY 1, 2
+             |), cand AS (
+             |  SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
+             |  JOIN bands y ON x.bi = y.bi AND x.bv = y.bv AND x.id < y.id
+             |), ham AS (
+             |  SELECT c.a, c.b, CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands xa ON xa.id = c.a
+             |  JOIN bands xb ON xb.id = c.b AND xb.bi = xa.bi
+             |  GROUP BY 1, 2
+             |)
+             |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin)),
 
     "mm_meta" -> QueryDef(
       (s, d) => {

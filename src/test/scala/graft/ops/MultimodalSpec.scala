@@ -482,6 +482,29 @@ class MultimodalSpec extends SparkSpec {
     assert(msg.contains("asset 21") && msg.contains("16-bit"))
   }
 
+  test("dHash64: brightness-shift invariant, structure-sensitive, deterministic grid") {
+    import Multimodal.{DecodedFrame, dHash64}
+    def frame(id: Long, f: (Int, Int) => Int, w: Int = 18, h: Int = 16): DecodedFrame = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (f(x, y) & 0xFF).toByte
+        val o = (y * w + x) * 3
+        px(o) = v; px(o + 1) = v; px(o + 2) = v
+      }
+      DecodedFrame(id, 0, w, h, px)
+    }
+    val base = frame(1L, (x, y) => (x * 37 + y * 91) % 200)
+    val brighter = frame(2L, (x, y) => (x * 37 + y * 91) % 200 + 55) // +55 everywhere
+    val flipped = frame(3L, (x, y) => ((17 - x) * 37 + y * 91) % 200)
+    val hs = dHash64(spark.createDataset(Seq(base, brighter, flipped))(
+        org.apache.spark.sql.Encoders.product[DecodedFrame]))
+      .collect().map(f => f.asset_id -> f.dhash).toMap
+    assert(hs(1L) === hs(2L), "a uniform brightness shift must not change dHash")
+    assert(hs(1L) !== hs(3L), "mirroring the gradient must flip comparison bits")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 20,
+      "a structural flip should change many bits, not one")
+  }
+
   test("pngDims parses real PNG headers; non-PNG bytes yield NULLs") {
     val bi = new java.awt.image.BufferedImage(37, 21,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
