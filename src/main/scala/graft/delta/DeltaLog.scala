@@ -51,6 +51,7 @@ object Actions {
   final case class Metadata(
       id: String,
       name: Option[String] = None,
+      description: Option[String] = None,
       format: Format = Format(),
       schemaString: String = "",
       partitionColumns: Seq[String] = Nil,
@@ -165,7 +166,8 @@ object Actions {
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", MapType(StringType, StringType)),
-        StructField("createdTime", LongType)))),
+        StructField("createdTime", LongType),
+        StructField("description", StringType)))),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType),
@@ -243,7 +245,8 @@ private[delta] object CheckpointRows {
         schemaString = if (m.isNullAt(3)) "" else m.getString(3),
         partitionColumns = if (m.isNullAt(4)) Nil else m.getSeq[String](4),
         configuration = mapOf(m, 5),
-        createdTime = optLong(m, 6))))
+        createdTime = optLong(m, 6),
+        description = optStr(m, 7))))
     } else if (!r.isNullAt(2)) {
       val t = r.getStruct(2)
       Action(txn = Some(Txn(t.getString(0), t.getLong(1), optLong(t, 2))))

@@ -739,6 +739,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       check = _.metadata.exists(m => keys.exists(m.configuration.contains)))
   }
 
+  /** COMMENT ON TABLE: set (None clears) the metaData `description`
+    * field — PROTOCOL.md's user-facing table comment, round-tripped
+    * through commits, checkpoints, and DESCRIBE DETAIL. */
+  def commentTable(comment: Option[String]): Long = {
+    require(snapshot.version >= 0, s"no table at $path")
+    log.commitWith { att =>
+      val meta = att.metadata.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      Seq(Action(metaData = Some(meta.copy(description = comment))),
+        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+          "COMMENT ON TABLE", Map("comment" -> comment.getOrElse("<null>"))))))
+    }
+  }
+
   /** Reader-scoped table features: dropping one changes what HISTORICAL
     * versions require of readers, so the drop demands TRUNCATE HISTORY. */
   private val readerScopedFeatures = Set("deletionVectors", "v2Checkpoint", "timestampNtz")
@@ -3405,7 +3419,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val proto = snap.protocol.getOrElse(Actions.Protocol())
     import spark.implicits._
     Seq((
-      "delta", meta.id, meta.name.orNull, path,
+      "delta", meta.id, meta.name.orNull, meta.description.orNull, path,
       meta.partitionColumns, snap.files.size.toLong,
       snap.files.map(_.size).sum, meta.configuration,
       proto.minReaderVersion, proto.minWriterVersion,
@@ -3418,7 +3432,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       clusteringColumns,
       snap.files.count(_.deletionVector.isDefined).toLong,
       snap.files.flatMap(_.deletionVector).map(_.cardinality).sum))
-      .toDF("format", "id", "name", "location", "partitionColumns",
+      .toDF("format", "id", "name", "description", "location", "partitionColumns",
         "numFiles", "sizeInBytes", "properties",
         "minReaderVersion", "minWriterVersion", "createdAt", "version",
         "tableFeatures", "clusteringColumns",

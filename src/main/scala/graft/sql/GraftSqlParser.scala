@@ -30,6 +30,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k', ...)
   * ALTER TABLE '<path>' DROP FEATURE <name> [TRUNCATE HISTORY]
+  * COMMENT ON TABLE '<path>' IS '<text>' | NULL
   * }}}
   *
   * SELECT / DELETE / UPDATE / MERGE INTO / INSERT over `delta.`<path>``
@@ -94,6 +95,8 @@ object GraftSqlParser {
     s"""\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""")
   private val FsckRx = pat(
     s"""\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Tbl(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
+  private val CommentRx = pat(
+    s"""\\s*COMMENT\\s+ON\\s+TABLE\\s+$Tbl\\s+IS\\s+(?:'([^']*)'|(NULL))\\s*;?\\s*""")
   private val DropFeatureRx = pat(
     s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+FEATURE\\s+(\\w+)(\\s+TRUNCATE\\s+HISTORY)?\\s*;?\\s*""")
   private val GenerateRx = pat(
@@ -166,6 +169,9 @@ object GraftSqlParser {
       // mode is group 1, so the table path sits in groups 2/3 (not tblOf's 1/2)
       return Some(GenerateManifestCommand(
         Option(gen.group(2)).getOrElse(gen.group(3)), gen.group(1)))
+    val cmt = CommentRx.matcher(sqlText)
+    if (cmt.matches())
+      return Some(CommentOnTableCommand(tblOf(cmt), Option(cmt.group(3))))
     val dropf = DropFeatureRx.matcher(sqlText)
     if (dropf.matches())
       return Some(DropFeatureCommand(tblOf(dropf), dropf.group(3),

@@ -64,7 +64,7 @@ case class VacuumTableCommand(path: String, retainHours: Option[Long],
 case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = CmdSchema.attrs(
     "format" -> StringType, "id" -> StringType, "name" -> StringType,
-    "location" -> StringType,
+    "description" -> StringType, "location" -> StringType,
     "partitionColumns" -> ArrayType(StringType),
     "numFiles" -> LongType, "sizeInBytes" -> LongType,
     "properties" -> MapType(StringType, StringType),
@@ -324,6 +324,16 @@ case class FsckRepairCommand(path: String, dryRun: Boolean)
   override val output: Seq[Attribute] = CmdSchema.attrs("dangling_file" -> StringType)
   override def run(spark: SparkSession): Seq[Row] =
     DeltaTable.forPath(spark, path).fsckRepair(dryRun).map(Row(_))
+}
+
+/** `COMMENT ON TABLE ... IS '<text>' | NULL` — sets/clears the metaData
+  * description (the protocol's table comment). */
+case class CommentOnTableCommand(path: String, comment: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "path" -> StringType, "version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(path, DeltaTable.forPath(spark, path).commentTable(comment)))
 }
 
 /** `ALTER TABLE ... DROP FEATURE` — protocol feature removal with the

@@ -58,6 +58,26 @@ class SqlStatementsSpec extends SparkSpec {
     assert(DeltaTable.forPath(spark, t.path).toDF.count() === 200L)
   }
 
+  test("COMMENT ON TABLE round-trips the description through commits and checkpoints") {
+    val t = mkTable("sqlstmt-comment", files = 1)
+    spark.sql(s"COMMENT ON TABLE '${t.path}' IS 'curated demo table'")
+    val t2 = DeltaTable.forPath(spark, t.path)
+    assert(t2.snapshot.metadata.get.description.contains("curated demo table"))
+    assert(spark.sql(s"DESCRIBE DETAIL '${t.path}'").head
+      .getAs[String]("description") === "curated demo table")
+    // survives unrelated metadata rewrites
+    t2.setProperties(Map("user.note" -> "x"))
+    assert(t2.snapshot.metadata.get.description.contains("curated demo table"))
+    // survives a checkpoint seed (fresh reader reconstructs from parquet)
+    t2.log.checkpointAt(t2.snapshot.version)
+    t2.log.cleanupMetadata(t2.snapshot.version)
+    assert(DeltaTable.forPath(spark, t.path).snapshot.metadata.get
+      .description.contains("curated demo table"))
+    // IS NULL clears it
+    spark.sql(s"COMMENT ON TABLE '${t.path}' IS NULL")
+    assert(DeltaTable.forPath(spark, t.path).snapshot.metadata.get.description.isEmpty)
+  }
+
   test("DESCRIBE DETAIL and DESCRIBE HISTORY mirror the Scala APIs") {
     val t = mkTable("sqlstmt-desc", files = 2)
     val det = spark.sql(s"DESCRIBE DETAIL '${t.path}'").collect()
