@@ -710,6 +710,48 @@ object Multimodal {
     }
   }
 
+  /** 64-bit AUDIO fingerprint — the energy-delta analog of [[dHash64]]:
+    * per decoded PCM window, the exact integer energy Σs² of one
+    * channel; per asset, one bit per consecutive window pair
+    * (next > current), MSB-first over the first 64 comparisons (shorter
+    * clips leave low bits 0). A uniform GAIN change rescales every
+    * window's energy by the same factor, so the comparisons — and the
+    * fingerprint — are invariant, the property that makes it a
+    * loudness-robust near-dup key. Integer end to end; the DuckDB
+    * oracle replays it exactly. Returns (asset_id, fp). */
+  final case class WindowEnergy(asset_id: Long, frame_idx: Int, energy: Long)
+
+  def audioFingerprint64(frames: Dataset[DecodedFrame], channel: Int = 0): DataFrame = {
+    implicit val enc = Encoders.product[WindowEnergy]
+    val en = frames.map { f =>
+      val channels = f.height
+      val n = f.width
+      require(f.pixels.length == n * channels * 2,
+        s"asset ${f.asset_id} frame ${f.frame_idx}: expected 16-bit PCM")
+      require(channel < channels,
+        s"asset ${f.asset_id}: channel $channel of $channels")
+      var ssq = 0L
+      var i = 0
+      while (i < n) {
+        val o = (i * channels + channel) * 2
+        val s = ((f.pixels(o) & 0xFF) | (f.pixels(o + 1) << 8)).toShort.toLong
+        ssq += s * s
+        i += 1
+      }
+      WindowEnergy(f.asset_id, f.frame_idx, ssq)
+    }.toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_idx")
+    en.withColumn("nxt", lead(col("energy"), 1).over(w))
+      .withColumn("idx", row_number().over(w) - 1)
+      .where(col("nxt").isNotNull && col("idx") < 64)
+      .groupBy("asset_id")
+      // sum of disjoint bit contributions IS the two's-complement long —
+      // intermediates stay in range by construction (distinct powers)
+      .agg(sum(when(col("nxt") > col("energy"),
+        expr("shiftleft(1L, 63 - idx)")).otherwise(lit(0L))).as("fp"))
+  }
+
   /** [[bmpColorStats]] keeping the frame index — the per-frame feature
     * step for MULTI-frame sources (animated GIF via
     * [[RealCodecs.ImageIo]], video via an injected codec).

@@ -18,6 +18,31 @@ object MultimodalQueries extends QueryModule {
   /** Deterministic PCM ramp WAV (the MultimodalSpec generator): 16-bit
     * sample at frame i, channel c = (i·7 + c·3) mod 32767 — a closed
     * form the oracle can recompute without parsing a byte. */
+  /** Deterministic mono WAV for the audio-fingerprint gate: 66 windows
+    * of 64 constant-amplitude samples; amplitude is a group-strided
+    * multiplicative hash (the stride varies by group, so bit sequences
+    * decorrelate across groups — a shared stride would make every
+    * fingerprint a phase rotation of one Weyl word), variants perturb
+    * the first 3 windows. */
+  private def patternWav(grp: Long, variant: Long): Array[Byte] = {
+    val samples = 66 * 64
+    val buf = java.nio.ByteBuffer.allocate(44 + samples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000)
+      .putInt(8000 * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(samples * 2)
+    for (i <- 0 until samples) {
+      val w = i / 64
+      val base = ((((w + 1) * (grp * 2 + 7)) * 2654435761L) % 4294967296L) / 262144L
+      val amp = if (w < 3) (base + variant * 500) % 16384 else base
+      buf.putShort(amp.toShort)
+    }
+    buf.array()
+  }
+
   private def rampWav(channels: Int, rate: Int, samples: Int): Array[Byte] = {
     val bpf = channels * 2
     val buf = java.nio.ByteBuffer.allocate(44 + samples * bpf)
@@ -690,6 +715,70 @@ object MultimodalQueries extends QueryModule {
              |  GROUP BY 1, 2
              |)
              |SELECT a, b, hamming FROM ham WHERE hamming <= 10 ORDER BY a, b""".stripMargin)),
+
+    // Audio near-duplicate detection via the energy-delta fingerprint:
+    // real RIFF/PCM decode → per-window integer energies → sign-of-delta
+    // 64-bit fingerprint (gain-invariant) → band blocking → exact
+    // Hamming verify — the audio sibling of mm_dhash_neardup, same
+    // payload-bytes-never-shuffle scale shape. The oracle rebuilds every
+    // window amplitude from the closed form (energy = 64·A², monotone in
+    // A ≥ 0, so amplitude comparisons ARE energy comparisons bit for
+    // bit) and replays bits/bands/ham.
+    "mm_audio_fp_neardup" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, "audio", patternWav(id / 4, id % 4))
+          }).toDF("asset_id", "kind", "bytes")
+        val fps = Multimodal.audioFingerprint64(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.PcmWav(64)))
+          .localCheckpoint() // feeds banding AND both verify sides
+        val bands = fps.select(col("asset_id"),
+          explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
+            shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("e"))
+          .select(col("asset_id"), col("e.bi").as("bi"), col("e.bv").as("bv"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+              col("x.asset_id") < col("y.asset_id"))
+          .select(col("x.asset_id").as("a"), col("y.asset_id").as("b")).distinct()
+        cand
+          .join(fps.select(col("asset_id").as("a"), col("fp").as("fa")), "a")
+          .join(fps.select(col("asset_id").as("b"), col("fp").as("fb")), "b")
+          .select(col("a"), col("b"),
+            bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+          .where(col("hamming") <= 8)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH a AS MATERIALIZED (
+             |  SELECT doc_id AS id, doc_id // 4 AS grp, doc_id % 4 AS var
+             |  FROM documents WHERE doc_id < 200
+             |), wnd AS (SELECT id, grp, var, unnest(range(0, 66)) AS w FROM a),
+             |amp AS MATERIALIZED (
+             |  SELECT id, w,
+             |    CASE WHEN w < 3
+             |      THEN (((((w+1) * (grp*2+7)) * 2654435761) % 4294967296) // 262144 + var*500) % 16384
+             |      ELSE ((((w+1) * (grp*2+7)) * 2654435761) % 4294967296) // 262144 END AS amp
+             |  FROM wnd
+             |), bits AS (
+             |  SELECT l.id, l.w, CASE WHEN r.amp > l.amp THEN 1 ELSE 0 END AS bit
+             |  FROM amp l JOIN amp r ON r.id = l.id AND r.w = l.w + 1 WHERE l.w < 64
+             |), bands AS MATERIALIZED (
+             |  SELECT id, (63 - w) // 16 AS bi,
+             |    CAST(sum(bit * (1::BIGINT << ((63 - w) % 16))) AS BIGINT) AS bv
+             |  FROM bits GROUP BY 1, 2
+             |), cand AS (
+             |  SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
+             |  JOIN bands y ON x.bi = y.bi AND x.bv = y.bv AND x.id < y.id
+             |), ham AS (
+             |  SELECT c.a, c.b, CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands xa ON xa.id = c.a
+             |  JOIN bands xb ON xb.id = c.b AND xb.bi = xa.bi
+             |  GROUP BY 1, 2
+             |)
+             |SELECT a, b, hamming FROM ham WHERE hamming <= 8 ORDER BY a, b""".stripMargin)),
 
     "mm_meta" -> QueryDef(
       (s, d) => {

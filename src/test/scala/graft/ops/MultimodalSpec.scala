@@ -505,6 +505,29 @@ class MultimodalSpec extends SparkSpec {
       "a structural flip should change many bits, not one")
   }
 
+  test("audioFingerprint64: gain-invariant, order-driven, short clips pad low bits") {
+    import Multimodal.{DecodedFrame, audioFingerprint64}
+    def win(id: Long, w: Int, amp: Int, n: Int = 8): DecodedFrame = {
+      val px = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        px(i * 2) = (amp & 0xFF).toByte; px(i * 2 + 1) = ((amp >> 8) & 0xFF).toByte
+      }
+      DecodedFrame(id, w, n, 1, px)
+    }
+    val amps = Seq(100, 900, 300, 300, 1200) // bits: 1,0,0,1 → high nibble 1001
+    val frames = amps.zipWithIndex.map { case (a, w) => win(1L, w, a) } ++
+      amps.zipWithIndex.map { case (a, w) => win(2L, w, a * 2) } ++ // gain ×2
+      amps.reverse.zipWithIndex.map { case (a, w) => win(3L, w, a) } // reordered
+    val fp = audioFingerprint64(spark.createDataset(frames)(
+        org.apache.spark.sql.Encoders.product[DecodedFrame]))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 comparisons → bits at positions 63..60: 1001 (gt, le, eq, gt)
+    val expected = java.lang.Long.parseLong("9", 16) << 60
+    assert(fp(1L) === expected)
+    assert(fp(2L) === fp(1L), "a uniform gain change must not alter the fingerprint")
+    assert(fp(3L) !== fp(1L), "window order is the signal")
+  }
+
   test("pngDims parses real PNG headers; non-PNG bytes yield NULLs") {
     val bi = new java.awt.image.BufferedImage(37, 21,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
