@@ -405,6 +405,38 @@ class PlanSpec extends SparkSpec {
       "span removal must shuffle positions/hashes only, never token arrays:\n" + p)
   }
 
+  test("perceptual near-dup (image + audio): payload bytes never shuffle") {
+    // the 100 TB claim of both mm_*_neardup queries: decode happens in
+    // the scan-side mapPartitions, and from there only (id, band) rows
+    // block and (id, 64-bit hash) pairs verify — media payloads and
+    // pixel buffers must appear in NO exchange
+    Seq("mm_dhash_neardup", "mm_audio_fp_neardup").foreach { name =>
+      val df = Registry.all(name).build(spark, sf)
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(exchangeInputs.nonEmpty, s"$name:\n$p")
+      assert(exchangeInputs.forall(in =>
+        !in.contains("bytes#") && !in.contains("pixels#")),
+        s"$name exchanges must carry ids/bands/hashes, never payloads:\n$p")
+    }
+  }
+
+  test("graph_triangles: exchanges carry long triples only, never wider rows") {
+    val df = Registry.all("graph_triangles").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    // widest shuffled row is the 3-column wedge/orientation frame
+    assert(exchangeInputs.forall(_.split(",").length <= 3),
+      "triangle exchanges must stay at most (long, long, long):\n" + p)
+  }
+
   test("text_entropy: zero exchanges — the whole signal is scan-stage work") {
     val df = graft.ops.TextAnalysis.tokenEntropy(
       graft.Tables.documents(spark, sf), "doc_id", "text")
