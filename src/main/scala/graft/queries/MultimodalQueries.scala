@@ -141,6 +141,55 @@ object MultimodalQueries extends QueryModule {
     * carries BGR ((x + 11f) mod 256, (y + 7f) mod 256, (x+y+3f) mod 256)
     * — closed form for the oracle. Frames are bottom-up padded DIB rows
     * in '00db' movi chunks, the standard uncompressed-AVI shape. */
+  /** Deterministic RGB24 AVI for the video near-dup gate: gray pixels
+    * from the (x, y, frame, group) multiplicative-hash closed form, with
+    * frame 1's 6×6 corner perturbed per variant — same-group clips are
+    * near-dups in exactly one frame region. */
+  private def patternAvi(width: Int, height: Int, nFrames: Int,
+                         grp: Long, variant: Long): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val fb = rowSize * height
+    val strl = 4 + 8 + 56 + 8 + 40
+    val hdrl = 4 + 8 + 56 + 8 + strl
+    val movi = 4 + nFrames * (8 + fb)
+    val riff = 4 + 8 + hdrl + 8 + movi
+    val buf = java.nio.ByteBuffer.allocate(8 + riff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def t(s: String) = buf.put(s.getBytes("US-ASCII"))
+    t("RIFF"); buf.putInt(riff); t("AVI ")
+    t("LIST"); buf.putInt(hdrl); t("hdrl")
+    t("avih"); buf.putInt(56)
+    buf.putInt(40000).putInt(0).putInt(0).putInt(0).putInt(nFrames).putInt(0)
+      .putInt(1).putInt(fb).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    t("LIST"); buf.putInt(strl); t("strl")
+    t("strh"); buf.putInt(56)
+    t("vids"); t("DIB "); buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(25).putInt(0).putInt(nFrames).putInt(fb)
+      .putInt(0).putInt(0)
+    buf.putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    t("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(fb).putInt(0).putInt(0).putInt(0).putInt(0)
+    t("LIST"); buf.putInt(movi); t("movi")
+    for (f <- 0 until nFrames) {
+      t("00db"); buf.putInt(fb)
+      for (yUp <- 0 until height) {
+        val y = height - 1 - yUp
+        for (x <- 0 until width) {
+          val base = (((x + y * width + f * width * height +
+            grp * width * height * nFrames + 1) * 2654435761L)
+            % 4294967296L) / 16777216L
+          val gray = (if (f == 1 && x < 6 && y < 6) (base + variant * 60) % 256
+                      else base).toByte
+          buf.put(gray).put(gray).put(gray)
+        }
+        for (_ <- width * 3 until rowSize) buf.put(0.toByte)
+      }
+    }
+    buf.array()
+  }
+
   private def rampAvi(width: Int, height: Int, nFrames: Int): Array[Byte] = {
     val rowSize = ((24 * width + 31) / 32) * 4
     val fb = rowSize * height
@@ -779,6 +828,78 @@ object MultimodalQueries extends QueryModule {
              |  GROUP BY 1, 2
              |)
              |SELECT a, b, hamming FROM ham WHERE hamming <= 8 ORDER BY a, b""".stripMargin)),
+
+    // Video near-duplicate detection: real RGB24-AVI container decode →
+    // per-FRAME dHash (the image kernel, frame_idx preserved) → banding
+    // on (frame, band) so a pair must collide within the same frame
+    // position → exact per-frame Hamming summed over the clip. Completes
+    // the text/embedding/image/audio/video near-dup family on one scale
+    // shape: payloads decode in place, only (id, frame, band) rows and
+    // per-frame 64-bit hashes ever shuffle.
+    "mm_video_dhash_neardup" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, "video", patternAvi(24, 16, 3, id / 4, id % 4))
+          }).toDF("asset_id", "kind", "bytes")
+        val hashes = Multimodal.dHash64(
+            Multimodal.decodePartitions(media, Multimodal.RealCodecs.AviRgb24))
+          .toDF().localCheckpoint() // feeds banding AND both verify sides
+        val bands = hashes.select(col("asset_id"), col("frame_idx"),
+          explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
+            shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("e"))
+          .select(col("asset_id"), col("frame_idx"), col("e.bi").as("bi"), col("e.bv").as("bv"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.frame_idx") === col("y.frame_idx") &&
+              col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+              col("x.asset_id") < col("y.asset_id"))
+          .select(col("x.asset_id").as("a"), col("y.asset_id").as("b")).distinct()
+        cand
+          .join(hashes.select(col("asset_id").as("a"), col("frame_idx"),
+            col("dhash").as("ha")), "a")
+          .join(hashes.select(col("asset_id").as("b"), col("frame_idx"),
+            col("dhash").as("hb")), Seq("b", "frame_idx"))
+          .groupBy(col("a"), col("b"))
+          .agg(sum(bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")).as("hamming"))
+          .where(col("hamming") <= 20)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH a AS MATERIALIZED (
+             |  SELECT doc_id AS id, doc_id // 4 AS grp, doc_id % 4 AS var
+             |  FROM documents WHERE doc_id < 200
+             |), fr AS (SELECT id, grp, var, unnest(range(0, 3)) AS f FROM a),
+             |px AS (SELECT id, grp, var, f, unnest(range(0, 24)) AS x FROM fr),
+             |pxy AS (SELECT id, grp, var, f, x, unnest(range(0, 16)) AS y FROM px),
+             |g AS MATERIALIZED (
+             |  SELECT id, f, x, y,
+             |    CASE WHEN f = 1 AND x < 6 AND y < 6
+             |      THEN (((x + y*24 + f*384 + grp*1152 + 1) * 2654435761) % 4294967296 // 16777216 + var*60) % 256
+             |      ELSE ((x + y*24 + f*384 + grp*1152 + 1) * 2654435761) % 4294967296 // 16777216 END AS gray
+             |  FROM pxy
+             |), cells AS MATERIALIZED (
+             |  SELECT id, f, (y*8)//16 AS cy, (x*9)//24 AS cx, sum(gray)//count(*) AS avgv
+             |  FROM g GROUP BY 1,2,3,4
+             |), bits AS (
+             |  SELECT l.id, l.f, l.cy, l.cx, CASE WHEN r.avgv > l.avgv THEN 1 ELSE 0 END AS bit
+             |  FROM cells l JOIN cells r ON r.id = l.id AND r.f = l.f AND r.cy = l.cy AND r.cx = l.cx + 1
+             |  WHERE l.cx < 8
+             |), bands AS MATERIALIZED (
+             |  SELECT id, f, (63 - (cy*8+cx)) // 16 AS bi,
+             |    CAST(sum(bit * (1::BIGINT << ((63 - (cy*8+cx)) % 16))) AS BIGINT) AS bv
+             |  FROM bits GROUP BY 1, 2, 3
+             |), cand AS (
+             |  SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
+             |  JOIN bands y ON x.f = y.f AND x.bi = y.bi AND x.bv = y.bv AND x.id < y.id
+             |), ham AS (
+             |  SELECT c.a, c.b, CAST(sum(bit_count(xor(xa.bv, xb.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands xa ON xa.id = c.a
+             |  JOIN bands xb ON xb.id = c.b AND xb.f = xa.f AND xb.bi = xa.bi
+             |  GROUP BY 1, 2
+             |)
+             |SELECT a, b, hamming FROM ham WHERE hamming <= 20 ORDER BY a, b""".stripMargin)),
 
     "mm_meta" -> QueryDef(
       (s, d) => {
