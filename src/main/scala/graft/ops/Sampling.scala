@@ -115,22 +115,20 @@ object Sampling {
   def weightedUniformK(df: DataFrame, groupCol: String, keyCol: String,
                        weightCol: Column, k: Int, salt: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val reserved = Seq("__x", "__m", "__b", "__z", "__zz", "__pri", "__rn")
+    val reserved = Seq("__x", "__pri", "__rn")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"weightedUniformK reserves column name '$c' but the input already has it"))
-    val P = graft.functions.PortableMath
     val wPos = weightCol.cast("double")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__pri").desc, col(keyCol))
     df
-      // x ∈ [1, 2^32]: coin + 1 — never 0, so ln is finite
+      // x ∈ [1, 2^32]: coin + 1 — never 0, so ln is finite. The kernel
+      // form (PortableLn, not the SQL macro chain) keeps the fused
+      // scan+sort stage under Janino's method limit — the expanded
+      // cascade dropped the whole stage to interpreted eval.
       .withColumn("__x", coin(col(keyCol), salt) + lit(1L))
-      .withColumn("__m", expr(P.mSql("__x")))
-      .withColumn("__b", expr(P.biasSql("__x")))
-      .withColumn("__z", expr(P.zSql("__m")))
-      .withColumn("__zz", expr("(__z * __z)"))
       .withColumn("__pri", when(wPos.isNotNull && wPos > 0.0,
-        expr(P.lnFromPartsSql("__z", "__zz", "__b")) / wPos))
+        graft.functions.PortableLn.coin(col("__x")) / wPos))
       .filter(col("__pri").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -487,19 +485,10 @@ object Sampling {
                  targetPred: Column, buckets: Int = 512, k: Int = 100): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(k >= 1, s"k must be >= 1, got $k")
-    val P = graft.functions.PortableMath
-    def lnWideOf(d: DataFrame, x: Column, out: String): DataFrame = {
-      val reserved = Seq("__x", "__m", "__b", "__z", "__zz")
-      reserved.foreach(c => require(!d.columns.contains(c),
-        s"dsirSelect reserves column name '$c'"))
-      d.withColumn("__x", x.cast("long"))
-        .withColumn("__m", expr(P.mWideSql("__x")))
-        .withColumn("__b", expr(P.biasWideSql("__x")))
-        .withColumn("__z", expr(P.zSql("__m")))
-        .withColumn("__zz", expr("(__z * __z)"))
-        .withColumn(out, expr(P.lnFromPartsSql("__z", "__zz", "__b")))
-        .drop(reserved: _*)
-    }
+    def lnWideOf(d: DataFrame, x: Column, out: String): DataFrame =
+      // kernel form of the wide portable-ln chain (bit-identical twin of
+      // the oracle's SQL macro; PortableMathSpec pins the equivalence)
+      d.withColumn(out, graft.functions.PortableLn.wide(x.cast("long")))
     val ex = df.select(col(idCol).as("id"), targetPred.as("is_t"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(col("id"), col("is_t"),

@@ -1520,20 +1520,11 @@ object TextAnalysis {
   def tfidfKeywords(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val P = graft.functions.PortableMath
     def lnChain(d: org.apache.spark.sql.DataFrame, x: Column, out: String)
-        : org.apache.spark.sql.DataFrame = {
-      val reserved = Seq("__x", "__m", "__b", "__z", "__zz")
-      reserved.foreach(c => require(!d.columns.contains(c),
-        s"tfidfKeywords reserves column name '$c'"))
-      d.withColumn("__x", x.cast("long"))
-        .withColumn("__m", expr(P.mWideSql("__x")))
-        .withColumn("__b", expr(P.biasWideSql("__x")))
-        .withColumn("__z", expr(P.zSql("__m")))
-        .withColumn("__zz", expr("(__z * __z)"))
-        .withColumn(out, expr(P.lnFromPartsSql("__z", "__zz", "__b")))
-        .drop(reserved: _*)
-    }
+        : org.apache.spark.sql.DataFrame =
+      // kernel form of the wide portable-ln chain (bit-identical twin of
+      // the oracle's SQL macro; PortableMathSpec pins the equivalence)
+      d.withColumn(out, graft.functions.PortableLn.wide(x.cast("long")))
     val tf = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))

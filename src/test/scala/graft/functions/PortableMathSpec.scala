@@ -55,6 +55,31 @@ class PortableMathSpec extends SparkSpec {
     }
   }
 
+  test("PortableLn expression bit-matches twins and SQL chain, both domains") {
+    val P = PortableMath
+    val xs = (boundary ++ random).distinct
+    // coin domain — codegen path (many rows per partition → wholestage)
+    xs.toDF("__x")
+      .withColumn("__k", PortableLn.coin(col("__x")))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+          java.lang.Double.doubleToLongBits(P.lnCoin(r.getLong(0))))
+      }
+    // wide domain, including past 2^53
+    val wides = Seq(1L, 2L, (1L << 33) - 1, 1L << 33, (1L << 53) + 1,
+      (1L << 62) - 1, 1L << 62) ++ random.map(x => x * 1024L + 7L)
+    wides.distinct.toDF("__x")
+      .withColumn("__k", PortableLn.wide(col("__x")))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+          java.lang.Double.doubleToLongBits(P.lnWide(r.getLong(0))))
+      }
+    // interpreted path too (the expression must not depend on codegen)
+    val e = PortableLn(org.apache.spark.sql.catalyst.expressions.Literal(77L),
+      wide = false)
+    assert(e.eval(null) === P.lnCoin(77L))
+  }
+
   test("the series is monotone: more coin, more ln") {
     val sorted = (boundary ++ random).distinct.sorted
     sorted.sliding(2).foreach { case Seq(a, b) =>
