@@ -123,22 +123,12 @@ object PortableMath {
     * engine. Returns ln(x) − 32·ln 2 (the wide chain's shared bias; it
     * cancels in the log-ratio/entropy uses these fragments exist for).
     * Caller guarantees x ∈ [1, 2^62] (e.g. `greatest(x, 1)`). */
-  def lnWideCol(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, when}
-    def cascade(value: Int => Double): org.apache.spark.sql.Column =
-      (1 to 62).foldLeft(lit(value(0))) { (els, j) =>
-        when(x >= lit(1L << j), lit(value(j))).otherwise(els)
-      }
-    val m = x.cast("double") * cascade(ScaleW)
-    val b = cascade(BiasW)
-    val z = (m - lit(1.0)) / (m + lit(1.0))
-    val zz = z * z
-    val h = (0 until Terms - 1).reverse
-      .foldLeft(lit(Coef(Terms - 1)): org.apache.spark.sql.Column) { (acc, k) =>
-        lit(Coef(k)) + zz * acc
-      }
-    lit(2.0) * z * h + b
-  }
+  def lnWideCol(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // the kernel expression IS the while-loop twin (one static call even
+    // inside lambda interpretation) — strictly better than the previous
+    // 63-branch when-cascade + inline Horner this helper used to build,
+    // and bit-identical by PortableMathSpec's pins
+    PortableLn.wide(x)
 
   /** The four COMMON-dialect fragments below compose to ln(x / 2^32).
     * Naively inlining them into one expression would repeat the 33-branch
