@@ -4157,8 +4157,23 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * metadata rate as vacuum's listing — no data bytes move. */
   def fsckRepair(dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot
-    val missing = snap.files.filter(f =>
-      !fs.exists(new Path(path, f.path))).sortBy(_.path)
+    // one existence probe per snapshot file — parallelized on a bounded
+    // pool (the collectStagedFiles pattern): serial driver probes turn a
+    // million-file table's FSCK into a multi-hour metadata crawl
+    val missing = {
+      val files = snap.files
+      if (files.isEmpty) Nil
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, files.size))
+        try files.map { f =>
+          f -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+            override def call(): Boolean = fs.exists(new Path(path, f.path))
+          })
+        }.collect { case (f, fut) if !fut.get() => f }.sortBy(_.path)
+        finally pool.shutdown()
+      }
+    }
     if (missing.isEmpty || dryRun) return missing.map(_.path)
     val expected = missing.map(f => f.path -> f.deletionVector).toMap
     val now = System.currentTimeMillis()
@@ -4201,7 +4216,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val cutoff = System.currentTimeMillis() - retentionMs
     val root = new Path(path)
     val rootQ = fs.makeQualified(root).toString
-    var deleted = 0
+    // candidates collect during the (serial, ordered) walk; the DELETES —
+    // one storage round-trip each, the dominant cost when a retention
+    // change releases millions of tombstones — run on a bounded pool
+    // (the collectStagedFiles pattern; object stores want parallel
+    // deletes, and nothing below orders them)
+    val candidates = scala.collection.mutable.ArrayBuffer.empty[Path]
     def walk(dir: Path): Unit = {
       val name = dir.getName
       if (name == "_delta_log" || name.startsWith("_staging-") ||
@@ -4218,13 +4238,21 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                 !referencedDv.contains(rel))
           if (collectable && st.getModificationTime < cutoff) {
             onCandidate(rel)
-            if (!dryRun && fs.delete(st.getPath, false)) deleted += 1
+            candidates += st.getPath
           }
         }
       }
     }
     walk(root)
-    deleted
+    if (dryRun || candidates.isEmpty) return 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, candidates.size))
+    try candidates.toSeq.map { p =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        override def call(): Int = if (fs.delete(p, false)) 1 else 0
+      })
+    }.map(_.get()).sum
+    finally pool.shutdown()
   }
 
   /** Multi-dimensional clustering rewrite (OPTIMIZE ZORDER BY a, b):
