@@ -1702,7 +1702,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * full generation. The committed state is derived from the
     * predecessor snapshot + the commit's own actions — no log re-listing
     * on the hot commit path, and hook runs see precisely the state their
-    * commit produced even under concurrent writers. */
+    * commit produced even under concurrent writers.
+    *
+    * Concurrency caveat (delta-spark's too): hooks of RACING writers can
+    * land out of order — writer A's manifest for a partition may
+    * overwrite writer B's newer one until the partition is next touched.
+    * Manifests are eventually consistent with the log; GENERATE is the
+    * explicit repair for readers that need a point-in-time sync. */
   private def maybeUpdateManifest(version: Long, prev: Snapshot,
                                   actions: Seq[Action]): Unit = {
     val meta = actions.flatMap(_.metaData).lastOption.orElse(prev.metadata)

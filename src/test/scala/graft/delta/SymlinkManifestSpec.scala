@@ -92,6 +92,30 @@ class SymlinkManifestSpec extends SparkSpec {
       assert(manifestLines(t.path, "p=0").toSet === liveUris(t))
   }
 
+  test("streaming sink composition: manifests track each micro-batch commit") {
+    import spark.implicits._
+    val t = DeltaTable.forPath(spark, tmpDir("man-stream")).create(
+      Seq((0L, "x")).toDF("id", "v").schema,
+      configuration = Map(DeltaTable.SymlinkManifestKey -> "true"))
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "v").writeStream.format("graft-delta")
+      .option("path", t.path)
+      .option("checkpointLocation", tmpDir("man-stream-ck"))
+      .start()
+    try {
+      src.addData((0L until 20L).map(i => (i, s"v$i")))
+      q.processAllAvailable()
+      assert(manifestLines(t.path).toSet === liveUris(DeltaTable.forPath(spark, t.path)),
+        "the sink's first micro-batch must land in the manifest via the hook")
+      src.addData((20L until 30L).map(i => (i, s"v$i")))
+      q.processAllAvailable()
+      val t2 = DeltaTable.forPath(spark, t.path)
+      assert(manifestLines(t.path).toSet === liveUris(t2))
+      assert(spark.read.parquet(manifestLines(t.path): _*).count() === 30L)
+    } finally q.stop()
+  }
+
   test("deletion vectors and column mapping refuse manifests, both directions") {
     val dv = DeltaTable.forPath(spark, tmpDir("man-dv")).create(
       Seq((0L, "x")).toDF("id", "v").schema,
