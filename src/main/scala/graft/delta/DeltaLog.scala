@@ -300,8 +300,12 @@ final case class VersionChecksum(
     numFiles: Long,
     numMetadata: Int,
     numProtocol: Int,
-    numDeletionVectors: Long = 0L,
-    deletedRecordCount: Long = 0L,
+    // delta-spark's field names (Checksum.scala) so crc files round-trip
+    // with real delta-spark logs; Option because either writer may omit
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    numDeletionVectorsOpt: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    numDeletedRecordsOpt: Option[Long] = None,
     metadata: Option[Actions.Metadata] = None,
     protocol: Option[Actions.Protocol] = None)
 
@@ -903,8 +907,9 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
 
   /** The committed state's live file set, derived from the predecessor
     * snapshot plus the commit's own actions (re-adds win by path) — the
-    * replay result without re-listing the log. */
-  private def liveAfter(snap: Snapshot, actions: Seq[Action]): Seq[AddFile] = {
+    * replay result without re-listing the log. Shared with post-commit
+    * consumers (the manifest hook) so the re-add-wins rule lives once. */
+  private[delta] def liveAfter(snap: Snapshot, actions: Seq[Action]): Seq[AddFile] = {
     val adds = actions.flatMap(_.add)
     val removed = actions.flatMap(_.remove).map(_.path).toSet
     val addedPaths = adds.map(_.path).toSet
@@ -928,13 +933,20 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         tableSizeBytes = live.map(_.size).sum,
         numFiles = live.size.toLong,
         numMetadata = 1, numProtocol = 1,
-        numDeletionVectors = live.count(_.deletionVector.isDefined).toLong,
-        deletedRecordCount = live.flatMap(_.deletionVector).map(_.cardinality).sum,
+        numDeletionVectorsOpt = Some(live.count(_.deletionVector.isDefined).toLong),
+        numDeletedRecordsOpt = Some(live.flatMap(_.deletionVector).map(_.cardinality).sum),
         metadata = actions.flatMap(_.metaData).lastOption.orElse(snap.metadata),
         protocol = actions.flatMap(_.protocol).lastOption.orElse(snap.protocol))
-      val out = fs.create(checksumFile(version), true)
+      // write-temp-then-rename: a killed writer must never leave a
+      // TRUNCATED crc (a parse error would read as corruption on a
+      // healthy table); a lost rename race just means the winner's
+      // identical-content file stands
+      val tmp = new Path(logPath, f".crc-tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
       try out.write(mapper.writeValueAsString(crc).getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      if (!fs.rename(tmp, checksumFile(version))) fs.delete(tmp, false)
+      ()
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Cross-check a snapshot's replayed state against its commit's
@@ -948,7 +960,15 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     val in = fs.open(f)
     val crc =
       try mapper.readValue(in: java.io.InputStream, classOf[VersionChecksum])
-      finally in.close()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // writes are temp+rename atomic, so an unparseable crc is real
+          // corruption, not a crash artifact — still a LOUD, diagnosed
+          // failure instead of a raw Jackson trace
+          throw new IllegalStateException(s"version ${snap.version} checksum " +
+            s"file is unreadable (${e.getMessage}) — the crc is corrupt; " +
+            "delete it to skip validation", e)
+      } finally in.close()
     val size = snap.files.map(_.size).sum
     val dvs = snap.files.count(_.deletionVector.isDefined).toLong
     val deleted = snap.files.flatMap(_.deletionVector).map(_.cardinality).sum
@@ -959,8 +979,11 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     if (crc.numFiles != snap.files.size.toLong)
       fail("numFiles", crc.numFiles, snap.files.size)
     if (crc.tableSizeBytes != size) fail("tableSizeBytes", crc.tableSizeBytes, size)
-    if (crc.numDeletionVectors != dvs) fail("numDeletionVectors", crc.numDeletionVectors, dvs)
-    if (crc.deletedRecordCount != deleted) fail("deletedRecordCount", crc.deletedRecordCount, deleted)
+    // DV tallies are optional in the wild (older writers) — absent skips
+    crc.numDeletionVectorsOpt.foreach(v =>
+      if (v != dvs) fail("numDeletionVectorsOpt", v, dvs))
+    crc.numDeletedRecordsOpt.foreach(v =>
+      if (v != deleted) fail("numDeletedRecordsOpt", v, deleted))
     crc.metadata.zip(snap.metadata).foreach { case (a, b) =>
       if (a.id != b.id) fail("metadata.id", a.id, b.id) }
     crc.protocol.zip(snap.protocol).foreach { case (a, b) =>
@@ -1007,10 +1030,6 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     maybeExpireLog(conf)
   }
 
-  /** Unconditionally checkpoint `version` (the cadence-independent form:
-    * DROP FEATURE's history truncation needs a checkpoint NOW at the
-    * current version, whatever the interval). Classic or V2 per the
-    * table's `delta.checkpointPolicy`. */
   /** Checkpoint-time txn expiry (delta-spark's
     * `delta.setTransactionRetentionDuration`): per-app txn entries whose
     * `lastUpdated` is older than the retention drop from the checkpoint —
@@ -1021,15 +1040,21 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     * next write is no longer idempotence-checked, so set the retention
     * well above any writer's maximum pause. */
   private def liveTxns(snap: Snapshot): Seq[(String, Long)] = {
+    // lenient for the same post-commit reason as maybeExpireLog: an
+    // unparseable retention keeps every txn (never expires = safe side)
     val retention = snap.metadata
       .flatMap(_.configuration.get(DeltaTable.TxnRetentionKey))
-      .map(DeltaTable.parseIntervalMs)
+      .flatMap(DeltaTable.parseIntervalMsLenient)
     val cutoff = retention.map(System.currentTimeMillis() - _)
     snap.txns.toSeq.sortBy(_._1).filter { case (app, _) =>
       cutoff.forall(c => snap.txnTimes.get(app).forall(_ >= c))
     }
   }
 
+  /** Unconditionally checkpoint `version` (the cadence-independent form:
+    * DROP FEATURE's history truncation needs a checkpoint NOW at the
+    * current version, whatever the interval). Classic or V2 per the
+    * table's `delta.checkpointPolicy`. */
   def checkpointAt(version: Long): Unit = {
     val ss = spark.getOrElse(return)
     // the checkpoint must contain exactly version's state: snapshot()
@@ -1092,8 +1117,12 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     * listing; nothing to do on young tables. */
   private def maybeExpireLog(conf: Map[String, String]): Unit = {
     if (conf.get(DeltaTable.ExpiredLogCleanupKey).contains("false")) return
+    // LENIENT parse: this runs AFTER the commit is durable — an
+    // unparseable retention on an externally-written table must mean
+    // "skip expiry", never an exception the committer misreads as a
+    // failed (and then duplicated) commit
     val retentionMs = conf.get(DeltaTable.LogRetentionKey)
-      .map(DeltaTable.parseIntervalMs).getOrElse(30L * 24 * 3600 * 1000)
+      .flatMap(DeltaTable.parseIntervalMsLenient).getOrElse(30L * 24 * 3600 * 1000)
     val cutoffTime = System.currentTimeMillis() - retentionMs
     val expired = fs.listStatus(logPath).flatMap { st =>
       val n = st.getPath.getName
@@ -1187,8 +1216,14 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     // crashed V2 writers leave `.ck2-<uuid>` staging dirs behind; collect
     // them once old enough that no live writer can still be renaming out
     fs.listStatus(logPath).foreach { st =>
-      if (st.getPath.getName.startsWith(".ck2-") && st.isDirectory &&
+      val n = st.getPath.getName
+      if (n.startsWith(".ck2-") && st.isDirectory &&
         st.getModificationTime < staleBefore && fs.delete(st.getPath, true))
+        deleted += 1
+      // crashed checksum writers leave `.crc-tmp-<uuid>` files — same
+      // age-guarded collection as the V2 staging dirs
+      else if (n.startsWith(".crc-tmp-") && !st.isDirectory &&
+        st.getModificationTime < staleBefore && fs.delete(st.getPath, false))
         deleted += 1
     }
     fs.listStatus(logPath).foreach { st =>

@@ -71,32 +71,56 @@ object DeltaTable {
   /** Checkpoint-time per-app txn expiry (delta-spark's). */
   val TxnRetentionKey = "delta.setTransactionRetentionDuration"
 
+  /** Bounded-pool parallel map for driver-side storage round-trips
+    * (footer reads, existence probes, deletes): 32 threads cap namenode
+    * pressure while unblocking per-call object-store latency. One copy —
+    * four call sites hand-rolled this before round 13's review. */
+  private[delta] def parMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, items.size))
+    try items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+      override def call(): B = f(a)
+    })).map(_.get())
+    finally pool.shutdown()
+  }
+
   /** vacuum()'s "use the table's configured retention" sentinel — a
     * dedicated value because real negatives are meaningful (a cutoff in
     * the future collects everything regardless of age). */
   val TableDefaultRetention: Long = Long.MinValue
 
   /** Delta's duration-property syntax → millis: "interval 7 days",
-    * "interval 168 hours" (the `interval` keyword optional, units
-    * week|day|hour|minute|second|millisecond, plural accepted). */
+    * "interval 168 hours", and the multi-unit CalendarInterval form real
+    * delta-spark tables carry ("interval 1 days 12 hours") — terms sum;
+    * the `interval` keyword optional, units week|day|hour|minute|second|
+    * millisecond, plural accepted. */
   def parseIntervalMs(s: String): Long = {
-    val Rx =
-      """(?i)\s*(?:interval\s+)?(\d+)\s*(week|day|hour|minute|second|millisecond)s?\s*""".r
-    s match {
-      case Rx(n, unit) =>
-        val u = unit.toLowerCase match {
-          case "week" => 7L * 24 * 3600 * 1000
-          case "day" => 24L * 3600 * 1000
-          case "hour" => 3600L * 1000
-          case "minute" => 60L * 1000
-          case "second" => 1000L
-          case "millisecond" => 1L
-        }
-        n.toLong * u
-      case _ => throw new IllegalArgumentException(
-        s"cannot parse duration '$s' — use e.g. 'interval 7 days'")
-    }
+    val Term = """(?i)(\d+)\s*(week|day|hour|minute|second|millisecond)s?""".r
+    val body = s.trim.replaceAll("(?i)^interval\\s+", "")
+    val terms = Term.findAllMatchIn(body).toSeq
+    require(terms.nonEmpty && Term.replaceAllIn(body, "").trim.isEmpty,
+      s"cannot parse duration '$s' — use e.g. 'interval 7 days'")
+    terms.map { m =>
+      val u = m.group(2).toLowerCase match {
+        case "week" => 7L * 24 * 3600 * 1000
+        case "day" => 24L * 3600 * 1000
+        case "hour" => 3600L * 1000
+        case "minute" => 60L * 1000
+        case "second" => 1000L
+        case "millisecond" => 1L
+      }
+      m.group(1).toLong * u
+    }.sum
   }
+
+  /** [[parseIntervalMs]] that cannot throw — for the POST-COMMIT paths
+    * (checkpoint-time log/txn expiry), where an unparseable property on
+    * an externally-written table must mean "skip the expiry", never "the
+    * commit that already landed reports failure and the caller retries a
+    * duplicate". */
+  def parseIntervalMsLenient(s: String): Option[Long] =
+    scala.util.Try(parseIntervalMs(s)).toOption
 
   /** Row tracking (Delta writer feature `rowTracking` + `domainMetadata`):
     * every committed add carries a fresh contiguous base-row-id block
@@ -304,15 +328,8 @@ object DeltaTable {
     // strings the commit must carry anyway
     val statsByRel: Map[String, Option[String]] =
       if (files.size < DeltaTable.distributedStatsThreshold) {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(32, files.size))
-        try files.map { st =>
-          pool.submit(new java.util.concurrent.Callable[(String, Option[String])] {
-            override def call(): (String, Option[String]) =
-              relOf(st) -> ParquetStats.forFile(fs, st.getPath, partitionColumns.toSet)
-          })
-        }.map(_.get()).toMap
-        finally pool.shutdown()
+        DeltaTable.parMap(files)(st =>
+          relOf(st) -> ParquetStats.forFile(fs, st.getPath, partitionColumns.toSet)).toMap
       } else {
         val confPairs = {
           import scala.jdk.CollectionConverters._
@@ -816,11 +833,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * lists empty out. Reader-scoped features (DV, v2Checkpoint,
     * timestampNtz) additionally require `truncateHistory = true`: a
     * pre-drop version can still carry feature state (DV descriptors, V2
-    * checkpoints) that a reader trusting the downgraded protocol would
-    * misread, so the current version is checkpointed and everything below
-    * it retired before the downgrade commits — delta-spark's TRUNCATE
-    * HISTORY, minus its 24-hour wait (our `cleanupMetadata` seeds from
-    * the fresh checkpoint, so no reader ever needs the removed JSON).
+    * checkpoints) that a checkpoint-seeded reader trusting the downgraded
+    * protocol would misread, so the downgrade version is checkpointed and
+    * everything below it retired — delta-spark's TRUNCATE HISTORY, minus
+    * its 24-hour wait (our `cleanupMetadata` seeds from the fresh
+    * checkpoint, so no reader ever needs the removed JSON). The
+    * truncation runs AFTER the downgrade commit lands: a drop that loses
+    * its precondition race (a concurrent writer re-enabling the feature)
+    * fails with the table — including its history — fully intact, never
+    * having destroyed time travel for a command that reported failure.
     * Returns the downgrade commit's version. */
   def dropFeature(name: String, truncateHistory: Boolean = false): Long = {
     val snap0 = snapshot
@@ -833,11 +854,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     if (readerScopedFeatures(name))
       require(truncateHistory, s"dropping reader feature '$name' requires " +
         "TRUNCATE HISTORY — historical versions may still carry its state")
-    if (truncateHistory) {
-      log.checkpointAt(snap0.version)
-      log.cleanupMetadata(snap0.version)
-    }
-    log.commitWith { att =>
+    val committed = log.commitWith { att =>
       requireNoFeatureTrace(name, att)
       val p = att.protocol.getOrElse(Protocol())
       val reader = p.readerFeatures.getOrElse(Nil).filterNot(_ == name).sorted
@@ -864,6 +881,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           "DROP FEATURE", Map("feature" -> name,
             "truncateHistory" -> truncateHistory.toString)))))
     }
+    if (truncateHistory && committed > 0) {
+      // the checkpoint at the downgrade version carries the downgraded
+      // protocol and a state with no feature trace; cleanup then retires
+      // every version that could still carry the feature's artifacts
+      log.checkpointAt(committed)
+      log.cleanupMetadata(committed)
+    }
+    committed
   }
 
   /** The table's `delta.columnMapping.mode`: `none`, `name`, or `id`.
@@ -1717,9 +1742,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val parts = meta.map(_.partitionColumns).getOrElse(Nil)
     val adds = actions.flatMap(_.add)
     val removed = actions.flatMap(_.remove).map(_.path).toSet
-    val addedPaths = adds.map(_.path).toSet
-    val live = prev.files.filterNot(f =>
-      removed(f.path) || addedPaths(f.path)) ++ adds
+    val live = log.liveAfter(prev, actions) // the one re-add-wins-by-path rule
     requireManifestCompatible(conf, live)
     val wasOn = prev.metadata.exists(
       _.configuration.get(DeltaTable.SymlinkManifestKey).contains("true"))
@@ -1775,38 +1798,29 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       }
       buf.toSeq
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, math.max(1, files.size)))
-    try {
-      val tasks = files.map { st =>
-        pool.submit(new java.util.concurrent.Callable[AddFile] {
-          override def call(): AddFile = {
-            val p = st.getPath
-            val rel = fs.makeQualified(p).toString.stripPrefix(stagingPrefix).stripPrefix("/")
-            val partitionValues = rel.split('/').dropRight(1).iterator
-              .filter(_.contains('='))
-              .map { seg =>
-                val Array(k, v) = seg.split("=", 2)
-                k -> (if (v == DeltaTable.HiveDefaultPartition) null
-                      else DeltaTable.unescapePathName(v))
-              }.toMap
-            val dest = new Path(path, rel)
-            fs.mkdirs(dest.getParent)
-            if (!fs.rename(p, dest))
-              throw new RuntimeException(s"failed to move staged file $p -> $dest")
-            val stats = ParquetStats.forFile(fs, dest, parts.toSet)
-            AddFile(
-              path = rel,
-              partitionValues = partitionValues,
-              size = st.getLen,
-              modificationTime = st.getModificationTime,
-              dataChange = true,
-              stats = stats)
-          }
-        })
-      }
-      tasks.map(_.get()).toSeq
-    } finally pool.shutdown()
+    DeltaTable.parMap(files) { st =>
+      val p = st.getPath
+      val rel = fs.makeQualified(p).toString.stripPrefix(stagingPrefix).stripPrefix("/")
+      val partitionValues = rel.split('/').dropRight(1).iterator
+        .filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> (if (v == DeltaTable.HiveDefaultPartition) null
+                else DeltaTable.unescapePathName(v))
+        }.toMap
+      val dest = new Path(path, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(p, dest))
+        throw new RuntimeException(s"failed to move staged file $p -> $dest")
+      val stats = ParquetStats.forFile(fs, dest, parts.toSet)
+      AddFile(
+        path = rel,
+        partitionValues = partitionValues,
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        dataChange = true,
+        stats = stats)
+    }
   }
 
   /** Copy-on-write MERGE (upsert, the delta-rs merge shape for a
@@ -4166,20 +4180,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // one existence probe per snapshot file — parallelized on a bounded
     // pool (the collectStagedFiles pattern): serial driver probes turn a
     // million-file table's FSCK into a multi-hour metadata crawl
-    val missing = {
-      val files = snap.files
-      if (files.isEmpty) Nil
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(32, files.size))
-        try files.map { f =>
-          f -> pool.submit(new java.util.concurrent.Callable[Boolean] {
-            override def call(): Boolean = fs.exists(new Path(path, f.path))
-          })
-        }.collect { case (f, fut) if !fut.get() => f }.sortBy(_.path)
-        finally pool.shutdown()
-      }
-    }
+    val missing = DeltaTable.parMap(snap.files)(f =>
+      f -> fs.exists(new Path(path, f.path)))
+      .collect { case (f, exists) if !exists => f }.sortBy(_.path)
     if (missing.isEmpty || dryRun) return missing.map(_.path)
     val expected = missing.map(f => f.path -> f.deletionVector).toMap
     val now = System.currentTimeMillis()
@@ -4251,14 +4254,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     }
     walk(root)
     if (dryRun || candidates.isEmpty) return 0
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, candidates.size))
-    try candidates.toSeq.map { p =>
-      pool.submit(new java.util.concurrent.Callable[Int] {
-        override def call(): Int = if (fs.delete(p, false)) 1 else 0
-      })
-    }.map(_.get()).sum
-    finally pool.shutdown()
+    DeltaTable.parMap(candidates.toSeq)(p => if (fs.delete(p, false)) 1 else 0).sum
   }
 
   /** Multi-dimensional clustering rewrite (OPTIMIZE ZORDER BY a, b):

@@ -744,11 +744,14 @@ object Multimodal {
       .partitionBy("asset_id").orderBy("frame_idx")
     en.withColumn("nxt", lead(col("energy"), 1).over(w))
       .withColumn("idx", row_number().over(w) - 1)
-      .where(col("nxt").isNotNull && col("idx") < 64)
+      // no pre-aggregation filter: a single-window asset has zero
+      // comparisons but must still emit its documented fp = 0 row — a
+      // where() here silently dropped such assets from the output
       .groupBy("asset_id")
       // sum of disjoint bit contributions IS the two's-complement long —
       // intermediates stay in range by construction (distinct powers)
-      .agg(sum(when(col("nxt") > col("energy"),
+      .agg(sum(when(col("nxt").isNotNull && col("idx") < 64 &&
+        col("nxt") > col("energy"),
         expr("shiftleft(1L, 63 - idx)")).otherwise(lit(0L))).as("fp"))
   }
 

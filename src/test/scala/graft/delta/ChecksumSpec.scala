@@ -42,8 +42,8 @@ class ChecksumSpec extends SparkSpec {
     val in = fsOf(t.path).open(crcPath(t.path, t.snapshot.version))
     val crc = try Actions.mapper.readValue(in: java.io.InputStream, classOf[VersionChecksum])
     finally in.close()
-    assert(crc.numDeletionVectors === 1L)
-    assert(crc.deletedRecordCount === 7L)
+    assert(crc.numDeletionVectorsOpt === Some(1L))
+    assert(crc.numDeletedRecordsOpt === Some(7L))
   }
 
   test("a disagreeing checksum fails loudly; a missing one validates vacuously") {

@@ -526,6 +526,12 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(1L) === expected)
     assert(fp(2L) === fp(1L), "a uniform gain change must not alter the fingerprint")
     assert(fp(3L) !== fp(1L), "window order is the signal")
+    // a single-window clip has zero comparisons but MUST still emit its
+    // fp = 0 row — dropping it would make one-window exact dupes invisible
+    val solo = audioFingerprint64(spark.createDataset(Seq(win(9L, 0, 500)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.DecodedFrame]))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(solo === Map(9L -> 0L))
   }
 
   test("pngDims parses real PNG headers; non-PNG bytes yield NULLs") {
