@@ -39,10 +39,14 @@ class DropFeatureSpec extends SparkSpec {
     t.append((0L until 30L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
     assert(t.deleteWithDv(col("id") < 5L) > 0L)
     t.setProperties(Map(DeltaTable.DvConfigKey -> "false"))
-    // live DV → refuse even with truncate
+    // live DV → refuse even with truncate — and the FAILED drop must
+    // leave history fully intact (truncation only runs after the
+    // downgrade commit lands)
     val e1 = intercept[IllegalArgumentException](
       t.dropFeature("deletionVectors", truncateHistory = true))
     assert(e1.getMessage.contains("REORG"))
+    assert(t.log.snapshotAt(1L).files.nonEmpty,
+      "a refused TRUNCATE HISTORY drop must not have truncated anything")
     t.purgeDeletionVectors()
     // reader-scoped without TRUNCATE HISTORY → refuse
     val e2 = intercept[IllegalArgumentException](t.dropFeature("deletionVectors"))

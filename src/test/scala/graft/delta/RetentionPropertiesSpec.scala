@@ -125,7 +125,16 @@ class RetentionPropertiesSpec extends SparkSpec {
     assert(DeltaTable.parseIntervalMs("168 hours") === 7L * 24 * 3600 * 1000)
     assert(DeltaTable.parseIntervalMs("90 Minutes") === 90L * 60 * 1000)
     assert(DeltaTable.parseIntervalMs("interval 0 seconds") === 0L)
+    // delta-spark's multi-unit CalendarInterval form: terms sum
+    assert(DeltaTable.parseIntervalMs("interval 1 days 12 hours")
+      === 36L * 3600 * 1000)
+    assert(DeltaTable.parseIntervalMs("2 weeks 1 day") === 15L * 24 * 3600 * 1000)
     intercept[IllegalArgumentException](DeltaTable.parseIntervalMs("7d"))
+    intercept[IllegalArgumentException](
+      DeltaTable.parseIntervalMs("interval 1 day and 2 hours"))
+    // the lenient twin (post-commit paths) never throws
+    assert(DeltaTable.parseIntervalMsLenient("interval 1 day") === Some(24L * 3600 * 1000))
+    assert(DeltaTable.parseIntervalMsLenient("gibberish").isEmpty)
     val t = mk("ret-badset", Map.empty)
     t.append(Seq((1L, "a")).toDF("id", "v"))
     intercept[IllegalArgumentException](
