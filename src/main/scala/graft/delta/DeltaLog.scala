@@ -70,7 +70,14 @@ object Actions {
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
       baseRowId: Option[Long] = None,
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
-      defaultRowCommitVersion: Option[Long] = None)
+      defaultRowCommitVersion: Option[Long] = None,
+      // PROTOCOL.md `add.tags`: writer-owned per-file metadata. Carries
+      // the ZCube identity OPTIMIZE stamps (ZCUBE_ID / ZCUBE_ZORDER_BY /
+      // ZCUBE_ZORDER_CURVE) so a later incremental OPTIMIZE can skip
+      // files already clustered by the same key — at 100 TB the
+      // difference between re-sorting the table and touching only the
+      // files appended since the last maintenance run.
+      tags: Option[Map[String, String]] = None)
   final case class RemoveFile(
       path: String,
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
@@ -181,7 +188,8 @@ object Actions {
         StructField("stats", StringType),
         StructField("deletionVector", deletionVector),
         StructField("baseRowId", LongType),
-        StructField("defaultRowCommitVersion", LongType)))),
+        StructField("defaultRowCommitVersion", LongType),
+        StructField("tags", MapType(StringType, StringType))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -258,7 +266,8 @@ private[delta] object CheckpointRows {
         modificationTime = if (a.isNullAt(3)) 0L else a.getLong(3),
         dataChange = !a.isNullAt(4) && a.getBoolean(4),
         stats = optStr(a, 5), deletionVector = dv(a, 6),
-        baseRowId = optLong(a, 7), defaultRowCommitVersion = optLong(a, 8))))
+        baseRowId = optLong(a, 7), defaultRowCommitVersion = optLong(a, 8),
+        tags = if (a.isNullAt(9)) None else Some(mapOf(a, 9)))))
     } else if (!r.isNullAt(4)) {
       val rm = r.getStruct(4)
       Action(remove = Some(RemoveFile(

@@ -31,6 +31,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   *  - `path` (required): table directory
   *  - `startingVersion`: skip the initial snapshot, emit commits ≥ v
   *  - `maxFilesPerTrigger` (default 1000): initial-snapshot chunk size
+  *  - `maxBytesPerTrigger`: soft byte cap per batch (snapshot chunks
+  *    and tail versions), from log metadata sizes; ≥1 file/version
+  *    always admits
   *  - `ignoreDeletes`: tolerate delete-only commits (their removed rows
   *    were already emitted; nothing re-emits)
   *  - `ignoreChanges`: additionally tolerate rewrites (UPDATE/MERGE/
@@ -259,6 +262,40 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
     opts.get("maxfilespertrigger").map(_.toLong).getOrElse(1000L)
   require(maxFilesPerTrigger > 0, "maxFilesPerTrigger must be > 0")
 
+  /** Byte-granular pacing (delta-spark's `maxBytesPerTrigger`, a SOFT
+    * cap): a batch stops admitting once its accumulated `add.size`
+    * reaches the cap, always taking at least one file (snapshot mode) or
+    * one version (tail mode) so progress never stalls. File sizes come
+    * from log metadata — pacing never opens data files. The 100 TB
+    * rationale: file COUNT is a poor proxy for batch cost when file
+    * sizes vary 1000×; a byte cap keeps trigger latency stable through
+    * a backlog of mixed compacted/uncompacted history. */
+  private val maxBytesPerTrigger: Option[Long] =
+    opts.get("maxbytespertrigger").map(_.toLong)
+  require(maxBytesPerTrigger.forall(_ > 0), "maxBytesPerTrigger must be > 0")
+
+  /** Snapshot-mode chunk end: admit path-sorted files from `from` until
+    * the file or byte cap, whichever first (≥ 1 file). */
+  private def snapshotChunkEnd(files: Seq[AddFile], from: Long): Long = {
+    val hardEnd = math.min(files.size.toLong, from + maxFilesPerTrigger)
+    maxBytesPerTrigger match {
+      case None => hardEnd
+      case Some(cap) =>
+        var j = from
+        var bytes = 0L
+        while (j < hardEnd && (j == from || bytes + files(j.toInt).size <= cap)) {
+          bytes += files(j.toInt).size
+          j += 1
+        }
+        math.max(j, from + 1)
+    }
+  }
+
+  /** Data bytes a tail version would admit (its dataChange adds —
+    * one commit-JSON read, no data I/O). */
+  private def versionBytes(v: Long): Long =
+    table.log.readVersion(v).flatMap(_.add).filter(_.dataChange).map(_.size).sum
+
   /** CDF mode (`readChangeFeed=true`, the delta-spark option): batches
     * are CHANGE rows (table columns + `_change_type` /
     * `_commit_version` / `_commit_timestamp`) from the table's change
@@ -302,16 +339,30 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
     * prefers whenever the interface is present). */
   private def step(cur: Option[(Long, Long)], latest: Long): Option[(Long, Long)] = {
     if (latest < 0) return None
-    def tailFrom(v: Long): (Long, Long) =
-      (maxVersionsPerTrigger.fold(latest)(m => math.min(latest, v + m)), -1L)
+    def tailFrom(v: Long): (Long, Long) = {
+      val capV = maxVersionsPerTrigger.fold(latest)(m => math.min(latest, v + m))
+      val end = maxBytesPerTrigger.fold(capV) { cap =>
+        var e = v + 1 // at least one version: progress never stalls
+        var bytes = versionBytes(e)
+        var stop = false
+        while (e < capV && !stop) {
+          val next = versionBytes(e + 1)
+          if (bytes + next <= cap) { e += 1; bytes += next }
+          else stop = true
+        }
+        e
+      }
+      (end, -1L)
+    }
     Some(cur match {
       case None =>
         // fresh start: begin the chunked initial snapshot at `latest`
         val (files, _) = snapAt(latest)
-        (latest, math.min(files.size.toLong, maxFilesPerTrigger))
+        (latest, snapshotChunkEnd(files, 0L))
       case Some((v, i)) if i >= 0 =>
-        val n = snapAt(v)._1.size.toLong
-        if (i < n) (v, math.min(n, i + maxFilesPerTrigger)) // next snapshot chunk
+        val (files, _) = snapAt(v)
+        val n = files.size.toLong
+        if (i < n) (v, snapshotChunkEnd(files, i)) // next snapshot chunk
         else if (latest > v) tailFrom(v) // snapshot complete → tail
         else (v, i)
       case Some((v, _)) =>

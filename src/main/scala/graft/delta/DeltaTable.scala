@@ -71,6 +71,37 @@ object DeltaTable {
   /** Checkpoint-time per-app txn expiry (delta-spark's). */
   val TxnRetentionKey = "delta.setTransactionRetentionDuration"
 
+  /** Target data-file size for OPTIMIZE/compaction output bin-packing
+    * (the documented `delta.targetFileSize` table property; plain bytes
+    * or an interval-style size is NOT accepted — delta stores bytes).
+    * 128 MiB default: large enough that a 100 TB table is ~10⁶ files
+    * (footer-stat and task-scheduling sweet spot), small enough that one
+    * task's rewrite fits comfortably in an executor core's memory. */
+  val TargetFileSizeKey = "delta.targetFileSize"
+  val DefaultTargetFileSize: Long = 128L * 1024 * 1024
+
+  /** Stats-collection width (delta's documented
+    * `delta.dataSkippingNumIndexedCols`, default 32): per-file min/max/
+    * nullCount cover only the first N LEAF columns in schema order; -1 =
+    * all columns. Stats JSON rides every add through every commit,
+    * checkpoint, and replay — on a 1000-column table unbounded stats
+    * make the LOG the bottleneck; predicates past the indexed prefix
+    * lose pruning, never correctness. */
+  val DataSkippingNumIndexedColsKey = "delta.dataSkippingNumIndexedCols"
+  val DefaultDataSkippingNumIndexedCols = 32
+
+  /** ZCube identity tags OPTIMIZE stamps on its output files (the tag
+    * names delta-spark's clustering OPTIMIZE writes), and the minimum
+    * total size at which a cube is FINAL — excluded from later
+    * incremental runs over the same key. 100 GB default (delta's
+    * documented cube size): big enough that per-cube stats regions stay
+    * tight at 100 TB, small enough that maintenance amortizes. */
+  val ZCubeIdTag = "ZCUBE_ID"
+  val ZCubeColsTag = "ZCUBE_ZORDER_BY"
+  val ZCubeCurveTag = "ZCUBE_ZORDER_CURVE"
+  val MinCubeSizeKey = "graft.optimize.minCubeSize"
+  val DefaultMinCubeSize: Long = 100L * 1024 * 1024 * 1024
+
   /** Bounded-pool parallel map for driver-side storage round-trips
     * (footer reads, existence probes, deletes): 32 threads cap namenode
     * pressure while unblocking per-call object-store latency. One copy —
@@ -329,7 +360,8 @@ object DeltaTable {
     val statsByRel: Map[String, Option[String]] =
       if (files.size < DeltaTable.distributedStatsThreshold) {
         DeltaTable.parMap(files)(st =>
-          relOf(st) -> ParquetStats.forFile(fs, st.getPath, partitionColumns.toSet)).toMap
+          relOf(st) -> ParquetStats.forFile(fs, st.getPath, partitionColumns.toSet,
+            DeltaTable.DefaultDataSkippingNumIndexedCols)).toMap
       } else {
         val confPairs = {
           import scala.jdk.CollectionConverters._
@@ -343,7 +375,8 @@ object DeltaTable {
           val c = new org.apache.hadoop.conf.Configuration(false)
           bcConf.value.foreach { case (k, v) => c.set(k, v) }
           val p = new Path(s"$prefix/$rel")
-          rel -> ParquetStats.forFile(p.getFileSystem(c), p, parts)
+          rel -> ParquetStats.forFile(p.getFileSystem(c), p, parts,
+            DeltaTable.DefaultDataSkippingNumIndexedCols)
         }.collect().toMap
       }
     val adds = files.map { st =>
@@ -653,7 +686,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       DeltaTable.ColumnMappingModeKey, DeltaTable.SymlinkManifestKey,
       DeltaTable.CheckpointIntervalKey, DeltaTable.LogRetentionKey,
       DeltaTable.ExpiredLogCleanupKey, DeltaTable.DeletedFileRetentionKey,
-      DeltaTable.TxnRetentionKey)
+      DeltaTable.TxnRetentionKey, DeltaTable.TargetFileSizeKey,
+      DeltaTable.DataSkippingNumIndexedColsKey)
     // malformed cadence/retention values must fail at SET time, not
     // surface later as a skipped checkpoint or an unparseable vacuum
     props.get(DeltaTable.CheckpointIntervalKey).foreach(v =>
@@ -672,6 +706,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     }
     props.get(DeltaTable.CheckpointPolicyKey).foreach(v =>
       require(v == "classic" || v == "v2", s"checkpointPolicy must be classic|v2, got '$v'"))
+    // sizes are stored as plain bytes; fail at SET time, not mid-OPTIMIZE
+    Seq(DeltaTable.TargetFileSizeKey, DeltaTable.MinCubeSizeKey).foreach(k =>
+      props.get(k).foreach(v =>
+        require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0),
+          s"'$k' must be a positive byte count, got '$v'")))
+    props.get(DeltaTable.DataSkippingNumIndexedColsKey).foreach(v =>
+      require(scala.util.Try(v.trim.toInt).toOption.exists(_ >= -1),
+        s"'${DeltaTable.DataSkippingNumIndexedColsKey}' must be an int >= -1 " +
+          s"(-1 = all columns), got '$v'"))
     val snap0 = snapshot
     require(snap0.version >= 0, s"no table at $path")
     props.get(DeltaTable.ColumnMappingModeKey).foreach { v =>
@@ -1786,8 +1829,17 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * serializes the commit at thousands of files per batch (round-1
     * verdict #4) — both run on a bounded thread pool here. (The next step
     * at 100 TB would be collecting stats inside the write job's tasks.) */
+  /** The table's stats-collection width for footer reads ( -1 ⇒ all). */
+  private def statsIndexLimit(conf: Map[String, String]): Int =
+    conf.get(DeltaTable.DataSkippingNumIndexedColsKey)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .map(n => if (n < 0) Int.MaxValue else n)
+      .getOrElse(DeltaTable.DefaultDataSkippingNumIndexedCols)
+
   private def collectStagedFiles(staging: Path, parts: Seq[String]): Seq[AddFile] = {
     import scala.jdk.CollectionConverters._
+    val statsCols = statsIndexLimit(
+      snapshot.metadata.map(_.configuration).getOrElse(Map.empty))
     val stagingPrefix = fs.makeQualified(staging).toString
     val files = {
       val it = fs.listFiles(staging, true)
@@ -1812,7 +1864,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       fs.mkdirs(dest.getParent)
       if (!fs.rename(p, dest))
         throw new RuntimeException(s"failed to move staged file $p -> $dest")
-      val stats = ParquetStats.forFile(fs, dest, parts.toSet)
+      val stats = ParquetStats.forFile(fs, dest, parts.toSet, statsCols)
       AddFile(
         path = rel,
         partitionValues = partitionValues,
@@ -3694,7 +3746,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * liquid-clustering OPTIMIZE shape): re-sort on the Hilbert index of
     * the stored clustering columns — callers never re-state the keys, so
     * every maintenance run and every writer agrees on the layout. One
-    * clustering column degrades to a plain range-sort on that column. */
+    * clustering column degrades to a plain range-sort on that column.
+    *
+    * INCREMENTAL by construction (the liquid contract): files already in
+    * a final ZCube of the clustering columns are skipped, so re-running
+    * after each ingest batch costs the batch, not the table. ZCube tags
+    * record LOGICAL column names; a clustering-column RENAME therefore
+    * re-clusters once and re-stabilizes — correctness never depends on
+    * the tags. */
   def optimizeClustered(numFiles: Int = 0,
                         where: Option[org.apache.spark.sql.Column] = None): Long = {
     val cols = clusteringColumns
@@ -3703,7 +3762,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // form — Skilling transpose), not a 2-D fold with tiebreaks: every
     // clustering column's per-file stats tighten, so skipping serves
     // predicates on any of them
-    optimizeHilbert(cols, numFiles, where)
+    optimizeHilbert(cols, numFiles, where, incremental = true)
   }
 
   /** Time travel: the table as of `version` — that version's file set AND
@@ -4276,25 +4335,35 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * @return committed version, or -1 if nothing to do / lost the race */
   def optimizeZOrder(colA: String, colB: String, numFiles: Int = 0,
                      where: Option[org.apache.spark.sql.Column] = None): Long =
-    optimizeByKey(graft.functions.ZValue.of(
-      col(colA).cast("long"), col(colB).cast("long")), numFiles, where)
+    optimizeZOrder(Seq(colA, colB), numFiles, where)
 
   /** N-column OPTIMIZE ZORDER (real Z-order takes any number of columns;
     * 3–4-column layouts are routine): one column is a plain range-sort,
     * two keeps the oracle-gated 32-bit binary interleave, three or more
     * use the ⌊63/n⌋-bit round-robin interleave
     * ([[graft.functions.ZValueN]]). Window contract per arity is
-    * documented on the expressions — rank or bucket first. */
+    * documented on the expressions — rank or bucket first.
+    *
+    * `incremental = true` skips files already in a FINAL ZCube of the
+    * same columns (see [[optimizeByKey]]) — the re-maintenance form for
+    * an append-mostly table; the default full rewrite is the one-shot
+    * re-layout. Output files are ZCube-tagged either way, so a full
+    * rewrite seeds later incremental runs. */
   def optimizeZOrder(cols: Seq[String], numFiles: Int,
-                     where: Option[org.apache.spark.sql.Column]): Long = {
+                     where: Option[org.apache.spark.sql.Column]): Long =
+    optimizeZOrder(cols, numFiles, where, incremental = false)
+
+  def optimizeZOrder(cols: Seq[String], numFiles: Int,
+                     where: Option[org.apache.spark.sql.Column],
+                     incremental: Boolean): Long = {
     require(cols.nonEmpty, "OPTIMIZE ZORDER needs at least one column")
-    cols match {
-      case Seq(one) => optimizeByKey(col(one), numFiles, where)
-      case Seq(a, b) => optimizeZOrder(a, b, numFiles, where)
-      case many => optimizeByKey(
-        graft.functions.ZValueN.of(many.map(c => col(c).cast("long"))),
-        numFiles, where)
+    val key = cols match {
+      case Seq(one) => col(one)
+      case Seq(a, b) => graft.functions.ZValue.of(
+        col(a).cast("long"), col(b).cast("long"))
+      case many => graft.functions.ZValueN.of(many.map(c => col(c).cast("long")))
     }
+    optimizeByKey(key, numFiles, where, Some((cols, "zorder")), incremental)
   }
 
   def optimizeZOrder(cols: Seq[String]): Long = optimizeZOrder(cols, 0, None)
@@ -4308,23 +4377,27 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * bucket first). */
   def optimizeHilbert(colA: String, colB: String, numFiles: Int = 0,
                       where: Option[org.apache.spark.sql.Column] = None): Long =
-    optimizeByKey(graft.functions.HilbertValue.of(
-      col(colA).cast("long"), col(colB).cast("long")), numFiles, where)
+    optimizeHilbert(Seq(colA, colB), numFiles, where)
 
   /** N-column Hilbert OPTIMIZE: one column range-sorts, two keeps the
     * oracle-gated 2-D walk, three or more use Skilling's N-dimensional
     * transpose ([[graft.functions.HilbertValueN]], min(16, ⌊63/n⌋) bits
-    * per dimension). */
+    * per dimension). `incremental` as on [[optimizeZOrder]]. */
   def optimizeHilbert(cols: Seq[String], numFiles: Int,
-                      where: Option[org.apache.spark.sql.Column]): Long = {
+                      where: Option[org.apache.spark.sql.Column]): Long =
+    optimizeHilbert(cols, numFiles, where, incremental = false)
+
+  def optimizeHilbert(cols: Seq[String], numFiles: Int,
+                      where: Option[org.apache.spark.sql.Column],
+                      incremental: Boolean): Long = {
     require(cols.nonEmpty, "OPTIMIZE (Hilbert) needs at least one column")
-    cols match {
-      case Seq(one) => optimizeByKey(col(one), numFiles, where)
-      case Seq(a, b) => optimizeHilbert(a, b, numFiles, where)
-      case many => optimizeByKey(
-        graft.functions.HilbertValueN.of(many.map(c => col(c).cast("long"))),
-        numFiles, where)
+    val key = cols match {
+      case Seq(one) => col(one)
+      case Seq(a, b) => graft.functions.HilbertValue.of(
+        col(a).cast("long"), col(b).cast("long"))
+      case many => graft.functions.HilbertValueN.of(many.map(c => col(c).cast("long")))
     }
+    optimizeByKey(key, numFiles, where, Some((cols, "hilbert")), incremental)
   }
 
   def optimizeHilbert(cols: Seq[String]): Long = optimizeHilbert(cols, 0, None)
@@ -4373,14 +4446,57 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .withColumnRenamed(DeltaTable.RowIdCol, DeltaTable.MaterializedRowIdCol)
       .withColumnRenamed(DeltaTable.RowCommitVersionCol, DeltaTable.MaterializedRcvCol)
 
+  /** Shared OPTIMIZE rewrite. `cubeSpec = (columns, curve)` stamps the
+    * output files with ZCube identity tags; `incremental = true`
+    * additionally SKIPS input files already in a FINAL cube of the same
+    * spec (total cube size ≥ [[DeltaTable.MinCubeSizeKey]]) — so a
+    * maintenance re-run after an append touches the appended files plus
+    * any not-yet-full cubes, never the already-clustered bulk. Output
+    * file count defaults to bin-packing the REWRITTEN bytes to
+    * [[DeltaTable.TargetFileSizeKey]] (explicit `numFiles > 0` wins). */
   private def optimizeByKey(key: org.apache.spark.sql.Column, numFiles: Int,
-                            where: Option[org.apache.spark.sql.Column] = None): Long = {
+                            where: Option[org.apache.spark.sql.Column] = None,
+                            cubeSpec: Option[(Seq[String], String)] = None,
+                            incremental: Boolean = false): Long = {
     val snap0 = snapshot
+    val tableConf = snap0.metadata.map(_.configuration).getOrElse(Map.empty)
     val selected = where.fold(snap0.files)(p => filesInPartitions(snap0.files, p))
-    val snap = snap0.copy(files = selected)
+    val colsJson = cubeSpec.map { case (cols, _) =>
+      Actions.mapper.writeValueAsString(cols) }
+    val candidates =
+      if (!incremental || cubeSpec.isEmpty) selected
+      else {
+        val curve = cubeSpec.get._2
+        val minCube = tableConf.get(DeltaTable.MinCubeSizeKey)
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0)
+          .getOrElse(DeltaTable.DefaultMinCubeSize)
+        // a file belongs to a cube only if it was written by an OPTIMIZE
+        // over the SAME columns and curve — anything else (fresh append,
+        // DML rewrite, different layout) is a candidate
+        def cubeOf(f: AddFile): Option[String] = f.tags.filter(t =>
+          t.get(DeltaTable.ZCubeColsTag) == colsJson &&
+            t.get(DeltaTable.ZCubeCurveTag).contains(curve))
+          .flatMap(_.get(DeltaTable.ZCubeIdTag))
+        selected.groupBy(cubeOf).toSeq.sortBy(_._1).flatMap {
+          case (None, fs) => fs // untagged: always rewritten
+          case (Some(_), fs) if fs.map(_.size).sum < minCube => fs // partial cube: re-merge
+          case _ => Nil // final cube: already clustered, skip
+        }
+      }
+    val snap = snap0.copy(files = candidates)
     if (snap.files.isEmpty || (snap.files.size < 2 && numFiles <= 0)) return -1L
     val parts = partitionColumns
-    val n = if (numFiles > 0) numFiles else snap.files.size
+    val n = if (numFiles > 0) numFiles else {
+      // bin-pack the rewritten bytes to the target file size: a table of
+      // accumulated small files COMPACTS while it clusters, and a file
+      // larger than the target splits — the old file count is not a
+      // layout goal
+      val target = tableConf.get(DeltaTable.TargetFileSizeKey)
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0)
+        .getOrElse(DeltaTable.DefaultTargetFileSize)
+      val total = snap.files.map(_.size).sum
+      math.max(1L, (total + target - 1) / target).toInt
+    }
     val zv = key
     val rangeCols = parts.map(col) :+ org.apache.spark.sql.functions.col("__zv")
     val sorted = materializingRowIds(snap).withColumn("__zv", zv)
@@ -4393,10 +4509,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .mode("overwrite").option("compression", "snappy")
     (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer).parquet(staging.toString)
     val adds = collectStagedFiles(staging, physParts)
+    // one fresh cube id per run: every output file of this rewrite is
+    // one cluster unit for later incremental candidate selection
+    val cubeTags = cubeSpec.map { case (_, curve) => Map(
+      DeltaTable.ZCubeIdTag -> java.util.UUID.randomUUID().toString,
+      DeltaTable.ZCubeColsTag -> colsJson.get,
+      DeltaTable.ZCubeCurveTag -> curve) }
     try {
       val expected = snap.files.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(
-        adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
+        adds.map(a => Action(add = Some(a.copy(dataChange = false, tags = cubeTags)))) ++
           snap.files.map(f => Action(remove = Some(removeOf(f,
             System.currentTimeMillis(), dataChange = false)))) ++
           Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))),
@@ -4415,7 +4537,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
 
   /** Small-file compaction (the reference's min_bytes_per_file lever, B3,
     * re-expressed as OPTIMIZE): rewrite files below `minBytes` per partition
-    * into compacted ones; commits add+remove with dataChange=false. */
+    * into bin-packed ~target-size ones; commits add+remove with
+    * dataChange=false.
+    *
+    * Output sizing: files greedily pack into bins of
+    * `max(minBytes, delta.targetFileSize)` bytes per PARTITION (exact
+    * `add.size` values, driver-side — the file list is log metadata).
+    * The max keeps compaction CONVERGENT: with one input per bin
+    * excepted, outputs land at or above `minBytes`, so a re-run never
+    * re-selects what a pass just wrote. Rows route to their bin by
+    * source file name (UUID-unique within a table) and one
+    * range-partition task writes ≈ one bin — a 100 TB streaming table's
+    * small-file debt compacts into target-size files with one shuffle of
+    * ONLY the small bytes, instead of funneling through the single
+    * output task a coalesce(1) would schedule. */
   def compact(minBytes: Long = 128L * 1024 * 1024,
               where: Option[org.apache.spark.sql.Column] = None): Long = {
     val snap = snapshot
@@ -4425,12 +4560,44 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val small = where.fold(small0)(p => filesInPartitions(small0, p))
     if (small.size < 2) return -1L
     val parts = partitionColumns
+    val target = {
+      val prop = snap.metadata.flatMap(_.configuration.get(DeltaTable.TargetFileSizeKey))
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0)
+        .getOrElse(DeltaTable.DefaultTargetFileSize)
+      math.max(minBytes, prop)
+    }
+    // greedy per-partition packing over the exact add.size list;
+    // deterministic (partition, path) order so a replay packs identically
+    val binOf = {
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      var bin = -1
+      small.groupBy(_.partitionValues).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString("|")).foreach { case (_, fs) =>
+          var used = Long.MaxValue // forces a fresh bin per partition
+          fs.sortBy(_.path).foreach { f =>
+            if (used > target - f.size) { bin += 1; used = 0L }
+            used += f.size
+            m(f.path.split('/').last) = bin
+          }
+        }
+      m.toMap
+    }
+    val totalBins = binOf.values.max + 1
     // dfFor handles the declared-schema read (old files null-fill evolved
     // columns) — an inferred read crashes after schema evolution
-    val df = materializingRowIds(snap.copy(files = small))
+    val df0 = materializingRowIds(snap.copy(files = small))
+    val df =
+      if (totalBins == 1) df0.coalesce(1)
+      else {
+        import org.apache.spark.sql.functions.{element_at, input_file_name, regexp_extract, typedlit}
+        df0.withColumn("__bin", element_at(typedlit(binOf),
+            regexp_extract(input_file_name(), "[^/]+$", 0)))
+          .repartitionByRange(totalBins, col("__bin"))
+          .drop("__bin")
+      }
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val physParts = physicalPartNames(parts)
-    val writer = toPhysicalForWrite(df.coalesce(1), schema).write
+    val writer = toPhysicalForWrite(df, schema).write
       .mode("overwrite").option("compression", "snappy")
     (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer).parquet(staging.toString)
     val adds = collectStagedFiles(staging, physParts)

@@ -28,7 +28,20 @@ object ParquetStats {
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     .withZone(java.time.ZoneOffset.UTC)
 
-  def forFile(fs: FileSystem, file: Path, partitionCols: Set[String]): Option[String] = {
+  def forFile(fs: FileSystem, file: Path, partitionCols: Set[String]): Option[String] =
+    forFile(fs, file, partitionCols, Int.MaxValue)
+
+  /** As above, bounded by `delta.dataSkippingNumIndexedCols` (delta's
+    * documented property, default 32 at the call sites): only the first
+    * `numIndexedCols` LEAF columns in parquet schema order carry
+    * min/max/nullCount; `numRecords` is always emitted. The 100 TB
+    * rationale: stats JSON rides every add action through every commit,
+    * checkpoint, and snapshot replay — on a 1000-column table, unbounded
+    * stats turn the log itself into the scan problem, while predicates
+    * beyond the indexed prefix simply skip pruning (correct, just
+    * unpruned). */
+  def forFile(fs: FileSystem, file: Path, partitionCols: Set[String],
+              numIndexedCols: Int): Option[String] = {
     try {
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(file, fs.getConf))
@@ -51,11 +64,17 @@ object ParquetStats {
         val accs = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Acc]
 
         import scala.jdk.CollectionConverters._
+        // the indexed prefix: first numIndexedCols leaves in schema order
+        val indexed: Set[Seq[String]] =
+          if (numIndexedCols == Int.MaxValue) null // unbounded: skip the set
+          else schema.getColumns.asScala.take(math.max(0, numIndexedCols))
+            .map(_.getPath.toSeq).toSet
         footer.getBlocks.asScala.foreach { block =>
           numRecords += block.getRowCount
           block.getColumns.asScala.foreach { chunk =>
             val pathParts = chunk.getPath.toArray.toSeq
-            if (!partitionCols.contains(pathParts.head)) {
+            if (!partitionCols.contains(pathParts.head) &&
+                (indexed == null || indexed.contains(pathParts))) {
               val colDesc = schema.getColumnDescription(pathParts.toArray)
               val repeated = colDesc.getMaxRepetitionLevel > 0
               val acc = accs.getOrElseUpdate(pathParts,

@@ -73,4 +73,54 @@ class ClusteredTableSpec extends SparkSpec {
     val files = t.scanFiles(Seq(DataSkipping.ColPred("k", "<=", 100L)))
     assert(files.size === 1, "a range-sorted layout answers a range probe from one file")
   }
+
+  test("incremental maintenance: final ZCubes are skipped, appends re-cluster alone") {
+    val dir = tmpDir("clus-incr")
+    val df1 = (0L until 2000L).map(i => (i % 64, (i * 37) % 64)).toDF("x", "y")
+    val t = DeltaTable.forPath(spark, dir).create(df1.schema, clusterBy = Seq("x", "y"))
+    // minCubeSize=1 byte: ANY cube is final — the spec-scale stand-in for
+    // "a 100 GB cube on a 100 TB table"
+    t.setProperties(Map(DeltaTable.MinCubeSizeKey -> "1"))
+    (0 until 2).foreach(b => t.append(df1.filter(col("x") % 2 === b)))
+    assert(t.optimizeClustered(numFiles = 4) > 0L)
+    val cube1 = t.snapshot.files.map(_.path).toSet
+    assert(t.snapshot.files.forall(_.tags.exists(tg =>
+      tg.contains(DeltaTable.ZCubeIdTag) &&
+        tg.get(DeltaTable.ZCubeCurveTag).contains("hilbert"))),
+      "every OPTIMIZE output must carry its ZCube identity")
+    // nothing new since the cube finalized: a re-run is a no-op, never a
+    // table rewrite
+    assert(t.optimizeClustered(numFiles = 4) === -1L)
+    // two fresh appends: only THEY are rewritten; the final cube survives
+    val df2 = (0L until 1000L).map(i => ((i * 13) % 64, (i * 41) % 64)).toDF("x", "y")
+    t.append(df2.coalesce(1))
+    t.append(df2.coalesce(1))
+    assert(t.optimizeClustered(numFiles = 2) > 0L)
+    val after = t.snapshot.files
+    assert(cube1.subsetOf(after.map(_.path).toSet),
+      "files of a final cube must never be rewritten by incremental maintenance")
+    val cubeIds = after.flatMap(_.tags.flatMap(_.get(DeltaTable.ZCubeIdTag))).distinct
+    assert(cubeIds.size === 2, "the append batch forms its own new cube")
+    assert(t.toDF.count() === 4000L)
+  }
+
+  test("ZCube tags survive JSON commits, checkpoints, and log truncation") {
+    val dir = tmpDir("clus-tags-ck")
+    val df = (0L until 500L).map(i => (i % 32, i % 17)).toDF("x", "y")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema, clusterBy = Seq("x", "y"))
+    t.setProperties(Map(DeltaTable.MinCubeSizeKey -> "1"))
+    t.append(df)
+    t.append(df)
+    assert(t.optimizeClustered(numFiles = 2) > 0L)
+    val v = t.snapshot.version
+    t.log.checkpointAt(v)
+    // force replay THROUGH the checkpoint: the commit JSONs below it go away
+    t.log.cleanupMetadata(v)
+    val fresh = DeltaTable.forPath(spark, dir)
+    val tags = fresh.snapshot.files.flatMap(_.tags)
+    assert(tags.nonEmpty && tags.forall(_.contains(DeltaTable.ZCubeIdTag)),
+      "checkpoint replay must preserve add.tags")
+    // and the preserved tags still gate: re-maintenance stays a no-op
+    assert(fresh.optimizeClustered(numFiles = 2) === -1L)
+  }
 }

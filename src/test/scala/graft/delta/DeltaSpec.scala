@@ -901,7 +901,9 @@ class DeltaSpec extends SparkSpec {
     assert(before.scanFiles(Seq(ColPred("b", "=", 7L))).size === nFiles)
     val data = before.toDF.orderBy("a", "b").collect().toSeq
 
-    assert(before.optimizeZOrder("a", "b") > 0)
+    // explicit numFiles: the default bin-packs to delta.targetFileSize,
+    // which would fold this KB-scale grid into one file
+    assert(before.optimizeZOrder(Seq("a", "b"), numFiles = 8, None) > 0)
     val after = DeltaTable.forPath(spark, t.path)
     assert(after.snapshot.files.size === nFiles)
     // z-clustering bounds each file in BOTH dims. 8 files x 128 cells fix
@@ -930,7 +932,7 @@ class DeltaSpec extends SparkSpec {
     assert(before.scanFiles(Seq(ColPred("b", "=", 7L))).size === nFiles)
     val data = before.toDF.orderBy("a", "b").collect().toSeq
 
-    assert(before.optimizeHilbert("a", "b") > 0)
+    assert(before.optimizeHilbert(Seq("a", "b"), numFiles = 8, None) > 0)
     val after = DeltaTable.forPath(spark, t.path)
     assert(after.snapshot.files.size === nFiles)
     // each file is a contiguous 128-cell curve segment = at most two 8x8
@@ -1246,5 +1248,61 @@ class DeltaSpec extends SparkSpec {
     assert(t.vacuum(retentionMs = -1000L) === before.size,
       "the real vacuum must collect exactly the dry-run set")
     assert(t.vacuumDryRun(retentionMs = -1000L).isEmpty)
+  }
+
+  test("delta.dataSkippingNumIndexedCols bounds stats to the leading leaf columns") {
+    val dir = tmpDir("delta-idxcols")
+    val df = (0L until 100L).map(i => (i, i * 2, s"s$i")).toDF("a", "b", "c")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.DataSkippingNumIndexedColsKey -> "1"))
+    t.append(df.coalesce(1))
+    val node = Actions.mapper.readTree(t.snapshot.files.head.stats.get)
+    assert(node.get("numRecords").asLong === 100L)
+    assert(node.get("minValues").has("a") && node.get("maxValues").has("a"))
+    assert(!node.get("minValues").has("b") && !node.get("minValues").has("c"))
+    assert(node.get("nullCount").has("a") && !node.get("nullCount").has("b"))
+    // predicates past the indexed prefix lose pruning, never correctness
+    assert(t.scanFiles(Seq(DataSkipping.ColPred("b", "=", 4L))).size
+      === t.snapshot.files.size)
+    assert(t.scan(Seq(DataSkipping.ColPred("b", "=", 4L))).count() === 1L)
+    assert(t.scanFiles(Seq(DataSkipping.ColPred("a", "=", -5L))).isEmpty,
+      "the indexed column still prunes")
+    // -1 restores full-width stats for subsequent writes
+    t.setProperties(Map(DeltaTable.DataSkippingNumIndexedColsKey -> "-1"))
+    val v = t.append(df)
+    val adds = t.log.readVersion(v).flatMap(_.add)
+    assert(adds.nonEmpty && adds.forall(a =>
+      Actions.mapper.readTree(a.stats.get).get("minValues").has("c")))
+    intercept[IllegalArgumentException](
+      t.setProperties(Map(DeltaTable.DataSkippingNumIndexedColsKey -> "many")))
+  }
+
+  test("compact bin-packs small files to max(minBytes, targetFileSize) per partition") {
+    val dir = tmpDir("delta-binpack")
+    val df1 = (0L until 50L).map(i => (i * 2654435761L, i % 2)).toDF("v", "p")
+    val t = DeltaTable.forPath(spark, dir).create(df1.schema, Seq("p"))
+    (0 until 4).foreach(k =>
+      t.append((0L until 50L).map(i => (i * 2654435761L + k, i % 2)).toDF("v", "p")
+        .coalesce(1)))
+    val t2 = DeltaTable.forPath(spark, dir)
+    val files = t2.snapshot.files
+    assert(files.size === 8) // 4 appends x 2 partitions
+    val data = t2.toDF.orderBy("v").collect().toSeq
+    // target sized for TWO input files per bin: per partition, 4 small
+    // files pack into 2 bins — the compacted table is 4 files, not the
+    // 2 a coalesce(1) would force through one task
+    val maxSize = files.map(_.size).max
+    t2.setProperties(Map(DeltaTable.TargetFileSizeKey -> (2 * maxSize).toString))
+    assert(t2.compact(minBytes = maxSize + 1) > 0L)
+    val after = DeltaTable.forPath(spark, dir)
+    val byPart = after.snapshot.files.groupBy(_.partitionValues("p"))
+    // the greedy packer admits a file while the bin stays <= target, so
+    // near-equal sizes give exactly 2 bins of 2 per partition
+    assert(byPart.values.forall(_.size === 2),
+      s"expected 2 bins per partition, got ${byPart.view.mapValues(_.size).toMap}")
+    assert(after.toDF.orderBy("v").collect().toSeq === data)
+    // partition dirs never mix: every output sits in its own partition
+    assert(after.snapshot.files.forall(f =>
+      f.path.startsWith(s"p=${f.partitionValues("p")}")))
   }
 }

@@ -328,6 +328,34 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger paces snapshot chunks and tail versions by metadata bytes") {
+    val t = mkTable("dstream-bytes")
+    (0 until 6).foreach(i => t.append(rows(i * 10 until i * 10 + 5).coalesce(1)))
+    // cap just above the largest file: one snapshot file / one tail
+    // version per batch — pacing reads only add.size, never data files
+    val cap = (t.snapshot.files.map(_.size).max + 1).toString
+    val q = readStream(t, "maxBytesPerTrigger" -> cap).writeStream.format("memory")
+      .queryName("dstream_bytes")
+      .option("checkpointLocation", tmpDir("dstream-bytes-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dstream_bytes").count() === 30L)
+      val snapBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(snapBatches >= 6,
+        s"a 6-file snapshot under a 1-file byte cap must take >= 6 batches, " +
+          s"got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+      // tail: three appended versions (same 5-row shape as the snapshot
+      // files, so each is cap-sized) arrive one per batch under the cap
+      (0 until 3).foreach(i =>
+        t.append(rows(100 + i * 10 until 100 + i * 10 + 5).coalesce(1)))
+      q.processAllAvailable()
+      assert(spark.table("dstream_bytes").count() === 45L)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= snapBatches + 3,
+        "each tail version must admit alone under the byte cap")
+      assert(spark.table("dstream_bytes").select("id").as[Long].collect().toSet.size === 45)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a chunked snapshot across batches in one run") {
     val t = mkTable("dstream-an")
     (0 until 5).foreach(i => t.append(rows(i * 10 until i * 10 + 3).coalesce(1)))
