@@ -48,6 +48,15 @@ object DeltaTable {
   val AutoCompactConfigKey = "delta.autoOptimize.autoCompact"
   val AutoCompactMinFilesKey = "delta.autoOptimize.minNumFiles"
 
+  /** Optimized writes (the Delta `delta.autoOptimize.optimizeWrite`
+    * table property): appends pre-shuffle through an AQE REBALANCE
+    * instead of a plain hash repartition — small shuffle partitions
+    * coalesce toward the advisory size and a skewed partition value
+    * SPLITS across tasks, so neither a 10⁴-task batch into an
+    * unpartitioned table (one small file per task) nor one hot partition
+    * value (one giant funnel task) degrades the write. */
+  val OptimizeWriteConfigKey = "delta.autoOptimize.optimizeWrite"
+
   /** In-commit timestamps enablement (Delta writer feature
     * `inCommitTimestamp`). */
   val IctConfigKey = "delta.enableInCommitTimestamps"
@@ -681,7 +690,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val knownDelta = Set(
       DeltaTable.CdfConfigKey, DeltaTable.DvConfigKey,
       DeltaTable.AppendOnlyConfigKey, DeltaTable.AutoCompactConfigKey,
-      DeltaTable.AutoCompactMinFilesKey, DeltaTable.IctConfigKey,
+      DeltaTable.AutoCompactMinFilesKey, DeltaTable.OptimizeWriteConfigKey,
+      DeltaTable.IctConfigKey,
       DeltaTable.RowTrackingConfigKey, DeltaTable.CheckpointPolicyKey,
       DeltaTable.ColumnMappingModeKey, DeltaTable.SymlinkManifestKey,
       DeltaTable.CheckpointIntervalKey, DeltaTable.LogRetentionKey,
@@ -1539,7 +1549,18 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // at sf0.1, and the classic small-files failure at 100 TB). Micro-
     // batches are bounded (maxMessagesPerBatch), so one-task-per-value
     // skew is capped; compact() remains the lever for residual smalls.
-    val arranged = if (parts.nonEmpty) aligned.repartition(parts.map(col): _*) else aligned
+    // With delta.autoOptimize.optimizeWrite the hash repartition upgrades
+    // to an AQE REBALANCE (coalesces smalls toward the advisory size,
+    // splits a hot partition value); see [[DeltaTable.OptimizeWriteConfigKey]].
+    val optimizeWrite = baseSnap.metadata.exists(
+      _.configuration.get(DeltaTable.OptimizeWriteConfigKey).contains("true"))
+    val arranged =
+      if (optimizeWrite) {
+        if (parts.nonEmpty) aligned.hint("rebalance", parts.map(col): _*)
+        else aligned.hint("rebalance")
+      }
+      else if (parts.nonEmpty) aligned.repartition(parts.map(col): _*)
+      else aligned
     val physParts = physicalPartNames(parts)
     val writer = toPhysicalForWrite(arranged, evolvedSchema).write.mode("overwrite")
       .option("compression", "snappy")
@@ -3786,6 +3807,63 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // the EXACT filter stays the caller's predicates — derived partition
     // conjuncts are pruning-only and can never change results
     dfFor(snap.copy(files = surviving)).filter(DataSkipping.exprFor(preds))
+  }
+
+  /** Backfill per-file stats (the delta-spark stats-recompute shape):
+    * re-add live files LACKING `add.stats` (or ALL live files with
+    * `onlyMissing = false` — e.g. after raising
+    * `delta.dataSkippingNumIndexedCols`) with footer-derived stats,
+    * `dataChange = false` so streams and CDF never re-emit. A
+    * foreign-written log or a CONVERTed import becomes skippable without
+    * rewriting a byte of data — one footer read per file (driver pool
+    * below [[DeltaTable.distributedStatsThreshold]], one Spark job
+    * above) and a metadata-sized commit. Returns the committed version,
+    * -1 when nothing needed stats. */
+  def recomputeStats(onlyMissing: Boolean = true): Long = {
+    val snap = snapshot
+    val targets = if (onlyMissing) snap.files.filter(_.stats.isEmpty) else snap.files
+    if (targets.isEmpty) return -1L
+    val width = statsIndexLimit(snap.metadata.map(_.configuration).getOrElse(Map.empty))
+    // physical names: parquet footers carry physical columns; absolute
+    // add.paths (shallow clones) resolve via Path(parent, child) URI rules
+    val physParts = physicalPartNames(partitionColumns).toSet
+    val fullPath: Map[String, String] = targets.map(f =>
+      f.path -> fs.makeQualified(new Path(path, f.path)).toString).toMap
+    val statsOf: Map[String, Option[String]] =
+      if (targets.size < DeltaTable.distributedStatsThreshold) {
+        DeltaTable.parMap(targets)(f => f.path ->
+          ParquetStats.forFile(fs, new Path(fullPath(f.path)), physParts, width)).toMap
+      } else {
+        val confPairs = {
+          import scala.jdk.CollectionConverters._
+          spark.sessionState.newHadoopConf().iterator().asScala
+            .map(e => e.getKey -> e.getValue).toSeq
+        }
+        val bcConf = spark.sparkContext.broadcast(confPairs)
+        val slices = math.min(targets.size, 512)
+        spark.sparkContext
+          .parallelize(targets.map(f => f.path -> fullPath(f.path)), slices)
+          .map { case (rel, full) =>
+            val c = new org.apache.hadoop.conf.Configuration(false)
+            bcConf.value.foreach { case (k, v) => c.set(k, v) }
+            val p = new Path(full)
+            rel -> ParquetStats.forFile(p.getFileSystem(c), p, physParts, width)
+          }.collect().toMap
+      }
+    val reAdds = targets.flatMap(f => statsOf(f.path).map(s =>
+      Action(add = Some(f.copy(stats = Some(s), dataChange = false)))))
+    if (reAdds.isEmpty) return -1L // every footer read failed: nothing to say
+    val expected = targets.map(f => f.path -> f.deletionVector).toMap
+    log.commit(
+      reAdds :+ Action(commitInfo = Some(
+        CommitInfo(System.currentTimeMillis(), "COMPUTE STATS"))),
+      // a re-add must describe the file a concurrent writer left live —
+      // same path AND same DV descriptor (stats are physical-file facts,
+      // DV-independent, but a vanished file must not resurrect)
+      check = s => {
+        val live = s.files.map(f => f.path -> f.deletionVector).toMap
+        expected.forall { case (p, dv) => live.get(p).contains(dv) }
+      })
   }
 
   /** DML candidate pre-restriction through the `add.stats` index: the

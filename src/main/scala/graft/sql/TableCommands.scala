@@ -31,10 +31,17 @@ case class OptimizeTableCommand(path: String, whereSql: Option[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, path)
     val whereCol = whereSql.map(org.apache.spark.sql.functions.expr)
+    val clusterCols = if (zorderBy.isEmpty) t.clusteringColumns else Nil
     val (op, v) =
       if (zorderBy.nonEmpty)
         (s"ZORDER BY (${zorderBy.mkString(", ")})",
           t.optimizeZOrder(zorderBy, 0, whereCol))
+      else if (clusterCols.nonEmpty)
+        // a clustered table's bare OPTIMIZE is INCREMENTAL layout
+        // maintenance on the stored keys (the liquid contract), not a
+        // small-file compaction that would destroy the clustering
+        (s"CLUSTER BY (${clusterCols.mkString(", ")})",
+          t.optimizeClustered(where = whereCol))
       else ("COMPACT", t.compact(where = whereCol))
     Seq(Row(path, op, v))
   }

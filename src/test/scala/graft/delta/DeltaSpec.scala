@@ -1250,6 +1250,62 @@ class DeltaSpec extends SparkSpec {
     assert(t.vacuumDryRun(retentionMs = -1000L).isEmpty)
   }
 
+  test("optimizeWrite: appends rebalance instead of fanning one file per task") {
+    val dir = tmpDir("delta-ow")
+    val df = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.OptimizeWriteConfigKey -> "true"))
+    // an 8-task input into an unpartitioned table: without optimized
+    // writes this is 8 small files; the AQE rebalance coalesces the
+    // KB-scale shuffle output into one
+    t.append(df.repartition(8))
+    assert(t.snapshot.files.size === 1,
+      s"optimizeWrite must coalesce small write partitions, got ${t.snapshot.files.size}")
+    assert(t.toDF.count() === 400L)
+    // control: same shape without the property keeps one file per task
+    val dir2 = tmpDir("delta-ow-off")
+    val t2 = DeltaTable.forPath(spark, dir2).create(df.schema)
+    t2.append(df.repartition(8))
+    assert(t2.snapshot.files.size === 8)
+    // partitioned + optimizeWrite: files land per partition dir, content exact
+    val dir3 = tmpDir("delta-ow-part")
+    val dfp = (0L until 400L).map(i => (i, (i % 2).toString)).toDF("id", "p")
+    val t3 = DeltaTable.forPath(spark, dir3).create(dfp.schema, Seq("p"),
+      configuration = Map(DeltaTable.OptimizeWriteConfigKey -> "true"))
+    t3.append(dfp.repartition(8))
+    val byPart = t3.snapshot.files.groupBy(_.partitionValues("p"))
+    assert(byPart.keySet === Set("0", "1") && byPart.values.forall(_.size === 1))
+    assert(t3.toDF.count() === 400L)
+  }
+
+  test("recomputeStats backfills stats-less files; pruning turns on, data untouched") {
+    val dir = tmpDir("delta-restats")
+    val df = (0L until 100L).map(i => (i, s"s$i")).toDF("id", "s")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema)
+    (0 until 4).foreach(k =>
+      t.append((k * 100L until k * 100L + 100L).map(i => (i, s"s$i")).toDF("id", "s")
+        .coalesce(1)))
+    val dataPaths = t.snapshot.files.map(_.path).toSet
+    // simulate a foreign-written log: re-add every file WITHOUT stats
+    t.log.commit(t.snapshot.files.map(f =>
+      Actions.Action(add = Some(f.copy(stats = None, dataChange = false)))))
+    val bare = DeltaTable.forPath(spark, dir)
+    assert(bare.snapshot.files.forall(_.stats.isEmpty))
+    assert(bare.scanFiles(Seq(DataSkipping.ColPred("id", "=", 7L))).size === 4,
+      "no stats, no pruning")
+    // backfill: metadata-sized commit, zero data rewrites
+    assert(bare.recomputeStats() > 0L)
+    val after = DeltaTable.forPath(spark, dir)
+    assert(after.snapshot.files.map(_.path).toSet === dataPaths,
+      "recompute must re-add the same files, not rewrite them")
+    assert(after.snapshot.files.forall(_.stats.nonEmpty))
+    assert(after.scanFiles(Seq(DataSkipping.ColPred("id", "=", 7L))).size === 1)
+    assert(after.toDF.count() === 400L)
+    // nothing missing anymore: quiet no-op; onlyMissing=false re-stats all
+    assert(after.recomputeStats() === -1L)
+    assert(after.recomputeStats(onlyMissing = false) > 0L)
+  }
+
   test("delta.dataSkippingNumIndexedCols bounds stats to the leading leaf columns") {
     val dir = tmpDir("delta-idxcols")
     val df = (0L until 100L).map(i => (i, i * 2, s"s$i")).toDF("a", "b", "c")

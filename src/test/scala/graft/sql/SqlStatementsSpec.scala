@@ -46,6 +46,22 @@ class SqlStatementsSpec extends SparkSpec {
     assert(out3.head.getLong(2) > 0L)
   }
 
+  test("OPTIMIZE on a clustered table runs incremental clustering, not compaction") {
+    val dir = tmpDir("sqlstmt-clus")
+    val df = (0L until 200L).map(v => (v, v % 7)).toDF("a", "b")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema, clusterBy = Seq("a", "b"))
+    spark.sql(s"ALTER TABLE '$dir' SET TBLPROPERTIES " +
+      s"('${DeltaTable.MinCubeSizeKey}' = '1')") // any cube is final
+    (0 until 2).foreach(_ => t.append(df.coalesce(1)))
+    val out = spark.sql(s"OPTIMIZE '$dir'").collect()
+    assert(out.head.getString(1).startsWith("CLUSTER BY"), out.head.getString(1))
+    assert(out.head.getLong(2) > 0L)
+    // incremental: with the cube final and nothing appended, a re-run
+    // must be the quiet no-op, not a fresh table rewrite
+    assert(spark.sql(s"OPTIMIZE '$dir'").collect().head.getLong(2) === -1L)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() === 400L)
+  }
+
   test("VACUUM DRY RUN lists candidates and deletes nothing; VACUUM deletes") {
     val t = mkTable("sqlstmt-vac", files = 2)
     assert(t.compact(minBytes = Long.MaxValue) > 0L) // orphan the 2 small files
