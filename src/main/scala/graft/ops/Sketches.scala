@@ -148,6 +148,44 @@ object Sketches {
     wide.select(col("group") +: joined.as("cms_joined") +: estCols: _*)
   }
 
+  /** EXACT heavy hitters through a CMS pre-filter — the two-pass shape
+    * for frequency thresholds over an unbounded key domain.
+    *
+    * Pass 1 reduces the whole input to ONE global CMS: D·W = 256
+    * integer counters via constant-width partial aggregation — no
+    * per-key state, no keyed shuffle, the driver holds 256 longs.
+    * Pass 2 re-scans, keeping only rows whose CMS point estimate clears
+    * `minCount` — a scan-stage `least` over D literal-array lookups
+    * (CMS never underestimates, so the kept keys are a SUPERSET of the
+    * true heavy hitters) — then exact-counts the survivors and trims
+    * collision-inflated keys with the exact HAVING.
+    *
+    * Result is therefore EXACTLY `GROUP BY item HAVING count(*) >=
+    * minCount` (the oracle needs no sketch), but the keyed shuffle
+    * carries only candidate keys: at 100 TB the long tail — most of the
+    * distinct-key mass, the part that makes a plain groupBy spill —
+    * never shuffles. Collision mass is bounded (≤ e/W of total count
+    * per row w.h.p.), so candidates stay near the true heavy set. */
+  def heavyHitters(df: DataFrame, item: Column, minCount: Long,
+                   salt: String): DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    val idx = cmsIdx(item, salt)
+    val perItem = df.select(
+      idx.zipWithIndex.map { case (c, d) => c.as(s"i$d") }: _*)
+    val aggs = for (d <- 0 until CmsD; j <- 0 until CmsW)
+      yield sum(when(col(s"i$d") === j, 1L).otherwise(0L)).as(s"c_${d}_$j")
+    val row = perItem.agg(aggs.head, aggs.tail: _*).head()
+    val counters: Seq[Seq[Long]] = (0 until CmsD).map(d =>
+      (0 until CmsW).map(j =>
+        if (row.isNullAt(d * CmsW + j)) 0L else row.getLong(d * CmsW + j)))
+    val est = least((0 until CmsD).map { d =>
+      element_at(array(counters(d).map(lit): _*), idx(d) + 1)
+    }: _*)
+    df.filter(est.geq(lit(minCount)))
+      .groupBy(item.as("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   // ---- Log-histogram quantile sketch: the third sketch family —
   // bounded-memory QUANTILES (p50/p95/p99 of latencies, doc lengths,
   // quality scores) where exact percentiles need a full sort. Values

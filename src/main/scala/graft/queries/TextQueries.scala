@@ -1196,6 +1196,28 @@ object TextQueries extends QueryModule {
            |FROM wide ORDER BY source""".stripMargin
       }),
 
+    // EXACT heavy hitters via the CMS pre-filter (the fourth sketch
+    // exhibit): tokens with corpus frequency >= 100. The oracle is the
+    // PLAIN exact query — GROUP BY HAVING — because the sketch is a
+    // pure optimization: CMS never underestimates, so the candidate set
+    // is a superset and the exact verify trims collisions. The Spark
+    // side's keyed shuffle carries only candidate keys; the long tail
+    // (most of the distinct-key mass at 100 TB) never shuffles.
+    "sketch_heavy_hitters" -> QueryDef(
+      (s, d) =>
+        graft.ops.Sketches.heavyHitters(
+            Tables.documents(s, d)
+              .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("it")),
+            col("it"), minCount = 100L, salt = "hh")
+          .orderBy(col("item")),
+      Some {
+        s"""WITH items AS (
+           |  SELECT unnest($T) AS it FROM documents)
+           |SELECT it AS item, CAST(count(*) AS BIGINT) AS cnt
+           |FROM items GROUP BY it HAVING count(*) >= 100
+           |ORDER BY item""".stripMargin
+      }),
+
     // Mergeable HLL cardinality sketch, fully re-derived by the oracle:
     // distinct 3-gram shingles per source — registers, scaled indicator
     // sum, and estimate are all md5/integer-exact; only the final

@@ -113,4 +113,23 @@ class SketchesSpec extends SparkSpec {
     // most registers empty
     assert(out.getAs[String]("registers_joined").split(",").count(_ == "0") >= 59)
   }
+
+  test("heavyHitters is exactly GROUP BY HAVING, whatever the CMS collisions do") {
+    // 5000 distinct tail items (1-2 occurrences) + 6 heavy items: the
+    // candidate filter may admit collision-inflated tail keys, but the
+    // exact verify must trim the output to precisely the true heavy set
+    val rows =
+      (0 until 5000).flatMap(i => Seq.fill(1 + i % 2)(s"tail-$i")) ++
+        (0 until 6).flatMap(h => Seq.fill(50 + h)(s"heavy-$h"))
+    val df = rows.toDF("it")
+    val out = Sketches.heavyHitters(df, col("it"), minCount = 50L, salt = "hh")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === (0 until 6).map(h => s"heavy-$h" -> (50L + h)).toMap)
+    // partition-layout independence (the two passes are aggregations)
+    val again = Sketches.heavyHitters(df.repartition(13), col("it"), 50L, "hh")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === out)
+    // threshold above everything: empty, not an error
+    assert(Sketches.heavyHitters(df, col("it"), 1000000L, "hh").count() === 0L)
+  }
 }

@@ -499,4 +499,23 @@ class PlanSpec extends SparkSpec {
     assert(exchangeInputs.forall(in => !in.contains("text#")),
       "keyword exchanges carry (id, term, counts) rows, never documents:\n" + p)
   }
+
+  test("sketch_heavy_hitters: the CMS candidate filter runs BEFORE the keyed exchange") {
+    val df = Registry.all("sketch_heavy_hitters").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the scale property: the long tail is dropped in the scan stage —
+    // the Filter (least over broadcast-literal counters) must sit below
+    // the first Exchange in the final plan, so only candidates shuffle
+    val firstExchange = p.indexOf(") Exchange")
+    val filterAt = "\\(\\d+\\) Filter".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(firstExchange > 0 && filterAt.nonEmpty, p)
+    assert(filterAt.exists(_ > firstExchange),
+      // formatted plans print leaves LAST: a filter printed after the
+      // first exchange header is UPSTREAM of it in execution order
+      "expected the candidate filter upstream of the keyed exchange:\n" + p)
+    assert(p.contains("element_at"),
+      "the estimate must be literal-array lookups, not a join:\n" + p)
+  }
 }
