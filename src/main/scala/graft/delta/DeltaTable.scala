@@ -1,6 +1,7 @@
 package graft.delta
 
 import scala.collection.mutable
+import scala.util.chaining._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3297,18 +3298,26 @@ final class DeltaTable(spark: SparkSession, val path: String) {
 
   /** Write a DML commit's change rows (table columns + `_change_type`)
     * under `_change_data/` and return the `cdc` actions to ride the same
-    * commit. Change files are written FLAT (partition columns stay
-    * inline) — the reader lists paths from the commit JSON, never the
-    * directory layout. */
+    * commit. On a partitioned table the change files land in Hive
+    * partition dirs with `partitionValues` recorded on the action (the
+    * PROTOCOL.md cdc shape, what delta-spark writes) — that is what lets
+    * [[changes]]' partition pruning skip other partitions' change files;
+    * unpartitioned tables write flat. The reader lists paths from the
+    * commit JSON, never the directory layout, and still accepts legacy
+    * FLAT change files (empty partitionValues, partition columns
+    * inline). */
   private def stageChangeFiles(changes: DataFrame,
                                writeSchema: StructType = schema): Seq[Action] = {
     val staging = new Path(path, s"_staging-cdc-${java.util.UUID.randomUUID()}")
+    val physParts = physicalPartNames(partitionColumns)
     try {
       // change files carry PHYSICAL column names like data files (the
       // `_change_type` column is not in the schema and passes through)
-      toPhysicalForWrite(changes, writeSchema).write
+      val writer = toPhysicalForWrite(changes, writeSchema).write
         .mode("overwrite").option("compression", "snappy")
+      (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
         .parquet(staging.toString)
+      val stagingPrefix = fs.makeQualified(staging).toString
       val it = fs.listFiles(staging, true)
       val buf = mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
       while (it.hasNext) {
@@ -3316,12 +3325,21 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         if (st.getPath.getName.endsWith(".parquet")) buf += st
       }
       buf.toSeq.map { st =>
-        val rel = s"_change_data/${st.getPath.getName}"
+        val sub = fs.makeQualified(st.getPath).toString
+          .stripPrefix(stagingPrefix).stripPrefix("/")
+        val partitionValues = sub.split('/').dropRight(1).iterator
+          .filter(_.contains('='))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> (if (v == DeltaTable.HiveDefaultPartition) null
+                  else DeltaTable.unescapePathName(v))
+          }.toMap
+        val rel = s"_change_data/$sub"
         val dest = new Path(path, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(st.getPath, dest))
           throw new RuntimeException(s"failed to move change file ${st.getPath} -> $dest")
-        Action(cdc = Some(Actions.AddCDCFile(rel, Map.empty, st.getLen)))
+        Action(cdc = Some(Actions.AddCDCFile(rel, partitionValues, st.getLen)))
       }
     } finally fs.delete(staging, true)
   }
@@ -3356,13 +3374,25 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   def changes(fromVersion: Long, toVersion: Long): DataFrame =
     changesFrames(fromVersion, toVersion, streaming = false)
 
+  /** Partition-pruned change feed: change and add files whose
+    * `partitionValues` fail `where` (a predicate over partition columns,
+    * evaluated EXACTLY per file) are never opened — a per-tenant or
+    * per-day CDF consumer over a thousand-commit range reads its own
+    * slice of each commit, not every partition's change files. The
+    * predicate is exact on partition values, so no residual row filter
+    * is needed; non-partition references fail analysis loudly. */
+  def changes(fromVersion: Long, toVersion: Long,
+              where: org.apache.spark.sql.Column): DataFrame =
+    changesFrames(fromVersion, toVersion, streaming = false, Some(where))
+
   /** [[changes]]'s engine, shared with the CDF-mode streaming source
     * ([[DeltaStreamSource]] `readChangeFeed`): identical file
     * classification, vacuum checks, and version stamping — `streaming`
     * only switches the two scans (and the empty fallback) to
     * streaming-tagged frames. */
   private[delta] def changesFrames(fromVersion: Long, toVersion: Long,
-                                   streaming: Boolean): DataFrame = {
+                                   streaming: Boolean,
+                                   pruneWhere: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(fromVersion >= 0 && toVersion >= fromVersion,
       s"bad version range [$fromVersion, $toVersion]")
     require(cdfEnabled,
@@ -3395,6 +3425,25 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // them (merge/update cdc capture inserts too) — its adds are not
       // read twice
       VersionFiles(v, ts, cdcFiles, if (cdcFiles.isEmpty) dataAdds else Nil)
+    }.pipe { raw =>
+      // exact partition pruning over the WHOLE range in two driver
+      // frames (never one per version): change/add files whose
+      // partitionValues fail the predicate are dropped before the
+      // existence checks and reads below ever see them
+      pruneWhere.fold(raw) { p =>
+        // legacy FLAT change files carry no partitionValues — keep them
+        // conservatively (the residual row filter below stays exact)
+        val (evalCdc, legacyCdc) = raw.flatMap(_.cdc).partition(_.partitionValues.nonEmpty)
+        val cdcKeep = ((if (evalCdc.isEmpty) Seq.empty[AddCDCFile]
+          else evalCdc.zip(partitionKeep(evalCdc.map(_.partitionValues), p))
+            .collect { case (f, true) => f }) ++ legacyCdc).toSet
+        val allAdds = raw.flatMap(_.adds)
+        val addKeep = (if (allAdds.isEmpty) Seq.empty[AddFile]
+          else allAdds.zip(partitionKeep(allAdds.map(_.partitionValues), p))
+            .collect { case (f, true) => f }).toSet
+        raw.map(vf => vf.copy(cdc = vf.cdc.filter(cdcKeep),
+          adds = vf.adds.filter(addKeep)))
+      }
     }
     // change/data files age out under VACUUM's retention (Delta
     // behavior); a vacuumed range must refuse at ANALYSIS time, not die
@@ -3439,29 +3488,38 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     def toLogical(df: DataFrame): DataFrame = df.select(
       (sch.fields.zip(physSch.fields).map { case (l, p) => col(p.name).as(l.name) } ++
         extras.map(col)).toSeq: _*)
-    val cdcPaths = versions.flatMap(_.cdc).map(c => new Path(path, c.path).toString)
     val addPaths = versions.flatMap(_.adds).map(a => new Path(path, a.path).toString)
     def readFrame(paths: Seq[String], schema: StructType,
-                  withBase: Boolean): DataFrame =
+                  base: Option[String]): DataFrame =
       if (streaming)
         org.apache.spark.sql.graft.StreamBridge.streamingParquet(
-          spark, paths, schema, if (withBase) Some(path) else None)
+          spark, paths, schema, base)
       else {
         val r = spark.read.schema(schema)
-        if (withBase) r.option("basePath", path).parquet(paths: _*)
-        else r.parquet(paths: _*)
+        base.fold(r.parquet(paths: _*))(b =>
+          r.option("basePath", b).parquet(paths: _*))
       }
-    val cdcFrame =
-      if (cdcPaths.isEmpty) None
-      else Some(toLogical(stamp(readFrame(cdcPaths,
-        physSch.add(DeltaTable.ChangeTypeCol, org.apache.spark.sql.types.StringType),
-        withBase = false))))
+    // change files come in two generations: PARTITIONED (Hive dirs under
+    // _change_data/, partitionValues on the action — partition columns
+    // fill from the dirs) and legacy FLAT (partition columns inline) —
+    // a table's history can carry both, so they read as separate frames
+    val (partCdc, flatCdc) = versions.flatMap(_.cdc).partition(_.partitionValues.nonEmpty)
+    val cdcSchema =
+      physSch.add(DeltaTable.ChangeTypeCol, org.apache.spark.sql.types.StringType)
+    val cdcFrames = Seq(
+      flatCdc -> None,
+      partCdc -> Some(new Path(path, "_change_data").toString)
+    ).collect { case (fs0, base) if fs0.nonEmpty =>
+      toLogical(stamp(readFrame(
+        fs0.map(c => new Path(path, c.path).toString), cdcSchema, base)))
+    }
     val addFrame =
       if (addPaths.isEmpty) None
       else Some(toLogical(stamp(
-        readFrame(addPaths, physSch, withBase = partitionColumns.nonEmpty))
+        readFrame(addPaths, physSch,
+          if (partitionColumns.nonEmpty) Some(path) else None))
         .withColumn(DeltaTable.ChangeTypeCol, lit("insert"))))
-    (cdcFrame.toSeq ++ addFrame.toSeq).reduceOption(_ unionByName _).getOrElse {
+    val out = (cdcFrames ++ addFrame.toSeq).reduceOption(_ unionByName _).getOrElse {
       val fullSchema = org.apache.spark.sql.types.StructType(
         sch.fields.toSeq ++ Seq(
           org.apache.spark.sql.types.StructField(DeltaTable.ChangeTypeCol,
@@ -3475,6 +3533,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       else spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), fullSchema)
     }
+    // residual EXACT row filter: pruning dropped provably-non-matching
+    // files; legacy flat change files (no partitionValues) are kept
+    // conservatively, and this filter makes the result exact either way
+    pruneWhere.fold(out)(p => out.filter(p))
   }
 
   /** [[changes]]'s output schema (CDF rows = table columns + the three
@@ -4419,8 +4481,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * 3–4-column layouts are routine): one column is a plain range-sort,
     * two keeps the oracle-gated 32-bit binary interleave, three or more
     * use the ⌊63/n⌋-bit round-robin interleave
-    * ([[graft.functions.ZValueN]]). Window contract per arity is
-    * documented on the expressions — rank or bucket first.
+    * ([[graft.functions.ZValueN]]). Dimensions min-max normalize into
+    * each kernel's window internally ([[normalizedCurveInputs]]) — any
+    * orderable column clusters correctly, no caller-side rank/bucket.
     *
     * `incremental = true` skips files already in a FINAL ZCube of the
     * same columns (see [[optimizeByKey]]) — the re-maintenance form for
@@ -4435,13 +4498,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                      where: Option[org.apache.spark.sql.Column],
                      incremental: Boolean): Long = {
     require(cols.nonEmpty, "OPTIMIZE ZORDER needs at least one column")
-    val key = cols match {
-      case Seq(one) => col(one)
-      case Seq(a, b) => graft.functions.ZValue.of(
-        col(a).cast("long"), col(b).cast("long"))
-      case many => graft.functions.ZValueN.of(many.map(c => col(c).cast("long")))
-    }
-    optimizeByKey(key, numFiles, where, Some((cols, "zorder")), incremental)
+    optimizeByKey(numFiles, where, (cols, "zorder"), incremental)
   }
 
   def optimizeZOrder(cols: Seq[String]): Long = optimizeZOrder(cols, 0, None)
@@ -4451,8 +4508,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * uses): consecutive key values are always grid-adjacent cells, so a
     * file's key interval maps to a tighter two-dimensional region than
     * the Morton key's seam-jumping intervals and stats prune at least as
-    * hard. Inputs must satisfy the 16-bit window contract (rank or
-    * bucket first). */
+    * hard. Dimensions normalize into the 16-bit window internally
+    * ([[normalizedCurveInputs]]). */
   def optimizeHilbert(colA: String, colB: String, numFiles: Int = 0,
                       where: Option[org.apache.spark.sql.Column] = None): Long =
     optimizeHilbert(Seq(colA, colB), numFiles, where)
@@ -4469,13 +4526,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                       where: Option[org.apache.spark.sql.Column],
                       incremental: Boolean): Long = {
     require(cols.nonEmpty, "OPTIMIZE (Hilbert) needs at least one column")
-    val key = cols match {
-      case Seq(one) => col(one)
-      case Seq(a, b) => graft.functions.HilbertValue.of(
-        col(a).cast("long"), col(b).cast("long"))
-      case many => graft.functions.HilbertValueN.of(many.map(c => col(c).cast("long")))
-    }
-    optimizeByKey(key, numFiles, where, Some((cols, "hilbert")), incremental)
+    optimizeByKey(numFiles, where, (cols, "hilbert"), incremental)
   }
 
   def optimizeHilbert(cols: Seq[String]): Long = optimizeHilbert(cols, 0, None)
@@ -4488,27 +4539,43 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * analysis loudly. */
   private def filesInPartitions(files: Seq[AddFile],
                                 predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    val keep = partitionKeep(files.map(_.partitionValues), predicate)
+    files.zip(keep).collect { case (f, true) => f }
+  }
+
+  /** Exact per-entry evaluation of a partition-column predicate over a
+    * list of `partitionValues` maps — one small driver-side frame of the
+    * TYPED partition values (row count = entry count, log-bounded), so
+    * any Column over partition columns works with Spark's exact
+    * semantics. Non-partition references fail analysis loudly. Shared by
+    * OPTIMIZE/compact scoping and the change-feed partition pruning. */
+  private def partitionKeep(pvs: Seq[Map[String, String]],
+                            predicate: org.apache.spark.sql.Column): Seq[Boolean] = {
     val parts = partitionColumns
     require(parts.nonEmpty,
       "a partition predicate needs a partitioned table (use the unscoped form)")
     val sch = schema
     val partFields = parts.map(p => sch.fields.find(_.name == p).get)
+    // partitionValues maps are keyed by PHYSICAL column names (like the
+    // partition dirs) — on a column-mapped table a logical-name lookup
+    // would miss every entry and silently match nothing
+    val physOf = partFields.map(f => f.name -> physicalName(f)).toMap
     import scala.jdk.CollectionConverters._
     val strSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__idx",
         org.apache.spark.sql.types.LongType) +:
         partFields.map(f => org.apache.spark.sql.types.StructField(f.name,
           org.apache.spark.sql.types.StringType)))
-    val data = files.zipWithIndex.map { case (f, i) =>
+    val data = pvs.zipWithIndex.map { case (pv, i) =>
       org.apache.spark.sql.Row.fromSeq(
-        i.toLong +: parts.map(p => f.partitionValues.getOrElse(p, null)))
+        i.toLong +: parts.map(p => pv.getOrElse(physOf(p), null)))
     }
     val keep = spark.createDataFrame(data.asJava, strSchema)
       .select(col("__idx") +: partFields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
       .filter(predicate)
       .select("__idx").collect().map(_.getLong(0)).toSet
-    files.zipWithIndex.collect { case (f, i) if keep(i.toLong) => f }
+    pvs.indices.map(i => keep(i.toLong))
   }
 
   /** The rewrite-input frame for OPTIMIZE paths: on a row-tracking table,
@@ -4532,19 +4599,72 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * any not-yet-full cubes, never the already-clustered bulk. Output
     * file count defaults to bin-packing the REWRITTEN bytes to
     * [[DeltaTable.TargetFileSizeKey]] (explicit `numFiles > 0` wins). */
-  private def optimizeByKey(key: org.apache.spark.sql.Column, numFiles: Int,
-                            where: Option[org.apache.spark.sql.Column] = None,
-                            cubeSpec: Option[(Seq[String], String)] = None,
-                            incremental: Boolean = false): Long = {
+  /** Order-preserving DOUBLE ordinal of one clustering dimension — the
+    * per-type image the curve normalization scales into the kernel
+    * window. Strings map through a codepoint-weighted 8-char prefix
+    * (exact lexicographic order on ASCII prefixes, a locality proxy
+    * beyond); dates/timestamps through their epoch integers (µs fits
+    * doubles exactly below 2^53). */
+  private def curveOrdinal(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{ascii, coalesce, substring, unix_date, unix_micros}
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case StringType =>
+        (0 until 8).map(i =>
+          coalesce(ascii(substring(col(f.name), i + 1, 1)).cast("double"), lit(0.0)) *
+            lit(math.pow(2.0, 8 * (7 - i)))).reduce(_ + _)
+      case DateType => unix_date(col(f.name)).cast("double")
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(f.name).cast("timestamp")).cast("double")
+      case BooleanType => col(f.name).cast("int").cast("double")
+      case _: NumericType => col(f.name).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"cannot cluster on '${f.name}' of type ${other.simpleString}")
+    }
+  }
+
+  /** Clustering inputs normalized into the curve kernel's `bits`-bit
+    * window: min-max scaled over the REWRITE INPUT (one tiny agg job of
+    * exact min/max per dimension — deterministic, no sampling). The
+    * kernels mask to their window by contract, so raw wide-domain
+    * values (epoch micros, 64-bit ids) would cluster on their LOW bits
+    * — locality destroyed exactly where it matters; scaling makes
+    * `clusterBy` correct on any orderable column with no caller-side
+    * rank/bucket step. Power-of-two ranges scale as exact bit shifts,
+    * so small-domain layouts (ids, day numbers) are bit-identical to
+    * the unscaled interleave. Nulls cluster at the origin. */
+  private def normalizedCurveInputs(df: DataFrame, cols: Seq[String],
+                                    bits: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{coalesce, floor, least, max, min}
+    val sch = schema
+    val fields = cols.map(c => sch.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(s"OPTIMIZE column '$c' is not in the table schema")))
+    val ords = fields.map(curveOrdinal)
+    val aggs = ords.zipWithIndex.flatMap { case (o, i) =>
+      Seq(min(o).as(s"mn$i"), max(o).as(s"mx$i")) }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val window = math.pow(2.0, bits)
+    ords.zipWithIndex.map { case (o, i) =>
+      val mn = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
+      val mx = if (r.isNullAt(2 * i + 1)) mn else r.getDouble(2 * i + 1)
+      val scale = window / (mx - mn + 1.0)
+      least(floor((coalesce(o, lit(mn)) - lit(mn)) * lit(scale)),
+        lit(window - 1.0)).cast("long")
+    }
+  }
+
+  private def optimizeByKey(numFiles: Int,
+                            where: Option[org.apache.spark.sql.Column],
+                            cubeSpec: (Seq[String], String),
+                            incremental: Boolean): Long = {
+    val (cubeCols, curve) = cubeSpec
     val snap0 = snapshot
     val tableConf = snap0.metadata.map(_.configuration).getOrElse(Map.empty)
     val selected = where.fold(snap0.files)(p => filesInPartitions(snap0.files, p))
-    val colsJson = cubeSpec.map { case (cols, _) =>
-      Actions.mapper.writeValueAsString(cols) }
+    val colsJson = Actions.mapper.writeValueAsString(cubeCols)
     val candidates =
-      if (!incremental || cubeSpec.isEmpty) selected
+      if (!incremental) selected
       else {
-        val curve = cubeSpec.get._2
         val minCube = tableConf.get(DeltaTable.MinCubeSizeKey)
           .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0)
           .getOrElse(DeltaTable.DefaultMinCubeSize)
@@ -4552,7 +4672,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         // over the SAME columns and curve — anything else (fresh append,
         // DML rewrite, different layout) is a candidate
         def cubeOf(f: AddFile): Option[String] = f.tags.filter(t =>
-          t.get(DeltaTable.ZCubeColsTag) == colsJson &&
+          t.get(DeltaTable.ZCubeColsTag).contains(colsJson) &&
             t.get(DeltaTable.ZCubeCurveTag).contains(curve))
           .flatMap(_.get(DeltaTable.ZCubeIdTag))
         selected.groupBy(cubeOf).toSeq.sortBy(_._1).flatMap {
@@ -4575,9 +4695,26 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val total = snap.files.map(_.size).sum
       math.max(1L, (total + target - 1) / target).toInt
     }
-    val zv = key
+    val base = materializingRowIds(snap)
+    val zv: org.apache.spark.sql.Column =
+      if (cubeCols.size == 1) col(cubeCols.head) // plain range sort: any orderable type
+      else {
+        val bits = curve match {
+          case "zorder" =>
+            if (cubeCols.size == 2) 32 else graft.functions.ZValueN.bitsFor(cubeCols.size)
+          case _ =>
+            if (cubeCols.size == 2) 16 else graft.functions.HilbertValueN.bitsFor(cubeCols.size)
+        }
+        val scaled = normalizedCurveInputs(base, cubeCols, bits)
+        (curve, cubeCols.size) match {
+          case ("zorder", 2) => graft.functions.ZValue.of(scaled(0), scaled(1))
+          case ("zorder", _) => graft.functions.ZValueN.of(scaled)
+          case (_, 2) => graft.functions.HilbertValue.of(scaled(0), scaled(1))
+          case _ => graft.functions.HilbertValueN.of(scaled)
+        }
+      }
     val rangeCols = parts.map(col) :+ org.apache.spark.sql.functions.col("__zv")
-    val sorted = materializingRowIds(snap).withColumn("__zv", zv)
+    val sorted = base.withColumn("__zv", zv)
       .repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop("__zv")
@@ -4589,10 +4726,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val adds = collectStagedFiles(staging, physParts)
     // one fresh cube id per run: every output file of this rewrite is
     // one cluster unit for later incremental candidate selection
-    val cubeTags = cubeSpec.map { case (_, curve) => Map(
+    val cubeTags = Some(Map(
       DeltaTable.ZCubeIdTag -> java.util.UUID.randomUUID().toString,
-      DeltaTable.ZCubeColsTag -> colsJson.get,
-      DeltaTable.ZCubeCurveTag -> curve) }
+      DeltaTable.ZCubeColsTag -> colsJson,
+      DeltaTable.ZCubeCurveTag -> curve))
     try {
       val expected = snap.files.map(f => f.path -> f.deletionVector).toMap
       val committed = log.commit(

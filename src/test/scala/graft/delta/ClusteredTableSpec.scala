@@ -74,6 +74,35 @@ class ClusteredTableSpec extends SparkSpec {
     assert(files.size === 1, "a range-sorted layout answers a range probe from one file")
   }
 
+  test("wide-domain and string clustering columns normalize into the curve window") {
+    // epoch-microsecond longs and string categories: the curve kernels
+    // mask to a 16-bit window, so RAW inputs would cluster on the low
+    // bits of the timestamp (noise) and on NULL for strings (cast
+    // fails) — normalization min-max scales both into the window
+    val dir = tmpDir("clus-wide")
+    val base = 1700000000000000L // ~2023 in epoch µs: far above any window
+    val rows = (0 until 4096).map { i =>
+      (base + (i % 64) * 3600L * 1000000L, f"cat-${(i * 7) % 16}%02d", i.toLong)
+    }
+    val df = rows.toDF("ts", "cat", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema, clusterBy = Seq("ts", "cat"))
+    // interleaved appends: before the rewrite every file spans both dims
+    (0 until 4).foreach(b => t.append(df.filter(col("v") % 4 === b).coalesce(1)))
+    val nAll = t.snapshot.files.size
+    assert(t.scanFiles(Seq(DataSkipping.ColPred("cat", "=", "cat-03"))).size === nAll)
+    assert(t.optimizeClustered(numFiles = 16) > 0L)
+    val after = DeltaTable.forPath(spark, dir)
+    val n = after.snapshot.files.size
+    val byCat = after.scanFiles(Seq(DataSkipping.ColPred("cat", "=", "cat-03"))).size
+    val byTs = after.scanFiles(Seq(
+      DataSkipping.ColPred("ts", "<=", base + 7L * 3600L * 1000000L))).size
+    assert(byCat < n, s"string dimension must prune after clustering ($byCat of $n)")
+    assert(byTs < n, s"wide-domain dimension must prune after clustering ($byTs of $n)")
+    // content exact through the rewrite
+    assert(after.toDF.count() === 4096L)
+    assert(after.toDF.agg(sum(col("v"))).head().getLong(0) === (0 until 4096).map(_.toLong).sum)
+  }
+
   test("incremental maintenance: final ZCubes are skipped, appends re-cluster alone") {
     val dir = tmpDir("clus-incr")
     val df1 = (0L until 2000L).map(i => (i % 64, (i * 37) % 64)).toDF("x", "y")

@@ -170,6 +170,35 @@ class ColumnMappingSpec extends SparkSpec {
     assert(t.toDF.filter(col("note") === "p2").count() === 9L)
   }
 
+  test("partition predicates on mapped tables: OPTIMIZE WHERE and pruned CDF match") {
+    // partitionValues key by PHYSICAL names — a logical-name lookup in
+    // the predicate evaluator would silently match NOTHING (no-op
+    // OPTIMIZE, missing CDF rows); this pins the physical translation
+    val t = DeltaTable.forPath(spark, tmpDir("colmap-partpred")).create(schema, Seq("note"),
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name",
+        DeltaTable.CdfConfigKey -> "true"))
+    (0 until 3).foreach(_ =>
+      t.append((0 until 20).map(i => (i.toLong, i * 1.5, s"p${i % 2}"))
+        .toDF("id", "amount", "note").coalesce(1)))
+    val vDel = t.delete(col("id") === 0L) // change rows in p0 only
+    assert(vDel > 0L)
+    // scoped compaction actually selects the partition's files
+    val before = t.snapshot.files.count(_.partitionValues.values.toSeq.contains("p1"))
+    assert(before === 3)
+    assert(t.compact(minBytes = 1L << 30, where = Some(col("note") === "p1")) > 0L,
+      "OPTIMIZE WHERE on a mapped table must match its partition")
+    val after = DeltaTable.forPath(spark, t.path)
+    assert(after.snapshot.files.count(_.partitionValues.values.toSeq.contains("p1")) === 1)
+    // pruned CDF returns exactly the partition's slice
+    val to = after.snapshot.version
+    val sliced = after.changes(0, to, col("note") === "p0")
+    val expected = after.changes(0, to).filter(col("note") === "p0")
+      .select("id", "_change_type", "_commit_version").collect().map(_.toSeq).toSet
+    assert(sliced.select("id", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet === expected)
+    assert(sliced.filter(col("_change_type") === "delete").count() === 3L)
+  }
+
   test("renaming a PARTITION column is metadata-only; pruning follows the new name") {
     val t = DeltaTable.forPath(spark, tmpDir("colmap-partrn")).create(schema, Seq("note"),
       configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))

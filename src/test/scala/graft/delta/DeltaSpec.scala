@@ -1250,6 +1250,33 @@ class DeltaSpec extends SparkSpec {
     assert(t.vacuumDryRun(retentionMs = -1000L).isEmpty)
   }
 
+  test("partition-pruned change feed: CDF consumers read only their partition's files") {
+    val dir = tmpDir("delta-cdfprune")
+    val df = (0L until 200L).map(i => (i, (i % 4).toString)).toDF("id", "p")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema, Seq("p"),
+      configuration = Map(DeltaTable.CdfConfigKey -> "true"))
+    t.append(df.coalesce(1))
+    assert(t.delete(col("id") % 10 === 0L) > 0L) // change files in every partition
+    val to = t.snapshot.version
+    val all = t.changes(0, to)
+    val one = t.changes(0, to, col("p") === "2")
+    // the pruned read OPENS fewer files — the scale property, observable
+    // through the frame's input file list
+    assert(one.inputFiles.length < all.inputFiles.length,
+      s"pruned=${one.inputFiles.length} vs all=${all.inputFiles.length}")
+    assert(one.inputFiles.forall(_.contains("p=2")))
+    // and returns exactly the partition's slice of the full feed
+    val expected = all.filter(col("p") === "2")
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet
+    val got = one.select("id", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected && got.nonEmpty)
+    // non-partition references refuse loudly
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      t.changes(0, to, col("id") > 0L).collect())
+  }
+
   test("optimizeWrite: appends rebalance instead of fanning one file per task") {
     val dir = tmpDir("delta-ow")
     val df = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
