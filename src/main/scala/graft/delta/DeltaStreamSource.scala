@@ -291,10 +291,15 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
     }
   }
 
-  /** Data bytes a tail version would admit (its dataChange adds —
-    * one commit-JSON read, no data I/O). */
-  private def versionBytes(v: Long): Long =
-    table.log.readVersion(v).flatMap(_.add).filter(_.dataChange).map(_.size).sum
+  /** Data bytes a tail version would admit (its dataChange adds PLUS its
+    * change files — in readChangeFeed mode a delete-heavy commit's batch
+    * IS its cdc files, so a cap that ignored them would admit a
+    * DML-backlog range unbounded. One commit-JSON read, no data I/O). */
+  private def versionBytes(v: Long): Long = {
+    val actions = table.log.readVersion(v)
+    actions.flatMap(_.add).filter(_.dataChange).map(_.size).sum +
+      actions.flatMap(_.cdc).map(_.size).sum
+  }
 
   /** CDF mode (`readChangeFeed=true`, the delta-spark option): batches
     * are CHANGE rows (table columns + `_change_type` /

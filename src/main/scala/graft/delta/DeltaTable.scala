@@ -231,6 +231,36 @@ object DeltaTable {
     * thousands of files. */
   private[delta] var distributedStatsThreshold: Int = 1000
 
+  /** Footer stats for a batch of parquet files, keyed by the caller's
+    * key: driver pool below [[distributedStatsThreshold]], ONE Spark job
+    * above it (executors rebuild the Hadoop conf from a broadcast) —
+    * the driver collects only the stats strings the commit must carry
+    * anyway. Shared by CONVERT TO DELTA and [[DeltaTable.recomputeStats]]. */
+  private[delta] def footerStats(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[(String, String)], // (key, fully-qualified path)
+      partitionCols: Set[String],
+      numIndexedCols: Int): Map[String, Option[String]] =
+    if (files.size < distributedStatsThreshold) {
+      parMap(files) { case (k, full) =>
+        val p = new Path(full)
+        k -> ParquetStats.forFile(p.getFileSystem(conf), p, partitionCols, numIndexedCols)
+      }.toMap
+    } else {
+      val confPairs = {
+        import scala.jdk.CollectionConverters._
+        conf.iterator().asScala.map(e => e.getKey -> e.getValue).toSeq
+      }
+      val bcConf = spark.sparkContext.broadcast(confPairs)
+      val slices = math.min(files.size, 512)
+      spark.sparkContext.parallelize(files, slices).map { case (k, full) =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bcConf.value.foreach { case (kk, v) => c.set(kk, v) }
+        val p = new Path(full)
+        k -> ParquetStats.forFile(p.getFileSystem(c), p, partitionCols, numIndexedCols)
+      }.collect().toMap
+    }
+
   /** Field-metadata key carrying a generated column's expression (the
     * Delta protocol "Generated Columns" representation — stored in the
     * schema's field metadata, not the table configuration). */
@@ -363,32 +393,10 @@ object DeltaTable {
     require(files.nonEmpty, s"no parquet files under $dir — nothing to convert")
     def relOf(st: org.apache.hadoop.fs.LocatedFileStatus): String =
       fs.makeQualified(st.getPath).toString.stripPrefix(rootPrefix).stripPrefix("/")
-    // footer stats: small imports read on a driver pool; large ones run
-    // ONE Spark job over the file list (executors open the footers with
-    // a rebuilt Hadoop conf), and the driver collects only the stats
-    // strings the commit must carry anyway
     val statsByRel: Map[String, Option[String]] =
-      if (files.size < DeltaTable.distributedStatsThreshold) {
-        DeltaTable.parMap(files)(st =>
-          relOf(st) -> ParquetStats.forFile(fs, st.getPath, partitionColumns.toSet,
-            DeltaTable.DefaultDataSkippingNumIndexedCols)).toMap
-      } else {
-        val confPairs = {
-          import scala.jdk.CollectionConverters._
-          conf.iterator().asScala.map(e => e.getKey -> e.getValue).toSeq
-        }
-        val bcConf = spark.sparkContext.broadcast(confPairs)
-        val parts = partitionColumns.toSet
-        val prefix = rootPrefix
-        val slices = math.min(files.size, 512)
-        spark.sparkContext.parallelize(files.map(relOf), slices).map { rel =>
-          val c = new org.apache.hadoop.conf.Configuration(false)
-          bcConf.value.foreach { case (k, v) => c.set(k, v) }
-          val p = new Path(s"$prefix/$rel")
-          rel -> ParquetStats.forFile(p.getFileSystem(c), p, parts,
-            DeltaTable.DefaultDataSkippingNumIndexedCols)
-        }.collect().toMap
-      }
+      footerStats(spark, conf,
+        files.map(st => relOf(st) -> fs.makeQualified(st.getPath).toString),
+        partitionColumns.toSet, DefaultDataSkippingNumIndexedCols)
     val adds = files.map { st =>
       val rel = relOf(st)
       val partitionValues = rel.split('/').dropRight(1).iterator
@@ -3889,29 +3897,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     // physical names: parquet footers carry physical columns; absolute
     // add.paths (shallow clones) resolve via Path(parent, child) URI rules
     val physParts = physicalPartNames(partitionColumns).toSet
-    val fullPath: Map[String, String] = targets.map(f =>
-      f.path -> fs.makeQualified(new Path(path, f.path)).toString).toMap
-    val statsOf: Map[String, Option[String]] =
-      if (targets.size < DeltaTable.distributedStatsThreshold) {
-        DeltaTable.parMap(targets)(f => f.path ->
-          ParquetStats.forFile(fs, new Path(fullPath(f.path)), physParts, width)).toMap
-      } else {
-        val confPairs = {
-          import scala.jdk.CollectionConverters._
-          spark.sessionState.newHadoopConf().iterator().asScala
-            .map(e => e.getKey -> e.getValue).toSeq
-        }
-        val bcConf = spark.sparkContext.broadcast(confPairs)
-        val slices = math.min(targets.size, 512)
-        spark.sparkContext
-          .parallelize(targets.map(f => f.path -> fullPath(f.path)), slices)
-          .map { case (rel, full) =>
-            val c = new org.apache.hadoop.conf.Configuration(false)
-            bcConf.value.foreach { case (k, v) => c.set(k, v) }
-            val p = new Path(full)
-            rel -> ParquetStats.forFile(p.getFileSystem(c), p, physParts, width)
-          }.collect().toMap
-      }
+    val statsOf: Map[String, Option[String]] = DeltaTable.footerStats(
+      spark, spark.sessionState.newHadoopConf(),
+      targets.map(f => f.path -> fs.makeQualified(new Path(path, f.path)).toString),
+      physParts, width)
     val reAdds = targets.flatMap(f => statsOf(f.path).map(s =>
       Action(add = Some(f.copy(stats = Some(s), dataChange = false)))))
     if (reAdds.isEmpty) return -1L // every footer read failed: nothing to say
@@ -4624,32 +4613,95 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   }
 
   /** Clustering inputs normalized into the curve kernel's `bits`-bit
-    * window: min-max scaled over the REWRITE INPUT (one tiny agg job of
-    * exact min/max per dimension — deterministic, no sampling). The
-    * kernels mask to their window by contract, so raw wide-domain
-    * values (epoch micros, 64-bit ids) would cluster on their LOW bits
-    * — locality destroyed exactly where it matters; scaling makes
-    * `clusterBy` correct on any orderable column with no caller-side
-    * rank/bucket step. Power-of-two ranges scale as exact bit shifts,
-    * so small-domain layouts (ids, day numbers) are bit-identical to
-    * the unscaled interleave. Nulls cluster at the origin. */
-  private def normalizedCurveInputs(df: DataFrame, cols: Seq[String],
+    * window: min-max scaled over the REWRITE INPUT. Bounds come from the
+    * candidates' own `add.stats` (log metadata — ZERO data I/O) whenever
+    * every candidate carries usable min/max for every dimension; the
+    * fallback is one exact min/max aggregation over the input (strings,
+    * stats-less foreign files). The kernels mask to their window by
+    * contract, so raw wide-domain values (epoch micros, 64-bit ids)
+    * would cluster on their LOW bits — locality destroyed exactly where
+    * it matters; scaling makes `clusterBy` correct on any orderable
+    * column with no caller-side rank/bucket step. Power-of-two ranges
+    * scale as exact bit shifts, so small-domain layouts (ids, day
+    * numbers) are bit-identical to the unscaled interleave. Nulls
+    * cluster at the origin. Stats-derived bounds can understate a
+    * truncated maximum (timestamp stats render at ms) — out-of-range
+    * values clamp into the edge bucket, a layout detail never a
+    * correctness one. */
+  private def normalizedCurveInputs(df: DataFrame, snap: Snapshot, cols: Seq[String],
                                     bits: Int): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{coalesce, floor, least, max, min}
     val sch = schema
     val fields = cols.map(c => sch.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
       throw new IllegalArgumentException(s"OPTIMIZE column '$c' is not in the table schema")))
     val ords = fields.map(curveOrdinal)
-    val aggs = ords.zipWithIndex.flatMap { case (o, i) =>
-      Seq(min(o).as(s"mn$i"), max(o).as(s"mx$i")) }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds: Seq[(Double, Double)] = curveBoundsFromStats(snap, fields).getOrElse {
+      val aggs = ords.zipWithIndex.flatMap { case (o, i) =>
+        Seq(min(o).as(s"mn$i"), max(o).as(s"mx$i")) }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      ords.indices.map { i =>
+        val mn = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
+        val mx = if (r.isNullAt(2 * i + 1)) mn else r.getDouble(2 * i + 1)
+        (mn, mx)
+      }
+    }
     val window = math.pow(2.0, bits)
-    ords.zipWithIndex.map { case (o, i) =>
-      val mn = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
-      val mx = if (r.isNullAt(2 * i + 1)) mn else r.getDouble(2 * i + 1)
+    ords.zip(bounds).map { case (o, (mn, mx)) =>
       val scale = window / (mx - mn + 1.0)
       least(floor((coalesce(o, lit(mn)) - lit(mn)) * lit(scale)),
         lit(window - 1.0)).cast("long")
+    }
+  }
+
+  /** Per-dimension [min, max] in [[curveOrdinal]] space from the
+    * candidates' `add.stats`, or None when any candidate lacks a usable
+    * bound for any dimension (no stats, all-null column, or a type —
+    * strings — whose stats rendering does not map exactly onto the
+    * ordinal). Truncation in the stats only ever UNDERSTATES a maximum,
+    * which the scaling clamp absorbs. */
+  private def curveBoundsFromStats(snap: Snapshot,
+      fields: Seq[org.apache.spark.sql.types.StructField]): Option[Seq[(Double, Double)]] = {
+    import org.apache.spark.sql.types._
+    val exact = fields.forall(_.dataType match {
+      case DateType | TimestampType | TimestampNTZType | BooleanType => true
+      case _: NumericType => true
+      case _ => false
+    })
+    if (!exact || snap.files.isEmpty) return None
+    def ordinalOf(f: StructField, v: com.fasterxml.jackson.databind.JsonNode): Double =
+      f.dataType match {
+        case DateType => java.time.LocalDate.parse(v.asText).toEpochDay.toDouble
+        case TimestampType | TimestampNTZType =>
+          java.time.LocalDateTime.parse(v.asText,
+            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000.0 // µs, curveOrdinal's unit
+        case BooleanType => if (v.asBoolean) 1.0 else 0.0
+        case _ => v.asDouble
+      }
+    val phys = fields.map(physicalName)
+    val perFile: Seq[Option[Seq[(Double, Double)]]] = snap.files.map { f =>
+      f.stats.flatMap { s =>
+        val node = try Actions.mapper.readTree(s) catch { case _: Exception => null }
+        if (node == null) None
+        else {
+          val mins = node.path("minValues")
+          val maxs = node.path("maxValues")
+          val per = fields.zip(phys).map { case (fld, p) =>
+            val mn = mins.path(p)
+            val mx = maxs.path(p)
+            if (mn.isMissingNode || mx.isMissingNode || mn.isNull || mx.isNull) None
+            else try Some((ordinalOf(fld, mn), ordinalOf(fld, mx)))
+            catch { case _: Exception => None }
+          }
+          if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
+        }
+      }
+    }
+    if (perFile.exists(_.isEmpty)) None
+    else {
+      val all = perFile.flatten
+      Some(fields.indices.map(i =>
+        (all.map(_(i)._1).min, all.map(_(i)._2).max)))
     }
   }
 
@@ -4705,7 +4757,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           case _ =>
             if (cubeCols.size == 2) 16 else graft.functions.HilbertValueN.bitsFor(cubeCols.size)
         }
-        val scaled = normalizedCurveInputs(base, cubeCols, bits)
+        val scaled = normalizedCurveInputs(base, snap, cubeCols, bits)
         (curve, cubeCols.size) match {
           case ("zorder", 2) => graft.functions.ZValue.of(scaled(0), scaled(1))
           case ("zorder", _) => graft.functions.ZValueN.of(scaled)
@@ -4782,7 +4834,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       math.max(minBytes, prop)
     }
     // greedy per-partition packing over the exact add.size list;
-    // deterministic (partition, path) order so a replay packs identically
+    // deterministic (partition, path) order so a replay packs
+    // identically. Keys are the [[fileKey]] suffix (partition dirs +
+    // name) — a BASENAME key would collide across partition dirs (one
+    // job reuses its part-file name in each) and silently merge two
+    // partitions' bins
     val binOf = {
       val m = scala.collection.mutable.HashMap.empty[String, Int]
       var bin = -1
@@ -4792,7 +4848,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           fs.sortBy(_.path).foreach { f =>
             if (used > target - f.size) { bin += 1; used = 0L }
             used += f.size
-            m(f.path.split('/').last) = bin
+            m(fileKey(snap, f)) = bin
           }
         }
       m.toMap
@@ -4804,9 +4860,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val df =
       if (totalBins == 1) df0.coalesce(1)
       else {
-        import org.apache.spark.sql.functions.{element_at, input_file_name, regexp_extract, typedlit}
-        df0.withColumn("__bin", element_at(typedlit(binOf),
-            regexp_extract(input_file_name(), "[^/]+$", 0)))
+        import org.apache.spark.sql.functions.{element_at, typedlit}
+        df0.withColumn("__bin", element_at(typedlit(binOf), fileKeyExpr(snap)))
           .repartitionByRange(totalBins, col("__bin"))
           .drop("__bin")
       }

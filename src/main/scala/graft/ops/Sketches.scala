@@ -181,7 +181,10 @@ object Sketches {
     val est = least((0 until CmsD).map { d =>
       element_at(array(counters(d).map(lit): _*), idx(d) + 1)
     }: _*)
-    df.filter(est.geq(lit(minCount)))
+    // null keys hash to null indexes (invisible to the CMS) — keep them
+    // unconditionally and let the exact HAVING decide: nulls are ONE
+    // group, so partial aggregation shuffles at most a row per partition
+    df.filter(est.geq(lit(minCount)) || item.isNull)
       .groupBy(item.as("item")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }

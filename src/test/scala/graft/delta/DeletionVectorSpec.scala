@@ -234,18 +234,40 @@ class DeletionVectorSpec extends SparkSpec {
   }
 
   test("partitioned tables: identical basenames across partition dirs don't cross-delete") {
-    // compact's coalesce(1)+partitionBy writes the SAME part-file name
-    // into every partition directory — the review-flagged collision. The
-    // DV row key must carry the partition dirs, or a delete in p=a also
-    // suppresses the same positions in p=b.
+    // one write job CAN reuse a part-file name across partition dirs
+    // (dynamic-partition tasks) — the review-flagged collision. Since
+    // round 14's per-partition compaction bins no longer produce it
+    // naturally, the fixture forges the collision by renaming b's file
+    // to a's basename (remove+add commit — legal, paths are opaque).
+    // The DV row key must carry the partition dirs, or a delete in p=a
+    // also suppresses the same positions in p=b.
     val t = DeltaTable.forPath(spark, tmpDir("dv-part"))
     t.create(StructType(Seq(
       StructField("id", LongType),
       StructField("p", StringType))),
       partitionColumns = Seq("p"),
       configuration = Map(DeltaTable.DvConfigKey -> "true"))
-    t.append((0L until 40L).map(i => (i, if (i < 20) "a" else "b")).toDF("id", "p"))
-    assert(t.compact(minBytes = 1L << 30) > 0L)
+    // two separate appends: distinct job UUIDs guarantee the basenames
+    // DIFFER, so the forged collision below is deterministic
+    t.append((0L until 20L).map(i => (i, "a")).toDF("id", "p"))
+    t.append((20L until 40L).map(i => (i, "b")).toDF("id", "p"))
+    val snap0 = t.snapshot
+    val fa = snap0.files.find(_.partitionValues.values.toSeq.contains("a")).get
+    val fb = snap0.files.find(_.partitionValues.values.toSeq.contains("b")).get
+    val fsys = new Path(t.path).getFileSystem(spark.sessionState.newHadoopConf())
+    val newRel = s"p=b/${new Path(fa.path).getName}"
+    locally {
+      val in = fsys.open(new Path(t.path, fb.path))
+      val out = fsys.create(new Path(t.path, newRel), false)
+      try org.apache.commons.io.IOUtils.copy(in, out)
+      finally { in.close(); out.close() }
+      assert(fsys.delete(new Path(t.path, fb.path), false))
+    }
+    assert(fsys.exists(new Path(t.path, newRel)), s"dest $newRel missing after copy")
+    t.log.commit(Seq(
+      Actions.Action(remove = Some(Actions.RemoveFile(fb.path,
+        Some(System.currentTimeMillis()), dataChange = false))),
+      Actions.Action(add = Some(fb.copy(path = newRel, dataChange = false)))))
     val names = t.snapshot.files.map(f => new Path(f.path).getName)
     assert(names.distinct.size < names.size,
       s"fixture must produce colliding basenames, got $names")

@@ -131,5 +131,13 @@ class SketchesSpec extends SparkSpec {
     assert(again === out)
     // threshold above everything: empty, not an error
     assert(Sketches.heavyHitters(df, col("it"), 1000000L, "hh").count() === 0L)
+    // null keys are invisible to the CMS but still a group: the exact
+    // pass must count them like GROUP BY does
+    val withNulls = (rows ++ Seq.fill(75)(null: String)).toDF("it")
+    val hh = Sketches.heavyHitters(withNulls, col("it"), 60L, "hh")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(hh(None) === 75L)
+    assert(Sketches.heavyHitters(withNulls, col("it"), 80L, "hh")
+      .filter("item IS NULL").count() === 0L, "sub-threshold nulls trim exactly")
   }
 }
