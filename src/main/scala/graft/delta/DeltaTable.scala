@@ -485,7 +485,57 @@ final class DeltaTable(spark: SparkSession, val path: String) {
              name: Option[String] = None,
              configuration: Map[String, String] = Map.empty,
              clusterBy: Seq[String] = Nil): this.type = {
-    if (!exists) {
+    if (!exists)
+      log.commit(creationActions(schema, partitionColumns, name, configuration,
+        clusterBy, existingProtocol = None, operation = "CREATE TABLE"))
+    this
+  }
+
+  /** REPLACE TABLE (delta's CREATE OR REPLACE on an existing table): ONE
+    * commit that swaps in fresh metadata (schema, partitioning, config,
+    * clustering — fresh column-mapping identities included) and removes
+    * every live file. History is PRESERVED (time travel to the old
+    * epochs keeps working); the protocol only ever RAISES — features the
+    * old epoch declared stay declared, so a historical reader is never
+    * lied to. Like RESTORE, the replacing version captures no change
+    * rows: a CDF read across it refuses loudly ("read around"). Throws
+    * on a concurrent write race instead of replacing files it never saw. */
+  def replaceAs(schema: StructType, partitionColumns: Seq[String] = Nil,
+                name: Option[String] = None,
+                configuration: Map[String, String] = Map.empty,
+                clusterBy: Seq[String] = Nil): Long = {
+    val snap0 = snapshot
+    require(snap0.version >= 0, s"no table at $path — use create")
+    requireNotAppendOnly("REPLACE TABLE")
+    val expected = snap0.files.map(_.path).toSet
+    val actions = creationActions(schema, partitionColumns, name, configuration,
+      clusterBy, existingProtocol = snap0.protocol, operation = "REPLACE TABLE") ++
+      snap0.files.map(f => Action(remove = Some(removeOf(f,
+        System.currentTimeMillis())))) ++
+      // a replaced-away clustered layout must not leave its domain behind
+      (if (clusterBy.isEmpty &&
+           snap0.domainMetadata.contains(DeltaTable.ClusteringDomain))
+        Seq(Action(domainMetadata = Some(DomainMetadata(
+          DeltaTable.ClusteringDomain, removed = true))))
+      else Nil)
+    val committed = log.commit(actions,
+      check = s => s.files.map(_.path).toSet == expected)
+    if (committed < 0)
+      throw new java.util.ConcurrentModificationException(
+        "REPLACE TABLE lost a commit race: the file set changed underneath it")
+    committed
+  }
+
+  /** The protocol/metaData/clustering actions CREATE commits — shared
+    * with [[replaceAs]], which merges the protocol against the existing
+    * one (never a downgrade) and appends the remove actions. */
+  private def creationActions(schema: StructType, partitionColumns: Seq[String],
+                              name: Option[String],
+                              configuration: Map[String, String],
+                              clusterBy: Seq[String],
+                              existingProtocol: Option[Protocol],
+                              operation: String): Seq[Action] = {
+    locally {
       // DEFAULT expressions must be constant-foldable (the Delta
       // contract): a default referencing other columns is a generated
       // column's job, and a non-deterministic one (rand()) would mint a
@@ -531,10 +581,17 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       // identity (-,6) > columnMapping (2,5) > generated (1,4) > base
       val hasGen = schema.fields.exists(_.metadata.contains(DeltaTable.GenerationExprKey))
       val hasIdentity = schema.fields.exists(_.metadata.contains(DeltaTable.IdentityStartKey))
-      val base = Protocol(
+      val base0 = Protocol(
         minReaderVersion = if (mapping) 2 else 1,
         minWriterVersion =
           if (hasIdentity) 6 else if (mapping) 5 else if (hasGen) 4 else 2)
+      // REPLACE merges against the existing protocol: versions only ever
+      // rise, and declared features carry over (the enumeration below
+      // re-derives the new metadata's own features on top)
+      val base = existingProtocol.fold(base0)(ex => Protocol(
+        math.max(base0.minReaderVersion, ex.minReaderVersion),
+        math.max(base0.minWriterVersion, ex.minWriterVersion),
+        ex.readerFeatures, ex.writerFeatures))
       // in-commit timestamps are a TABLE-FEATURES writer feature (writer
       // version 7, every active feature enumerated) — raise through the
       // same enumeration the DV upgrade path uses, against the pending
@@ -552,12 +609,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         (if (hasNtz) Seq("timestampNtz") else Nil) ++
         (if (clusterBy.nonEmpty) Seq("clusteredTable", "domainMetadata") else Nil)
       val protocol =
-        if (extraWriter.isEmpty) base
+        if (extraWriter.isEmpty && existingProtocol.isEmpty) base
         else raisedProtocol(
           Snapshot(-1L, Some(Metadata(id = "pending",
             schemaString = finalSchema.json, configuration = finalConf)),
             Nil, Map.empty, Some(base)),
-          if (v2Ck || hasNtz) 3 else base.minReaderVersion, 7,
+          if (v2Ck || hasNtz) 3 else base.minReaderVersion,
+          if (extraWriter.nonEmpty) 7 else base.minWriterVersion,
           (if (v2Ck) Seq("v2Checkpoint") else Nil) ++
             (if (hasNtz) Seq("timestampNtz") else Nil), extraWriter.distinct)
       // the clustering domain stores PHYSICAL names (like partitionBy's
@@ -570,7 +628,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           DeltaTable.ClusteringDomain,
           Actions.mapper.writeValueAsString(Map(
             "clusteringColumns" -> clusterBy.map(c => Seq(physByLogical(c)))))))))
-      log.commit(Seq(
+      Seq(
         Action(protocol = Some(protocol)),
         Action(metaData = Some(Metadata(
           id = java.util.UUID.randomUUID().toString,
@@ -580,9 +638,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           configuration = finalConf,
           createdTime = Some(System.currentTimeMillis()))))) ++
         clusterDomain ++
-        Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "CREATE TABLE")))))
+        Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation))))
     }
-    this
   }
 
   def snapshot: Snapshot = log.snapshot()

@@ -368,6 +368,19 @@ object CreateTableRewrite {
       val (parts, cluster) = splitTransforms(c.partitioning)
       DeltaCreateTableAsSelectCommand(pathOf(c.name).get,
         parts, cluster, propsOf(c.tableSpec), c.query, c.ignoreIfExists)
+    // [CREATE OR] REPLACE TABLE — same grammar, swap-in semantics:
+    // DeltaTable.replaceAs (history-preserving metadata swap + removes)
+    case c: ReplaceTable if pathOf(c.name).isDefined && deltaProvider(c.tableSpec) =>
+      val (parts, cluster) = splitTransforms(c.partitioning)
+      DeltaCreateTableCommand(pathOf(c.name).get,
+        org.apache.spark.sql.types.StructType(c.columns.map(colDefToField)),
+        parts, cluster, propsOf(c.tableSpec), ignoreIfExists = false,
+        replace = true, orCreate = c.orCreate)
+    case c: ReplaceTableAsSelect if pathOf(c.name).isDefined && deltaProvider(c.tableSpec) =>
+      val (parts, cluster) = splitTransforms(c.partitioning)
+      DeltaCreateTableAsSelectCommand(pathOf(c.name).get,
+        parts, cluster, propsOf(c.tableSpec), c.query, ignoreIfExists = false,
+        replace = true, orCreate = c.orCreate)
     case other => other
   }
 }

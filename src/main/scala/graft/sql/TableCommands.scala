@@ -113,12 +113,21 @@ case class DeltaCreateTableCommand(path: String, tableSchema: StructType,
                                    partitionCols: Seq[String],
                                    clusterCols: Seq[String],
                                    properties: Map[String, String],
-                                   ignoreIfExists: Boolean)
+                                   ignoreIfExists: Boolean,
+                                   replace: Boolean = false,
+                                   orCreate: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = CmdSchema.attrs(
     "path" -> StringType, "created" -> BooleanType)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, path)
+    if (replace && t.exists) {
+      t.replaceAs(tableSchema, partitionCols, None, properties, clusterCols)
+      return Seq(Row(path, true))
+    }
+    if (replace && !orCreate)
+      throw new IllegalStateException(
+        s"no table at $path to REPLACE — use CREATE OR REPLACE TABLE")
     if (t.exists) {
       if (ignoreIfExists) return Seq(Row(path, false))
       throw new IllegalStateException(
@@ -138,7 +147,9 @@ case class DeltaCreateTableAsSelectCommand(path: String,
                                            clusterCols: Seq[String],
                                            properties: Map[String, String],
                                            query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                                           ignoreIfExists: Boolean)
+                                           ignoreIfExists: Boolean,
+                                           replace: Boolean = false,
+                                           orCreate: Boolean = false)
     extends org.apache.spark.sql.execution.command.RunnableCommand {
   override def children: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     Seq(query)
@@ -149,12 +160,21 @@ case class DeltaCreateTableAsSelectCommand(path: String,
     "path" -> StringType, "created" -> BooleanType, "version" -> LongType)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, path)
+    val df = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, query)
+    if (replace && t.exists) {
+      // REPLACE ... AS SELECT: metadata+removes in one commit, then the
+      // load as its own append commit (the CTAS create-then-load shape)
+      t.replaceAs(df.schema, partitionCols, None, properties, clusterCols)
+      return Seq(Row(path, true, t.append(df)))
+    }
+    if (replace && !orCreate)
+      throw new IllegalStateException(
+        s"no table at $path to REPLACE — use CREATE OR REPLACE TABLE")
     if (t.exists) {
       if (ignoreIfExists) return Seq(Row(path, false, -1L))
       throw new IllegalStateException(
         s"table already exists at $path — use CREATE TABLE IF NOT EXISTS")
     }
-    val df = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, query)
     t.create(df.schema, partitionCols, None, properties, clusterCols)
     Seq(Row(path, true, t.append(df)))
   }

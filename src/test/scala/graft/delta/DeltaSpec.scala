@@ -1250,6 +1250,48 @@ class DeltaSpec extends SparkSpec {
     assert(t.vacuumDryRun(retentionMs = -1000L).isEmpty)
   }
 
+  test("replaceAs swaps schema and files in one commit; history and protocol survive") {
+    val dir = tmpDir("delta-replace")
+    val t = DeltaTable.forPath(spark, dir).create(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    t.append((0L until 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    assert(t.deleteWithDv(col("id") === 3L) > 0L) // raises (3,7) + deletionVectors
+    val vOld = t.snapshot.version
+    val oldData = t.toDF.orderBy("id").collect().toSeq
+    // replace with a DIFFERENT schema and partitioning, no DV config
+    val v = t.replaceAs(
+      StructType(Seq(StructField("k", StringType), StructField("n", LongType))),
+      partitionColumns = Seq("k"))
+    assert(v === vOld + 1)
+    val fresh = DeltaTable.forPath(spark, dir)
+    assert(fresh.schema.fieldNames.toSeq === Seq("k", "n"))
+    assert(fresh.partitionColumns === Seq("k"))
+    assert(fresh.toDF.count() === 0L)
+    fresh.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"))
+    assert(fresh.toDF.count() === 2L)
+    // history preserved: the old epoch time-travels with its own schema
+    val old = fresh.toDF(vOld)
+    assert(old.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(old.orderBy("id").collect().toSeq === oldData)
+    // protocol never downgrades: historical DV versions stay readable
+    val p = fresh.snapshot.protocol.get
+    assert(p.minReaderVersion === 3 && p.minWriterVersion === 7)
+    assert(p.readerFeatures.exists(_.contains("deletionVectors")))
+    // replacing away a clustered layout tombstones the clustering domain
+    val dir2 = tmpDir("delta-replace-clus")
+    val t2 = DeltaTable.forPath(spark, dir2).create(
+      StructType(Seq(StructField("x", LongType), StructField("y", LongType))),
+      clusterBy = Seq("x", "y"))
+    t2.append((0L until 10L).map(i => (i, i)).toDF("x", "y"))
+    t2.replaceAs(StructType(Seq(StructField("z", LongType))))
+    assert(DeltaTable.forPath(spark, dir2).clusteringColumns.isEmpty)
+    // no table → loud error
+    assertThrows[IllegalArgumentException](
+      DeltaTable.forPath(spark, tmpDir("delta-replace-none"))
+        .replaceAs(StructType(Seq(StructField("a", LongType)))))
+  }
+
   test("partition-pruned change feed: CDF consumers read only their partition's files") {
     val dir = tmpDir("delta-cdfprune")
     val df = (0L until 200L).map(i => (i, (i % 4).toString)).toDF("id", "p")

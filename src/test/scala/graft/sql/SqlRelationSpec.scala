@@ -207,6 +207,36 @@ class SqlRelationSpec extends SparkSpec {
     assert(rows.map(_.getString(3)).toSeq === Seq("none", "none"))
   }
 
+  test("CREATE OR REPLACE TABLE swaps the table; bare REPLACE needs an existing one") {
+    val dir = tmpDir("sqlrel-replace")
+    spark.sql(s"CREATE TABLE delta.`$dir` (k BIGINT, v STRING) USING delta")
+    spark.sql(s"INSERT INTO delta.`$dir` VALUES (1, 'a'), (2, 'b')")
+    val vOld = DeltaTable.forPath(spark, dir).snapshot.version
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE delta.`$dir` (name STRING, n BIGINT)
+         |USING delta PARTITIONED BY (name)""".stripMargin)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.schema.fieldNames.toSeq === Seq("name", "n"))
+    assert(t.partitionColumns === Seq("name"))
+    assert(t.toDF.count() === 0L)
+    // history is intact: the pre-replace epoch still time-travels
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM delta.`$dir` VERSION AS OF $vOld").head().getLong(0) === 2L)
+    // OR REPLACE on a MISSING table creates; bare REPLACE refuses
+    val dir2 = tmpDir("sqlrel-replace-new")
+    spark.sql(s"CREATE OR REPLACE TABLE delta.`$dir2` (x BIGINT) USING delta")
+    assert(DeltaTable.forPath(spark, dir2).exists)
+    val dir3 = tmpDir("sqlrel-replace-miss")
+    intercept[Exception](
+      spark.sql(s"REPLACE TABLE delta.`$dir3` (x BIGINT) USING delta"))
+    assert(!DeltaTable.forPath(spark, dir3).exists)
+    // REPLACE ... AS SELECT: swap + load
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE delta.`$dir` USING delta
+         |AS SELECT 'z' AS name, 9 AS n""".stripMargin)
+    assert(spark.sql(s"SELECT name FROM delta.`$dir`").as[String].collect().toSeq === Seq("z"))
+  }
+
   test("CREATE TABLE AS SELECT materializes the query; USING parquet falls through") {
     val dir = tmpDir("sqlrel-ctas")
     val src = mkTable("sqlrel-ctassrc")
