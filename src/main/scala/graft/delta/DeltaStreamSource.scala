@@ -291,14 +291,21 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
     }
   }
 
-  /** Data bytes a tail version would admit (its dataChange adds PLUS its
-    * change files — in readChangeFeed mode a delete-heavy commit's batch
-    * IS its cdc files, so a cap that ignored them would admit a
-    * DML-backlog range unbounded. One commit-JSON read, no data I/O). */
+  /** Data bytes a tail version would admit — what this stream will
+    * actually OPEN (one commit-JSON read, no data I/O). CDF mode mirrors
+    * [[DeltaTable.changesFrames]]' classification: a version WITH change
+    * files reads exactly them (counting its rewritten adds too would
+    * double-charge a MERGE and halve versions-per-trigger); a version
+    * without reads its dataChange adds. Data mode reads adds only —
+    * cdc bytes it never opens don't count against the cap. */
   private def versionBytes(v: Long): Long = {
     val actions = table.log.readVersion(v)
-    actions.flatMap(_.add).filter(_.dataChange).map(_.size).sum +
-      actions.flatMap(_.cdc).map(_.size).sum
+    val addBytes = actions.flatMap(_.add).filter(_.dataChange).map(_.size).sum
+    if (!readChangeFeed) addBytes
+    else {
+      val cdcBytes = actions.flatMap(_.cdc).map(_.size).sum
+      if (cdcBytes > 0) cdcBytes else addBytes
+    }
   }
 
   /** CDF mode (`readChangeFeed=true`, the delta-spark option): batches

@@ -4687,7 +4687,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * correctness one. */
   private def normalizedCurveInputs(df: DataFrame, snap: Snapshot, cols: Seq[String],
                                     bits: Int): Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{coalesce, floor, least, max, min}
+    import org.apache.spark.sql.functions.{coalesce, floor, greatest, least, max, min}
     val sch = schema
     val fields = cols.map(c => sch.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
       throw new IllegalArgumentException(s"OPTIMIZE column '$c' is not in the table schema")))
@@ -4705,8 +4705,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val window = math.pow(2.0, bits)
     ords.zip(bounds).map { case (o, (mn, mx)) =>
       val scale = window / (mx - mn + 1.0)
-      least(floor((coalesce(o, lit(mn)) - lit(mn)) * lit(scale)),
-        lit(window - 1.0)).cast("long")
+      // clamp BOTH edges: an out-of-bounds value (stats drift, truncated
+      // maxima) degrades to the edge bucket instead of mask-wrapping
+      greatest(lit(0.0),
+        least(floor((coalesce(o, lit(mn)) - lit(mn)) * lit(scale)),
+          lit(window - 1.0))).cast("long")
     }
   }
 
@@ -4720,15 +4723,25 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       fields: Seq[org.apache.spark.sql.types.StructField]): Option[Seq[(Double, Double)]] = {
     import org.apache.spark.sql.types._
     val exact = fields.forall(_.dataType match {
-      case DateType | TimestampType | TimestampNTZType | BooleanType => true
+      // NOT Decimal: ParquetStats renders the UNSCALED integer, 10^scale
+      // away from curveOrdinal's cast-to-double image. NOT TimestampNTZ:
+      // its ordinal goes through the SESSION timezone while the stats
+      // text renders a fixed wall-clock — both fall back to the agg,
+      // which is self-consistent by construction.
+      case DateType | TimestampType | BooleanType => true
+      case _: DecimalType => false
       case _: NumericType => true
       case _ => false
     })
     if (!exact || snap.files.isEmpty) return None
     def ordinalOf(f: StructField, v: com.fasterxml.jackson.databind.JsonNode): Double =
       f.dataType match {
-        case DateType => java.time.LocalDate.parse(v.asText).toEpochDay.toDouble
-        case TimestampType | TimestampNTZType =>
+        case DateType =>
+          // this engine's own footers render DATE stats as epoch-day
+          // integers; delta-spark renders ISO strings — accept both
+          if (v.isNumber) v.asDouble
+          else java.time.LocalDate.parse(v.asText).toEpochDay.toDouble
+        case TimestampType =>
           java.time.LocalDateTime.parse(v.asText,
             java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000.0 // µs, curveOrdinal's unit

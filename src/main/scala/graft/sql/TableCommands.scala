@@ -122,8 +122,10 @@ case class DeltaCreateTableCommand(path: String, tableSchema: StructType,
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, path)
     if (replace && t.exists) {
+      // created=false: the table was REPLACED, not created — a
+      // provisioning script branching on the flag can tell them apart
       t.replaceAs(tableSchema, partitionCols, None, properties, clusterCols)
-      return Seq(Row(path, true))
+      return Seq(Row(path, false))
     }
     if (replace && !orCreate)
       throw new IllegalStateException(
@@ -163,9 +165,10 @@ case class DeltaCreateTableAsSelectCommand(path: String,
     val df = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, query)
     if (replace && t.exists) {
       // REPLACE ... AS SELECT: metadata+removes in one commit, then the
-      // load as its own append commit (the CTAS create-then-load shape)
+      // load as its own append commit (the CTAS create-then-load shape).
+      // created=false — replaced, not created.
       t.replaceAs(df.schema, partitionCols, None, properties, clusterCols)
-      return Seq(Row(path, true, t.append(df)))
+      return Seq(Row(path, false, t.append(df)))
     }
     if (replace && !orCreate)
       throw new IllegalStateException(
