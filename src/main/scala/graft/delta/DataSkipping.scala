@@ -224,12 +224,15 @@ object DataSkipping {
           case _ => None
         }
       case Some(DateType) =>
-        // partition values / stats render dates as ISO yyyy-MM-dd
+        // partition values render dates as ISO yyyy-MM-dd; STATS carry
+        // either form — this engine's footers emit the epoch-day INTEGER
+        // (parquet's physical representation), delta-spark emits ISO text
         def days(a: Any): Option[Long] = {
           def parse(s: String): Option[Long] =
             try Some(java.time.LocalDate.parse(s).toEpochDay)
             catch { case _: java.time.format.DateTimeParseException => None }
           a match {
+            case n: JsonNode if n.isNumber => Some(n.asLong())
             case n: JsonNode if n.isTextual => parse(n.asText())
             case s: String => parse(s)
             case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)

@@ -103,6 +103,24 @@ class ClusteredTableSpec extends SparkSpec {
     assert(after.toDF.agg(sum(col("v"))).head().getLong(0) === (0 until 4096).map(_.toLong).sum)
   }
 
+  test("DATE clustering columns: stats-derived bounds parse this engine's epoch-day stats") {
+    val dir = tmpDir("clus-date")
+    val rows = (0 until 1024).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000L + i % 32)),
+        (i * 13 % 32).toLong)
+    }
+    val df = rows.toDF("day", "k")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema, clusterBy = Seq("day", "k"))
+    (0 until 4).foreach(b => t.append(df.filter(col("k") % 4 === b).coalesce(1)))
+    assert(t.optimizeClustered(numFiles = 8) > 0L)
+    val after = DeltaTable.forPath(spark, dir)
+    val n = after.snapshot.files.size
+    val oneDay = after.scanFiles(Seq(DataSkipping.ColPred("day", "=",
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19007L))))).size
+    assert(oneDay < n, s"date dimension must prune after clustering ($oneDay of $n)")
+    assert(after.toDF.count() === 1024L)
+  }
+
   test("incremental maintenance: final ZCubes are skipped, appends re-cluster alone") {
     val dir = tmpDir("clus-incr")
     val df1 = (0L until 2000L).map(i => (i % 64, (i * 37) % 64)).toDF("x", "y")

@@ -356,6 +356,29 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger in CDF mode charges the change files a version actually reads") {
+    val t = mkTable("dstream-bytes-cdf",
+      Map(DeltaTable.CdfConfigKey -> "true"))
+    t.append(rows(0 until 10).coalesce(1))
+    // three delete versions: each batch IS its cdc file — an add-only
+    // byte count would see 0 bytes and admit the whole backlog at once
+    (0 until 3).foreach(i => assert(t.delete(col("id") === i.toLong) > 0L))
+    val cap = "1" // below any cdc file: one version per batch
+    val q = readStream(t, "readChangeFeed" -> "true", "maxBytesPerTrigger" -> cap,
+      "startingVersion" -> "1").writeStream.format("memory")
+      .queryName("dstream_bytes_cdf")
+      .option("checkpointLocation", tmpDir("dstream-bytes-cdf-ck")).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dstream_bytes_cdf")
+      assert(out.filter(col("_change_type") === "delete").count() === 3L)
+      assert(out.filter(col("_change_type") === "insert").count() === 10L)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        s"4 versions under a 1-byte cap must take >= 4 batches, got " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a chunked snapshot across batches in one run") {
     val t = mkTable("dstream-an")
     (0 until 5).foreach(i => t.append(rows(i * 10 until i * 10 + 3).coalesce(1)))
