@@ -152,9 +152,20 @@ object ParquetStats {
   private def render(tpe: PrimitiveType, v: Any): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val mapper = Actions.mapper
     val nf = mapper.getNodeFactory
+    // DECIMAL logical types carry the UNSCALED integer in the footer —
+    // rendering that raw would make readers compare 25 against 0.25 and
+    // prune files that DO match (wrong results, not a missed
+    // optimization); emit the SCALED value like delta-spark
+    def scaled(unscaled: java.math.BigInteger, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =
+      Some(nf.numberNode(new java.math.BigDecimal(unscaled, d.getScale)))
     tpe.getPrimitiveTypeName match {
       case BOOLEAN => Some(nf.booleanNode(v.asInstanceOf[Boolean]))
-      case INT32 => Some(nf.numberNode(v.asInstanceOf[Int]))
+      case INT32 =>
+        tpe.getLogicalTypeAnnotation match {
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            scaled(java.math.BigInteger.valueOf(v.asInstanceOf[Int].toLong), d)
+          case _ => Some(nf.numberNode(v.asInstanceOf[Int]))
+        }
       case INT64 =>
         tpe.getLogicalTypeAnnotation match {
           case ts: TimestampLogicalTypeAnnotation =>
@@ -166,6 +177,8 @@ object ParquetStats {
             val inst = java.time.Instant.ofEpochSecond(
               Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
             Some(nf.textNode(tsFmt.format(inst)))
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            scaled(java.math.BigInteger.valueOf(v.asInstanceOf[Long]), d)
           case _ => Some(nf.numberNode(v.asInstanceOf[Long]))
         }
       case FLOAT => Some(nf.numberNode(v.asInstanceOf[Float]))
@@ -174,9 +187,19 @@ object ParquetStats {
         tpe.getLogicalTypeAnnotation match {
           case _: StringLogicalTypeAnnotation =>
             Some(nf.textNode(v.asInstanceOf[Binary].toStringUsingUTF8))
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            scaled(new java.math.BigInteger(v.asInstanceOf[Binary].getBytes), d)
           case _ => None
         }
-      case _ => None // INT96 / FIXED_LEN_BYTE_ARRAY skipped (reference rule)
+      case FIXED_LEN_BYTE_ARRAY =>
+        // wide decimals (precision > 18) back onto FLBA; other FLBA
+        // (uuid etc.) stays skipped like the reference
+        tpe.getLogicalTypeAnnotation match {
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            scaled(new java.math.BigInteger(v.asInstanceOf[Binary].getBytes), d)
+          case _ => None
+        }
+      case _ => None // INT96 skipped (reference rule)
     }
   }
 }

@@ -1250,6 +1250,34 @@ class DeltaSpec extends SparkSpec {
     assert(t.vacuumDryRun(retentionMs = -1000L).isEmpty)
   }
 
+  test("decimal stats render SCALED; skipping on a decimal column stays exact") {
+    // parquet footers carry the UNSCALED integer for int-backed decimals;
+    // rendering that raw into add.stats made DataSkipping compare 25
+    // against 0.25 and prune files that DO match — wrong results, the
+    // only stats bug class that isn't just a missed optimization
+    val dir = tmpDir("delta-decimal")
+    def batch(lo: Long, hi: Long) = (lo until hi).toDF("i")
+      .select((col("i") / 100).cast("decimal(10,2)").as("d"), col("i"))
+    val t = DeltaTable.forPath(spark, dir).create(batch(0, 1).schema)
+    (0 until 4).foreach(q => t.append(batch(q * 25L, q * 25L + 25L).coalesce(1)))
+    val node = Actions.mapper.readTree(t.snapshot.files.head.stats.get)
+    assert(node.get("minValues").get("d").isNumber)
+    assert(node.get("maxValues").get("d").decimalValue().doubleValue() < 1.01,
+      s"decimal stats must be SCALED values, got ${node.get("maxValues").get("d")}")
+    val p = Seq(DataSkipping.ColPred("d", "<", new java.math.BigDecimal("0.25")))
+    assert(t.scanFiles(p).size === 1, "only the first quarter's file can match")
+    assert(t.scan(p).count() === 25L)
+    // and a DECIMAL(20,2): FIXED_LEN_BYTE_ARRAY-backed stats too
+    val dir2 = tmpDir("delta-decimal-wide")
+    val wide = (0L until 50L).toDF("i")
+      .select((col("i") / 100).cast("decimal(20,2)").as("d"))
+    val t2 = DeltaTable.forPath(spark, dir2).create(wide.schema)
+    t2.append(wide.coalesce(1))
+    val n2 = Actions.mapper.readTree(t2.snapshot.files.head.stats.get)
+    assert(n2.get("minValues").has("d") &&
+      n2.get("maxValues").get("d").decimalValue().doubleValue() === 0.49)
+  }
+
   test("replaceAs swaps schema and files in one commit; history and protocol survive") {
     val dir = tmpDir("delta-replace")
     val t = DeltaTable.forPath(spark, dir).create(
