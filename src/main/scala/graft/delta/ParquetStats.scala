@@ -15,9 +15,17 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   *
   *  - array descendants (repetition level > 0) get nullCount only, no
   *    min/max — the reference's explicit rule (src/writer.rs:1137-1147);
-  *  - timestamps render as `%Y-%m-%dT%H:%M:%S%.3fZ` (src/writer.rs:947-960);
-  *  - Int96/fixed-len binaries are skipped like the reference
-  *    (src/writer.rs:878-886).
+  *  - timestamps render as `%Y-%m-%dT%H:%M:%S%.3fZ` (src/writer.rs:947-960),
+  *    dates as ISO `yyyy-MM-dd` (delta-spark's rendering);
+  *  - decimals render SCALED (int/FLBA/binary-backed alike — the footer's
+  *    unscaled integer would make readers prune matching rows), with the
+  *    cross-row-group fold comparing two's-complement bytes SIGNED.
+  *    NOTE: logs written by engine versions that rendered unscaled
+  *    decimal or epoch-day date stats: dates read back fine (the reader
+  *    accepts both forms), decimals need `recomputeStats(onlyMissing =
+  *    false)` — the two renderings are indistinguishable JSON numbers;
+  *  - Int96 and non-decimal fixed-len binaries are skipped like the
+  *    reference (src/writer.rs:878-886).
   */
 object ParquetStats {
 
@@ -88,10 +96,26 @@ object ParquetStats {
                 if (st.isNumNullsSet) acc.nullCount += st.getNumNulls
                 else acc.hasNullCount = false
                 if (!repeated && st.hasNonNullValue) {
+                  // the cross-row-group fold must use the LOGICAL order:
+                  // Binary.compareTo is UNSIGNED lexicographic, but
+                  // BINARY/FLBA decimals are big-endian TWO'S COMPLEMENT
+                  // — a negative would fold as greater than any positive
+                  // and emit bounds that prune matching rows
+                  val decimalBinary = (chunk.getPrimitiveType.getPrimitiveTypeName == BINARY ||
+                    chunk.getPrimitiveType.getPrimitiveTypeName == FIXED_LEN_BYTE_ARRAY) &&
+                    chunk.getPrimitiveType.getLogicalTypeAnnotation
+                      .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+                  def cmp(a: Any, b: Any): Int =
+                    if (decimalBinary)
+                      new java.math.BigInteger(a.asInstanceOf[Binary].getBytes)
+                        .compareTo(new java.math.BigInteger(b.asInstanceOf[Binary].getBytes))
+                    else a.asInstanceOf[Comparable[Any]].compareTo(b)
                   val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
                   val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
-                  acc.min = Some(acc.min.fold(mn)(m => if (mn.compareTo(m) < 0) mn else m))
-                  acc.max = Some(acc.max.fold(mx)(m => if (mx.compareTo(m) > 0) mx else m))
+                  acc.min = Some(acc.min.fold(mn)(m =>
+                    if (cmp(mn, m) < 0) mn else m))
+                  acc.max = Some(acc.max.fold(mx)(m =>
+                    if (cmp(mx, m) > 0) mx else m))
                 } else if (repeated) acc.hasMinMax = false
               } else {
                 // a statless row group: min/max unknown AND the accumulated
@@ -164,6 +188,14 @@ object ParquetStats {
         tpe.getLogicalTypeAnnotation match {
           case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
             scaled(java.math.BigInteger.valueOf(v.asInstanceOf[Int].toLong), d)
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            // ISO text, like delta-spark and like our partition values —
+            // a foreign reader parsing against the table schema would get
+            // null from a raw epoch-day integer and lose all date
+            // skipping on tables this engine writes. (Our own readers
+            // accept BOTH forms for logs written before this rendering.)
+            Some(nf.textNode(
+              java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString))
           case _ => Some(nf.numberNode(v.asInstanceOf[Int]))
         }
       case INT64 =>

@@ -1276,6 +1276,40 @@ class DeltaSpec extends SparkSpec {
     val n2 = Actions.mapper.readTree(t2.snapshot.files.head.stats.get)
     assert(n2.get("minValues").has("d") &&
       n2.get("maxValues").get("d").decimalValue().doubleValue() === 0.49)
+    // multi-row-group file mixing NEGATIVE and positive wide decimals:
+    // the cross-row-group fold must compare two's-complement bytes
+    // SIGNED — parquet's Binary.compareTo is unsigned, which would fold
+    // min = 1.00 over a true min of -5.00 and prune matching rows
+    val dir3 = tmpDir("delta-decimal-neg")
+    val neg = (-500L until 900L).toDF("i")
+      .select((col("i") / 100).cast("decimal(20,2)").as("d")).orderBy("d")
+    val t3 = DeltaTable.forPath(spark, dir3).create(neg.schema)
+    // tiny block size: several row groups in the ONE output file (set on
+    // the shared hadoop conf — restored below — because DataFrameWriter
+    // options don't reach the append's internal write)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    val prevCheck = hc.get("parquet.page.size.row.check.min")
+    hc.set("parquet.block.size", "1024")
+    hc.set("parquet.page.size.row.check.min", "10")
+    try t3.append(neg.coalesce(1))
+    finally {
+      if (prevBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prevBlock)
+      if (prevCheck == null) hc.unset("parquet.page.size.row.check.min") else hc.set("parquet.page.size.row.check.min", prevCheck)
+    }
+    val f3 = t3.snapshot.files.head
+    val rgs = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(t3.path, f3.path), spark.sessionState.newHadoopConf()))
+      try r.getFooter.getBlocks.size finally r.close()
+    }
+    assert(rgs >= 2, s"fixture must span row groups, got $rgs")
+    val n3 = Actions.mapper.readTree(f3.stats.get)
+    assert(n3.get("minValues").get("d").decimalValue().doubleValue() === -5.0,
+      s"signed fold must keep the negative min, got ${n3.get("minValues").get("d")}")
+    val pNeg = Seq(DataSkipping.ColPred("d", "<=", new java.math.BigDecimal("-2.00")))
+    assert(t3.scan(pNeg).count() === 301L) // -5.00..-2.00 inclusive
   }
 
   test("replaceAs swaps schema and files in one commit; history and protocol survive") {
