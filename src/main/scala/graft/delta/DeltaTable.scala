@@ -526,6 +526,123 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     committed
   }
 
+  /** Atomic `REPLACE TABLE ... AS SELECT` (Delta's CRAS contract): the
+    * query's output is STAGED to data files first, then ONE commit
+    * carries the metadata swap, the removes of every old-epoch file, and
+    * the adds of the staged files. A reader pinned between "before" and
+    * "after" sees either the complete old table or the complete new one
+    * — never an empty table — and a crash anywhere before the commit
+    * leaves the old epoch fully intact (staged bytes live under an
+    * unreferenced `_staging-*` directory). History preservation,
+    * protocol raising, the clustering-domain swap, and the CDF
+    * read-around refusal all match [[replaceAs]].
+    *
+    * The staged write binds to the NEW table definition: fresh
+    * column-mapping physical names / field ids (when `configuration`
+    * requests mapping), the new partitioning, the new stats width, and
+    * any CHECK constraints arriving in the new configuration (enforced
+    * on the staged rows — a violation aborts before anything commits). */
+  def replaceAsSelect(df: DataFrame, partitionColumns: Seq[String] = Nil,
+                      name: Option[String] = None,
+                      configuration: Map[String, String] = Map.empty,
+                      clusterBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{expr, raise_error}
+    val snap0 = snapshot
+    require(snap0.version >= 0, s"no table at $path — use create")
+    requireNotAppendOnly("REPLACE TABLE")
+    val creation = creationActions(df.schema, partitionColumns, name,
+      configuration, clusterBy, existingProtocol = snap0.protocol,
+      operation = "REPLACE TABLE AS SELECT")
+    val newMeta = creation.flatMap(_.metaData).headOption.getOrElse(
+      throw new IllegalStateException("creationActions produced no metaData"))
+    val newSchema = org.apache.spark.sql.types.DataType
+      .fromJson(newMeta.schemaString).asInstanceOf[StructType]
+    // new-configuration CHECK constraints bind the staged rows: the old
+    // two-commit shape enforced them in the trailing append; here they
+    // fail the STAGING job, so nothing ever commits on a violation
+    val newCons = configuration.toSeq
+      .collect { case (k, v) if k.startsWith(DeltaTable.ConstraintPrefix) =>
+        k.stripPrefix(DeltaTable.ConstraintPrefix) -> v }
+      .sortBy(_._1)
+    val alignedCols = newSchema.fields.map(f => col(f.name).cast(f.dataType))
+    val checked = newCons.foldLeft(df.select(alignedCols.toSeq: _*)) {
+      case (d, (n, e)) =>
+        d.filter(when(coalesce(expr(e), lit(true)), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"CHECK constraint '$n' ($e) violated by row: "),
+            to_json(struct(d.columns.map(col).toSeq: _*)))).cast("boolean")))
+    }
+    // physical names come from the NEW schema's mapping metadata (fresh
+    // identities minted by creationActions), not the current snapshot's
+    val newMode = configuration.getOrElse(DeltaTable.ColumnMappingModeKey, "none")
+    val physByLogical = newSchema.fields.map { f =>
+      f.name -> (if (f.metadata.contains(DeltaTable.ColMapPhysKey))
+        f.metadata.getString(DeltaTable.ColMapPhysKey) else f.name)
+    }.toMap
+    val idByLogical = newSchema.fields.collect {
+      case f if f.metadata.contains(DeltaTable.ColMapIdKey) =>
+        f.name -> f.metadata.getLong(DeltaTable.ColMapIdKey)
+    }.toMap
+    val physParts = partitionColumns.map(p => physByLogical.getOrElse(p, p))
+    // same write arrangement as append: co-locate partition values (or
+    // AQE-rebalance when the new config asks for optimized writes)
+    val optimizeWrite =
+      configuration.get(DeltaTable.OptimizeWriteConfigKey).contains("true")
+    val arranged =
+      if (optimizeWrite) {
+        if (partitionColumns.nonEmpty)
+          checked.hint("rebalance", partitionColumns.map(col): _*)
+        else checked.hint("rebalance")
+      }
+      else if (partitionColumns.nonEmpty)
+        checked.repartition(partitionColumns.map(col): _*)
+      else checked
+    val physical =
+      if (newMode == "none") arranged
+      else arranged.select(arranged.columns.map { c =>
+        val nm = physByLogical.getOrElse(c, c)
+        if (newMode == "id" && idByLogical.contains(c))
+          col(c).as(nm, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", idByLogical(c)).build())
+        else col(c).as(nm)
+      }.toSeq: _*)
+    val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+    val writer = physical.write.mode("overwrite").option("compression", "snappy")
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
+      .parquet(staging.toString)
+    val adds = collectStagedFiles(staging, physParts,
+      statsConf = Some(newMeta.configuration))
+    try {
+      val expected = snap0.files.map(_.path).toSet
+      val now = System.currentTimeMillis()
+      val (commitInfoTail, creationHead) = creation.partition(_.commitInfo.isDefined)
+      val actions = creationHead ++
+        snap0.files.map(f => Action(remove = Some(removeOf(f, now)))) ++
+        // a replaced-away clustered layout must not leave its domain behind
+        (if (clusterBy.isEmpty &&
+             snap0.domainMetadata.contains(DeltaTable.ClusteringDomain))
+          Seq(Action(domainMetadata = Some(DomainMetadata(
+            DeltaTable.ClusteringDomain, removed = true))))
+        else Nil) ++
+        adds.map(a => Action(add = Some(a))) ++
+        commitInfoTail
+      val committed =
+        try log.commit(actions, check = s => s.files.map(_.path).toSet == expected)
+        catch { case e: Throwable =>
+          adds.foreach(a => fs.delete(new Path(path, a.path), false))
+          throw e
+        }
+      if (committed < 0) {
+        adds.foreach(a => fs.delete(new Path(path, a.path), false))
+        throw new java.util.ConcurrentModificationException(
+          "REPLACE TABLE lost a commit race: the file set changed underneath it")
+      }
+      committed
+    } finally {
+      fs.delete(staging, true)
+    }
+  }
+
   /** The protocol/metaData/clustering actions CREATE commits — shared
     * with [[replaceAs]], which merges the protocol against the existing
     * one (never a downgrade) and appends the remove actions. */
@@ -1923,10 +2040,14 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .map(n => if (n < 0) Int.MaxValue else n)
       .getOrElse(DeltaTable.DefaultDataSkippingNumIndexedCols)
 
-  private def collectStagedFiles(staging: Path, parts: Seq[String]): Seq[AddFile] = {
+  private def collectStagedFiles(staging: Path, parts: Seq[String],
+                                 statsConf: Option[Map[String, String]] = None): Seq[AddFile] = {
     import scala.jdk.CollectionConverters._
-    val statsCols = statsIndexLimit(
-      snapshot.metadata.map(_.configuration).getOrElse(Map.empty))
+    // statsConf: the configuration whose stats width governs the staged
+    // footers — REPLACE ... AS SELECT stages under the NEW table config
+    // before any commit exists, so it cannot read the current snapshot's
+    val statsCols = statsIndexLimit(statsConf.getOrElse(
+      snapshot.metadata.map(_.configuration).getOrElse(Map.empty)))
     val stagingPrefix = fs.makeQualified(staging).toString
     val files = {
       val it = fs.listFiles(staging, true)

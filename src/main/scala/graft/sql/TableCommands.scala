@@ -164,11 +164,12 @@ case class DeltaCreateTableAsSelectCommand(path: String,
     val t = DeltaTable.forPath(spark, path)
     val df = org.apache.spark.sql.graft.StreamBridge.ofRows(spark, query)
     if (replace && t.exists) {
-      // REPLACE ... AS SELECT: metadata+removes in one commit, then the
-      // load as its own append commit (the CTAS create-then-load shape).
-      // created=false — replaced, not created.
-      t.replaceAs(df.schema, partitionCols, None, properties, clusterCols)
-      return Seq(Row(path, false, t.append(df)))
+      // REPLACE ... AS SELECT is ATOMIC (Delta's CRAS contract): the
+      // SELECT's files are staged first, then ONE commit carries the
+      // metadata swap + removes + adds — no reader ever observes an
+      // empty table between versions. created=false — replaced.
+      return Seq(Row(path, false,
+        t.replaceAsSelect(df, partitionCols, None, properties, clusterCols)))
     }
     if (replace && !orCreate)
       throw new IllegalStateException(

@@ -1354,6 +1354,51 @@ class DeltaSpec extends SparkSpec {
         .replaceAs(StructType(Seq(StructField("a", LongType)))))
   }
 
+  test("replaceAsSelect is atomic: one commit, no empty-table window, crash leaves old epoch") {
+    val dir = tmpDir("delta-cras")
+    val t = DeltaTable.forPath(spark, dir).create(
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    t.append((0L until 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val vOld = t.snapshot.version
+    val oldData = t.toDF.orderBy("id").collect().toSeq
+    // swap + load in ONE commit: partitioned, different schema
+    val v = t.replaceAsSelect(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "n"),
+      partitionColumns = Seq("k"))
+    assert(v === vOld + 1, "REPLACE ... AS SELECT must be a single commit")
+    val fresh = DeltaTable.forPath(spark, dir)
+    assert(fresh.schema.fieldNames.toSeq === Seq("k", "n"))
+    assert(fresh.partitionColumns === Seq("k"))
+    assert(fresh.toDF.count() === 3L)
+    // a reader pinned at ANY version sees a complete epoch, never empty
+    assert(fresh.toDF(vOld).orderBy("id").collect().toSeq === oldData)
+    assert(fresh.toDF(v).count() === 3L)
+    // crash-sim: the staging job fails (violated CHECK constraint in the
+    // NEW configuration) BEFORE any commit — the old epoch stays intact
+    val ex = intercept[Exception](fresh.replaceAsSelect(
+      Seq(-1L).toDF("n"),
+      configuration = Map(DeltaTable.ConstraintPrefix + "pos" -> "n > 0")))
+    assert(ex.toString.toLowerCase.contains("constraint") ||
+      Option(ex.getCause).exists(_.toString.toLowerCase.contains("constraint")))
+    val after = DeltaTable.forPath(spark, dir)
+    assert(after.snapshot.version === v, "failed CRAS must not commit anything")
+    assert(after.toDF.count() === 3L)
+    assert(after.schema.fieldNames.toSeq === Seq("k", "n"))
+    // no staged orphans left behind
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_staging"))
+    assert(leftovers.isEmpty, s"staging dirs not cleaned: ${leftovers.mkString(",")}")
+    // column-mapping REPLACE: fresh physical names ride the SAME commit
+    val v2 = after.replaceAsSelect(
+      Seq((1L, "x")).toDF("num", "txt"),
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
+    assert(v2 === v + 1)
+    val mapped = DeltaTable.forPath(spark, dir)
+    assert(mapped.columnMappingEnabled)
+    assert(mapped.toDF.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      === Seq((1L, "x")))
+  }
+
   test("partition-pruned change feed: CDF consumers read only their partition's files") {
     val dir = tmpDir("delta-cdfprune")
     val df = (0L until 200L).map(i => (i, (i % 4).toString)).toDF("id", "p")

@@ -230,11 +230,15 @@ class SqlRelationSpec extends SparkSpec {
     intercept[Exception](
       spark.sql(s"REPLACE TABLE delta.`$dir3` (x BIGINT) USING delta"))
     assert(!DeltaTable.forPath(spark, dir3).exists)
-    // REPLACE ... AS SELECT: swap + load
+    // REPLACE ... AS SELECT: atomic swap + load — ONE commit (CRAS
+    // contract), so no reader can ever pin an empty in-between version
+    val vBefore = DeltaTable.forPath(spark, dir).snapshot.version
     spark.sql(
       s"""CREATE OR REPLACE TABLE delta.`$dir` USING delta
          |AS SELECT 'z' AS name, 9 AS n""".stripMargin)
     assert(spark.sql(s"SELECT name FROM delta.`$dir`").as[String].collect().toSeq === Seq("z"))
+    assert(DeltaTable.forPath(spark, dir).snapshot.version === vBefore + 1,
+      "REPLACE ... AS SELECT must land as a single commit")
   }
 
   test("CREATE TABLE AS SELECT materializes the query; USING parquet falls through") {
