@@ -4020,9 +4020,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * INCREMENTAL by construction (the liquid contract): files already in
     * a final ZCube of the clustering columns are skipped, so re-running
     * after each ingest batch costs the batch, not the table. ZCube tags
-    * record LOGICAL column names; a clustering-column RENAME therefore
-    * re-clusters once and re-stabilizes — correctness never depends on
-    * the tags. */
+    * record PHYSICAL column names (like the clustering domain itself),
+    * so a metadata-only RENAME of a clustering column keeps every
+    * existing cube valid — maintenance after a rename stays a no-op;
+    * correctness never depends on the tags either way. */
   def optimizeClustered(numFiles: Int = 0,
                         where: Option[org.apache.spark.sql.Column] = None): Long = {
     val cols = clusteringColumns
@@ -4591,19 +4592,27 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val cutoff = System.currentTimeMillis() - retentionMs
     val root = new Path(path)
     val rootQ = fs.makeQualified(root).toString
-    // candidates collect during the (serial, ordered) walk; the DELETES —
-    // one storage round-trip each, the dominant cost when a retention
-    // change releases millions of tombstones — run on a bounded pool
-    // (the collectStagedFiles pattern; object stores want parallel
-    // deletes, and nothing below orders them)
+    // candidate listing is a LEVEL-PARALLEL BFS on the bounded pool: each
+    // level lists all its directories concurrently (one listStatus
+    // round-trip per dir on the pool), and candidate evaluation runs on
+    // the driver thread between levels (onCandidate stays single-threaded
+    // for callers). A serial recursive walk turns a million-file
+    // partitioned table's listing into a multi-hour metadata crawl — the
+    // same failure mode the FSCK comment names; the deletes below were
+    // already parallel, the walk now matches.
     val candidates = scala.collection.mutable.ArrayBuffer.empty[Path]
-    def walk(dir: Path): Unit = {
+    def skipDir(dir: Path): Boolean = {
       val name = dir.getName
-      if (name == "_delta_log" || name.startsWith("_staging-") ||
-        name == DeltaTable.ManifestDirName) return
-      fs.listStatus(dir).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else {
+      name == "_delta_log" || name.startsWith("_staging-") ||
+        name == DeltaTable.ManifestDirName
+    }
+    var level: Seq[Path] = Seq(root).filterNot(skipDir)
+    while (level.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Path]
+      DeltaTable.parMap(level)(d => fs.listStatus(d)).flatten.foreach { st =>
+        if (st.isDirectory) {
+          if (!skipDir(st.getPath)) next += st.getPath
+        } else {
           val rel = fs.makeQualified(st.getPath).toString
             .stripPrefix(rootQ).stripPrefix("/")
           val n = st.getPath.getName
@@ -4617,8 +4626,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           }
         }
       }
+      level = next.toSeq
     }
-    walk(root)
     if (dryRun || candidates.isEmpty) return 0
     DeltaTable.parMap(candidates.toSeq)(p => if (fs.delete(p, false)) 1 else 0).sum
   }
@@ -4773,13 +4782,26 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * beyond); dates/timestamps through their epoch integers (µs fits
     * doubles exactly below 2^53). */
   private def curveOrdinal(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{ascii, coalesce, substring, unix_date, unix_micros}
+    import org.apache.spark.sql.functions.{ascii, coalesce, least, substring, unix_date, unix_micros}
     import org.apache.spark.sql.types._
     f.dataType match {
       case StringType =>
-        (0 until 8).map(i =>
-          coalesce(ascii(substring(col(f.name), i + 1, 1)).cast("double"), lit(0.0)) *
-            lit(math.pow(2.0, 8 * (7 - i)))).reduce(_ + _)
+        // full-codepoint prefix ordinal: three codepoint slots (Spark's
+        // ascii() returns the whole codepoint; substring counts
+        // codepoints), each clamped to 17 bits — the entire BMP fits,
+        // and astral codepoints clamp to the top, still above every BMP
+        // value. Clamping is monotone, so there are TIES above the
+        // clamp but never inversions. 3×17 = 51 bits keeps the double
+        // EXACT; the previous 8×8-bit layout let a CJK codepoint bleed
+        // into the previous position's weight — a real ordering
+        // inversion. Layout-only (a locality proxy): three codepoints
+        // of prefix discrimination instead of eight, traded for correct
+        // ordering on non-ASCII text; can never change results.
+        (0 until 3).map(i =>
+          least(
+            coalesce(ascii(substring(col(f.name), i + 1, 1)).cast("double"), lit(0.0)),
+            lit(131071.0)) *
+            lit(math.pow(2.0, 17 * (2 - i)))).reduce(_ + _)
       case DateType => unix_date(col(f.name)).cast("double")
       case TimestampType | TimestampNTZType =>
         unix_micros(col(f.name).cast("timestamp")).cast("double")
@@ -4904,7 +4926,17 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val snap0 = snapshot
     val tableConf = snap0.metadata.map(_.configuration).getOrElse(Map.empty)
     val selected = where.fold(snap0.files)(p => filesInPartitions(snap0.files, p))
-    val colsJson = Actions.mapper.writeValueAsString(cubeCols)
+    // cube tags record PHYSICAL column names (like the clustering domain
+    // and partition directories): a metadata-only RENAME of a clustering
+    // column on a mapped table must not invalidate every existing cube —
+    // logical-name tags would stop matching and the next incremental run
+    // would re-cluster the whole table once for nothing
+    val physOfLogical = snap0.metadata.map(m =>
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
+        .asInstanceOf[StructType].fields.map(f => f.name -> physicalName(f)).toMap)
+      .getOrElse(Map.empty[String, String])
+    val colsJson = Actions.mapper.writeValueAsString(
+      cubeCols.map(c => physOfLogical.getOrElse(c, c)))
     val candidates =
       if (!incremental) selected
       else {
@@ -5009,6 +5041,46 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * small-file debt compacts into target-size files with one shuffle of
     * ONLY the small bytes, instead of funneling through the single
     * output task a coalesce(1) would schedule. */
+  /** The bin-routing frame [[compact]] shuffles: each row tagged with
+    * its bin through a BROADCAST fileKey→bin probe inside the scan stage
+    * (the FileLongValue shape the DV/row-id reads use) — never a
+    * plan-embedded map literal. The motivating case is a 100 TB table's
+    * accumulated small-file debt (10⁵–10⁶ entries), where a typedlit map
+    * would serialize multi-MB into every task's plan and through
+    * codegen. Seam for PlanSpec's no-map-literal pin. */
+  private[delta] def binRoutedFrame(snap: Snapshot, df0: DataFrame,
+                                    binOf: Map[String, Int],
+                                    totalBins: Int): DataFrame =
+    if (totalBins == 1) df0.coalesce(1)
+    else {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val bc = spark.sparkContext.broadcast(new FileLongLookup(
+        binOf.map { case (k, b) => k -> b.toLong }))
+      df0.withColumn("__bin", ColumnBridge.wrap(FileLongValue(
+          ColumnBridge.toExpr(fileKeyExpr(snap)), bc, "compact_bin")))
+        .repartitionByRange(totalBins, col("__bin"))
+        .drop("__bin")
+    }
+
+  /** [[compact]]'s greedy packing as a seam (driver-side, exact
+    * `add.size` metadata): deterministic (partition, path) order so a
+    * replay packs identically. */
+  private[delta] def compactBins(snap: Snapshot, small: Seq[AddFile],
+                                 target: Long): Map[String, Int] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    var bin = -1
+    small.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString("|")).foreach { case (_, fs) =>
+        var used = Long.MaxValue // forces a fresh bin per partition
+        fs.sortBy(_.path).foreach { f =>
+          if (used > target - f.size) { bin += 1; used = 0L }
+          used += f.size
+          m(fileKey(snap, f)) = bin
+        }
+      }
+    m.toMap
+  }
+
   def compact(minBytes: Long = 128L * 1024 * 1024,
               where: Option[org.apache.spark.sql.Column] = None): Long = {
     val snap = snapshot
@@ -5024,38 +5096,16 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         .getOrElse(DeltaTable.DefaultTargetFileSize)
       math.max(minBytes, prop)
     }
-    // greedy per-partition packing over the exact add.size list;
-    // deterministic (partition, path) order so a replay packs
-    // identically. Keys are the [[fileKey]] suffix (partition dirs +
-    // name) — a BASENAME key would collide across partition dirs (one
-    // job reuses its part-file name in each) and silently merge two
-    // partitions' bins
-    val binOf = {
-      val m = scala.collection.mutable.HashMap.empty[String, Int]
-      var bin = -1
-      small.groupBy(_.partitionValues).toSeq
-        .sortBy(_._1.toSeq.sorted.mkString("|")).foreach { case (_, fs) =>
-          var used = Long.MaxValue // forces a fresh bin per partition
-          fs.sortBy(_.path).foreach { f =>
-            if (used > target - f.size) { bin += 1; used = 0L }
-            used += f.size
-            m(fileKey(snap, f)) = bin
-          }
-        }
-      m.toMap
-    }
+    // greedy per-partition packing over the exact add.size list; keys
+    // are the [[fileKey]] suffix (partition dirs + name) — a BASENAME
+    // key would collide across partition dirs (one job reuses its
+    // part-file name in each) and silently merge two partitions' bins
+    val binOf = compactBins(snap, small, target)
     val totalBins = binOf.values.max + 1
     // dfFor handles the declared-schema read (old files null-fill evolved
     // columns) — an inferred read crashes after schema evolution
     val df0 = materializingRowIds(snap.copy(files = small))
-    val df =
-      if (totalBins == 1) df0.coalesce(1)
-      else {
-        import org.apache.spark.sql.functions.{element_at, typedlit}
-        df0.withColumn("__bin", element_at(typedlit(binOf), fileKeyExpr(snap)))
-          .repartitionByRange(totalBins, col("__bin"))
-          .drop("__bin")
-      }
+    val df = binRoutedFrame(snap, df0, binOf, totalBins)
     val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
     val physParts = physicalPartNames(parts)
     val writer = toPhysicalForWrite(df, schema).write

@@ -165,7 +165,17 @@ object Sketches {
     * carries only candidate keys: at 100 TB the long tail — most of the
     * distinct-key mass, the part that makes a plain groupBy spill —
     * never shuffles. Collision mass is bounded (≤ e/W of total count
-    * per row w.h.p.), so candidates stay near the true heavy set. */
+    * per row w.h.p.), so candidates stay near the true heavy set.
+    *
+    * INPUT CONTRACT: `df` is EVALUATED TWICE — once for the CMS pass,
+    * once for the candidate pass (inherent to the two-pass shape). A
+    * cheap derivation (scan + tokenize/explode, the common case) should
+    * simply recompute: two scans of source bytes beat materializing an
+    * exploded token stream that is many times the input size. Reserve
+    * `cache()`/`localCheckpoint()` for inputs whose derivation is
+    * genuinely expensive relative to a scan (an upstream join or
+    * aggregation) — and mind that caching 100 TB of derived rows is
+    * usually the greater cost. */
   def heavyHitters(df: DataFrame, item: Column, minCount: Long,
                    salt: String): DataFrame = {
     require(minCount > 0, "minCount must be positive")

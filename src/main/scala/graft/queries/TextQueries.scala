@@ -1203,6 +1203,10 @@ object TextQueries extends QueryModule {
     // is a superset and the exact verify trims collisions. The Spark
     // side's keyed shuffle carries only candidate keys; the long tail
     // (most of the distinct-key mass at 100 TB) never shuffles.
+    // heavyHitters evaluates its input TWICE (see its input contract):
+    // this tokenize+explode recomputes deliberately — two scan-stage
+    // passes over source bytes beat materializing a token stream many
+    // times the corpus size.
     "sketch_heavy_hitters" -> QueryDef(
       (s, d) =>
         graft.ops.Sketches.heavyHitters(

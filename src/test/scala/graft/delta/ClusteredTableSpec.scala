@@ -103,6 +103,40 @@ class ClusteredTableSpec extends SparkSpec {
     assert(after.toDF.agg(sum(col("v"))).head().getLong(0) === (0 until 4096).map(_.toLong).sum)
   }
 
+  test("non-ASCII string keys cluster in true lexicographic order (codepoint slots)") {
+    // adversarial fixture for the old 8x8-bit ascii() prefix: CJK
+    // codepoints bleed into the previous position's weight, so these
+    // 'a*' and 'b*' keys INTERLEAVE in old-ordinal space (a,b,a,b,...)
+    // even though lexicographically all 'a*' < all 'b*'. A layout sorted
+    // by the broken ordinal gives every file a lex range spanning both
+    // groups -> equality predicates match nearly every file. The
+    // codepoint-slot ordinal sorts lexicographically -> tight files.
+    val keys = (0 until 16).flatMap { i =>
+      Seq(s"a${(20000 + 2 * i).toChar}", s"b${(19745 + 2 * i).toChar}")
+    }
+    val dir = tmpDir("clus-nonascii")
+    val rows = (0 until 4096).map(i => (keys(i % 32), keys(i % 32), i.toLong))
+    val df = rows.toDF("s", "s2", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema)
+    (0 until 4).foreach(b => t.append(df.filter(col("v") % 4 === b).coalesce(1)))
+    // zorder on (s, s2) with s2 = s: the interleave of x with itself is
+    // monotone in x, so the layout IS the ordinal's sort order — pruning
+    // equivalence to a sorted layout is exact
+    assert(t.optimizeZOrder(Seq("s", "s2"), 8, None) > 0L)
+    val after = DeltaTable.forPath(spark, dir)
+    val n = after.snapshot.files.size
+    assert(n >= 4, s"need a multi-file layout to measure pruning, got $n")
+    val hits = keys.map(k =>
+      after.scanFiles(Seq(DataSkipping.ColPred("s", "=", k))).size)
+    // sorted layout: 32 equal-frequency keys over >=4 files -> an
+    // equality hits 1 file (2 at a boundary). The broken ordinal gives
+    // ~n for most keys.
+    assert(hits.forall(_ <= 2),
+      s"equality must prune to a sorted-layout-tight file set, got ${keys.zip(hits)}")
+    assert(after.toDF.count() === 4096L)
+    assert(after.toDF.filter(col("s") === keys.head).count() === 128L)
+  }
+
   test("DATE clustering columns: stats-derived bounds parse this engine's epoch-day stats") {
     val dir = tmpDir("clus-date")
     val rows = (0 until 1024).map { i =>
@@ -169,5 +203,28 @@ class ClusteredTableSpec extends SparkSpec {
       "checkpoint replay must preserve add.tags")
     // and the preserved tags still gate: re-maintenance stays a no-op
     assert(fresh.optimizeClustered(numFiles = 2) === -1L)
+  }
+
+  test("RENAME of a clustering column keeps existing cubes valid (tags by physical name)") {
+    val dir = tmpDir("clus-rename")
+    val df = (0L until 1500L).map(i => (i % 64, (i * 37) % 64)).toDF("x", "y")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      clusterBy = Seq("x", "y"),
+      configuration = Map(DeltaTable.ColumnMappingModeKey -> "name"))
+    t.setProperties(Map(DeltaTable.MinCubeSizeKey -> "1"))
+    t.append(df)
+    t.append(df)
+    assert(t.optimizeClustered(numFiles = 2) > 0L)
+    val layout = t.snapshot.files.map(_.path).toSet
+    // metadata-only rename of a clustering column: the domain stores
+    // physical names (unchanged), and so do the cube tags
+    t.renameColumn("x", "x2")
+    val renamed = DeltaTable.forPath(spark, dir)
+    assert(renamed.clusteringColumns === Seq("x2", "y"))
+    assert(renamed.optimizeClustered(numFiles = 2) === -1L,
+      "rename must not invalidate final cubes — incremental OPTIMIZE has nothing to do")
+    assert(renamed.snapshot.files.map(_.path).toSet === layout,
+      "layout must be untouched after a rename + maintenance no-op")
+    assert(renamed.toDF.count() === 3000L)
   }
 }

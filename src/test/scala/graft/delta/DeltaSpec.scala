@@ -522,6 +522,30 @@ class DeltaSpec extends SparkSpec {
     assert(t.snapshot.files.map(_.path).toSet === live)
   }
 
+  test("vacuum's parallel listing walks a deep partition tree completely") {
+    val dir = tmpDir("delta-vacuum-deep")
+    // two partition levels -> a=0..3 / b=0..2 = 12 leaf directories
+    val df = (0L until 240L).map(i => (i, i % 4, i % 3)).toDF("v", "a", "b")
+    val t0 = DeltaTable.forPath(spark, dir).create(df.schema, Seq("a", "b"))
+    t0.append(df)
+    val t = DeltaTable.forPath(spark, dir)
+    val before = t.snapshot.files
+    assert(before.map(_.partitionValues).distinct.size === 12)
+    // DELETE rewrites every file (gcd(5,12)=1, so multiples of 5 land in
+    // every (a,b) leaf) -> the old generation is unreferenced in all 12
+    // dirs; the walk must find each one
+    assert(t.delete(col("v") % 5L === 0L) > 0L)
+    val dry = t.vacuumDryRun(retentionMs = -1000L)
+    assert(dry.toSet === before.map(_.path).toSet,
+      s"dry run must list every old file across the tree, got ${dry.size}")
+    assert(dry.forall(p => p.matches("a=\\d+/b=\\d+/.*\\.parquet")), dry.take(3))
+    assert(t.vacuum(retentionMs = -1000L) === before.size)
+    // survivors intact, readable, and confined to their own partitions
+    val after = DeltaTable.forPath(spark, dir)
+    assert(after.toDF.count() === 192L)
+    assert(after.vacuumDryRun(retentionMs = -1000L).isEmpty)
+  }
+
   test("txn append is idempotent: same (appId, version) commits once") {
     val t = newTable()
     assert(t.append(sampleDf(0 until 5), Some("app"), 0L) === 1L)
@@ -1536,5 +1560,29 @@ class DeltaSpec extends SparkSpec {
     // partition dirs never mix: every output sits in its own partition
     assert(after.snapshot.files.forall(f =>
       f.path.startsWith(s"p=${f.partitionValues("p")}")))
+  }
+
+  test("compact bin routing probes a broadcast lookup, not a plan-embedded map literal") {
+    val dir = tmpDir("delta-binroute")
+    val t0 = DeltaTable.forPath(spark, dir).create(
+      StructType(Seq(StructField("v", LongType))))
+    (0 until 4).foreach(k =>
+      t0.append((0L until 50L).map(i => i * 31L + k).toDF("v").coalesce(1)))
+    val t = DeltaTable.forPath(spark, dir)
+    val snap = t.snapshot
+    assert(snap.files.size === 4)
+    val binOf = t.compactBins(snap, snap.files,
+      target = snap.files.map(_.size).max * 2)
+    val totalBins = binOf.values.max + 1
+    assert(totalBins === 2)
+    val df0 = spark.read.parquet(snap.files.map(f => s"$dir/${f.path}"): _*)
+    val routed = t.binRoutedFrame(snap, df0, binOf, totalBins)
+    val plan = routed.queryExecution.executedPlan.toString
+    // the probe expression is in the plan; a typedlit map (one entry per
+    // small file — multi-MB at 10^6 accumulated smalls) is NOT
+    assert(plan.contains("file_compact_bin"), plan.take(2000))
+    assert(!plan.contains("map(keys"),
+      "bin routing must not embed a file-count-sized map literal in the plan")
+    assert(routed.count() === 200L)
   }
 }
