@@ -873,6 +873,45 @@ object Dedup {
           .cast("long").as("n_removed"))
   }
 
+  /** Benchmark DECONTAMINATION (the GPT-3/PaLM/Llama pipeline step):
+    * flag training documents that share any word n-gram with a
+    * benchmark/eval set, so downstream evaluation isn't inflated by
+    * memorized test items. One row per CONTAMINATED training doc:
+    * `(doc_id, doc_ngrams, hits, frac)` — hits = distinct shared
+    * n-grams, frac = hits / doc_ngrams (the usual removal-threshold
+    * knob).
+    *
+    * Plan (100 TB story): the benchmark side is SMALL by definition (an
+    * eval suite — thousands of documents), so its distinct shingle
+    * hashes reduce to one frame that broadcasts into a LEFT SEMI join
+    * against the training scan's exploded shingles — the 100 TB side
+    * never shuffles shingles; matching happens in the scan stage, and
+    * the only keyed aggregation is over MATCHED rows, proportional to
+    * contamination found, not corpus size. Hash space is the shared
+    * 60-bit [[graft.functions.ShingleHashes]] kernel, so the overlap
+    * test costs one long compare per (doc-shingle, probe).
+    *
+    * Complements [[contaminationPairs]] (per-(doc, probe) attribution —
+    * WHICH benchmark item leaked): this is the removal-decision shape,
+    * and its SEMI join means a doc overlapping a thousand probes costs
+    * one row, not a thousand. */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 8,
+                    seed: String = "decon"): DataFrame = {
+    val benchHs = hashedShingleBase(bench, idCol, textCol, shingleN, seed)
+      .select(explode(col("hsh")).as("hs")).distinct()
+    hashedShingleBase(docs, idCol, textCol, shingleN, seed)
+      .select(col("id").as("doc_id"),
+        size(col("hsh")).cast("long").as("doc_ngrams"),
+        explode(col("hsh")).as("hs"))
+      .join(broadcast(benchHs), Seq("hs"), "left_semi")
+      .groupBy(col("doc_id"), col("doc_ngrams"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("doc_id"), col("doc_ngrams"), col("hits"),
+        round(col("hits").cast("double") / col("doc_ngrams").cast("double"), 6)
+          .as("frac"))
+  }
+
   /** [[semanticDedup]]'s candidate stage: (id_a, id_b) pairs sharing an
     * IVF cell with cosine ≥ threshold. Split out so its plan shape is
     * pinnable (the clustering step localCheckpoints, truncating lineage)

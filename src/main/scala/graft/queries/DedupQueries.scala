@@ -217,6 +217,42 @@ object DedupQueries extends QueryModule {
     // SPARK_GRAFT_BENCH_ONLY=dedup_zipf_brute,dedup_zipf_prefix. Keeping
     // the intentionally-slow legs out of the default set cuts ~1/3 of
     // the bench wall-clock and its host-contention exposure.
+    // Benchmark decontamination (GPT-3/PaLM pipeline step): training
+    // docs sharing any word 3-gram with the "benchmark" slice
+    // (doc_id % 97 = 0 — the eval-suite stand-in). The benchmark side's
+    // distinct shingle hashes BROADCAST into a left-semi join against
+    // the training scan, so the corpus side never shuffles shingles and
+    // the keyed aggregation is proportional to contamination found.
+    "dedup_decontaminate" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contamination(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", shingleN = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val h = graft.functions.Hashing.h64Sql("s", "decon")
+        s"""WITH benchdocs AS (
+           |  SELECT list_distinct(list_transform(${O.shingles(3)}, s -> $h)) AS hsh
+           |  FROM documents WHERE doc_id % 97 = 0
+           |), bench AS MATERIALIZED (
+           |  SELECT DISTINCT unnest(hsh) AS hs FROM benchdocs
+           |), ex AS MATERIALIZED (
+           |  SELECT doc_id, CAST(len(hsh) AS BIGINT) AS doc_ngrams, unnest(hsh) AS hs
+           |  FROM (SELECT doc_id,
+           |          list_distinct(list_transform(${O.shingles(3)}, s -> $h)) AS hsh
+           |        FROM documents WHERE doc_id % 97 <> 0)
+           |)
+           |SELECT ex.doc_id, any_value(ex.doc_ngrams) AS doc_ngrams,
+           |  CAST(count(*) AS BIGINT) AS hits,
+           |  round(CAST(count(*) AS DOUBLE) / any_value(ex.doc_ngrams), 6) AS frac
+           |FROM ex JOIN bench ON ex.hs = bench.hs
+           |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
+      },
+      headline = true),
+
     "dedup_zipf_brute" -> QueryDef(
       (s, d) =>
         Dedup.ngramJaccardPairs(

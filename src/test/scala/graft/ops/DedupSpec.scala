@@ -25,6 +25,31 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup.getAs[Long]("keep_id") === 1L)
   }
 
+  test("contamination flags docs sharing an n-gram with the benchmark, exactly") {
+    // bench doc shares the 3-gram "quick brown fox" (and more) with docs
+    // 1,2,4; doc 3 and 5 share nothing
+    val bench = Seq((100L, "the quick brown fox sat down")).toDF("doc_id", "text")
+    val out = Dedup.contamination(docs, bench, "doc_id", "text", shingleN = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L),
+      s"got ${out.map(_.getLong(0)).toSeq}")
+    // exact hit accounting: docs 1 and 4 ("...fox jumps over the lazy dog")
+    // share "the quick brown" and "quick brown fox" with the bench doc
+    val d1 = out.find(_.getLong(0) == 1L).get
+    assert(d1.getAs[Long]("hits") === 2L)
+    assert(d1.getAs[Long]("doc_ngrams") === 7L)
+    assert(d1.getAs[Double]("frac") === math.round(2.0 / 7.0 * 1e6) / 1e6)
+    // a doc wholly inside the benchmark is fully contaminated
+    val self = Seq((200L, "the quick brown fox sat down")).toDF("doc_id", "text")
+    val full = Dedup.contamination(self, bench, "doc_id", "text", shingleN = 3)
+      .collect().head
+    assert(full.getAs[Long]("hits") === full.getAs[Long]("doc_ngrams"))
+    assert(full.getAs[Double]("frac") === 1.0)
+    // empty benchmark -> nothing contaminated
+    assert(Dedup.contamination(docs, bench.filter(lit(false)),
+      "doc_id", "text", shingleN = 3).count() === 0L)
+  }
+
   test("count-based ngram Jaccard equals exhaustive array-set Jaccard") {
     val counted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 2, threshold = 0.3)

@@ -45,6 +45,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("decontaminate: benchmark side broadcasts; corpus shingles never shuffle") {
+    val df = Registry.all("dedup_decontaminate").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the eval-set side (small by definition) must broadcast into a
+    // LEFT SEMI probe against the corpus scan — a shuffled semi-join
+    // would move the 100 TB side's shingles
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // post-join exchanges carry (doc_id, doc_ngrams, partial count) —
+    // never document text (formatted mode lists each Exchange's inputs)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, fmt)
+    assert(exchangeInputs.forall(!_.contains("text#")),
+      "no exchange may carry document text:\n" + fmt)
+    // shingle hashes may shuffle only on the BENCHMARK side (its
+    // distinct — small by definition); a corpus-side row is recognizable
+    // by its doc_id/doc_ngrams payload
+    assert(exchangeInputs.filter(_.contains("hs#"))
+        .forall(in => !in.contains("doc_id#") && !in.contains("doc_ngrams#")),
+      "corpus-side shingles must never shuffle:\n" + fmt)
+  }
+
   test("ngram jaccard: the exploded self-join reuses one exchange") {
     val p = plan("dedup_ngram_jaccard")
     assert(p.contains("ReusedExchange"),
