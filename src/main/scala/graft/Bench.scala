@@ -322,7 +322,9 @@ object Bench {
     // on judge re-runs. Persist the full JSON per ROUND
     // (bench_out_rN.json, N = newest driver BENCH_r*.json + 1, i.e. the
     // round in progress) and append every run to bench_history.jsonl.
-    try {
+    // filtered dev runs (SPARK_GRAFT_BENCH_ONLY) are not comparable
+    // round signals — never let one overwrite the round file
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) try {
       val rx = "BENCH_r(\\d+)\\.json".r
       val here = java.nio.file.Paths.get(".")
       val prev = java.nio.file.Files.list(here).iterator()
