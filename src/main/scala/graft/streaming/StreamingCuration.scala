@@ -212,4 +212,30 @@ object StreamingCuration {
       .join(probeFps, Seq("__fp"), "left_anti")
       .drop("__fp")
   }
+
+  /** `foreachBatch` decontamination by n-gram OVERLAP — the NEAR/partial
+    * variant of [[decontaminate]] (which only catches exact whole-doc
+    * fingerprint matches): drops micro-batch docs sharing at least
+    * `minHits` distinct word n-grams with the static benchmark suite
+    * ([[graft.ops.Dedup.contamination]] per batch). Contamination is a
+    * per-doc computation against a static set, so the result is
+    * micro-batch-split independent, and there is NO stream-side state —
+    * the benchmark's broadcast shingle hashes are the only reader-held
+    * data, per executor, per batch.
+    *
+    * {{{
+    * stream.writeStream.foreachBatch(
+    *   StreamingCuration.contaminationFilterSink(benchDf, "doc_id", "text")(
+    *     clean => clean.write.mode("append").parquet(out)))
+    * }}}
+    */
+  def contaminationFilterSink(bench: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 8, minHits: Long = 1L)
+                             (write: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val flagged = graft.ops.Dedup.contamination(batch, bench, idCol,
+          textCol, shingleN)
+        .filter(col("hits") >= minHits).select(col("doc_id").as(idCol))
+      write(batch.join(flagged, Seq(idCol), "left_anti"))
+    }
 }

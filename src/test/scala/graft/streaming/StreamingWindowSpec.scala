@@ -470,6 +470,34 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("n-gram contamination filter drops partial leaks across micro-batches, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF.toDF("doc_id", "text")
+    val bench = Seq((100L, "what is the capital of france"))
+      .toDF("doc_id", "text")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = docs.writeStream
+      .foreachBatch(StreamingCuration.contaminationFilterSink(
+        bench, "doc_id", "text", shingleN = 4)(
+        clean => kept.synchronized {
+          kept ++= clean.select("doc_id").collect().map(_.getLong(0)): Unit
+        }))
+      .start()
+    try {
+      // doc 2 embeds a benchmark 4-gram mid-sentence — the exact
+      // fingerprint decontaminate would MISS it (different token set)
+      in.addData((1L, "an ordinary clean training document with words"),
+        (2L, "quiz answer what is the capital of france said the page"))
+      q.processAllAvailable()
+      in.addData((3L, "is the capital of gaul paris or rome"), // 4-gram "is the capital of"
+        (4L, "another clean training document"))
+      q.processAllAvailable()
+      assert(kept.synchronized(kept.toSet) === Set(1L, 4L),
+        s"partial leaks must drop in every batch; kept $kept")
+    } finally q.stop()
+  }
+
   test("intervalJoin attributes within the window on live streams") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
