@@ -1865,6 +1865,144 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     }
   }
 
+  /** COPY INTO (delta-spark's idempotent batch file loader — the batch
+    * form of the reference's exactly-once ingest contract): load data
+    * files from `source` into the table, skipping files a previous COPY
+    * INTO already loaded, so a re-run after a partial failure or on a
+    * schedule ingests every source file EXACTLY ONCE. Idempotency rides
+    * the protocol's txn mechanism: each loaded file's
+    * `txn(appId = "graft.copyInto:<qualified file>", version = 0)`
+    * action commits ATOMICALLY with its data — no window where data
+    * landed without the bookkeeping or vice versa. Entries age out of
+    * checkpoints via `delta.setTransactionRetentionDuration`; set it
+    * above the re-run horizon, like any idempotent writer's.
+    *
+    * Source columns align BY NAME and cast to the table schema; columns
+    * the source lacks null-fill when nullable (the schema-evolution
+    * read rule) and refuse otherwise; EXTRA source columns refuse
+    * loudly (a silent drop hides pipeline bugs). DEFAULT and generated
+    * columns compute exactly as in [[append]]; CHECK constraints
+    * verify; identity columns must be provided explicitly (machine
+    * assignment lives in append's batch path). Formats: `parquet`
+    * (schema inferred from footers) and `json` (read under the table
+    * schema — missing fields null per JSON's by-name contract).
+    *
+    * A race against a concurrent COPY INTO of overlapping files aborts
+    * the commit, cleans the staged bytes, and RETRIES against the fresh
+    * snapshot — loading only what is still new — up to 3 rounds.
+    *
+    * Scale: the listing is one recursive walk of `source`; the
+    * loaded-file filter is a driver set difference over log metadata;
+    * the data job reads ONLY new files. Returns the committed version,
+    * or -1 when nothing is new. */
+  def copyInto(source: String, format: String = "parquet",
+               pattern: Option[String] = None,
+               options: Map[String, String] = Map.empty): Long = {
+    require(Set("parquet", "json")(format.toLowerCase),
+      s"COPY INTO supports FILEFORMAT parquet|json, got '$format'")
+    val fmt = format.toLowerCase
+    val srcPath = new Path(source)
+    val srcFs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val candidates: Seq[Path] = {
+      val globby = source.exists("*?[{".contains(_))
+      val all =
+        if (globby) srcFs.globStatus(srcPath).toSeq.filter(_.isFile).map(_.getPath)
+        else if (srcFs.getFileStatus(srcPath).isFile) Seq(srcPath)
+        else {
+          val it = srcFs.listFiles(srcPath, true)
+          val buf = mutable.ArrayBuffer.empty[Path]
+          while (it.hasNext) {
+            val st = it.next()
+            val n = st.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith(".")) buf += st.getPath
+          }
+          buf.toSeq
+        }
+      pattern.fold(all) { g =>
+        val m = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$g")
+        val baseQ = srcFs.makeQualified(srcPath).toString
+        all.filter { p =>
+          val rel = srcFs.makeQualified(p).toString
+            .stripPrefix(baseQ).stripPrefix("/")
+          m.matches(java.nio.file.Paths.get(if (rel.isEmpty) p.getName else rel))
+        }
+      }
+    }
+    def appIdOf(p: Path): String =
+      "graft.copyInto:" + srcFs.makeQualified(p).toUri.toString
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val baseSnap = snapshot
+      val sch = baseSnap.schema.getOrElse(
+        throw new IllegalStateException(s"no table at $path — create first"))
+      val newFiles = candidates.filterNot(p => baseSnap.txns.contains(appIdOf(p)))
+      if (newFiles.isEmpty) return -1L
+      val reader = spark.read.options(options)
+      val raw = fmt match {
+        case "parquet" => reader.parquet(newFiles.map(_.toString): _*)
+        case "json" => reader.schema(sch).json(newFiles.map(_.toString): _*)
+      }
+      requireIdentityProvided(raw, "COPY INTO")
+      val extra = raw.columns.filterNot(c =>
+        sch.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(extra.isEmpty,
+        s"COPY INTO source has columns the table lacks: ${extra.mkString(", ")}")
+      // defaults and generated columns fill exactly as in append
+      val withDefaults = columnDefaults.toSeq.sortBy(_._1).foldLeft(raw) {
+        case (d, (n, e)) =>
+          if (d.columns.exists(_.equalsIgnoreCase(n))) d
+          else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+      }
+      val withGen = generatedColumns.toSeq.sortBy(_._1).foldLeft(withDefaults) {
+        case (d, (n, e)) =>
+          if (d.columns.exists(_.equalsIgnoreCase(n))) d
+          else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+      }
+      val aligned = withConstraintChecks(sch.fields.foldLeft(withGen) { (d, f) =>
+        if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+        else {
+          require(f.nullable,
+            s"COPY INTO source lacks non-nullable column '${f.name}'")
+          d.withColumn(f.name, lit(null))
+        }
+      }.select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
+      val parts = partitionColumns
+      val arranged =
+        if (parts.nonEmpty) aligned.repartition(parts.map(col): _*) else aligned
+      val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
+      val physParts = physicalPartNames(parts)
+      val writer = toPhysicalForWrite(arranged, sch).write.mode("overwrite")
+        .option("compression", "snappy")
+      (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
+        .parquet(staging.toString)
+      val adds = collectStagedFiles(staging, physParts)
+      val committed =
+        try {
+          val now = System.currentTimeMillis()
+          val actions = adds.map(a => Action(add = Some(a))) ++
+            newFiles.map(p => Action(txn = Some(Txn(appIdOf(p), 0L, Some(now))))) ++
+            Seq(Action(commitInfo = Some(CommitInfo(now, "COPY INTO",
+              Map("source" -> source, "fileFormat" -> fmt,
+                "numSourceFiles" -> newFiles.size.toString)))))
+          // abort if ANY of our files was loaded meanwhile — committing
+          // would double their rows (our staged data already fuses them)
+          try log.commit(actions,
+            check = s => newFiles.forall(p => !s.txns.contains(appIdOf(p))))
+          catch { case e: Throwable =>
+            adds.foreach(a => fs.delete(new Path(path, a.path), false))
+            throw e
+          }
+        } finally fs.delete(staging, true)
+      if (committed >= 0) return committed
+      adds.foreach(a => fs.delete(new Path(path, a.path), false))
+      if (attempt >= 3) throw new java.util.ConcurrentModificationException(
+        "COPY INTO lost the loaded-file race 3 times — concurrent loaders " +
+          "of the same source; re-run to load the remainder")
+    }
+    -1L // unreachable
+  }
+
   /** GENERATE symlink_format_manifest (delta-spark's `GENERATE` command):
     * write Hive-symlink manifests under `_symlink_format_manifest/` so
     * engines that read symlink text manifests (Presto, Trino, Athena,
@@ -2613,6 +2751,62 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * hold a matched key this merge never saw), affected files must keep
     * their exact DV descriptor, txn rides the commit for exactly-once
     * streaming applies. */
+  /** APPLY CHANGES (the DLT-style CDC applier, SCD TYPE 1): fold a
+    * change feed — key columns, a monotone `sequenceCol`, an optional
+    * delete marker — into the table. WITHIN a batch only each key's
+    * highest-sequence row applies (window argmax; delete wins a
+    * sequence tie, then an md5 tiebreak keeps the pick deterministic
+    * under any partitioning). ACROSS batches a change applies only when
+    * its sequence is ≥ the stored row's — stale late arrivals no-op —
+    * so the TABLE SCHEMA MUST CARRY `sequenceCol` (that stored value IS
+    * the cross-batch state; rows predating APPLY CHANGES with a NULL
+    * sequence always lose). Delete events remove the row physically
+    * (subject to the same sequencing; absent keys no-op).
+    *
+    * Caveat, documented like DLT's: deletes are PHYSICAL, so a stale
+    * insert arriving in a LATER batch than the delete that superseded
+    * it re-inserts (no tombstone survives the delete). Within-batch
+    * disorder is fully handled; cross-batch disorder must not straddle
+    * a delete — or keep soft-delete markers instead of `deleteWhen`.
+    *
+    * One commit per call (the merge machinery's atomicity/concurrency
+    * contract, including txn idempotence for exactly-once feeds).
+    * `deleteWhen` is SQL over the SOURCE columns (e.g. "op = 'D'");
+    * marker columns outside the table schema ride as condition-only
+    * markers and never land in the table. Scale: one keyed shuffle of
+    * the batch for the argmax, then [[mergeClauses]]'s
+    * stats-pre-restricted file rewrite — cost ∝ batch + touched files,
+    * never the table. */
+  def applyChanges(changes: DataFrame, keyCols: Seq[String],
+                   sequenceCol: String, deleteWhen: Option[String] = None,
+                   txnAppId: Option[String] = None,
+                   txnVersion: Long = -1L): Long = {
+    import DeltaTable._
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(sequenceCol)),
+      s"table must carry sequence column '$sequenceCol' — it is the " +
+        "cross-batch ordering state")
+    keyCols.foreach(k => require(changes.columns.exists(_.equalsIgnoreCase(k)),
+      s"change feed lacks key column '$k'"))
+    val isDel = deleteWhen.map(org.apache.spark.sql.functions.expr)
+      .getOrElse(lit(false))
+    val marked = changes.withColumn("__is_delete", coalesce(isDel, lit(false)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(sequenceCol).desc, col("__is_delete").desc,
+        org.apache.spark.sql.functions.md5(
+          to_json(struct(marked.columns.map(col).toSeq: _*))).asc)
+    val latest = marked
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val notStale = s"(t.$sequenceCol IS NULL OR s.$sequenceCol >= t.$sequenceCol)"
+    mergeClauses(latest, keyCols, Seq(
+      WhenMatchedDelete(condition = Some(s"s.__is_delete AND $notStale")),
+      WhenMatchedUpdate(condition = Some(s"NOT s.__is_delete AND $notStale")),
+      WhenNotMatchedInsert(condition = Some("NOT s.__is_delete"))),
+      txnAppId, txnVersion)
+  }
+
   def mergeClausesWithDv(source: DataFrame, keyCols: Seq[String],
                          clauses: Seq[DeltaTable.MergeClause],
                          txnAppId: Option[String] = None,
@@ -4025,14 +4219,18 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * existing cube valid — maintenance after a rename stays a no-op;
     * correctness never depends on the tags either way. */
   def optimizeClustered(numFiles: Int = 0,
-                        where: Option[org.apache.spark.sql.Column] = None): Long = {
+                        where: Option[org.apache.spark.sql.Column] = None,
+                        full: Boolean = false): Long = {
     val cols = clusteringColumns
     require(cols.nonEmpty, "not a clustered table — create(clusterBy = ...) first")
     // true N-dimensional curve for >2 keys ([[optimizeHilbert]] Seq
     // form — Skilling transpose), not a 2-D fold with tiebreaks: every
     // clustering column's per-file stats tighten, so skipping serves
-    // predicates on any of them
-    optimizeHilbert(cols, numFiles, where, incremental = true)
+    // predicates on any of them. `full` (delta-spark's OPTIMIZE FULL)
+    // rewrites final cubes too — the lever after ALTER CLUSTER BY, when
+    // incremental maintenance would correctly skip everything under the
+    // old keys.
+    optimizeHilbert(cols, numFiles, where, incremental = !full)
   }
 
   /** Time travel: the table as of `version` — that version's file set AND
@@ -4577,6 +4775,86 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     vacuumImpl(resolvedRetention(retentionMs), dryRun = true, onCandidate = out += _)
     out.toSeq.sorted
+  }
+
+  /** VACUUM from an INVENTORY (delta-spark's `VACUUM ... USING
+    * INVENTORY`): candidates come from a caller-provided listing — an S3
+    * Inventory / GCS Storage Insights table — instead of a live
+    * filesystem walk. At 100 TB this is THE listing shape: object stores
+    * publish daily inventories precisely because LIST over millions of
+    * keys is slow and billed; even the parallel walk is metadata
+    * round-trips ∝ directories, while the inventory is a table scan.
+    *
+    * `inventory` needs (path, length, isDir, modificationTime[, ...]) —
+    * delta-spark's inventory schema (length is accepted-but-unused, as
+    * there). Paths may be absolute (rows outside the table root are
+    * ignored) or table-relative. The referenced-file ANTI-JOIN runs
+    * DISTRIBUTED — the inventory frame never collects before filtering;
+    * only the surviving candidates reach the driver for the bounded-pool
+    * deletes. Retention/tombstone semantics match [[vacuum]] exactly:
+    * only unreferenced data/DV files older than the cutoff delete, and a
+    * LIVE file can never be deleted (the anti-join is against the
+    * current snapshot; parquet objects are write-once so inventory
+    * modification times are stable). A STALE inventory only ever misses
+    * newer garbage — it cannot over-delete. Returns the deleted count
+    * (or the would-delete count under `dryRun`; use
+    * [[vacuumInventoryDryRun]] for the paths). */
+  def vacuumUsingInventory(inventory: DataFrame,
+                           retentionMs: Long = DeltaTable.TableDefaultRetention,
+                           dryRun: Boolean = false): Int = {
+    val candidates = inventoryCandidates(inventory, resolvedRetention(retentionMs))
+    if (dryRun) return candidates.size
+    DeltaTable.parMap(candidates)(rel =>
+      if (fs.delete(new Path(path, rel), false)) 1 else 0).sum
+  }
+
+  /** The table-relative paths an inventory vacuum at this retention
+    * would delete — the DRY RUN safety valve, sorted. */
+  def vacuumInventoryDryRun(inventory: DataFrame,
+                            retentionMs: Long = DeltaTable.TableDefaultRetention): Seq[String] =
+    inventoryCandidates(inventory, resolvedRetention(retentionMs)).sorted
+
+  private def inventoryCandidates(inventory: DataFrame,
+                                  retentionMs: Long): Seq[String] = {
+    val snap = snapshot
+    require(snap.version >= 0, s"no table at $path")
+    val referenced = snap.files.map(_.path) ++
+      snap.files.flatMap(_.deletionVector).filter(_.storageType == "u")
+        .map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv))
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val rootQ = fs.makeQualified(new Path(path)).toString
+    val rootUri = new Path(rootQ).toUri.getPath // scheme-less absolute form
+    import org.apache.spark.sql.functions.{col, lit, when, not, element_at, split, size => fsize}
+    val spk = inventory.sparkSession
+    import spk.implicits._
+    // absolute rows relativize against either the qualified or the
+    // scheme-less root; relative rows pass through; anything else (a
+    // different table's files) drops
+    val p = col("path").cast("string")
+    val rel0 = when(p.startsWith(rootQ + "/"),
+        org.apache.spark.sql.functions.expr(s"substring(path, ${rootQ.length + 2})"))
+      .when(p.startsWith(rootUri + "/"),
+        org.apache.spark.sql.functions.expr(s"substring(path, ${rootUri.length + 2})"))
+      .when(p.startsWith("/") || p.contains(":/"), lit(null).cast("string"))
+      .otherwise(p)
+    val segs = split(col("__rel"), "/")
+    val base = element_at(segs, -1)
+    // the walk's skip rules, segment-exact at any depth
+    val skippedSeg = org.apache.spark.sql.functions.exists(segs, s =>
+      s === DeltaTable.ManifestDirName || s === "_delta_log" ||
+        s.startsWith("_staging-"))
+    val collectable =
+      (base.endsWith(".parquet") ||
+        (base.startsWith("deletion_vector_") && base.endsWith(".bin"))) &&
+        not(skippedSeg)
+    val refDs = referenced.toDF("__rel")
+    inventory
+      .filter(not(col("isDir")) && col("modificationTime").cast("long") < cutoff)
+      .withColumn("__rel", rel0)
+      .filter(col("__rel").isNotNull && fsize(segs) >= 1 && collectable)
+      .select(col("__rel"))
+      .join(refDs, Seq("__rel"), "left_anti")
+      .as[String].collect().toSeq
   }
 
   private def vacuumImpl(retentionMs: Long, dryRun: Boolean,

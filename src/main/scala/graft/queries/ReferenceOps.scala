@@ -403,6 +403,97 @@ object ReferenceOps extends QueryModule {
       Some("""SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct,
              |  CAST(sum(event_id) AS BIGINT) AS id_sum FROM events""".stripMargin)),
 
+    // ---- APPLY CHANGES (DLT-style CDC apply, SCD1): the events table
+    // becomes a change feed (key = user_id, sequence = event_id, every
+    // 11th event a DELETE) applied in two ADVERSARIALLY-ORDERED batches —
+    // batch 2 carries many per-key sequences LOWER than batch 1's
+    // applied maximum, which must all no-op (the >= stored-sequence
+    // rule), while its fresh rows update/delete/insert. The oracle
+    // replays the per-batch algorithm (within-batch argmax, delete wins
+    // ties; cross-batch staleness against the stored row) — a stale row
+    // applying, a fresh one skipped, or a tombstone mishandled all shift
+    // the final state. ---------------------------------------------------
+    "ref_apply_changes" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-cdc-apply")
+        val feed = Tables.events(s, d).select(
+          col("user_id"), col("event_id").as("seq"), col("value"),
+          when(col("event_id") % 11 === 0, lit("D")).otherwise(lit("U")).as("op"))
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("seq",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))))
+        require(t.applyChanges(feed.filter(col("seq") % 3 =!= 0),
+          Seq("user_id"), "seq", deleteWhen = Some("op = 'D'")) >= 0L)
+        t.applyChanges(feed.filter(col("seq") % 3 === 0),
+          Seq("user_id"), "seq", deleteWhen = Some("op = 'D'"))
+        graft.delta.DeltaTable.forPath(s, dir).toDF.orderBy(col("user_id"))
+      },
+      Some("""WITH feed AS (
+             |  SELECT user_id, event_id AS seq, value,
+             |    CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
+             |  FROM events
+             |), b1 AS MATERIALIZED (
+             |  SELECT user_id, seq, value, op FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY seq DESC, (op = 'D') DESC) AS rn
+             |    FROM feed WHERE seq % 3 <> 0) WHERE rn = 1
+             |), state1 AS MATERIALIZED (
+             |  SELECT user_id, seq, value FROM b1 WHERE op <> 'D'
+             |), b2 AS MATERIALIZED (
+             |  SELECT user_id, seq, value, op FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY seq DESC, (op = 'D') DESC) AS rn
+             |    FROM feed WHERE seq % 3 = 0) WHERE rn = 1
+             |)
+             |SELECT user_id, seq, value FROM (
+             |  SELECT s.user_id,
+             |    CASE WHEN c.user_id IS NOT NULL AND c.seq >= s.seq AND c.op <> 'D'
+             |         THEN c.seq ELSE s.seq END AS seq,
+             |    CASE WHEN c.user_id IS NOT NULL AND c.seq >= s.seq AND c.op <> 'D'
+             |         THEN c.value ELSE s.value END AS value
+             |  FROM state1 s LEFT JOIN b2 c ON s.user_id = c.user_id
+             |  WHERE NOT (c.user_id IS NOT NULL AND c.op = 'D' AND c.seq >= s.seq)
+             |  UNION ALL
+             |  SELECT c.user_id, c.seq, c.value
+             |  FROM b2 c ANTI JOIN state1 s ON c.user_id = s.user_id
+             |  WHERE c.op <> 'D'
+             |) ORDER BY user_id""".stripMargin)),
+
+    // ---- COPY INTO (delta-spark's idempotent batch loader — the batch
+    // form of the reference's exactly-once ingest contract): the source
+    // directory grows in two generations; the loader runs twice per
+    // generation (the replay must be a commit-level no-op: each file's
+    // txn action rides its data commit) and the final table must equal
+    // raw documents exactly — a double-loaded file doubles a group's
+    // sums, a missed file loses them. -----------------------------------
+    "ref_copy_into" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-copyinto")
+        val src = graft.Scratch.dir("graft-copysrc")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        docs.filter(col("doc_id") % 2 === 0).coalesce(2).write.parquet(src + "/g1")
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(docs.schema)
+        require(t.copyInto(src) > 0L)
+        require(t.copyInto(src) == -1L, "replayed COPY INTO must be a no-op")
+        docs.filter(col("doc_id") % 2 =!= 0).coalesce(3).write.parquet(src + "/g2")
+        require(t.copyInto(src) > 0L, "only the new generation loads")
+        require(t.copyInto(src) == -1L)
+        t.toDF.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(length(col("text"))).cast("long").as("len_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(length(text)) AS BIGINT) AS len_sum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- MERGE / upsert (delta-rs merge, copy-on-write): target = even
     // event ids; the source UPDATES every id % 4 == 0 row (user_id bumped
     // by 1e6) and INSERTS odd multiples of 5 (bumped by 2e6). The oracle

@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * or delta-style ``delta.`<path>` ``):
   *
   * {{{
-  * OPTIMIZE '<path>' [WHERE <partition predicate>] [ZORDER BY (c1, ..., cn)]
-  * VACUUM '<path>' [RETAIN <n> HOURS] [DRY RUN]
+  * OPTIMIZE '<path>' [FULL] [WHERE <partition predicate>] [ZORDER BY (c1, ..., cn)]
+  * VACUUM '<path>' [USING INVENTORY (<subquery>)] [RETAIN <n> HOURS] [DRY RUN]
+  * COPY INTO '<path>' FROM '<src>' FILEFORMAT = PARQUET|JSON [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)]
   * DESCRIBE DETAIL '<path>'
   * DESCRIBE HISTORY '<path>' [LIMIT <n>]
   * RESTORE [TABLE] '<path>' TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
@@ -75,10 +76,21 @@ object GraftSqlParser {
   private def pat(re: String): Pattern =
     Pattern.compile(re, Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
 
+  // FULL (delta-spark's clustered-table syntax): force a complete
+  // re-cluster, final ZCubes included — the lever after changing
+  // clustering columns or curve, when incremental maintenance would
+  // correctly skip everything
   private val OptimizeRx = pat(
-    s"""\\s*OPTIMIZE\\s+$Tbl(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
+    s"""\\s*OPTIMIZE\\s+$Tbl(\\s+FULL)?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
+  // COPY INTO (delta-spark's idempotent batch loader): FILEFORMAT is a
+  // bare word; PATTERN and FORMAT_OPTIONS optional
+  private val CopyIntoRx = pat(
+    s"""\\s*COPY\\s+INTO\\s+$Tbl\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
+  // USING INVENTORY's subquery captures greedily to its closing paren
+  // (the subquery is the only paren group in the clause; RETAIN/DRY RUN
+  // follow it) — delta-spark's inventory-vacuum syntax
   private val VacuumRx = pat(
-    s"""\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
+    s"""\\s*VACUUM\\s+$Tbl(?:\\s+USING\\s+INVENTORY\\s*\\((.+)\\))?(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
   private val DetailRx = pat(s"""\\s*(?:DESCRIBE|DESC)\\s+DETAIL\\s+$Tbl\\s*;?\\s*""")
   private val HistoryRx = pat(
     s"""\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Tbl(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""")
@@ -117,20 +129,31 @@ object GraftSqlParser {
                           delegate: ParserInterface): Option[LogicalPlan] = {
     val opt = OptimizeRx.matcher(sqlText)
     if (opt.matches()) {
-      val zcols = Option(opt.group(4)).map(_.split(",").map(stripId).toSeq)
+      val full = opt.group(3) != null
+      val zcols = Option(opt.group(5)).map(_.split(",").map(stripId).toSeq)
         .filter(_.nonEmpty)
       // the WHERE text parse-checks through the DELEGATE parser (typos
       // fail at parse time like any SQL) but rides as TEXT — it resolves
       // against the TARGET TABLE when the command runs
-      val where = Option(opt.group(3)).map(_.trim).filter(_.nonEmpty)
+      val where = Option(opt.group(4)).map(_.trim).filter(_.nonEmpty)
       where.foreach(delegate.parseExpression)
-      return Some(OptimizeTableCommand(tblOf(opt), where, zcols.getOrElse(Nil)))
+      return Some(OptimizeTableCommand(tblOf(opt), where, zcols.getOrElse(Nil),
+        full = full))
+    }
+    val cpy = CopyIntoRx.matcher(sqlText)
+    if (cpy.matches()) {
+      return Some(CopyIntoCommand(tblOf(cpy), source = cpy.group(3),
+        format = cpy.group(4).toLowerCase,
+        pattern = Option(cpy.group(5)),
+        options = Option(cpy.group(6)).map(parsePropList).getOrElse(Map.empty)))
     }
     val vac = VacuumRx.matcher(sqlText)
     if (vac.matches()) {
-      val hours = Option(vac.group(3)).map(_.toLong)
+      val inventorySql = Option(vac.group(3)).map(_.trim).filter(_.nonEmpty)
+      inventorySql.foreach(delegate.parsePlan) // typos fail at parse time
+      val hours = Option(vac.group(4)).map(_.toLong)
       return Some(VacuumTableCommand(tblOf(vac), hours,
-        dryRun = vac.group(4) != null))
+        dryRun = vac.group(5) != null, inventorySql = inventorySql))
     }
     val det = DetailRx.matcher(sqlText)
     if (det.matches()) return Some(DescribeDetailCommand(tblOf(det)))

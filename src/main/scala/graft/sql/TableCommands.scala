@@ -24,7 +24,8 @@ private object CmdSchema {
   * text — a stored unresolved Expression would fail CheckAnalysis before
   * the command ever runs (it resolves against the TABLE, not this plan). */
 case class OptimizeTableCommand(path: String, whereSql: Option[String],
-                                zorderBy: Seq[String]) extends LeafRunnableCommand {
+                                zorderBy: Seq[String],
+                                full: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = CmdSchema.attrs(
     "path" -> StringType, "operation" -> StringType, "version" -> LongType)
 
@@ -32,6 +33,10 @@ case class OptimizeTableCommand(path: String, whereSql: Option[String],
     val t = DeltaTable.forPath(spark, path)
     val whereCol = whereSql.map(org.apache.spark.sql.functions.expr)
     val clusterCols = if (zorderBy.isEmpty) t.clusteringColumns else Nil
+    // FULL binds to clustered maintenance only (delta-spark's contract):
+    // ZORDER BY and plain compaction are already whole-rewrite shapes
+    require(!full || (zorderBy.isEmpty && clusterCols.nonEmpty),
+      "OPTIMIZE ... FULL is only supported on clustered tables")
     val (op, v) =
       if (zorderBy.nonEmpty)
         (s"ZORDER BY (${zorderBy.mkString(", ")})",
@@ -39,9 +44,10 @@ case class OptimizeTableCommand(path: String, whereSql: Option[String],
       else if (clusterCols.nonEmpty)
         // a clustered table's bare OPTIMIZE is INCREMENTAL layout
         // maintenance on the stored keys (the liquid contract), not a
-        // small-file compaction that would destroy the clustering
-        (s"CLUSTER BY (${clusterCols.mkString(", ")})",
-          t.optimizeClustered(where = whereCol))
+        // small-file compaction that would destroy the clustering;
+        // FULL forces the complete re-cluster (final cubes included)
+        (s"CLUSTER BY (${clusterCols.mkString(", ")})${if (full) " FULL" else ""}",
+          t.optimizeClustered(where = whereCol, full = full))
       else ("COMPACT", t.compact(where = whereCol))
     Seq(Row(path, op, v))
   }
@@ -50,7 +56,9 @@ case class OptimizeTableCommand(path: String, whereSql: Option[String],
 /** `VACUUM` — DRY RUN returns one row per collectable file (and deletes
   * nothing); the real run returns the deleted count. */
 case class VacuumTableCommand(path: String, retainHours: Option[Long],
-                              dryRun: Boolean) extends LeafRunnableCommand {
+                              dryRun: Boolean,
+                              inventorySql: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (dryRun) CmdSchema.attrs("path" -> StringType)
     else CmdSchema.attrs("path" -> StringType, "deleted_files" -> LongType)
@@ -61,8 +69,34 @@ case class VacuumTableCommand(path: String, retainHours: Option[Long],
     // (or delta's 7-day standard), resolved by the Scala API
     val retentionMs = retainHours.map(_ * 3600L * 1000)
       .getOrElse(DeltaTable.TableDefaultRetention)
-    if (dryRun) t.vacuumDryRun(retentionMs).map(Row(_))
-    else Seq(Row(path, t.vacuum(retentionMs).toLong))
+    inventorySql match {
+      case Some(q) =>
+        // USING INVENTORY: candidates from the subquery (an object-store
+        // inventory table), distributed anti-join instead of any walk
+        val inv = spark.sql(q)
+        if (dryRun) t.vacuumInventoryDryRun(inv, retentionMs).map(Row(_))
+        else Seq(Row(path, t.vacuumUsingInventory(inv, retentionMs).toLong))
+      case None =>
+        if (dryRun) t.vacuumDryRun(retentionMs).map(Row(_))
+        else Seq(Row(path, t.vacuum(retentionMs).toLong))
+    }
+  }
+}
+
+/** `COPY INTO delta.`path` FROM '<src>' FILEFORMAT = PARQUET|JSON
+  * [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v', …)]` —
+  * [[DeltaTable.copyInto]] verbatim: idempotent per-source-file loading
+  * (each file's txn action rides its data commit). version = -1 when
+  * every matching file was already loaded. */
+case class CopyIntoCommand(path: String, source: String, format: String,
+                           pattern: Option[String],
+                           options: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs(
+    "path" -> StringType, "source" -> StringType, "version" -> LongType)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.forPath(spark, path)
+    Seq(Row(path, source, t.copyInto(source, format, pattern, options)))
   }
 }
 

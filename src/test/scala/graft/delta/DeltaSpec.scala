@@ -522,6 +522,113 @@ class DeltaSpec extends SparkSpec {
     assert(t.snapshot.files.map(_.path).toSet === live)
   }
 
+  test("COPY INTO loads each source file exactly once; re-runs and new files compose") {
+    val srcDir = tmpDir("delta-copysrc")
+    val df = (0L until 100L).map(i => (i, s"v$i", i % 4)).toDF("id", "v", "p")
+    df.filter(col("id") < 40L).coalesce(2).write.parquet(srcDir + "/batch1")
+    val dir = tmpDir("delta-copyinto")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema, Seq("p"))
+    // first load: everything in batch1
+    val v1 = t.copyInto(srcDir)
+    assert(v1 > 0L)
+    assert(t.toDF.count() === 40L)
+    // exact replay: nothing new, no commit
+    assert(t.copyInto(srcDir) === -1L)
+    assert(t.snapshot.version === v1)
+    // new files land next to the loaded ones: ONLY they load
+    df.filter(col("id") >= 40L).coalesce(3).write.parquet(srcDir + "/batch2")
+    assert(t.copyInto(srcDir) > v1)
+    assert(t.toDF.count() === 100L)
+    assert(t.toDF.orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+    assert(t.copyInto(srcDir) === -1L)
+    // PATTERN scopes the listing
+    val dir2 = tmpDir("delta-copyglob")
+    val t2 = DeltaTable.forPath(spark, dir2).create(df.schema, Seq("p"))
+    assert(t2.copyInto(srcDir, pattern = Some("batch1/**")) > 0L)
+    assert(t2.toDF.count() === 40L)
+    // extra source columns refuse loudly
+    val badSrc = tmpDir("delta-copybad")
+    df.withColumn("oops", lit(1)).write.parquet(badSrc + "/files")
+    val ex = intercept[IllegalArgumentException](t2.copyInto(badSrc + "/files"))
+    assert(ex.getMessage.contains("oops"))
+    // missing NULLABLE column null-fills; json format reads by name
+    val jsonSrc = tmpDir("delta-copyjson")
+    df.select("id", "p").filter(col("id") < 3L).coalesce(1).write.json(jsonSrc + "/files")
+    val dir3 = tmpDir("delta-copyj")
+    val t3 = DeltaTable.forPath(spark, dir3).create(df.schema)
+    assert(t3.copyInto(jsonSrc + "/files", format = "json") > 0L)
+    val rows = t3.toDF.orderBy("id").collect()
+    assert(rows.length === 3 && rows.forall(_.isNullAt(1)))
+    // SQL surface
+    val dir4 = tmpDir("delta-copysql")
+    DeltaTable.forPath(spark, dir4).create(df.schema, Seq("p"))
+    val out = spark.sql(
+      s"COPY INTO '$dir4' FROM '$srcDir' FILEFORMAT = PARQUET PATTERN = 'batch2/**'")
+    assert(out.head().getLong(2) > 0L)
+    assert(DeltaTable.forPath(spark, dir4).toDF.count() === 60L)
+    assert(spark.sql(
+      s"COPY INTO '$dir4' FROM '$srcDir' FILEFORMAT = PARQUET PATTERN = 'batch2/**'")
+      .head().getLong(2) === -1L)
+  }
+
+  test("vacuum USING INVENTORY: distributed anti-join matches the walk; never over-deletes") {
+    val dir = tmpDir("delta-vacuum-inv")
+    val df = (0L until 120L).map(i => (i, i % 3)).toDF("v", "p")
+    val t0 = DeltaTable.forPath(spark, dir).create(df.schema, Seq("p"))
+    t0.append(df)
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.delete(col("v") % 3L === 0L) > 0L) // every partition rewrites
+    val expected = t.vacuumDryRun(retentionMs = -1000L)
+    assert(expected.nonEmpty)
+    // fabricate the object-store inventory: a recursive listing with
+    // ABSOLUTE scheme-less paths (the S3-inventory shape)
+    def listing(base: java.io.File): Seq[(String, Long, Boolean, Long)] = {
+      val here = Option(base.listFiles).toSeq.flatten
+      here.map(f => (f.getAbsolutePath, f.length, f.isDirectory, f.lastModified)) ++
+        here.filter(_.isDirectory).flatMap(listing)
+    }
+    val invRows = listing(new java.io.File(dir))
+    val inv = invRows.toDF("path", "length", "isDir", "modificationTime")
+    assert(t.vacuumInventoryDryRun(inv, retentionMs = -1000L) === expected)
+    // within retention nothing qualifies; a STALE (partial) inventory
+    // only misses garbage, never invents candidates
+    assert(t.vacuumInventoryDryRun(inv).isEmpty)
+    val partial = inv.limit(invRows.size / 2)
+    val partialDry = t.vacuumInventoryDryRun(partial, retentionMs = -1000L)
+    assert(partialDry.toSet.subsetOf(expected.toSet))
+    // table-RELATIVE paths resolve identically
+    val rootLen = new java.io.File(dir).getAbsolutePath.length + 1
+    val relInv = invRows.map { case (p, l, d, m) => (p.substring(rootLen), l, d, m) }
+      .toDF("path", "length", "isDir", "modificationTime")
+    assert(t.vacuumInventoryDryRun(relInv, retentionMs = -1000L) === expected)
+    // a LIVE file smuggled into the inventory with an old timestamp must
+    // survive (the anti-join is against the current snapshot)
+    val liveRel = t.snapshot.files.head.path
+    val poisoned = Seq((liveRel, 1L, false, 0L))
+      .toDF("path", "length", "isDir", "modificationTime")
+    assert(t.vacuumInventoryDryRun(poisoned, retentionMs = -1000L).isEmpty)
+    // the real run deletes exactly the expected set; reads stay whole
+    assert(t.vacuumUsingInventory(inv, retentionMs = -1000L) === expected.size)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() === 80L)
+    assert(t.vacuumDryRun(retentionMs = -1000L).isEmpty)
+    // SQL surface: USING INVENTORY (subquery) + RETAIN + DRY RUN
+    val dir2 = tmpDir("delta-vacuum-invsql")
+    val u0 = DeltaTable.forPath(spark, dir2).create(df.schema)
+    u0.append(df.coalesce(1)); u0.append(df.coalesce(1))
+    val u = DeltaTable.forPath(spark, dir2)
+    u.compact(minBytes = Long.MaxValue)
+    listing(new java.io.File(dir2)).toDF("path", "length", "isDir", "modificationTime")
+      .createOrReplaceTempView("inv_view")
+    val dry = spark.sql(
+      s"VACUUM '$dir2' USING INVENTORY (SELECT * FROM inv_view) RETAIN 0 HOURS DRY RUN")
+    assert(dry.count() === 2L) // the two compacted-away files
+    val ran = spark.sql(
+      s"VACUUM '$dir2' USING INVENTORY (SELECT * FROM inv_view) RETAIN 0 HOURS")
+    assert(ran.head().getLong(1) === 2L)
+    assert(DeltaTable.forPath(spark, dir2).toDF.count() === 240L)
+  }
+
   test("vacuum's parallel listing walks a deep partition tree completely") {
     val dir = tmpDir("delta-vacuum-deep")
     // two partition levels -> a=0..3 / b=0..2 = 12 leaf directories

@@ -25,6 +25,52 @@ class MergeClausesSpec extends SparkSpec {
     t
   }
 
+  test("applyChanges: within-batch argmax, cross-batch staleness, sequenced deletes") {
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("seq", LongType),
+      StructField("v", StringType)))
+    val t = DeltaTable.forPath(spark, tmpDir("mc-applych")).create(sch)
+    // batch 1, deliberately disordered within keys:
+    //  k=1: seq 5 "new" beats seq 2 "old"; k=2: seq 3 then DELETED at 7;
+    //  k=3: insert at 4; k=4: a delete for an absent key (no-op);
+    //  k=5: same-seq tie — the delete wins
+    val b1 = Seq(
+      (1L, 2L, "old", "U"), (1L, 5L, "new", "U"),
+      (2L, 3L, "x", "U"), (2L, 7L, "x", "D"),
+      (3L, 4L, "three", "U"),
+      (4L, 9L, "gone", "D"),
+      (5L, 6L, "tie", "U"), (5L, 6L, "tie", "D")
+    ).toDF("k", "seq", "v", "op")
+    assert(t.applyChanges(b1, Seq("k"), "seq", Some("op = 'D'")) > 0L)
+    val s1 = t.toDF.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(s1.toSeq === Seq((1L, 5L, "new"), (3L, 4L, "three")),
+      s"got ${s1.toSeq}")
+    // batch 2: stale update for k=1 (seq 3 < stored 5) must NO-OP; stale
+    // delete for k=3 (seq 1 < 4) must no-op; fresh update k=3; new k=6
+    val b2 = Seq(
+      (1L, 3L, "stale", "U"),
+      (3L, 1L, "x", "D"), (3L, 8L, "three2", "U"),
+      (6L, 2L, "six", "U")
+    ).toDF("k", "seq", "v", "op")
+    assert(t.applyChanges(b2, Seq("k"), "seq", Some("op = 'D'")) > 0L)
+    val s2 = t.toDF.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(s2.toSeq === Seq((1L, 5L, "new"), (3L, 8L, "three2"), (6L, 2L, "six")),
+      s"got ${s2.toSeq}")
+    // the op marker never lands in the table; exactly-once via txn
+    assert(t.schema.fieldNames.toSeq === Seq("k", "seq", "v"))
+    assert(t.applyChanges(b2, Seq("k"), "seq", Some("op = 'D'"),
+      txnAppId = Some("cdc"), txnVersion = 1L) > 0L)
+    assert(t.applyChanges(b2, Seq("k"), "seq", Some("op = 'D'"),
+      txnAppId = Some("cdc"), txnVersion = 1L) === -1L)
+    // sequence column required on the table
+    val bare = DeltaTable.forPath(spark, tmpDir("mc-applych-bare")).create(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+    assertThrows[IllegalArgumentException](
+      bare.applyChanges(b2, Seq("k"), "seq", Some("op = 'D'")))
+  }
+
   test("CDC apply: op=D deletes, op=U updates, op=I inserts, one commit") {
     val t = target("mc-cdc")
     // source op column is NOT a table column — project it into clauses

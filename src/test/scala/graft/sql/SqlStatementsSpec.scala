@@ -60,6 +60,23 @@ class SqlStatementsSpec extends SparkSpec {
     // must be the quiet no-op, not a fresh table rewrite
     assert(spark.sql(s"OPTIMIZE '$dir'").collect().head.getLong(2) === -1L)
     assert(DeltaTable.forPath(spark, dir).toDF.count() === 400L)
+    // two more appends cluster into a SECOND final cube; incremental
+    // leaves the first untouched
+    (0 until 2).foreach(_ => t.append(df.coalesce(1)))
+    assert(spark.sql(s"OPTIMIZE '$dir'").collect().head.getLong(2) > 0L)
+    assert(spark.sql(s"OPTIMIZE '$dir'").collect().head.getLong(2) === -1L)
+    // FULL forces the complete re-cluster — final cubes included (the
+    // lever when incremental maintenance would correctly skip all):
+    // both cubes merge into one fresh layout
+    val full = spark.sql(s"OPTIMIZE '$dir' FULL").collect()
+    assert(full.head.getString(1).endsWith("FULL"), full.head.getString(1))
+    assert(full.head.getLong(2) > 0L)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() === 800L)
+    // and the rewrite re-finalizes: incremental is a no-op again
+    assert(spark.sql(s"OPTIMIZE '$dir'").collect().head.getLong(2) === -1L)
+    // FULL without clustering is a loud contract error
+    val plain = mkTable("sqlstmt-full-plain", files = 2)
+    intercept[Exception](spark.sql(s"OPTIMIZE '${plain.path}' FULL"))
   }
 
   test("VACUUM DRY RUN lists candidates and deletes nothing; VACUUM deletes") {
