@@ -279,6 +279,46 @@ case class GraftPathRules(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case GraftPathBare(p) =>
       readPlan(p, DeltaTable.forPath(spark, p).toDF)
+
+    // table_changes('<path>', start [, end]) — delta-spark's CDF
+    // table-valued function: the change feed as a RELATION, composable
+    // with any SELECT (filters, joins, aggregation over the
+    // _change_type/_commit_version columns). start/end accept version
+    // numbers or ISO timestamp strings (resolved through the same
+    // versionAt rule as time travel); end defaults to the latest
+    // version. Only claims path-shaped first arguments over an existing
+    // Delta log — anything else falls through to Spark's resolution.
+    case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+        if tvf.name.size == 1 &&
+          tvf.name.head.equalsIgnoreCase("table_changes") &&
+          tvf.functionArgs.size >= 2 && tvf.functionArgs.size <= 3 &&
+          (tvf.functionArgs.head match {
+            case Literal(s, org.apache.spark.sql.types.StringType) =>
+              val p = s.toString
+              (p.contains("/") || p.contains("\\")) &&
+                DeltaTable.forPath(spark, p).exists
+            case _ => false
+          }) =>
+      val p = tvf.functionArgs.head.asInstanceOf[Literal].value.toString
+      val t = DeltaTable.forPath(spark, p)
+      def bound(e: Expression, what: String): Long = e match {
+        case Literal(v, org.apache.spark.sql.types.IntegerType) =>
+          v.asInstanceOf[Int].toLong
+        case Literal(v, org.apache.spark.sql.types.LongType) =>
+          v.asInstanceOf[Long]
+        case Literal(s, org.apache.spark.sql.types.StringType) =>
+          val iso = s.toString.replace(" ", "T") +
+            (if (s.toString.contains("Z") || s.toString.contains("+")) "" else "Z")
+          t.log.versionAt(java.time.Instant.parse(iso).toEpochMilli)
+        case other => throw new IllegalArgumentException(
+          s"table_changes $what must be a version number or ISO timestamp " +
+            s"literal, got ${other.sql}")
+      }
+      val from = bound(tvf.functionArgs(1), "start")
+      val to =
+        if (tvf.functionArgs.size == 3) bound(tvf.functionArgs(2), "end")
+        else t.log.latestVersion()
+      readPlan(p, t.changes(from, to))
   }
 }
 

@@ -152,6 +152,37 @@ class SqlRelationSpec extends SparkSpec {
     assert(DeltaTable.forPath(spark, t.path).toDF.count() === 10L)
   }
 
+  test("table_changes TVF reads the change feed as a relation") {
+    val dir = tmpDir("sqlrel-tvf")
+    spark.sql(
+      s"""CREATE TABLE delta.`$dir` (k BIGINT, v STRING) USING delta
+         |TBLPROPERTIES ('${DeltaTable.CdfConfigKey}' = 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO delta.`$dir` VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"DELETE FROM delta.`$dir` WHERE k = 2")
+    spark.sql(s"UPDATE delta.`$dir` SET v = 'z' WHERE k = 3")
+    val t = DeltaTable.forPath(spark, dir)
+    val latest = t.snapshot.version
+    // the TVF relation equals the Scala API's frame, row for row
+    val api = t.changes(1, latest)
+      .select("k", "v", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet
+    val tvf = spark.sql(
+      s"""SELECT k, v, _change_type, _commit_version
+         |FROM table_changes('$dir', 1)""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    assert(tvf === api && tvf.nonEmpty)
+    // it composes: aggregate over change types, bounded range
+    val counts = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM table_changes('$dir', 1, 2) GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("insert" -> 3L, "delete" -> 1L))
+    // unknown TVFs stay Spark's business
+    assert(spark.sql("SELECT count(*) FROM range(5)").head().getLong(0) === 5L)
+    // non-literal / non-path first args fall through to Spark's error
+    intercept[Exception](spark.sql("SELECT * FROM table_changes(1, 2)").collect())
+  }
+
   test("non-path identifiers fall through to the catalog untouched") {
     // a temp view named like a 2-part identifier is not hijacked
     Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("plainview")
