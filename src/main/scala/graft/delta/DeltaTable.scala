@@ -2800,11 +2800,17 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val notStale = s"(t.$sequenceCol IS NULL OR s.$sequenceCol >= t.$sequenceCol)"
-    mergeClauses(latest, keyCols, Seq(
+    val clauses = Seq(
       WhenMatchedDelete(condition = Some(s"s.__is_delete AND $notStale")),
       WhenMatchedUpdate(condition = Some(s"NOT s.__is_delete AND $notStale")),
-      WhenNotMatchedInsert(condition = Some("NOT s.__is_delete"))),
-      txnAppId, txnVersion)
+      WhenNotMatchedInsert(condition = Some("NOT s.__is_delete")))
+    // DV tables apply merge-on-read: claimed rows mask by deletion
+    // vector, one new file of updates+inserts, ZERO rewrites — the
+    // 100 TB CDC-apply shape (the streaming upsert sink's rule)
+    if (dvEnabled)
+      mergeClausesWithDv(latest, keyCols, clauses, txnAppId, txnVersion)
+    else
+      mergeClauses(latest, keyCols, clauses, txnAppId, txnVersion)
   }
 
   def mergeClausesWithDv(source: DataFrame, keyCols: Seq[String],

@@ -572,6 +572,29 @@ class DeltaSpec extends SparkSpec {
       .head().getLong(2) === -1L)
   }
 
+  test("concurrent COPY INTO of one source never duplicates a file's rows") {
+    val srcDir = tmpDir("delta-copyrace-src")
+    val df = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.coalesce(4).write.parquet(srcDir + "/files")
+    val dir = tmpDir("delta-copyrace")
+    DeltaTable.forPath(spark, dir).create(df.schema)
+    // two loaders race on the same source: the per-file txn guard makes
+    // the overlap abort-and-retry, so every file lands EXACTLY once
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = (0 until 2).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            DeltaTable.forPath(spark, dir).copyInto(srcDir)
+        }))
+      fs.foreach(_.get()) // both complete (retry absorbs the race)
+    } finally pool.shutdown()
+    val t = DeltaTable.forPath(spark, dir)
+    assert(t.toDF.count() === 200L, "a lost race must not double-load")
+    assert(t.toDF.select("id").distinct().count() === 200L)
+    assert(t.copyInto(srcDir) === -1L)
+  }
+
   test("vacuum USING INVENTORY: distributed anti-join matches the walk; never over-deletes") {
     val dir = tmpDir("delta-vacuum-inv")
     val df = (0L until 120L).map(i => (i, i % 3)).toDF("v", "p")

@@ -71,6 +71,31 @@ class MergeClausesSpec extends SparkSpec {
       bare.applyChanges(b2, Seq("k"), "seq", Some("op = 'D'")))
   }
 
+  test("applyChanges on a DV table is merge-on-read: zero rewrites, same state") {
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("seq", LongType),
+      StructField("v", StringType)))
+    val t = DeltaTable.forPath(spark, tmpDir("mc-applych-dv")).create(sch,
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    t.append((0L until 20L).map(i => (i, 0L, s"v$i")).toDF("k", "seq", "v"))
+    val before = t.snapshot.files.map(_.path).toSet
+    val feed = Seq(
+      (3L, 5L, "upd", "U"), (7L, 5L, "x", "D"), (100L, 5L, "new", "U")
+    ).toDF("k", "seq", "v", "op")
+    assert(t.applyChanges(feed, Seq("k"), "seq", Some("op = 'D'")) > 0L)
+    val after = t.snapshot.files
+    // original files all survive (masked by DV where claimed) + one new
+    assert(before.subsetOf(after.map(_.path).toSet),
+      "merge-on-read must not rewrite claimed files")
+    assert(after.exists(_.deletionVector.isDefined))
+    val rows = t.toDF.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 20) // 20 - deleted 7 + inserted 100
+    assert(rows.find(_._1 == 3L).get === ((3L, 5L, "upd")))
+    assert(!rows.exists(_._1 == 7L))
+    assert(rows.find(_._1 == 100L).get === ((100L, 5L, "new")))
+  }
+
   test("CDC apply: op=D deletes, op=U updates, op=I inserts, one commit") {
     val t = target("mc-cdc")
     // source op column is NOT a table column — project it into clauses
