@@ -512,6 +512,40 @@ object MultimodalQueries extends QueryModule {
              |  CAST(9 + doc_id % 13 AS BIGINT) AS height
              |FROM documents WHERE doc_id < 200 ORDER BY asset_id""".stripMargin)),
 
+    // JPEG header metadata WITHOUT decode — the pngDims twin for the
+    // variable-layout format: REAL ImageIO-encoded JPEGs (JFIF APP0 +
+    // quantization/huffman tables precede the frame header, so the
+    // kernel's segment walk is genuinely exercised), dims from a
+    // closed-form doc_id formula the oracle recomputes. A mis-skipped
+    // segment or off-by-one in the SOF offsets shifts every dimension.
+    "mm_jpeg_meta" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 16 + (id % 21).toInt
+            val h = 9 + (id % 13).toInt
+            val bi = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = bi.createGraphics()
+            g.setColor(new java.awt.Color(((id * 37) % 256).toInt, 0, 0))
+            g.fillRect(0, 0, w, h)
+            g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "jpg", baos)
+            (id, baos.toByteArray)
+          }).toDF("asset_id", "bytes")
+        val (wCol, hCol) = graft.functions.JpegDims.dims(col("bytes"))
+        media.select(col("asset_id"), wCol.as("width"), hCol.as("height"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CAST(16 + doc_id % 21 AS BIGINT) AS width,
+             |  CAST(9 + doc_id % 13 AS BIGINT) AS height
+             |FROM documents WHERE doc_id < 200 ORDER BY asset_id""".stripMargin)),
+
     // Scene-cut detection composed onto the REAL MJPEG decode path:
     // 4–6-frame MJPEG AVIs whose color holds for two frames then jumps
     // (bucket-centered solid colors survive the lossy round-trip into

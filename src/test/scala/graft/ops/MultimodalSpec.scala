@@ -550,6 +550,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).isNullAt(1) && got(1).isNullAt(2))
   }
 
+  test("JpegDims walks real/progressive headers; garbage and truncation yield NULL") {
+    val bi = new java.awt.image.BufferedImage(41, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", baos)
+    val real = baos.toByteArray
+    // handcrafted PROGRESSIVE frame header (SOF2, h=32 w=64) — ImageIO
+    // only writes baseline, and the exclusion set (C4/C8/CC skipped,
+    // C2 accepted) is exactly what a wrong marker test misses
+    val sof2 = Array(0xFF, 0xD8, 0xFF, 0xC2, 0x00, 0x0B, 0x08,
+      0x00, 0x20, 0x00, 0x40, 0x01, 0x11, 0x00).map(_.toByte)
+    // a DHT (C4) before SOF must be SKIPPED, not read as a frame header
+    val dhtFirst = Array(0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x04, 0x01, 0x02,
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x07, 0x00, 0x09, 0x01, 0x11, 0x00)
+      .map(_.toByte)
+    val pngBaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", pngBaos)
+    val rows = Seq(
+      (1L, real), (2L, sof2), (3L, dhtFirst),
+      (4L, pngBaos.toByteArray),                    // wrong magic
+      (5L, real.take(6)),                           // truncated
+      (6L, Array(0xFF, 0xD8, 0xFF, 0xDA).map(_.toByte)) // SOS before SOF
+    ).toDF("asset_id", "bytes")
+    val (w, h) = graft.functions.JpegDims.dims(col("bytes"))
+    val got = rows.select(col("asset_id"), w.as("w"), h.as("h"))
+      .orderBy("asset_id").collect()
+    assert(got(0).getLong(1) === 41L && got(0).getLong(2) === 23L)
+    assert(got(1).getLong(1) === 64L && got(1).getLong(2) === 32L)
+    assert(got(2).getLong(1) === 9L && got(2).getLong(2) === 7L)
+    assert((3 to 5).forall(i => got(i).isNullAt(1) && got(i).isNullAt(2)),
+      got.mkString(","))
+  }
+
   test("sceneCuts: lag distance per asset; first frame dropped; threshold gates") {
     val stats = Seq(
       // asset 1: colors hold, jump at f=2, hold again
