@@ -5065,7 +5065,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * (exact lexicographic order on ASCII prefixes, a locality proxy
     * beyond); dates/timestamps through their epoch integers (µs fits
     * doubles exactly below 2^53). */
-  private def curveOrdinal(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+  private[delta] def curveOrdinal(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{ascii, coalesce, least, substring, unix_date, unix_micros}
     import org.apache.spark.sql.types._
     f.dataType match {

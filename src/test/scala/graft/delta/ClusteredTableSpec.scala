@@ -137,6 +137,46 @@ class ClusteredTableSpec extends SparkSpec {
     assert(after.toDF.filter(col("s") === keys.head).count() === 128L)
   }
 
+  test("string curve ordinal equals its reference form under BMP fuzz (order-exact)") {
+    // the kernel's contract: sum of the first three codepoints, each
+    // clamped to 2^17-1, at weights 2^34/2^17/2^0 — exact in a double
+    // and monotone w.r.t. string order for BMP text (clamping is
+    // monotone). Pin the Spark expression to an independent Scala
+    // reference over adversarial mixed-script strings.
+    def expected(s: String): Double = {
+      val cps = s.codePoints().toArray.take(3)
+      (0 until 3).map { i =>
+        val cp = if (i < cps.length) math.min(cps(i), 131071) else 0
+        cp.toDouble * math.pow(2.0, 17 * (2 - i))
+      }.sum
+    }
+    val rnd = new scala.util.Random(42)
+    def randChar(): Char = rnd.nextInt(4) match {
+      case 0 => (32 + rnd.nextInt(95)).toChar
+      case 1 => (0xA0 + rnd.nextInt(0x60)).toChar
+      case 2 => (0x4E00 + rnd.nextInt(0x100)).toChar
+      case _ =>
+        var c = rnd.nextInt(0xFFFF)
+        while (c >= 0xD800 && c <= 0xDFFF) c = rnd.nextInt(0xFFFF)
+        c.toChar
+    }
+    val strs = ((0 until 2000).map(_ =>
+      (0 until rnd.nextInt(7)).map(_ => randChar()).mkString) ++
+      Seq("", "a", "a中", "b~", "中", "😀ab", "zz￿")).distinct
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val t = DeltaTable.forPath(spark, tmpDir("clus-ordfuzz")).create(
+      StructType(Seq(StructField("s", StringType))))
+    val ord = t.curveOrdinal(StructField("s", StringType))
+    val got = strs.toDF("s").select(col("s"), ord.as("o")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    strs.filterNot(_.exists(Character.isHighSurrogate)).foreach { s =>
+      assert(got(s) === expected(s), s"ordinal mismatch for '$s'")
+    }
+    // astral codepoints (surrogate pairs) still clamp monotonically:
+    // every astral first-codepoint string sits at/above the BMP ceiling
+    assert(got("😀ab") >= expected("￿"))
+  }
+
   test("DATE clustering columns: stats-derived bounds parse this engine's epoch-day stats") {
     val dir = tmpDir("clus-date")
     val rows = (0 until 1024).map { i =>

@@ -583,6 +583,34 @@ class MultimodalSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("JpegDims never throws under byte fuzz; mutations of a real JPEG stay sane") {
+    val bi = new java.awt.image.BufferedImage(17, 11,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", baos)
+    val real = baos.toByteArray
+    val rnd = new scala.util.Random(7)
+    // pure random bytes: any answer is fine, throwing is not
+    (0 until 5000).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      graft.functions.JpegDims.packedDims(b): Unit
+    }
+    // single-byte mutations of a real JPEG: parse or refuse, never throw
+    (0 until 2000).foreach { _ =>
+      val b = real.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      graft.functions.JpegDims.packedDims(b): Unit
+    }
+    // every truncation point of a real JPEG: never throws, and once the
+    // SOF header is fully present the answer is stable
+    val full = graft.functions.JpegDims.packedDims(real)
+    assert(full === ((17L << 24) | 11L))
+    (0 until real.length).foreach { n =>
+      val v = graft.functions.JpegDims.packedDims(real.take(n))
+      assert(v == -1L || v == full, s"truncation at $n gave $v")
+    }
+  }
+
   test("sceneCuts: lag distance per asset; first frame dropped; threshold gates") {
     val stats = Seq(
       // asset 1: colors hold, jump at f=2, hold again
