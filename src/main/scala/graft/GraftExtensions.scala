@@ -166,6 +166,13 @@ object GraftExtensions {
       ops.UrlOps.normalizeUrl(cols(0)._1)
     }
 
+    registerCols(ext, "graft_nfc",
+      "graft_nfc(text) - Unicode NFC canonical composition (the " +
+        "normalize-before-hash dedup step); ASCII passes through untouched") { cols =>
+      checkArity("graft_nfc", cols, 1)
+      functions.NfcNormalize.of(cols(0)._1)
+    }
+
     registerCols(ext, "graft_url_host",
       "graft_url_host(url) - the canonical host (lowercased, www/userinfo/port stripped)") { cols =>
       checkArity("graft_url_host", cols, 1)

@@ -749,6 +749,37 @@ object TextQueries extends QueryModule {
               |GROUP BY a.id, b.id HAVING count(*) >= 2
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Unicode-normalized dedup (round 15): "café" with precomposed é and
+    // with e + combining acute are byte-different — digests and shingle
+    // hashes miss the duplicate unless text canonically composes first.
+    // Both engines build BOTH variants of each doc (decomposed a+U+0300
+    // vs precomposed U+00E0), NFC-normalize, and md5-group: every pair
+    // must collapse to one group of two. Cross-engine NFC equality is
+    // itself under test (JDK Normalizer vs DuckDB's utf8proc).
+    "text_nfc_dedup" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+        val decomposed = docs.select((col("doc_id") * 2).as("id"),
+          regexp_replace(col("text"), "a", "a\u0300").as("t"))
+        val composed = docs.select((col("doc_id") * 2 + 1).as("id"),
+          regexp_replace(col("text"), "a", "\u00E0").as("t"))
+        decomposed.unionByName(composed)
+          .select(col("id"), md5(graft.functions.NfcNormalize.of(col("t"))).as("h"))
+          .groupBy(col("h"))
+          .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""WITH variants AS (
+             |  SELECT doc_id * 2 AS id,
+             |    replace(text, 'a', 'a' || chr(768)) AS t
+             |  FROM documents WHERE doc_id < 100
+             |  UNION ALL
+             |  SELECT doc_id * 2 + 1 AS id, replace(text, 'a', chr(224)) AS t
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT md5(nfc_normalize(t)) AS h, min(id) AS keep_id,
+             |  count(*) AS n_copies
+             |FROM variants GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)

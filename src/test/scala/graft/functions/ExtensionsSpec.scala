@@ -116,6 +116,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_nfc: SQL surface ≡ Column API; composes into exact dedup digests") {
+    docs
+    // Spark's chr() is ASCII-only — embed the decomposed codepoints
+    // (e + combining acute) directly in the statement text
+    val eAcuteDecomposed = new String(Array(0x65, 0x301), 0, 2)
+    val viaSql = spark.sql(
+      s"SELECT doc_id, md5(graft_nfc(concat(text, '$eAcuteDecomposed'))) AS h FROM ext_docs")
+    val viaApi = docs.select(col("doc_id"),
+      md5(NfcNormalize.of(concat(col("text"),
+        lit(new String(Array(0x65, 0x301), 0, 2))))).as("h"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    // and the digests equal the precomposed form's — the dedup point
+    val pre = docs.select(col("doc_id"),
+      md5(concat(col("text"), lit(new String(Array(0xE9), 0, 1)))).as("h"))
+    assert(viaApi.exceptAll(pre).isEmpty)
+  }
+
   test("url + script functions: SQL surface ≡ Column API") {
     docs
     val viaSql = spark.sql(

@@ -10,6 +10,36 @@ class KernelPropertySpec extends AnyFunSuite {
 
   private def rng = new scala.util.Random(42)
 
+  test("NFC kernel: idempotent, ASCII-identity (same object), agrees with Normalizer") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = rng
+    // ASCII fast path returns the INPUT object — zero allocation
+    val ascii = UTF8String.fromString("plain ascii only 123")
+    assert(NfcNormalize.normalized(ascii) eq ascii)
+    assert(NfcNormalize.normalized(null) === null)
+    // known composition, built from CODEPOINTS (source literals can be
+    // silently normalized by editors): e+acute -> U+00E9, a+grave -> U+00E0
+    val dec = new String(Array(0x63, 0x61, 0x66, 0x65, 0x301, 0x20, 0x61, 0x300), 0, 8)
+    val comp = new String(Array(0x63, 0x61, 0x66, 0xE9, 0x20, 0xE0), 0, 6)
+    assert(NfcNormalize.normalized(UTF8String.fromString(dec)).toString === comp)
+    for (_ <- 1 to 500) {
+      val sb = new StringBuilder
+      for (_ <- 0 until r.nextInt(12)) r.nextInt(5) match {
+        case 0 => sb.append(('a' + r.nextInt(26)).toChar)
+        case 1 => sb.append("é") // decomposed é
+        case 2 => sb.append('\u00E9') // precomposed
+        case 3 => sb.append(('\u0300' + r.nextInt(16)).toChar) // bare combining
+        case _ => sb.append(('\u4E00' + r.nextInt(64)).toChar) // CJK (NFC-stable)
+      }
+      val s = sb.toString
+      val once = NfcNormalize.normalized(UTF8String.fromString(s)).toString
+      val twice = NfcNormalize.normalized(UTF8String.fromString(once)).toString
+      assert(once === twice, s"not idempotent on '$s'")
+      assert(once === java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC), s"disagrees with Normalizer on '$s'")
+    }
+  }
+
   test("BPE: pieces always concatenate back to word + EOW, under any trained merges") {
     val r = rng
     for (_ <- 1 to 200) {
