@@ -572,6 +572,41 @@ class DeltaSpec extends SparkSpec {
       .head().getLong(2) === -1L)
   }
 
+  test("delta.parquet.compression.codec drives staged writes; OPTIMIZE transcodes") {
+    def codecsOf(t: DeltaTable): Set[String] = t.snapshot.files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(t.path, f.path), spark.sessionState.newHadoopConf()))
+      try r.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.name().toLowerCase
+      finally r.close()
+    }.toSet
+    val dir = tmpDir("delta-codec")
+    val df = (0L until 500L).map(i => (i, s"text value $i")).toDF("id", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema,
+      configuration = Map(DeltaTable.ParquetCodecKey -> "zstd"))
+    t.append(df.coalesce(1))
+    assert(codecsOf(t) === Set("zstd"))
+    assert(t.toDF.count() === 500L)
+    // default tables stay snappy; flipping the property transcodes via
+    // OPTIMIZE (the whole-table recompress lever)
+    val dir2 = tmpDir("delta-codec2")
+    val t2 = DeltaTable.forPath(spark, dir2).create(df.schema)
+    t2.append(df.filter(col("id") < 250L).coalesce(1))
+    t2.append(df.filter(col("id") >= 250L).coalesce(1))
+    assert(codecsOf(t2) === Set("snappy"))
+    t2.setProperties(Map(DeltaTable.ParquetCodecKey -> "zstd"))
+    assert(t2.compact(minBytes = Long.MaxValue) > 0L)
+    assert(codecsOf(DeltaTable.forPath(spark, dir2)) === Set("zstd"))
+    assert(DeltaTable.forPath(spark, dir2).toDF.count() === 500L)
+    // unknown codec refuses at SET time and at CREATE
+    assertThrows[IllegalArgumentException](
+      t2.setProperties(Map(DeltaTable.ParquetCodecKey -> "brotli9000")))
+    assertThrows[IllegalArgumentException](
+      DeltaTable.forPath(spark, tmpDir("delta-codec3")).create(df.schema,
+        configuration = Map(DeltaTable.ParquetCodecKey -> "nope"))
+        .append(df.coalesce(1)))
+  }
+
   test("concurrent COPY INTO of one source never duplicates a file's rows") {
     val srcDir = tmpDir("delta-copyrace-src")
     val df = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v")
