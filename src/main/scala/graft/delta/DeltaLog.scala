@@ -503,6 +503,20 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
   private def compactedFile(from: Long, to: Long): Path =
     new Path(logPath, f"$from%020d.$to%020d.compacted.json")
 
+  /** Versions whose plain commit JSON still survives on disk, sorted —
+    * the tombstone horizon VACUUM LITE can see (metadata cleanup ages
+    * history out below the newest checkpoint). One listing, no reads. */
+  private[delta] def survivingCommitVersions(): Seq[Long] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".json") && !n.contains("checkpoint") && !n.contains("compacted"))
+        try Some(n.stripSuffix(".json").toLong)
+        catch { case _: NumberFormatException => None }
+      else None
+    }.toSeq.sorted
+  }
+
   /** All log-compaction files on disk as (from, to) spans, sorted. */
   private[delta] def compactedSpans(): Seq[(Long, Long)] = {
     if (!fs.exists(logPath)) return Nil

@@ -4896,6 +4896,66 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .as[String].collect().toSeq
   }
 
+  /** VACUUM LITE (delta-spark 3.2's mode): collect garbage from the LOG
+    * alone — the remove-action tombstones in the surviving commit JSONs
+    * — with ZERO filesystem listing. The trade is explicit: only files
+    * the retained log still names can collect (metadata cleanup ages
+    * tombstones out with their commit JSONs), so LITE is the cheap
+    * steady-state sweep — "yesterday's rewrites" after each OPTIMIZE or
+    * DML wave — while orphans from crashed writes or pre-cleanup history
+    * need the listing walk ([[vacuum]]) or an inventory
+    * ([[vacuumUsingInventory]]). Retention semantics match: a tombstone
+    * collects when its deletionTimestamp is past the cutoff AND the path
+    * is not LIVE in the current snapshot — RESTORE re-adds previously
+    * removed paths, and the live-set anti-check is what keeps LITE safe
+    * around it. A removed file's file-backed deletion vector collects
+    * with it (unless still referenced by a live add). Absolute
+    * (cross-table) tombstones — a shallow clone's log names its SOURCE's
+    * files — are never touched. Cost: one `_delta_log` listing + one
+    * bounded-pool read per surviving commit JSON (driver metadata, ∝
+    * retained history, never data). */
+  def vacuumLite(retentionMs: Long = DeltaTable.TableDefaultRetention): Int = {
+    val candidates = liteCandidates(resolvedRetention(retentionMs))
+    if (candidates.isEmpty) return 0
+    // deletes are idempotent: a tombstone named twice across commits or
+    // already-collected bytes count zero
+    DeltaTable.parMap(candidates)(p =>
+      if (fs.delete(new Path(path, p), false)) 1 else 0).sum
+  }
+
+  /** The table-relative paths a LITE vacuum at this retention would
+    * delete, sorted. Tombstones stay in the log after their bytes
+    * collect, so the dry run existence-probes its candidates (bounded
+    * pool, one RPC each — cost ∝ tombstones, still zero listing). */
+  def vacuumLiteDryRun(
+      retentionMs: Long = DeltaTable.TableDefaultRetention): Seq[String] =
+    DeltaTable.parMap(liteCandidates(resolvedRetention(retentionMs)))(p =>
+      p -> fs.exists(new Path(path, p)))
+      .collect { case (p, true) => p }.sorted
+
+  private def liteCandidates(retentionMs: Long): Seq[String] = {
+    val snap = snapshot
+    require(snap.version >= 0, s"no table at $path")
+    val live = snap.files.map(_.path).toSet
+    val liveDv = snap.files.flatMap(_.deletionVector).filter(_.storageType == "u")
+      .map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv)).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val versions = log.survivingCommitVersions()
+    val tombstones: Seq[(String, Option[String])] =
+      DeltaTable.parMap(versions)(v =>
+        try log.readVersion(v) catch {
+          case _: java.io.FileNotFoundException => Nil // raced cleanup
+        })
+        .flatten.flatMap(_.remove)
+        .filter(r => r.deletionTimestamp.forall(_ < cutoff))
+        .map(r => (r.path,
+          r.deletionVector.filter(_.storageType == "u")
+            .map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv))))
+    (tombstones.map(_._1) ++ tombstones.flatMap(_._2)).distinct
+      .filterNot(p => new Path(p).isAbsolute || p.contains(":/"))
+      .filterNot(p => live.contains(p) || liveDv.contains(p))
+  }
+
   private def vacuumImpl(retentionMs: Long, dryRun: Boolean,
                          onCandidate: String => Unit = _ => ()): Int = {
     val snap = snapshot

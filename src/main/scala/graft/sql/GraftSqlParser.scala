@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   * OPTIMIZE '<path>' [FULL] [WHERE <partition predicate>] [ZORDER BY (c1, ..., cn)]
-  * VACUUM '<path>' [USING INVENTORY (<subquery>)] [RETAIN <n> HOURS] [DRY RUN]
+  * VACUUM '<path>' [USING INVENTORY (<subquery>) | LITE] [RETAIN <n> HOURS] [DRY RUN]
   * COPY INTO '<path>' FROM '<src>' FILEFORMAT = PARQUET|JSON [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)]
   * DESCRIBE DETAIL '<path>'
   * DESCRIBE HISTORY '<path>' [LIMIT <n>]
@@ -90,7 +90,7 @@ object GraftSqlParser {
   // (the subquery is the only paren group in the clause; RETAIN/DRY RUN
   // follow it) — delta-spark's inventory-vacuum syntax
   private val VacuumRx = pat(
-    s"""\\s*VACUUM\\s+$Tbl(?:\\s+USING\\s+INVENTORY\\s*\\((.+)\\))?(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
+    s"""\\s*VACUUM\\s+$Tbl(?:\\s+USING\\s+INVENTORY\\s*\\((.+)\\))?(\\s+LITE)?(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""")
   private val DetailRx = pat(s"""\\s*(?:DESCRIBE|DESC)\\s+DETAIL\\s+$Tbl\\s*;?\\s*""")
   private val HistoryRx = pat(
     s"""\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Tbl(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""")
@@ -151,9 +151,13 @@ object GraftSqlParser {
     if (vac.matches()) {
       val inventorySql = Option(vac.group(3)).map(_.trim).filter(_.nonEmpty)
       inventorySql.foreach(delegate.parsePlan) // typos fail at parse time
-      val hours = Option(vac.group(4)).map(_.toLong)
+      val lite = vac.group(4) != null
+      require(!(lite && inventorySql.isDefined),
+        "VACUUM LITE needs no inventory — it reads only the delta log")
+      val hours = Option(vac.group(5)).map(_.toLong)
       return Some(VacuumTableCommand(tblOf(vac), hours,
-        dryRun = vac.group(5) != null, inventorySql = inventorySql))
+        dryRun = vac.group(6) != null, inventorySql = inventorySql,
+        lite = lite))
     }
     val det = DetailRx.matcher(sqlText)
     if (det.matches()) return Some(DescribeDetailCommand(tblOf(det)))

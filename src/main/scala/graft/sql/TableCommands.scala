@@ -57,7 +57,8 @@ case class OptimizeTableCommand(path: String, whereSql: Option[String],
   * nothing); the real run returns the deleted count. */
 case class VacuumTableCommand(path: String, retainHours: Option[Long],
                               dryRun: Boolean,
-                              inventorySql: Option[String] = None)
+                              inventorySql: Option[String] = None,
+                              lite: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     if (dryRun) CmdSchema.attrs("path" -> StringType)
@@ -69,7 +70,11 @@ case class VacuumTableCommand(path: String, retainHours: Option[Long],
     // (or delta's 7-day standard), resolved by the Scala API
     val retentionMs = retainHours.map(_ * 3600L * 1000)
       .getOrElse(DeltaTable.TableDefaultRetention)
-    inventorySql match {
+    if (lite) {
+      // LITE: tombstones from the retained log only, zero listing
+      if (dryRun) t.vacuumLiteDryRun(retentionMs).map(Row(_))
+      else Seq(Row(path, t.vacuumLite(retentionMs).toLong))
+    } else inventorySql match {
       case Some(q) =>
         // USING INVENTORY: candidates from the subquery (an object-store
         // inventory table), distributed anti-join instead of any walk

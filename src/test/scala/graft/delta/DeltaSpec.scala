@@ -572,6 +572,55 @@ class DeltaSpec extends SparkSpec {
       .head().getLong(2) === -1L)
   }
 
+  test("VACUUM LITE collects log tombstones without listing; RESTORE-safe; misses orphans") {
+    val dir = tmpDir("delta-vaclite")
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val t = DeltaTable.forPath(spark, dir).create(df.schema)
+    t.append(df.filter(col("id") < 50L).coalesce(1))   // v1
+    t.append(df.filter(col("id") >= 50L).coalesce(1))  // v2
+    val vBefore = t.snapshot.version
+    t.compact(minBytes = Long.MaxValue)                // v3: tombstones v1+v2 files
+    // LITE sees exactly what the full walk sees for rewrite debt
+    val walk = t.vacuumDryRun(retentionMs = -1000L)
+    assert(t.vacuumLiteDryRun(retentionMs = -1000L) === walk && walk.size === 2)
+    // within retention: nothing collects
+    assert(t.vacuumLiteDryRun().isEmpty)
+    // RESTORE re-adds tombstoned paths: the live-set anti-check must
+    // protect them even though removes still name them in the log —
+    // the only candidate left is the compact OUTPUT the restore removed
+    assert(t.restoreTo(vBefore) > 0L)
+    val afterRestore = t.vacuumLiteDryRun(retentionMs = -1000L)
+    val live = t.snapshot.files.map(_.path).toSet
+    assert(afterRestore.size === 1 && !afterRestore.exists(live),
+      s"restored files must never be LITE candidates: $afterRestore")
+    assert(afterRestore === t.vacuumDryRun(retentionMs = -1000L))
+    assert(t.toDF.count() === 100L)
+    // re-compact and really collect; reads stay whole
+    t.compact(minBytes = Long.MaxValue)
+    val n = t.vacuumLite(retentionMs = -1000L)
+    assert(n >= 2)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() === 100L)
+    assert(t.vacuumLite(retentionMs = -1000L) === 0) // idempotent
+    // the documented trade: an ORPHAN (crashed write, never committed)
+    // is invisible to LITE but found by the walk
+    val orphan = new Path(dir, "part-orphan.parquet")
+    val fs = orphan.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(orphan); out.write(1); out.close()
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, "part-orphan.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1L))
+    assert(t.vacuumLiteDryRun(retentionMs = -1000L).isEmpty)
+    assert(t.vacuumDryRun(retentionMs = -1000L) === Seq("part-orphan.parquet"))
+    // SQL surface: LITE + DRY RUN; LITE + INVENTORY refuses
+    t.append(df.coalesce(1)); t.compact(minBytes = Long.MaxValue)
+    val dry = spark.sql(s"VACUUM '$dir' LITE RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry.nonEmpty)
+    val ran = spark.sql(s"VACUUM '$dir' LITE RETAIN 0 HOURS").collect()
+    assert(ran.head.getLong(1) >= dry.length.toLong)
+    intercept[Exception](spark.sql(
+      s"VACUUM '$dir' USING INVENTORY (SELECT 1) LITE RETAIN 0 HOURS"))
+  }
+
   test("delta.parquet.compression.codec drives staged writes; OPTIMIZE transcodes") {
     def codecsOf(t: DeltaTable): Set[String] = t.snapshot.files.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
