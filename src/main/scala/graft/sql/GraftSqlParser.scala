@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * DESCRIBE HISTORY '<path>' [LIMIT <n>]
   * RESTORE [TABLE] '<path>' TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
   * CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY (c1 [type], ...)]
-  * CREATE TABLE '<dst>' SHALLOW|DEEP CLONE '<src>' [VERSION AS OF <n>]
+  * CREATE TABLE '<dst>' SHALLOW|DEEP CLONE '<src>' [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   * REORG TABLE '<path>' APPLY (PURGE)
   * FSCK REPAIR TABLE '<path>' [DRY RUN]
   * GENERATE symlink_format_manifest FOR TABLE '<path>'
@@ -102,7 +102,7 @@ object GraftSqlParser {
   private val ConvertRx = pat(
     s"""\\s*CONVERT\\s+TO\\s+DELTA\\s+$ConvTbl(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
   private val CloneRx = pat(
-    s"""\\s*CREATE\\s+TABLE\\s+$Tbl\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""")
+    s"""\\s*CREATE\\s+TABLE\\s+$Tbl\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*;?\\s*""")
   private val ReorgRx = pat(
     s"""\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""")
   private val FsckRx = pat(
@@ -175,7 +175,8 @@ object GraftSqlParser {
         target = Option(cln.group(1)).getOrElse(cln.group(2)),
         source = Option(cln.group(4)).getOrElse(cln.group(5)),
         version = Option(cln.group(6)).map(_.toLong),
-        deep = cln.group(3).equalsIgnoreCase("DEEP")))
+        deep = cln.group(3).equalsIgnoreCase("DEEP"),
+        timestamp = Option(cln.group(7))))
     val conv = ConvertRx.matcher(sqlText)
     if (conv.matches()) {
       // Delta proper's PARTITIONED BY takes `name type` pairs; the type

@@ -229,14 +229,23 @@ case class DeltaCreateTableAsSelectCommand(path: String,
   * optionally as of a historic version. */
 case class CloneTableCommand(target: String, source: String,
                              version: Option[Long],
-                             deep: Boolean) extends LeafRunnableCommand {
+                             deep: Boolean,
+                             timestamp: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = CmdSchema.attrs(
     "target" -> StringType, "source" -> StringType, "source_version" -> LongType)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = DeltaTable.forPath(spark, source)
-    val v = version.getOrElse(src.log.latestVersion())
-    if (deep) src.deepCloneTo(target, version.getOrElse(-1L))
-    else src.shallowCloneTo(target, version.getOrElse(-1L))
+    // TIMESTAMP AS OF resolves through the same versionAt rule as time
+    // travel (latest version committed at or before the instant)
+    val resolved = timestamp.map { ts =>
+      val iso = ts.replace(" ", "T") +
+        (if (ts.contains("Z") || ts.contains("+")) "" else "Z")
+      src.log.versionAt(java.time.Instant.parse(iso).toEpochMilli)
+    }.orElse(version)
+    val v = resolved.getOrElse(src.log.latestVersion())
+    if (deep) src.deepCloneTo(target, resolved.getOrElse(-1L))
+    else src.shallowCloneTo(target, resolved.getOrElse(-1L))
     Seq(Row(target, source, v))
   }
 }

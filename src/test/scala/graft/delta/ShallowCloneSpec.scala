@@ -140,6 +140,13 @@ class ShallowCloneSpec extends SparkSpec {
     val dst2 = tmpDir("dclone-sql") + "/t"
     spark.sql(s"CREATE TABLE delta.`$dst2` DEEP CLONE delta.`${src.path}` VERSION AS OF 1")
     assert(DeltaTable.forPath(spark, dst2).toDF.count() === 3000L)
+    // TIMESTAMP AS OF resolves through the same versionAt rule as time
+    // travel: an instant far in the future pins the latest version
+    val dst3 = tmpDir("dclone-sqlts") + "/t"
+    val future = java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 3600000L)
+    spark.sql(s"CREATE TABLE delta.`$dst3` SHALLOW CLONE delta.`${src.path}` " +
+      s"TIMESTAMP AS OF '$future'")
+    assert(DeltaTable.forPath(spark, dst3).toDF.count() === src.toDF.count())
     // independence: vacuum + DML on the source never reach the clone
     assert(src.delete(col("id") < 1000L) > 0L)
     src.vacuum(retentionMs = 0L)
