@@ -3,7 +3,7 @@ package graft.delta
 import scala.collection.mutable
 import scala.util.chaining._
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, count, input_file_name, lit, struct, to_json, when}
 import org.apache.spark.sql.types.StructType
@@ -146,6 +146,115 @@ object DeltaTable {
       override def call(): B = f(a)
     })).map(_.get())
     finally pool.shutdown()
+  }
+
+  /** Level-parallel BFS directory walk on the bounded pool: each level
+    * lists all its directories concurrently (one listStatus round-trip
+    * per dir), files stream to `onFile` on the caller's thread between
+    * levels. A serial recursive walk turns a million-file tree into a
+    * multi-hour driver metadata crawl — this is the ONE walk shape
+    * (vacuum's candidate listing and COPY INTO's source listing both
+    * ride it; they hand-rolled separate walks before round 16). */
+  private[delta] def parallelWalk(fs: FileSystem, root: Path,
+                                  skipDir: Path => Boolean)
+                                 (onFile: FileStatus => Unit): Unit = {
+    var level: Seq[Path] = Seq(root).filterNot(skipDir)
+    while (level.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Path]
+      parMap(level)(d => fs.listStatus(d)).flatten.foreach { st =>
+        if (st.isDirectory) { if (!skipDir(st.getPath)) next += st.getPath }
+        else onFile(st)
+      }
+      level = next.toSeq
+    }
+  }
+
+  /** How the last vacuum delete ran — specs pin the threshold routing
+    * ("spark-job" past [[distributedStatsThreshold]], "driver-pool" /
+    * "driver-stream" below). Diagnostic only. */
+  private[delta] var lastVacuumDeleteMode: String = ""
+
+  /** Delete table-relative garbage paths already materialized on the
+    * driver (walk / LITE candidates — both bounded by driver-side
+    * listings anyway): bounded pool below [[distributedStatsThreshold]],
+    * ONE Spark job above it (executors rebuild the Hadoop conf from a
+    * broadcast — deletes run at cluster rate instead of one node's
+    * object-store round-trips). Deletes are idempotent; returns the
+    * count that actually removed bytes. */
+  private[delta] def deleteRelPaths(spark: SparkSession,
+                                    conf: org.apache.hadoop.conf.Configuration,
+                                    root: Path, rels: Seq[String]): Int =
+    if (rels.size < distributedStatsThreshold) {
+      lastVacuumDeleteMode = "driver-pool"
+      val fs = root.getFileSystem(conf)
+      parMap(rels)(p => if (fs.delete(new Path(root, p), false)) 1 else 0).sum
+    } else {
+      lastVacuumDeleteMode = "spark-job"
+      val bcConf = broadcastConf(spark, conf)
+      val rootStr = root.toString
+      val slices = math.min(rels.size, 512)
+      spark.sparkContext.parallelize(rels, slices).mapPartitions { it =>
+        val (r, f) = fsFromBroadcast(bcConf, rootStr)
+        Iterator.single(it.count(p => f.delete(new Path(r, p), false)))
+      }.sum().toInt
+    }
+
+  /** Delete table-relative garbage paths held in a DISTRIBUTED dataset
+    * (the inventory anti-join result — at inventory scale the garbage
+    * set is 10⁶–10⁸ objects and must never materialize on the driver):
+    * past [[distributedStatsThreshold]] the deletes run as a Spark job
+    * over the dataset's own partitions; below it candidates STREAM to
+    * the driver via toLocalIterator (one partition in memory at a time)
+    * and delete in bounded-pool batches. Returns the deleted count. */
+  private[delta] def deleteRelPathsDs(conf: org.apache.hadoop.conf.Configuration,
+                                      root: Path,
+                                      ds: org.apache.spark.sql.Dataset[String]): Int = {
+    val spark = ds.sparkSession
+    val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      if (n == 0L) 0
+      else if (n < distributedStatsThreshold) {
+        lastVacuumDeleteMode = "driver-stream"
+        val fs = root.getFileSystem(conf)
+        var deleted = 0
+        val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+        def flush(): Unit = if (batch.nonEmpty) {
+          deleted += parMap(batch.toSeq)(p =>
+            if (fs.delete(new Path(root, p), false)) 1 else 0).sum
+          batch.clear()
+        }
+        val it = cached.toLocalIterator()
+        while (it.hasNext) { batch += it.next(); if (batch.size >= 256) flush() }
+        flush()
+        deleted
+      } else {
+        lastVacuumDeleteMode = "spark-job"
+        val bcConf = broadcastConf(spark, conf)
+        val rootStr = root.toString
+        cached.rdd.mapPartitions { it =>
+          val (r, f) = fsFromBroadcast(bcConf, rootStr)
+          Iterator.single(it.count(p => f.delete(new Path(r, p), false)))
+        }.sum().toInt
+      }
+    } finally { cached.unpersist(); () }
+  }
+
+  private def broadcastConf(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.broadcast.Broadcast[Seq[(String, String)]] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.broadcast(
+      conf.iterator().asScala.map(e => e.getKey -> e.getValue).toSeq)
+  }
+
+  private def fsFromBroadcast(
+      bc: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]],
+      rootStr: String): (Path, FileSystem) = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    bc.value.foreach { case (k, v) => c.set(k, v) }
+    val r = new Path(rootStr)
+    (r, r.getFileSystem(c))
   }
 
   /** vacuum()'s "use the table's configured retention" sentinel — a
@@ -1906,34 +2015,51 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * the protocol's txn mechanism: each loaded file's
     * `txn(appId = "graft.copyInto:<qualified file>", version = 0)`
     * action commits ATOMICALLY with its data — no window where data
-    * landed without the bookkeeping or vice versa. Entries age out of
-    * checkpoints via `delta.setTransactionRetentionDuration`; set it
-    * above the re-run horizon, like any idempotent writer's.
+    * landed without the bookkeeping or vice versa. One txn entry per
+    * file EVER loaded accumulates in checkpoints, so on a COPY
+    * INTO-heavy table SET `delta.setTransactionRetentionDuration` (to
+    * anything above the re-run horizon — e.g. "interval 30 days"): the
+    * wired expiry then ages entries out of checkpoints; without it the
+    * checkpoint carries the full load history forever.
     *
     * Source columns align BY NAME and cast to the table schema; columns
     * the source lacks null-fill when nullable (the schema-evolution
     * read rule) and refuse otherwise; EXTRA source columns refuse
-    * loudly (a silent drop hides pipeline bugs). DEFAULT and generated
-    * columns compute exactly as in [[append]]; CHECK constraints
-    * verify; identity columns must be provided explicitly (machine
-    * assignment lives in append's batch path). Formats: `parquet`
-    * (schema inferred from footers) and `json` (read under the table
-    * schema — missing fields null per JSON's by-name contract).
+    * loudly (a silent drop hides pipeline bugs) — unless
+    * `copyOptions("mergeSchema") = "true"` (delta's COPY_OPTIONS), which
+    * WIDENS the table instead: extras append as nullable columns
+    * (column-mapping ids minted) and the metaData update rides the same
+    * commit as the load. DEFAULT and generated columns compute exactly
+    * as in [[append]]; CHECK constraints verify; identity columns must
+    * be provided explicitly (machine assignment lives in append's batch
+    * path). Formats: `parquet` (schema inferred from footers) and
+    * `json` (reader schema derived from the SOURCE's sample-inferred
+    * fields ∩ the table schema — so missing-column refusal, defaults,
+    * generated and identity checks behave exactly as for parquet; a
+    * blanket table-schema read would mask every absent field as null).
     *
-    * A race against a concurrent COPY INTO of overlapping files aborts
+    * A race against a concurrent COPY INTO of overlapping files — or,
+    * when evolving, any concurrent schema/configuration change — aborts
     * the commit, cleans the staged bytes, and RETRIES against the fresh
     * snapshot — loading only what is still new — up to 3 rounds.
     *
-    * Scale: the listing is one recursive walk of `source`; the
-    * loaded-file filter is a driver set difference over log metadata;
-    * the data job reads ONLY new files. Returns the committed version,
-    * or -1 when nothing is new. */
+    * Scale: the listing is the level-parallel BFS walk of `source`
+    * (landing areas accumulate 10⁵–10⁶ small files; a serial driver
+    * walk there is a multi-hour metadata crawl); the loaded-file filter
+    * is a driver set difference over log metadata; the data job reads
+    * ONLY new files. Returns the committed version, or -1 when nothing
+    * is new. */
   def copyInto(source: String, format: String = "parquet",
                pattern: Option[String] = None,
-               options: Map[String, String] = Map.empty): Long = {
+               options: Map[String, String] = Map.empty,
+               copyOptions: Map[String, String] = Map.empty): Long = {
     require(Set("parquet", "json")(format.toLowerCase),
       s"COPY INTO supports FILEFORMAT parquet|json, got '$format'")
     val fmt = format.toLowerCase
+    val mergeSchema = copyOptions.exists { case (k, v) =>
+      k.equalsIgnoreCase("mergeSchema") && v.equalsIgnoreCase("true") }
+    copyOptions.keys.foreach(k => require(k.equalsIgnoreCase("mergeSchema"),
+      s"unsupported COPY_OPTIONS key '$k' (supported: mergeSchema)"))
     val srcPath = new Path(source)
     val srcFs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
     val candidates: Seq[Path] = {
@@ -1942,12 +2068,21 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         if (globby) srcFs.globStatus(srcPath).toSeq.filter(_.isFile).map(_.getPath)
         else if (srcFs.getFileStatus(srcPath).isFile) Seq(srcPath)
         else {
-          val it = srcFs.listFiles(srcPath, true)
+          // the shared level-parallel BFS ([[DeltaTable.parallelWalk]]):
+          // a landing area is exactly where 10⁵–10⁶ small files pile up,
+          // and a serial driver listFiles loop there is the same
+          // multi-hour-crawl failure the vacuum walk fixed. Hidden files
+          // AND hidden directories skip (Spark's file-index rule —
+          // `_temporary`, `.spark-staging`); the user-named root itself
+          // is exempt from the hidden check.
+          val srcQ = srcFs.makeQualified(srcPath)
+          def hidden(p: Path): Boolean = {
+            val n = p.getName; n.startsWith("_") || n.startsWith(".")
+          }
           val buf = mutable.ArrayBuffer.empty[Path]
-          while (it.hasNext) {
-            val st = it.next()
-            val n = st.getPath.getName
-            if (!n.startsWith("_") && !n.startsWith(".")) buf += st.getPath
+          DeltaTable.parallelWalk(srcFs, srcPath,
+            d => !(srcFs.makeQualified(d) == srcQ) && hidden(d)) { st =>
+            if (!hidden(st.getPath)) buf += st.getPath
           }
           buf.toSeq
         }
@@ -1974,13 +2109,37 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val reader = spark.read.options(options)
       val raw = fmt match {
         case "parquet" => reader.parquet(newFiles.map(_.toString): _*)
-        case "json" => reader.schema(sch).json(newFiles.map(_.toString): _*)
+        case "json" =>
+          // the reader schema derives from the SOURCE, not the table:
+          // sample-infer the fields actually present, keep the table's
+          // types for the overlap, the inferred types for extras. Reading
+          // json under the full table schema would make every table
+          // column "present" (as null) — silently bypassing the
+          // missing-non-nullable refusal, DEFAULT/generated computation,
+          // the identity-provided check, and extra-column detection that
+          // the parquet path enforces (round-15 advice).
+          val inferred = spark.read.options(options)
+            .json(newFiles.map(_.toString): _*).schema
+          val overlap = sch.fields.filter(f =>
+            inferred.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          val extras = inferred.fields.filter(f =>
+            !sch.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          reader.schema(StructType((overlap ++ extras).toSeq))
+            .json(newFiles.map(_.toString): _*)
       }
       requireIdentityProvided(raw, "COPY INTO")
+      // COPY_OPTIONS ('mergeSchema'='true'): extra source columns WIDEN
+      // the table through the same evolvedFieldsFor path as append —
+      // appended nullable, column-mapping ids minted — and the metaData
+      // update rides the SAME commit as the load
+      val evolution: Seq[org.apache.spark.sql.types.StructField] =
+        if (!mergeSchema) Nil else evolvedFieldsFor(baseSnap, raw.schema)
+      val evolvedSchema = StructType(sch.fields ++ evolution)
       val extra = raw.columns.filterNot(c =>
-        sch.fieldNames.exists(_.equalsIgnoreCase(c)))
+        evolvedSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
       require(extra.isEmpty,
-        s"COPY INTO source has columns the table lacks: ${extra.mkString(", ")}")
+        s"COPY INTO source has columns the table lacks: ${extra.mkString(", ")}" +
+          " (COPY_OPTIONS ('mergeSchema'='true') widens the table instead)")
       // defaults and generated columns fill exactly as in append
       val withDefaults = columnDefaults.toSeq.sortBy(_._1).foldLeft(raw) {
         case (d, (n, e)) =>
@@ -1992,20 +2151,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           if (d.columns.exists(_.equalsIgnoreCase(n))) d
           else d.withColumn(n, org.apache.spark.sql.functions.expr(e))
       }
-      val aligned = withConstraintChecks(sch.fields.foldLeft(withGen) { (d, f) =>
+      val aligned = withConstraintChecks(evolvedSchema.fields.foldLeft(withGen) { (d, f) =>
         if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
         else {
           require(f.nullable,
             s"COPY INTO source lacks non-nullable column '${f.name}'")
           d.withColumn(f.name, lit(null))
         }
-      }.select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
+      }.select(evolvedSchema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
       val parts = partitionColumns
       val arranged =
         if (parts.nonEmpty) aligned.repartition(parts.map(col): _*) else aligned
       val staging = new Path(path, s"_staging-${java.util.UUID.randomUUID()}")
       val physParts = physicalPartNames(parts)
-      val writer = toPhysicalForWrite(arranged, sch).write.mode("overwrite")
+      val writer = toPhysicalForWrite(arranged, evolvedSchema).write.mode("overwrite")
         .option("compression", tableCodec)
       (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
         .parquet(staging.toString)
@@ -2013,15 +2172,46 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       val committed =
         try {
           val now = System.currentTimeMillis()
-          val actions = adds.map(a => Action(add = Some(a))) ++
+          // an evolving load carries its metaData update in the SAME
+          // commit (no reader sees the new columns without the rows or
+          // vice versa); column-mapping maxId bumps with the minted ids;
+          // a new TIMESTAMP_NTZ column raises the feature atomically too
+          val baseMeta =
+            if (evolution.isEmpty) None
+            else Some(baseSnap.metadata
+              .getOrElse(throw new IllegalStateException(s"no table at $path")))
+          val schemaUpdate = baseMeta.map(m => Action(metaData = Some(m.copy(
+            schemaString = evolvedSchema.json,
+            configuration =
+              if (!columnMappingEnabled) m.configuration
+              else m.configuration + (DeltaTable.ColumnMappingMaxIdKey ->
+                evolvedSchema.fields.flatMap(f =>
+                  if (f.metadata.contains(DeltaTable.ColMapIdKey))
+                    Some(f.metadata.getLong(DeltaTable.ColMapIdKey))
+                  else None).max.toString))))).toSeq
+          val ntzRaise =
+            if (evolution.exists(f => DeltaTable.containsNtz(f.dataType)) &&
+              !baseSnap.protocol.exists(_.writerFeatures.exists(_.contains("timestampNtz"))))
+              Seq(Action(protocol = Some(raisedProtocol(baseSnap, 3, 7,
+                Seq("timestampNtz"), Seq("timestampNtz")))))
+            else Nil
+          val actions = ntzRaise ++ schemaUpdate ++
+            adds.map(a => Action(add = Some(a))) ++
             newFiles.map(p => Action(txn = Some(Txn(appIdOf(p), 0L, Some(now))))) ++
             Seq(Action(commitInfo = Some(CommitInfo(now, "COPY INTO",
               Map("source" -> source, "fileFormat" -> fmt,
                 "numSourceFiles" -> newFiles.size.toString)))))
           // abort if ANY of our files was loaded meanwhile — committing
-          // would double their rows (our staged data already fuses them)
-          try log.commit(actions,
-            check = s => newFiles.forall(p => !s.txns.contains(appIdOf(p))))
+          // would double their rows (our staged data already fuses them).
+          // An evolving load additionally refuses to clobber a schema or
+          // configuration change that landed while staging — the outer
+          // loop recomputes everything against the winner and retries
+          try log.commit(actions, check = s =>
+            newFiles.forall(p => !s.txns.contains(appIdOf(p))) &&
+              (evolution.isEmpty || (s.metadata.exists(m =>
+                org.apache.spark.sql.types.DataType.fromJson(m.schemaString) == sch &&
+                  m.configuration == baseMeta.get.configuration) &&
+                (ntzRaise.isEmpty || s.protocol == baseSnap.protocol))))
           catch { case e: Throwable =>
             adds.foreach(a => fs.delete(new Path(path, a.path), false))
             throw e
@@ -2030,8 +2220,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       if (committed >= 0) return committed
       adds.foreach(a => fs.delete(new Path(path, a.path), false))
       if (attempt >= 3) throw new java.util.ConcurrentModificationException(
-        "COPY INTO lost the loaded-file race 3 times — concurrent loaders " +
-          "of the same source; re-run to load the remainder")
+        "COPY INTO lost the loaded-file (or schema-evolution) race 3 times " +
+          "— concurrent writers of the same table; re-run to load the remainder")
     }
     -1L // unreachable
   }
@@ -4841,20 +5031,30 @@ final class DeltaTable(spark: SparkSession, val path: String) {
   def vacuumUsingInventory(inventory: DataFrame,
                            retentionMs: Long = DeltaTable.TableDefaultRetention,
                            dryRun: Boolean = false): Int = {
-    val candidates = inventoryCandidates(inventory, resolvedRetention(retentionMs))
-    if (dryRun) return candidates.size
-    DeltaTable.parMap(candidates)(rel =>
-      if (fs.delete(new Path(path, rel), false)) 1 else 0).sum
+    val ds = inventoryCandidates(inventory, resolvedRetention(retentionMs))
+    // the candidate set stays DISTRIBUTED end-to-end: dry run counts it,
+    // the real run deletes from a Spark job past the threshold and
+    // streams (toLocalIterator, never collect) below it — inventory
+    // mode's motivating scale is exactly when garbage is 10⁶–10⁸ objects
+    // and a driver buffer + driver-pool round-trips would take hours
+    if (dryRun) return ds.count().toInt
+    DeltaTable.deleteRelPathsDs(spark.sessionState.newHadoopConf(),
+      new Path(path), ds)
   }
 
   /** The table-relative paths an inventory vacuum at this retention
-    * would delete — the DRY RUN safety valve, sorted. */
+    * would delete — the DRY RUN safety valve, sorted. (This one DOES
+    * collect: its purpose is handing a human the list; use
+    * `vacuumUsingInventory(dryRun = true)` for a scale-safe count.) */
   def vacuumInventoryDryRun(inventory: DataFrame,
-                            retentionMs: Long = DeltaTable.TableDefaultRetention): Seq[String] =
-    inventoryCandidates(inventory, resolvedRetention(retentionMs)).sorted
+                            retentionMs: Long = DeltaTable.TableDefaultRetention): Seq[String] = {
+    import inventory.sparkSession.implicits._
+    inventoryCandidates(inventory, resolvedRetention(retentionMs))
+      .as[String].collect().toSeq.sorted
+  }
 
   private def inventoryCandidates(inventory: DataFrame,
-                                  retentionMs: Long): Seq[String] = {
+                                  retentionMs: Long): org.apache.spark.sql.Dataset[String] = {
     val snap = snapshot
     require(snap.version >= 0, s"no table at $path")
     val referenced = snap.files.map(_.path) ++
@@ -4863,9 +5063,32 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val cutoff = System.currentTimeMillis() - retentionMs
     val rootQ = fs.makeQualified(new Path(path)).toString
     val rootUri = new Path(rootQ).toUri.getPath // scheme-less absolute form
-    import org.apache.spark.sql.functions.{col, lit, when, not, element_at, split, size => fsize}
+    import org.apache.spark.sql.functions.{col, lit, when, not, element_at, split, unix_millis, size => fsize}
     val spk = inventory.sparkSession
     import spk.implicits._
+    // inventory schema validation (delta-spark validates the same way):
+    // the required columns must exist, and modificationTime must be
+    // epoch MILLIS. A raw cast("long") on a TimestampType column yields
+    // SECONDS — three orders of magnitude early against the ms cutoff,
+    // which would make every file "past retention" and let the window
+    // stop protecting recently-removed files. Longs pass through,
+    // timestamps convert via unix_millis, anything else rejects loudly.
+    Seq("path", "isDir", "modificationTime").foreach(c => require(
+      inventory.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"inventory is missing required column '$c' " +
+        "(expected schema: path STRING, length LONG, isDir BOOLEAN, " +
+        "modificationTime LONG epoch-millis)"))
+    val modField = inventory.schema.fields
+      .find(_.name.equalsIgnoreCase("modificationTime")).get
+    val modMs = modField.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => col(modField.name).cast("long")
+      case org.apache.spark.sql.types.TimestampType => unix_millis(col(modField.name))
+      case other => throw new IllegalArgumentException(
+        s"inventory modificationTime must be LONG epoch-millis (or TIMESTAMP), " +
+          s"got ${other.simpleString} — refusing: a mis-typed cutoff compare " +
+          "could treat every file as past retention")
+    }
     // absolute rows relativize against either the qualified or the
     // scheme-less root; relative rows pass through; anything else (a
     // different table's files) drops
@@ -4888,12 +5111,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         not(skippedSeg)
     val refDs = referenced.toDF("__rel")
     inventory
-      .filter(not(col("isDir")) && col("modificationTime").cast("long") < cutoff)
+      .filter(not(col("isDir")) && modMs < cutoff)
       .withColumn("__rel", rel0)
       .filter(col("__rel").isNotNull && fsize(segs) >= 1 && collectable)
       .select(col("__rel"))
       .join(refDs, Seq("__rel"), "left_anti")
-      .as[String].collect().toSeq
+      .as[String]
   }
 
   /** VACUUM LITE (delta-spark 3.2's mode): collect garbage from the LOG
@@ -4904,11 +5127,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * steady-state sweep — "yesterday's rewrites" after each OPTIMIZE or
     * DML wave — while orphans from crashed writes or pre-cleanup history
     * need the listing walk ([[vacuum]]) or an inventory
-    * ([[vacuumUsingInventory]]). Retention semantics match: a tombstone
-    * collects when its deletionTimestamp is past the cutoff AND the path
-    * is not LIVE in the current snapshot — RESTORE re-adds previously
-    * removed paths, and the live-set anti-check is what keeps LITE safe
-    * around it. A removed file's file-backed deletion vector collects
+    * ([[vacuumUsingInventory]]). Retention semantics match delta-spark:
+    * a path collects when its NEWEST tombstone's deletionTimestamp is
+    * past the cutoff AND the path is not LIVE in the current snapshot —
+    * RESTORE re-adds previously removed paths (the live-set anti-check
+    * covers the currently-live re-add), and keying off the newest remove
+    * keeps a remove-RESTORE-remove path safe for readers pinned to the
+    * intermediate versions while the recent remove is inside retention. A removed file's file-backed deletion vector collects
     * with it (unless still referenced by a live add). Absolute
     * (cross-table) tombstones — a shallow clone's log names its SOURCE's
     * files — are never touched. Cost: one `_delta_log` listing + one
@@ -4918,9 +5143,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val candidates = liteCandidates(resolvedRetention(retentionMs))
     if (candidates.isEmpty) return 0
     // deletes are idempotent: a tombstone named twice across commits or
-    // already-collected bytes count zero
-    DeltaTable.parMap(candidates)(p =>
-      if (fs.delete(new Path(path, p), false)) 1 else 0).sum
+    // already-collected bytes count zero; threshold-routed like the walk
+    DeltaTable.deleteRelPaths(spark, spark.sessionState.newHadoopConf(),
+      new Path(path), candidates)
   }
 
   /** The table-relative paths a LITE vacuum at this retention would
@@ -4941,18 +5166,27 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv)).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val versions = log.survivingCommitVersions()
-    val tombstones: Seq[(String, Option[String])] =
-      DeltaTable.parMap(versions)(v =>
+    val removes = DeltaTable.parMap(versions)(v =>
         try log.readVersion(v) catch {
           case _: java.io.FileNotFoundException => Nil // raced cleanup
         })
-        .flatten.flatMap(_.remove)
-        .filter(r => r.deletionTimestamp.forall(_ < cutoff))
-        .map(r => (r.path,
-          r.deletionVector.filter(_.storageType == "u")
-            .map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv))))
-    (tombstones.map(_._1) ++ tombstones.flatMap(_._2)).distinct
-      .filterNot(p => new Path(p).isAbsolute || p.contains(":/"))
+      .flatten.flatMap(_.remove)
+      .filterNot(r => new Path(r.path).isAbsolute || r.path.contains(":/"))
+    // retention keys off each path's NEWEST deletionTimestamp
+    // (delta-spark's rule): a file removed long ago, RESTORE-re-added,
+    // and removed again recently must NOT collect via the old tombstone —
+    // readers pinned to the intermediate versions still need it. A path
+    // collects only when its latest remove is past the cutoff (all-None
+    // timestamps count as unknown-age → collectable, the walk's
+    // mod-time-absent analog). DV files collect only WITH their path.
+    val collectablePaths = removes.groupBy(_.path).collect {
+      case (p, rs) if rs.flatMap(_.deletionTimestamp)
+        .maxOption.forall(_ < cutoff) => p
+    }.toSet
+    val dvs = removes.filter(r => collectablePaths(r.path))
+      .flatMap(_.deletionVector).filter(_.storageType == "u")
+      .map(d => DeletionVectors.relativeFileName(d.pathOrInlineDv))
+    (collectablePaths.toSeq ++ dvs).distinct
       .filterNot(p => live.contains(p) || liveDv.contains(p))
   }
 
@@ -4969,44 +5203,36 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     val cutoff = System.currentTimeMillis() - retentionMs
     val root = new Path(path)
     val rootQ = fs.makeQualified(root).toString
-    // candidate listing is a LEVEL-PARALLEL BFS on the bounded pool: each
-    // level lists all its directories concurrently (one listStatus
-    // round-trip per dir on the pool), and candidate evaluation runs on
-    // the driver thread between levels (onCandidate stays single-threaded
+    // candidate listing is the shared level-parallel BFS
+    // ([[DeltaTable.parallelWalk]]); candidate evaluation runs on the
+    // driver thread between levels (onCandidate stays single-threaded
     // for callers). A serial recursive walk turns a million-file
     // partitioned table's listing into a multi-hour metadata crawl — the
-    // same failure mode the FSCK comment names; the deletes below were
-    // already parallel, the walk now matches.
-    val candidates = scala.collection.mutable.ArrayBuffer.empty[Path]
+    // same failure mode the FSCK comment names.
+    val candidates = scala.collection.mutable.ArrayBuffer.empty[String]
     def skipDir(dir: Path): Boolean = {
       val name = dir.getName
       name == "_delta_log" || name.startsWith("_staging-") ||
         name == DeltaTable.ManifestDirName
     }
-    var level: Seq[Path] = Seq(root).filterNot(skipDir)
-    while (level.nonEmpty) {
-      val next = scala.collection.mutable.ArrayBuffer.empty[Path]
-      DeltaTable.parMap(level)(d => fs.listStatus(d)).flatten.foreach { st =>
-        if (st.isDirectory) {
-          if (!skipDir(st.getPath)) next += st.getPath
-        } else {
-          val rel = fs.makeQualified(st.getPath).toString
-            .stripPrefix(rootQ).stripPrefix("/")
-          val n = st.getPath.getName
-          val collectable =
-            (n.endsWith(".parquet") && !referenced.contains(rel)) ||
-              (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
-                !referencedDv.contains(rel))
-          if (collectable && st.getModificationTime < cutoff) {
-            onCandidate(rel)
-            candidates += st.getPath
-          }
-        }
+    DeltaTable.parallelWalk(fs, root, skipDir) { st =>
+      val rel = fs.makeQualified(st.getPath).toString
+        .stripPrefix(rootQ).stripPrefix("/")
+      val n = st.getPath.getName
+      val collectable =
+        (n.endsWith(".parquet") && !referenced.contains(rel)) ||
+          (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+            !referencedDv.contains(rel))
+      if (collectable && st.getModificationTime < cutoff) {
+        onCandidate(rel)
+        candidates += rel
       }
-      level = next.toSeq
     }
     if (dryRun || candidates.isEmpty) return 0
-    DeltaTable.parMap(candidates.toSeq)(p => if (fs.delete(p, false)) 1 else 0).sum
+    // threshold-routed delete: bounded driver pool for routine sweeps,
+    // one Spark job when the garbage set is itself big data
+    DeltaTable.deleteRelPaths(spark, spark.sessionState.newHadoopConf(),
+      root, candidates.toSeq)
   }
 
   /** Multi-dimensional clustering rewrite (OPTIMIZE ZORDER BY a, b):

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * {{{
   * OPTIMIZE '<path>' [FULL] [WHERE <partition predicate>] [ZORDER BY (c1, ..., cn)]
   * VACUUM '<path>' [USING INVENTORY (<subquery>) | LITE] [RETAIN <n> HOURS] [DRY RUN]
-  * COPY INTO '<path>' FROM '<src>' FILEFORMAT = PARQUET|JSON [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)]
+  * COPY INTO '<path>' FROM '<src>' FILEFORMAT = PARQUET|JSON [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)] [COPY_OPTIONS (...)]
   * DESCRIBE DETAIL '<path>'
   * DESCRIBE HISTORY '<path>' [LIMIT <n>]
   * RESTORE [TABLE] '<path>' TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
@@ -85,7 +85,7 @@ object GraftSqlParser {
   // COPY INTO (delta-spark's idempotent batch loader): FILEFORMAT is a
   // bare word; PATTERN and FORMAT_OPTIONS optional
   private val CopyIntoRx = pat(
-    s"""\\s*COPY\\s+INTO\\s+$Tbl\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
+    s"""\\s*COPY\\s+INTO\\s+$Tbl\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*""")
   // USING INVENTORY's subquery captures greedily to its closing paren
   // (the subquery is the only paren group in the clause; RETAIN/DRY RUN
   // follow it) — delta-spark's inventory-vacuum syntax
@@ -145,7 +145,8 @@ object GraftSqlParser {
       return Some(CopyIntoCommand(tblOf(cpy), source = cpy.group(3),
         format = cpy.group(4).toLowerCase,
         pattern = Option(cpy.group(5)),
-        options = Option(cpy.group(6)).map(parsePropList).getOrElse(Map.empty)))
+        options = Option(cpy.group(6)).map(parsePropList).getOrElse(Map.empty),
+        copyOptions = Option(cpy.group(7)).map(parsePropList).getOrElse(Map.empty)))
     }
     val vac = VacuumRx.matcher(sqlText)
     if (vac.matches()) {

@@ -89,19 +89,22 @@ case class VacuumTableCommand(path: String, retainHours: Option[Long],
 }
 
 /** `COPY INTO delta.`path` FROM '<src>' FILEFORMAT = PARQUET|JSON
-  * [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v', …)]` —
+  * [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v', …)]
+  * [COPY_OPTIONS ('mergeSchema'='true')]` —
   * [[DeltaTable.copyInto]] verbatim: idempotent per-source-file loading
   * (each file's txn action rides its data commit). version = -1 when
   * every matching file was already loaded. */
 case class CopyIntoCommand(path: String, source: String, format: String,
                            pattern: Option[String],
-                           options: Map[String, String])
+                           options: Map[String, String],
+                           copyOptions: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = CmdSchema.attrs(
     "path" -> StringType, "source" -> StringType, "version" -> LongType)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = DeltaTable.forPath(spark, path)
-    Seq(Row(path, source, t.copyInto(source, format, pattern, options)))
+    Seq(Row(path, source,
+      t.copyInto(source, format, pattern, options, copyOptions)))
   }
 }
 
