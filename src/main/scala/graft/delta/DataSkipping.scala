@@ -129,21 +129,32 @@ object DataSkipping {
         else base
       }.toMap).getOrElse(Map.empty)
     snap.files.filter { f =>
-      // parse each file's stats once, not once per predicate
-      val stats = f.stats.map(Actions.mapper.readTree)
-      preds.forall(p => mayMatch(f, stats, p, partCols, colTypes.get(p.column)))
+      // checkpoint-provided PRE-PARSED stats win (the typed struct a
+      // stats_parsed checkpoint carries — zero JSON work); otherwise
+      // parse each file's stats JSON once, not once per predicate
+      val parsed = f.parsedStats
+      val stats =
+        if (parsed.isDefined) None else f.stats.map(Actions.mapper.readTree)
+      preds.forall(p =>
+        mayMatch(f, parsed, stats, p, partCols, colTypes.get(p.column)))
     }
   }
 
-  private def mayMatch(f: Actions.AddFile, stats: Option[JsonNode], p: ColPred,
+  private def mayMatch(f: Actions.AddFile, parsed: Option[Actions.ParsedStats],
+                       stats: Option[JsonNode], p: ColPred,
                        partCols: Set[String], colType: Option[DataType]): Boolean = {
     if (partCols.contains(p.column)) {
       f.partitionValues.get(p.column) match {
         case Some(pv) if pv != null => satisfiable(pv, pv, p, colType) // point interval
         case _ => true // null / unknown partition value: keep
       }
-    } else {
-      stats match {
+    } else parsed match {
+      case Some(ps) =>
+        (ps.minValues.get(p.column), ps.maxValues.get(p.column)) match {
+          case (Some(lo), Some(hi)) => satisfiable(lo, hi, p, colType)
+          case _ => true // column not stats'd (or nested): keep
+        }
+      case None => stats match {
         case Some(node) =>
           val min = Option(node.get("minValues")).flatMap(m => Option(m.get(p.column)))
           val max = Option(node.get("maxValues")).flatMap(m => Option(m.get(p.column)))
@@ -208,6 +219,11 @@ object DataSkipping {
         case s: String => parse(s)
         case t: java.sql.Timestamp => Some(t.getTime) // ms, sub-ms floor
         case i: java.time.Instant => Some(i.toEpochMilli)
+        // TIMESTAMP_NTZ bounds from a stats_parsed checkpoint struct
+        // surface as LocalDateTime — compare as UTC instants (both sides
+        // of the comparison carry the same wall-clock convention)
+        case l: java.time.LocalDateTime =>
+          Some(l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
         case _ => None
       }
     }

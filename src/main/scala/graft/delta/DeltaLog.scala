@@ -77,7 +77,33 @@ object Actions {
       // files already clustered by the same key — at 100 TB the
       // difference between re-sorting the table and touching only the
       // files appended since the last maintenance run.
-      tags: Option[Map[String, String]] = None)
+      tags: Option[Map[String, String]] = None) {
+    /** Checkpoint-provided PRE-PARSED stats (delta-spark's `stats_parsed`
+      * checkpoint column): populated only when this add was replayed from
+      * a checkpoint carrying the typed struct — [[DataSkipping]] prefers
+      * it over re-parsing the `stats` JSON, which at 10⁶ files is the
+      * snapshot-load + per-prune bottleneck. Deliberately a @transient
+      * var OUTSIDE the case-class equality (a cold-read add must stay ==
+      * to its JSON-replayed twin) and @JsonIgnore'd (never serialized to
+      * commits — the JSON `stats` string stays the protocol's canonical
+      * form). */
+    @com.fasterxml.jackson.annotation.JsonIgnore
+    @transient var parsedStats: Option[ParsedStats] = None
+    def withParsedStats(ps: Option[ParsedStats]): AddFile = {
+      parsedStats = ps; this
+    }
+  }
+
+  /** Typed per-file stats decoded from a checkpoint's `stats_parsed`
+    * struct. Values carry Spark external types (java.lang numbers,
+    * String, java.sql.Timestamp/Date, java.math.BigDecimal) — exactly
+    * what [[DataSkipping]]'s comparators consume. Top-level leaf columns
+    * only (nested mins exist in the checkpoint struct for protocol
+    * faithfulness, but pruning consumes top-level bounds). */
+  final case class ParsedStats(numRecords: Option[Long],
+                               minValues: Map[String, Any],
+                               maxValues: Map[String, Any],
+                               nullCount: Map[String, Long])
   final case class RemoveFile(
       path: String,
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
@@ -202,6 +228,44 @@ object Actions {
         StructField("configuration", StringType),
         StructField("removed", BooleanType))))))
   }
+
+  /** The typed `stats_parsed` struct for a table's (physical,
+    * partition-pruned) data schema — delta-spark's checkpoint
+    * acceleration column: min/max keep each leaf's real type (structs
+    * recurse; array/map/binary leaves carry no orderable bounds and
+    * drop), nullCount is the same shape with LongType leaves. */
+  def statsParsedSchema(dataSchema: StructType): StructType = {
+    def minMax(dt: DataType): Option[DataType] = dt match {
+      case s: StructType =>
+        val kept = s.fields.flatMap(f =>
+          minMax(f.dataType).map(t => StructField(f.name, t)))
+        if (kept.isEmpty) None else Some(StructType(kept))
+      case _: ArrayType | _: MapType | BinaryType => None
+      case other => Some(other)
+    }
+    def nullCount(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => StructField(f.name, nullCount(f.dataType))))
+      case _ => LongType
+    }
+    val mm = minMax(dataSchema).getOrElse(StructType(Nil))
+    StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", mm),
+      StructField("maxValues", mm),
+      StructField("nullCount", nullCount(dataSchema))))
+  }
+
+  /** from_json options matching [[ParquetStats]]' stats rendering:
+    * timestamps are ISO-8601 at millisecond precision with a literal Z
+    * (fixed-width; [[ParquetStats.tsFmt]]), dates ISO yyyy-MM-dd. A
+    * stats string from another engine (or a legacy epoch-day date) that
+    * fails this parse yields a NULL `stats_parsed` for that file — the
+    * read path falls back to the JSON, never wrong, just unaccelerated. */
+  val StatsJsonOptions: Map[String, String] = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+    "dateFormat" -> "yyyy-MM-dd")
 }
 
 /** Direct Row → [[Actions.Action]] conversion for checkpoint replay
@@ -220,6 +284,43 @@ private[delta] object CheckpointRows {
     if (r.isNullAt(i)) None else Some(r.getSeq[String](i))
   private def mapOf(r: Row, i: Int): Map[String, String] =
     if (r.isNullAt(i)) Map.empty else r.getMap[String, String](i).toMap
+
+  /** Decode an add row's `stats_parsed` struct (present only when the
+    * checkpoint was read under [[DeltaLog]]'s extended schema). Top-level
+    * LEAF values only — nested struct bounds exist in the file for
+    * protocol faithfulness but pruning consumes top-level columns. */
+  private def parsedStatsOf(a: Row): Option[Actions.ParsedStats] = {
+    val i =
+      try a.fieldIndex("stats_parsed")
+      catch { case _: Exception => return None }
+    if (a.isNullAt(i)) return None
+    val s = a.getStruct(i)
+    def at(name: String): Option[Int] =
+      try Some(s.fieldIndex(name)).filterNot(s.isNullAt)
+      catch { case _: Exception => None }
+    def leaves(name: String): Map[String, Any] =
+      at(name).map { j =>
+        val r = s.getStruct(j)
+        r.schema.fields.iterator.zipWithIndex.collect {
+          case (f, k) if !r.isNullAt(k) && !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            f.name -> r.get(k)
+        }.toMap
+      }.getOrElse(Map.empty)
+    def longLeaves(name: String): Map[String, Long] =
+      at(name).map { j =>
+        val r = s.getStruct(j)
+        r.schema.fields.iterator.zipWithIndex.collect {
+          case (f, k) if !r.isNullAt(k) &&
+            f.dataType == org.apache.spark.sql.types.LongType =>
+            f.name -> r.getLong(k)
+        }.toMap
+      }.getOrElse(Map.empty)
+    Some(Actions.ParsedStats(
+      numRecords = at("numRecords").map(s.getLong),
+      minValues = leaves("minValues"),
+      maxValues = leaves("maxValues"),
+      nullCount = longLeaves("nullCount")))
+  }
 
   private def dv(r: Row, i: Int): Option[DeletionVectorDescriptor] =
     if (r.isNullAt(i)) None
@@ -267,7 +368,8 @@ private[delta] object CheckpointRows {
         dataChange = !a.isNullAt(4) && a.getBoolean(4),
         stats = optStr(a, 5), deletionVector = dv(a, 6),
         baseRowId = optLong(a, 7), defaultRowCommitVersion = optLong(a, 8),
-        tags = if (a.isNullAt(9)) None else Some(mapOf(a, 9)))))
+        tags = if (a.isNullAt(9)) None else Some(mapOf(a, 9)))
+        .withParsedStats(parsedStatsOf(a))))
     } else if (!r.isNullAt(4)) {
       val rm = r.getStruct(4)
       Action(remove = Some(RemoveFile(
@@ -720,13 +822,15 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
         val sidecars = top.flatMap(_.sidecar)
           .map(s => new Path(sidecarDir, s.path).toString)
         if (sidecars.nonEmpty) {
-          val rows = ss.read.schema(CheckpointSchema).parquet(sidecars: _*).collect()
+          val rows = ss.read.schema(checkpointReadSchema(ss, sidecars))
+            .parquet(sidecars: _*).collect()
           state.apply(rows.iterator.map(CheckpointRows.toAction).toSeq)
         }
         ck.version
       case (Some(ss), Some(ck)) =>
-        val rows = ss.read.schema(CheckpointSchema)
-          .parquet(ck.files.map(_.toString): _*)
+        val paths = ck.files.map(_.toString)
+        val rows = ss.read.schema(checkpointReadSchema(ss, paths))
+          .parquet(paths: _*)
           .collect()
         state.apply(rows.iterator.map(CheckpointRows.toAction).toSeq)
         ck.version
@@ -1074,6 +1178,59 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     }
   }
 
+  /** Enrich a checkpoint frame with delta-spark's acceleration columns:
+    * `add.stats_parsed` (the stats JSON decoded ONCE, at checkpoint-write
+    * time, into a struct typed by the table's physical data schema) and
+    * `add.partitionValues_parsed` (partition strings cast to their real
+    * types). Readers then prune from typed values instead of re-parsing
+    * every add's stats JSON on every cold start — at 10⁶ files that parse
+    * IS the snapshot-load bottleneck. The JSON `stats` column stays
+    * alongside (the protocol's canonical form; foreign readers ignore the
+    * extra struct — delta-spark itself writes the same shape). */
+  private def withParsedStatsCols(df: org.apache.spark.sql.DataFrame,
+                                  snap: Snapshot): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, from_json, struct}
+    val schemaOpt = snap.schema
+    if (schemaOpt.isEmpty) return df
+    def physName(f: StructField): String =
+      if (f.metadata.contains(DeltaTable.ColMapPhysKey))
+        f.metadata.getString(DeltaTable.ColMapPhysKey) else f.name
+    val parts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
+    val byLogical = schemaOpt.get.fields.map(f => f.name -> f).toMap
+    val dataFields = schemaOpt.get.fields.filterNot(f => parts.contains(f.name))
+      .map(f => StructField(physName(f), f.dataType))
+    val statsSchema = Actions.statsParsedSchema(StructType(dataFields))
+    var add = col("add").withField("stats_parsed",
+      from_json(col("add.stats"), statsSchema, Actions.StatsJsonOptions))
+    val pvFields = parts.flatMap(byLogical.get).map { f =>
+      val pn = physName(f)
+      element_at(col("add.partitionValues"), pn).cast(f.dataType).as(pn)
+    }
+    if (pvFields.nonEmpty)
+      add = add.withField("partitionValues_parsed", struct(pvFields: _*))
+    df.withColumn("add", add)
+  }
+
+  /** The read schema for checkpoint parquet: the spec schema, plus
+    * `add.stats_parsed` when the files carry it (one footer-schema read
+    * decides; checkpoints from engines/rounds without the column read
+    * exactly as before). */
+  private def checkpointReadSchema(ss: SparkSession, paths: Seq[String]): StructType = {
+    val actual =
+      try ss.read.parquet(paths: _*).schema
+      catch { case _: Exception => return CheckpointSchema }
+    actual.fields.find(_.name == "add").map(_.dataType) match {
+      case Some(s: StructType) if s.fieldNames.contains("stats_parsed") =>
+        val sp = s.fields.find(_.name == "stats_parsed").get
+        StructType(CheckpointSchema.fields.map(f =>
+          if (f.name == "add")
+            StructField("add", StructType(
+              f.dataType.asInstanceOf[StructType].fields :+ sp))
+          else f))
+      case _ => CheckpointSchema
+    }
+  }
+
   /** Unconditionally checkpoint `version` (the cadence-independent form:
     * DROP FEATURE's history truncation needs a checkpoint NOW at the
     * current version, whatever the interval). Classic or V2 per the
@@ -1104,8 +1261,8 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     }
     val lines = actions.map(mapper.writeValueAsString)
     import scala.jdk.CollectionConverters._
-    val df = ss.read.schema(CheckpointSchema)
-      .json(ss.createDataset(lines.asJava)(org.apache.spark.sql.Encoders.STRING))
+    val df = withParsedStatsCols(ss.read.schema(CheckpointSchema)
+      .json(ss.createDataset(lines.asJava)(org.apache.spark.sql.Encoders.STRING)), snap)
     val wantParts = math.max(1,
       math.ceil(actions.size.toDouble / checkpointPartSize).toInt)
     val tmpDir = new Path(logPath, s".ck-${java.util.UUID.randomUUID()}")
@@ -1174,8 +1331,8 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
       if (fileActions.isEmpty) Nil
       else {
         val lines = fileActions.map(mapper.writeValueAsString)
-        val df = ss.read.schema(CheckpointSchema)
-          .json(ss.createDataset(lines.asJava)(org.apache.spark.sql.Encoders.STRING))
+        val df = withParsedStatsCols(ss.read.schema(CheckpointSchema)
+          .json(ss.createDataset(lines.asJava)(org.apache.spark.sql.Encoders.STRING)), snap)
         val wantParts = math.max(1,
           math.ceil(fileActions.size.toDouble / checkpointPartSize).toInt)
         val tmpDir = new Path(logPath, s".ck2-${java.util.UUID.randomUUID()}")
