@@ -23,6 +23,25 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
 
+    // The round in progress: explicit SPARK_GRAFT_ROUND wins; otherwise
+    // infer from the driver's BENCH_r*.json artifacts in CWD (newest + 1).
+    // The round stamps EVERY emitted JSON line — bench_history.jsonl rows
+    // group mechanically per round even across reruns — and names the
+    // per-round file (r15 advice: the bare scan run from a clean directory
+    // silently claimed round 1).
+    val round: Int = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      var maxR = 0
+      try {
+        val prev = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator()
+        while (prev.hasNext) prev.next().getFileName.toString match {
+          case rx(n) => maxR = math.max(maxR, n.toInt)
+          case _ =>
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
+      maxR + 1
+    }
+
     val headlines = queries.Registry.all.filter(_._2.headline)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // a typo'd filter must fail loudly, not report a record-best 0-second
@@ -261,6 +280,72 @@ object Bench {
       ingestRuns.map(r => f"${r._2}%.3f/c${r._3}%.3f/io${r._4}%.3f")
         .mkString("[", " ", "]"))
 
+    // --- maintenance leg (round 16): OPTIMIZE/MERGE/VACUUM and the
+    // checkpoint cold-load are where rounds 13–16 put most of the Delta
+    // engineering, yet the headline total times only read paths — a 10×
+    // regression there was invisible to the bench. One timed pass of a
+    // fixed script (append debt → compact → OPTIMIZE clustered → MERGE →
+    // VACUUM LITE → checkpoint → cold snapshot) on a scratch Delta table
+    // built from this SF's lineitem. Mutations change table state, so
+    // min-of-N has no meaning here; each step instead records an adjacent
+    // calib slice as its honesty channel. Extra JSON fields, never in the
+    // headline total. Skipped on filtered dev runs and via
+    // SPARK_GRAFT_BENCH_MAINT=0.
+    val maintJson: Option[String] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
+          sys.env.get("SPARK_GRAFT_BENCH_MAINT").contains("0")) None
+      else Some {
+        import org.apache.spark.sql.functions.{col, lit}
+        val steps = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+        def step[A](name: String)(body: => A): A = {
+          val t0 = System.nanoTime()
+          val r = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          steps(name) = (sec, calibSlice())
+          System.err.println(f"[bench] maint $name%-18s $sec%.3f")
+          r
+        }
+        val dir = Scratch.dir("graft-bench-maint") + "/tbl"
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_shipdate")
+        val t = delta.DeltaTable.forPath(spark, dir)
+          .create(li.schema, clusterBy = Seq("l_orderkey", "l_partkey"))
+        // order gives every step real work: OPTIMIZE clusters (and
+        // thereby compacts) the append debt; MERGE rewrites matched
+        // files; compact() then bin-packs the rewrite output
+        step("append_debt") {
+          (0 until 8).foreach(i => t.append(li.filter(col("l_orderkey") % 8 === i)))
+        }
+        step("optimize_clustered") { t.optimizeClustered() }
+        step("merge") {
+          // the synthetic lineitem is NOT unique on (okey, linenumber) —
+          // dedupe the source, the MERGE cardinality contract's rule
+          val src = li.filter(col("l_orderkey") % 17 === 0)
+            .dropDuplicates("l_orderkey", "l_linenumber")
+            .withColumn("l_quantity", col("l_quantity") + lit(1))
+          t.mergeClauses(src, Seq("l_orderkey", "l_linenumber"), Seq(
+            delta.DeltaTable.WhenMatchedUpdate(),
+            delta.DeltaTable.WhenNotMatchedInsert()))
+        }
+        step("compact") { t.compact() }
+        step("vacuum_lite") { t.vacuumLite(retentionMs = -1000L) }
+        step("checkpoint") { t.log.checkpointAt(t.snapshot.version) }
+        // a FRESH DeltaTable replays from the checkpoint just written —
+        // this times the stats_parsed cold-load path, end to end
+        step("cold_snapshot") {
+          delta.DeltaTable.forPath(spark, dir).snapshot.files.size
+        }
+        val rows = t.toDF.count()
+        val total = steps.valuesIterator.map(_._1).sum
+        val stepJson = steps.map { case (k, (s, _)) => s""""$k":$s""" }
+          .mkString("{", ",", "}")
+        val calJson = steps.map { case (k, (_, c)) => s""""$k":$c""" }
+          .mkString("{", ",", "}")
+        System.err.println(f"[bench] maint total=$total%.3f rows=$rows")
+        s""""maintenance":{"total":$total,"rows":$rows,"steps":$stepJson,"calib":$calJson}"""
+      }
+
     val calibAfter = calibrate()
     System.err.println(f"[bench] calib before=$calibBefore%.3f after=$calibAfter%.3f " +
       f"io before=$ioCalibBefore%.3f after=$ioCalibAfter%.3f")
@@ -297,7 +382,8 @@ object Bench {
       s""""io_calib_before":$ioCalibBefore,"io_calib_after":$ioCalibAfter,""" +
       s""""io_calib_quiet_ref":$IoQuietSec,"ingest_warning":$ingestWarning,""" +
       s""""ingest_warning_initial":$ingestWarningInitial,""" +
-      s""""sf":"$sfDir"}"""
+      maintJson.map(_ + ",").getOrElse("") +
+      s""""round":$round,"sf":"$sfDir"}"""
     // Stdout for humans and the legacy driver parse — printed FIRST, so a
     // broken SPARK_GRAFT_BENCH_OUT path can never destroy both channels
     // after minutes of measurement. Then the object lands atomically in a
@@ -325,15 +411,7 @@ object Bench {
     // filtered dev runs (SPARK_GRAFT_BENCH_ONLY) are not comparable
     // round signals — never let one overwrite the round file
     if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) try {
-      val rx = "BENCH_r(\\d+)\\.json".r
-      val here = java.nio.file.Paths.get(".")
-      val prev = java.nio.file.Files.list(here).iterator()
-      var maxR = 0
-      while (prev.hasNext) prev.next().getFileName.toString match {
-        case rx(n) => maxR = math.max(maxR, n.toInt)
-        case _ =>
-      }
-      val roundFile = f"bench_out_r${maxR + 1}%02d.json"
+      val roundFile = f"bench_out_r$round%02d.json"
       java.nio.file.Files.write(java.nio.file.Paths.get(roundFile),
         (json + "\n").getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
