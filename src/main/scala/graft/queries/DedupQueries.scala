@@ -253,6 +253,83 @@ object DedupQueries extends QueryModule {
       },
       headline = true),
 
+    // Passage lookup — contamination FORENSICS, the inverse of
+    // decontaminate: the positional n-gram postings of the corpus
+    // materialize as a band-partitioned Delta index
+    // (graft.ops.PassageIndex), and a probe passage (here: the first 8
+    // tokens of the smallest corpus doc — self-match guarantees a
+    // non-trivial result) finds every doc containing it VERBATIM by
+    // opening only the probe's bands and aligning positions. The oracle
+    // replays postings construction AND the positional phrase join from
+    // the same md5 hashes.
+    "dedup_passage_probe" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        val idx = graft.delta.DeltaTable.forPath(s,
+          graft.Scratch.dir("passage-idx") + "/idx")
+        graft.ops.PassageIndex.build(idx, corpus, "doc_id", "text",
+          shingleN = 3, numBands = 16)
+        // the probe doc: smallest doc_id whose 8-token PREFIX recurs in
+        // the corpus — so the probe provably finds docs BEYOND itself
+        // (a self-match-only gate would pin one row)
+        val pref = concat_ws(" ",
+          slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 8))
+        val probeDoc = corpus
+          .filter(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 8)
+          .select(col("doc_id"), pref.as("p"))
+          .groupBy(col("p"))
+          .agg(min(col("doc_id")).as("d"), count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .agg(min(col("d"))).head().getLong(0)
+        val probeText = corpus.filter(col("doc_id") === probeDoc)
+          .select(concat_ws(" ",
+            slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 8)))
+          .head().getString(0)
+        graft.ops.PassageIndex.probe(idx, probeText,
+            shingleN = 3, numBands = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def h(e: String) =
+          s"CAST(('0x' || substring(md5('passage:' || $e), 1, 15)) AS BIGINT)"
+        s"""WITH ptoks AS (
+           |  SELECT (${O.T})[1:8] AS pt FROM documents
+           |  WHERE doc_id = (
+           |    SELECT min(doc_id) FROM documents
+           |    WHERE doc_id % 97 <> 0 AND len(${O.T}) >= 8
+           |      AND array_to_string((${O.T})[1:8], ' ') IN (
+           |      SELECT array_to_string((${O.T})[1:8], ' ') FROM documents
+           |      WHERE doc_id % 97 <> 0 AND len(${O.T}) >= 8
+           |      GROUP BY 1 HAVING count(*) >= 2))
+           |), ps0 AS MATERIALIZED (
+           |  SELECT unnest(list_transform(range(1, len(pt) - 1),
+           |    i -> {'i': i - 1, 'hsh': ${h("array_to_string(pt[i:i+2], ' ')")}})) AS s
+           |  FROM ptoks
+           |), ps AS (SELECT CAST(s.i AS BIGINT) AS i, s.hsh AS hsh FROM ps0
+           |), corpus AS (
+           |  SELECT doc_id, ${O.T} AS ts FROM documents WHERE doc_id % 97 <> 0
+           |), post0 AS MATERIALIZED (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+           |    i -> {'pos': i - 1, 'hsh': ${h("array_to_string(ts[i:i+2], ' ')")}})) AS s
+           |  FROM corpus WHERE len(ts) >= 3
+           |), post AS (
+           |  SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.hsh AS hsh FROM post0
+           |), m AS (
+           |  SELECT p.doc_id, p.pos - s.i AS anchor, s.i AS i
+           |  FROM post p JOIN ps s ON p.hsh = s.hsh
+           |  WHERE p.pos - s.i >= 0
+           |), occ AS (
+           |  SELECT doc_id, anchor, count(DISTINCT i) AS mm
+           |  FROM m GROUP BY doc_id, anchor
+           |)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS occurrences,
+           |  CAST(min(anchor) AS BIGINT) AS first_pos
+           |FROM occ WHERE mm = (SELECT count(*) FROM ps)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      headline = true),
+
     "dedup_zipf_brute" -> QueryDef(
       (s, d) =>
         Dedup.ngramJaccardPairs(
