@@ -148,26 +148,90 @@ object DeltaTable {
     finally pool.shutdown()
   }
 
-  /** Level-parallel BFS directory walk on the bounded pool: each level
-    * lists all its directories concurrently (one listStatus round-trip
-    * per dir), files stream to `onFile` on the caller's thread between
-    * levels. A serial recursive walk turns a million-file tree into a
-    * multi-hour driver metadata crawl — this is the ONE walk shape
-    * (vacuum's candidate listing and COPY INTO's source listing both
-    * ride it; they hand-rolled separate walks before round 16). */
-  private[delta] def parallelWalk(fs: FileSystem, root: Path,
-                                  skipDir: Path => Boolean)
-                                 (onFile: FileStatus => Unit): Unit = {
+  /** One listed entry of [[parallelWalk]] — a lightweight serializable
+    * projection of FileStatus so distributed level listings ship tuples,
+    * not Hadoop objects. */
+  final case class WalkEntry(path: String, isDir: Boolean,
+                             modificationTime: Long)
+
+  /** How the last walk's widest level listed — specs pin the threshold
+    * routing ("spark-job" when a level holds ≥ [[distributedStatsThreshold]]
+    * directories, "driver-pool" otherwise). Diagnostic only. */
+  private[delta] var lastWalkListMode: String = ""
+
+  /** Level-parallel BFS directory walk: each level lists all its
+    * directories concurrently — on the bounded driver pool for ordinary
+    * levels, in ONE Spark job when a level holds
+    * [[distributedStatsThreshold]]+ directories (a day-partitioned ×
+    * hour-partitioned table fans to 10⁴–10⁵ dirs per level; even a
+    * 32-thread driver pool serializes round-trips there, while executors
+    * list at cluster rate and ship back metadata tuples). Files stream
+    * to `onFile` on the caller's thread between levels. A serial
+    * recursive walk turns a million-file tree into a multi-hour driver
+    * metadata crawl — this is the ONE walk shape (vacuum's candidate
+    * listing and COPY INTO's source listing both ride it). */
+  private[delta] def parallelWalk(spark: SparkSession,
+                                  conf: org.apache.hadoop.conf.Configuration,
+                                  root: Path, skipDir: Path => Boolean)
+                                 (onFile: WalkEntry => Unit): Unit = {
+    val fs = root.getFileSystem(conf)
+    lastWalkListMode = "driver-pool"
     var level: Seq[Path] = Seq(root).filterNot(skipDir)
     while (level.nonEmpty) {
+      val entries: Seq[WalkEntry] =
+        if (level.size < distributedStatsThreshold)
+          parMap(level)(d => fs.listStatus(d)).flatten.map(st =>
+            WalkEntry(st.getPath.toString, st.isDirectory,
+              st.getModificationTime))
+        else {
+          lastWalkListMode = "spark-job"
+          val bcConf = broadcastConf(spark, conf)
+          val rootStr = root.toString
+          val slices = math.min(level.size, 512)
+          spark.sparkContext.parallelize(level.map(_.toString), slices)
+            .mapPartitions { it =>
+              val (_, f) = fsFromBroadcast(bcConf, rootStr)
+              it.flatMap(d => f.listStatus(new Path(d)).iterator.map(st =>
+                WalkEntry(st.getPath.toString, st.isDirectory,
+                  st.getModificationTime)))
+            }.collect().toSeq
+        }
       val next = scala.collection.mutable.ArrayBuffer.empty[Path]
-      parMap(level)(d => fs.listStatus(d)).flatten.foreach { st =>
-        if (st.isDirectory) { if (!skipDir(st.getPath)) next += st.getPath }
-        else onFile(st)
+      entries.foreach { e =>
+        if (e.isDir) { val p = new Path(e.path); if (!skipDir(p)) next += p }
+        else onFile(e)
       }
       level = next.toSeq
     }
   }
+
+  /** The subset of table-relative `rels` whose existence matches
+    * `wantExisting`: bounded driver pool below
+    * [[distributedStatsThreshold]], ONE Spark job above it — and only
+    * the MATCHING side collects, so FSCK over 10⁶ files ships back just
+    * the dangling handful, not a boolean per file. */
+  /** [[filterByExistence]]'s routing tracker for specs. */
+  private[delta] var lastExistenceProbeMode: String = ""
+
+  private[delta] def filterByExistence(spark: SparkSession,
+                                       conf: org.apache.hadoop.conf.Configuration,
+                                       root: Path, rels: Seq[String],
+                                       wantExisting: Boolean): Seq[String] =
+    if (rels.size < distributedStatsThreshold) {
+      lastExistenceProbeMode = "driver-pool"
+      val fs = root.getFileSystem(conf)
+      parMap(rels)(p => p -> fs.exists(new Path(root, p)))
+        .collect { case (p, ex) if ex == wantExisting => p }
+    } else {
+      lastExistenceProbeMode = "spark-job"
+      val bcConf = broadcastConf(spark, conf)
+      val rootStr = root.toString
+      val slices = math.min(rels.size, 512)
+      spark.sparkContext.parallelize(rels, slices).mapPartitions { it =>
+        val (r, f) = fsFromBroadcast(bcConf, rootStr)
+        it.filter(p => f.exists(new Path(r, p)) == wantExisting)
+      }.collect().toSeq
+    }
 
   /** How the last vacuum delete ran — specs pin the threshold routing
     * ("spark-job" past [[distributedStatsThreshold]], "driver-pool" /
@@ -2080,9 +2144,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
             val n = p.getName; n.startsWith("_") || n.startsWith(".")
           }
           val buf = mutable.ArrayBuffer.empty[Path]
-          DeltaTable.parallelWalk(srcFs, srcPath,
-            d => !(srcFs.makeQualified(d) == srcQ) && hidden(d)) { st =>
-            if (!hidden(st.getPath)) buf += st.getPath
+          DeltaTable.parallelWalk(spark, spark.sessionState.newHadoopConf(),
+            srcPath, d => !(srcFs.makeQualified(d) == srcQ) && hidden(d)) { st =>
+            val p = new Path(st.path)
+            if (!hidden(p)) buf += p
           }
           buf.toSeq
         }
@@ -4967,16 +5032,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * instead of a scan-time crash. `dryRun` lists the dangling
     * references without committing. Returns the dangling paths.
     *
-    * Scale: one driver existence probe per snapshot file, the same
-    * metadata rate as vacuum's listing — no data bytes move. */
+    * Scale: one existence probe per snapshot file — driver pool for
+    * ordinary tables, a Spark job past the threshold (only dangling
+    * paths ship back); no data bytes move. */
   def fsckRepair(dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot
-    // one existence probe per snapshot file — parallelized on a bounded
-    // pool (the collectStagedFiles pattern): serial driver probes turn a
-    // million-file table's FSCK into a multi-hour metadata crawl
-    val missing = DeltaTable.parMap(snap.files)(f =>
-      f -> fs.exists(new Path(path, f.path)))
-      .collect { case (f, exists) if !exists => f }.sortBy(_.path)
+    // one existence probe per snapshot file — bounded pool below the
+    // threshold, ONE Spark job above it, and only the DANGLING side
+    // collects (serial driver probes turn a million-file table's FSCK
+    // into a multi-hour metadata crawl; per-file booleans shipped back
+    // would be a second, avoidable driver buffer)
+    val missingRels = DeltaTable.filterByExistence(spark,
+      spark.sessionState.newHadoopConf(), new Path(path),
+      snap.files.map(_.path), wantExisting = false).toSet
+    val missing = snap.files.filter(f => missingRels(f.path)).sortBy(_.path)
     if (missing.isEmpty || dryRun) return missing.map(_.path)
     val expected = missing.map(f => f.path -> f.deletionVector).toMap
     val now = System.currentTimeMillis()
@@ -5154,9 +5223,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * pool, one RPC each — cost ∝ tombstones, still zero listing). */
   def vacuumLiteDryRun(
       retentionMs: Long = DeltaTable.TableDefaultRetention): Seq[String] =
-    DeltaTable.parMap(liteCandidates(resolvedRetention(retentionMs)))(p =>
-      p -> fs.exists(new Path(path, p)))
-      .collect { case (p, true) => p }.sorted
+    DeltaTable.filterByExistence(spark, spark.sessionState.newHadoopConf(),
+      new Path(path), liteCandidates(resolvedRetention(retentionMs)),
+      wantExisting = true).sorted
 
   private def liteCandidates(retentionMs: Long): Seq[String] = {
     val snap = snapshot
@@ -5215,15 +5284,17 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       name == "_delta_log" || name.startsWith("_staging-") ||
         name == DeltaTable.ManifestDirName
     }
-    DeltaTable.parallelWalk(fs, root, skipDir) { st =>
-      val rel = fs.makeQualified(st.getPath).toString
+    DeltaTable.parallelWalk(spark, spark.sessionState.newHadoopConf(),
+      root, skipDir) { st =>
+      val p = new Path(st.path)
+      val rel = fs.makeQualified(p).toString
         .stripPrefix(rootQ).stripPrefix("/")
-      val n = st.getPath.getName
+      val n = p.getName
       val collectable =
         (n.endsWith(".parquet") && !referenced.contains(rel)) ||
           (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
             !referencedDv.contains(rel))
-      if (collectable && st.getModificationTime < cutoff) {
+      if (collectable && st.modificationTime < cutoff) {
         onCandidate(rel)
         candidates += rel
       }

@@ -70,6 +70,53 @@ object PassageIndex {
     index.append(p)
   }
 
+  /** Batch forensics: probe a whole TABLE of passages (an eval suite, a
+    * takedown list) in one pass — `(probe_id, doc_id, occurrences,
+    * first_pos)`, one row per (passage, containing doc). Passages
+    * shingle in Spark (probe sets can exceed driver-string scale), their
+    * distinct bands collect (≤ numBands ints — bounded) to drive the
+    * partition-pruned scans, and the probe shingles BROADCAST into the
+    * alignment join — the index side never shuffles. Passages shorter
+    * than `shingleN` tokens are ignored; duplicate probe_ids dedupe to
+    * one row. */
+  def probeAll(index: graft.delta.DeltaTable, passages: DataFrame,
+               idCol: String, textCol: String,
+               shingleN: Int = 3, numBands: Int = 16,
+               seed: String = "passage"): DataFrame = {
+    val ts = TextAnalysis.tokens(col(textCol))
+    val ps = passages.dropDuplicates(idCol)
+      .select(col(idCol).cast("long").as("probe_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= shingleN)
+      .select(col("probe_id"),
+        posexplode(positionalShingles(col("ts"), shingleN)).as(Seq("i", "sh")))
+      .withColumn("hsh", Hashing.h64(col("sh"), seed))
+      .select(col("probe_id"), col("i").cast("long").as("i"), col("hsh"),
+        pmod(col("hsh"), lit(numBands.toLong)).cast("int").as("band"))
+      // three consumers (band collect, alignment join, k counts) — one
+      // execution; probe sets are small by definition
+      .localCheckpoint()
+    val spark = ps.sparkSession
+    import spark.implicits._
+    val bands = ps.select(col("band")).distinct().as[Int].collect().sorted
+    if (bands.isEmpty)
+      return ps.sparkSession.emptyDataset[(Long, Long, Long, Long)]
+        .toDF("probe_id", "doc_id", "occurrences", "first_pos")
+    val scanned = bands.toSeq.map(b =>
+        index.scan(Seq(graft.delta.DataSkipping.ColPred("band", "=", b))))
+      .reduce(_ unionAll _)
+    val k = ps.groupBy(col("probe_id")).agg(count(lit(1)).as("k"))
+    scanned.join(broadcast(ps.select(col("probe_id"), col("i"), col("hsh"))), Seq("hsh"))
+      .withColumn("anchor", col("pos") - col("i"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("probe_id"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("i")).as("m"))
+      .join(broadcast(k), Seq("probe_id"))
+      .filter(col("m") === col("k"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("occurrences"), min(col("anchor")).as("first_pos"))
+      .select(col("probe_id"), col("doc_id"), col("occurrences"), col("first_pos"))
+  }
+
   /** Which docs contain `passage` verbatim (token-level): `(doc_id,
     * occurrences, first_pos)`. Opens only the distinct bands the
     * passage's shingles hash into — one partition-pruned scan per band. */

@@ -330,6 +330,71 @@ object DedupQueries extends QueryModule {
       },
       headline = true),
 
+    // Batch forensics over the SAME index: every recurring 8-token
+    // prefix in the corpus becomes a probe (probe_id = its smallest
+    // holder), and one probeAll pass maps each passage to every doc
+    // containing it verbatim with positions — the takedown-list shape.
+    // Probe shingles broadcast; the index side never shuffles.
+    "dedup_passage_probe_multi" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        val idx = graft.delta.DeltaTable.forPath(s,
+          graft.Scratch.dir("passage-idx-multi") + "/idx")
+        graft.ops.PassageIndex.build(idx, corpus, "doc_id", "text",
+          shingleN = 3, numBands = 16)
+        val ts = graft.ops.TextAnalysis.tokens(col("text"))
+        val passages = corpus.filter(size(ts) >= 8)
+          .select(col("doc_id"), concat_ws(" ", slice(ts, 1, 8)).as("passage"))
+          .groupBy(col("passage"))
+          .agg(min(col("doc_id")).as("probe_id"), count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("probe_id"), col("passage"))
+        graft.ops.PassageIndex.probeAll(idx, passages, "probe_id", "passage",
+            shingleN = 3, numBands = 16)
+          .orderBy(col("probe_id"), col("doc_id"))
+      },
+      Some {
+        def h(e: String) =
+          s"CAST(('0x' || substring(md5('passage:' || $e), 1, 15)) AS BIGINT)"
+        s"""WITH corpus AS (
+           |  SELECT doc_id, ${O.T} AS ts FROM documents WHERE doc_id % 97 <> 0
+           |), probes AS MATERIALIZED (
+           |  SELECT min(doc_id) AS probe_id, p FROM (
+           |    SELECT doc_id, array_to_string(ts[1:8], ' ') AS p
+           |    FROM corpus WHERE len(ts) >= 8)
+           |  GROUP BY p HAVING count(*) >= 2
+           |), ptoks AS (
+           |  SELECT probe_id, ${graft.queries.OracleSql.tokensSql("p")} AS pt FROM probes
+           |), ps0 AS MATERIALIZED (
+           |  SELECT probe_id, unnest(list_transform(range(1, len(pt) - 1),
+           |    i -> {'i': i - 1, 'hsh': ${h("array_to_string(pt[i:i+2], ' ')")}})) AS s
+           |  FROM ptoks
+           |), ps AS (
+           |  SELECT probe_id, CAST(s.i AS BIGINT) AS i, s.hsh AS hsh FROM ps0
+           |), kk AS (SELECT probe_id, count(*) AS k FROM ps GROUP BY probe_id
+           |), post0 AS MATERIALIZED (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+           |    i -> {'pos': i - 1, 'hsh': ${h("array_to_string(ts[i:i+2], ' ')")}})) AS s
+           |  FROM corpus WHERE len(ts) >= 3
+           |), post AS (
+           |  SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.hsh AS hsh FROM post0
+           |), m AS (
+           |  SELECT s.probe_id, p.doc_id, p.pos - s.i AS anchor, s.i AS i
+           |  FROM post p JOIN ps s ON p.hsh = s.hsh
+           |  WHERE p.pos - s.i >= 0
+           |), occ AS (
+           |  SELECT probe_id, doc_id, anchor, count(DISTINCT i) AS mm
+           |  FROM m GROUP BY probe_id, doc_id, anchor
+           |)
+           |SELECT o.probe_id, o.doc_id, CAST(count(*) AS BIGINT) AS occurrences,
+           |  CAST(min(o.anchor) AS BIGINT) AS first_pos
+           |FROM occ o JOIN kk ON o.probe_id = kk.probe_id
+           |WHERE o.mm = kk.k
+           |GROUP BY o.probe_id, o.doc_id
+           |ORDER BY o.probe_id, o.doc_id""".stripMargin
+      }),
+
     "dedup_zipf_brute" -> QueryDef(
       (s, d) =>
         Dedup.ngramJaccardPairs(

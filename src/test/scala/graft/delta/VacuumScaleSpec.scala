@@ -101,6 +101,36 @@ class VacuumScaleSpec extends SparkSpec {
     assert(e2.getMessage.contains("isDir"))
   }
 
+  test("wide walk levels list via a Spark job; FSCK probes route likewise") {
+    val saved = DeltaTable.distributedStatsThreshold
+    try {
+      DeltaTable.distributedStatsThreshold = 4
+      // 8 partition dirs = one BFS level wider than the threshold
+      val dir = tmpDir("vac-walk-dist")
+      val df = (0L until 64L).map(i => (i, s"v$i", i % 8)).toDF("id", "v", "p")
+      val t = DeltaTable.forPath(spark, dir).create(df.schema, Seq("p"))
+      t.append(df.filter(col("id") < 32L))
+      t.append(df.filter(col("id") >= 32L))
+      t.compact(minBytes = Long.MaxValue) // 2 files/partition → 1
+      val dry = t.vacuumDryRun(retentionMs = -1000L)
+      assert(DeltaTable.lastWalkListMode === "spark-job")
+      assert(dry.size === 16, s"two pre-compact files per partition: $dry")
+      assert(t.vacuum(retentionMs = -1000L) === 16)
+      assert(t.toDF.count() === 64L)
+      // FSCK: 8 live files ≥ threshold → the existence probes run as a
+      // Spark job, and only the dangling paths ship back
+      assert(t.snapshot.files.size === 8)
+      val fs = new Path(dir).getFileSystem(hconf)
+      val victims = t.snapshot.files.map(_.path).sorted.take(2)
+      victims.foreach(p => fs.delete(new Path(dir, p), false))
+      val dangling = t.fsckRepair(dryRun = true)
+      assert(DeltaTable.lastExistenceProbeMode === "spark-job")
+      assert(dangling === victims)
+      assert(t.fsckRepair() === victims)
+      assert(t.toDF.count() === 48L)
+    } finally DeltaTable.distributedStatsThreshold = saved
+  }
+
   test("LITE retention keys off the NEWEST tombstone per path (remove-RESTORE-remove)") {
     val dir = tmpDir("vac-lite-newest")
     val df = (0L until 32L).map(i => (i, s"v$i")).toDF("id", "v")

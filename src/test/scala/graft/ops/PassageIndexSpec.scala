@@ -58,6 +58,40 @@ class PassageIndexSpec extends SparkSpec {
     assert(scanned.forall(_.partitionValues("band") == b.toString))
   }
 
+  test("probeAll maps each passage of a probe table to its holders") {
+    val idx = freshIndex()
+    val passages = Seq(
+      (100L, "the quick brown fox"),
+      (200L, "colorless green ideas sleep"),
+      (300L, "entirely absent from this corpus"),
+      (400L, "xx")). // shorter than shingleN: ignored, not an error
+      toDF("pid", "passage")
+    val got = PassageIndex.probeAll(idx, passages, "pid", "passage",
+        shingleN = 3, numBands = 8)
+      .orderBy("probe_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (100L, 1L, 1L, 0L), (100L, 3L, 2L, 2L), (100L, 4L, 1L, 5L),
+      (200L, 2L, 1L, 0L)))
+    // an all-too-short probe set returns an empty, correctly-typed frame
+    assert(PassageIndex.probeAll(idx, Seq((1L, "zz")).toDF("pid", "passage"),
+      "pid", "passage", shingleN = 3, numBands = 8).isEmpty)
+  }
+
+  test("the index maintains incrementally: appended docs' postings compose") {
+    val idx = DeltaTable.forPath(spark, tmpDir("passage-idx-incr") + "/idx")
+    PassageIndex.build(idx, docs.filter(col("doc_id") <= 2L),
+      "doc_id", "text", shingleN = 3, numBands = 8)
+    // second batch appends through the same build call — Delta append,
+    // no rebuild; probes see the union
+    PassageIndex.build(idx, docs.filter(col("doc_id") > 2L),
+      "doc_id", "text", shingleN = 3, numBands = 8)
+    val got = PassageIndex.probe(idx, "the quick brown fox",
+        shingleN = 3, numBands = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 1L), (3L, 2L), (4L, 1L)))
+  }
+
   test("probe refuses a passage shorter than the shingle width") {
     val idx = freshIndex()
     intercept[IllegalArgumentException](
