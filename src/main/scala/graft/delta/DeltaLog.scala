@@ -150,7 +150,11 @@ object Actions {
       timestamp: Long,
       operation: String,
       operationParameters: Map[String, String] = Map.empty,
-      inCommitTimestamp: Option[Long] = None)
+      inCommitTimestamp: Option[Long] = None,
+      // delta-spark's DESCRIBE HISTORY metrics column (numFiles,
+      // numOutputRows, numAddedFiles, …): absent (not {}) when an
+      // operation reports none, matching delta's JSON
+      operationMetrics: Option[Map[String, String]] = None)
 
   /** One log line: exactly one of the fields set. */
   final case class Action(

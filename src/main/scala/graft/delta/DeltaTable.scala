@@ -2015,7 +2015,11 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         txnAppId.map(app => Action(txn = Some(Txn(app, txnVersion,
           Some(System.currentTimeMillis()))))).toSeq ++
         Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation,
-          Map("mode" -> "Append")))))
+          Map("mode" -> "Append"),
+          operationMetrics = Some(Map(
+            "numFiles" -> adds.size.toString,
+            "numOutputRows" -> batchRows.toString,
+            "numOutputBytes" -> adds.map(_.size).sum.toString))))))
       // an evolving append must not clobber a schema change that landed
       // while it was staging: its metaData was computed from baseSchema,
       // so committing it over a different schema would silently drop the
@@ -2265,7 +2269,13 @@ final class DeltaTable(spark: SparkSession, val path: String) {
             newFiles.map(p => Action(txn = Some(Txn(appIdOf(p), 0L, Some(now))))) ++
             Seq(Action(commitInfo = Some(CommitInfo(now, "COPY INTO",
               Map("source" -> source, "fileFormat" -> fmt,
-                "numSourceFiles" -> newFiles.size.toString)))))
+                "numSourceFiles" -> newFiles.size.toString),
+              operationMetrics = Some(Map(
+                "numFiles" -> adds.size.toString,
+                "numOutputRows" -> adds.flatMap(_.stats).map(s =>
+                  Actions.mapper.readTree(s).path("numRecords").asLong(0L))
+                  .sum.toString,
+                "numOutputBytes" -> adds.map(_.size).sum.toString))))))
           // abort if ANY of our files was loaded meanwhile — committing
           // would double their rows (our staged data already fuses them).
           // An evolving load additionally refuses to clobber a schema or
@@ -3948,7 +3958,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
             System.currentTimeMillis())))) ++
           txn.map { case (app, v) => Action(txn = Some(Txn(app, v,
             Some(System.currentTimeMillis())))) }.toSeq ++
-          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation, params)))),
+          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), operation, params,
+            operationMetrics = Some(Map(
+              "numAddedFiles" -> adds.size.toString,
+              "numRemovedFiles" -> affected.size.toString,
+              "numAddedChangeFiles" -> cdcActions.size.toString,
+              "numAddedBytes" -> adds.map(_.size).sum.toString)))))),
         check = s => {
           if (txnApplied(s)) { txnSkip = true; false }
           else {
@@ -4312,7 +4327,10 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         System.currentTimeMillis())))) ++
       readds.map(f => Action(add = Some(f))) ++
       Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "RESTORE",
-        Map("version" -> version.toString))))),
+        Map("version" -> version.toString),
+        operationMetrics = Some(Map(
+          "numRestoredFiles" -> readds.size.toString,
+          "numRemovedFiles" -> removes.size.toString)))))),
       check = s => s.files.map(f => (f.path, f.deletionVector)).toSet == baseKeys)
     if (committed < 0)
       throw new java.util.ConcurrentModificationException(
@@ -4497,6 +4515,60 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         physicalName(f) -> f.name).toMap).getOrElse(Map.empty)
       phys.map(p => logicalByPhys.getOrElse(p, p))
     }
+  }
+
+  /** `ALTER TABLE ... CLUSTER BY (cols)` / `CLUSTER BY NONE` (delta's
+    * liquid re-clustering statement): change — or first enable, or with
+    * `Nil` clear — the clustering columns in ONE metadata commit. No
+    * data moves: existing ZCube tags record the OLD physical columns, so
+    * the next incremental [[optimizeClustered]] correctly treats every
+    * file as a candidate under the new keys (and `OPTIMIZE FULL` is the
+    * explicit whole-table lever — the reason it exists). Enabling
+    * clustering on a previously-unclustered table raises the
+    * `clusteredTable`+`domainMetadata` features; `NONE` keeps the
+    * features (delta's rule — protocol never downgrades here) but clears
+    * the columns, so clustering maintenance refuses until re-enabled.
+    * Refused on Hive-partitioned tables: directory partitioning and
+    * liquid clustering are exclusive layouts. Returns the committed
+    * version. */
+  def alterClusterBy(cols: Seq[String]): Long = {
+    val snap = snapshot
+    require(snap.version >= 0, s"no table at $path")
+    val meta = snap.metadata.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    require(meta.partitionColumns.isEmpty || cols.isEmpty,
+      "CLUSTER BY is not supported on Hive-partitioned tables — directory " +
+        "partitioning and liquid clustering are exclusive layouts")
+    val sch = snap.schema.getOrElse(StructType(Nil))
+    val fields = cols.map(c => sch.fields.find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"clustering column '$c' is not a table column")))
+    val domain = Action(domainMetadata = Some(DomainMetadata(
+      DeltaTable.ClusteringDomain,
+      Actions.mapper.writeValueAsString(Map(
+        "clusteringColumns" -> fields.map(f => Seq(physicalName(f))))))))
+    val hasFeature = snap.protocol.exists(_.writerFeatures.exists(
+      _.contains("clusteredTable")))
+    val raise =
+      if (cols.isEmpty || hasFeature) Nil
+      else Seq(Action(protocol = Some(raisedProtocol(snap,
+        snap.protocol.map(_.minReaderVersion).getOrElse(1), 7,
+        Nil, Seq("clusteredTable", "domainMetadata")))))
+    val committed = log.commit(
+      raise ++ Seq(domain,
+        Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(),
+          "CLUSTER BY", Map("clusterBy" ->
+            Actions.mapper.writeValueAsString(cols)))))),
+      // a metadata race (REPLACE, concurrent ALTER) invalidates the
+      // domain/protocol this commit was computed from — refuse, re-run
+      check = s => s.metadata.exists(_.id == meta.id) &&
+        s.protocol == snap.protocol &&
+        s.domainMetadata.get(DeltaTable.ClusteringDomain) ==
+          snap.domainMetadata.get(DeltaTable.ClusteringDomain))
+    if (committed < 0)
+      throw new java.util.ConcurrentModificationException(
+        "ALTER CLUSTER BY lost a metadata race — re-run against the winner")
+    committed
   }
 
   /** Incremental clustering maintenance for a `clusterBy` table (the
@@ -5685,7 +5757,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         adds.map(a => Action(add = Some(a.copy(dataChange = false, tags = cubeTags)))) ++
           snap.files.map(f => Action(remove = Some(removeOf(f,
             System.currentTimeMillis(), dataChange = false)))) ++
-          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))),
+          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
+            operationMetrics = Some(Map(
+              "numAddedFiles" -> adds.size.toString,
+              "numRemovedFiles" -> snap.files.size.toString,
+              "numAddedBytes" -> adds.map(_.size).sum.toString,
+              "numRemovedBytes" -> snap.files.map(_.size).sum.toString)))))),
         // path-AND-descriptor guard: a concurrent DV delete keeps paths
         // live while changing logical content — clobbering it would
         // resurrect its deleted rows
@@ -5792,7 +5869,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         adds.map(a => Action(add = Some(a.copy(dataChange = false)))) ++
           small.map(f => Action(remove = Some(removeOf(f,
             System.currentTimeMillis(), dataChange = false)))) ++
-          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")))),
+          Seq(Action(commitInfo = Some(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
+            operationMetrics = Some(Map(
+              "numAddedFiles" -> adds.size.toString,
+              "numRemovedFiles" -> small.size.toString,
+              "numAddedBytes" -> adds.map(_.size).sum.toString,
+              "numRemovedBytes" -> small.map(_.size).sum.toString)))))),
         // concurrency guard: if ANY of the files this rewrite is based on
         // is no longer live — or now carries a different DV descriptor (a
         // concurrent compaction, vacuum, or DV delete got there first) —

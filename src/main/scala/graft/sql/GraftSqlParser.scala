@@ -113,6 +113,10 @@ object GraftSqlParser {
     s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+FEATURE\\s+(\\w+)(\\s+TRUNCATE\\s+HISTORY)?\\s*;?\\s*""")
   private val GenerateRx = pat(
     s"""\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$Tbl\\s*;?\\s*""")
+  // liquid re-clustering: CLUSTER BY (cols) changes the clustering
+  // columns in one metadata commit; CLUSTER BY NONE clears them
+  private val AlterClusterRx = pat(
+    s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+CLUSTER\\s+BY\\s+(?:\\(([^)]*)\\)|(NONE))\\s*;?\\s*""")
   private val SetPropsRx = pat(
     s"""\\s*ALTER\\s+TABLE\\s+$Tbl\\s+SET\\s+TBLPROPERTIES\\s*\\((.*)\\)\\s*;?\\s*""")
   private val UnsetPropsRx = pat(
@@ -205,6 +209,14 @@ object GraftSqlParser {
     if (dropf.matches())
       return Some(DropFeatureCommand(tblOf(dropf), dropf.group(3),
         truncateHistory = dropf.group(4) != null))
+    val acb = AlterClusterRx.matcher(sqlText)
+    if (acb.matches()) {
+      val cols =
+        if (acb.group(4) != null) Nil // CLUSTER BY NONE
+        else acb.group(3).split(",").map(c => stripId(c.trim))
+          .filter(_.nonEmpty).toSeq
+      return Some(AlterClusterByCommand(tblOf(acb), cols))
+    }
     val setp = SetPropsRx.matcher(sqlText)
     if (setp.matches())
       return Some(AlterPropertiesCommand(tblOf(setp),

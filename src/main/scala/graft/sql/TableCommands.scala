@@ -128,20 +128,24 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
 }
 
 /** `DESCRIBE HISTORY` — newest-first commit log
-  * (version, timestamp, operation, operationParameters). */
+  * (version, timestamp, operation, operationParameters,
+  * operationMetrics — delta-spark's metrics column: numFiles /
+  * numOutputRows / numAddedFiles / …, empty for metric-less commits). */
 case class DescribeHistoryCommand(path: String,
                                   limit: Option[Int]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = CmdSchema.attrs(
     "version" -> LongType, "timestamp" -> TimestampType,
     "operation" -> StringType,
-    "operationParameters" -> MapType(StringType, StringType))
+    "operationParameters" -> MapType(StringType, StringType),
+    "operationMetrics" -> MapType(StringType, StringType))
 
   override def run(spark: SparkSession): Seq[Row] =
     DeltaTable.forPath(spark, path).log.history(limit).map { case (v, ci) =>
       Row(v,
         ci.map(c => new java.sql.Timestamp(c.timestamp)).orNull,
         ci.map(_.operation).orNull,
-        ci.map(_.operationParameters).getOrElse(Map.empty[String, String]))
+        ci.map(_.operationParameters).getOrElse(Map.empty[String, String]),
+        ci.flatMap(_.operationMetrics).getOrElse(Map.empty[String, String]))
     }
 }
 
@@ -550,6 +554,19 @@ case class DeltaInsertCommand(path: String,
     val aligned = df.toDF(names: _*)
     Seq(Row(if (overwrite) t.overwrite(aligned) else t.append(aligned)))
   }
+}
+
+/** `ALTER TABLE … CLUSTER BY (cols)` / `CLUSTER BY NONE` —
+  * [[DeltaTable.alterClusterBy]] verbatim: one metadata commit changes
+  * (or clears) the liquid clustering columns; the next incremental
+  * OPTIMIZE re-clusters under the new keys, OPTIMIZE FULL for the
+  * whole table at once. */
+case class AlterClusterByCommand(path: String,
+                                 cols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = CmdSchema.attrs("version" -> LongType)
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(DeltaTable.forPath(spark, path).alterClusterBy(cols)))
 }
 
 /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — the feature-aware property
