@@ -23,15 +23,19 @@ import org.apache.spark.sql.types._
   */
 object DataSkipping {
 
-  /** One conjunct: `column op value`, op ∈ {=, <, <=, >, >=}. */
+  /** One conjunct: `column op value`, op ∈ {=, <, <=, >, >=, in}. For
+    * `in`, `value` is the Seq of candidate values — the partition-dir
+    * fan-out shape (a probe opening k bands, a reader opening a set of
+    * days) prunes in ONE scan instead of k unioned ones. */
   final case class ColPred(column: String, op: String, value: Any) {
-    require(Set("=", "<", "<=", ">", ">=").contains(op), s"unsupported op $op")
+    require(Set("=", "<", "<=", ">", ">=", "in").contains(op), s"unsupported op $op")
     def toColumn: Column = op match {
       case "=" => col(column) === lit(value)
       case "<" => col(column) < lit(value)
       case "<=" => col(column) <= lit(value)
       case ">" => col(column) > lit(value)
       case ">=" => col(column) >= lit(value)
+      case "in" => col(column).isin(value.asInstanceOf[Seq[Any]]: _*)
     }
   }
 
@@ -92,6 +96,14 @@ object DataSkipping {
         }
       }
     conjuncts(cond).flatMap {
+      // IN-lists with a bare attribute and all-foldable, non-null
+      // candidates; any unresolvable element drops the conjunct (the
+      // caller keeps all files — conservative)
+      case In(e, list) => attr(e).flatMap { c =>
+        val vs = list.map(value)
+        if (vs.nonEmpty && vs.forall(_.isDefined)) Some(ColPred(c, "in", vs.map(_.get)))
+        else None
+      }
       case EqualTo(l, r) => extract(l, r, "=")
       // <=> with a non-null value matches exactly the = rows (all-null
       // files have no stats bounds and are kept regardless)
@@ -174,6 +186,12 @@ object DataSkipping {
   // ops so a bound equal at ms precision never prunes a file whose true
   // sub-ms value would match.
   private def satisfiable(lo: Any, hi: Any, p: ColPred, colType: Option[DataType]): Boolean = {
+    // IN: the interval may match iff it may match ANY candidate; an
+    // empty list matches no row anywhere — prune everything, exactly
+    // what the row filter computes
+    if (p.op == "in")
+      return p.value.asInstanceOf[Seq[Any]].exists(v =>
+        satisfiable(lo, hi, ColPred(p.column, "=", v), colType))
     (cmp(lo, p.value, colType), cmp(hi, p.value, colType)) match {
       case (Some((l, lExact)), Some((h, hExact))) =>
         p.op match {

@@ -43,7 +43,9 @@ object GeneratedPruning {
     genParts.flatMap { g =>
       val sql = generatedColumns(g)
       monotoneSource(spark, schema, sql).toSeq.flatMap { src =>
-        preds.filter(_.column == src).flatMap { p =>
+        // IN-lists don't derive (evalAt takes one scalar; a derived
+        // g IN (f(v)…) adds little — the direct conjunct already prunes)
+        preds.filter(p => p.column == src && p.op != "in").flatMap { p =>
           evalAt(spark, schema, src, sql, p.value).map { gv =>
             val op = p.op match { case "<" => "<="; case ">" => ">="; case o => o }
             ColPred(g, op, gv)

@@ -101,9 +101,8 @@ object PassageIndex {
     if (bands.isEmpty)
       return ps.sparkSession.emptyDataset[(Long, Long, Long, Long)]
         .toDF("probe_id", "doc_id", "occurrences", "first_pos")
-    val scanned = bands.toSeq.map(b =>
-        index.scan(Seq(graft.delta.DataSkipping.ColPred("band", "=", b))))
-      .reduce(_ unionAll _)
+    val scanned = index.scan(Seq(
+      graft.delta.DataSkipping.ColPred("band", "in", bands.toSeq)))
     val k = ps.groupBy(col("probe_id")).agg(count(lit(1)).as("k"))
     scanned.join(broadcast(ps.select(col("probe_id"), col("i"), col("hsh"))), Seq("hsh"))
       .withColumn("anchor", col("pos") - col("i"))
@@ -119,7 +118,7 @@ object PassageIndex {
 
   /** Which docs contain `passage` verbatim (token-level): `(doc_id,
     * occurrences, first_pos)`. Opens only the distinct bands the
-    * passage's shingles hash into — one partition-pruned scan per band. */
+    * passage's shingles hash into — ONE IN-list partition-pruned scan. */
   def probe(index: graft.delta.DeltaTable, passage: String,
             shingleN: Int = 3, numBands: Int = 16,
             seed: String = "passage"): DataFrame = {
@@ -132,12 +131,11 @@ object PassageIndex {
       .toSeq
     val k = probes.size
     val bands = probes.map { case (_, h) => ((h % numBands) + numBands) % numBands }
-      .distinct.sorted
-    // one partition-pruned scan per distinct probe band — the index's
-    // other bands are never opened (partitionValues pruning in scan)
-    val scanned = bands.map(b =>
-        index.scan(Seq(graft.delta.DataSkipping.ColPred("band", "=", b.toInt))))
-      .reduce(_ unionAll _)
+      .distinct.sorted.map(_.toInt)
+    // ONE partition-pruned scan over the probe's bands (IN-list pred) —
+    // the index's other bands are never opened
+    val scanned = index.scan(Seq(
+      graft.delta.DataSkipping.ColPred("band", "in", bands)))
     val spark = scanned.sparkSession
     import spark.implicits._
     val probeDf = probes.toDF("i", "hsh")

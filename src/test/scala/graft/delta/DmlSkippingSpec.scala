@@ -117,11 +117,14 @@ class DmlSkippingSpec extends SparkSpec {
     assert(f(lit(3L) < col("id")) === Set(ColPred("id", ">", 3L)))
     assert(f(col("id") >= 2L && col("name") === "a") ===
       Set(ColPred("id", ">=", 2L), ColPred("name", "=", "a")))
-    // OR, IN, expressions over the column, and null literals extract nothing
+    // OR, expressions over the column, and null literals extract nothing
     assert(f(col("id") === 1L || col("id") === 2L) === Set.empty)
-    assert(f(col("id").isin(1L, 2L)) === Set.empty)
     assert(f(col("id") + 1L === 2L) === Set.empty)
     assert(f(col("name") === lit(null)) === Set.empty)
+    // IN-lists extract (round 16 — the partition fan-out shape); a null
+    // element drops the conjunct, never a wrong prune
+    assert(f(col("id").isin(1L, 2L)) === Set(ColPred("id", "in", Seq(1L, 2L))))
+    assert(f(col("id").isin(1L, null)) === Set.empty)
     // a mixed AND keeps its expressible half
     assert(f(col("id") < 9L && (col("name") === "a" || col("name") === "b")) ===
       Set(ColPred("id", "<", 9L)))

@@ -56,6 +56,15 @@ class PassageIndexSpec extends SparkSpec {
     val scanned = idx.scanFiles(Seq(DataSkipping.ColPred("band", "=", b.toInt)))
     assert(scanned.nonEmpty && scanned.size < snapFiles.size)
     assert(scanned.forall(_.partitionValues("band") == b.toString))
+    // the probe's actual shape: ONE IN-list scan over its bands
+    val inScan = idx.scanFiles(Seq(
+      DataSkipping.ColPred("band", "in", Seq(b.toInt, (b.toInt + 1) % 8))))
+    assert(inScan.size < snapFiles.size)
+    assert(inScan.forall(f => Set(b.toString, ((b.toInt + 1) % 8).toString)(
+      f.partitionValues("band"))))
+    // an empty IN prunes everything (matches no row anywhere)
+    assert(idx.scanFiles(Seq(
+      DataSkipping.ColPred("band", "in", Seq.empty[Any]))).isEmpty)
   }
 
   test("probeAll maps each passage of a probe table to its holders") {
