@@ -83,18 +83,7 @@ object PassageIndex {
                idCol: String, textCol: String,
                shingleN: Int = 3, numBands: Int = 16,
                seed: String = "passage"): DataFrame = {
-    val ts = TextAnalysis.tokens(col(textCol))
-    val ps = passages.dropDuplicates(idCol)
-      .select(col(idCol).cast("long").as("probe_id"), ts.as("ts"))
-      .filter(size(col("ts")) >= shingleN)
-      .select(col("probe_id"),
-        posexplode(positionalShingles(col("ts"), shingleN)).as(Seq("i", "sh")))
-      .withColumn("hsh", Hashing.h64(col("sh"), seed))
-      .select(col("probe_id"), col("i").cast("long").as("i"), col("hsh"),
-        pmod(col("hsh"), lit(numBands.toLong)).cast("int").as("band"))
-      // three consumers (band collect, alignment join, k counts) — one
-      // execution; probe sets are small by definition
-      .localCheckpoint()
+    val ps = probeShingles(passages, idCol, textCol, shingleN, numBands, seed)
     val spark = ps.sparkSession
     import spark.implicits._
     val bands = ps.select(col("band")).distinct().as[Int].collect().sorted
@@ -103,8 +92,36 @@ object PassageIndex {
         .toDF("probe_id", "doc_id", "occurrences", "first_pos")
     val scanned = index.scan(Seq(
       graft.delta.DataSkipping.ColPred("band", "in", bands.toSeq)))
+    aligned(scanned, ps)
+  }
+
+  /** `(probe_id, i, hsh, band)` shingles of a passages table —
+    * localCheckpointed so its several consumers (band collect, alignment
+    * join, k counts, every streaming micro-batch) share one execution.
+    * Passages shorter than `shingleN` tokens drop; duplicate probe_ids
+    * dedupe. */
+  def probeShingles(passages: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, numBands: Int = 16,
+                    seed: String = "passage"): DataFrame = {
+    val ts = TextAnalysis.tokens(col(textCol))
+    passages.dropDuplicates(idCol)
+      .select(col(idCol).cast("long").as("probe_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= shingleN)
+      .select(col("probe_id"),
+        posexplode(positionalShingles(col("ts"), shingleN)).as(Seq("i", "sh")))
+      .withColumn("hsh", Hashing.h64(col("sh"), seed))
+      .select(col("probe_id"), col("i").cast("long").as("i"), col("hsh"),
+        pmod(col("hsh"), lit(numBands.toLong)).cast("int").as("band"))
+      .localCheckpoint()
+  }
+
+  /** Positional phrase alignment of postings rows `(hsh, doc_id, pos)`
+    * against probe shingles `(probe_id, i, hsh)`: all k probe shingles
+    * at one anchor = a verbatim occurrence. The probe side broadcasts —
+    * the postings side never shuffles. */
+  private[graft] def aligned(post: DataFrame, ps: DataFrame): DataFrame = {
     val k = ps.groupBy(col("probe_id")).agg(count(lit(1)).as("k"))
-    scanned.join(broadcast(ps.select(col("probe_id"), col("i"), col("hsh"))), Seq("hsh"))
+    post.join(broadcast(ps.select(col("probe_id"), col("i"), col("hsh"))), Seq("hsh"))
       .withColumn("anchor", col("pos") - col("i"))
       .filter(col("anchor") >= 0)
       .groupBy(col("probe_id"), col("doc_id"), col("anchor"))
@@ -115,6 +132,16 @@ object PassageIndex {
       .agg(count(lit(1)).as("occurrences"), min(col("anchor")).as("first_pos"))
       .select(col("probe_id"), col("doc_id"), col("occurrences"), col("first_pos"))
   }
+
+  /** Index-free one-shot form: which `docs` contain which `passages`
+    * verbatim — [[probeAll]]'s alignment with postings computed in-flight
+    * (ad-hoc scans, streaming micro-batches) instead of read from a
+    * Delta index. Both frames use (`idCol`, `textCol`). */
+  def matches(docs: DataFrame, passages: DataFrame,
+              idCol: String, textCol: String,
+              shingleN: Int = 3, seed: String = "passage"): DataFrame =
+    aligned(postings(docs, idCol, textCol, shingleN, numBands = 1, seed),
+      probeShingles(passages, idCol, textCol, shingleN, 1, seed))
 
   /** Which docs contain `passage` verbatim (token-level): `(doc_id,
     * occurrences, first_pos)`. Opens only the distinct bands the

@@ -238,4 +238,28 @@ object StreamingCuration {
         .filter(col("hits") >= minHits).select(col("doc_id").as(idCol))
       write(batch.join(flagged, Seq(idCol), "left_anti"))
     }
+
+  /** Verbatim-passage ingest filter ([[graft.ops.PassageIndex]]'s
+    * streaming twin — the takedown-list shape): drop micro-batch docs
+    * containing ANY listed passage word-for-word. POSITIONAL matching,
+    * not n-gram overlap: a doc sharing every n-gram of a passage in
+    * scrambled order passes, an exact quote drops — the complement of
+    * [[contaminationFilterSink]]'s overlap test. The passage shingles
+    * compute ONCE (localCheckpoint) and broadcast into every batch;
+    * per-doc decision, micro-batch-split independent, zero stream
+    * state. `passages` carries the same (`idCol`, `textCol`) columns as
+    * the stream. */
+  def passageFilterSink(passages: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3)
+                       (write: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    val ps = graft.ops.PassageIndex.probeShingles(
+      passages, idCol, textCol, shingleN, numBands = 1)
+    (batch, _) => {
+      val hit = graft.ops.PassageIndex.aligned(
+          graft.ops.PassageIndex.postings(batch, idCol, textCol, shingleN,
+            numBands = 1), ps)
+        .select(col("doc_id").as(idCol)).distinct()
+      write(batch.join(hit, Seq(idCol), "left_anti"))
+    }
+  }
 }

@@ -498,6 +498,37 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("verbatim-passage filter drops exact quotes but not scrambled overlap, per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF.toDF("doc_id", "text")
+    val passages = Seq((1L, "what is the capital of france"))
+      .toDF("doc_id", "text")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = docs.writeStream
+      .foreachBatch(StreamingCuration.passageFilterSink(
+        passages, "doc_id", "text", shingleN = 3)(
+        clean => kept.synchronized {
+          kept ++= clean.select("doc_id").collect().map(_.getLong(0)): Unit
+        }))
+      .start()
+    try {
+      // doc 2 quotes the passage verbatim mid-sentence → drops; doc 3
+      // holds every trigram's WORDS but scrambled → positional alignment
+      // keeps it (the contamination-overlap filter would flag it)
+      in.addData((1L, "an ordinary clean training document"),
+        (2L, "she asked what is the capital of france and left"))
+      q.processAllAvailable()
+      in.addData((3L, "france of capital the is what"),
+        (4L, "the capital what is of france nearly but not quite")) // reordered
+      q.processAllAvailable()
+      in.addData((5L, "what is the capital of france")) // the passage itself
+      q.processAllAvailable()
+      assert(kept.synchronized(kept.toSet) === Set(1L, 3L, 4L),
+        s"exact quotes drop, scrambles pass; kept $kept")
+    } finally q.stop()
+  }
+
   test("intervalJoin attributes within the window on live streams") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
