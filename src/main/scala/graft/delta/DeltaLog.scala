@@ -434,6 +434,49 @@ object DeltaLog {
     * `rowIdHighWaterMark`). */
   val RowTrackingDomain = "delta.rowTracking"
 
+  /** Protocol features this engine IMPLEMENTS. PROTOCOL.md's conformance
+    * rule: a client MUST refuse tables whose protocol names anything it
+    * does not implement — reading past an unknown reader feature returns
+    * wrong results (e.g. unapplied masks), writing past an unknown
+    * writer feature silently breaks the table's invariants. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+      // a reader-writer feature: readers must up-cast narrower physical
+      // types written before the widen — this engine's reads do
+      "typeWidening")
+  val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++ Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "identityColumns", "rowTracking", "domainMetadata",
+    "inCommitTimestamp", "clusteredTable", "allowColumnDefaults")
+
+  /** Refuse reading a table whose protocol requires anything this engine
+    * does not implement (legacy reader versions 1–2 imply only
+    * implemented behavior; version 3 enumerates features). */
+  def requireReadSupported(p: Option[Actions.Protocol]): Unit = p.foreach { pr =>
+    require(pr.minReaderVersion <= 3,
+      s"table requires reader version ${pr.minReaderVersion}; this engine " +
+        "implements up to 3 — refusing to read")
+    val unknown = pr.readerFeatures.getOrElse(Nil).toSet -- SupportedReaderFeatures
+    require(unknown.isEmpty,
+      "table requires reader features this engine does not implement: " +
+        s"${unknown.toSeq.sorted.mkString(", ")} — refusing to read " +
+        "(scanning past them would return wrong results)")
+  }
+
+  /** Refuse writing a table whose protocol requires anything this engine
+    * does not implement (a writer must also be a conforming reader). */
+  def requireWriteSupported(p: Option[Actions.Protocol]): Unit = p.foreach { pr =>
+    requireReadSupported(p)
+    require(pr.minWriterVersion <= 7,
+      s"table requires writer version ${pr.minWriterVersion}; this engine " +
+        "implements up to 7 — refusing to write")
+    val unknown = pr.writerFeatures.getOrElse(Nil).toSet -- SupportedWriterFeatures
+    require(unknown.isEmpty,
+      "table requires writer features this engine does not implement: " +
+        s"${unknown.toSeq.sorted.mkString(", ")} — refusing to write " +
+        "(blind commits would break invariants those features maintain)")
+  }
+
   /** Grace window before [[DeltaLog.cleanupMetadata]] collects V2-checkpoint
     * transients (unreferenced `_sidecars` parquet, stale `.ck2-*` staging
     * dirs). Must exceed the longest plausible gap between a writer's
@@ -983,6 +1026,9 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     var attempt = 0
     while (attempt < maxAttempts) {
       val snap = snapshot()
+      // conformance gate: never commit over a protocol this engine does
+      // not fully implement (foreign tables with e.g. icebergCompat)
+      if (snap.version >= 0) DeltaLog.requireWriteSupported(snap.protocol)
       if (!check(snap)) return -1L
       val next = snap.version + 1
       val actions = stampRowIds(snap, next, gen(snap))

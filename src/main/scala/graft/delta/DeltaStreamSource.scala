@@ -3,7 +3,7 @@ package graft.delta
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
@@ -58,8 +58,50 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
   * rows already went out). Mid-stream schema changes fail loudly
   * (restart to pick up the new schema — delta-spark's contract too). */
 final class DeltaStreamProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-delta"
+
+  /** `spark.read.format("graft-delta").load(dir)` — the BATCH reader
+    * (delta-spark's `format("delta")` shape), with the reader options
+    * `versionAsOf` / `timestampAsOf` for time travel. File-level
+    * stats/partition pruning applies through the pushed filters on
+    * current-version reads; every filter is still re-applied row-level
+    * by Spark (V1 unhandled-filters contract), so pruning can never
+    * change results. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    new DeltaBatchRelation(sqlContext, pathOf(parameters), parameters)
+
+  /** `df.write.format("graft-delta").mode(...).save(dir)` — the BATCH
+    * writer: Append/Overwrite ride the full [[DeltaTable.append]] /
+    * [[DeltaTable.overwrite]] paths (constraints, generated columns,
+    * stats); ErrorIfExists/Ignore follow their SaveMode contracts. A
+    * missing table is created from the frame's schema (partition columns
+    * via option `partitionBy`, comma-separated — the V1 API does not
+    * forward `.partitionBy(...)` to non-file sources). */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val path = pathOf(parameters)
+    val t = DeltaTable.forPath(sqlContext.sparkSession, path)
+    val parts = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("partitionBy") =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq }.getOrElse(Nil)
+    def ensure(): Unit =
+      if (!t.exists) { t.create(data.schema, parts); () }
+    mode match {
+      case Append => ensure(); t.append(data)
+      case Overwrite => ensure(); t.overwrite(data)
+      case ErrorIfExists =>
+        require(!t.exists, s"table already exists at $path (SaveMode.ErrorIfExists)")
+        ensure(); t.append(data)
+      case Ignore => if (!t.exists) { ensure(); t.append(data) }
+    }
+    new DeltaBatchRelation(sqlContext, path, Map.empty)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
@@ -227,6 +269,10 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
 
   private val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
   private val table = DeltaTable.forPath(spark, path)
+  // conformance gate at stream construction (the batch path gates in
+  // dfFor/rawFor): tailing past an unknown reader feature would emit
+  // wrong rows on every micro-batch
+  DeltaLog.requireReadSupported(table.snapshot.protocol)
   private val startingVersion: Option[Long] = {
     val byVersion = opts.get("startingversion").map(_.toLong)
     // startingTimestamp (delta-spark's sibling option): epoch millis or
@@ -534,4 +580,72 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** V1 batch relation over a graft Delta table — the
+  * `spark.read.format("graft-delta")` shape. Pushed filters translate to
+  * [[DataSkipping.ColPred]]s for FILE-level stats/partition pruning
+  * (current-version reads; time travel reads its version's file set
+  * directly); every filter is declared unhandled so Spark re-applies it
+  * row-level — pruning can only skip files that provably hold no match,
+  * never change results. `needConversion = false` + `toRdd` hands Spark
+  * the internal rows without a per-row conversion pass. */
+final class DeltaBatchRelation(override val sqlContext: SQLContext,
+                               path: String, parameters: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan {
+  private val table = DeltaTable.forPath(sqlContext.sparkSession, path)
+  private val versionAsOf: Option[Long] = parameters.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong }
+  private val timestampAsOf: Option[Long] = parameters.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("timestampAsOf") =>
+      try v.toLong catch {
+        case _: NumberFormatException => java.time.Instant.parse(v).toEpochMilli
+      } }
+  require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+    "versionAsOf and timestampAsOf are mutually exclusive")
+
+  private val snapVersion: Option[Long] =
+    versionAsOf.orElse(timestampAsOf.map(table.log.versionAt(_)))
+
+  private def baseDf: DataFrame =
+    snapVersion.map(table.toDF(_)).getOrElse(table.toDF)
+
+  // schema from the LOG, not from a constructed frame: relation
+  // construction must not touch data files (a stats-pruned read may
+  // legitimately never open some of them)
+  override val schema: StructType =
+    snapVersion.map(table.log.snapshotAt).getOrElse(table.snapshot)
+      .schema.getOrElse(
+        throw new IllegalStateException(s"no Delta table at $path"))
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): org.apache.spark.rdd.RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val preds = filters.toSeq.flatMap(toColPred)
+    val base =
+      if (preds.nonEmpty && versionAsOf.isEmpty && timestampAsOf.isEmpty)
+        table.scan(preds)
+      else baseDf
+    val projected =
+      if (requiredColumns.isEmpty) base.select() // zero-width count shape
+      else base.select(requiredColumns.toSeq.map(col): _*)
+    projected.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+  }
+
+  private def toColPred(f: Filter): Option[DataSkipping.ColPred] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) if v != null => Some(DataSkipping.ColPred(a, "=", v))
+      case LessThan(a, v) if v != null => Some(DataSkipping.ColPred(a, "<", v))
+      case LessThanOrEqual(a, v) if v != null => Some(DataSkipping.ColPred(a, "<=", v))
+      case GreaterThan(a, v) if v != null => Some(DataSkipping.ColPred(a, ">", v))
+      case GreaterThanOrEqual(a, v) if v != null => Some(DataSkipping.ColPred(a, ">=", v))
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+        Some(DataSkipping.ColPred(a, "in", vs.toSeq))
+      case _ => None
+    }
+  }
 }

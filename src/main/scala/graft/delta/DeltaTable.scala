@@ -4084,6 +4084,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
                                    pruneWhere: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(fromVersion >= 0 && toVersion >= fromVersion,
       s"bad version range [$fromVersion, $toVersion]")
+    // same conformance gate as the batch scan: unknown reader features
+    // falsify change rows exactly as they falsify table rows
+    DeltaLog.requireReadSupported(snapshot.protocol)
     require(cdfEnabled,
       s"${DeltaTable.CdfConfigKey} is not 'true' on this table")
     val sch = schema
@@ -4836,6 +4839,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       .groupBy(_.path).map(_._2.head).toSeq
 
   private def dfFor(snap: Snapshot): DataFrame = {
+    // gate BEFORE the empty-table shortcut: emptiness itself is an
+    // answer an unknown reader feature could falsify
+    DeltaLog.requireReadSupported(snap.protocol)
     val sch = snap.schema.getOrElse(
       throw new IllegalStateException(s"no table metadata at $path"))
     if (snap.files.isEmpty)
@@ -4894,6 +4900,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * relation and would be lost past a join. */
   private def rawFor(snap: Snapshot, withMeta: Boolean = false,
                      withRowIds: Boolean = false): DataFrame = {
+    // conformance gate (PROTOCOL.md): a reader feature this engine does
+    // not implement means scanning would return WRONG rows — refuse
+    DeltaLog.requireReadSupported(snap.protocol)
     val sch = snap.schema.getOrElse(
       throw new IllegalStateException(s"no table metadata at $path"))
     val paths = snap.files.map(f => new Path(path, f.path).toString)
