@@ -1287,6 +1287,10 @@ final class DeltaLog(val tablePath: String, conf: Configuration,
     * table's `delta.checkpointPolicy`. */
   def checkpointAt(version: Long): Unit = {
     val ss = spark.getOrElse(return)
+    // conformance: a checkpoint REWRITES table state — on a table with
+    // unknown features it would silently drop the action types those
+    // features add (this replay only knows the spec's action set)
+    DeltaLog.requireWriteSupported(snapshot().protocol)
     // the checkpoint must contain exactly version's state: snapshot()
     // would capture any commit a concurrent writer lands between our
     // commit and this call, poisoning later snapshotAt(version) reads

@@ -494,6 +494,38 @@ object ReferenceOps extends QueryModule {
              |  CAST(sum(length(text)) AS BIGINT) AS len_sum
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- BATCH V1 DataSource round-trip (round 16:
+    // spark.read/write.format("graft-delta")): two appends through the
+    // writer, versionAsOf reads the first generation (require()'d
+    // in-query), the final read pushes an IN filter through the pruning
+    // scan; the aggregate must equal raw events — a dropped or
+    // double-written generation, or a wrong time-travel file set, shifts
+    // every sum. --------------------------------------------------------
+    "ref_batch_format" -> QueryDef(
+      (s, d) => {
+        val dir = graft.Scratch.dir("graft-batchfmt") + "/tbl"
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val gen1 = ev.filter(col("event_id") % 2 === 0)
+        gen1.write.format("graft-delta").mode("append").save(dir)
+        ev.filter(col("event_id") % 2 =!= 0)
+          .write.format("graft-delta").mode("append").save(dir)
+        val v1 = s.read.format("graft-delta")
+          .option("versionAsOf", "1").load(dir)
+        require(v1.count() == gen1.count(),
+          "versionAsOf must read exactly the first generation")
+        s.read.format("graft-delta").load(dir)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).cast("long").as("user_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(user_id) AS BIGINT) AS user_sum
+             |FROM events WHERE event_type IN ('click', 'view')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- MERGE / upsert (delta-rs merge, copy-on-write): target = even
     // event ids; the source UPDATES every id % 4 == 0 row (user_id bumped
     // by 1e6) and INSERTS odd multiples of 5 (bumped by 2e6). The oracle
