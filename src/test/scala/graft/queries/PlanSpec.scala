@@ -70,6 +70,25 @@ class PlanSpec extends SparkSpec {
       "corpus-side shingles must never shuffle:\n" + fmt)
   }
 
+  test("passage probe: probe shingles broadcast; postings never shuffle text") {
+    val df = Registry.all("dedup_passage_probe").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the passage's handful of shingles broadcasts into the alignment
+    // join — a shuffled join would move the index side's postings
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the alignment join must broadcast the probe side:\n" + p)
+    // exchanges carry alignment tuples (doc_id/anchor/counts) — never
+    // text, shingle strings, or positions-with-text
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(exchangeInputs.forall(in => !in.contains("text#") && !in.contains("sh#")),
+      "no exchange may carry text or shingle strings:\n" + fmt)
+  }
+
   test("ngram jaccard: the exploded self-join reuses one exchange") {
     val p = plan("dedup_ngram_jaccard")
     assert(p.contains("ReusedExchange"),
