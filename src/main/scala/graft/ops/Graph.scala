@@ -192,6 +192,72 @@ object Graph {
        |), $steps""".stripMargin
   }
 
+  /** k-CORE decomposition (the classic degeneracy peel — graph-quality
+    * curation: the k-core is the maximal subgraph where every node keeps
+    * ≥ k neighbors, the standard spam/bot/fringe filter on interaction
+    * graphs): iteratively drop nodes of degree < k until fixpoint.
+    * Returns `(node, deg)` — surviving nodes with their degree INSIDE
+    * the core (≥ k by construction); an empty frame when the graph has
+    * no k-core.
+    *
+    * Scale shape: each round is one degree aggregation plus two
+    * semi-join-shaped filters over (long, long) edge rows — exchanges
+    * never widen; the edge set localCheckpoints per round, so lineage
+    * stays flat over arbitrarily deep peels (the [[pageRank]] loop
+    * discipline). Rounds are data-bounded: peeling is monotone (edges
+    * only leave), so it converges in ≤ |V| rounds and in practice a
+    * handful; `maxRounds` guards a pathological chain with a loud
+    * failure instead of an endless job. Input direction/duplicates/
+    * self-loops normalize away like [[triangles]]. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var e = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var n = e.count()
+    var round = 0
+    var converged = n == 0L
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds,
+        s"k-core did not converge within $maxRounds rounds")
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "src"), "src")
+        .join(keep.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val n2 = e2.count()
+      converged = n2 == n
+      e = e2; n = n2
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
+  /** DuckDB twin of [[kCore]]: `rounds` unrolled peel steps ending in
+    * `e$rounds(src, dst)` — peeling is monotone, so any unroll depth ≥
+    * the true fixpoint yields the fixpoint (extra rounds no-op); pick
+    * `rounds` with margin over the fixture's measured depth. `e0(src,
+    * dst)` (symmetric distinct simple edges) must be in scope. Every CTE
+    * MATERIALIZED, the [[pageRankSql]] rule. */
+  def kCoreSql(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      // two CTEs per round, not three: every materialized operator tree
+      // stays live to query end in DuckDB, and the 128MB oracle bar is
+      // the binding constraint on unroll depth (round-12 lesson)
+      s"""k$i AS MATERIALIZED (
+         |  SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= $k
+         |), e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i x ON e.src = x.node JOIN k$i y ON e.dst = y.node
+         |)""".stripMargin
+    }.mkString(", ")
+
   /** Symmetric bipartite interaction edges between two id columns of a
     * relation (e.g. customers and suppliers linked by order lines): an
     * edge each way per distinct pair, right ids offset into their own id

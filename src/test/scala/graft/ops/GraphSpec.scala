@@ -135,6 +135,23 @@ class GraphSpec extends SparkSpec {
     assert(got8 === expected)
   }
 
+  test("kCore peels cascades to the exact fixpoint; edge cases hold") {
+    // a 4-clique (every node degree 3) with a pendant chain hanging off
+    // it: the 3-core is exactly the clique — the chain peels in CASCADE
+    // (removing the tail drops the next node under 3, round after round)
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val chain = Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    val got = Graph.kCore((clique ++ chain).toDF("src", "dst"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // k above the max degree: empty core, not a crash
+    assert(Graph.kCore(clique.toDF("src", "dst"), k = 4).isEmpty)
+    // k=1 keeps everything (after dupe/loop/direction normalization)
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L))
+    assert(Graph.kCore(messy.toDF("src", "dst"), k = 1)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("labelPropagation ≡ in-memory synchronous reference; communities separate") {
     // two triangles bridged by one edge: labels converge within each
     // triangle to its min id; the bridge is outvoted
