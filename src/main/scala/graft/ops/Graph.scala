@@ -258,6 +258,59 @@ object Graph {
          |)""".stripMargin
     }.mkString(", ")
 
+  /** Multi-source BFS depth (TrustRank-style seed distance — the
+    * quality-propagation feature: how many hops is each node from the
+    * nearest TRUSTED seed): frontier expansion to `maxDepth`, returning
+    * `(node, depth)` for every node reachable within the cap (sources at
+    * depth 0; unreachable nodes absent). Directed edges as given —
+    * symmetrize upstream for undirected distance.
+    *
+    * Scale shape: each round joins the (long) frontier into the
+    * pre-partitioned (long, long) edge set, dedups, and anti-joins the
+    * visited set — exchanges carry ids only; frontier and visited set
+    * localCheckpoint per round (flat lineage, one execution each).
+    * Rounds = `maxDepth` exactly, so cost is explicitly capped — the
+    * caller picks the horizon that matters (3–6 hops covers any
+    * small-world graph). */
+  def bfsDepth(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
+    var depths = sources.select(col(sources.columns.head).cast("long").as("node"))
+      .distinct().withColumn("depth", lit(0L)).localCheckpoint()
+    var frontier = depths.select(col("node"))
+    var d = 0L
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(depths.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      depths = depths
+        .union(next.withColumn("depth", lit(d))).localCheckpoint()
+      frontier = next
+    }
+    depths
+  }
+
+  /** DuckDB twin of [[bfsDepth]]: `depth` unrolled frontier CTEs over
+    * `e(src, dst)` and `f0(node)` (the distinct seed set), ending with
+    * visited set `v$depth(node, depth)`. Rounds are the CAP itself, so
+    * Spark and oracle run the identical horizon — no fixpoint subtlety.
+    * MATERIALIZED per the [[pageRankSql]] rule. */
+  def bfsDepthSql(depth: Int): String = {
+    val steps = (1 to depth).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node FROM e JOIN f${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v${i - 1})
+         |), v$i AS MATERIALIZED (
+         |  SELECT node, depth FROM v${i - 1}
+         |  UNION ALL SELECT node, $i AS depth FROM f$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""v0 AS MATERIALIZED (SELECT node, 0 AS depth FROM f0), $steps""".stripMargin
+  }
+
   /** Symmetric bipartite interaction edges between two id columns of a
     * relation (e.g. customers and suppliers linked by order lines): an
     * edge each way per distinct pair, right ids offset into their own id

@@ -713,6 +713,47 @@ object Analytics extends QueryModule {
               |  UNION ALL SELECT b AS src, a AS dst FROM p
               |), ${graft.ops.Graph.kCoreSql(rounds = 8, k = 18)}
               |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-              |FROM e8 GROUP BY src ORDER BY node""".stripMargin))
+              |FROM e8 GROUP BY src ORDER BY node""".stripMargin)),
+
+    // TrustRank-style seed distance over the same part graph: hops from
+    // the nearest trusted seed (partkey % 199 = 0), capped at 3 —
+    // frontier expansion where Spark and the oracle run the IDENTICAL
+    // horizon (depths 0..3; ~30 nodes only reached at 3), so a leaked
+    // revisit (wrong depth) or a dropped frontier node fails the hash.
+    "graph_seed_depth" -> QueryDef(
+      (s, d) => {
+        val l1 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").cast("long").as("pa"))
+        val l2 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
+          col("l_partkey").cast("long").as("pb"))
+        val und = l1.join(l2, Seq("ok", "ln"))
+          .where(col("pa") =!= col("pb"))
+          .select(col("pa").as("a"), col("pb").as("b"))
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+        val seeds = und.select(col("a").as("node"))
+          .unionAll(und.select(col("b").as("node")))
+          .filter(col("node") % 199 === 0).distinct()
+        graft.ops.Graph.bfsDepth(edges, seeds, maxDepth = 3)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
+              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
+              |  FROM lineitem l1 JOIN lineitem l2
+              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+              |  WHERE l1.l_partkey <> l2.l_partkey
+              |), e AS MATERIALIZED (
+              |  SELECT a AS src, b AS dst FROM p
+              |  UNION ALL SELECT b AS src, a AS dst FROM p
+              |), f0 AS MATERIALIZED (
+              |  SELECT DISTINCT node FROM (
+              |    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+              |  WHERE node % 199 = 0
+              |), ${graft.ops.Graph.bfsDepthSql(3)}
+              |SELECT node, CAST(depth AS BIGINT) AS depth
+              |FROM v3 ORDER BY node""".stripMargin))
   )
 }

@@ -152,6 +152,22 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("bfsDepth: nearest-seed depths, cap honored, unreachable absent") {
+    // path 0-1-2-3-4 plus an island 9-10; seeds {0, 4}
+    val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L, 4L).toDF("node")
+    val got = Graph.bfsDepth(edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 2 is 2 hops from BOTH seeds — nearest wins, no double entry
+    assert(got === Map(0L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L))
+    // cap 1 stops the frontier; the island never appears
+    assert(Graph.bfsDepth(edges, seeds, maxDepth = 1)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 3L, 4L))
+    // depth 0 = the seed set itself
+    assert(Graph.bfsDepth(edges, seeds, maxDepth = 0).count() === 2L)
+  }
+
   test("labelPropagation ≡ in-memory synchronous reference; communities separate") {
     // two triangles bridged by one edge: labels converge within each
     // triangle to its min id; the bridge is outvoted
