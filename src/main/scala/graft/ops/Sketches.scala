@@ -316,4 +316,129 @@ object Sketches {
         concat_ws(",", regs).as("registers_joined"),
         floor(est * 1000.0 + 0.5).cast("long").as("est_q3"))
   }
+
+  /** 2^60 as a double — the hash-space width of [[graft.functions.Hashing.h64]];
+    * exactly representable, so the literal is engine-identical. */
+  val KmvSpace: Double = 1.152921504606846976e18
+
+  /** Per-set KMV (theta) sketch: the k smallest distinct values of `hash`
+    * (a 60-bit [[graft.functions.Hashing.h64]] column), sorted ascending.
+    *
+    * Plan shape: ONE aggregation whose map-side partial
+    * ([[graft.functions.KMinHashAgg]], a bounded `TypedImperativeAggregate`)
+    * consumes raw rows inside the scan stage — the exchange carries at
+    * most k longs per (set, partition), never the items, and no
+    * pre-`distinct` shuffle exists because the buffer dedups by
+    * construction. At 100 TB the sketch relation is |sets| rows of ≤ k
+    * longs: trivially broadcastable into any downstream set-algebra join.
+    *
+    * @return (set, hs array&lt;long&gt; ascending, |hs| ≤ k) */
+  def kmvSketches(df: DataFrame, setCol: String, hash: Column, k: Int): DataFrame =
+    df.select(col(setCol).as("set"), hash.as("h"))
+      .groupBy(col("set"))
+      .agg(graft.functions.KMinHash.of(col("h"), k).as("hs"))
+
+  /** Pairwise set-cardinality estimates from KMV sketches (Beyer et al.
+    * 2007): for every set pair (a < b), distinct-count estimates of A, B,
+    * A∪B, A∩B, A∖B plus the sketch-space Jaccard — the sketch-estimate
+    * twin of an exact overlap join that would shuffle both corpora.
+    *
+    * Union law: the k smallest of (sketch_A ∪ sketch_B) IS the KMV sketch
+    * of A∪B; intersection: the fraction of that union sketch present in
+    * both input sketches, scaled by the union estimate. When a sketch
+    * holds fewer than k hashes it is the complete hash set and every
+    * estimate degrades to the EXACT count (`< k` regimes below).
+    *
+    * All arithmetic is integers until four double ops spelled identically
+    * in [[kmvPairwiseSql]], then floor-rounded to q3/q6 — so the DuckDB
+    * oracle matches bit-for-bit. The pair join is a deliberate
+    * nested-loop over the sketch relation (|sets| rows of ≤ k longs —
+    * broadcast-scale by construction, never data-scale).
+    *
+    * @param sketches output of [[kmvSketches]]
+    * @return (set_a, set_b, n_a, n_b, n_union_sk, n_common,
+    *         est_a_q3, est_b_q3, est_union_q3, est_isect_q3,
+    *         est_diff_ab_q3, jaccard_q6) */
+  def kmvPairwise(sketches: DataFrame, k: Int): DataFrame = {
+    val numer = (k - 1).toDouble * KmvSpace
+    val a = sketches.select(col("set").as("set_a"), col("hs").as("ha"))
+    val b = sketches.select(col("set").as("set_b"), col("hs").as("hb"))
+    val su = slice(array_sort(array_union(col("ha"), col("hb"))), 1, k)
+    def estOf(arr: Column, n: Column): Column =
+      when(n < k, n.cast("double"))
+        .otherwise(lit(numer) / element_at(arr, k).cast("double"))
+    def q3(x: Column): Column = floor(x * 1000.0 + 0.5).cast("long")
+    a.join(b, col("set_a") < col("set_b"))
+      .withColumn("su", su)
+      .withColumn("na", size(col("ha")))
+      .withColumn("nb", size(col("hb")))
+      .withColumn("nu", size(col("su")))
+      .withColumn("com", size(filter(col("su"), h =>
+        array_contains(col("ha"), h) && array_contains(col("hb"), h))))
+      .withColumn("ea", estOf(col("ha"), col("na")))
+      .withColumn("eb", estOf(col("hb"), col("nb")))
+      .withColumn("eu", estOf(col("su"), col("nu")))
+      .withColumn("ei", when(col("nu") < k, col("com").cast("double"))
+        .otherwise(col("com").cast("double") / lit(k.toDouble) * col("eu")))
+      .select(col("set_a"), col("set_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("nu").cast("long").as("n_union_sk"), col("com").cast("long").as("n_common"),
+        q3(col("ea")).as("est_a_q3"), q3(col("eb")).as("est_b_q3"),
+        q3(col("eu")).as("est_union_q3"), q3(col("ei")).as("est_isect_q3"),
+        greatest(lit(0L), q3(col("eu")) - q3(col("eb"))).as("est_diff_ab_q3"),
+        when(col("nu") === 0, lit(0L)).otherwise(
+          floor(col("com").cast("double") / col("nu").cast("double") * 1000000.0 + 0.5)
+            .cast("long")).as("jaccard_q6"))
+  }
+
+  /** DuckDB oracle twin of [[kmvSketches]] + [[kmvPairwise]]: CTE chain
+    * over a prior `hh` CTE holding (grp, h) distinct hashes per set.
+    * Terminal CTE `kmvp` has the same twelve columns. Generated here so
+    * the oracle can never drift from the operator. */
+  def kmvPairwiseSql(k: Int): String = {
+    val numer = (k - 1).toDouble * KmvSpace
+    s"""rk AS (
+       |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hh
+       |), sk AS MATERIALIZED (
+       |  SELECT grp, list(h ORDER BY h) AS hs FROM rk WHERE rn <= $k GROUP BY grp
+       |), pr AS (
+       |  SELECT a.grp AS set_a, a.hs AS ha, b.grp AS set_b, b.hs AS hb
+       |  FROM sk a JOIN sk b ON a.grp < b.grp
+       |), c1 AS (
+       |  SELECT set_a, set_b, ha, hb,
+       |    list_slice(list_sort(list_distinct(list_concat(ha, hb))), 1, $k) AS su
+       |  FROM pr
+       |), c2 AS (
+       |  SELECT set_a, set_b, ha, hb, su,
+       |    len(ha) AS na, len(hb) AS nb, len(su) AS nu,
+       |    len(list_filter(su, x -> list_contains(ha, x) AND list_contains(hb, x))) AS com
+       |  FROM c1
+       |), c3 AS (
+       |  SELECT set_a, set_b, na, nb, nu, com,
+       |    CASE WHEN na < $k THEN CAST(na AS DOUBLE) ELSE $numer / CAST(ha[$k] AS DOUBLE) END AS ea,
+       |    CASE WHEN nb < $k THEN CAST(nb AS DOUBLE) ELSE $numer / CAST(hb[$k] AS DOUBLE) END AS eb,
+       |    CASE WHEN nu < $k THEN CAST(nu AS DOUBLE) ELSE $numer / CAST(su[$k] AS DOUBLE) END AS eu
+       |  FROM c2
+       |), c4 AS (
+       |  SELECT set_a, set_b, na, nb, nu, com, ea, eb, eu,
+       |    CASE WHEN nu < $k THEN CAST(com AS DOUBLE)
+       |      ELSE CAST(com AS DOUBLE) / ${k.toDouble} * eu END AS ei
+       |  FROM c3
+       |), kmvp AS (
+       |  SELECT set_a, set_b,
+       |    CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |    CAST(nu AS BIGINT) AS n_union_sk, CAST(com AS BIGINT) AS n_common,
+       |    CAST(floor(ea * 1000.0 + 0.5) AS BIGINT) AS est_a_q3,
+       |    CAST(floor(eb * 1000.0 + 0.5) AS BIGINT) AS est_b_q3,
+       |    CAST(floor(eu * 1000.0 + 0.5) AS BIGINT) AS est_union_q3,
+       |    CAST(floor(ei * 1000.0 + 0.5) AS BIGINT) AS est_isect_q3,
+       |    greatest(CAST(0 AS BIGINT),
+       |      CAST(floor(eu * 1000.0 + 0.5) AS BIGINT)
+       |        - CAST(floor(eb * 1000.0 + 0.5) AS BIGINT)) AS est_diff_ab_q3,
+       |    CASE WHEN nu = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(floor(CAST(com AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000.0 + 0.5)
+       |        AS BIGINT) END AS jaccard_q6
+       |  FROM c4
+       |)""".stripMargin
+  }
 }

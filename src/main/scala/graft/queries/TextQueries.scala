@@ -1303,6 +1303,42 @@ object TextQueries extends QueryModule {
            |FROM est ORDER BY source""".stripMargin
       }),
 
+    // KMV (theta) sketch set algebra: pairwise cross-source 3-gram
+    // overlap estimates — union, intersection, difference, Jaccard — from
+    // bounded 64-hash sketches (HLL registers can only union; the KMV
+    // hashes themselves support intersection, which is why both sketches
+    // exist side by side). The custom TypedImperativeAggregate keeps k
+    // longs of state per set with a map-side partial, so the corpus never
+    // shuffles; the oracle re-derives every sketch (windowed row_number ≤
+    // k over distinct md5 hashes), the union-law merge, and the shared
+    // fp estimate expressions — a full-sketch parity proof across all
+    // 190 source pairs.
+    "sketch_theta_overlap" -> QueryDef(
+      (s, d) => {
+        // the codegen ShingleHashes kernel hashes each distinct 3-gram
+        // exactly like h64(shingle, "kmv") — ~50× the interpreted
+        // shingle-transform + md5-Column path this replaces
+        val hashed = Tables.documents(s, d)
+          .select(col("source"), tokens(col("text")).as("ts"))
+          .select(col("source"),
+            explode(graft.functions.ShingleHashes.of(col("ts"), 3, "kmv")).as("h"))
+        graft.ops.Sketches.kmvPairwise(
+            graft.ops.Sketches.kmvSketches(hashed, "source", col("h"), 64), 64)
+          .orderBy(col("set_a"), col("set_b"))
+      },
+      Some(s"""WITH items AS (
+              |  SELECT source AS grp, unnest(${graft.queries.OracleSql.shingles(3)}) AS it
+              |  FROM documents
+              |), hh AS (
+              |  SELECT DISTINCT grp, ${graft.functions.Hashing.h64Sql("it", "kmv")} AS h
+              |  FROM items
+              |), ${graft.ops.Sketches.kmvPairwiseSql(64)}
+              |SELECT set_a, set_b, n_a, n_b, n_union_sk, n_common,
+              |  est_a_q3, est_b_q3, est_union_q3, est_isect_q3,
+              |  est_diff_ab_q3, jaccard_q6
+              |FROM kmvp ORDER BY set_a, set_b""".stripMargin),
+      headline = true),
+
     // Data-mixing diagnostics: KL(source ‖ corpus) over the pooled top-25
     // vocabulary — which sources' unigram distributions sit far from the
     // blend (reweighting candidates). Terms integerize before summing

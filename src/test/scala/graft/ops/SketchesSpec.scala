@@ -140,4 +140,66 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.heavyHitters(withNulls, col("it"), 80L, "hh")
       .filter("item IS NULL").count() === 0L, "sub-threshold nulls trim exactly")
   }
+
+  test("kmvSketches: k smallest DISTINCT hashes, sorted, partitioning-independent") {
+    val k = 8
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val r = Sketches.kmvSketches(df, "set", col("h"), k).head()
+      r.getSeq[Long](r.fieldIndex("hs"))
+    }
+    // 100 items with heavy duplication (each value appears 3x) plus nulls:
+    // the sketch must be the k smallest distinct hashes of the value SET
+    val vals = (0 until 100).flatMap(i => Seq.fill(3)(i.toLong))
+    val hashes = vals.distinct
+      .map(v => graft.functions.Hashing.planTimeH64(s"kmvspec:$v")).sorted
+    val df = (vals.map(Option(_)) ++ Seq(None, None)).toDF("v")
+      .select(graft.functions.Hashing.h64(col("v"), "kmvspec").as("h"))
+      .withColumn("set", lit("s"))
+    val got = sketchOf(df)
+    assert(got === hashes.take(k), "k smallest distinct, ascending")
+    // merge across many partitions must yield the identical sketch
+    assert(sketchOf(df.repartition(17)) === got)
+    // fewer distinct items than k: the sketch IS the complete hash set
+    val small = (0 until 3).map(_.toLong).toDF("v")
+      .select(graft.functions.Hashing.h64(col("v"), "kmvspec").as("h"))
+      .withColumn("set", lit("s"))
+    assert(sketchOf(small).size === 3)
+    // all-null input: empty array, not null, and the group survives
+    val empty = Seq[Option[Long]](None).toDF("v")
+      .select(graft.functions.Hashing.h64(col("v"), "kmvspec").as("h"))
+      .withColumn("set", lit("s"))
+    assert(sketchOf(empty).isEmpty)
+  }
+
+  test("kmvPairwise: exact regime below k, union law and estimate regime above") {
+    val k = 16
+    // A = {0..9}, B = {5..14}: 10 ∩ 10 = 5, ∪ = 15 — all below k=16, so
+    // every estimate must be the EXACT count (q3-scaled)
+    val rows = (0 until 10).map(i => ("A", i.toLong)) ++
+      (5 until 15).map(i => ("B", i.toLong))
+    val df = rows.toDF("set", "v")
+      .select(col("set"), graft.functions.Hashing.h64(col("v"), "kmvp").as("h"))
+    val sk = Sketches.kmvSketches(df, "set", col("h"), k)
+    val r = Sketches.kmvPairwise(sk, k).head()
+    assert(r.getAs[String]("set_a") === "A" && r.getAs[String]("set_b") === "B")
+    assert(r.getAs[Long]("est_a_q3") === 10000L)
+    assert(r.getAs[Long]("est_b_q3") === 10000L)
+    assert(r.getAs[Long]("est_union_q3") === 15000L)
+    assert(r.getAs[Long]("est_isect_q3") === 5000L)
+    assert(r.getAs[Long]("est_diff_ab_q3") === 5000L)
+    assert(r.getAs[Long]("n_common") === 5L)
+    // estimate regime: 2000 vs 2000 with 50% true overlap — the KMV
+    // bound for k=16 is loose (~±25% rel. std. error), so assert the
+    // estimates land within a wide-but-meaningful band and that the
+    // union estimate is consistent (≥ each side's)
+    val big = (0 until 2000).map(i => ("A", i.toLong)) ++
+      (1000 until 3000).map(i => ("B", i.toLong))
+    val bdf = big.toDF("set", "v")
+      .select(col("set"), graft.functions.Hashing.h64(col("v"), "kmvp").as("h"))
+    val br = Sketches.kmvPairwise(Sketches.kmvSketches(bdf, "set", col("h"), k), k).head()
+    val estU = br.getAs[Long]("est_union_q3") / 1000.0
+    assert(estU > 1500 && estU < 6000, s"union estimate off: $estU (true 3000)")
+    assert(br.getAs[Long]("est_union_q3") >= br.getAs[Long]("est_a_q3"))
+    assert(br.getAs[Long]("est_union_q3") >= br.getAs[Long]("est_b_q3"))
+  }
 }

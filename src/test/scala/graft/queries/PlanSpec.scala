@@ -89,6 +89,26 @@ class PlanSpec extends SparkSpec {
       "no exchange may carry text or shingle strings:\n" + fmt)
   }
 
+  test("theta overlap: map-side partial sketch; exchanges never carry hashes or shingles") {
+    val df = Registry.all("sketch_theta_overlap").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the KMV aggregate must run a PARTIAL pass in the scan stage so the
+    // exchange carries ≤ k longs per (set, partition) — a final-only agg
+    // would shuffle every shingle hash in the corpus
+    assert(p.contains("partial_kminhash"),
+      "expected a map-side partial kminhash:\n" + p)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, fmt)
+    // exchanges may carry (set, sketch buffer) — never the per-shingle
+    // hash column or document text
+    assert(exchangeInputs.forall(in => !in.contains("h#") && !in.contains("text#")),
+      "exchanges must carry sketches, not raw hashes or text:\n" + fmt)
+  }
+
   test("ngram jaccard: the exploded self-join reuses one exchange") {
     val p = plan("dedup_ngram_jaccard")
     assert(p.contains("ReusedExchange"),
