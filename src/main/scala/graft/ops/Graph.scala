@@ -121,6 +121,102 @@ object Graph {
        |), $steps""".stripMargin
   }
 
+  /** Personalized PageRank (seed-restart random walk, Haveliwala 2002 —
+    * the trusted-seed expansion primitive of TrustRank-style curation:
+    * rank mass teleports back to the SEED SET, not uniformly, so scores
+    * measure proximity to the seeds): same Q-scaled exact-integer fixed
+    * point as [[pageRank]] — partition/parallelism-independent, the
+    * oracle replays every round bit-for-bit. Seeds outside the graph are
+    * dropped (their teleport mass could never move along an edge);
+    * nodes unreachable from every seed hold rank exactly 0. Scale shape
+    * is [[pageRank]]'s unchanged: edges deduped, degree folded in and
+    * pre-partitioned on the iteration join key once, per-round shuffles
+    * carry (long, long) rank rows only.
+    *
+    * @param seeds one `node` long column; duplicates collapse
+    * @return (node, r) for EVERY graph node, r = Q-scaled PPR */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           scale: Long = RankScale,
+                           dampNum: Int = 85, dampDen: Int = 100,
+                           checkpointInterval: Int = 5): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val s = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    // seed flag folded onto the node frame ONCE (iteration invariant)
+    val marked = nodes
+      .join(s.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .localCheckpoint()
+    require(marked.where(col("is_seed") === 1).limit(1).count() == 1L,
+      "personalizedPageRank needs at least one seed present in the graph")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val eDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val nsRow = marked.agg(sum(col("is_seed")).cast("long").as("ns"))
+      .localCheckpoint()
+    val teleport = s"CASE WHEN is_seed = 1 THEN " +
+      s"((${dampDen - dampNum}) * $scale) div ($dampDen * ns) " +
+      s"ELSE CAST(0 AS BIGINT) END"
+    var r = marked.crossJoin(nsRow)
+      .select(col("node"), expr(s"CASE WHEN is_seed = 1 THEN $scale div ns " +
+        s"ELSE CAST(0 AS BIGINT) END").as("r"))
+    for (i <- 1 to iters) {
+      val contrib = eDeg
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("c"))
+      r = marked.crossJoin(nsRow)
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$teleport + ($dampNum * coalesce(c, CAST(0 AS BIGINT))) div $dampDen")
+            .as("r"))
+      if (i % checkpointInterval == 0 && i < iters) r = r.localCheckpoint()
+    }
+    r
+  }
+
+  /** DuckDB twin of [[personalizedPageRank]]: unrolled chain ending in
+    * `p$iters(node, r)`. Expects `e(src, dst)` (distinct simple edges)
+    * and `s0(node)` (the raw seed set) already in scope. */
+  def personalizedPageRankSql(iters: Int, scale: Long = RankScale,
+                              dampNum: Int = 85, dampDen: Int = 100): String = {
+    val tele = s"CASE WHEN m.is_seed = 1 THEN " +
+      s"((${dampDen - dampNum}) * $scale) // ($dampDen * sc.ns) ELSE 0 END"
+    // MATERIALIZED throughout — the pageRankSql lesson: inline-per-
+    // reference doubles the live plan per unrolled round
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(r.r // deg.d) AS BIGINT) AS c
+         |  FROM e JOIN p${i - 1} r ON e.src = r.node JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst
+         |), p$i AS MATERIALIZED (
+         |  SELECT m.node, $tele + ($dampNum * COALESCE(c$i.c, 0)) // $dampDen AS r
+         |  FROM m CROSS JOIN sc LEFT JOIN c$i ON c$i.node = m.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |), s AS MATERIALIZED (
+       |  SELECT DISTINCT s0.node FROM s0 JOIN nodes ON nodes.node = s0.node
+       |), deg AS MATERIALIZED (
+       |  SELECT src, count(*) AS d FROM e GROUP BY src
+       |), sc AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ns FROM s),
+       |m AS MATERIALIZED (
+       |  SELECT nodes.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+       |  FROM nodes LEFT JOIN s ON s.node = nodes.node
+       |), p0 AS MATERIALIZED (
+       |  SELECT m.node, CASE WHEN m.is_seed = 1 THEN $scale // sc.ns ELSE 0 END AS r
+       |  FROM m CROSS JOIN sc
+       |), $steps""".stripMargin
+  }
+
   /** SYNCHRONOUS label propagation (Raghavan et al. 2007's community
     * detection, the deterministic variant): every node starts as its own
     * label; each round every node simultaneously adopts the most
@@ -387,6 +483,111 @@ object Graph {
       |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
       |    UNION ALL SELECT c FROM tri) GROUP BY 1
       |)""".stripMargin
+
+  /** Local clustering coefficient per node: 2·T(v) / (d(v)·(d(v)−1)),
+    * emitted as an EXACT integer ppm (round-half-up via integer division
+    * — no float crosses an engine boundary). Triangle counts come from
+    * [[triangles]]' degree-ordered compact-forward pass, so the hub
+    * safety story is inherited unchanged; the extra work here is one
+    * degree aggregation and a (long, long) left join. Nodes with edges
+    * but no triangles surface with coeff 0 — their absence would skew
+    * any downstream average.
+    *
+    * @return (node, deg, triangles, coeff_ppm) */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(triangles(edges), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      // round(2e6·T/den) = (4e6·T + den) div (2·den), den = d(d−1)
+      .withColumn("coeff_ppm", when(col("deg") < 2, lit(0L)).otherwise(
+        expr("(4000000 * triangles + deg * (deg - 1)) div (2 * deg * (deg - 1))")))
+  }
+
+  /** DuckDB oracle twin of [[clusteringCoeff]]: appends to
+    * [[trianglesSql]]'s chain (which already defines `deg` and `tricnt`
+    * over a prior canonical-pair CTE `p`). Terminal CTE `cc`. */
+  def clusteringCoeffSql: String =
+    s"""$trianglesSql, cc AS (
+       |  SELECT d.node, d.deg, coalesce(t.triangles, 0) AS triangles,
+       |    CASE WHEN d.deg < 2 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST((4000000 * coalesce(t.triangles, 0) + d.deg * (d.deg - 1))
+       |        // (2 * d.deg * (d.deg - 1)) AS BIGINT) END AS coeff_ppm
+       |  FROM deg d LEFT JOIN tricnt t USING (node)
+       |)""".stripMargin
+
+  /** Common-neighbor link prediction: the top-`topN` NON-adjacent node
+    * pairs ranked by shared-neighbor count, with the neighborhood
+    * Jaccard as integer ppm. Wedge enumeration at each middle node is
+    * inherently Σ C(d, 2) work, so `maxMiddleDeg` drops super-hub
+    * middles before the pair fan-out — the standard link-prediction
+    * trade (a hub's co-neighbors are weak evidence anyway; Adamic-Adar
+    * exists precisely to discount them), and the difference between
+    * near-linear work and a quadratic blowup on power-law graphs at
+    * 100 TB. The cap is part of the operator's definition, so the
+    * oracle replays it exactly. Ranking is the total order
+    * (cn desc, u, v) into a distributed partial top-k
+    * (TakeOrderedAndProject) — never a global sort.
+    *
+    * @return (u, v, cn, deg_u, deg_v, jaccard_ppm), u < v, top `topN` */
+  def linkPredict(edges: DataFrame, topN: Int, maxMiddleDeg: Long): DataFrame = {
+    require(topN >= 1 && maxMiddleDeg >= 1, s"bad params: $topN, $maxMiddleDeg")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint() // feeds degree, adjacency, and the anti-join
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("u").as("m"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("m"), col("u").as("x")))
+      .join(deg.where(col("deg") <= maxMiddleDeg)
+        .select(col("node").as("m")), Seq("m"))
+    val cn = adj.select(col("m"), col("x").as("cu"))
+      .join(adj.select(col("m"), col("x").as("cv")), Seq("m"))
+      .where(col("cu") < col("cv"))
+      .groupBy(col("cu").as("u"), col("cv").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(und, cn("u") === und("u") && cn("v") === und("v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .withColumn("jaccard_ppm",
+        expr("(1000000 * cn) div (deg_u + deg_v - cn)"))
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        col("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(topN)
+  }
+
+  /** DuckDB oracle twin of [[linkPredict]] over a prior canonical-pair
+    * CTE `p`: terminal CTE `lp` (unordered — the caller orders/limits
+    * with the same (cn DESC, u, v) total order). */
+  def linkPredictSql(maxMiddleDeg: Long): String =
+    s"""deg AS MATERIALIZED (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM p UNION ALL SELECT b FROM p) GROUP BY 1
+       |), adj AS MATERIALIZED (
+       |  SELECT m, x FROM (
+       |    SELECT a AS m, b AS x FROM p UNION ALL SELECT b AS m, a AS x FROM p)
+       |  JOIN deg ON node = m WHERE deg <= $maxMiddleDeg
+       |), cn AS (
+       |  SELECT l.x AS u, r.x AS v, CAST(count(*) AS BIGINT) AS cn
+       |  FROM adj l JOIN adj r ON l.m = r.m AND l.x < r.x
+       |  GROUP BY 1, 2
+       |), lp AS (
+       |  SELECT cn.u, cn.v, cn.cn, du.deg AS deg_u, dv.deg AS deg_v,
+       |    CAST((1000000 * cn.cn) // (du.deg + dv.deg - cn.cn) AS BIGINT) AS jaccard_ppm
+       |  FROM cn
+       |  JOIN deg du ON du.node = cn.u JOIN deg dv ON dv.node = cn.v
+       |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = cn.u AND p.b = cn.v)
+       |)""".stripMargin
 
   def bipartiteEdges(rel: DataFrame, leftId: String, rightId: String,
                      rightOffset: Long): DataFrame = {

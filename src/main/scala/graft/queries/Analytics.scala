@@ -754,6 +754,106 @@ object Analytics extends QueryModule {
               |  WHERE node % 199 = 0
               |), ${graft.ops.Graph.bfsDepthSql(3)}
               |SELECT node, CAST(depth AS BIGINT) AS depth
-              |FROM v3 ORDER BY node""".stripMargin))
+              |FROM v3 ORDER BY node""".stripMargin)),
+
+    // Local clustering coefficient over the adjacent-lineitem part graph:
+    // exact integer ppm (round-half-up via integer arithmetic — no float
+    // crosses the engine boundary), triangle counts from the same
+    // degree-ordered compact-forward pass graph_triangles gates, so the
+    // oracle replays orientation, wedge order, AND the ppm rounding.
+    "graph_clustering" -> QueryDef(
+      (s, d) => {
+        val l1 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").cast("long").as("pa"))
+        val l2 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
+          col("l_partkey").cast("long").as("pb"))
+        val edges = l1.join(l2, Seq("ok", "ln"))
+          .where(col("pa") =!= col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ops.Graph.clusteringCoeff(edges).orderBy(col("node"))
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
+              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
+              |  FROM lineitem l1 JOIN lineitem l2
+              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+              |  WHERE l1.l_partkey <> l2.l_partkey
+              |), ${graft.ops.Graph.clusteringCoeffSql}
+              |SELECT node, CAST(deg AS BIGINT) AS deg, triangles, coeff_ppm
+              |FROM cc ORDER BY node""".stripMargin)),
+
+    // Common-neighbor link prediction over the same part graph: top-64
+    // non-adjacent pairs by shared-neighbor count with integer-ppm
+    // Jaccard. maxMiddleDeg=24 is part of the operator's definition
+    // (hub middles are dropped before the wedge fan-out — the standard
+    // link-prediction trade), so the oracle replays the cap exactly; the
+    // (cn DESC, u, v) total order makes the LIMIT cut deterministic.
+    "graph_linkpredict" -> QueryDef(
+      (s, d) => {
+        val l1 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").cast("long").as("pa"))
+        val l2 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
+          col("l_partkey").cast("long").as("pb"))
+        val edges = l1.join(l2, Seq("ok", "ln"))
+          .where(col("pa") =!= col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ops.Graph.linkPredict(edges, topN = 64, maxMiddleDeg = 24L)
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
+              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
+              |  FROM lineitem l1 JOIN lineitem l2
+              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+              |  WHERE l1.l_partkey <> l2.l_partkey
+              |), ${graft.ops.Graph.linkPredictSql(24L)}
+              |SELECT u, v, cn, CAST(deg_u AS BIGINT) AS deg_u,
+              |  CAST(deg_v AS BIGINT) AS deg_v, jaccard_ppm
+              |FROM lp ORDER BY cn DESC, u, v LIMIT 64""".stripMargin)),
+
+    // Personalized PageRank: seed-restart proximity to the trusted seeds
+    // (partkey % 199 = 0, same seed rule as graph_seed_depth) over the
+    // part graph — where bfsDepth gives hop DISTANCE, PPR gives a graded
+    // proximity SCORE with multiplicity (two paths beat one). Exact
+    // integer fixed point; the oracle replays all 3 rounds bit-for-bit,
+    // so dropped teleport mass or a leaked uniform restart fails the hash.
+    "graph_ppr" -> QueryDef(
+      (s, d) => {
+        val l1 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").cast("long").as("pa"))
+        val l2 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
+          col("l_partkey").cast("long").as("pb"))
+        val und = l1.join(l2, Seq("ok", "ln"))
+          .where(col("pa") =!= col("pb"))
+          .select(col("pa").as("a"), col("pb").as("b"))
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+        val seeds = und.select(col("a").as("node"))
+          .unionAll(und.select(col("b").as("node")))
+          .filter(col("node") % 199 === 0).distinct()
+        graft.ops.Graph.personalizedPageRank(edges, seeds, iters = 3)
+          .select(col("node"), col("r").as("rank_q"))
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
+              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
+              |  FROM lineitem l1 JOIN lineitem l2
+              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+              |  WHERE l1.l_partkey <> l2.l_partkey
+              |), e AS MATERIALIZED (
+              |  SELECT a AS src, b AS dst FROM p
+              |  UNION ALL SELECT b AS src, a AS dst FROM p
+              |), s0 AS MATERIALIZED (
+              |  SELECT DISTINCT node FROM (
+              |    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+              |  WHERE node % 199 = 0
+              |), ${graft.ops.Graph.personalizedPageRankSql(3)}
+              |SELECT node, r AS rank_q FROM p3 ORDER BY node""".stripMargin))
   )
 }

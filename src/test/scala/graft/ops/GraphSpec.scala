@@ -201,4 +201,111 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b && a === lpaRef(edges, 3))
   }
+
+  /** Plain-Scala twin of the seed-restart integer recurrence. */
+  private def pprRef(edges: Set[(Long, Long)], seeds: Set[Long], iters: Int,
+                     scale: Long = Graph.RankScale, num: Long = 85,
+                     den: Long = 100): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val s = seeds & nodes
+    val d = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val ns = s.size.toLong
+    var r = nodes.map(v => v -> (if (s(v)) scale / ns else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val c = edges.toSeq.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => r(e._1) / d(e._1)).sum }
+      r = nodes.map(v => v ->
+        ((if (s(v)) ((den - num) * scale) / (den * ns) else 0L) +
+          num * c.getOrElse(v, 0L) / den)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank ≡ integer reference; mass stays near seeds") {
+    // path 0-1-2-3 with an island 9-10; seed {0}
+    val edges = sym((0L, 1L), (1L, 2L), (2L, 3L), (9L, 10L))
+    val df = edges.toSeq.toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.personalizedPageRank(df, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pprRef(edges, Set(0L), 3))
+    // the island is unreachable from the seed: rank EXACTLY 0 (a uniform
+    // teleport leak would give it mass)
+    assert(got(9L) === 0L && got(10L) === 0L)
+    // proximity is graded WITHIN a parity class (on a path, rank mass
+    // oscillates between the bipartition halves each round — comparing
+    // across parity is not meaningful at a fixed small iteration count)
+    assert(got(0L) > got(2L) && got(1L) > got(3L))
+    // seeds outside the graph drop (identical result), and two in-graph
+    // seeds split the restart mass per the reference
+    val got2 = Graph.personalizedPageRank(df, Seq(0L, 42L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+    val two = Graph.personalizedPageRank(df, Seq(0L, 9L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === pprRef(edges, Set(0L, 9L), 2))
+    // partitioning independence (exact integers)
+    val rep = Graph.personalizedPageRank(df.repartition(7), seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === got)
+    // no seed in the graph refuses loudly
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(df, Seq(42L).toDF("node"), 1))
+  }
+
+  test("clusteringCoeff: exact ppm, zero-triangle and deg<2 nodes present") {
+    // K4 on {7..10} (coeff 1), triangle {1,2,3} with 3 bridged to 4
+    // (node 3: deg 3, one triangle → 1/3), pendant 4-5 (deg-1 nodes)
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (7L, 8L), (7L, 9L), (7L, 10L), (8L, 9L), (8L, 10L), (9L, 10L))
+    val edges = (base ++ base.map(_.swap) ++ Seq((1L, 2L), (5L, 5L)))
+      .toDF("src", "dst")
+    val got = Graph.clusteringCoeff(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // node 1: deg 2, 1 triangle → 2·1/(2·1) = 1.0
+    assert(got(1L) === ((2L, 1L, 1000000L)))
+    // node 3: deg 3 (1,2,4), 1 triangle → 1/3, round-half-up ppm
+    assert(got(3L) === ((3L, 1L, 333333L)))
+    // node 4: deg 2 (3,5), zero triangles — PRESENT with coeff 0
+    assert(got(4L) === ((2L, 0L, 0L)))
+    // node 5: deg 1 → denominator guard, coeff 0
+    assert(got(5L) === ((1L, 0L, 0L)))
+    // K4 members: deg 3, 3 triangles, coeff exactly 1
+    Seq(7L, 8L, 9L, 10L).foreach(n => assert(got(n) === ((3L, 3L, 1000000L))))
+    assert(got.size === 9)
+  }
+
+  test("linkPredict: non-adjacent top pairs, hub-middle cap, TakeOrdered ranking") {
+    // triangle {1,2,3} + edges 2-4, 3-4: the ONLY non-adjacent pair is
+    // (1,4), sharing neighbors {2,3} → cn=2, jaccard 2/(2+2-2) = 1.0
+    val e0 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val rows = Graph.linkPredict(edges, topN = 10, maxMiddleDeg = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq === Seq((1L, 4L, 2L, 2L, 2L, 1000000L)))
+    // add hub 99 adjacent to everything plus pendants 5, 6 (hub deg 6 >
+    // honest middles' deg 4): it manufactures co-neighbor evidence for
+    // every pair — capping middle degree at 4 removes ONLY the hub's
+    // wedges, restoring the single honest pair (pendant pairs like (5,6)
+    // share only the hub, so they vanish with it)
+    val hub = (1L to 6L).map(n => (n, 99L))
+    val withHub = (e0 ++ hub ++ (e0 ++ hub).map(_.swap)).toDF("src", "dst")
+    val capped = Graph.linkPredict(withHub, topN = 20, maxMiddleDeg = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq === Seq((1L, 4L, 2L)),
+      s"hub wedges must be dropped by the cap, got ${capped.toSeq}")
+    // uncapped, the hub inflates (1,4) to cn=3 via middle 99
+    val un = Graph.linkPredict(withHub, topN = 20, maxMiddleDeg = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(un((1L, 4L)) === 3L)
+    // ranking is a distributed partial top-k, never a global sort
+    val plan = Graph.linkPredict(edges, topN = 5, maxMiddleDeg = 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    // bad params refuse loudly
+    intercept[IllegalArgumentException](Graph.linkPredict(edges, 0, 1L))
+  }
 }
