@@ -62,16 +62,47 @@ object Sampling {
     * existing rows between splits. */
   def assignSplit(df: DataFrame, keyCol: String,
                   splits: Seq[(String, Double)], salt: String,
-                  outCol: String = "split"): DataFrame = {
+                  outCol: String = "split"): DataFrame =
+    df.withColumn(outCol, splitLabel(col(keyCol), splits, salt))
+
+  /** The split CASE over an arbitrary key expression: coin < t1 → s1,
+    * WHEN coin < t2 → s2, …, ELSE last. Shared by [[assignSplit]] and
+    * [[leakageSafeSplit]] so the two can never disagree on a boundary. */
+  private def splitLabel(key: Column, splits: Seq[(String, Double)],
+                         salt: String): Column = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1: $splits")
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
-    val label = splits.init.zip(cum.init).foldRight(
+    splits.init.zip(cum.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), c), acc) =>
-      when(coin(col(keyCol), salt) < lit(threshold32(c)), lit(name)).otherwise(acc)
+      when(coin(key, salt) < lit(threshold32(c)), lit(name)).otherwise(acc)
     }
-    // single-branch form: CASE coin < t1 → s1 WHEN coin < t2 → s2 … ELSE last
-    df.withColumn(outCol, label)
+  }
+
+  /** LEAKAGE-SAFE split: the coin is flipped on the row's CLUSTER
+    * REPRESENTATIVE, not the row — every member of a near-dup cluster
+    * (e.g. a connected component from `Dedup.duplicateClusters`) lands
+    * in the SAME split, so a test document's near-duplicates can never
+    * sit in train (the split-level twin of benchmark decontamination;
+    * random per-row splits leak precisely because near-dups are i.i.d.
+    * assigned). Rows absent from `clusters` are singleton clusters —
+    * their own key is the representative, so on a dup-free corpus this
+    * degenerates to [[assignSplit]] exactly. Still deterministic and
+    * grow-stable: adding documents never moves an existing cluster.
+    *
+    * Scale: one shuffle join of the corpus against the (id, cluster_id)
+    * frame — both sides key-partitioned, no broadcast assumption (the
+    * cluster frame is corpus-sized); the CASE itself is scan-stage.
+    *
+    * @param clusters (id, cluster_id) — same type as `df(keyCol)` */
+  def leakageSafeSplit(df: DataFrame, keyCol: String, clusters: DataFrame,
+                       splits: Seq[(String, Double)], salt: String,
+                       outCol: String = "split"): DataFrame = {
+    val reps = clusters.select(col("id").as(keyCol), col("cluster_id"))
+    df.join(reps, Seq(keyCol), "left")
+      .withColumn(outCol,
+        splitLabel(coalesce(col("cluster_id"), col(keyCol)), splits, salt))
+      .drop("cluster_id")
   }
 
   /** Exactly min(k, |group|) rows per group — uniform without replacement

@@ -624,6 +624,43 @@ object DedupQueries extends QueryModule {
               |SELECT node AS id, min(r) AS cluster_id FROM reach
               |GROUP BY node ORDER BY id""".stripMargin)),
 
+    // LEAKAGE-SAFE train/val/test split: the split coin is flipped on
+    // the near-dup CLUSTER representative (the gated minhash connected
+    // components), so a test doc's near-duplicates can never sit in
+    // train — the split-level twin of decontamination. Docs outside any
+    // cluster are singletons (coin on their own id), so the query also
+    // pins that the boundary CASE is byte-identical to sample_split's.
+    "sample_leakage_split" -> QueryDef(
+      (s, d) => {
+        val clusters = Dedup.duplicateClusters(
+          Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+            shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5))
+        graft.ops.Sampling.leakageSafeSplit(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id", clusters,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "lsplit")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashCtes,
+              |pairs AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS a, id_b AS b FROM pairs
+              |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+              |), reach AS (
+              |  SELECT a AS node, a AS r FROM edges
+              |  UNION
+              |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node
+              |), clusters AS (
+              |  SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node
+              |), assigned AS (
+              |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+              |  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+              |)
+              |SELECT doc_id,
+              |  CASE WHEN ${O.h32Sql("rep", "lsplit")} < ${graft.ops.Sampling.threshold32(0.8)} THEN 'train'
+              |       WHEN ${O.h32Sql("rep", "lsplit")} < ${graft.ops.Sampling.threshold32(0.9)} THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM assigned ORDER BY doc_id""".stripMargin)),
+
     // Duplication-audit report: the cluster-SIZE histogram over the
     // whole corpus (singletons included as size-1 clusters) — the
     // number every dedup run reports first ("how much of the corpus is

@@ -58,6 +58,34 @@ class SamplingSpec extends SparkSpec {
       again.select("doc_id", "split").collect().toSet)
   }
 
+  test("leakageSafeSplit: cluster members share a split; singletons ≡ assignSplit") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // ids 1..60 clustered into reps {1, 2, 3}; 61..400 unclustered
+    val clusters = (1L to 60L).map(i => (i, i % 3 + 1L)).toDF("id", "cluster_id")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", clusters, splits, "s")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 400)
+    // the leakage invariant: every member of a cluster got ITS REP's label
+    val plain = Sampling.assignSplit(docs, "doc_id", splits, "s")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 60L).foreach(i => assert(out(i) === plain(i % 3 + 1L),
+      s"doc $i must inherit rep ${i % 3 + 1}'s split"))
+    // fixture sanity: the clustering actually CHANGED at least one
+    // assignment vs the per-row split (the invariant above isn't
+    // vacuously green)
+    assert((1L to 60L).exists(i => out(i) !== plain(i)))
+    // unclustered docs are singletons: byte-identical to assignSplit
+    (61L to 400L).foreach(i => assert(out(i) === plain(i)))
+    // dup-free corpus (empty cluster frame) degenerates to assignSplit
+    val none = Sampling.leakageSafeSplit(docs, "doc_id",
+        Seq.empty[(Long, Long)].toDF("id", "cluster_id"), splits, "s")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(none === plain)
+  }
+
   test("uniformK: exactly min(k, group size) per group, deterministic") {
     val out = Sampling.uniformK(docs, "grp", "doc_id", k = 7, salt = "s")
     val counts = out.groupBy("grp").count().collect()

@@ -645,6 +645,42 @@ class StreamingWindowSpec extends SparkSpec {
     assert(graft.delta.DeltaTable.forPath(spark, t.path).snapshot.version === v)
   }
 
+  test("leakageSafeSplit streams: stateless stream-static join, batch-split independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // static near-dup cluster frame (ids 1..30 in reps {1,2,3})
+    val clusters = (1L to 30L).map(i => (i, i % 3 + 1L)).toDF("id", "cluster_id")
+    val all = (1L to 40L).map(i => SampleDoc("s", i, s"doc $i"))
+
+    def run(name: String, batches: Seq[Seq[SampleDoc]]): Map[Long, String] = {
+      val in = MemoryStream[SampleDoc]
+      val q = graft.ops.Sampling.leakageSafeSplit(
+          in.toDS().toDF(), "doc_id", clusters, splits, "ssplit")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      } finally q.stop()
+    }
+
+    // cluster members deliberately split ACROSS micro-batches
+    val one = run("lss1", Seq(all))
+    val three = run("lss3", Seq(all.take(7), all.slice(7, 23), all.drop(23)))
+    assert(one === three, "split must not depend on micro-batch boundaries")
+    // streaming ≡ batch op, row for row (stateless: no watermark, no state)
+    val batch = graft.ops.Sampling.leakageSafeSplit(
+        all.toDF("source", "doc_id", "text"), "doc_id", clusters, splits, "ssplit")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(one === batch)
+    // the leakage invariant holds across batch boundaries: every cluster
+    // member inherits its representative's split
+    (1L to 30L).foreach(i => assert(three(i) === batch(i % 3 + 1L)))
+  }
+
   test("streamingUniformK: sample is micro-batch-split independent and equals the batch op") {
     implicit val sqlCtx = spark.sqlContext
     val k = 3
