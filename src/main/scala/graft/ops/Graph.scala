@@ -217,6 +217,88 @@ object Graph {
        |), $steps""".stripMargin
   }
 
+  /** HyperBall-style h-hop neighborhood-size estimation (Boldi & Vigna
+    * 2013's register-propagation idea on the shared [[Sketches]] HLL
+    * kernel): every node starts as the 1-item sketch of itself; each
+    * round every node merges — register-wise max, the HLL union law —
+    * its in-neighbors' sketches with its own. After h rounds node v's
+    * registers are EXACTLY the registers `hllDistinct` would compute
+    * over {u : dist(u→v) ≤ h}, so the ball-size estimate never
+    * materializes the ball relation (Σ|ball| rows — quadratic on dense
+    * graphs; register rows are bounded at 64·|V| per round, period —
+    * the whole point at 100 TB, where 2-hop balls of hub nodes are
+    * millions of rows each). Pass symmetric edges for undirected
+    * balls. The ±13% (m=64) estimate error is the standard HLL trade;
+    * the register propagation itself is exact integers, so the oracle
+    * replays every round bit-for-bit and the gate hashes full sketches.
+    *
+    * @return (node, registers_joined, est_q3) — [[Sketches.hllDistinct]]'s
+    *         exhibit columns for the h-hop in-ball of every node */
+  def neighborhoodHll(edges: DataFrame, hops: Int, salt: String): DataFrame = {
+    require(hops >= 0 && hops <= 16, s"hops out of [0,16]: $hops")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val (reg, r) = Sketches.regRank(col("node"), salt)
+    var b = nodes.select(col("node"), reg.as("reg"), r.as("r")).localCheckpoint()
+    for (_ <- 1 to hops) {
+      b = b.unionAll(
+          e.join(b.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), col("reg"), col("r")))
+        .groupBy(col("node"), col("reg")).agg(max(col("r")).as("r"))
+        .localCheckpoint()
+    }
+    val regAggs = (0 until Sketches.HllM).map(j =>
+      coalesce(max(when(col("reg") === j, col("r"))), lit(0)).as(s"r_$j"))
+    b.groupBy(col("node")).agg(regAggs.head, regAggs.tail: _*)
+      .select(col("node"),
+        Sketches.registersJoinedExpr.as("registers_joined"),
+        Sketches.estQ3Expr.as("est_q3"))
+  }
+
+  /** DuckDB twin of [[neighborhoodHll]]: unrolled register-propagation
+    * chain ending in `est(node, registers_joined, zeros, est_raw)` —
+    * the caller applies the same linear-counting CASE + ×10³
+    * quantization tail as the sketch_hll_distinct gate. Expects
+    * `e(src, dst)` (distinct simple edges) in scope. */
+  def neighborhoodHllSql(hops: Int, salt: String): String = {
+    val S = Sketches
+    val rounds = (1 to hops).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT node, reg, max(r) AS r FROM (
+         |    SELECT node, reg, r FROM b${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, b.reg, b.r
+         |    FROM e JOIN b${i - 1} b ON b.node = e.src)
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(", ")
+    val regCols = (0 until S.HllM).map(j =>
+      s"coalesce(max(CASE WHEN reg = $j THEN r END), 0) AS r_$j").mkString(", ")
+    val joined = (0 until S.HllM).map(j => s"CAST(r_$j AS VARCHAR)")
+      .mkString("concat_ws(',', ", ", ", ")")
+    val sSum = (0 until S.HllM).map(j =>
+      s"(CASE WHEN r_$j <= 56 THEN (CAST(1 AS BIGINT) << (56 - r_$j)) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("(", " + ", ")")
+    val zeros = (0 until S.HllM).map(j => s"(CASE WHEN r_$j = 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |), b0 AS MATERIALIZED (
+       |  SELECT node, CAST(h & 63 AS INT) AS reg, ${S.rankSql("(h >> 6)")} AS r
+       |  FROM (SELECT node, ${graft.functions.Hashing.h64Sql("node", salt)} AS h FROM nodes)
+       |), $rounds,
+       |wide AS (SELECT node, $regCols FROM b$hops GROUP BY node),
+       |calc AS (SELECT node, $joined AS registers_joined,
+       |    $sSum AS s, $zeros AS zeros
+       |  FROM wide),
+       |est AS (SELECT node, registers_joined, zeros,
+       |    ${S.AlphaM2} * ${math.pow(2.0, 56)} / CAST(s AS DOUBLE) AS est_raw
+       |  FROM calc)""".stripMargin
+  }
+
   /** SYNCHRONOUS label propagation (Raghavan et al. 2007's community
     * detection, the deterministic variant): every node starts as its own
     * label; each round every node simultaneously adopts the most

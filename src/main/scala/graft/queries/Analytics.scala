@@ -854,6 +854,44 @@ object Analytics extends QueryModule {
               |    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
               |  WHERE node % 199 = 0
               |), ${graft.ops.Graph.personalizedPageRankSql(3)}
-              |SELECT node, r AS rank_q FROM p3 ORDER BY node""".stripMargin))
+              |SELECT node, r AS rank_q FROM p3 ORDER BY node""".stripMargin)),
+
+    // HyperBall 2-hop neighborhood sizes over the part graph: per-node
+    // ball-size ESTIMATES via register propagation — the ball relation
+    // (Σ|ball| rows, quadratic on dense graphs) never materializes;
+    // register rows are bounded at 64·|V| per round. The oracle replays
+    // self-sketch seeding, both merge rounds, and the estimate math, and
+    // the gate hashes the FULL register sketches, not just estimates.
+    "graph_ball2" -> QueryDef(
+      (s, d) => {
+        val l1 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").cast("long").as("pa"))
+        val l2 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
+          col("l_partkey").cast("long").as("pb"))
+        val und = l1.join(l2, Seq("ok", "ln"))
+          .where(col("pa") =!= col("pb"))
+          .select(col("pa").as("a"), col("pb").as("b"))
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+        graft.ops.Graph.neighborhoodHll(edges, hops = 2, salt = "ball")
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
+              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
+              |  FROM lineitem l1 JOIN lineitem l2
+              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+              |  WHERE l1.l_partkey <> l2.l_partkey
+              |), e AS MATERIALIZED (
+              |  SELECT a AS src, b AS dst FROM p
+              |  UNION ALL SELECT b AS src, a AS dst FROM p
+              |), ${graft.ops.Graph.neighborhoodHllSql(2, "ball")}
+              |SELECT node, registers_joined,
+              |  CAST(floor((CASE WHEN est_raw <= 160.0 AND zeros > 0
+              |    THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE est_raw END)
+              |    * 1000.0 + 0.5) AS BIGINT) AS est_q3
+              |FROM est ORDER BY node""".stripMargin))
   )
 }

@@ -253,6 +253,38 @@ class GraphSpec extends SparkSpec {
       Graph.personalizedPageRank(df, Seq(42L).toDF("node"), 1))
   }
 
+  test("neighborhoodHll: propagated registers EQUAL the sketch of the exact ball") {
+    // path 0-1-2-3-4 plus an island 9-10; symmetric edges
+    val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+    val symE = e0 ++ e0.map(_.swap)
+    val edges = symE.toDF("src", "dst")
+    val got = Graph.neighborhoodHll(edges, hops = 2, salt = "nb")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // exact 2-hop balls via in-memory BFS, sketched explicitly: the
+    // propagation must reproduce hllDistinct of the materialized ball
+    // REGISTER-FOR-REGISTER (the HyperBall identity), not just the
+    // estimate
+    val adj = symE.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def ball(v: Long): Set[Long] = {
+      val one = adj(v) + v
+      one ++ one.flatMap(u => adj.getOrElse(u, Set.empty[Long]))
+    }
+    val ballDf = adj.keySet.toSeq
+      .flatMap(v => ball(v).toSeq.map(m => (v, m))).toDF("node", "member")
+    val want = Sketches.hllDistinct(ballDf, "node", col("member"), "nb")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === want)
+    // the island's 2-hop ball is the island: its sketch has exactly 2
+    // present registers (distinct node hashes), and the path's middle
+    // node reaches all 5
+    assert(got(9L)._1.split(",").count(_ != "0") <= 2)
+    // hops = 0 is the self-sketch (est ≈ 1 for every node)
+    val h0 = Graph.neighborhoodHll(edges, hops = 0, salt = "nb")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h0.values.forall(_.split(",").count(_ != "0") === 1))
+    intercept[IllegalArgumentException](Graph.neighborhoodHll(edges, -1, "nb"))
+  }
+
   test("clusteringCoeff: exact ppm, zero-triangle and deg<2 nodes present") {
     // K4 on {7..10} (coeff 1), triangle {1,2,3} with 3 bridged to 4
     // (node 3: deg 3, one triangle → 1/3), pendant 4-5 (deg-1 nodes)
