@@ -671,6 +671,91 @@ object Graph {
        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = cn.u AND p.b = cn.v)
        |)""".stripMargin
 
+  /** 32·ln 2 — the wide-chain bias offset, restored where an ABSOLUTE
+    * ln is needed (PortableMath.lnWide returns ln(x) − 32·ln 2). A
+    * product of two plan-time doubles, embedded as the SAME literal in
+    * both engines, so no libm call crosses the boundary. */
+  private val LnBias32: Double = 32.0 * graft.functions.PortableMath.Ln2
+
+  private def fmtD(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E")) s else s + "E0"
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): the hub-DISCOUNTED
+    * common-neighbor score Σ_{m ∈ CN(u,v)} 1/ln(d_m) — a shared rare
+    * neighbor is strong evidence, a shared hub is weak. Scores are exact
+    * integer nano-units: each middle contributes floor(10⁹ / ln(d_m))
+    * ONCE (computed scan-stage on the degree frame via the PortableMath
+    * wide-ln chain — bit-identical in both engines), and pair scores are
+    * integer SUMS of those, so ranking is order/partition-independent and
+    * the oracle replays it exactly. Same wedge plan as [[linkPredict]]
+    * (maxMiddleDeg cap before the fan-out, distributed partial top-k);
+    * middles need d ≥ 2 to form a pair, so ln is always positive.
+    *
+    * @return (u, v, cn, aa_nano), u < v, top `topN` by (aa_nano, u, v) */
+  def linkPredictAA(edges: DataFrame, topN: Int, maxMiddleDeg: Long): DataFrame = {
+    require(topN >= 1 && maxMiddleDeg >= 2, s"bad params: $topN, $maxMiddleDeg")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val lnD = graft.functions.PortableMath.lnWideCol(col("deg")) + lit(LnBias32)
+    val mw = deg.where(col("deg") <= maxMiddleDeg && col("deg") >= 2)
+      .select(col("node").as("m"),
+        floor(lit(1.0e9) / lnD).cast("long").as("w"))
+    val adj = und.select(col("u").as("m"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("m"), col("u").as("x")))
+      .join(mw, Seq("m"))
+    val cn = adj.select(col("m"), col("w"), col("x").as("cu"))
+      .join(adj.select(col("m"), col("x").as("cv")), Seq("m"))
+      .where(col("cu") < col("cv"))
+      .groupBy(col("cu").as("u"), col("cv").as("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa_nano"))
+    cn.join(und, cn("u") === und("u") && cn("v") === und("v"), "left_anti")
+      .select(col("u"), col("v"), col("cn"), col("aa_nano"))
+      .orderBy(col("aa_nano").desc, col("u"), col("v"))
+      .limit(topN)
+  }
+
+  /** DuckDB oracle twin of [[linkPredictAA]] over a prior canonical-pair
+    * CTE `p`: terminal CTE `aap` (unordered — the caller orders/limits
+    * with the same (aa_nano DESC, u, v) total order). The per-middle
+    * weight replays the hoisted wide-ln chain stage for stage. */
+  def linkPredictAASql(maxMiddleDeg: Long): String = {
+    val P = graft.functions.PortableMath
+    s"""deg AS MATERIALIZED (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM p UNION ALL SELECT b FROM p) GROUP BY 1
+       |), mw1 AS (
+       |  SELECT node AS m, ${P.mWideSql("deg")} AS md, ${P.biasWideSql("deg")} AS bd
+       |  FROM deg WHERE deg <= $maxMiddleDeg AND deg >= 2
+       |), mw2 AS (
+       |  SELECT m, ${P.zSql("md")} AS zd, bd FROM mw1
+       |), mw3 AS (
+       |  SELECT m, zd, (zd * zd) AS zzd, bd FROM mw2
+       |), mw AS MATERIALIZED (
+       |  SELECT m, CAST(floor(1.0E9 / (${P.lnFromPartsSql("zd", "zzd", "bd")}
+       |    + ${fmtD(LnBias32)})) AS BIGINT) AS w
+       |  FROM mw3
+       |), adj AS MATERIALIZED (
+       |  SELECT m, x, w FROM (
+       |    SELECT a AS m, b AS x FROM p UNION ALL SELECT b AS m, a AS x FROM p)
+       |  JOIN mw USING (m)
+       |), aap AS (
+       |  SELECT u, v, cn, aa_nano FROM (
+       |    SELECT l.x AS u, r.x AS v, CAST(count(*) AS BIGINT) AS cn,
+       |      CAST(sum(l.w) AS BIGINT) AS aa_nano
+       |    FROM adj l JOIN adj r ON l.m = r.m AND l.x < r.x
+       |    GROUP BY 1, 2) c
+       |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = c.u AND p.b = c.v)
+       |)""".stripMargin
+  }
+
   def bipartiteEdges(rel: DataFrame, leftId: String, rightId: String,
                      rightOffset: Long): DataFrame = {
     require(rightOffset > 0, s"rightOffset must be positive, got $rightOffset")

@@ -856,6 +856,35 @@ object Analytics extends QueryModule {
               |), ${graft.ops.Graph.personalizedPageRankSql(3)}
               |SELECT node, r AS rank_q FROM p3 ORDER BY node""".stripMargin)),
 
+    // Adamic–Adar link prediction over the same part graph and cap as
+    // graph_linkpredict: the hub-DISCOUNTED score — each shared middle
+    // contributes floor(1e9/ln(deg)) exact integer nano-units via the
+    // PortableMath wide-ln chain, so a shared rare part is worth ~3× a
+    // shared popular one and the oracle replays ln, floor, sum, and the
+    // (aa DESC, u, v) cut bit-for-bit.
+    "graph_linkpredict_aa" -> QueryDef(
+      (s, d) => {
+        val l1 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").cast("long").as("pa"))
+        val l2 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
+          col("l_partkey").cast("long").as("pb"))
+        val edges = l1.join(l2, Seq("ok", "ln"))
+          .where(col("pa") =!= col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ops.Graph.linkPredictAA(edges, topN = 64, maxMiddleDeg = 24L)
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
+              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
+              |  FROM lineitem l1 JOIN lineitem l2
+              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+              |  WHERE l1.l_partkey <> l2.l_partkey
+              |), ${graft.ops.Graph.linkPredictAASql(24L)}
+              |SELECT u, v, cn, aa_nano
+              |FROM aap ORDER BY aa_nano DESC, u, v LIMIT 64""".stripMargin)),
+
     // HyperBall 2-hop neighborhood sizes over the part graph: per-node
     // ball-size ESTIMATES via register propagation — the ball relation
     // (Σ|ball| rows, quadratic on dense graphs) never materializes;

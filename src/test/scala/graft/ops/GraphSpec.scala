@@ -253,6 +253,30 @@ class GraphSpec extends SparkSpec {
       Graph.personalizedPageRank(df, Seq(42L).toDF("node"), 1))
   }
 
+  test("linkPredictAA: exact nano-unit scores; rare middles outrank hubs at equal cn") {
+    import graft.functions.PortableMath
+    def wOf(d: Long): Long =
+      math.floor(1.0e9 / (PortableMath.lnWide(d) + 32.0 * PortableMath.Ln2)).toLong
+    // pair (1,2) shares ONLY middle 10 (degree 2 — rare);
+    // pair (3,4) shares ONLY middle 20 (degree 12 — a hub):
+    // cn ties at 1, Adamic–Adar must rank (1,2) first
+    val hubLeaves = (30L to 39L).map(x => (20L, x))
+    val e0 = Seq((10L, 1L), (10L, 2L), (20L, 3L), (20L, 4L)) ++ hubLeaves
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val rows = Graph.linkPredictAA(edges, topN = 3, maxMiddleDeg = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.head === ((1L, 2L, 1L, wOf(2L))),
+      s"rare-middle pair must rank first with the exact lnWide weight, got ${rows.toSeq}")
+    // the hub pair's score is the hub's discounted weight — exact too
+    assert(rows.map(r => (r._1, r._2) -> r._4).toMap.get((3L, 4L)) === Some(wOf(12L)))
+    assert(wOf(2L) > wOf(12L), "discount must be monotone in degree")
+    // capping below the hub's degree removes hub-evidence pairs entirely
+    val capped = Graph.linkPredictAA(edges, topN = 10, maxMiddleDeg = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!capped.contains((3L, 4L)) && capped.contains((1L, 2L)))
+    intercept[IllegalArgumentException](Graph.linkPredictAA(edges, 1, 1L))
+  }
+
   test("neighborhoodHll: propagated registers EQUAL the sketch of the exact ball") {
     // path 0-1-2-3-4 plus an island 9-10; symmetric edges
     val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
