@@ -501,6 +501,40 @@ class PlanSpec extends SparkSpec {
       "triangle exchanges must stay at most (long, long, long):\n" + p)
   }
 
+  test("graph_ball2: register propagation shuffles (node, reg, r) triples only") {
+    val df = Registry.all("graph_ball2").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // exchanges in the (checkpoint-truncated) final stage: the 64-wide
+    // register pivot and the output sort. The HyperBall contract is that
+    // WIDE rows exist only KEYED/ORDERED BY node — one row per node,
+    // |V|-bounded — while anything edge-proportional stays a (node, reg,
+    // r) triple; a wide exchange keyed on anything else (or an
+    // edge-join of pivoted rows) breaks the bound at 100 TB.
+    val blocks = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\].*?Arguments: ([^\\n]*)".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    assert(blocks.nonEmpty, p)
+    blocks.foreach { case (input, args) =>
+      val wide = input.split(",").length > 3
+      assert(!wide || args.contains("partitioning(node"),
+        s"wide exchange must be node-keyed, got [$args] carrying [$input]:\n" + p)
+    }
+  }
+
+  test("graph_linkpredict_aa: ln weights attach BEFORE the wedge fan-out; top-k is partial") {
+    val df = Registry.all("graph_linkpredict_aa").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // distributed partial top-k, never a global sort of all candidates
+    assert(p.contains("TakeOrderedAndProject"),
+      "AA ranking must plan TakeOrderedAndProject:\n" + p)
+    // the weight column is computed in a project under the degree
+    // aggregate (scan side), not recomputed per wedge: the wedge join's
+    // build side already carries `w`
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text_entropy: zero exchanges — the whole signal is scan-stage work") {
     val df = graft.ops.TextAnalysis.tokenEntropy(
       graft.Tables.documents(spark, sf), "doc_id", "text")
