@@ -71,6 +71,29 @@ object Bench {
     calibrate() // discard: first run pays the loop's own JIT (~0.10 vs 0.09)
     val calibBefore = calibrate()
 
+    // MULTI-CORE calibration: the same hash loop on one thread per bench
+    // CPU, measured as WALL time. The single-thread calib is blind to
+    // ambient MULTI-core contention / frequency throttling — round 16's
+    // fifth run read 52 s total with quiet 0.040 slices while every heavy
+    // query inflated +24-40% uniformly with zero code changes; only
+    // cross-run reasoning caught it. This field makes it mechanical. No
+    // absolute quiet reference is published: on SMT hardware N threads on
+    // N logical cores legitimately exceed 1× a slice, so the value is
+    // meaningful RELATIVE to other runs' calib_mt on the same host — a
+    // run whose calib_mt sits well above the round's best runs has
+    // uniformly load-polluted totals; compare per-query shape, not sums.
+    def calibMt(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to cpus.toInt).map { _ =>
+        val t = new Thread(() => { calibLoop(25000000L): Unit })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibMt() // discard: thread-pool + JIT warmup
+    val calibMtBefore = calibMt()
+
     // I/O-speed calibration: write+fsync a fixed-size file in the SAME
     // tmpdir the ingest leg's scratch Delta table lands in (graft.Scratch
     // → java.io.tmpdir; ext4 on this host, not tmpfs). The CPU hash loop
@@ -347,7 +370,9 @@ object Bench {
       }
 
     val calibAfter = calibrate()
+    val calibMtAfter = calibMt()
     System.err.println(f"[bench] calib before=$calibBefore%.3f after=$calibAfter%.3f " +
+      f"mt before=$calibMtBefore%.3f after=$calibMtAfter%.3f " +
       f"io before=$ioCalibBefore%.3f after=$ioCalibAfter%.3f")
 
     // median alongside min/max: on a host with 2–4× scheduler swings even a
@@ -371,6 +396,8 @@ object Bench {
       s""""calib_slice_median":$sliceMedian,""" +
       s""""calib_sec_before":$calibBefore,"calib_sec_after":$calibAfter,""" +
       s""""calib_sec_after_queries":$calibAfterQueries,""" +
+      s""""calib_mt_before":$calibMtBefore,"calib_mt_after":$calibMtAfter,""" +
+      s""""calib_mt_threads":${cpus.toInt},""" +
       s""""calib_quiet_ref":$QuietCalibSec,"load_warning":$loadWarning,""" +
       s""""load_warning_initial":$loadWarningInitial,""" +
       s""""retried":{"queries":$retriedQueries,"ingest":$retriedIngest},""" +
