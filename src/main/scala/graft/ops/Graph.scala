@@ -756,6 +756,106 @@ object Graph {
        |)""".stripMargin
   }
 
+  /** DETERMINISTIC random-walk corpus (the DeepWalk / node2vec input:
+    * Perozzi et al. 2014 treat truncated walks as "sentences" for
+    * embedding training): `walksPerNode` walks of `len` hops from every
+    * node, each hop choosing neighbor index md5-coin(walker, step) mod
+    * degree over the RANK-ORDERED adjacency — a pure function of
+    * (edges, salt), so walks are partition/parallelism-independent,
+    * replayable for exactly-once regeneration, and the oracle replays
+    * every hop. RNG-seeded walkers can't be hash-gated and silently
+    * reshuffle the training corpus on every retry; md5 coins make the
+    * corpus a fact.
+    *
+    * Scale: ranked adjacency materializes ONCE (row_number per source —
+    * one keyed shuffle of (long,long) pairs, no single-partition window);
+    * each hop is one join of (walker, cur) longs against it — len joins,
+    * exchanges never carry paths. Walker ids pack as node·walksPerNode+w,
+    * guarded against overflow.
+    *
+    * @return (walker, step, node) — step 0 is the start node */
+  def randomWalks(edges: DataFrame, walksPerNode: Int, len: Int,
+                  salt: String): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64, s"bad W: $walksPerNode")
+    require(len >= 1 && len <= 32, s"bad len: $len")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val both = und.select(col("u").as("m"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("m"), col("u").as("x")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("m")).orderBy(col("x"))
+    val adj = both
+      .select(col("m"), col("x"),
+        (row_number().over(w) - 1).cast("long").as("idx"))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("d"))
+    val adjDeg = adj.join(deg, "m").localCheckpoint()
+    val nodes = adj.select(col("m").as("node")).distinct()
+      // id-space guard: a packed walker id that overflows would silently
+      // alias two walkers' coins
+      .withColumn("node", when(col("node") >= 0 &&
+        col("node") < Long.MaxValue / (walksPerNode + 1),
+        col("node")).otherwise(raise_error(concat(lit(
+        s"randomWalks: node id out of packable range for W=$walksPerNode: "),
+        col("node")))))
+    var cur = nodes
+      .crossJoin(walkIndexFrame(nodes, walksPerNode))
+      .select((col("node") * walksPerNode + col("w")).as("walker"),
+        col("node").as("cur"))
+      .localCheckpoint()
+    val steps = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("walker"), lit(0L).as("step"), col("cur").as("node")))
+    for (t <- 1 to len) {
+      cur = cur.join(adjDeg, cur("cur") === adjDeg("m"))
+        .where(col("idx") ===
+          graft.functions.Hashing.h32(col("walker").cast("string"), s"$salt:$t") % col("d"))
+        .select(col("walker"), col("x").as("cur"))
+        .localCheckpoint()
+      steps += cur.select(col("walker"), lit(t.toLong).as("step"),
+        col("cur").as("node"))
+    }
+    steps.reduce(_ unionAll _)
+  }
+
+  /** The tiny [0, n) walk-index frame `w` (n = walks per node). */
+  private def walkIndexFrame(like: DataFrame, n: Int): DataFrame =
+    like.sparkSession.range(n).select(col("id").as("w"))
+
+  /** DuckDB twin of [[randomWalks]]: unrolled hop chain; terminal CTE
+    * `walks(walker, step, node)`. Expects the canonical undirected pair
+    * CTE `p(a, b)` in scope. */
+  def randomWalksSql(walksPerNode: Int, len: Int, salt: String): String = {
+    val h = (t: Int) =>
+      graft.functions.Hashing.h64Sql("walker", s"$salt:$t")
+    val hops = (1 to len).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT c.walker, a.x AS cur
+         |  FROM w${t - 1} c
+         |  JOIN deg ON deg.m = c.cur
+         |  JOIN adj a ON a.m = c.cur
+         |    AND a.idx = (${h(t)} & 4294967295) % deg.d
+         |)""".stripMargin
+    }.mkString(", ")
+    val emit = (0 to len).map(t =>
+      s"SELECT walker, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
+      .mkString("\n|  UNION ALL ")
+    s"""adj AS MATERIALIZED (
+       |  SELECT m, x, CAST(row_number() OVER (PARTITION BY m ORDER BY x) - 1 AS BIGINT) AS idx
+       |  FROM (SELECT a AS m, b AS x FROM p UNION ALL SELECT b AS m, a AS x FROM p)
+       |), deg AS MATERIALIZED (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY m
+       |), w0 AS MATERIALIZED (
+       |  SELECT node * $walksPerNode + w AS walker, node AS cur
+       |  FROM (SELECT DISTINCT m AS node FROM adj)
+       |  CROSS JOIN (SELECT unnest(range($walksPerNode)) AS w)
+       |), $hops,
+       |walks AS (
+       |  $emit
+       |)""".stripMargin
+  }
+
   def bipartiteEdges(rel: DataFrame, leftId: String, rightId: String,
                      rightOffset: Long): DataFrame = {
     require(rightOffset > 0, s"rightOffset must be positive, got $rightOffset")

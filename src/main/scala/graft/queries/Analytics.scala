@@ -885,6 +885,36 @@ object Analytics extends QueryModule {
               |SELECT u, v, cn, aa_nano
               |FROM aap ORDER BY aa_nano DESC, u, v LIMIT 64""".stripMargin)),
 
+    // Deterministic random-walk corpus (the DeepWalk/node2vec input) over
+    // the part graph: 2 walks × 4 hops from every node, each hop an
+    // md5-coin(walker, step) choice over rank-ordered adjacency — the
+    // training corpus is a pure function of (edges, salt), so the oracle
+    // replays EVERY hop and the gate hashes the complete 20k-row corpus;
+    // an RNG-seeded walker would reshuffle it on every retry.
+    "graph_walks" -> QueryDef(
+      (s, d) => {
+        val l1 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").cast("long").as("pa"))
+        val l2 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
+          col("l_partkey").cast("long").as("pb"))
+        val edges = l1.join(l2, Seq("ok", "ln"))
+          .where(col("pa") =!= col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ops.Graph.randomWalks(edges, walksPerNode = 2, len = 4,
+            salt = "walk")
+          .orderBy(col("walker"), col("step"))
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
+              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
+              |  FROM lineitem l1 JOIN lineitem l2
+              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+              |  WHERE l1.l_partkey <> l2.l_partkey
+              |), ${graft.ops.Graph.randomWalksSql(2, 4, "walk")}
+              |SELECT walker, step, node FROM walks ORDER BY walker, step""".stripMargin)),
+
     // HyperBall 2-hop neighborhood sizes over the part graph: per-node
     // ball-size ESTIMATES via register propagation — the ball relation
     // (Σ|ball| rows, quadratic on dense graphs) never materializes;

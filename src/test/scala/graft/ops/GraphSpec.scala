@@ -277,6 +277,44 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.linkPredictAA(edges, 1, 1L))
   }
 
+  test("randomWalks: every hop replays the md5 coin over ranked adjacency") {
+    // triangle {1,2,3} + pendant 3-4: every node has >= 1 neighbor
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (e0 ++ e0.map(_.swap) ++ Seq((2L, 1L))).toDF("src", "dst")
+    val W = 2; val L = 3
+    val got = Graph.randomWalks(edges, W, L, "wk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // in-memory twin: ranked adjacency + the same h32 coins
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    def coin(walker: Long, t: Int): Long =
+      graft.functions.Hashing.planTimeH64(s"wk:$t:$walker") & 0xFFFFFFFFL
+    val want = (for {
+      node <- adj.keySet.toSeq; w <- 0 until W
+    } yield {
+      val walker = node * W + w
+      var cur = node
+      ((walker, 0L) -> node) +: (1 to L).map { t =>
+        cur = adj(cur)((coin(walker, t) % adj(cur).size).toInt)
+        (walker, t.toLong) -> cur
+      }
+    }).flatten.toMap
+    assert(got === want)
+    // every row count: |V|·W·(L+1); partitioning cannot move a step
+    assert(got.size === 4 * W * (L + 1))
+    val rep = Graph.randomWalks(edges.repartition(7), W, L, "wk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rep === got)
+    // each hop is a real edge
+    got.foreach { case ((walker, step), node) =>
+      if (step > 0) {
+        val prev = got((walker, step - 1))
+        assert(adj(prev).contains(node), s"hop $prev -> $node is not an edge")
+      }
+    }
+    intercept[IllegalArgumentException](Graph.randomWalks(edges, 0, 1, "wk"))
+  }
+
   test("neighborhoodHll: propagated registers EQUAL the sketch of the exact ball") {
     // path 0-1-2-3-4 plus an island 9-10; symmetric edges
     val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
