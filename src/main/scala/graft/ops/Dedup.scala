@@ -655,6 +655,33 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** BEST-of-cluster survivor selection: one representative per near-dup
+    * cluster, chosen by HIGHEST score (ties → smallest id) — what real
+    * curation pipelines keep, where [[duplicateClusters]]' min-id rule is
+    * only a canonical label. A near-dup set usually spans quality grades
+    * (the clean original, the boilerplate-wrapped scrape, the truncated
+    * mirror); keeping min-id throws away quality signal that the corpus
+    * already paid to compute. Docs outside any cluster are singleton
+    * survivors. One corpus-sized join + one keyed window (partitioned by
+    * cluster rep — never a single-partition window); deterministic, so
+    * re-running the selection after an incremental append keeps previous
+    * survivors unless a strictly better member arrived.
+    *
+    * @param clusters (id, cluster_id) — [[duplicateClusters]]' shape
+    * @return the surviving rows of `docs`, one per cluster */
+  def bestOfCluster(docs: DataFrame, idCol: String, scoreCol: String,
+                    clusters: DataFrame): DataFrame = {
+    val reps = clusters.select(col("id").as(idCol), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rep"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.join(reps, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rep", "__rn", "cluster_id")
+  }
+
   /** [[duplicateClusters]] in O(log n) rounds: alternating large-star /
     * small-star (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) for ADVERSARIALLY deep pair graphs — million-hop

@@ -856,6 +856,38 @@ object Graph {
        |)""".stripMargin
   }
 
+  /** Skip-gram training pairs from a walk corpus (the second DeepWalk
+    * stage: walks → (center, context) pairs within `window` hops, the
+    * word2vec-style input an embedding trainer consumes). Directional
+    * pairs — (a,b) and (b,a) both emitted, as word2vec does — with
+    * multiplicity summed over the whole corpus, so the trainer reads one
+    * weighted pair list instead of re-scanning walks. One self-join per
+    * corpus keyed on walker (co-partitioned long rows), one aggregation;
+    * nothing wider than (long, long, long) ever shuffles.
+    *
+    * @param walks (walker, step, node) — [[randomWalks]]' shape
+    * @return (center, context, cnt), center ≠ context positions */
+  def walkSkipGrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1 && window <= 16, s"bad window: $window")
+    val a = walks.select(col("walker"), col("step").as("s1"), col("node").as("center"))
+    val b = walks.select(col("walker"), col("step").as("s2"), col("node").as("context"))
+    a.join(b, Seq("walker"))
+      .where(col("s1") =!= col("s2") &&
+        abs(col("s1") - col("s2")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DuckDB twin of [[walkSkipGrams]] over a prior `walks(walker, step,
+    * node)` CTE ([[randomWalksSql]]'s terminal): terminal CTE `sg`. */
+  def walkSkipGramsSql(window: Int): String =
+    s"""sg AS (
+       |  SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM walks a JOIN walks b ON a.walker = b.walker
+       |    AND a.step <> b.step AND abs(a.step - b.step) <= $window
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   def bipartiteEdges(rel: DataFrame, leftId: String, rightId: String,
                      rightOffset: Long): DataFrame = {
     require(rightOffset > 0, s"rightOffset must be positive, got $rightOffset")

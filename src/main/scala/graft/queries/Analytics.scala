@@ -915,6 +915,37 @@ object Analytics extends QueryModule {
               |), ${graft.ops.Graph.randomWalksSql(2, 4, "walk")}
               |SELECT walker, step, node FROM walks ORDER BY walker, step""".stripMargin)),
 
+    // Skip-gram pairs from the SAME deterministic walk corpus as
+    // graph_walks (window 2, directional, multiplicity summed) — the
+    // word2vec-style input the embedding trainer actually consumes; the
+    // oracle replays walks AND pairing, so the full two-stage DeepWalk
+    // data pipeline is hash-gated end to end.
+    "graph_skipgrams" -> QueryDef(
+      (s, d) => {
+        val l1 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").cast("long").as("pa"))
+        val l2 = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
+          col("l_partkey").cast("long").as("pb"))
+        val edges = l1.join(l2, Seq("ok", "ln"))
+          .where(col("pa") =!= col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.ops.Graph.walkSkipGrams(
+            graft.ops.Graph.randomWalks(edges, walksPerNode = 2, len = 4,
+              salt = "walk"), window = 2)
+          .orderBy(col("center"), col("context"))
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
+              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
+              |  FROM lineitem l1 JOIN lineitem l2
+              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+              |  WHERE l1.l_partkey <> l2.l_partkey
+              |), ${graft.ops.Graph.randomWalksSql(2, 4, "walk")},
+              |${graft.ops.Graph.walkSkipGramsSql(2)}
+              |SELECT center, context, cnt FROM sg ORDER BY center, context""".stripMargin)),
+
     // HyperBall 2-hop neighborhood sizes over the part graph: per-node
     // ball-size ESTIMATES via register propagation — the ball relation
     // (Σ|ball| rows, quadratic on dense graphs) never materializes;

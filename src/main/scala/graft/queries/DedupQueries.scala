@@ -661,6 +661,43 @@ object DedupQueries extends QueryModule {
               |       ELSE 'test' END AS split
               |FROM assigned ORDER BY doc_id""".stripMargin)),
 
+    // Best-of-cluster survivors: one representative per minhash near-dup
+    // cluster chosen by HIGHEST quality (here: longest text, ties to the
+    // smaller doc_id) — what production dedup keeps, vs the min-id
+    // canonical label. Singletons survive as themselves; the oracle
+    // replays the closure AND the argmax tie-break, so a survivor picked
+    // by id instead of score fails the hash.
+    "dedup_best_of_cluster" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), length(col("text")).cast("long").as("score"))
+        val clusters = Dedup.duplicateClusters(
+          Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+            shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5))
+        Dedup.bestOfCluster(docs, "doc_id", "score", clusters)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashCtes,
+              |pairs AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE j >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS a, id_b AS b FROM pairs
+              |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+              |), reach AS (
+              |  SELECT a AS node, a AS r FROM edges
+              |  UNION
+              |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON e.b = reach.node
+              |), clusters AS (
+              |  SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node
+              |), scoredocs AS (
+              |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS score,
+              |    coalesce(c.cluster_id, d.doc_id) AS rep
+              |  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+              |)
+              |SELECT doc_id, score FROM scoredocs
+              |QUALIFY row_number() OVER (
+              |  PARTITION BY rep ORDER BY score DESC, doc_id) = 1
+              |ORDER BY doc_id""".stripMargin)),
+
     // Duplication-audit report: the cluster-SIZE histogram over the
     // whole corpus (singletons included as size-1 clusters) — the
     // number every dedup run reports first ("how much of the corpus is

@@ -109,6 +109,31 @@ class DedupSpec extends SparkSpec {
     assert(c.values.toSet === Set(10L) && c.size === 5)
   }
 
+  test("bestOfCluster keeps the highest-scoring member; singletons survive") {
+    // clusters {1,2,4} and {7,9}; 3 and 5 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster_id")
+    val docs = Seq((1L, 10L), (2L, 30L), (4L, 30L), (3L, 1L), (5L, 99L),
+      (7L, 5L), (9L, 8L)).toDF("doc_id", "score")
+    val got = Dedup.bestOfCluster(docs, "doc_id", "score", clusters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster 1: scores 10/30/30 — tie at 30 breaks to the SMALLER id (2,
+    // not 4); cluster 7: 9 wins on score despite the larger id;
+    // singletons 3 and 5 survive untouched
+    assert(got === Map(2L -> 30L, 9L -> 8L, 3L -> 1L, 5L -> 99L))
+    // deterministic under partitioning
+    val rep = Dedup.bestOfCluster(docs.repartition(5), "doc_id", "score",
+        clusters.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === got)
+    // incremental stability: appending a WORSE member changes nothing
+    val more = docs.unionAll(Seq((8L, 4L)).toDF("doc_id", "score"))
+    val withNew = Seq((8L, 7L)).toDF("id", "cluster_id").unionAll(clusters)
+    val got2 = Dedup.bestOfCluster(more, "doc_id", "score", withNew)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+  }
+
   test("large-star/small-star clusters match propagation and converge in log rounds") {
     // the propagation test's fixtures, same expected output
     val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")

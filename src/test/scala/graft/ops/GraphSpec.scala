@@ -315,6 +315,26 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.randomWalks(edges, 0, 1, "wk"))
   }
 
+  test("walkSkipGrams: directional windowed pairs with summed multiplicity") {
+    // two hand-built walks: walker 1 = [5, 6, 7], walker 2 = [6, 5]
+    val walks = Seq((1L, 0L, 5L), (1L, 1L, 6L), (1L, 2L, 7L),
+      (2L, 0L, 6L), (2L, 1L, 5L)).toDF("walker", "step", "node")
+    val got = Graph.walkSkipGrams(walks, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // window 1: walker1 gives (5,6),(6,5),(6,7),(7,6); walker2 gives
+    // (6,5),(5,6) — multiplicity sums across walks, both directions kept
+    assert(got === Map((5L, 6L) -> 2L, (6L, 5L) -> 2L,
+      (6L, 7L) -> 1L, (7L, 6L) -> 1L))
+    // window 2 adds the distance-2 pair in walker 1
+    val w2 = Graph.walkSkipGrams(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(w2((5L, 7L)) === 1L && w2((7L, 5L)) === 1L)
+    // a center never pairs with its own position; same-node pairs from
+    // DIFFERENT positions would still count (none in this fixture)
+    assert(!got.contains((5L, 5L)) && !got.contains((6L, 6L)))
+    intercept[IllegalArgumentException](Graph.walkSkipGrams(walks, 0))
+  }
+
   test("neighborhoodHll: propagated registers EQUAL the sketch of the exact ball") {
     // path 0-1-2-3-4 plus an island 9-10; symmetric edges
     val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
