@@ -46,7 +46,10 @@ object PortableMath {
   /** Shortest round-trip literal, exponent-forced: a bare `0.5` parses
     * as DECIMAL in Spark SQL (and would silently change the arithmetic
     * type); `0.5E0` is a DOUBLE literal in both dialects. */
-  private def fmt(d: Double): String = {
+  /** Round-trip double → SQL literal (exponent suffix forced so neither
+    * engine parses it as DECIMAL). Shared with the graph ops' wide-ln
+    * callers — a private copy there would drift. */
+  private[graft] def fmt(d: Double): String = {
     val s = java.lang.Double.toString(d)
     if (s.contains("E")) s else s + "E0"
   }

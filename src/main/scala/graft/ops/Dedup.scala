@@ -664,8 +664,11 @@ object Dedup {
     * already paid to compute. Docs outside any cluster are singleton
     * survivors. One corpus-sized join + one keyed window (partitioned by
     * cluster rep — never a single-partition window); deterministic, so
-    * re-running the selection after an incremental append keeps previous
-    * survivors unless a strictly better member arrived.
+    * within an UNCHANGED cluster re-selection after an append keeps the
+    * previous survivor unless a strictly better member arrived. An
+    * append that MERGES clusters re-selects over the merged membership
+    * (one survivor where there were two) — the correct dedup outcome,
+    * not an instability.
     *
     * @param clusters (id, cluster_id) — [[duplicateClusters]]' shape
     * @return the surviving rows of `docs`, one per cluster */

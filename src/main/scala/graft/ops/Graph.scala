@@ -110,7 +110,7 @@ object Graph {
          |  FROM nodes CROSS JOIN sc LEFT JOIN c$i ON c$i.node = nodes.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""nodes AS MATERIALIZED (
+    val prefix = s"""nodes AS MATERIALIZED (
        |  SELECT DISTINCT node FROM (
        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
        |), deg AS MATERIALIZED (
@@ -118,7 +118,10 @@ object Graph {
        |), sc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
        |r0 AS MATERIALIZED (
        |  SELECT node, $scale // sc.n AS r FROM nodes CROSS JOIN sc
-       |), $steps""".stripMargin
+       |)""".stripMargin
+    // iters = 0 is a valid domain point for the Spark twin (the uniform
+    // prior): terminate the chain at r0 instead of emitting ", " + ""
+    if (iters == 0) prefix else prefix + ", " + steps
   }
 
   /** Personalized PageRank (seed-restart random walk, Haveliwala 2002 —
@@ -214,7 +217,7 @@ object Graph {
        |), p0 AS MATERIALIZED (
        |  SELECT m.node, CASE WHEN m.is_seed = 1 THEN $scale // sc.ns ELSE 0 END AS r
        |  FROM m CROSS JOIN sc
-       |), $steps""".stripMargin
+       |)""".stripMargin + (if (iters == 0) "" else ", " + steps)
   }
 
   /** HyperBall-style h-hop neighborhood-size estimation (Boldi & Vigna
@@ -289,7 +292,7 @@ object Graph {
        |), b0 AS MATERIALIZED (
        |  SELECT node, CAST(h & 63 AS INT) AS reg, ${S.rankSql("(h >> 6)")} AS r
        |  FROM (SELECT node, ${graft.functions.Hashing.h64Sql("node", salt)} AS h FROM nodes)
-       |), $rounds,
+       |), ${if (hops == 0) "" else rounds + ","}
        |wide AS (SELECT node, $regCols FROM b$hops GROUP BY node),
        |calc AS (SELECT node, $joined AS registers_joined,
        |    $sSum AS s, $zeros AS zeros
@@ -507,14 +510,29 @@ object Graph {
     * are absent from the output.
     *
     * @return (node, triangles) */
-  def triangles(edges: DataFrame): DataFrame = {
-    val und = edges.select(
+  /** Canonical undirected simple-pair frame (u < v): dupes, direction,
+    * and self-loops normalize away. Shared by [[triangles]] and
+    * [[clusteringCoeff]] so the dominant dedup shuffle runs once. */
+  private[ops] def canonicalPairs(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-    val deg = und.select(col("u").as("node"))
+
+  /** (node, deg) over a canonical pair frame. */
+  private[ops] def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = canonicalPairs(edges)
+    trianglesFrom(und, degreesOf(und))
+  }
+
+  /** [[triangles]] over pre-built canonical pairs + degrees — the entry
+    * [[clusteringCoeff]] uses to avoid re-deriving both from raw edges. */
+  private[ops] def trianglesFrom(und: DataFrame, deg: DataFrame): DataFrame = {
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
     val lower = col("du") < col("dv") ||
@@ -577,19 +595,22 @@ object Graph {
     *
     * @return (node, deg, triangles, coeff_ppm) */
   def clusteringCoeff(edges: DataFrame): DataFrame = {
-    val und = edges.select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-    val deg = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    deg.join(triangles(edges), Seq("node"), "left")
+    // pairs + degrees build ONCE and feed both the triangle pass and the
+    // final join — re-deriving them from raw edges would double the
+    // dominant dedup shuffle (checkpoint: und is read by three consumers)
+    val und = canonicalPairs(edges).localCheckpoint()
+    val deg = degreesOf(und)
+    deg.join(trianglesFrom(und, deg), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
-      // round(2e6·T/den) = (4e6·T + den) div (2·den), den = d(d−1)
+      // round(2e6·T/den) = (4e6·T + den) div (2·den), den = d(d−1) —
+      // through 128-bit DECIMAL so a super-hub (deg > ~2.1M, T up to
+      // C(d,2) ≈ 2.3e12) can neither wrap in Spark nor overflow BIGINT
+      // in DuckDB; the quotient is ≤ 1e6 by T ≤ C(d,2), so the final
+      // BIGINT cast is always exact
       .withColumn("coeff_ppm", when(col("deg") < 2, lit(0L)).otherwise(
-        expr("(4000000 * triangles + deg * (deg - 1)) div (2 * deg * (deg - 1))")))
+        expr("CAST((CAST(4000000 AS DECIMAL(38,0)) * triangles + deg * (deg - 1))" +
+          " div (CAST(2 AS DECIMAL(38,0)) * deg * (deg - 1)) AS BIGINT)")))
   }
 
   /** DuckDB oracle twin of [[clusteringCoeff]]: appends to
@@ -599,8 +620,8 @@ object Graph {
     s"""$trianglesSql, cc AS (
        |  SELECT d.node, d.deg, coalesce(t.triangles, 0) AS triangles,
        |    CASE WHEN d.deg < 2 THEN CAST(0 AS BIGINT)
-       |      ELSE CAST((4000000 * coalesce(t.triangles, 0) + d.deg * (d.deg - 1))
-       |        // (2 * d.deg * (d.deg - 1)) AS BIGINT) END AS coeff_ppm
+       |      ELSE CAST((CAST(4000000 AS HUGEINT) * coalesce(t.triangles, 0) + d.deg * (d.deg - 1))
+       |        // (CAST(2 AS HUGEINT) * d.deg * (d.deg - 1)) AS BIGINT) END AS coeff_ppm
        |  FROM deg d LEFT JOIN tricnt t USING (node)
        |)""".stripMargin
 
@@ -620,24 +641,11 @@ object Graph {
     * @return (u, v, cn, deg_u, deg_v, jaccard_ppm), u < v, top `topN` */
   def linkPredict(edges: DataFrame, topN: Int, maxMiddleDeg: Long): DataFrame = {
     require(topN >= 1 && maxMiddleDeg >= 1, s"bad params: $topN, $maxMiddleDeg")
-    val und = edges.select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
+    val und = canonicalPairs(edges)
       .localCheckpoint() // feeds degree, adjacency, and the anti-join
-    val deg = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val adj = und.select(col("u").as("m"), col("v").as("x"))
-      .unionAll(und.select(col("v").as("m"), col("u").as("x")))
-      .join(deg.where(col("deg") <= maxMiddleDeg)
-        .select(col("node").as("m")), Seq("m"))
-    val cn = adj.select(col("m"), col("x").as("cu"))
-      .join(adj.select(col("m"), col("x").as("cv")), Seq("m"))
-      .where(col("cu") < col("cv"))
-      .groupBy(col("cu").as("u"), col("cv").as("v"))
-      .agg(count(lit(1)).as("cn"))
-    cn.join(und, cn("u") === und("u") && cn("v") === und("v"), "left_anti")
+    val deg = degreesOf(und)
+    coNeighborPairs(und,
+        deg.where(col("deg") <= maxMiddleDeg).select(col("node").as("m")), Nil)
       .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
       .withColumn("jaccard_ppm",
@@ -646,6 +654,26 @@ object Graph {
         col("jaccard_ppm"))
       .orderBy(col("cn").desc, col("u"), col("v"))
       .limit(topN)
+  }
+
+  /** The wedge core [[linkPredict]] and [[linkPredictAA]] share —
+    * factored so a fix to the cap join, the wedge order, or the
+    * adjacent-pair anti-join can never reach one scorer and miss the
+    * other: both-direction adjacency joined against `middles`
+    * (m[, carried columns]; carried columns ride the LEFT wedge side
+    * into `extraAggs`), cu < cv wedge self-join, per-pair count + extra
+    * aggregates, then the anti-join that drops already-adjacent pairs. */
+  private def coNeighborPairs(und: DataFrame, middles: DataFrame,
+                              extraAggs: Seq[Column]): DataFrame = {
+    val adj = und.select(col("u").as("m"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("m"), col("u").as("x")))
+      .join(middles, Seq("m"))
+    val cn = adj.withColumnRenamed("x", "cu")
+      .join(adj.select(col("m"), col("x").as("cv")), Seq("m"))
+      .where(col("cu") < col("cv"))
+      .groupBy(col("cu").as("u"), col("cv").as("v"))
+      .agg(count(lit(1)).as("cn"), extraAggs: _*)
+    cn.join(und, cn("u") === und("u") && cn("v") === und("v"), "left_anti")
   }
 
   /** DuckDB oracle twin of [[linkPredict]] over a prior canonical-pair
@@ -677,11 +705,6 @@ object Graph {
     * both engines, so no libm call crosses the boundary. */
   private val LnBias32: Double = 32.0 * graft.functions.PortableMath.Ln2
 
-  private def fmtD(d: Double): String = {
-    val s = java.lang.Double.toString(d)
-    if (s.contains("E")) s else s + "E0"
-  }
-
   /** Adamic–Adar link prediction (Adamic & Adar 2003): the hub-DISCOUNTED
     * common-neighbor score Σ_{m ∈ CN(u,v)} 1/ln(d_m) — a shared rare
     * neighbor is strong evidence, a shared hub is weak. Scores are exact
@@ -696,27 +719,13 @@ object Graph {
     * @return (u, v, cn, aa_nano), u < v, top `topN` by (aa_nano, u, v) */
   def linkPredictAA(edges: DataFrame, topN: Int, maxMiddleDeg: Long): DataFrame = {
     require(topN >= 1 && maxMiddleDeg >= 2, s"bad params: $topN, $maxMiddleDeg")
-    val und = edges.select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
-    val deg = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val und = canonicalPairs(edges).localCheckpoint()
     val lnD = graft.functions.PortableMath.lnWideCol(col("deg")) + lit(LnBias32)
-    val mw = deg.where(col("deg") <= maxMiddleDeg && col("deg") >= 2)
+    val mw = degreesOf(und)
+      .where(col("deg") <= maxMiddleDeg && col("deg") >= 2)
       .select(col("node").as("m"),
         floor(lit(1.0e9) / lnD).cast("long").as("w"))
-    val adj = und.select(col("u").as("m"), col("v").as("x"))
-      .unionAll(und.select(col("v").as("m"), col("u").as("x")))
-      .join(mw, Seq("m"))
-    val cn = adj.select(col("m"), col("w"), col("x").as("cu"))
-      .join(adj.select(col("m"), col("x").as("cv")), Seq("m"))
-      .where(col("cu") < col("cv"))
-      .groupBy(col("cu").as("u"), col("cv").as("v"))
-      .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa_nano"))
-    cn.join(und, cn("u") === und("u") && cn("v") === und("v"), "left_anti")
+    coNeighborPairs(und, mw, Seq(sum(col("w")).as("aa_nano")))
       .select(col("u"), col("v"), col("cn"), col("aa_nano"))
       .orderBy(col("aa_nano").desc, col("u"), col("v"))
       .limit(topN)
@@ -740,7 +749,7 @@ object Graph {
        |  SELECT m, zd, (zd * zd) AS zzd, bd FROM mw2
        |), mw AS MATERIALIZED (
        |  SELECT m, CAST(floor(1.0E9 / (${P.lnFromPartsSql("zd", "zzd", "bd")}
-       |    + ${fmtD(LnBias32)})) AS BIGINT) AS w
+       |    + ${graft.functions.PortableMath.fmt(LnBias32)})) AS BIGINT) AS w
        |  FROM mw3
        |), adj AS MATERIALIZED (
        |  SELECT m, x, w FROM (

@@ -87,8 +87,13 @@ object Sampling {
     * random per-row splits leak precisely because near-dups are i.i.d.
     * assigned). Rows absent from `clusters` are singleton clusters —
     * their own key is the representative, so on a dup-free corpus this
-    * degenerates to [[assignSplit]] exactly. Still deterministic and
-    * grow-stable: adding documents never moves an existing cluster.
+    * degenerates to [[assignSplit]] exactly. Deterministic in
+    * (clusters, salt); stable across appends EXCEPT when a new document
+    * MERGES two existing clusters — the merged cluster re-coins on its
+    * new representative, which can move members across splits. That is
+    * the correct behavior, not a defect: the new evidence says those
+    * docs are near-dups of each other, so leakage-safety REQUIRES
+    * co-locating them even at the cost of moving one.
     *
     * Scale: one shuffle join of the corpus against the (id, cluster_id)
     * frame — both sides key-partitioned, no broadcast assumption (the

@@ -49,6 +49,34 @@ object Analytics extends QueryModule {
     s"(CAST(sum(CAST(floor($e) AS BIGINT)) $over AS DOUBLE)" +
       s" + CAST(sum(CAST(round(($e - floor($e)) * 10000, 0) AS BIGINT)) $over AS DOUBLE) / 10000.0)"
 
+  /** The adjacent-lineitem part graph every graph_* query runs on
+    * (parts on consecutive line numbers of one order share an edge):
+    * ONE definition plus [[PartGraphPairSql]], its oracle twin — ten
+    * inlined copies used to invite silent drift that would change a
+    * single query's graph. Directed (src, dst) rows; the ops normalize
+    * duplicates/direction/self-loops themselves. */
+  private def partGraph(s: SparkSession, d: String): DataFrame = {
+    val l1 = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_partkey").cast("long").as("pa"))
+    val l2 = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
+      col("l_partkey").cast("long").as("pb"))
+    l1.join(l2, Seq("ok", "ln"))
+      .where(col("pa") =!= col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+  }
+
+  /** DuckDB twin of [[partGraph]] as the canonical-pair CTE `p(a, b)`. */
+  private val PartGraphPairSql: String =
+    """p AS MATERIALIZED (
+      |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
+      |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+      |  WHERE l1.l_partkey <> l2.l_partkey
+      |)""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     // TPC-H Q1 shape: scan-heavy agg; partial aggregation map-side, one shuffle.
     "q1_agg" -> QueryDef(
@@ -636,24 +664,10 @@ object Analytics extends QueryModule {
     // and closing join, so per-node counts match bit for bit.
     "graph_triangles" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val edges = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("src"), col("pb").as("dst"))
+        val edges = partGraph(s, d)
         graft.ops.Graph.triangles(edges).orderBy(col("node"))
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), ${graft.ops.Graph.trianglesSql}
+      Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.trianglesSql}
               |SELECT node, triangles FROM tricnt ORDER BY node""".stripMargin),
       headline = true),
 
@@ -691,24 +705,10 @@ object Analytics extends QueryModule {
     // ordering leak, or a wrong degree count all shift the final core.
     "graph_kcore" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val edges = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("src"), col("pb").as("dst"))
+        val edges = partGraph(s, d)
         graft.ops.Graph.kCore(edges, k = 18).orderBy(col("node"))
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), e0 AS MATERIALIZED (
+      Some(s"""WITH $PartGraphPairSql, e0 AS MATERIALIZED (
               |  SELECT a AS src, b AS dst FROM p
               |  UNION ALL SELECT b AS src, a AS dst FROM p
               |), ${graft.ops.Graph.kCoreSql(rounds = 8, k = 18)}
@@ -722,15 +722,8 @@ object Analytics extends QueryModule {
     // revisit (wrong depth) or a dropped frontier node fails the hash.
     "graph_seed_depth" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val und = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("a"), col("pb").as("b"))
+        val und = partGraph(s, d)
+          .select(col("src").as("a"), col("dst").as("b"))
         val edges = und.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
         val seeds = und.select(col("a").as("node"))
@@ -739,13 +732,7 @@ object Analytics extends QueryModule {
         graft.ops.Graph.bfsDepth(edges, seeds, maxDepth = 3)
           .orderBy(col("node"))
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), e AS MATERIALIZED (
+      Some(s"""WITH $PartGraphPairSql, e AS MATERIALIZED (
               |  SELECT a AS src, b AS dst FROM p
               |  UNION ALL SELECT b AS src, a AS dst FROM p
               |), f0 AS MATERIALIZED (
@@ -763,24 +750,10 @@ object Analytics extends QueryModule {
     // oracle replays orientation, wedge order, AND the ppm rounding.
     "graph_clustering" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val edges = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("src"), col("pb").as("dst"))
+        val edges = partGraph(s, d)
         graft.ops.Graph.clusteringCoeff(edges).orderBy(col("node"))
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), ${graft.ops.Graph.clusteringCoeffSql}
+      Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.clusteringCoeffSql}
               |SELECT node, CAST(deg AS BIGINT) AS deg, triangles, coeff_ppm
               |FROM cc ORDER BY node""".stripMargin)),
 
@@ -792,24 +765,10 @@ object Analytics extends QueryModule {
     // (cn DESC, u, v) total order makes the LIMIT cut deterministic.
     "graph_linkpredict" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val edges = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("src"), col("pb").as("dst"))
+        val edges = partGraph(s, d)
         graft.ops.Graph.linkPredict(edges, topN = 64, maxMiddleDeg = 24L)
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), ${graft.ops.Graph.linkPredictSql(24L)}
+      Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.linkPredictSql(24L)}
               |SELECT u, v, cn, CAST(deg_u AS BIGINT) AS deg_u,
               |  CAST(deg_v AS BIGINT) AS deg_v, jaccard_ppm
               |FROM lp ORDER BY cn DESC, u, v LIMIT 64""".stripMargin)),
@@ -822,15 +781,8 @@ object Analytics extends QueryModule {
     // so dropped teleport mass or a leaked uniform restart fails the hash.
     "graph_ppr" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val und = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("a"), col("pb").as("b"))
+        val und = partGraph(s, d)
+          .select(col("src").as("a"), col("dst").as("b"))
         val edges = und.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
         val seeds = und.select(col("a").as("node"))
@@ -840,13 +792,7 @@ object Analytics extends QueryModule {
           .select(col("node"), col("r").as("rank_q"))
           .orderBy(col("node"))
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), e AS MATERIALIZED (
+      Some(s"""WITH $PartGraphPairSql, e AS MATERIALIZED (
               |  SELECT a AS src, b AS dst FROM p
               |  UNION ALL SELECT b AS src, a AS dst FROM p
               |), s0 AS MATERIALIZED (
@@ -864,24 +810,10 @@ object Analytics extends QueryModule {
     // (aa DESC, u, v) cut bit-for-bit.
     "graph_linkpredict_aa" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val edges = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("src"), col("pb").as("dst"))
+        val edges = partGraph(s, d)
         graft.ops.Graph.linkPredictAA(edges, topN = 64, maxMiddleDeg = 24L)
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), ${graft.ops.Graph.linkPredictAASql(24L)}
+      Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.linkPredictAASql(24L)}
               |SELECT u, v, cn, aa_nano
               |FROM aap ORDER BY aa_nano DESC, u, v LIMIT 64""".stripMargin)),
 
@@ -893,26 +825,12 @@ object Analytics extends QueryModule {
     // an RNG-seeded walker would reshuffle it on every retry.
     "graph_walks" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val edges = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("src"), col("pb").as("dst"))
+        val edges = partGraph(s, d)
         graft.ops.Graph.randomWalks(edges, walksPerNode = 2, len = 4,
             salt = "walk")
           .orderBy(col("walker"), col("step"))
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), ${graft.ops.Graph.randomWalksSql(2, 4, "walk")}
+      Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.randomWalksSql(2, 4, "walk")}
               |SELECT walker, step, node FROM walks ORDER BY walker, step""".stripMargin)),
 
     // Skip-gram pairs from the SAME deterministic walk corpus as
@@ -922,27 +840,13 @@ object Analytics extends QueryModule {
     // data pipeline is hash-gated end to end.
     "graph_skipgrams" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val edges = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("src"), col("pb").as("dst"))
+        val edges = partGraph(s, d)
         graft.ops.Graph.walkSkipGrams(
             graft.ops.Graph.randomWalks(edges, walksPerNode = 2, len = 4,
               salt = "walk"), window = 2)
           .orderBy(col("center"), col("context"))
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), ${graft.ops.Graph.randomWalksSql(2, 4, "walk")},
+      Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.randomWalksSql(2, 4, "walk")},
               |${graft.ops.Graph.walkSkipGramsSql(2)}
               |SELECT center, context, cnt FROM sg ORDER BY center, context""".stripMargin)),
 
@@ -954,27 +858,14 @@ object Analytics extends QueryModule {
     // the gate hashes the FULL register sketches, not just estimates.
     "graph_ball2" -> QueryDef(
       (s, d) => {
-        val l1 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-          col("l_partkey").cast("long").as("pa"))
-        val l2 = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb"))
-        val und = l1.join(l2, Seq("ok", "ln"))
-          .where(col("pa") =!= col("pb"))
-          .select(col("pa").as("a"), col("pb").as("b"))
+        val und = partGraph(s, d)
+          .select(col("src").as("a"), col("dst").as("b"))
         val edges = und.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
         graft.ops.Graph.neighborhoodHll(edges, hops = 2, salt = "ball")
           .orderBy(col("node"))
       },
-      Some(s"""WITH p AS MATERIALIZED (
-              |  SELECT DISTINCT least(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS a,
-              |    greatest(CAST(l1.l_partkey AS BIGINT), CAST(l2.l_partkey AS BIGINT)) AS b
-              |  FROM lineitem l1 JOIN lineitem l2
-              |    ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
-              |  WHERE l1.l_partkey <> l2.l_partkey
-              |), e AS MATERIALIZED (
+      Some(s"""WITH $PartGraphPairSql, e AS MATERIALIZED (
               |  SELECT a AS src, b AS dst FROM p
               |  UNION ALL SELECT b AS src, a AS dst FROM p
               |), ${graft.ops.Graph.neighborhoodHllSql(2, "ball")}
