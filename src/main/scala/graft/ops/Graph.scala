@@ -603,15 +603,20 @@ object Graph {
     deg.join(trianglesFrom(und, deg), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
-      // round(2e6·T/den) = (4e6·T + den) div (2·den), den = d(d−1) —
-      // through 128-bit DECIMAL so a super-hub (deg > ~2.1M, T up to
-      // C(d,2) ≈ 2.3e12) can neither wrap in Spark nor overflow BIGINT
-      // in DuckDB; the quotient is ≤ 1e6 by T ≤ C(d,2), so the final
-      // BIGINT cast is always exact
-      .withColumn("coeff_ppm", when(col("deg") < 2, lit(0L)).otherwise(
-        expr("CAST((CAST(4000000 AS DECIMAL(38,0)) * triangles + deg * (deg - 1))" +
-          " div (CAST(2 AS DECIMAL(38,0)) * deg * (deg - 1)) AS BIGINT)")))
+      .withColumn("coeff_ppm", coeffPpm)
   }
+
+  /** round(2e6·T/den) = (4e6·T + den) div (2·den), den = d(d−1) —
+    * through 128-bit DECIMAL so a super-hub (deg > ~2.1M, T up to
+    * C(d,2) ≈ 2.3e12) can neither wrap in Spark nor overflow BIGINT in
+    * DuckDB; the quotient is ≤ 1e6 by T ≤ C(d,2), so the final BIGINT
+    * cast is always exact. Exposed over named columns (deg, triangles)
+    * so the overflow contract is testable without building a 2M-degree
+    * graph. */
+  private[ops] def coeffPpm: Column =
+    when(col("deg") < 2, lit(0L)).otherwise(
+      expr("CAST((CAST(4000000 AS DECIMAL(38,0)) * triangles + deg * (deg - 1))" +
+        " div (CAST(2 AS DECIMAL(38,0)) * deg * (deg - 1)) AS BIGINT)"))
 
   /** DuckDB oracle twin of [[clusteringCoeff]]: appends to
     * [[trianglesSql]]'s chain (which already defines `deg` and `tricnt`

@@ -253,6 +253,26 @@ class GraphSpec extends SparkSpec {
       Graph.personalizedPageRank(df, Seq(42L).toDF("node"), 1))
   }
 
+  test("coeffPpm survives super-hub magnitudes; 0-iteration oracle SQL is well-formed") {
+    // deg = 3,000,000 in a half-full community: T = C(d,2)/2 ≈ 2.25e12 —
+    // 4e6·T wraps int64; the 128-bit path must yield exactly 500000 ppm
+    val got = Seq((3000000L, 2249998500000L), (3L, 1L), (2L, 1L), (1L, 0L))
+      .toDF("deg", "triangles")
+      .withColumn("coeff_ppm", Graph.coeffPpm)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(3000000L -> 500000L, 3L -> 333333L,
+      2L -> 1000000L, 1L -> 0L))
+    // the SQL builders' documented domain includes 0 iterations: the
+    // chain must terminate at its seed CTE, not emit a dangling comma
+    Seq(Graph.pageRankSql(0), Graph.personalizedPageRankSql(0),
+        Graph.neighborhoodHllSql(0, "s")).foreach { sql =>
+      val flat = sql.replaceAll("\\s+", " ").trim
+      assert(!flat.contains(", ,") && !flat.endsWith(","), sql.takeRight(120))
+    }
+    // and the hops-0 HyperBall chain references b0 as its terminal
+    assert(Graph.neighborhoodHllSql(0, "s").contains("FROM b0 GROUP BY node"))
+  }
+
   test("linkPredictAA: exact nano-unit scores; rare middles outrank hubs at equal cn") {
     import graft.functions.PortableMath
     def wOf(d: Long): Long =
