@@ -674,6 +674,9 @@ object Dedup {
     * @return the surviving rows of `docs`, one per cluster */
   def bestOfCluster(docs: DataFrame, idCol: String, scoreCol: String,
                     clusters: DataFrame): DataFrame = {
+    Seq("cluster_id", "__rep", "__rn").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"bestOfCluster reserves column name '$c' but the input already has it"))
     val reps = clusters.select(col("id").as(idCol), col("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__rep"))

@@ -103,6 +103,8 @@ object Sampling {
   def leakageSafeSplit(df: DataFrame, keyCol: String, clusters: DataFrame,
                        splits: Seq[(String, Double)], salt: String,
                        outCol: String = "split"): DataFrame = {
+    Seq("cluster_id", outCol).foreach(c => require(!df.columns.contains(c),
+      s"leakageSafeSplit reserves column name '$c' but the input already has it"))
     val reps = clusters.select(col("id").as(keyCol), col("cluster_id"))
     df.join(reps, Seq(keyCol), "left")
       .withColumn(outCol,

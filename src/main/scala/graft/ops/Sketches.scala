@@ -353,14 +353,36 @@ object Sketches {
     * in [[kmvPairwiseSql]], then floor-rounded to q3/q6 — so the DuckDB
     * oracle matches bit-for-bit. The pair join is a deliberate
     * nested-loop over the sketch relation (|sets| rows of ≤ k longs —
-    * broadcast-scale by construction, never data-scale).
+    * broadcast-scale by construction, never data-scale), so the output
+    * AND the join cost are O(|sets|²): the operator is for a HANDFUL of
+    * named corpora/shards (its |sets|² output is the point), never a
+    * data-scale grouping column. `maxSets` makes that contract loud —
+    * the sketch relation is materialized (localCheckpoint) and counted,
+    * and a caller passing a high-cardinality set column fails with the
+    * bound in the message instead of silently planning an O(n²)
+    * nested-loop over the corpus. The checkpoint also means the
+    * upstream sketch aggregation runs ONCE, not once per join side.
     *
     * @param sketches output of [[kmvSketches]]
+    * @param maxSets  loud upper bound on |sets| (default 4096 ⇒ ≤ ~8.4M
+    *                 output pairs); raise it consciously, not by accident
     * @return (set_a, set_b, n_a, n_b, n_union_sk, n_common,
     *         est_a_q3, est_b_q3, est_union_q3, est_isect_q3,
     *         est_diff_ab_q3, jaccard_q6) */
-  def kmvPairwise(sketches: DataFrame, k: Int): DataFrame = {
+  def kmvPairwise(sketches: DataFrame, k: Int,
+                  maxSets: Int = 4096): DataFrame = {
     val numer = (k - 1).toDouble * KmvSpace
+    val sk = sketches.localCheckpoint()
+    val nSets = sk.count()
+    require(nSets <= maxSets,
+      s"kmvPairwise: $nSets sets exceeds maxSets=$maxSets — the pairwise " +
+        "nested-loop is O(|sets|^2) by design; pass a coarser set column " +
+        "or raise maxSets deliberately")
+    kmvPairwiseOn(sk, k, numer)
+  }
+
+  private def kmvPairwiseOn(sketches: DataFrame, k: Int,
+                            numer: Double): DataFrame = {
     val a = sketches.select(col("set").as("set_a"), col("hs").as("ha"))
     val b = sketches.select(col("set").as("set_b"), col("hs").as("hb"))
     val su = slice(array_sort(array_union(col("ha"), col("hb"))), 1, k)

@@ -132,6 +132,12 @@ class DedupSpec extends SparkSpec {
     val got2 = Dedup.bestOfCluster(more, "doc_id", "score", withNew)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 === got)
+    // a docs frame already carrying an internal name would make the
+    // join/coalesce silently wrong — must refuse loudly
+    val clash = docs.withColumn("cluster_id", lit(0L))
+    val e = intercept[IllegalArgumentException](
+      Dedup.bestOfCluster(clash, "doc_id", "score", clusters))
+    assert(e.getMessage.contains("cluster_id"))
   }
 
   test("large-star/small-star clusters match propagation and converge in log rounds") {

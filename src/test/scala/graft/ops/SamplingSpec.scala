@@ -84,6 +84,15 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(none === plain)
+    // a df that already holds 'cluster_id' (or the output column) would
+    // collide with the joined reps frame and the final drop would eat
+    // the caller's column — refuse loudly instead
+    val e = intercept[IllegalArgumentException](Sampling.leakageSafeSplit(
+      docs.withColumn("cluster_id", lit(0L)), "doc_id", clusters, splits, "s"))
+    assert(e.getMessage.contains("cluster_id"))
+    val e2 = intercept[IllegalArgumentException](Sampling.leakageSafeSplit(
+      docs.withColumn("split", lit("x")), "doc_id", clusters, splits, "s"))
+    assert(e2.getMessage.contains("split"))
   }
 
   test("uniformK: exactly min(k, group size) per group, deterministic") {

@@ -202,4 +202,18 @@ class SketchesSpec extends SparkSpec {
     assert(br.getAs[Long]("est_union_q3") >= br.getAs[Long]("est_a_q3"))
     assert(br.getAs[Long]("est_union_q3") >= br.getAs[Long]("est_b_q3"))
   }
+
+  test("kmvPairwise: a data-scale set column fails the maxSets guard loudly") {
+    // the pairwise nested-loop is O(|sets|^2) BY DESIGN — a caller who
+    // groups by a high-cardinality key must hit a hard error carrying
+    // the bound, never a silently-planned quadratic join
+    val df = (0 until 5).map(i => (s"s$i", i.toLong)).toDF("set", "v")
+      .select(col("set"), graft.functions.Hashing.h64(col("v"), "kmvp").as("h"))
+    val sk = Sketches.kmvSketches(df, "set", col("h"), 8)
+    val e = intercept[IllegalArgumentException](
+      Sketches.kmvPairwise(sk, 8, maxSets = 4))
+    assert(e.getMessage.contains("maxSets=4"))
+    // at the bound itself it runs
+    assert(Sketches.kmvPairwise(sk, 8, maxSets = 5).count() === 10L)
+  }
 }

@@ -90,15 +90,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("theta overlap: map-side partial sketch; exchanges never carry hashes or shingles") {
-    val df = Registry.all("sketch_theta_overlap").build(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    import org.apache.spark.sql.functions.{col, explode}
+    // kmvPairwise materializes the sketch relation (localCheckpoint — the
+    // maxSets guard + run-the-agg-once contract), so the sketch plan is
+    // pinned at the aggregation stage, where the exchange payload bound
+    // actually lives
+    val hashed = graft.Tables.documents(spark, sf)
+      .select(col("source"), graft.ops.TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("source"),
+        explode(graft.functions.ShingleHashes.of(col("ts"), 3, "kmv")).as("h"))
+    val sk = graft.ops.Sketches.kmvSketches(hashed, "source", col("h"), 64)
+    sk.collect()
+    val p = sk.queryExecution.executedPlan.toString
     // the KMV aggregate must run a PARTIAL pass in the scan stage so the
     // exchange carries ≤ k longs per (set, partition) — a final-only agg
     // would shuffle every shingle hash in the corpus
     assert(p.contains("partial_kminhash"),
       "expected a map-side partial kminhash:\n" + p)
-    val fmt = df.queryExecution.explainString(
+    val fmt = sk.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
       .findAllMatchIn(fmt).map(_.group(1)).toSeq
@@ -107,6 +116,10 @@ class PlanSpec extends SparkSpec {
     // hash column or document text
     assert(exchangeInputs.forall(in => !in.contains("h#") && !in.contains("text#")),
       "exchanges must carry sketches, not raw hashes or text:\n" + fmt)
+    // and the full query still runs end to end on top of the
+    // checkpointed sketch relation
+    val df = Registry.all("sketch_theta_overlap").build(spark, sf)
+    assert(df.collect().nonEmpty)
   }
 
   test("ngram jaccard: the exploded self-join reuses one exchange") {
@@ -533,6 +546,38 @@ class PlanSpec extends SparkSpec {
     // aggregate (scan side), not recomputed per wedge: the wedge join's
     // build side already carries `w`
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("randomWalks hop: adjacency probe is an equi-join on (m, idx) — no residual degree fan-out") {
+    import org.apache.spark.sql.functions.{col, row_number, count, lit}
+    import spark.implicits._
+    // un-checkpointed hop plan (randomWalks itself truncates lineage per
+    // hop, so the pin targets the package-private hop builder directly)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("m", "x")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("m")).orderBy(col("x"))
+    val adj = edges.select(col("m"), col("x"),
+      (row_number().over(w) - 1).cast("long").as("idx"))
+    val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("d"))
+    val cur = Seq((10L, 1L), (11L, 3L)).toDF("walker", "cur")
+    val hop = graft.ops.Graph.hopJoin(cur, deg, adj, "pin:1")
+    hop.collect()
+    val p = hop.queryExecution.executedPlan.toString
+    // round-16 verdict: the coin condition must be a JOIN KEY, not a
+    // residual filter — a residual probe materializes the walker node's
+    // full adjacency (W·Σd²/Σd rows/hop on power-law graphs). The
+    // adjacency join's key lists must therefore pair tgt with idx.
+    val joinKeys = "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) (\\[[^\\]]*\\]), (\\[[^\\]]*\\])".r
+      .findAllMatchIn(p).map(m => m.group(1) + " " + m.group(2)).toSeq
+    assert(joinKeys.exists(k => k.contains("tgt") && k.contains("idx")),
+      "adjacency hop join must carry (cur,tgt)=(m,idx) equi-keys:\n" + p)
+    // and no join may keep the coin as a residual: Spark prints residual
+    // conditions as a trailing predicate on the join line
+    val residual = "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]*".r
+      .findAllIn(p).toSeq
+    assert(!residual.exists(l => l.contains("%") && l.contains("idx")),
+      "coin must not be a residual join predicate:\n" + p)
   }
 
   test("text_entropy: zero exchanges — the whole signal is scan-stage work") {
