@@ -369,11 +369,70 @@ object Bench {
         s""""maintenance":{"total":$total,"rows":$rows,"steps":$stepJson,"calib":$calJson}"""
       }
 
+    // --- passage-index leg (round 17): the headline dedup_passage_probe
+    // row times index CONSTRUCTION + probe as one number, and at 100 TB
+    // those are different lifecycles — the build is a one-time ingest
+    // cost, the probe is the served path. A probe regression (the path
+    // that actually matters in production) could hide inside ~2 s of
+    // build time. Split them: one timed build on a scratch index (a
+    // mutation — one pass, maintenance-leg style), then min-of-iters
+    // timed probes against the SAME index, each sample with an adjacent
+    // calib slice. Extra JSON fields, never in the headline total.
+    val passageJson: Option[String] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
+          sys.env.get("SPARK_GRAFT_BENCH_PASSAGE").contains("0")) None
+      else Some {
+        import org.apache.spark.sql.functions.col
+        val corpus = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 97 =!= 0)
+        // probe-text discovery is untimed: it is gate plumbing (picking a
+        // passage that provably recurs), not part of either served path
+        val probeText = queries.DedupQueries.passageProbeText(corpus)
+        val idx = delta.DeltaTable.forPath(spark,
+          Scratch.dir("graft-bench-passage") + "/idx")
+        val tb0 = System.nanoTime()
+        ops.PassageIndex.build(idx, corpus, "doc_id", "text",
+          shingleN = 3, numBands = 16)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val buildCalib = calibSlice()
+        val probeRuns = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          run(ops.PassageIndex.probe(idx, probeText,
+            shingleN = 3, numBands = 16))
+          ((System.nanoTime() - t0) / 1e9, calibSlice())
+        }
+        val probeMin = probeRuns.minBy(_._1)
+        System.err.println(f"[bench] passage build=$buildSec%.3f " +
+          f"probe_min=${probeMin._1}%.3f " +
+          probeRuns.map { case (t, c) => f"$t%.3f/c$c%.3f" }
+            .mkString("[", " ", "]"))
+        s""""passage":{"build":$buildSec,"build_calib":$buildCalib,""" +
+          s""""probe_min":${probeMin._1},"probe_calib_at_min":${probeMin._2},""" +
+          s""""probe_runs":${probeRuns.map(_._1).mkString("[", ",", "]")}}"""
+      }
+
     val calibAfter = calibrate()
     val calibMtAfter = calibMt()
     System.err.println(f"[bench] calib before=$calibBefore%.3f after=$calibAfter%.3f " +
       f"mt before=$calibMtBefore%.3f after=$calibMtAfter%.3f " +
       f"io before=$ioCalibBefore%.3f after=$ioCalibAfter%.3f")
+
+    // Ambient-contention taint (round 17): the multi-core calib is the
+    // one probe that sees host-wide contention the single-thread slices
+    // miss (round 16 needed commit-message forensics to separate drift
+    // from regression: 52 s totals with quiet 0.040 slices while every
+    // heavy query inflated uniformly — calib_mt was the only tell). The
+    // quiet 32-thread reference on this host is ~0.050–0.056 across the
+    // r16 run log; a run whose mt endpoint exceeds 1.3× that is flagged
+    // tainted IN the json, and the round snapshot below prefers the best
+    // untainted run, so a polluted final run can no longer become the
+    // round's committed number.
+    val MtQuietSec = 0.052
+    val tainted = math.max(calibMtBefore, calibMtAfter) > MtQuietSec * 1.3
+    if (tainted)
+      System.err.println(f"[bench] TAINTED: calib_mt ${calibMtBefore}%.3f/" +
+        f"${calibMtAfter}%.3f vs quiet $MtQuietSec%.3f ×1.3 — ambient " +
+        "contention; totals in this run are load-polluted")
 
     // median alongside min/max: on a host with 2–4× scheduler swings even a
     // min-of-3 is occasionally inflated; the median shows whether the min is
@@ -409,7 +468,9 @@ object Bench {
       s""""io_calib_before":$ioCalibBefore,"io_calib_after":$ioCalibAfter,""" +
       s""""io_calib_quiet_ref":$IoQuietSec,"ingest_warning":$ingestWarning,""" +
       s""""ingest_warning_initial":$ingestWarningInitial,""" +
+      s""""calib_mt_quiet_ref":$MtQuietSec,"tainted":$tainted,""" +
       maintJson.map(_ + ",").getOrElse("") +
+      passageJson.map(_ + ",").getOrElse("") +
       s""""round":$round,"sf":"$sfDir"}"""
     // Stdout for humans and the legacy driver parse — printed FIRST, so a
     // broken SPARK_GRAFT_BENCH_OUT path can never destroy both channels
@@ -439,8 +500,31 @@ object Bench {
     // round signals — never let one overwrite the round file
     if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) try {
       val roundFile = f"bench_out_r$round%02d.json"
-      java.nio.file.Files.write(java.nio.file.Paths.get(roundFile),
-        (json + "\n").getBytes("UTF-8"))
+      // The round snapshot prefers the BEST UNTAINTED run (round-17
+      // judge task): rank (tainted, total) lexicographically — an
+      // untainted run always beats a tainted one; within a taint class
+      // the lower total wins. Every run still lands in bench_history, so
+      // nothing is hidden; only the round's headline file is curated. A
+      // pre-taint-schema or unparseable existing file loses to any run
+      // this code writes.
+      def rank(j: String): (Int, Double) = {
+        val t = "\"tainted\":(true|false)".r.findFirstMatchIn(j)
+          .map(_.group(1) == "true").getOrElse(true)
+        val v = "\"value\":([0-9.eE+-]+)".r.findFirstMatchIn(j)
+          .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
+        (if (t) 1 else 0, v)
+      }
+      val path = java.nio.file.Paths.get(roundFile)
+      val keepExisting = java.nio.file.Files.exists(path) && {
+        val prev = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val better = Ordering.Tuple2[Int, Double].lt(rank(prev), rank(json))
+        if (better) System.err.println(
+          s"[bench] round file $roundFile keeps its better run " +
+            s"(rank ${rank(prev)} beats ${rank(json)})")
+        better
+      }
+      if (!keepExisting)
+        java.nio.file.Files.write(path, (json + "\n").getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
         (json + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,

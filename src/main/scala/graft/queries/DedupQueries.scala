@@ -14,6 +14,27 @@ import graft.queries.{OracleSql => O}
   */
 object DedupQueries extends QueryModule {
 
+  /** The dedup_passage_probe gate's probe passage: the 8-token PREFIX of
+    * the smallest doc_id whose prefix recurs in the corpus — so the probe
+    * provably finds docs BEYOND itself (a self-match-only gate would pin
+    * one row). Shared by the QueryDef and the bench's split
+    * build-vs-probe passage leg, so both time the same served path. */
+  def passageProbeText(corpus: org.apache.spark.sql.DataFrame): String = {
+    val pref = concat_ws(" ",
+      slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 8))
+    val probeDoc = corpus
+      .filter(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 8)
+      .select(col("doc_id"), pref.as("p"))
+      .groupBy(col("p"))
+      .agg(min(col("doc_id")).as("d"), count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .agg(min(col("d"))).head().getLong(0)
+    corpus.filter(col("doc_id") === probeDoc)
+      .select(concat_ws(" ",
+        slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 8)))
+      .head().getString(0)
+  }
+
   /** The minhash-LSH pipeline as a reusable CTE chain ending in
     * `scored(id_a, id_b, j)` — shared by the pair query and the cluster
     * query so both oracles stay in lockstep with Dedup.minhashLsh. */
@@ -270,23 +291,7 @@ object DedupQueries extends QueryModule {
           graft.Scratch.dir("passage-idx") + "/idx")
         graft.ops.PassageIndex.build(idx, corpus, "doc_id", "text",
           shingleN = 3, numBands = 16)
-        // the probe doc: smallest doc_id whose 8-token PREFIX recurs in
-        // the corpus — so the probe provably finds docs BEYOND itself
-        // (a self-match-only gate would pin one row)
-        val pref = concat_ws(" ",
-          slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 8))
-        val probeDoc = corpus
-          .filter(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 8)
-          .select(col("doc_id"), pref.as("p"))
-          .groupBy(col("p"))
-          .agg(min(col("doc_id")).as("d"), count(lit(1)).as("c"))
-          .filter(col("c") >= 2)
-          .agg(min(col("d"))).head().getLong(0)
-        val probeText = corpus.filter(col("doc_id") === probeDoc)
-          .select(concat_ws(" ",
-            slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 8)))
-          .head().getString(0)
-        graft.ops.PassageIndex.probe(idx, probeText,
+        graft.ops.PassageIndex.probe(idx, passageProbeText(corpus),
             shingleN = 3, numBands = 16)
           .orderBy(col("doc_id"))
       },

@@ -271,6 +271,69 @@ object StreamingQueries extends QueryModule {
            |FROM est ORDER BY window_start""".stripMargin
       }),
 
+    // Watermarked windowed SET-OVERLAP monitoring (KMV/theta merge-and-
+    // truncate law): ≤ k longs of state per open window; the emitted
+    // sketches support intersection — per-window distinct estimate PLUS
+    // overlap/Jaccard against the previous window (user churn), which
+    // HLL registers cannot give. Batch run (watermark no-op) → the
+    // oracle re-derives every window's complete k-minimum sketch, the
+    // predecessor equi-join, and the union-law estimate math
+    // bit-for-bit — full sketch parity via hashes_joined, like
+    // stream_windowed_distinct.
+    "stream_windowed_theta" -> QueryDef(
+      (s, d) =>
+        graft.streaming.WindowedAggs.thetaWindowOverlap(
+            graft.streaming.WindowedAggs.windowedTheta(
+              Tables.events(s, d), col("user_id"), "15 minutes",
+              lateness = "10 minutes", salt = "thw", k = 64),
+            "15 minutes", k = 64)
+          .orderBy(col("window_start")),
+      Some {
+        val k = 64
+        val numer = s"${(k - 1).toDouble} * ${graft.ops.Sketches.KmvSpace}"
+        s"""WITH h AS (
+           |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS w,
+           |    ${graft.functions.Hashing.h64Sql("user_id", "thw")} AS h
+           |  FROM events),
+           |dh AS (SELECT DISTINCT w, h FROM h),
+           |rk AS (SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn FROM dh),
+           |sk AS MATERIALIZED (
+           |  SELECT w, list(h ORDER BY h) AS hs FROM rk WHERE rn <= $k GROUP BY w),
+           |pair AS (
+           |  SELECT c.w AS w, c.hs AS hs,
+           |    coalesce(p.hs, CAST([] AS BIGINT[])) AS hp
+           |  FROM sk c LEFT JOIN sk p ON p.w + INTERVAL '15 minutes' = c.w),
+           |c1 AS (
+           |  SELECT w, hs, hp,
+           |    (list_sort(list_distinct(hp || hs)))[1:$k] AS su,
+           |    len(hs) AS nc, len(hp) AS np
+           |  FROM pair),
+           |c2 AS (
+           |  SELECT w, hs, hp, su, nc, np, len(su) AS nu,
+           |    len(list_filter(su, x -> list_contains(hp, x) AND list_contains(hs, x))) AS com
+           |  FROM c1),
+           |c3 AS (
+           |  SELECT w, hs, nc, nu, com,
+           |    CASE WHEN nc < $k THEN CAST(nc AS DOUBLE) ELSE ($numer) / CAST(hs[$k] AS DOUBLE) END AS ec,
+           |    CASE WHEN np < $k THEN CAST(np AS DOUBLE) ELSE ($numer) / CAST(hp[$k] AS DOUBLE) END AS ep,
+           |    CASE WHEN nu < $k THEN CAST(nu AS DOUBLE) ELSE ($numer) / CAST(su[$k] AS DOUBLE) END AS eu
+           |  FROM c2),
+           |c4 AS (
+           |  SELECT w, hs, nc, nu, com, ec, ep,
+           |    CASE WHEN nu < $k THEN CAST(com AS DOUBLE)
+           |      ELSE CAST(com AS DOUBLE) / ${k.toDouble} * eu END AS ei
+           |  FROM c3)
+           |SELECT w AS window_start, CAST(nc AS BIGINT) AS n_sk,
+           |  array_to_string(hs, ',') AS hashes_joined,
+           |  CAST(floor(ec * 1000.0 + 0.5) AS BIGINT) AS est_q3,
+           |  CAST(floor(ep * 1000.0 + 0.5) AS BIGINT) AS est_prev_q3,
+           |  CAST(floor(ei * 1000.0 + 0.5) AS BIGINT) AS est_isect_prev_q3,
+           |  CASE WHEN nu = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(floor(CAST(com AS DOUBLE) / CAST(nu AS DOUBLE) * 1000000.0 + 0.5)
+           |      AS BIGINT) END AS jaccard_prev_q6
+           |FROM c4 ORDER BY window_start""".stripMargin
+      }),
+
     // Watermarked windowed FREQUENCY monitoring (count-min merge law):
     // 256 counter sums per window instead of per-item state, answering
     // point estimates for tracked keys. Batch run (watermark no-op) →

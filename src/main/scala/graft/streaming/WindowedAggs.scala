@@ -63,6 +63,95 @@ object WindowedAggs {
         Sketches.estQ3Expr.as("est_q3"))
   }
 
+  /** Watermarked windowed SET sketching via the KMV/theta merge-and-
+    * truncate law ([[graft.functions.KMinHashAgg]]): keeps the k smallest
+    * distinct md5 hashes per open window — bounded k-longs state per
+    * window regardless of stream volume, watermark-evicted — where exact
+    * per-window sets need one state row per distinct item. Unlike the
+    * HLL register twin ([[windowedDistinct]]), the surviving hashes
+    * support INTERSECTION/DIFFERENCE estimates downstream, which is what
+    * set-OVERLAP monitoring (user churn between windows, cross-feed
+    * containment) actually needs.
+    *
+    * ONE stateful operator: groupBy(window).agg(kminhash) — the map-side
+    * partial consumes raw rows in the scan stage and both the exchange
+    * and the state store carry ≤ k longs per window; merge-and-truncate
+    * is order-free and every hash md5-derived, so replay of the same
+    * micro-batches is bit-identical. Emits the raw sketch per closed
+    * window; estimates/overlap extract downstream ([[thetaWindowOverlap]]),
+    * which on a batch frame (watermark no-op) is how the
+    * `stream_windowed_theta` gate verifies full sketch parity in DuckDB.
+    *
+    * @return (window_start, hs array&lt;long&gt; ascending, |hs| ≤ k) */
+  def windowedTheta(events: DataFrame, item: org.apache.spark.sql.Column,
+                    windowLen: String, lateness: String,
+                    salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), graft.functions.Hashing.h64(item, salt).as("h"))
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(graft.functions.KMinHash.of(col("h"), k).as("hs"))
+      .select(col("w.start").as("window_start"), col("hs"))
+  }
+
+  /** Consecutive-window set-overlap extraction over [[windowedTheta]]'s
+    * closed-window sketches — the monitoring readout: per window, the
+    * distinct-count estimate plus intersection/Jaccard against the
+    * PREVIOUS window (user churn). The predecessor attaches via an
+    * EQUI-join on `window_start − windowLen` (never a global lag window,
+    * which would single-partition the frame); a missing predecessor (first
+    * window, or an empty-window gap) is an EMPTY sketch — overlap fields
+    * read 0, never null, so the readout is total and both engines agree
+    * without null-propagation fine print. All estimate arithmetic is the
+    * [[graft.ops.Sketches.kmvPairwise]] union-law math verbatim — four
+    * double ops then q3/q6 floors — so the DuckDB oracle replays it
+    * bit-for-bit, and a sketch shorter than k degrades to the EXACT
+    * count. Runs downstream of the stateful op (a batch job over the
+    * sink table, or the gate's batch frame).
+    *
+    * @param sketches (window_start, hs) — [[windowedTheta]]'s shape
+    * @return (window_start, n_sk, est_q3, est_prev_q3, est_isect_prev_q3,
+    *         jaccard_prev_q6) */
+  def thetaWindowOverlap(sketches: DataFrame, windowLen: String,
+                         k: Int): DataFrame = {
+    import graft.ops.Sketches.KmvSpace
+    val numer = (k - 1).toDouble * KmvSpace
+    def estOf(arr: org.apache.spark.sql.Column,
+              n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(n < k, n.cast("double"))
+        .otherwise(lit(numer) / element_at(arr, k).cast("double"))
+    def q3(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(x * 1000.0 + 0.5).cast("long")
+    val prev = sketches.select(
+      (col("window_start") + expr(s"INTERVAL $windowLen")).as("window_start"),
+      col("hs").as("hp"))
+    sketches.join(prev, Seq("window_start"), "left")
+      .withColumn("hp", coalesce(col("hp"), array().cast("array<long>")))
+      .withColumn("su", slice(array_sort(array_union(col("hp"), col("hs"))), 1, k))
+      .withColumn("nc", size(col("hs")))
+      .withColumn("np", size(col("hp")))
+      .withColumn("nu", size(col("su")))
+      .withColumn("com", size(filter(col("su"), h =>
+        array_contains(col("hp"), h) && array_contains(col("hs"), h))))
+      .withColumn("ec", estOf(col("hs"), col("nc")))
+      .withColumn("ep", estOf(col("hp"), col("np")))
+      .withColumn("eu", estOf(col("su"), col("nu")))
+      .withColumn("ei", when(col("nu") < k, col("com").cast("double"))
+        .otherwise(col("com").cast("double") / lit(k.toDouble) * col("eu")))
+      .select(col("window_start"), col("nc").cast("long").as("n_sk"),
+        // the full sketch rides along (≤ k longs, comma-joined): it is
+        // what any FURTHER set algebra needs, and it lets the gate pin
+        // complete sketch parity, not just the scalar estimates
+        concat_ws(",", transform(col("hs"), h => h.cast("string")))
+          .as("hashes_joined"),
+        q3(col("ec")).as("est_q3"), q3(col("ep")).as("est_prev_q3"),
+        q3(col("ei")).as("est_isect_prev_q3"),
+        when(col("nu") === 0, lit(0L))
+          .otherwise(floor(col("com").cast("double") / col("nu").cast("double")
+            * 1000000.0 + 0.5).cast("long")).as("jaccard_prev_q6"))
+  }
+
   /** Watermarked windowed FREQUENCY monitoring via the count-min merge
     * law ([[graft.ops.Sketches]]): per-item exact counts over a stream
     * hold one state row per distinct item per open window — unbounded;

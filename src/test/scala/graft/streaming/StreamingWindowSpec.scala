@@ -199,6 +199,82 @@ class StreamingWindowSpec extends SparkSpec {
     }
   }
 
+  test("windowedTheta: k-longs KMV state per window, replay-deterministic, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val k = 8
+    // 40 distinct users (+ replays) in [10:00, 10:15) — well above k, so
+    // the sketch truncates; 3 events/2 users next window; then a closer.
+    val batch1 = (1 to 40).map(u => (u.toLong, ts(u % 15))) ++ Seq((7L, ts(3)), (7L, ts(4)))
+    val batch2 = Seq((100L, ts(16)), (101L, ts(17)), (100L, ts(18)))
+    val closer = Seq((999L, ts(59)))
+
+    def runOnce(name: String): (Seq[(Timestamp, String)], Long) = {
+      val in = MemoryStream[(Long, Timestamp)]
+      val events = in.toDF.toDF("user_id", "ts")
+      val q = WindowedAggs.windowedTheta(events, col("user_id"),
+          "15 minutes", lateness = "10 minutes", salt = "thw", k = k)
+        .selectExpr("window_start", "concat_ws(',', transform(hs, h -> cast(h as string))) AS hj")
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(batch1); q.processAllAvailable()
+        val openStateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        in.addData(batch2); q.processAllAvailable()
+        in.addData(closer); q.processAllAvailable()
+        val rows = spark.table(name).collect()
+          .map(r => (r.getTimestamp(0), r.getString(1)))
+          .sortBy(_._1.getTime).toSeq
+        (rows, openStateRows)
+      } finally q.stop()
+    }
+
+    val (rows, stateRows) = runOnce("wt1")
+    // Bounded state: 42 item rows hit ONE open window — one sketch row
+    // (≤ k longs) in the store, never one row per distinct item.
+    assert(stateRows === 1L,
+      s"state must be one sketch row per open window, got $stateRows rows")
+    // the first window's sketch truncated to exactly k ascending hashes
+    val firstSketch = rows.head._2.split(",").map(_.toLong).toSeq
+    assert(firstSketch.length === k && firstSketch === firstSketch.sorted,
+      s"sketch must hold the k smallest hashes ascending: $firstSketch")
+
+    // Closed-window sketches equal the batch path's (merge-and-truncate
+    // is order-free; watermark a no-op on batch) — the DuckDB gate's
+    // contract at sf0.01.
+    val batchDf = (batch1 ++ batch2 ++ closer).toDF("user_id", "ts")
+    val expected = WindowedAggs.windowedTheta(batchDf, col("user_id"),
+        "15 minutes", lateness = "10 minutes", salt = "thw", k = k)
+      .selectExpr("window_start", "concat_ws(',', transform(hs, h -> cast(h as string))) AS hj")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+      .sortBy(_._1.getTime).toSeq
+    val closed = expected.filter(_._1.getTime < ts(45).getTime)
+    assert(rows === closed,
+      s"streaming sketches must match batch KMV; got $rows vs $closed")
+
+    // overlap readout on the emitted sketches: window 2 shares no users
+    // with window 1 → zero intersection; its own estimate is exact (2 < k)
+    val overlap = WindowedAggs.thetaWindowOverlap(
+        WindowedAggs.windowedTheta(batchDf, col("user_id"),
+          "15 minutes", lateness = "10 minutes", salt = "thw", k = k),
+        "15 minutes", k = k)
+      .orderBy(col("window_start")).collect()
+    val w2 = overlap(1)
+    assert(w2.getAs[Long]("est_q3") === 2000L)
+    assert(w2.getAs[Long]("est_isect_prev_q3") === 0L)
+    assert(w2.getAs[Long]("jaccard_prev_q6") === 0L)
+    // the first window's predecessor is the EMPTY sketch: zero overlap
+    // fields (total readout, no nulls), real own estimate
+    val w1 = overlap(0)
+    assert(w1.getAs[Long]("est_prev_q3") === 0L)
+    assert(w1.getAs[Long]("est_isect_prev_q3") === 0L)
+    assert(w1.getAs[Long]("jaccard_prev_q6") === 0L)
+    assert(w1.getAs[Long]("est_q3") > 0L)
+
+    // Replay of the identical micro-batches is bit-identical.
+    val (rows2, _) = runOnce("wt2")
+    assert(rows2 === rows, "replay must reproduce identical sketch rows")
+  }
+
   test("windowedHeavyProbes: CMS counter state per window, matches batch, replayable") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
