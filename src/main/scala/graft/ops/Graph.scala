@@ -566,15 +566,20 @@ object Graph {
     * CTE holding the canonical undirected pairs as (a, b) with a < b.
     * Terminal CTE `tricnt` has (node, triangles). Generated here so the
     * oracle can never drift from the operator. */
-  def trianglesSql: String =
-    """deg AS MATERIALIZED (
+  def trianglesSql: String = trianglesSqlOn("p")
+
+  /** [[trianglesSql]] over an arbitrary prior canonical-pair CTE (same
+    * (a, b) a &lt; b contract) — the incremental-triangle gate recomputes
+    * over a FILTERED pair set and must not shadow `p`. */
+  def trianglesSqlOn(pairs: String): String =
+    s"""deg AS MATERIALIZED (
       |  SELECT node, count(*) AS deg FROM (
-      |    SELECT a AS node FROM p UNION ALL SELECT b FROM p) GROUP BY 1
+      |    SELECT a AS node FROM $pairs UNION ALL SELECT b FROM $pairs) GROUP BY 1
       |), o AS MATERIALIZED (
       |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND a < b) THEN a ELSE b END AS s,
       |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND a < b) THEN b ELSE a END AS t,
       |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND a < b) THEN dv.deg ELSE du.deg END AS tdeg
-      |  FROM p JOIN deg du ON du.node = a JOIN deg dv ON dv.node = b
+      |  FROM $pairs JOIN deg du ON du.node = a JOIN deg dv ON dv.node = b
       |), w AS (
       |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
       |  FROM o e1 JOIN o e2 ON e1.s = e2.s
@@ -801,10 +806,31 @@ object Graph {
                   salt: String): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 64, s"bad W: $walksPerNode")
     require(len >= 1 && len <= 32, s"bad len: $len")
+    val (_, adj, deg, start) = walkPrelude(edges, walksPerNode)
+    var cur = start
+    val steps = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("walker"), lit(0L).as("step"), col("cur").as("node")))
+    for (t <- 1 to len) {
+      cur = hopJoin(cur, deg, adj, s"$salt:$t").localCheckpoint()
+      steps += cur.select(col("walker"), lit(t.toLong).as("step"),
+        col("cur").as("node"))
+    }
+    steps.reduce(_ unionAll _)
+  }
+
+  /** Shared walk-corpus prelude: canonical undirected pairs, RANK-ORDERED
+    * adjacency (one keyed shuffle, no single-partition window), degrees,
+    * and the packed walker start frame — all localCheckpointed once so
+    * every hop joins materialized (long,long) frames.
+    *
+    * @return (und(u,v), adj(m,x,idx), deg(m,d), start(walker,cur)) */
+  private def walkPrelude(edges: DataFrame, walksPerNode: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val und = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
     val both = und.select(col("u").as("m"), col("v").as("x"))
       .unionAll(und.select(col("v").as("m"), col("u").as("x")))
     val w = org.apache.spark.sql.expressions.Window
@@ -823,19 +849,12 @@ object Graph {
         col("node")).otherwise(raise_error(concat(lit(
         s"randomWalks: node id out of packable range for W=$walksPerNode: "),
         col("node")))))
-    var cur = nodes
+    val start = nodes
       .crossJoin(walkIndexFrame(nodes, walksPerNode))
       .select((col("node") * walksPerNode + col("w")).as("walker"),
         col("node").as("cur"))
       .localCheckpoint()
-    val steps = scala.collection.mutable.ArrayBuffer(
-      cur.select(col("walker"), lit(0L).as("step"), col("cur").as("node")))
-    for (t <- 1 to len) {
-      cur = hopJoin(cur, deg, adj, s"$salt:$t").localCheckpoint()
-      steps += cur.select(col("walker"), lit(t.toLong).as("step"),
-        col("cur").as("node"))
-    }
-    steps.reduce(_ unionAll _)
+    (und, adj, deg, start)
   }
 
   /** One walk hop: degrees first → the coin's chosen index `tgt` is a
@@ -899,6 +918,168 @@ object Graph {
        |)""".stripMargin
   }
 
+  /** DETERMINISTIC node2vec-biased walks (Grover & Leskovec 2016): like
+    * [[randomWalks]] but each hop beyond the first is biased by where the
+    * walker CAME from — returning to the previous node weighs `wReturn`
+    * (their 1/p), moving to a common neighbor of prev `wCommon` (their
+    * 1), anywhere else `wOther` (their 1/q) — expressed as EXACT INTEGER
+    * weights so every choice replays as integer threshold tests over the
+    * md5 coin range and the oracle re-runs the whole corpus bit-for-bit.
+    *
+    * Sampling is deterministic REJECTION sampling, and that procedure IS
+    * the operator definition: attempt r draws a uniform ranked-adjacency
+    * candidate via the same (m, idx) equi-join as [[hopJoin]] (one
+    * adjacency row per walker per attempt — the hub-safe shape), then
+    * accepts iff `coin(walker, t, r) mod wMax < w(candidate)`; attempt
+    * `maxAttempts` force-accepts, bounding work at `maxAttempts` probes
+    * per hop. Acceptance converges to the node2vec distribution
+    * geometrically in maxAttempts; the deterministic cutoff is what
+    * makes the corpus a replayable fact (the published algorithm's
+    * alias-table sampler needs per-EDGE preprocessed tables — O(Σ deg²)
+    * state — and an RNG stream, neither of which survives a retry).
+    *
+    * Weight classification is one equi-join of the candidate's
+    * (prev, x) pair against the canonical undirected pair set per
+    * attempt — keyed (long, long) rows, never adjacency fan-out. The
+    * first hop is uniform with [[randomWalks]]' exact coin (no prev), so
+    * (wReturn = wCommon = wOther) ≠ uniform walks only in coin SEEDS,
+    * not distribution.
+    *
+    * @return (walker, step, node) — step 0 is the start node */
+  def node2vecWalks(edges: DataFrame, walksPerNode: Int, len: Int,
+                    salt: String, wReturn: Int, wCommon: Int, wOther: Int,
+                    maxAttempts: Int = 3): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64, s"bad W: $walksPerNode")
+    require(len >= 1 && len <= 32, s"bad len: $len")
+    require(maxAttempts >= 1 && maxAttempts <= 8, s"bad maxAttempts: $maxAttempts")
+    Seq("wReturn" -> wReturn, "wCommon" -> wCommon, "wOther" -> wOther)
+      .foreach { case (n, v) =>
+        require(v >= 1 && v <= 1000000000, s"$n must be in [1, 1e9], got $v") }
+    val wMax = math.max(wReturn, math.max(wCommon, wOther))
+    val (und, adj, deg, start) = walkPrelude(edges, walksPerNode)
+    val steps = scala.collection.mutable.ArrayBuffer(
+      start.select(col("walker"), lit(0L).as("step"), col("cur").as("node")))
+    // hop 1: uniform (no prev yet — the node2vec convention), tracking prev
+    var cur = {
+      val chosen = start.join(deg, start("cur") === deg("m"))
+        .select(col("walker"), col("cur"),
+          (graft.functions.Hashing.h32(
+            col("walker").cast("string"), s"$salt:1") % col("d")).as("tgt"))
+      chosen.join(adj,
+          chosen("cur") === adj("m") && chosen("tgt") === adj("idx"))
+        .select(col("walker"), col("x").as("cur"), chosen("cur").as("prev"))
+        .localCheckpoint()
+    }
+    steps += cur.select(col("walker"), lit(1L).as("step"), col("cur").as("node"))
+    for (t <- 2 to len) {
+      var undecided = cur
+      var accepted = List.empty[DataFrame]
+      for (r <- 1 to maxAttempts) {
+        val chosen = undecided.join(deg, undecided("cur") === deg("m"))
+          .select(col("walker"), col("cur"), col("prev"),
+            (graft.functions.Hashing.h32(
+              col("walker").cast("string"), s"$salt:$t:$r") % col("d")).as("tgt"))
+        val cand = chosen.join(adj,
+            chosen("cur") === adj("m") && chosen("tgt") === adj("idx"))
+          .select(col("walker"), chosen("cur").as("cur"), col("prev"), col("x"))
+        val undE = und.withColumn("__e", lit(1))
+        val flagged = cand.join(undE,
+            least(cand("prev"), cand("x")) === undE("u") &&
+              greatest(cand("prev"), cand("x")) === undE("v"), "left")
+          .select(col("walker"), cand("cur").as("cur"), col("prev"), col("x"),
+            when(col("x") === col("prev"), lit(wReturn))
+              .when(col("__e") === 1, lit(wCommon))
+              .otherwise(lit(wOther)).as("w"))
+        val accCond =
+          if (r == maxAttempts) lit(true) // forced accept bounds the hop
+          else graft.functions.Hashing.h32(
+            col("walker").cast("string"), s"$salt:$t:$r:a") % wMax < col("w")
+        accepted ::= flagged.where(accCond)
+          .select(col("walker"), col("x").as("cur"), col("cur").as("prev"))
+          .localCheckpoint()
+        if (r < maxAttempts)
+          undecided = flagged.where(!accCond)
+            .select(col("walker"), col("cur"), col("prev"))
+            .localCheckpoint()
+      }
+      cur = accepted.reduce(_ unionAll _).localCheckpoint()
+      steps += cur.select(col("walker"), lit(t.toLong).as("step"),
+        col("cur").as("node"))
+    }
+    steps.reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin of [[node2vecWalks]]: unrolled (hop, attempt) chain;
+    * terminal CTE `walks(walker, step, node)`. Expects the canonical
+    * undirected pair CTE `p(a, b)` in scope. */
+  def node2vecWalksSql(walksPerNode: Int, len: Int, salt: String,
+                       wReturn: Int, wCommon: Int, wOther: Int,
+                       maxAttempts: Int = 3): String = {
+    val wMax = math.max(wReturn, math.max(wCommon, wOther))
+    val h = (seed: String) => graft.functions.Hashing.h64Sql("c.walker", seed)
+    val hops = (2 to len).flatMap { t =>
+      (1 to maxAttempts).map { r =>
+        val src = if (r == 1) s"w${t - 1}" else s"u${t}_${r - 1}"
+        val acc = s"(${h(s"$salt:$t:$r:a")} & 4294967295) % $wMax < w"
+        val candCte =
+          s"""c${t}_$r AS MATERIALIZED (
+             |  SELECT c.walker, c.cur, c.prev, a.x,
+             |    CASE WHEN a.x = c.prev THEN $wReturn
+             |         WHEN pe.a IS NOT NULL THEN $wCommon
+             |         ELSE $wOther END AS w
+             |  FROM $src c
+             |  JOIN deg ON deg.m = c.cur
+             |  JOIN adj a ON a.m = c.cur
+             |    AND a.idx = (${h(s"$salt:$t:$r")} & 4294967295) % deg.d
+             |  LEFT JOIN p pe ON pe.a = least(c.prev, a.x)
+             |    AND pe.b = greatest(c.prev, a.x)
+             |)""".stripMargin
+        val legs =
+          if (r == maxAttempts)
+            s"""a${t}_$r AS (
+               |  SELECT walker, x AS cur, cur AS prev FROM c${t}_$r
+               |)""".stripMargin
+          else
+            s"""a${t}_$r AS (
+               |  SELECT c.walker, c.x AS cur, c.cur AS prev FROM c${t}_$r c WHERE $acc
+               |), u${t}_$r AS (
+               |  SELECT c.walker, c.cur, c.prev FROM c${t}_$r c WHERE NOT ($acc)
+               |)""".stripMargin
+        s"$candCte, $legs"
+      } :+ {
+        val parts = (1 to maxAttempts).map(r => s"SELECT * FROM a${t}_$r")
+          .mkString("\n|  UNION ALL ")
+        s"""w$t AS MATERIALIZED (
+           |  $parts
+           |)""".stripMargin
+      }
+    }.mkString(", ")
+    val emit = (Seq(
+      s"SELECT walker, CAST(0 AS BIGINT) AS step, cur AS node FROM w0") ++
+      (1 to len).map(t =>
+        s"SELECT walker, CAST($t AS BIGINT) AS step, cur AS node FROM w$t"))
+      .mkString("\n|  UNION ALL ")
+    s"""adj AS MATERIALIZED (
+       |  SELECT m, x, CAST(row_number() OVER (PARTITION BY m ORDER BY x) - 1 AS BIGINT) AS idx
+       |  FROM (SELECT a AS m, b AS x FROM p UNION ALL SELECT b AS m, a AS x FROM p)
+       |), deg AS MATERIALIZED (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY m
+       |), w0 AS MATERIALIZED (
+       |  SELECT node * $walksPerNode + w AS walker, node AS cur
+       |  FROM (SELECT DISTINCT m AS node FROM adj)
+       |  CROSS JOIN (SELECT unnest(range($walksPerNode)) AS w)
+       |), w1 AS MATERIALIZED (
+       |  SELECT c.walker, a.x AS cur, c.cur AS prev
+       |  FROM w0 c
+       |  JOIN deg ON deg.m = c.cur
+       |  JOIN adj a ON a.m = c.cur
+       |    AND a.idx = (${h(s"$salt:1")} & 4294967295) % deg.d
+       |), $hops,
+       |walks AS (
+       |  $emit
+       |)""".stripMargin
+  }
+
   /** Skip-gram training pairs from a walk corpus (the second DeepWalk
     * stage: walks → (center, context) pairs within `window` hops, the
     * word2vec-style input an embedding trainer consumes). Directional
@@ -930,6 +1111,140 @@ object Graph {
        |    AND a.step <> b.step AND abs(a.step - b.step) <= $window
        |  GROUP BY 1, 2
        |)""".stripMargin
+
+  /** From-scratch per-node UNDIRECTED degrees of a canonical pair set
+    * `(a, b)` — the recompute side of the IVM identity below. One
+    * explode + one keyed aggregation; (long, long) exchanges. */
+  def pairDegrees(pairs: DataFrame, aCol: String = "a",
+                  bCol: String = "b"): DataFrame =
+    pairs.select(explode(array(col(aCol), col(bCol))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Per-node degree DELTA folded from a Delta CHANGE FEED of undirected
+    * edge pairs `(a, b)`: inserts/update_postimages contribute +1 to each
+    * endpoint, deletes/update_preimages −1 — so a maintained degree
+    * frame advances by reading ONLY the day's change files, never the
+    * full edge set. Curation graphs grow daily; recomputing features
+    * from 100 TB of edges because 0.1% changed is the anti-pattern this
+    * closes. The delta is signed (a node can lose degree) and
+    * order-free (integer sums), so folds replay deterministically and
+    * batch boundaries don't matter.
+    *
+    * @param changes a [[graft.delta.DeltaTable.changes]] frame carrying
+    *                `_change_type` plus the edge columns
+    * @return (node, deg) — deg may be negative or zero (it is a DELTA) */
+  def degreeDelta(changes: DataFrame, aCol: String = "a",
+                  bCol: String = "b"): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(lit(-1L))
+    changes.select(explode(array(col(aCol), col(bCol))).as("node"), sign.as("s"))
+      .groupBy(col("node")).agg(sum(col("s")).as("deg"))
+  }
+
+  /** Apply a [[degreeDelta]] to a maintained degree frame: union + one
+    * keyed integer sum, dropping nodes whose degree reaches zero — the
+    * incremental-view-maintenance fold. `maintained ∘ delta` over a
+    * day's feed ≡ [[pairDegrees]] over the full post-day edge set (the
+    * identity the `graph_incremental_degree` gate require()s in-query).
+    * Negative results indicate a corrupt feed and fail loudly. */
+  def applyDegreeDelta(maintained: DataFrame, delta: DataFrame): DataFrame =
+    maintained.select(col("node"), col("deg"))
+      .unionAll(delta.select(col("node"), col("deg")))
+      .groupBy(col("node")).agg(sum(col("deg")).as("deg"))
+      .select(col("node"),
+        when(col("deg") < 0L, raise_error(concat(
+            lit("applyDegreeDelta: node "), col("node").cast("string"),
+            lit(" folded to negative degree — the change feed is corrupt")))
+          .cast("long")).otherwise(col("deg")).as("deg"))
+      .where(col("deg") =!= 0L)
+
+  /** Per-node TRIANGLE-count DELTA from a change batch against the
+    * pre-batch canonical pair set — [[degreeDelta]]'s heavier sibling.
+    * The batch nets per edge first (insert+delete of one edge cancels;
+    * a net |sign| > 1 means a double-insert/double-delete and FAILS
+    * loudly — edge multiplicity is 0/1), then:
+    *
+    *  - CREATED triangles = triples in the POST-batch edge set with ≥ 1
+    *    inserted edge: for each inserted (u,v), common neighbors of u
+    *    and v in post — deduped by sorted triple, so a triangle with 2–3
+    *    new edges counts once (no inclusion–exclusion fragility);
+    *  - DESTROYED triangles = triples in the PRE-batch set with ≥ 1
+    *    deleted edge, same shape against pre.
+    *
+    * Cost ∝ Σ_{e∈Δ} (deg(u)+deg(v)) — the day's changes times average
+    * degree, never a full triangle recount of the accumulated graph.
+    * All joins are keyed (long, long) rows; triples dedupe by a keyed
+    * distinct. The net sign split means created and destroyed sets are
+    * disjoint by construction.
+    *
+    * @param prevPairs canonical pairs `(u, v)`, u < v — the PRE state
+    * @param changes   a CDF frame with `_change_type` + edge columns
+    * @return (node, dt) — signed per-node triangle delta */
+  def triangleDelta(prevPairs: DataFrame, changes: DataFrame,
+                    aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(lit(-1L))
+    val net = changes.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"), sign.as("s"))
+      .where(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(sum(col("s")).as("s"))
+      .where(col("s") =!= 0L)
+      .select(col("u"), col("v"),
+        when(abs(col("s")) === 1L, col("s")).otherwise(raise_error(concat(
+          lit("triangleDelta: edge ("), col("u").cast("string"), lit(","),
+          col("v").cast("string"),
+          lit(") nets to |sign| > 1 — the change feed re-inserted or " +
+            "re-deleted an edge whose multiplicity is 0/1")))
+          .cast("long")).as("s"))
+      .localCheckpoint()
+    val ins = net.where(col("s") === 1L).select(col("u"), col("v"))
+    val del = net.where(col("s") === -1L).select(col("u"), col("v"))
+    val pre = prevPairs.select(col("u"), col("v"))
+    val post = pre.join(del, Seq("u", "v"), "left_anti").unionAll(ins)
+      .localCheckpoint()
+    val created = trianglesThrough(post, ins)
+    val destroyed = trianglesThrough(pre, del)
+    created.select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"),
+        lit(1L).as("s"))
+      .unionAll(destroyed.select(
+        explode(array(col("t1"), col("t2"), col("t3"))).as("node"),
+        lit(-1L).as("s")))
+      .groupBy(col("node")).agg(sum(col("s")).as("dt"))
+  }
+
+  /** Sorted distinct triangle triples of `pairs` that pass through at
+    * least one `through` edge: common neighbors of each through edge's
+    * endpoints (two keyed adjacency joins + one (u,v,w) equi-join),
+    * deduped by canonical (t1 < t2 < t3) triple. */
+  private def trianglesThrough(pairs: DataFrame, through: DataFrame): DataFrame = {
+    val adj = pairs.select(col("u").as("m"), col("v").as("x"))
+      .unionAll(pairs.select(col("v").as("m"), col("u").as("x")))
+    val nu = through.join(adj, through("u") === adj("m"))
+      .select(col("u"), col("v"), col("x").as("w"))
+    val nv = through.join(adj, through("v") === adj("m"))
+      .select(col("u"), col("v"), col("x").as("w"))
+    val lo = least(col("u"), least(col("v"), col("w")))
+    val hi = greatest(col("u"), greatest(col("v"), col("w")))
+    nu.join(nv, Seq("u", "v", "w"))
+      .select(lo.as("t1"), (col("u") + col("v") + col("w") - lo - hi).as("t2"),
+        hi.as("t3"))
+      .distinct()
+  }
+
+  /** Apply a [[triangleDelta]] to a maintained (node, triangles) frame —
+    * the same union + keyed-sum fold as [[applyDegreeDelta]], dropping
+    * zero rows and failing loudly on a negative fold. */
+  def applyTriangleDelta(maintained: DataFrame, delta: DataFrame): DataFrame =
+    maintained.select(col("node"), col("triangles"))
+      .unionAll(delta.select(col("node"), col("dt").as("triangles")))
+      .groupBy(col("node")).agg(sum(col("triangles")).as("triangles"))
+      .select(col("node"),
+        when(col("triangles") < 0L, raise_error(concat(
+            lit("applyTriangleDelta: node "), col("node").cast("string"),
+            lit(" folded to negative triangles — the change feed is corrupt")))
+          .cast("long")).otherwise(col("triangles")).as("triangles"))
+      .where(col("triangles") =!= 0L)
 
   def bipartiteEdges(rel: DataFrame, leftId: String, rightId: String,
                      rightOffset: Long): DataFrame = {

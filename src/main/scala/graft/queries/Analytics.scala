@@ -850,6 +850,122 @@ object Analytics extends QueryModule {
               |${graft.ops.Graph.walkSkipGramsSql(2)}
               |SELECT center, context, cnt FROM sg ORDER BY center, context""".stripMargin)),
 
+    // node2vec-biased walks over the same part graph: hop ≥ 2 weighs
+    // return/common/other moves 4:2:1 (p ≈ 1/4, q ≈ 2 in node2vec
+    // terms) via deterministic integer-threshold rejection sampling on
+    // the md5 coins — the oracle replays every candidate draw, weight
+    // classification, and accept/reject decision across all (hop,
+    // attempt) pairs, so the biased corpus is hash-gated end to end
+    // exactly like graph_walks.
+    "graph_walks_n2v" -> QueryDef(
+      (s, d) => {
+        val edges = partGraph(s, d)
+        graft.ops.Graph.node2vecWalks(edges, walksPerNode = 2, len = 4,
+            salt = "n2v", wReturn = 4, wCommon = 2, wOther = 1,
+            maxAttempts = 2)
+          .orderBy(col("walker"), col("step"))
+      },
+      Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.node2vecWalksSql(2, 4, "n2v", 4, 2, 1, 2)}
+              |SELECT walker, step, node FROM walks ORDER BY walker, step""".stripMargin)),
+
+    // Incremental graph-feature maintenance from the change feed: the
+    // part graph's canonical pairs live in a CDF Delta table through a
+    // four-version lifecycle (two appends, an edge purge, a partial
+    // re-insert); a maintained degree frame folds forward from ONLY the
+    // change files — inserts +1 per endpoint, deletes −1 — and the query
+    // require()s the fold equals a from-scratch recompute of the final
+    // edge set (the pipeline_cdf_report IVM identity, on graph state).
+    // At 100 TB the daily fold reads the day's change files, never the
+    // accumulated edge set. The oracle derives the final degrees
+    // analytically from lineitem.
+    "graph_incremental_degree" -> QueryDef(
+      (s, d) => {
+        val und = partGraph(s, d).select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .where(col("a") =!= col("b")).distinct()
+        val dir = graft.Scratch.dir("graft-gincr") + "/edges"
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.LongType))),
+          configuration = Map(graft.delta.DeltaTable.CdfConfigKey -> "true"))
+        t.append(und.filter((col("a") + col("b")) % 2 === 0))
+        t.append(und.filter((col("a") + col("b")) % 2 =!= 0))
+        require(t.delete(col("a") % 7 === 0) == 3L, "edge purge must commit at v3")
+        t.append(und.filter(col("a") % 7 === 0 && col("b") % 3 === 0))
+        // maintained state after day 2 = fold of versions 1..2 (pure
+        // feed consumption — never a table read)
+        val m2 = graft.ops.Graph.degreeDelta(t.changes(1L, 2L))
+        // day 3–4 advances the SAME state from its change files alone
+        val folded = graft.ops.Graph.applyDegreeDelta(m2,
+          graft.ops.Graph.degreeDelta(t.changes(3L, 4L)))
+        val direct = graft.ops.Graph.pairDegrees(t.toDF)
+        val fRows = folded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dRows = direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        require(fRows == dRows,
+          s"degree fold diverged from recompute: ${fRows.diff(dRows).take(3)} vs ${dRows.diff(fRows).take(3)}")
+        folded.orderBy(col("node"))
+      },
+      Some(s"""WITH $PartGraphPairSql, fe AS (
+              |  SELECT a, b FROM p WHERE (a % 7 <> 0) OR (b % 3 = 0)
+              |)
+              |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              |  SELECT a AS node FROM fe UNION ALL SELECT b AS node FROM fe)
+              |GROUP BY node ORDER BY node""".stripMargin)),
+
+    // The triangle-count sibling of graph_incremental_degree over the
+    // SAME CDF lifecycle: created triangles enumerate from each inserted
+    // edge's common neighbors in the post state, destroyed from each
+    // deleted edge's in the pre state, deduped by sorted triple — cost
+    // ∝ changes × degree, never a full recount. The fold must equal a
+    // from-scratch triangle count of the final edge set (require()d
+    // in-query); the oracle reruns the exact compact-forward triangle
+    // chain over the final pair set analytically.
+    "graph_incremental_triangles" -> QueryDef(
+      (s, d) => {
+        val und = partGraph(s, d).select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .where(col("a") =!= col("b")).distinct()
+        val dir = graft.Scratch.dir("graft-gincrt") + "/edges"
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.LongType))),
+          configuration = Map(graft.delta.DeltaTable.CdfConfigKey -> "true"))
+        t.append(und.filter((col("a") + col("b")) % 2 === 0))
+        t.append(und.filter((col("a") + col("b")) % 2 =!= 0))
+        require(t.delete(col("a") % 7 === 0) == 3L, "edge purge must commit at v3")
+        t.append(und.filter(col("a") % 7 === 0 && col("b") % 3 === 0))
+        // day-2 state: versions 1..2 are pure appends, so their change
+        // rows ARE the edge set; the maintained triangle frame seeds from
+        // a one-time count over that day-2 graph
+        val e2 = t.changes(1L, 2L).where(col("_change_type") === "insert")
+          .select(col("a"), col("b")).localCheckpoint()
+        val t2 = graft.ops.Graph.triangles(
+          e2.select(col("a").as("src"), col("b").as("dst")))
+        // day 3–4 advances that state from its change files alone
+        val folded = graft.ops.Graph.applyTriangleDelta(t2,
+          graft.ops.Graph.triangleDelta(
+            e2.select(col("a").as("u"), col("b").as("v")), t.changes(3L, 4L)))
+        val direct = graft.ops.Graph.triangles(
+          t.toDF.select(col("a").as("src"), col("b").as("dst")))
+        val fRows = folded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dRows = direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        require(fRows == dRows,
+          s"triangle fold diverged from recompute: ${fRows.diff(dRows).take(3)} vs ${dRows.diff(fRows).take(3)}")
+        folded.orderBy(col("node"))
+      },
+      Some(s"""WITH $PartGraphPairSql, p0 AS MATERIALIZED (
+              |  SELECT a, b FROM p WHERE (a % 7 <> 0) OR (b % 3 = 0)
+              |), ${graft.ops.Graph.trianglesSqlOn("p0")}
+              |SELECT node, triangles FROM tricnt ORDER BY node""".stripMargin)),
+
     // HyperBall 2-hop neighborhood sizes over the part graph: per-node
     // ball-size ESTIMATES via register propagation — the ball relation
     // (Σ|ball| rows, quadratic on dense graphs) never materializes;

@@ -335,6 +335,86 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.randomWalks(edges, 0, 1, "wk"))
   }
 
+  test("node2vecWalks: biased hops replay the coin/threshold procedure exactly") {
+    // triangle {1,2,3} + pendant 3-4 (same fixture as randomWalks)
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (e0 ++ e0.map(_.swap) ++ Seq((2L, 1L))).toDF("src", "dst")
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    val pairSet = e0.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val W = 2; val L = 4; val R = 3
+    val (wr, wc, wo) = (5, 3, 1); val wMax = 5
+
+    def h32(s: String): Long =
+      graft.functions.Hashing.planTimeH64(s) & 0xFFFFFFFFL
+    // in-memory twin of the WHOLE procedure: uniform hop 1, then per
+    // attempt a uniform candidate + integer-threshold accept, forced at R
+    val want = (for {
+      node <- adj.keySet.toSeq; w <- 0 until W
+    } yield {
+      val walker = node * W + w
+      var cur = node
+      var steps = List((walker, 0L) -> node)
+      var prev = -1L
+      val n1 = adj(cur)((h32(s"n2:1:$walker") % adj(cur).size).toInt)
+      prev = cur; cur = n1
+      steps ::= (walker, 1L) -> cur
+      for (t <- 2 to L) {
+        var decided = false; var r = 1
+        while (!decided) {
+          val cand = adj(cur)((h32(s"n2:$t:$r:$walker") % adj(cur).size).toInt)
+          val wgt = if (cand == prev) wr
+            else if (pairSet((math.min(prev, cand), math.max(prev, cand)))) wc
+            else wo
+          if (r == R || h32(s"n2:$t:$r:a:$walker") % wMax < wgt) {
+            prev = cur; cur = cand; decided = true
+          } else r += 1
+        }
+        steps ::= (walker, t.toLong) -> cur
+      }
+      steps
+    }).flatten.toMap
+    val got = Graph.node2vecWalks(edges, W, L, "n2", wr, wc, wo, R)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.size === 4 * W * (L + 1))
+    // partitioning cannot move a hop
+    val rep = Graph.node2vecWalks(edges.repartition(7), W, L, "n2", wr, wc, wo, R)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rep === got)
+    intercept[IllegalArgumentException](
+      Graph.node2vecWalks(edges, W, L, "n2", 0, 1, 1))
+    intercept[IllegalArgumentException](
+      Graph.node2vecWalks(edges, W, L, "n2", 1, 1, 1, maxAttempts = 0))
+  }
+
+  test("node2vecWalks: extreme p/q weights steer the corpus the node2vec way") {
+    // 5-cycle: every node degree 2, so return vs forward is a fair coin
+    // under uniform weights — bias is cleanly visible
+    val cyc = (0L to 4L).map(i => (i, (i + 1) % 5))
+    val edges = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    def backtracks(wr: Int, wc: Int, wo: Int): Int = {
+      val walks = Graph.node2vecWalks(edges, 4, 6, "pq", wr, wc, wo, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      walks.count { case ((walker, step), node) =>
+        step >= 2L && walks((walker, step - 2)) == node }
+    }
+    // wReturn ≫ rest → the walk mostly oscillates; wReturn ≪ rest (high
+    // p, the "explore" regime) → backtracks are rare. Deterministic
+    // corpora, so these are exact counts, not flaky expectations.
+    val ret = backtracks(1000000, 1, 1)
+    val fwd = backtracks(1, 1, 1000000)
+    val uni = backtracks(1, 1, 1)
+    assert(ret > uni && uni > fwd,
+      s"backtrack ordering must follow the bias: return=$ret uniform=$uni explore=$fwd")
+    // in the extreme-return corpus, backtracking dominates outright
+    val totalHops2plus = 5 * 4 * 5 // |V|·W·(len-1)
+    assert(ret > totalHops2plus / 2,
+      s"extreme wReturn must make oscillation the norm: $ret of $totalHops2plus")
+    assert(fwd < totalHops2plus / 5,
+      s"extreme wOther must suppress backtracks: $fwd of $totalHops2plus")
+  }
+
   test("walkSkipGrams: directional windowed pairs with summed multiplicity") {
     // two hand-built walks: walker 1 = [5, 6, 7], walker 2 = [6, 5]
     val walks = Seq((1L, 0L, 5L), (1L, 1L, 6L), (1L, 2L, 7L),
@@ -353,6 +433,98 @@ class GraphSpec extends SparkSpec {
     // DIFFERENT positions would still count (none in this fixture)
     assert(!got.contains((5L, 5L)) && !got.contains((6L, 6L)))
     intercept[IllegalArgumentException](Graph.walkSkipGrams(walks, 0))
+  }
+
+  test("degreeDelta/applyDegreeDelta: insert, delete, and mixed batches fold exactly") {
+    // maintained state: triangle 1-2-3 plus pendant 3-4
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val m0 = Graph.pairDegrees(base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m0 === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+
+    def changes(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("a", "b", "_change_type")
+
+    // insert-only batch: new edge 4-5 bumps both endpoints
+    val ins = Graph.applyDegreeDelta(Graph.pairDegrees(base),
+        Graph.degreeDelta(changes(Seq((4L, 5L, "insert")))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ins === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+
+    // delete-only batch: removing 3-4 drops node 4 to zero — its ROW
+    // must vanish, matching a from-scratch recompute
+    val del = Graph.applyDegreeDelta(Graph.pairDegrees(base),
+        Graph.degreeDelta(changes(Seq((3L, 4L, "delete")))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(del === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+
+    // mixed batch: delete 1-2, insert 2-5 and 4-5 — one fold, net signs
+    val mix = Graph.applyDegreeDelta(Graph.pairDegrees(base),
+        Graph.degreeDelta(changes(Seq((1L, 2L, "delete"),
+          (2L, 5L, "insert"), (4L, 5L, "insert")))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val recompute = Graph.pairDegrees(Seq((1L, 3L), (2L, 3L), (3L, 4L),
+        (2L, 5L), (4L, 5L)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mix === recompute)
+
+    // update_pre/postimage rows carry the +-1 signs too (an edge ENDPOINT
+    // rewrite arrives as pre −, post +)
+    val upd = Graph.applyDegreeDelta(Graph.pairDegrees(base),
+        Graph.degreeDelta(changes(Seq((3L, 4L, "update_preimage"),
+          (3L, 5L, "update_postimage")))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(upd === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 5L -> 1L))
+
+    // a corrupt feed (deleting an edge that was never inserted) folds a
+    // node negative — must fail loudly, not publish wrong degrees
+    val e = intercept[Exception] {
+      Graph.applyDegreeDelta(Graph.pairDegrees(base),
+        Graph.degreeDelta(changes(Seq((4L, 9L, "delete"))))).collect()
+    }
+    assert(e.getMessage.contains("negative degree"))
+  }
+
+  test("triangleDelta: created/destroyed triangles fold exactly, deduped by triple") {
+    // K4 on {1,2,3,4}: 4 triangles, each node in 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pre = k4.toDF("u", "v")
+    def changes(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("a", "b", "_change_type")
+    def fold(prev: Seq[(Long, Long)], ch: Seq[(Long, Long, String)]) = {
+      val t0 = Graph.triangles(prev.toDF("src", "dst"))
+      Graph.applyTriangleDelta(t0,
+          Graph.triangleDelta(prev.toDF("u", "v"), changes(ch)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    def direct(pairs: Seq[(Long, Long)]) =
+      Graph.triangles(pairs.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // insert-only: edge 4-5 with 5-1 and 5-2 → THREE mutually-overlapping
+    // new triangles sharing inserted edges — the triple dedup is live
+    val ins = Seq((4L, 5L, "insert"), (1L, 5L, "insert"), (2L, 5L, "insert"))
+    assert(fold(k4, ins) === direct(k4 ++ Seq((4L, 5L), (1L, 5L), (2L, 5L))))
+
+    // delete-only: removing 1-2 kills two triangles; 3 and 4 keep one
+    assert(fold(k4, Seq((1L, 2L, "delete"))) ===
+      direct(k4.filterNot(_ == (1L, 2L))))
+
+    // mixed batch: delete 1-2, insert 1-5 and 2-5 (no new triangle —
+    // 5's only closing edge would have been 1-2, which died in the SAME
+    // batch; the post-state adjacency must see that)
+    assert(fold(k4, Seq((1L, 2L, "delete"), (1L, 5L, "insert"), (2L, 5L, "insert"))) ===
+      direct(k4.filterNot(_ == (1L, 2L)) ++ Seq((1L, 5L), (2L, 5L))))
+
+    // insert+delete of the SAME edge nets to nothing
+    assert(fold(k4, Seq((1L, 2L, "delete"), (1L, 2L, "insert"))) === direct(k4))
+
+    // double insert of one edge = corrupt feed, loud failure
+    val e = intercept[Exception] {
+      Graph.triangleDelta(pre, changes(Seq((1L, 5L, "insert"), (5L, 1L, "insert"))))
+        .collect()
+    }
+    assert(e.getMessage.contains("|sign| > 1"))
   }
 
   test("neighborhoodHll: propagated registers EQUAL the sketch of the exact ball") {
