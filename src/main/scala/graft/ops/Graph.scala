@@ -983,24 +983,28 @@ object Graph {
             chosen("cur") === adj("m") && chosen("tgt") === adj("idx"))
           .select(col("walker"), chosen("cur").as("cur"), col("prev"), col("x"))
         val undE = und.withColumn("__e", lit(1))
+        val w = when(col("x") === col("prev"), lit(wReturn))
+          .when(col("__e") === 1, lit(wCommon))
+          .otherwise(lit(wOther))
+        val accCond =
+          if (r == maxAttempts) lit(true) // forced accept bounds the hop
+          else graft.functions.Hashing.h32(
+            col("walker").cast("string"), s"$salt:$t:$r:a") % wMax < w
+        // ONE checkpoint per attempt carrying the accept flag — filtering
+        // the accepted and rejected sides out of it is a narrow op over
+        // the materialized rows; two separately-checkpointed filters
+        // would run the candidate+classification join chain TWICE
         val flagged = cand.join(undE,
             least(cand("prev"), cand("x")) === undE("u") &&
               greatest(cand("prev"), cand("x")) === undE("v"), "left")
           .select(col("walker"), cand("cur").as("cur"), col("prev"), col("x"),
-            when(col("x") === col("prev"), lit(wReturn))
-              .when(col("__e") === 1, lit(wCommon))
-              .otherwise(lit(wOther)).as("w"))
-        val accCond =
-          if (r == maxAttempts) lit(true) // forced accept bounds the hop
-          else graft.functions.Hashing.h32(
-            col("walker").cast("string"), s"$salt:$t:$r:a") % wMax < col("w")
-        accepted ::= flagged.where(accCond)
-          .select(col("walker"), col("x").as("cur"), col("cur").as("prev"))
+            accCond.as("__acc"))
           .localCheckpoint()
+        accepted ::= flagged.where(col("__acc"))
+          .select(col("walker"), col("x").as("cur"), col("cur").as("prev"))
         if (r < maxAttempts)
-          undecided = flagged.where(!accCond)
+          undecided = flagged.where(!col("__acc"))
             .select(col("walker"), col("cur"), col("prev"))
-            .localCheckpoint()
       }
       cur = accepted.reduce(_ unionAll _).localCheckpoint()
       steps += cur.select(col("walker"), lit(t.toLong).as("step"),

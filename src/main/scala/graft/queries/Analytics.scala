@@ -831,7 +831,11 @@ object Analytics extends QueryModule {
           .orderBy(col("walker"), col("step"))
       },
       Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.randomWalksSql(2, 4, "walk")}
-              |SELECT walker, step, node FROM walks ORDER BY walker, step""".stripMargin)),
+              |SELECT walker, step, node FROM walks ORDER BY walker, step""".stripMargin),
+      // headline since round 17: the hop join was r16's one scale-grade
+      // weak item (residual-filter fan-out) — benching the walk corpus
+      // keeps the equi-join shape's cost visible round over round
+      headline = true),
 
     // Skip-gram pairs from the SAME deterministic walk corpus as
     // graph_walks (window 2, directional, multiplicity summed) — the
@@ -866,7 +870,8 @@ object Analytics extends QueryModule {
           .orderBy(col("walker"), col("step"))
       },
       Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.node2vecWalksSql(2, 4, "n2v", 4, 2, 1, 2)}
-              |SELECT walker, step, node FROM walks ORDER BY walker, step""".stripMargin)),
+              |SELECT walker, step, node FROM walks ORDER BY walker, step""".stripMargin),
+      headline = true),
 
     // Incremental graph-feature maintenance from the change feed: the
     // part graph's canonical pairs live in a CDF Delta table through a

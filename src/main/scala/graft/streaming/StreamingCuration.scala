@@ -262,4 +262,47 @@ object StreamingCuration {
       write(batch.join(hit, Seq(idCol), "left_anti"))
     }
   }
+
+  /** `foreachBatch` sink maintaining a per-node DEGREE feature table
+    * from a CDF STREAM of edge changes (`format("graft-delta")` with
+    * `readChangeFeed=true` on the edge table) — the streaming end of
+    * [[graft.ops.Graph.degreeDelta]]'s IVM story: each micro-batch folds
+    * to signed degree deltas (cost ∝ batch, never the edge set) and
+    * MERGEs into the feature table — matched nodes add, unmatched
+    * insert, zero-degree folds delete their row. The (appId, batchId)
+    * txn guard turns foreachBatch's at-least-once contract into
+    * exactly-once, which MATTERS here: a degree fold, unlike a
+    * content-idempotent append, would double-count on replay. Negative
+    * folds (a corrupt feed) raise in the merge expressions.
+    *
+    * Feature table schema: `(node long, deg long)`, keyed on node.
+    *
+    * {{{
+    * spark.readStream.format("graft-delta")
+    *   .option("readChangeFeed", "true").load(edgeTablePath)
+    *   .writeStream.foreachBatch(
+    *     StreamingCuration.degreeMaintenanceSink(featureTable))
+    * }}}
+    */
+  def degreeMaintenanceSink(features: graft.delta.DeltaTable,
+                            appId: String = "graft-degree-sink",
+                            aCol: String = "a", bCol: String = "b")
+                           : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val delta = graft.ops.Graph.degreeDelta(batch, aCol, bCol)
+        .select(col("node"), col("deg").as("dt"))
+      val D = graft.delta.DeltaTable
+      features.mergeClauses(delta, Seq("node"), Seq(
+          D.WhenMatchedDelete(condition = Some("t.deg + s.dt = 0")),
+          D.WhenMatchedUpdate(set = Map("deg" ->
+            ("CASE WHEN t.deg + s.dt < 0 THEN CAST(raise_error(" +
+              "'degreeMaintenanceSink: negative degree fold - corrupt " +
+              "change feed') AS BIGINT) ELSE t.deg + s.dt END"))),
+          D.WhenNotMatchedInsert(values = Map(
+            "node" -> "s.node",
+            "deg" -> ("CASE WHEN s.dt < 0 THEN CAST(raise_error(" +
+              "'degreeMaintenanceSink: delete of unknown node - corrupt " +
+              "change feed') AS BIGINT) ELSE s.dt END")))),
+        txnAppId = Some(appId), txnVersion = batchId): Unit
+    }
 }

@@ -275,6 +275,59 @@ class StreamingWindowSpec extends SparkSpec {
     assert(rows2 === rows, "replay must reproduce identical sketch rows")
   }
 
+  test("degreeMaintenanceSink: CDF stream keeps the degree table current, exactly-once") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val D = graft.delta.DeltaTable
+    // edge table with CDF on; feature table keyed on node
+    val edges = D.forPath(spark, tmpDir("deg-edges")).create(
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))),
+      configuration = Map(D.CdfConfigKey -> "true"))
+    val features = D.forPath(spark, tmpDir("deg-features")).create(
+      StructType(Seq(StructField("node", LongType), StructField("deg", LongType))))
+    val ckpt = tmpDir("deg-ckpt")
+
+    def startSink() = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(edges.path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(graft.streaming.StreamingCuration.degreeMaintenanceSink(features))
+      .start()
+
+    def featMap() = features.toDF.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def recompute() = graft.ops.Graph.pairDegrees(edges.toDF, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // day 1: triangle 1-2-3 + pendant 3-4
+    edges.append(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b"))
+    val q1 = startSink()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(featMap() === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+
+    // day 2: purge + growth land while the query is DOWN; restart folds
+    // only the missed change files
+    assert(edges.delete(col("b") === 4L) > 0L) // node 4 drops to zero
+    edges.append(Seq((2L, 5L)).toDF("a", "b"))
+    val q2 = startSink()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(featMap() === recompute())
+    assert(!featMap().contains(4L), "zero-degree node must drop its row")
+
+    // replayed batch (same appId + batchId) is a no-op: the fold is NOT
+    // content-idempotent, so only the txn guard stands between a restart
+    // and double-counted degrees
+    val before = featMap()
+    val replay = edges.changes(1L, 2L)
+    graft.streaming.StreamingCuration.degreeMaintenanceSink(features)(replay, 0L)
+    assert(featMap() === before, "replayed (appId, batchId) must not re-fold")
+    // the same rows under a NEW batch id DO fold (and double-count —
+    // proving the guard above was the thing preventing it)
+    graft.streaming.StreamingCuration.degreeMaintenanceSink(features)(
+      edges.changes(3L, 3L), 99L)
+    assert(featMap() !== before)
+  }
+
   test("windowedHeavyProbes: CMS counter state per window, matches batch, replayable") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
