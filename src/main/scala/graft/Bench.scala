@@ -514,13 +514,27 @@ object Bench {
           .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
         (if (t) 1 else 0, v)
       }
+      // totals compare ONLY like-for-like: a run whose headline QUERY SET
+      // differs from the current one (mid-round code added a row) is not
+      // comparable and always yields to the current surface — otherwise a
+      // shorter old run's smaller total would win the snapshot forever
+      def queryKeys(j: String): Set[String] =
+        "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(j)
+          .map(m => "\"([^\"]+)\":".r.findAllMatchIn(m.group(1))
+            .map(_.group(1)).toSet)
+          .getOrElse(Set.empty)
       val path = java.nio.file.Paths.get(roundFile)
       val keepExisting = java.nio.file.Files.exists(path) && {
         val prev = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-        val better = Ordering.Tuple2[Int, Double].lt(rank(prev), rank(json))
+        val comparable = queryKeys(prev) == queryKeys(json)
+        val better = comparable &&
+          Ordering.Tuple2[Int, Double].lt(rank(prev), rank(json))
         if (better) System.err.println(
           s"[bench] round file $roundFile keeps its better run " +
             s"(rank ${rank(prev)} beats ${rank(json)})")
+        else if (!comparable && java.nio.file.Files.size(path) > 0)
+          System.err.println(
+            s"[bench] round file $roundFile replaced: headline set changed")
         better
       }
       if (!keepExisting)
