@@ -508,11 +508,14 @@ object Bench {
       // pre-taint-schema or unparseable existing file loses to any run
       // this code writes.
       def rank(j: String): (Int, Double) = {
+        // missing tainted field = pre-taint-schema file: rank WORSE than
+        // any tainted current run (2, not 1), so a schema-less file can
+        // never outrank a run this code writes, per the contract below
         val t = "\"tainted\":(true|false)".r.findFirstMatchIn(j)
-          .map(_.group(1) == "true").getOrElse(true)
+          .map(m => if (m.group(1) == "true") 1 else 0).getOrElse(2)
         val v = "\"value\":([0-9.eE+-]+)".r.findFirstMatchIn(j)
           .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
-        (if (t) 1 else 0, v)
+        (t, v)
       }
       // totals compare ONLY like-for-like: a run whose headline QUERY SET
       // differs from the current one (mid-round code added a row) is not

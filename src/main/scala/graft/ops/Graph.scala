@@ -806,7 +806,8 @@ object Graph {
                   salt: String): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 64, s"bad W: $walksPerNode")
     require(len >= 1 && len <= 32, s"bad len: $len")
-    val (_, adj, deg, start) = walkPrelude(edges, walksPerNode)
+    val (_, adj, deg, start) = walkPrelude(edges, walksPerNode,
+      checkpointUnd = false) // uniform hops never read the pair set
     var cur = start
     val steps = scala.collection.mutable.ArrayBuffer(
       cur.select(col("walker"), lit(0L).as("step"), col("cur").as("node")))
@@ -820,17 +821,21 @@ object Graph {
 
   /** Shared walk-corpus prelude: canonical undirected pairs, RANK-ORDERED
     * adjacency (one keyed shuffle, no single-partition window), degrees,
-    * and the packed walker start frame — all localCheckpointed once so
-    * every hop joins materialized (long,long) frames.
+    * and the packed walker start frame — localCheckpointed once so every
+    * hop joins materialized (long,long) frames. `checkpointUnd` pays the
+    * extra pair-set materialization ONLY for callers whose hops read it
+    * (node2vec's per-attempt weight classification); uniform randomWalks
+    * skips it.
     *
     * @return (und(u,v), adj(m,x,idx), deg(m,d), start(walker,cur)) */
-  private def walkPrelude(edges: DataFrame, walksPerNode: Int)
+  private def walkPrelude(edges: DataFrame, walksPerNode: Int,
+                          checkpointUnd: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val und = edges.select(
+    val undLazy = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+    val und = if (checkpointUnd) undLazy.localCheckpoint() else undLazy
     val both = und.select(col("u").as("m"), col("v").as("x"))
       .unionAll(und.select(col("v").as("m"), col("u").as("x")))
     val w = org.apache.spark.sql.expressions.Window
@@ -956,7 +961,8 @@ object Graph {
       .foreach { case (n, v) =>
         require(v >= 1 && v <= 1000000000, s"$n must be in [1, 1e9], got $v") }
     val wMax = math.max(wReturn, math.max(wCommon, wOther))
-    val (und, adj, deg, start) = walkPrelude(edges, walksPerNode)
+    val (und, adj, deg, start) = walkPrelude(edges, walksPerNode,
+      checkpointUnd = true) // every attempt's weight classification reads it
     val steps = scala.collection.mutable.ArrayBuffer(
       start.select(col("walker"), lit(0L).as("step"), col("cur").as("node")))
     // hop 1: uniform (no prev yet — the node2vec convention), tracking prev
@@ -1019,6 +1025,14 @@ object Graph {
   def node2vecWalksSql(walksPerNode: Int, len: Int, salt: String,
                        wReturn: Int, wCommon: Int, wOther: Int,
                        maxAttempts: Int = 3): String = {
+    // mirror the Spark side's domain exactly — a silently-accepted
+    // parameter here would emit an oracle the operator refuses
+    require(walksPerNode >= 1 && walksPerNode <= 64, s"bad W: $walksPerNode")
+    require(len >= 1 && len <= 32, s"bad len: $len")
+    require(maxAttempts >= 1 && maxAttempts <= 8, s"bad maxAttempts: $maxAttempts")
+    Seq("wReturn" -> wReturn, "wCommon" -> wCommon, "wOther" -> wOther)
+      .foreach { case (n, v) =>
+        require(v >= 1 && v <= 1000000000, s"$n must be in [1, 1e9], got $v") }
     val wMax = math.max(wReturn, math.max(wCommon, wOther))
     val h = (seed: String) => graft.functions.Hashing.h64Sql("c.walker", seed)
     val hops = (2 to len).flatMap { t =>
@@ -1078,8 +1092,7 @@ object Graph {
        |  JOIN deg ON deg.m = c.cur
        |  JOIN adj a ON a.m = c.cur
        |    AND a.idx = (${h(s"$salt:1")} & 4294967295) % deg.d
-       |), $hops,
-       |walks AS (
+       |), ${if (hops.isEmpty) "" else s"$hops,\n|"}walks AS (
        |  $emit
        |)""".stripMargin
   }
@@ -1133,6 +1146,13 @@ object Graph {
     * closes. The delta is signed (a node can lose degree) and
     * order-free (integer sums), so folds replay deterministically and
     * batch boundaries don't matter.
+    *
+    * Feed contract: a WELL-FORMED change feed (Delta's own CDF over a
+    * deduplicated edge table guarantees 0/1 multiplicity per edge).
+    * This stateless fold cannot see a double-insert of an existing edge
+    * — only [[applyDegreeDelta]]'s negative-fold guard and
+    * [[triangleDelta]]'s membership guard (which HAS the pre state)
+    * catch feed corruption.
     *
     * @param changes a [[graft.delta.DeltaTable.changes]] frame carrying
     *                `_change_type` plus the edge columns
@@ -1188,19 +1208,37 @@ object Graph {
                     aCol: String = "a", bCol: String = "b"): DataFrame = {
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(lit(-1L))
-    val net = changes.select(
+    val netted = changes.select(
         least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"), sign.as("s"))
       .where(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(sum(col("s")).as("s"))
       .where(col("s") =!= 0L)
+    // membership guard: inserting an edge already in pre, or deleting one
+    // absent from it, would COUNT PHANTOM triangles without ever going
+    // negative (the fold's own guard can't see it) — one keyed join
+    // against the pair set makes the corruption loud at the same cost
+    // order as the fold itself. Evaluated eagerly by the checkpoint.
+    val net = netted
+      .join(prevPairs.select(col("u"), col("v")).withColumn("__in", lit(1)),
+        Seq("u", "v"), "left")
       .select(col("u"), col("v"),
-        when(abs(col("s")) === 1L, col("s")).otherwise(raise_error(concat(
-          lit("triangleDelta: edge ("), col("u").cast("string"), lit(","),
-          col("v").cast("string"),
-          lit(") nets to |sign| > 1 — the change feed re-inserted or " +
-            "re-deleted an edge whose multiplicity is 0/1")))
-          .cast("long")).as("s"))
+        when(abs(col("s")) =!= 1L, raise_error(concat(
+            lit("triangleDelta: edge ("), col("u").cast("string"), lit(","),
+            col("v").cast("string"),
+            lit(") nets to |sign| > 1 — the change feed re-inserted or " +
+              "re-deleted an edge whose multiplicity is 0/1"))).cast("long"))
+          .when(col("s") === 1L && col("__in") === 1, raise_error(concat(
+            lit("triangleDelta: insert of edge ("), col("u").cast("string"),
+            lit(","), col("v").cast("string"),
+            lit(") already present in the pre state — corrupt change feed")))
+            .cast("long"))
+          .when(col("s") === -1L && col("__in").isNull, raise_error(concat(
+            lit("triangleDelta: delete of edge ("), col("u").cast("string"),
+            lit(","), col("v").cast("string"),
+            lit(") absent from the pre state — corrupt change feed")))
+            .cast("long"))
+          .otherwise(col("s")).as("s"))
       .localCheckpoint()
     val ins = net.where(col("s") === 1L).select(col("u"), col("v"))
     val del = net.where(col("s") === -1L).select(col("u"), col("v"))

@@ -371,46 +371,60 @@ object Sketches {
     *         est_diff_ab_q3, jaccard_q6) */
   def kmvPairwise(sketches: DataFrame, k: Int,
                   maxSets: Int = 4096): DataFrame = {
-    val numer = (k - 1).toDouble * KmvSpace
     val sk = sketches.localCheckpoint()
     val nSets = sk.count()
     require(nSets <= maxSets,
       s"kmvPairwise: $nSets sets exceeds maxSets=$maxSets — the pairwise " +
         "nested-loop is O(|sets|^2) by design; pass a coarser set column " +
         "or raise maxSets deliberately")
-    kmvPairwiseOn(sk, k, numer)
+    kmvPairwiseOn(sk, k)
   }
 
-  private def kmvPairwiseOn(sketches: DataFrame, k: Int,
-                            numer: Double): DataFrame = {
+  /** Shared KMV pair-estimate column builders — used VERBATIM by both
+    * [[kmvPairwise]] and the streaming twin
+    * [[graft.streaming.WindowedAggs.thetaWindowOverlap]], so the two
+    * surfaces (and their DuckDB oracles) can never drift apart (the
+    * splitLabel precedent). All double arithmetic lives here and only
+    * here. */
+  private[graft] def kmvUnionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+  private[graft] def kmvCommon(su: Column, a: Column, b: Column): Column =
+    size(filter(su, h => array_contains(a, h) && array_contains(b, h)))
+  private[graft] def kmvEstOf(arr: Column, n: Column, k: Int): Column =
+    when(n < k, n.cast("double"))
+      .otherwise(lit((k - 1).toDouble * KmvSpace) /
+        element_at(arr, k).cast("double"))
+  private[graft] def kmvIsectEst(com: Column, nu: Column, eu: Column,
+                                 k: Int): Column =
+    when(nu < k, com.cast("double"))
+      .otherwise(com.cast("double") / lit(k.toDouble) * eu)
+  private[graft] def kmvQ3(x: Column): Column =
+    floor(x * 1000.0 + 0.5).cast("long")
+  private[graft] def kmvJaccardQ6(com: Column, nu: Column): Column =
+    when(nu === 0, lit(0L)).otherwise(
+      floor(com.cast("double") / nu.cast("double") * 1000000.0 + 0.5)
+        .cast("long"))
+
+  private def kmvPairwiseOn(sketches: DataFrame, k: Int): DataFrame = {
     val a = sketches.select(col("set").as("set_a"), col("hs").as("ha"))
     val b = sketches.select(col("set").as("set_b"), col("hs").as("hb"))
-    val su = slice(array_sort(array_union(col("ha"), col("hb"))), 1, k)
-    def estOf(arr: Column, n: Column): Column =
-      when(n < k, n.cast("double"))
-        .otherwise(lit(numer) / element_at(arr, k).cast("double"))
-    def q3(x: Column): Column = floor(x * 1000.0 + 0.5).cast("long")
     a.join(b, col("set_a") < col("set_b"))
-      .withColumn("su", su)
+      .withColumn("su", kmvUnionSketch(col("ha"), col("hb"), k))
       .withColumn("na", size(col("ha")))
       .withColumn("nb", size(col("hb")))
       .withColumn("nu", size(col("su")))
-      .withColumn("com", size(filter(col("su"), h =>
-        array_contains(col("ha"), h) && array_contains(col("hb"), h))))
-      .withColumn("ea", estOf(col("ha"), col("na")))
-      .withColumn("eb", estOf(col("hb"), col("nb")))
-      .withColumn("eu", estOf(col("su"), col("nu")))
-      .withColumn("ei", when(col("nu") < k, col("com").cast("double"))
-        .otherwise(col("com").cast("double") / lit(k.toDouble) * col("eu")))
+      .withColumn("com", kmvCommon(col("su"), col("ha"), col("hb")))
+      .withColumn("ea", kmvEstOf(col("ha"), col("na"), k))
+      .withColumn("eb", kmvEstOf(col("hb"), col("nb"), k))
+      .withColumn("eu", kmvEstOf(col("su"), col("nu"), k))
+      .withColumn("ei", kmvIsectEst(col("com"), col("nu"), col("eu"), k))
       .select(col("set_a"), col("set_b"),
         col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
         col("nu").cast("long").as("n_union_sk"), col("com").cast("long").as("n_common"),
-        q3(col("ea")).as("est_a_q3"), q3(col("eb")).as("est_b_q3"),
-        q3(col("eu")).as("est_union_q3"), q3(col("ei")).as("est_isect_q3"),
-        greatest(lit(0L), q3(col("eu")) - q3(col("eb"))).as("est_diff_ab_q3"),
-        when(col("nu") === 0, lit(0L)).otherwise(
-          floor(col("com").cast("double") / col("nu").cast("double") * 1000000.0 + 0.5)
-            .cast("long")).as("jaccard_q6"))
+        kmvQ3(col("ea")).as("est_a_q3"), kmvQ3(col("eb")).as("est_b_q3"),
+        kmvQ3(col("eu")).as("est_union_q3"), kmvQ3(col("ei")).as("est_isect_q3"),
+        greatest(lit(0L), kmvQ3(col("eu")) - kmvQ3(col("eb"))).as("est_diff_ab_q3"),
+        kmvJaccardQ6(col("com"), col("nu")).as("jaccard_q6"))
   }
 
   /** DuckDB oracle twin of [[kmvSketches]] + [[kmvPairwise]]: CTE chain

@@ -289,7 +289,12 @@ object StreamingCuration {
                             aCol: String = "a", bCol: String = "b")
                            : (DataFrame, Long) => Unit =
     (batch, batchId) => {
+      // a node whose batch delta NETS to zero (insert+delete of its edge
+      // in one catch-up batch) must not touch the table — an
+      // unconditional merge would insert a phantom deg=0 row the batch
+      // fold (applyDegreeDelta) and a recompute both omit
       val delta = graft.ops.Graph.degreeDelta(batch, aCol, bCol)
+        .where(col("deg") =!= 0L)
         .select(col("node"), col("deg").as("dt"))
       val D = graft.delta.DeltaTable
       features.mergeClauses(delta, Seq("node"), Seq(

@@ -115,41 +115,32 @@ object WindowedAggs {
     *         jaccard_prev_q6) */
   def thetaWindowOverlap(sketches: DataFrame, windowLen: String,
                          k: Int): DataFrame = {
-    import graft.ops.Sketches.KmvSpace
-    val numer = (k - 1).toDouble * KmvSpace
-    def estOf(arr: org.apache.spark.sql.Column,
-              n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(n < k, n.cast("double"))
-        .otherwise(lit(numer) / element_at(arr, k).cast("double"))
-    def q3(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      floor(x * 1000.0 + 0.5).cast("long")
+    // every estimate expression comes from Sketches' shared KMV builders
+    // — the batch kmvPairwise and this readout can never drift apart
+    import graft.ops.Sketches._
     val prev = sketches.select(
       (col("window_start") + expr(s"INTERVAL $windowLen")).as("window_start"),
       col("hs").as("hp"))
     sketches.join(prev, Seq("window_start"), "left")
       .withColumn("hp", coalesce(col("hp"), array().cast("array<long>")))
-      .withColumn("su", slice(array_sort(array_union(col("hp"), col("hs"))), 1, k))
+      .withColumn("su", kmvUnionSketch(col("hp"), col("hs"), k))
       .withColumn("nc", size(col("hs")))
       .withColumn("np", size(col("hp")))
       .withColumn("nu", size(col("su")))
-      .withColumn("com", size(filter(col("su"), h =>
-        array_contains(col("hp"), h) && array_contains(col("hs"), h))))
-      .withColumn("ec", estOf(col("hs"), col("nc")))
-      .withColumn("ep", estOf(col("hp"), col("np")))
-      .withColumn("eu", estOf(col("su"), col("nu")))
-      .withColumn("ei", when(col("nu") < k, col("com").cast("double"))
-        .otherwise(col("com").cast("double") / lit(k.toDouble) * col("eu")))
+      .withColumn("com", kmvCommon(col("su"), col("hp"), col("hs")))
+      .withColumn("ec", kmvEstOf(col("hs"), col("nc"), k))
+      .withColumn("ep", kmvEstOf(col("hp"), col("np"), k))
+      .withColumn("eu", kmvEstOf(col("su"), col("nu"), k))
+      .withColumn("ei", kmvIsectEst(col("com"), col("nu"), col("eu"), k))
       .select(col("window_start"), col("nc").cast("long").as("n_sk"),
         // the full sketch rides along (≤ k longs, comma-joined): it is
         // what any FURTHER set algebra needs, and it lets the gate pin
         // complete sketch parity, not just the scalar estimates
         concat_ws(",", transform(col("hs"), h => h.cast("string")))
           .as("hashes_joined"),
-        q3(col("ec")).as("est_q3"), q3(col("ep")).as("est_prev_q3"),
-        q3(col("ei")).as("est_isect_prev_q3"),
-        when(col("nu") === 0, lit(0L))
-          .otherwise(floor(col("com").cast("double") / col("nu").cast("double")
-            * 1000000.0 + 0.5).cast("long")).as("jaccard_prev_q6"))
+        kmvQ3(col("ec")).as("est_q3"), kmvQ3(col("ep")).as("est_prev_q3"),
+        kmvQ3(col("ei")).as("est_isect_prev_q3"),
+        kmvJaccardQ6(col("com"), col("nu")).as("jaccard_prev_q6"))
   }
 
   /** Watermarked windowed FREQUENCY monitoring via the count-min merge

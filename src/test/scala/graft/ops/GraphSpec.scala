@@ -525,6 +525,38 @@ class GraphSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("|sign| > 1"))
+
+    // membership corruption nets to |sign| = 1 and never goes negative —
+    // only the pre-state check can catch it: deleting an edge absent
+    // from pre would COUNT PHANTOM destroyed triangles (common neighbors
+    // of 1 and 2 exist even though edge (1,2) doesn't, on K4 minus it)
+    val preNo12 = k4.filterNot(_ == (1L, 2L)).toDF("u", "v")
+    val eDel = intercept[Exception] {
+      Graph.triangleDelta(preNo12, changes(Seq((1L, 2L, "delete")))).collect()
+    }
+    assert(eDel.getMessage.contains("absent from the pre state"))
+    // inserting an edge already present would double-count created ones
+    val eIns = intercept[Exception] {
+      Graph.triangleDelta(pre, changes(Seq((1L, 2L, "insert")))).collect()
+    }
+    assert(eIns.getMessage.contains("already present in the pre state"))
+  }
+
+  test("node2vecWalksSql: well-formed at len = 1 and mirrors the operator's domain") {
+    // len = 1 unrolls ZERO biased hops — the chain must still parse (the
+    // 0-iteration SQL well-formedness class): no dangling comma between
+    // the w1 CTE and the walks terminal
+    val sql = Graph.node2vecWalksSql(2, 1, "n2", 5, 3, 1, 3)
+    assert(!sql.contains(", ,") && !sql.contains(",,"), sql)
+    assert(sql.contains("w1 AS MATERIALIZED") && sql.contains("walks AS"))
+    assert(!sql.contains("c2_1"), "len=1 must unroll no attempt CTEs")
+    // the SQL builder refuses exactly what the operator refuses — a
+    // silently-accepted parameter would emit an oracle with no operator
+    intercept[IllegalArgumentException](Graph.node2vecWalksSql(0, 1, "n2", 1, 1, 1))
+    intercept[IllegalArgumentException](Graph.node2vecWalksSql(2, 0, "n2", 1, 1, 1))
+    intercept[IllegalArgumentException](Graph.node2vecWalksSql(2, 1, "n2", 0, 1, 1))
+    intercept[IllegalArgumentException](
+      Graph.node2vecWalksSql(2, 1, "n2", 1, 1, 1, maxAttempts = 0))
   }
 
   test("neighborhoodHll: propagated registers EQUAL the sketch of the exact ball") {

@@ -326,6 +326,17 @@ class StreamingWindowSpec extends SparkSpec {
     graft.streaming.StreamingCuration.degreeMaintenanceSink(features)(
       edges.changes(3L, 3L), 99L)
     assert(featMap() !== before)
+
+    // a batch whose deltas NET to zero (insert+delete of one edge, for
+    // nodes unknown to the table) must leave the table untouched — an
+    // unconditional merge would insert phantom deg=0 rows that neither
+    // the batch fold nor a recompute contains
+    val zeroNet = Seq((70L, 71L, "insert"), (70L, 71L, "delete"))
+      .toDF("a", "b", "_change_type")
+    val snap = featMap()
+    graft.streaming.StreamingCuration.degreeMaintenanceSink(features)(zeroNet, 100L)
+    assert(featMap() === snap, "zero-net batch must be a no-op")
+    assert(!featMap().contains(70L) && !featMap().contains(71L))
   }
 
   test("windowedHeavyProbes: CMS counter state per window, matches batch, replayable") {
