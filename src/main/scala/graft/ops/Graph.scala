@@ -629,14 +629,38 @@ object Graph {
   /** DuckDB oracle twin of [[clusteringCoeff]]: appends to
     * [[trianglesSql]]'s chain (which already defines `deg` and `tricnt`
     * over a prior canonical-pair CTE `p`). Terminal CTE `cc`. */
-  def clusteringCoeffSql: String =
-    s"""$trianglesSql, cc AS (
+  def clusteringCoeffSql: String = clusteringCoeffSqlOn("p")
+
+  /** [[clusteringCoeffSql]] over an arbitrary prior canonical-pair CTE —
+    * the incremental-coefficient gate recomputes over a FILTERED pair
+    * set. */
+  def clusteringCoeffSqlOn(pairs: String): String =
+    s"""${trianglesSqlOn(pairs)}, cc AS (
        |  SELECT d.node, d.deg, coalesce(t.triangles, 0) AS triangles,
        |    CASE WHEN d.deg < 2 THEN CAST(0 AS BIGINT)
        |      ELSE CAST((CAST(4000000 AS HUGEINT) * coalesce(t.triangles, 0) + d.deg * (d.deg - 1))
        |        // (CAST(2 AS HUGEINT) * d.deg * (d.deg - 1)) AS BIGINT) END AS coeff_ppm
        |  FROM deg d LEFT JOIN tricnt t USING (node)
        |)""".stripMargin
+
+  /** Local clustering coefficient COMPOSED from the two maintained IVM
+    * frames — the payoff of [[degreeDelta]] + [[triangleDelta]]: once
+    * degrees and triangle counts advance from the change feed, the
+    * coefficient is a pure (long, long) left join + the same exact
+    * integer-ppm arithmetic as [[clusteringCoeff]] (shared [[coeffPpm]]
+    * column — the two can never disagree), with ZERO reads of the edge
+    * set. Output contract matches [[clusteringCoeff]]: every node with
+    * an edge surfaces, zero-triangle nodes carry coeff 0.
+    *
+    * @param degrees   maintained (node, deg) — [[applyDegreeDelta]]'s shape
+    * @param triangles maintained (node, triangles) — [[applyTriangleDelta]]'s
+    * @return (node, deg, triangles, coeff_ppm) */
+  def coeffFromMaintained(degrees: DataFrame, triangles: DataFrame): DataFrame =
+    degrees.select(col("node"), col("deg"))
+      .join(triangles.select(col("node"), col("triangles")), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff_ppm", coeffPpm)
 
   /** Common-neighbor link prediction: the top-`topN` NON-adjacent node
     * pairs ranked by shared-neighbor count, with the neighborhood

@@ -971,6 +971,57 @@ object Analytics extends QueryModule {
               |), ${graft.ops.Graph.trianglesSqlOn("p0")}
               |SELECT node, triangles FROM tricnt ORDER BY node""".stripMargin)),
 
+    // The payoff of the two IVM folds: local clustering coefficient
+    // composed PURELY from the maintained degree and triangle frames —
+    // both advanced from the change feed alone — with zero reads of the
+    // accumulated edge set. The fold-composition must equal a
+    // from-scratch clusteringCoeff of the final graph (require()d
+    // in-query); the oracle reruns the full compact-forward + ppm chain
+    // over the final pair set analytically.
+    "graph_incremental_coeff" -> QueryDef(
+      (s, d) => {
+        val und = partGraph(s, d).select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .where(col("a") =!= col("b")).distinct()
+        val dir = graft.Scratch.dir("graft-gincrc") + "/edges"
+        val t = graft.delta.DeltaTable.forPath(s, dir).create(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.LongType))),
+          configuration = Map(graft.delta.DeltaTable.CdfConfigKey -> "true"))
+        t.append(und.filter((col("a") + col("b")) % 2 === 0))
+        t.append(und.filter((col("a") + col("b")) % 2 =!= 0))
+        require(t.delete(col("a") % 7 === 0) == 3L, "edge purge must commit at v3")
+        t.append(und.filter(col("a") % 7 === 0 && col("b") % 3 === 0))
+        val G = graft.ops.Graph
+        val e2 = t.changes(1L, 2L).where(col("_change_type") === "insert")
+          .select(col("a"), col("b")).localCheckpoint()
+        val e2uv = e2.select(col("a").as("u"), col("b").as("v"))
+        val day = t.changes(3L, 4L)
+        // both feature frames advance from the change files alone
+        val degM = G.applyDegreeDelta(G.degreeDelta(t.changes(1L, 2L)),
+          G.degreeDelta(day))
+        val triM = G.applyTriangleDelta(
+          G.triangles(e2.select(col("a").as("src"), col("b").as("dst"))),
+          G.triangleDelta(e2uv, day))
+        val folded = G.coeffFromMaintained(degM, triM)
+        val direct = G.clusteringCoeff(
+          t.toDF.select(col("a").as("src"), col("b").as("dst")))
+        def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val (fRows, dRows) = (rows(folded), rows(direct))
+        require(fRows == dRows,
+          s"coeff composition diverged: ${fRows.diff(dRows).take(3)} vs ${dRows.diff(fRows).take(3)}")
+        folded.orderBy(col("node"))
+      },
+      Some(s"""WITH $PartGraphPairSql, p0 AS MATERIALIZED (
+              |  SELECT a, b FROM p WHERE (a % 7 <> 0) OR (b % 3 = 0)
+              |), ${graft.ops.Graph.clusteringCoeffSqlOn("p0")}
+              |SELECT node, deg, triangles, coeff_ppm FROM cc ORDER BY node""".stripMargin)),
+
     // HyperBall 2-hop neighborhood sizes over the part graph: per-node
     // ball-size ESTIMATES via register propagation — the ball relation
     // (Σ|ball| rows, quadratic on dense graphs) never materializes;

@@ -542,6 +542,26 @@ class GraphSpec extends SparkSpec {
     assert(eIns.getMessage.contains("already present in the pre state"))
   }
 
+  test("coeffFromMaintained: composed IVM frames equal clusteringCoeff exactly") {
+    // K4 plus pendant 4-5: node 5 has deg 1 (coeff 0 by the <2 rule),
+    // 4 has deg 4 with 3 triangles, 1..3 have deg 3 with 3 triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val asEdges = edges.toDF("src", "dst")
+    val direct = Graph.clusteringCoeff(asEdges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val composed = Graph.coeffFromMaintained(
+        Graph.pairDegrees(edges.toDF("a", "b")),
+        Graph.triangles(asEdges)
+          .select(org.apache.spark.sql.functions.col("node"),
+            org.apache.spark.sql.functions.col("triangles")))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(composed === direct)
+    // the zero-triangle pendant surfaces with coeff 0, not absence
+    assert(composed(5L) === ((1L, 0L, 0L)))
+  }
+
   test("node2vecWalksSql: well-formed at len = 1 and mirrors the operator's domain") {
     // len = 1 unrolls ZERO biased hops — the chain must still parse (the
     // 0-iteration SQL well-formedness class): no dangling comma between
