@@ -275,6 +275,78 @@ class StreamingWindowSpec extends SparkSpec {
     assert(rows2 === rows, "replay must reproduce identical sketch rows")
   }
 
+  test("windowedTheta sketches persist to Delta exactly-once across restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val tablePath = tmpDir("theta-table")
+    val ckpt = tmpDir("theta-ckpt")
+    val table = graft.delta.DeltaTable.forPath(spark, tablePath).create(StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("hashes_joined", StringType),
+      StructField("n_sk", LongType))))
+
+    def startSink(in: MemoryStream[(Long, Timestamp)]) =
+      WindowedAggs.windowedTheta(in.toDF.toDF("user_id", "ts"), col("user_id"),
+          "15 minutes", lateness = "10 minutes", salt = "thw", k = k)
+        .selectExpr("window_start",
+          "concat_ws(',', transform(hs, h -> cast(h as string))) AS hashes_joined",
+          "cast(size(hs) as long) AS n_sk")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          table.append(df, Some("theta-sink"), batchId,
+            operation = "STREAMING UPDATE"): Unit
+        }
+        .start()
+
+    val blockA = (1 to 20).map(u => (u.toLong, ts(u % 15)))     // window 10:00
+    val blockB = Seq((50L, ts(16)), (51L, ts(17)))              // window 10:15
+    val closer1 = Seq((99L, ts(40)))                            // closes 10:00
+    val in1 = MemoryStream[(Long, Timestamp)]
+    val q1 = startSink(in1)
+    try {
+      in1.addData(blockA); q1.processAllAvailable()
+      in1.addData(blockB ++ closer1); q1.processAllAvailable()
+      in1.addData(Seq((98L, ts(41)))); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(table.toDF.count() >= 1L, "run 1 must have landed the closed 10:00 window")
+
+    // restart on the same checkpoint with the full history replayed —
+    // committed batches must not re-land, the newly closed window must
+    val in2 = MemoryStream[(Long, Timestamp)]
+    in2.addData(blockA)
+    in2.addData(blockB ++ closer1)
+    in2.addData(Seq((98L, ts(41))))
+    val q2 = startSink(in2)
+    try {
+      in2.addData(Seq((97L, ts(59)))); q2.processAllAvailable() // closes 10:15
+    } finally q2.stop()
+
+    val rows = table.toDF.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    val starts = rows.map(_._1.toString).sorted
+    assert(starts.length === starts.distinct.length,
+      s"a window landed twice after restart: ${starts.toSeq}")
+    assert(starts.exists(_.startsWith("2024-01-01 10:00")) &&
+      starts.exists(_.startsWith("2024-01-01 10:15")),
+      s"closed windows missing after restart: ${starts.toSeq}")
+    // the persisted sketch is the batch-computed truth (k-truncated)
+    val batchAll = (blockA ++ blockB ++ closer1 ++ Seq((98L, ts(41)), (97L, ts(59))))
+      .toDF("user_id", "ts")
+    val expect = WindowedAggs.windowedTheta(batchAll, col("user_id"),
+        "15 minutes", lateness = "10 minutes", salt = "thw", k = k)
+      .selectExpr("window_start",
+        "concat_ws(',', transform(hs, h -> cast(h as string))) AS hj")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toMap
+    rows.foreach { case (w, hj) =>
+      assert(expect(w) === hj, s"persisted sketch for $w diverges from batch")
+    }
+  }
+
   test("degreeMaintenanceSink: CDF stream keeps the degree table current, exactly-once") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
