@@ -873,6 +873,24 @@ object Analytics extends QueryModule {
               |SELECT walker, step, node FROM walks ORDER BY walker, step""".stripMargin),
       headline = true),
 
+    // Skip-gram pairs from the BIASED walk corpus — the full node2vec
+    // training input (biased walks → windowed (center, context) pairs),
+    // hash-gated end to end exactly like the DeepWalk twin
+    // graph_skipgrams: the oracle replays every rejection-sampled hop
+    // AND the pairing.
+    "graph_skipgrams_n2v" -> QueryDef(
+      (s, d) => {
+        val edges = partGraph(s, d)
+        graft.ops.Graph.walkSkipGrams(
+            graft.ops.Graph.node2vecWalks(edges, walksPerNode = 2, len = 4,
+              salt = "n2v", wReturn = 4, wCommon = 2, wOther = 1,
+              maxAttempts = 2), window = 2)
+          .orderBy(col("center"), col("context"))
+      },
+      Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.node2vecWalksSql(2, 4, "n2v", 4, 2, 1, 2)},
+              |${graft.ops.Graph.walkSkipGramsSql(2)}
+              |SELECT center, context, cnt FROM sg ORDER BY center, context""".stripMargin)),
+
     // Incremental graph-feature maintenance from the change feed: the
     // part graph's canonical pairs live in a CDF Delta table through a
     // four-version lifecycle (two appends, an edge purge, a partial
