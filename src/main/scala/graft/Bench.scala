@@ -426,8 +426,13 @@ object Bench {
     // r16 run log; a run whose mt endpoint exceeds 1.3× that is flagged
     // tainted IN the json, and the round snapshot below prefers the best
     // untainted run, so a polluted final run can no longer become the
-    // round's committed number.
-    val MtQuietSec = 0.052
+    // round's committed number. The quiet reference is THIS host's
+    // measurement — on another host override it via
+    // SPARK_GRAFT_MT_QUIET_SEC, else the taint flag (and the
+    // best-untainted snapshot selection it drives) misfires in one
+    // direction or the other.
+    val MtQuietSec = sys.env.get("SPARK_GRAFT_MT_QUIET_SEC")
+      .map(_.toDouble).getOrElse(0.052)
     val tainted = math.max(calibMtBefore, calibMtAfter) > MtQuietSec * 1.3
     if (tainted)
       System.err.println(f"[bench] TAINTED: calib_mt ${calibMtBefore}%.3f/" +
@@ -520,7 +525,13 @@ object Bench {
       // totals compare ONLY like-for-like: a run whose headline QUERY SET
       // differs from the current one (mid-round code added a row) is not
       // comparable and always yields to the current surface — otherwise a
-      // shorter old run's smaller total would win the snapshot forever
+      // shorter old run's smaller total would win the snapshot forever.
+      // CONTRACT for both regex parsers here: the "queries" object holds
+      // ONLY numeric scalars (m(...) above emits "name":1.23 pairs) and
+      // this file's own writer is the only producer — a nested value
+      // inside "queries" would truncate the matched span at its inner
+      // '}' and silently corrupt the keep-best comparison. If "queries"
+      // ever grows structure, replace these with a real JSON reader.
       def queryKeys(j: String): Set[String] =
         "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(j)
           .map(m => "\"([^\"]+)\":".r.findAllMatchIn(m.group(1))

@@ -1290,11 +1290,13 @@ object Graph {
       .select(col("u"), col("v"), col("x").as("w"))
     val nv = through.join(adj, through("v") === adj("m"))
       .select(col("u"), col("v"), col("x").as("w"))
-    val lo = least(col("u"), least(col("v"), col("w")))
-    val hi = greatest(col("u"), greatest(col("v"), col("w")))
+    // canonical (t1 < t2 < t3) via sort_array — NOT u+v+w-lo-hi, whose
+    // summation silently overflows Long for ids near 2^62 and corrupts
+    // the dedup key; the sorted array is overflow-free at any id
+    val tri = sort_array(array(col("u"), col("v"), col("w")))
     nu.join(nv, Seq("u", "v", "w"))
-      .select(lo.as("t1"), (col("u") + col("v") + col("w") - lo - hi).as("t2"),
-        hi.as("t3"))
+      .select(tri.getItem(0).as("t1"), tri.getItem(1).as("t2"),
+        tri.getItem(2).as("t3"))
       .distinct()
   }
 

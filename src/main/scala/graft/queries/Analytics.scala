@@ -77,6 +77,20 @@ object Analytics extends QueryModule {
       |  WHERE l1.l_partkey <> l2.l_partkey
       |)""".stripMargin
 
+  /** Distributed multiset-equality assertion for the IVM identity gates:
+    * the symmetric `exceptAll` difference is computed as ONE distributed
+    * anti-aggregation and only a ≤ 3-row sample ever reaches the driver —
+    * never the |V|-sized frames themselves (at 100× scale a node-keyed
+    * collect of either side is a driver OOM; the operators under test
+    * are scale-clean, so the assertion must be too). */
+  private def requireFoldMatches(folded: DataFrame, direct: DataFrame,
+                                 what: String): Unit = {
+    val diffSample = folded.exceptAll(direct)
+      .unionAll(direct.exceptAll(folded)).limit(3).collect()
+    require(diffSample.isEmpty,
+      s"$what diverged from recompute; diff sample: ${diffSample.mkString("; ")}")
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // TPC-H Q1 shape: scan-heavy agg; partial aggregation map-side, one shuffle.
     "q1_agg" -> QueryDef(
@@ -926,10 +940,7 @@ object Analytics extends QueryModule {
         val folded = graft.ops.Graph.applyDegreeDelta(m2,
           graft.ops.Graph.degreeDelta(t.changes(3L, 4L)))
         val direct = graft.ops.Graph.pairDegrees(t.toDF)
-        val fRows = folded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val dRows = direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        require(fRows == dRows,
-          s"degree fold diverged from recompute: ${fRows.diff(dRows).take(3)} vs ${dRows.diff(fRows).take(3)}")
+        requireFoldMatches(folded, direct, "degree fold")
         folded.orderBy(col("node"))
       },
       Some(s"""WITH $PartGraphPairSql, fe AS (
@@ -978,10 +989,7 @@ object Analytics extends QueryModule {
             e2.select(col("a").as("u"), col("b").as("v")), t.changes(3L, 4L)))
         val direct = graft.ops.Graph.triangles(
           t.toDF.select(col("a").as("src"), col("b").as("dst")))
-        val fRows = folded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val dRows = direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        require(fRows == dRows,
-          s"triangle fold diverged from recompute: ${fRows.diff(dRows).take(3)} vs ${dRows.diff(fRows).take(3)}")
+        requireFoldMatches(folded, direct, "triangle fold")
         folded.orderBy(col("node"))
       },
       Some(s"""WITH $PartGraphPairSql, p0 AS MATERIALIZED (
@@ -1028,11 +1036,7 @@ object Analytics extends QueryModule {
         val folded = G.coeffFromMaintained(degM, triM)
         val direct = G.clusteringCoeff(
           t.toDF.select(col("a").as("src"), col("b").as("dst")))
-        def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-        val (fRows, dRows) = (rows(folded), rows(direct))
-        require(fRows == dRows,
-          s"coeff composition diverged: ${fRows.diff(dRows).take(3)} vs ${dRows.diff(fRows).take(3)}")
+        requireFoldMatches(folded, direct, "coeff composition")
         folded.orderBy(col("node"))
       },
       Some(s"""WITH $PartGraphPairSql, p0 AS MATERIALIZED (

@@ -110,6 +110,14 @@ object WindowedAggs {
     * count. Runs downstream of the stateful op (a batch job over the
     * sink table, or the gate's batch frame).
     *
+    * '''windowLen contract''': `windowLen` MUST be the same duration the
+    * sketches were built with ([[windowedTheta]]'s `windowLen`) — the
+    * predecessor equi-join probes at `window_start − windowLen`, so a
+    * mismatched value finds no predecessor anywhere and every overlap
+    * field silently reads 0 (the readout is total by design, so nothing
+    * nulls or throws). Thread ONE constant through both calls; the
+    * mismatch behavior is pinned by StreamingWindowSpec.
+    *
     * @param sketches (window_start, hs) — [[windowedTheta]]'s shape
     * @return (window_start, n_sk, est_q3, est_prev_q3, est_isect_prev_q3,
     *         jaccard_prev_q6) */

@@ -275,6 +275,36 @@ class StreamingWindowSpec extends SparkSpec {
     assert(rows2 === rows, "replay must reproduce identical sketch rows")
   }
 
+  test("thetaWindowOverlap: a mismatched windowLen silently zeroes every overlap (doc contract)") {
+    // The predecessor equi-join probes at window_start − windowLen; a
+    // windowLen differing from the one the sketches were built with
+    // matches NOTHING — the readout stays total (no nulls, no errors) but
+    // every prev/overlap field reads 0 everywhere, which is exactly why
+    // the scaladoc requires threading one constant through both calls.
+    import org.apache.spark.sql.functions.col
+    // k > |window| keeps every sketch exact, so the correctly-built
+    // intersection below is deterministic (truncated sketches can
+    // legitimately estimate a real 2-user overlap as 0)
+    val k = 64
+    val batch = ((1 to 40).map(u => (u.toLong, ts(u % 15))) ++
+      Seq((7L, ts(16)), (8L, ts(17)), (100L, ts(18)))).toDF("user_id", "ts")
+    val sketches = WindowedAggs.windowedTheta(batch, col("user_id"),
+      "15 minutes", lateness = "10 minutes", salt = "thw", k = k)
+    val good = WindowedAggs.thetaWindowOverlap(sketches, "15 minutes", k)
+      .orderBy(col("window_start")).collect()
+    // built correctly, window 2 DOES overlap window 1 (users 7 and 8)
+    assert(good(1).getAs[Long]("est_isect_prev_q3") > 0L)
+    val bad = WindowedAggs.thetaWindowOverlap(sketches, "10 minutes", k)
+      .orderBy(col("window_start")).collect()
+    assert(bad.length === good.length, "readout stays total — one row per window")
+    bad.foreach { r =>
+      assert(r.getAs[Long]("est_prev_q3") === 0L)
+      assert(r.getAs[Long]("est_isect_prev_q3") === 0L)
+      assert(r.getAs[Long]("jaccard_prev_q6") === 0L)
+      assert(r.getAs[Long]("est_q3") > 0L, "own estimates are unaffected")
+    }
+  }
+
   test("windowedTheta sketches persist to Delta exactly-once across restart") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.col
