@@ -1044,6 +1044,63 @@ object Analytics extends QueryModule {
               |), ${graft.ops.Graph.clusteringCoeffSqlOn("p0")}
               |SELECT node, deg, triangles, coeff_ppm FROM cc ORDER BY node""".stripMargin)),
 
+    // graph_incremental_coeff's STREAMING end: the SAME CDF lifecycle,
+    // but the degree and triangle feature tables are maintained by a
+    // real Structured Streaming query over the change feed
+    // (format("graft-delta"), readChangeFeed) through the foreachBatch
+    // maintenance sinks — per-batch folds cost ∝ the batch, MERGEd
+    // exactly-once under the (appId, batchId) txn guard, with the
+    // triangle sink's edge mirror providing the pre state each batch
+    // needs. The returned coeff composes PURELY from the two maintained
+    // tables (zero reads of the edge set) and must equal a from-scratch
+    // clusteringCoeff of the final graph (require()d in-query,
+    // distributed); the oracle is graph_incremental_coeff's, verbatim.
+    "stream_graph_incremental" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val D = graft.delta.DeltaTable
+        val und = partGraph(s, d).select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .where(col("a") =!= col("b")).distinct()
+        val base = graft.Scratch.dir("graft-sgincr")
+        val t = D.forPath(s, base + "/edges").create(
+          StructType(Seq(StructField("a", LongType), StructField("b", LongType))),
+          configuration = Map(D.CdfConfigKey -> "true"))
+        t.append(und.filter((col("a") + col("b")) % 2 === 0))
+        t.append(und.filter((col("a") + col("b")) % 2 =!= 0))
+        require(t.delete(col("a") % 7 === 0) == 3L, "edge purge must commit at v3")
+        t.append(und.filter(col("a") % 7 === 0 && col("b") % 3 === 0))
+        val degT = D.forPath(s, base + "/deg").create(StructType(Seq(
+          StructField("node", LongType), StructField("deg", LongType))))
+        val triT = D.forPath(s, base + "/tri").create(StructType(Seq(
+          StructField("node", LongType), StructField("triangles", LongType))))
+        val mirror = D.forPath(s, base + "/mirror").create(StructType(Seq(
+          StructField("u", LongType), StructField("v", LongType))))
+        val degSink = graft.streaming.StreamingCuration.degreeMaintenanceSink(degT)
+        val triSink = graft.streaming.StreamingCuration
+          .triangleMaintenanceSink(triT, mirror)
+        val q = s.readStream.format("graft-delta")
+          .option("readChangeFeed", "true").option("startingVersion", "1")
+          .load(t.path)
+          .writeStream.option("checkpointLocation", base + "/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val b = batch.localCheckpoint()
+            degSink(b, batchId); triSink(b, batchId)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val folded = graft.ops.Graph.coeffFromMaintained(degT.toDF, triT.toDF)
+        val direct = graft.ops.Graph.clusteringCoeff(
+          t.toDF.select(col("a").as("src"), col("b").as("dst")))
+        requireFoldMatches(folded, direct, "streamed coeff composition")
+        folded.orderBy(col("node"))
+      },
+      Some(s"""WITH $PartGraphPairSql, p0 AS MATERIALIZED (
+              |  SELECT a, b FROM p WHERE (a % 7 <> 0) OR (b % 3 = 0)
+              |), ${graft.ops.Graph.clusteringCoeffSqlOn("p0")}
+              |SELECT node, deg, triangles, coeff_ppm FROM cc ORDER BY node""".stripMargin)),
+
     // HyperBall 2-hop neighborhood sizes over the part graph: per-node
     // ball-size ESTIMATES via register propagation — the ball relation
     // (Σ|ball| rows, quadratic on dense graphs) never materializes;

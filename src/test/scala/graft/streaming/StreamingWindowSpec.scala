@@ -441,6 +441,85 @@ class StreamingWindowSpec extends SparkSpec {
     assert(!featMap().contains(70L) && !featMap().contains(71L))
   }
 
+  test("triangleMaintenanceSink: CDF stream keeps triangle counts + edge mirror current, exactly-once") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val D = graft.delta.DeltaTable
+    val edges = D.forPath(spark, tmpDir("tri-edges")).create(
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))),
+      configuration = Map(D.CdfConfigKey -> "true"))
+    val features = D.forPath(spark, tmpDir("tri-features")).create(
+      StructType(Seq(StructField("node", LongType), StructField("triangles", LongType))))
+    val mirror = D.forPath(spark, tmpDir("tri-mirror")).create(
+      StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+    val ckpt = tmpDir("tri-ckpt")
+
+    def startSink() = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(edges.path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(
+        graft.streaming.StreamingCuration.triangleMaintenanceSink(features, mirror))
+      .start()
+
+    def featMap() = features.toDF.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def mirrorSet() = mirror.toDF.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recompute() = graft.ops.Graph.triangles(
+        edges.toDF.select(col("a").as("src"), col("b").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // day 1 INSERTS: triangle 1-2-3 + pendant 3-4
+    edges.append(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b"))
+    val q1 = startSink()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(featMap() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(mirrorSet() === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+
+    // day 2 lands while the query is DOWN: a DELETE breaks the triangle,
+    // an append closes a NEW one (2-3-4); restart folds only the missed
+    // change files against the mirror's pre state
+    assert(edges.delete(col("a") === 1L && col("b") === 2L) === 2L,
+      "edge delete must commit at v2")
+    edges.append(Seq((2L, 4L)).toDF("a", "b"))
+    val q2 = startSink()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(featMap() === recompute())
+    assert(featMap() === Map(2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(!featMap().contains(1L), "zero-triangle node must drop its row")
+    assert(mirrorSet() === Set((1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L)))
+
+    // replayed batch (same appId + batchId) is a no-op for BOTH tables —
+    // the mirror's txn marks the batch complete, so the sink skips
+    // before even deriving a delta (a re-derivation against the advanced
+    // mirror would raise on the re-seen delete)
+    val before = (featMap(), mirrorSet())
+    val replay = edges.changes(2L, 3L)
+    graft.streaming.StreamingCuration.triangleMaintenanceSink(features, mirror)(replay, 1L)
+    assert((featMap(), mirrorSet()) === before,
+      "replayed (appId, batchId) must not re-fold either table")
+
+    // a batch whose deltas NET to zero (insert+delete of one unseen edge
+    // in a catch-up batch) must leave both tables untouched
+    val zeroNet = Seq((70L, 71L, "insert"), (70L, 71L, "delete"))
+      .toDF("a", "b", "_change_type")
+    graft.streaming.StreamingCuration.triangleMaintenanceSink(features, mirror)(zeroNet, 50L)
+    assert((featMap(), mirrorSet()) === before, "zero-net batch must be a no-op")
+
+    // coeff composition from the two maintained frames matches the
+    // from-scratch clusteringCoeff of the final graph
+    val degT = D.forPath(spark, tmpDir("tri-deg")).create(
+      StructType(Seq(StructField("node", LongType), StructField("deg", LongType))))
+    graft.streaming.StreamingCuration.degreeMaintenanceSink(degT)(
+      edges.changes(1L, edges.snapshot.version), 0L)
+    val composed = graft.ops.Graph.coeffFromMaintained(degT.toDF, features.toDF)
+    val direct = graft.ops.Graph.clusteringCoeff(
+      edges.toDF.select(col("a").as("src"), col("b").as("dst")))
+    assert(composed.exceptAll(direct).unionAll(direct.exceptAll(composed)).isEmpty,
+      "maintained coeff must equal from-scratch recompute")
+  }
+
   test("windowedHeavyProbes: CMS counter state per window, matches batch, replayable") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
