@@ -359,6 +359,49 @@ object Bench {
         step("cold_snapshot") {
           delta.DeltaTable.forPath(spark, dir).snapshot.files.size
         }
+        // graph-IVM fold vs recompute (round 18): the
+        // graph_incremental_* gates prove the fold CORRECT; this
+        // measures the claim that makes it worth having — daily feature
+        // maintenance costs ∝ the day's change batch, never the
+        // accumulated edge set. Steady state is staged untimed (the
+        // maintained frames exist already in the scenario being
+        // modeled); graph_fold times degree+triangle delta-and-apply for
+        // a ~1/128 change batch, graph_recompute the from-scratch twin
+        // over the post graph. The ratio is the honest headline.
+        locally {
+          val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+              col("l_partkey").cast("long").as("pa"))
+            .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
+              .select(col("l_orderkey").as("ok"),
+                (col("l_linenumber") - 1).as("ln"),
+                col("l_partkey").cast("long").as("pb")), Seq("ok", "ln"))
+            .where(col("pa") =!= col("pb"))
+            .select(org.apache.spark.sql.functions.least(col("pa"), col("pb")).as("u"),
+              org.apache.spark.sql.functions.greatest(col("pa"), col("pb")).as("v"))
+            .distinct()
+          val isChange = org.apache.spark.sql.functions
+            .pmod(org.apache.spark.sql.functions.xxhash64(col("u"), col("v")),
+              lit(128L)) === 0L
+          val pre = pairs.where(!isChange).localCheckpoint()
+          val ins = pairs.where(isChange).localCheckpoint()
+          val changes = ins.select(col("u").as("a"), col("v").as("b"))
+            .withColumn("_change_type", lit("insert"))
+          val degPre = ops.Graph.pairDegrees(pre, "u", "v").localCheckpoint()
+          val triPre = ops.Graph.triangles(
+            pre.select(col("u").as("src"), col("v").as("dst"))).localCheckpoint()
+          step("graph_fold") {
+            run(ops.Graph.applyDegreeDelta(degPre, ops.Graph.degreeDelta(changes)))
+            run(ops.Graph.applyTriangleDelta(triPre,
+              ops.Graph.triangleDelta(pre, changes)))
+          }
+          step("graph_recompute") {
+            val post = pre.unionAll(ins)
+            run(ops.Graph.pairDegrees(post, "u", "v"))
+            run(ops.Graph.triangles(
+              post.select(col("u").as("src"), col("v").as("dst"))))
+          }
+        }
         val rows = t.toDF.count()
         val total = steps.valuesIterator.map(_._1).sum
         val stepJson = steps.map { case (k, (s, _)) => s""""$k":$s""" }

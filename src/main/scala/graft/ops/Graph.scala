@@ -1153,6 +1153,106 @@ object Graph {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** PPMI (positive pointwise mutual information) features over a
+    * skip-gram corpus — the third DeepWalk/node2vec stage and the
+    * standard trainer-free endpoint: PPMI-weighted co-occurrence is the
+    * factorization target word2vec-style training implicitly optimizes
+    * (Levy & Goldberg 2014), so a pipeline that cannot run a trainer
+    * still ships useful features. Per pair,
+    *
+    *   ppmi = max(0, ln( cnt(c,w)·N / (cnt(c)·cnt(w)) ))
+    *
+    * with N = Σ cnt, cnt(c)/cnt(w) the center/context marginals — scored
+    * as exact integer NANO-NATS via the wide portable-ln chain
+    * ([[graft.functions.PortableLn.wide]]; the four ln terms carry the
+    * same −32·ln2 bias, two plus two minus, so it cancels), quantized
+    * ONCE on the combined double: floor(Σ±ln · 10⁹ + ½). Zero/negative
+    * scores drop (the "positive" in PPMI), survivors rank per center by
+    * the (ppmi_qn desc, context) total order, top `k` kept.
+    *
+    * Plan shape (100 TB story): two keyed marginal aggregations over the
+    * (long, long, long) pair list, marginals join back on their own keys
+    * (sort-merge at vocab scale), N is a one-row broadcast; the rank
+    * filter is row_number ≤ k which Spark rewrites to a per-partition
+    * WindowGroupLimit (PlanSpec pins it) — no global sort, nothing wider
+    * than four longs in any exchange.
+    *
+    * @param skipGrams (center, context, cnt) — [[walkSkipGrams]]' shape
+    * @return (center, rank, context, ppmi_qn), rank 1 = strongest context */
+  def walkPpmi(skipGrams: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val L = graft.functions.PortableLn
+    val cw = skipGrams.select(col("center"), col("context"), col("cnt"))
+    val cm = cw.groupBy(col("center")).agg(sum(col("cnt")).as("c_cnt"))
+    val wm = cw.groupBy(col("context")).agg(sum(col("cnt")).as("w_cnt"))
+    val n = cw.agg(sum(col("cnt")).as("n_all"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("center"))
+      .orderBy(col("ppmi_qn").desc, col("context"))
+    cw.join(cm, Seq("center")).join(wm, Seq("context"))
+      .crossJoin(broadcast(n))
+      .withColumn("ppmi_qn", floor(
+        (L.wide(col("cnt")) + L.wide(col("n_all"))
+          - L.wide(col("c_cnt")) - L.wide(col("w_cnt")))
+          * lit(1.0e9) + lit(0.5e0)).cast("long"))
+      .where(col("ppmi_qn") > 0L)
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("center"), col("rank"), col("context"), col("ppmi_qn"))
+  }
+
+  /** DuckDB twin of [[walkPpmi]] over a prior `sg(center, context, cnt)`
+    * CTE ([[walkSkipGramsSql]]'s terminal): same marginals, same
+    * four-term portable-ln sum in the same IEEE evaluation order, same
+    * single quantization, same rank order. Terminal CTE `ppk`. `sg` is
+    * re-materialized here (4 consumers — DuckDB inlines plain CTEs per
+    * reference). */
+  def walkPpmiSql(k: Int): String = {
+    val P = graft.functions.PortableMath
+    s"""sgm AS MATERIALIZED (
+       |  SELECT center, context, cnt FROM sg
+       |), ppcm AS MATERIALIZED (
+       |  SELECT center, CAST(sum(cnt) AS BIGINT) AS c_cnt FROM sgm GROUP BY center
+       |), ppwm AS MATERIALIZED (
+       |  SELECT context, CAST(sum(cnt) AS BIGINT) AS w_cnt FROM sgm GROUP BY context
+       |), ppn AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM sgm
+       |), pp1 AS (
+       |  SELECT s.center, s.context,
+       |    ${P.mWideSql("s.cnt")} AS mcw, ${P.biasWideSql("s.cnt")} AS bcw,
+       |    ${P.mWideSql("n_all")} AS mn, ${P.biasWideSql("n_all")} AS bn,
+       |    ${P.mWideSql("c_cnt")} AS mc, ${P.biasWideSql("c_cnt")} AS bc,
+       |    ${P.mWideSql("w_cnt")} AS mw, ${P.biasWideSql("w_cnt")} AS bw
+       |  FROM sgm s JOIN ppcm USING (center) JOIN ppwm USING (context)
+       |  CROSS JOIN ppn
+       |), pp2 AS (
+       |  SELECT center, context, ${P.zSql("mcw")} AS zcw, bcw,
+       |    ${P.zSql("mn")} AS zn, bn, ${P.zSql("mc")} AS zc, bc,
+       |    ${P.zSql("mw")} AS zw, bw
+       |  FROM pp1
+       |), pp3 AS (
+       |  SELECT center, context, zcw, (zcw * zcw) AS zzcw, bcw,
+       |    zn, (zn * zn) AS zzn, bn, zc, (zc * zc) AS zzc, bc,
+       |    zw, (zw * zw) AS zzw, bw
+       |  FROM pp2
+       |), ppq AS MATERIALIZED (
+       |  SELECT center, context,
+       |    CAST(floor((${P.lnFromPartsSql("zcw", "zzcw", "bcw")}
+       |      + ${P.lnFromPartsSql("zn", "zzn", "bn")}
+       |      - ${P.lnFromPartsSql("zc", "zzc", "bc")}
+       |      - ${P.lnFromPartsSql("zw", "zzw", "bw")}) * 1.0E9 + 0.5E0) AS BIGINT)
+       |      AS ppmi_qn
+       |  FROM pp3
+       |), ppr AS (
+       |  SELECT center, CAST(row_number() OVER (PARTITION BY center
+       |      ORDER BY ppmi_qn DESC, context) AS BIGINT) AS rank,
+       |    context, ppmi_qn
+       |  FROM ppq WHERE ppmi_qn > 0
+       |), ppk AS (
+       |  SELECT center, rank, context, ppmi_qn FROM ppr WHERE rank <= $k
+       |)""".stripMargin
+  }
+
   /** From-scratch per-node UNDIRECTED degrees of a canonical pair set
     * `(a, b)` — the recompute side of the IVM identity below. One
     * explode + one keyed aggregation; (long, long) exchanges. */
@@ -1267,8 +1367,12 @@ object Graph {
     val ins = net.where(col("s") === 1L).select(col("u"), col("v"))
     val del = net.where(col("s") === -1L).select(col("u"), col("v"))
     val pre = prevPairs.select(col("u"), col("v"))
+    // post stays LAZY: trianglesThrough consumes it twice (both
+    // adjacency probes), but two scans of the pair set beat an eager
+    // localCheckpoint, which would WRITE the full edge set per daily
+    // batch — the one cost the fold exists to avoid. The anti-join's
+    // del side is batch-sized (broadcast), so each scan is one pass.
     val post = pre.join(del, Seq("u", "v"), "left_anti").unionAll(ins)
-      .localCheckpoint()
     val created = trianglesThrough(post, ins)
     val destroyed = trianglesThrough(pre, del)
     created.select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"),

@@ -868,6 +868,29 @@ object Analytics extends QueryModule {
               |${graft.ops.Graph.walkSkipGramsSql(2)}
               |SELECT center, context, cnt FROM sg ORDER BY center, context""".stripMargin)),
 
+    // PPMI features over the SAME gated skip-gram corpus (the Levy-
+    // Goldberg trainer-free endpoint of the DeepWalk pipeline): exact
+    // integer nano-nat scores via the four-term wide portable-ln sum
+    // quantized once, positives only, top-3 contexts per center by the
+    // (ppmi_qn desc, context) total order. The oracle replays walks,
+    // pairing, marginals, every ln stage, the quantization, and the
+    // rank cut — the whole three-stage pipeline is hash-gated end to
+    // end; the rank filter's WindowGroupLimit pushdown is PlanSpec's pin.
+    "graph_ppmi" -> QueryDef(
+      (s, d) => {
+        val edges = partGraph(s, d)
+        graft.ops.Graph.walkPpmi(
+            graft.ops.Graph.walkSkipGrams(
+              graft.ops.Graph.randomWalks(edges, walksPerNode = 2, len = 4,
+                salt = "walk"), window = 2), k = 3)
+          .orderBy(col("center"), col("rank"))
+      },
+      Some(s"""WITH $PartGraphPairSql, ${graft.ops.Graph.randomWalksSql(2, 4, "walk")},
+              |${graft.ops.Graph.walkSkipGramsSql(2)},
+              |${graft.ops.Graph.walkPpmiSql(3)}
+              |SELECT center, rank, context, ppmi_qn FROM ppk
+              |ORDER BY center, rank""".stripMargin)),
+
     // node2vec-biased walks over the same part graph: hop ≥ 2 weighs
     // return/common/other moves 4:2:1 (p ≈ 1/4, q ≈ 2 in node2vec
     // terms) via deterministic integer-threshold rejection sampling on

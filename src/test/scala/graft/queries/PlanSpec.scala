@@ -643,6 +643,15 @@ class PlanSpec extends SparkSpec {
       "keyword exchanges carry (id, term, counts) rows, never documents:\n" + p)
   }
 
+  test("graph_ppmi: rank filter gets WindowGroupLimit") {
+    val df = Registry.all("graph_ppmi").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k contexts per center must push to a per-partition group limit:\n" + p)
+  }
+
   test("sketch_heavy_hitters: the CMS candidate filter runs BEFORE the keyed exchange") {
     val df = Registry.all("sketch_heavy_hitters").build(spark, sf)
     df.collect()
