@@ -376,6 +376,86 @@ object Graph {
        |), $steps""".stripMargin
   }
 
+  /** Newman MODULARITY readout per community — the quality number a
+    * community operator ([[labelPropagation]]) emits labels without:
+    * how much denser each community is than a degree-preserving random
+    * rewiring. Exact-integer form so no float ever crosses engines:
+    *
+    *   q_num(c) = 2m·in_c − tot_c²      (Q = Σ_c q_num(c) / (2m)²)
+    *
+    * with in_c = 2·(intra-community edges), tot_c = Σ degrees in c,
+    * 2m = Σ all degrees — Newman's Q·(2m)², community by community.
+    * Cost: one pair-label equi-join (both endpoints) + two keyed
+    * aggregations over (long, long) rows; 2m rides along as a one-row
+    * broadcast. Communities with zero internal edges surface with
+    * in_c = 0 (left join), so the readout is total over communities.
+    *
+    * Long-range guard: tot_c² ≤ (2m)² needs 2m ≤ floor(√(2⁶³−1)) ≈
+    * 3.04·10⁹ — beyond that (a ~1.5-billion-edge graph) the per-row
+    * guard fails LOUDLY in the scan stage instead of silently wrapping;
+    * shard by component or widen to decimals past it.
+    *
+    * @param edges  (src, dst) — direction/duplicates/self-loops normalize
+    * @param labels (node, lbl) — [[labelPropagation]]'s shape
+    * @return (community, n_nodes, internal_x2, deg_total, q_num) */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val lbl = labels.select(col("node"), col("lbl"))
+    val deg = pairDegrees(und)
+    val twoM = deg.agg(sum(col("deg")).as("two_m"))
+    val ein = und
+      .join(lbl.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lbl.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg((count(lit(1)) * 2L).as("internal_x2"))
+    val tot = lbl.join(deg, Seq("node"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_total"))
+    val guardedTwoM = when(col("two_m") > 3037000499L, raise_error(concat(
+        lit("modularity: 2m = "), col("two_m").cast("string"),
+        lit(" overflows the exact-integer q_num range (2m <= 3037000499)" +
+          " - shard by component or widen to decimals"))).cast("long"))
+      .otherwise(col("two_m"))
+    tot.join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(twoM))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_x2"), lit(0L)).as("internal_x2"),
+        col("deg_total"),
+        (guardedTwoM * coalesce(col("internal_x2"), lit(0L))
+          - col("deg_total") * col("deg_total")).as("q_num"))
+  }
+
+  /** DuckDB twin of [[modularity]] over a canonical pair CTE `p(a, b)`
+    * and a label relation `labelRel(node, lbl)`: same degrees, same
+    * both-endpoint label join, same exact-integer q_num. Terminal CTE
+    * `modq`. */
+  def modularitySqlOn(labelRel: String): String =
+    s"""mdeg AS MATERIALIZED (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM p UNION ALL SELECT b FROM p) GROUP BY node
+       |), m2x AS (
+       |  SELECT CAST(sum(deg) AS BIGINT) AS two_m FROM mdeg
+       |), mlab AS MATERIALIZED (
+       |  SELECT node, lbl FROM $labelRel
+       |), mein AS MATERIALIZED (
+       |  SELECT la.lbl AS community, CAST(2 * count(*) AS BIGINT) AS internal_x2
+       |  FROM p JOIN mlab la ON la.node = p.a JOIN mlab lb ON lb.node = p.b
+       |  WHERE la.lbl = lb.lbl GROUP BY la.lbl
+       |), mtot AS MATERIALIZED (
+       |  SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.deg) AS BIGINT) AS deg_total
+       |  FROM mlab l JOIN mdeg d ON d.node = l.node GROUP BY l.lbl
+       |), modq AS (
+       |  SELECT t.community, t.n_nodes,
+       |    COALESCE(e.internal_x2, 0) AS internal_x2, t.deg_total,
+       |    two_m * COALESCE(e.internal_x2, 0) - t.deg_total * t.deg_total
+       |      AS q_num
+       |  FROM mtot t LEFT JOIN mein e USING (community) CROSS JOIN m2x
+       |)""".stripMargin
+
   /** k-CORE decomposition (the classic degeneracy peel — graph-quality
     * curation: the k-core is the maximal subgraph where every node keeps
     * ≥ k neighbors, the standard spam/bot/fringe filter on interaction

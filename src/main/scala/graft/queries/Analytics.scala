@@ -710,6 +710,33 @@ object Analytics extends QueryModule {
               |), ${graft.ops.Graph.labelPropagationSql(3)}
               |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin)),
 
+    // Newman modularity per community over graph_label_prop's EXACT
+    // label frame (the oracle re-derives all 3 synchronous rounds, then
+    // the q_num = 2m·in_c − tot_c² exact-integer readout) — the quality
+    // number that tells a curation pipeline whether the communities are
+    // real structure or degree noise, with no float crossing engines.
+    "graph_modularity" -> QueryDef(
+      (s, d) => {
+        val rel = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        val edges = graft.ops.Graph.bipartiteEdges(
+          rel, "o_custkey", "l_suppkey", 10000000L)
+        graft.ops.Graph.modularity(edges,
+            graft.ops.Graph.labelPropagation(edges, rounds = 3))
+          .orderBy(col("community"))
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+              |    10000000 + CAST(l_suppkey AS BIGINT) AS b
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |), e AS MATERIALIZED (
+              |  SELECT a AS src, b AS dst FROM p
+              |  UNION ALL SELECT b AS src, a AS dst FROM p
+              |), ${graft.ops.Graph.labelPropagationSql(3)},
+              |${graft.ops.Graph.modularitySqlOn("l3")}
+              |SELECT community, n_nodes, internal_x2, deg_total, q_num
+              |FROM modq ORDER BY community""".stripMargin)),
+
     // k-core decomposition over the adjacent-lineitem part graph (the
     // graph-curation peel): k=18 cascades for ~6 rounds at sf0.01
     // (2000 → 1853 nodes) — a real multi-round fixpoint, not a one-shot

@@ -562,6 +562,40 @@ class GraphSpec extends SparkSpec {
     assert(composed(5L) === ((1L, 0L, 0L)))
   }
 
+  test("modularity: two K4s hand-computed; bridge edge and zero-internal community") {
+    // two disjoint K4 cliques, perfectly labeled: m = 12, 2m = 24; each
+    // community has in_c = 2·6 = 12, tot_c = 12, so q_num = 24·12 − 12²
+    // = 144 per community and Q = (144+144)/24² = 0.5 — the textbook
+    // value for a two-clique partition
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = k4a.map { case (u, v) => (u + 10L, v + 10L) }
+    val edges = (k4a ++ k4b).toDF("src", "dst")
+    val labels = ((1L to 4L).map((_, 1L)) ++ (11L to 14L).map((_, 2L)))
+      .toDF("node", "lbl")
+    val q = Graph.modularity(edges, labels).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(q === Map(1L -> ((4L, 12L, 12L, 144L)), 2L -> ((4L, 12L, 12L, 144L))))
+
+    // a cross-community bridge edge: 2m = 26, community tot rises by 1
+    // on each side, in_c unchanged — q_num = 26·12 − 13² = 143
+    val bridged = (k4a ++ k4b :+ (4L, 11L)).toDF("src", "dst")
+    val qb = Graph.modularity(bridged, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(qb === Map(1L -> 143L, 2L -> 143L))
+
+    // a community with ZERO internal edges (each node labeled alone on
+    // one K4) still surfaces, with q_num = −tot² — the random-graph
+    // penalty with no density to offset it
+    val loners = ((1L to 4L).map(n => (n, n)) ++ (11L to 14L).map((_, 20L)))
+      .toDF("node", "lbl")
+    val ql = Graph.modularity(edges, loners).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(4)))).toMap
+    assert(ql(1L) === ((0L, -9L)) && ql(4L) === ((0L, -9L)),
+      s"loner communities must surface with internal_x2 = 0: $ql")
+    assert(ql(20L) === ((12L, 24L * 12L - 144L)))
+  }
+
   test("node2vecWalksSql: well-formed at len = 1 and mirrors the operator's domain") {
     // len = 1 unrolls ZERO biased hops — the chain must still parse (the
     // 0-iteration SQL well-formedness class): no dangling comma between
