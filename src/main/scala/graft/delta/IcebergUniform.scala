@@ -1,0 +1,504 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+/** UniForm-style ICEBERG METADATA MIRROR for a graft Delta table —
+  * delta-spark's "Universal Format" idea (Delta remains the source of
+  * truth; Iceberg snapshot/manifest metadata is written alongside the
+  * `_delta_log` so Iceberg-reader engines can see the SAME parquet files
+  * without a copy). At 100 TB, cross-engine interop without rewriting
+  * the data is the entire point: the data files are shared, only
+  * kilobytes of metadata are mirrored.
+  *
+  * [[sync]] materializes one Iceberg v2 snapshot describing the CURRENT
+  * Delta snapshot's live file set:
+  *
+  *  - `metadata/vN.metadata.json` — table metadata (schema with
+  *    assigned field-ids, identity partition spec, snapshot list,
+  *    snapshot-log/metadata-log) per the Iceberg table-spec layout;
+  *  - `metadata/snap-<id>-<uuid>.avro` — the manifest list (one
+  *    `manifest_file` entry);
+  *  - `metadata/<uuid>-m0.avro` — one manifest holding every live data
+  *    file as a `manifest_entry` (full-state snapshot per sync: the
+  *    summary operation is honestly "overwrite" — incremental manifest
+  *    reuse is an optimization, not a correctness requirement, and a
+  *    full manifest of N files is N small records, not N data files);
+  *  - `metadata/version-hint.text` — the HadoopTables current-version
+  *    pointer.
+  *
+  * Mapping choices (documented contract):
+  *  - Iceberg snapshot-id = sequence-number = the DELTA VERSION — both
+  *    monotone because Delta versions are; syncing twice at one Delta
+  *    version is a no-op (idempotent, returns the existing file).
+  *  - Field-ids assign depth-first over the Delta schema, 1-based —
+  *    stable for an unchanged schema; a changed schema gets a fresh
+  *    schema-id (last-column-id grows monotonically across syncs).
+  *  - Tables with ACTIVE DELETION VECTORS refuse loudly: Iceberg
+  *    readers cannot apply Delta DVs, so mirroring such a snapshot
+  *    would resurrect deleted rows in the other engine. (delta-spark's
+  *    UniForm blocks the same combination.) Purge DVs (OPTIMIZE /
+  *    rewrite) before syncing.
+  *  - Column-mapped tables refuse: partition directories carry PHYSICAL
+  *    names there, and this mirror intentionally exports logical names.
+  *  - Partition columns must be int/long/string/date typed (identity
+  *    transform); Delta's string-encoded partitionValues convert to the
+  *    typed Iceberg partition struct.
+  *
+  * VERIFICATION SCOPE: no Iceberg reader engine exists in this sandbox
+  * (zero egress, no iceberg jars), so conformance is pinned
+  * STRUCTURALLY by IcebergUniformSpec — the snapshot chain, manifest
+  * list, and manifest entries round-trip through the avro/JSON layers
+  * and list exactly the live files through append / DELETE / OPTIMIZE
+  * lifecycles — and CANNOT be end-to-end verified against an external
+  * reader here. Reference shapes: the Apache Iceberg table spec
+  * (format v2) and delta-io/delta's IcebergConversionTransaction. */
+object IcebergUniform {
+
+  private val M = Actions.mapper // shared Jackson (same JSON discipline)
+
+  /** Write (or advance) the Iceberg metadata mirror for `table`'s
+    * current snapshot. Returns the absolute path of the current
+    * `vN.metadata.json` (existing one when already in sync). */
+  def sync(table: DeltaTable): String = {
+    val snap = table.snapshot
+    require(snap.version >= 0, s"no table at ${table.path}")
+    val meta = snap.metadata.getOrElse(
+      throw new IllegalStateException("snapshot carries no metadata"))
+    require(snap.files.forall(_.deletionVector.isEmpty),
+      "IcebergUniform.sync: table has active deletion vectors - an " +
+        "Iceberg reader cannot apply them and would resurrect deleted " +
+        "rows; purge DVs (OPTIMIZE/rewrite) before syncing")
+    require(!meta.configuration.get("delta.columnMapping.mode")
+        .exists(m => m != "none"),
+      "IcebergUniform.sync: column-mapped tables are not mirrored " +
+        "(partition dirs carry physical names; this export is logical)")
+
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(table.path)
+    val fs = root.getFileSystem(conf)
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+
+    val hint = new Path(metaDir, "version-hint.text")
+    val prior: Option[ObjectNode] =
+      if (!fs.exists(hint)) None
+      else {
+        val n = readString(fs, hint).trim.toLong
+        val p = new Path(metaDir, s"v$n.metadata.json")
+        if (fs.exists(p)) Some(M.readTree(readString(fs, p)).asInstanceOf[ObjectNode])
+        else None
+      }
+    // idempotency: the mirror is already at this Delta version
+    prior.filter(p => p.path("current-snapshot-id").asLong(-1L) == snap.version)
+      .foreach { p =>
+        return new Path(metaDir,
+          s"v${p.path("__graft-metadata-version").asLong(1L)}.metadata.json")
+          .toString
+      }
+
+    val schema = snap.schema.getOrElse(new StructType())
+    val startId = prior.map(_.path("last-column-id").asInt(0)).getOrElse(0)
+    val (schemaNode, lastColumnId, topIds) = icebergSchema(schema,
+      prior, startId)
+    val schemaId = schemaNode.path("schema-id").asInt()
+    val nowMs = System.currentTimeMillis()
+    val uuid = prior.map(_.path("table-uuid").asText())
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val mdVersion = prior.map(_.path("__graft-metadata-version").asLong(0L) + 1L)
+      .getOrElse(1L)
+
+    // ---- manifest (one, all live files) + manifest list ----
+    val partCols = meta.partitionColumns
+    val partTypes = partCols.map { c =>
+      val f = schema(c)
+      f.dataType match {
+        case IntegerType | DateType | LongType | StringType => f.dataType
+        case t => throw new IllegalArgumentException(
+          s"IcebergUniform.sync: partition column $c has type ${t.sql} - " +
+            "only int/long/string/date identity partitions are mirrored")
+      }
+    }
+    val manifestUuid = java.util.UUID.randomUUID().toString
+    val manifestPath = new Path(metaDir, s"$manifestUuid-m0.avro")
+    val (addedRows, manifestLen) =
+      writeManifest(fs, manifestPath, snap, partCols, partTypes, root)
+    val listPath = new Path(metaDir, s"snap-${snap.version}-$manifestUuid.avro")
+    writeManifestList(fs, listPath, manifestPath, manifestLen, snap.version,
+      snap.files.size, addedRows)
+
+    // ---- metadata.json ----
+    val out = M.createObjectNode()
+    out.put("format-version", 2)
+    out.put("table-uuid", uuid)
+    out.put("location", root.toString)
+    out.put("last-sequence-number", snap.version)
+    out.put("last-updated-ms", nowMs)
+    out.put("last-column-id", lastColumnId)
+    out.put("current-schema-id", schemaId)
+    val schemas = out.putArray("schemas")
+    prior.map(_.path("schemas")).collect { case a: ArrayNode =>
+      a.forEach(s => if (s.path("schema-id").asInt() != schemaId)
+        schemas.add(s))
+    }
+    schemas.add(schemaNode)
+    out.put("default-spec-id", 0)
+    val specs = out.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 0)
+    val specFields = spec.putArray("fields")
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      val f = specFields.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", topIds(c))
+      f.put("field-id", 1000 + i)
+    }
+    out.put("last-partition-id", 1000 + math.max(partCols.size - 1, 0))
+    out.put("default-sort-order-id", 0)
+    val orders = out.putArray("sort-orders")
+    val order0 = orders.addObject()
+    order0.put("order-id", 0)
+    order0.putArray("fields")
+    out.putObject("properties")
+      .put("write.parquet.compression-codec",
+        meta.configuration.getOrElse("delta.parquet.compression.codec", "snappy"))
+    out.put("current-snapshot-id", snap.version)
+    val refs = out.putObject("refs")
+    val main = refs.putObject("main")
+    main.put("snapshot-id", snap.version)
+    main.put("type", "branch")
+    val snapshots = out.putArray("snapshots")
+    prior.map(_.path("snapshots")).collect { case a: ArrayNode =>
+      a.forEach(n => snapshots.add(n): Unit)
+    }
+    val sn = snapshots.addObject()
+    sn.put("snapshot-id", snap.version)
+    sn.put("sequence-number", snap.version)
+    sn.put("timestamp-ms", nowMs)
+    sn.putObject("summary").put("operation", "overwrite")
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", schemaId)
+    val snapLog = out.putArray("snapshot-log")
+    prior.map(_.path("snapshot-log")).collect { case a: ArrayNode =>
+      a.forEach(n => snapLog.add(n): Unit)
+    }
+    val sl = snapLog.addObject()
+    sl.put("timestamp-ms", nowMs)
+    sl.put("snapshot-id", snap.version)
+    val mdLog = out.putArray("metadata-log")
+    prior.foreach { p =>
+      p.path("metadata-log") match {
+        case a: ArrayNode => a.forEach(n => mdLog.add(n): Unit)
+        case _ =>
+      }
+      val e = mdLog.addObject()
+      e.put("timestamp-ms", p.path("last-updated-ms").asLong())
+      e.put("metadata-file", new Path(metaDir,
+        s"v${p.path("__graft-metadata-version").asLong()}.metadata.json").toString)
+    }
+    // mirror-private field (double-underscore namespaced; Iceberg readers
+    // ignore unknown fields): lets the NEXT sync find/carry state
+    out.put("__graft-metadata-version", mdVersion)
+
+    val mdPath = new Path(metaDir, s"v$mdVersion.metadata.json")
+    writeString(fs, mdPath, M.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(out))
+    writeString(fs, hint, mdVersion.toString)
+    mdPath.toString
+  }
+
+  // ---- schema conversion -------------------------------------------------
+
+  /** Delta/Spark schema → Iceberg schema JSON with depth-first 1-based
+    * field-ids. Returns (schemaNode, lastColumnId, topLevelName→id).
+    * An unchanged schema (same JSON as the prior current schema) reuses
+    * the prior schema-id and ids; a changed one assigns fresh ids above
+    * the prior last-column-id and bumps schema-id. */
+  private def icebergSchema(schema: StructType, prior: Option[ObjectNode],
+                            priorLastId: Int): (ObjectNode, Int, Map[String, Int]) = {
+    var nextId = priorLastId
+    def alloc(): Int = { nextId += 1; nextId }
+    def typeNode(dt: DataType): Object = dt match {
+      case ByteType | ShortType | IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case BooleanType => "boolean"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case s: StructType =>
+        val n = M.createObjectNode()
+        n.put("type", "struct")
+        val fs = n.putArray("fields")
+        s.fields.foreach { f =>
+          val fn = fs.addObject()
+          fn.put("id", alloc())
+          fn.put("name", f.name)
+          fn.put("required", !f.nullable)
+          fn.set[ObjectNode]("type", toJson(typeNode(f.dataType))): Unit
+        }
+        n
+      case a: ArrayType =>
+        val n = M.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", alloc())
+        n.set[ObjectNode]("element", toJson(typeNode(a.elementType)))
+        n.put("element-required", !a.containsNull)
+        n
+      case m: MapType =>
+        val n = M.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", alloc())
+        n.set[ObjectNode]("key", toJson(typeNode(m.keyType)))
+        n.put("value-id", alloc())
+        n.set[ObjectNode]("value", toJson(typeNode(m.valueType)))
+        n.put("value-required", !m.valueContainsNull)
+        n
+      case other => throw new IllegalArgumentException(
+        s"IcebergUniform: unmappable type ${other.sql}")
+    }
+    def build(schemaId: Int): ObjectNode = {
+      val n = M.createObjectNode()
+      n.put("type", "struct")
+      n.put("schema-id", schemaId)
+      val fs = n.putArray("fields")
+      schema.fields.foreach { f =>
+        val fn = fs.addObject()
+        fn.put("id", alloc())
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        fn.set[ObjectNode]("type", toJson(typeNode(f.dataType))): Unit
+      }
+      n
+    }
+    val priorSchema: Option[ObjectNode] = prior.flatMap { p =>
+      val sid = p.path("current-schema-id").asInt(-1)
+      var found: Option[ObjectNode] = None
+      p.path("schemas") match {
+        case a: ArrayNode => a.forEach { s =>
+          if (s.path("schema-id").asInt() == sid)
+            found = Some(s.asInstanceOf[ObjectNode])
+        }
+        case _ =>
+      }
+      found
+    }
+    // same field layout as the prior current schema → reuse it verbatim
+    // (ids must stay stable across syncs for an unchanged schema)
+    val candidateId = priorSchema.map(_.path("schema-id").asInt() + 1).getOrElse(0)
+    val fresh = build(candidateId)
+    val node = priorSchema match {
+      case Some(p) if sameFields(p, fresh) => nextId = priorLastId; p
+      case _ => fresh
+    }
+    val tops = {
+      var m = Map.empty[String, Int]
+      node.path("fields").forEach(f =>
+        m += f.path("name").asText() -> f.path("id").asInt())
+      m
+    }
+    (node, math.max(nextId, priorLastId), tops)
+  }
+
+  /** Field-layout equality ignoring schema-id. */
+  private def sameFields(a: ObjectNode, b: ObjectNode): Boolean =
+    a.path("fields") == b.path("fields")
+
+  private def toJson(t: Object): com.fasterxml.jackson.databind.JsonNode =
+    t match {
+      case s: String => M.getNodeFactory.textNode(s)
+      case n: com.fasterxml.jackson.databind.JsonNode => n
+      case other => throw new IllegalStateException(s"bad type node: $other")
+    }
+
+  // ---- avro layers ---------------------------------------------------------
+
+  private def partitionAvroSchema(partCols: Seq[String],
+                                  partTypes: Seq[DataType]): AvroSchema = {
+    val fields = partCols.zip(partTypes).map { case (c, t) =>
+      val base = t match {
+        case IntegerType | DateType => "\"int\""
+        case LongType => "\"long\""
+        case _ => "\"string\""
+      }
+      s"""{"name":${M.writeValueAsString(c)},"type":["null",$base],"default":null}"""
+    }.mkString(",")
+    new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"r102","fields":[$fields]}""")
+  }
+
+  /** Write the single manifest file; returns (total rows, file length). */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            path: Path, snap: Snapshot,
+                            partCols: Seq[String], partTypes: Seq[DataType],
+                            root: Path): (Long, Long) = {
+    val partSchema = partitionAvroSchema(partCols, partTypes)
+    val dataFile = new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"data_file","fields":[
+         |  {"name":"content","type":"int","field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","type":${partSchema.toString},"field-id":102},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]}""".stripMargin)
+    val entry = new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |  {"name":"status","type":"int","field-id":0},
+         |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |  {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |  {"name":"data_file","type":${dataFile.toString},"field-id":2}
+         |]}""".stripMargin)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entry))
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "data")
+    w.setMeta("partition-spec-id", "0")
+    val os = fs.create(path, true)
+    w.create(entry, os)
+    var rows = 0L
+    snap.files.foreach { a =>
+      val rec = new GenericData.Record(entry)
+      rec.put("status", 1) // ADDED (full-state overwrite snapshot)
+      rec.put("snapshot_id", java.lang.Long.valueOf(snap.version))
+      rec.put("sequence_number", java.lang.Long.valueOf(snap.version))
+      rec.put("file_sequence_number", java.lang.Long.valueOf(snap.version))
+      val df = new GenericData.Record(dataFile)
+      df.put("content", 0)
+      val abs = new Path(a.path)
+      df.put("file_path",
+        (if (abs.isAbsolute) abs else new Path(root, a.path)).toString)
+      df.put("file_format", "PARQUET")
+      val part = new GenericData.Record(partSchema)
+      partCols.zip(partTypes).foreach { case (c, t) =>
+        val v = a.partitionValues.get(c).orNull
+        part.put(c, if (v == null) null else t match {
+          case IntegerType => java.lang.Integer.valueOf(v)
+          case DateType => java.lang.Integer.valueOf(
+            java.time.LocalDate.parse(v).toEpochDay.toInt)
+          case LongType => java.lang.Long.valueOf(v)
+          case _ => v
+        })
+      }
+      df.put("partition", part)
+      val n = a.stats.map(s =>
+        Actions.mapper.readTree(s).path("numRecords").asLong(0L)).getOrElse(0L)
+      rows += n
+      df.put("record_count", java.lang.Long.valueOf(n))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(a.size))
+      rec.put("data_file", df)
+      w.append(rec)
+    }
+    w.close()
+    (rows, fs.getFileStatus(path).getLen)
+  }
+
+  private def writeManifestList(fs: org.apache.hadoop.fs.FileSystem,
+                                path: Path, manifest: Path, manifestLen: Long,
+                                snapshotId: Long, nFiles: Int,
+                                nRows: Long): Unit = {
+    val s = new AvroSchema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string","field-id":500},
+        |  {"name":"manifest_length","type":"long","field-id":501},
+        |  {"name":"partition_spec_id","type":"int","field-id":502},
+        |  {"name":"content","type":"int","field-id":517},
+        |  {"name":"sequence_number","type":"long","field-id":515},
+        |  {"name":"min_sequence_number","type":"long","field-id":516},
+        |  {"name":"added_snapshot_id","type":"long","field-id":503},
+        |  {"name":"added_files_count","type":"int","field-id":504},
+        |  {"name":"existing_files_count","type":"int","field-id":505},
+        |  {"name":"deleted_files_count","type":"int","field-id":506},
+        |  {"name":"added_rows_count","type":"long","field-id":512},
+        |  {"name":"existing_rows_count","type":"long","field-id":513},
+        |  {"name":"deleted_rows_count","type":"long","field-id":514}
+        |]}""".stripMargin)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+    w.setMeta("format-version", "2")
+    val os = fs.create(path, true)
+    w.create(s, os)
+    val rec = new GenericData.Record(s)
+    rec.put("manifest_path", manifest.toString)
+    rec.put("manifest_length", java.lang.Long.valueOf(manifestLen))
+    rec.put("partition_spec_id", 0)
+    rec.put("content", 0)
+    rec.put("sequence_number", java.lang.Long.valueOf(snapshotId))
+    rec.put("min_sequence_number", java.lang.Long.valueOf(snapshotId))
+    rec.put("added_snapshot_id", java.lang.Long.valueOf(snapshotId))
+    rec.put("added_files_count", nFiles)
+    rec.put("existing_files_count", 0)
+    rec.put("deleted_files_count", 0)
+    rec.put("added_rows_count", java.lang.Long.valueOf(nRows))
+    rec.put("existing_rows_count", java.lang.Long.valueOf(0L))
+    rec.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+    w.append(rec)
+    w.close()
+  }
+
+  // ---- small fs helpers ----------------------------------------------------
+
+  private def readString(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  private def writeString(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                          s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read back the live file set the CURRENT Iceberg snapshot lists —
+    * the structural-verification entry IcebergUniformSpec drives (walks
+    * version-hint → metadata.json → manifest-list avro → manifest avro,
+    * exactly the chain an Iceberg reader walks). */
+  def currentFiles(table: DeltaTable): Seq[(String, Long, Long)] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(table.path)
+    val fs = root.getFileSystem(conf)
+    val metaDir = new Path(root, "metadata")
+    val n = readString(fs, new Path(metaDir, "version-hint.text")).trim.toLong
+    val md = M.readTree(readString(fs, new Path(metaDir, s"v$n.metadata.json")))
+    val curId = md.path("current-snapshot-id").asLong()
+    var listPath: String = null
+    md.path("snapshots").forEach(s =>
+      if (s.path("snapshot-id").asLong() == curId)
+        listPath = s.path("manifest-list").asText())
+    require(listPath != null, s"current snapshot $curId not in snapshot list")
+    val manifests = readAvro(fs, new Path(listPath))
+      .map(_.get("manifest_path").toString)
+    manifests.flatMap { mp =>
+      readAvro(fs, new Path(mp)).map { e =>
+        val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+        (dfr.get("file_path").toString,
+          dfr.get("record_count").asInstanceOf[Long],
+          dfr.get("file_size_in_bytes").asInstanceOf[Long])
+      }
+    }
+  }
+
+  private def readAvro(fs: org.apache.hadoop.fs.FileSystem,
+                       p: Path): Seq[GenericRecord] = {
+    val local = java.io.File.createTempFile("graft-ice", ".avro")
+    try {
+      fs.copyToLocalFile(false, p, new Path(local.getAbsolutePath), true)
+      val r = new DataFileReader(local,
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val b = Seq.newBuilder[GenericRecord]
+        while (r.hasNext) b += r.next()
+        b.result()
+      } finally r.close()
+    } finally { local.delete(): Unit }
+  }
+}
