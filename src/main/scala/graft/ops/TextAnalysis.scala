@@ -1546,6 +1546,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("score_q"))
   }
 
+  /** Token skip-gram corpus over documents — the text twin of
+    * [[graft.ops.Graph.walkSkipGrams]]: directional (center, context)
+    * token pairs within `window` positions, multiplicity summed over the
+    * corpus. Feeds [[graft.ops.Graph.walkPpmi]] (which is input-agnostic:
+    * marginals + the four-term ln chain work on any (center, context,
+    * cnt) frame) for classic distributional word features.
+    *
+    * Plan shape (100 TB story): pairs are generated IN THE SCAN STAGE by
+    * array lambdas over each doc's token array (per-doc cost n·2w) and
+    * reduced by one aggregation — no positions self-join, so the only
+    * exchange carries the map-side-combined (center, context, cnt)
+    * rows, never documents or position lists.
+    *
+    * @return (center, context, cnt), center/context strings */
+  def tokenSkipGrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, window: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && window <= 16, s"bad window: $window")
+    val t = col("__ts")
+    val n = size(t)
+    val pairs = flatten(transform(sequence(lit(1), n), i =>
+      transform(
+        filter(sequence(greatest(i - window, lit(1)), least(i + window, n)),
+          j => j =!= i),
+        j => struct(element_at(t, i).as("center"),
+          element_at(t, j).as("context")))))
+    df.select(tokens(col(textCol)).as("__ts"))
+      .where(n >= 2)
+      .select(explode(pairs).as("pr"))
+      .select(col("pr.center").as("center"), col("pr.context").as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** DuckDB twin of [[tokenSkipGrams]]: positions via zipped unnests,
+    * pairing as a per-doc position join (correctness, not plan shape, is
+    * the oracle's job). Terminal CTE `sg` — composes with
+    * [[graft.ops.Graph.walkPpmiSql]] exactly like the walk corpus. */
+  def tokenSkipGramsSql(tokensSql: String, window: Int): String =
+    s"""ptoks AS MATERIALIZED (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents
+       |), pex AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ts) AS term,
+       |    unnest(range(1, len(ts) + 1)) AS pos
+       |  FROM ptoks WHERE len(ts) >= 2
+       |), sg AS (
+       |  SELECT a.term AS center, b.term AS context,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pex a JOIN pex b ON a.doc_id = b.doc_id
+       |    AND a.pos <> b.pos AND abs(a.pos - b.pos) <= $window
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   /** DuckDB twin of [[tfidfKeywords]]: same tf/df/N statistics, same
     * portable-ln difference, same quantization, same rank order. */
   def tfidfKeywordsSql(tokensSql: String, k: Int): String = {

@@ -1704,7 +1704,26 @@ object TextQueries extends QueryModule {
       Some(s"""WITH ${graft.ops.TextAnalysis.tfidfKeywordsSql(T, KeywordsK)}
               |SELECT doc_id, rank, term, score_q FROM kw
               |ORDER BY doc_id, rank""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // PPMI word features over TOKEN co-occurrence (window 2) — the same
+    // operator as graph_ppmi (walkPpmi is input-agnostic over (center,
+    // context, cnt)) fed by the text skip-gram corpus instead of the
+    // walk corpus: Levy-Goldberg distributional features straight off
+    // documents, no trainer. Pairs generate in the scan stage (array
+    // lambdas, no positions self-join); the oracle replays pairing,
+    // marginals, the four-term wide-ln sum, quantization, and the
+    // (ppmi_qn desc, context) rank cut.
+    "text_ppmi" -> QueryDef(
+      (s, d) =>
+        graft.ops.Graph.walkPpmi(
+            graft.ops.TextAnalysis.tokenSkipGrams(
+              Tables.documents(s, d), "doc_id", "text", window = 2), k = 3)
+          .orderBy(col("center"), col("rank")),
+      Some(s"""WITH ${graft.ops.TextAnalysis.tokenSkipGramsSql(T, 2)},
+              |${graft.ops.Graph.walkPpmiSql(3)}
+              |SELECT center, rank, context, ppmi_qn FROM ppk
+              |ORDER BY center, rank""".stripMargin))
   )
 
   /** Keywords per doc for text_keywords. */

@@ -151,6 +151,23 @@ object WindowedAggs {
         kmvJaccardQ6(col("com"), col("nu")).as("jaccard_prev_q6"))
   }
 
+  /** [[windowedTheta]] and [[thetaWindowOverlap]] wired through ONE
+    * `windowLen` — the safe entry point for the common shape (sketch a
+    * stream's windows, read churn downstream on the same batch frame, or
+    * on a batch replay of the sink table). Exists because the two-call
+    * form's windowLen coupling fails SILENTLY when mismatched (every
+    * overlap reads 0 — see [[thetaWindowOverlap]]'s contract note); here
+    * the constant cannot diverge. Streaming callers that persist the
+    * sketches and read overlap later should still thread one shared
+    * constant through both calls. */
+  def windowedThetaOverlap(events: DataFrame,
+                           item: org.apache.spark.sql.Column,
+                           windowLen: String, lateness: String,
+                           salt: String, k: Int): DataFrame =
+    thetaWindowOverlap(
+      windowedTheta(events, item, windowLen, lateness, salt, k),
+      windowLen, k)
+
   /** Watermarked windowed FREQUENCY monitoring via the count-min merge
     * law ([[graft.ops.Sketches]]): per-item exact counts over a stream
     * hold one state row per distinct item per open window — unbounded;

@@ -167,4 +167,22 @@ class TextSignalsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
     assert(a === b)
   }
+
+  test("tokenSkipGrams: hand-counted windowed pairs, directional, edge-clamped") {
+    // doc "a b c b": window 2 contexts per position —
+    //   p1 a: b(2) c(3)          p2 b: a(1) c(3) b(4)
+    //   p3 c: a(1) b(2) b(4)     p4 b: b(2) c(3)
+    val docs = Seq((1L, "a b c b"), (2L, "x"), (3L, "  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenSkipGrams(docs, "doc_id", "text", window = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      ("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "a") -> 1L, ("b", "c") -> 2L, ("b", "b") -> 2L,
+      ("c", "a") -> 1L, ("c", "b") -> 2L),
+      s"got $got")
+    // single-token and empty docs emit nothing (no pairs exist)
+    assert(!got.keys.exists(p => p._1 == "x" || p._2 == "x"))
+    // the total is Σ per-position in-window neighbors = 10
+    assert(got.values.sum === 10L)
+  }
 }
