@@ -275,6 +275,22 @@ class StreamingWindowSpec extends SparkSpec {
     assert(rows2 === rows, "replay must reproduce identical sketch rows")
   }
 
+  test("windowedThetaOverlap ≡ the two-call form with one shared windowLen") {
+    import org.apache.spark.sql.functions.col
+    val k = 16
+    val batch = ((1 to 20).map(u => (u.toLong, ts(u % 15))) ++
+      Seq((7L, ts(16)), (8L, ts(17)))).toDF("user_id", "ts")
+    val oneCall = WindowedAggs.windowedThetaOverlap(batch, col("user_id"),
+        "15 minutes", lateness = "10 minutes", salt = "thw", k = k)
+      .orderBy(col("window_start")).collect().map(_.toString).toSeq
+    val twoCall = WindowedAggs.thetaWindowOverlap(
+        WindowedAggs.windowedTheta(batch, col("user_id"),
+          "15 minutes", lateness = "10 minutes", salt = "thw", k = k),
+        "15 minutes", k = k)
+      .orderBy(col("window_start")).collect().map(_.toString).toSeq
+    assert(oneCall === twoCall)
+  }
+
   test("thetaWindowOverlap: a mismatched windowLen silently zeroes every overlap (doc contract)") {
     // The predecessor equi-join probes at window_start − windowLen; a
     // windowLen differing from the one the sketches were built with
