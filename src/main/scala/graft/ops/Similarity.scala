@@ -424,6 +424,59 @@ object Similarity {
   }
 
 
+  /** Per-cell codebook-quality readout — the diagnostics an IVF pipeline
+    * decides `numCentroids` with and detects degenerate cells by (the
+    * [[graft.ops.Graph.modularity]] idea applied to vector clustering:
+    * the assignment operator emits cells, this scores them). Per cell:
+    * member count and the EXACT-INTEGER sum of squared quantized
+    * distances to the centroid,
+    *
+    *   sse_q = Σ_members Σ_dims (q(x_i) − q(c_i))²,  q(x) = ⌊x·2^B + ½⌋
+    *
+    * — order-free long sums, bit-identical across partitionings and
+    * engines (a raw fp inertia is a summation-order lottery). Empty
+    * cells surface with n = 0 (left join from the codebook side): a
+    * cell no vector chose is exactly what the readout exists to catch.
+    *
+    * Plan shape: assignment is the shared [[cellOf]] argmax in the scan
+    * stage; the centroid joins back via ONE broadcast (the codebook is
+    * numCentroids rows); one keyed aggregation — exchanges carry
+    * (cell, d2) longs only, never vectors.
+    *
+    * Overflow headroom at B = 10: |x| ≤ 127 ⇒ per-element diff ≤ 2^18,
+    * squared ≤ 2^36, × 4096 dims ≤ 2^48, × 2^15 rows/cell per partial
+    * still < 2^63 — raise `quantBits` only with narrower values.
+    *
+    * @return (cell, n, sse_q) one row per codebook centroid */
+  def ivfInertia(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 numCentroids: Int, quantBits: Int = 10): DataFrame = {
+    require(numCentroids >= 1, s"bad numCentroids: $numCentroids")
+    require(quantBits >= 1 && quantBits <= 20, s"bad quantBits: $quantBits")
+    val cents = firstNCentroids(corpus, corpusId, corpusVec, numCentroids)
+    val scale = (1L << quantBits).toDouble
+    def q(x: Column): Column =
+      floor(x.cast("double") * scale + 0.5).cast("long")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsDf = cents.toDF("cell", "cv")
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, c) => {
+        val d = q(x) - q(c)
+        d * d
+      }),
+      lit(0L), (acc, e) => acc + e)
+    corpus.select(col(corpusId).as("id"), col(corpusVec).as("v"))
+      .withColumn("cell", cellOf(cents)(col("v")))
+      .join(broadcast(centsDf), Seq("cell"))
+      .select(col("cell"), d2.as("d2"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sse_q"))
+      .join(centsDf.select(col("cell")), Seq("cell"), "right")
+      .select(col("cell"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sse_q"), lit(0L)).as("sse_q"))
+  }
+
   /** The first-N stand-in codebook (corpus rows with id < n) — the ONE
     * definition every IVF variant (top-k, filtered, range) collects its
     * default centroids through, so their candidate universes cannot

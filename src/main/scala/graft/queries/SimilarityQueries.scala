@@ -22,12 +22,11 @@ object SimilarityQueries extends QueryModule {
     * definition for the top-k AND range oracles so the probe/assignment
     * replay cannot drift between them. Ends in `scored(query_id,
     * neighbor_id, cos)`. */
-  private def ivfScoredCtes(candJoin: String = "", candWhere: String = ""): String = {
+  /** The ebase → cents → assigned prefix alone — shared by the scored
+    * chain below AND the sim_inertia readout, so the assignment replay
+    * cannot drift between search and diagnostics. */
+  private val IvfAssignCtes: String = {
     val O = OracleSql
-    // norms precomputed once per row, candidate generation carries ids
-    // only, vectors join back for exactly one dot product per scored
-    // pair — a third of the old SQL's expression count, same doubles
-    // (OracleSql.cosineN's bit-identity note; round-9 driver-OOM lever)
     val assignCos = O.cosineN("b.v", "c.cv", "b.nrm", "c.cnrm", 64)
     s"""WITH ebase AS MATERIALIZED (
        |  SELECT vec_id AS id, embedding AS v, ${O.norm("embedding", 64)} AS nrm FROM embeddings
@@ -39,7 +38,17 @@ object SimilarityQueries extends QueryModule {
        |      row_number() OVER (PARTITION BY b.id ORDER BY $assignCos DESC, c.cid) AS rn
        |    FROM ebase b CROSS JOIN cents c
        |  ) WHERE rn = 1
-       |), probes AS (
+       |)""".stripMargin
+  }
+
+  private def ivfScoredCtes(candJoin: String = "", candWhere: String = ""): String = {
+    val O = OracleSql
+    // norms precomputed once per row, candidate generation carries ids
+    // only, vectors join back for exactly one dot product per scored
+    // pair — a third of the old SQL's expression count, same doubles
+    // (OracleSql.cosineN's bit-identity note; round-9 driver-OOM lever)
+    val assignCos = O.cosineN("b.v", "c.cv", "b.nrm", "c.cnrm", 64)
+    s"""$IvfAssignCtes, probes AS (
        |  SELECT id AS query_id, cell FROM (
        |    SELECT b.id, c.cid AS cell,
        |      row_number() OVER (PARTITION BY b.id ORDER BY $assignCos DESC, c.cid) AS rn
@@ -308,6 +317,38 @@ object SimilarityQueries extends QueryModule {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(IvfOracleSql)),
+
+    // Codebook-quality diagnostics over the SAME assignment chain as
+    // sim_topk_ivf (shared IvfAssignCtes — search and diagnostics cannot
+    // drift): per cell, member count + exact-integer quantized SSE to
+    // the centroid (order-free long sums; a raw fp inertia is a
+    // summation-order lottery). Empty cells surface with n = 0 — the
+    // degenerate-codebook signal this readout exists for.
+    "sim_inertia" -> QueryDef(
+      (s, d) =>
+        Similarity.ivfInertia(Tables.embeddings(s, d), "vec_id", "embedding",
+            numCentroids = 16, quantBits = 10)
+          .orderBy(col("cell")),
+      Some {
+        def q(e: String) =
+          s"CAST(floor(CAST($e AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)"
+        val d2 = s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+          s"(${q("b.v[i]")} - ${q("c.cv[i]")}) * " +
+          s"(${q("b.v[i]")} - ${q("c.cv[i]")}))) AS BIGINT)"
+        s"""$IvfAssignCtes, ivq AS (
+           |  SELECT a.cell, $d2 AS d2
+           |  FROM assigned a JOIN ebase b ON b.id = a.id
+           |    JOIN cents c ON c.cid = a.cell
+           |), ivagg AS (
+           |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(d2) AS BIGINT) AS sse_q
+           |  FROM ivq GROUP BY cell
+           |)
+           |SELECT c.cid AS cell, COALESCE(g.n, 0) AS n,
+           |  COALESCE(g.sse_q, 0) AS sse_q
+           |FROM cents c LEFT JOIN ivagg g ON g.cell = c.cid
+           |ORDER BY cell""".stripMargin
+      }),
 
     // FILTERED ANN (the RAG retrieval shape: nearest neighbors WHERE
     // <metadata predicate>): same codebook/cells/probes as sim_topk_ivf,
