@@ -334,6 +334,61 @@ object StreamingQueries extends QueryModule {
            |FROM c4 ORDER BY window_start""".stripMargin
       }),
 
+    // Windowed EMBEDDING-CENTROID drift (the vector twin of
+    // stream_windowed_theta's membership churn): each event carries the
+    // embedding keyed by event_id % 500 (a broadcast of the 500-row
+    // vector table — the oracle replays the same join), the stateful op
+    // keeps dims+1 exact-integer sums per open window, and the readout
+    // is the consecutive-window centroid cosine as drift micro-units.
+    // The oracle re-derives every per-dimension quantized sum, the
+    // 64-term dots in the same IEEE order, and the q6 floor; the full
+    // sum vector is hash-gated via sums_joined.
+    "stream_windowed_drift" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("ts"), col("event_id"))
+          .join(broadcast(Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding"))),
+            (col("event_id") % 500) === col("vec_id"))
+        graft.streaming.WindowedAggs.vecDriftOverlap(
+            graft.streaming.WindowedAggs.windowedVecSums(
+              ev, col("embedding"), dims = 64, "15 minutes",
+              lateness = "10 minutes"),
+            "15 minutes", dims = 64)
+          .orderBy(col("window_start"))
+      },
+      Some {
+        val O = OracleSql
+        val scale = (1L << 20).toDouble
+        s"""WITH dev AS MATERIALIZED (
+           |  SELECT time_bucket(INTERVAL '15 minutes', e.ts) AS w, m.embedding AS v
+           |  FROM events e JOIN embeddings m ON m.vec_id = e.event_id % 500),
+           |dwn AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM dev GROUP BY w),
+           |dqx AS (
+           |  SELECT w, unnest(range(1, 65)) AS pos,
+           |    unnest(list_transform(range(1, 65), i ->
+           |      CAST(floor(CAST(v[i] AS DOUBLE) * $scale + 0.5) AS BIGINT))) AS qv
+           |  FROM dev),
+           |dps AS (SELECT w, pos, CAST(sum(qv) AS BIGINT) AS s FROM dqx GROUP BY w, pos),
+           |dws AS MATERIALIZED (
+           |  SELECT dps.w, dwn.n, list(s ORDER BY pos) AS sums
+           |  FROM dps JOIN dwn ON dwn.w = dps.w GROUP BY dps.w, dwn.n),
+           |dpair AS (
+           |  SELECT c.w, c.n, c.sums,
+           |    coalesce(p.n, CAST(0 AS BIGINT)) AS n_prev,
+           |    coalesce(p.sums, list_transform(range(1, 65), i -> CAST(0 AS BIGINT))) AS p
+           |  FROM dws c LEFT JOIN dws p ON p.w + INTERVAL '15 minutes' = c.w),
+           |dcos AS (
+           |  SELECT w, n, n_prev, sums,
+           |    (sqrt(${O.dot("sums", "sums", 64)}) * sqrt(${O.dot("p", "p", 64)})) AS den,
+           |    ${O.dot("sums", "p", 64)} AS num
+           |  FROM dpair)
+           |SELECT w AS window_start, n, n_prev,
+           |  array_to_string(sums, ',') AS sums_joined,
+           |  CAST(floor((1.0 - CASE WHEN den = 0 THEN 0.0 ELSE num / den END)
+           |    * 1000000.0 + 0.5) AS BIGINT) AS drift_q6
+           |FROM dcos ORDER BY window_start""".stripMargin
+      }),
+
     // Watermarked windowed FREQUENCY monitoring (count-min merge law):
     // 256 counter sums per window instead of per-item state, answering
     // point estimates for tracked keys. Batch run (watermark no-op) →

@@ -151,6 +151,78 @@ object WindowedAggs {
         kmvJaccardQ6(col("com"), col("nu")).as("jaccard_prev_q6"))
   }
 
+  /** Watermarked windowed EMBEDDING-CENTROID sums — the drift-monitoring
+    * primitive for an embedding feed (semantic shift of a corpus stream
+    * window over window: topic drift, upstream encoder changes, feed
+    * corruption — the vector twin of [[windowedTheta]]'s membership
+    * churn). Per window: row count + per-dimension EXACT-INTEGER sums of
+    * the 2²⁰-quantized elements (the [[graft.ops.Similarity]] groupMean
+    * scale) — integer sums are order-free, so replay is bit-identical
+    * and the downstream cosine is computed from identical longs in both
+    * engines.
+    *
+    * ONE stateful operator: groupBy(window) over `dims` sum columns —
+    * state = dims + 1 longs per open window (one row), watermark-evicted;
+    * the quantization runs in the scan stage. Drift extraction
+    * ([[vecDriftOverlap]]) runs downstream over closed windows, exactly
+    * the windowedTheta/thetaWindowOverlap split.
+    *
+    * @return (window_start, n, sums array&lt;long&gt; of length dims) */
+  def windowedVecSums(events: DataFrame, vec: org.apache.spark.sql.Column,
+                      dims: Int, windowLen: String,
+                      lateness: String): DataFrame = {
+    require(dims >= 1 && dims <= 4096, s"bad dims: $dims")
+    def q(x: org.apache.spark.sql.Column) =
+      floor(x.cast("double") * lit((1L << 20).toDouble) + lit(0.5e0)).cast("long")
+    val perItem = events.withWatermark("ts", lateness)
+      .select(col("ts") +:
+        (0 until dims).map(i => q(element_at(vec, i + 1)).as(s"e$i")): _*)
+    val aggs = count(lit(1)).as("n") +:
+      (0 until dims).map(i => sum(col(s"e$i")).as(s"s$i"))
+    perItem.groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start"), col("n"),
+        array((0 until dims).map(i => col(s"s$i")): _*).as("sums"))
+  }
+
+  /** Consecutive-window centroid-drift readout over [[windowedVecSums]]'
+    * closed windows: cosine between a window's sum vector and its
+    * predecessor's (means and sums have the SAME cosine — the 1/n and
+    * quantization scales cancel), emitted as `drift_q6 = ⌊(1 − cos)·10⁶
+    * + ½⌋` micro-units. The predecessor attaches via the equi-join on
+    * `window_start − windowLen` (same windowLen contract as
+    * [[thetaWindowOverlap]] — thread ONE constant); a missing
+    * predecessor is the ZERO vector (`n_prev` = 0 marks it): the
+    * zero-norm guard reads cos 0, so the first window carries maximal
+    * drift rather than a null. The full sum vector rides along
+    * comma-joined for downstream set algebra and full gate parity.
+    *
+    * @param winSums (window_start, n, sums) — [[windowedVecSums]]' shape
+    * @return (window_start, n, n_prev, sums_joined, drift_q6) */
+  def vecDriftOverlap(winSums: DataFrame, windowLen: String,
+                      dims: Int): DataFrame = {
+    val prev = winSums.select(
+      (col("window_start") + expr(s"INTERVAL $windowLen")).as("window_start"),
+      col("n").as("n_prev"), col("sums").as("p"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0e0), (acc, e) => acc + e)
+    winSums.join(prev, Seq("window_start"), "left")
+      .withColumn("n_prev", coalesce(col("n_prev"), lit(0L)))
+      .withColumn("p", coalesce(col("p"),
+        array_repeat(lit(0L), dims)))
+      .withColumn("__den",
+        sqrt(dot(col("sums"), col("sums"))) * sqrt(dot(col("p"), col("p"))))
+      .withColumn("__cos",
+        when(col("__den") === 0.0e0, lit(0.0e0))
+          .otherwise(dot(col("sums"), col("p")) / col("__den")))
+      .select(col("window_start"), col("n"), col("n_prev"),
+        concat_ws(",", transform(col("sums"), s => s.cast("string")))
+          .as("sums_joined"),
+        floor((lit(1.0e0) - col("__cos")) * lit(1.0e6) + lit(0.5e0))
+          .cast("long").as("drift_q6"))
+  }
+
   /** [[windowedTheta]] and [[thetaWindowOverlap]] wired through ONE
     * `windowLen` — the safe entry point for the common shape (sketch a
     * stream's windows, read churn downstream on the same batch frame, or

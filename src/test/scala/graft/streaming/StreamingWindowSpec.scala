@@ -275,6 +275,70 @@ class StreamingWindowSpec extends SparkSpec {
     assert(rows2 === rows, "replay must reproduce identical sketch rows")
   }
 
+  test("windowedVecSums: one state row per open window; streaming ≡ batch; drift readout") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dims = 4
+    // window 1: vectors along +x; window 2: along +y (maximal drift);
+    // then a closer to evict both
+    def vec(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val batch1 = Seq((vec(1, 0), ts(1)), (vec(2, 0), ts(5)), (vec(3, 0), ts(9)))
+    val batch2 = Seq((vec(0, 1), ts(16)), (vec(0, 2), ts(18)))
+    val closer = Seq((vec(1, 1), ts(59)))
+
+    val in = MemoryStream[(Seq[Float], Timestamp)]
+    val q = WindowedAggs.windowedVecSums(in.toDF.toDF("v", "ts"), col("v"),
+        dims, "15 minutes", lateness = "10 minutes")
+      .selectExpr("window_start", "n",
+        "concat_ws(',', transform(sums, s -> cast(s as string))) AS sj")
+      .writeStream.format("memory").queryName("wvd1")
+      .outputMode(OutputMode.Append()).start()
+    val stateRows = try {
+      in.addData(batch1); q.processAllAvailable()
+      val s = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      in.addData(batch2); q.processAllAvailable()
+      in.addData(closer); q.processAllAvailable()
+      s
+    } finally q.stop()
+    assert(stateRows === 1L,
+      s"state must be one sum row per open window, got $stateRows")
+
+    val streamed = spark.table("wvd1").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1.getTime).toSeq
+    val batchAll = (batch1 ++ batch2 ++ closer).toDF("v", "ts")
+    val expect = WindowedAggs.windowedVecSums(batchAll, col("v"), dims,
+        "15 minutes", lateness = "10 minutes")
+      .selectExpr("window_start", "n",
+        "concat_ws(',', transform(sums, s -> cast(s as string))) AS sj")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1.getTime).toSeq
+    val closed = expect.filter(_._1.getTime < ts(45).getTime)
+    assert(streamed === closed, "streaming sums must match the batch path")
+
+    // drift readout: orthogonal centroids → cos 0 → drift_q6 = 1e6;
+    // the first window (zero-vector predecessor, n_prev 0) also reads 1e6
+    val drift = WindowedAggs.vecDriftOverlap(
+        WindowedAggs.windowedVecSums(batchAll, col("v"), dims,
+          "15 minutes", lateness = "10 minutes"),
+        "15 minutes", dims)
+      .orderBy(col("window_start")).collect()
+    assert(drift(0).getAs[Long]("n_prev") === 0L)
+    assert(drift(0).getAs[Long]("drift_q6") === 1000000L)
+    assert(drift(1).getAs[Long]("n_prev") === 3L)
+    assert(drift(1).getAs[Long]("drift_q6") === 1000000L,
+      "orthogonal window centroids must read maximal drift")
+    // identical directions would read ~0: check via a same-direction pair
+    val same = WindowedAggs.vecDriftOverlap(
+        WindowedAggs.windowedVecSums(
+          (batch1 ++ Seq((vec(4, 0), ts(17)))).toDF("v", "ts"), col("v"),
+          dims, "15 minutes", lateness = "10 minutes"),
+        "15 minutes", dims)
+      .orderBy(col("window_start")).collect()
+    assert(same(1).getAs[Long]("drift_q6") === 0L,
+      "same-direction centroids must read zero drift")
+  }
+
   test("windowedThetaOverlap ≡ the two-call form with one shared windowLen") {
     import org.apache.spark.sql.functions.col
     val k = 16
