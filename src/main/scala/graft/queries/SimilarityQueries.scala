@@ -318,6 +318,59 @@ object SimilarityQueries extends QueryModule {
       },
       Some(IvfOracleSql)),
 
+    // ANN RECALL@k measurement (the #1 retrieval-quality diagnostic:
+    // exact brute-force is ground truth on a QUERY SAMPLE — at 100 TB
+    // nobody brutes the corpus, everyone brutes a few hundred probes —
+    // and the approximate index is scored against it): per query, how
+    // many of the brute top-5 the IVF(16 cells, 4 probes) search
+    // returned. Total readout — a query the index fully misses
+    // surfaces with hits = 0, never drops. Both chains are the gated
+    // operators themselves; the oracle composes their existing replay
+    // CTEs, so the recall number cannot drift from the searches it
+    // scores.
+    "sim_recall" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+        val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 5, numCentroids = 16, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(1L).as("__hit"))
+        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+            count(lit(1)).as("k"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val O = OracleSql
+        s"""${ivfScoredCtes()}, ivfk AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |    FROM scored) WHERE rnk <= 5
+           |), bq AS (
+           |  SELECT id AS query_id, v AS qv, nrm AS qnrm FROM ebase WHERE id < 8
+           |), bscored AS (
+           |  SELECT b.query_id, e.id AS neighbor_id,
+           |    ${O.cosineN("b.qv", "e.v", "b.qnrm", "e.nrm", 64)} AS cos
+           |  FROM bq b CROSS JOIN ebase e WHERE e.id <> b.query_id
+           |), brk AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |    FROM bscored) WHERE rnk <= 5
+           |)
+           |SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+           |  CAST(count(*) AS BIGINT) AS k
+           |FROM brk b LEFT JOIN ivfk i
+           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+      }),
+
     // Codebook-quality diagnostics over the SAME assignment chain as
     // sim_topk_ivf (shared IvfAssignCtes — search and diagnostics cannot
     // drift): per cell, member count + exact-integer quantized SSE to
