@@ -1453,8 +1453,21 @@ object Graph {
     // batch — the one cost the fold exists to avoid. The anti-join's
     // del side is batch-sized (broadcast), so each scan is one pass.
     val post = pre.join(del, Seq("u", "v"), "left_anti").unionAll(ins)
-    val created = trianglesThrough(post, ins)
-    val destroyed = trianglesThrough(pre, del)
+    // one-sided batches skip the other leg's adjacency scans entirely —
+    // the COMMON daily batch is insert-only, and its destroyed leg would
+    // otherwise still build the full pre adjacency just to probe it with
+    // nothing. The sign counts read off the already-checkpointed net
+    // (≤ 2 local rows, no recompute).
+    val signCounts = net.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emptyTriples = net.limit(0).select(
+      col("u").as("t1"), col("u").as("t2"), col("v").as("t3"))
+    val created =
+      if (signCounts.getOrElse(1L, 0L) == 0L) emptyTriples
+      else trianglesThrough(post, ins)
+    val destroyed =
+      if (signCounts.getOrElse(-1L, 0L) == 0L) emptyTriples
+      else trianglesThrough(pre, del)
     created.select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"),
         lit(1L).as("s"))
       .unionAll(destroyed.select(
