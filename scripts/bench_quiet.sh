@@ -6,7 +6,7 @@ read -r _ u2 n2 s2 i2 w2 irq2 sirq2 st2 _ < /proc/stat
 idle=$(( (i2 - i1) / 8 ))   # jiffies/s; 100/core → 3200 = fully idle
 steal=$(( st2 - st1 ))
 echo "probe idle=$idle steal=$steal"
-if [ "$idle" -lt 3050 ] || [ "$steal" -gt 20 ]; then
+if [ "$idle" -lt 3050 ] || [ "$steal" -gt "${GRAFT_MAX_STEAL:-120}" ]; then
   echo "NOT QUIET - skipping run"; exit 2
 fi
 cd /root/repo

@@ -93,13 +93,24 @@ object IcebergUniform {
         if (fs.exists(p)) Some(M.readTree(readString(fs, p)).asInstanceOf[ObjectNode])
         else None
       }
-    // idempotency: the mirror is already at this Delta version
-    prior.filter(p => p.path("current-snapshot-id").asLong(-1L) == snap.version)
-      .foreach { p =>
-        return new Path(metaDir,
-          s"v${p.path("__graft-metadata-version").asLong(1L)}.metadata.json")
-          .toString
-      }
+    // idempotency: the mirror is already at this Delta version — return
+    // the existing file (plain value, no non-local return through a
+    // lambda: a NonLocalReturnControl crossing a future try/finally is a
+    // refactoring landmine)
+    val upToDate = prior
+      .filter(p => p.path("current-snapshot-id").asLong(-1L) == snap.version)
+      .map(p => new Path(metaDir,
+        s"v${p.path("__graft-metadata-version").asLong(1L)}.metadata.json")
+        .toString)
+    if (upToDate.isDefined) upToDate.get
+    else writeNewSnapshot(snap, meta, prior, fs, root, metaDir, hint)
+  }
+
+  private def writeNewSnapshot(snap: Snapshot, meta: Actions.Metadata,
+                               prior: Option[ObjectNode],
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               root: Path, metaDir: Path,
+                               hint: Path): String = {
 
     val schema = snap.schema.getOrElse(new StructType())
     val startId = prior.map(_.path("last-column-id").asInt(0)).getOrElse(0)
