@@ -11,7 +11,13 @@ if [ "$idle" -lt 3050 ] || [ "$steal" -gt "${GRAFT_MAX_STEAL:-120}" ]; then
 fi
 cd /root/repo
 CP="$(ls /opt/spark/jars/*.jar | tr '\n' ':')target/scala-2.13/classes"
-exec java -Xmx100g \
+# Mirror build.sbt's forked-run JVM exactly: -Xmx8g keeps
+# CompressedOops ON (a 100g heap turned the JSON-parse ingest leg
+# into a 10x crawl: 8-byte oops + lazy GC), and the -D flags are
+# part of the bench contract (UTC session tz, no UI).
+exec java -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
