@@ -143,12 +143,17 @@ object DataSkipping {
     snap.files.filter { f =>
       // checkpoint-provided PRE-PARSED stats win (the typed struct a
       // stats_parsed checkpoint carries — zero JSON work); otherwise
-      // parse each file's stats JSON once, not once per predicate
+      // parse each file's stats JSON once, not once per predicate — and
+      // LAZILY, so partition-only predicate sets (the Hive-partitioned
+      // probe paths: PassageIndex bands, IVF cells, adjacency buckets)
+      // never touch stats JSON at all
       val parsed = f.parsedStats
-      val stats =
+      lazy val stats =
         if (parsed.isDefined) None else f.stats.map(Actions.mapper.readTree)
       preds.forall(p =>
-        mayMatch(f, parsed, stats, p, partCols, colTypes.get(p.column)))
+        mayMatch(f, parsed,
+          if (partCols.contains(p.column)) None else stats,
+          p, partCols, colTypes.get(p.column)))
     }
   }
 

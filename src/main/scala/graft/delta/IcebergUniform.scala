@@ -56,7 +56,14 @@ import org.apache.spark.sql.types._
   * and list exactly the live files through append / DELETE / OPTIMIZE
   * lifecycles — and CANNOT be end-to-end verified against an external
   * reader here. Reference shapes: the Apache Iceberg table spec
-  * (format v2) and delta-io/delta's IcebergConversionTransaction. */
+  * (format v2) and delta-io/delta's IcebergConversionTransaction.
+  * KNOWN LIMIT: the mirrored data files are plain Spark parquet with
+  * NO embedded Iceberg field-ids (embedding them would rewrite data —
+  * the copy UniForm exists to avoid), so by-id column resolution finds
+  * nothing; the exported `schema.name-mapping.default` property is the
+  * spec's sanctioned name-based fallback, and readers that honor it
+  * (all current Iceberg engines do for imported parquet) resolve
+  * correctly. */
 object IcebergUniform {
 
   private val M = Actions.mapper // shared Jackson (same JSON discipline)
@@ -85,14 +92,18 @@ object IcebergUniform {
     fs.mkdirs(metaDir)
 
     val hint = new Path(metaDir, "version-hint.text")
+    // a torn/unparsable hint (crash mid-write before the atomic-rename
+    // discipline below existed, or an external scribble) reads as
+    // ABSENT — the mirror restarts from a fresh lineage rather than
+    // failing every future sync on a parse error
     val prior: Option[ObjectNode] =
       if (!fs.exists(hint)) None
-      else {
+      else scala.util.Try {
         val n = readString(fs, hint).trim.toLong
         val p = new Path(metaDir, s"v$n.metadata.json")
         if (fs.exists(p)) Some(M.readTree(readString(fs, p)).asInstanceOf[ObjectNode])
         else None
-      }
+      }.toOption.flatten
     // idempotency: the mirror is already at this Delta version — return
     // the existing file (plain value, no non-local return through a
     // lambda: a NonLocalReturnControl crossing a future try/finally is a
@@ -134,13 +145,27 @@ object IcebergUniform {
             "only int/long/string/date identity partitions are mirrored")
       }
     }
+    // spec-0 fields built once, shared by the metadata.json and the
+    // avro key metadata (ManifestReader resolves partitions from the
+    // "partition-spec" JSON embedded in the manifest itself)
+    val specFieldsNode = M.createArrayNode()
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      val f = specFieldsNode.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", topIds(c))
+      f.put("field-id", 1000 + i)
+    }
     val manifestUuid = java.util.UUID.randomUUID().toString
     val manifestPath = new Path(metaDir, s"$manifestUuid-m0.avro")
     val (addedRows, manifestLen) =
-      writeManifest(fs, manifestPath, snap, partCols, partTypes, root)
+      writeManifest(fs, manifestPath, snap, partCols, partTypes, root,
+        M.writeValueAsString(schemaNode), schemaId,
+        M.writeValueAsString(specFieldsNode))
     val listPath = new Path(metaDir, s"snap-${snap.version}-$manifestUuid.avro")
     writeManifestList(fs, listPath, manifestPath, manifestLen, snap.version,
-      snap.files.size, addedRows)
+      snap.files.size, addedRows,
+      parentId = prior.map(_.path("current-snapshot-id").asLong()))
 
     // ---- metadata.json ----
     val out = M.createObjectNode()
@@ -161,23 +186,27 @@ object IcebergUniform {
     val specs = out.putArray("partition-specs")
     val spec = specs.addObject()
     spec.put("spec-id", 0)
-    val specFields = spec.putArray("fields")
-    partCols.zipWithIndex.foreach { case (c, i) =>
-      val f = specFields.addObject()
-      f.put("name", c)
-      f.put("transform", "identity")
-      f.put("source-id", topIds(c))
-      f.put("field-id", 1000 + i)
-    }
+    spec.set[ObjectNode]("fields", specFieldsNode): Unit
     out.put("last-partition-id", 1000 + math.max(partCols.size - 1, 0))
     out.put("default-sort-order-id", 0)
     val orders = out.putArray("sort-orders")
     val order0 = orders.addObject()
     order0.put("order-id", 0)
     order0.putArray("fields")
-    out.putObject("properties")
-      .put("write.parquet.compression-codec",
-        meta.configuration.getOrElse("delta.parquet.compression.codec", "snappy"))
+    val props = out.putObject("properties")
+    props.put("write.parquet.compression-codec",
+      meta.configuration.getOrElse("delta.parquet.compression.codec", "snappy"))
+    // the mirrored data files are plain Spark parquet WITHOUT embedded
+    // Iceberg field-ids, and spec-compliant readers resolve parquet
+    // columns BY field-id — so without a fallback every column reads as
+    // null. schema.name-mapping.default is Iceberg's sanctioned
+    // name-based fallback: it maps column names to the assigned
+    // field-ids (the same mechanism Iceberg uses for imported/migrated
+    // parquet). Readers that honor it resolve correctly; embedding real
+    // field-ids in the parquet itself would require rewriting data
+    // files, which UniForm exists to avoid.
+    props.put("schema.name-mapping.default",
+      M.writeValueAsString(nameMapping(schemaNode)))
     out.put("current-snapshot-id", snap.version)
     val refs = out.putObject("refs")
     val main = refs.putObject("main")
@@ -189,6 +218,8 @@ object IcebergUniform {
     }
     val sn = snapshots.addObject()
     sn.put("snapshot-id", snap.version)
+    prior.foreach(p =>
+      sn.put("parent-snapshot-id", p.path("current-snapshot-id").asLong()): Unit)
     sn.put("sequence-number", snap.version)
     sn.put("timestamp-ms", nowMs)
     sn.putObject("summary").put("operation", "overwrite")
@@ -216,10 +247,14 @@ object IcebergUniform {
     // ignore unknown fields): lets the NEXT sync find/carry state
     out.put("__graft-metadata-version", mdVersion)
 
+    // HadoopTables commit protocol: write-temp-then-rename for BOTH the
+    // metadata file and the hint — a crash mid-write (or a concurrent
+    // sync) can no longer leave a torn file the next reader chokes on;
+    // rename is the atomic unit on HDFS-like stores
     val mdPath = new Path(metaDir, s"v$mdVersion.metadata.json")
-    writeString(fs, mdPath, M.writerWithDefaultPrettyPrinter()
+    writeAtomic(fs, mdPath, M.writerWithDefaultPrettyPrinter()
       .writeValueAsString(out))
-    writeString(fs, hint, mdVersion.toString)
+    writeAtomic(fs, hint, mdVersion.toString)
     mdPath.toString
   }
 
@@ -320,9 +355,77 @@ object IcebergUniform {
     (node, math.max(nextId, priorLastId), tops)
   }
 
-  /** Field-layout equality ignoring schema-id. */
+  /** Field-layout equality ignoring schema-id AND all id assignments:
+    * the candidate schema's ids are allocated above the prior
+    * last-column-id while the prior's start at 1, so comparing with ids
+    * included can never match — which would mint a fresh schema-id,
+    * reassign EVERY field-id, and grow last-column-id unboundedly on
+    * every sync of an unchanged table (breaking the "field-ids stable
+    * for an unchanged schema" contract and silently redefining
+    * partition-spec 0's source-ids). Structure (names, required,
+    * types, nesting) is what "unchanged" means. */
   private def sameFields(a: ObjectNode, b: ObjectNode): Boolean =
-    a.path("fields") == b.path("fields")
+    stripIds(a.path("fields")) == stripIds(b.path("fields"))
+
+  /** Deep copy with every id-assignment key removed, recursively. */
+  private def stripIds(n: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val c = n.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+    def walk(x: com.fasterxml.jackson.databind.JsonNode): Unit = x match {
+      case o: ObjectNode =>
+        o.remove(java.util.Arrays.asList(
+          "id", "element-id", "key-id", "value-id")): Unit
+        o.elements().forEachRemaining(walk(_))
+      case a: ArrayNode => a.forEach(walk(_))
+      case _ =>
+    }
+    walk(c)
+    c
+  }
+
+  /** Iceberg name-mapping JSON (the `schema.name-mapping.default` table
+    * property): one entry per field with its assigned field-id, nested
+    * `fields` for struct children, and the spec-mandated synthetic names
+    * for list elements (`element`) and map keys/values (`key`/`value`). */
+  private def nameMapping(schemaNode: ObjectNode): ArrayNode =
+    mappingOfFields(schemaNode.path("fields"))
+
+  private def mappingOfFields(
+      fields: com.fasterxml.jackson.databind.JsonNode): ArrayNode = {
+    val arr = M.createArrayNode()
+    fields.forEach { f =>
+      val e = arr.addObject()
+      e.put("field-id", f.path("id").asInt())
+      e.putArray("names").add(f.path("name").asText()): Unit
+      nestedMapping(f.path("type")).foreach(n => e.set[ObjectNode]("fields", n): Unit)
+    }
+    arr
+  }
+
+  private def nestedMapping(t: com.fasterxml.jackson.databind.JsonNode)
+      : Option[ArrayNode] = t match {
+    case o: ObjectNode if o.path("type").asText() == "struct" =>
+      Some(mappingOfFields(o.path("fields")))
+    case o: ObjectNode if o.path("type").asText() == "list" =>
+      val arr = M.createArrayNode()
+      val e = arr.addObject()
+      e.put("field-id", o.path("element-id").asInt())
+      e.putArray("names").add("element"): Unit
+      nestedMapping(o.path("element")).foreach(n => e.set[ObjectNode]("fields", n): Unit)
+      Some(arr)
+    case o: ObjectNode if o.path("type").asText() == "map" =>
+      val arr = M.createArrayNode()
+      val k = arr.addObject()
+      k.put("field-id", o.path("key-id").asInt())
+      k.putArray("names").add("key"): Unit
+      nestedMapping(o.path("key")).foreach(n => k.set[ObjectNode]("fields", n): Unit)
+      val v = arr.addObject()
+      v.put("field-id", o.path("value-id").asInt())
+      v.putArray("names").add("value"): Unit
+      nestedMapping(o.path("value")).foreach(n => v.set[ObjectNode]("fields", n): Unit)
+      Some(arr)
+    case _ => None
+  }
 
   private def toJson(t: Object): com.fasterxml.jackson.databind.JsonNode =
     t match {
@@ -335,13 +438,16 @@ object IcebergUniform {
 
   private def partitionAvroSchema(partCols: Seq[String],
                                   partTypes: Seq[DataType]): AvroSchema = {
-    val fields = partCols.zip(partTypes).map { case (c, t) =>
+    // each r102 field carries its Iceberg partition-field id (1000+i) —
+    // ManifestReader resolves the partition struct BY these attributes
+    val fields = partCols.zip(partTypes).zipWithIndex.map { case ((c, t), i) =>
       val base = t match {
         case IntegerType | DateType => "\"int\""
         case LongType => "\"long\""
         case _ => "\"string\""
       }
-      s"""{"name":${M.writeValueAsString(c)},"type":["null",$base],"default":null}"""
+      s"""{"name":${M.writeValueAsString(c)},"type":["null",$base],""" +
+        s""""default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
     new AvroSchema.Parser().parse(
       s"""{"type":"record","name":"r102","fields":[$fields]}""")
@@ -351,7 +457,8 @@ object IcebergUniform {
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             path: Path, snap: Snapshot,
                             partCols: Seq[String], partTypes: Seq[DataType],
-                            root: Path): (Long, Long) = {
+                            root: Path, schemaJson: String, schemaId: Int,
+                            specJson: String): (Long, Long) = {
     val partSchema = partitionAvroSchema(partCols, partTypes)
     val dataFile = new AvroSchema.Parser().parse(
       s"""{"type":"record","name":"data_file","fields":[
@@ -371,8 +478,14 @@ object IcebergUniform {
          |  {"name":"data_file","type":${dataFile.toString},"field-id":2}
          |]}""".stripMargin)
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entry))
+    // Iceberg's ManifestReader requires the table schema and the
+    // partition spec in the avro key-value metadata — it resolves
+    // entries against THESE, not the metadata.json
     w.setMeta("format-version", "2")
     w.setMeta("content", "data")
+    w.setMeta("schema", schemaJson)
+    w.setMeta("schema-id", schemaId.toString)
+    w.setMeta("partition-spec", specJson)
     w.setMeta("partition-spec-id", "0")
     val os = fs.create(path, true)
     w.create(entry, os)
@@ -416,7 +529,8 @@ object IcebergUniform {
   private def writeManifestList(fs: org.apache.hadoop.fs.FileSystem,
                                 path: Path, manifest: Path, manifestLen: Long,
                                 snapshotId: Long, nFiles: Int,
-                                nRows: Long): Unit = {
+                                nRows: Long,
+                                parentId: Option[Long]): Unit = {
     val s = new AvroSchema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |  {"name":"manifest_path","type":"string","field-id":500},
@@ -434,7 +548,12 @@ object IcebergUniform {
         |  {"name":"deleted_rows_count","type":"long","field-id":514}
         |]}""".stripMargin)
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+    // ManifestListReader's expected key metadata: the owning snapshot,
+    // its parent, and the sequence number, alongside the format version
     w.setMeta("format-version", "2")
+    w.setMeta("snapshot-id", snapshotId.toString)
+    w.setMeta("parent-snapshot-id", parentId.map(_.toString).getOrElse("null"))
+    w.setMeta("sequence-number", snapshotId.toString)
     val os = fs.create(path, true)
     w.create(s, os)
     val rec = new GenericData.Record(s)
@@ -467,6 +586,20 @@ object IcebergUniform {
                           s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Write to a temp sibling, then atomically rename into place (the
+    * HadoopTables protocol — readers never observe a partial file). */
+  private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                          s: String): Unit = {
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    writeString(fs, tmp, s)
+    fs.delete(p, false): Unit // local fs rename won't clobber; delete first
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false): Unit
+      throw new java.io.IOException(s"atomic rename to $p failed")
+    }
   }
 
   /** Read back the live file set the CURRENT Iceberg snapshot lists —

@@ -1560,7 +1560,7 @@ object TextAnalysis {
     * rows, never documents or position lists.
     *
     * @return (center, context, cnt), center/context strings */
-  def tokenSkipGrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+  def tokenSkipGrams(df: org.apache.spark.sql.DataFrame,
                      textCol: String, window: Int): org.apache.spark.sql.DataFrame = {
     require(window >= 1 && window <= 16, s"bad window: $window")
     val t = col("__ts")

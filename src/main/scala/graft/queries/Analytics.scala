@@ -1100,8 +1100,9 @@ object Analytics extends QueryModule {
     // (format("graft-delta"), readChangeFeed) through the foreachBatch
     // maintenance sinks — per-batch folds cost ∝ the batch, MERGEd
     // exactly-once under the (appId, batchId) txn guard, with the
-    // triangle sink's edge mirror providing the pre state each batch
-    // needs. The returned coeff composes PURELY from the two maintained
+    // triangle sink's BUCKETED adjacency mirror providing the pre state
+    // each batch needs through partition-pruned probes (round 19: mirror
+    // I/O ∝ the batch endpoints' buckets, never the full edge set). The returned coeff composes PURELY from the two maintained
     // tables (zero reads of the edge set) and must equal a from-scratch
     // clusteringCoeff of the final graph (require()d in-query,
     // distributed); the oracle is graph_incremental_coeff's, verbatim.
@@ -1125,8 +1126,8 @@ object Analytics extends QueryModule {
           StructField("node", LongType), StructField("deg", LongType))))
         val triT = D.forPath(s, base + "/tri").create(StructType(Seq(
           StructField("node", LongType), StructField("triangles", LongType))))
-        val mirror = D.forPath(s, base + "/mirror").create(StructType(Seq(
-          StructField("u", LongType), StructField("v", LongType))))
+        val mirror = graft.ops.Graph.createAdjacencyMirror(
+          D.forPath(s, base + "/mirror"), numBuckets = 8)
         val degSink = graft.streaming.StreamingCuration.degreeMaintenanceSink(degT)
         val triSink = graft.streaming.StreamingCuration
           .triangleMaintenanceSink(triT, mirror)

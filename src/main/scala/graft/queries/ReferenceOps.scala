@@ -477,13 +477,35 @@ object ReferenceOps extends QueryModule {
         val src = graft.Scratch.dir("graft-copysrc")
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("text"))
-        docs.filter(col("doc_id") % 2 === 0).coalesce(2).write.parquet(src + "/g1")
+        docs.filter(col("doc_id") % 4 === 0).coalesce(2).write.parquet(src + "/g1")
         val t = graft.delta.DeltaTable.forPath(s, dir).create(docs.schema)
         require(t.copyInto(src) > 0L)
         require(t.copyInto(src) == -1L, "replayed COPY INTO must be a no-op")
-        docs.filter(col("doc_id") % 2 =!= 0).coalesce(3).write.parquet(src + "/g2")
+        docs.filter(col("doc_id") % 4 === 1).coalesce(3).write.parquet(src + "/g2")
         require(t.copyInto(src) > 0L, "only the new generation loads")
         require(t.copyInto(src) == -1L)
+        // generation 3 lands as AVRO object containers (the reference is
+        // an Avro-first ingester) through graft's own avro layer — same
+        // per-file txn idempotency contract
+        val srcAvro = graft.Scratch.dir("graft-copysrc-avro")
+        graft.serialization.AvroContainerFiles.write(
+          docs.filter(col("doc_id") % 4 === 2).repartition(2), srcAvro,
+          """{"type":"record","name":"doc","fields":[
+            |{"name":"doc_id","type":"long"},{"name":"source","type":"string"},
+            |{"name":"text","type":"string"}]}""".stripMargin)
+        require(t.copyInto(srcAvro, "avro") > 0L, "avro generation must load")
+        require(t.copyInto(srcAvro, "avro") == -1L,
+          "replayed avro COPY INTO must be a no-op")
+        // generation 4 lands as CSV (header row; multiLine for embedded
+        // newlines in text)
+        val srcCsv = graft.Scratch.dir("graft-copysrc-csv")
+        docs.filter(col("doc_id") % 4 === 3).coalesce(2)
+          .write.option("header", "true").csv(srcCsv + "/g4")
+        require(t.copyInto(srcCsv, "csv",
+          options = Map("multiLine" -> "true")) > 0L, "csv generation must load")
+        require(t.copyInto(srcCsv, "csv",
+          options = Map("multiLine" -> "true")) == -1L,
+          "replayed csv COPY INTO must be a no-op")
         t.toDF.groupBy(col("source"))
           .agg(count(lit(1)).as("n"),
             sum(col("doc_id")).cast("long").as("id_sum"),

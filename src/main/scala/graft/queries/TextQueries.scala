@@ -1718,7 +1718,7 @@ object TextQueries extends QueryModule {
       (s, d) =>
         graft.ops.Graph.walkPpmi(
             graft.ops.TextAnalysis.tokenSkipGrams(
-              Tables.documents(s, d), "doc_id", "text", window = 2), k = 3)
+              Tables.documents(s, d), "text", window = 2), k = 3)
           .orderBy(col("center"), col("rank")),
       Some(s"""WITH ${graft.ops.TextAnalysis.tokenSkipGramsSql(T, 2)},
               |${graft.ops.Graph.walkPpmiSql(3)}

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * {{{
   * OPTIMIZE '<path>' [FULL] [WHERE <partition predicate>] [ZORDER BY (c1, ..., cn)]
   * VACUUM '<path>' [USING INVENTORY (<subquery>) | LITE] [RETAIN <n> HOURS] [DRY RUN]
-  * COPY INTO '<path>' FROM '<src>' FILEFORMAT = PARQUET|JSON [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)] [COPY_OPTIONS (...)]
+  * COPY INTO '<path>' FROM '<src>' FILEFORMAT = PARQUET|JSON|CSV|AVRO [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)] [COPY_OPTIONS (...)]
   * DESCRIBE DETAIL '<path>'
   * DESCRIBE HISTORY '<path>' [LIMIT <n>]
   * RESTORE [TABLE] '<path>' TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'

@@ -88,7 +88,7 @@ case class VacuumTableCommand(path: String, retainHours: Option[Long],
   }
 }
 
-/** `COPY INTO delta.`path` FROM '<src>' FILEFORMAT = PARQUET|JSON
+/** `COPY INTO delta.`path` FROM '<src>' FILEFORMAT = PARQUET|JSON|CSV|AVRO
   * [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v', …)]
   * [COPY_OPTIONS ('mergeSchema'='true')]` —
   * [[DeltaTable.copyInto]] verbatim: idempotent per-source-file loading

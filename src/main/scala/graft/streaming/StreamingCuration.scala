@@ -314,16 +314,21 @@ object StreamingCuration {
   /** `foreachBatch` sink maintaining a per-node TRIANGLE-count feature
     * table from a CDF stream of edge changes —
     * [[degreeMaintenanceSink]]'s heavier sibling and the streaming end
-    * of [[graft.ops.Graph.triangleDelta]]. Triangle deltas need the
-    * PRE-batch edge set, which the change feed alone cannot provide, so
-    * the sink also maintains an EDGE MIRROR table (canonical `(u, v)`
-    * pairs, u < v) in the same foreachBatch: per micro-batch it
+    * of [[graft.ops.Graph.triangleDeltaBucketed]]. Triangle deltas need
+    * the PRE-batch edge set, which the change feed alone cannot provide,
+    * so the sink also maintains a BUCKETED ADJACENCY MIRROR table
+    * (both orientations `(m, x)` Hive-partitioned by `m mod numBuckets`
+    * — create it with [[graft.ops.Graph.createAdjacencyMirror]]) in the
+    * same foreachBatch: per micro-batch it
     *
-    *  1. computes [[graft.ops.Graph.triangleDelta]] of the batch against
-    *     the mirror (cost ∝ batch × degree, never the accumulated edge
-    *     set — triangleDelta's feed-corruption guards raise here, BEFORE
+    *  1. computes [[graft.ops.Graph.triangleDeltaBucketed]] of the batch
+    *     against the mirror (compute ∝ batch × degree AND mirror I/O
+    *     partition-pruned to the batch endpoints' buckets — never a full
+    *     mirror scan; the feed-corruption guards raise here, BEFORE
     *     anything commits) and MERGEs it into `features`;
-    *  2. advances the mirror by the batch's netted inserts/deletes.
+    *  2. advances the mirror by the batch's netted inserts/deletes
+    *     ([[graft.ops.Graph.advanceAdjacencyMirror]] — the (bkt, m, x)
+    *     merge key keeps the matched-file search pruned too).
     *
     * Both merges carry the same `(appId, batchId)` txn guard, and the
     * MIRROR advances LAST — so its recorded txn marks the whole batch
@@ -335,11 +340,12 @@ object StreamingCuration {
     * re-derive deltas from a corrupted pre state — or raise spuriously
     * on a re-seen delete).
     *
-    * Feature table schema: `(node long, triangles long)`, keyed on node;
-    * mirror schema: `(u long, v long)`, keyed on (u, v). Seed both to
-    * match the stream's `startingVersion` (empty tables for a
-    * from-genesis feed; a one-time [[graft.ops.Graph.triangles]] count +
-    * pair snapshot to adopt an existing graph). */
+    * Feature table schema: `(node long, triangles long)`, keyed on node.
+    * Seed both tables to match the stream's `startingVersion` (empty
+    * tables for a from-genesis feed; a one-time
+    * [[graft.ops.Graph.triangles]] count +
+    * [[graft.ops.Graph.seedAdjacencyMirror]] pair snapshot to adopt an
+    * existing graph). */
   def triangleMaintenanceSink(features: graft.delta.DeltaTable,
                               edgeMirror: graft.delta.DeltaTable,
                               appId: String = "graft-triangle-sink",
@@ -348,11 +354,11 @@ object StreamingCuration {
     (batch, batchId) => {
       val D = graft.delta.DeltaTable
       if (!edgeMirror.txnVersion(appId).exists(_ >= batchId)) {
-        val pre = edgeMirror.toDF
-          .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-        // eager (checkpointed) inside triangleDelta: the membership and
-        // multiplicity guards fire NOW, before either table commits
-        val delta = graft.ops.Graph.triangleDelta(pre, batch, aCol, bCol)
+        // eager (checkpointed) inside triangleDeltaBucketed: the
+        // membership and multiplicity guards fire NOW, before either
+        // table commits
+        val delta = graft.ops.Graph.triangleDeltaBucketed(
+            edgeMirror, batch, aCol, bCol)
           .where(col("dt") =!= 0L)
           .select(col("node"), col("dt"))
         features.mergeClauses(delta, Seq("node"), Seq(
@@ -367,23 +373,11 @@ object StreamingCuration {
                 "'triangleMaintenanceSink: negative triangles for unknown " +
                 "node - corrupt change feed') AS BIGINT) ELSE s.dt END")))),
           txnAppId = Some(appId), txnVersion = batchId): Unit
-        // mirror advance: the same per-edge netting triangleDelta applied
-        // (insert+delete of one edge in a catch-up batch cancels). The
-        // corrupt shapes — matched insert, unmatched delete, |net| > 1 —
-        // already raised in triangleDelta's guards above, so the clauses
-        // here stay lean.
-        val net = batch.select(
-            least(col(aCol), col(bCol)).cast("long").as("u"),
-            greatest(col(aCol), col(bCol)).cast("long").as("v"),
-            when(col("_change_type").isin("insert", "update_postimage"), 1L)
-              .otherwise(lit(-1L)).as("s"))
-          .where(col("u") =!= col("v"))
-          .groupBy(col("u"), col("v")).agg(sum(col("s")).as("s"))
-          .where(col("s") =!= 0L)
-        edgeMirror.mergeClauses(net, Seq("u", "v"), Seq(
-            D.WhenMatchedDelete(condition = Some("s.s = -1")),
-            D.WhenNotMatchedInsert(values = Map("u" -> "s.u", "v" -> "s.v"),
-              condition = Some("s.s = 1"))),
+        // mirror advance: the same per-edge netting triangleDeltaBucketed
+        // applied (insert+delete of one edge in a catch-up batch
+        // cancels). The corrupt shapes — matched insert, unmatched
+        // delete, |net| > 1 — already raised in its guards above.
+        graft.ops.Graph.advanceAdjacencyMirror(edgeMirror, batch, aCol, bCol,
           txnAppId = Some(appId), txnVersion = batchId): Unit
       }
     }

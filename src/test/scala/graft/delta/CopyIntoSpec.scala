@@ -85,6 +85,92 @@ class CopyIntoSpec extends SparkSpec {
     assert(e2.getMessage.contains("oops"))
   }
 
+  test("AVRO + CSV sources: same reader-schema discipline as json — defaults fill, refusals fire") {
+    val avroSchema =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"k","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val asrc = tmpDir("copy-avro-src")
+    graft.serialization.AvroContainerFiles.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name").repartition(2), asrc, avroSchema)
+    val csrc = tmpDir("copy-csv-src")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+      .coalesce(1).write.option("header", "true").csv(csrc + "/files")
+
+    for ((fmt, src) <- Seq("avro" -> asrc, "csv" -> (csrc + "/files"))) {
+      // DEFAULT column absent from the source computes its default
+      val sch = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType),
+        DeltaTable.defaultField("src", StringType, "'landed'")))
+      val t = DeltaTable.forPath(spark, tmpDir(s"copy-$fmt-def")).create(sch)
+      assert(t.copyInto(src, format = fmt) > 0L)
+      assert(t.toDF.orderBy("k").collect().map(_.getString(2)).toSeq ===
+        Seq("landed", "landed"))
+      assert(t.toDF.orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L),
+        s"$fmt values must land typed under the table schema")
+      assert(t.copyInto(src, format = fmt) === -1L,
+        s"replayed $fmt COPY INTO must be a no-op")
+      // generated column computes
+      val gt = DeltaTable.forPath(spark, tmpDir(s"copy-$fmt-gen"))
+        .create(StructType(Seq(
+          StructField("k", LongType), StructField("name", StringType),
+          DeltaTable.generatedField("k2", LongType, "k * 2"))))
+      assert(gt.copyInto(src, format = fmt) > 0L)
+      assert(gt.toDF.orderBy("k").collect().map(_.getLong(2)).toSeq === Seq(2L, 4L))
+      // missing NON-NULLABLE column refuses loudly
+      val nt = DeltaTable.forPath(spark, tmpDir(s"copy-$fmt-nn"))
+        .create(StructType(Seq(
+          StructField("k", LongType), StructField("name", StringType),
+          StructField("must", StringType, nullable = false))))
+      val e = intercept[IllegalArgumentException](nt.copyInto(src, format = fmt))
+      assert(e.getMessage.contains("must"))
+    }
+
+    // extra source columns refuse loudly, per format
+    val xasrc = tmpDir("copy-avro-xsrc")
+    graft.serialization.AvroContainerFiles.write(
+      Seq((1L, "a", true)).toDF("k", "name", "oops").coalesce(1), xasrc,
+      """{"type":"record","name":"r","fields":[
+        |{"name":"k","type":"long"},{"name":"name","type":"string"},
+        |{"name":"oops","type":"boolean"}]}""".stripMargin)
+    val xcsrc = tmpDir("copy-csv-xsrc")
+    Seq((1L, "a", true)).toDF("k", "name", "oops")
+      .coalesce(1).write.option("header", "true").csv(xcsrc + "/files")
+    for ((fmt, src) <- Seq("avro" -> xasrc, "csv" -> (xcsrc + "/files"))) {
+      val xt = DeltaTable.forPath(spark, tmpDir(s"copy-$fmt-x"))
+        .create(StructType(Seq(
+          StructField("k", LongType), StructField("name", StringType))))
+      val e = intercept[IllegalArgumentException](xt.copyInto(src, format = fmt))
+      assert(e.getMessage.contains("oops"), s"$fmt extra column must refuse")
+    }
+
+    // csv column order ≠ table order still aligns BY NAME (the reader
+    // schema is built in FILE order — a positional misbind would land
+    // names in k and break the cast)
+    val osrc = tmpDir("copy-csv-osrc")
+    Seq(("a", 1L), ("b", 2L)).toDF("name", "k")
+      .coalesce(1).write.option("header", "true").csv(osrc + "/files")
+    val ot = DeltaTable.forPath(spark, tmpDir("copy-csv-o"))
+      .create(StructType(Seq(
+        StructField("k", LongType), StructField("name", StringType))))
+    assert(ot.copyInto(osrc + "/files", format = "csv") > 0L)
+    assert(ot.toDF.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a"), (2L, "b")))
+
+    // SQL surface accepts the new formats
+    val st = DeltaTable.forPath(spark, tmpDir("copy-sql-avro"))
+      .create(StructType(Seq(
+        StructField("k", LongType), StructField("name", StringType))))
+    spark.sql(s"COPY INTO '${st.path}' FROM '$asrc' FILEFORMAT = AVRO")
+    assert(st.toDF.count() === 2L)
+    spark.sql(s"COPY INTO '${st.path}' FROM '$csrc/files' FILEFORMAT = CSV")
+    assert(st.toDF.count() === 4L)
+    // unknown format still refuses
+    val e3 = intercept[IllegalArgumentException](
+      st.copyInto(asrc, format = "orc"))
+    assert(e3.getMessage.contains("FILEFORMAT"))
+  }
+
   test("COPY_OPTIONS mergeSchema widens the table in the load's own commit") {
     val src = tmpDir("copy-merge-src")
     val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

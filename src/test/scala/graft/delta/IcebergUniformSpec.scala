@@ -113,6 +113,133 @@ class IcebergUniformSpec extends SparkSpec {
     assert(IcebergUniform.currentFiles(t).toSet === liveSet(t))
   }
 
+  test("unchanged schema: schema-id and field-ids STABLE across syncs; a real change evolves") {
+    val t = DeltaTable.forPath(spark, tmpDir("ice-stable")).create(schema, Seq("grp"))
+    t.append(df(0 until 6))
+    IcebergUniform.sync(t)
+    val md1 = metaJson(t)
+    def ids(md: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Int)] = {
+      val b = Seq.newBuilder[(String, Int)]
+      var cur: com.fasterxml.jackson.databind.JsonNode = null
+      md.path("schemas").forEach(s =>
+        if (s.path("schema-id").asInt() == md.path("current-schema-id").asInt())
+          cur = s)
+      cur.path("fields").forEach(f =>
+        b += ((f.path("name").asText(), f.path("id").asInt())))
+      b.result()
+    }
+    // second sync at a DIFFERENT Delta version, same schema: the prior
+    // schema node must be reused verbatim — same schema-id, same
+    // field-ids, same last-column-id, schemas array does NOT grow, and
+    // partition-spec 0's source-id still points at the same field
+    t.append(df(6 until 12))
+    IcebergUniform.sync(t)
+    val md2 = metaJson(t)
+    assert(md2.path("current-schema-id").asInt() ===
+      md1.path("current-schema-id").asInt())
+    assert(ids(md2) === ids(md1), "field-ids must be stable for an unchanged schema")
+    assert(md2.path("last-column-id").asInt() === md1.path("last-column-id").asInt())
+    assert(md2.path("schemas").size() === 1, "no duplicate schema minted")
+    assert(md2.path("partition-specs").get(0).path("fields").get(0)
+      .path("source-id").asInt() ===
+      md1.path("partition-specs").get(0).path("fields").get(0)
+        .path("source-id").asInt())
+    // parent linkage records the chain
+    var parent = -1L
+    md2.path("snapshots").forEach(s =>
+      if (s.path("snapshot-id").asLong() == md2.path("current-snapshot-id").asLong())
+        parent = s.path("parent-snapshot-id").asLong(-1L))
+    assert(parent === md1.path("current-snapshot-id").asLong())
+
+    // name-mapping fallback: names → the SAME assigned field-ids (the
+    // data files carry no embedded ids, so this property is how a
+    // spec-compliant reader resolves columns at all)
+    val nm = Actions.mapper.readTree(
+      md2.path("properties").path("schema.name-mapping.default").asText())
+    val nmIds = {
+      val b = Seq.newBuilder[(String, Int)]
+      nm.forEach(e =>
+        b += ((e.path("names").get(0).asText(), e.path("field-id").asInt())))
+      b.result()
+    }
+    assert(nmIds === ids(md2))
+
+    // a REAL schema change (widened by mergeSchema) mints a fresh
+    // schema-id with ids above the prior last-column-id
+    t.append(df(12 until 14).withColumn("extra", lit(1L)), mergeSchema = true)
+    IcebergUniform.sync(t)
+    val md3 = metaJson(t)
+    assert(md3.path("current-schema-id").asInt() ===
+      md1.path("current-schema-id").asInt() + 1)
+    assert(md3.path("schemas").size() === 2)
+    assert(md3.path("last-column-id").asInt() > md1.path("last-column-id").asInt())
+    assert(ids(md3).map(_._1).contains("extra"))
+    assert(ids(md3).forall(_._2 > md1.path("last-column-id").asInt()),
+      "changed schema assigns fresh ids above the prior last-column-id")
+  }
+
+  test("manifest + manifest-list avro carry the reader-required key metadata") {
+    val t = DeltaTable.forPath(spark, tmpDir("ice-avrometa")).create(schema, Seq("grp"))
+    t.append(df(0 until 8))
+    IcebergUniform.sync(t)
+    val md = metaJson(t)
+    var listPath: String = null
+    md.path("snapshots").forEach(s =>
+      if (s.path("snapshot-id").asLong() == md.path("current-snapshot-id").asLong())
+        listPath = s.path("manifest-list").asText())
+    def metaOf(p: String): Map[String, String] = {
+      val r = new org.apache.avro.file.DataFileReader(
+        new java.io.File(new java.net.URI(
+          if (p.startsWith("file:")) p else "file://" + p).getPath),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+          .map(k => k -> r.getMetaString(k)).toMap
+      } finally r.close()
+    }
+    val listMeta = metaOf(listPath)
+    assert(listMeta("format-version") === "2")
+    assert(listMeta("snapshot-id") === md.path("current-snapshot-id").asLong().toString)
+    assert(listMeta("parent-snapshot-id") === "null")
+    assert(listMeta.contains("sequence-number"))
+    val manifestPath = {
+      val r = new org.apache.avro.file.DataFileReader(
+        new java.io.File(new java.net.URI(
+          if (listPath.startsWith("file:")) listPath
+          else "file://" + listPath).getPath),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.next().get("manifest_path").toString finally r.close()
+    }
+    val mMeta = metaOf(manifestPath)
+    assert(mMeta("format-version") === "2" && mMeta("content") === "data")
+    assert(mMeta("partition-spec-id") === "0")
+    // the embedded schema and spec parse and agree with the metadata.json
+    val emSchema = Actions.mapper.readTree(mMeta("schema"))
+    assert(emSchema.path("schema-id").asInt() ===
+      md.path("current-schema-id").asInt())
+    val emSpec = Actions.mapper.readTree(mMeta("partition-spec"))
+    assert(emSpec.get(0).path("name").asText() === "grp")
+    assert(emSpec.get(0).path("field-id").asInt() === 1000)
+  }
+
+  test("a torn/unparsable version hint reads as absent: sync restarts, reader chain intact") {
+    val t = DeltaTable.forPath(spark, tmpDir("ice-torn")).create(schema)
+    t.append(df(0 until 6))
+    IcebergUniform.sync(t)
+    // simulate a torn hint (pre-atomic-rename crash or external scribble)
+    val fs = new Path(t.path).getFileSystem(spark.sessionState.newHadoopConf())
+    val hintP = new Path(t.path, "metadata/version-hint.text")
+    val out = fs.create(hintP, true)
+    try out.write("not-a-number".getBytes("UTF-8")) finally out.close()
+    t.append(df(6 until 9))
+    IcebergUniform.sync(t) // must not throw — fresh lineage
+    assert(IcebergUniform.currentFiles(t).toSet === liveSet(t),
+      "post-recovery snapshot must list exactly the live files")
+  }
+
   test("refuses deletion-vector tables loudly (a mirror would resurrect deleted rows)") {
     val t = DeltaTable.forPath(spark, tmpDir("ice-dv")).create(schema,
       configuration = Map(DeltaTable.DvConfigKey -> "true"))

@@ -542,6 +542,98 @@ class GraphSpec extends SparkSpec {
     assert(eIns.getMessage.contains("already present in the pre state"))
   }
 
+  test("triangleDeltaBucketed: equals the frame fold and opens ONLY the batch's buckets") {
+    val B = 32
+    // deterministic graph: ~300 canonical pairs over 64 nodes, so every
+    // bucket holds ≥ 1 node's adjacency and most hold several
+    val allPairs = (0 until 500).map { i =>
+      val h = graft.functions.Hashing.planTimeH64(s"adj:$i")
+      val u = h & 0x3fL; val v = (h >> 8) & 0x3fL
+      (math.min(u, v), math.max(u, v))
+    }.filter(p => p._1 != p._2).distinct
+    val preSeq = allPairs.filterNot { case (u, v) => (u + v) % 11 == 0 }
+    val preDF = preSeq.toDF("u", "v")
+    val mirror = Graph.createAdjacencyMirror(
+      graft.delta.DeltaTable.forPath(spark, tmpDir("adj-mirror")), B)
+    assert(Graph.adjacencyBuckets(mirror) === B)
+    Graph.seedAdjacencyMirror(mirror, preDF)
+
+    // batch localized to FEW nodes (the daily-trickle shape pruning
+    // exists for): deletes from pre incident to node 1, inserts absent
+    // from pre incident to nodes 2 and 3
+    val dels = preSeq.filter(_._1 == 1L).take(2)
+    val inss = Seq((2L, 100L), (3L, 101L)).filterNot(preSeq.contains)
+    assert(dels.nonEmpty && inss.nonEmpty)
+    val changes =
+      (dels.map { case (u, v) => (u, v, "delete") } ++
+        inss.map { case (u, v) => (u, v, "insert") }).toDF("a", "b", "_change_type")
+
+    // pruning: the probe opens exactly the files of the batch-endpoint
+    // buckets — a strict subset of the mirror's files
+    val endpoints = (dels ++ inss).flatMap(p => Seq(p._1, p._2)).distinct
+    val bkts = endpoints.map(n => (n % B).toInt).distinct
+    val opened = mirror.scanInFiles("bkt", bkts)
+    assert(opened.nonEmpty && opened.size < mirror.snapshot.files.size,
+      s"pruned read must skip files: ${opened.size} of ${mirror.snapshot.files.size}")
+
+    val viaMirror = Graph.triangleDeltaBucketed(mirror, changes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaFrame = Graph.triangleDelta(preDF, changes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaMirror === viaFrame)
+
+    // fold ≡ recompute on the post graph
+    val postSeq = preSeq.filterNot(dels.contains) ++ inss
+    val folded = Graph.applyTriangleDelta(
+        Graph.triangles(preDF.select(col("u").as("src"), col("v").as("dst"))),
+        Graph.triangleDeltaBucketed(mirror, changes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = Graph.triangles(postSeq.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(folded === direct)
+
+    // advance: mirror pairs become the post pair set, both orientations
+    // bucket-consistent; a replayed (appId, txn) advance is a no-op
+    Graph.advanceAdjacencyMirror(mirror, changes,
+      txnAppId = Some("adj-spec"), txnVersion = 7L)
+    val mp = Graph.mirrorPairs(mirror).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp === postSeq.toSet)
+    assert(mirror.toDF.filter(col("bkt") =!= pmod(col("m"), lit(B.toLong))
+      .cast("int")).isEmpty, "every mirror row must sit in m mod B")
+    val v = mirror.snapshot.version
+    Graph.advanceAdjacencyMirror(mirror, changes,
+      txnAppId = Some("adj-spec"), txnVersion = 7L)
+    assert(mirror.snapshot.version === v, "replayed advance must not commit")
+
+    // empty-net batch: early-out, correct empty schema
+    val zero = Seq((70L, 71L, "insert"), (70L, 71L, "delete"))
+      .toDF("a", "b", "_change_type")
+    val z = Graph.triangleDeltaBucketed(mirror, zero)
+    assert(z.columns.toSeq === Seq("node", "dt") && z.isEmpty)
+
+    // guards still fire through the pruned membership probe
+    val eDel = intercept[Exception] {
+      Graph.triangleDeltaBucketed(mirror,
+        Seq((1L, 999L, "delete")).toDF("a", "b", "_change_type")).collect()
+    }
+    assert(eDel.getMessage.contains("absent from the pre state"))
+
+    // a plain table is not a mirror — loud refusal, not silent bucket-0
+    val plain = graft.delta.DeltaTable.forPath(spark, tmpDir("adj-plain"))
+      .create(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bkt",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    val eNot = intercept[IllegalArgumentException] {
+      Graph.adjacencyBuckets(plain)
+    }
+    assert(eNot.getMessage.contains("not an adjacency mirror"))
+  }
+
   test("coeffFromMaintained: composed IVM frames equal clusteringCoeff exactly") {
     // K4 plus pendant 4-5: node 5 has deg 1 (coeff 0 by the <2 rule),
     // 4 has deg 4 with 3 triangles, 1..3 have deg 3 with 3 triangles

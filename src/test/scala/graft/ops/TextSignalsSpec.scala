@@ -173,7 +173,7 @@ class TextSignalsSpec extends SparkSpec {
     //   p1 a: b(2) c(3)          p2 b: a(1) c(3) b(4)
     //   p3 c: a(1) b(2) b(4)     p4 b: b(2) c(3)
     val docs = Seq((1L, "a b c b"), (2L, "x"), (3L, "  ")).toDF("doc_id", "text")
-    val got = TextAnalysis.tokenSkipGrams(docs, "doc_id", "text", window = 2)
+    val got = TextAnalysis.tokenSkipGrams(docs, "text", window = 2)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(got === Map(
       ("a", "b") -> 1L, ("a", "c") -> 1L,

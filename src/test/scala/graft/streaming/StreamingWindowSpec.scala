@@ -530,8 +530,11 @@ class StreamingWindowSpec extends SparkSpec {
       configuration = Map(D.CdfConfigKey -> "true"))
     val features = D.forPath(spark, tmpDir("tri-features")).create(
       StructType(Seq(StructField("node", LongType), StructField("triangles", LongType))))
-    val mirror = D.forPath(spark, tmpDir("tri-mirror")).create(
-      StructType(Seq(StructField("u", LongType), StructField("v", LongType))))
+    // the mirror is a BUCKETED adjacency table — numBuckets = 4 on a
+    // 5-node graph so multiple nodes share a bucket AND multiple buckets
+    // exist (both pruning regimes exercised)
+    val mirror = graft.ops.Graph.createAdjacencyMirror(
+      D.forPath(spark, tmpDir("tri-mirror")), numBuckets = 4)
     val ckpt = tmpDir("tri-ckpt")
 
     def startSink() = spark.readStream.format("graft-delta")
@@ -544,7 +547,7 @@ class StreamingWindowSpec extends SparkSpec {
 
     def featMap() = features.toDF.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    def mirrorSet() = mirror.toDF.collect()
+    def mirrorSet() = graft.ops.Graph.mirrorPairs(mirror).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def recompute() = graft.ops.Graph.triangles(
         edges.toDF.select(col("a").as("src"), col("b").as("dst")))
