@@ -447,7 +447,10 @@ object DeltaLog {
   val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++ Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "identityColumns", "rowTracking", "domainMetadata",
-    "inCommitTimestamp", "clusteredTable", "allowColumnDefaults")
+    "inCommitTimestamp", "clusteredTable", "allowColumnDefaults",
+    // UniForm: writes keep the IcebergCompatV1 invariants (no DVs, no
+    // column mapping) and the post-commit hook mirrors the metadata
+    "icebergCompatV1")
 
   /** Refuse reading a table whose protocol requires anything this engine
     * does not implement (legacy reader versions 1–2 imply only

@@ -70,6 +70,58 @@ object DeltaTable {
   val SymlinkManifestKey = "delta.compatibility.symlinkFormatManifest.enabled"
   val ManifestDirName = "_symlink_format_manifest"
 
+  /** UniForm (delta-spark's Universal Format): when
+    * `delta.universalFormat.enabledFormats` contains `iceberg`, every
+    * commit advances the [[IcebergUniform]] metadata mirror through the
+    * same post-commit hook the symlink manifests use — external Iceberg
+    * readers track the table with no manual sync(). Requires
+    * `delta.enableIcebergCompatV1` (the writer feature enforcing the
+    * mirror's invariants: no deletion vectors, no column mapping,
+    * identity-mirrorable partition types). */
+  val UniversalFormatKey = "delta.universalFormat.enabledFormats"
+  val IcebergCompatV1Key = "delta.enableIcebergCompatV1"
+
+  /** The IcebergCompatV1 invariants, enforced at CREATE/SET time so the
+    * post-commit sync can never start failing later: compat flag on, no
+    * DVs (an Iceberg reader cannot apply them), no column mapping (the
+    * mirror exports LOGICAL names by design), identity-partition-typed
+    * partition columns only. */
+  private[delta] def requireIcebergCompatible(conf: Map[String, String],
+                                              schema: StructType,
+                                              partCols: Seq[String]): Unit = {
+    conf.get(UniversalFormatKey).foreach { v =>
+      val formats = v.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+      require(formats.nonEmpty && formats.forall(_ == "iceberg"),
+        s"$UniversalFormatKey supports only 'iceberg', got '$v'")
+    }
+    require(conf.get(IcebergCompatV1Key).contains("true"),
+      s"$UniversalFormatKey=iceberg requires $IcebergCompatV1Key=true " +
+        "(delta-spark's IcebergCompat rule — the compat feature is what " +
+        "guarantees the mirror's invariants hold for every future write)")
+    require(!conf.get(DvConfigKey).contains("true"),
+      "UniForm (iceberg) and deletion vectors are mutually exclusive — " +
+        "an Iceberg reader cannot apply DV masks and would resurrect " +
+        "deleted rows")
+    require(!conf.get(ColumnMappingModeKey).exists(_ != "none"),
+      "UniForm (iceberg) is not supported on column-mapped tables — this " +
+        "engine's mirror exports logical names")
+    partCols.foreach { c =>
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType =>
+        case t => throw new IllegalArgumentException(
+          s"UniForm (iceberg): partition column $c has type ${t.sql} — " +
+            "only int/long/string/date identity partitions are mirrored")
+      }
+    }
+  }
+
+  private[delta] def uniformIcebergOn(conf: Map[String, String]): Boolean =
+    conf.get(UniversalFormatKey).exists(
+      _.split(",").map(_.trim.toLowerCase).contains("iceberg"))
+
   /** Retention/cadence table properties (delta-spark's):
     * checkpoint cadence, checkpoint-time log expiry and its retention,
     * and VACUUM's default tombstone retention. */
@@ -695,6 +747,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
 
   val log = new DeltaLog(path, spark.sessionState.newHadoopConf(), Some(spark))
   log.onPostCommit(maybeUpdateManifest)
+  log.onPostCommit(maybeSyncIceberg)
 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -901,6 +954,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         s"${DeltaTable.ColumnMappingModeKey} must be none|name|id, got '$requestedMode'")
       if (configuration.get(DeltaTable.SymlinkManifestKey).contains("true"))
         requireManifestCompatible(configuration, Nil)
+      if (configuration.contains(DeltaTable.UniversalFormatKey))
+        DeltaTable.requireIcebergCompatible(configuration, schema, partitionColumns)
       val mapping = requestedMode == "name" || requestedMode == "id"
       // column mapping composes with partitioning and CDF (round 11):
       // partition directories / partitionValues / change files all carry
@@ -954,7 +1009,9 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           Seq("allowColumnDefaults") else Nil) ++
         (if (v2Ck) Seq("v2Checkpoint") else Nil) ++
         (if (hasNtz) Seq("timestampNtz") else Nil) ++
-        (if (clusterBy.nonEmpty) Seq("clusteredTable", "domainMetadata") else Nil)
+        (if (clusterBy.nonEmpty) Seq("clusteredTable", "domainMetadata") else Nil) ++
+        (if (configuration.get(DeltaTable.IcebergCompatV1Key).contains("true"))
+          Seq("icebergCompatV1") else Nil)
       val protocol =
         if (extraWriter.isEmpty && existingProtocol.isEmpty) base
         else raisedProtocol(
@@ -1110,7 +1167,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       DeltaTable.CheckpointIntervalKey, DeltaTable.LogRetentionKey,
       DeltaTable.ExpiredLogCleanupKey, DeltaTable.DeletedFileRetentionKey,
       DeltaTable.TxnRetentionKey, DeltaTable.TargetFileSizeKey,
-      DeltaTable.DataSkippingNumIndexedColsKey, DeltaTable.ParquetCodecKey)
+      DeltaTable.DataSkippingNumIndexedColsKey, DeltaTable.ParquetCodecKey,
+      DeltaTable.UniversalFormatKey, DeltaTable.IcebergCompatV1Key)
     // malformed cadence/retention values must fail at SET time, not
     // surface later as a skipped checkpoint or an unparseable vacuum
     props.get(DeltaTable.CheckpointIntervalKey).foreach(v =>
@@ -1164,6 +1222,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       require(!(conf0 ++ props).get(DeltaTable.SymlinkManifestKey).contains("true"),
         "cannot enable deletion vectors while symlink manifests are " +
           "enabled — a manifest reader would see deleted rows")
+    // UniForm (iceberg): invariants checked against the MERGED config so
+    // enabling rides one SET whether or not compat was already on; the
+    // DV exclusion is two-directional, like the symlink-manifest rule
+    if ((conf0 ++ props).contains(DeltaTable.UniversalFormatKey))
+      DeltaTable.requireIcebergCompatible(conf0 ++ props,
+        snap0.metadata.map(m => org.apache.spark.sql.types.DataType
+          .fromJson(m.schemaString).asInstanceOf[StructType])
+          .getOrElse(new StructType()),
+        snap0.metadata.map(_.partitionColumns).getOrElse(Nil))
     def turnsOn(key: String): Boolean = props.get(key).contains("true") &&
       !snap0.metadata.exists(_.configuration.get(key).contains("true"))
     val v2On = props.get(DeltaTable.CheckpointPolicyKey).contains("v2")
@@ -1174,7 +1241,8 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       (if (turnsOn(DeltaTable.CdfConfigKey)) Seq("changeDataFeed") else Nil) ++
       (if (turnsOn(DeltaTable.IctConfigKey)) Seq("inCommitTimestamp") else Nil) ++
       (if (turnsOn(DeltaTable.RowTrackingConfigKey))
-        Seq("rowTracking", "domainMetadata") else Nil)
+        Seq("rowTracking", "domainMetadata") else Nil) ++
+      (if (turnsOn(DeltaTable.IcebergCompatV1Key)) Seq("icebergCompatV1") else Nil)
     // legacy floors: DV/v2Checkpoint force (3,7); ICT/rowTracking force
     // writer 7; CDF alone is satisfied by legacy writer 4
     val floorReader =
@@ -1213,6 +1281,15 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         s"cannot unset '$k' — files already carry physical column names")
     }
     require(snapshot.version >= 0, s"no table at $path")
+    // the compat flag may not be dropped out from under an active
+    // UniForm mirror (delta-spark's rule) — disable the mirror first
+    if (keys.contains(DeltaTable.IcebergCompatV1Key) &&
+        !keys.contains(DeltaTable.UniversalFormatKey))
+      require(!snapshot.metadata.exists(m =>
+          DeltaTable.uniformIcebergOn(m.configuration)),
+        s"cannot unset ${DeltaTable.IcebergCompatV1Key} while " +
+          s"${DeltaTable.UniversalFormatKey} enables iceberg — unset the " +
+          "mirror first (its invariants ride the compat feature)")
     log.commitWith(
       att => {
         val meta = att.metadata.getOrElse(
@@ -2485,6 +2562,20 @@ final class DeltaTable(spark: SparkSession, val path: String) {
     * overwrite writer B's newer one until the partition is next touched.
     * Manifests are eventually consistent with the log; GENERATE is the
     * explicit repair for readers that need a point-in-time sync. */
+  /** Post-commit UniForm hook: when the (possibly just-committed)
+    * configuration enables iceberg, advance the [[IcebergUniform]]
+    * mirror to the committed version — sync is idempotent per Delta
+    * version, so replays and the enabling SET commit itself are safe.
+    * The SET/CREATE-time invariant checks
+    * ([[DeltaTable.requireIcebergCompatible]]) guarantee sync cannot
+    * start refusing mid-lifecycle. */
+  private def maybeSyncIceberg(version: Long, prev: Snapshot,
+                               actions: Seq[Action]): Unit = {
+    val meta = actions.flatMap(_.metaData).lastOption.orElse(prev.metadata)
+    val conf = meta.map(_.configuration).getOrElse(Map.empty)
+    if (DeltaTable.uniformIcebergOn(conf)) IcebergUniform.sync(this): Unit
+  }
+
   private def maybeUpdateManifest(version: Long, prev: Snapshot,
                                   actions: Seq[Action]): Unit = {
     val meta = actions.flatMap(_.metaData).lastOption.orElse(prev.metadata)

@@ -298,6 +298,131 @@ object PipelineRecipe extends QueryModule {
            |FROM packed ORDER BY shard, id""".stripMargin
       }),
 
+    // The pretraining-SELECTION stack users actually run, composed:
+    // LM-quality gate (nll/token threshold — the pipeline_pretrain
+    // scorer) → DSIR importance selection toward a target domain
+    // (sample_dsir, over the KEPT pool) → temperature-α=½ domain
+    // mixture over the selected docs (sample_temperature) → packChunks
+    // accounting (pack_chunks). Every stage is the same ops code its
+    // individual gate checks; this row proves they COMPOSE, and the
+    // oracle chains the same SQL fragments over the staged pools.
+    //
+    // Plan shape at 100 TB: the LM gate is a scan-stage expression;
+    // DSIR shuffles exploded (id, bucket) longs once and broadcasts
+    // bucket weights back; the k selected ids broadcast into the pool
+    // join; mixture rates broadcast; packing shuffles (shard, id,
+    // n_tokens) rows. NO exchange anywhere carries the text column —
+    // PlanSpec pins that (the corpus is scanned, scored, and reduced to
+    // ids + counts in the scan stage).
+    "pipeline_select" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lm = graft.ops.LanguageModel.train(docs, "text", maxVocab = 50,
+          maxBigrams = 300)
+        val staged = docs
+          .select(col("doc_id"), col("source"), col("text"),
+            TextAnalysis.tokens(col("text")).as("ts"))
+          .select(col("doc_id"), col("source"), col("text"),
+            size(col("ts")).cast("long").as("n_tokens"),
+            graft.ops.LanguageModel.nllQ6Col(col("ts"), lm).as("nll_q6"))
+        val kept = staged.filter(col("nll_q6") <= lit(LmThresholdQ6) * col("n_tokens"))
+        val sel = Sampling.dsirSelect(kept, "doc_id", "text",
+          col("source") === "src0", buckets = 512, k = 100)
+        val pool = kept.join(broadcast(sel.select(col("id").as("doc_id"))),
+          Seq("doc_id"))
+        val mixed = Sampling.temperatureResample(pool, "source", "doc_id",
+          col("n_tokens"), budget = 1500L, salt = "psm")
+        Sampling.packChunks(mixed, "source", "doc_id", col("n_tokens"),
+            contextLen = 256, salt = "psp")
+          .orderBy(col("shard"), col("id"))
+      },
+      Some {
+        val tokensOfText = O.tokensSql("text")
+        val P = graft.functions.PortableMath
+        val B = 512
+        s"""WITH ${TextQueries.lmNllCtes(50, 300)},
+           |lmdocs AS (
+           |  SELECT d.doc_id, d.source, d.text,
+           |    CAST(len($tokensOfText) AS BIGINT) AS n_tokens,
+           |    coalesce(a.nll_q6, 0) AS nll_q6
+           |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+           |kept AS MATERIALIZED (
+           |  SELECT doc_id, source, text, n_tokens FROM lmdocs
+           |  WHERE nll_q6 <= $LmThresholdQ6 * n_tokens),
+           |dex AS MATERIALIZED (
+           |  SELECT id, is_t, (${graft.functions.Hashing.h64Sql("tok", "dsir")}) % $B AS b
+           |  FROM (SELECT doc_id AS id, source = 'src0' AS is_t,
+           |          unnest($tokensOfText) AS tok FROM kept)
+           |), dcounts AS MATERIALIZED (
+           |  SELECT b,
+           |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) + 1 AS xt,
+           |    CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) + 1 AS xr
+           |  FROM dex GROUP BY b
+           |), dw1 AS (
+           |  SELECT b, ${P.mWideSql("xt")} AS mt, ${P.biasWideSql("xt")} AS bt,
+           |    ${P.mWideSql("xr")} AS mr, ${P.biasWideSql("xr")} AS br FROM dcounts
+           |), dw2 AS (
+           |  SELECT b, ${P.zSql("mt")} AS zt, bt, ${P.zSql("mr")} AS zr, br FROM dw1
+           |), dw3 AS (
+           |  SELECT b, zt, (zt * zt) AS zzt, bt, zr, (zr * zr) AS zzr, br FROM dw2
+           |), dwq AS MATERIALIZED (
+           |  SELECT b, CAST(floor((${P.lnFromPartsSql("zt", "zzt", "bt")}
+           |    - ${P.lnFromPartsSql("zr", "zzr", "br")}) * 1.0E9 + 0.5E0) AS BIGINT) AS delta_q
+           |  FROM dw3
+           |), dtot0 AS (
+           |  SELECT CAST(sum(xt - 1) AS BIGINT) + $B AS tt,
+           |    CAST(sum(xr - 1) AS BIGINT) + $B AS tr FROM dcounts
+           |), dg1 AS (
+           |  SELECT ${P.mWideSql("tt")} AS mt, ${P.biasWideSql("tt")} AS bt,
+           |    ${P.mWideSql("tr")} AS mr, ${P.biasWideSql("tr")} AS br FROM dtot0
+           |), dg2 AS (
+           |  SELECT ${P.zSql("mt")} AS zt, bt, ${P.zSql("mr")} AS zr, br FROM dg1
+           |), dg3 AS (
+           |  SELECT zt, (zt * zt) AS zzt, bt, zr, (zr * zr) AS zzr, br FROM dg2
+           |), dcq AS MATERIALIZED (
+           |  SELECT CAST(floor((${P.lnFromPartsSql("zr", "zzr", "br")}
+           |    - ${P.lnFromPartsSql("zt", "zzt", "bt")}) * 1.0E9 + 0.5E0) AS BIGINT) AS const_q
+           |  FROM dg3
+           |), sel AS MATERIALIZED (
+           |  SELECT id FROM (
+           |    SELECT id, CAST(sum(delta_q + const_q) AS BIGINT) AS score_q9
+           |    FROM dex JOIN dwq USING (b) CROSS JOIN dcq
+           |    WHERE NOT is_t GROUP BY id
+           |    ORDER BY score_q9 DESC, id LIMIT 100)
+           |), pool AS MATERIALIZED (
+           |  SELECT k.doc_id, k.source, k.n_tokens
+           |  FROM kept k JOIN sel s ON s.id = k.doc_id
+           |), tt AS (
+           |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tt
+           |  FROM pool GROUP BY source
+           |), tw AS (
+           |  SELECT source, tt,
+           |    CAST(floor(sqrt(CAST(tt AS DOUBLE)) * 1.0E6 + 0.5E0) AS BIGINT) AS wq
+           |  FROM tt
+           |), tsw AS (
+           |  SELECT CAST(sum(wq) AS BIGINT) AS sw FROM tw
+           |), mixed AS MATERIALIZED (
+           |  SELECT p.doc_id, p.source, p.n_tokens
+           |  FROM pool p JOIN tw USING (source) CROSS JOIN tsw
+           |  WHERE CAST(${O.h32Sql("doc_id", "psm")} AS DOUBLE) <
+           |    (CASE WHEN tt > 0 THEN least(1.0, (1500.0E0 * CAST(wq AS DOUBLE)) /
+           |      (CAST(sw AS DOUBLE) * CAST(tt AS DOUBLE))) ELSE 0.0E0 END) * 4294967296.0
+           |), pt AS (
+           |  SELECT source AS shard, doc_id AS id, n_tokens,
+           |    ${O.h32Sql("CAST(doc_id AS VARCHAR)", "psp")} AS coin
+           |  FROM mixed
+           |), packed AS (
+           |  SELECT shard, id, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (
+           |      PARTITION BY shard ORDER BY coin, id
+           |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+           |  FROM pt)
+           |SELECT shard, id, n_tokens, start_tok,
+           |  CAST(start_tok // 256 AS BIGINT) AS chunk_first,
+           |  CAST((start_tok + greatest(n_tokens - 1, 0)) // 256 AS BIGINT) AS chunk_last
+           |FROM packed ORDER BY shard, id""".stripMargin
+      }),
+
     // The incremental-corpus LIFECYCLE a production pipeline runs daily,
     // composed over the REAL Delta write path and replayed by the oracle
     // from the raw batches: create with a live CHECK constraint →

@@ -371,6 +371,82 @@ object SimilarityQueries extends QueryModule {
            |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
       }),
 
+    // The recall CURVE users actually tune against: recall@5 summed over
+    // the query set for nprobe ∈ {1,2,4,8,16} — sim_recall scores one
+    // operating point; the tuning decision is the curve. Zero new
+    // kernels: five ivfTopK calls against ONE checkpointed brute top-5.
+    // Monotonicity is a THEOREM here (an element of the global top-5
+    // present in a candidate set stays in the top-5 of any superset —
+    // at most the same elements outrank it), so the in-query require()
+    // is a hard correctness pin, not a heuristic; the collect is 5 rows.
+    // The oracle shares IvfAssignCtes and scores the rn≤16 candidate
+    // set ONCE, carrying each neighbor's probe rank — per-nprobe results
+    // are then rank filters, not five replayed chains.
+    "sim_recall_sweep" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 8)
+        val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+        val rows = Seq(1, 2, 4, 8, 16).map { np =>
+          val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+              queries, "vec_id", "embedding", k = 5,
+              numCentroids = 16, nprobe = np)
+            .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+          brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+            .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+              count(lit(1)).as("k"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"), col("k"))
+        }.reduce(_ unionAll _).localCheckpoint()
+        val arr = rows.orderBy(col("nprobe")).collect() // 5 rows, bounded
+        require(arr.map(_.getLong(1)).sliding(2).forall(p =>
+            p.length < 2 || p(0) <= p(1)),
+          "recall@5 must be monotone non-decreasing in nprobe — a " +
+            "violation means the candidate sets are not nested")
+        rows.orderBy(col("nprobe"))
+      },
+      Some {
+        val O = OracleSql
+        val assignCos = O.cosineN("b.v", "c.cv", "b.nrm", "c.cnrm", 64)
+        val perN = Seq(1, 2, 4, 8, 16).map { np =>
+          s"""  SELECT CAST($np AS BIGINT) AS nprobe,
+             |    CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+             |    CAST(count(*) AS BIGINT) AS k
+             |  FROM brk b LEFT JOIN (
+             |    SELECT query_id, neighbor_id FROM (
+             |      SELECT query_id, neighbor_id,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY cos DESC, neighbor_id) AS rnk
+             |      FROM scored16 WHERE prn <= $np) WHERE rnk <= 5) i
+             |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""$IvfAssignCtes, prk AS MATERIALIZED (
+           |  SELECT id AS query_id, cell, rn FROM (
+           |    SELECT b.id, c.cid AS cell,
+           |      row_number() OVER (PARTITION BY b.id ORDER BY $assignCos DESC, c.cid) AS rn
+           |    FROM ebase b CROSS JOIN cents c WHERE b.id < 8)
+           |), scored16 AS MATERIALIZED (
+           |  SELECT g.query_id, g.neighbor_id, g.prn,
+           |    ${O.cosineN("q.v", "n.v", "q.nrm", "n.nrm", 64)} AS cos
+           |  FROM (SELECT p.query_id, a.id AS neighbor_id, p.rn AS prn
+           |        FROM assigned a JOIN prk p ON a.cell = p.cell
+           |        WHERE a.id <> p.query_id) g
+           |  JOIN ebase q ON q.id = g.query_id JOIN ebase n ON n.id = g.neighbor_id
+           |), bq AS (
+           |  SELECT id AS query_id, v AS qv, nrm AS qnrm FROM ebase WHERE id < 8
+           |), brk AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT b.query_id, e.id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY b.query_id
+           |        ORDER BY ${O.cosineN("b.qv", "e.v", "b.qnrm", "e.nrm", 64)} DESC, e.id) AS rnk
+           |    FROM bq b CROSS JOIN ebase e WHERE e.id <> b.query_id) WHERE rnk <= 5
+           |)
+           |SELECT nprobe, hits, k FROM (
+           |$perN
+           |) ORDER BY nprobe""".stripMargin
+      }),
+
     // Codebook-quality diagnostics over the SAME assignment chain as
     // sim_topk_ivf (shared IvfAssignCtes — search and diagnostics cannot
     // drift): per cell, member count + exact-integer quantized SSE to

@@ -131,6 +131,72 @@ object StreamingCuration {
       .drop("__fresh")
   }
 
+  /** Streaming EMBEDDING near-dup dedup — the vector-space twin of
+    * [[dedupNearWithinWatermark]] and the streaming end of
+    * [[graft.ops.Dedup.embeddingNearDups]] (same hyperplane-LSH
+    * kernels — one shared definition of "near"). A doc's signature is
+    * its sign pattern over `planes` md5-derived hyperplanes; the batch
+    * operator's candidate condition is Hamming(sigA, sigB) ≤ 1 (the
+    * 1-bit multiprobe), reproduced here EXACTLY with per-plane key
+    * pairs: each doc emits, for every plane p, the keys `(sig, p)` and
+    * `(sig XOR 2^p, p)`. Two docs share a key iff their signatures are
+    * within Hamming distance 1 — `(sigA,p)=(sigB,p)` ⟺ equal;
+    * `(flip_p(sigA),p)=(sigB,p)` ⟺ they differ exactly at p;
+    * `(flip_p(sigA),p)=(flip_p(sigB),p)` ⟺ equal (flip is an
+    * involution) — so no Hamming-2 pair ever collides (a naive
+    * {sig} ∪ flips probe set would drop those too, silently widening
+    * "near"). Keys dedup through `dropDuplicatesWithinWatermark`; a doc
+    * survives only when ALL `2·planes` of its keys are fresh.
+    *
+    * The honest bounded-state contract (the [[dedupNearWithinWatermark]]
+    * one, restated for vectors):
+    *  - State is `2·planes` key entries per doc inside the watermark
+    *    plus one open group per doc — arrival rate × watermark sized,
+    *    never corpus sized. A near-dup arriving after its original's
+    *    keys evicted is emitted again; deep history is the batch pass.
+    *  - CANDIDATE-level dedup: no exact-cosine verify (that would hold
+    *    `dims` floats per doc in state). A signature collision at 16
+    *    planes implies likely-high cosine, and a false drop is the
+    *    conservative failure for a corpus feed; the batch operator's
+    *    cosine-verified pairs remain the precise tool.
+    *  - Keys of a DROPPED doc still enter state (chains collapse to
+    *    one survivor); sig-IDENTICAL docs in one micro-batch collapse
+    *    deterministically (an exact-signature dedup stage runs before
+    *    the key fan-out — one winner per signature), but Hamming-1
+    *    same-batch pairs can split key wins and all drop — the same
+    *    documented deviation as the text twin.
+    *  - Docs whose vector yields no signature (null/short vector) are
+    *    dropped, matching the batch base's behavior on empty inputs —
+    *    validate vectors upstream.
+    */
+  def dedupEmbeddingWithinWatermark(docs: DataFrame, vecCol: String,
+                                    tsCol: String, watermark: String,
+                                    planes: Int = 16, dims: Int = 64): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"bad planes: $planes")
+    val cols = docs.columns.toSeq
+    Seq("__sig", "__key", "__fresh").foreach(c => require(!cols.contains(c),
+      s"dedupEmbeddingWithinWatermark reserves column name '$c'"))
+    val m = graft.ops.Similarity.hyperplaneMatrix(planes, dims)
+    val keyed = docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("__sig", graft.ops.Similarity.signature(col(vecCol), m))
+      .filter(col("__sig").isNotNull)
+      // exact (signature-identical) duplicates first: one key per doc →
+      // one winner, so identical same-batch copies can't split key wins
+      .dropDuplicatesWithinWatermark("__sig")
+      .select(cols.map(col) :+
+        explode(array((0 until planes).flatMap(p => Seq(
+          struct(col("__sig").as("s"), lit(p).as("p")),
+          struct(col("__sig").bitwiseXOR(lit(1L << p)).as("s"),
+            lit(p).as("p")))): _*)).as("__key"): _*)
+    keyed
+      .dropDuplicatesWithinWatermark("__key")
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__fresh"))
+      .filter(col("__fresh") === 2L * planes)
+      .drop("__fresh")
+  }
+
   /** WITHIN-batch verified near-dedup — the precise counterpart of
     * [[dedupNearWithinWatermark]]'s candidate-level contract, for the one
     * case that contract documents as lossy: NEAR-identical docs landing

@@ -240,6 +240,79 @@ class IcebergUniformSpec extends SparkSpec {
       "post-recovery snapshot must list exactly the live files")
   }
 
+  test("UniForm auto-sync: every commit advances the mirror; UNSET stops it; refusal matrix") {
+    val t = DeltaTable.forPath(spark, tmpDir("ice-uniform-auto")).create(schema,
+      configuration = Map(
+        DeltaTable.IcebergCompatV1Key -> "true",
+        DeltaTable.UniversalFormatKey -> "iceberg"))
+    assert(t.snapshot.protocol.exists(
+        _.writerFeatures.exists(_.contains("icebergCompatV1"))),
+      "CREATE with compat must enumerate the writer feature")
+    // the post-commit hook mirrors WITHOUT any manual sync() call
+    t.append(df(0 until 10))
+    assert(IcebergUniform.currentFiles(t).toSet === liveSet(t),
+      "append must auto-advance the mirror")
+    assert(t.delete(col("id") % 3 === 0) > 0L)
+    assert(IcebergUniform.currentFiles(t).toSet === liveSet(t),
+      "delete must auto-advance the mirror")
+    assert(metaJson(t).path("current-snapshot-id").asLong() === t.snapshot.version)
+
+    // compat may not drop out from under the mirror; dropping the
+    // mirror itself stops syncing (protocol keeps the feature)
+    val eU = intercept[IllegalArgumentException](
+      t.unsetProperties(Seq(DeltaTable.IcebergCompatV1Key)))
+    assert(eU.getMessage.contains("unset the"))
+    t.unsetProperties(Seq(DeltaTable.UniversalFormatKey))
+    val hintBefore = metaJson(t).path("current-snapshot-id").asLong()
+    t.append(df(20 until 25))
+    assert(metaJson(t).path("current-snapshot-id").asLong() === hintBefore,
+      "after UNSET the mirror must stop advancing")
+    assert(t.snapshot.protocol.exists(
+        _.writerFeatures.exists(_.contains("icebergCompatV1"))),
+      "protocol never downgrades")
+    // re-enabling needs only the formats key (compat feature persists in
+    // config? no — config was kept; re-SET and the hook resumes)
+    t.setProperties(Map(DeltaTable.UniversalFormatKey -> "iceberg"))
+    assert(IcebergUniform.currentFiles(t).toSet === liveSet(t),
+      "re-enabling SET must resync in its own post-commit")
+
+    // refusal matrix
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTable.forPath(spark, tmpDir("ice-u-nocompat")).create(schema,
+        configuration = Map(DeltaTable.UniversalFormatKey -> "iceberg")))
+    assert(e1.getMessage.contains("enableIcebergCompatV1"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaTable.forPath(spark, tmpDir("ice-u-dv")).create(schema,
+        configuration = Map(
+          DeltaTable.UniversalFormatKey -> "iceberg",
+          DeltaTable.IcebergCompatV1Key -> "true",
+          DeltaTable.DvConfigKey -> "true")))
+    assert(e2.getMessage.contains("deletion vectors"))
+    val e3 = intercept[IllegalArgumentException](
+      DeltaTable.forPath(spark, tmpDir("ice-u-cm")).create(schema,
+        configuration = Map(
+          DeltaTable.UniversalFormatKey -> "iceberg",
+          DeltaTable.IcebergCompatV1Key -> "true",
+          DeltaTable.ColumnMappingModeKey -> "name")))
+    assert(e3.getMessage.contains("column-mapped"))
+    // enabling DV on a live UniForm table refuses (two-directional)
+    val e4 = intercept[IllegalArgumentException](
+      t.setProperties(Map(DeltaTable.DvConfigKey -> "true")))
+    assert(e4.getMessage.contains("deletion vectors"))
+    // a DV-enabled table refuses the mirror
+    val dvT = DeltaTable.forPath(spark, tmpDir("ice-u-dvfirst")).create(schema,
+      configuration = Map(DeltaTable.DvConfigKey -> "true"))
+    val e5 = intercept[IllegalArgumentException](
+      dvT.setProperties(Map(
+        DeltaTable.UniversalFormatKey -> "iceberg",
+        DeltaTable.IcebergCompatV1Key -> "true")))
+    assert(e5.getMessage.contains("deletion vectors"))
+    // unknown format value refuses
+    val e6 = intercept[IllegalArgumentException](
+      t.setProperties(Map(DeltaTable.UniversalFormatKey -> "hudi")))
+    assert(e6.getMessage.contains("only 'iceberg'"))
+  }
+
   test("refuses deletion-vector tables loudly (a mirror would resurrect deleted rows)") {
     val t = DeltaTable.forPath(spark, tmpDir("ice-dv")).create(schema,
       configuration = Map(DeltaTable.DvConfigKey -> "true"))

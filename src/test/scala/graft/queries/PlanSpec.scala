@@ -465,6 +465,23 @@ class PlanSpec extends SparkSpec {
       "DSIR exchanges must carry bucket ids and counts, never text/tokens:\n" + p)
   }
 
+  test("pipeline_select: no exchange carries the text column end-to-end") {
+    // LM gate scores in the scan stage; DSIR reduces to (id, bucket)
+    // longs; the 100 selected ids broadcast; mixture rates broadcast;
+    // packing shuffles (shard, id, n_tokens). The corpus text itself
+    // must cross ZERO exchanges — the property that lets the recipe run
+    // at 100 TB with one id-sized shuffle per stage.
+    val df = Registry.all("pipeline_select").build(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    assert(exchangeInputs.forall(in => !in.contains("text#") && !in.contains("ts#")),
+      "pipeline_select exchanges must carry ids/counts, never text/tokens:\n" + p)
+  }
+
   test("removeDupSpans: the document frame itself never shuffles") {
     // the dup-starts side exchanges (id, pos, h) rows; the doc-side scan
     // joins those back without an exchange of its own (broadcast at this

@@ -787,6 +787,90 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup: Hamming≤1 drops, Hamming 2 survives, eviction readmits; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dims = 8; val planes = 6
+    // signature relationships are engineered, not assumed: scaling a
+    // vector preserves every hyperplane sign (Hamming 0), negation flips
+    // all of them (Hamming = planes); the H1/H2 probes are FOUND by
+    // computing real signatures over perturbations — deterministic
+    // search order, so the test is stable
+    val base = Seq(1.0f, 0.62f, -0.41f, 0.23f, -0.85f, 0.17f, -0.33f, 0.49f)
+    def sigsOf(vs: Seq[Seq[Float]]): Seq[Long] = {
+      val m = graft.ops.Similarity.hyperplaneMatrix(planes, dims)
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      df.select(org.apache.spark.sql.functions.col("id"),
+          graft.ops.Similarity.signature(
+            org.apache.spark.sql.functions.col("v"), m).as("s"))
+        .orderBy("id").collect().map(_.getLong(1)).toSeq
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val sigBase = sigsOf(Seq(base)).head
+    def findAtHamming(h: Int): Seq[Float] = {
+      val cands = for (i <- 0 until dims; d <- Seq(0.5f, 1.0f, 2.0f, -0.5f, -1.0f, -2.0f))
+        yield base.updated(i, base(i) + d)
+      val sigs = sigsOf(cands)
+      cands.zip(sigs).collectFirst {
+        case (v, s) if hamming(s, sigBase) == h => v
+      }.getOrElse(fail(s"no perturbation at Hamming $h — widen the search"))
+    }
+    val vEq = base.map(_ * 2.0f)       // Hamming 0, guaranteed
+    val vFar = base.map(v => -v)       // Hamming = planes, guaranteed
+    val vH1 = findAtHamming(1)
+    val vH2 = findAtHamming(2)
+
+    // batch parity FIRST: the stream's drop set must match the batch
+    // operator's candidate definition (threshold -1 keeps every LSH
+    // candidate — "near" is the signature condition, shared kernels)
+    val allDocs = Seq((1L, base), (2L, vEq), (3L, vH1), (4L, vH2), (5L, vFar))
+      .toDF("id", "v")
+    val candPairs = graft.ops.Dedup.embeddingNearDups(allDocs, "id", "v",
+        threshold = -1.0, planes = planes, dims = dims)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candPairs.contains((1L, 2L)), "Hamming-0 pair must be a batch candidate")
+    assert(candPairs.contains((1L, 3L)), "Hamming-1 pair must be a batch candidate")
+    assert(!candPairs.contains((1L, 4L)),
+      "Hamming-2 pair must NOT be a batch candidate (1-bit multiprobe)")
+    assert(!candPairs.contains((1L, 5L)))
+
+    val in = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val docs = in.toDF.toDF("doc_id", "ts", "vec")
+    val q = StreamingCuration.dedupEmbeddingWithinWatermark(
+        docs, "vec", "ts", "10 minutes", planes = planes, dims = dims)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("emb").outputMode(OutputMode.Append()).start()
+    try {
+      // doc 8 is sig-identical to doc 1 IN THE SAME BATCH: the exact
+      // signature pre-dedup keeps exactly one (key winners alone could
+      // split between the copies and drop both)
+      in.addData((1L, ts(0), base), (8L, ts(0), vEq))
+      q.processAllAvailable()
+      // within the watermark: H1 collides → drop; H2 does NOT collide
+      // (per-plane key pairs reproduce the batch condition exactly — a
+      // probe-set union would wrongly drop it); far survives
+      in.addData((3L, ts(2), vH1))
+      in.addData((4L, ts(3), vH2), (5L, ts(4), vFar))
+      q.processAllAvailable()
+      // advance the watermark far enough to close groups + evict keys
+      in.addData((9L, ts(59), Seq.fill(dims)(0.9f)))
+      q.processAllAvailable()
+      // H1 again, past eviction: the bounded-state contract readmits
+      in.addData((6L, ts(58), vH1))
+      q.processAllAvailable()
+      in.addData((7L, Timestamp.valueOf("2024-01-01 11:30:00"),
+        Seq.fill(dims)(-0.7f)))
+      q.processAllAvailable()
+      val out = spark.table("emb").collect().map(_.getLong(0)).toSet
+      assert((out & Set(1L, 8L)).size === 1,
+        s"exactly one of the sig-identical same-batch copies survives; got $out")
+      assert(!out.contains(3L), s"Hamming-1 doc inside the watermark must drop; got $out")
+      assert(out.contains(4L), s"Hamming-2 doc must SURVIVE; got $out")
+      assert(out.contains(5L), s"far doc must survive; got $out")
+      assert(out.contains(6L), s"post-eviction near-dup must be readmitted; got $out")
+    } finally q.stop()
+  }
+
   test("verified near-dedup sink: same-batch near-identical docs keep exactly one representative") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
