@@ -328,6 +328,26 @@ object Bench {
           System.err.println(f"[bench] maint $name%-18s $sec%.3f")
           r
         }
+        // min-of-N for STATELESS steps only (the graph legs: folds and
+        // recomputes read checkpointed/Delta state and mutate nothing) —
+        // the mutating steps above them are one-shot by nature, but a
+        // stateless ratio read off single shots is a warmup/contention
+        // lottery: r19's first run showed fold 3.0 vs fold_scan 1.7 on
+        // identical inner work purely from leg order.
+        val graphIters =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_GRAPH_ITERS", "2").toInt
+        def stepMin[A](name: String)(body: => A): A = {
+          var best = Double.MaxValue
+          var last: Option[A] = None
+          (1 to math.max(1, graphIters)).foreach { _ =>
+            val t0 = System.nanoTime()
+            last = Some(body)
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          steps(name) = (best, calibSlice())
+          System.err.println(f"[bench] maint $name%-18s $best%.3f (min of $graphIters)")
+          last.get
+        }
         val dir = Scratch.dir("graft-bench-maint") + "/tbl"
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
@@ -392,25 +412,12 @@ object Bench {
         //  - graph_recompute: the from-scratch twin over the post graph.
         locally {
           val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRAPH_REP", "16").toInt
-          val off = 1L << 20
-          val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
-            .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-              col("l_partkey").cast("long").as("pa"))
-            .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
-              .select(col("l_orderkey").as("ok"),
-                (col("l_linenumber") - 1).as("ln"),
-                col("l_partkey").cast("long").as("pb")), Seq("ok", "ln"))
-            .where(col("pa") =!= col("pb"))
-            .select(org.apache.spark.sql.functions.least(col("pa"), col("pb")).as("u"),
-              org.apache.spark.sql.functions.greatest(col("pa"), col("pb")).as("v"))
-            .distinct()
-          val pairs = (0 until rep).map(c =>
-              base.select((col("u") + lit(c * off)).as("u"),
-                (col("v") + lit(c * off)).as("v")))
-            .reduce(_ unionAll _)
-          val isChange = org.apache.spark.sql.functions
-            .pmod(org.apache.spark.sql.functions.xxhash64(col("u"), col("v")),
-              lit(4096L)) === 0L && col("u") < off
+          // fixture shared with tools/AdjProbe — ONE definition, so the
+          // probe always measures the leg it explains (and the replica
+          // id-offset bug class stays fixed in one place)
+          val regime = tools.RegimeGraph(spark, sfDir, rep)
+          val pairs = regime.pairs
+          val isChange = regime.isChange
           val ins = pairs.where(isChange).localCheckpoint()
           val changes = ins.select(col("u").as("a"), col("v").as("b"))
             .withColumn("_change_type", lit("insert"))
@@ -434,17 +441,17 @@ object Bench {
           val degPre = ops.Graph.pairDegrees(pre, "u", "v").localCheckpoint()
           val triPre = ops.Graph.triangles(
             pre.select(col("u").as("src"), col("v").as("dst"))).localCheckpoint()
-          step("graph_fold") {
+          stepMin("graph_fold") {
             run(ops.Graph.applyDegreeDelta(degPre, ops.Graph.degreeDelta(changes)))
             run(ops.Graph.applyTriangleDelta(triPre,
               ops.Graph.triangleDeltaBucketed(mirror, changes)))
           }
-          step("graph_fold_scan") {
+          stepMin("graph_fold_scan") {
             run(ops.Graph.applyDegreeDelta(degPre, ops.Graph.degreeDelta(changes)))
             run(ops.Graph.applyTriangleDelta(triPre,
               ops.Graph.triangleDelta(pre, changes)))
           }
-          step("graph_recompute") {
+          stepMin("graph_recompute") {
             val post = pre.unionAll(ins)
             run(ops.Graph.pairDegrees(post, "u", "v"))
             run(ops.Graph.triangles(

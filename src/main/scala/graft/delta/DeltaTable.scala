@@ -82,10 +82,15 @@ object DeltaTable {
   val IcebergCompatV1Key = "delta.enableIcebergCompatV1"
 
   /** The IcebergCompatV1 invariants, enforced at CREATE/SET time so the
-    * post-commit sync can never start failing later: compat flag on, no
-    * DVs (an Iceberg reader cannot apply them), no column mapping (the
-    * mirror exports LOGICAL names by design), identity-partition-typed
-    * partition columns only. */
+    * post-commit sync can never start failing later: no DVs (an Iceberg
+    * reader cannot apply them), no column mapping (the mirror exports
+    * LOGICAL names by design), identity-partition-typed partition
+    * columns only. The invariants key off the COMPAT flag, not the
+    * formats key — the protocol's icebergCompatV1 writer feature is the
+    * promise an external engine trusts, so a compat-flagged table must
+    * hold the invariants even while the mirror itself is disabled
+    * (enabling DVs on a compat-only table would let a later
+    * mirror/UniForm enable resurrect deleted rows). */
   private[delta] def requireIcebergCompatible(conf: Map[String, String],
                                               schema: StructType,
                                               partCols: Seq[String]): Unit = {
@@ -93,30 +98,36 @@ object DeltaTable {
       val formats = v.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
       require(formats.nonEmpty && formats.forall(_ == "iceberg"),
         s"$UniversalFormatKey supports only 'iceberg', got '$v'")
+      require(conf.get(IcebergCompatV1Key).contains("true"),
+        s"$UniversalFormatKey=iceberg requires $IcebergCompatV1Key=true " +
+          "(delta-spark's IcebergCompat rule — the compat feature is what " +
+          "guarantees the mirror's invariants hold for every future write)")
     }
-    require(conf.get(IcebergCompatV1Key).contains("true"),
-      s"$UniversalFormatKey=iceberg requires $IcebergCompatV1Key=true " +
-        "(delta-spark's IcebergCompat rule — the compat feature is what " +
-        "guarantees the mirror's invariants hold for every future write)")
-    require(!conf.get(DvConfigKey).contains("true"),
-      "UniForm (iceberg) and deletion vectors are mutually exclusive — " +
-        "an Iceberg reader cannot apply DV masks and would resurrect " +
-        "deleted rows")
-    require(!conf.get(ColumnMappingModeKey).exists(_ != "none"),
-      "UniForm (iceberg) is not supported on column-mapped tables — this " +
-        "engine's mirror exports logical names")
-    partCols.foreach { c =>
-      schema(c).dataType match {
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.StringType |
-             org.apache.spark.sql.types.DateType =>
-        case t => throw new IllegalArgumentException(
-          s"UniForm (iceberg): partition column $c has type ${t.sql} — " +
-            "only int/long/string/date identity partitions are mirrored")
+    if (conf.get(IcebergCompatV1Key).contains("true")) {
+      require(!conf.get(DvConfigKey).contains("true"),
+        "IcebergCompatV1 and deletion vectors are mutually exclusive — " +
+          "an Iceberg reader cannot apply DV masks and would resurrect " +
+          "deleted rows")
+      require(!conf.get(ColumnMappingModeKey).exists(_ != "none"),
+        "IcebergCompatV1 is not supported on column-mapped tables — this " +
+          "engine's mirror exports logical names")
+      partCols.foreach { c =>
+        schema(c).dataType match {
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.DateType =>
+          case t => throw new IllegalArgumentException(
+            s"IcebergCompatV1: partition column $c has type ${t.sql} — " +
+              "only int/long/string/date identity partitions are mirrored")
+        }
       }
     }
   }
+
+  private[delta] def icebergCompatChecked(conf: Map[String, String]): Boolean =
+    conf.contains(UniversalFormatKey) ||
+      conf.get(IcebergCompatV1Key).contains("true")
 
   private[delta] def uniformIcebergOn(conf: Map[String, String]): Boolean =
     conf.get(UniversalFormatKey).exists(
@@ -954,7 +965,7 @@ final class DeltaTable(spark: SparkSession, val path: String) {
         s"${DeltaTable.ColumnMappingModeKey} must be none|name|id, got '$requestedMode'")
       if (configuration.get(DeltaTable.SymlinkManifestKey).contains("true"))
         requireManifestCompatible(configuration, Nil)
-      if (configuration.contains(DeltaTable.UniversalFormatKey))
+      if (DeltaTable.icebergCompatChecked(configuration))
         DeltaTable.requireIcebergCompatible(configuration, schema, partitionColumns)
       val mapping = requestedMode == "name" || requestedMode == "id"
       // column mapping composes with partitioning and CDF (round 11):
@@ -1222,10 +1233,12 @@ final class DeltaTable(spark: SparkSession, val path: String) {
       require(!(conf0 ++ props).get(DeltaTable.SymlinkManifestKey).contains("true"),
         "cannot enable deletion vectors while symlink manifests are " +
           "enabled — a manifest reader would see deleted rows")
-    // UniForm (iceberg): invariants checked against the MERGED config so
-    // enabling rides one SET whether or not compat was already on; the
-    // DV exclusion is two-directional, like the symlink-manifest rule
-    if ((conf0 ++ props).contains(DeltaTable.UniversalFormatKey))
+    // UniForm/IcebergCompat: invariants checked against the MERGED
+    // config so enabling rides one SET whether or not compat was
+    // already on — and so a later SET (e.g. enabling DVs) on a
+    // compat-flagged table refuses; the DV exclusion is
+    // two-directional, like the symlink-manifest rule
+    if (DeltaTable.icebergCompatChecked(conf0 ++ props))
       DeltaTable.requireIcebergCompatible(conf0 ++ props,
         snap0.metadata.map(m => org.apache.spark.sql.types.DataType
           .fromJson(m.schemaString).asInstanceOf[StructType])
@@ -2315,6 +2328,36 @@ final class DeltaTable(spark: SparkSession, val path: String) {
           // names, inferred types stay for extras; the by-name alignment
           // downstream then works exactly as for json.
           val csvOpts = Map("header" -> "true") ++ options
+          // The positional bind below is only sound when EVERY file
+          // shares the first file's header: a landing dir fed by two
+          // producers with reordered columns would bind one producer's
+          // values into the other's columns (PERMISSIVE → nulls/swaps)
+          // and COMMIT silently corrupted rows. Refuse loudly instead —
+          // one distributed first-line read per file, driver state =
+          // one header string per file (∝ the listing already held).
+          if (csvOpts.getOrElse("header", "true") == "true" && newFiles.size > 1) {
+            val paths = newFiles.map(_.toString)
+            val headerOf = spark.sparkContext
+              .parallelize(paths, math.min(paths.size, 64))
+              .map { p =>
+                val hp = new Path(p)
+                val hfs = hp.getFileSystem(
+                  new org.apache.hadoop.conf.Configuration())
+                val in = new java.io.BufferedReader(
+                  new java.io.InputStreamReader(hfs.open(hp), "UTF-8"))
+                try (p, Option(in.readLine()).getOrElse("")) finally in.close()
+              }.collect().toMap
+            val canon = headerOf(paths.head)
+            val off = paths.filter(p => headerOf(p) != canon)
+            require(off.isEmpty,
+              "COPY INTO csv: source files disagree on the header row — " +
+                "the csv reader binds columns BY POSITION under one " +
+                s"schema, so mixed layouts would load corrupted rows. " +
+                s"Expected '${canon.take(120)}' (from ${paths.head}); " +
+                s"differing: ${off.take(3).mkString(", ")}" +
+                (if (off.size > 3) s" (+${off.size - 3} more)" else "") +
+                ". Load each layout with its own COPY INTO PATTERN.")
+          }
           val inferred = spark.read
             .options(csvOpts + ("inferSchema" -> "true"))
             .csv(newFiles.map(_.toString): _*).schema

@@ -92,18 +92,21 @@ object IcebergUniform {
     fs.mkdirs(metaDir)
 
     val hint = new Path(metaDir, "version-hint.text")
-    // a torn/unparsable hint (crash mid-write before the atomic-rename
-    // discipline below existed, or an external scribble) reads as
-    // ABSENT — the mirror restarts from a fresh lineage rather than
-    // failing every future sync on a parse error
+    // a torn/unparsable/ABSENT hint recovers from the metadata listing
+    // (the HadoopTables fallback): the hint write is delete-then-rename
+    // (local-fs rename won't clobber), so a concurrent reader — or a
+    // crash between the two — can observe no hint while vN.metadata.json
+    // files exist; restarting the lineage from that window would mint a
+    // fresh table-uuid and orphan the snapshot history
     val prior: Option[ObjectNode] =
-      if (!fs.exists(hint)) None
-      else scala.util.Try {
-        val n = readString(fs, hint).trim.toLong
+      hintedVersion(fs, metaDir, hint).flatMap { n =>
         val p = new Path(metaDir, s"v$n.metadata.json")
-        if (fs.exists(p)) Some(M.readTree(readString(fs, p)).asInstanceOf[ObjectNode])
-        else None
-      }.toOption.flatten
+        scala.util.Try {
+          if (fs.exists(p))
+            Some(M.readTree(readString(fs, p)).asInstanceOf[ObjectNode])
+          else None
+        }.toOption.flatten
+      }
     // idempotency: the mirror is already at this Delta version — return
     // the existing file (plain value, no non-local return through a
     // lambda: a NonLocalReturnControl crossing a future try/finally is a
@@ -588,6 +591,29 @@ object IcebergUniform {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Current mirror version: the hint when readable and pointing at an
+    * existing metadata file, else the max `vN.metadata.json` in the
+    * listing (the HadoopTables recovery path — the hint is a HINT, not
+    * the source of truth; see the sync() comment on the delete-rename
+    * window). */
+  private def hintedVersion(fs: org.apache.hadoop.fs.FileSystem,
+                            metaDir: Path, hint: Path): Option[Long] = {
+    val fromHint =
+      if (!fs.exists(hint)) None
+      else scala.util.Try(readString(fs, hint).trim.toLong).toOption
+    fromHint
+      .filter(n => fs.exists(new Path(metaDir, s"v$n.metadata.json")))
+      .orElse {
+        val re = "^v(\\d+)\\.metadata\\.json$".r
+        if (!fs.exists(metaDir)) None
+        else fs.listStatus(metaDir).toSeq
+          .flatMap(_.getPath.getName match {
+            case re(n) => scala.util.Try(n.toLong).toOption
+            case _ => None
+          }).maxOption
+      }
+  }
+
   /** Write to a temp sibling, then atomically rename into place (the
     * HadoopTables protocol — readers never observe a partial file). */
   private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem, p: Path,
@@ -611,7 +637,9 @@ object IcebergUniform {
     val root = new Path(table.path)
     val fs = root.getFileSystem(conf)
     val metaDir = new Path(root, "metadata")
-    val n = readString(fs, new Path(metaDir, "version-hint.text")).trim.toLong
+    val n = hintedVersion(fs, metaDir, new Path(metaDir, "version-hint.text"))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no Iceberg mirror at $metaDir — sync() first"))
     val md = M.readTree(readString(fs, new Path(metaDir, s"v$n.metadata.json")))
     val curId = md.path("current-snapshot-id").asLong()
     var listPath: String = null

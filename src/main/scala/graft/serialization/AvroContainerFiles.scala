@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions.{col, struct, to_json}
   *
   * Scale: a pure executor-side foreachPartition — no driver collect,
   * no whole-file buffering (DataFileWriter streams); file count =
-  * partition count, so `repartition(n)` sizes the output. */
+  * partition count, so `repartition(n)` sizes the output.
+  *
+  * Task-failure discipline: each task streams into a HIDDEN temp file
+  * (`.part-*.tmp` — every graft reader, and COPY INTO's listing, skips
+  * dot-files) and renames into a DETERMINISTIC per-partition name only
+  * on success. A task that dies mid-write leaves only invisible temp
+  * litter; its retry re-derives the same partition and the
+  * delete-then-rename replaces whatever a previous attempt landed —
+  * no duplicated records, no torn container ever visible under the
+  * final name. */
 object AvroContainerFiles {
 
   def write(df: DataFrame, dir: String, schemaJson: String): Unit = {
@@ -32,10 +41,12 @@ object AvroContainerFiles {
     jsons.foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
-        val out = new org.apache.hadoop.fs.Path(dir,
-          s"part-${java.util.UUID.randomUUID()}.avro")
-        val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val os = fs.create(out, false)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          f".part-$pid%05d-${java.util.UUID.randomUUID()}.avro.tmp")
+        val fs = fin.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val os = fs.create(tmp, false)
         val w = new DataFileWriter[AnyRef](new GenericDatumWriter[AnyRef](schema))
         w.create(schema, os)
         try {
@@ -44,6 +55,11 @@ object AvroContainerFiles {
             w.append(reader.read(null, DecoderFactory.get().jsonDecoder(schema, j)))
           }
         } finally w.close()
+        fs.delete(fin, false): Unit // a prior attempt's complete twin
+        if (!fs.rename(tmp, fin)) {
+          fs.delete(tmp, false): Unit
+          throw new java.io.IOException(s"atomic rename to $fin failed")
+        }
       }
     }
   }

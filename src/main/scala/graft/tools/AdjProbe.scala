@@ -18,30 +18,12 @@ object AdjProbe {
       System.err.println(f"[probe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
-    val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        col("l_partkey").cast("long").as("pa"))
-      .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey").as("ok"), (col("l_linenumber") - 1).as("ln"),
-          col("l_partkey").cast("long").as("pb")), Seq("ok", "ln"))
-      .where(col("pa") =!= col("pb"))
-      .select(least(col("pa"), col("pb")).as("u"),
-        greatest(col("pa"), col("pb")).as("v"))
-      .distinct()
-    // replicate the graph ×REP with disjoint id spaces; the change batch
-    // stays batch-sized (taken from copy 0 only) — a daily batch does
-    // not scale with the accumulated graph
     val REP = sys.env.getOrElse("ADJ_REP", "8").toInt
     val B = sys.env.getOrElse("ADJ_B", "2048").toInt
-    val OFF = 1L << 20
-    val pairsR = (0 until REP).map(c =>
-        pairs.select((col("u") + lit(c * OFF)).as("u"),
-          (col("v") + lit(c * OFF)).as("v")))
-      .reduce(_ unionAll _)
-    val isChange = pmod(xxhash64(col("u"), col("v")), lit(4096L)) === 0L &&
-      col("u") < OFF
-    val pre = pairsR.where(!isChange).localCheckpoint()
-    val ins = pairsR.where(isChange).localCheckpoint()
+    // fixture shared with the Bench maintenance leg — one definition
+    val regime = RegimeGraph(spark, sfDir, REP)
+    val pre = regime.pairs.where(!regime.isChange).localCheckpoint()
+    val ins = regime.pairs.where(regime.isChange).localCheckpoint()
     System.err.println(s"[probe] |pre|=${pre.count()} |ins|=${ins.count()}")
     val changes = ins.select(col("u").as("a"), col("v").as("b"))
       .withColumn("_change_type", lit("insert"))

@@ -157,6 +157,23 @@ class CopyIntoSpec extends SparkSpec {
     assert(ot.toDF.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
       .toSeq === Seq((1L, "a"), (2L, "b")))
 
+    // mixed header ORDERS across files refuse loudly: the csv reader
+    // binds positionally under one schema, so letting the second layout
+    // through would land its name strings in k (PERMISSIVE → nulls)
+    // and COMMIT silently corrupted rows
+    val msrc = tmpDir("copy-csv-mixed")
+    Seq(("a", 1L)).toDF("name", "k")
+      .coalesce(1).write.option("header", "true").csv(msrc + "/g1")
+    Seq((2L, "b")).toDF("k", "name")
+      .coalesce(1).write.option("header", "true").csv(msrc + "/g2")
+    val mt = DeltaTable.forPath(spark, tmpDir("copy-csv-m"))
+      .create(StructType(Seq(
+        StructField("k", LongType), StructField("name", StringType))))
+    val em = intercept[IllegalArgumentException](
+      mt.copyInto(msrc, format = "csv"))
+    assert(em.getMessage.contains("disagree on the header"))
+    assert(mt.toDF.count() === 0L, "nothing may commit from a mixed load")
+
     // SQL surface accepts the new formats
     val st = DeltaTable.forPath(spark, tmpDir("copy-sql-avro"))
       .create(StructType(Seq(

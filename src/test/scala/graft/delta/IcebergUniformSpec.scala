@@ -313,6 +313,50 @@ class IcebergUniformSpec extends SparkSpec {
     assert(e6.getMessage.contains("only 'iceberg'"))
   }
 
+  test("compat invariants hold WITHOUT the mirror; hint loss recovers from the listing") {
+    // the protocol's icebergCompatV1 writer feature is the promise an
+    // external engine trusts — a compat-flagged table must hold the
+    // invariants even while the mirror itself is off (enabling DVs here
+    // would let a later UniForm enable resurrect deleted rows)
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTable.forPath(spark, tmpDir("ice-c-dv")).create(schema,
+        configuration = Map(
+          DeltaTable.IcebergCompatV1Key -> "true",
+          DeltaTable.DvConfigKey -> "true")))
+    assert(e1.getMessage.contains("deletion vectors"))
+    val c = DeltaTable.forPath(spark, tmpDir("ice-c-only")).create(schema,
+      configuration = Map(DeltaTable.IcebergCompatV1Key -> "true"))
+    assert(c.snapshot.protocol.exists(
+      _.writerFeatures.exists(_.contains("icebergCompatV1"))))
+    val e2 = intercept[IllegalArgumentException](
+      c.setProperties(Map(DeltaTable.DvConfigKey -> "true")))
+    assert(e2.getMessage.contains("deletion vectors"))
+    c.append(df(0 until 5))
+    assert(!new java.io.File(c.path, "metadata").exists(),
+      "compat alone must not write the mirror")
+
+    // hint loss: the delete-then-rename hint write has an absent-file
+    // window, and a crash there loses the hint outright — both recover
+    // from the vN.metadata.json listing instead of restarting the
+    // lineage under a fresh table-uuid
+    val t = DeltaTable.forPath(spark, tmpDir("ice-hint")).create(schema,
+      configuration = Map(
+        DeltaTable.IcebergCompatV1Key -> "true",
+        DeltaTable.UniversalFormatKey -> "iceberg"))
+    t.append(df(0 until 8))
+    val uuid0 = metaJson(t).path("table-uuid").asText()
+    val mv0 = metaJson(t).path("__graft-metadata-version").asLong()
+    assert(new java.io.File(new java.io.File(t.path, "metadata"),
+      "version-hint.text").delete(), "fixture: simulate the hint window")
+    assert(IcebergUniform.currentFiles(t).toSet === liveSet(t),
+      "a reader in the hint window must recover from the listing")
+    t.append(df(10 until 15))
+    assert(metaJson(t).path("table-uuid").asText() === uuid0,
+      "the post-commit sync must CONTINUE the lineage, not restart it")
+    assert(metaJson(t).path("__graft-metadata-version").asLong() === mv0 + 1)
+    assert(IcebergUniform.currentFiles(t).toSet === liveSet(t))
+  }
+
   test("refuses deletion-vector tables loudly (a mirror would resurrect deleted rows)") {
     val t = DeltaTable.forPath(spark, tmpDir("ice-dv")).create(schema,
       configuration = Map(DeltaTable.DvConfigKey -> "true"))
