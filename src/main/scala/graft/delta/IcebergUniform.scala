@@ -22,12 +22,19 @@ import org.apache.spark.sql.types._
   *    assigned field-ids, identity partition spec, snapshot list,
   *    snapshot-log/metadata-log) per the Iceberg table-spec layout;
   *  - `metadata/snap-<id>-<uuid>.avro` — the manifest list (one
-  *    `manifest_file` entry);
-  *  - `metadata/<uuid>-m0.avro` — one manifest holding every live data
-  *    file as a `manifest_entry` (full-state snapshot per sync: the
-  *    summary operation is honestly "overwrite" — incremental manifest
-  *    reuse is an optimization, not a correctness requirement, and a
-  *    full manifest of N files is N small records, not N data files);
+  *    `manifest_file` entry per manifest);
+  *  - `metadata/<uuid>-m0.avro` — the snapshot's NEW manifest. When
+  *    every Delta commit since the prior mirrored version is
+  *    append-only (adds, no removes — determined from the commit JSONs,
+  *    cost ∝ the change), the new manifest holds ONLY the appended
+  *    files and the manifest list carries the prior snapshot's
+  *    manifests forward verbatim (summary operation "append") — with
+  *    auto-sync on every commit, per-commit mirror cost is then ∝ the
+  *    commit, not the table. Deletes/rewrites, aged-out commit JSONs,
+  *    or the manifest count reaching `graft.uniform.maxManifests`
+  *    (spark conf, default 8 — the compaction bound on reader fan-out)
+  *    fall back to one full-state manifest of every live file (summary
+  *    "overwrite");
   *  - `metadata/version-hint.text` — the HadoopTables current-version
   *    pointer.
   *
@@ -117,10 +124,11 @@ object IcebergUniform {
         s"v${p.path("__graft-metadata-version").asLong(1L)}.metadata.json")
         .toString)
     if (upToDate.isDefined) upToDate.get
-    else writeNewSnapshot(snap, meta, prior, fs, root, metaDir, hint)
+    else writeNewSnapshot(table, snap, meta, prior, fs, root, metaDir, hint)
   }
 
-  private def writeNewSnapshot(snap: Snapshot, meta: Actions.Metadata,
+  private def writeNewSnapshot(table: DeltaTable,
+                               snap: Snapshot, meta: Actions.Metadata,
                                prior: Option[ObjectNode],
                                fs: org.apache.hadoop.fs.FileSystem,
                                root: Path, metaDir: Path,
@@ -159,16 +167,58 @@ object IcebergUniform {
       f.put("source-id", topIds(c))
       f.put("field-id", 1000 + i)
     }
+    // INCREMENTAL manifests (the delta-spark UniForm shape): with
+    // auto-sync on every commit, a full-state manifest per sync is
+    // O(live files) per COMMIT — the wrong cost at 100 TB for an
+    // append-heavy ingest engine. When every Delta commit since the
+    // prior mirrored version is append-only (adds, no removes — read
+    // from the commit JSONs, cost ∝ the change, not the table), the new
+    // snapshot writes ONE manifest holding just the appended files and
+    // its manifest list carries the prior snapshot's manifests forward
+    // verbatim. Any delete/rewrite — or the manifest count reaching
+    // `graft.uniform.maxManifests` (spark conf, default 8; the
+    // compaction that bounds reader fan-out), or aged-out commit
+    // JSONs — falls back to the full-state rewrite.
+    val priorVersion = prior.map(_.path("current-snapshot-id").asLong())
+    val appendedSincePrior: Option[Seq[Actions.AddFile]] =
+      priorVersion.flatMap { pv =>
+        try {
+          val acts = ((pv + 1) to snap.version).flatMap(table.log.readVersion)
+          if (acts.exists(_.remove.isDefined)) None
+          else Some(acts.flatMap(_.add)
+            // a re-add of the same path within the range supersedes —
+            // keep the last occurrence (Delta replay order)
+            .foldLeft(scala.collection.mutable.LinkedHashMap
+                .empty[String, Actions.AddFile]) { (m, a) =>
+              m.remove(a.path); m.put(a.path, a); m
+            }.values.toSeq)
+        } catch { case _: java.io.IOException => None }
+      }
+    val carried: Seq[ManifestRef] = appendedSincePrior match {
+      case Some(_) => priorManifests(fs, prior)
+      case None => Nil
+    }
+    val maxManifests = scala.util.Try(org.apache.spark.sql.SparkSession.active
+      .conf.get("graft.uniform.maxManifests", "8").toInt).getOrElse(8)
+    val incremental = appendedSincePrior.isDefined && carried.nonEmpty &&
+      carried.size + 1 <= maxManifests
+    val manifestFiles: Seq[Actions.AddFile] =
+      if (incremental) appendedSincePrior.get else snap.files
     val manifestUuid = java.util.UUID.randomUUID().toString
     val manifestPath = new Path(metaDir, s"$manifestUuid-m0.avro")
     val (addedRows, manifestLen) =
-      writeManifest(fs, manifestPath, snap, partCols, partTypes, root,
-        M.writeValueAsString(schemaNode), schemaId,
+      writeManifest(fs, manifestPath, manifestFiles, snap.version, partCols,
+        partTypes, root, M.writeValueAsString(schemaNode), schemaId,
         M.writeValueAsString(specFieldsNode))
+    val newRef = ManifestRef(manifestPath.toString, manifestLen,
+      specId = 0, content = 0, seq = snap.version, minSeq = snap.version,
+      addedSnapshotId = snap.version, addedFiles = manifestFiles.size,
+      existingFiles = 0, deletedFiles = 0, addedRows = addedRows,
+      existingRows = 0L, deletedRows = 0L)
+    val listRefs = (if (incremental) carried else Nil) :+ newRef
     val listPath = new Path(metaDir, s"snap-${snap.version}-$manifestUuid.avro")
-    writeManifestList(fs, listPath, manifestPath, manifestLen, snap.version,
-      snap.files.size, addedRows,
-      parentId = prior.map(_.path("current-snapshot-id").asLong()))
+    writeManifestList(fs, listPath, listRefs, snap.version,
+      parentId = priorVersion)
 
     // ---- metadata.json ----
     val out = M.createObjectNode()
@@ -225,7 +275,8 @@ object IcebergUniform {
       sn.put("parent-snapshot-id", p.path("current-snapshot-id").asLong()): Unit)
     sn.put("sequence-number", snap.version)
     sn.put("timestamp-ms", nowMs)
-    sn.putObject("summary").put("operation", "overwrite")
+    sn.putObject("summary")
+      .put("operation", if (incremental) "append" else "overwrite")
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", schemaId)
     val snapLog = out.putArray("snapshot-log")
@@ -457,8 +508,52 @@ object IcebergUniform {
   }
 
   /** Write the single manifest file; returns (total rows, file length). */
+  /** One manifest-list entry — either the freshly written manifest or a
+    * prior snapshot's manifest carried forward verbatim (the
+    * incremental-append path). */
+  private final case class ManifestRef(path: String, length: Long,
+                                       specId: Int, content: Int,
+                                       seq: Long, minSeq: Long,
+                                       addedSnapshotId: Long,
+                                       addedFiles: Int, existingFiles: Int,
+                                       deletedFiles: Int, addedRows: Long,
+                                       existingRows: Long, deletedRows: Long)
+
+  /** The prior CURRENT snapshot's manifests, read from its manifest
+    * list — O(#manifests), never O(files). Empty on any read problem
+    * (the caller then falls back to a full-state rewrite). */
+  private def priorManifests(fs: org.apache.hadoop.fs.FileSystem,
+                             prior: Option[ObjectNode]): Seq[ManifestRef] =
+    prior.toSeq.flatMap { p =>
+      val curId = p.path("current-snapshot-id").asLong()
+      var listPath: String = null
+      p.path("snapshots").forEach(s =>
+        if (s.path("snapshot-id").asLong() == curId)
+          listPath = s.path("manifest-list").asText())
+      if (listPath == null) Nil
+      else scala.util.Try {
+        readAvro(fs, new Path(listPath)).map { r =>
+          ManifestRef(
+            r.get("manifest_path").toString,
+            r.get("manifest_length").asInstanceOf[Long],
+            r.get("partition_spec_id").asInstanceOf[Int],
+            r.get("content").asInstanceOf[Int],
+            r.get("sequence_number").asInstanceOf[Long],
+            r.get("min_sequence_number").asInstanceOf[Long],
+            r.get("added_snapshot_id").asInstanceOf[Long],
+            r.get("added_files_count").asInstanceOf[Int],
+            r.get("existing_files_count").asInstanceOf[Int],
+            r.get("deleted_files_count").asInstanceOf[Int],
+            r.get("added_rows_count").asInstanceOf[Long],
+            r.get("existing_rows_count").asInstanceOf[Long],
+            r.get("deleted_rows_count").asInstanceOf[Long])
+        }
+      }.getOrElse(Nil)
+    }
+
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
-                            path: Path, snap: Snapshot,
+                            path: Path, files: Seq[Actions.AddFile],
+                            snapVersion: Long,
                             partCols: Seq[String], partTypes: Seq[DataType],
                             root: Path, schemaJson: String, schemaId: Int,
                             specJson: String): (Long, Long) = {
@@ -493,12 +588,12 @@ object IcebergUniform {
     val os = fs.create(path, true)
     w.create(entry, os)
     var rows = 0L
-    snap.files.foreach { a =>
+    files.foreach { a =>
       val rec = new GenericData.Record(entry)
-      rec.put("status", 1) // ADDED (full-state overwrite snapshot)
-      rec.put("snapshot_id", java.lang.Long.valueOf(snap.version))
-      rec.put("sequence_number", java.lang.Long.valueOf(snap.version))
-      rec.put("file_sequence_number", java.lang.Long.valueOf(snap.version))
+      rec.put("status", 1) // ADDED in this snapshot
+      rec.put("snapshot_id", java.lang.Long.valueOf(snapVersion))
+      rec.put("sequence_number", java.lang.Long.valueOf(snapVersion))
+      rec.put("file_sequence_number", java.lang.Long.valueOf(snapVersion))
       val df = new GenericData.Record(dataFile)
       df.put("content", 0)
       val abs = new Path(a.path)
@@ -530,9 +625,8 @@ object IcebergUniform {
   }
 
   private def writeManifestList(fs: org.apache.hadoop.fs.FileSystem,
-                                path: Path, manifest: Path, manifestLen: Long,
-                                snapshotId: Long, nFiles: Int,
-                                nRows: Long,
+                                path: Path, refs: Seq[ManifestRef],
+                                snapshotId: Long,
                                 parentId: Option[Long]): Unit = {
     val s = new AvroSchema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
@@ -559,21 +653,23 @@ object IcebergUniform {
     w.setMeta("sequence-number", snapshotId.toString)
     val os = fs.create(path, true)
     w.create(s, os)
-    val rec = new GenericData.Record(s)
-    rec.put("manifest_path", manifest.toString)
-    rec.put("manifest_length", java.lang.Long.valueOf(manifestLen))
-    rec.put("partition_spec_id", 0)
-    rec.put("content", 0)
-    rec.put("sequence_number", java.lang.Long.valueOf(snapshotId))
-    rec.put("min_sequence_number", java.lang.Long.valueOf(snapshotId))
-    rec.put("added_snapshot_id", java.lang.Long.valueOf(snapshotId))
-    rec.put("added_files_count", nFiles)
-    rec.put("existing_files_count", 0)
-    rec.put("deleted_files_count", 0)
-    rec.put("added_rows_count", java.lang.Long.valueOf(nRows))
-    rec.put("existing_rows_count", java.lang.Long.valueOf(0L))
-    rec.put("deleted_rows_count", java.lang.Long.valueOf(0L))
-    w.append(rec)
+    refs.foreach { m =>
+      val rec = new GenericData.Record(s)
+      rec.put("manifest_path", m.path)
+      rec.put("manifest_length", java.lang.Long.valueOf(m.length))
+      rec.put("partition_spec_id", m.specId)
+      rec.put("content", m.content)
+      rec.put("sequence_number", java.lang.Long.valueOf(m.seq))
+      rec.put("min_sequence_number", java.lang.Long.valueOf(m.minSeq))
+      rec.put("added_snapshot_id", java.lang.Long.valueOf(m.addedSnapshotId))
+      rec.put("added_files_count", m.addedFiles)
+      rec.put("existing_files_count", m.existingFiles)
+      rec.put("deleted_files_count", m.deletedFiles)
+      rec.put("added_rows_count", java.lang.Long.valueOf(m.addedRows))
+      rec.put("existing_rows_count", java.lang.Long.valueOf(m.existingRows))
+      rec.put("deleted_rows_count", java.lang.Long.valueOf(m.deletedRows))
+      w.append(rec)
+    }
     w.close()
   }
 

@@ -225,17 +225,20 @@ class IcebergUniformSpec extends SparkSpec {
     assert(emSpec.get(0).path("field-id").asInt() === 1000)
   }
 
-  test("a torn/unparsable version hint reads as absent: sync restarts, reader chain intact") {
+  test("a torn/unparsable version hint recovers from the listing: lineage continues") {
     val t = DeltaTable.forPath(spark, tmpDir("ice-torn")).create(schema)
     t.append(df(0 until 6))
     IcebergUniform.sync(t)
+    val uuid0 = metaJson(t).path("table-uuid").asText()
     // simulate a torn hint (pre-atomic-rename crash or external scribble)
     val fs = new Path(t.path).getFileSystem(spark.sessionState.newHadoopConf())
     val hintP = new Path(t.path, "metadata/version-hint.text")
     val out = fs.create(hintP, true)
     try out.write("not-a-number".getBytes("UTF-8")) finally out.close()
     t.append(df(6 until 9))
-    IcebergUniform.sync(t) // must not throw — fresh lineage
+    IcebergUniform.sync(t) // must not throw — recovers via the listing
+    assert(metaJson(t).path("table-uuid").asText() === uuid0,
+      "an unparsable hint must recover the lineage, not restart it")
     assert(IcebergUniform.currentFiles(t).toSet === liveSet(t),
       "post-recovery snapshot must list exactly the live files")
   }
@@ -311,6 +314,81 @@ class IcebergUniformSpec extends SparkSpec {
     val e6 = intercept[IllegalArgumentException](
       t.setProperties(Map(DeltaTable.UniversalFormatKey -> "hudi")))
     assert(e6.getMessage.contains("only 'iceberg'"))
+  }
+
+  test("append-only syncs write INCREMENTAL manifests; deletes and the compaction bound rewrite") {
+    def listRefs(t: DeltaTable): Seq[(String, Long)] = {
+      val md = metaJson(t)
+      var listPath: String = null
+      md.path("snapshots").forEach(s =>
+        if (s.path("snapshot-id").asLong() ===
+            md.path("current-snapshot-id").asLong())
+          listPath = s.path("manifest-list").asText())
+      val r = new org.apache.avro.file.DataFileReader(
+        new java.io.File(new java.net.URI(
+          if (listPath.startsWith("file:")) listPath
+          else "file://" + listPath).getPath),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        val b = Seq.newBuilder[(String, Long)]
+        while (r.hasNext) {
+          val rec = r.next()
+          b += ((rec.get("manifest_path").toString,
+            rec.get("added_snapshot_id").asInstanceOf[Long]))
+        }
+        b.result()
+      } finally r.close()
+    }
+    def curOp(t: DeltaTable): String = {
+      val md = metaJson(t)
+      var op: String = null
+      md.path("snapshots").forEach(s =>
+        if (s.path("snapshot-id").asLong() ===
+            md.path("current-snapshot-id").asLong())
+          op = s.path("summary").path("operation").asText())
+      op
+    }
+    spark.conf.set("graft.uniform.maxManifests", "4")
+    try {
+      val t = DeltaTable.forPath(spark, tmpDir("ice-incr")).create(schema,
+        configuration = Map(
+          DeltaTable.IcebergCompatV1Key -> "true",
+          DeltaTable.UniversalFormatKey -> "iceberg"))
+      val refs0 = listRefs(t) // the CREATE sync: empty full-state manifest
+      assert(refs0.size === 1)
+      t.append(df(0 until 6))
+      val refs1 = listRefs(t)
+      assert(refs1.size === 2 && refs1.head === refs0.head,
+        "an append must carry the prior manifest forward verbatim")
+      assert(curOp(t) === "append")
+      assert(IcebergUniform.currentFiles(t).toSet === liveSet(t))
+      t.append(df(6 until 12))
+      val refs2 = listRefs(t)
+      assert(refs2.size === 3 && refs2.take(2) === refs1,
+        "each append-only sync adds exactly one manifest")
+      assert(IcebergUniform.currentFiles(t).toSet === liveSet(t),
+        "the union of carried + new manifests must equal the live set")
+      // the compaction bound: the 4th manifest would exceed
+      // maxManifests=4 after this append... not yet — one more append
+      // reaches the bound and the NEXT rewrites full-state
+      t.append(df(12 until 18))
+      assert(listRefs(t).size === 4)
+      t.append(df(18 until 24))
+      val refsC = listRefs(t)
+      assert(refsC.size === 1, "reaching maxManifests must compact to one")
+      assert(curOp(t) === "overwrite")
+      assert(IcebergUniform.currentFiles(t).toSet === liveSet(t))
+      // a DELETE is not append-only: full-state rewrite
+      t.append(df(24 until 30))
+      assert(listRefs(t).size === 2)
+      assert(t.delete(col("id") % 2 === 0) > 0L)
+      val refsD = listRefs(t)
+      assert(refsD.size === 1, "a delete must rewrite the full state")
+      assert(curOp(t) === "overwrite")
+      assert(IcebergUniform.currentFiles(t).toSet === liveSet(t),
+        "deleted files must vanish from the mirrored snapshot")
+    } finally spark.conf.unset("graft.uniform.maxManifests")
   }
 
   test("compat invariants hold WITHOUT the mirror; hint loss recovers from the listing") {
