@@ -39,11 +39,19 @@ object Graph {
     * symmetric (e.g. [[bipartiteEdges]]) and every node has outdegree
     * ≥ 1, so no mass is lost at all.
     *
+    * @param symmetricDistinct caller asserts `edges` is ALREADY a
+    *        distinct simple-edge list whose node set equals its source
+    *        set (e.g. [[bipartiteEdges]] output — a symmetric closure):
+    *        skips the defensive distinct pass and derives the node frame
+    *        from the degree keys with no extra shuffle. Results are
+    *        identical when the assertion holds; a caller passing true
+    *        for a multigraph would double-count edge mass.
     * @return (node, rank) — rank is the Q-scaled integer r_iters
     */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = RankScale,
                dampNum: Int = 85, dampDen: Int = 100,
-               checkpointInterval: Int = 5): DataFrame = {
+               checkpointInterval: Int = 5,
+               symmetricDistinct: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampNum > 0 && dampDen > dampNum,
       s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
@@ -57,14 +65,24 @@ object Graph {
     // at 3 iterations; the gap widens linearly with iteration count).
     // Purely a plan cost decision — ranks are partition-independent
     // integers, so recompute vs checkpoint cannot change a value.
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val eBase = edges.select(col("src"), col("dst"))
+    val e = if (symmetricDistinct) eBase else eBase.distinct().localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // degree folded into the edge frame ONCE and pre-partitioned on the
-    // iteration join key: each round then shuffles only the rank frame
-    // (|V| rows) to meet it — the big (|E|-row) side never moves again.
-    val eDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint()
+    // degree folded into the edge frame ONCE, pre-partitioned AND
+    // pre-sorted on the iteration join key, with the layout DECLARED on
+    // the checkpointed plan (plain localCheckpoint snapshots
+    // UnknownPartitioning under AQE): each round's sort-merge join then
+    // reads the materialized frame with NO exchange and NO re-sort — the
+    // big (|E|-row) side never moves again; rounds shuffle rank rows only.
+    val eDeg = org.apache.spark.sql.graft.KeyedCheckpoint(
+      e.join(deg, "src"), "src")
+    val nodes =
+      if (symmetricDistinct)
+        // in-partition dedup: eDeg's DECLARED hash(src) layout makes this
+        // aggregation exchange-free, and sources cover every node
+        eDeg.select(col("src").as("node")).distinct()
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     // one-row node count, stitched in by cross join (broadcast scalar)
     val nRow = nodes.agg(count(lit(1)).as("n")).localCheckpoint()
 
@@ -163,7 +181,8 @@ object Graph {
     require(!marked.where(col("is_seed") === 1).isEmpty,
       "personalizedPageRank needs at least one seed present in the graph")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val eDeg = e.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val eDeg = org.apache.spark.sql.graft.KeyedCheckpoint(
+      e.join(deg, "src"), "src")
     val nsRow = marked.agg(sum(col("is_seed")).cast("long").as("ns"))
       .localCheckpoint()
     val teleport = s"CASE WHEN is_seed = 1 THEN " +
@@ -322,16 +341,26 @@ object Graph {
     *
     * @param edges symmetric (src, dst) long columns (e.g.
     *              [[bipartiteEdges]]); duplicates collapse
+    * @param symmetricDistinct caller asserts `edges` is already a
+    *        distinct symmetric-closure edge list ([[pageRank]]'s flag):
+    *        skips the defensive distinct and the union-distinct node
+    *        pass (sources cover every node; the node frame is an
+    *        exchange-free in-partition dedup of the declared-layout
+    *        edge frame). Identical results when the assertion holds.
     * @return (node, label) after `rounds` synchronous rounds */
   def labelPropagation(edges: DataFrame, rounds: Int,
-                       checkpointInterval: Int = 5): DataFrame = {
+                       checkpointInterval: Int = 5,
+                       symmetricDistinct: Boolean = false): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1, got $checkpointInterval")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val eP = e.repartition(col("src")).localCheckpoint()
+    val eBase = edges.select(col("src"), col("dst"))
+    val e = if (symmetricDistinct) eBase else eBase.distinct().localCheckpoint()
+    val eP = org.apache.spark.sql.graft.KeyedCheckpoint(e, "src")
+    val nodes =
+      if (symmetricDistinct) eP.select(col("src").as("node")).distinct()
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     var l = nodes.select(col("node"), col("node").as("lbl"))
     for (i <- 1 to rounds) {
       val counts = eP.join(l.withColumnRenamed("node", "src"), "src")
@@ -478,9 +507,9 @@ object Graph {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-    var e = und.select(col("a").as("src"), col("b").as("dst"))
-      .union(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).localCheckpoint()
+    var e = org.apache.spark.sql.graft.KeyedCheckpoint(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"))), "src")
     var n = e.count()
     var round = 0
     var converged = n == 0L
@@ -490,11 +519,13 @@ object Graph {
         s"k-core did not converge within $maxRounds rounds")
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
-      val e2 = e
+      // keyed checkpoint: the next round's degree aggregation and src-side
+      // semi-filter both cluster on src, so the surviving edges land (and
+      // stay) hash(src)-partitioned — no per-round re-exchange
+      val e2 = org.apache.spark.sql.graft.KeyedCheckpoint(e
         .join(keep.withColumnRenamed("node", "src"), "src")
         .join(keep.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .select(col("src"), col("dst")), "src")
       val n2 = e2.count()
       converged = n2 == n
       e = e2; n = n2
@@ -538,8 +569,8 @@ object Graph {
     * small-world graph). */
   def bfsDepth(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).localCheckpoint()
+    val e = org.apache.spark.sql.graft.KeyedCheckpoint(
+      edges.select(col("src"), col("dst")).distinct(), "src")
     var depths = sources.select(col(sources.columns.head).cast("long").as("node"))
       .distinct().withColumn("depth", lit(0L)).localCheckpoint()
     var frontier = depths.select(col("node"))
@@ -621,14 +652,16 @@ object Graph {
     val lower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     // oriented edge (s → t) with t's (deg, id) carried for the wedge
-    // order — materialized ONCE (localCheckpoint, the pageRank pattern):
-    // it feeds both wedge sides and the closing join, and re-deriving
-    // the dedup + two degree joins three times triples the dominant cost
-    val o = und.join(du, "u").join(dv, "v")
-      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
-        when(lower, col("v")).otherwise(col("u")).as("t"),
-        when(lower, col("dv")).otherwise(col("du")).as("tdeg"))
-      .localCheckpoint()
+    // order — materialized ONCE (the pageRank pattern): it feeds both
+    // wedge sides and the closing join, and re-deriving the dedup + two
+    // degree joins three times triples the dominant cost. Keyed on the
+    // wedge pivot s with the layout DECLARED, so the wedge self-join
+    // reads both sides exchange-free AND sort-free.
+    val o = org.apache.spark.sql.graft.KeyedCheckpoint(
+      und.join(du, "u").join(dv, "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+          when(lower, col("v")).otherwise(col("u")).as("t"),
+          when(lower, col("dv")).otherwise(col("du")).as("tdeg")), "s")
     val e1 = o.select(col("s"), col("t").as("b"), col("tdeg").as("bdeg"))
     val e2 = o.select(col("s"), col("t").as("c"), col("tdeg").as("cdeg"))
     val wedges = e1.join(e2, Seq("s"))
@@ -910,31 +943,37 @@ object Graph {
                   salt: String): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 64, s"bad W: $walksPerNode")
     require(len >= 1 && len <= 32, s"bad len: $len")
-    val (_, adj, deg, start) = walkPrelude(edges, walksPerNode,
+    val (_, adj, start) = walkPrelude(edges, walksPerNode,
       checkpointUnd = false) // uniform hops never read the pair set
     var cur = start
     val steps = scala.collection.mutable.ArrayBuffer(
       cur.select(col("walker"), lit(0L).as("step"), col("cur").as("node")))
     for (t <- 1 to len) {
-      cur = hopJoin(cur, deg, adj, s"$salt:$t").localCheckpoint()
+      cur = hopJoin(cur, adj, s"$salt:$t")
       steps += cur.select(col("walker"), lit(t.toLong).as("step"),
         col("cur").as("node"))
     }
     steps.reduce(_ unionAll _)
   }
 
-  /** Shared walk-corpus prelude: canonical undirected pairs, RANK-ORDERED
-    * adjacency (one keyed shuffle, no single-partition window), degrees,
-    * and the packed walker start frame — localCheckpointed once so every
-    * hop joins materialized (long,long) frames. `checkpointUnd` pays the
+  /** Shared walk-corpus prelude: canonical undirected pairs and a
+    * RANK-ORDERED adjacency frame (one keyed shuffle per window key, no
+    * single-partition window) that carries BOTH degrees a hop needs —
+    * `dm` (the source's, for the coin modulus) and `dx` (the TARGET's,
+    * so the hop's output frontier already knows its next modulus). That
+    * makes every hop exactly ONE (m, idx) equi-join: the round-18 shape
+    * joined a separate degree frame first, paying a second join (and its
+    * exchange) per hop for rows the adjacency frame could carry for
+    * free. The walker start frame is a narrow idx=0 slice of the
+    * checkpointed adjacency — no distinct pass. `checkpointUnd` pays the
     * extra pair-set materialization ONLY for callers whose hops read it
     * (node2vec's per-attempt weight classification); uniform randomWalks
     * skips it.
     *
-    * @return (und(u,v), adj(m,x,idx), deg(m,d), start(walker,cur)) */
+    * @return (und(u,v), adj(m,x,idx,dx), start(walker,cur,d)) */
   private def walkPrelude(edges: DataFrame, walksPerNode: Int,
                           checkpointUnd: Boolean)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val undLazy = edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -944,13 +983,18 @@ object Graph {
       .unionAll(und.select(col("v").as("m"), col("u").as("x")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("m")).orderBy(col("x"))
+    val wM = org.apache.spark.sql.expressions.Window.partitionBy(col("m"))
+    val wX = org.apache.spark.sql.expressions.Window.partitionBy(col("x"))
     val adj = both
       .select(col("m"), col("x"),
-        (row_number().over(w) - 1).cast("long").as("idx"))
+        (row_number().over(w) - 1).cast("long").as("idx"),
+        count(lit(1)).over(wM).as("dm"))
+      .withColumn("dx", count(lit(1)).over(wX))
       .localCheckpoint()
-    val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
-    val nodes = adj.select(col("m").as("node")).distinct()
+    // every node has degree >= 1, so idx = 0 picks exactly one row per
+    // node — the start frame needs no distinct pass over the pair set
+    val nodes = adj.where(col("idx") === 0)
+      .select(col("m").as("node"), col("dm").as("d"))
       // id-space guard: a packed walker id that overflows would silently
       // alias two walkers' coins
       .withColumn("node", when(col("node") >= 0 &&
@@ -961,33 +1005,33 @@ object Graph {
     val start = nodes
       .crossJoin(walkIndexFrame(nodes, walksPerNode))
       .select((col("node") * walksPerNode + col("w")).as("walker"),
-        col("node").as("cur"))
+        col("node").as("cur"), col("d"))
       .localCheckpoint()
-    (und, adj, deg, start)
+    (und, adj.select(col("m"), col("x"), col("idx"), col("dx")), start)
   }
 
-  /** One walk hop: degrees first → the coin's chosen index `tgt` is a
-    * scan-stage column, then the ranked adjacency probe is a pure
-    * EQUI-join on (m, idx) — exactly ONE adjacency row per walker per
-    * hop. The coin must NOT be a residual filter on a cur==m join: walks
-    * concentrate on hubs in proportion to degree, so a residual-filter
-    * probe materializes Σ_walkers deg(cur) ≈ W·(Σd²/Σd) rows per hop on
+  /** One walk hop: the frontier already carries its node's degree `d`,
+    * so the coin's chosen index `tgt` is a scan-stage column and the
+    * ranked adjacency probe is a pure EQUI-join on (m, idx) — exactly
+    * ONE join and ONE adjacency row per walker per hop (the adjacency
+    * row's `dx` hands the output frontier its next modulus). The coin
+    * must NOT be a residual filter on a cur==m join: walks concentrate
+    * on hubs in proportion to degree, so a residual-filter probe
+    * materializes Σ_walkers deg(cur) ≈ W·(Σd²/Σd) rows per hop on
     * power-law graphs (round-16 verdict finding). Package-private so
     * PlanSpec can pin the equi-key shape on an un-checkpointed plan.
     *
-    * @param cur  (walker, cur) walk frontier
-    * @param deg  (m, d) node degrees
-    * @param adj  (m, x, idx) rank-ordered adjacency
+    * @param cur  (walker, cur, d) walk frontier with cur's degree
+    * @param adj  (m, x, idx, dx) rank-ordered adjacency with target degree
     * @param seed full per-hop coin seed (salt:t) */
-  private[graft] def hopJoin(cur: DataFrame, deg: DataFrame,
-                             adj: DataFrame, seed: String): DataFrame = {
-    val chosen = cur.join(deg, cur("cur") === deg("m"))
-      .select(col("walker"), col("cur"),
-        (graft.functions.Hashing.h32(
-          col("walker").cast("string"), seed) % col("d")).as("tgt"))
+  private[graft] def hopJoin(cur: DataFrame, adj: DataFrame,
+                             seed: String): DataFrame = {
+    val chosen = cur.select(col("walker"), col("cur"),
+      (graft.functions.Hashing.h32(
+        col("walker").cast("string"), seed) % col("d")).as("tgt"))
     chosen.join(adj,
         chosen("cur") === adj("m") && chosen("tgt") === adj("idx"))
-      .select(col("walker"), col("x").as("cur"))
+      .select(col("walker"), col("x").as("cur"), col("dx").as("d"))
   }
 
   /** The tiny [0, n) walk-index frame `w` (n = walks per node). */
@@ -1065,58 +1109,66 @@ object Graph {
       .foreach { case (n, v) =>
         require(v >= 1 && v <= 1000000000, s"$n must be in [1, 1e9], got $v") }
     val wMax = math.max(wReturn, math.max(wCommon, wOther))
-    val (und, adj, deg, start) = walkPrelude(edges, walksPerNode,
+    val (und, adj, start) = walkPrelude(edges, walksPerNode,
       checkpointUnd = true) // every attempt's weight classification reads it
     val steps = scala.collection.mutable.ArrayBuffer(
       start.select(col("walker"), lit(0L).as("step"), col("cur").as("node")))
     // hop 1: uniform (no prev yet — the node2vec convention), tracking prev
     var cur = {
-      val chosen = start.join(deg, start("cur") === deg("m"))
-        .select(col("walker"), col("cur"),
-          (graft.functions.Hashing.h32(
-            col("walker").cast("string"), s"$salt:1") % col("d")).as("tgt"))
+      val chosen = start.select(col("walker"), col("cur"),
+        (graft.functions.Hashing.h32(
+          col("walker").cast("string"), s"$salt:1") % col("d")).as("tgt"))
       chosen.join(adj,
           chosen("cur") === adj("m") && chosen("tgt") === adj("idx"))
-        .select(col("walker"), col("x").as("cur"), chosen("cur").as("prev"))
-        .localCheckpoint()
+        .select(col("walker"), col("x").as("cur"), chosen("cur").as("prev"),
+          col("dx").as("d"))
     }
     steps += cur.select(col("walker"), lit(1L).as("step"), col("cur").as("node"))
     for (t <- 2 to len) {
-      var undecided = cur
-      var accepted = List.empty[DataFrame]
+      // ALL attempts of the hop fused into ONE plan (round-19 optimization:
+      // the sequential rejection loop paid maxAttempts+1 localCheckpoint
+      // barriers per hop — ~3 jobs each of mostly fixed overhead). The
+      // coins depend only on (walker, t, r), never on which walkers were
+      // still undecided, so computing every attempt's candidate for every
+      // walker and keeping the FIRST accepted one is bit-identical to the
+      // sequential procedure. The forced last attempt never reads its
+      // weight, so its pair-classification join is skipped outright.
+      // The frontier carries cur's degree, so no degree join at all.
+      var j = cur
       for (r <- 1 to maxAttempts) {
-        val chosen = undecided.join(deg, undecided("cur") === deg("m"))
-          .select(col("walker"), col("cur"), col("prev"),
-            (graft.functions.Hashing.h32(
-              col("walker").cast("string"), s"$salt:$t:$r") % col("d")).as("tgt"))
-        val cand = chosen.join(adj,
-            chosen("cur") === adj("m") && chosen("tgt") === adj("idx"))
-          .select(col("walker"), chosen("cur").as("cur"), col("prev"), col("x"))
-        val undE = und.withColumn("__e", lit(1))
-        val w = when(col("x") === col("prev"), lit(wReturn))
-          .when(col("__e") === 1, lit(wCommon))
-          .otherwise(lit(wOther))
-        val accCond =
-          if (r == maxAttempts) lit(true) // forced accept bounds the hop
-          else graft.functions.Hashing.h32(
-            col("walker").cast("string"), s"$salt:$t:$r:a") % wMax < w
-        // ONE checkpoint per attempt carrying the accept flag — filtering
-        // the accepted and rejected sides out of it is a narrow op over
-        // the materialized rows; two separately-checkpointed filters
-        // would run the candidate+classification join chain TWICE
-        val flagged = cand.join(undE,
-            least(cand("prev"), cand("x")) === undE("u") &&
-              greatest(cand("prev"), cand("x")) === undE("v"), "left")
-          .select(col("walker"), cand("cur").as("cur"), col("prev"), col("x"),
-            accCond.as("__acc"))
-          .localCheckpoint()
-        accepted ::= flagged.where(col("__acc"))
-          .select(col("walker"), col("x").as("cur"), col("cur").as("prev"))
-        if (r < maxAttempts)
-          undecided = flagged.where(!col("__acc"))
-            .select(col("walker"), col("cur"), col("prev"))
+        val adjR = adj.select(col("m").as(s"__m$r"), col("x").as(s"__x$r"),
+          col("idx").as(s"__i$r"), col("dx").as(s"__d$r"))
+        j = j.withColumn(s"__t$r", graft.functions.Hashing.h32(
+            col("walker").cast("string"), s"$salt:$t:$r") % col("d"))
+          .join(adjR, col("cur") === col(s"__m$r") &&
+            col(s"__t$r") === col(s"__i$r"))
+          .drop(s"__m$r", s"__i$r", s"__t$r")
+        if (r < maxAttempts) { // forced accept never reads a weight
+          val undR = und.select(col("u").as(s"__u$r"), col("v").as(s"__v$r"),
+            lit(1).as(s"__e$r"))
+          j = j.join(undR,
+            least(col("prev"), col(s"__x$r")) === col(s"__u$r") &&
+              greatest(col("prev"), col(s"__x$r")) === col(s"__v$r"), "left")
+            .drop(s"__u$r", s"__v$r")
+        }
       }
-      cur = accepted.reduce(_ unionAll _).localCheckpoint()
+      val accepted = (1 until maxAttempts).map { r =>
+        val w = when(col(s"__x$r") === col("prev"), lit(wReturn))
+          .when(col(s"__e$r") === 1, lit(wCommon))
+          .otherwise(lit(wOther))
+        graft.functions.Hashing.h32(
+          col("walker").cast("string"), s"$salt:$t:$r:a") % wMax < w
+      }
+      val nextCur = (1 until maxAttempts).foldRight(
+          col(s"__x$maxAttempts"): Column) { (r, els) =>
+        when(accepted(r - 1), col(s"__x$r")).otherwise(els)
+      }
+      val nextDeg = (1 until maxAttempts).foldRight(
+          col(s"__d$maxAttempts"): Column) { (r, els) =>
+        when(accepted(r - 1), col(s"__d$r")).otherwise(els)
+      }
+      cur = j.select(col("walker"), nextCur.as("cur"), col("cur").as("prev"),
+        nextDeg.as("d"))
       steps += cur.select(col("walker"), lit(t.toLong).as("step"),
         col("cur").as("node"))
     }

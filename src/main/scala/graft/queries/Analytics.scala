@@ -656,7 +656,7 @@ object Analytics extends QueryModule {
           col("o_orderkey") === col("l_orderkey"))
         graft.ops.Graph.pageRank(
             graft.ops.Graph.bipartiteEdges(rel, "o_custkey", "l_suppkey", 10000000L),
-            iters = 3)
+            iters = 3, symmetricDistinct = true)
           .select(col("node"), col("r").as("rank_q"))
           .orderBy(col("node"))
       },
@@ -696,7 +696,7 @@ object Analytics extends QueryModule {
           col("o_orderkey") === col("l_orderkey"))
         graft.ops.Graph.labelPropagation(
             graft.ops.Graph.bipartiteEdges(rel, "o_custkey", "l_suppkey", 10000000L),
-            rounds = 3)
+            rounds = 3, symmetricDistinct = true)
           .select(col("node"), col("lbl").as("community"))
           .orderBy(col("node"))
       },
@@ -722,7 +722,8 @@ object Analytics extends QueryModule {
         val edges = graft.ops.Graph.bipartiteEdges(
           rel, "o_custkey", "l_suppkey", 10000000L)
         graft.ops.Graph.modularity(edges,
-            graft.ops.Graph.labelPropagation(edges, rounds = 3))
+            graft.ops.Graph.labelPropagation(edges, rounds = 3,
+              symmetricDistinct = true))
           .orderBy(col("community"))
       },
       Some(s"""WITH p AS MATERIALIZED (

@@ -576,9 +576,10 @@ class PlanSpec extends SparkSpec {
       .partitionBy(col("m")).orderBy(col("x"))
     val adj = edges.select(col("m"), col("x"),
       (row_number().over(w) - 1).cast("long").as("idx"))
-    val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("d"))
-    val cur = Seq((10L, 1L), (11L, 3L)).toDF("walker", "cur")
-    val hop = graft.ops.Graph.hopJoin(cur, deg, adj, "pin:1")
+      .withColumn("dx", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("x"))))
+    val cur = Seq((10L, 1L, 2L), (11L, 3L, 3L)).toDF("walker", "cur", "d")
+    val hop = graft.ops.Graph.hopJoin(cur, adj, "pin:1")
     hop.collect()
     val p = hop.queryExecution.executedPlan.toString
     // round-16 verdict: the coin condition must be a JOIN KEY, not a
