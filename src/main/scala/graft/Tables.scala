@@ -18,6 +18,64 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$sfDir/$table.parquet"))
 
+  /** Minimum rows per task for the rebalance target: a task's fixed
+    * scheduling cost only amortizes over some work, so tiny tables never
+    * rebalance (region's 5 rows stay one partition) — derived from
+    * per-task overhead, not from any particular machine's core count. */
+  private val MinRowsPerTask = 128L
+
+  /** OPT-IN scan-parallelism floor for queries dominated by a heavy
+    * per-row scan-stage kernel. The harness fixtures are single-file,
+    * SINGLE-ROW-GROUP parquet, so such kernels (simhash signatures, BPE/
+    * WordPiece encodes, the gopher quality battery) would otherwise run
+    * as ONE task regardless of core count — measured 1.7 s → 1.0 s on
+    * simhashPairs at sf0.1 just by restoring parallelism. When a table's
+    * effective split count (min of byte-range splits and row groups) is
+    * below what the scheduler could use AND the row count amortizes the
+    * extra tasks, insert one round-robin rebalance of the raw rows; at
+    * production split counts the condition is false and the read stays a
+    * plain scan (zero overhead). Filters and column pruning push through
+    * the Repartition to the scan unchanged (probed: PushedFilters/
+    * ReadSchema identical). NOT applied in `load` for every query: a
+    * 31-query A/B at sf0.1 measured the blanket form LOSING 7.8 s —
+    * cheap columnar scans (relational aggs) and explode-then-aggregate
+    * shapes pay more in the extra exchange and per-task overhead than
+    * the parallelism returns; only single-action heavy-kernel queries
+    * opt in, each with its measured win recorded in OPTIMIZATION_r19.md.
+    * Footer stats are read once per path and cached. */
+  private val splitCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private[graft] def adaptiveRebalance(spark: SparkSession, df: DataFrame,
+                                       path: String): DataFrame = {
+    val (effSplits, rows) = splitCache.computeIfAbsent(path, _ =>
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+        val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+          else Seq(fs.getFileStatus(p)))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        var splits = 0L; var nRows = 0L
+        files.foreach { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+          try {
+            val rgs = rd.getRowGroups.size().toLong
+            nRows += rd.getRecordCount
+            splits += math.min(rgs, (f.getLen + maxPB - 1) / maxPB)
+          } finally rd.close()
+        }
+        (math.max(splits, 1L), nRows)
+      } catch { // unreadable footer: leave the scan untouched
+        case scala.util.control.NonFatal(_) => (Long.MaxValue, 0L)
+      })
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val target = math.min(cores, math.max(1L, rows / MinRowsPerTask))
+    // SPARK_GRAFT_SCAN_FLOOR=0 disables the floor (dev A/B comparisons)
+    val enabled = sys.env.get("SPARK_GRAFT_SCAN_FLOOR").forall(_ != "0")
+    if (enabled && effSplits < target) df.repartition(target.toInt) else df
+  }
+
   /** The driver's generator has emitted timestamp columns three ways across
     * rounds: TIMESTAMP(NANOS) (no Spark type — read as long via
     * legacy.parquet.nanosAsLong), TIMESTAMP(MICROS, adjustedToUTC=true)
@@ -63,5 +121,9 @@ object Tables {
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  /** [[documents]] behind the opt-in kernel-parallelism floor — for
+    * queries whose cost is one heavy scan-stage kernel over the text. */
+  def documentsKernelPar(s: SparkSession, d: String): DataFrame =
+    adaptiveRebalance(s, documents(s, d), s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

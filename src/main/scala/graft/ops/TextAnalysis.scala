@@ -1507,13 +1507,18 @@ object TextAnalysis {
     * ranked by the (score_q desc, term asc) total order so ties are
     * deterministic.
     *
-    * Plan shape (100 TB story): the classic two-shuffle inverted index —
-    * (id, term) rows reduce to per-doc tf, the df table reduces FROM THE
-    * TF ROWS (one row per posting, not per occurrence), idf joins back on
-    * the term key (sort-merge at vocab scale — a broadcast would not hold
-    * at 100 TB), and the top-k rank is row_number ≤ k, which Spark
-    * rewrites to a per-partition WindowGroupLimit — no global sort, no
-    * driver funnel. N is a one-row broadcast like [[bm25Scores]]'s stats.
+    * Plan shape (100 TB story): ONE tokenization pass — (id, term) rows
+    * reduce to per-doc tf, and the document frequency rides a
+    * count-over-window ON THE TF ROWS partitioned by term (round 19: the
+    * groupBy-then-join-back formulation duplicated the whole
+    * scan→explode→aggregate subtree on both join sides — two corpus
+    * tokenizations and an extra exchange; the window form is the
+    * dupPassages one-shuffle shape). The idf ln-chain runs per posting
+    * row instead of per distinct term — pure codegen arithmetic, far
+    * cheaper than a second corpus pass. The top-k rank is row_number ≤ k,
+    * which Spark rewrites to a per-partition WindowGroupLimit — no global
+    * sort, no driver funnel. N is a one-row broadcast like
+    * [[bm25Scores]]'s stats.
     *
     * @return (doc_id, rank, term, score_q) — k rows per doc with ≥ k
     *         distinct terms, rank 1 = top keyword */
@@ -1529,18 +1534,19 @@ object TextAnalysis {
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("dft"))
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val nDocs = df.agg(count(lit(1)).cast("long").as("n_docs"))
-    val idf = lnChain(lnChain(dft.crossJoin(broadcast(nDocs)),
+    val scored = lnChain(lnChain(
+        tf.withColumn("dft", count(lit(1)).over(wT))
+          .crossJoin(broadcast(nDocs)),
         col("n_docs"), "__lnN"), col("dft"), "__lnD")
       .withColumn("idf_q",
         expr("CAST(floor((__lnN - __lnD) * 1.0E9 + 0.5E0) AS BIGINT)"))
-      .select(col("term"), col("idf_q"))
+      .withColumn("score_q", col("tf") * col("idf_q"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score_q").desc, col("term"))
-    tf.join(idf, Seq("term"))
-      .withColumn("score_q", col("tf") * col("idf_q"))
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("score_q"))

