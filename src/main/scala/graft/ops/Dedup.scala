@@ -512,8 +512,14 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold: prefix length " +
         "|d| - ceil(t*|d|) + 1 is only a valid filter for positive t")
     val base = hashedShingleBase(df, idCol, textCol, shingleN, "cooc")
+    // materialized ONCE: the exploded (id, sz, hs) frame feeds FOUR
+    // consumers (document frequency, the prefix window, and both verify
+    // sides), and without the checkpoint each re-runs the corpus scan +
+    // tokenize + shingle-hash chain — the dominant CPU of this operator
+    // (measured ~9 s of the stage CPU at sf0.1 was repeated hashing).
+    // Rows are (long, long, long) — digests only, never text.
     val ex = base.select(col("id"), size(col("hsh")).cast("long").as("sz"),
-      explode(col("hsh")).as("hs"))
+      explode(col("hsh")).as("hs")).localCheckpoint()
     // global rarity: df(s) = number of docs containing shingle s (hsh is
     // per-doc distinct, so a plain row count is the document frequency)
     val dfreq = ex.groupBy(col("hs")).agg(count(lit(1)).as("df"))

@@ -55,7 +55,11 @@ object LanguageModel {
             maxBigrams: Int): BigramLm = {
     require(maxVocab >= 1 && maxBigrams >= 1,
       s"bad maxVocab=$maxVocab / maxBigrams=$maxBigrams")
+    // tokenized ONCE: the vocab top-k, the totals row, and the bigram
+    // top-k are three separate actions, and without the checkpoint each
+    // re-runs the corpus scan + tokenize — the train path's dominant CPU
     val toks = df.select(TextAnalysis.tokens(col(textCol)).as("ts"))
+      .localCheckpoint()
     // the literal tokens "<unk>"/"<s>" are excluded from the vocab (they
     // pool into the unk class like any OOV token): letting them in would
     // collide with the special entries in `contexts` — the Spark map

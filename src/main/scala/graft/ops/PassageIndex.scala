@@ -67,7 +67,11 @@ object PassageIndex {
             seed: String = "passage"): Long = {
     val p = postings(docs, idCol, textCol, shingleN, numBands, seed)
     index.create(p.schema, partitionColumns = Seq("band"))
-    index.append(p)
+    // cluster by the partition column before the write: whatever the
+    // compute parallelism upstream, each band lands as one file instead
+    // of (input partitions x bands) shards (guide-standard write layout;
+    // the probe side prunes and lists per band)
+    index.append(p.repartition(col("band")))
   }
 
   /** Batch forensics: probe a whole TABLE of passages (an eval suite, a

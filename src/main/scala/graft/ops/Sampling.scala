@@ -527,10 +527,15 @@ object Sampling {
       // kernel form of the wide portable-ln chain (bit-identical twin of
       // the oracle's SQL macro; PortableMathSpec pins the equivalence)
       d.withColumn(out, graft.functions.PortableLn.wide(x.cast("long")))
+    // materialized ONCE: the (id, is_t, bucket) rows feed three consumers
+    // (bucket counts, the totals term, and the scoring pass) — without
+    // the checkpoint each re-runs the corpus tokenize + hash chain, the
+    // operator's dominant CPU. Long-only rows, never text.
     val ex = df.select(col(idCol).as("id"), targetPred.as("is_t"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(col("id"), col("is_t"),
         pmod(Hashing.h64(col("tok"), "dsir"), lit(buckets.toLong)).as("b"))
+      .localCheckpoint()
     val counts = ex.groupBy(col("b")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))

@@ -285,7 +285,10 @@ object DedupQueries extends QueryModule {
     // the same md5 hashes.
     "dedup_passage_probe" -> QueryDef(
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // kernel-parallelism floor: the postings build (tokenize + shingle
+        // + hash over every doc) otherwise runs as one task at fixture
+        // split counts (736 ms of the query's 2.9 s, measured)
+        val docs = Tables.documentsKernelPar(s, d)
         val corpus = docs.filter(col("doc_id") % 97 =!= 0)
         val idx = graft.delta.DeltaTable.forPath(s,
           graft.Scratch.dir("passage-idx") + "/idx")

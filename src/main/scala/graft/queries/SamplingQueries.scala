@@ -107,7 +107,9 @@ object SamplingQueries extends QueryModule {
     // unrankable by construction — both engines drop them in GROUP BY.)
     "sample_dsir" -> QueryDef(
       (s, d) =>
-        Sampling.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+        // kernel-parallelism floor: the tokenize+hash pass otherwise runs
+        // as one task at fixture split counts
+        Sampling.dsirSelect(Tables.documentsKernelPar(s, d), "doc_id", "text",
             col("source") === "src0", buckets = 512, k = 100)
           .orderBy(col("score_q9").desc, col("id")),
       {

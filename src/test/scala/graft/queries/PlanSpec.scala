@@ -233,7 +233,15 @@ class PlanSpec extends SparkSpec {
     Seq("dedup_zipf_brute", "dedup_zipf_prefix").foreach { name =>
       val df = Registry.all(name).build(spark, sf)
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("zipf-corpus"),
+      // the prefix join additionally checkpoints its exploded shingle
+      // frame (hash once, four consumers — round 19), so its plan reads
+      // the materialized RDD instead of the corpus parquet directly; the
+      // brute join still scans the scratch parquet. Either way the
+      // generation expression must never inline.
+      if (name == "dedup_zipf_prefix")
+        assert(p.contains("Scan ExistingRDD"),
+          s"$name must consume the checkpointed shingle frame:\n$p")
+      else assert(p.contains("zipf-corpus"),
         s"$name must scan the materialized corpus parquet:\n$p")
       assert(!p.contains("sequence(0, 59"),
         s"$name must not inline the token-generation expression:\n$p")
