@@ -898,7 +898,11 @@ object Dedup {
                      windowN: Int = 6): DataFrame = {
     require(windowN >= 2, s"windowN must be >= 2, got $windowN")
     val seed = s"spanrm$windowN"
+    // tokenized ONCE: both the window-hash explode and the per-doc
+    // reassembly join consume this frame, and without the checkpoint each
+    // re-runs the corpus scan + tokenize (G3 in OPTIMIZATION_r19.md)
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .localCheckpoint()
     // positional window hashes: starts 0 .. n-windowN (empty when n < windowN
     // — sequence(0, negative) would DESCEND, so the short-doc branch is
     // explicit); slice is 1-based on the Spark side

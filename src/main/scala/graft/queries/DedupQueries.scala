@@ -451,7 +451,10 @@ object DedupQueries extends QueryModule {
     // 0-based — the oracle shifts by one).
     "text_dedup_spans" -> QueryDef(
       (s, d) =>
-        Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text",
+        // kernel floor + the op's tokenize-once checkpoint: the floor
+        // alone lost (both consumers re-paid the rebalance read); combined,
+        // the rebalanced scan is read once into the checkpoint
+        Dedup.removeDupSpans(Tables.documentsKernelPar(s, d), "doc_id", "text",
             windowN = 6)
           .orderBy(col("id")),
       Some(s"""WITH tok AS MATERIALIZED (
