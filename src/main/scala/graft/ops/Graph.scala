@@ -1002,11 +1002,14 @@ object Graph {
         col("node")).otherwise(raise_error(concat(lit(
         s"randomWalks: node id out of packable range for W=$walksPerNode: "),
         col("node")))))
+    // start stays LAZY: it is a narrow idx=0 filter + tiny cross join
+    // over the checkpointed adjacency, so recomputing it per consumer is
+    // cheaper than one more checkpoint job (jobs, not data, dominate at
+    // bench scale; the walk loop itself truncates nothing either)
     val start = nodes
       .crossJoin(walkIndexFrame(nodes, walksPerNode))
       .select((col("node") * walksPerNode + col("w")).as("walker"),
         col("node").as("cur"), col("d"))
-      .localCheckpoint()
     (und, adj.select(col("m"), col("x"), col("idx"), col("dx")), start)
   }
 
