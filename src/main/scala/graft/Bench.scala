@@ -636,10 +636,20 @@ object Bench {
           .map(m => "\"([^\"]+)\":".r.findAllMatchIn(m.group(1))
             .map(_.group(1)).toSet)
           .getOrElse(Set.empty)
+      // ... and only at the same CORE COUNT: the driver's low-core scaling
+      // run writes through this same code path (round-20 found an 8-core
+      // 46.7 s run squatting on the round file, outranking every honest
+      // 32-core run — at sf0.1 fewer cores read FASTER, so the keep-best
+      // rank inverted). A run at a different SPARK_GRAFT_CPUS is a
+      // different measurement, never a better one.
+      def cpusOf(j: String): Int =
+        "\"calib_mt_threads\":(\\d+)".r.findFirstMatchIn(j)
+          .map(_.group(1).toInt).getOrElse(-1)
       val path = java.nio.file.Paths.get(roundFile)
       val keepExisting = java.nio.file.Files.exists(path) && {
         val prev = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-        val comparable = queryKeys(prev) == queryKeys(json)
+        val comparable = queryKeys(prev) == queryKeys(json) &&
+          cpusOf(prev) == cpusOf(json)
         val better = comparable &&
           Ordering.Tuple2[Int, Double].lt(rank(prev), rank(json))
         if (better) System.err.println(

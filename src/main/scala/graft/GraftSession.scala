@@ -38,6 +38,18 @@ object GraftSession {
       // the default maxFields=100 silently drops the whole operator out of
       // whole-stage codegen (measured 3× slower interpreted).
       .config("spark.sql.codegen.maxFields", "256")
+      // Generated-class cache sized for a service that runs MANY distinct
+      // queries per JVM (this engine's registry alone is 200+ plans; the
+      // bench interleaves 36 × 4 iterations). The default 100-entry LRU
+      // thrashes at that working set, so every iteration re-pays janino
+      // compilation AND fresh-class JIT warmup for every query — measured
+      // round 20 (tools/G4Probe): one full 36-query pass 66.2 s → 49.5 s,
+      // graph_pagerank in-bench 6.9 s → 3.2 s, with identical results.
+      // This caches compiled CODE keyed on generated source (Spark's own
+      // mechanism, default-on), never data or results; entries are weakly
+      // referenced, so memory is bounded by live plans. On a production
+      // cluster the same value applies to the driver and executors alike.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // harness events table carries TIMESTAMP(NANOS); Spark 4 reads it as
       // long under this flag (Tables.events converts to µs timestamps)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
