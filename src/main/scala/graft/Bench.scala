@@ -454,8 +454,11 @@ object Bench {
           stepMin("graph_recompute") {
             val post = pre.unionAll(ins)
             run(ops.Graph.pairDegrees(post, "u", "v"))
-            run(ops.Graph.triangles(
-              post.select(col("u").as("src"), col("v").as("dst"))))
+            // post is canonical by construction (the edge table holds
+            // canonical distinct pairs; ins is guard-disjoint), so the
+            // recompute twin gets the best honest implementation: skip
+            // the defensive distinct pass (round-20 A/B ~1 s at ×16)
+            run(ops.Graph.trianglesCanonical(post))
           }
         }
         val rows = t.toDF.count()

@@ -659,11 +659,11 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // TWO fused steps per materialization + convergence probe:
+      // THREE fused steps per materialization + convergence probe:
       // min-label propagation is idempotent at the fixpoint, so probing
-      // only the second step's changed flag converges to the identical
-      // labels (no change in step 2 = labels are a one-step fixpoint)
-      // while halving the round-trip job count
+      // only the last step's changed flag converges to the identical
+      // labels (no change in the last step = a one-step fixpoint)
+      // while cutting the round-trip job count to a third
       val next = step(step(step(labels).select(col("id"), col("label")))
         .select(col("id"), col("label"))).localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
@@ -671,7 +671,7 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"components did not converge in ${2 * maxIter} propagation steps")
+      s"components did not converge in ${3 * maxIter} propagation steps")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -644,6 +644,17 @@ object Graph {
     trianglesFrom(und, degreesOf(und))
   }
 
+  /** [[triangles]] over pairs the CALLER asserts are ALREADY canonical
+    * (u < v, distinct, no self-loops) — e.g. a maintained Delta edge
+    * table unioned with a guarded insert batch. Skips the defensive
+    * least/greatest + distinct pass (one full exchange + aggregation of
+    * the edge set); results are identical when the assertion holds
+    * (the pageRank `symmetricDistinct` precedent, round 19). */
+  def trianglesCanonical(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("u"), col("v"))
+    trianglesFrom(und, degreesOf(und))
+  }
+
   /** [[triangles]] over pre-built canonical pairs + degrees — the entry
     * [[clusteringCoeff]] uses to avoid re-deriving both from raw edges. */
   private[ops] def trianglesFrom(und: DataFrame, deg: DataFrame): DataFrame = {
@@ -1491,13 +1502,24 @@ object Graph {
   def triangleDeltaBucketed(mirror: graft.delta.DeltaTable, changes: DataFrame,
                             aCol: String = "a", bCol: String = "b"): DataFrame = {
     val b = adjacencyBuckets(mirror)
-    // checkpointed: consumed by the bucket collect, the guard join and
-    // the sign-count collect — and the guards must fire eagerly anyway
+    // checkpointed: consumed by the bucket/sign collect and the guard
+    // join — and the guards must fire eagerly anyway
     val netted = netEdgeChanges(changes, aCol, bCol).localCheckpoint()
-    val bkts: Seq[Int] = netted
-      .select(pmod(col("u"), lit(b.toLong)).cast("int").as("k"))
-      .unionAll(netted.select(pmod(col("v"), lit(b.toLong)).cast("int").as("k")))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    // ONE driver round-trip for everything the fold needs to plan: the
+    // distinct endpoint buckets (≤ numBuckets ints by construction) AND
+    // the net sign counts (2 longs; the guard join below validates rows,
+    // never changes or drops a sign, so pre-guard counts are exact).
+    // Previously two separate jobs — per-job fixed overhead is the
+    // fold's dominant cost at daily-batch sizes (round-20 measurement).
+    val planRow = netted.agg(
+        collect_set(pmod(col("u"), lit(b.toLong)).cast("int")).as("bu"),
+        collect_set(pmod(col("v"), lit(b.toLong)).cast("int")).as("bv"),
+        count(when(col("s") === 1L, lit(1))).as("nins"),
+        count(when(col("s") === -1L, lit(1))).as("ndel"))
+      .collect()(0)
+    val bkts: Seq[Int] =
+      (planRow.getSeq[Int](0) ++ planRow.getSeq[Int](1)).distinct.sorted
+    val signCounts = Map(1L -> planRow.getLong(2), -1L -> planRow.getLong(3))
     if (bkts.isEmpty)
       return netted.limit(0).select(col("u").as("node"), lit(0L).as("dt"))
     // ONE partition-pruned read feeds everything downstream, CHECKPOINTED:
@@ -1514,7 +1536,7 @@ object Graph {
     val net = guardedNet(netted,
       prunedAdj.where(col("m") < col("x"))
         .select(col("m").as("u"), col("x").as("v")))
-    triangleDeltaCore(net, prunedAdj)
+    triangleDeltaCore(net, prunedAdj, Some(signCounts))
   }
 
   /** Nets a CDF change batch to per-canonical-edge signs: inserts +1,
@@ -1574,7 +1596,9 @@ object Graph {
     * [[triangleDeltaBucketed]]: `preAdj` is the PRE adjacency (full or
     * bucket-pruned — it must contain every row whose `m` is a batch
     * endpoint), `net` the guarded checkpointed batch. */
-  private def triangleDeltaCore(net: DataFrame, preAdj: DataFrame): DataFrame = {
+  private def triangleDeltaCore(net: DataFrame, preAdj: DataFrame,
+                                knownSignCounts: Option[Map[Long, Long]] = None)
+      : DataFrame = {
     val ins = net.where(col("s") === 1L).select(col("u"), col("v"))
     val del = net.where(col("s") === -1L).select(col("u"), col("v"))
     // post adjacency stays LAZY: the created leg consumes it twice (both
@@ -1587,9 +1611,11 @@ object Graph {
     // one-sided batches skip the other leg's adjacency scans entirely —
     // the COMMON daily batch is insert-only, and its destroyed leg would
     // otherwise still probe the pre adjacency with nothing. The sign
-    // counts read off the already-checkpointed net (≤ 2 local rows).
-    val signCounts = net.groupBy(col("s")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // counts read off the already-checkpointed net (≤ 2 local rows) —
+    // or arrive precomputed from the bucketed path's fused plan collect.
+    val signCounts = knownSignCounts.getOrElse(
+      net.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     val emptyTriples = net.limit(0).select(
       col("u").as("t1"), col("u").as("t2"), col("v").as("t3"))
     val created =
