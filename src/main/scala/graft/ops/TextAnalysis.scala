@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+  /** Whitespace tokens, lowercased, empties dropped. Semantics are
+    * exactly `filter(split(lower(trim(text)), "\\s+"), t => t <> '')`;
+    * since round 20 the composed form is replaced by the single-pass
+    * [[graft.functions.WsTokens]] codegen kernel (the regex split plus
+    * the INTERPRETED higher-order filter taxed every text operator's
+    * scan stage — WsTokensSpec fuzz-pins bit-equivalence). */
+  def tokens(text: Column): Column = graft.functions.WsTokens.of(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
