@@ -512,14 +512,20 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold: prefix length " +
         "|d| - ceil(t*|d|) + 1 is only a valid filter for positive t")
     val base = hashedShingleBase(df, idCol, textCol, shingleN, "cooc")
-    // materialized ONCE: the exploded (id, sz, hs) frame feeds FOUR
-    // consumers (document frequency, the prefix window, and both verify
-    // sides), and without the checkpoint each re-runs the corpus scan +
-    // tokenize + shingle-hash chain — the dominant CPU of this operator
-    // (measured ~9 s of the stage CPU at sf0.1 was repeated hashing).
-    // Rows are (long, long, long) — digests only, never text.
-    val ex = base.select(col("id"), size(col("hsh")).cast("long").as("sz"),
-      explode(col("hsh")).as("hs")).localCheckpoint()
+    // materialized ONCE, as per-doc ARRAYS: every consumer (document
+    // frequency, the prefix window, both verify sides) derives from this
+    // checkpoint, so the corpus scan + tokenize + shingle-hash chain —
+    // the dominant CPU of this operator (measured ~9 s of stage CPU at
+    // sf0.1 was repeated hashing) — runs exactly once. The array form
+    // is strictly smaller than the exploded form (id/sz not repeated
+    // per shingle) and lets verification read whole sets without a
+    // re-explode. Rows are (long, array<long>) — digests only, never text.
+    val arr = base.select(col("id"), col("hsh")).localCheckpoint()
+    // exploded view for the frequency/prefix legs: a map-side explode
+    // off the checkpoint (recomputing it per consumer is generator-only
+    // work, no rescan/rehash)
+    val ex = arr.select(col("id"), size(col("hsh")).cast("long").as("sz"),
+      explode(col("hsh")).as("hs"))
     // global rarity: df(s) = number of docs containing shingle s (hsh is
     // per-doc distinct, so a plain row count is the document frequency)
     val dfreq = ex.groupBy(col("hs")).agg(count(lit(1)).as("df"))
@@ -538,11 +544,20 @@ object Dedup {
           col("b.sz").cast("double") >= lit(threshold) * col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verification by whole-set intersection: fetch each side's hash
+    // ARRAY once per candidate pair and count the overlap map-side —
+    // |hsh_a ∩ hsh_b| equals the old exploded join's shared-hash row
+    // count (hsh is per-doc distinct), but the per-pair work drops from
+    // shuffling ~|d| matched rows through a (id_b, hs) exchange + hash
+    // aggregate to two array lookups and an O(|a|+|b|) intersect
+    // (round-20 A/B; VERDICT item 7).
     cand
-      .join(ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("hs")), Seq("id_a"))
-      .join(ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("hs")), Seq("id_b", "hs"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("o"), min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
+      .join(arr.select(col("id").as("id_a"), col("hsh").as("ha")), Seq("id_a"))
+      .join(arr.select(col("id").as("id_b"), col("hsh").as("hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("o"),
+        size(col("ha")).cast("long").as("sz_a"),
+        size(col("hb")).cast("long").as("sz_b"))
       .withColumn("jaccard",
         col("o").cast("double") / (col("sz_a") + col("sz_b") - col("o")).cast("double"))
       .filter(col("jaccard") >= threshold)
