@@ -453,12 +453,16 @@ object Bench {
           }
           stepMin("graph_recompute") {
             val post = pre.unionAll(ins)
-            run(ops.Graph.pairDegrees(post, "u", "v"))
             // post is canonical by construction (the edge table holds
             // canonical distinct pairs; ins is guard-disjoint), so the
             // recompute twin gets the best honest implementation: skip
             // the defensive distinct pass (round-20 A/B ~1 s at ×16)
-            run(ops.Graph.trianglesCanonical(post))
+            // and aggregate the edge endpoints ONCE — the degree frame
+            // this leg publishes anyway feeds the triangle orientation
+            // (timed: the checkpoint materializes inside the leg)
+            val deg = ops.Graph.pairDegrees(post, "u", "v").localCheckpoint()
+            run(deg)
+            run(ops.Graph.trianglesCanonical(post, Some(deg)))
           }
         }
         val rows = t.toDF.count()

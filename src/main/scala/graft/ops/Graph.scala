@@ -649,10 +649,17 @@ object Graph {
     * table unioned with a guarded insert batch. Skips the defensive
     * least/greatest + distinct pass (one full exchange + aggregation of
     * the edge set); results are identical when the assertion holds
-    * (the pageRank `symmetricDistinct` precedent, round 19). */
-  def trianglesCanonical(pairs: DataFrame): DataFrame = {
+    * (the pageRank `symmetricDistinct` precedent, round 19).
+    *
+    * `degrees`: optionally a PRECOMPUTED (node, deg) frame equal to
+    * [[degreesOf]] of these pairs (e.g. [[pairDegrees]] of the same
+    * frame, already needed by the caller) — a full-recompute pipeline
+    * that publishes degrees AND triangles aggregates the edge
+    * endpoints once instead of twice. */
+  def trianglesCanonical(pairs: DataFrame,
+                         degrees: Option[DataFrame] = None): DataFrame = {
     val und = pairs.select(col("u"), col("v"))
-    trianglesFrom(und, degreesOf(und))
+    trianglesFrom(und, degrees.getOrElse(degreesOf(und)))
   }
 
   /** [[triangles]] over pre-built canonical pairs + degrees — the entry

@@ -127,6 +127,13 @@ object TriRecompProbe {
         run(graft.ops.Graph.pairDegrees(p2c, "u", "v"))
         trianglesOf(p2c, "keyed")
       }
+      // V6 (what the bench ships since round 20): degrees aggregated
+      // ONCE — the published degree frame feeds the triangle orientation
+      t("v6_shared_degrees") {
+        val deg6 = graft.ops.Graph.pairDegrees(post, "u", "v").localCheckpoint()
+        run(deg6)
+        run(graft.ops.Graph.trianglesCanonical(post, Some(deg6)))
+      }
     }
     spark.stop()
   }

@@ -133,6 +133,17 @@ class GraphSpec extends SparkSpec {
     val got8 = graft.ops.Graph.triangles(edges.repartition(8))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got8 === expected)
+    // the canonical-input twin (the bench recompute leg): identical
+    // counts over already-canonical pairs, with and without a caller-
+    // supplied degree frame (pairDegrees ≡ the internal degreesOf)
+    val canon = base.toDF("u", "v")
+    val gotC = graft.ops.Graph.trianglesCanonical(canon)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotC === expected)
+    val gotD = graft.ops.Graph.trianglesCanonical(canon,
+        Some(graft.ops.Graph.pairDegrees(canon, "u", "v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotD === expected)
   }
 
   test("kCore peels cascades to the exact fixpoint; edge cases hold") {
